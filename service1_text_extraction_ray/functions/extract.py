@@ -1,0 +1,177 @@
+"""Per-document extraction dispatcher — the pure core shared by the
+sequential oracle and the distributed Ray stages.
+
+Reproduces the reference's page-acceptance ladder exactly
+(``core_pdf_processor.py:356-416`` ``_extract_page_text``):
+
+    primary extraction -> accept iff len(text.strip()) >= min_text_length
+    AND not is_garbage_text(text); otherwise fall back to OCR; with no OCR
+    backend available, emit method="failed" with empty text
+    (the reference's no-tesseract branch, :410-416 — byte-identical here,
+    since the sandbox has no tesseract either).
+
+Methods: ``dom`` (HTML main-content extraction), ``pdf_text`` (content-stream
+text), ``failed``. Per-page failures isolate (:202-209); document-structure
+failures produce a ``parse_failure`` row, never an exception out of the stage.
+
+Everything in this module is a pure function of (payload bytes, config):
+no wall clock, no randomness, no iteration-order dependence — the
+byte-determinism contract of SURVEY.md §4.2 item 4.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional
+
+from .html_extract import extract_html_text, html_layout
+from .pdf_extract import PdfParseError, parse_pdf
+from .quality import MIN_TEXT_LENGTH, is_garbage_text
+from .render import combine_pages, page_markdown
+from .sniff import KIND_HTML, KIND_PDF, sniff_payload
+
+STATUS_OK = "ok"
+STATUS_PARSE_FAILURE = "parse_failure"
+
+METHOD_DOM = "dom"
+METHOD_PDF = "pdf_text"
+METHOD_FAILED = "failed"
+
+
+@dataclass(frozen=True)
+class ExtractConfig:
+    """Engine configuration (the reference's ctor knobs, SURVEY.md §2.9,
+    plus the scale knobs the reference lacks)."""
+
+    # Reference production config (document_text_extraction_service.py:174-178).
+    min_text_length: int = MIN_TEXT_LENGTH
+    max_pages: Optional[int] = None
+
+    # HTML boilerplate heuristics (html_extract.py).
+    min_block_chars: int = 25
+    min_heading_chars: int = 8
+    max_link_density: float = 0.5
+
+    # Scale/skew guards (SURVEY.md §4.2): payloads beyond this are truncated
+    # (counted, never crashed on).
+    max_payload_bytes: int = 1_048_576
+
+    # Whether to serialize the layout tree per page (JSON string column).
+    emit_layout: bool = True
+
+    # Partitioning (checkpoint-resume substrate): shard = crc32(url) % n_shards.
+    n_shards: int = 64
+    size_bucket_edges: tuple = (4096, 65536, 1_048_576)
+
+
+def gate_page_text(text: str, min_text_length: int) -> bool:
+    """The reference acceptance predicate (core_pdf_processor.py:378-386)."""
+    return len(text.strip()) >= min_text_length and not is_garbage_text(text)
+
+
+def extract_document(url: str, payload: Optional[bytes], cfg: ExtractConfig) -> Dict[str, Any]:
+    """Extract one document. Returns a plain dict (Arrow-friendly):
+
+    ``{status, content_kind, truncated, n_pages, n_pages_ok, doc_text,
+    doc_chars, error, pages: [{page, method, text, page_md, n_chars,
+    layout_json}]}``
+    """
+    kind = sniff_payload(payload)
+    truncated = False
+    if payload is not None and len(payload) > cfg.max_payload_bytes:
+        payload = payload[: cfg.max_payload_bytes]
+        truncated = True
+
+    pages: List[Dict[str, Any]] = []
+    status = STATUS_OK
+    error: Optional[str] = None
+
+    if kind == KIND_HTML:
+        try:
+            text, kept = extract_html_text(
+                payload,
+                min_block_chars=cfg.min_block_chars,
+                min_heading_chars=cfg.min_heading_chars,
+                max_link_density=cfg.max_link_density,
+            )
+            if gate_page_text(text, cfg.min_text_length):
+                layout = html_layout(kept) if cfg.emit_layout else None
+                pages.append(_page_row(1, METHOD_DOM, text.strip(), layout))
+            else:
+                # Gate failed, no OCR backend: reference no-tesseract branch.
+                pages.append(_page_row(1, METHOD_FAILED, "", None))
+        except Exception as e:  # defensive: parser bugs become failure rows
+            status = STATUS_PARSE_FAILURE
+            error = f"html: {e}"
+    elif kind == KIND_PDF:
+        try:
+            parsed = parse_pdf(payload, max_pages=cfg.max_pages)
+            for idx, page in enumerate(parsed, start=1):
+                if gate_page_text(page.text, cfg.min_text_length):
+                    layout = page.layout if cfg.emit_layout else None
+                    pages.append(_page_row(idx, METHOD_PDF, page.text.strip(), layout))
+                else:
+                    pages.append(_page_row(idx, METHOD_FAILED, "", None))
+        except PdfParseError as e:
+            status = STATUS_PARSE_FAILURE
+            error = f"pdf: {e}"
+        except Exception as e:
+            status = STATUS_PARSE_FAILURE
+            error = f"pdf: {e}"
+    else:
+        status = STATUS_PARSE_FAILURE
+        error = "unrecognized content kind"
+
+    doc_text = combine_pages((p["page"], p["text"]) for p in pages)
+    n_pages_ok = sum(1 for p in pages if p["method"] != METHOD_FAILED)
+
+    return {
+        "status": status,
+        "content_kind": kind,
+        "truncated": truncated,
+        "n_pages": len(pages),
+        "n_pages_ok": n_pages_ok,
+        "doc_text": doc_text,
+        "doc_chars": len(doc_text),
+        "error": error,
+        "pages": pages,
+    }
+
+
+def _page_row(page: int, method: str, text: str, layout: Optional[Dict[str, Any]]) -> Dict[str, Any]:
+    return {
+        "page": page,
+        "method": method,
+        "text": text,
+        "page_md": page_markdown(page, method, text),
+        "n_chars": len(text),
+        "layout_json": json.dumps(layout, sort_keys=True, separators=(",", ":")) if layout else "",
+    }
+
+
+def doc_content_hash(doc_text: str) -> str:
+    """Stable per-document content hash (lineage substrate)."""
+    return hashlib.sha256(doc_text.encode("utf-8")).hexdigest()
+
+
+# --------------------------------------------------------------------------
+# Sequential oracle (golden producer)
+# --------------------------------------------------------------------------
+
+
+def run_oracle(rows, cfg: Optional[ExtractConfig] = None) -> List[Dict[str, Any]]:
+    """Single-process, input-order reference run over (url, payload) rows —
+    the golden producer of FIXTURES.md §4. Uses the *same pure functions* as
+    the Ray job, so golden equality is exactly a determinism check.
+
+    ``rows`` is an iterable of dicts with at least ``url`` and ``html``.
+    """
+    cfg = cfg or ExtractConfig()
+    out: List[Dict[str, Any]] = []
+    for row in rows:
+        res = extract_document(row["url"], row["html"], cfg)
+        res["url"] = row["url"]
+        out.append(res)
+    return out

@@ -1,0 +1,732 @@
+"""From-scratch PDF text/layout extraction on the Python stdlib (zlib + re).
+
+Replaces the reference's PyMuPDF usage (``core_pdf_processor.py:115-218``
+doc loop, ``:356-416`` page dispatcher, ``:418-465`` layout tree) with a
+parser for a defined PDF subset — no fitz/pdfminer/pypdf in the environment,
+and the north rule demands a from-scratch build. The *semantics* downstream
+of parsing (page acceptance gate, layout-tree shape, reading order, output
+formats) mirror the reference, cited at each function.
+
+Supported subset (documented per SURVEY.md §7.4 item 2; the fixture writer in
+``functions/synth.py`` emits only this subset, and real-world deviations
+surface as per-page/per-doc ``parse_failure`` rows, never exceptions):
+
+- PDF 1.x, classic (non-object-stream) layout: ``N G obj ... endobj`` bodies,
+  dictionaries ``<< ... >>``, direct ``/Length`` integers on streams.
+- Document structure: ``trailer`` dict (or a ``/Type /Catalog`` object) ->
+  ``/Root`` -> ``/Pages`` tree with nested ``/Kids`` -> ``/Type /Page``
+  leaves; ``/MediaBox`` inherited or per-page; ``/Contents`` as a single ref
+  or an array of refs.
+- Content streams: raw or ``/Filter /FlateDecode`` (stdlib zlib); text
+  operators ``BT ET Tf Td TD Tm T* TL Tj TJ ' "``; literal ``(...)`` strings
+  with standard escapes + octal, hex ``<...>`` strings; single-byte
+  (StandardEncoding/WinAnsi ~ latin-1) text.
+- The xref table is ignored (objects are located by scanning) — tolerant of
+  broken/truncated xref sections, which is the common real-world corruption.
+
+Geometry model: spans carry the text-matrix origin; y is flipped to
+top-down coordinates (y_down = page_height - y_pdf) so the layout tree and
+the layout-recreation formatter use the same orientation as the reference's
+fitz-based tree (fitz is y-down). Reading order: lines sorted top-to-bottom
+with gap-based two-column detection (left column first), seeded from the
+reference's layout-recreation thresholds (``core_pdf_processor.py:709-781``).
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+from dataclasses import dataclass
+from typing import Any, Dict, List, Optional, Tuple
+
+# Glyph advance approximation for span bboxes (Helvetica-ish average width as a
+# fraction of font size). Affects only layout bboxes, not text bytes.
+GLYPH_WIDTH_FACTOR = 0.5
+
+# Spans whose baselines differ by <= this many points are the same line.
+LINE_Y_TOLERANCE = 2.0
+
+# Consecutive lines with a vertical gap > 1.8x font size start a new block.
+BLOCK_GAP_FACTOR = 1.8
+
+# Two-column detection: the x-gap between column clusters must exceed this
+# fraction of the page width, and each side must have at least 2 lines.
+COLUMN_GAP_FRACTION = 0.20
+
+
+class PdfParseError(Exception):
+    """Raised for payloads outside the supported subset; callers convert this
+    into a ``parse_failure`` row (reference failure isolation,
+    ``core_pdf_processor.py:202-209``)."""
+
+
+# --------------------------------------------------------------------------
+# Object scanning
+# --------------------------------------------------------------------------
+
+_OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
+_WS = b" \t\r\n\f\x00"
+
+
+def _skip_ws(data: bytes, i: int) -> int:
+    n = len(data)
+    while i < n and data[i : i + 1] in (b" ", b"\t", b"\r", b"\n", b"\f", b"\x00"):
+        i += 1
+    return i
+
+
+def _scan_dict(data: bytes, i: int) -> Tuple[bytes, int]:
+    """Return (dict bytes including delimiters, index after '>>').
+    ``i`` must point at ``<<``. Handles nesting; strings inside dicts are
+    skipped so ')>>(' sequences can't break the balance."""
+    assert data[i : i + 2] == b"<<"
+    depth = 0
+    j = i
+    n = len(data)
+    while j < n:
+        c = data[j : j + 2]
+        if c == b"<<":
+            depth += 1
+            j += 2
+        elif c == b">>":
+            depth -= 1
+            j += 2
+            if depth == 0:
+                return data[i:j], j
+        elif data[j : j + 1] == b"(":
+            j = _skip_string(data, j)
+        else:
+            j += 1
+    raise PdfParseError("unterminated dictionary")
+
+
+def _skip_string(data: bytes, i: int) -> int:
+    """Skip a literal string starting at '('; returns index after ')'."""
+    depth = 0
+    n = len(data)
+    j = i
+    while j < n:
+        c = data[j]
+        if c == 0x5C:  # backslash
+            j += 2
+            continue
+        if c == 0x28:  # (
+            depth += 1
+        elif c == 0x29:  # )
+            depth -= 1
+            if depth == 0:
+                return j + 1
+        j += 1
+    raise PdfParseError("unterminated string")
+
+
+_LENGTH_RE = re.compile(rb"/Length\s+(\d+)")
+
+
+@dataclass
+class _PdfObject:
+    num: int
+    dict_bytes: bytes
+    stream: Optional[bytes]
+
+
+def _scan_objects(data: bytes) -> Dict[int, _PdfObject]:
+    """Locate all indirect objects by scanning (xref ignored — see module doc)."""
+    objects: Dict[int, _PdfObject] = {}
+    pos = 0
+    n = len(data)
+    while True:
+        m = _OBJ_RE.search(data, pos)
+        if m is None:
+            break
+        num = int(m.group(1))
+        i = _skip_ws(data, m.end())
+        dict_bytes = b""
+        stream: Optional[bytes] = None
+        if data[i : i + 2] == b"<<":
+            dict_bytes, i = _scan_dict(data, i)
+            i = _skip_ws(data, i)
+            if data[i : i + 6] == b"stream":
+                i += 6
+                if data[i : i + 2] == b"\r\n":
+                    i += 2
+                elif data[i : i + 1] == b"\n":
+                    i += 1
+                lm = _LENGTH_RE.search(dict_bytes)
+                if lm is None:
+                    # Subset requires direct /Length; fall back to endstream scan.
+                    end = data.find(b"endstream", i)
+                    if end < 0:
+                        raise PdfParseError("stream without Length or endstream")
+                    stream = data[i:end].rstrip(b"\r\n")
+                    i = end
+                else:
+                    length = int(lm.group(1))
+                    if i + length > n:
+                        raise PdfParseError("truncated stream")
+                    stream = data[i : i + length]
+                    i = i + length
+        end_obj = data.find(b"endobj", i)
+        pos = end_obj + 6 if end_obj >= 0 else i + 1
+        # First definition wins (objects are unique in the subset).
+        if num not in objects:
+            objects[num] = _PdfObject(num, dict_bytes, stream)
+    if not objects:
+        raise PdfParseError("no PDF objects found")
+    return objects
+
+
+_REF_RE = re.compile(rb"(\d+)\s+\d+\s+R")
+_NAME_VAL_RE = {
+    "Root": re.compile(rb"/Root\s+(\d+)\s+\d+\s+R"),
+    "Pages": re.compile(rb"/Pages\s+(\d+)\s+\d+\s+R"),
+}
+_TYPE_RE = re.compile(rb"/Type\s*/(\w+)")
+_KIDS_RE = re.compile(rb"/Kids\s*\[([^\]]*)\]")
+_CONTENTS_REF_RE = re.compile(rb"/Contents\s+(\d+)\s+\d+\s+R")
+_CONTENTS_ARR_RE = re.compile(rb"/Contents\s*\[([^\]]*)\]")
+_MEDIABOX_RE = re.compile(
+    rb"/MediaBox\s*\[\s*([\d.+-]+)\s+([\d.+-]+)\s+([\d.+-]+)\s+([\d.+-]+)\s*\]"
+)
+_FLATE_RE = re.compile(rb"/Filter\s*(?:/FlateDecode\b|\[\s*/FlateDecode\s*\])")
+
+
+def _find_root(data: bytes, objects: Dict[int, _PdfObject]) -> int:
+    m = None
+    for m in re.finditer(rb"trailer", data):
+        pass  # take the last trailer
+    if m is not None:
+        i = _skip_ws(data, m.end())
+        if data[i : i + 2] == b"<<":
+            tdict, _ = _scan_dict(data, i)
+            rm = _NAME_VAL_RE["Root"].search(tdict)
+            if rm:
+                return int(rm.group(1))
+    # Fallback: first /Type /Catalog object, in object-number order.
+    for num in sorted(objects):
+        tm = _TYPE_RE.search(objects[num].dict_bytes)
+        if tm and tm.group(1) == b"Catalog":
+            return num
+    raise PdfParseError("no document catalog")
+
+
+def _page_order(objects: Dict[int, _PdfObject], root_num: int) -> List[int]:
+    """Walk Catalog -> Pages -> Kids recursively, yielding page object numbers
+    in document order."""
+    root = objects.get(root_num)
+    if root is None:
+        raise PdfParseError("dangling Root reference")
+    pm = _NAME_VAL_RE["Pages"].search(root.dict_bytes)
+    if pm is None:
+        raise PdfParseError("catalog without Pages")
+
+    pages: List[int] = []
+
+    def walk(num: int, depth: int = 0) -> None:
+        if depth > 64:
+            raise PdfParseError("page tree too deep")
+        obj = objects.get(num)
+        if obj is None:
+            raise PdfParseError(f"dangling page-tree reference {num}")
+        t = _TYPE_RE.search(obj.dict_bytes)
+        tname = t.group(1) if t else b""
+        if tname == b"Page":
+            pages.append(num)
+            return
+        km = _KIDS_RE.search(obj.dict_bytes)
+        if km is None:
+            raise PdfParseError("Pages node without Kids")
+        for rm in _REF_RE.finditer(km.group(1)):
+            walk(int(rm.group(1)), depth + 1)
+
+    walk(int(pm.group(1)))
+    if not pages:
+        raise PdfParseError("empty page tree")
+    return pages
+
+
+def _content_bytes(objects: Dict[int, _PdfObject], page: _PdfObject) -> bytes:
+    refs: List[int] = []
+    cm = _CONTENTS_REF_RE.search(page.dict_bytes)
+    if cm:
+        refs.append(int(cm.group(1)))
+    else:
+        am = _CONTENTS_ARR_RE.search(page.dict_bytes)
+        if am:
+            refs.extend(int(r.group(1)) for r in _REF_RE.finditer(am.group(1)))
+    out = bytearray()
+    for r in refs:
+        obj = objects.get(r)
+        if obj is None or obj.stream is None:
+            raise PdfParseError(f"missing content stream {r}")
+        raw = obj.stream
+        if _FLATE_RE.search(obj.dict_bytes):
+            try:
+                raw = zlib.decompress(raw)
+            except zlib.error as e:
+                raise PdfParseError(f"FlateDecode failed: {e}") from e
+        out += raw
+        out += b"\n"
+    return bytes(out)
+
+
+# --------------------------------------------------------------------------
+# Content-stream tokenizer + text-operator interpreter
+# --------------------------------------------------------------------------
+
+_NUM_TOKEN_RE = re.compile(rb"[+-]?(?:\d+\.?\d*|\.\d+)")
+_OP_TOKEN_RE = re.compile(rb"[A-Za-z'\"*]{1,3}")
+
+_ESCAPES = {
+    0x6E: b"\n",  # n
+    0x72: b"\r",  # r
+    0x74: b"\t",  # t
+    0x62: b"\x08",  # b
+    0x66: b"\x0c",  # f
+    0x28: b"(",
+    0x29: b")",
+    0x5C: b"\\",
+}
+
+
+def _read_literal_string(data: bytes, i: int) -> Tuple[bytes, int]:
+    """Read a ``(...)`` string starting at '('; returns (decoded bytes, next index)."""
+    out = bytearray()
+    depth = 1
+    j = i + 1
+    n = len(data)
+    while j < n:
+        c = data[j]
+        if c == 0x5C:  # backslash
+            if j + 1 >= n:
+                break
+            e = data[j + 1]
+            if e in _ESCAPES:
+                out += _ESCAPES[e]
+                j += 2
+            elif 0x30 <= e <= 0x37:  # octal \ddd (1-3 digits)
+                k = j + 1
+                oct_digits = bytearray()
+                while k < n and len(oct_digits) < 3 and 0x30 <= data[k] <= 0x37:
+                    oct_digits.append(data[k])
+                    k += 1
+                out.append(int(oct_digits.decode(), 8) & 0xFF)
+                j = k
+            elif e in (0x0A, 0x0D):  # line continuation
+                j += 2
+                if e == 0x0D and j < n and data[j] == 0x0A:
+                    j += 1
+            else:
+                out.append(e)
+                j += 2
+            continue
+        if c == 0x28:
+            depth += 1
+            out.append(c)
+        elif c == 0x29:
+            depth -= 1
+            if depth == 0:
+                return bytes(out), j + 1
+            out.append(c)
+        else:
+            out.append(c)
+        j += 1
+    raise PdfParseError("unterminated literal string")
+
+
+def _read_hex_string(data: bytes, i: int) -> Tuple[bytes, int]:
+    end = data.find(b">", i)
+    if end < 0:
+        raise PdfParseError("unterminated hex string")
+    hex_digits = re.sub(rb"\s", b"", data[i + 1 : end])
+    if len(hex_digits) % 2:
+        hex_digits += b"0"
+    return bytes.fromhex(hex_digits.decode("ascii")), end + 1
+
+
+def _tokenize(data: bytes):
+    """Yield ('num', float) | ('str', bytes) | ('name', bytes) | ('op', bytes)
+    | ('[',) | (']',) tokens."""
+    i = 0
+    n = len(data)
+    while i < n:
+        c = data[i : i + 1]
+        if c in (b" ", b"\t", b"\r", b"\n", b"\f", b"\x00"):
+            i += 1
+        elif c == b"(":
+            s, i = _read_literal_string(data, i)
+            yield ("str", s)
+        elif c == b"<":
+            if data[i : i + 2] == b"<<":
+                d, i = _scan_dict(data, i)
+                yield ("dict", d)
+            else:
+                s, i = _read_hex_string(data, i)
+                yield ("str", s)
+        elif c == b"[":
+            yield ("[", None)
+            i += 1
+        elif c == b"]":
+            yield ("]", None)
+            i += 1
+        elif c == b"/":
+            m = re.match(rb"/[^\s()<>\[\]/%]*", data[i:])
+            yield ("name", m.group(0))
+            i += m.end()
+        elif c == b"%":
+            nl = data.find(b"\n", i)
+            i = n if nl < 0 else nl + 1
+        else:
+            m = _NUM_TOKEN_RE.match(data, i)
+            if m and m.end() > i:
+                yield ("num", float(m.group(0)))
+                i = m.end()
+                continue
+            m = _OP_TOKEN_RE.match(data, i)
+            if m:
+                yield ("op", m.group(0))
+                i = m.end()
+            else:
+                i += 1  # unknown byte — skip (tolerant)
+
+
+@dataclass
+class Span:
+    """One emitted text run at a device position (y in PDF bottom-up coords)."""
+
+    text: str
+    x: float
+    y: float
+    size: float
+    font: str
+
+
+def _interpret_text(content: bytes) -> List[Span]:
+    """Execute the text operators of a content stream, emitting spans.
+
+    Implements ``BT ET Tf Td TD Tm T* TL Tj TJ ' "``. Graphics-state
+    operators outside text objects are ignored. TJ numbers adjust x by
+    ``-n/1000 * size`` (the PDF kerning rule); strings advance x by an
+    approximate glyph width (affects bboxes only, not text bytes).
+    """
+    spans: List[Span] = []
+    stack: List[Any] = []
+    in_array: Optional[List[Any]] = None
+
+    # Text state (only the translation components of the matrices matter for
+    # the subset: no rotation/skew in fixtures; scale from Tm a/d applied to x/y).
+    lx = ly = 0.0  # line matrix origin
+    cx = cy = 0.0  # current point
+    leading = 0.0
+    size = 12.0
+    font = "F1"
+    in_text = False
+
+    def emit(raw: bytes) -> None:
+        nonlocal cx
+        if not raw:
+            return
+        text = raw.decode("latin-1")
+        spans.append(Span(text=text, x=cx, y=cy, size=size, font=font))
+        cx += GLYPH_WIDTH_FACTOR * size * len(text)
+
+    def newline() -> None:
+        nonlocal lx, ly, cx, cy
+        ly -= leading
+        cx, cy = lx, ly
+
+    for tok in _tokenize(content):
+        kind = tok[0]
+        if kind == "[":
+            in_array = []
+            continue
+        if kind == "]":
+            stack.append(in_array)
+            in_array = None
+            continue
+        if in_array is not None:
+            if kind in ("num", "str"):
+                in_array.append(tok[1] if kind == "num" else tok[1])
+                if kind == "str":
+                    in_array[-1] = tok[1]
+            continue
+        if kind in ("num", "str", "name", "dict"):
+            stack.append(tok[1])
+            continue
+
+        op = tok[1]
+        try:
+            if op == b"BT":
+                in_text = True
+                lx = ly = cx = cy = 0.0
+            elif op == b"ET":
+                in_text = False
+            elif op == b"Tf":
+                size = float(stack[-1])
+                fname = stack[-2]
+                font = fname.decode("latin-1").lstrip("/") if isinstance(fname, bytes) else str(fname)
+            elif op == b"Td":
+                ty, tx = float(stack[-1]), float(stack[-2])
+                lx += tx
+                ly += ty
+                cx, cy = lx, ly
+            elif op == b"TD":
+                ty, tx = float(stack[-1]), float(stack[-2])
+                leading = -ty
+                lx += tx
+                ly += ty
+                cx, cy = lx, ly
+            elif op == b"Tm":
+                f, e = float(stack[-1]), float(stack[-2])
+                lx, ly = e, f
+                cx, cy = lx, ly
+            elif op == b"TL":
+                leading = float(stack[-1])
+            elif op == b"T*":
+                newline()
+            elif op == b"Tj":
+                if in_text and isinstance(stack[-1], bytes):
+                    emit(stack[-1])
+            elif op == b"'":
+                newline()
+                if in_text and isinstance(stack[-1], bytes):
+                    emit(stack[-1])
+            elif op == b'"':
+                # aw ac string "
+                newline()
+                if in_text and isinstance(stack[-1], bytes):
+                    emit(stack[-1])
+            elif op == b"TJ":
+                arr = stack[-1]
+                if in_text and isinstance(arr, list):
+                    for el in arr:
+                        if isinstance(el, bytes):
+                            emit(el)
+                        elif isinstance(el, float):
+                            cx += -el / 1000.0 * size
+        except (IndexError, ValueError, TypeError):
+            # Malformed operand stack — tolerant skip (per-page failure
+            # isolation happens at the caller).
+            pass
+        if kind == "op":
+            stack.clear()
+
+    return spans
+
+
+# --------------------------------------------------------------------------
+# Page assembly: spans -> lines -> columns -> blocks -> text + layout tree
+# --------------------------------------------------------------------------
+
+
+@dataclass
+class Line:
+    spans: List[Span]
+    y_down: float  # top-down baseline
+
+    @property
+    def x0(self) -> float:
+        return min(s.x for s in self.spans)
+
+    @property
+    def text(self) -> str:
+        """Spans joined left-to-right; a space is inserted only when the
+        horizontal gap between spans exceeds a quarter of the font size
+        (TJ kerning adjustments produce sub-threshold gaps and must NOT
+        split words)."""
+        parts: List[str] = []
+        prev_end: Optional[float] = None
+        for s in sorted(self.spans, key=lambda s: s.x):
+            if (
+                parts
+                and prev_end is not None
+                and s.x - prev_end > 0.25 * s.size
+                and not parts[-1].endswith(" ")
+                and not s.text.startswith(" ")
+            ):
+                parts.append(" ")
+            parts.append(s.text)
+            prev_end = s.x + GLYPH_WIDTH_FACTOR * s.size * len(s.text)
+        return "".join(parts)
+
+
+# A horizontal gap between same-baseline spans larger than this many font
+# sizes starts a new line segment (a column gutter, not a word space).
+SEGMENT_GAP_FACTOR = 2.0
+
+
+def _group_lines(spans: List[Span], page_height: float) -> List[Line]:
+    """Group spans into visual lines: same baseline (within tolerance), then
+    split each baseline run into segments wherever the x-gap exceeds the
+    gutter threshold — so two-column text yields one Line per column."""
+    by_y: List[List[Span]] = []
+    ys: List[float] = []
+    for s in sorted(spans, key=lambda s: (-s.y, s.x)):
+        y_down = page_height - s.y
+        for i, ly in enumerate(ys):
+            if abs(ly - y_down) <= LINE_Y_TOLERANCE:
+                by_y[i].append(s)
+                break
+        else:
+            by_y.append([s])
+            ys.append(y_down)
+
+    lines: List[Line] = []
+    for group, y_down in zip(by_y, ys):
+        group.sort(key=lambda s: s.x)
+        seg: List[Span] = []
+        prev_end: Optional[float] = None
+        for s in group:
+            if seg and prev_end is not None and s.x - prev_end > SEGMENT_GAP_FACTOR * s.size:
+                lines.append(Line(spans=seg, y_down=y_down))
+                seg = []
+            seg.append(s)
+            prev_end = s.x + GLYPH_WIDTH_FACTOR * s.size * len(s.text)
+        if seg:
+            lines.append(Line(spans=seg, y_down=y_down))
+    return lines
+
+
+def _order_lines(lines: List[Line], page_width: float) -> List[Line]:
+    """Reading order with gap-based two-column detection (left column first)."""
+    if len(lines) < 4:
+        return sorted(lines, key=lambda l: (l.y_down, l.x0))
+    xs = sorted({round(l.x0, 1) for l in lines})
+    best_gap = 0.0
+    split_at = None
+    for a, b in zip(xs, xs[1:]):
+        if b - a > best_gap:
+            best_gap = b - a
+            split_at = (a + b) / 2.0
+    if split_at is not None and best_gap >= COLUMN_GAP_FRACTION * page_width:
+        left = [l for l in lines if l.x0 < split_at]
+        right = [l for l in lines if l.x0 >= split_at]
+        if len(left) >= 2 and len(right) >= 2:
+            return sorted(left, key=lambda l: (l.y_down, l.x0)) + sorted(
+                right, key=lambda l: (l.y_down, l.x0)
+            )
+    return sorted(lines, key=lambda l: (l.y_down, l.x0))
+
+
+def _span_bbox(s: Span, page_height: float) -> List[float]:
+    y_down = page_height - s.y
+    return [
+        round(s.x, 2),
+        round(y_down - s.size, 2),
+        round(s.x + GLYPH_WIDTH_FACTOR * s.size * len(s.text), 2),
+        round(y_down, 2),
+    ]
+
+
+def _union_bbox(bboxes: List[List[float]]) -> List[float]:
+    return [
+        round(min(b[0] for b in bboxes), 2),
+        round(min(b[1] for b in bboxes), 2),
+        round(max(b[2] for b in bboxes), 2),
+        round(max(b[3] for b in bboxes), 2),
+    ]
+
+
+@dataclass
+class PdfPage:
+    text: str
+    layout: Dict[str, Any]
+
+
+def _assemble_page(
+    spans: List[Span], page_width: float, page_height: float
+) -> PdfPage:
+    if not spans:
+        return PdfPage(
+            text="",
+            layout={"width": page_width, "height": page_height, "rotation": 0, "blocks": []},
+        )
+
+    lines = _order_lines(_group_lines(spans, page_height), page_width)
+
+    # Blocks: consecutive (reading-order) lines with a small vertical gap.
+    blocks: List[List[Line]] = []
+    for line in lines:
+        if blocks:
+            prev = blocks[-1][-1]
+            mean_size = max(s.size for s in prev.spans)
+            same_col_gap = line.y_down - prev.y_down
+            if 0 < same_col_gap <= BLOCK_GAP_FACTOR * mean_size:
+                blocks[-1].append(line)
+                continue
+        blocks.append([line])
+
+    layout_blocks = []
+    text_lines: List[str] = []
+    for blk in blocks:
+        line_infos = []
+        for line in blk:
+            sorted_spans = sorted(line.spans, key=lambda s: s.x)
+            span_infos = [
+                {
+                    "text": s.text,
+                    "bbox": _span_bbox(s, page_height),
+                    "font": s.font,
+                    "size": round(s.size, 2),
+                    "flags": 0,
+                }
+                for s in sorted_spans
+            ]
+            line_infos.append(
+                {"bbox": _union_bbox([si["bbox"] for si in span_infos]), "spans": span_infos}
+            )
+            text_lines.append(line.text)
+        layout_blocks.append(
+            {"bbox": _union_bbox([li["bbox"] for li in line_infos]), "lines": line_infos}
+        )
+
+    layout = {
+        "width": page_width,
+        "height": page_height,
+        "rotation": 0,
+        "blocks": layout_blocks,
+    }
+    return PdfPage(text="\n".join(text_lines), layout=layout)
+
+
+# --------------------------------------------------------------------------
+# Public API
+# --------------------------------------------------------------------------
+
+
+def parse_pdf(payload: bytes, max_pages: Optional[int] = None) -> List[PdfPage]:
+    """Parse a PDF payload into pages (text + layout tree).
+
+    Mirrors the reference doc loop (``core_pdf_processor.py:186-218``):
+    ``total = len(doc) if max_pages is None else min(len(doc), max_pages)``;
+    a failing page yields an empty PdfPage rather than poisoning the doc
+    (per-page failure isolation, :202-209). Document-structure failures raise
+    ``PdfParseError`` for the caller to convert into a parse_failure row.
+    """
+    if payload[:5] != b"%PDF-":
+        raise PdfParseError("missing %PDF- header")
+    objects = _scan_objects(payload)
+    root = _find_root(payload, objects)
+    page_nums = _page_order(objects, root)
+    total = len(page_nums) if max_pages is None else min(len(page_nums), max_pages)
+
+    pages: List[PdfPage] = []
+    default_box = (0.0, 0.0, 612.0, 792.0)
+    for pnum in page_nums[:total]:
+        page_obj = objects[pnum]
+        mb = _MEDIABOX_RE.search(page_obj.dict_bytes)
+        if mb:
+            box = tuple(float(x) for x in mb.groups())
+        else:
+            box = default_box
+        width = box[2] - box[0]
+        height = box[3] - box[1]
+        try:
+            content = _content_bytes(objects, page_obj)
+            spans = _interpret_text(content)
+            pages.append(_assemble_page(spans, width, height))
+        except PdfParseError:
+            pages.append(
+                PdfPage(text="", layout={"width": width, "height": height, "rotation": 0, "blocks": []})
+            )
+    return pages

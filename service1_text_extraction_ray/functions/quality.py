@@ -1,0 +1,233 @@
+"""Text-quality predicates and normalizers.
+
+Pure functions, shared verbatim between the sequential oracle and the
+distributed Ray job so that output bytes are independent of parallelism.
+
+Semantics reproduce the reference service exactly (all citations into
+/root/reference):
+
+- ``is_garbage_text``  — ``core_pdf_processor.py:584-648`` (the 7-clause
+  garbage predicate that gates the primary-extraction-vs-fallback decision).
+- ``clean_unicode``    — ``backend/core/text_utils.py:16-75``.
+- ``chunk_text``       — ``text_utils.py:77-117``.
+- ``extract_numbers`` / ``extract_dates`` — ``text_utils.py:119-140``.
+- ``normalize_whitespace`` — ``text_utils.py:142-147``.
+- ``remove_page_headers_footers`` — ``text_utils.py:149-166``.
+- ``MIN_TEXT_LENGTH`` — production quality gate ``min_text_length=250``
+  (``document_text_extraction_service.py:174-178``).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import List
+
+# Production config of the reference service (document_text_extraction_service.py:174-178):
+# PDFProcessor(max_pages=None, min_text_length=250).
+MIN_TEXT_LENGTH = 250
+MAX_PAGES: int | None = None
+
+# Control characters excluding \t \n \r and space — core_pdf_processor.py:607-611.
+_CONTROL_SEQ_RE = re.compile(r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F-\x9F]+")
+_ALLOWED_PUNCT = set(".,!?;:()[]{}\"'")
+
+
+def is_garbage_text(text: str) -> bool:
+    """True if extracted text appears to be garbage.
+
+    Clause-for-clause reimplementation of the reference predicate
+    (core_pdf_processor.py:584-648), exact thresholds preserved:
+
+    1. empty/whitespace-only -> garbage
+    2. >30% control chars (excluding \\t\\n\\r)
+    3. >3 control-character sequences
+    4. special-char ratio > 0.5 (alnum/space/common punctuation excluded)
+    5. fewer than 5 distinct characters
+    6. short-word (<2 chars) ratio > 0.7
+    7. >20% non-printable (ord<32 excl \\t\\n\\r, or ord>126)
+    8. <30% printable ratio
+    """
+    if not text.strip():
+        return True
+
+    n = len(text)
+
+    control_char_count = sum(1 for c in text if ord(c) < 32 and c not in "\t\n\r")
+    if control_char_count > n * 0.3:
+        return True
+
+    if len(_CONTROL_SEQ_RE.findall(text)) > 3:
+        return True
+
+    special_char_ratio = (
+        sum(1 for c in text if not c.isalnum() and not c.isspace() and c not in _ALLOWED_PUNCT)
+        / n
+    )
+    if special_char_ratio > 0.5:
+        return True
+
+    if len(set(text)) < 5:
+        return True
+
+    words = text.split()
+    if words:
+        short_word_ratio = sum(1 for w in words if len(w) < 2) / len(words)
+        if short_word_ratio > 0.7:
+            return True
+
+    non_printable_count = sum(
+        1 for c in text if ord(c) < 32 and c not in "\t\n\r" or ord(c) > 126
+    )
+    if non_printable_count > n * 0.2:
+        return True
+
+    printable_ratio = sum(1 for c in text if c.isprintable() and c not in "\t\n\r") / n
+    if printable_ratio < 0.3:
+        return True
+
+    return False
+
+
+_CURRENCY_REPLACEMENTS = {
+    "\ufffd\ufffd\ufffd": "\u20ac",  # common Euro-symbol corruption (replacement chars)
+    "\u00e2\u201a\u00ac": "\u20ac",  # mojibake Euro ("\u00e2\u201a\u00ac")
+    "\u20ac": "\u20ac",  # Euro symbol
+    "\u00a3": "\u00a3",  # Pound symbol
+    "\u00a5": "\u00a5",  # Yen symbol
+    "\u0024": "$",  # Dollar symbol
+}
+
+_UNICODE_REPLACEMENTS = {
+    "\u00a0": " ",  # non-breaking space
+    "\u2010": "-",  # hyphen
+    "\u2011": "-",  # non-breaking hyphen
+    "\u2012": "-",  # figure dash
+    "\u2013": "-",  # en dash
+    "\u2014": "-",  # em dash
+    "\u2015": "-",  # horizontal bar
+    "\u2018": "'",  # left single quote
+    "\u2019": "'",  # right single quote
+    "\u201a": "'",  # single low quote
+    "\u201c": '"',  # left double quote
+    "\u201d": '"',  # right double quote
+    "\u201e": '"',  # double low quote
+    "\u2026": "...",  # ellipsis
+    "\ufeff": "",  # BOM
+}
+
+_KEEP_CURRENCY = {
+    "\u20ac", "\u00a3", "\u00a5", "\u00a2", "\u20b9",
+    "\u20bd", "\u20a9", "\u20aa", "\u20ab",
+}
+
+def clean_unicode(text: str) -> str:
+    """Clean Unicode/special-character corruption (text_utils.py:16-75 semantics).
+
+    Currency-corruption fixes, smart-quote/dash/ellipsis/NBSP/BOM mapping,
+    control chars -> space (keeping \\n\\r\\t), keep listed currency symbols and
+    latin-1, replace other non-ASCII with a space.
+    """
+    for corrupted, correct in _CURRENCY_REPLACEMENTS.items():
+        text = text.replace(corrupted, correct)
+    for old, new in _UNICODE_REPLACEMENTS.items():
+        text = text.replace(old, new)
+
+    out: list[str] = []
+    for char in text:
+        o = ord(char)
+        if o < 32:
+            out.append(char if char in ("\n", "\r", "\t") else " ")
+        elif o > 127:
+            if char in _KEEP_CURRENCY:
+                out.append(char)
+            elif o < 256:
+                out.append(char)
+            else:
+                out.append(" ")
+        else:
+            out.append(char)
+    return "".join(out)
+
+
+def chunk_text(text: str, max_chars: int = 8000, overlap: int = 200) -> List[str]:
+    """Split text into overlapping chunks (text_utils.py:77-117 semantics).
+
+    Breaks preferentially at ``\\n\\n``, ``\\n``, ``. ``, ``! ``, ``? ``;
+    ``overlap`` characters are repeated between adjacent chunks.
+    """
+    if len(text) <= max_chars:
+        return [text]
+
+    chunks: list[str] = []
+    start = 0
+    while start < len(text):
+        end = start + max_chars
+        if end >= len(text):
+            chunks.append(text[start:])
+            break
+        break_pos = end
+        for break_char in ["\n\n", "\n", ". ", "! ", "? "]:
+            pos = text.rfind(break_char, start, end)
+            if pos > start:
+                break_pos = pos + len(break_char)
+                break
+        chunks.append(text[start:break_pos])
+        start = break_pos - overlap if overlap > 0 else break_pos
+    return chunks
+
+
+_NUMBER_RE = re.compile(r"\b\d{1,3}(?:,\d{3})*(?:\.\d{1,2})?\b")
+
+_DATE_PATTERNS = [
+    re.compile(r"\b\d{1,2}\s+(?:Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec)\w*\s+\d{4}\b", re.IGNORECASE),
+    re.compile(r"\b(?:Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec)\w*\s+\d{1,2},?\s+\d{4}\b", re.IGNORECASE),
+    re.compile(r"\b\d{4}-\d{2}-\d{2}\b"),
+    re.compile(r"\b\d{1,2}/\d{1,2}/\d{4}\b"),
+    re.compile(r"\b\d{1,2}\.\d{1,2}\.\d{4}\b"),
+]
+
+
+def extract_numbers(text: str) -> List[str]:
+    """Extract comma-grouped / decimal numbers (text_utils.py:119-124)."""
+    return _NUMBER_RE.findall(text)
+
+
+def extract_dates(text: str) -> List[str]:
+    """Extract date strings via the reference's 5 patterns (text_utils.py:126-140)."""
+    dates: list[str] = []
+    for pattern in _DATE_PATTERNS:
+        dates.extend(pattern.findall(text))
+    return dates
+
+
+_WS_RE = re.compile(r"\s+")
+
+
+def normalize_whitespace(text: str) -> str:
+    """Collapse all whitespace runs to single spaces and strip (text_utils.py:142-147)."""
+    return _WS_RE.sub(" ", text).strip()
+
+
+_PAGE_LINE_RE = re.compile(r"^Page \d+$", re.IGNORECASE)
+_NUM_LINE_RE = re.compile(r"^\d+$")
+_DASH_LINE_RE = re.compile(r"^-+$")
+
+
+def remove_page_headers_footers(text: str) -> str:
+    """Drop header/footer-looking lines (text_utils.py:149-166 semantics).
+
+    Removes lines matching ``^Page \\d+$``, bare numbers, lines shorter than 3
+    chars, and horizontal rules.
+    """
+    cleaned: list[str] = []
+    for line in text.split("\n"):
+        line = line.strip()
+        if (
+            _PAGE_LINE_RE.match(line)
+            or _NUM_LINE_RE.match(line)
+            or len(line) < 3
+            or _DASH_LINE_RE.match(line)
+        ):
+            continue
+        cleaned.append(line)
+    return "\n".join(cleaned)

@@ -1,0 +1,98 @@
+"""Content-kind dispatch for the raw payload column.
+
+The reference hard-codes ``file_ext DEFAULT 'pdf'`` (the queue schema,
+``database/schemas/document_text_extraction/001_doc_text_extraction_queue.sql:23``)
+and validates PDFs by opening them (``backend/core/pdf_processing.py:42-86``).
+The new engine instead sniffs magic bytes on the ``html: binary`` payload
+column so one input table can carry mixed HTML/PDF/other content
+(SURVEY.md §4.2 item 5).
+
+``sniff_table`` is the vectorized batch version used by the pipeline;
+``sniff_payload`` is the scalar version shared with the sequential oracle.
+Both MUST agree (unit-tested).
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+KIND_HTML = "html"
+KIND_PDF = "pdf"
+KIND_OTHER = "other"
+
+_HTML_PREFIXES = (b"<", b"\xef\xbb\xbf<")  # optional UTF-8 BOM then markup
+
+
+def sniff_payload(payload: bytes | None) -> str:
+    """Classify a single payload: %PDF- magic -> pdf; leading '<' (after
+    whitespace / UTF-8 BOM) -> html; else other."""
+    if payload is None or len(payload) == 0:
+        return KIND_OTHER
+    if payload[:5] == b"%PDF-":
+        return KIND_PDF
+    head = payload[:64]
+    if head[:3] == b"\xef\xbb\xbf":
+        head = head[3:]
+    if head.lstrip(b" \t\r\n")[:1] == b"<":
+        return KIND_HTML
+    return KIND_OTHER
+
+
+def stable_shard_id(url: str, n_shards: int) -> int:
+    """Deterministic shard assignment: crc32(url) % n_shards.
+
+    crc32 is stable across processes and Python versions (unlike ``hash``),
+    which makes the shard -> rows mapping reproducible — the substrate for
+    checkpoint-resume at shard granularity (SURVEY.md §4.2 item 3).
+    """
+    return zlib.crc32(url.encode("utf-8")) % n_shards
+
+
+def sniff_table(batch: pa.Table, n_shards: int, size_bucket_edges: tuple[int, ...]) -> pa.Table:
+    """Vectorized sniff stage: append content_kind, payload_len, size_bucket, shard_id.
+
+    payload_len / prefix checks use pyarrow kernels (zero-copy over the binary
+    column); shard ids use C-speed crc32 per url (one short call per document,
+    not per byte — acceptable outside the parse hot loop).
+    """
+    payload = batch["html"]
+    n = len(batch)
+
+    payload_len = pc.fill_null(pc.binary_length(payload), 0)
+
+    is_pdf = pc.fill_null(pc.starts_with(payload, pattern=b"%PDF-"), False)
+
+    # HTML heuristic needs a small lstrip; do it on a 64-byte prefix slice only.
+    head = pc.binary_slice(payload, 0, 64)
+    kinds = np.full(n, KIND_OTHER, dtype=object)
+    is_pdf_np = is_pdf.to_numpy(zero_copy_only=False)
+    head_list = head.to_pylist()
+    for i in range(n):
+        if is_pdf_np[i]:
+            kinds[i] = KIND_PDF
+        else:
+            h = head_list[i]
+            if h:
+                if h[:3] == b"\xef\xbb\xbf":
+                    h = h[3:]
+                if h.lstrip(b" \t\r\n")[:1] == b"<":
+                    kinds[i] = KIND_HTML
+
+    urls = batch["url"].to_pylist()
+    shard = np.fromiter(
+        (zlib.crc32(u.encode("utf-8")) % n_shards for u in urls), dtype=np.int32, count=n
+    )
+
+    lens = payload_len.to_numpy(zero_copy_only=False)
+    bucket = np.digitize(lens, size_bucket_edges).astype(np.int8)
+
+    return (
+        batch.append_column("content_kind", pa.array(kinds, type=pa.string()))
+        .append_column("payload_len", payload_len.cast(pa.int64()))
+        .append_column("size_bucket", pa.array(bucket, type=pa.int8()))
+        .append_column("shard_id", pa.array(shard, type=pa.int32()))
+    )

@@ -1,0 +1,387 @@
+"""Deterministic synthetic corpus generator (the FIXTURES.md spec).
+
+Emits the authoritative input shape from BASELINE.json's ``input_hint``:
+Parquet columns ``(url: string, warc_ts: timestamp[us], html: binary,
+text: string, lang: string)``. Payloads are produced by our own HTML and
+minimal-PDF writers so they stay inside the from-scratch parsers' supported
+subset. Everything is seeded and wall-clock-free: row ``i`` of a given
+``(seed, n_rows)`` is byte-identical across runs, processes, and machines.
+
+Payload mix per FIXTURES.md §2 (category by ``i % 100``):
+0-54 clean article HTML, 55-64 link-farm HTML, 65-69 script/style-heavy,
+70-74 short/empty (under the 250-char gate), 75-79 garbage-text HTML,
+80-94 synthetic PDF (half FlateDecode; some 2-column / out-of-order Tm),
+95-99 malformed payloads. Rows with ``i % 1000 in (7, 13)`` are giant blobs
+(~1.5 MiB, >100x median) to exercise the truncation/skew path.
+"""
+
+from __future__ import annotations
+
+import random
+import zlib
+from typing import List, Tuple
+
+import numpy as np
+import pyarrow as pa
+
+EPOCH_US = 1735689600000000  # 2025-01-01T00:00:00Z in microseconds
+
+LANGS = ["en", "en", "en", "de", "fr", "es", "hi", "en", "de", "en"]
+
+_VOCAB = (
+    "stream data page query batch shard merge sort scan table index key value "
+    "column row block arrow vector text parse token filter group join order "
+    "window count system worker node cluster shuffle spill cache memory disk "
+    "network engine plan stage task actor pool lineage resume commit hash"
+).split()
+
+_SENTENCE_ENDINGS = [". ", ". ", ". ", "! ", "? "]
+
+BOILERPLATE_NAV = (
+    "Home News Products About Contact Careers Privacy Terms Sitemap Login Register"
+)
+BOILERPLATE_FOOTER = (
+    "Copyright 2025 Example Corp. All rights reserved. Privacy Policy | Terms of Service | Cookies"
+)
+RELATED_LINKS = [
+    "Read more about our premium subscription offers",
+    "Top ten lists you cannot miss this week",
+    "Subscribe to the newsletter for daily updates",
+    "Trending now across the network of sites",
+    "Download the app for exclusive mobile content",
+    "More stories from around the web today",
+]
+
+
+def _rng(seed: int, i: int) -> random.Random:
+    return random.Random(seed * 1_000_003 + i)
+
+
+def _sentence(rng: random.Random, n_words: int) -> str:
+    words = [rng.choice(_VOCAB) for _ in range(n_words)]
+    words[0] = words[0].capitalize()
+    return " ".join(words) + rng.choice(_SENTENCE_ENDINGS)
+
+
+def make_paragraphs(rng: random.Random, n_paras: int, words_per_sentence=(6, 14), sentences=(2, 6)) -> List[str]:
+    paras = []
+    for _ in range(n_paras):
+        n_sent = rng.randint(*sentences)
+        paras.append(
+            "".join(_sentence(rng, rng.randint(*words_per_sentence)) for _ in range(n_sent)).strip()
+        )
+    return paras
+
+
+# --------------------------------------------------------------------------
+# HTML writer
+# --------------------------------------------------------------------------
+
+
+def make_article_html(title: str, paragraphs: List[str], rng: random.Random, heavy_scripts: bool = False) -> bytes:
+    """A realistic article page: head, nav, header, main content, sidebar,
+    related-links box, footer. The extractor's golden output is the title +
+    content paragraphs (boilerplate must be stripped)."""
+    scripts = ""
+    if heavy_scripts:
+        blob = " ".join(rng.choice(_VOCAB) for _ in range(400))
+        scripts = (
+            f"<script>var DATA = {{payload: '{blob}'}};\n"
+            + "function f(x){return x*2;}\n" * 30
+            + "</script><style>"
+            + ".cls{margin:0;padding:0;color:#333}\n" * 40
+            + "</style>"
+        )
+    nav_links = " ".join(f'<a href="/{w}">{w.capitalize()}</a>' for w in BOILERPLATE_NAV.split())
+    related = "".join(f'<li><a href="/r/{i}">{t}</a></li>' for i, t in enumerate(RELATED_LINKS))
+    body_paras = "".join(f"<p>{p}</p>" for p in paragraphs)
+    ad = '<div class="ad"><a href="/buy">Buy now</a> <a href="/deal">Hot deal</a></div>'
+    html = (
+        "<!DOCTYPE html>"
+        f'<html><head><title>{title}</title><meta charset="utf-8">{scripts}</head>'
+        "<body>"
+        f"<header><h1>Example Site</h1><nav>{nav_links}</nav></header>"
+        f"<main><article><h1>{title}</h1>{body_paras}</article>"
+        f'<aside><h3>Related</h3><ul>{related}</ul>{ad}</aside></main>'
+        f"<footer><p>{BOILERPLATE_FOOTER}</p></footer>"
+        "</body></html>"
+    )
+    return html.encode("utf-8")
+
+
+def make_linkfarm_html(rng: random.Random, keep_paragraphs: List[str]) -> bytes:
+    """Blocks with link density > 0.5 interleaved with a few real paragraphs;
+    golden keeps only the low-link-density blocks."""
+    farm_blocks = []
+    for _ in range(8):
+        links = "".join(
+            f'<a href="/x/{j}">{" ".join(rng.choice(_VOCAB) for _ in range(3))}</a> '
+            for j in range(rng.randint(5, 12))
+        )
+        farm_blocks.append(f"<div>{links}</div>")
+    content = "".join(f"<p>{p}</p>" for p in keep_paragraphs)
+    html = (
+        "<html><head><title>Directory</title></head><body>"
+        + farm_blocks[0]
+        + content
+        + "".join(farm_blocks[1:])
+        + "</body></html>"
+    )
+    return html.encode("utf-8")
+
+
+def make_short_html(rng: random.Random) -> bytes:
+    txt = _sentence(rng, rng.randint(3, 10)).strip()
+    return f"<html><head><title>stub</title></head><body><p>{txt}</p></body></html>".encode("utf-8")
+
+
+_GARBAGE_MAKERS = [
+    # One maker per garbage-predicate clause (core_pdf_processor.py:584-648).
+    lambda rng: "@#$% ^&* (()) ~~ || " * 30,                       # special-char ratio > 0.5
+    lambda rng: "ababab " * 60,                                     # < 5 distinct chars
+    lambda rng: "a b c d e f g h i j " * 30,                        # short-word ratio > 0.7
+    lambda rng: ("\x01\x02\x03" + "ab ") * 80,                      # control chars > 30%
+    lambda rng: " ".join("~" * rng.randint(1, 2) for _ in range(200)),  # special + short words
+]
+
+
+def make_garbage_html(rng: random.Random, clause: int) -> bytes:
+    garbage = _GARBAGE_MAKERS[clause % len(_GARBAGE_MAKERS)](rng)
+    # XML-escape so the payload stays well-formed markup.
+    garbage = garbage.replace("&", "&amp;").replace("<", "&lt;")
+    return f"<html><body><p>{garbage}</p></body></html>".encode("utf-8")
+
+
+# --------------------------------------------------------------------------
+# Minimal-PDF writer (subset matching functions/pdf_extract.py)
+# --------------------------------------------------------------------------
+
+
+def _pdf_escape(s: str) -> str:
+    return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+
+
+def _page_content(lines: List[Tuple[float, float, str]], use_tm: bool, rng: random.Random) -> bytes:
+    """Content stream placing each (x, y, text) line. ``use_tm`` emits absolute
+    Tm placements in a shuffled order (exercises span reordering); otherwise a
+    classic Td/T* relative walk."""
+    ops: List[str] = ["BT", "/F1 12 Tf"]
+    if use_tm:
+        order = list(range(len(lines)))
+        rng.shuffle(order)  # seeded; exercises out-of-order placement
+        for idx in order:
+            x, y, s = lines[idx]
+            ops.append(f"1 0 0 1 {x:g} {y:g} Tm ({_pdf_escape(s)}) Tj")
+    else:
+        ops.append("14 TL")
+        prev_x, prev_y = 0.0, 0.0
+        for i, (x, y, s) in enumerate(lines):
+            if i == 0:
+                ops.append(f"{x:g} {y:g} Td")
+            else:
+                dx, dy = x - prev_x, y - prev_y
+                if dx == 0 and dy == -14:
+                    ops.append("T*")
+                else:
+                    ops.append(f"{dx:g} {dy:g} Td")
+            if i % 3 == 2:
+                # exercise TJ with kerning numbers
+                mid = max(1, len(s) // 2)
+                ops.append(f"[({_pdf_escape(s[:mid])}) -20 ({_pdf_escape(s[mid:])})] TJ")
+            else:
+                ops.append(f"({_pdf_escape(s)}) Tj")
+            prev_x, prev_y = x, y
+    ops.append("ET")
+    return "\n".join(ops).encode("latin-1")
+
+
+def make_pdf(page_line_texts: List[List[str]], rng: random.Random, compress: bool = False,
+             two_column: bool = False, use_tm: bool = False) -> bytes:
+    """Write a minimal PDF 1.4 with the given per-page line texts.
+
+    Layout: letter MediaBox (612x792), 12pt lines, 14pt leading starting at
+    y=720. ``two_column`` splits lines between x=72 and x=320 columns (the
+    golden reading order is left column top-down then right column).
+    """
+    objects: List[bytes] = []
+
+    def add(obj_body: bytes) -> int:
+        objects.append(obj_body)
+        return len(objects)
+
+    n_pages = len(page_line_texts)
+    # Object numbering: 1 catalog, 2 pages, then per page (page, content), last font.
+    catalog_num = 1
+    pages_num = 2
+    page_nums = [3 + 2 * i for i in range(n_pages)]
+    content_nums = [4 + 2 * i for i in range(n_pages)]
+    font_num = 3 + 2 * n_pages
+
+    add(f"<< /Type /Catalog /Pages {pages_num} 0 R >>".encode())
+    kids = " ".join(f"{p} 0 R" for p in page_nums)
+    add(f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode())
+
+    for i, texts in enumerate(page_line_texts):
+        lines: List[Tuple[float, float, str]] = []
+        if two_column:
+            half = (len(texts) + 1) // 2
+            for j, t in enumerate(texts[:half]):
+                lines.append((72.0, 720.0 - 14.0 * j, t))
+            for j, t in enumerate(texts[half:]):
+                lines.append((330.0, 720.0 - 14.0 * j, t))
+        else:
+            for j, t in enumerate(texts):
+                lines.append((72.0, 720.0 - 14.0 * j, t))
+        content = _page_content(lines, use_tm, rng)
+        filt = ""
+        if compress:
+            content = zlib.compress(content, 6)
+            filt = " /Filter /FlateDecode"
+        add(
+            f"<< /Type /Page /Parent {pages_num} 0 R /MediaBox [0 0 612 792] "
+            f"/Contents {content_nums[i]} 0 R "
+            f"/Resources << /Font << /F1 {font_num} 0 R >> >> >>".encode()
+        )
+        objects.append(
+            f"<< /Length {len(content)}{filt} >>\nstream\n".encode() + content + b"\nendstream"
+        )
+    add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = [0]
+    for num, body in enumerate(objects, start=1):
+        offsets.append(len(out))
+        out += f"{num} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_pos = len(out)
+    out += f"xref\n0 {len(objects) + 1}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (
+        f"trailer\n<< /Size {len(objects) + 1} /Root {catalog_num} 0 R >>\n"
+        f"startxref\n{xref_pos}\n%%EOF\n".encode()
+    )
+    return bytes(out)
+
+
+def make_malformed(rng: random.Random, variant: int) -> bytes:
+    variant = variant % 4
+    if variant == 0:
+        return b"%PDF"  # truncated header -> sniffed as 'other'
+    if variant == 1:
+        # valid header, garbage body -> PdfParseError -> parse_failure
+        return b"%PDF-1.4\n" + bytes(rng.getrandbits(8) for _ in range(256))
+    if variant == 2:
+        return bytes(rng.getrandbits(8) for _ in range(128))  # random bytes
+    return b"<html><body><p>unclosed paragraph with enough words " + (
+        " ".join(rng.choice(_VOCAB) for _ in range(60)).encode()
+    )  # unclosed HTML — parser-tolerant
+
+
+# --------------------------------------------------------------------------
+# Row/corpus assembly
+# --------------------------------------------------------------------------
+
+GIANT_ROW_MOD = 1000
+GIANT_ROW_RESIDUES = (7, 13)
+
+
+def make_row(i: int, seed: int = 42) -> dict:
+    """Build row ``i`` of the corpus (pure function of (seed, i))."""
+    rng = _rng(seed, i)
+    cat = i % 100
+    lang = LANGS[i % len(LANGS)]
+    slug = f"doc-{i:08d}"
+    site = i % 17
+    url = f"https://site{site}.example/{lang}/{slug}"
+    ts = EPOCH_US + i * 37_000_000  # +37 s per row
+
+    giant = (i % GIANT_ROW_MOD) in GIANT_ROW_RESIDUES
+
+    if giant:
+        # ~1.5 MiB clean article — exceeds the 1 MiB truncation guard.
+        paras = make_paragraphs(rng, 2600, words_per_sentence=(8, 14), sentences=(5, 8))
+        title = f"Giant document {i}"
+        payload = make_article_html(title, paras, rng)
+        text = "\n\n".join(paras)
+    elif cat < 55:
+        n_paras = rng.randint(4, 10)
+        paras = make_paragraphs(rng, n_paras)
+        title = f"Article {i}: {' '.join(rng.choice(_VOCAB) for _ in range(3))}"
+        payload = make_article_html(title, paras, rng)
+        text = "\n\n".join(paras)
+    elif cat < 65:
+        paras = make_paragraphs(rng, rng.randint(2, 4))
+        payload = make_linkfarm_html(rng, paras)
+        text = "\n\n".join(paras)
+    elif cat < 70:
+        paras = make_paragraphs(rng, rng.randint(3, 6))
+        title = f"Scripted {i}"
+        payload = make_article_html(title, paras, rng, heavy_scripts=True)
+        text = "\n\n".join(paras)
+    elif cat < 75:
+        payload = make_short_html(rng)
+        text = ""
+    elif cat < 80:
+        payload = make_garbage_html(rng, clause=i % 5)
+        text = ""
+    elif cat < 95:
+        n_pages = rng.randint(1, 8) if cat < 90 else rng.randint(1, 3)
+        two_column = cat in (86, 87, 92)
+        # Two-column lines must be narrower than the gutter distance
+        # (x=72 -> x=330 at ~6 pt/char => <= ~40 chars per line).
+        words = (3, 5) if two_column else (5, 9)
+        pages = []
+        for _ in range(n_pages):
+            n_lines = rng.randint(24, 40)
+            pages.append([_sentence(rng, rng.randint(*words)).strip() for _ in range(n_lines)])
+        payload = make_pdf(
+            pages,
+            rng,
+            compress=(i % 2 == 0),
+            two_column=two_column,
+            use_tm=(cat in (88, 89, 93)),
+        )
+        text = "\n\n".join("\n".join(p) for p in pages)
+    else:
+        payload = make_malformed(rng, variant=i)
+        text = ""
+
+    return {"url": url, "warc_ts": ts, "html": payload, "text": text, "lang": lang}
+
+
+PAGES_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("warc_ts", pa.timestamp("us")),
+        ("html", pa.binary()),
+        ("text", pa.string()),
+        ("lang", pa.string()),
+    ]
+)
+
+
+def gen_pages_table(n_rows: int, seed: int = 42, start: int = 0) -> pa.Table:
+    """Materialize rows [start, start+n_rows) as an Arrow table."""
+    rows = [make_row(i, seed) for i in range(start, start + n_rows)]
+    return pa.Table.from_pylist(rows, schema=PAGES_SCHEMA)
+
+
+def write_pages_parquet(path: str, n_rows: int, seed: int = 42, rows_per_file: int = 10_000) -> None:
+    """Write the corpus as a directory of Parquet shards (resumable layout:
+    many part files, never one giant file)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    os.makedirs(path, exist_ok=True)
+    start = 0
+    part = 0
+    while start < n_rows:
+        n = min(rows_per_file, n_rows - start)
+        pq.write_table(
+            gen_pages_table(n, seed=seed, start=start),
+            os.path.join(path, f"part-{part:05d}.parquet"),
+        )
+        start += n
+        part += 1
