@@ -1,0 +1,96 @@
+"""Sources for the pages table.
+
+- ``read_pages``: parquet read with column pruning (the production source).
+- ``synthesize_pages``: distributed deterministic corpus generation straight
+  into a Dataset (for benchmarks — rows are generated inside tasks, never
+  materialized on the driver).
+- ``documents_to_pages``: adapter that wraps the driver-provided ``documents``
+  test table (doc_id/text/lang/source/n_chars) into the mandated pages shape
+  ``(url, warc_ts, html, text, lang)``, deterministically per doc_id — used
+  by the driver-facing entry points so extraction pipelines can run over
+  ``/root/testdata`` without external data.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import ray.data as rd
+
+from ..functions.synth import EPOCH_US, PAGES_SCHEMA, gen_pages_table
+
+
+def read_pages(input_path: str) -> rd.Dataset:
+    from ..pipelines.extract_pipeline import INPUT_COLUMNS
+
+    return rd.read_parquet(input_path, columns=INPUT_COLUMNS)
+
+
+def synthesize_pages(n_rows: int, seed: int = 42, rows_per_block: int = 2000) -> rd.Dataset:
+    """Generate the corpus as a Dataset: rd.range drives block boundaries and
+    each task materializes its row range with the pure generator (no driver
+    loop, no full materialization)."""
+
+    def gen(batch: pa.Table) -> pa.Table:
+        ids = batch["id"].to_pylist()
+        # ids are contiguous within a block; generate exactly those rows.
+        return gen_pages_table(len(ids), seed=seed, start=ids[0]) if ids else gen_pages_table(0)
+
+    return (
+        rd.range(n_rows, override_num_blocks=max(1, n_rows // rows_per_block))
+        .map_batches(gen, batch_format="pyarrow")
+    )
+
+
+def documents_to_pages(sf_dir: str) -> rd.Dataset:
+    """Wrap the testdata ``documents`` table into pages rows.
+
+    Deterministic per doc_id: ~70% of docs become clean-article HTML carrying
+    the doc's text as paragraphs, ~15% become a synthetic PDF of the text's
+    lines, ~10% link-farm pages, ~5% malformed payloads — so every dispatch
+    branch of the engine is exercised by the driver's correctness runs.
+    """
+    import random
+
+    from ..functions.synth import make_article_html, make_linkfarm_html, make_malformed, make_pdf
+
+    def to_pages(batch: pa.Table) -> pa.Table:
+        doc_ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        langs = batch["lang"].to_pylist()
+        rows = []
+        for doc_id, text, lang in zip(doc_ids, texts, langs):
+            rng = random.Random(977_000_003 + int(doc_id))
+            text = text or ""
+            paras = [p for p in text.split("\n") if p.strip()] or [text]
+            sel = int(doc_id) % 20
+            if sel < 14:
+                payload = make_article_html(f"Document {doc_id}", paras, rng)
+            elif sel < 17:
+                lines = []
+                for p in paras:
+                    words = p.split()
+                    lines.extend(
+                        " ".join(words[i : i + 8]) for i in range(0, len(words), 8)
+                    )
+                payload = make_pdf([lines or [""]], rng, compress=(int(doc_id) % 2 == 0))
+            elif sel < 19:
+                payload = make_linkfarm_html(rng, paras)
+            else:
+                payload = make_malformed(rng, variant=int(doc_id))
+            rows.append(
+                {
+                    "url": f"https://docs.example/{doc_id:08d}",
+                    "warc_ts": EPOCH_US + int(doc_id) * 37_000_000,
+                    "html": payload,
+                    "text": text,
+                    "lang": lang or "en",
+                }
+            )
+        return pa.Table.from_pylist(rows, schema=PAGES_SCHEMA)
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text", "lang"]
+    )
+    return docs.map_batches(to_pages, batch_format="pyarrow")

@@ -1,0 +1,96 @@
+"""Unit tests for the HTML block segmenter and boilerplate heuristics."""
+
+from service1_text_extraction_ray.functions.html_extract import (
+    decode_payload,
+    extract_html_text,
+    parse_blocks,
+    select_content_blocks,
+)
+
+
+def test_drops_script_style_head():
+    html = (
+        b"<html><head><title>T</title><style>.x{color:red}</style>"
+        b"<script>var x=1;</script></head>"
+        b"<body><p>Visible paragraph with enough characters to keep around.</p></body></html>"
+    )
+    text, kept = extract_html_text(html)
+    assert "color:red" not in text
+    assert "var x=1" not in text
+    assert "T" not in text.split()  # title is in head -> dropped
+    assert "Visible paragraph" in text
+
+
+def test_drops_nav_header_footer_aside():
+    html = (
+        b"<html><body>"
+        b"<nav><a href='/'>Home</a> <a href='/a'>About pages galore</a></nav>"
+        b"<header>Site header with some text in it here</header>"
+        b"<p>Main content paragraph that is long enough to be kept by rules.</p>"
+        b"<aside>Sidebar junk with plenty of characters inside of it</aside>"
+        b"<footer>Copyright footer text that is quite long too</footer>"
+        b"</body></html>"
+    )
+    text, _ = extract_html_text(html)
+    assert text == "Main content paragraph that is long enough to be kept by rules."
+
+
+def test_link_density_drops_link_farms():
+    farm = "".join(f'<a href="/{i}">link text number {i}</a> ' for i in range(10))
+    html = (
+        f"<html><body><div>{farm}</div>"
+        f"<p>Genuine article prose without any links, long enough to keep.</p>"
+        f"</body></html>"
+    ).encode()
+    text, _ = extract_html_text(html)
+    assert "link text number" not in text
+    assert "Genuine article prose" in text
+
+
+def test_inline_link_within_prose_kept():
+    # A paragraph with one inline link has low link density -> kept whole.
+    html = (
+        b"<html><body><p>This paragraph mentions <a href='/x'>a link</a> but "
+        b"is mostly prose and should be kept in the extraction output.</p></body></html>"
+    )
+    text, _ = extract_html_text(html)
+    assert "mentions a link but" in text
+
+
+def test_heading_threshold():
+    html = b"<html><body><h1>Big headline</h1><p>Body paragraph long enough to keep here.</p></body></html>"
+    text, _ = extract_html_text(html)
+    assert text.startswith("Big headline")
+
+
+def test_short_blocks_dropped():
+    html = b"<html><body><p>tiny</p><p>A sufficiently long paragraph to clear the block threshold.</p></body></html>"
+    text, _ = extract_html_text(html)
+    assert "tiny" not in text
+
+
+def test_malformed_html_no_exception():
+    html = b"<html><body><p>unclosed paragraph with words " + b"x " * 50
+    text, _ = extract_html_text(html)
+    assert "unclosed paragraph" in text
+
+
+def test_entities_decoded():
+    html = b"<html><body><p>Fish &amp; chips cost &lt;5 pounds at the local shop.</p></body></html>"
+    text, _ = extract_html_text(html)
+    assert "Fish & chips cost <5 pounds" in text
+
+
+def test_decode_utf8_then_latin1():
+    assert decode_payload("café".encode("utf-8")) == "café"
+    assert decode_payload("café".encode("latin-1")) == "café"
+
+
+def test_block_features():
+    blocks = parse_blocks('<div><a href="/x">linky link</a> and prose</div>')
+    assert len(blocks) == 1
+    b = blocks[0]
+    assert b.link_chars == len("linky link")
+    assert 0 < b.link_density < 1
+    kept = select_content_blocks(blocks, min_block_chars=5, max_link_density=0.9)
+    assert kept

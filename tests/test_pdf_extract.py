@@ -1,0 +1,116 @@
+"""Unit tests for the from-scratch PDF subset parser against our writer."""
+
+import random
+
+import pytest
+
+from service1_text_extraction_ray.functions.pdf_extract import (
+    PdfParseError,
+    _interpret_text,
+    _read_literal_string,
+    _tokenize,
+    parse_pdf,
+)
+from service1_text_extraction_ray.functions.synth import make_pdf
+
+
+def rng():
+    return random.Random(7)
+
+
+def test_single_page_roundtrip():
+    lines = ["First line of text.", "Second line of text.", "Third line here."]
+    pdf = make_pdf([lines], rng())
+    pages = parse_pdf(pdf)
+    assert len(pages) == 1
+    assert pages[0].text == "\n".join(lines)
+
+
+def test_multi_page_order():
+    pdf = make_pdf([["Page one text."], ["Page two text."], ["Page three text."]], rng())
+    pages = parse_pdf(pdf)
+    assert [p.text for p in pages] == ["Page one text.", "Page two text.", "Page three text."]
+
+
+def test_flatedecode_roundtrip():
+    lines = ["Compressed stream content line %d." % i for i in range(10)]
+    pdf = make_pdf([lines], rng(), compress=True)
+    pages = parse_pdf(pdf)
+    assert pages[0].text == "\n".join(lines)
+
+
+def test_two_column_reading_order():
+    left = ["L one", "L two", "L three"]
+    right = ["R one", "R two", "R three"]
+    pdf = make_pdf([left + right], rng(), two_column=True)
+    pages = parse_pdf(pdf)
+    assert pages[0].text.split("\n") == left + right
+
+
+def test_out_of_order_tm_placements():
+    lines = [f"Line number {i} text" for i in range(12)]
+    pdf = make_pdf([lines], rng(), use_tm=True)
+    pages = parse_pdf(pdf)
+    assert pages[0].text.split("\n") == lines
+
+
+def test_max_pages_limit():
+    pdf = make_pdf([["A."], ["B."], ["C."]], rng())
+    assert len(parse_pdf(pdf, max_pages=2)) == 2
+    assert len(parse_pdf(pdf, max_pages=None)) == 3
+
+
+def test_layout_tree_shape():
+    pdf = make_pdf([["Alpha beta gamma.", "Delta epsilon zeta."]], rng())
+    layout = parse_pdf(pdf)[0].layout
+    assert layout["width"] == 612.0 and layout["height"] == 792.0
+    assert layout["rotation"] == 0
+    assert layout["blocks"]
+    block = layout["blocks"][0]
+    assert set(block) == {"bbox", "lines"}
+    line = block["lines"][0]
+    span = line["spans"][0]
+    assert set(span) == {"text", "bbox", "font", "size", "flags"}
+    assert span["font"] == "F1" and span["size"] == 12.0
+    # y-down coordinates: first line near top of the page (720 pdf-y -> 72 y-down)
+    assert 50 < line["bbox"][1] < 90
+
+
+def test_escaped_strings():
+    content = rb"BT /F1 12 Tf 72 720 Td (paren \( and \) plus \\ back) Tj ET"
+    spans = _interpret_text(content)
+    assert spans[0].text == "paren ( and ) plus \\ back"
+
+
+def test_octal_and_hex_strings():
+    s, _ = _read_literal_string(rb"(\101\102\103)", 0)
+    assert s == b"ABC"
+    toks = list(_tokenize(b"<48656C6C6F> Tj"))
+    assert toks[0] == ("str", b"Hello")
+
+
+def test_tj_kerning_no_word_split():
+    content = rb"BT /F1 12 Tf 72 720 Td [(hel) -20 (lo world)] TJ ET"
+    spans = _interpret_text(content)
+    pdf = make_pdf([["x"]], rng())  # any page; we test assembly below via parse
+    # Direct line-assembly check:
+    from service1_text_extraction_ray.functions.pdf_extract import _assemble_page
+
+    page = _assemble_page(spans, 612.0, 792.0)
+    assert page.text == "hello world"
+
+
+def test_garbage_body_raises():
+    with pytest.raises(PdfParseError):
+        parse_pdf(b"%PDF-1.4\n\x00\x01\x02 not a real pdf")
+
+
+def test_missing_header_raises():
+    with pytest.raises(PdfParseError):
+        parse_pdf(b"<html>not a pdf</html>")
+
+
+def test_truncated_stream_is_contained():
+    pdf = make_pdf([["Some content line that is fine."]], rng())
+    with pytest.raises(PdfParseError):
+        parse_pdf(pdf[: len(pdf) // 3])

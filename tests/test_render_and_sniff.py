@@ -1,0 +1,95 @@
+"""Render-format byte checks and sniff-dispatch agreement tests."""
+
+import pyarrow as pa
+
+from service1_text_extraction_ray.functions.render import (
+    combine_pages,
+    layout_markdown,
+    page_markdown,
+    recreate_text_with_layout,
+)
+from service1_text_extraction_ray.functions.sniff import (
+    KIND_HTML,
+    KIND_OTHER,
+    KIND_PDF,
+    sniff_payload,
+    sniff_table,
+    stable_shard_id,
+)
+
+
+class TestRenderFormats:
+    def test_page_markdown_bytes(self):
+        # document_text_extraction_service.py:655-658 format
+        assert page_markdown(3, "dom", "body text") == "# Page 3 - DOM\n\nbody text"
+        assert page_markdown(1, "pdf_text", "x") == "# Page 1 - PDF_TEXT\n\nx"
+
+    def test_combine_pages_bytes(self):
+        # core_pdf_processor.py:807-811 format, stripped
+        out = combine_pages([(1, "first"), (2, ""), (3, "third")])
+        assert out == "--- PAGE 1 ---\nfirst\n\n--- PAGE 3 ---\nthird"
+
+    def test_combine_pages_skips_whitespace_only(self):
+        assert combine_pages([(1, "  \n ")]) == ""
+
+    def test_layout_markdown_fenced(self):
+        md = layout_markdown(2, {"width": 10})
+        assert md.startswith("# Page 2 - Layout Information\n\n```json\n")
+        assert md.endswith("\n```")
+
+    def test_recreate_text_with_layout_thresholds(self):
+        layout = {
+            "blocks": [
+                {
+                    "bbox": [0, 0, 100, 20],
+                    "lines": [
+                        {"bbox": [0, 0, 100, 12], "spans": [{"text": "first line"}]},
+                        # gap 16 > 15 -> blank line inserted after previous
+                        {"bbox": [40, 16, 100, 28], "spans": [{"text": "indented"}]},
+                    ],
+                },
+                # block gap 30 - 20 = 10, NOT > 10 -> no blank line
+                {
+                    "bbox": [0, 30, 100, 42],
+                    "lines": [{"bbox": [0, 30, 100, 42], "spans": [{"text": "second block"}]}],
+                },
+            ]
+        }
+        out = recreate_text_with_layout("", layout)
+        # x=40 -> indent level 2 -> 4 spaces
+        assert out == "first line\n\n    indented\nsecond block"
+
+
+class TestSniff:
+    def test_scalar_kinds(self):
+        assert sniff_payload(b"%PDF-1.4 ...") == KIND_PDF
+        assert sniff_payload(b"<html>") == KIND_HTML
+        assert sniff_payload(b"  \n\t<!DOCTYPE html>") == KIND_HTML
+        assert sniff_payload(b"\xef\xbb\xbf<html>") == KIND_HTML
+        assert sniff_payload(b"random bytes") == KIND_OTHER
+        assert sniff_payload(b"") == KIND_OTHER
+        assert sniff_payload(None) == KIND_OTHER
+        assert sniff_payload(b"%PDF") == KIND_OTHER  # truncated magic
+
+    def test_vector_scalar_agreement(self):
+        payloads = [
+            b"%PDF-1.4 x", b"<html>", b"  <div>", b"\xef\xbb\xbf<p>", b"junk",
+            b"", None, b"%PDF", b"\x00\x01binary",
+        ]
+        urls = [f"https://e/{i}" for i in range(len(payloads))]
+        t = pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "html": pa.array(payloads, pa.binary()),
+            }
+        )
+        out = sniff_table(t, n_shards=8, size_bucket_edges=(4, 8))
+        got = out["content_kind"].to_pylist()
+        want = [sniff_payload(p) for p in payloads]
+        assert got == want
+        # shard ids deterministic and in range
+        sids = out["shard_id"].to_pylist()
+        assert sids == [stable_shard_id(u, 8) for u in urls]
+        assert all(0 <= s < 8 for s in sids)
+        # payload_len null-safe
+        assert out["payload_len"].to_pylist()[6] == 0
