@@ -1,44 +1,100 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
-
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``entry()`` runs the flagship extraction pipeline over sf0.001;
+``queries()`` exposes one callable per implemented operator/pipeline from
+SURVEY.md §2 (+ the training-data-pipeline operators: dedup, similarity
+search, text analysis, multimodal plumbing); ``oracle_sql()`` gives DuckDB
+equivalents for every SQL-expressible query. Ray is initialised by the
+driver BEFORE this module is imported — nothing here calls ray.init().
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 from typing import Any
+
+_REPO = str(Path(__file__).resolve().parent)
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+import service1_text_extraction_ray as _pkg
+from service1_text_extraction_ray.pipelines import queries as Q
+from service1_text_extraction_ray.pipelines import relational as R
+
+SF_SMOKE = "/root/testdata/sf0.001"
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on sf0.001: documents -> synthetic pages table ->
+    sniff -> actor-pool HTML/PDF extraction -> doc-grain Dataset."""
+    _pkg.ensure_worker_importable()
+    return Q.q_extract_docs(SF_SMOKE)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    _pkg.ensure_worker_importable()
+    return {
+        # --- extraction engine (flagship; non-SQL -> rows-only checks) ---
+        "extract_docs": Q.q_extract_docs,
+        "extract_pages": Q.q_extract_pages,
+        "extract_layout_text": Q.q_extract_layout_text,
+        "extract_summary": Q.q_extract_summary,
+        # --- text analysis over documents ---
+        "doc_token_counts": Q.q_doc_token_counts,
+        "doc_quality_scores": Q.q_doc_quality_scores,
+        "doc_stopword_counts": Q.q_doc_stopword_counts,
+        "lang_distribution": Q.q_lang_distribution,
+        "doc_normalize_ws": Q.q_doc_normalize_ws,
+        "doc_chunk_counts": Q.q_doc_chunk_counts,
+        "doc_clean_unicode": Q.q_doc_clean_unicode,
+        "language_id": Q.q_language_id,
+        # --- deduplication ---
+        "dedup_exact": Q.q_dedup_exact,
+        "dedup_minhash_lsh": Q.q_dedup_minhash_lsh,
+        "dedup_simhash": Q.q_dedup_simhash,
+        "doc_fingerprints": Q.q_doc_fingerprints,
+        # --- similarity search ---
+        "knn_cosine": Q.q_knn_cosine,
+        "ann_lsh": Q.q_ann_lsh,
+        "embedding_label_stats": Q.q_embedding_label_stats,
+        # --- multimodal plumbing (stub decoder) ---
+        "media_features": Q.q_media_features,
+        # --- relational / windowed operators ---
+        "pricing_summary": R.q_pricing_summary,
+        "segment_order_stats": R.q_segment_order_stats,
+        "nation_customer_counts": R.q_nation_customer_counts,
+        "top_customers_by_revenue": R.q_top_customers_by_revenue,
+        "high_value_orders": R.q_high_value_orders,
+        "orders_priority_counts": R.q_orders_priority_counts,
+        "part_type_stats": R.q_part_type_stats,
+        "distinct_parts_per_flag": R.q_distinct_parts_per_flag,
+        "events_hourly": R.q_events_hourly,
+        "events_sessionize": R.q_events_sessionize,
+        "user_event_type_matrix": R.q_user_event_type_matrix,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "doc_token_counts": Q.SQL_DOC_TOKEN_COUNTS,
+        "doc_quality_scores": Q.SQL_DOC_QUALITY_SCORES,
+        "doc_stopword_counts": Q.SQL_DOC_STOPWORD_COUNTS,
+        "lang_distribution": Q.SQL_LANG_DISTRIBUTION,
+        "doc_normalize_ws": Q.SQL_DOC_NORMALIZE_WS,
+        "dedup_exact": Q.SQL_DEDUP_EXACT,
+        "knn_cosine": Q.sql_knn_cosine(),
+        "embedding_label_stats": Q.SQL_EMBEDDING_LABEL_STATS,
+        "pricing_summary": R.SQL_PRICING_SUMMARY,
+        "segment_order_stats": R.SQL_SEGMENT_ORDER_STATS,
+        "nation_customer_counts": R.SQL_NATION_CUSTOMER_COUNTS,
+        "top_customers_by_revenue": R.SQL_TOP_CUSTOMERS_BY_REVENUE,
+        "high_value_orders": R.SQL_HIGH_VALUE_ORDERS,
+        "orders_priority_counts": R.SQL_ORDERS_PRIORITY_COUNTS,
+        "part_type_stats": R.SQL_PART_TYPE_STATS,
+        "distinct_parts_per_flag": R.SQL_DISTINCT_PARTS_PER_FLAG,
+        "events_hourly": R.SQL_EVENTS_HOURLY,
+        "events_sessionize": R.SQL_EVENTS_SESSIONIZE,
+        "user_event_type_matrix": R.SQL_USER_EVENT_TYPE_MATRIX,
+    }

@@ -1,0 +1,632 @@
+"""Driver-facing query/operator suite over the testdata tables.
+
+Each public ``q_*`` function takes ``sf_dir`` and returns a Dataset /
+pandas.DataFrame / pyarrow.Table. They are registered in ``__ray_entry__.py``
+with (where SQL-expressible) a DuckDB oracle the driver compares against
+(row-count + schema + order-insensitive value hash).
+
+Exact-match discipline (the driver hashes values):
+
+- Money/float *sums* are computed in integer cents: each row's double product
+  is rounded once (identical IEEE arithmetic in Ray and DuckDB), then summed
+  as int64 — associative, order-independent, byte-exact at any parallelism.
+- min/max over raw doubles are exact (no accumulation).
+- Averages are never emitted; sums and counts are.
+- All aggregate columns are explicitly named to match the oracle SQL.
+
+Scale notes are in each docstring: pre-aggregation before shuffles, broadcast
+small sides, no driver-side row loops over big tables.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import re
+from typing import Dict, List
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+
+from ..functions.quality import chunk_text, clean_unicode, normalize_whitespace
+from ..functions.render import recreate_text_with_layout
+from ..sources.pages_source import documents_to_pages
+from .extract_pipeline import extract_dataset, extract_pages_dataset, _prepare_session
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+
+def _pq(sf_dir: str, table: str) -> str:
+    return os.path.join(sf_dir, f"{table}.parquet")
+
+
+def _read(sf_dir: str, table: str, columns: List[str]) -> rd.Dataset:
+    return rd.read_parquet(_pq(sf_dir, table), columns=columns)
+
+
+def _cents(arr: pa.ChunkedArray | pa.Array) -> pa.ChunkedArray:
+    """Round a double column to integer cents (exact, order-independent sums)."""
+    return pc.cast(
+        pc.round(pc.multiply(arr, pa.scalar(100.0)), round_mode="half_towards_infinity"),
+        pa.int64(),
+    )
+
+
+STOPWORDS = ("the", "a", "and", "of", "to", "in", "is")
+
+# ---------------------------------------------------------------------------
+# Extraction family (the flagship engine; non-SQL -> rows-only driver check)
+# ---------------------------------------------------------------------------
+
+DOC_SCALAR_COLUMNS = [
+    "url", "lang", "shard_id", "size_bucket", "payload_len", "content_kind",
+    "status", "truncated", "n_pages", "n_pages_ok", "doc_text", "doc_chars",
+    "content_hash",
+]
+
+
+def q_extract_docs(sf_dir: str) -> rd.Dataset:
+    """Flagship: documents -> synthetic pages -> full extraction, doc grain.
+
+    Streaming end to end; the driver materializes the (small at sf<=0.1)
+    result itself.
+    """
+    return extract_dataset(documents_to_pages(sf_dir)).select_columns(DOC_SCALAR_COLUMNS)
+
+
+def q_extract_pages(sf_dir: str) -> rd.Dataset:
+    """Page-grain extraction view (flat_map explode, no shuffle)."""
+    return extract_pages_dataset(documents_to_pages(sf_dir)).select_columns(
+        ["url", "page", "method", "extracted_text", "page_md", "n_chars", "status"]
+    )
+
+
+def q_extract_layout_text(sf_dir: str) -> rd.Dataset:
+    """Layout-recreated text per extracted page (reference P8 semantics,
+    core_pdf_processor.py:709-781), as a vectorized post-stage."""
+    import json
+
+    def recreate(batch: pa.Table) -> pa.Table:
+        texts = []
+        for lj, t in zip(batch["layout_json"].to_pylist(), batch["extracted_text"].to_pylist()):
+            layout = json.loads(lj) if lj else {}
+            texts.append(recreate_text_with_layout(t, layout))
+        return pa.Table.from_arrays(
+            [batch["url"], batch["page"], pa.array(texts, pa.string()),
+             pa.array([len(t) for t in texts], pa.int64())],
+            names=["url", "page", "layout_text", "layout_text_chars"],
+        )
+
+    pages = extract_pages_dataset(documents_to_pages(sf_dir))
+    return pages.map_batches(recreate, batch_format="pyarrow")
+
+
+def q_extract_summary(sf_dir: str) -> rd.Dataset:
+    """Counter roll-up by content kind and status (grouped aggregate over the
+    extraction output — the reference's G1/G2/G4 summaries)."""
+    from ray.data.aggregate import Count, Sum
+
+    docs = extract_dataset(documents_to_pages(sf_dir))
+    return docs.groupby(["content_kind", "status"]).aggregate(
+        Count(alias_name="n_docs"),
+        Sum("n_pages", alias_name="n_pages"),
+        Sum("n_pages_ok", alias_name="n_pages_ok"),
+        Sum("doc_chars", alias_name="total_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis over `documents` (SQL oracles)
+# ---------------------------------------------------------------------------
+
+
+def q_doc_token_counts(sf_dir: str) -> rd.Dataset:
+    """Whitespace token counts per document — vectorized (pandas str.count of
+    \\S+ runs; no Python loop over rows)."""
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame()
+        out["doc_id"] = df["doc_id"]
+        out["n_tokens"] = df["text"].fillna("").str.count(r"\S+").astype("int64")
+        return out
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(f, batch_format="pandas")
+
+
+SQL_DOC_TOKEN_COUNTS = """
+SELECT doc_id,
+       CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
+FROM documents
+"""
+
+
+def q_doc_quality_scores(sf_dir: str) -> rd.Dataset:
+    """Shallow quality features per doc (integer counts -> exact)."""
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        text = df["text"].fillna("")
+        out = pd.DataFrame()
+        out["doc_id"] = df["doc_id"]
+        out["len_chars"] = text.str.len().astype("int64")
+        out["alpha_chars"] = text.str.count(r"[A-Za-z]").astype("int64")
+        out["digit_chars"] = text.str.count(r"[0-9]").astype("int64")
+        out["space_chars"] = text.str.count(r" ").astype("int64")
+        out["n_tokens"] = text.str.count(r"\S+").astype("int64")
+        return out
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(f, batch_format="pandas")
+
+
+SQL_DOC_QUALITY_SCORES = """
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS len_chars,
+       CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT) AS alpha_chars,
+       CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS digit_chars,
+       CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS space_chars,
+       CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
+FROM documents
+"""
+
+
+def q_doc_stopword_counts(sf_dir: str) -> rd.Dataset:
+    """Stopword token counts (whitespace-token semantics on both sides)."""
+    pattern = r"(?:^|\s)(?:" + "|".join(STOPWORDS) + r")(?=\s|$)"
+    rx = re.compile(pattern)
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame()
+        out["doc_id"] = df["doc_id"]
+        out["n_stopwords"] = (
+            df["text"].fillna("").map(lambda t: sum(1 for w in t.split() if w in STOPWORDS))
+        ).astype("int64")
+        return out
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(f, batch_format="pandas")
+
+
+SQL_DOC_STOPWORD_COUNTS = """
+SELECT doc_id,
+       CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                            x -> x IN ('the','a','and','of','to','in','is'))) AS BIGINT) AS n_stopwords
+FROM documents
+"""
+
+
+def q_lang_distribution(sf_dir: str) -> rd.Dataset:
+    from ray.data.aggregate import Count, Sum
+
+    return (
+        _read(sf_dir, "documents", ["lang", "n_chars"])
+        .groupby("lang")
+        .aggregate(Count(alias_name="n_docs"), Sum("n_chars", alias_name="sum_chars"))
+    )
+
+
+SQL_LANG_DISTRIBUTION = """
+SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents GROUP BY lang
+"""
+
+
+def q_doc_normalize_ws(sf_dir: str) -> rd.Dataset:
+    """normalize_whitespace as a distributed operator (reference P12,
+    text_utils.py:142-147)."""
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame()
+        out["doc_id"] = df["doc_id"]
+        out["norm_text"] = df["text"].fillna("").map(normalize_whitespace)
+        return out
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(f, batch_format="pandas")
+
+
+SQL_DOC_NORMALIZE_WS = """
+SELECT doc_id, trim(regexp_replace(text, '\\s+', ' ', 'g')) AS norm_text
+FROM documents
+"""
+
+
+def q_doc_chunk_counts(sf_dir: str) -> rd.Dataset:
+    """chunk_text operator (reference P10) — chunk count + total chunk chars
+    per doc. Non-SQL (stateful scan with overlap) -> rows-only check."""
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        chunks = df["text"].fillna("").map(lambda t: chunk_text(t, max_chars=500, overlap=50))
+        out = pd.DataFrame()
+        out["doc_id"] = df["doc_id"]
+        out["n_chunks"] = chunks.map(len).astype("int64")
+        out["chunk_chars"] = chunks.map(lambda cs: sum(len(c) for c in cs)).astype("int64")
+        return out
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(f, batch_format="pandas")
+
+
+def q_doc_clean_unicode(sf_dir: str) -> rd.Dataset:
+    """clean_unicode operator (reference P9). Non-SQL -> rows-only check."""
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame()
+        out["doc_id"] = df["doc_id"]
+        out["clean_text"] = df["text"].fillna("").map(clean_unicode)
+        return out
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(f, batch_format="pandas")
+
+
+def q_language_id(sf_dir: str) -> rd.Dataset:
+    """Heuristic n-gram/stopword language ID over the text column (a
+    training-data-pipeline staple). Deterministic scores; rows-only check.
+
+    Profiles are tiny in-module frequency tables; a real system would
+    broadcast larger models via ray.put — same shape, bigger payload.
+    """
+    profiles = {
+        "en": {"the", "and", "of", "to", "in", "is", "that", "it", "for", "was"},
+        "de": {"der", "die", "und", "das", "ist", "nicht", "mit", "ein", "zu", "den"},
+        "fr": {"le", "la", "et", "les", "des", "est", "pas", "que", "une", "pour"},
+        "es": {"el", "la", "de", "que", "los", "es", "una", "por", "con", "para"},
+    }
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        def lid(t: str) -> str:
+            words = t.lower().split()
+            if not words:
+                return "und"
+            best, best_n = "und", 0
+            for lang in ("de", "en", "es", "fr"):  # fixed order: deterministic ties
+                n = sum(1 for w in words if w in profiles[lang])
+                if n > best_n:
+                    best, best_n = lang, n
+            return best
+
+        out = pd.DataFrame()
+        out["doc_id"] = df["doc_id"]
+        out["pred_lang"] = df["text"].fillna("").map(lid)
+        return out
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(f, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Deduplication family (training-data pipeline ops)
+# ---------------------------------------------------------------------------
+
+
+def _md5(s: str) -> str:
+    return hashlib.md5(s.encode("utf-8")).hexdigest()
+
+
+def q_dedup_exact(sf_dir: str) -> rd.Dataset:
+    """Exact dedup: hash-partition on content hash, keep lowest doc_id per
+    group (SURVEY.md §2.7). The groupby key is the md5 hash, not the text —
+    the shuffle moves 32-byte keys, not documents."""
+    from ray.data.aggregate import Min
+
+    def add_hash(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame()
+        out["doc_id"] = df["doc_id"]
+        out["text_hash"] = df["text"].fillna("").map(_md5)
+        return out
+
+    return (
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(add_hash, batch_format="pandas")
+        .groupby("text_hash")
+        .aggregate(Min("doc_id", alias_name="doc_id"))
+    )
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(text) AS text_hash, min(doc_id) AS doc_id
+FROM documents GROUP BY md5(text)
+"""
+
+
+def _shingles(text: str, k: int = 3) -> set:
+    words = text.split()
+    if len(words) < k:
+        return {" ".join(words)} if words else set()
+    return {" ".join(words[i : i + k]) for i in range(len(words) - k + 1)}
+
+
+def _minhash_sig(shingles: set, n_hashes: int = 64) -> np.ndarray:
+    """64-permutation MinHash via salted md5 (deterministic across runs)."""
+    sig = np.full(n_hashes, np.iinfo(np.uint64).max, dtype=np.uint64)
+    for sh in shingles:
+        h = hashlib.md5(sh.encode("utf-8")).digest()
+        base = int.from_bytes(h[:8], "little")
+        mix = int.from_bytes(h[8:16], "little") | 1
+        # affine rehash per permutation (Carter-Wegman style)
+        vals = (base * np.arange(1, n_hashes + 1, dtype=np.uint64) + np.uint64(mix))
+        np.minimum(sig, vals, out=sig)
+    return sig
+
+
+def q_dedup_minhash_lsh(sf_dir: str) -> pd.DataFrame:
+    """MinHash+LSH near-dup detection: shingle -> 64-perm minhash -> 16 bands
+    of 4 -> band-bucket groupby -> candidate pairs -> verified 3-gram Jaccard.
+
+    Pipeline shape (the Ray-idiomatic sketch pattern): signatures are computed
+    per batch in parallel; banding explodes to (band, band_hash, doc_id) rows;
+    the ONLY shuffle is the groupby on (band, band_hash); verified pairs are a
+    tiny result. Non-SQL -> rows-only driver check; correctness is pytest-
+    verified on constructed near-duplicates.
+    """
+    N_BANDS, ROWS_PER_BAND = 16, 4
+
+    def sig_batch(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for doc_id, text in zip(df["doc_id"], df["text"].fillna("")):
+            sig = _minhash_sig(_shingles(text))
+            for b in range(N_BANDS):
+                band = sig[b * ROWS_PER_BAND : (b + 1) * ROWS_PER_BAND]
+                bh = hashlib.md5(band.tobytes() + bytes([b])).hexdigest()[:16]
+                rows.append({"band": b, "band_hash": bh, "doc_id": int(doc_id)})
+        return pd.DataFrame(rows, columns=["band", "band_hash", "doc_id"])
+
+    def pairs_from_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(set(g["doc_id"].tolist()))
+        out = [
+            {"doc_id_a": a, "doc_id_b": b}
+            for i, a in enumerate(ids)
+            for b in ids[i + 1 :]
+        ]
+        return pd.DataFrame(out, columns=["doc_id_a", "doc_id_b"])
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    cand = (
+        ds.map_batches(sig_batch, batch_format="pandas")
+        .groupby(["band", "band_hash"])
+        .map_groups(pairs_from_bucket, batch_format="pandas")
+    )
+    cand_pdf = cand.to_pandas()
+    if len(cand_pdf) == 0:
+        return pd.DataFrame(columns=["doc_id_a", "doc_id_b", "jaccard_pct"]).astype(
+            {"doc_id_a": "int64", "doc_id_b": "int64", "jaccard_pct": "int64"}
+        )
+    cand_pdf = cand_pdf.drop_duplicates()
+
+    # Verify candidates with true 3-gram Jaccard. The candidate set is small
+    # (LSH guarantee); fetch texts for candidate ids only via a broadcast map.
+    ids = sorted(set(cand_pdf["doc_id_a"]) | set(cand_pdf["doc_id_b"]))
+    texts = (
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(
+            lambda df: df[df["doc_id"].isin(ids)], batch_format="pandas"
+        )
+        .to_pandas()
+        .set_index("doc_id")["text"]
+    )
+    out = []
+    for a, b in zip(cand_pdf["doc_id_a"], cand_pdf["doc_id_b"]):
+        sa, sb = _shingles(texts.get(a, "") or ""), _shingles(texts.get(b, "") or "")
+        if not sa and not sb:
+            j = 100
+        else:
+            j = int(round(100 * len(sa & sb) / max(1, len(sa | sb))))
+        if j >= 80:
+            out.append({"doc_id_a": int(a), "doc_id_b": int(b), "jaccard_pct": j})
+    return pd.DataFrame(out, columns=["doc_id_a", "doc_id_b", "jaccard_pct"]).astype(
+        {"doc_id_a": "int64", "doc_id_b": "int64", "jaccard_pct": "int64"}
+    )
+
+
+def _simhash64(text: str) -> int:
+    """64-bit SimHash over whitespace tokens (deterministic md5 token hashes)."""
+    acc = np.zeros(64, dtype=np.int64)
+    for w in text.split():
+        h = int.from_bytes(hashlib.md5(w.encode("utf-8")).digest()[:8], "little")
+        bits = (h >> np.arange(64, dtype=np.uint64)) & 1
+        acc += np.where(bits == 1, 1, -1)
+    out = 0
+    for i in range(64):
+        if acc[i] > 0:
+            out |= 1 << i
+    return out
+
+
+def q_dedup_simhash(sf_dir: str) -> rd.Dataset:
+    """SimHash fingerprints (near-dup by Hamming distance downstream)."""
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame()
+        out["doc_id"] = df["doc_id"]
+        out["simhash"] = df["text"].fillna("").map(lambda t: f"{_simhash64(t):016x}")
+        return out
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(f, batch_format="pandas")
+
+
+def q_doc_fingerprints(sf_dir: str) -> rd.Dataset:
+    """Winnowing-style rolling-hash fingerprints (Schleimer et al., SIGMOD'03
+    lineage): k-gram char hashes, window-min selection; per-doc count + XOR."""
+    K, W = 8, 16
+
+    def fp(text: str) -> tuple[int, int]:
+        if len(text) < K:
+            return 0, 0
+        hs = [
+            int.from_bytes(hashlib.md5(text[i : i + K].encode()).digest()[:8], "little")
+            for i in range(0, len(text) - K + 1)
+        ]
+        picked = set()
+        for i in range(0, max(1, len(hs) - W + 1)):
+            win = hs[i : i + W]
+            picked.add(min(win))
+        acc = 0
+        for p in picked:
+            acc ^= p
+        return len(picked), acc
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        res = df["text"].fillna("").map(fp)
+        out = pd.DataFrame()
+        out["doc_id"] = df["doc_id"]
+        out["n_fingerprints"] = res.map(lambda t: t[0]).astype("int64")
+        out["fingerprint_xor"] = res.map(lambda t: f"{t[1]:016x}")
+        return out
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(f, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over `embeddings`
+# ---------------------------------------------------------------------------
+
+KNN_SEED = 123
+KNN_K = 10
+
+
+def _query_vector(dim: int = 64) -> np.ndarray:
+    return np.random.RandomState(KNN_SEED).standard_normal(dim)
+
+
+def q_knn_cosine(sf_dir: str) -> pd.DataFrame:
+    """Brute-force cosine top-k: per-batch numpy matmul against a broadcast
+    query vector, per-batch top-k, driver-side final merge of ~tiny partials
+    (the canonical distributed top-k: reduce before collecting)."""
+    qv = _query_vector()
+    qn = qv / np.linalg.norm(qv)
+    qref = ray.put(qn)
+
+    def topk_batch(batch: pa.Table) -> pa.Table:
+        q = ray.get(qref)
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        mat = np.stack(batch["embedding"].to_pandas().to_numpy())  # (n, d) float32
+        mat = mat.astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        sims = (mat @ q) / norms
+        k = min(KNN_K, len(ids))
+        idx = np.argsort(-sims)[:k]
+        return pa.table({"vec_id": pa.array(ids[idx], pa.int64()),
+                         "sim": pa.array(sims[idx], pa.float64())})
+
+    partials = (
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+        .map_batches(topk_batch, batch_format="pyarrow")
+        .to_pandas()
+    )
+    top = partials.nlargest(KNN_K, "sim")
+    return pd.DataFrame({"vec_id": top["vec_id"].astype("int64").to_numpy()})
+
+
+def sql_knn_cosine() -> str:
+    qv = _query_vector()
+    lit = "[" + ", ".join(repr(float(x)) for x in qv) + "]"
+    return f"""
+SELECT vec_id FROM (
+  SELECT vec_id,
+         list_cosine_similarity(CAST(embedding AS DOUBLE[]), {lit}) AS sim
+  FROM embeddings
+) ORDER BY sim DESC LIMIT {KNN_K}
+"""
+
+
+def q_ann_lsh(sf_dir: str) -> pd.DataFrame:
+    """LSH-bucketed approximate NN (the scale path): 12 seeded random
+    hyperplanes -> 12-bit signature buckets; search only the query's bucket
+    and Hamming-1 neighbors. At 10^9 vectors the bucket groupby replaces the
+    full scan; here the result is deterministic and pytest-checked for recall
+    against brute force. Rows-only driver check."""
+    N_PLANES = 8  # 256 buckets; 9 probed -> decent recall on small corpora
+    rs = np.random.RandomState(KNN_SEED + 1)
+    planes = rs.standard_normal((N_PLANES, 64))
+    qv = _query_vector()
+    qsig = int("".join("1" if p @ qv > 0 else "0" for p in planes), 2)
+    probe = {qsig} | {qsig ^ (1 << b) for b in range(N_PLANES)}
+    planes_ref = ray.put(planes)
+    probe_ref = ray.put(probe)
+    qref = ray.put(qv / np.linalg.norm(qv))
+
+    def bucket_topk(batch: pa.Table) -> pa.Table:
+        pl = ray.get(planes_ref)
+        pr = ray.get(probe_ref)
+        q = ray.get(qref)
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        mat = np.stack(batch["embedding"].to_pandas().to_numpy()).astype(np.float64)
+        bits = (mat @ pl.T) > 0
+        sigs = np.zeros(len(ids), dtype=np.int64)
+        for b in range(N_PLANES):
+            sigs |= bits[:, b].astype(np.int64) << (N_PLANES - 1 - b)
+        mask = np.isin(sigs, list(pr))
+        if not mask.any():
+            return pa.table({"vec_id": pa.array([], pa.int64()), "sim": pa.array([], pa.float64())})
+        sel = mat[mask]
+        norms = np.linalg.norm(sel, axis=1)
+        norms[norms == 0] = 1.0
+        sims = (sel @ q) / norms
+        k = min(KNN_K, len(sims))
+        idx = np.argsort(-sims)[:k]
+        return pa.table({"vec_id": pa.array(ids[mask][idx], pa.int64()),
+                         "sim": pa.array(sims[idx], pa.float64())})
+
+    partials = (
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+        .map_batches(bucket_topk, batch_format="pyarrow")
+        .to_pandas()
+    )
+    if len(partials) == 0 or "sim" not in partials.columns:
+        return pd.DataFrame({"vec_id": pd.Series([], dtype="int64")})
+    top = partials.nlargest(min(KNN_K, len(partials)), "sim")
+    return pd.DataFrame({"vec_id": top["vec_id"].astype("int64").to_numpy()})
+
+
+def q_embedding_label_stats(sf_dir: str) -> rd.Dataset:
+    from ray.data.aggregate import Count
+
+    return (
+        _read(sf_dir, "embeddings", ["label"])
+        .groupby("label")
+        .aggregate(Count(alias_name="n"))
+    )
+
+
+SQL_EMBEDDING_LABEL_STATS = "SELECT label, count(*) AS n FROM embeddings GROUP BY label"
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (stubbed decode; real Ray-side schema/actors)
+# ---------------------------------------------------------------------------
+
+
+def q_media_features(sf_dir: str) -> rd.Dataset:
+    """Opaque-binary media pipeline: documents' text bytes stand in for media
+    payloads (deterministic), flowed through the actor-pool feature stage
+    (stages/multimodal.py). Rows-only driver check; determinism pytest-checked."""
+    from ..stages.multimodal import MEDIA_SCHEMA, MediaFeatureExtractor
+
+    kinds = ("image", "audio", "video")
+
+    def to_media(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        return pa.Table.from_arrays(
+            [
+                pa.array([int(i) for i in ids], pa.int64()),
+                pa.array([kinds[int(i) % 3] for i in ids], pa.string()),
+                pa.array([(t or "").encode("utf-8") for t in texts], pa.binary()),
+            ],
+            schema=MEDIA_SCHEMA,
+        )
+
+    feats = (
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(to_media, batch_format="pyarrow")
+        .map_batches(
+            MediaFeatureExtractor,
+            batch_format="pyarrow",
+            batch_size=64,
+            concurrency=(1, 4),
+        )
+    )
+    return feats.select_columns(
+        ["media_id", "media_type", "n_bytes", "sha256", "decode_ok", "width", "height", "duration_ms"]
+    )

@@ -1,0 +1,402 @@
+"""Relational / windowed operators over the TPC-H-ish testdata tables.
+
+These generalize the reference's aggregation & lookup surface (SURVEY.md
+§2.4-§2.6: id-set semi-join J1, broadcast lookup J2, grouped aggregate G4,
+counts/sums G1-G3) into the full operator palette a Ray-Data engine needs:
+grouped aggregates with partial pre-aggregation, broadcast hash joins,
+distinct counting via two-level groupby, top-k, filtered counts, and
+session windows over an event log.
+
+Exact-match discipline: money sums in integer cents (each row rounded once,
+then int64 sums — order-independent); min/max on raw doubles; no averages.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Min, Sum
+
+
+def _pq(sf_dir: str, table: str) -> str:
+    return os.path.join(sf_dir, f"{table}.parquet")
+
+
+def _read(sf_dir: str, table: str, columns: List[str]) -> rd.Dataset:
+    return rd.read_parquet(_pq(sf_dir, table), columns=columns)
+
+
+def _cents(arr) -> pa.ChunkedArray:
+    return pc.cast(
+        pc.round(pc.multiply(arr, pa.scalar(100.0)), round_mode="half_towards_infinity"),
+        pa.int64(),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Grouped aggregate with pre-aggregation (TPC-H Q1 shape)
+# ---------------------------------------------------------------------------
+
+Q1_CUTOFF = "1998-09-02"
+
+
+def q_pricing_summary(sf_dir: str) -> rd.Dataset:
+    """Lineitem pricing summary (TPC-H Q1 shape).
+
+    The vectorized pre-stage computes per-row cents columns; the groupby then
+    moves only (key, int64-partials). At scale, Ray's hash aggregate already
+    combines per block before the exchange — the cents columns make those
+    partial sums exact and order-independent.
+    """
+
+    def prep(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(
+            pc.less_equal(batch["l_shipdate"], pa.scalar(pd.Timestamp(Q1_CUTOFF)))
+        )
+        disc_price = pc.multiply(
+            batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"])
+        )
+        charge = pc.multiply(
+            disc_price, pc.add(pa.scalar(1.0), batch["l_tax"])
+        )
+        return pa.Table.from_arrays(
+            [
+                batch["l_returnflag"],
+                batch["l_linestatus"],
+                pc.cast(pc.round(batch["l_quantity"], round_mode="half_towards_infinity"), pa.int64()),
+                _cents(batch["l_extendedprice"]),
+                _cents(disc_price),
+                _cents(charge),
+            ],
+            names=[
+                "l_returnflag", "l_linestatus", "qty",
+                "base_price_cents", "disc_price_cents", "charge_cents",
+            ],
+        )
+
+    return (
+        _read(
+            sf_dir, "lineitem",
+            ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+             "l_discount", "l_tax", "l_shipdate"],
+        )
+        .map_batches(prep, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("qty", alias_name="sum_qty"),
+            Sum("base_price_cents", alias_name="sum_base_price_cents"),
+            Sum("disc_price_cents", alias_name="sum_disc_price_cents"),
+            Sum("charge_cents", alias_name="sum_charge_cents"),
+            Count(alias_name="count_order"),
+        )
+    )
+
+
+SQL_PRICING_SUMMARY = f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_price_cents,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS sum_disc_price_cents,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100) AS BIGINT)) AS BIGINT) AS sum_charge_cents,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '{Q1_CUTOFF} 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# Broadcast hash joins (small dimension side via ray.put)
+# ---------------------------------------------------------------------------
+
+
+def q_segment_order_stats(sf_dir: str) -> rd.Dataset:
+    """orders ⋈ customer on custkey, grouped by market segment.
+
+    The customer side is small (dimension table): loaded once on the driver,
+    broadcast with ray.put, mapped per batch — no shuffle join (SURVEY.md
+    §2.4 J2 pattern at table scale)."""
+    cust = (
+        _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+        .to_pandas()
+        .set_index("c_custkey")["c_mktsegment"]
+    )
+    cust_ref = ray.put(cust)
+
+    def join(df: pd.DataFrame) -> pd.DataFrame:
+        lookup = ray.get(cust_ref)
+        out = pd.DataFrame()
+        out["c_mktsegment"] = df["o_custkey"].map(lookup)
+        out["totalprice_cents"] = (df["o_totalprice"] * 100).round().astype("int64")
+        return out
+
+    return (
+        _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+        .map_batches(join, batch_format="pandas")
+        .groupby("c_mktsegment")
+        .aggregate(
+            Count(alias_name="n_orders"),
+            Sum("totalprice_cents", alias_name="sum_totalprice_cents"),
+        )
+    )
+
+
+SQL_SEGMENT_ORDER_STATS = """
+SELECT c.c_mktsegment,
+       count(*) AS n_orders,
+       CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_totalprice_cents
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+"""
+
+
+def q_nation_customer_counts(sf_dir: str) -> rd.Dataset:
+    """customer ⋈ nation ⋈ region via one composed broadcast lookup."""
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
+    region = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    dim = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")
+    key_to_names = dim.set_index("n_nationkey")[["n_name", "r_name"]]
+    ref = ray.put(key_to_names)
+
+    def join(df: pd.DataFrame) -> pd.DataFrame:
+        lookup = ray.get(ref)
+        joined = df.join(lookup, on="c_nationkey")
+        return joined[["r_name", "n_name"]]
+
+    return (
+        _read(sf_dir, "customer", ["c_nationkey"])
+        .map_batches(join, batch_format="pandas")
+        .groupby(["r_name", "n_name"])
+        .aggregate(Count(alias_name="n_customers"))
+    )
+
+
+SQL_NATION_CUSTOMER_COUNTS = """
+SELECT r.r_name, n.n_name, count(*) AS n_customers
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name, n.n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# Top-k / sort / limit / filter
+# ---------------------------------------------------------------------------
+
+TOPK_CUSTOMERS = 10
+
+
+def q_top_customers_by_revenue(sf_dir: str) -> pd.DataFrame:
+    """Top-10 customers by total order value: pre-aggregate per custkey
+    (shuffle of partials), then a tiny driver-side top-k of the aggregate."""
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [batch["o_custkey"], _cents(batch["o_totalprice"])],
+            names=["o_custkey", "totalprice_cents"],
+        )
+
+    agg = (
+        _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+        .map_batches(prep, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Sum("totalprice_cents", alias_name="revenue_cents"))
+    )
+    top = agg.sort("revenue_cents", descending=True).limit(TOPK_CUSTOMERS).to_pandas()
+    return top[["o_custkey", "revenue_cents"]]
+
+
+SQL_TOP_CUSTOMERS_BY_REVENUE = f"""
+SELECT o_custkey, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM orders GROUP BY o_custkey
+ORDER BY revenue_cents DESC LIMIT {TOPK_CUSTOMERS}
+"""
+
+
+HIGH_VALUE_CUT = 400000.0
+
+
+def q_high_value_orders(sf_dir: str) -> rd.Dataset:
+    """Filter + project + top-20 by raw double (no arithmetic -> exact)."""
+    def f(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.greater(batch["o_totalprice"], pa.scalar(HIGH_VALUE_CUT)))
+
+    return (
+        _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"])
+        .map_batches(f, batch_format="pyarrow")
+        .sort("o_totalprice", descending=True)
+        .limit(20)
+    )
+
+
+SQL_HIGH_VALUE_ORDERS = f"""
+SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+FROM orders WHERE o_totalprice > {HIGH_VALUE_CUT}
+ORDER BY o_totalprice DESC LIMIT 20
+"""
+
+
+def q_orders_priority_counts(sf_dir: str) -> rd.Dataset:
+    def f(batch: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.greater_equal(batch["o_orderdate"], pa.scalar(pd.Timestamp("1995-01-01"))),
+            pc.less(batch["o_orderdate"], pa.scalar(pd.Timestamp("1996-01-01"))),
+        )
+        return batch.filter(m)
+
+    return (
+        _read(sf_dir, "orders", ["o_orderpriority", "o_orderdate"])
+        .map_batches(f, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(Count(alias_name="n_orders"))
+    )
+
+
+SQL_ORDERS_PRIORITY_COUNTS = """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'
+GROUP BY o_orderpriority
+"""
+
+
+def q_part_type_stats(sf_dir: str) -> rd.Dataset:
+    """min/max on raw doubles (exact, no accumulation) + int sum + count."""
+    return (
+        _read(sf_dir, "part", ["p_type", "p_retailprice", "p_size"])
+        .map_batches(
+            lambda t: t.append_column("p_size64", pc.cast(t["p_size"], pa.int64())),
+            batch_format="pyarrow",
+        )
+        .select_columns(["p_type", "p_retailprice", "p_size64"])
+        .groupby("p_type")
+        .aggregate(
+            Count(alias_name="n_parts"),
+            Min("p_retailprice", alias_name="min_price"),
+            Max("p_retailprice", alias_name="max_price"),
+            Sum("p_size64", alias_name="sum_size"),
+        )
+    )
+
+
+SQL_PART_TYPE_STATS = """
+SELECT p_type, count(*) AS n_parts,
+       min(p_retailprice) AS min_price,
+       max(p_retailprice) AS max_price,
+       CAST(sum(CAST(p_size AS BIGINT)) AS BIGINT) AS sum_size
+FROM part GROUP BY p_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Distinct counting (two-level groupby: no giant per-group state)
+# ---------------------------------------------------------------------------
+
+
+def q_distinct_parts_per_flag(sf_dir: str) -> rd.Dataset:
+    """count(distinct l_partkey) per returnflag as two shuffles of shrinking
+    size: dedup (flag, partkey) pairs, then count per flag — never a
+    per-group set on one worker."""
+    pairs = (
+        _read(sf_dir, "lineitem", ["l_returnflag", "l_partkey"])
+        .groupby(["l_returnflag", "l_partkey"])
+        .aggregate(Count(alias_name="_n"))
+        .select_columns(["l_returnflag"])
+    )
+    return pairs.groupby("l_returnflag").aggregate(Count(alias_name="n_distinct_parts"))
+
+
+SQL_DISTINCT_PARTS_PER_FLAG = """
+SELECT l_returnflag, count(DISTINCT l_partkey) AS n_distinct_parts
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# Event-log windows (streaming-shaped: partition by key, order by ts)
+# ---------------------------------------------------------------------------
+
+
+def q_events_hourly(sf_dir: str) -> rd.Dataset:
+    """Tumbling 1-hour window counts/sums per event type (vectorized floor)."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(batch["ts"], unit="hour")
+        return pa.Table.from_arrays(
+            [hour, batch["event_type"], _cents(batch["value"])],
+            names=["hour", "event_type", "value_cents"],
+        )
+
+    return (
+        _read(sf_dir, "events", ["ts", "event_type", "value"])
+        .map_batches(f, batch_format="pyarrow")
+        .groupby(["hour", "event_type"])
+        .aggregate(Count(alias_name="n_events"), Sum("value_cents", alias_name="sum_value_cents"))
+    )
+
+
+SQL_EVENTS_HOURLY = """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+FROM events GROUP BY date_trunc('hour', ts), event_type
+"""
+
+
+SESSION_GAP_S = 1800
+
+
+def q_events_sessionize(sf_dir: str) -> rd.Dataset:
+    """Session windows per user (gap > 30 min starts a new session) —
+    the groupby(key).map_groups(ordered window fn) pattern for
+    streaming-shaped workloads (no watermarks needed for batch logs)."""
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts")
+        gaps = g["ts"].diff().dt.total_seconds()
+        n = int((gaps > SESSION_GAP_S).sum()) + 1
+        return pd.DataFrame(
+            {"user_id": [int(g["user_id"].iloc[0])], "n_sessions": [n],
+             "n_events": [len(g)]}
+        )
+
+    return (
+        _read(sf_dir, "events", ["user_id", "ts"])
+        .groupby("user_id")
+        .map_groups(sessions, batch_format="pandas")
+    )
+
+
+SQL_EVENTS_SESSIONIZE = f"""
+SELECT user_id,
+       CAST(1 + sum(CASE WHEN gap_s > {SESSION_GAP_S} THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+       count(*) AS n_events
+FROM (
+  SELECT user_id, ts,
+         epoch(ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) AS gap_s
+  FROM events
+)
+GROUP BY user_id
+"""
+
+
+def q_user_event_type_matrix(sf_dir: str) -> rd.Dataset:
+    """Per (user, event_type) counts — the reference's value_counts analogue
+    (G4) at event grain."""
+    return (
+        _read(sf_dir, "events", ["user_id", "event_type"])
+        .groupby(["user_id", "event_type"])
+        .aggregate(Count(alias_name="n"))
+    )
+
+
+SQL_USER_EVENT_TYPE_MATRIX = """
+SELECT user_id, event_type, count(*) AS n
+FROM events GROUP BY user_id, event_type
+"""

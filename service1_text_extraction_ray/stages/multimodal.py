@@ -1,0 +1,137 @@
+"""Multimodal column plumbing: opaque binary media + typed metadata.
+
+Images/audio/video ride through the engine as ``binary`` columns with a
+``media_type`` tag — the same dispatch pattern as the HTML/PDF payload column
+(functions/sniff.py). Decode / feature-extraction stages are actor-pool
+``map_batches`` classes; the *decoders themselves are stubs* in this sandbox
+(no PIL/ffmpeg/librosa — see ``DecoderStub``), but the Ray-side plumbing is
+real and tested: schema, batch sizing for large binary rows, actor signature,
+and output layout are exactly what a real decoder would slot into.
+
+Scale notes: binary rows are big — callers should use a small ``batch_size``
+and ``batch_format="pyarrow"`` (binary columns round-trip zero-copy through
+Arrow; pandas would copy to object dtype).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+
+MEDIA_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.int64()),
+        ("media_type", pa.string()),   # "image" | "audio" | "video" | "unknown"
+        ("media", pa.binary()),
+    ]
+)
+
+FEATURE_DIM = 8
+
+FEATURE_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.int64()),
+        ("media_type", pa.string()),
+        ("n_bytes", pa.int64()),
+        ("sha256", pa.string()),
+        ("decode_ok", pa.bool_()),
+        ("width", pa.int32()),        # stub-deterministic; real decoder fills these
+        ("height", pa.int32()),
+        ("duration_ms", pa.int32()),
+        ("features", pa.list_(pa.float32(), FEATURE_DIM)),
+    ]
+)
+
+
+class DecoderStub:
+    """Deterministic fake decoder.
+
+    A real implementation would do ``PIL.Image.open`` / ``soundfile.read`` /
+    frame sampling here; none of those libraries exist in this container, so
+    the stub derives deterministic pseudo-metadata and a pseudo-feature vector
+    from the payload's sha256. Swap in a real decoder by passing any object
+    with the same ``decode(payload, media_type) -> dict`` signature to
+    ``MediaFeatureExtractor``.
+    """
+
+    def decode(self, payload: bytes, media_type: str) -> dict:
+        h = hashlib.sha256(payload).digest()
+        vec = (
+            np.frombuffer(h[:FEATURE_DIM * 4], dtype=np.uint32).astype(np.float32)
+            / np.float32(2**32)
+        )
+        return {
+            "decode_ok": True,
+            "width": 16 + h[0] % 2048,
+            "height": 16 + h[1] % 2048,
+            "duration_ms": int.from_bytes(h[2:4], "little") if media_type in ("audio", "video") else 0,
+            "features": vec,
+        }
+
+
+class RealDecoderUnavailable:
+    """Explicit NotImplementedError decoder — use when silent fakes are
+    unacceptable and the pipeline should fail loudly on media rows."""
+
+    def decode(self, payload: bytes, media_type: str) -> dict:
+        raise NotImplementedError(
+            "no image/audio decoder available in this environment; "
+            "install one and plug it into MediaFeatureExtractor"
+        )
+
+
+class MediaFeatureExtractor:
+    """Actor-pool stage: MEDIA_SCHEMA batches in, FEATURE_SCHEMA batches out.
+
+    Use as ``ds.map_batches(MediaFeatureExtractor, batch_format="pyarrow",
+    batch_size=16, concurrency=(1, N))`` — decoder state is built once per
+    actor; per-row failures isolate into decode_ok=False rows (the engine's
+    failure-isolation contract, functions/extract.py)."""
+
+    def __init__(self, decoder: Optional[object] = None) -> None:
+        self.decoder = decoder or DecoderStub()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["media_id"].to_pylist()
+        kinds = batch["media_type"].to_pylist()
+        payloads = batch["media"].to_pylist()
+
+        cols = {k: [] for k in ("n_bytes", "sha256", "decode_ok", "width", "height",
+                                "duration_ms", "features")}
+        for payload, kind in zip(payloads, kinds):
+            payload = payload or b""
+            cols["n_bytes"].append(len(payload))
+            cols["sha256"].append(hashlib.sha256(payload).hexdigest())
+            try:
+                d = self.decoder.decode(payload, kind)
+                cols["decode_ok"].append(bool(d["decode_ok"]))
+                cols["width"].append(int(d["width"]))
+                cols["height"].append(int(d["height"]))
+                cols["duration_ms"].append(int(d["duration_ms"]))
+                cols["features"].append(np.asarray(d["features"], dtype=np.float32))
+            except NotImplementedError:
+                raise
+            except Exception:
+                cols["decode_ok"].append(False)
+                cols["width"].append(0)
+                cols["height"].append(0)
+                cols["duration_ms"].append(0)
+                cols["features"].append(np.zeros(FEATURE_DIM, dtype=np.float32))
+
+        return pa.Table.from_arrays(
+            [
+                pa.array(ids, pa.int64()),
+                pa.array(kinds, pa.string()),
+                pa.array(cols["n_bytes"], pa.int64()),
+                pa.array(cols["sha256"], pa.string()),
+                pa.array(cols["decode_ok"], pa.bool_()),
+                pa.array(cols["width"], pa.int32()),
+                pa.array(cols["height"], pa.int32()),
+                pa.array(cols["duration_ms"], pa.int32()),
+                pa.array([v.tolist() for v in cols["features"]], pa.list_(pa.float32(), FEATURE_DIM)),
+            ],
+            schema=FEATURE_SCHEMA,
+        )
