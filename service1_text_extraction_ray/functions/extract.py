@@ -61,8 +61,8 @@ class ExtractConfig:
     # Whether to serialize the layout tree per page (JSON string column).
     emit_layout: bool = True
 
-    # Partitioning (checkpoint-resume substrate): shard = crc32(url) % n_shards.
-    n_shards: int = 64
+    # Size bucketing thresholds for skew stats (shard identity itself is the
+    # input file — sniff.stable_shard_id).
     size_bucket_edges: tuple = (4096, 65536, 1_048_576)
 
 

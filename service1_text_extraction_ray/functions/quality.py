@@ -32,21 +32,10 @@ _CONTROL_SEQ_RE = re.compile(r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F-\x9F]+")
 _ALLOWED_PUNCT = set(".,!?;:()[]{}\"'")
 
 
-def is_garbage_text(text: str) -> bool:
-    """True if extracted text appears to be garbage.
-
-    Clause-for-clause reimplementation of the reference predicate
-    (core_pdf_processor.py:584-648), exact thresholds preserved:
-
-    1. empty/whitespace-only -> garbage
-    2. >30% control chars (excluding \\t\\n\\r)
-    3. >3 control-character sequences
-    4. special-char ratio > 0.5 (alnum/space/common punctuation excluded)
-    5. fewer than 5 distinct characters
-    6. short-word (<2 chars) ratio > 0.7
-    7. >20% non-printable (ord<32 excl \\t\\n\\r, or ord>126)
-    8. <30% printable ratio
-    """
+def _is_garbage_text_reference(text: str) -> bool:
+    """Literal clause-for-clause port of the reference predicate
+    (core_pdf_processor.py:584-648) — kept as the semantic oracle for the
+    vectorized implementation below (property-tested equal)."""
     if not text.strip():
         return True
 
@@ -83,6 +72,122 @@ def is_garbage_text(text: str) -> bool:
 
     printable_ratio = sum(1 for c in text if c.isprintable() and c not in "\t\n\r") / n
     if printable_ratio < 0.3:
+        return True
+
+    return False
+
+
+def _build_ascii_luts():
+    """Boolean lookup tables for code points < 128, derived from Python's own
+    str predicates so ASCII semantics are identical by construction."""
+    import numpy as np
+
+    special = np.zeros(128, dtype=bool)   # not alnum, not space, not allowed punct
+    space = np.zeros(128, dtype=bool)
+    printable = np.zeros(128, dtype=bool)
+    for i in range(128):
+        c = chr(i)
+        special[i] = (not c.isalnum()) and (not c.isspace()) and c not in _ALLOWED_PUNCT
+        space[i] = c.isspace()
+        printable[i] = c.isprintable() and c not in "\t\n\r"
+    return special, space, printable
+
+
+_LUT_SPECIAL, _LUT_SPACE, _LUT_PRINTABLE = _build_ascii_luts()
+
+
+def is_garbage_text(text: str) -> bool:
+    """True if extracted text appears to be garbage.
+
+    Exact thresholds of the reference predicate (core_pdf_processor.py:
+    584-648; see ``_is_garbage_text_reference``), vectorized: the per-char
+    clauses run as numpy ops over the UTF-32 code points, with ASCII
+    lookup tables built from Python's own ``str`` predicates and a
+    per-*unique*-codepoint fallback for the (rare) non-ASCII chars — so the
+    result is bit-identical to the reference loop on ANY input. This
+    predicate runs on every extracted page; the reference loops cost ~1 ms
+    per page of Python-level iteration, which dominates nothing alone but
+    adds up at 10^12 pages.
+
+    Clauses: 1. empty/whitespace-only; 2. >30% control chars (excl \\t\\n\\r);
+    3. >3 control sequences; 4. special-char ratio > 0.5; 5. <5 distinct
+    chars; 6. short-word (<2) ratio > 0.7; 7. >20% non-printable;
+    8. <30% printable.
+    """
+    import numpy as np
+
+    if not text.strip():
+        return True
+
+    n = len(text)
+    cp = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32)
+
+    is_ctl = (cp < 32) & (cp != 9) & (cp != 10) & (cp != 13)
+    if int(is_ctl.sum()) > n * 0.3:
+        return True
+
+    # Control *sequences*: runs of [\x00-\x08\x0B\x0C\x0E-\x1F\x7F-\x9F].
+    in_seq = (
+        (cp <= 0x08)
+        | (cp == 0x0B)
+        | (cp == 0x0C)
+        | ((cp >= 0x0E) & (cp <= 0x1F))
+        | ((cp >= 0x7F) & (cp <= 0x9F))
+    )
+    n_runs = int(in_seq[0]) + int((in_seq[1:] & ~in_seq[:-1]).sum())
+    if n_runs > 3:
+        return True
+
+    ascii_mask = cp < 128
+    non_ascii = cp[~ascii_mask]
+    uniq_na, counts_na = (np.unique(non_ascii, return_counts=True)
+                          if non_ascii.size else (np.array([], dtype=np.uint32), np.array([], dtype=np.int64)))
+    uniq_chars = [chr(int(u)) for u in uniq_na]
+
+    ascii_cp = cp[ascii_mask]
+    special_count = int(_LUT_SPECIAL[ascii_cp].sum()) + int(
+        sum(
+            cnt
+            for u, cnt in zip(uniq_chars, counts_na)
+            if (not u.isalnum()) and (not u.isspace()) and u not in _ALLOWED_PUNCT
+        )
+    )
+    if special_count / n > 0.5:
+        return True
+
+    distinct = int(np.unique(ascii_cp).size) + len(uniq_chars)
+    if distinct < 5:
+        return True
+
+    # Short words over str.split() semantics: words are maximal runs of
+    # non-whitespace (unicode isspace).
+    is_sp = np.empty(n, dtype=bool)
+    is_sp[ascii_mask] = _LUT_SPACE[ascii_cp]
+    if non_ascii.size:
+        na_space = {u: chr(int(u)).isspace() for u in uniq_na}
+        is_sp[~ascii_mask] = [na_space[int(c)] for c in non_ascii]
+    non_sp = ~is_sp
+    starts = non_sp & np.concatenate(([True], is_sp[:-1]))
+    n_words = int(starts.sum())
+    if n_words > 0:
+        # word lengths: distance between run starts and run ends
+        ends = non_sp & np.concatenate((is_sp[1:], [True]))
+        lengths = np.flatnonzero(ends) - np.flatnonzero(starts) + 1
+        if int((lengths < 2).sum()) / n_words > 0.7:
+            return True
+
+    non_printable_count = int((is_ctl | (cp > 126)).sum())
+    if non_printable_count > n * 0.2:
+        return True
+
+    printable_count = int(_LUT_PRINTABLE[ascii_cp].sum()) + int(
+        sum(
+            cnt
+            for u, cnt in zip(uniq_chars, counts_na)
+            if u.isprintable()
+        )
+    )
+    if printable_count / n < 0.3:
         return True
 
     return False

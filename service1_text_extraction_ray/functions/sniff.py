@@ -42,22 +42,28 @@ def sniff_payload(payload: bytes | None) -> str:
     return KIND_OTHER
 
 
-def stable_shard_id(url: str, n_shards: int) -> int:
-    """Deterministic shard assignment: crc32(url) % n_shards.
+def stable_shard_id(path: str) -> int:
+    """Deterministic shard id for an input file path: crc32 of its basename.
 
-    crc32 is stable across processes and Python versions (unlike ``hash``),
-    which makes the shard -> rows mapping reproducible — the substrate for
-    checkpoint-resume at shard granularity (SURVEY.md §4.2 item 3).
+    The shard IS the input file (Common-Crawl-style inputs are many Parquet
+    shards already): deterministic, aligned with read-task boundaries (no
+    shuffle needed to co-locate a shard's rows), and resume can prune whole
+    files from the read list before any IO. crc32 is stable across processes
+    and Python versions (unlike ``hash``). Basename (not full path) so the
+    mapping survives moving the input directory.
     """
-    return zlib.crc32(url.encode("utf-8")) % n_shards
+    import os
+
+    return zlib.crc32(os.path.basename(path).encode("utf-8"))
 
 
-def sniff_table(batch: pa.Table, n_shards: int, size_bucket_edges: tuple[int, ...]) -> pa.Table:
-    """Vectorized sniff stage: append content_kind, payload_len, size_bucket, shard_id.
+def sniff_table(batch: pa.Table, size_bucket_edges: tuple[int, ...]) -> pa.Table:
+    """Vectorized sniff stage: content_kind, payload_len, size_bucket,
+    shard_id (from the reader's ``path`` column, which is then dropped).
 
     payload_len / prefix checks use pyarrow kernels (zero-copy over the binary
-    column); shard ids use C-speed crc32 per url (one short call per document,
-    not per byte — acceptable outside the parse hot loop).
+    column); shard ids are computed once per distinct path in the batch
+    (dictionary-encode, hash the few uniques), not per row.
     """
     payload = batch["html"]
     n = len(batch)
@@ -82,17 +88,27 @@ def sniff_table(batch: pa.Table, n_shards: int, size_bucket_edges: tuple[int, ..
                 if h.lstrip(b" \t\r\n")[:1] == b"<":
                     kinds[i] = KIND_HTML
 
-    urls = batch["url"].to_pylist()
-    shard = np.fromiter(
-        (zlib.crc32(u.encode("utf-8")) % n_shards for u in urls), dtype=np.int32, count=n
-    )
+    # Shard from source file: encode the handful of distinct paths per batch.
+    # Datasets with no file provenance (in-memory synthesis, adapters) fall
+    # back to a url-hash shard — resume does not apply to them anyway.
+    if "path" in batch.column_names:
+        enc = pc.dictionary_encode(batch["path"].combine_chunks())
+        dict_vals = enc.dictionary.to_pylist()
+        shard_of = np.array([stable_shard_id(p) for p in dict_vals], dtype=np.int64)
+        shard = shard_of[enc.indices.to_numpy(zero_copy_only=False)]
+    else:
+        urls = batch["url"].to_pylist()
+        shard = np.fromiter(
+            (zlib.crc32(u.encode("utf-8")) % 256 for u in urls), dtype=np.int64, count=n
+        )
 
     lens = payload_len.to_numpy(zero_copy_only=False)
     bucket = np.digitize(lens, size_bucket_edges).astype(np.int8)
 
+    out = batch.drop_columns(["path"]) if "path" in batch.column_names else batch
     return (
-        batch.append_column("content_kind", pa.array(kinds, type=pa.string()))
+        out.append_column("content_kind", pa.array(kinds, type=pa.string()))
         .append_column("payload_len", payload_len.cast(pa.int64()))
         .append_column("size_bucket", pa.array(bucket, type=pa.int8()))
-        .append_column("shard_id", pa.array(shard, type=pa.int32()))
+        .append_column("shard_id", pa.array(shard, type=pa.int64()))
     )

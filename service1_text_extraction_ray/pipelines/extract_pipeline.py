@@ -4,29 +4,39 @@ Replaces the reference's FastAPI/Postgres/asyncio plumbing
 (``document_text_extraction_service.py:226-360`` fan-out,
 ``:405-605`` per-doc stage chain) with::
 
-    read_parquet(columns pruned)
-      -> map_batches(SniffStage)                # vectorized kind/size/shard tagging
-      -> [resume anti-join: broadcast completed-shard set, pc.is_in filter]
+    read_parquet(columns pruned, include_paths,
+                 completed input files pruned on resume)
+      -> map_batches(SniffStage)                # vectorized kind/size tagging,
+                                                #   shard = input file
       -> map_batches(ExtractDocuments,          # actor pool, Arrow in/out
                      batch_size=small, concurrency=pool)
-      -> groupby(shard_id).map_groups(ShardWriter)   # the ONE keyed shuffle:
-                                                # deterministic shard ownership,
-                                                # write-then-commit lineage
-      -> tiny per-shard summary dataset (the only thing the driver collects)
+      -> map_batches(PartWriter)                # inline content-addressed part
+                                                #   writes + incremental
+                                                #   per-shard manifest commits:
+                                                #   NO shuffle anywhere
+      -> drain tiny summary stream; driver-side straggler commit sweep
+      (ManifestCommitter remains as the portable barrier alternative for
+       clusters without a shared output filesystem)
 
 Design notes (SURVEY.md §4.2):
 
 - **Streaming**: nothing materializes the full dataset; the driver only ever
   collects the per-shard summary rows (one small row per shard).
-- **Skew**: small parse batch_size bounds giant-doc co-travel; payload
-  truncation guard is counted per shard. The shard shuffle key is
-  ``crc32(url) % n_shards`` — uniform by construction; at 100 TB raise
-  ``n_shards`` so a shard stays ~object-store-block sized.
-- **Resume**: shard ownership is a pure function of the url, so a resumed run
-  recomputes exactly the missing shards; completed-shard filtering happens
-  *before* the expensive parse stage.
-- **No-write mode** (``extract_dataset``): the same graph minus the shuffle +
-  writer, for callers that want the doc-grain Dataset to keep composing
+- **No heavy shuffle**: the shard identity is the *input file* (sniff.
+  stable_shard_id), so a shard's rows flow through the same task chain that
+  read them and are written where they are. Only the per-part counter
+  summaries (a handful of ints per block) go through the manifest-commit
+  groupby. Measured: the previous url-hash design shuffled the full extraction
+  output (~4x input bytes with layout JSON) and the sort dominated the job
+  (24.5s of 28s at 10k docs); this design removes it entirely.
+- **Skew**: small parse batch_size bounds giant-doc co-travel; the payload
+  truncation guard is counted per shard; Ray's dynamic block splitting keeps
+  oversized outputs from pinning one task.
+- **Resume**: shard ownership is a pure function of the input file name, so a
+  resumed run prunes completed files from the READ list — skipped work costs
+  zero IO, not just zero parse.
+- **No-write mode** (``extract_dataset``): the same graph minus the writers,
+  for callers that want the doc-grain Dataset to keep composing
   (e.g. the driver's queries()).
 """
 
@@ -52,9 +62,23 @@ INPUT_COLUMNS = ["url", "warc_ts", "html", "lang"]
 PARSE_BATCH_SIZE = 32
 
 
-def read_pages(input_path: str) -> rd.Dataset:
-    """Read the pages table with column pruning."""
-    return rd.read_parquet(input_path, columns=INPUT_COLUMNS)
+def read_pages(input_path: str | list) -> rd.Dataset:
+    """Read the pages table with column pruning + file provenance (the
+    ``path`` column becomes the shard identity — see sniff.stable_shard_id)."""
+    return rd.read_parquet(input_path, columns=INPUT_COLUMNS, include_paths=True)
+
+
+def list_input_files(input_path: str) -> list:
+    """Deterministic (sorted) list of input parquet files."""
+    import os
+
+    if os.path.isfile(input_path):
+        return [input_path]
+    return sorted(
+        os.path.join(input_path, f)
+        for f in os.listdir(input_path)
+        if f.endswith(".parquet")
+    )
 
 
 def _prepare_session() -> None:
@@ -68,31 +92,26 @@ def extract_dataset(
     ds: rd.Dataset,
     cfg: Optional[ExtractConfig] = None,
     concurrency: Optional[int] = None,
-    skip_shards: Optional[set] = None,
 ) -> rd.Dataset:
-    """Sniff + (optional resume filter) + actor-pool extraction.
+    """Sniff + actor-pool extraction.
 
     Returns the doc-grain Dataset (DOC_SCHEMA) without writing — fully lazy.
+    Resume happens upstream, by pruning completed files from the read list
+    (run_extraction_job) — cheaper than any row filter.
     """
     cfg = cfg or ExtractConfig()
     _prepare_session()
     ds = ds.map_batches(SniffStage(cfg), batch_format="pyarrow")
 
-    if skip_shards:
-        skip = pa.array(sorted(skip_shards), type=pa.int32())
-
-        def _filter_done(batch: pa.Table) -> pa.Table:
-            return batch.filter(pc.invert(pc.is_in(batch["shard_id"], value_set=skip)))
-
-        ds = ds.map_batches(_filter_done, batch_format="pyarrow")
-
     if concurrency is None:
-        # Autoscaling actor pool sized to the cluster: leave headroom for the
-        # read and write stages so the pipeline never serializes on one pool.
+        # Autoscaling actor pool sized to the cluster. min = ncpu/2 so the
+        # pool ramps fast (autoscaling from 1 loses seconds of parallelism on
+        # every job start); max = ncpu-1 leaves headroom for the read and
+        # write stages so the pipeline never serializes on one pool.
         import ray
 
         ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-        concurrency = (1, max(2, ncpu - 1))
+        concurrency = (max(1, ncpu // 2), max(2, ncpu - 1))
     return ds.map_batches(
         ExtractDocuments,
         fn_constructor_kwargs={"cfg": cfg},
@@ -109,35 +128,66 @@ def extract_pages_dataset(ds: rd.Dataset, cfg: Optional[ExtractConfig] = None, *
     return extract_dataset(ds, cfg, **kw).map_batches(explode_pages, batch_format="pyarrow")
 
 
-class ShardWriter:
-    """Per-shard sink: one parquet file + one lineage record per shard group,
-    write-then-commit ordering (state/lineage.py). Emits a one-row summary."""
+PART_SUMMARY_SCHEMA = pa.schema(
+    [
+        ("shard_id", pa.int64()),
+        ("part", pa.string()),
+        ("n_docs", pa.int64()),
+        ("n_pages", pa.int64()),
+        ("n_pages_ok", pa.int64()),
+        ("parse_failures", pa.int64()),
+        ("empty_extractions", pa.int64()),
+        ("truncations", pa.int64()),
+        ("content_hash", pa.string()),
+    ]
+)
+
+
+class PartWriter:
+    """Inline sink: each extraction output block is split by shard_id and
+    written as content-addressed part files — in the SAME task chain as the
+    parse (no all-to-all of the heavy rows). Emits tiny per-(block, shard)
+    summary rows, and opportunistically commits a shard's manifest the moment
+    its last part lands (``expected_rows`` per shard comes from the input
+    files' parquet metadata) — so a killed run keeps every shard it finished
+    (state/lineage.py module docstring explains the crash/resume story)."""
+
+    def __init__(self, out_dir: str, expected_rows: Optional[dict] = None) -> None:
+        self.out_dir = out_dir
+        self.expected_rows = expected_rows or {}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        # Deterministic within-part order (url unique) -> content-addressed
+        # names are stable for a given row-set.
+        batch = batch.sort_by("url")
+        rows = []
+        sids = batch["shard_id"]
+        for sid in pc.unique(sids).to_pylist():
+            sub = batch.filter(pc.equal(sids, sid))
+            rows.append(lin.write_part(self.out_dir, sid, sub))
+            expected = self.expected_rows.get(sid)
+            if expected is not None:
+                lin.try_commit_shard(self.out_dir, sid, expected)
+        return pa.Table.from_pylist(rows, schema=PART_SUMMARY_SCHEMA)
+
+
+class ManifestCommitter:
+    """Per-shard barrier over the tiny summaries: all parts of a shard exist
+    once its summary group is complete -> commit the manifest."""
 
     def __init__(self, out_dir: str) -> None:
         self.out_dir = out_dir
-        # map_groups expects a plain function-like object (reads __name__).
-        self.__name__ = "ShardWriter"
+        # map_groups expects a function-like object (reads __name__).
+        self.__name__ = "ManifestCommitter"
 
     def __call__(self, group: pa.Table) -> pa.Table:
-        t0 = time.monotonic()
         shard_id = group["shard_id"][0].as_py()
-        # Deterministic within-shard order (url is unique) so shard files are
-        # byte-stable across runs and parallelism levels.
-        group = group.sort_by("url")
-        wall_ms = int((time.monotonic() - t0) * 1000)
-        rec = lin.write_shard(self.out_dir, shard_id, group, wall_ms)
+        # Usually already committed incrementally by PartWriter; re-commit is
+        # idempotent (same complete summary set -> identical manifest bytes).
+        rec = lin.commit_shard_manifest(self.out_dir, shard_id, group.to_pylist())
         return pa.Table.from_pylist(
-            [
-                {
-                    "shard_id": rec["shard_id"],
-                    "n_docs": rec["n_docs"],
-                    "n_pages": rec["n_pages"],
-                    "parse_failures": rec["parse_failures"],
-                    "empty_extractions": rec["empty_extractions"],
-                    "truncations": rec["truncations"],
-                    "content_hash": rec["content_hash"],
-                }
-            ]
+            [{k: rec[k] for k in ("shard_id", "n_docs", "n_pages", "parse_failures",
+                                  "empty_extractions", "truncations", "content_hash")}]
         )
 
 
@@ -148,24 +198,77 @@ def run_extraction_job(
     resume: bool = False,
     concurrency: Optional[int] = None,
 ) -> dict:
-    """End-to-end job: read -> sniff -> [resume filter] -> extract -> sharded
-    write with lineage. Returns the job summary (counters merged across
-    shards, including previously-completed ones on resume)."""
+    """End-to-end job: read (completed input files pruned on resume) -> sniff
+    -> extract -> inline part writes -> summaries-only shuffle -> per-shard
+    manifest commit. Returns the job summary (counters merged across shards,
+    including previously-completed ones on resume)."""
+    import os
+
+    from ..functions.sniff import stable_shard_id
+
     cfg = cfg or ExtractConfig()
 
-    skip = lin.completed_shards(out_dir) if resume else set()
+    files = list_input_files(input_path)
+    skipped = 0
+    if resume:
+        done = lin.completed_shards(out_dir)
+        kept = [f for f in files if stable_shard_id(f) not in done]
+        skipped = len(files) - len(kept)
+        files = kept
+        # Purge incomplete shards' leftovers (parts + pending summaries from
+        # a crashed attempt) so stale parts can never pollute this attempt's
+        # completeness counts.
+        for f in files:
+            lin.purge_shard(out_dir, stable_shard_id(f))
+    else:
+        # Fresh run over an existing out_dir: discard stale manifests +
+        # pending state so the final summary reflects only this run (orphan
+        # data parts are ignored by manifest-driven readers; same-name
+        # re-writes are idempotent).
+        ldir = lin.lineage_dir(out_dir)
+        if os.path.isdir(ldir):
+            import shutil
 
-    ds = read_pages(input_path)
-    docs = extract_dataset(ds, cfg, concurrency=concurrency, skip_shards=skip)
+            shutil.rmtree(ldir)
 
-    summary_ds = docs.groupby("shard_id").map_groups(
-        ShardWriter(out_dir), batch_format="pyarrow"
+    if not files:
+        summary = lin.summarize(lin.load_lineage(out_dir))
+        summary["resumed_shards_skipped"] = skipped
+        summary["new_shards_written"] = 0
+        return summary
+
+    # Expected rows per shard (footer-only metadata reads) drive incremental
+    # manifest commits.
+    import pyarrow.parquet as _pq
+
+    expected = {stable_shard_id(f): _pq.ParquetFile(f).metadata.num_rows for f in files}
+
+    docs = extract_dataset(read_pages(files), cfg, concurrency=concurrency)
+
+    part_summaries = docs.map_batches(
+        PartWriter(out_dir, expected), batch_format="pyarrow", batch_size=2048
     )
-    # The summary is tiny (one row per shard): collecting it is the stream sink.
-    new_records = summary_ds.take_all()
+    # Drain the (tiny) summary stream — this is the consuming sink; manifests
+    # commit incrementally inside PartWriter as shards complete. No groupby:
+    # even a summaries-only sort barrier costs seconds of fixed overhead that
+    # short high-parallelism runs can't amortize.
+    for _ in part_summaries.iter_batches(batch_size=4096, batch_format="pyarrow"):
+        pass
+
+    # Straggler sweep: commit any shard whose parts all landed but whose
+    # writer didn't observe the complete set (cross-actor visibility race).
+    committed = {r["shard_id"] for r in lin.load_lineage(out_dir)}
+    for sid, exp_rows in expected.items():
+        if sid not in committed:
+            rec = lin.try_commit_shard(out_dir, sid, exp_rows)
+            if rec is None:
+                raise RuntimeError(
+                    f"shard {sid} incomplete after stream drain "
+                    f"(expected {exp_rows} rows) — input mutated mid-run?"
+                )
 
     all_records = lin.load_lineage(out_dir)
     summary = lin.summarize(all_records)
-    summary["resumed_shards_skipped"] = len(skip)
-    summary["new_shards_written"] = len(new_records)
+    summary["resumed_shards_skipped"] = skipped
+    summary["new_shards_written"] = len(expected)
     return summary

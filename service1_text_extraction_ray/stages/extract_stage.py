@@ -49,7 +49,7 @@ DOC_SCHEMA = pa.schema(
         ("url", pa.string()),
         ("warc_ts", pa.timestamp("us")),
         ("lang", pa.string()),
-        ("shard_id", pa.int32()),
+        ("shard_id", pa.int64()),
         ("size_bucket", pa.int8()),
         ("payload_len", pa.int64()),
         ("content_kind", pa.string()),
@@ -77,7 +77,7 @@ class SniffStage:
         self.cfg = cfg or ExtractConfig()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        return sniff_table(batch, self.cfg.n_shards, self.cfg.size_bucket_edges)
+        return sniff_table(batch, self.cfg.size_bucket_edges)
 
 
 class ExtractDocuments:

@@ -2,25 +2,37 @@
 
 Replaces the reference's Postgres status bookkeeping (the 6 UPDATE helpers,
 ``document_text_extraction_service.py:715-846``, and the completed/pending
-partial indexes, ``001_doc_text_extraction_queue.sql:76-83``) with per-shard
-files next to the output data — the Ray-native equivalent at *partition*
+partial indexes, ``001_doc_text_extraction_queue.sql:76-83``) with
+manifest-committed output files — the Ray-native equivalent at *partition*
 granularity instead of per-document rows (SURVEY.md §2.1 S10, §4.2 item 3).
 
 Layout under ``out_dir``::
 
-    data/shard_{id:05d}.parquet      # the extraction rows of the shard
-    lineage/shard_{id:05d}.json      # written strictly AFTER the data file
+    data/shard={id}/part-{contenthash}.parquet   # extraction rows (appended
+                                                 #   by extraction tasks,
+                                                 #   NO keyed shuffle)
+    lineage/shard_{id:05d}.json                  # manifest: the exact part
+                                                 #   list + counters; written
+                                                 #   strictly AFTER its parts
 
-Write-then-commit ordering: the data file is written to a temp name and
-renamed, then the lineage JSON is written to a temp name and renamed. A crash
-between the two leaves data without lineage -> the shard is re-processed on
-resume (idempotent: same shard -> same rows -> same bytes). Resume =
-list the lineage dir, validate each record, and anti-join the completed
-shard-id set against the input (a broadcast-set filter, not a shuffle).
+Why parts + manifests instead of one file per shard: writing one file per
+shard requires an all-to-all shuffle of the (heavy) extraction output to
+co-locate each shard's rows. Instead, every extraction task writes the rows
+it already holds, split by shard, as content-addressed part files — zero
+data movement — and only the tiny per-(block, shard) summaries flow into a
+groupby(shard_id) barrier that commits each shard's manifest once all its
+parts exist. A reader trusts ONLY parts listed in a committed manifest, so:
 
-The lineage record carries the counters the north star mandates
-(parse_failures, empty_extractions, truncations) plus row counts and an
-order-insensitive content hash (XOR of per-doc sha256 prefixes).
+- crash before a shard's manifest -> shard incomplete -> fully re-processed
+  on resume; any orphan parts from the crashed attempt are simply never
+  referenced (and re-writes of identical row-sets are idempotent because
+  part names are content hashes);
+- resume = validate manifests, broadcast the completed shard-id set, filter
+  *before* the expensive parse stage (anti-join, not a shuffle).
+
+The manifest carries the counters the north star mandates (parse_failures,
+empty_extractions, truncations) plus row counts and an order-insensitive
+content hash (XOR of per-doc sha256 prefixes).
 """
 
 from __future__ import annotations
@@ -44,11 +56,26 @@ def lineage_dir(out_dir: str) -> str:
     return os.path.join(out_dir, "lineage")
 
 
-def shard_paths(out_dir: str, shard_id: int) -> tuple[str, str]:
-    return (
-        os.path.join(data_dir(out_dir), f"shard_{shard_id:05d}.parquet"),
-        os.path.join(lineage_dir(out_dir), f"shard_{shard_id:05d}.json"),
-    )
+def shard_data_dir(out_dir: str, shard_id: int) -> str:
+    return os.path.join(data_dir(out_dir), f"shard={shard_id}")
+
+
+def manifest_path(out_dir: str, shard_id: int) -> str:
+    return os.path.join(lineage_dir(out_dir), f"shard_{shard_id:05d}.json")
+
+
+def pending_dir(out_dir: str, shard_id: int) -> str:
+    """Per-shard scratch of part-summary JSONs, written after each data part.
+    Enables *incremental* manifest commits mid-run: once the summaries'
+    row-count total reaches the shard's expected input rows, the shard is
+    complete and its manifest can be committed immediately — a kill at T
+    preserves every shard finished before T (FIXTURES.md §4 item 4).
+
+    NB: the completeness check scans this directory, so writers of one shard
+    must share a filesystem. That holds in local mode and on shared-FS/object
+    -store clusters; without it, the end-of-stream ManifestCommitter barrier
+    (which needs no shared view) still commits every shard."""
+    return os.path.join(lineage_dir(out_dir), "pending", f"shard_{shard_id}")
 
 
 def xor_content_hash(hashes: List[str]) -> str:
@@ -60,11 +87,10 @@ def xor_content_hash(hashes: List[str]) -> str:
     return f"{acc:016x}"
 
 
-def build_lineage_record(shard_id: int, table: pa.Table, wall_ms: int) -> Dict[str, Any]:
+def part_counters(table: pa.Table) -> Dict[str, Any]:
+    """Per-part counter summary (vectorized Arrow kernels)."""
     status = table["status"]
     return {
-        "version": LINEAGE_VERSION,
-        "shard_id": shard_id,
         "n_docs": table.num_rows,
         "n_pages": pc.sum(table["n_pages"]).as_py() or 0,
         "n_pages_ok": pc.sum(table["n_pages_ok"]).as_py() or 0,
@@ -76,23 +102,118 @@ def build_lineage_record(shard_id: int, table: pa.Table, wall_ms: int) -> Dict[s
         ).as_py() or 0,
         "truncations": pc.sum(pc.cast(table["truncated"], pa.int64())).as_py() or 0,
         "content_hash": xor_content_hash(table["content_hash"].to_pylist()),
-        "wall_ms": wall_ms,
-        "status": "ok",
     }
 
 
-def write_shard(out_dir: str, shard_id: int, table: pa.Table, wall_ms: int) -> Dict[str, Any]:
-    """Atomically write one shard's data then its lineage record."""
-    dpath, lpath = shard_paths(out_dir, shard_id)
-    os.makedirs(os.path.dirname(dpath), exist_ok=True)
-    os.makedirs(os.path.dirname(lpath), exist_ok=True)
+def write_part(out_dir: str, shard_id: int, table: pa.Table) -> Dict[str, Any]:
+    """Write one content-addressed part file for a shard (atomic rename).
 
-    tmp = dpath + ".tmp"
+    The part name is a hash of the row-set's (url, content_hash) pairs, so a
+    re-write of the same rows lands on the same name — idempotent by
+    construction. Returns the part's summary record.
+    """
+    import hashlib
+
+    h = hashlib.sha256()
+    for url, ch in zip(table["url"].to_pylist(), table["content_hash"].to_pylist()):
+        h.update(url.encode("utf-8"))
+        h.update(ch.encode("ascii"))
+    part_name = f"part-{h.hexdigest()[:20]}.parquet"
+
+    ddir = shard_data_dir(out_dir, shard_id)
+    os.makedirs(ddir, exist_ok=True)
+    dpath = os.path.join(ddir, part_name)
+    tmp = dpath + f".tmp-{os.getpid()}"
     pq.write_table(table, tmp)
     os.replace(tmp, dpath)
 
-    record = build_lineage_record(shard_id, table, wall_ms)
-    tmp = lpath + ".tmp"
+    rec = part_counters(table)
+    rec["shard_id"] = shard_id
+    rec["part"] = part_name
+
+    # Record the part summary under pending/ (atomic) so completeness is
+    # checkable mid-run.
+    pdir = pending_dir(out_dir, shard_id)
+    os.makedirs(pdir, exist_ok=True)
+    spath = os.path.join(pdir, part_name.replace(".parquet", ".json"))
+    tmp = spath + f".tmp-{os.getpid()}"
+    with open(tmp, "w", encoding="utf-8") as f:
+        json.dump(rec, f, sort_keys=True)
+    os.replace(tmp, spath)
+    return rec
+
+
+def load_pending(out_dir: str, shard_id: int) -> list:
+    pdir = pending_dir(out_dir, shard_id)
+    if not os.path.isdir(pdir):
+        return []
+    out = []
+    for name in sorted(os.listdir(pdir)):
+        if not name.endswith(".json"):
+            continue
+        try:
+            with open(os.path.join(pdir, name), encoding="utf-8") as f:
+                out.append(json.load(f))
+        except (OSError, json.JSONDecodeError):
+            continue  # torn write; the data part exists but isn't countable yet
+    return out
+
+
+def try_commit_shard(out_dir: str, shard_id: int, expected_rows: int) -> Dict[str, Any] | None:
+    """Commit the shard's manifest iff all expected rows' parts are visible.
+
+    Safe under concurrent writers: only the writer that observes the complete
+    set commits; racing double-commits write identical content (sorted part
+    list over the same complete set)."""
+    pend = load_pending(out_dir, shard_id)
+    if sum(r["n_docs"] for r in pend) != expected_rows:
+        return None
+    return commit_shard_manifest(out_dir, shard_id, pend)
+
+
+def purge_shard(out_dir: str, shard_id: int) -> None:
+    """Remove a shard's data parts, pending summaries and manifest — used
+    before re-processing an incomplete shard so stale parts from a crashed
+    attempt can never mix into the new attempt's completeness count."""
+    import shutil
+
+    for path in (shard_data_dir(out_dir, shard_id), pending_dir(out_dir, shard_id)):
+        shutil.rmtree(path, ignore_errors=True)
+    try:
+        os.remove(manifest_path(out_dir, shard_id))
+    except OSError:
+        pass
+
+
+def commit_shard_manifest(out_dir: str, shard_id: int, part_records: list) -> Dict[str, Any]:
+    """Write the shard manifest AFTER all its parts exist (the commit point)."""
+    parts = sorted({r["part"] for r in part_records})
+    acc = 0
+    record = {
+        "version": LINEAGE_VERSION,
+        "shard_id": shard_id,
+        "parts": parts,
+        "n_docs": 0,
+        "n_pages": 0,
+        "n_pages_ok": 0,
+        "parse_failures": 0,
+        "empty_extractions": 0,
+        "truncations": 0,
+        "status": "ok",
+    }
+    for r in part_records:
+        record["n_docs"] += r["n_docs"]
+        record["n_pages"] += r["n_pages"]
+        record["n_pages_ok"] += r["n_pages_ok"]
+        record["parse_failures"] += r["parse_failures"]
+        record["empty_extractions"] += r["empty_extractions"]
+        record["truncations"] += r["truncations"]
+        acc ^= int(r["content_hash"], 16)
+    record["content_hash"] = f"{acc:016x}"
+
+    lpath = manifest_path(out_dir, shard_id)
+    os.makedirs(os.path.dirname(lpath), exist_ok=True)
+    tmp = lpath + f".tmp-{os.getpid()}"
     with open(tmp, "w", encoding="utf-8") as f:
         json.dump(record, f, sort_keys=True)
     os.replace(tmp, lpath)
@@ -119,22 +240,45 @@ def load_lineage(out_dir: str) -> List[Dict[str, Any]]:
 
 
 def completed_shards(out_dir: str, validate_data: bool = True) -> Set[int]:
-    """Shard ids whose lineage record is valid AND whose data file exists with
-    the recorded row count (guards against a crash that removed/corrupted the
-    data after lineage was read in a previous resume)."""
+    """Shard ids whose manifest is valid AND whose listed parts all exist with
+    the recorded total row count (guards against data removed/corrupted after
+    the manifest was committed)."""
     done: Set[int] = set()
     for rec in load_lineage(out_dir):
         sid = rec["shard_id"]
-        dpath, _ = shard_paths(out_dir, sid)
         if validate_data:
-            try:
-                meta = pq.ParquetFile(dpath).metadata
-            except (OSError, pa.ArrowInvalid):
-                continue
-            if meta.num_rows != rec["n_docs"]:
+            ddir = shard_data_dir(out_dir, sid)
+            n = 0
+            ok = True
+            for part in rec.get("parts", []):
+                try:
+                    n += pq.ParquetFile(os.path.join(ddir, part)).metadata.num_rows
+                except (OSError, pa.ArrowInvalid):
+                    ok = False
+                    break
+            if not ok or n != rec["n_docs"]:
                 continue
         done.add(sid)
     return done
+
+
+def read_shard(out_dir: str, shard_id: int) -> pa.Table:
+    """Read a shard's rows via its manifest (ignores orphan parts)."""
+    rec_by_id = {r["shard_id"]: r for r in load_lineage(out_dir)}
+    rec = rec_by_id[shard_id]
+    ddir = shard_data_dir(out_dir, shard_id)
+    tables = [pq.read_table(os.path.join(ddir, p)) for p in rec["parts"]]
+    return pa.concat_tables(tables) if tables else pa.table({})
+
+
+def read_all(out_dir: str) -> pa.Table:
+    """Read every committed shard's rows (manifest-listed parts only)."""
+    tables = []
+    for rec in load_lineage(out_dir):
+        ddir = shard_data_dir(out_dir, rec["shard_id"])
+        for p in rec["parts"]:
+            tables.append(pq.read_table(os.path.join(ddir, p)))
+    return pa.concat_tables(tables) if tables else pa.table({})
 
 
 def summarize(records: List[Dict[str, Any]]) -> Dict[str, Any]:

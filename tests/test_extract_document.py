@@ -21,7 +21,7 @@ from service1_text_extraction_ray.functions.synth import (
 )
 
 GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "golden")
-CFG = ExtractConfig(n_shards=16)
+CFG = ExtractConfig()
 
 
 def rng():

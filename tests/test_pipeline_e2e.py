@@ -20,7 +20,7 @@ from service1_text_extraction_ray.pipelines.extract_pipeline import (
 from service1_text_extraction_ray.state import lineage as lin
 
 N_ROWS = 400
-CFG = ExtractConfig(n_shards=8)
+CFG = ExtractConfig()
 
 
 @pytest.fixture(scope="module")
@@ -37,8 +37,8 @@ def oracle_results():
 
 
 def read_output(out_dir: str) -> pa.Table:
-    files = sorted(glob.glob(os.path.join(out_dir, "data", "*.parquet")))
-    return pa.concat_tables([pq.read_table(f) for f in files])
+    # Manifest-driven read: only parts listed in committed shard manifests.
+    return lin.read_all(out_dir)
 
 
 def assert_matches_oracle(table: pa.Table, oracle: dict):
@@ -78,7 +78,8 @@ def test_parallelism_levels_byte_identical(ray_session, corpus_dir, oracle_resul
     t1, t2 = read_output(out1), read_output(out2)
     assert_matches_oracle(t1, oracle_results)
     assert_matches_oracle(t2, oracle_results)
-    # Shard files are byte-stable: same sorted (url, doc_text) sequences.
+    # Row-level byte stability across pool sizes (file/part layout may vary
+    # with block composition; the manifest-read row set must not).
     assert t1.sort_by("url").equals(t2.sort_by("url"))
 
 
@@ -86,26 +87,26 @@ def test_resume_skips_completed_shards(ray_session, corpus_dir, oracle_results, 
     out_full = str(tmp_path / "full")
     run_extraction_job(corpus_dir, out_full, CFG)
 
-    # Simulate a crash: keep only 3 completed shards (+ one torn write: data
-    # file without lineage must be re-processed).
+    # Simulate a crash: keep only 2 completed shards (+ one torn shard: data
+    # parts without a manifest must be re-processed).
     out_part = str(tmp_path / "partial")
-    os.makedirs(os.path.join(out_part, "data"))
     os.makedirs(os.path.join(out_part, "lineage"))
     done = sorted(lin.completed_shards(out_full))
-    keep = done[:3]
+    n_shards_total = len(done)
+    assert n_shards_total == 4  # one shard per input file (400 rows / 100)
+    keep = done[:2]
     for sid in keep:
-        d, l = lin.shard_paths(out_full, sid)
-        shutil.copy(d, lin.shard_paths(out_part, sid)[0])
-        shutil.copy(l, lin.shard_paths(out_part, sid)[1])
-    torn = done[3]
-    shutil.copy(lin.shard_paths(out_full, torn)[0], lin.shard_paths(out_part, torn)[0])
-    # no lineage for `torn` -> incomplete
+        shutil.copytree(lin.shard_data_dir(out_full, sid), lin.shard_data_dir(out_part, sid))
+        shutil.copy(lin.manifest_path(out_full, sid), lin.manifest_path(out_part, sid))
+    torn = done[2]
+    shutil.copytree(lin.shard_data_dir(out_full, torn), lin.shard_data_dir(out_part, torn))
+    # no manifest for `torn` -> incomplete (its orphan parts must be ignored)
 
     assert lin.completed_shards(out_part) == set(keep)
 
     summary = run_extraction_job(corpus_dir, out_part, CFG, resume=True)
-    assert summary["resumed_shards_skipped"] == 3
-    assert summary["new_shards_written"] == CFG.n_shards - 3
+    assert summary["resumed_shards_skipped"] == 2
+    assert summary["new_shards_written"] == n_shards_total - 2
     assert summary["n_docs"] == N_ROWS
     # Final output identical to the uninterrupted run.
     full = read_output(out_full).sort_by("url")
@@ -118,10 +119,19 @@ def test_lineage_validation_rejects_row_count_mismatch(ray_session, corpus_dir, 
     run_extraction_job(corpus_dir, out, CFG)
     done = sorted(lin.completed_shards(out))
     victim = done[0]
-    dpath, _ = lin.shard_paths(out, victim)
+    rec = {r["shard_id"]: r for r in lin.load_lineage(out)}[victim]
+    dpath = os.path.join(lin.shard_data_dir(out, victim), rec["parts"][0])
     t = pq.read_table(dpath)
     pq.write_table(t.slice(0, max(0, t.num_rows - 1)), dpath)  # corrupt: drop a row
     assert victim not in lin.completed_shards(out)
+
+
+def test_rerun_without_resume_is_deterministic(ray_session, corpus_dir, tmp_path):
+    out = str(tmp_path / "rerun")
+    s1 = run_extraction_job(corpus_dir, out, CFG)
+    s2 = run_extraction_job(corpus_dir, out, CFG)  # fresh overwrite
+    assert s1["content_hash"] == s2["content_hash"]
+    assert s2["n_docs"] == N_ROWS
 
 
 def test_pages_dataset_explosion(ray_session, corpus_dir, oracle_results):
@@ -153,3 +163,55 @@ def test_extract_dataset_streaming_no_write(ray_session, corpus_dir):
         n += b.num_rows
         assert b.schema.field("doc_text").type == pa.string()
     assert n == N_ROWS
+
+
+def test_kill_and_resume_preserves_completed_shards(corpus_dir, tmp_path):
+    """True crash test (FIXTURES.md §4 item 4): SIGKILL the job after the
+    first incremental manifest commit; resume must skip the committed shards
+    and converge to the same final output. Runs the job CLI in subprocesses
+    with their own Ray sessions (slow path, but the only honest kill test)."""
+    import json
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    out = str(tmp_path / "killed")
+    cmd = [
+        sys.executable, "-m", "service1_text_extraction_ray.pipelines.job",
+        "--input", corpus_dir, "--output", out, "--num-cpus", "2",
+    ]
+    env = dict(os.environ, RAY_ADDRESS="local")
+    proc = subprocess.Popen(cmd, env=env, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL)
+    deadline = time.time() + 120
+    killed = False
+    try:
+        while time.time() < deadline:
+            if lin.completed_shards(out, validate_data=False):
+                proc.send_signal(signal.SIGKILL)
+                killed = True
+                break
+            if proc.poll() is not None:
+                break  # finished before we could kill — still a valid run
+            time.sleep(0.2)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+        proc.wait()
+
+    done_after_kill = lin.completed_shards(out)
+
+    res = subprocess.run(cmd + ["--resume"], env=env, capture_output=True, text=True, check=True)
+    summary = json.loads(res.stdout.strip().splitlines()[-1])
+    assert summary["n_docs"] == N_ROWS
+    if killed and done_after_kill:
+        assert summary["resumed_shards_skipped"] == len(done_after_kill)
+    # Converged output matches a clean full run, row for row.
+    clean = str(tmp_path / "clean")
+    subprocess.run(
+        [sys.executable, "-m", "service1_text_extraction_ray.pipelines.job",
+         "--input", corpus_dir, "--output", clean, "--num-cpus", "2"],
+        env=env, capture_output=True, check=True)
+    a = read_output(out).sort_by("url")
+    b = read_output(clean).sort_by("url")
+    assert a.equals(b)

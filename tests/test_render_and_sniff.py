@@ -83,13 +83,27 @@ class TestSniff:
                 "html": pa.array(payloads, pa.binary()),
             }
         )
-        out = sniff_table(t, n_shards=8, size_bucket_edges=(4, 8))
+        paths = ["/in/a.parquet"] * 4 + ["/in/b.parquet"] * 5
+        t = t.append_column("path", pa.array(paths, pa.string()))
+        out = sniff_table(t, size_bucket_edges=(4, 8))
         got = out["content_kind"].to_pylist()
         want = [sniff_payload(p) for p in payloads]
         assert got == want
-        # shard ids deterministic and in range
+        # shard = input file (deterministic per basename); path column dropped
         sids = out["shard_id"].to_pylist()
-        assert sids == [stable_shard_id(u, 8) for u in urls]
-        assert all(0 <= s < 8 for s in sids)
+        assert sids == [stable_shard_id(p) for p in paths]
+        assert len(set(sids)) == 2
+        assert "path" not in out.column_names
         # payload_len null-safe
         assert out["payload_len"].to_pylist()[6] == 0
+
+    def test_sniff_fallback_without_path(self):
+        t = pa.table(
+            {
+                "url": pa.array(["https://e/1", "https://e/2"], pa.string()),
+                "html": pa.array([b"<p>", b"%PDF-1.4"], pa.binary()),
+            }
+        )
+        out = sniff_table(t, size_bucket_edges=(4, 8))
+        assert out["content_kind"].to_pylist() == ["html", "pdf"]
+        assert all(0 <= s < 256 for s in out["shard_id"].to_pylist())
