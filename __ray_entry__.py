@@ -50,14 +50,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_chunk_counts": Q.q_doc_chunk_counts,
         "doc_clean_unicode": Q.q_doc_clean_unicode,
         "language_id": Q.q_language_id,
+        "doc_extract_numbers": Q.q_doc_extract_numbers,
+        "doc_strip_headers": Q.q_doc_strip_headers,
+        "doc_shingle_stats": Q.q_doc_shingle_stats,
         # --- deduplication ---
         "dedup_exact": Q.q_dedup_exact,
         "dedup_minhash_lsh": Q.q_dedup_minhash_lsh,
         "dedup_simhash": Q.q_dedup_simhash,
+        "dedup_embedding": Q.q_dedup_embedding,
         "doc_fingerprints": Q.q_doc_fingerprints,
         # --- similarity search ---
         "knn_cosine": Q.q_knn_cosine,
         "ann_lsh": Q.q_ann_lsh,
+        "ann_ivf": Q.q_ann_ivf,
         "embedding_label_stats": Q.q_embedding_label_stats,
         # --- multimodal plumbing (stub decoder) ---
         "media_features": Q.q_media_features,
@@ -83,7 +88,11 @@ def oracle_sql() -> dict[str, str]:
         "doc_stopword_counts": Q.SQL_DOC_STOPWORD_COUNTS,
         "lang_distribution": Q.SQL_LANG_DISTRIBUTION,
         "doc_normalize_ws": Q.SQL_DOC_NORMALIZE_WS,
+        "doc_extract_numbers": Q.SQL_DOC_EXTRACT_NUMBERS,
+        "doc_strip_headers": Q.SQL_DOC_STRIP_HEADERS,
+        "doc_shingle_stats": Q.SQL_DOC_SHINGLE_STATS,
         "dedup_exact": Q.SQL_DEDUP_EXACT,
+        "dedup_embedding": Q.SQL_DEDUP_EMBEDDING,
         "knn_cosine": Q.sql_knn_cosine(),
         "embedding_label_stats": Q.SQL_EMBEDDING_LABEL_STATS,
         "pricing_summary": R.SQL_PRICING_SUMMARY,

@@ -32,7 +32,14 @@ import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
-from ..functions.quality import chunk_text, clean_unicode, normalize_whitespace
+from ..functions.quality import (
+    chunk_text,
+    clean_unicode,
+    extract_dates,
+    extract_numbers,
+    normalize_whitespace,
+    remove_page_headers_footers,
+)
 from ..functions.render import recreate_text_with_layout
 from ..sources.pages_source import documents_to_pages
 from .extract_pipeline import extract_dataset, extract_pages_dataset, _prepare_session
@@ -292,6 +299,98 @@ def q_language_id(sf_dir: str) -> rd.Dataset:
         return out
 
     return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(f, batch_format="pandas")
+
+
+def q_doc_extract_numbers(sf_dir: str) -> rd.Dataset:
+    """extract_numbers / extract_dates (reference P11, text_utils.py:119-140)
+    as a distributed operator: per-doc match counts (ints -> exact oracle).
+
+    Both sides scan the same RE2/`re`-compatible patterns over pure-ASCII
+    text, so Python-`re` vs DuckDB-RE2 word-boundary semantics agree.
+    """
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        text = df["text"].fillna("")
+        out = pd.DataFrame()
+        out["doc_id"] = df["doc_id"]
+        out["n_numbers"] = text.map(lambda t: len(extract_numbers(t))).astype("int64")
+        out["n_dates"] = text.map(lambda t: len(extract_dates(t))).astype("int64")
+        return out
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(f, batch_format="pandas")
+
+
+_SQL_MONTHS = "Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec"
+SQL_DOC_EXTRACT_NUMBERS = f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '\\b\\d{{1,3}}(?:,\\d{{3}})*(?:\\.\\d{{1,2}})?\\b')) AS BIGINT) AS n_numbers,
+       CAST(len(regexp_extract_all(text, '(?i)\\b\\d{{1,2}}\\s+(?:{_SQL_MONTHS})\\w*\\s+\\d{{4}}\\b'))
+          + len(regexp_extract_all(text, '(?i)\\b(?:{_SQL_MONTHS})\\w*\\s+\\d{{1,2}},?\\s+\\d{{4}}\\b'))
+          + len(regexp_extract_all(text, '\\b\\d{{4}}-\\d{{2}}-\\d{{2}}\\b'))
+          + len(regexp_extract_all(text, '\\b\\d{{1,2}}/\\d{{1,2}}/\\d{{4}}\\b'))
+          + len(regexp_extract_all(text, '\\b\\d{{1,2}}\\.\\d{{1,2}}\\.\\d{{4}}\\b')) AS BIGINT) AS n_dates
+FROM documents
+"""
+
+
+def q_doc_strip_headers(sf_dir: str) -> rd.Dataset:
+    """remove_page_headers_footers (reference P13, text_utils.py:149-166) as a
+    distributed operator over the documents table."""
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame()
+        out["doc_id"] = df["doc_id"]
+        out["stripped_text"] = df["text"].fillna("").map(remove_page_headers_footers)
+        return out
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(f, batch_format="pandas")
+
+
+SQL_DOC_STRIP_HEADERS = """
+SELECT doc_id,
+       array_to_string(
+         list_filter(
+           list_transform(str_split(text, chr(10)), x -> trim(x, ' ' || chr(9) || chr(13))),
+           x -> NOT (regexp_matches(x, '(?i)^Page [0-9]+$')
+                     OR regexp_matches(x, '^[0-9]+$')
+                     OR length(x) < 3
+                     OR regexp_matches(x, '^-+$'))),
+         chr(10)) AS stripped_text
+FROM documents
+"""
+
+
+def q_doc_shingle_stats(sf_dir: str) -> rd.Dataset:
+    """Per-doc distinct word-3-gram (shingle) counts — the exact-checkable
+    core of n-gram Jaccard dedup (pairwise Jaccard over these sets is
+    pytest-verified in the MinHash suite; this query oracle-checks the
+    shingling itself)."""
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame()
+        out["doc_id"] = df["doc_id"]
+        out["n_shingles"] = (
+            df["text"].fillna("").map(lambda t: len(_shingles(t))).astype("int64")
+        )
+        return out
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(f, batch_format="pandas")
+
+
+SQL_DOC_SHINGLE_STATS = """
+WITH tok AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS w
+  FROM documents
+)
+SELECT doc_id,
+       CAST(CASE
+         WHEN len(w) = 0 THEN 0
+         WHEN len(w) < 3 THEN 1
+         ELSE len(list_distinct(list_transform(range(1, len(w) - 1),
+                                               i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])))
+       END AS BIGINT) AS n_shingles
+FROM tok
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -574,6 +673,131 @@ def q_ann_lsh(sf_dir: str) -> pd.DataFrame:
         .to_pandas()
     )
     if len(partials) == 0 or "sim" not in partials.columns:
+        return pd.DataFrame({"vec_id": pd.Series([], dtype="int64")})
+    top = partials.nlargest(min(KNN_K, len(partials)), "sim")
+    return pd.DataFrame({"vec_id": top["vec_id"].astype("int64").to_numpy()})
+
+
+NEAR_DUP_SIM = 0.4  # chosen in a wide empirical gap of the synthetic corpus
+                    # (nearest attained sim is >=1e-5 away at every sf, so
+                    # float64 accumulation-order noise (~1e-15) cannot flip
+                    # membership vs the DuckDB oracle)
+
+
+def q_dedup_embedding(sf_dir: str) -> rd.Dataset:
+    """Embedding-cosine near-dup: emit all (a < b) pairs with cosine
+    similarity >= NEAR_DUP_SIM.
+
+    Exact brute force via broadcast: the normalized matrix is ray.put once
+    and read per batch; each batch does one numpy matmul against it (a
+    block-nested-loop similarity join — no shuffle). Scale path at 10^9
+    vectors: LSH-bucket both sides first (q_ann_lsh's signature scheme) and
+    run this same pairs kernel per bucket, trading exactness for the banding
+    guarantee; here the exact variant is what the SQL oracle can check.
+    """
+    ref_df = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).to_pandas()
+    ids_all = ref_df["vec_id"].to_numpy().astype(np.int64)
+    mat_all = np.stack(ref_df["embedding"].to_numpy()).astype(np.float64)
+    nrm = np.linalg.norm(mat_all, axis=1)
+    nrm[nrm == 0] = 1.0
+    ref = ray.put((ids_all, mat_all / nrm[:, None]))
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        ids_r, mn_r = ray.get(ref)
+        ids_b = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mat = np.stack(batch["embedding"].to_pandas().to_numpy()).astype(np.float64)
+        n = np.linalg.norm(mat, axis=1)
+        n[n == 0] = 1.0
+        sims = (mat / n[:, None]) @ mn_r.T
+        bi, rj = np.nonzero(sims >= NEAR_DUP_SIM)
+        a, b = ids_b[bi], ids_r[rj]
+        keep = a < b
+        return pa.table({"vec_id_a": pa.array(a[keep], pa.int64()),
+                         "vec_id_b": pa.array(b[keep], pa.int64())})
+
+    return (
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+        .map_batches(pairs, batch_format="pyarrow")
+    )
+
+
+SQL_DEDUP_EMBEDDING = f"""
+SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= {NEAR_DUP_SIM}
+"""
+
+
+IVF_N_CENTROIDS = 16
+IVF_NPROBE = 8  # high-dim gaussian corpora spread true neighbors widely; half
+                # the lists probed still demonstrates the pruning structure
+IVF_KMEANS_ITERS = 10
+IVF_SAMPLE = 1024
+
+
+def q_ann_ivf(sf_dir: str) -> pd.DataFrame:
+    """IVF approximate NN (the coarse-quantizer scale path next to q_ann_lsh):
+    spherical k-means centroids fit on a deterministic driver-side sample,
+    broadcast; each batch assigns its vectors to the nearest centroid and
+    scores only vectors whose list is among the query's IVF_NPROBE probed
+    lists. At 10^9 vectors the assignment becomes a partitioning key (one
+    shuffle, lists stored clustered); here it is a per-batch filter. Rows-only
+    driver check; recall vs brute force is pytest-verified."""
+    sample = (
+        _read(sf_dir, "embeddings", ["embedding"]).limit(IVF_SAMPLE).to_pandas()
+    )
+    smat = np.stack(sample["embedding"].to_numpy()).astype(np.float64)
+    snrm = np.linalg.norm(smat, axis=1)
+    snrm[snrm == 0] = 1.0
+    smat = smat / snrm[:, None]
+
+    rs = np.random.RandomState(KNN_SEED + 2)
+    k = min(IVF_N_CENTROIDS, len(smat))
+    cent = smat[rs.choice(len(smat), size=k, replace=False)].copy()
+    for _ in range(IVF_KMEANS_ITERS):  # Lloyd iterations, cosine metric
+        assign = np.argmax(smat @ cent.T, axis=1)
+        for c in range(k):
+            members = smat[assign == c]
+            if len(members):
+                m = members.sum(axis=0)
+                norm = np.linalg.norm(m)
+                if norm > 0:
+                    cent[c] = m / norm
+
+    qv = _query_vector()
+    qn = qv / np.linalg.norm(qv)
+    probe = set(np.argsort(-(cent @ qn))[: min(IVF_NPROBE, k)].tolist())
+    cent_ref = ray.put(cent)
+    probe_ref = ray.put(probe)
+    qref = ray.put(qn)
+
+    def list_topk(batch: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        pr = ray.get(probe_ref)
+        q = ray.get(qref)
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        mat = np.stack(batch["embedding"].to_pandas().to_numpy()).astype(np.float64)
+        n = np.linalg.norm(mat, axis=1)
+        n[n == 0] = 1.0
+        mn = mat / n[:, None]
+        assign = np.argmax(mn @ c.T, axis=1)
+        mask = np.isin(assign, list(pr))
+        if not mask.any():
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "sim": pa.array([], pa.float64())})
+        sims = mn[mask] @ q
+        kk = min(KNN_K, len(sims))
+        idx = np.argsort(-sims)[:kk]
+        return pa.table({"vec_id": pa.array(ids[mask][idx], pa.int64()),
+                         "sim": pa.array(sims[idx], pa.float64())})
+
+    partials = (
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+        .map_batches(list_topk, batch_format="pyarrow")
+        .to_pandas()
+    )
+    if len(partials) == 0:
         return pd.DataFrame({"vec_id": pd.Series([], dtype="int64")})
     top = partials.nlargest(min(KNN_K, len(partials)), "sim")
     return pd.DataFrame({"vec_id": top["vec_id"].astype("int64").to_numpy()})

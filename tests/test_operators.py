@@ -159,3 +159,110 @@ class TestMultimodal:
         rows = out.to_pylist()
         assert rows[0]["decode_ok"] is True
         assert rows[2]["decode_ok"] is False  # None payload -> isolated failure
+
+
+def _write_embeddings(tmp_path, vecs):
+    import pyarrow.parquet as pq
+
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(len(vecs)), pa.int64()),
+            "embedding": pa.array([v.tolist() for v in vecs], pa.list_(pa.float32())),
+            "label": pa.array([0] * len(vecs), pa.int32()),
+        }
+    )
+    d = tmp_path / "sf"
+    d.mkdir(exist_ok=True)
+    pq.write_table(t, str(d / "embeddings.parquet"))
+    return str(d)
+
+
+class TestIvfAnn:
+    def test_ivf_recall_on_planted_cluster(self, ray_session, tmp_path):
+        """The planted near-query vectors form a tight cluster the coarse
+        quantizer isolates, so probing IVF_NPROBE lists recovers them."""
+        from service1_text_extraction_ray.pipelines.queries import q_ann_ivf, q_knn_cosine
+
+        rs = np.random.RandomState(11)
+        q = _query_vector()
+        vecs = rs.standard_normal((400, 64)).astype(np.float32)
+        for i in range(10):
+            vecs[i] = (q + rs.standard_normal(64) * 0.05).astype(np.float32)
+        d = _write_embeddings(tmp_path, vecs)
+
+        exact = set(q_knn_cosine(d)["vec_id"])
+        approx = set(q_ann_ivf(d)["vec_id"])
+        assert exact == set(range(10))
+        assert len(exact & approx) / len(exact) >= 0.8
+
+    def test_ivf_deterministic(self, ray_session, tmp_path):
+        from service1_text_extraction_ray.pipelines.queries import q_ann_ivf
+
+        rs = np.random.RandomState(12)
+        d = _write_embeddings(tmp_path, rs.standard_normal((300, 64)).astype(np.float32))
+        a = q_ann_ivf(d)["vec_id"].tolist()
+        b = q_ann_ivf(d)["vec_id"].tolist()
+        assert a == b
+
+
+class TestEmbeddingNearDup:
+    def test_planted_near_dups_found(self, ray_session, tmp_path):
+        from service1_text_extraction_ray.pipelines.queries import q_dedup_embedding
+
+        rs = np.random.RandomState(13)
+        vecs = rs.standard_normal((200, 64)).astype(np.float32)
+        # make 1 a near-copy of 0, and 3 an exact copy of 2
+        vecs[1] = vecs[0] + rs.standard_normal(64).astype(np.float32) * 0.01
+        vecs[3] = vecs[2]
+        d = _write_embeddings(tmp_path, vecs)
+
+        pairs = q_dedup_embedding(d).to_pandas()
+        got = {tuple(p) for p in pairs[["vec_id_a", "vec_id_b"]].itertuples(index=False)}
+        assert (0, 1) in got
+        assert (2, 3) in got
+        # unrelated gaussian pairs sit far below the 0.4 threshold in 64-dim
+        assert all(a < b for a, b in got)
+
+
+class TestScalarExtractorQueries:
+    def _docs(self, tmp_path, texts):
+        import pyarrow.parquet as pq
+
+        t = pa.Table.from_pylist(
+            [{"doc_id": i, "text": s, "lang": "en"} for i, s in enumerate(texts)]
+        )
+        d = tmp_path / "sf"
+        d.mkdir(exist_ok=True)
+        pq.write_table(t, str(d / "documents.parquet"))
+        return str(d)
+
+    def test_extract_numbers_and_dates_counts(self, ray_session, tmp_path):
+        from service1_text_extraction_ray.pipelines.queries import q_doc_extract_numbers
+
+        d = self._docs(
+            tmp_path,
+            ["Paid 1,234.56 on 2021-03-04 and 5 Jan 2022.", "no digits here", ""],
+        )
+        out = q_doc_extract_numbers(d).to_pandas().sort_values("doc_id")
+        # "1,234.56", "5", plus digit runs inside the two date strings
+        assert out["n_dates"].tolist() == [2, 0, 0]
+        assert out["n_numbers"].tolist()[1:] == [0, 0]
+        assert out["n_numbers"].tolist()[0] >= 2
+
+    def test_strip_headers_matches_pure_fn(self, ray_session, tmp_path):
+        from service1_text_extraction_ray.functions.quality import remove_page_headers_footers
+        from service1_text_extraction_ray.pipelines.queries import q_doc_strip_headers
+
+        texts = ["Page 1\nreal content line\n42\n---\nab\nmore text here"]
+        d = self._docs(tmp_path, texts)
+        out = q_doc_strip_headers(d).to_pandas()
+        assert out["stripped_text"].tolist() == [remove_page_headers_footers(texts[0])]
+        assert out["stripped_text"].iloc[0] == "real content line\nmore text here"
+
+    def test_shingle_stats(self, ray_session, tmp_path):
+        from service1_text_extraction_ray.pipelines.queries import q_doc_shingle_stats
+
+        d = self._docs(tmp_path, ["a b c d", "a b", "", "x x x x x"])
+        out = q_doc_shingle_stats(d).to_pandas().sort_values("doc_id")
+        # "a b c d" -> {"a b c","b c d"}; "a b" -> 1 (short); "" -> 0; repeated -> 1 distinct
+        assert out["n_shingles"].tolist() == [2, 1, 0, 1]
