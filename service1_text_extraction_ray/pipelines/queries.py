@@ -114,6 +114,32 @@ def q_extract_layout_text(sf_dir: str) -> rd.Dataset:
     return pages.map_batches(recreate, batch_format="pyarrow")
 
 
+def q_layout_stats(sf_dir: str) -> rd.Dataset:
+    """Per-page layout-tree stats parsed from the ``layout_json`` column with
+    the robust JSON suite (reference P16, backend/core/json_utils.py —
+    see functions/json_utils.py). Page-grain, no shuffle; rows-only check."""
+    from ..functions.json_utils import safe_json_loads
+
+    def stats(batch: pa.Table) -> pa.Table:
+        n_blocks, n_lines, n_spans = [], [], []
+        for lj in batch["layout_json"].to_pylist():
+            layout = safe_json_loads(lj) if lj else {}
+            blocks = layout.get("blocks", []) if isinstance(layout, dict) else []
+            lines = [l for b in blocks for l in b.get("lines", [])]
+            n_blocks.append(len(blocks))
+            n_lines.append(len(lines))
+            n_spans.append(sum(len(l.get("spans", [])) for l in lines))
+        return pa.Table.from_arrays(
+            [batch["url"], batch["page"],
+             pa.array(n_blocks, pa.int64()), pa.array(n_lines, pa.int64()),
+             pa.array(n_spans, pa.int64())],
+            names=["url", "page", "n_blocks", "n_lines", "n_spans"],
+        )
+
+    pages = extract_pages_dataset(documents_to_pages(sf_dir))
+    return pages.map_batches(stats, batch_format="pyarrow")
+
+
 def q_extract_summary(sf_dir: str) -> rd.Dataset:
     """Counter roll-up by content kind and status (grouped aggregate over the
     extraction output — the reference's G1/G2/G4 summaries)."""
