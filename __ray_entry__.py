@@ -78,6 +78,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_parts_per_flag": R.q_distinct_parts_per_flag,
         "events_hourly": R.q_events_hourly,
         "events_sessionize": R.q_events_sessionize,
+        "events_asof_orders": R.q_events_asof_orders,
         "user_event_type_matrix": R.q_user_event_type_matrix,
     }
 
@@ -106,5 +107,6 @@ def oracle_sql() -> dict[str, str]:
         "distinct_parts_per_flag": R.SQL_DISTINCT_PARTS_PER_FLAG,
         "events_hourly": R.SQL_EVENTS_HOURLY,
         "events_sessionize": R.SQL_EVENTS_SESSIONIZE,
+        "events_asof_orders": R.SQL_EVENTS_ASOF_ORDERS,
         "user_event_type_matrix": R.SQL_USER_EVENT_TYPE_MATRIX,
     }

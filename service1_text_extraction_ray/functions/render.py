@@ -44,6 +44,16 @@ def combine_pages(pages: Iterable[Tuple[int, str]]) -> str:
     return combined.strip()
 
 
+def combine_pages_title_case(pages: Iterable[Tuple[int, str]]) -> str:
+    """The PDFService combine variant (reference P14, pdf_service.py:111-124):
+    ``--- Page N ---`` markers (title case, NOT the batch path's ``PAGE``) and
+    no empty-page skip — every page contributes a marker."""
+    combined = ""
+    for page_num, text in pages:
+        combined += f"\n--- Page {page_num} ---\n{text}\n"
+    return combined.strip()
+
+
 def layout_markdown(page_num: int, layout: Dict[str, Any]) -> str:
     """Layout JSON fenced in a markdown code block (core_pdf_processor.py:671-683)."""
     return (

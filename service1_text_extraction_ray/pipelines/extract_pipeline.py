@@ -58,8 +58,12 @@ from ..state import lineage as lin
 INPUT_COLUMNS = ["url", "warc_ts", "html", "lang"]
 
 # Parse-stage sizing: per-doc cost variance is huge (1-page HTML vs 8-page
-# PDF vs truncated giant), so keep batches small (SURVEY.md §4.2 item 2).
-PARSE_BATCH_SIZE = 32
+# PDF vs truncated giant), so batches stay small relative to block size
+# (SURVEY.md §4.2 item 2) — but not tiny: measured on the 50k-doc probe
+# corpus, batch 128 beats 32 by ~15% at both 8 and 32 CPUs (per-batch Arrow
+# slice/emit overhead dominates below ~100 docs), while 256 regresses the
+# tail (giant-blob co-travel). 128 docs x ~15 KiB payload keeps batches ~2 MiB.
+PARSE_BATCH_SIZE = 128
 
 
 def read_pages(input_path: str | list) -> rd.Dataset:
@@ -68,10 +72,12 @@ def read_pages(input_path: str | list) -> rd.Dataset:
     return rd.read_parquet(input_path, columns=INPUT_COLUMNS, include_paths=True)
 
 
-def list_input_files(input_path: str) -> list:
+def list_input_files(input_path: str | list) -> list:
     """Deterministic (sorted) list of input parquet files."""
     import os
 
+    if isinstance(input_path, (list, tuple)):
+        return sorted(input_path)
     if os.path.isfile(input_path):
         return [input_path]
     return sorted(
@@ -107,7 +113,11 @@ def extract_dataset(
         # Autoscaling actor pool sized to the cluster. min = ncpu/2 so the
         # pool ramps fast (autoscaling from 1 loses seconds of parallelism on
         # every job start); max = ncpu-1 leaves headroom for the read and
-        # write stages so the pipeline never serializes on one pool.
+        # write stages so the pipeline never serializes on one pool. A
+        # pre-sized (ncpu-4, ncpu-1) pool was measured cold and is NOT
+        # better (simultaneous actor spawn pays one import storm); pools of
+        # ncpu-1..ncpu starve the read/write task pools and collapse
+        # throughput ~40%.
         import ray
 
         ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8

@@ -386,6 +386,78 @@ GROUP BY user_id
 """
 
 
+def q_events_asof_orders(sf_dir: str) -> rd.Dataset:
+    """As-of join: each event matched to the user's most recent order at or
+    before the event time (a custom wide operator Ray Data lacks — SURVEY.md
+    §2.9 / the engine's windowed-operator family).
+
+    Distributed shape: tag + union both sides into one (key, t, side) stream,
+    co-partition with a single ``groupby(key)`` shuffle, then inside each
+    group sort the order dates once and vectorized-``searchsorted`` every
+    event against them. Partitioning assumption (documented per the custom-
+    operator contract): all rows of one key fit one group task — at 10^12
+    events a hot key needs time-range sub-splitting (salt by coarse time
+    bucket, carry the last order of the previous bucket forward).
+
+    Emits the matched *date*, not an order id: among equal dates the SQL
+    ASOF pick is unspecified, so ids would be nondeterministic; dates make
+    the result exact under the driver's value hash. Inner semantics (events
+    with no prior order are dropped).
+    """
+
+    def tag_events(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [pc.cast(t["user_id"], pa.int64()), t["ts"],
+             pa.nulls(t.num_rows, pa.timestamp("us"))],
+            names=["key", "ts", "order_date"],
+        )
+
+    def tag_orders(t: pa.Table) -> pa.Table:
+        od = pc.cast(t["o_orderdate"], pa.timestamp("us"))
+        return pa.Table.from_arrays(
+            [pc.cast(t["o_custkey"], pa.int64()),
+             pa.nulls(t.num_rows, pa.timestamp("us")), od],
+            names=["key", "ts", "order_date"],
+        )
+
+    def asof(g: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        ev = g[g["ts"].notna()]
+        orders = g["order_date"].dropna().sort_values().to_numpy()
+        if len(ev) == 0 or len(orders) == 0:
+            return pd.DataFrame({"user_id": pd.Series([], dtype="int64"),
+                                 "ts": pd.Series([], dtype="datetime64[ns]"),
+                                 "last_order_date": pd.Series([], dtype="datetime64[ns]")})
+        idx = np.searchsorted(orders, ev["ts"].to_numpy(), side="right") - 1
+        keep = idx >= 0
+        ev = ev[keep]
+        return pd.DataFrame({
+            "user_id": ev["key"].astype("int64").to_numpy(),
+            "ts": ev["ts"].to_numpy(),
+            "last_order_date": orders[idx[keep]],
+        })
+
+    events = _read(sf_dir, "events", ["user_id", "ts"]).map_batches(
+        tag_events, batch_format="pyarrow"
+    )
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"]).map_batches(
+        tag_orders, batch_format="pyarrow"
+    )
+    return (
+        events.union(orders)
+        .groupby("key")
+        .map_groups(asof, batch_format="pandas")
+    )
+
+
+SQL_EVENTS_ASOF_ORDERS = """
+SELECT e.user_id, e.ts, o.o_orderdate AS last_order_date
+FROM events e ASOF JOIN orders o
+  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+"""
+
+
 def q_user_event_type_matrix(sf_dir: str) -> rd.Dataset:
     """Per (user, event_type) counts — the reference's value_counts analogue
     (G4) at event grain."""

@@ -266,3 +266,46 @@ class TestScalarExtractorQueries:
         out = q_doc_shingle_stats(d).to_pandas().sort_values("doc_id")
         # "a b c d" -> {"a b c","b c d"}; "a b" -> 1 (short); "" -> 0; repeated -> 1 distinct
         assert out["n_shingles"].tolist() == [2, 1, 0, 1]
+
+
+class TestAsofJoin:
+    def test_asof_matches_reference_semantics(self, ray_session, tmp_path):
+        """Distributed as-of join vs a straightforward per-row computation."""
+        import pyarrow.parquet as pq
+
+        from service1_text_extraction_ray.pipelines.relational import q_events_asof_orders
+
+        d = tmp_path / "sf"
+        d.mkdir()
+        ev = pa.table({
+            "user_id": pa.array([1, 1, 2, 3], pa.int32()),
+            "ts": pa.array(
+                pd.to_datetime(["2020-06-01", "2020-01-15", "2020-06-01", "2020-06-01"]),
+                pa.timestamp("us"),
+            ),
+            "event_type": pa.array(["a"] * 4),
+            "value": pa.array([1.0] * 4),
+        })
+        orders = pa.table({
+            "o_orderkey": pa.array([10, 11, 12, 13], pa.int64()),
+            "o_custkey": pa.array([1, 1, 2, 2], pa.int32()),
+            "o_orderdate": pa.array(
+                pd.to_datetime(["2020-01-01", "2020-05-01", "2020-07-01", "2019-12-31"]),
+                pa.timestamp("us"),
+            ),
+            "o_totalprice": pa.array([1.0] * 4),
+        })
+        pq.write_table(ev, str(d / "events.parquet"))
+        pq.write_table(orders, str(d / "orders.parquet"))
+
+        out = q_events_asof_orders(str(d)).to_pandas()
+        got = {
+            (int(r.user_id), str(pd.Timestamp(r.ts).date()), str(pd.Timestamp(r.last_order_date).date()))
+            for r in out.itertuples(index=False)
+        }
+        assert got == {
+            (1, "2020-06-01", "2020-05-01"),   # latest of user 1's two orders
+            (1, "2020-01-15", "2020-01-01"),   # earlier event -> earlier order
+            (2, "2020-06-01", "2019-12-31"),   # 2020-07-01 is in the future
+            # user 3 has no orders -> dropped (inner as-of)
+        }
