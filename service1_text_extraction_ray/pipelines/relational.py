@@ -468,6 +468,167 @@ def q_user_event_type_matrix(sf_dir: str) -> rd.Dataset:
     )
 
 
+def q_events_sliding_window(sf_dir: str) -> rd.Dataset:
+    """Sliding-window aggregate: per event_type, a 3-hour rolling event count
+    anchored at each hour (current + 2 preceding hours).
+
+    Shape: tumbling pre-aggregate (hour buckets — the heavy reduction) ->
+    tiny per-key ordered rolling pass in ``groupby(key).map_groups``. At
+    10^12 events only the hour×type partials (thousands of rows) reach the
+    window pass; the raw stream is reduced inside map_batches + one groupby.
+    Rolling frames are over *bucket positions present in the data* is wrong —
+    gaps count as zero, so the group fn reindexes over the full hour range.
+    """
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [pc.floor_temporal(batch["ts"], unit="hour"), batch["event_type"]],
+            names=["hour", "event_type"],
+        )
+
+    hourly = (
+        _read(sf_dir, "events", ["ts", "event_type"])
+        .map_batches(bucket, batch_format="pyarrow")
+        .groupby(["hour", "event_type"])
+        .aggregate(Count(alias_name="n"))
+    )
+
+    def rolling(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("hour")
+        full = pd.date_range(g["hour"].min(), g["hour"].max(), freq="h")
+        s = g.set_index("hour")["n"].reindex(full, fill_value=0)
+        roll = s.rolling(3, min_periods=1).sum().astype("int64")
+        out = pd.DataFrame({
+            "event_type": g["event_type"].iloc[0],
+            "hour": full,
+            "n_3h": roll.to_numpy(),
+        })
+        # emit only hours that actually had events (match the SQL's grain)
+        return out[out["hour"].isin(g["hour"])]
+
+    return hourly.groupby("event_type").map_groups(rolling, batch_format="pandas")
+
+
+SQL_EVENTS_SLIDING_WINDOW = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n
+  FROM events GROUP BY event_type, date_trunc('hour', ts)
+)
+SELECT event_type, hour,
+       CAST(sum(n) OVER (
+         PARTITION BY event_type ORDER BY hour
+         RANGE BETWEEN INTERVAL 2 HOUR PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS n_3h
+FROM hourly
+"""
+
+
+TOPN_PER_SEGMENT = 3
+
+
+def q_top_orders_per_segment(sf_dir: str) -> rd.Dataset:
+    """Top-N per group (windowed rank): the 3 highest-value orders per market
+    segment, ties broken by orderkey (deterministic rank).
+
+    Shape: broadcast-join the segment in (small dim side), then per-batch
+    partial top-N before the groupby — each block forwards at most N rows
+    per segment, so the shuffle moves O(segments x N x blocks), not the
+    orders table. The group fn takes the global top N of the partials.
+    """
+    cust = (
+        _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+        .to_pandas()
+        .set_index("c_custkey")["c_mktsegment"]
+    )
+    cust_ref = ray.put(cust)
+
+    def tag_and_prune(df: pd.DataFrame) -> pd.DataFrame:
+        lookup = ray.get(cust_ref)
+        out = pd.DataFrame({
+            "c_mktsegment": df["o_custkey"].map(lookup),
+            "o_orderkey": df["o_orderkey"].astype("int64"),
+            "o_totalprice": df["o_totalprice"],
+        })
+        out = out.sort_values(
+            ["o_totalprice", "o_orderkey"], ascending=[False, True]
+        )
+        return out.groupby("c_mktsegment", sort=False).head(TOPN_PER_SEGMENT)
+
+    def topn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True])
+        g = g.head(TOPN_PER_SEGMENT).copy()
+        g["rank"] = range(1, len(g) + 1)
+        return g[["c_mktsegment", "rank", "o_orderkey", "o_totalprice"]]
+
+    return (
+        _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+        .map_batches(tag_and_prune, batch_format="pandas")
+        .groupby("c_mktsegment")
+        .map_groups(topn, batch_format="pandas")
+    )
+
+
+SQL_TOP_ORDERS_PER_SEGMENT = f"""
+SELECT c_mktsegment, CAST(rank AS BIGINT) AS rank, o_orderkey, o_totalprice
+FROM (
+  SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice,
+         row_number() OVER (
+           PARTITION BY c.c_mktsegment
+           ORDER BY o.o_totalprice DESC, o.o_orderkey ASC
+         ) AS rank
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+)
+WHERE rank <= {TOPN_PER_SEGMENT}
+"""
+
+
+def q_customers_without_big_orders(sf_dir: str) -> rd.Dataset:
+    """Anti-join: customers with no order above HIGH_VALUE_CUT (the
+    reference's skip-already-processed idiom J3 at table scale).
+
+    Shape: the probe side (distinct custkeys of high-value orders) is
+    filtered + pre-reduced with a groupby, collected, and broadcast via
+    ray.put; the big side filters per batch with a vectorized isin. At 10^12
+    rows the broadcast set becomes a partitioned bloom filter — same
+    topology, approximate membership plus an exact recheck of the (rare)
+    positives.
+    """
+
+    def high_value(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.greater(batch["o_totalprice"], pa.scalar(HIGH_VALUE_CUT)))
+
+    probe_ids = (
+        _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+        .map_batches(high_value, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Count(alias_name="_n"))
+        .to_pandas()["o_custkey"]
+        .to_numpy()
+    )
+    probe_ref = ray.put(set(int(x) for x in probe_ids))
+
+    def anti(df: pd.DataFrame) -> pd.DataFrame:
+        probe = ray.get(probe_ref)
+        keep = ~df["c_custkey"].isin(probe)
+        out = df.loc[keep, ["c_custkey", "c_mktsegment"]].copy()
+        out["c_custkey"] = out["c_custkey"].astype("int64")
+        return out
+
+    return _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).map_batches(
+        anti, batch_format="pandas"
+    )
+
+
+SQL_CUSTOMERS_WITHOUT_BIG_ORDERS = f"""
+SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_mktsegment
+FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > {HIGH_VALUE_CUT}
+)
+"""
+
+
 SQL_USER_EVENT_TYPE_MATRIX = """
 SELECT user_id, event_type, count(*) AS n
 FROM events GROUP BY user_id, event_type
