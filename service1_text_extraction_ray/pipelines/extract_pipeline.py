@@ -133,6 +133,59 @@ def extract_dataset(
     )
 
 
+def extract_dataset_bucketed(
+    ds: rd.Dataset,
+    cfg: Optional[ExtractConfig] = None,
+    salt_buckets: int = 16,
+) -> rd.Dataset:
+    """Size-bucketed + salted-groupby variant of the parse stage — the north
+    rule's explicit skew treatment (BASELINE.json ``north_rule``: "skew from
+    giant HTML/PDF blobs ... via size-bucketed repartitioning and salted
+    groupby before the heavy parse stage").
+
+    One exchange co-locates each ``(size_bucket, salt(url))`` group into its
+    own task, so giant payloads spread uniformly across the cluster instead
+    of riding wherever their input file put them. This COSTS a full shuffle
+    of the raw payload bytes; the default no-shuffle pipeline is faster on
+    corpora whose input files already mix sizes well (BENCH/BASELINE.md
+    architecture table — the v0 shuffle writer lost 2x to exactly this
+    exchange). Reach for this variant when inputs arrive size-sorted (e.g.
+    crawler shards partitioned by content length) and file-aligned
+    processing would leave the big-payload files as stragglers.
+
+    Output is byte-identical to ``extract_dataset`` up to row order
+    (pytest-asserted: same per-url text, same hash XOR).
+    """
+    import zlib
+
+    cfg = cfg or ExtractConfig()
+    _prepare_session()
+    sniffed = ds.map_batches(SniffStage(cfg), batch_format="pyarrow")
+
+    def add_salt(batch: pa.Table) -> pa.Table:
+        salt = pa.array(
+            [zlib.crc32(u.encode("utf-8")) % salt_buckets for u in batch["url"].to_pylist()],
+            pa.int32(),
+        )
+        return batch.append_column("salt", salt)
+
+    extractor = ExtractDocuments(cfg)
+
+    def extract_group(group: pa.Table) -> pa.Table:
+        # Keep the giant-doc co-travel bound inside the group too.
+        parts = [
+            extractor(group.slice(start, PARSE_BATCH_SIZE))
+            for start in range(0, group.num_rows, PARSE_BATCH_SIZE)
+        ]
+        return pa.concat_tables(parts)
+
+    return (
+        sniffed.map_batches(add_salt, batch_format="pyarrow")
+        .groupby(["size_bucket", "salt"])
+        .map_groups(extract_group, batch_format="pyarrow")
+    )
+
+
 def extract_pages_dataset(ds: rd.Dataset, cfg: Optional[ExtractConfig] = None, **kw) -> rd.Dataset:
     """Page-grain flat view of the extraction (no shuffle)."""
     return extract_dataset(ds, cfg, **kw).map_batches(explode_pages, batch_format="pyarrow")

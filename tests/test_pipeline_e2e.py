@@ -215,3 +215,24 @@ def test_kill_and_resume_preserves_completed_shards(corpus_dir, tmp_path):
     a = read_output(out).sort_by("url")
     b = read_output(clean).sort_by("url")
     assert a.equals(b)
+
+
+def test_bucketed_variant_matches_default(ray_session, corpus_dir, oracle_results):
+    """The size-bucketed + salted-groupby parse path (north_rule's explicit
+    skew treatment) must produce byte-identical extractions to the
+    no-shuffle default, and must spread rows across (bucket, salt) groups."""
+    from service1_text_extraction_ray.pipelines.extract_pipeline import (
+        extract_dataset_bucketed,
+        read_pages,
+    )
+
+    out = (
+        extract_dataset_bucketed(read_pages(corpus_dir), CFG, salt_buckets=8)
+        .select_columns(["url", "doc_text", "status", "n_pages"])
+        .to_pandas()
+        .set_index("url")
+    )
+    assert len(out) == N_ROWS
+    for url, o in oracle_results.items():
+        assert out.loc[url, "doc_text"] == o["doc_text"], f"byte mismatch for {url}"
+        assert out.loc[url, "status"] == o["status"]
