@@ -309,3 +309,76 @@ class TestAsofJoin:
             (2, "2020-06-01", "2019-12-31"),   # 2020-07-01 is in the future
             # user 3 has no orders -> dropped (inner as-of)
         }
+
+
+class TestWindowedRelationalOps:
+    def _write(self, tmp_path, name, table):
+        import pyarrow.parquet as pq
+
+        d = tmp_path / "sf"
+        d.mkdir(exist_ok=True)
+        pq.write_table(table, str(d / f"{name}.parquet"))
+        return str(d)
+
+    def test_sliding_window_counts_gaps_as_zero(self, ray_session, tmp_path):
+        """An hour gap must NOT leak counts into the 3-hour frame."""
+        from service1_text_extraction_ray.pipelines.relational import q_events_sliding_window
+
+        ts = pd.to_datetime([
+            "2024-01-01 00:10", "2024-01-01 00:20",   # hour 0: 2 events
+            "2024-01-01 01:10",                        # hour 1: 1 event
+            "2024-01-01 04:10",                        # hour 4 (gap at 2,3)
+        ])
+        d = self._write(tmp_path, "events", pa.table({
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "event_type": pa.array(["x"] * 4),
+            "user_id": pa.array([1] * 4, pa.int32()),
+            "value": pa.array([0.0] * 4),
+        }))
+        out = q_events_sliding_window(d).to_pandas().sort_values("hour")
+        got = dict(zip(out["hour"].dt.hour, out["n_3h"]))
+        # hour 0 -> 2; hour 1 -> 2+1; hour 4 -> only itself (hours 2,3 empty)
+        assert got == {0: 2, 1: 3, 4: 1}
+
+    def test_topn_rank_ties_break_by_orderkey(self, ray_session, tmp_path):
+        from service1_text_extraction_ray.pipelines.relational import (
+            TOPN_PER_SEGMENT,
+            q_top_orders_per_segment,
+        )
+
+        d = self._write(tmp_path, "customer", pa.table({
+            "c_custkey": pa.array([1, 2], pa.int32()),
+            "c_mktsegment": pa.array(["A", "A"]),
+        }))
+        self._write(tmp_path, "orders", pa.table({
+            "o_orderkey": pa.array([30, 10, 20, 40], pa.int64()),
+            "o_custkey": pa.array([1, 1, 2, 2], pa.int32()),
+            "o_totalprice": pa.array([5.0, 5.0, 5.0, 1.0]),
+        }))
+        out = (
+            q_top_orders_per_segment(d)
+            .to_pandas()
+            .sort_values("rank")
+        )
+        # three-way price tie -> orderkey ascending wins; rank 3 of 3 kept
+        assert out["o_orderkey"].tolist() == [10, 20, 30][:TOPN_PER_SEGMENT]
+        assert out["rank"].tolist() == [1, 2, 3]
+
+    def test_anti_join_excludes_only_big_order_customers(self, ray_session, tmp_path):
+        from service1_text_extraction_ray.pipelines.relational import (
+            HIGH_VALUE_CUT,
+            q_customers_without_big_orders,
+        )
+
+        d = self._write(tmp_path, "customer", pa.table({
+            "c_custkey": pa.array([1, 2, 3], pa.int32()),
+            "c_mktsegment": pa.array(["A", "B", "C"]),
+        }))
+        self._write(tmp_path, "orders", pa.table({
+            "o_orderkey": pa.array([10, 11], pa.int64()),
+            "o_custkey": pa.array([1, 2], pa.int32()),
+            "o_totalprice": pa.array([HIGH_VALUE_CUT + 1, HIGH_VALUE_CUT - 1]),
+        }))
+        out = q_customers_without_big_orders(d).to_pandas()
+        # 1 has a big order (excluded); 2 only a small one; 3 none at all
+        assert sorted(out["c_custkey"].tolist()) == [2, 3]
