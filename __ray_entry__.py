@@ -44,6 +44,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_summary": Q.q_extract_summary,
         # --- text analysis over documents ---
         "doc_token_counts": Q.q_doc_token_counts,
+        "doc_bpe_token_counts": Q.q_doc_bpe_token_counts,
         "doc_quality_scores": Q.q_doc_quality_scores,
         "doc_stopword_counts": Q.q_doc_stopword_counts,
         "lang_distribution": Q.q_lang_distribution,
@@ -58,6 +59,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": Q.q_dedup_exact,
         "dedup_minhash_lsh": Q.q_dedup_minhash_lsh,
         "dedup_simhash": Q.q_dedup_simhash,
+        "dedup_simhash_pairs": Q.q_dedup_simhash_pairs,
         "dedup_embedding": Q.q_dedup_embedding,
         "doc_fingerprints": Q.q_doc_fingerprints,
         # --- similarity search ---
@@ -89,6 +91,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "doc_token_counts": Q.SQL_DOC_TOKEN_COUNTS,
+        "doc_bpe_token_counts": Q.SQL_DOC_BPE_TOKEN_COUNTS,
         "doc_quality_scores": Q.SQL_DOC_QUALITY_SCORES,
         "doc_stopword_counts": Q.SQL_DOC_STOPWORD_COUNTS,
         "lang_distribution": Q.SQL_LANG_DISTRIBUTION,

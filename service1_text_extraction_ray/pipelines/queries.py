@@ -179,6 +179,35 @@ FROM documents
 """
 
 
+# GPT-2-style pre-tokenizer shape, restricted to RE2-compatible constructs
+# (no lookahead; ASCII classes — the corpus is ASCII) so Python `re` and the
+# DuckDB oracle tokenize identically.
+BPE_TOKEN_PATTERN = r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+_BPE_RX = re.compile(BPE_TOKEN_PATTERN)
+
+
+def q_doc_bpe_token_counts(sf_dir: str) -> rd.Dataset:
+    """BPE-ish pre-tokenizer counts per doc (the training-data token budget
+    estimator; whitespace counts are q_doc_token_counts)."""
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame()
+        out["doc_id"] = df["doc_id"]
+        out["n_bpe_tokens"] = (
+            df["text"].fillna("").map(lambda t: len(_BPE_RX.findall(t))).astype("int64")
+        )
+        return out
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(f, batch_format="pandas")
+
+
+SQL_DOC_BPE_TOKEN_COUNTS = f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{BPE_TOKEN_PATTERN.replace("'", "''")}')) AS BIGINT) AS n_bpe_tokens
+FROM documents
+"""
+
+
 def q_doc_quality_scores(sf_dir: str) -> rd.Dataset:
     """Shallow quality features per doc (integer counts -> exact)."""
 
@@ -567,6 +596,72 @@ def q_dedup_simhash(sf_dir: str) -> rd.Dataset:
         return out
 
     return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(f, batch_format="pandas")
+
+
+SIMHASH_BANDS = 4          # 4 x 16-bit bands: Hamming<=3 dups share >=1 band
+SIMHASH_MAX_HAMMING = 3
+
+
+def q_dedup_simhash_pairs(sf_dir: str) -> pd.DataFrame:
+    """SimHash near-dup detection (Charikar sketch, Manku et al. WWW'07
+    banding): 64-bit simhash -> 4 x 16-bit band buckets -> candidate pairs
+    within a bucket -> exact Hamming verify (<= SIMHASH_MAX_HAMMING).
+
+    Pigeonhole guarantee: any pair within Hamming distance 3 agrees on at
+    least one of the 4 bands, so banding loses no true pair. The only
+    shuffle is the (band, band_value) groupby over 3-int rows; candidates
+    are rare, verified driver-side from a broadcast hash map (64-bit ints,
+    not documents). Non-SQL -> rows-only driver check; pytest-verified on
+    planted near-duplicates.
+    """
+
+    def sig_batch(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for doc_id, text in zip(df["doc_id"], df["text"].fillna("")):
+            sh = _simhash64(text)
+            for b in range(SIMHASH_BANDS):
+                band_val = (sh >> (16 * b)) & 0xFFFF
+                rows.append({"band": b, "band_val": int(band_val),
+                             "doc_id": int(doc_id), "simhash": f"{sh:016x}"})
+        return pd.DataFrame(rows, columns=["band", "band_val", "doc_id", "simhash"])
+
+    def pairs_from_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(set(g["doc_id"].tolist()))
+        return pd.DataFrame(
+            [{"doc_id_a": a, "doc_id_b": b}
+             for i, a in enumerate(ids) for b in ids[i + 1:]],
+            columns=["doc_id_a", "doc_id_b"],
+        )
+
+    sigs = (
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(sig_batch, batch_format="pandas")
+    )
+    hash_of = (
+        sigs.groupby("doc_id")
+        .map_groups(lambda g: g.head(1)[["doc_id", "simhash"]], batch_format="pandas")
+        .to_pandas()
+        .set_index("doc_id")["simhash"]
+    )
+    cand = (
+        sigs.select_columns(["band", "band_val", "doc_id"])
+        .groupby(["band", "band_val"])
+        .map_groups(pairs_from_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    if len(cand) == 0:
+        return pd.DataFrame({"doc_id_a": pd.Series([], dtype="int64"),
+                             "doc_id_b": pd.Series([], dtype="int64"),
+                             "hamming": pd.Series([], dtype="int64")})
+    cand = cand.drop_duplicates()
+    out = []
+    for a, b in zip(cand["doc_id_a"], cand["doc_id_b"]):
+        ham = bin(int(hash_of[a], 16) ^ int(hash_of[b], 16)).count("1")
+        if ham <= SIMHASH_MAX_HAMMING:
+            out.append({"doc_id_a": int(a), "doc_id_b": int(b), "hamming": ham})
+    return pd.DataFrame(out, columns=["doc_id_a", "doc_id_b", "hamming"]).astype(
+        {"doc_id_a": "int64", "doc_id_b": "int64", "hamming": "int64"}
+    )
 
 
 def q_doc_fingerprints(sf_dir: str) -> rd.Dataset:

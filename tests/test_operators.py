@@ -382,3 +382,52 @@ class TestWindowedRelationalOps:
         out = q_customers_without_big_orders(d).to_pandas()
         # 1 has a big order (excluded); 2 only a small one; 3 none at all
         assert sorted(out["c_custkey"].tolist()) == [2, 3]
+
+
+class TestSimHashPairs:
+    def test_banding_finds_planted_near_dups(self, ray_session, tmp_path):
+        """Hamming<=3 pairs must survive the 4x16-bit banding (pigeonhole)."""
+        import pyarrow.parquet as pq
+
+        from service1_text_extraction_ray.pipelines.queries import q_dedup_simhash_pairs
+
+        base = " ".join(f"tok{i % 53} w{i % 17}" for i in range(400))
+        rows = [
+            {"doc_id": i, "text": f"doc {i} " + " ".join(f"u{i}v{j}" for j in range(120)), "lang": "en"}
+            for i in range(25)
+        ]
+        rows.append({"doc_id": 100, "text": base, "lang": "en"})
+        rows.append({"doc_id": 101, "text": base, "lang": "en"})          # exact dup
+        rows.append({"doc_id": 102, "text": base + " tail", "lang": "en"})  # near dup
+        d = tmp_path / "sf"
+        d.mkdir()
+        pq.write_table(pa.Table.from_pylist(rows), str(d / "documents.parquet"))
+
+        pairs = q_dedup_simhash_pairs(str(d))
+        got = {tuple(p) for p in pairs[["doc_id_a", "doc_id_b"]].itertuples(index=False)}
+        assert (100, 101) in got  # exact dup: hamming 0
+        assert all(h <= 3 for h in pairs["hamming"])
+        # no pair between two unrelated docs
+        assert not any(a < 100 and b < 100 for a, b in got)
+
+    def test_bpe_token_counts_basic(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from service1_text_extraction_ray.pipelines.queries import (
+            _BPE_RX,
+            q_doc_bpe_token_counts,
+        )
+
+        texts = ["It's a test, with 42 numbers!", ""]
+        d = tmp_path / "sf"
+        d.mkdir()
+        pq.write_table(
+            pa.Table.from_pylist(
+                [{"doc_id": i, "text": t, "lang": "en"} for i, t in enumerate(texts)]
+            ),
+            str(d / "documents.parquet"),
+        )
+        out = q_doc_bpe_token_counts(d.as_posix()).to_pandas().sort_values("doc_id")
+        assert out["n_bpe_tokens"].tolist() == [len(_BPE_RX.findall(texts[0])), 0]
+        # "It" "'s" " a" " test" "," " with" " 42" " numbers" "!"
+        assert out["n_bpe_tokens"].iloc[0] == 9
