@@ -17,7 +17,9 @@ surface as per-page/per-doc ``parse_failure`` rows, never exceptions):
   ``/Root`` -> ``/Pages`` tree with nested ``/Kids`` -> ``/Type /Page``
   leaves; ``/MediaBox`` inherited or per-page; ``/Contents`` as a single ref
   or an array of refs.
-- Content streams: raw or ``/Filter /FlateDecode`` (stdlib zlib); text
+- Content streams: raw, ``/Filter /FlateDecode`` (stdlib zlib),
+  ``/Filter /ASCIIHexDecode``, or a chain of the two in array order
+  (any other filter -> counted parse failure, never junk text); text
   operators ``BT ET Tf Td TD Tm T* TL Tj TJ ' "``; literal ``(...)`` strings
   with standard escapes + octal, hex ``<...>`` strings; single-byte
   (StandardEncoding/WinAnsi ~ latin-1) text.
@@ -188,7 +190,47 @@ _CONTENTS_ARR_RE = re.compile(rb"/Contents\s*\[([^\]]*)\]")
 _MEDIABOX_RE = re.compile(
     rb"/MediaBox\s*\[\s*([\d.+-]+)\s+([\d.+-]+)\s+([\d.+-]+)\s+([\d.+-]+)\s*\]"
 )
-_FLATE_RE = re.compile(rb"/Filter\s*(?:/FlateDecode\b|\[\s*/FlateDecode\s*\])")
+_FILTER_RE = re.compile(rb"/Filter\s*(/\w+|\[[^\]]*\])")
+_FILTER_NAME_RE = re.compile(rb"/(\w+)")
+
+
+def _ascii_hex_decode(raw: bytes) -> bytes:
+    """ASCIIHexDecode (PDF 1.7 §7.4.2): hex digits, whitespace ignored,
+    ``>`` is end-of-data, an odd trailing digit is padded with 0."""
+    eod = raw.find(b">")
+    if eod != -1:
+        raw = raw[:eod]
+    compact = bytes(c for c in raw if c not in b" \t\r\n\f\x00")
+    if not re.fullmatch(rb"[0-9A-Fa-f]*", compact):
+        raise PdfParseError("ASCIIHexDecode: non-hex character")
+    if len(compact) % 2:
+        compact += b"0"
+    return bytes.fromhex(compact.decode("ascii"))
+
+
+def _decode_stream(obj: "_PdfObject") -> bytes:
+    """Apply the object's /Filter chain (in array order) to its stream.
+
+    Supported: FlateDecode (stdlib zlib), ASCIIHexDecode, and chains of
+    the two. Any other filter raises PdfParseError, which the document
+    dispatcher turns into a counted parse-failure row.
+    """
+    raw = obj.stream
+    m = _FILTER_RE.search(obj.dict_bytes)
+    if not m:
+        return raw
+    for name_m in _FILTER_NAME_RE.finditer(m.group(1)):
+        name = name_m.group(1)
+        if name == b"FlateDecode":
+            try:
+                raw = zlib.decompress(raw)
+            except zlib.error as e:
+                raise PdfParseError(f"FlateDecode failed: {e}") from e
+        elif name == b"ASCIIHexDecode":
+            raw = _ascii_hex_decode(raw)
+        else:
+            raise PdfParseError(f"unsupported stream filter /{name.decode('ascii', 'replace')}")
+    return raw
 
 
 def _find_root(data: bytes, objects: Dict[int, _PdfObject]) -> int:
@@ -259,13 +301,7 @@ def _content_bytes(objects: Dict[int, _PdfObject], page: _PdfObject) -> bytes:
         obj = objects.get(r)
         if obj is None or obj.stream is None:
             raise PdfParseError(f"missing content stream {r}")
-        raw = obj.stream
-        if _FLATE_RE.search(obj.dict_bytes):
-            try:
-                raw = zlib.decompress(raw)
-            except zlib.error as e:
-                raise PdfParseError(f"FlateDecode failed: {e}") from e
-        out += raw
+        out += _decode_stream(obj)
         out += b"\n"
     return bytes(out)
 

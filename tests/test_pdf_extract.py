@@ -114,3 +114,76 @@ def test_truncated_stream_is_contained():
     pdf = make_pdf([["Some content line that is fine."]], rng())
     with pytest.raises(PdfParseError):
         parse_pdf(pdf[: len(pdf) // 3])
+
+
+def _rewrite_stream_filter(pdf: bytes, transform, filter_name: bytes) -> bytes:
+    """Re-encode the first content stream of a synth PDF with a new filter.
+
+    Finds the `<< /Length N >>\\nstream\\n...\\nendstream` of the content
+    object, applies `transform` to the body, and rewrites Length + /Filter.
+    The synth writer emits uncompressed streams when compress=False.
+    """
+    import re as _re
+
+    m = _re.search(rb"<< /Length (\d+) >>\nstream\n", pdf)
+    assert m, "no raw stream found"
+    start = m.end()
+    length = int(m.group(1))
+    body = pdf[start : start + length]
+    new_body = transform(body)
+    head = b"<< /Length %d /Filter %s >>\nstream\n" % (len(new_body), filter_name)
+    return pdf[: m.start()] + head + new_body + pdf[start + length :]
+
+
+def test_asciihex_filter_roundtrip():
+    import binascii
+
+    lines = ["Hex encoded stream line.", "Another line of text."]
+    pdf = make_pdf([lines], rng(), compress=False)
+    hexed = _rewrite_stream_filter(
+        pdf, lambda b: binascii.hexlify(b) + b">", b"/ASCIIHexDecode"
+    )
+    pages = parse_pdf(hexed)
+    assert pages[0].text == "\n".join(lines)
+
+
+def test_asciihex_whitespace_and_odd_digit():
+    import binascii
+
+    lines = ["Hi"]
+    pdf = make_pdf([lines], rng(), compress=False)
+
+    def hex_with_ws(b: bytes) -> bytes:
+        h = binascii.hexlify(b)
+        spaced = b"\n".join(h[i : i + 16] for i in range(0, len(h), 16))
+        return spaced + b">"
+
+    pages = parse_pdf(_rewrite_stream_filter(pdf, hex_with_ws, b"/ASCIIHexDecode"))
+    assert pages[0].text == "Hi"
+
+
+def test_filter_chain_hex_then_flate():
+    import binascii
+    import zlib as _z
+
+    lines = ["Chained filter content here."]
+    pdf = make_pdf([lines], rng(), compress=False)
+    chained = _rewrite_stream_filter(
+        pdf,
+        lambda b: binascii.hexlify(_z.compress(b)) + b">",
+        b"[ /ASCIIHexDecode /FlateDecode ]",
+    )
+    pages = parse_pdf(chained)
+    assert pages[0].text == "\n".join(lines)
+
+
+def test_unsupported_filter_isolates_to_empty_page():
+    """An LZW page must become an empty failed page (per-page isolation,
+    core_pdf_processor.py:202-209 semantics) — never junk text from raw
+    bytes, never a doc-level crash."""
+    pdf = make_pdf([["Some text."], ["Good page text."]], rng(), compress=False)
+    lzw = _rewrite_stream_filter(pdf, lambda b: b, b"/LZWDecode")
+    pages = parse_pdf(lzw)
+    assert len(pages) == 2
+    assert pages[0].text == ""          # filtered page fails clean
+    assert pages[1].text == "Good page text."   # sibling page unaffected
