@@ -77,6 +77,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "high_value_orders": R.q_high_value_orders,
         "orders_priority_counts": R.q_orders_priority_counts,
         "part_type_stats": R.q_part_type_stats,
+        "supplier_nation_balance": R.q_supplier_nation_balance,
         "distinct_parts_per_flag": R.q_distinct_parts_per_flag,
         "events_hourly": R.q_events_hourly,
         "events_sessionize": R.q_events_sessionize,
@@ -110,6 +111,7 @@ def oracle_sql() -> dict[str, str]:
         "high_value_orders": R.SQL_HIGH_VALUE_ORDERS,
         "orders_priority_counts": R.SQL_ORDERS_PRIORITY_COUNTS,
         "part_type_stats": R.SQL_PART_TYPE_STATS,
+        "supplier_nation_balance": R.SQL_SUPPLIER_NATION_BALANCE,
         "distinct_parts_per_flag": R.SQL_DISTINCT_PARTS_PER_FLAG,
         "events_hourly": R.SQL_EVENTS_HOURLY,
         "events_sessionize": R.SQL_EVENTS_SESSIONIZE,

@@ -323,6 +323,43 @@ FROM lineitem GROUP BY l_returnflag
 # ---------------------------------------------------------------------------
 
 
+def q_supplier_nation_balance(sf_dir: str) -> rd.Dataset:
+    """supplier ⋈ nation grouped balance stats (broadcast dim join; the
+    acctbal sum in exact integer cents)."""
+    nation = (
+        _read(sf_dir, "nation", ["n_nationkey", "n_name"])
+        .to_pandas()
+        .set_index("n_nationkey")["n_name"]
+    )
+    ref = ray.put(nation)
+
+    def join(df: pd.DataFrame) -> pd.DataFrame:
+        lookup = ray.get(ref)
+        out = pd.DataFrame()
+        out["n_name"] = df["s_nationkey"].map(lookup)
+        out["acctbal_cents"] = (df["s_acctbal"] * 100).round().astype("int64")
+        return out
+
+    return (
+        _read(sf_dir, "supplier", ["s_nationkey", "s_acctbal"])
+        .map_batches(join, batch_format="pandas")
+        .groupby("n_name")
+        .aggregate(
+            Count(alias_name="n_suppliers"),
+            Sum("acctbal_cents", alias_name="sum_acctbal_cents"),
+        )
+    )
+
+
+SQL_SUPPLIER_NATION_BALANCE = """
+SELECT n.n_name,
+       count(*) AS n_suppliers,
+       CAST(sum(CAST(round(s.s_acctbal * 100) AS BIGINT)) AS BIGINT) AS sum_acctbal_cents
+FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+GROUP BY n.n_name
+"""
+
+
 def q_events_hourly(sf_dir: str) -> rd.Dataset:
     """Tumbling 1-hour window counts/sums per event type (vectorized floor)."""
 
