@@ -41,6 +41,9 @@ CORPUS_SEED = 42
 
 
 def _corpus_rows() -> int:
+    override = os.environ.get("GRAFT_BENCH_ROWS")
+    if override:
+        return int(override)
     import pyarrow.parquet as pq
 
     n_docs = pq.ParquetFile(os.path.join(SF_DIR, "documents.parquet")).metadata.num_rows
@@ -295,6 +298,54 @@ def bench_scaling() -> dict:
     }
 
 
+def bench_scaling_weak() -> dict:
+    """Weak scaling: W docs at 8 CPUs vs 4W docs at 32 CPUs, fresh
+    processes. Models the real N -> 4N criterion most directly — a 4x
+    cluster gets 4x data, so fixed startup amortizes identically at both
+    levels and 'sustained throughput' is what's measured. Efficiency =
+    throughput_32 / (4 x throughput_8)."""
+    lo, hi = 8, 32
+    base_rows = _corpus_rows() // 4
+
+    def run(ncpu: int, rows: int) -> dict:
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            GRAFT_SF_DIR=SF_DIR,
+            GRAFT_BENCH_ROWS=str(rows),
+        )
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py"), "--headline-only"],
+            env=env, capture_output=True, text=True, check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    # Median of 3 interleaved pairs, clamped to 1.0 — same noise discipline
+    # as bench_scaling (a >1 "efficiency" is a drift-corrupted window, not
+    # super-linear scaling).
+    effs, detail = [], []
+    for _ in range(3):
+        r_lo = run(lo, base_rows)
+        r_hi = run(hi, base_rows * 4)
+        eff = r_hi["docs_per_sec"] / (4 * r_lo["docs_per_sec"])
+        effs.append(round(eff, 3))
+        detail.append({"docs_per_sec_8": r_lo["docs_per_sec"],
+                       "docs_per_sec_32": r_hi["docs_per_sec"],
+                       "sec_8": r_lo["value"], "sec_32": r_hi["value"]})
+    order = sorted(range(len(effs)), key=lambda i: effs[i])
+    med_i = order[len(order) // 2]
+    return {
+        "metric": "weak-scaling efficiency (W docs @8 cpus vs 4W docs @32 cpus, fresh processes, median of 3 pairs, clamped to 1)",
+        "value": min(1.0, effs[med_i]),
+        "unit": "efficiency",
+        "all_pairs": effs,
+        "rows_8": base_rows,
+        "rows_32": base_rows * 4,
+        **detail[med_i],
+        "pass_ge_0.8": min(1.0, effs[med_i]) >= 0.8,
+    }
+
+
 def bench_headline_only() -> dict:
     import ray
 
@@ -321,7 +372,9 @@ def bench_headline_only() -> dict:
 
 
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
+    if "--scaling-weak" in sys.argv:
+        print(json.dumps(bench_scaling_weak()))
+    elif "--scaling" in sys.argv:
         print(json.dumps(bench_scaling()))
     elif "--headline-only" in sys.argv:
         print(json.dumps(bench_headline_only()))
