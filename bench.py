@@ -185,14 +185,15 @@ def _platform_control(corpus: str) -> dict:
     import multiprocessing as mp
 
     files = sorted(p for p in Path(corpus).glob("*.parquet"))
-    global _CONTROL_FILE
-    _CONTROL_FILE = str(files[0])
+    control_file = str(files[0])
 
     lo_procs, hi_procs = 7, 28  # the extract pools' typical sizes at 8/32 CPUs
 
     def run(nproc: int) -> float:
+        # The file path travels as the map argument (start-method agnostic;
+        # a mutated module global would be invisible under spawn/forkserver).
         with mp.Pool(nproc) as pool:
-            rates = pool.map(_control_worker, [None] * nproc)
+            rates = pool.map(_control_worker, [control_file] * nproc)
         return sum(rates) / len(rates)
 
     # Two interleaved reps: the lo -> hi sequence inside one rep is itself
@@ -210,10 +211,7 @@ def _platform_control(corpus: str) -> dict:
     }
 
 
-_CONTROL_FILE = None
-
-
-def _control_worker(_arg) -> float:
+def _control_worker(control_file: str) -> float:
     import pyarrow.parquet as pq
 
     from service1_text_extraction_ray.functions.extract import (
@@ -221,7 +219,7 @@ def _control_worker(_arg) -> float:
         extract_document,
     )
 
-    t = pq.read_table(_CONTROL_FILE, columns=["url", "html"])
+    t = pq.read_table(control_file, columns=["url", "html"])
     urls, payloads = t["url"].to_pylist(), t["html"].to_pylist()
     cfg = ExtractConfig()
     t0 = time.monotonic()
@@ -232,7 +230,7 @@ def _control_worker(_arg) -> float:
 
 def bench_scaling() -> dict:
     """Fresh-process runs at num_cpus=8 and 32 on the same corpus, as three
-    interleaved (8, 32) pairs; the best pair counts and all pairs are
+    interleaved (8, 32) pairs; the MEDIAN pair counts and all pairs are
     reported (the criterion measures the engine's scaling capability, not
     this VM's noisy-neighbor drift). Byte-determinism across levels is
     asserted via the content hash.

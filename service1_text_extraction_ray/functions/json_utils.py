@@ -99,7 +99,13 @@ def sanitize_json_string(json_str: str) -> str:
 
 def safe_json_loads(json_str: str, use_sanitization: bool = True) -> Any:
     """Parse JSON, retrying once through the sanitizer
-    (json_utils.py:101-138). The post-sanitize failure propagates."""
+    (json_utils.py:101-138). The post-sanitize failure propagates. Non-str
+    input raises JSONDecodeError like any other unparseable input (the
+    totality contract callers in map_batches stages rely on)."""
+    if not isinstance(json_str, str):
+        raise json.JSONDecodeError(
+            f"input is {type(json_str).__name__}, not str", "", 0
+        )
     try:
         return json.loads(json_str)
     except json.JSONDecodeError:
@@ -109,26 +115,79 @@ def safe_json_loads(json_str: str, use_sanitization: bool = True) -> Any:
 
 
 _FENCED_RE = re.compile(r"```(?:json)?\s*(\{.*?\}|\[.*?\])\s*```", re.DOTALL)
-_BARE_RE = re.compile(r"(\{.*?\}|\[.*?\])", re.DOTALL)
 _JSON_FENCE_RE = re.compile(r"```json\n(.*?)\n```", re.DOTALL)
+
+
+def _balanced_spans(text: str):
+    """Yield candidate JSON substrings with BALANCED braces/brackets (quote-
+    aware), in order of appearance. The reference's strategy-3 regex
+    ``(\\{.*?\\}|\\[.*?\\])`` truncates nested objects at the first closing
+    brace (lazy match) — a third documented reference bug this module fixes;
+    a balanced scan extracts ``{"a": {"b": 1}}`` whole."""
+    openers = {"{": "}", "[": "]"}
+    i, n = 0, len(text)
+    while i < n:
+        c = text[i]
+        if c in openers:
+            depth, j, in_str, esc = 0, i, False, False
+            while j < n:
+                ch = text[j]
+                if in_str:
+                    if esc:
+                        esc = False
+                    elif ch == "\\":
+                        esc = True
+                    elif ch == '"':
+                        in_str = False
+                elif ch == '"':
+                    in_str = True
+                elif ch in "{[":
+                    depth += 1
+                elif ch in "}]":
+                    depth -= 1
+                    if depth == 0:
+                        yield text[i : j + 1]
+                        break
+                j += 1
+            i = j + 1
+        else:
+            i += 1
 
 
 def parse_relaxed(text: str) -> Tuple[Any, bool]:
     """Extract + parse JSON from free-form text with the reference's four
-    fallback strategies (json_utils.py:140-184). Never raises."""
+    fallback strategies (json_utils.py:140-184). Never raises.
+
+    Two documented deviations from the reference: a strategy that fails to
+    PARSE falls through to the next strategy instead of aborting the whole
+    cascade (the reference's single try/except returns ({}, False) even
+    when a later strategy would succeed), and bare-JSON extraction uses a
+    balanced-brace scan (see _balanced_spans) instead of a lazy regex that
+    truncates nested objects."""
     if not text or not text.strip():
         return {}, False
-    try:
-        stripped = text.strip()
-        if stripped.startswith("{") or stripped.startswith("["):
+    stripped = text.strip()
+    if stripped.startswith("{") or stripped.startswith("["):
+        try:
             return safe_json_loads(text), True
-        for rx in (_FENCED_RE, _BARE_RE, _JSON_FENCE_RE):
-            m = rx.search(text)
-            if m:
-                return safe_json_loads(m.group(1)), True
-        return {}, False
-    except json.JSONDecodeError:
-        return {}, False
+        except json.JSONDecodeError:
+            pass
+    for m in _FENCED_RE.finditer(text):
+        try:
+            return safe_json_loads(m.group(1)), True
+        except json.JSONDecodeError:
+            continue
+    for span in _balanced_spans(text):
+        try:
+            return safe_json_loads(span), True
+        except json.JSONDecodeError:
+            continue
+    for m in _JSON_FENCE_RE.finditer(text):
+        try:
+            return safe_json_loads(m.group(1)), True
+        except json.JSONDecodeError:
+            continue
+    return {}, False
 
 
 def strip_markdown_fence(content: str) -> str:

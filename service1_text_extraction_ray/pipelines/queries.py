@@ -633,13 +633,20 @@ def q_dedup_simhash_pairs(sf_dir: str) -> pd.DataFrame:
             columns=["doc_id_a", "doc_id_b"],
         )
 
+    # materialize(): both consumers (hash map + banding) read the computed
+    # signatures from the object store instead of re-running the corpus scan
+    # + SimHash twice. Band 0's rows are exactly one per doc, so the hash
+    # map is a cheap filter — no extra shuffle.
     sigs = (
         _read(sf_dir, "documents", ["doc_id", "text"])
         .map_batches(sig_batch, batch_format="pandas")
+        .materialize()
     )
     hash_of = (
-        sigs.groupby("doc_id")
-        .map_groups(lambda g: g.head(1)[["doc_id", "simhash"]], batch_format="pandas")
+        sigs.map_batches(
+            lambda df: df.loc[df["band"] == 0, ["doc_id", "simhash"]],
+            batch_format="pandas",
+        )
         .to_pandas()
         .set_index("doc_id")["simhash"]
     )

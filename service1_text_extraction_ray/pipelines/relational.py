@@ -39,6 +39,17 @@ def _cents(arr) -> pa.ChunkedArray:
     )
 
 
+def _cents_pd(series: pd.Series) -> pd.Series:
+    """Pandas twin of _cents: half-AWAY-from-zero like DuckDB's round().
+    (pandas/numpy .round() is banker's half-to-even — a latent oracle
+    divergence on exact half-cents.)"""
+    import numpy as np
+
+    v = series.to_numpy(dtype="float64") * 100.0
+    out = np.where(v >= 0, np.floor(v + 0.5), np.ceil(v - 0.5))
+    return pd.Series(out.astype("int64"), index=series.index)
+
+
 # ---------------------------------------------------------------------------
 # Grouped aggregate with pre-aggregation (TPC-H Q1 shape)
 # ---------------------------------------------------------------------------
@@ -133,7 +144,7 @@ def q_segment_order_stats(sf_dir: str) -> rd.Dataset:
         lookup = ray.get(cust_ref)
         out = pd.DataFrame()
         out["c_mktsegment"] = df["o_custkey"].map(lookup)
-        out["totalprice_cents"] = (df["o_totalprice"] * 100).round().astype("int64")
+        out["totalprice_cents"] = _cents_pd(df["o_totalprice"])
         return out
 
     return (
@@ -337,7 +348,7 @@ def q_supplier_nation_balance(sf_dir: str) -> rd.Dataset:
         lookup = ray.get(ref)
         out = pd.DataFrame()
         out["n_name"] = df["s_nationkey"].map(lookup)
-        out["acctbal_cents"] = (df["s_acctbal"] * 100).round().astype("int64")
+        out["acctbal_cents"] = _cents_pd(df["s_acctbal"])
         return out
 
     return (
