@@ -78,6 +78,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_priority_counts": R.q_orders_priority_counts,
         "part_type_stats": R.q_part_type_stats,
         "supplier_nation_balance": R.q_supplier_nation_balance,
+        "order_price_quantiles": R.q_order_price_quantiles,
+        "distinct_users_hll": R.q_distinct_users_hll,
         "distinct_parts_per_flag": R.q_distinct_parts_per_flag,
         "events_hourly": R.q_events_hourly,
         "events_sessionize": R.q_events_sessionize,
@@ -112,6 +114,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_priority_counts": R.SQL_ORDERS_PRIORITY_COUNTS,
         "part_type_stats": R.SQL_PART_TYPE_STATS,
         "supplier_nation_balance": R.SQL_SUPPLIER_NATION_BALANCE,
+        "order_price_quantiles": R.SQL_ORDER_PRICE_QUANTILES,
         "distinct_parts_per_flag": R.SQL_DISTINCT_PARTS_PER_FLAG,
         "events_hourly": R.SQL_EVENTS_HOURLY,
         "events_sessionize": R.SQL_EVENTS_SESSIONIZE,

@@ -330,6 +330,111 @@ FROM lineitem GROUP BY l_returnflag
 
 
 # ---------------------------------------------------------------------------
+# Quantiles and sketches (the approximate-aggregate family the reference
+# lacks entirely — SURVEY.md §2.5 "no sketches")
+# ---------------------------------------------------------------------------
+
+QUANTILES = (0.5, 0.9, 0.99)
+
+
+def q_order_price_quantiles(sf_dir: str) -> rd.Dataset:
+    """Exact per-priority price quantiles (p50/p90/p99) with DuckDB's
+    quantile_disc convention: element ``ceil(q*n)-1`` of the sorted group
+    (empirically pinned against DuckDB).
+
+    Shape: one groupby co-partitions each priority's prices; the group fn
+    sorts once and indexes. Exact per-group sort holds while one group's
+    values fit a task (~10^7 doubles = 80 MB); beyond that the scale path
+    is mergeable t-digest/histogram partials per batch reduced in a tree —
+    same topology as q_distinct_users_hll below.
+    """
+    import math
+
+    def quants(g: pd.DataFrame) -> pd.DataFrame:
+        v = g["o_totalprice"].sort_values().to_numpy()
+        n = len(v)
+        row = {"o_orderpriority": g["o_orderpriority"].iloc[0], "n_orders": n}
+        for q in QUANTILES:
+            row[f"p{int(q * 100)}"] = float(v[max(0, math.ceil(q * n) - 1)])
+        return pd.DataFrame([row])
+
+    return (
+        _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+        .groupby("o_orderpriority")
+        .map_groups(quants, batch_format="pandas")
+    )
+
+
+SQL_ORDER_PRICE_QUANTILES = """
+SELECT o_orderpriority,
+       count(*) AS n_orders,
+       quantile_disc(o_totalprice, 0.5) AS p50,
+       quantile_disc(o_totalprice, 0.9) AS p90,
+       quantile_disc(o_totalprice, 0.99) AS p99
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+HLL_P = 12  # 2^12 registers -> ~1.6% standard error
+
+
+def _hll_registers(values) -> "np.ndarray":
+    """HyperLogLog registers (Flajolet et al. 2007) from an iterable of
+    values, deterministic via md5."""
+    import hashlib as _hl
+
+    import numpy as np
+
+    m = 1 << HLL_P
+    reg = np.zeros(m, dtype=np.uint8)
+    for v in values:
+        h = int.from_bytes(_hl.md5(str(v).encode("utf-8")).digest()[:8], "little")
+        idx = h & (m - 1)
+        w = h >> HLL_P
+        # rank = position of leftmost 1-bit in the remaining 52 bits
+        rank = (52 - w.bit_length()) + 1
+        if rank > reg[idx]:
+            reg[idx] = rank
+    return reg
+
+
+def _hll_estimate(reg) -> int:
+    import numpy as np
+
+    m = len(reg)
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.float64(2.0) ** -reg.astype(np.float64))
+    zeros = int(np.sum(reg == 0))
+    if est <= 2.5 * m and zeros:  # small-range linear counting correction
+        est = m * np.log(m / zeros)
+    return int(round(est))
+
+
+def q_distinct_users_hll(sf_dir: str) -> pd.DataFrame:
+    """Approximate count-distinct of event users via HyperLogLog: per-batch
+    register partials (one 4 KiB array per block), element-wise-max merged
+    on the driver — the canonical mergeable-sketch reduction. At 10^12 rows
+    the merge is a tree of tiny arrays instead of the exact two-level
+    distinct's full shuffle. Rows-only driver check; accuracy (<2% at known
+    cardinalities) is pytest-verified."""
+    import numpy as np
+
+    def partial(batch: pa.Table) -> pa.Table:
+        reg = _hll_registers(batch["user_id"].to_pylist())
+        return pa.table({"registers": pa.array([reg.tolist()], pa.list_(pa.uint8()))})
+
+    partials = (
+        _read(sf_dir, "events", ["user_id"])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()["registers"]
+    )
+    merged = np.zeros(1 << HLL_P, dtype=np.uint8)
+    for r in partials:
+        np.maximum(merged, np.asarray(r, dtype=np.uint8), out=merged)
+    return pd.DataFrame({"n_distinct_users_est": [_hll_estimate(merged)]})
+
+
+# ---------------------------------------------------------------------------
 # Event-log windows (streaming-shaped: partition by key, order by ts)
 # ---------------------------------------------------------------------------
 

@@ -431,3 +431,56 @@ class TestSimHashPairs:
         assert out["n_bpe_tokens"].tolist() == [len(_BPE_RX.findall(texts[0])), 0]
         # "It" "'s" " a" " test" "," " with" " 42" " numbers" "!"
         assert out["n_bpe_tokens"].iloc[0] == 9
+
+
+class TestSketchesAndQuantiles:
+    def test_hll_accuracy_and_merge(self):
+        """HLL estimate within 4% at several cardinalities, and merging two
+        half-sketches equals sketching the union (mergeability)."""
+        from service1_text_extraction_ray.pipelines.relational import (
+            _hll_estimate,
+            _hll_registers,
+        )
+
+        for true_n in (150, 1500, 20000):
+            est = _hll_estimate(_hll_registers(range(true_n)))
+            assert abs(est - true_n) / true_n < 0.04
+
+        a = _hll_registers(range(0, 5000))
+        b = _hll_registers(range(2500, 7500))
+        merged = np.maximum(a, b)
+        assert np.array_equal(merged, _hll_registers(range(0, 7500)))
+
+    def test_hll_query_end_to_end(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from service1_text_extraction_ray.pipelines.relational import q_distinct_users_hll
+
+        n_users = 137
+        rows = [{"user_id": i % n_users, "ts": pd.Timestamp("2024-01-01"),
+                 "event_type": "x", "value": 0.0} for i in range(3000)]
+        d = tmp_path / "sf"
+        d.mkdir()
+        pq.write_table(pa.Table.from_pylist(rows), str(d / "events.parquet"))
+        est = int(q_distinct_users_hll(str(d))["n_distinct_users_est"].iloc[0])
+        assert abs(est - n_users) / n_users < 0.04
+
+    def test_quantile_disc_convention(self, ray_session, tmp_path):
+        """Pin the ceil(q*n)-1 sorted-index convention on a tiny group."""
+        import pyarrow.parquet as pq
+
+        from service1_text_extraction_ray.pipelines.relational import q_order_price_quantiles
+
+        prices = [10.0, 20.0, 30.0, 40.0]
+        rows = [{"o_orderkey": i, "o_custkey": 1, "o_orderpriority": "1-URGENT",
+                 "o_totalprice": p, "o_orderdate": pd.Timestamp("1995-01-01")}
+                for i, p in enumerate(prices)]
+        d = tmp_path / "sf"
+        d.mkdir()
+        pq.write_table(pa.Table.from_pylist(rows), str(d / "orders.parquet"))
+        out = q_order_price_quantiles(str(d)).to_pandas()
+        row = out.iloc[0]
+        assert row["n_orders"] == 4
+        assert row["p50"] == 20.0   # ceil(0.5*4)-1 = idx 1
+        assert row["p90"] == 40.0   # ceil(3.6)-1 = idx 3
+        assert row["p99"] == 40.0
