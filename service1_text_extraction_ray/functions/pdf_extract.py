@@ -252,9 +252,16 @@ def _find_root(data: bytes, objects: Dict[int, _PdfObject]) -> int:
     raise PdfParseError("no document catalog")
 
 
-def _page_order(objects: Dict[int, _PdfObject], root_num: int) -> List[int]:
-    """Walk Catalog -> Pages -> Kids recursively, yielding page object numbers
-    in document order."""
+_ROTATE_RE = re.compile(rb"/Rotate\s+(-?\d+)")
+
+
+def _page_order(objects: Dict[int, _PdfObject], root_num: int) -> List[tuple]:
+    """Walk Catalog -> Pages -> Kids recursively, yielding
+    ``(page_num, rotate, mediabox | None)`` in document order.
+
+    /Rotate and /MediaBox are INHERITABLE page attributes (PDF 1.7 §7.7.3.4):
+    a value on an interior Pages node applies to every leaf beneath it unless
+    the leaf overrides it, so the walk threads the current values down."""
     root = objects.get(root_num)
     if root is None:
         raise PdfParseError("dangling Root reference")
@@ -262,24 +269,30 @@ def _page_order(objects: Dict[int, _PdfObject], root_num: int) -> List[int]:
     if pm is None:
         raise PdfParseError("catalog without Pages")
 
-    pages: List[int] = []
+    pages: List[tuple] = []
 
-    def walk(num: int, depth: int = 0) -> None:
+    def walk(num: int, depth: int = 0, rotate: int = 0, box=None) -> None:
         if depth > 64:
             raise PdfParseError("page tree too deep")
         obj = objects.get(num)
         if obj is None:
             raise PdfParseError(f"dangling page-tree reference {num}")
+        rm = _ROTATE_RE.search(obj.dict_bytes)
+        if rm:
+            rotate = int(rm.group(1)) % 360
+        mb = _MEDIABOX_RE.search(obj.dict_bytes)
+        if mb:
+            box = tuple(float(x) for x in mb.groups())
         t = _TYPE_RE.search(obj.dict_bytes)
         tname = t.group(1) if t else b""
         if tname == b"Page":
-            pages.append(num)
+            pages.append((num, rotate, box))
             return
         km = _KIDS_RE.search(obj.dict_bytes)
         if km is None:
             raise PdfParseError("Pages node without Kids")
-        for rm in _REF_RE.finditer(km.group(1)):
-            walk(int(rm.group(1)), depth + 1)
+        for rm2 in _REF_RE.finditer(km.group(1)):
+            walk(int(rm2.group(1)), depth + 1, rotate, box)
 
     walk(int(pm.group(1)))
     if not pages:
@@ -670,12 +683,12 @@ class PdfPage:
 
 
 def _assemble_page(
-    spans: List[Span], page_width: float, page_height: float
+    spans: List[Span], page_width: float, page_height: float, rotation: int = 0
 ) -> PdfPage:
     if not spans:
         return PdfPage(
             text="",
-            layout={"width": page_width, "height": page_height, "rotation": 0, "blocks": []},
+            layout={"width": page_width, "height": page_height, "rotation": rotation, "blocks": []},
         )
 
     lines = _order_lines(_group_lines(spans, page_height), page_width)
@@ -719,7 +732,7 @@ def _assemble_page(
     layout = {
         "width": page_width,
         "height": page_height,
-        "rotation": 0,
+        "rotation": rotation,
         "blocks": layout_blocks,
     }
     return PdfPage(text="\n".join(text_lines), layout=layout)
@@ -748,21 +761,18 @@ def parse_pdf(payload: bytes, max_pages: Optional[int] = None) -> List[PdfPage]:
 
     pages: List[PdfPage] = []
     default_box = (0.0, 0.0, 612.0, 792.0)
-    for pnum in page_nums[:total]:
+    for pnum, rotate, box in page_nums[:total]:
         page_obj = objects[pnum]
-        mb = _MEDIABOX_RE.search(page_obj.dict_bytes)
-        if mb:
-            box = tuple(float(x) for x in mb.groups())
-        else:
+        if box is None:
             box = default_box
         width = box[2] - box[0]
         height = box[3] - box[1]
         try:
             content = _content_bytes(objects, page_obj)
             spans = _interpret_text(content)
-            pages.append(_assemble_page(spans, width, height))
+            pages.append(_assemble_page(spans, width, height, rotate))
         except PdfParseError:
             pages.append(
-                PdfPage(text="", layout={"width": width, "height": height, "rotation": 0, "blocks": []})
+                PdfPage(text="", layout={"width": width, "height": height, "rotation": rotate, "blocks": []})
             )
     return pages

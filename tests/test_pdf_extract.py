@@ -187,3 +187,31 @@ def test_unsupported_filter_isolates_to_empty_page():
     assert len(pages) == 2
     assert pages[0].text == ""          # filtered page fails clean
     assert pages[1].text == "Good page text."   # sibling page unaffected
+
+
+def test_rotate_inherited_and_overridden():
+    """/Rotate is an inheritable page attribute: a value on the Pages node
+    applies to every leaf; a leaf override wins (PDF 1.7 §7.7.3.4)."""
+    pdf = make_pdf([["Page one."], ["Page two."]], rng(), compress=False)
+    # Put /Rotate 90 on the Pages node and /Rotate 180 on the second page.
+    assert b"/Type /Pages" in pdf
+    pdf = pdf.replace(b"/Type /Pages", b"/Type /Pages /Rotate 90", 1)
+    # Second /Type /Page occurrence gets the override.
+    first = pdf.index(b"/Type /Page ")
+    second = pdf.index(b"/Type /Page ", first + 1)
+    pdf = pdf[:second] + b"/Type /Page /Rotate 180 " + pdf[second + len(b"/Type /Page "):]
+    pages = parse_pdf(pdf)
+    assert pages[0].layout["rotation"] == 90    # inherited
+    assert pages[1].layout["rotation"] == 180   # leaf override
+    assert pages[0].text == "Page one."         # text unchanged by rotation
+
+
+def test_mediabox_inherited_from_pages_node():
+    pdf = make_pdf([["Some text."]], rng(), compress=False)
+    # Move the MediaBox from the page to the Pages node: delete it on the
+    # page, add a custom one on the Pages node.
+    pdf = pdf.replace(b"/MediaBox [0 0 612 792] ", b"", 1)
+    pdf = pdf.replace(b"/Type /Pages", b"/Type /Pages /MediaBox [0 0 300 400]", 1)
+    pages = parse_pdf(pdf)
+    assert pages[0].layout["width"] == 300.0
+    assert pages[0].layout["height"] == 400.0
