@@ -301,10 +301,19 @@ def run_extraction_job(
         return summary
 
     # Expected rows per shard (footer-only metadata reads) drive incremental
-    # manifest commits.
+    # manifest commits. Footer reads are IO-bound and independent — a serial
+    # loop is an O(shards) driver stall (measured ~50 s for 500 shards on a
+    # slow volume; hours at Common-Crawl's ~10^5 shards), so read them in a
+    # thread pool.
+    from concurrent.futures import ThreadPoolExecutor
+
     import pyarrow.parquet as _pq
 
-    expected = {stable_shard_id(f): _pq.ParquetFile(f).metadata.num_rows for f in files}
+    def _rows(f: str) -> tuple:
+        return stable_shard_id(f), _pq.ParquetFile(f).metadata.num_rows
+
+    with ThreadPoolExecutor(max_workers=min(32, max(4, len(files)))) as pool:
+        expected = dict(pool.map(_rows, files))
 
     docs = extract_dataset(read_pages(files), cfg, concurrency=concurrency)
 
