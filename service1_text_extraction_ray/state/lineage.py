@@ -242,24 +242,30 @@ def load_lineage(out_dir: str) -> List[Dict[str, Any]]:
 def completed_shards(out_dir: str, validate_data: bool = True) -> Set[int]:
     """Shard ids whose manifest is valid AND whose listed parts all exist with
     the recorded total row count (guards against data removed/corrupted after
-    the manifest was committed)."""
-    done: Set[int] = set()
-    for rec in load_lineage(out_dir):
+    the manifest was committed).
+
+    Validation is footer-only IO per part and independent across shards, so
+    it runs in a thread pool — a serial scan is an O(shards) resume stall at
+    crawl-scale shard counts (same fix as the job's expected-rows scan)."""
+    records = load_lineage(out_dir)
+    if not validate_data:
+        return {rec["shard_id"] for rec in records}
+
+    def check(rec: Dict[str, Any]) -> int | None:
         sid = rec["shard_id"]
-        if validate_data:
-            ddir = shard_data_dir(out_dir, sid)
-            n = 0
-            ok = True
-            for part in rec.get("parts", []):
-                try:
-                    n += pq.ParquetFile(os.path.join(ddir, part)).metadata.num_rows
-                except (OSError, pa.ArrowInvalid):
-                    ok = False
-                    break
-            if not ok or n != rec["n_docs"]:
-                continue
-        done.add(sid)
-    return done
+        ddir = shard_data_dir(out_dir, sid)
+        n = 0
+        for part in rec.get("parts", []):
+            try:
+                n += pq.ParquetFile(os.path.join(ddir, part)).metadata.num_rows
+            except (OSError, pa.ArrowInvalid):
+                return None
+        return sid if n == rec["n_docs"] else None
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(32, max(4, len(records) or 1))) as pool:
+        return {sid for sid in pool.map(check, records) if sid is not None}
 
 
 def read_shard(out_dir: str, shard_id: int) -> pa.Table:
