@@ -168,6 +168,18 @@ def bench_once() -> dict:
     }
 
 
+def _run_headline_subprocess(ncpu: int, rows: int | None = None) -> dict:
+    """One fresh-process headline run (shared by both scaling protocols)."""
+    env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=SF_DIR)
+    if rows is not None:
+        env["GRAFT_BENCH_ROWS"] = str(rows)
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py"), "--headline-only"],
+        env=env, capture_output=True, text=True, check=True,
+    ).stdout
+    return json.loads(out.strip().splitlines()[-1])
+
+
 def _platform_control(corpus: str) -> dict:
     """Platform per-core scaling control: the pure extraction function (no
     Ray) run in K worker processes at the engine's two actor-pool sizes.
@@ -240,14 +252,6 @@ def bench_scaling() -> dict:
     the number that models N -> 4N separate-memory nodes.
     """
 
-    def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=SF_DIR)
-        out = subprocess.run(
-            [sys.executable, os.path.join(REPO, "bench.py"), "--headline-only"],
-            env=env, capture_output=True, text=True, check=True,
-        ).stdout
-        return json.loads(out.strip().splitlines()[-1])
-
     # Interleave the levels into adjacent (8, 32) pairs: this sandbox VM's
     # absolute speed drifts tens of percent over minutes (noisy neighbors),
     # and a drift between the 8-block and the 32-block of a sequential
@@ -259,7 +263,7 @@ def bench_scaling() -> dict:
     lo, hi = 8, 32
     pairs = []
     for _ in range(3):
-        pairs.append((run(lo), run(hi)))
+        pairs.append((_run_headline_subprocess(lo), _run_headline_subprocess(hi)))
     raw_effs = [round((a["value"] / b["value"]) / (hi / lo), 3) for a, b in pairs]
     order = sorted(range(len(pairs)), key=lambda i: raw_effs[i])
     med_i = order[len(order) // 2]
@@ -305,26 +309,13 @@ def bench_scaling_weak() -> dict:
     lo, hi = 8, 32
     base_rows = _corpus_rows() // 4
 
-    def run(ncpu: int, rows: int) -> dict:
-        env = dict(
-            os.environ,
-            RAY_GRAFT_CPUS=str(ncpu),
-            GRAFT_SF_DIR=SF_DIR,
-            GRAFT_BENCH_ROWS=str(rows),
-        )
-        out = subprocess.run(
-            [sys.executable, os.path.join(REPO, "bench.py"), "--headline-only"],
-            env=env, capture_output=True, text=True, check=True,
-        ).stdout
-        return json.loads(out.strip().splitlines()[-1])
-
     # Median of 3 interleaved pairs, clamped to 1.0 — same noise discipline
     # as bench_scaling (a >1 "efficiency" is a drift-corrupted window, not
     # super-linear scaling).
     effs, detail = [], []
     for _ in range(3):
-        r_lo = run(lo, base_rows)
-        r_hi = run(hi, base_rows * 4)
+        r_lo = _run_headline_subprocess(lo, base_rows)
+        r_hi = _run_headline_subprocess(hi, base_rows * 4)
         eff = r_hi["docs_per_sec"] / (4 * r_lo["docs_per_sec"])
         effs.append(round(eff, 3))
         detail.append({"docs_per_sec_8": r_lo["docs_per_sec"],

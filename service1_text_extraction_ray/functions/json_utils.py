@@ -117,13 +117,20 @@ def safe_json_loads(json_str: str, use_sanitization: bool = True) -> Any:
 _FENCED_RE = re.compile(r"```(?:json)?\s*(\{.*?\}|\[.*?\])\s*```", re.DOTALL)
 _JSON_FENCE_RE = re.compile(r"```json\n(.*?)\n```", re.DOTALL)
 
+MAX_PARSE_ATTEMPTS = 16  # bound on candidate parse+sanitize tries per call
+
 
 def _balanced_spans(text: str):
     """Yield candidate JSON substrings with BALANCED braces/brackets (quote-
     aware), in order of appearance. The reference's strategy-3 regex
     ``(\\{.*?\\}|\\[.*?\\])`` truncates nested objects at the first closing
     brace (lazy match) — a third documented reference bug this module fixes;
-    a balanced scan extracts ``{"a": {"b": 1}}`` whole."""
+    a balanced scan extracts ``{"a": {"b": 1}}`` whole.
+
+    After each opener the scan resumes ONE character later (not past the
+    span): an unclosed opener therefore cannot swallow the rest of the text,
+    and valid JSON nested inside an unparseable outer span is still offered
+    as a later candidate. The caller caps total parse attempts."""
     openers = {"{": "}", "[": "]"}
     i, n = 0, len(text)
     while i < n:
@@ -149,9 +156,7 @@ def _balanced_spans(text: str):
                         yield text[i : j + 1]
                         break
                 j += 1
-            i = j + 1
-        else:
-            i += 1
+        i += 1
 
 
 def parse_relaxed(text: str) -> Tuple[Any, bool]:
@@ -163,30 +168,46 @@ def parse_relaxed(text: str) -> Tuple[Any, bool]:
     cascade (the reference's single try/except returns ({}, False) even
     when a later strategy would succeed), and bare-JSON extraction uses a
     balanced-brace scan (see _balanced_spans) instead of a lazy regex that
-    truncates nested objects."""
+    truncates nested objects. Total parse attempts are capped at
+    MAX_PARSE_ATTEMPTS so adversarial text (thousands of brace spans) costs
+    bounded work inside a map_batches stage."""
     if not text or not text.strip():
         return {}, False
+    budget = MAX_PARSE_ATTEMPTS
+
+    def try_parse(candidate: str):
+        nonlocal budget
+        if budget <= 0:
+            return None
+        budget -= 1
+        try:
+            return safe_json_loads(candidate), True
+        except json.JSONDecodeError:
+            return None
+
     stripped = text.strip()
     if stripped.startswith("{") or stripped.startswith("["):
-        try:
-            return safe_json_loads(text), True
-        except json.JSONDecodeError:
-            pass
+        hit = try_parse(text)
+        if hit:
+            return hit
     for m in _FENCED_RE.finditer(text):
-        try:
-            return safe_json_loads(m.group(1)), True
-        except json.JSONDecodeError:
-            continue
+        hit = try_parse(m.group(1))
+        if hit:
+            return hit
+        if budget <= 0:
+            return {}, False
     for span in _balanced_spans(text):
-        try:
-            return safe_json_loads(span), True
-        except json.JSONDecodeError:
-            continue
+        hit = try_parse(span)
+        if hit:
+            return hit
+        if budget <= 0:
+            return {}, False
     for m in _JSON_FENCE_RE.finditer(text):
-        try:
-            return safe_json_loads(m.group(1)), True
-        except json.JSONDecodeError:
-            continue
+        hit = try_parse(m.group(1))
+        if hit:
+            return hit
+        if budget <= 0:
+            return {}, False
     return {}, False
 
 

@@ -190,7 +190,7 @@ _CONTENTS_ARR_RE = re.compile(rb"/Contents\s*\[([^\]]*)\]")
 _MEDIABOX_RE = re.compile(
     rb"/MediaBox\s*\[\s*([\d.+-]+)\s+([\d.+-]+)\s+([\d.+-]+)\s+([\d.+-]+)\s*\]"
 )
-_FILTER_RE = re.compile(rb"/Filter\s*(/\w+|\[[^\]]*\])")
+_FILTER_RE = re.compile(rb"/Filter\s*(\d+\s+\d+\s+R|/\w+|\[[^\]]*\])")
 _FILTER_NAME_RE = re.compile(rb"/(\w+)")
 
 
@@ -219,7 +219,13 @@ def _decode_stream(obj: "_PdfObject") -> bytes:
     m = _FILTER_RE.search(obj.dict_bytes)
     if not m:
         return raw
-    for name_m in _FILTER_NAME_RE.finditer(m.group(1)):
+    spec = m.group(1)
+    if spec.endswith(b"R"):
+        # An indirect /Filter reference means SOME filter applies but we
+        # can't resolve which in this subset — fail the page (counted)
+        # rather than feed still-encoded bytes to the tokenizer.
+        raise PdfParseError("indirect /Filter reference unsupported")
+    for name_m in _FILTER_NAME_RE.finditer(spec):
         name = name_m.group(1)
         if name == b"FlateDecode":
             try:

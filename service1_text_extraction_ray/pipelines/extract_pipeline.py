@@ -303,17 +303,15 @@ def run_extraction_job(
     # Expected rows per shard (footer-only metadata reads) drive incremental
     # manifest commits. Footer reads are IO-bound and independent — a serial
     # loop is an O(shards) driver stall (measured ~50 s for 500 shards on a
-    # slow volume; hours at Common-Crawl's ~10^5 shards), so read them in a
-    # thread pool.
-    from concurrent.futures import ThreadPoolExecutor
-
+    # slow volume; hours at Common-Crawl's ~10^5 shards), so lin.thread_map.
     import pyarrow.parquet as _pq
 
-    def _rows(f: str) -> tuple:
-        return stable_shard_id(f), _pq.ParquetFile(f).metadata.num_rows
-
-    with ThreadPoolExecutor(max_workers=min(32, max(4, len(files)))) as pool:
-        expected = dict(pool.map(_rows, files))
+    expected = dict(
+        lin.thread_map(
+            lambda f: (stable_shard_id(f), _pq.ParquetFile(f).metadata.num_rows),
+            files,
+        )
+    )
 
     docs = extract_dataset(read_pages(files), cfg, concurrency=concurrency)
 

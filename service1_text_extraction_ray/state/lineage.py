@@ -220,6 +220,19 @@ def commit_shard_manifest(out_dir: str, shard_id: int, part_records: list) -> Di
     return record
 
 
+def thread_map(fn, items, max_workers: int = 32) -> list:
+    """Map an IO-bound fn over items with a bounded thread pool, preserving
+    order. Shared by every O(shards) footer/metadata scan (a serial loop is
+    a driver stall at crawl-scale shard counts)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    items = list(items)
+    if not items:
+        return []
+    with ThreadPoolExecutor(max_workers=min(max_workers, max(4, len(items)))) as pool:
+        return list(pool.map(fn, items))
+
+
 def load_lineage(out_dir: str) -> List[Dict[str, Any]]:
     ldir = lineage_dir(out_dir)
     if not os.path.isdir(ldir):
@@ -245,8 +258,8 @@ def completed_shards(out_dir: str, validate_data: bool = True) -> Set[int]:
     the manifest was committed).
 
     Validation is footer-only IO per part and independent across shards, so
-    it runs in a thread pool — a serial scan is an O(shards) resume stall at
-    crawl-scale shard counts (same fix as the job's expected-rows scan)."""
+    it runs through thread_map — a serial scan is an O(shards) resume stall
+    at crawl-scale shard counts (same fix as the job's expected-rows scan)."""
     records = load_lineage(out_dir)
     if not validate_data:
         return {rec["shard_id"] for rec in records}
@@ -262,10 +275,7 @@ def completed_shards(out_dir: str, validate_data: bool = True) -> Set[int]:
                 return None
         return sid if n == rec["n_docs"] else None
 
-    from concurrent.futures import ThreadPoolExecutor
-
-    with ThreadPoolExecutor(max_workers=min(32, max(4, len(records) or 1))) as pool:
-        return {sid for sid in pool.map(check, records) if sid is not None}
+    return {sid for sid in thread_map(check, records) if sid is not None}
 
 
 def read_shard(out_dir: str, shard_id: int) -> pa.Table:

@@ -143,3 +143,22 @@ class TestLayoutStatsQuery:
             assert got["n_blocks"] == len(blocks)
             assert got["n_lines"] == len(lines)
             assert got["n_spans"] == sum(len(l.get("spans", [])) for l in lines)
+
+
+class TestParseRelaxedRobustness:
+    def test_unclosed_brace_does_not_swallow_later_json(self):
+        assert parse_relaxed('log { unclosed ... payload {"ok": 1} follows') == ({"ok": 1}, True)
+
+    def test_valid_json_nested_in_unparseable_span(self):
+        assert parse_relaxed('x {bad {"ok": 1}} y') == ({"ok": 1}, True)
+
+    def test_adversarial_many_spans_bounded(self):
+        import time
+
+        from service1_text_extraction_ray.functions.json_utils import MAX_PARSE_ATTEMPTS
+
+        text = "{a}" * 50_000
+        t0 = time.monotonic()
+        assert parse_relaxed(text) == ({}, False)
+        assert time.monotonic() - t0 < 2.0  # attempt cap bounds the work
+        assert MAX_PARSE_ATTEMPTS <= 32

@@ -215,3 +215,14 @@ def test_mediabox_inherited_from_pages_node():
     pages = parse_pdf(pdf)
     assert pages[0].layout["width"] == 300.0
     assert pages[0].layout["height"] == 400.0
+
+
+def test_indirect_filter_ref_isolates_to_empty_page():
+    """'/Filter 9 0 R' means an unresolvable (in-subset) filter applies:
+    the page must fail clean, never tokenize still-encoded bytes."""
+    import zlib as _z
+
+    pdf = make_pdf([["Secret text."]], rng(), compress=False)
+    filtered = _rewrite_stream_filter(pdf, lambda b: _z.compress(b), b"9 0 R")
+    pages = parse_pdf(filtered)
+    assert pages[0].text == ""
