@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprints": Q.q_doc_fingerprints,
         # --- similarity search ---
         "knn_cosine": Q.q_knn_cosine,
+        "knn_batch": Q.q_knn_batch,
         "ann_lsh": Q.q_ann_lsh,
         "ann_ivf": Q.q_ann_ivf,
         "embedding_label_stats": Q.q_embedding_label_stats,
@@ -105,6 +106,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": Q.SQL_DEDUP_EXACT,
         "dedup_embedding": Q.SQL_DEDUP_EMBEDDING,
         "knn_cosine": Q.sql_knn_cosine(),
+        "knn_batch": Q.sql_knn_batch(),
         "embedding_label_stats": Q.SQL_EMBEDDING_LABEL_STATS,
         "pricing_summary": R.SQL_PRICING_SUMMARY,
         "segment_order_stats": R.SQL_SEGMENT_ORDER_STATS,

@@ -757,6 +757,66 @@ SELECT vec_id FROM (
 """
 
 
+KNN_BATCH_SEED = 777
+KNN_BATCH_Q = 8
+
+
+def q_knn_batch(sf_dir: str) -> pd.DataFrame:
+    """Batched brute-force cosine top-k: ONE numpy matmul per data batch
+    against a broadcast (Q x d) query MATRIX — the realistic serving shape
+    (amortizes the scan across all queries). Per-batch per-query top-k
+    partials, tiny driver merge. Exact oracle per (query_id, vec_id)."""
+    rs = np.random.RandomState(KNN_BATCH_SEED)
+    qm = rs.standard_normal((KNN_BATCH_Q, 64))
+    qm = qm / np.linalg.norm(qm, axis=1)[:, None]
+    qref = ray.put(qm)
+
+    def topk_batch(batch: pa.Table) -> pa.Table:
+        q = ray.get(qref)
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        mat = np.stack(batch["embedding"].to_pandas().to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        sims = (mat / norms[:, None]) @ q.T  # (n, Q)
+        k = min(KNN_K, len(ids))
+        out_qid, out_vid, out_sim = [], [], []
+        for qi in range(q.shape[0]):
+            idx = np.argsort(-sims[:, qi])[:k]
+            out_qid.extend([qi] * k)
+            out_vid.extend(ids[idx])
+            out_sim.extend(sims[idx, qi])
+        return pa.table({"query_id": pa.array(out_qid, pa.int64()),
+                         "vec_id": pa.array(out_vid, pa.int64()),
+                         "sim": pa.array(out_sim, pa.float64())})
+
+    partials = (
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+        .map_batches(topk_batch, batch_format="pyarrow")
+        .to_pandas()
+    )
+    top = (
+        partials.sort_values(["query_id", "sim"], ascending=[True, False])
+        .groupby("query_id", sort=True)
+        .head(KNN_K)
+    )
+    return top[["query_id", "vec_id"]].reset_index(drop=True)
+
+
+def sql_knn_batch() -> str:
+    rs = np.random.RandomState(KNN_BATCH_SEED)
+    qm = rs.standard_normal((KNN_BATCH_Q, 64))
+    parts = []
+    for qi in range(KNN_BATCH_Q):
+        lit = "[" + ", ".join(repr(float(x)) for x in qm[qi]) + "]"
+        parts.append(f"""
+(SELECT {qi} AS query_id, vec_id FROM (
+  SELECT vec_id,
+         list_cosine_similarity(CAST(embedding AS DOUBLE[]), {lit}) AS sim
+  FROM embeddings
+) ORDER BY sim DESC LIMIT {KNN_K})""")
+    return "\nUNION ALL\n".join(parts)
+
+
 def q_ann_lsh(sf_dir: str) -> pd.DataFrame:
     """LSH-bucketed approximate NN (the scale path): 12 seeded random
     hyperplanes -> 12-bit signature buckets; search only the query's bucket
