@@ -273,22 +273,23 @@ def bench_scaling() -> dict:
     n_rows = r_lo["corpus_rows"]
     control = _platform_control(_corpus_dir(n_rows))
     platform = control["platform_per_core_factor"]
-    # Engine efficiency can't exceed 1.0 — values above 1 would mean the
-    # noise in raw_eff/platform (both drift) exceeded the headroom; clamp
-    # and leave the unclamped inputs visible.
+    # Informational decomposition only: dividing by a self-measured factor <1
+    # can only raise the number, so it must never decide pass/fail. The gate
+    # below is on the RAW measured efficiency; the separate-memory-node model
+    # is evidenced by bench_scaling_weak (which needs no correction).
     engine_eff = min(1.0, raw_eff / platform) if platform > 0 else raw_eff
 
     return {
         "metric": (
-            "engine scaling efficiency, num_cpus=8 vs 32 in fresh processes, "
-            "= raw single-machine efficiency / platform per-core factor "
-            "(pure-function multiprocessing control; models N -> 4N "
-            "separate-memory nodes — see BENCH/BASELINE.md)"
+            "strong-scaling efficiency, num_cpus=8 vs 32 in fresh processes "
+            "(raw, uncorrected; the platform/engine decomposition is reported "
+            "for context only — see BENCH/BASELINE.md)"
         ),
-        "value": round(engine_eff, 3),
+        "value": raw_eff,
         "unit": "efficiency",
         "raw_single_machine_efficiency": raw_eff,
         "raw_efficiency_all_pairs": raw_effs,
+        "engine_efficiency_derived_informational": round(engine_eff, 3),
         **control,
         "sec_8": r_lo["value"],
         "sec_32": r_hi["value"],
@@ -296,7 +297,7 @@ def bench_scaling() -> dict:
         "docs_per_sec_32": r_hi["docs_per_sec"],
         "corpus_rows": n_rows,
         "content_hash_match": r_lo["counters"]["content_hash"] == r_hi["counters"]["content_hash"],
-        "pass_ge_0.8": engine_eff >= 0.8,
+        "pass_ge_0.8": raw_eff >= 0.8,
     }
 
 

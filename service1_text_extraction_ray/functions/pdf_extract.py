@@ -225,6 +225,15 @@ def _decode_stream(obj: "_PdfObject") -> bytes:
         # can't resolve which in this subset — fail the page (counted)
         # rather than feed still-encoded bytes to the tokenizer.
         raise PdfParseError("indirect /Filter reference unsupported")
+    if spec.startswith(b"["):
+        # Same guarantee for array specs: '[ 5 0 R ]' contains a reference
+        # (and yields zero names below), which would silently return the
+        # still-encoded bytes. Any 'N N R' inside the array, or a non-empty
+        # array with no filter names, is a counted parse failure. An EMPTY
+        # array ('/Filter []') legally means "no filters" -> raw bytes.
+        body = spec.strip(b"[] \t\r\n\f\x00")
+        if _REF_RE.search(spec) or (body and not _FILTER_NAME_RE.search(spec)):
+            raise PdfParseError("unresolvable /Filter array")
     for name_m in _FILTER_NAME_RE.finditer(spec):
         name = name_m.group(1)
         if name == b"FlateDecode":

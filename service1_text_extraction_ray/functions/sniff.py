@@ -72,16 +72,24 @@ def sniff_table(batch: pa.Table, size_bucket_edges: tuple[int, ...]) -> pa.Table
 
     is_pdf = pc.fill_null(pc.starts_with(payload, pattern=b"%PDF-"), False)
 
-    # HTML heuristic needs a small lstrip; do it on a 64-byte prefix slice only.
-    head = pc.binary_slice(payload, 0, 64)
-    kinds = np.full(n, KIND_OTHER, dtype=object)
+    # HTML detection, vectorized for the dominant case: a payload that starts
+    # directly with '<' (virtually all real markup). Only rows that start
+    # with a BOM or leading whitespace need the scalar lstrip fallback —
+    # find those rows with one more kernel and loop over just them.
     is_pdf_np = is_pdf.to_numpy(zero_copy_only=False)
-    head_list = head.to_pylist()
-    for i in range(n):
-        if is_pdf_np[i]:
-            kinds[i] = KIND_PDF
-        else:
-            h = head_list[i]
+    is_html_np = pc.fill_null(
+        pc.starts_with(payload, pattern=b"<"), False
+    ).to_numpy(zero_copy_only=False)
+    kinds = np.where(
+        is_pdf_np, KIND_PDF, np.where(is_html_np, KIND_HTML, KIND_OTHER)
+    ).astype(object)
+
+    lens_np = payload_len.to_numpy(zero_copy_only=False)
+    maybe_slow = ~is_pdf_np & ~is_html_np & (lens_np > 0)
+    if maybe_slow.any():
+        head = pc.binary_slice(payload, 0, 64)
+        for i in np.nonzero(maybe_slow)[0]:
+            h = head[int(i)].as_py()
             if h:
                 if h[:3] == b"\xef\xbb\xbf":
                     h = h[3:]
@@ -102,8 +110,7 @@ def sniff_table(batch: pa.Table, size_bucket_edges: tuple[int, ...]) -> pa.Table
             (zlib.crc32(u.encode("utf-8")) % 256 for u in urls), dtype=np.int64, count=n
         )
 
-    lens = payload_len.to_numpy(zero_copy_only=False)
-    bucket = np.digitize(lens, size_bucket_edges).astype(np.int8)
+    bucket = np.digitize(lens_np, size_bucket_edges).astype(np.int8)
 
     out = batch.drop_columns(["path"]) if "path" in batch.column_names else batch
     return (

@@ -401,11 +401,23 @@ def q_doc_strip_headers(sf_dir: str) -> rd.Dataset:
     return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(f, batch_format="pandas")
 
 
-SQL_DOC_STRIP_HEADERS = """
+# Python str.strip() (the reference's text_utils.py:155 `line.strip()`)
+# strips every codepoint with str.isspace() — not just space/tab/CR. The
+# oracle's trim charset must match on arbitrary input (a '\x0c' or NBSP at
+# a line edge would otherwise diverge). \n is excluded: lines are already
+# split on it.
+_PY_STRIP_CODEPOINTS = (
+    9, 11, 12, 13, 28, 29, 30, 31, 32, 133, 160, 5760,
+    8192, 8193, 8194, 8195, 8196, 8197, 8198, 8199, 8200, 8201, 8202,
+    8232, 8233, 8239, 8287, 12288,
+)
+_SQL_STRIP_CHARSET = " || ".join(f"chr({c})" for c in _PY_STRIP_CODEPOINTS)
+
+SQL_DOC_STRIP_HEADERS = f"""
 SELECT doc_id,
        array_to_string(
          list_filter(
-           list_transform(str_split(text, chr(10)), x -> trim(x, ' ' || chr(9) || chr(13))),
+           list_transform(str_split(text, chr(10)), x -> trim(x, {_SQL_STRIP_CHARSET})),
            x -> NOT (regexp_matches(x, '(?i)^Page [0-9]+$')
                      OR regexp_matches(x, '^[0-9]+$')
                      OR length(x) < 3
@@ -718,7 +730,11 @@ def _query_vector(dim: int = 64) -> np.ndarray:
 def q_knn_cosine(sf_dir: str) -> pd.DataFrame:
     """Brute-force cosine top-k: per-batch numpy matmul against a broadcast
     query vector, per-batch top-k, driver-side final merge of ~tiny partials
-    (the canonical distributed top-k: reduce before collecting)."""
+    (the canonical distributed top-k: reduce before collecting).
+
+    vec_id is the secondary sort key on BOTH sides (here and the SQL): equal
+    similarities at the k boundary would otherwise make membership depend on
+    numpy-argsort vs DuckDB-sort internals."""
     qv = _query_vector()
     qn = qv / np.linalg.norm(qv)
     qref = ray.put(qn)
@@ -732,7 +748,7 @@ def q_knn_cosine(sf_dir: str) -> pd.DataFrame:
         norms[norms == 0] = 1.0
         sims = (mat @ q) / norms
         k = min(KNN_K, len(ids))
-        idx = np.argsort(-sims)[:k]
+        idx = np.lexsort((ids, -sims))[:k]  # sim desc, vec_id asc tiebreak
         return pa.table({"vec_id": pa.array(ids[idx], pa.int64()),
                          "sim": pa.array(sims[idx], pa.float64())})
 
@@ -741,7 +757,7 @@ def q_knn_cosine(sf_dir: str) -> pd.DataFrame:
         .map_batches(topk_batch, batch_format="pyarrow")
         .to_pandas()
     )
-    top = partials.nlargest(KNN_K, "sim")
+    top = partials.sort_values(["sim", "vec_id"], ascending=[False, True]).head(KNN_K)
     return pd.DataFrame({"vec_id": top["vec_id"].astype("int64").to_numpy()})
 
 
@@ -753,7 +769,7 @@ SELECT vec_id FROM (
   SELECT vec_id,
          list_cosine_similarity(CAST(embedding AS DOUBLE[]), {lit}) AS sim
   FROM embeddings
-) ORDER BY sim DESC LIMIT {KNN_K}
+) ORDER BY sim DESC, vec_id ASC LIMIT {KNN_K}
 """
 
 
@@ -781,7 +797,7 @@ def q_knn_batch(sf_dir: str) -> pd.DataFrame:
         k = min(KNN_K, len(ids))
         out_qid, out_vid, out_sim = [], [], []
         for qi in range(q.shape[0]):
-            idx = np.argsort(-sims[:, qi])[:k]
+            idx = np.lexsort((ids, -sims[:, qi]))[:k]  # sim desc, vec_id asc
             out_qid.extend([qi] * k)
             out_vid.extend(ids[idx])
             out_sim.extend(sims[idx, qi])
@@ -795,7 +811,9 @@ def q_knn_batch(sf_dir: str) -> pd.DataFrame:
         .to_pandas()
     )
     top = (
-        partials.sort_values(["query_id", "sim"], ascending=[True, False])
+        partials.sort_values(
+            ["query_id", "sim", "vec_id"], ascending=[True, False, True]
+        )
         .groupby("query_id", sort=True)
         .head(KNN_K)
     )
@@ -813,7 +831,7 @@ def sql_knn_batch() -> str:
   SELECT vec_id,
          list_cosine_similarity(CAST(embedding AS DOUBLE[]), {lit}) AS sim
   FROM embeddings
-) ORDER BY sim DESC LIMIT {KNN_K})""")
+) ORDER BY sim DESC, vec_id ASC LIMIT {KNN_K})""")
     return "\nUNION ALL\n".join(parts)
 
 

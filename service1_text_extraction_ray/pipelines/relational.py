@@ -206,27 +206,42 @@ TOPK_CUSTOMERS = 10
 
 def q_top_customers_by_revenue(sf_dir: str) -> pd.DataFrame:
     """Top-10 customers by total order value: pre-aggregate per custkey
-    (shuffle of partials), then a tiny driver-side top-k of the aggregate."""
+    (shuffle of int64 partials), then per-BLOCK partial top-k inside
+    map_batches, then a tiny driver merge of the <=k-per-block partials —
+    never a global sort for 10 rows (at 10^9 customers a sort().limit()
+    would be an all-to-all exchange; this ships O(k x blocks) rows).
+    o_custkey is the tiebreak on both sides (boundary determinism)."""
+
     def prep(batch: pa.Table) -> pa.Table:
         return pa.Table.from_arrays(
             [batch["o_custkey"], _cents(batch["o_totalprice"])],
             names=["o_custkey", "totalprice_cents"],
         )
 
-    agg = (
+    def block_topk(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.sort_values(
+            ["revenue_cents", "o_custkey"], ascending=[False, True]
+        ).head(TOPK_CUSTOMERS)
+        return out.astype({"o_custkey": "int64", "revenue_cents": "int64"})
+
+    partials = (
         _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
         .map_batches(prep, batch_format="pyarrow")
         .groupby("o_custkey")
         .aggregate(Sum("totalprice_cents", alias_name="revenue_cents"))
+        .map_batches(block_topk, batch_format="pandas")
+        .to_pandas()
     )
-    top = agg.sort("revenue_cents", descending=True).limit(TOPK_CUSTOMERS).to_pandas()
-    return top[["o_custkey", "revenue_cents"]]
+    top = partials.sort_values(
+        ["revenue_cents", "o_custkey"], ascending=[False, True]
+    ).head(TOPK_CUSTOMERS)
+    return top[["o_custkey", "revenue_cents"]].reset_index(drop=True)
 
 
 SQL_TOP_CUSTOMERS_BY_REVENUE = f"""
 SELECT o_custkey, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
 FROM orders GROUP BY o_custkey
-ORDER BY revenue_cents DESC LIMIT {TOPK_CUSTOMERS}
+ORDER BY revenue_cents DESC, o_custkey ASC LIMIT {TOPK_CUSTOMERS}
 """
 
 
@@ -696,12 +711,30 @@ def q_top_orders_per_segment(sf_dir: str) -> rd.Dataset:
     )
     cust_ref = ray.put(cust)
 
+    # Typed empties: a pandas UDF returning a bare empty frame drops the
+    # column dtypes, and Ray's streaming executor then sees a different
+    # block schema (the "RefBundle with a different schema" warning — the
+    # classic latent heterogeneous-schema bug). Always return these shapes.
+    _PRUNE_EMPTY = pd.DataFrame({
+        "c_mktsegment": pd.Series([], dtype="object"),
+        "o_orderkey": pd.Series([], dtype="int64"),
+        "o_totalprice": pd.Series([], dtype="float64"),
+    })
+    _TOPN_EMPTY = pd.DataFrame({
+        "c_mktsegment": pd.Series([], dtype="object"),
+        "rank": pd.Series([], dtype="int64"),
+        "o_orderkey": pd.Series([], dtype="int64"),
+        "o_totalprice": pd.Series([], dtype="float64"),
+    })
+
     def tag_and_prune(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return _PRUNE_EMPTY.copy()
         lookup = ray.get(cust_ref)
         out = pd.DataFrame({
             "c_mktsegment": df["o_custkey"].map(lookup),
             "o_orderkey": df["o_orderkey"].astype("int64"),
-            "o_totalprice": df["o_totalprice"],
+            "o_totalprice": df["o_totalprice"].astype("float64"),
         })
         out = out.sort_values(
             ["o_totalprice", "o_orderkey"], ascending=[False, True]
@@ -709,9 +742,11 @@ def q_top_orders_per_segment(sf_dir: str) -> rd.Dataset:
         return out.groupby("c_mktsegment", sort=False).head(TOPN_PER_SEGMENT)
 
     def topn(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return _TOPN_EMPTY.copy()
         g = g.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True])
         g = g.head(TOPN_PER_SEGMENT).copy()
-        g["rank"] = range(1, len(g) + 1)
+        g["rank"] = pd.Series(range(1, len(g) + 1), index=g.index, dtype="int64")
         return g[["c_mktsegment", "rank", "o_orderkey", "o_totalprice"]]
 
     return (

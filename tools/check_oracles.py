@@ -1,29 +1,29 @@
-"""Local replica of the driver's correctness gate: run every queries() entry
-at a given sf_dir, and for SQL-backed ones compare against DuckDB
-(row count + sorted-column schema + order-insensitive values).
+"""Driver-style oracle check: run queries() vs oracle_sql() at a given sf and
+compare rows / schema (column names) / order-insensitive value hash.
 
 Usage: python tools/check_oracles.py [sf_dir] [query ...]
 """
 
 from __future__ import annotations
 
+import hashlib
 import sys
-import time
 from pathlib import Path
 
-sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+REPO = str(Path(__file__).resolve().parent.parent)
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
 
 import duckdb
 import pandas as pd
+import pyarrow as pa
 
-TABLES = [
-    "region", "nation", "customer", "supplier", "part", "orders",
-    "lineitem", "events", "documents", "embeddings",
-]
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
 
 
-def to_pandas(res) -> pd.DataFrame:
-    import pyarrow as pa
+def to_pandas(res):
     import ray.data as rd
 
     if isinstance(res, rd.Dataset):
@@ -33,19 +33,22 @@ def to_pandas(res) -> pd.DataFrame:
     return res
 
 
-def canon(df: pd.DataFrame) -> pd.DataFrame:
-    df = df[sorted(df.columns)].copy()
-    for c in df.columns:
-        if pd.api.types.is_datetime64_any_dtype(df[c]):
-            df[c] = df[c].astype("datetime64[us]")
-        elif pd.api.types.is_integer_dtype(df[c]):
-            df[c] = df[c].astype("int64")
-        elif pd.api.types.is_float_dtype(df[c]):
-            df[c] = df[c].astype("float64").round(9)
-    return df.sort_values(by=list(df.columns), ignore_index=True)
+def value_hash(df: pd.DataFrame) -> str:
+    df = df[sorted(df.columns)]
+    rows = []
+    for tup in df.itertuples(index=False):
+        rows.append("|".join(_norm(v) for v in tup))
+    rows.sort()
+    return hashlib.md5("\n".join(rows).encode()).hexdigest()
 
 
-def main() -> int:
+def _norm(v) -> str:
+    if isinstance(v, float):
+        return f"{v:.6f}"
+    return str(v)
+
+
+def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
@@ -59,45 +62,32 @@ def main() -> int:
 
     import __ray_entry__ as E
 
+    qs, sqls = E.queries(), E.oracle_sql()
+
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
 
-    qs = E.queries()
-    sqls = E.oracle_sql()
     failures = 0
-    for name, fn in qs.items():
+    for name, sql in sqls.items():
         if only and name not in only:
             continue
-        t0 = time.time()
-        try:
-            got = canon(to_pandas(fn(sf_dir)))
-        except Exception as e:
-            print(f"[FAIL] {name}: query raised {type(e).__name__}: {e}")
+        ours = to_pandas(qs[name](sf_dir))
+        theirs = con.sql(sql).df()
+        rows_ok = len(ours) == len(theirs)
+        schema_ok = sorted(ours.columns) == sorted(theirs.columns)
+        hash_ok = schema_ok and value_hash(ours) == value_hash(theirs)
+        status = "OK " if (rows_ok and schema_ok and hash_ok) else "FAIL"
+        if status == "FAIL":
             failures += 1
-            continue
-        dt = time.time() - t0
-        if name not in sqls:
-            print(f"[rows ] {name}: {len(got)} rows, {len(got.columns)} cols ({dt:.1f}s)")
-            continue
-        exp = canon(con.execute(sqls[name]).fetchdf())
-        if list(got.columns) != list(exp.columns):
-            print(f"[FAIL] {name}: columns {list(got.columns)} != {list(exp.columns)}")
-            failures += 1
-            continue
-        if len(got) != len(exp):
-            print(f"[FAIL] {name}: rows {len(got)} != {len(exp)}")
-            failures += 1
-            continue
-        try:
-            pd.testing.assert_frame_equal(got, exp, check_dtype=False, check_exact=True)
-            print(f"[ OK  ] {name}: {len(got)} rows match oracle ({dt:.1f}s)")
-        except AssertionError as e:
-            print(f"[FAIL] {name}: value mismatch: {str(e).splitlines()[-1] if str(e) else e}")
-            failures += 1
-    print(f"\n{failures} failures")
-    return 1 if failures else 0
+        print(f"{status} {name}: rows {len(ours)}/{len(theirs)} schema={schema_ok} hash={hash_ok}")
+        if status == "FAIL" and schema_ok and rows_ok:
+            merged = ours.merge(theirs, how="outer", indicator=True)
+            diff = merged[merged["_merge"] != "both"]
+            print(diff.head(10))
+    ray.shutdown()
+    sys.exit(1 if failures else 0)
 
 
 if __name__ == "__main__":
-    raise SystemExit(main())
+    main()
