@@ -61,6 +61,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash": Q.q_dedup_simhash,
         "dedup_simhash_pairs": Q.q_dedup_simhash_pairs,
         "dedup_embedding": Q.q_dedup_embedding,
+        "dedup_embedding_lsh": Q.q_dedup_embedding_lsh,
         "doc_fingerprints": Q.q_doc_fingerprints,
         # --- similarity search ---
         "knn_cosine": Q.q_knn_cosine,

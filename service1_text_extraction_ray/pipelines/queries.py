@@ -515,72 +515,110 @@ def _minhash_sig(shingles: set, n_hashes: int = 64) -> np.ndarray:
     return sig
 
 
+MINHASH_BUCKET_CAP = 128  # ids verified per band bucket; beyond this the
+                          # lowest doc_ids are kept and the rest logged as
+                          # dropped (a degenerate bucket of near-identical /
+                          # empty docs would otherwise emit O(k^2) pairs)
+
+_EMPTY_JACCARD_PAIRS = {"doc_id_a": "int64", "doc_id_b": "int64", "jaccard_pct": "int64"}
+
+
 def q_dedup_minhash_lsh(sf_dir: str) -> pd.DataFrame:
     """MinHash+LSH near-dup detection: shingle -> 64-perm minhash -> 16 bands
-    of 4 -> band-bucket groupby -> candidate pairs -> verified 3-gram Jaccard.
+    of 4 -> band-bucket groupby -> in-bucket verified 3-gram Jaccard.
 
     Pipeline shape (the Ray-idiomatic sketch pattern): signatures are computed
-    per batch in parallel; banding explodes to (band, band_hash, doc_id) rows;
-    the ONLY shuffle is the groupby on (band, band_hash); verified pairs are a
-    tiny result. Non-SQL -> rows-only driver check; correctness is pytest-
-    verified on constructed near-duplicates.
+    per batch in parallel; banding explodes to (band, band_hash, doc_id, text)
+    rows; the ONLY shuffle is the groupby on (band, band_hash). Verification
+    happens INSIDE the bucket group — the texts are co-located there, so no
+    driver-side text map and no second corpus pass. Only verified pairs
+    (a tiny result) leave the workers; the driver dedups pairs found by
+    multiple bands. Oversized buckets are capped at MINHASH_BUCKET_CAP ids
+    (lowest doc_ids kept, drop logged + counted) so a degenerate bucket can
+    never go quadratic. Cost note: carrying text multiplies the shuffle by
+    N_BANDS; the alternative (candidate pairs -> join texts back by doc_id)
+    trades that for two extra candidate-grain shuffles and wins only when
+    candidates are rare AND docs are large — at boilerplate-heavy web scale
+    the cap bounds both designs, and this one is a single exchange.
+    Non-SQL -> rows-only driver check; pytest-verified on planted dups and a
+    1k-identical-docs skew corpus.
     """
+    import logging
+
     N_BANDS, ROWS_PER_BAND = 16, 4
+    log = logging.getLogger(__name__)
 
     def sig_batch(df: pd.DataFrame) -> pd.DataFrame:
-        rows = []
+        bands, hashes, ids, texts = [], [], [], []
         for doc_id, text in zip(df["doc_id"], df["text"].fillna("")):
             sig = _minhash_sig(_shingles(text))
             for b in range(N_BANDS):
                 band = sig[b * ROWS_PER_BAND : (b + 1) * ROWS_PER_BAND]
-                bh = hashlib.md5(band.tobytes() + bytes([b])).hexdigest()[:16]
-                rows.append({"band": b, "band_hash": bh, "doc_id": int(doc_id)})
-        return pd.DataFrame(rows, columns=["band", "band_hash", "doc_id"])
-
-    def pairs_from_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(set(g["doc_id"].tolist()))
-        out = [
-            {"doc_id_a": a, "doc_id_b": b}
-            for i, a in enumerate(ids)
-            for b in ids[i + 1 :]
-        ]
-        return pd.DataFrame(out, columns=["doc_id_a", "doc_id_b"])
-
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    cand = (
-        ds.map_batches(sig_batch, batch_format="pandas")
-        .groupby(["band", "band_hash"])
-        .map_groups(pairs_from_bucket, batch_format="pandas")
-    )
-    cand_pdf = cand.to_pandas()
-    if len(cand_pdf) == 0:
-        return pd.DataFrame(columns=["doc_id_a", "doc_id_b", "jaccard_pct"]).astype(
-            {"doc_id_a": "int64", "doc_id_b": "int64", "jaccard_pct": "int64"}
+                bands.append(b)
+                hashes.append(hashlib.md5(band.tobytes() + bytes([b])).hexdigest()[:16])
+                ids.append(int(doc_id))
+                texts.append(text)
+        return pd.DataFrame(
+            {
+                "band": pd.Series(bands, dtype="int64"),
+                "band_hash": pd.Series(hashes, dtype="object"),
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "text": pd.Series(texts, dtype="object"),
+            }
         )
-    cand_pdf = cand_pdf.drop_duplicates()
 
-    # Verify candidates with true 3-gram Jaccard. The candidate set is small
-    # (LSH guarantee); fetch texts for candidate ids only via a broadcast map.
-    ids = sorted(set(cand_pdf["doc_id_a"]) | set(cand_pdf["doc_id_b"]))
-    texts = (
+    def verified_pairs_from_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        sub = g.drop_duplicates("doc_id").sort_values("doc_id")
+        if len(sub) > MINHASH_BUCKET_CAP:
+            log.warning(
+                "minhash bucket (band=%s) capped: %d -> %d ids (%d dropped)",
+                int(sub["band"].iloc[0]), len(sub), MINHASH_BUCKET_CAP,
+                len(sub) - MINHASH_BUCKET_CAP,
+            )
+            sub = sub.head(MINHASH_BUCKET_CAP)
+        if len(sub) < 2:
+            return pd.DataFrame(
+                {k: pd.Series([], dtype=v) for k, v in _EMPTY_JACCARD_PAIRS.items()}
+            )
+        ids = sub["doc_id"].to_numpy()
+        sets = [_shingles(t or "") for t in sub["text"]]
+        out_a, out_b, out_j = [], [], []
+        for i in range(len(ids)):
+            for j_ in range(i + 1, len(ids)):
+                sa, sb = sets[i], sets[j_]
+                if not sa and not sb:
+                    jac = 100
+                else:
+                    jac = int(round(100 * len(sa & sb) / max(1, len(sa | sb))))
+                if jac >= 80:
+                    out_a.append(int(ids[i]))
+                    out_b.append(int(ids[j_]))
+                    out_j.append(jac)
+        return pd.DataFrame(
+            {
+                "doc_id_a": pd.Series(out_a, dtype="int64"),
+                "doc_id_b": pd.Series(out_b, dtype="int64"),
+                "jaccard_pct": pd.Series(out_j, dtype="int64"),
+            }
+        )
+
+    verified = (
         _read(sf_dir, "documents", ["doc_id", "text"])
-        .map_batches(
-            lambda df: df[df["doc_id"].isin(ids)], batch_format="pandas"
-        )
+        .map_batches(sig_batch, batch_format="pandas")
+        .groupby(["band", "band_hash"])
+        .map_groups(verified_pairs_from_bucket, batch_format="pandas")
         .to_pandas()
-        .set_index("doc_id")["text"]
     )
-    out = []
-    for a, b in zip(cand_pdf["doc_id_a"], cand_pdf["doc_id_b"]):
-        sa, sb = _shingles(texts.get(a, "") or ""), _shingles(texts.get(b, "") or "")
-        if not sa and not sb:
-            j = 100
-        else:
-            j = int(round(100 * len(sa & sb) / max(1, len(sa | sb))))
-        if j >= 80:
-            out.append({"doc_id_a": int(a), "doc_id_b": int(b), "jaccard_pct": j})
-    return pd.DataFrame(out, columns=["doc_id_a", "doc_id_b", "jaccard_pct"]).astype(
-        {"doc_id_a": "int64", "doc_id_b": "int64", "jaccard_pct": "int64"}
+    if len(verified) == 0:
+        return pd.DataFrame(
+            {k: pd.Series([], dtype=v) for k, v in _EMPTY_JACCARD_PAIRS.items()}
+        )
+    # The same true pair surfaces from every band it collides in (with the
+    # same jaccard) — dedup the tiny verified set.
+    return (
+        verified.drop_duplicates()
+        .reset_index(drop=True)
+        .astype(_EMPTY_JACCARD_PAIRS)
     )
 
 
@@ -614,72 +652,94 @@ SIMHASH_BANDS = 4          # 4 x 16-bit bands: Hamming<=3 dups share >=1 band
 SIMHASH_MAX_HAMMING = 3
 
 
+SIMHASH_BUCKET_CAP = 256  # ids verified per band bucket (see MINHASH_BUCKET_CAP)
+
+_EMPTY_HAMMING_PAIRS = {"doc_id_a": "int64", "doc_id_b": "int64", "hamming": "int64"}
+
+
 def q_dedup_simhash_pairs(sf_dir: str) -> pd.DataFrame:
     """SimHash near-dup detection (Charikar sketch, Manku et al. WWW'07
-    banding): 64-bit simhash -> 4 x 16-bit band buckets -> candidate pairs
-    within a bucket -> exact Hamming verify (<= SIMHASH_MAX_HAMMING).
+    banding): 64-bit simhash -> 4 x 16-bit band buckets -> in-bucket exact
+    Hamming verify (<= SIMHASH_MAX_HAMMING), vectorized.
 
     Pigeonhole guarantee: any pair within Hamming distance 3 agrees on at
     least one of the 4 bands, so banding loses no true pair. The only
-    shuffle is the (band, band_value) groupby over 3-int rows; candidates
-    are rare, verified driver-side from a broadcast hash map (64-bit ints,
-    not documents). Non-SQL -> rows-only driver check; pytest-verified on
-    planted near-duplicates.
+    shuffle is the (band, band_value) groupby over 4-field rows (the 64-bit
+    simhash rides along — 8 bytes, not documents). Verification happens
+    inside each bucket with one numpy xor+popcount over the bucket's hashes;
+    only verified pairs reach the driver, which dedups across bands.
+    Oversized buckets (mass-identical boilerplate all sharing a band value)
+    are capped at SIMHASH_BUCKET_CAP lowest doc_ids with a logged drop.
+    Non-SQL -> rows-only driver check; pytest-verified on planted
+    near-duplicates and the skew corpus.
     """
+    import logging
+
+    log = logging.getLogger(__name__)
 
     def sig_batch(df: pd.DataFrame) -> pd.DataFrame:
-        rows = []
+        bands, vals, ids, hashes = [], [], [], []
         for doc_id, text in zip(df["doc_id"], df["text"].fillna("")):
             sh = _simhash64(text)
             for b in range(SIMHASH_BANDS):
-                band_val = (sh >> (16 * b)) & 0xFFFF
-                rows.append({"band": b, "band_val": int(band_val),
-                             "doc_id": int(doc_id), "simhash": f"{sh:016x}"})
-        return pd.DataFrame(rows, columns=["band", "band_val", "doc_id", "simhash"])
-
-    def pairs_from_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(set(g["doc_id"].tolist()))
+                bands.append(b)
+                vals.append(int((sh >> (16 * b)) & 0xFFFF))
+                ids.append(int(doc_id))
+                hashes.append(f"{sh:016x}")
         return pd.DataFrame(
-            [{"doc_id_a": a, "doc_id_b": b}
-             for i, a in enumerate(ids) for b in ids[i + 1:]],
-            columns=["doc_id_a", "doc_id_b"],
+            {
+                "band": pd.Series(bands, dtype="int64"),
+                "band_val": pd.Series(vals, dtype="int64"),
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "simhash": pd.Series(hashes, dtype="object"),
+            }
         )
 
-    # materialize(): both consumers (hash map + banding) read the computed
-    # signatures from the object store instead of re-running the corpus scan
-    # + SimHash twice. Band 0's rows are exactly one per doc, so the hash
-    # map is a cheap filter — no extra shuffle.
-    sigs = (
+    def verified_pairs_from_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        sub = g.drop_duplicates("doc_id").sort_values("doc_id")
+        if len(sub) > SIMHASH_BUCKET_CAP:
+            log.warning(
+                "simhash bucket (band=%s val=%s) capped: %d -> %d ids",
+                int(sub["band"].iloc[0]), int(sub["band_val"].iloc[0]),
+                len(sub), SIMHASH_BUCKET_CAP,
+            )
+            sub = sub.head(SIMHASH_BUCKET_CAP)
+        n = len(sub)
+        if n < 2:
+            return pd.DataFrame(
+                {k: pd.Series([], dtype=v) for k, v in _EMPTY_HAMMING_PAIRS.items()}
+            )
+        ids = sub["doc_id"].to_numpy()
+        h = np.array([int(x, 16) for x in sub["simhash"]], dtype=np.uint64)
+        xor = h[:, None] ^ h[None, :]
+        # popcount: view each uint64 as 8 bytes, unpack to bits, sum.
+        pop = np.unpackbits(
+            np.ascontiguousarray(xor).view(np.uint8).reshape(n, n, 8), axis=2
+        ).sum(axis=2)
+        ai, bi = np.nonzero(np.triu(pop <= SIMHASH_MAX_HAMMING, k=1))
+        return pd.DataFrame(
+            {
+                "doc_id_a": pd.Series(ids[ai], dtype="int64"),
+                "doc_id_b": pd.Series(ids[bi], dtype="int64"),
+                "hamming": pd.Series(pop[ai, bi], dtype="int64"),
+            }
+        )
+
+    verified = (
         _read(sf_dir, "documents", ["doc_id", "text"])
         .map_batches(sig_batch, batch_format="pandas")
-        .materialize()
-    )
-    hash_of = (
-        sigs.map_batches(
-            lambda df: df.loc[df["band"] == 0, ["doc_id", "simhash"]],
-            batch_format="pandas",
-        )
-        .to_pandas()
-        .set_index("doc_id")["simhash"]
-    )
-    cand = (
-        sigs.select_columns(["band", "band_val", "doc_id"])
         .groupby(["band", "band_val"])
-        .map_groups(pairs_from_bucket, batch_format="pandas")
+        .map_groups(verified_pairs_from_bucket, batch_format="pandas")
         .to_pandas()
     )
-    if len(cand) == 0:
-        return pd.DataFrame({"doc_id_a": pd.Series([], dtype="int64"),
-                             "doc_id_b": pd.Series([], dtype="int64"),
-                             "hamming": pd.Series([], dtype="int64")})
-    cand = cand.drop_duplicates()
-    out = []
-    for a, b in zip(cand["doc_id_a"], cand["doc_id_b"]):
-        ham = bin(int(hash_of[a], 16) ^ int(hash_of[b], 16)).count("1")
-        if ham <= SIMHASH_MAX_HAMMING:
-            out.append({"doc_id_a": int(a), "doc_id_b": int(b), "hamming": ham})
-    return pd.DataFrame(out, columns=["doc_id_a", "doc_id_b", "hamming"]).astype(
-        {"doc_id_a": "int64", "doc_id_b": "int64", "hamming": "int64"}
+    if len(verified) == 0:
+        return pd.DataFrame(
+            {k: pd.Series([], dtype=v) for k, v in _EMPTY_HAMMING_PAIRS.items()}
+        )
+    return (
+        verified.drop_duplicates()
+        .reset_index(drop=True)
+        .astype(_EMPTY_HAMMING_PAIRS)
     )
 
 
@@ -890,40 +950,162 @@ NEAR_DUP_SIM = 0.4  # chosen in a wide empirical gap of the synthetic corpus
                     # membership vs the DuckDB oracle)
 
 
+DEDUP_EMB_BUCKETS = 8  # B chunks -> B(B+1)/2 chunk-pair partitions; each task
+                       # holds 2 chunks (~2N/B vectors). At 10^9 vectors pick
+                       # B so N/B x dim x 8 bytes fits a task heap; shuffle
+                       # volume is B x N rows (each row rides to B partitions).
+
+
 def q_dedup_embedding(sf_dir: str) -> rd.Dataset:
     """Embedding-cosine near-dup: emit all (a < b) pairs with cosine
-    similarity >= NEAR_DUP_SIM.
+    similarity >= NEAR_DUP_SIM — EXACT, fully distributed.
 
-    Exact brute force via broadcast: the normalized matrix is ray.put once
-    and read per batch; each batch does one numpy matmul against it (a
-    block-nested-loop similarity join — no shuffle). Scale path at 10^9
-    vectors: LSH-bucket both sides first (q_ann_lsh's signature scheme) and
-    run this same pairs kernel per bucket, trading exactness for the banding
-    guarantee; here the exact variant is what the SQL oracle can check.
+    Shape: a chunk-pair similarity join (the "1-bucket" theta-join). Each
+    vector is normalized per batch, assigned a chunk c = vec_id % B, and
+    replicated to every chunk-pair partition (min(c,k), max(c,k)); one
+    groupby co-partitions each pair of chunks into a task, which runs a
+    single numpy matmul over the two chunk matrices and emits only the
+    >= threshold pairs. Nothing ever materializes on the driver — no
+    full-table .to_pandas(), no broadcast of the whole matrix (the round-1
+    design; pytest-asserted gone) — and memory per task is bounded by the
+    two-chunk slice regardless of N. The approximate scale path (LSH
+    pre-bucketing instead of all chunk pairs) is q_dedup_embedding_lsh.
     """
-    ref_df = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).to_pandas()
-    ids_all = ref_df["vec_id"].to_numpy().astype(np.int64)
-    mat_all = np.stack(ref_df["embedding"].to_numpy()).astype(np.float64)
-    nrm = np.linalg.norm(mat_all, axis=1)
-    nrm[nrm == 0] = 1.0
-    ref = ray.put((ids_all, mat_all / nrm[:, None]))
+    B = DEDUP_EMB_BUCKETS
 
-    def pairs(batch: pa.Table) -> pa.Table:
-        ids_r, mn_r = ray.get(ref)
-        ids_b = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    def explode(batch: pa.Table) -> pd.DataFrame:
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         mat = np.stack(batch["embedding"].to_pandas().to_numpy()).astype(np.float64)
         n = np.linalg.norm(mat, axis=1)
         n[n == 0] = 1.0
-        sims = (mat / n[:, None]) @ mn_r.T
-        bi, rj = np.nonzero(sims >= NEAR_DUP_SIM)
-        a, b = ids_b[bi], ids_r[rj]
-        keep = a < b
-        return pa.table({"vec_id_a": pa.array(a[keep], pa.int64()),
-                         "vec_id_b": pa.array(b[keep], pa.int64())})
+        mn = mat / n[:, None]
+        chunk = (ids % B).astype(np.int64)
+        parts, out_ids, out_chunks, out_vecs = [], [], [], []
+        for k in range(B):
+            i = np.minimum(chunk, k)
+            j = np.maximum(chunk, k)
+            parts.append(i * B + j)
+            out_ids.append(ids)
+            out_chunks.append(chunk)
+            out_vecs.append(mn)
+        return pd.DataFrame(
+            {
+                "part": pd.Series(np.concatenate(parts), dtype="int64"),
+                "vec_id": pd.Series(np.concatenate(out_ids), dtype="int64"),
+                "chunk": pd.Series(np.concatenate(out_chunks), dtype="int64"),
+                "vec": pd.Series(list(np.vstack(out_vecs)), dtype="object"),
+            }
+        )
+
+    def pairs_in_partition(g: pd.DataFrame) -> pd.DataFrame:
+        part = int(g["part"].iloc[0])
+        ci, cj = part // B, part % B
+        empty = pd.DataFrame(
+            {
+                "vec_id_a": pd.Series([], dtype="int64"),
+                "vec_id_b": pd.Series([], dtype="int64"),
+            }
+        )
+        if ci == cj:
+            sub = g.drop_duplicates("vec_id")
+            if len(sub) < 2:
+                return empty
+            ids = sub["vec_id"].to_numpy()
+            m = np.vstack(sub["vec"].to_numpy())
+            sims = m @ m.T
+            ai, bi = np.nonzero(sims >= NEAR_DUP_SIM)
+            keep = ids[ai] < ids[bi]
+            return pd.DataFrame(
+                {
+                    "vec_id_a": pd.Series(ids[ai][keep], dtype="int64"),
+                    "vec_id_b": pd.Series(ids[bi][keep], dtype="int64"),
+                }
+            )
+        left = g[g["chunk"] == ci].drop_duplicates("vec_id")
+        right = g[g["chunk"] == cj].drop_duplicates("vec_id")
+        if len(left) == 0 or len(right) == 0:
+            return empty
+        lids, rids = left["vec_id"].to_numpy(), right["vec_id"].to_numpy()
+        sims = np.vstack(left["vec"].to_numpy()) @ np.vstack(right["vec"].to_numpy()).T
+        li, ri = np.nonzero(sims >= NEAR_DUP_SIM)
+        a, b = lids[li], rids[ri]
+        return pd.DataFrame(
+            {
+                "vec_id_a": pd.Series(np.minimum(a, b), dtype="int64"),
+                "vec_id_b": pd.Series(np.maximum(a, b), dtype="int64"),
+            }
+        )
 
     return (
         _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-        .map_batches(pairs, batch_format="pyarrow")
+        .map_batches(explode, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(pairs_in_partition, batch_format="pandas")
+    )
+
+
+EMB_LSH_PLANES = 6  # 64 buckets; near-dup pairs (sim >= 0.4) collide with
+                    # high probability; exactly the banding trade LSH makes
+
+
+def q_dedup_embedding_lsh(sf_dir: str) -> rd.Dataset:
+    """LSH-bucketed embedding near-dup — the approximate SCALE path next to
+    the exact q_dedup_embedding: bucket vectors by a seeded hyperplane
+    signature (one groupby on small keys, no replication), then run the
+    exact pairs kernel only WITHIN each bucket. Misses pairs that straddle
+    buckets (recall traded for O(N) shuffle volume vs the chunk-pair join's
+    B x N); pytest checks planted near-identical dups are found and that
+    every emitted pair is truly >= threshold (no false positives).
+    Rows-only driver check (subset semantics are not SQL-exact)."""
+    rs = np.random.RandomState(KNN_SEED + 3)
+    planes = rs.standard_normal((EMB_LSH_PLANES, 64))
+    planes_ref = ray.put(planes)
+
+    def bucketize(batch: pa.Table) -> pd.DataFrame:
+        pl = ray.get(planes_ref)
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mat = np.stack(batch["embedding"].to_pandas().to_numpy()).astype(np.float64)
+        n = np.linalg.norm(mat, axis=1)
+        n[n == 0] = 1.0
+        mn = mat / n[:, None]
+        bits = (mn @ pl.T) > 0
+        sig = np.zeros(len(ids), dtype=np.int64)
+        for b in range(EMB_LSH_PLANES):
+            sig |= bits[:, b].astype(np.int64) << b
+        return pd.DataFrame(
+            {
+                "bucket": pd.Series(sig, dtype="int64"),
+                "vec_id": pd.Series(ids, dtype="int64"),
+                "vec": pd.Series(list(mn), dtype="object"),
+            }
+        )
+
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        sub = g.drop_duplicates("vec_id")
+        if len(sub) < 2:
+            return pd.DataFrame(
+                {
+                    "vec_id_a": pd.Series([], dtype="int64"),
+                    "vec_id_b": pd.Series([], dtype="int64"),
+                }
+            )
+        ids = sub["vec_id"].to_numpy()
+        m = np.vstack(sub["vec"].to_numpy())
+        sims = m @ m.T
+        ai, bi = np.nonzero(sims >= NEAR_DUP_SIM)
+        keep = ids[ai] < ids[bi]
+        return pd.DataFrame(
+            {
+                "vec_id_a": pd.Series(ids[ai][keep], dtype="int64"),
+                "vec_id_b": pd.Series(ids[bi][keep], dtype="int64"),
+            }
+        )
+
+    return (
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+        .map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(pairs_in_bucket, batch_format="pandas")
     )
 
 

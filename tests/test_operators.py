@@ -484,3 +484,146 @@ class TestSketchesAndQuantiles:
         assert row["p50"] == 20.0   # ceil(0.5*4)-1 = idx 1
         assert row["p90"] == 40.0   # ceil(3.6)-1 = idx 3
         assert row["p99"] == 40.0
+
+
+class TestDedupSkew:
+    """Degenerate-bucket behavior: a mass of identical docs must not emit
+    O(k^2) pairs (the bucket cap) and must finish quickly."""
+
+    def _identical_corpus(self, tmp_path, n_dups: int, n_unique: int = 20):
+        import pyarrow.parquet as pq
+
+        base = " ".join(f"boiler{i % 29} plate{i % 13}" for i in range(200))
+        rows = [{"doc_id": i, "text": base, "lang": "en"} for i in range(n_dups)]
+        rows += [
+            {"doc_id": 10_000 + i,
+             "text": f"unique {i} " + " ".join(f"q{i}r{j}" for j in range(120)),
+             "lang": "en"}
+            for i in range(n_unique)
+        ]
+        d = tmp_path / "sf"
+        d.mkdir()
+        pq.write_table(pa.Table.from_pylist(rows), str(d / "documents.parquet"))
+        return str(d)
+
+    def test_minhash_bucket_cap_bounds_pairs(self, ray_session, tmp_path):
+        from service1_text_extraction_ray.pipelines.queries import (
+            MINHASH_BUCKET_CAP,
+            q_dedup_minhash_lsh,
+        )
+
+        n_dups = 1000
+        d = self._identical_corpus(tmp_path, n_dups)
+        pairs = q_dedup_minhash_lsh(d)
+        max_pairs = MINHASH_BUCKET_CAP * (MINHASH_BUCKET_CAP - 1) // 2
+        # capped: far fewer than the uncapped 1000*999/2 = 499500
+        assert 0 < len(pairs) <= max_pairs
+        # the kept ids are the lowest doc_ids (deterministic cap policy)
+        assert pairs["doc_id_a"].max() < MINHASH_BUCKET_CAP
+        assert (pairs["jaccard_pct"] == 100).all()
+
+    def test_simhash_bucket_cap_bounds_pairs(self, ray_session, tmp_path):
+        from service1_text_extraction_ray.pipelines.queries import (
+            SIMHASH_BUCKET_CAP,
+            q_dedup_simhash_pairs,
+        )
+
+        n_dups = 1000
+        d = self._identical_corpus(tmp_path, n_dups)
+        pairs = q_dedup_simhash_pairs(d)
+        max_pairs = SIMHASH_BUCKET_CAP * (SIMHASH_BUCKET_CAP - 1) // 2
+        assert 0 < len(pairs) <= max_pairs
+        assert pairs["doc_id_a"].max() < SIMHASH_BUCKET_CAP
+        assert (pairs["hamming"] == 0).all()
+
+    def test_simhash_vectorized_hamming_matches_scalar(self):
+        import numpy as np
+
+        rs = np.random.RandomState(5)
+        h = rs.randint(0, 2**63, size=32, dtype=np.int64).astype(np.uint64)
+        xor = h[:, None] ^ h[None, :]
+        pop = np.unpackbits(
+            np.ascontiguousarray(xor).view(np.uint8).reshape(32, 32, 8), axis=2
+        ).sum(axis=2)
+        for i in range(32):
+            for j in range(32):
+                assert pop[i, j] == bin(int(h[i]) ^ int(h[j])).count("1")
+
+
+class TestEmbeddingDedupDistributed:
+    def test_no_driver_side_materialization(self):
+        """The exact near-dup join must never collect the full table to the
+        driver or broadcast the whole matrix (the round-1 anti-pattern)."""
+        import ast
+        import inspect
+        import textwrap
+
+        from service1_text_extraction_ray.pipelines.queries import q_dedup_embedding
+
+        tree = ast.parse(textwrap.dedent(inspect.getsource(q_dedup_embedding)))
+        fn = tree.body[0]
+        fn.body = [  # drop the docstring; inspect CODE only
+            n for n in fn.body
+            if not (isinstance(n, ast.Expr) and isinstance(n.value, ast.Constant))
+        ]
+        src = ast.unparse(fn)
+        # per-batch Arrow-column conversion is fine; a Dataset-level
+        # .to_pandas() (full-table collect) or ray.put broadcast is not
+        assert ".to_pandas()" not in src.replace("'embedding'].to_pandas()", "")
+        assert "ray.put" not in src
+
+    def test_lsh_variant_finds_planted_dups_no_false_positives(
+        self, ray_session, tmp_path
+    ):
+        from service1_text_extraction_ray.pipelines.queries import (
+            NEAR_DUP_SIM,
+            q_dedup_embedding_lsh,
+        )
+
+        rs = np.random.RandomState(21)
+        vecs = rs.standard_normal((200, 64)).astype(np.float32)
+        # scaled copies: same direction -> identical hyperplane signature by
+        # construction (a noisy copy could straddle a plane passing near it)
+        vecs[1] = vecs[0] * np.float32(1.01)
+        vecs[3] = vecs[2]
+        d = _write_embeddings(tmp_path, vecs)
+
+        pairs = q_dedup_embedding_lsh(d).to_pandas()
+        got = {tuple(p) for p in pairs[["vec_id_a", "vec_id_b"]].itertuples(index=False)}
+        # same-direction vectors share every hyperplane side -> same bucket
+        assert (0, 1) in got
+        assert (2, 3) in got
+        # every emitted pair is truly above threshold (exact verify in-bucket)
+        mat = vecs.astype(np.float64)
+        mat /= np.linalg.norm(mat, axis=1)[:, None]
+        for a, b in got:
+            assert mat[a] @ mat[b] >= NEAR_DUP_SIM
+
+    def test_exact_join_matches_bruteforce(self, ray_session, tmp_path):
+        from service1_text_extraction_ray.pipelines.queries import (
+            NEAR_DUP_SIM,
+            q_dedup_embedding,
+        )
+
+        rs = np.random.RandomState(22)
+        vecs = rs.standard_normal((150, 64)).astype(np.float32)
+        for src_i, dst in ((0, 1), (2, 3), (4, 5), (6, 7)):
+            vecs[dst] = vecs[src_i] + rs.standard_normal(64).astype(np.float32) * 0.02
+        d = _write_embeddings(tmp_path, vecs)
+
+        got = {
+            tuple(p)
+            for p in q_dedup_embedding(d)
+            .to_pandas()[["vec_id_a", "vec_id_b"]]
+            .itertuples(index=False)
+        }
+        mat = vecs.astype(np.float64)
+        mat /= np.linalg.norm(mat, axis=1)[:, None]
+        sims = mat @ mat.T
+        want = {
+            (a, b)
+            for a in range(len(vecs))
+            for b in range(a + 1, len(vecs))
+            if sims[a, b] >= NEAR_DUP_SIM
+        }
+        assert got == want
