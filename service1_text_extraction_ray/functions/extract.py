@@ -27,7 +27,14 @@ from dataclasses import dataclass, field
 from typing import Any, Dict, List, Optional
 
 from .html_extract import extract_html_text, html_layout
-from .pdf_extract import PdfParseError, parse_pdf
+from .passwords import (
+    DEFAULT_PASSWORD,
+    MAX_ATTEMPTS,
+    SAVED_PASSWORDS,
+    PasswordBook,
+    url_host,
+)
+from .pdf_extract import PdfParseError, open_pdf
 from .quality import MIN_TEXT_LENGTH, is_garbage_text
 from .render import combine_pages, page_markdown
 from .sniff import KIND_HTML, KIND_PDF, sniff_payload
@@ -61,6 +68,15 @@ class ExtractConfig:
     # Whether to serialize the layout tree per page (JSON string column).
     emit_layout: bool = True
 
+    # Password book for encrypted PDFs (reference A2/J2: the candidate chain
+    # of file_management_service.get_all_passwords_for_file). Tuples so the
+    # config stays frozen/hashable; the extraction actor builds a
+    # PasswordBook from them once per actor. Defaults are the test
+    # deployment's book (functions/passwords.py — matches the synthetic
+    # corpus by construction); production jobs pass their own.
+    saved_passwords: tuple = SAVED_PASSWORDS
+    default_password: Optional[str] = DEFAULT_PASSWORD
+
     # Size bucketing thresholds for skew stats (shard identity itself is the
     # input file — sniff.stable_shard_id).
     size_bucket_edges: tuple = (4096, 65536, 1_048_576)
@@ -71,12 +87,21 @@ def gate_page_text(text: str, min_text_length: int) -> bool:
     return len(text.strip()) >= min_text_length and not is_garbage_text(text)
 
 
-def extract_document(url: str, payload: Optional[bytes], cfg: ExtractConfig) -> Dict[str, Any]:
+def extract_document(
+    url: str,
+    payload: Optional[bytes],
+    cfg: ExtractConfig,
+    book: Optional[PasswordBook] = None,
+) -> Dict[str, Any]:
     """Extract one document. Returns a plain dict (Arrow-friendly):
 
     ``{status, content_kind, truncated, n_pages, n_pages_ok, doc_text,
-    doc_chars, error, pages: [{page, method, text, page_md, n_chars,
-    layout_json}]}``
+    doc_chars, error, password_required, password_used, attempts_made,
+    pages: [{page, method, text, page_md, n_chars, layout_json}]}``
+
+    ``book`` is the caller's (actor-lifetime) PasswordBook; when None a
+    transient book is built from the config — identical candidates, no
+    cross-document cache.
     """
     kind = sniff_payload(payload)
     truncated = False
@@ -87,6 +112,9 @@ def extract_document(url: str, payload: Optional[bytes], cfg: ExtractConfig) -> 
     pages: List[Dict[str, Any]] = []
     status = STATUS_OK
     error: Optional[str] = None
+    password_required = False
+    password_used: Optional[str] = None
+    attempts_made = 0
 
     if kind == KIND_HTML:
         try:
@@ -107,13 +135,44 @@ def extract_document(url: str, payload: Optional[bytes], cfg: ExtractConfig) -> 
             error = f"html: {e}"
     elif kind == KIND_PDF:
         try:
-            parsed = parse_pdf(payload, max_pages=cfg.max_pages)
-            for idx, page in enumerate(parsed, start=1):
-                if gate_page_text(page.text, cfg.min_text_length):
-                    layout = page.layout if cfg.emit_layout else None
-                    pages.append(_page_row(idx, METHOD_PDF, page.text.strip(), layout))
-                else:
-                    pages.append(_page_row(idx, METHOD_FAILED, "", None))
+            doc = open_pdf(payload)
+            # The reference's <=3-attempt password loop
+            # (core_pdf_processor.py:283-343): attempts count even for
+            # unencrypted docs (attempt 1 trivially succeeds and records
+            # whatever candidate was tried as password_used — quirk
+            # mirrored); a falsy candidate is skipped when a password is
+            # actually needed; success caches the password in the book.
+            if book is None:
+                book = PasswordBook(dict(cfg.saved_passwords), cfg.default_password)
+            doc_key = url_host(url)
+            candidates = book.candidates_for(doc_key)[:MAX_ATTEMPTS]
+            opened = False
+            for pwd in candidates:
+                attempts_made += 1
+                if doc.needs_pass:
+                    if not pwd:
+                        continue
+                    if not doc.authenticate(pwd):
+                        continue
+                password_used = pwd
+                opened = True
+                break
+            if not opened:
+                status = STATUS_PARSE_FAILURE
+                password_required = True
+                error = (
+                    f"pdf: password required (tried {attempts_made} attempts)"
+                )
+            else:
+                if password_used:
+                    book.record_success(doc_key, password_used)
+                parsed = doc.extract_pages(max_pages=cfg.max_pages)
+                for idx, page in enumerate(parsed, start=1):
+                    if gate_page_text(page.text, cfg.min_text_length):
+                        layout = page.layout if cfg.emit_layout else None
+                        pages.append(_page_row(idx, METHOD_PDF, page.text.strip(), layout))
+                    else:
+                        pages.append(_page_row(idx, METHOD_FAILED, "", None))
         except PdfParseError as e:
             status = STATUS_PARSE_FAILURE
             error = f"pdf: {e}"
@@ -136,6 +195,9 @@ def extract_document(url: str, payload: Optional[bytes], cfg: ExtractConfig) -> 
         "doc_text": doc_text,
         "doc_chars": len(doc_text),
         "error": error,
+        "password_required": password_required,
+        "password_used": password_used,
+        "attempts_made": attempts_made,
         "pages": pages,
     }
 
@@ -169,9 +231,10 @@ def run_oracle(rows, cfg: Optional[ExtractConfig] = None) -> List[Dict[str, Any]
     ``rows`` is an iterable of dicts with at least ``url`` and ``html``.
     """
     cfg = cfg or ExtractConfig()
+    book = PasswordBook(dict(cfg.saved_passwords), cfg.default_password)
     out: List[Dict[str, Any]] = []
     for row in rows:
-        res = extract_document(row["url"], row["html"], cfg)
+        res = extract_document(row["url"], row["html"], cfg, book)
         res["url"] = row["url"]
         out.append(res)
     return out

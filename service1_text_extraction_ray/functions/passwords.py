@@ -17,12 +17,17 @@ deduplicated in first-occurrence order. The enhanced extractor then tries at
 most ``MAX_ATTEMPTS`` of these (``core_pdf_processor.py:283``) and records a
 success back into cache + saved map (``:307-308``).
 
-Actual PDF decryption is OUT of the engine's fixture scope (sandbox fixtures
-are unencrypted; SURVEY.md §2.3 A2) — this module carries the state/lookup
-semantics, which is the part that shapes the distributed design: the saved
-map is a broadcast small side, the cache is actor-local, and success updates
-never need cross-worker coordination (re-deriving a password costs one extra
-attempt, so last-writer-wins is correct).
+Actual decryption lives in ``functions/pdf_crypt.py`` (standard security
+handler, RC4 /V 1-2) and is driven by the attempt loop in
+``functions/extract.py`` — this module carries the state/lookup semantics,
+which is the part that shapes the distributed design: the saved map is a
+broadcast small side, the cache is actor-local, and success updates never
+need cross-worker coordination (re-deriving a password costs one extra
+attempt, so last-writer-wins is correct). Determinism note: because the
+saved map is keyed by site and covers every site the cache could learn, a
+cache hit never changes the candidate list the saved map alone would
+produce — so outputs (including ``attempts_made``) are byte-identical at
+any parallelism / arrival order, which the goldens assert.
 """
 
 from __future__ import annotations
@@ -30,6 +35,26 @@ from __future__ import annotations
 from typing import Dict, List, Mapping, Optional
 
 MAX_ATTEMPTS = 3  # core_pdf_processor.py:283
+
+# Test-deployment password book. The reference keeps working passwords in a
+# per-directory CSV next to the documents
+# (file_management_service.py:118-170); this engine's equivalent is a small
+# per-SITE map shipped as job config (broadcast to every extraction actor in
+# its ctor — tuples, not dicts, so ExtractConfig stays frozen/hashable).
+# Production jobs pass their own book; these defaults match the synthetic
+# corpus (functions/synth.py derives each encrypted fixture's password from
+# the same constants, so fixtures and engine agree by construction).
+DEFAULT_PASSWORD = "graft-default"
+SAVED_PASSWORDS: tuple = tuple(
+    (f"site{k}.example", f"pw-{k}") for k in range(17)
+) + (("docs.example", "pw-docs"),)
+
+
+def url_host(url: str) -> str:
+    """Password-book key for a URL: its host (the per-site analogue of the
+    reference's per-directory password scope)."""
+    rest = url.split("://", 1)[-1]
+    return rest.split("/", 1)[0]
 
 
 def password_candidates(

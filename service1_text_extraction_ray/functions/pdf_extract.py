@@ -62,6 +62,13 @@ class PdfParseError(Exception):
     ``core_pdf_processor.py:202-209``)."""
 
 
+class PdfPasswordError(PdfParseError):
+    """The document is encrypted and no supplied password authenticates —
+    the caller's password-attempt loop (reference
+    ``core_pdf_processor.py:283-306``) turns this into a
+    ``password_required`` failure row."""
+
+
 # --------------------------------------------------------------------------
 # Object scanning
 # --------------------------------------------------------------------------
@@ -130,6 +137,7 @@ class _PdfObject:
     num: int
     dict_bytes: bytes
     stream: Optional[bytes]
+    gen: int = 0
 
 
 def _scan_objects(data: bytes) -> Dict[int, _PdfObject]:
@@ -142,6 +150,7 @@ def _scan_objects(data: bytes) -> Dict[int, _PdfObject]:
         if m is None:
             break
         num = int(m.group(1))
+        gen = int(m.group(2))
         i = _skip_ws(data, m.end())
         dict_bytes = b""
         stream: Optional[bytes] = None
@@ -172,7 +181,7 @@ def _scan_objects(data: bytes) -> Dict[int, _PdfObject]:
         pos = end_obj + 6 if end_obj >= 0 else i + 1
         # First definition wins (objects are unique in the subset).
         if num not in objects:
-            objects[num] = _PdfObject(num, dict_bytes, stream)
+            objects[num] = _PdfObject(num, dict_bytes, stream, gen)
     if not objects:
         raise PdfParseError("no PDF objects found")
     return objects
@@ -208,14 +217,22 @@ def _ascii_hex_decode(raw: bytes) -> bytes:
     return bytes.fromhex(compact.decode("ascii"))
 
 
-def _decode_stream(obj: "_PdfObject") -> bytes:
+def _decode_stream(obj: "_PdfObject", file_key: Optional[bytes] = None) -> bytes:
     """Apply the object's /Filter chain (in array order) to its stream.
 
     Supported: FlateDecode (stdlib zlib), ASCIIHexDecode, and chains of
     the two. Any other filter raises PdfParseError, which the document
     dispatcher turns into a counted parse-failure row.
+
+    Decryption (``file_key`` set) is OUTERMOST: stored bytes are
+    RC4(filtered(content)), so decrypt first, then defilter (ISO 32000-1
+    §7.6.2 — see functions/pdf_crypt.py).
     """
     raw = obj.stream
+    if file_key is not None:
+        from .pdf_crypt import crypt_object_bytes
+
+        raw = crypt_object_bytes(file_key, obj.num, obj.gen, raw)
     m = _FILTER_RE.search(obj.dict_bytes)
     if not m:
         return raw
@@ -315,7 +332,11 @@ def _page_order(objects: Dict[int, _PdfObject], root_num: int) -> List[tuple]:
     return pages
 
 
-def _content_bytes(objects: Dict[int, _PdfObject], page: _PdfObject) -> bytes:
+def _content_bytes(
+    objects: Dict[int, _PdfObject],
+    page: _PdfObject,
+    file_key: Optional[bytes] = None,
+) -> bytes:
     refs: List[int] = []
     cm = _CONTENTS_REF_RE.search(page.dict_bytes)
     if cm:
@@ -329,7 +350,7 @@ def _content_bytes(objects: Dict[int, _PdfObject], page: _PdfObject) -> bytes:
         obj = objects.get(r)
         if obj is None or obj.stream is None:
             raise PdfParseError(f"missing content stream {r}")
-        out += _decode_stream(obj)
+        out += _decode_stream(obj, file_key)
         out += b"\n"
     return bytes(out)
 
@@ -754,40 +775,205 @@ def _assemble_page(
 
 
 # --------------------------------------------------------------------------
+# Encryption (standard security handler, /V 1-2 — see functions/pdf_crypt.py)
+# --------------------------------------------------------------------------
+
+_ENCRYPT_REF_RE = re.compile(rb"/Encrypt\s+(\d+)\s+(\d+)\s+R")
+_ID_ARR_RE = re.compile(rb"/ID\s*\[\s*<([0-9A-Fa-f\s]*)>")
+_INT_ENTRY = {
+    name: re.compile(rb"/" + name.encode() + rb"\s+(-?\d+)")
+    for name in ("V", "R", "Length", "P")
+}
+
+
+@dataclass
+class PdfEncryptInfo:
+    """Parsed /Encrypt dictionary (standard handler, RC4)."""
+
+    v: int
+    r: int
+    key_len: int  # bytes
+    o_entry: bytes
+    u_entry: bytes
+    p: int
+    id0: bytes
+
+
+def _parse_string_entry(dict_bytes: bytes, name: bytes) -> Optional[bytes]:
+    """Read a /Name entry whose value is a literal '(...)' or hex '<...>'
+    string (the /O and /U entries)."""
+    m = re.search(rb"/" + name + rb"\s*(\(|<)", dict_bytes)
+    if m is None:
+        return None
+    i = m.end() - 1
+    if dict_bytes[i : i + 1] == b"(":
+        s, _ = _read_literal_string(dict_bytes, i)
+        return s
+    s, _ = _read_hex_string(dict_bytes, i)
+    return s
+
+
+def _find_encrypt_info(
+    data: bytes, objects: Dict[int, _PdfObject]
+) -> Optional[PdfEncryptInfo]:
+    """Locate and parse the /Encrypt dictionary from the (last) trailer.
+
+    Returns None for unencrypted documents; raises PdfParseError for
+    encryption outside the supported subset (non-Standard handler, /V > 2,
+    AES) — counted failure, never junk text.
+    """
+    m = None
+    for m in re.finditer(rb"trailer", data):
+        pass
+    if m is None:
+        return None
+    i = _skip_ws(data, m.end())
+    if data[i : i + 2] != b"<<":
+        return None
+    tdict, _ = _scan_dict(data, i)
+    em = _ENCRYPT_REF_RE.search(tdict)
+    if em is None:
+        return None
+    enc_obj = objects.get(int(em.group(1)))
+    if enc_obj is None:
+        raise PdfParseError("dangling /Encrypt reference")
+    d = enc_obj.dict_bytes
+    fm = re.search(rb"/Filter\s*/(\w+)", d)
+    if fm is None or fm.group(1) != b"Standard":
+        raise PdfParseError("unsupported encryption handler")
+    v = int(_INT_ENTRY["V"].search(d).group(1)) if _INT_ENTRY["V"].search(d) else 0
+    if v not in (1, 2):
+        raise PdfParseError(f"unsupported encryption /V {v}")
+    r = int(_INT_ENTRY["R"].search(d).group(1)) if _INT_ENTRY["R"].search(d) else 2
+    if r not in (2, 3):
+        raise PdfParseError(f"unsupported encryption /R {r}")
+    length_bits = 40
+    lm = _INT_ENTRY["Length"].search(d)
+    if lm:
+        length_bits = int(lm.group(1))
+    pm = _INT_ENTRY["P"].search(d)
+    if pm is None:
+        raise PdfParseError("encryption dictionary without /P")
+    o_entry = _parse_string_entry(d, b"O")
+    u_entry = _parse_string_entry(d, b"U")
+    if o_entry is None or u_entry is None:
+        raise PdfParseError("encryption dictionary without /O or /U")
+    idm = _ID_ARR_RE.search(tdict)
+    id0 = b""
+    if idm:
+        hex_digits = re.sub(rb"\s", b"", idm.group(1))
+        if len(hex_digits) % 2:
+            hex_digits += b"0"
+        id0 = bytes.fromhex(hex_digits.decode("ascii"))
+    return PdfEncryptInfo(
+        v=v, r=r, key_len=max(5, min(16, length_bits // 8)),
+        o_entry=o_entry, u_entry=u_entry, p=int(pm.group(1)), id0=id0,
+    )
+
+
+# --------------------------------------------------------------------------
 # Public API
 # --------------------------------------------------------------------------
 
 
-def parse_pdf(payload: bytes, max_pages: Optional[int] = None) -> List[PdfPage]:
-    """Parse a PDF payload into pages (text + layout tree).
+class PdfDocument:
+    """An opened PDF: scanned objects + page tree + (optional) encryption.
 
-    Mirrors the reference doc loop (``core_pdf_processor.py:186-218``):
-    ``total = len(doc) if max_pages is None else min(len(doc), max_pages)``;
-    a failing page yields an empty PdfPage rather than poisoning the doc
-    (per-page failure isolation, :202-209). Document-structure failures raise
-    ``PdfParseError`` for the caller to convert into a parse_failure row.
+    The surface mirrors the fitz API the reference's password loop drives
+    (``core_pdf_processor.py:295-306``): ``needs_pass`` is a static property
+    of the document (encrypted AND the empty user password does not open
+    it — PDFs encrypted with an empty user password open transparently,
+    exactly as fitz reports ``needs_pass == False`` for them), and
+    ``authenticate(pwd)`` tries the user then the owner password, arming the
+    file key on success.
     """
-    if payload[:5] != b"%PDF-":
-        raise PdfParseError("missing %PDF- header")
-    objects = _scan_objects(payload)
-    root = _find_root(payload, objects)
-    page_nums = _page_order(objects, root)
-    total = len(page_nums) if max_pages is None else min(len(page_nums), max_pages)
 
-    pages: List[PdfPage] = []
-    default_box = (0.0, 0.0, 612.0, 792.0)
-    for pnum, rotate, box in page_nums[:total]:
-        page_obj = objects[pnum]
-        if box is None:
-            box = default_box
-        width = box[2] - box[0]
-        height = box[3] - box[1]
-        try:
-            content = _content_bytes(objects, page_obj)
-            spans = _interpret_text(content)
-            pages.append(_assemble_page(spans, width, height, rotate))
-        except PdfParseError:
-            pages.append(
-                PdfPage(text="", layout={"width": width, "height": height, "rotation": rotate, "blocks": []})
-            )
-    return pages
+    def __init__(self, payload: bytes) -> None:
+        if payload[:5] != b"%PDF-":
+            raise PdfParseError("missing %PDF- header")
+        self._objects = _scan_objects(payload)
+        self._root = _find_root(payload, self._objects)
+        self._encrypt = _find_encrypt_info(payload, self._objects)
+        self._file_key: Optional[bytes] = None
+        if self._encrypt is not None:
+            # Empty-user-password docs open without a prompt.
+            self.authenticate("")
+        self.needs_pass: bool = self._encrypt is not None and self._file_key is None
+
+    @property
+    def is_encrypted(self) -> bool:
+        return self._encrypt is not None
+
+    def authenticate(self, password: Optional[str]) -> bool:
+        """Try ``password`` as user then owner password; arm the key on
+        success. Idempotent; returns whether the document is now open."""
+        if self._encrypt is None:
+            return True
+        if self._file_key is not None:
+            return True
+        from .pdf_crypt import authenticate_owner_password, authenticate_user_password
+
+        e = self._encrypt
+        pw = (password or "").encode("latin-1", "replace")
+        key = authenticate_user_password(
+            pw, e.o_entry, e.u_entry, e.p, e.id0, e.key_len, e.r
+        ) or authenticate_owner_password(
+            pw, e.o_entry, e.u_entry, e.p, e.id0, e.key_len, e.r
+        )
+        if key is None:
+            return False
+        self._file_key = key
+        return True
+
+    def extract_pages(self, max_pages: Optional[int] = None) -> List[PdfPage]:
+        """Pages in document order (text + layout tree).
+
+        Mirrors the reference doc loop (``core_pdf_processor.py:186-218``):
+        ``total = len(doc) if max_pages is None else min(len(doc),
+        max_pages)``; a failing page yields an empty PdfPage rather than
+        poisoning the doc (per-page failure isolation, :202-209).
+        """
+        if self._encrypt is not None and self._file_key is None:
+            raise PdfPasswordError("document requires a password")
+        page_nums = _page_order(self._objects, self._root)
+        total = len(page_nums) if max_pages is None else min(len(page_nums), max_pages)
+
+        pages: List[PdfPage] = []
+        default_box = (0.0, 0.0, 612.0, 792.0)
+        for pnum, rotate, box in page_nums[:total]:
+            page_obj = self._objects[pnum]
+            if box is None:
+                box = default_box
+            width = box[2] - box[0]
+            height = box[3] - box[1]
+            try:
+                content = _content_bytes(self._objects, page_obj, self._file_key)
+                spans = _interpret_text(content)
+                pages.append(_assemble_page(spans, width, height, rotate))
+            except PdfParseError:
+                pages.append(
+                    PdfPage(text="", layout={"width": width, "height": height, "rotation": rotate, "blocks": []})
+                )
+        return pages
+
+
+def open_pdf(payload: bytes) -> PdfDocument:
+    """Open a PDF for the caller's own password loop (the reference's
+    ``fitz.open`` analogue). Document-structure failures raise
+    ``PdfParseError`` for conversion into a parse_failure row."""
+    return PdfDocument(payload)
+
+
+def parse_pdf(
+    payload: bytes,
+    max_pages: Optional[int] = None,
+    password: Optional[str] = None,
+) -> List[PdfPage]:
+    """One-shot convenience: open, authenticate with ``password`` (or none),
+    extract. Raises ``PdfPasswordError`` if the document needs a password
+    this call cannot supply."""
+    doc = PdfDocument(payload)
+    if doc.needs_pass:
+        if password is None or not doc.authenticate(password):
+            raise PdfPasswordError("document requires a password")
+    return doc.extract_pages(max_pages)

@@ -10,9 +10,13 @@ subset. Everything is seeded and wall-clock-free: row ``i`` of a given
 Payload mix per FIXTURES.md §2 (category by ``i % 100``):
 0-54 clean article HTML, 55-64 link-farm HTML, 65-69 script/style-heavy,
 70-74 short/empty (under the 250-char gate), 75-79 garbage-text HTML,
-80-94 synthetic PDF (half FlateDecode; some 2-column / out-of-order Tm),
-95-99 malformed payloads. Rows with ``i % 1000 in (7, 13)`` are giant blobs
-(~1.5 MiB, >100x median) to exercise the truncation/skew path.
+80-94 synthetic PDF (half FlateDecode; some 2-column / out-of-order Tm;
+cat 84 ENCRYPTED owner-locked with empty user password, cat 91 ENCRYPTED
+with the saved per-site / configured default password, cat 94 ENCRYPTED
+with an unknown password -> password_required failure — both RC4-40 /V 1
+and RC4-128 /V 2, see functions/pdf_crypt.py), 95-99 malformed payloads.
+Rows with ``i % 1000 in (7, 13)`` are giant blobs (~1.5 MiB, >100x median)
+to exercise the truncation/skew path.
 """
 
 from __future__ import annotations
@@ -196,12 +200,20 @@ def _page_content(lines: List[Tuple[float, float, str]], use_tm: bool, rng: rand
 
 
 def make_pdf(page_line_texts: List[List[str]], rng: random.Random, compress: bool = False,
-             two_column: bool = False, use_tm: bool = False) -> bytes:
+             two_column: bool = False, use_tm: bool = False,
+             encrypt: dict | None = None) -> bytes:
     """Write a minimal PDF 1.4 with the given per-page line texts.
 
     Layout: letter MediaBox (612x792), 12pt lines, 14pt leading starting at
     y=720. ``two_column`` splits lines between x=72 and x=320 columns (the
     golden reading order is left column top-down then right column).
+
+    ``encrypt``: standard-security-handler encryption via pdf_crypt —
+    ``{"user_pw": str, "owner_pw": str, "v": 1|2}`` (v=1 -> RC4-40 /R 2,
+    v=2 -> RC4-128 /R 3). Stream bytes are stored RC4(filtered(content)):
+    filters apply first, encryption is outermost, exactly what the parser
+    inverts. An empty ``user_pw`` produces a document that opens without a
+    prompt (needs_pass False), the common real-world "owner-locked" case.
     """
     objects: List[bytes] = []
 
@@ -210,12 +222,41 @@ def make_pdf(page_line_texts: List[List[str]], rng: random.Random, compress: boo
         return len(objects)
 
     n_pages = len(page_line_texts)
-    # Object numbering: 1 catalog, 2 pages, then per page (page, content), last font.
+    # Object numbering: 1 catalog, 2 pages, then per page (page, content),
+    # then font; the /Encrypt dict (if any) goes last.
     catalog_num = 1
     pages_num = 2
     page_nums = [3 + 2 * i for i in range(n_pages)]
     content_nums = [4 + 2 * i for i in range(n_pages)]
     font_num = 3 + 2 * n_pages
+
+    crypt = None
+    if encrypt is not None:
+        from .pdf_crypt import (
+            compute_encryption_key,
+            compute_o_entry,
+            compute_u_entry,
+            crypt_object_bytes,
+        )
+
+        user_pw = encrypt["user_pw"].encode("latin-1")
+        owner_pw = encrypt.get("owner_pw", "").encode("latin-1")
+        v = int(encrypt.get("v", 1))
+        r = 2 if v == 1 else 3
+        length_bits = 40 if v == 1 else 128
+        key_len = length_bits // 8
+        p = -44  # print+extract denied; any value works, P feeds the key hash
+        id0 = __import__("hashlib").md5(
+            b"graft-fixture-id" + user_pw + owner_pw + bytes([v])
+        ).digest()
+        o_entry = compute_o_entry(owner_pw, user_pw, key_len, r)
+        file_key = compute_encryption_key(user_pw, o_entry, p, id0, key_len, r)
+        u_entry = compute_u_entry(file_key, id0, r)
+        crypt = {
+            "file_key": file_key, "o": o_entry, "u": u_entry, "p": p,
+            "v": v, "r": r, "length_bits": length_bits, "id0": id0,
+            "fn": crypt_object_bytes,
+        }
 
     add(f"<< /Type /Catalog /Pages {pages_num} 0 R >>".encode())
     kids = " ".join(f"{p} 0 R" for p in page_nums)
@@ -237,6 +278,8 @@ def make_pdf(page_line_texts: List[List[str]], rng: random.Random, compress: boo
         if compress:
             content = zlib.compress(content, 6)
             filt = " /Filter /FlateDecode"
+        if crypt is not None:
+            content = crypt["fn"](crypt["file_key"], content_nums[i], 0, content)
         add(
             f"<< /Type /Page /Parent {pages_num} 0 R /MediaBox [0 0 612 792] "
             f"/Contents {content_nums[i]} 0 R "
@@ -246,6 +289,19 @@ def make_pdf(page_line_texts: List[List[str]], rng: random.Random, compress: boo
             f"<< /Length {len(content)}{filt} >>\nstream\n".encode() + content + b"\nendstream"
         )
     add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+
+    encrypt_clause = ""
+    if crypt is not None:
+        encrypt_num = add(
+            (
+                f"<< /Filter /Standard /V {crypt['v']} /R {crypt['r']} "
+                f"/Length {crypt['length_bits']} "
+                f"/O <{crypt['o'].hex()}> /U <{crypt['u'].hex()}> "
+                f"/P {crypt['p']} >>"
+            ).encode()
+        )
+        idhex = crypt["id0"].hex()
+        encrypt_clause = f" /Encrypt {encrypt_num} 0 R /ID [<{idhex}> <{idhex}>]"
 
     out = bytearray(b"%PDF-1.4\n")
     offsets = [0]
@@ -258,7 +314,7 @@ def make_pdf(page_line_texts: List[List[str]], rng: random.Random, compress: boo
     for off in offsets[1:]:
         out += f"{off:010d} 00000 n \n".encode()
     out += (
-        f"trailer\n<< /Size {len(objects) + 1} /Root {catalog_num} 0 R >>\n"
+        f"trailer\n<< /Size {len(objects) + 1} /Root {catalog_num} 0 R{encrypt_clause} >>\n"
         f"startxref\n{xref_pos}\n%%EOF\n".encode()
     )
     return bytes(out)
@@ -335,14 +391,32 @@ def make_row(i: int, seed: int = 42) -> dict:
         for _ in range(n_pages):
             n_lines = rng.randint(24, 40)
             pages.append([_sentence(rng, rng.randint(*words)).strip() for _ in range(n_lines)])
+        # Encrypted fixtures (standard security handler — pdf_crypt.py).
+        # Passwords come from the engine's test-deployment book
+        # (functions/passwords.py) so the default ExtractConfig opens them:
+        #   cat 84: owner-locked, EMPTY user password -> opens transparently
+        #   cat 91: per-site saved password (attempt 1), or the configured
+        #           default password (attempt 2) on every third row
+        #   cat 94: unknown password -> password_required failure, text ""
+        from .passwords import DEFAULT_PASSWORD
+
+        encrypt = None
+        if cat == 84:
+            encrypt = {"user_pw": "", "owner_pw": f"owner-{site}", "v": 1 + (i % 2)}
+        elif cat == 91:
+            pw = DEFAULT_PASSWORD if i % 3 == 0 else f"pw-{site}"
+            encrypt = {"user_pw": pw, "owner_pw": f"owner-{site}", "v": 1 + (i % 2)}
+        elif cat == 94:
+            encrypt = {"user_pw": f"secret-{i}", "owner_pw": f"hidden-{i}", "v": 1 + (i % 2)}
         payload = make_pdf(
             pages,
             rng,
             compress=(i % 2 == 0),
             two_column=two_column,
             use_tm=(cat in (88, 89, 93)),
+            encrypt=encrypt,
         )
-        text = "\n\n".join("\n".join(p) for p in pages)
+        text = "" if cat == 94 else "\n\n".join("\n".join(p) for p in pages)
     else:
         payload = make_malformed(rng, variant=i)
         text = ""

@@ -74,7 +74,7 @@ STOPWORDS = ("the", "a", "and", "of", "to", "in", "is")
 DOC_SCALAR_COLUMNS = [
     "url", "lang", "shard_id", "size_bucket", "payload_len", "content_kind",
     "status", "truncated", "n_pages", "n_pages_ok", "doc_text", "doc_chars",
-    "content_hash",
+    "content_hash", "password_required", "password_used", "attempts_made",
 ]
 
 

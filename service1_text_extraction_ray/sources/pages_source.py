@@ -74,7 +74,19 @@ def documents_to_pages(sf_dir: str) -> rd.Dataset:
                     lines.extend(
                         " ".join(words[i : i + 8]) for i in range(0, len(words), 8)
                     )
-                payload = make_pdf([lines or [""]], rng, compress=(int(doc_id) % 2 == 0))
+                # sel 16: encrypted with the book's docs.example password, so
+                # the driver's correctness runs exercise real decryption.
+                encrypt = None
+                if sel == 16:
+                    encrypt = {
+                        "user_pw": "pw-docs",
+                        "owner_pw": "owner-docs",
+                        "v": 1 + (int(doc_id) % 2),
+                    }
+                payload = make_pdf(
+                    [lines or [""]], rng,
+                    compress=(int(doc_id) % 2 == 0), encrypt=encrypt,
+                )
             elif sel < 19:
                 payload = make_linkfarm_html(rng, paras)
             else:

@@ -61,6 +61,9 @@ DOC_SCHEMA = pa.schema(
         ("doc_chars", pa.int64()),
         ("content_hash", pa.string()),
         ("error", pa.string()),
+        ("password_required", pa.bool_()),
+        ("password_used", pa.string()),   # null when opened without one
+        ("attempts_made", pa.int32()),
         PAGES_FIELD,
     ]
 )
@@ -86,8 +89,16 @@ class ExtractDocuments:
 
     def __init__(self, cfg: Optional[ExtractConfig] = None) -> None:
         # Once per actor: freeze config; importing the parser modules compiled
-        # all regexes / dispatch tables at module import time.
+        # all regexes / dispatch tables at module import time. The password
+        # book (A2) is actor state: the broadcast saved map plus a per-actor
+        # success cache (functions/passwords.py explains why the cache cannot
+        # perturb byte-determinism).
+        from ..functions.passwords import PasswordBook
+
         self.cfg = cfg or ExtractConfig()
+        self.book = PasswordBook(
+            dict(self.cfg.saved_passwords), self.cfg.default_password
+        )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cfg = self.cfg
@@ -97,10 +108,11 @@ class ExtractDocuments:
         cols: dict[str, list] = {
             "status": [], "truncated": [], "n_pages": [], "n_pages_ok": [],
             "doc_text": [], "doc_chars": [], "content_hash": [], "error": [],
+            "password_required": [], "password_used": [], "attempts_made": [],
             "pages": [],
         }
         for url, payload in zip(urls, payloads):
-            res = extract_document(url, payload, cfg)
+            res = extract_document(url, payload, cfg, self.book)
             cols["status"].append(res["status"])
             cols["truncated"].append(res["truncated"])
             cols["n_pages"].append(res["n_pages"])
@@ -109,6 +121,9 @@ class ExtractDocuments:
             cols["doc_chars"].append(res["doc_chars"])
             cols["content_hash"].append(doc_content_hash(res["doc_text"]))
             cols["error"].append(res["error"] or "")
+            cols["password_required"].append(res["password_required"])
+            cols["password_used"].append(res["password_used"])
+            cols["attempts_made"].append(res["attempts_made"])
             cols["pages"].append(res["pages"])
 
         arrays = [
@@ -127,6 +142,9 @@ class ExtractDocuments:
             pa.array(cols["doc_chars"], type=pa.int64()),
             pa.array(cols["content_hash"], type=pa.string()),
             pa.array(cols["error"], type=pa.string()),
+            pa.array(cols["password_required"], type=pa.bool_()),
+            pa.array(cols["password_used"], type=pa.string()),
+            pa.array(cols["attempts_made"], type=pa.int32()),
             pa.array(cols["pages"], type=PAGES_FIELD.type),
         ]
         return pa.Table.from_arrays(arrays, schema=DOC_SCHEMA)
