@@ -63,6 +63,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_embedding": Q.q_dedup_embedding,
         "dedup_embedding_lsh": Q.q_dedup_embedding_lsh,
         "doc_fingerprints": Q.q_doc_fingerprints,
+        # --- embedding generation + chained pipelines ---
+        "doc_embeddings": Q.q_doc_embeddings,
+        "extract_dedup_near": Q.q_extract_dedup_near,
+        "extract_knn": Q.q_extract_knn,
         # --- similarity search ---
         "knn_cosine": Q.q_knn_cosine,
         "knn_batch": Q.q_knn_batch,

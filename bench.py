@@ -102,6 +102,7 @@ def run_headline(corpus: str, n_rows: int) -> dict:
 QUERY_NAMES = [
     "extract_docs", "extract_summary",
     "doc_token_counts", "dedup_exact", "dedup_minhash_lsh", "dedup_embedding",
+    "doc_embeddings", "extract_dedup_near",
     "knn_cosine", "ann_ivf", "media_features",
     "pricing_summary", "segment_order_stats", "top_customers_by_revenue",
     "distinct_parts_per_flag", "events_hourly", "events_sessionize",

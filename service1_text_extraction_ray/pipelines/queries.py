@@ -1205,6 +1205,153 @@ SQL_EMBEDDING_LABEL_STATS = "SELECT label, count(*) AS n FROM embeddings GROUP B
 
 
 # ---------------------------------------------------------------------------
+# Embedding generation + chained extract->embed->dedup/knn pipelines
+# (the reference's A3 FinBERT-singleton shape, training_page_embedder.py:85,
+# closed into one streaming graph over the EXTRACTED corpus)
+# ---------------------------------------------------------------------------
+
+
+def q_doc_embeddings(sf_dir: str) -> rd.Dataset:
+    """Extract -> embed chain: documents -> synthetic pages -> full extraction
+    -> deterministic feature-hashing TF embedding per doc (actor pool,
+    stages/embed_stage.py). Rows-only driver check; byte-determinism across
+    parallelism is pytest-verified."""
+    from ..stages.embed_stage import embed_dataset
+
+    docs = extract_dataset(documents_to_pages(sf_dir)).select_columns(
+        ["url", "doc_text"]
+    )
+    return embed_dataset(docs)
+
+
+EXTRACT_NEAR_DUP_SIM = 0.95  # feature-hash TF vectors of same-vocabulary docs
+                             # correlate more than gaussians; near-dup means
+                             # near-identical text, so the bar sits high
+
+
+def q_extract_dedup_near(sf_dir: str) -> rd.Dataset:
+    """Full training-data chain: extract -> embed -> embedding near-dup over
+    the EXTRACTED corpus (url pairs). Same chunk-pair exact join as
+    q_dedup_embedding, keyed by crc32(url) chunks — no driver
+    materialization, no broadcast matrix. Rows-only driver check."""
+    import zlib as _z
+
+    from ..stages.embed_stage import embed_dataset
+
+    B = DEDUP_EMB_BUCKETS
+
+    def explode(batch: pa.Table) -> pd.DataFrame:
+        urls = batch["url"].to_pylist()
+        mat = np.stack(batch["embedding"].to_pandas().to_numpy()).astype(np.float64)
+        chunk = np.array(
+            [_z.crc32(u.encode("utf-8")) % B for u in urls], dtype=np.int64
+        )
+        parts, out_urls, out_chunks, out_vecs = [], [], [], []
+        for k in range(B):
+            i = np.minimum(chunk, k)
+            j = np.maximum(chunk, k)
+            parts.append(i * B + j)
+            out_urls.extend(urls)
+            out_chunks.append(chunk)
+            out_vecs.append(mat)
+        return pd.DataFrame(
+            {
+                "part": pd.Series(np.concatenate(parts), dtype="int64"),
+                "url": pd.Series(out_urls, dtype="object"),
+                "chunk": pd.Series(np.concatenate(out_chunks), dtype="int64"),
+                "vec": pd.Series(list(np.vstack(out_vecs)), dtype="object"),
+            }
+        )
+
+    def pairs_in_partition(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "url_a": pd.Series([], dtype="object"),
+                "url_b": pd.Series([], dtype="object"),
+            }
+        )
+        part = int(g["part"].iloc[0])
+        ci, cj = part // B, part % B
+        if ci == cj:
+            sub = g.drop_duplicates("url")
+            if len(sub) < 2:
+                return empty
+            urls = sub["url"].to_numpy()
+            m = np.vstack(sub["vec"].to_numpy())
+            sims = m @ m.T
+            ai, bi = np.nonzero(np.triu(sims >= EXTRACT_NEAR_DUP_SIM, k=1))
+            pairs = [tuple(sorted((urls[x], urls[y]))) for x, y in zip(ai, bi)]
+        else:
+            left = g[g["chunk"] == ci].drop_duplicates("url")
+            right = g[g["chunk"] == cj].drop_duplicates("url")
+            if len(left) == 0 or len(right) == 0:
+                return empty
+            sims = np.vstack(left["vec"].to_numpy()) @ np.vstack(right["vec"].to_numpy()).T
+            li, ri = np.nonzero(sims >= EXTRACT_NEAR_DUP_SIM)
+            lu, ru = left["url"].to_numpy(), right["url"].to_numpy()
+            pairs = [tuple(sorted((lu[x], ru[y]))) for x, y in zip(li, ri)]
+        if not pairs:
+            return empty
+        return pd.DataFrame(
+            {
+                "url_a": pd.Series([p[0] for p in pairs], dtype="object"),
+                "url_b": pd.Series([p[1] for p in pairs], dtype="object"),
+            }
+        )
+
+    docs = extract_dataset(documents_to_pages(sf_dir)).select_columns(
+        ["url", "doc_text"]
+    )
+    return (
+        embed_dataset(docs)
+        .map_batches(explode, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(pairs_in_partition, batch_format="pandas")
+    )
+
+
+EXTRACT_KNN_PROBE = (
+    "stream data engine query batch shard merge sort scan table index"
+)
+
+
+def q_extract_knn(sf_dir: str) -> pd.DataFrame:
+    """Extract -> embed -> brute-force cosine top-k by a probe text's
+    embedding: per-batch matmul partials, tiny driver merge (url tiebreak).
+    Rows-only driver check; determinism pytest-verified."""
+    from ..stages.embed_stage import EMBED_DIM, FeatureHashEmbedder, embed_dataset
+
+    probe = FeatureHashEmbedder(dim=EMBED_DIM)._embed_text(EXTRACT_KNN_PROBE)[0]
+    probe = probe.astype(np.float64)
+    qref = ray.put(probe)
+
+    def topk_batch(batch: pa.Table) -> pd.DataFrame:
+        q = ray.get(qref)
+        urls = np.array(batch["url"].to_pylist(), dtype=object)
+        mat = np.stack(batch["embedding"].to_pandas().to_numpy()).astype(np.float64)
+        sims = mat @ q  # both sides already L2-normalized
+        k = min(KNN_K, len(urls))
+        idx = np.lexsort((urls, -sims))[:k]
+        return pd.DataFrame(
+            {
+                "url": pd.Series(urls[idx], dtype="object"),
+                "sim": pd.Series(sims[idx], dtype="float64"),
+            }
+        )
+
+    docs = extract_dataset(documents_to_pages(sf_dir)).select_columns(
+        ["url", "doc_text"]
+    )
+    partials = (
+        embed_dataset(docs)
+        .map_batches(topk_batch, batch_format="pyarrow")
+        .to_pandas()
+    )
+    top = partials.sort_values(["sim", "url"], ascending=[False, True]).head(KNN_K)
+    return top[["url", "sim"]].reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
 # Multimodal plumbing (stubbed decode; real Ray-side schema/actors)
 # ---------------------------------------------------------------------------
 

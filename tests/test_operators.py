@@ -627,3 +627,76 @@ class TestEmbeddingDedupDistributed:
             if sims[a, b] >= NEAR_DUP_SIM
         }
         assert got == want
+
+
+class TestEmbeddingGeneration:
+    def _docs(self, tmp_path, texts):
+        import pyarrow.parquet as pq
+
+        rows = [
+            {"doc_id": i, "text": t, "lang": "en"} for i, t in enumerate(texts)
+        ]
+        d = tmp_path / "sf"
+        d.mkdir()
+        pq.write_table(pa.Table.from_pylist(rows), str(d / "documents.parquet"))
+        return str(d)
+
+    def test_feature_hash_embedder_deterministic_and_normalized(self):
+        from service1_text_extraction_ray.stages.embed_stage import (
+            EMBED_DIM,
+            FeatureHashEmbedder,
+        )
+
+        e1, e2 = FeatureHashEmbedder(), FeatureHashEmbedder()
+        t = "stream data engine query batch shard merge sort"
+        v1, n1 = e1._embed_text(t)
+        v2, n2 = e2._embed_text(t)
+        assert n1 == n2 == 8
+        assert np.array_equal(v1, v2)
+        assert v1.dtype == np.float32 and len(v1) == EMBED_DIM
+        assert abs(float(np.linalg.norm(v1.astype(np.float64))) - 1.0) < 1e-6
+        # empty text -> zero vector, zero tokens
+        v0, n0 = e1._embed_text("")
+        assert n0 == 0 and not v0.any()
+
+    def test_doc_embeddings_deterministic_across_runs(self, ray_session, tmp_path):
+        from service1_text_extraction_ray.pipelines.queries import q_doc_embeddings
+
+        base = " ".join(f"tok{i % 31} word{i % 7}" for i in range(120))
+        d = self._docs(tmp_path, [f"doc {i} {base}" for i in range(40)])
+
+        a = q_doc_embeddings(d).to_pandas().sort_values("url").reset_index(drop=True)
+        b = q_doc_embeddings(d).to_pandas().sort_values("url").reset_index(drop=True)
+        assert (a["url"] == b["url"]).all()
+        assert (a["n_tokens"] == b["n_tokens"]).all()
+        for va, vb in zip(a["embedding"], b["embedding"]):
+            assert np.array_equal(np.asarray(va), np.asarray(vb))
+
+    def test_extract_dedup_near_finds_identical_docs(self, ray_session, tmp_path):
+        from service1_text_extraction_ray.pipelines.queries import q_extract_dedup_near
+
+        base = " ".join(f"alpha{i % 23} beta{i % 11} gamma{i % 5}" for i in range(150))
+        texts = [f"unique {i} " + " ".join(f"u{i}w{j}" for j in range(100)) for i in range(20)]
+        texts += [base, base]  # doc_ids 20 and 21: identical -> sim 1.0
+        d = self._docs(tmp_path, texts)
+
+        pairs = q_extract_dedup_near(d).to_pandas()
+        got = {tuple(p) for p in pairs[["url_a", "url_b"]].itertuples(index=False)}
+        # doc 20/21 urls (documents_to_pages url scheme), both HTML branch
+        want = ("https://docs.example/00000020", "https://docs.example/00000021")
+        assert want in got
+
+    def test_extract_knn_deterministic(self, ray_session, tmp_path):
+        from service1_text_extraction_ray.pipelines.queries import q_extract_knn
+
+        rs = np.random.RandomState(9)
+        vocab = [f"v{i}" for i in range(50)]
+        texts = [
+            " ".join(rs.choice(vocab) for _ in range(150)) for _ in range(60)
+        ]
+        d = self._docs(tmp_path, texts)
+        a = q_extract_knn(d)
+        b = q_extract_knn(d)
+        assert a["url"].tolist() == b["url"].tolist()
+        assert len(a) == 10
+        assert (a["sim"].to_numpy() == b["sim"].to_numpy()).all()
