@@ -105,14 +105,19 @@ def oracle_sql() -> dict[str, str]:
         "doc_stopword_counts": Q.SQL_DOC_STOPWORD_COUNTS,
         "lang_distribution": Q.SQL_LANG_DISTRIBUTION,
         "doc_normalize_ws": Q.SQL_DOC_NORMALIZE_WS,
+        "doc_chunk_counts": Q.SQL_DOC_CHUNK_COUNTS,
+        "language_id": Q.SQL_LANGUAGE_ID,
         "doc_extract_numbers": Q.SQL_DOC_EXTRACT_NUMBERS,
         "doc_strip_headers": Q.SQL_DOC_STRIP_HEADERS,
         "doc_shingle_stats": Q.SQL_DOC_SHINGLE_STATS,
         "dedup_exact": Q.SQL_DEDUP_EXACT,
         "dedup_embedding": Q.SQL_DEDUP_EMBEDDING,
+        "dedup_embedding_lsh": Q.sql_dedup_embedding_lsh(),
         "knn_cosine": Q.sql_knn_cosine(),
         "knn_batch": Q.sql_knn_batch(),
+        "ann_lsh": Q.sql_ann_lsh(),
         "embedding_label_stats": Q.SQL_EMBEDDING_LABEL_STATS,
+        "media_features": Q.SQL_MEDIA_FEATURES,
         "pricing_summary": R.SQL_PRICING_SUMMARY,
         "segment_order_stats": R.SQL_SEGMENT_ORDER_STATS,
         "nation_customer_counts": R.SQL_NATION_CUSTOMER_COUNTS,

@@ -295,12 +295,18 @@ FROM documents
 """
 
 
+CHUNK_MAX_CHARS, CHUNK_OVERLAP = 500, 50
+
+
 def q_doc_chunk_counts(sf_dir: str) -> rd.Dataset:
     """chunk_text operator (reference P10) — chunk count + total chunk chars
-    per doc. Non-SQL (stateful scan with overlap) -> rows-only check."""
+    per doc. Exact SQL oracle: the greedy break-scan is replayed in a
+    recursive CTE (SQL_DOC_CHUNK_COUNTS)."""
 
     def f(df: pd.DataFrame) -> pd.DataFrame:
-        chunks = df["text"].fillna("").map(lambda t: chunk_text(t, max_chars=500, overlap=50))
+        chunks = df["text"].fillna("").map(
+            lambda t: chunk_text(t, max_chars=CHUNK_MAX_CHARS, overlap=CHUNK_OVERLAP)
+        )
         out = pd.DataFrame()
         out["doc_id"] = df["doc_id"]
         out["n_chunks"] = chunks.map(len).astype("int64")
@@ -308,6 +314,70 @@ def q_doc_chunk_counts(sf_dir: str) -> rd.Dataset:
         return out
 
     return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(f, batch_format="pandas")
+
+
+def _sql_chunk_counts() -> str:
+    """Recursive-CTE replay of chunk_text's greedy scan (same break-char
+    priority, same rfind window semantics, same overlap rewind). Each
+    recursion level consumes one chunk per in-flight document."""
+    M, OV = CHUNK_MAX_CHARS, CHUNK_OVERLAP
+    breaks = ["\n\n", "\n", ". ", "! ", "? "]
+
+    pos_cols, bp_cols = [], []
+    for i, bc in enumerate(breaks):
+        rev = bc[::-1].replace("'", "''").replace("\n", "' || chr(10) || '")
+        rev_lit = f"'{rev}'"
+        L = len(bc)
+        # last occurrence of bc fully inside the window w (1-based in w)
+        pos_cols.append(
+            f"CASE WHEN strpos(rw, {rev_lit}) > 0 "
+            f"THEN length(w) - strpos(rw, {rev_lit}) - {L} + 2 END AS pos{i}"
+        )
+        # Python's `if pos > start` == window position >= 2
+        bp_cols.append(
+            f"CASE WHEN pos{i} >= 2 THEN start + pos{i} - 1 + {L} END AS bp{i}"
+        )
+    coalesce = "COALESCE(" + ", ".join(f"bp{i}" for i in range(len(breaks))) + f", start + {M})"
+
+    return f"""
+WITH RECURSIVE state AS (
+  SELECT doc_id, coalesce(text, '') AS text, CAST(0 AS BIGINT) AS start,
+         CAST(0 AS BIGINT) AS n_chunks, CAST(0 AS BIGINT) AS chunk_chars,
+         FALSE AS done
+  FROM documents WHERE length(coalesce(text, '')) > {M}
+  UNION ALL
+  SELECT doc_id, text,
+         CASE WHEN terminal THEN start ELSE break_pos - {OV} END,
+         n_chunks + 1,
+         chunk_chars + (CASE WHEN terminal THEN length(text) ELSE break_pos END) - start,
+         terminal
+  FROM (
+    SELECT doc_id, text, start, n_chunks, chunk_chars,
+           (start + {M} >= length(text)) AS terminal,
+           {coalesce} AS break_pos
+    FROM (
+      SELECT *, {", ".join(bp_cols)}
+      FROM (
+        SELECT *, {", ".join(pos_cols)}
+        FROM (
+          SELECT *, reverse(w) AS rw FROM (
+            SELECT *, substr(text, start + 1, {M}) AS w
+            FROM state WHERE NOT done
+          )
+        )
+      )
+    )
+  )
+)
+SELECT doc_id, n_chunks, chunk_chars FROM state WHERE done
+UNION ALL
+SELECT doc_id, CAST(1 AS BIGINT) AS n_chunks,
+       CAST(length(coalesce(text, '')) AS BIGINT) AS chunk_chars
+FROM documents WHERE length(coalesce(text, '')) <= {M}
+"""
+
+
+SQL_DOC_CHUNK_COUNTS = _sql_chunk_counts()
 
 
 def q_doc_clean_unicode(sf_dir: str) -> rd.Dataset:
@@ -322,19 +392,24 @@ def q_doc_clean_unicode(sf_dir: str) -> rd.Dataset:
     return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(f, batch_format="pandas")
 
 
+LANG_PROFILES = {
+    "en": ("the", "and", "of", "to", "in", "is", "that", "it", "for", "was"),
+    "de": ("der", "die", "und", "das", "ist", "nicht", "mit", "ein", "zu", "den"),
+    "fr": ("le", "la", "et", "les", "des", "est", "pas", "que", "une", "pour"),
+    "es": ("el", "la", "de", "que", "los", "es", "una", "por", "con", "para"),
+}
+
+
 def q_language_id(sf_dir: str) -> rd.Dataset:
     """Heuristic n-gram/stopword language ID over the text column (a
-    training-data-pipeline staple). Deterministic scores; rows-only check.
+    training-data-pipeline staple). Deterministic scores; exact SQL oracle
+    (the scoring is a per-profile token count + first-max-in-fixed-order
+    argmax, both SQL-expressible).
 
     Profiles are tiny in-module frequency tables; a real system would
     broadcast larger models via ray.put — same shape, bigger payload.
     """
-    profiles = {
-        "en": {"the", "and", "of", "to", "in", "is", "that", "it", "for", "was"},
-        "de": {"der", "die", "und", "das", "ist", "nicht", "mit", "ein", "zu", "den"},
-        "fr": {"le", "la", "et", "les", "des", "est", "pas", "que", "une", "pour"},
-        "es": {"el", "la", "de", "que", "los", "es", "una", "por", "con", "para"},
-    }
+    profiles = {k: set(v) for k, v in LANG_PROFILES.items()}
 
     def f(df: pd.DataFrame) -> pd.DataFrame:
         def lid(t: str) -> str:
@@ -354,6 +429,39 @@ def q_language_id(sf_dir: str) -> rd.Dataset:
         return out
 
     return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(f, batch_format="pandas")
+
+
+def _sql_lang_counts() -> str:
+    parts = []
+    for lang in ("de", "en", "es", "fr"):
+        in_list = ", ".join(f"'{w}'" for w in LANG_PROFILES[lang])
+        parts.append(
+            f"CAST(len(list_filter(w, x -> x IN ({in_list}))) AS BIGINT) AS n_{lang}"
+        )
+    return ",\n         ".join(parts)
+
+
+# The Python loop updates only on STRICTLY greater in the fixed order
+# (de, en, es, fr), so the winner is the first language in that order that
+# attains the maximum — exactly this CASE chain.
+SQL_LANGUAGE_ID = f"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS w
+  FROM documents
+), cnt AS (
+  SELECT doc_id,
+         {_sql_lang_counts()}
+  FROM tok
+)
+SELECT doc_id,
+       CASE WHEN greatest(n_de, n_en, n_es, n_fr) = 0 THEN 'und'
+            WHEN n_de = greatest(n_de, n_en, n_es, n_fr) THEN 'de'
+            WHEN n_en = greatest(n_de, n_en, n_es, n_fr) THEN 'en'
+            WHEN n_es = greatest(n_de, n_en, n_es, n_fr) THEN 'es'
+            ELSE 'fr' END AS pred_lang
+FROM cnt
+"""
 
 
 def q_doc_extract_numbers(sf_dir: str) -> rd.Dataset:
@@ -929,8 +1037,9 @@ def q_ann_lsh(sf_dir: str) -> pd.DataFrame:
         norms[norms == 0] = 1.0
         sims = (sel @ q) / norms
         k = min(KNN_K, len(sims))
-        idx = np.argsort(-sims)[:k]
-        return pa.table({"vec_id": pa.array(ids[mask][idx], pa.int64()),
+        sel_ids = ids[mask]
+        idx = np.lexsort((sel_ids, -sims))[:k]  # sim desc, vec_id asc
+        return pa.table({"vec_id": pa.array(sel_ids[idx], pa.int64()),
                          "sim": pa.array(sims[idx], pa.float64())})
 
     partials = (
@@ -940,8 +1049,40 @@ def q_ann_lsh(sf_dir: str) -> pd.DataFrame:
     )
     if len(partials) == 0 or "sim" not in partials.columns:
         return pd.DataFrame({"vec_id": pd.Series([], dtype="int64")})
-    top = partials.nlargest(min(KNN_K, len(partials)), "sim")
+    top = partials.sort_values(["sim", "vec_id"], ascending=[False, True]).head(KNN_K)
     return pd.DataFrame({"vec_id": top["vec_id"].astype("int64").to_numpy()})
+
+
+def sql_ann_lsh() -> str:
+    """Exact oracle for q_ann_lsh: the planes are seed-deterministic, so the
+    signature computation, the probe set and the bucket-restricted top-k are
+    all expressible with inline plane literals + list_dot_product. vec_id
+    tiebreaks both sides."""
+    N_PLANES = 8
+    rs = np.random.RandomState(KNN_SEED + 1)
+    planes = rs.standard_normal((N_PLANES, 64))
+    qv = _query_vector()
+    qsig = int("".join("1" if p @ qv > 0 else "0" for p in planes), 2)
+    probe = sorted({qsig} | {qsig ^ (1 << b) for b in range(N_PLANES)})
+    probe_list = ", ".join(str(p) for p in probe)
+    qlit = "[" + ", ".join(repr(float(x)) for x in qv) + "]"
+    sig_terms = []
+    for b in range(N_PLANES):
+        plit = "[" + ", ".join(repr(float(x)) for x in planes[b]) + "]"
+        weight = 1 << (N_PLANES - 1 - b)
+        sig_terms.append(
+            f"CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), {plit}) > 0 "
+            f"THEN {weight} ELSE 0 END"
+        )
+    sig_expr = " + ".join(sig_terms)
+    return f"""
+SELECT vec_id FROM (
+  SELECT vec_id,
+         list_cosine_similarity(CAST(embedding AS DOUBLE[]), {qlit}) AS sim
+  FROM embeddings
+  WHERE ({sig_expr}) IN ({probe_list})
+) ORDER BY sim DESC, vec_id ASC LIMIT {KNN_K}
+"""
 
 
 NEAR_DUP_SIM = 0.4  # chosen in a wide empirical gap of the synthetic corpus
@@ -1112,6 +1253,31 @@ def q_dedup_embedding_lsh(sf_dir: str) -> rd.Dataset:
 SQL_DEDUP_EMBEDDING = f"""
 SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= {NEAR_DUP_SIM}
+"""
+
+
+def sql_dedup_embedding_lsh() -> str:
+    """Exact oracle for q_dedup_embedding_lsh: bucket = inline-plane sign
+    bits (normalization does not change signs), pairs = same-bucket self-join
+    with the cosine threshold."""
+    rs = np.random.RandomState(KNN_SEED + 3)
+    planes = rs.standard_normal((EMB_LSH_PLANES, 64))
+    sig_terms = []
+    for b in range(EMB_LSH_PLANES):
+        plit = "[" + ", ".join(repr(float(x)) for x in planes[b]) + "]"
+        sig_terms.append(
+            f"CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), {plit}) > 0 "
+            f"THEN {1 << b} ELSE 0 END"
+        )
+    sig_expr = " + ".join(sig_terms)
+    return f"""
+WITH sig AS (
+  SELECT vec_id, embedding, ({sig_expr}) AS bucket FROM embeddings
+)
+SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
+FROM sig a JOIN sig b ON a.vec_id < b.vec_id AND a.bucket = b.bucket
 WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                              CAST(b.embedding AS DOUBLE[])) >= {NEAR_DUP_SIM}
 """
@@ -1389,3 +1555,37 @@ def q_media_features(sf_dir: str) -> rd.Dataset:
     return feats.select_columns(
         ["media_id", "media_type", "n_bytes", "sha256", "decode_ok", "width", "height", "duration_ms"]
     )
+
+
+def _sql_sha_byte(idx: int) -> str:
+    """SQL expression for byte ``idx`` of the sha256 hex string column
+    ``sha256`` (hex-digit position lookup; DuckDB 1.0 has no hex->int cast)."""
+    c1 = f"substr(sha256, {2 * idx + 1}, 1)"
+    c2 = f"substr(sha256, {2 * idx + 2}, 1)"
+    return (
+        f"((instr('0123456789abcdef', {c1}) - 1) * 16"
+        f" + instr('0123456789abcdef', {c2}) - 1)"
+    )
+
+
+# Exact oracle for q_media_features: the stub decoder's pseudo-metadata is a
+# pure function of sha256(payload) (stages/multimodal.py DecoderStub), and
+# the payload is the doc text's utf-8 bytes — all SQL-expressible. The byte
+# values are recovered from the hex digest by digit-position lookup.
+SQL_MEDIA_FEATURES = f"""
+WITH m AS (
+  SELECT doc_id AS media_id,
+         CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+         CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT) AS n_bytes,
+         sha256(coalesce(text, '')) AS sha256
+  FROM documents
+)
+SELECT media_id, media_type, n_bytes, sha256,
+       TRUE AS decode_ok,
+       CAST(16 + ({_sql_sha_byte(0)}) % 2048 AS INTEGER) AS width,
+       CAST(16 + ({_sql_sha_byte(1)}) % 2048 AS INTEGER) AS height,
+       CAST(CASE WHEN media_type IN ('audio', 'video')
+                 THEN ({_sql_sha_byte(2)}) + 256 * ({_sql_sha_byte(3)})
+                 ELSE 0 END AS INTEGER) AS duration_ms
+FROM m
+"""
