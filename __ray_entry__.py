@@ -41,6 +41,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_pages": Q.q_extract_pages,
         "extract_layout_text": Q.q_extract_layout_text,
         "layout_stats": Q.q_layout_stats,
+        "render_pages": Q.q_render_pages,
         "extract_summary": Q.q_extract_summary,
         # --- text analysis over documents ---
         "doc_token_counts": Q.q_doc_token_counts,

@@ -140,6 +140,17 @@ def q_layout_stats(sf_dir: str) -> rd.Dataset:
     return pages.map_batches(stats, batch_format="pyarrow")
 
 
+def q_render_pages(sf_dir: str) -> rd.Dataset:
+    """Page -> image render (P14, pdf_service.py:126-142) as a stub-parity
+    operator: deterministic placeholder PNG per extracted page with
+    render_ok=False (functions/page_render.py — the OCR-stub pattern).
+    Rows-only driver check; PNG validity + determinism pytest-verified."""
+    from ..functions.page_render import render_pages_batch
+
+    pages = extract_pages_dataset(documents_to_pages(sf_dir))
+    return pages.map_batches(render_pages_batch, batch_format="pyarrow")
+
+
 def q_extract_summary(sf_dir: str) -> rd.Dataset:
     """Counter roll-up by content kind and status (grouped aggregate over the
     extraction output — the reference's G1/G2/G4 summaries)."""

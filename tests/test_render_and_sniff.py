@@ -122,3 +122,56 @@ def test_combine_pages_title_case_variant():
     # the batch-path variant skips empty pages and uses upper-case markers
     assert "--- PAGE 1 ---" in combine_pages(pages)
     assert "PAGE 2" not in combine_pages(pages)
+
+
+class TestPageRenderStub:
+    def test_png_is_valid_and_deterministic(self):
+        import base64
+        import zlib
+
+        from service1_text_extraction_ray.functions.page_render import (
+            render_page_placeholder,
+            write_gray_png,
+        )
+
+        png = write_gray_png(10, 7, 128)
+        assert png.startswith(b"\x89PNG\r\n\x1a\n")
+        assert b"IHDR" in png and b"IDAT" in png and png.endswith(
+            b"\x00\x00\x00\x00IEND\xaeB`\x82"
+        )
+        # decode the IDAT back: 7 scanlines of filter-0 + 10 gray bytes
+        idat_start = png.index(b"IDAT") + 4
+        idat_len = int.from_bytes(png[png.index(b"IDAT") - 4 : png.index(b"IDAT")], "big")
+        raw = zlib.decompress(png[idat_start : idat_start + idat_len])
+        assert raw == (b"\x00" + b"\x80" * 10) * 7
+
+        r1 = render_page_placeholder("some page text", '{"width": 612, "height": 792}')
+        r2 = render_page_placeholder("some page text", '{"width": 612, "height": 792}')
+        assert r1 == r2
+        assert r1["render_ok"] is False
+        assert r1["height_px"] == 64  # long edge capped
+        assert 0 < r1["width_px"] < 64
+        base64.b64decode(r1["png_b64"])  # round-trips
+
+    def test_render_batch_shape(self):
+        import pyarrow as pa
+
+        from service1_text_extraction_ray.functions.page_render import (
+            RENDER_SCHEMA,
+            render_pages_batch,
+        )
+
+        batch = pa.Table.from_pylist(
+            [
+                {"url": "u1", "page": 1, "extracted_text": "hello", "layout_json": ""},
+                {"url": "u1", "page": 2, "extracted_text": "", "layout_json": None},
+            ],
+            schema=pa.schema(
+                [("url", pa.string()), ("page", pa.int32()),
+                 ("extracted_text", pa.string()), ("layout_json", pa.string())]
+            ),
+        )
+        out = render_pages_batch(batch)
+        assert out.schema == RENDER_SCHEMA
+        assert out.num_rows == 2
+        assert out["render_ok"].to_pylist() == [False, False]
