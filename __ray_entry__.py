@@ -66,6 +66,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprints": Q.q_doc_fingerprints,
         # --- embedding generation + chained pipelines ---
         "doc_embeddings": Q.q_doc_embeddings,
+        "embeddings_wide": Q.q_embeddings_wide,
         "extract_dedup_near": Q.q_extract_dedup_near,
         "extract_knn": Q.q_extract_knn,
         # --- similarity search ---

@@ -50,8 +50,22 @@ def _corpus_rows() -> int:
     return n_docs * DOCS_MULTIPLIER
 
 
+def _corpus_fingerprint() -> str:
+    """Content fingerprint of the generator itself: hash a probe set of rows
+    spanning every payload category, so a cached corpus regenerates whenever
+    synth.make_row changes (e.g. the round-2 encrypted fixtures)."""
+    import hashlib
+
+    from service1_text_extraction_ray.functions.synth import make_row
+
+    h = hashlib.md5()
+    for i in list(range(0, 100)) + [1007]:
+        h.update(make_row(i, seed=CORPUS_SEED)["html"])
+    return h.hexdigest()[:12]
+
+
 def _corpus_dir(n_rows: int) -> str:
-    return f"/tmp/graft_bench_corpus_{CORPUS_SEED}_{n_rows}"
+    return f"/tmp/graft_bench_corpus_{CORPUS_SEED}_{n_rows}_{_corpus_fingerprint()}"
 
 
 def ensure_corpus(n_rows: int) -> str:

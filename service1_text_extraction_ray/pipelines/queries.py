@@ -1401,6 +1401,39 @@ def q_doc_embeddings(sf_dir: str) -> rd.Dataset:
     return embed_dataset(docs)
 
 
+def q_embeddings_wide(sf_dir: str) -> rd.Dataset:
+    """S7 parity (the reference's per-document embedding CSV appender,
+    ml_document_processor.py:230-268): extract -> embed -> WIDE rows with
+    metadata + one ``embedding_{i}`` column per dimension — the exact
+    document_embedding.csv row shape, as a columnar Dataset any sink
+    (write_parquet / write_csv) can append partition-wise. The reference's
+    read-existing-then-skip resume (:214-228) is this engine's lineage
+    resume at shard grain. Rows-only driver check."""
+    from ..functions.naming import document_name_from_url, parse_folder_name
+    from ..stages.embed_stage import EMBED_DIM
+
+    def widen(batch: pa.Table) -> pa.Table:
+        urls = batch["url"].to_pylist()
+        names = [document_name_from_url(u) for u in urls]
+        classes, full_names = zip(*(parse_folder_name(n) for n in names)) if names else ((), ())
+        mat = np.stack(batch["embedding"].to_pandas().to_numpy()).astype(np.float32) \
+            if len(urls) else np.zeros((0, EMBED_DIM), np.float32)
+        arrays = [
+            pa.array(names, pa.string()),
+            batch["url"],
+            pa.array(list(classes), pa.string()),
+            pa.array(list(full_names), pa.string()),
+            batch["n_tokens"],
+        ]
+        names_out = ["document_name", "document_path", "class", "full_class_name", "total_tokens"]
+        for i in range(EMBED_DIM):
+            arrays.append(pa.array(mat[:, i], pa.float32()))
+            names_out.append(f"embedding_{i}")
+        return pa.Table.from_arrays(arrays, names=names_out)
+
+    return q_doc_embeddings(sf_dir).map_batches(widen, batch_format="pyarrow")
+
+
 EXTRACT_NEAR_DUP_SIM = 0.95  # feature-hash TF vectors of same-vocabulary docs
                              # correlate more than gaussians; near-dup means
                              # near-identical text, so the bar sits high
