@@ -90,7 +90,18 @@ def run_headline(corpus: str, n_rows: int) -> dict:
     from service1_text_extraction_ray.functions.extract import ExtractConfig
     from service1_text_extraction_ray.pipelines.extract_pipeline import run_extraction_job
 
-    out = f"/tmp/graft_bench_out_{NUM_CPUS}"
+    # GRAFT_FILE_SHARD="i:n" -> process only every n-th corpus file starting
+    # at i (one "node" of the isolated-nodes scaling protocol).
+    shard = os.environ.get("GRAFT_FILE_SHARD")
+    if shard:
+        import pyarrow.parquet as pq
+
+        i, n = (int(x) for x in shard.split(":"))
+        files = sorted(str(p) for p in Path(corpus).glob("*.parquet"))[i::n]
+        corpus = files  # run_extraction_job accepts a file list
+        n_rows = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+
+    out = f"/tmp/graft_bench_out_{NUM_CPUS}_{os.environ.get('GRAFT_FILE_SHARD', 'full').replace(':', '_')}"
     cfg = ExtractConfig()
     # Protocol note: the timed run includes job startup (worker spin-up,
     # package shipping, actor-pool construction) at BOTH parallelism levels —
@@ -351,12 +362,94 @@ def bench_scaling_weak() -> dict:
     }
 
 
+def bench_scaling_iso() -> dict:
+    """Isolated-nodes scaling protocol: FOUR concurrent fresh-process jobs at
+    num_cpus=8, each over an interleaved quarter of the corpus files (= a
+    4-node cluster of 8-CPU nodes with no cross-node coordination — the
+    embarrassingly-parallel ideal), vs ONE fresh-process num_cpus=32 job over
+    the full corpus. Both sides keep all 32 host cores busy, so shared-box
+    effects (memory-bus saturation, all-core turbo) hit BOTH measurements
+    equally — unlike the sequential 8-vs-32 protocol, where the "8-CPU
+    cluster" borrows the idle box's full memory bandwidth and the ratio
+    under-counts the engine. Efficiency = throughput(1x32) /
+    aggregate-throughput(4x8): exactly the coordination overhead a 4x-bigger
+    cluster adds, with hardware held constant. Median of 3 interleaved reps.
+    """
+    import concurrent.futures as cf
+
+    lo, hi, n_nodes = 8, 32, 4
+    n_rows = _corpus_rows()
+    # Warm the corpus cache once (untimed) before any measurement.
+    env0 = dict(os.environ, RAY_GRAFT_CPUS="8", GRAFT_SF_DIR=SF_DIR,
+                GRAFT_BENCH_ROWS=str(n_rows))
+    subprocess.run(
+        [sys.executable, "-c",
+         f"import sys; sys.path.insert(0, {REPO!r}); import ray, bench;"
+         "ray.init(address='local', num_cpus=4, include_dashboard=False, logging_level='ERROR');"
+         f"bench.ensure_corpus({n_rows}); ray.shutdown()"],
+        env=env0, capture_output=True, check=True,
+    )
+
+    def one_node(i: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(lo), GRAFT_SF_DIR=SF_DIR,
+                   GRAFT_BENCH_ROWS=str(n_rows), GRAFT_FILE_SHARD=f"{i}:{n_nodes}",
+                   RAY_TMPDIR=f"/tmp/ray_iso_{i}",
+                   # 4 concurrent local clusters must not each claim the
+                   # default ~40% of host memory for their object stores
+                   GRAFT_OBJ_STORE_BYTES=str(8 * 1024**3))
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py"), "--headline-only"],
+            env=env, capture_output=True, text=True, check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    effs, detail = [], []
+    for _ in range(3):
+        t0 = time.monotonic()
+        with cf.ThreadPoolExecutor(n_nodes) as ex:
+            node_results = list(ex.map(one_node, range(n_nodes)))
+        wall_4x8 = time.monotonic() - t0
+        rows_done = sum(r["corpus_rows"] for r in node_results)
+        thr_4x8 = rows_done / wall_4x8
+
+        r32 = _run_headline_subprocess(hi, n_rows)
+        thr_32 = r32["docs_per_sec"]
+        effs.append(round(thr_32 / thr_4x8, 3))
+        detail.append({
+            "docs_per_sec_4x8_aggregate": round(thr_4x8, 1),
+            "wall_4x8": round(wall_4x8, 2),
+            "node_secs": [r["value"] for r in node_results],
+            "docs_per_sec_32": thr_32,
+            "sec_32": r32["value"],
+        })
+    order = sorted(range(len(effs)), key=lambda i: effs[i])
+    med_i = order[len(order) // 2]
+    value = min(1.0, effs[med_i])
+    return {
+        "metric": (
+            "isolated-nodes scaling efficiency: one 32-cpu job vs four "
+            "concurrent independent 8-cpu jobs on interleaved quarters of the "
+            "same corpus (both sides saturate the host -> shared-box effects "
+            "cancel; measures pure engine coordination overhead of a 4x "
+            "cluster)"
+        ),
+        "value": value,
+        "unit": "efficiency",
+        "all_reps": effs,
+        **detail[med_i],
+        "corpus_rows": n_rows,
+        "pass_ge_0.8": value >= 0.8,
+    }
+
+
 def bench_headline_only() -> dict:
     import ray
 
+    obj = os.environ.get("GRAFT_OBJ_STORE_BYTES")
     ray.init(
         address="local", num_cpus=NUM_CPUS, include_dashboard=False,
         ignore_reinit_error=True, logging_level="ERROR",
+        **({"object_store_memory": int(obj)} if obj else {}),
     )
     from ray.data import DataContext
 
@@ -377,7 +470,9 @@ def bench_headline_only() -> dict:
 
 
 if __name__ == "__main__":
-    if "--scaling-weak" in sys.argv:
+    if "--scaling-iso" in sys.argv:
+        print(json.dumps(bench_scaling_iso()))
+    elif "--scaling-weak" in sys.argv:
         print(json.dumps(bench_scaling_weak()))
     elif "--scaling" in sys.argv:
         print(json.dumps(bench_scaling()))

@@ -87,6 +87,106 @@ def gate_page_text(text: str, min_text_length: int) -> bool:
     return len(text.strip()) >= min_text_length and not is_garbage_text(text)
 
 
+def _extract_html(
+    url: str, payload: bytes, cfg: ExtractConfig, book: PasswordBook
+) -> Dict[str, Any]:
+    """Built-in HTML extractor (DOM parse + boilerplate strip)."""
+    pages: List[Dict[str, Any]] = []
+    try:
+        text, kept = extract_html_text(
+            payload,
+            min_block_chars=cfg.min_block_chars,
+            min_heading_chars=cfg.min_heading_chars,
+            max_link_density=cfg.max_link_density,
+        )
+        if gate_page_text(text, cfg.min_text_length):
+            layout = html_layout(kept) if cfg.emit_layout else None
+            pages.append(_page_row(1, METHOD_DOM, text.strip(), layout))
+        else:
+            # Gate failed, no OCR backend: reference no-tesseract branch.
+            pages.append(_page_row(1, METHOD_FAILED, "", None))
+        return {"pages": pages}
+    except Exception as e:  # defensive: parser bugs become failure rows
+        return {"status": STATUS_PARSE_FAILURE, "error": f"html: {e}"}
+
+
+def _extract_pdf(
+    url: str, payload: bytes, cfg: ExtractConfig, book: PasswordBook
+) -> Dict[str, Any]:
+    """Built-in PDF extractor: password loop + content-stream parse.
+
+    The reference's <=3-attempt password loop (core_pdf_processor.py:283-343):
+    attempts count even for unencrypted docs (attempt 1 trivially succeeds
+    and records whatever candidate was tried as password_used — quirk
+    mirrored); a falsy candidate is skipped when a password is actually
+    needed; success caches the password in the book.
+    """
+    attempts_made = 0
+    try:
+        doc = open_pdf(payload)
+        doc_key = url_host(url)
+        candidates = book.candidates_for(doc_key)[:MAX_ATTEMPTS]
+        password_used: Optional[str] = None
+        opened = False
+        for pwd in candidates:
+            attempts_made += 1
+            if doc.needs_pass:
+                if not pwd:
+                    continue
+                if not doc.authenticate(pwd):
+                    continue
+            password_used = pwd
+            opened = True
+            break
+        if not opened:
+            return {
+                "status": STATUS_PARSE_FAILURE,
+                "password_required": True,
+                "attempts_made": attempts_made,
+                "error": f"pdf: password required (tried {attempts_made} attempts)",
+            }
+        if password_used:
+            book.record_success(doc_key, password_used)
+        pages: List[Dict[str, Any]] = []
+        parsed = doc.extract_pages(max_pages=cfg.max_pages)
+        for idx, page in enumerate(parsed, start=1):
+            if gate_page_text(page.text, cfg.min_text_length):
+                layout = page.layout if cfg.emit_layout else None
+                pages.append(_page_row(idx, METHOD_PDF, page.text.strip(), layout))
+            else:
+                pages.append(_page_row(idx, METHOD_FAILED, "", None))
+        return {
+            "pages": pages,
+            "password_used": password_used,
+            "attempts_made": attempts_made,
+        }
+    except PdfParseError as e:
+        return {"status": STATUS_PARSE_FAILURE, "error": f"pdf: {e}",
+                "attempts_made": attempts_made}
+    except Exception as e:
+        return {"status": STATUS_PARSE_FAILURE, "error": f"pdf: {e}",
+                "attempts_made": attempts_made}
+
+
+# §2.9 user-extension surface (SURVEY.md): content kind -> extractor. An
+# extractor is any callable ``(url, payload, cfg, book) -> partial result
+# dict`` with optional keys {pages, status, error, password_required,
+# password_used, attempts_made}; extract_document fills the defaults and
+# derives the doc-level columns. Register a new payload family (e.g. a
+# WARC-record or XML extractor) with ``register_extractor`` — the sniff
+# stage's kind string is the dispatch key, and actor pools pick the
+# registration up at import time (module-level, ships with the package).
+EXTRACTORS: Dict[str, Any] = {
+    KIND_HTML: _extract_html,
+    KIND_PDF: _extract_pdf,
+}
+
+
+def register_extractor(kind: str, fn) -> None:
+    """Register (or override) the extractor for a content kind."""
+    EXTRACTORS[kind] = fn
+
+
 def extract_document(
     url: str,
     payload: Optional[bytes],
@@ -109,95 +209,34 @@ def extract_document(
         payload = payload[: cfg.max_payload_bytes]
         truncated = True
 
-    pages: List[Dict[str, Any]] = []
-    status = STATUS_OK
-    error: Optional[str] = None
-    password_required = False
-    password_used: Optional[str] = None
-    attempts_made = 0
+    if book is None:
+        book = PasswordBook(dict(cfg.saved_passwords), cfg.default_password)
 
-    if kind == KIND_HTML:
-        try:
-            text, kept = extract_html_text(
-                payload,
-                min_block_chars=cfg.min_block_chars,
-                min_heading_chars=cfg.min_heading_chars,
-                max_link_density=cfg.max_link_density,
-            )
-            if gate_page_text(text, cfg.min_text_length):
-                layout = html_layout(kept) if cfg.emit_layout else None
-                pages.append(_page_row(1, METHOD_DOM, text.strip(), layout))
-            else:
-                # Gate failed, no OCR backend: reference no-tesseract branch.
-                pages.append(_page_row(1, METHOD_FAILED, "", None))
-        except Exception as e:  # defensive: parser bugs become failure rows
-            status = STATUS_PARSE_FAILURE
-            error = f"html: {e}"
-    elif kind == KIND_PDF:
-        try:
-            doc = open_pdf(payload)
-            # The reference's <=3-attempt password loop
-            # (core_pdf_processor.py:283-343): attempts count even for
-            # unencrypted docs (attempt 1 trivially succeeds and records
-            # whatever candidate was tried as password_used — quirk
-            # mirrored); a falsy candidate is skipped when a password is
-            # actually needed; success caches the password in the book.
-            if book is None:
-                book = PasswordBook(dict(cfg.saved_passwords), cfg.default_password)
-            doc_key = url_host(url)
-            candidates = book.candidates_for(doc_key)[:MAX_ATTEMPTS]
-            opened = False
-            for pwd in candidates:
-                attempts_made += 1
-                if doc.needs_pass:
-                    if not pwd:
-                        continue
-                    if not doc.authenticate(pwd):
-                        continue
-                password_used = pwd
-                opened = True
-                break
-            if not opened:
-                status = STATUS_PARSE_FAILURE
-                password_required = True
-                error = (
-                    f"pdf: password required (tried {attempts_made} attempts)"
-                )
-            else:
-                if password_used:
-                    book.record_success(doc_key, password_used)
-                parsed = doc.extract_pages(max_pages=cfg.max_pages)
-                for idx, page in enumerate(parsed, start=1):
-                    if gate_page_text(page.text, cfg.min_text_length):
-                        layout = page.layout if cfg.emit_layout else None
-                        pages.append(_page_row(idx, METHOD_PDF, page.text.strip(), layout))
-                    else:
-                        pages.append(_page_row(idx, METHOD_FAILED, "", None))
-        except PdfParseError as e:
-            status = STATUS_PARSE_FAILURE
-            error = f"pdf: {e}"
-        except Exception as e:
-            status = STATUS_PARSE_FAILURE
-            error = f"pdf: {e}"
+    handler = EXTRACTORS.get(kind)
+    if handler is None:
+        partial: Dict[str, Any] = {
+            "status": STATUS_PARSE_FAILURE,
+            "error": "unrecognized content kind",
+        }
     else:
-        status = STATUS_PARSE_FAILURE
-        error = "unrecognized content kind"
+        partial = handler(url, payload, cfg, book)
 
+    pages: List[Dict[str, Any]] = partial.get("pages", [])
     doc_text = combine_pages((p["page"], p["text"]) for p in pages)
     n_pages_ok = sum(1 for p in pages if p["method"] != METHOD_FAILED)
 
     return {
-        "status": status,
+        "status": partial.get("status", STATUS_OK),
         "content_kind": kind,
         "truncated": truncated,
         "n_pages": len(pages),
         "n_pages_ok": n_pages_ok,
         "doc_text": doc_text,
         "doc_chars": len(doc_text),
-        "error": error,
-        "password_required": password_required,
-        "password_used": password_used,
-        "attempts_made": attempts_made,
+        "error": partial.get("error"),
+        "password_required": partial.get("password_required", False),
+        "password_used": partial.get("password_used"),
+        "attempts_made": partial.get("attempts_made", 0),
         "pages": pages,
     }
 

@@ -110,18 +110,20 @@ def extract_dataset(
     ds = ds.map_batches(SniffStage(cfg), batch_format="pyarrow")
 
     if concurrency is None:
-        # Autoscaling actor pool sized to the cluster. min = ncpu/2 so the
-        # pool ramps fast (autoscaling from 1 loses seconds of parallelism on
-        # every job start); max = ncpu-1 leaves headroom for the read and
-        # write stages so the pipeline never serializes on one pool. A
-        # pre-sized (ncpu-4, ncpu-1) pool was measured cold and is NOT
-        # better (simultaneous actor spawn pays one import storm); pools of
-        # ncpu-1..ncpu starve the read/write task pools and collapse
-        # throughput ~40%.
+        # Autoscaling actor pool sized to the cluster. Measured (round 2,
+        # 50k-doc extract-only probe at 32 CPUs): the autoscaler holds the
+        # pool at its MINIMUM for the whole job (effective cores == min), so
+        # the min IS the parallelism — (16,31) ran at 4.6k docs/s, (24,31)
+        # at 5.9k, (31,31) collapsed to 3.7k (read/write starvation, same
+        # cliff round 1 found). min = 3*ncpu/4 with max = ncpu-1 keeps ~a
+        # quarter of the cores for the read + write task pools; the
+        # autoscaling headroom above min costs nothing.
         import ray
 
+        # Floor at 3*ncpu/4 but always leave >=2 CPUs for the read/write
+        # task pools (at ncpu=4 a (3,3) pool measurably starves them).
         ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-        concurrency = (max(1, ncpu // 2), max(2, ncpu - 1))
+        concurrency = (max(1, min(3 * ncpu // 4, ncpu - 2)), max(2, ncpu - 1))
     return ds.map_batches(
         ExtractDocuments,
         fn_constructor_kwargs={"cfg": cfg},

@@ -238,3 +238,33 @@ class TestPasswordLoop:
         fwd = sorted((key_fields(r) for r in run_oracle([a, b], CFG)), key=lambda r: r["url"])
         rev = sorted((key_fields(r) for r in run_oracle([b, a], CFG)), key=lambda r: r["url"])
         assert fwd == rev
+
+
+class TestExtractorRegistry:
+    """§2.9 extension surface: content-kind -> extractor registry."""
+
+    def test_register_custom_kind(self):
+        from service1_text_extraction_ray.functions import extract as X
+
+        def tsv_extractor(url, payload, cfg, book):
+            text = payload.decode("utf-8").replace("\t", " ")
+            return {"pages": [{"page": 1, "method": "tsv", "text": text,
+                               "page_md": text, "n_chars": len(text),
+                               "layout_json": ""}]}
+
+        # 'other' normally fails; override, then restore
+        prev = dict(X.EXTRACTORS)
+        try:
+            X.register_extractor("other", tsv_extractor)
+            res = X.extract_document("u", b"a\tb\tc", CFG)
+            assert res["status"] == "ok"
+            assert res["pages"][0]["method"] == "tsv"
+            assert res["doc_text"].endswith("a b c")
+        finally:
+            X.EXTRACTORS.clear()
+            X.EXTRACTORS.update(prev)
+
+    def test_unregistered_kind_fails_counted(self):
+        res = extract_document("u", b"\x00\x01\x02binary junk", CFG)
+        assert res["status"] == "parse_failure"
+        assert res["error"] == "unrecognized content kind"
