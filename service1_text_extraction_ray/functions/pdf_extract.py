@@ -376,6 +376,13 @@ _ESCAPES = {
 
 def _read_literal_string(data: bytes, i: int) -> Tuple[bytes, int]:
     """Read a ``(...)`` string starting at '('; returns (decoded bytes, next index)."""
+    # Fast path: no escape and no nesting before the first ')' — the string
+    # is exactly the raw slice (the overwhelmingly common case).
+    end = data.find(b")", i + 1)
+    if end >= 0:
+        seg = data[i + 1 : end]
+        if b"\\" not in seg and b"(" not in seg:
+            return seg, end + 1
     out = bytearray()
     depth = 1
     j = i + 1

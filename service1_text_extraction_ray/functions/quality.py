@@ -139,13 +139,17 @@ def is_garbage_text(text: str) -> bool:
         return True
 
     ascii_mask = cp < 128
-    non_ascii = cp[~ascii_mask]
+    all_ascii = bool(ascii_mask.all())
+    non_ascii = cp[~ascii_mask] if not all_ascii else cp[:0]
     uniq_na, counts_na = (np.unique(non_ascii, return_counts=True)
                           if non_ascii.size else (np.array([], dtype=np.uint32), np.array([], dtype=np.int64)))
     uniq_chars = [chr(int(u)) for u in uniq_na]
 
-    ascii_cp = cp[ascii_mask]
-    special_count = int(_LUT_SPECIAL[ascii_cp].sum()) + int(
+    ascii_cp = cp if all_ascii else cp[ascii_mask]
+    # One O(n) histogram serves both the special-char ratio and the
+    # distinct-char count (np.unique's sort was the hottest line here).
+    ascii_hist = np.bincount(ascii_cp, minlength=128)[:128]
+    special_count = int(ascii_hist[_LUT_SPECIAL].sum()) + int(
         sum(
             cnt
             for u, cnt in zip(uniq_chars, counts_na)
@@ -155,7 +159,7 @@ def is_garbage_text(text: str) -> bool:
     if special_count / n > 0.5:
         return True
 
-    distinct = int(np.unique(ascii_cp).size) + len(uniq_chars)
+    distinct = int((ascii_hist > 0).sum()) + len(uniq_chars)
     if distinct < 5:
         return True
 
@@ -180,7 +184,7 @@ def is_garbage_text(text: str) -> bool:
     if non_printable_count > n * 0.2:
         return True
 
-    printable_count = int(_LUT_PRINTABLE[ascii_cp].sum()) + int(
+    printable_count = int(ascii_hist[_LUT_PRINTABLE].sum()) + int(
         sum(
             cnt
             for u, cnt in zip(uniq_chars, counts_na)
