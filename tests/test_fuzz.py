@@ -62,3 +62,41 @@ def test_sniff_total_and_deterministic(payload):
     kind = sniff_payload(payload)
     assert kind in {"html", "pdf", "other"}
     assert sniff_payload(payload) == kind
+
+
+def _encrypted_pdf(v: int = 2) -> bytes:
+    import random
+
+    from service1_text_extraction_ray.functions.synth import make_pdf
+
+    lines = [f"A reasonably long pdf line number {i} with words." for i in range(20)]
+    return make_pdf([lines], random.Random(3), compress=True,
+                    encrypt={"user_pw": "pw-3", "owner_pw": "own", "v": v})
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    pos=st.integers(min_value=0, max_value=4000),
+    val=st.integers(min_value=0, max_value=255),
+    v=st.sampled_from([1, 2]),
+)
+def test_mutated_encrypted_pdf_never_raises(pos, val, v):
+    """Byte-flipping an encrypted PDF (header, /Encrypt dict, O/U entries,
+    ciphertext, xref — wherever the mutation lands) must produce a counted
+    result row, never an exception: wrong keys yield failed RC4 output that
+    the filter chain / tokenizer rejects per page."""
+    base = bytearray(_encrypted_pdf(v))
+    base[pos % len(base)] = val
+    res = extract_document("https://site3.example/fuzz", bytes(base), CFG)
+    assert res["status"] in ("ok", "parse_failure")
+    assert isinstance(res["attempts_made"], int)
+    # determinism under mutation
+    assert extract_document("https://site3.example/fuzz", bytes(base), CFG) == res
+
+
+@settings(max_examples=60, deadline=None)
+@given(cut=st.integers(min_value=1, max_value=4000))
+def test_truncated_encrypted_pdf_never_raises(cut):
+    base = _encrypted_pdf(1)
+    res = extract_document("https://site3.example/fuzz", base[: cut % len(base)], CFG)
+    assert res["status"] in ("ok", "parse_failure")
