@@ -203,6 +203,7 @@ PART_SUMMARY_SCHEMA = pa.schema(
         ("parse_failures", pa.int64()),
         ("empty_extractions", pa.int64()),
         ("truncations", pa.int64()),
+        ("password_required", pa.int64()),
         ("content_hash", pa.string()),
     ]
 )
@@ -252,7 +253,8 @@ class ManifestCommitter:
         rec = lin.commit_shard_manifest(self.out_dir, shard_id, group.to_pylist())
         return pa.Table.from_pylist(
             [{k: rec[k] for k in ("shard_id", "n_docs", "n_pages", "parse_failures",
-                                  "empty_extractions", "truncations", "content_hash")}]
+                                  "empty_extractions", "truncations",
+                                  "password_required", "content_hash")}]
         )
 
 

@@ -101,6 +101,9 @@ def part_counters(table: pa.Table) -> Dict[str, Any]:
             pc.cast(pc.equal(table["doc_chars"], 0), pa.int64())
         ).as_py() or 0,
         "truncations": pc.sum(pc.cast(table["truncated"], pa.int64())).as_py() or 0,
+        "password_required": pc.sum(
+            pc.cast(table["password_required"], pa.int64())
+        ).as_py() or 0,
         "content_hash": xor_content_hash(table["content_hash"].to_pylist()),
     }
 
@@ -199,6 +202,7 @@ def commit_shard_manifest(out_dir: str, shard_id: int, part_records: list) -> Di
         "parse_failures": 0,
         "empty_extractions": 0,
         "truncations": 0,
+        "password_required": 0,
         "status": "ok",
     }
     for r in part_records:
@@ -208,6 +212,7 @@ def commit_shard_manifest(out_dir: str, shard_id: int, part_records: list) -> Di
         record["parse_failures"] += r["parse_failures"]
         record["empty_extractions"] += r["empty_extractions"]
         record["truncations"] += r["truncations"]
+        record["password_required"] += r.get("password_required", 0)
         acc ^= int(r["content_hash"], 16)
     record["content_hash"] = f"{acc:016x}"
 
@@ -307,6 +312,7 @@ def summarize(records: List[Dict[str, Any]]) -> Dict[str, Any]:
         "parse_failures": 0,
         "empty_extractions": 0,
         "truncations": 0,
+        "password_required": 0,
     }
     acc = 0
     for r in records:
@@ -316,6 +322,7 @@ def summarize(records: List[Dict[str, Any]]) -> Dict[str, Any]:
         out["parse_failures"] += r["parse_failures"]
         out["empty_extractions"] += r["empty_extractions"]
         out["truncations"] += r["truncations"]
+        out["password_required"] += r.get("password_required", 0)
         acc ^= int(r["content_hash"], 16)
     out["content_hash"] = f"{acc:016x}"
     return out
