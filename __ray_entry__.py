@@ -112,6 +112,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_extract_numbers": Q.SQL_DOC_EXTRACT_NUMBERS,
         "doc_strip_headers": Q.SQL_DOC_STRIP_HEADERS,
         "doc_shingle_stats": Q.SQL_DOC_SHINGLE_STATS,
+        "doc_fingerprints": Q.SQL_DOC_FINGERPRINTS,
         "dedup_exact": Q.SQL_DEDUP_EXACT,
         "dedup_embedding": Q.SQL_DEDUP_EMBEDDING,
         "dedup_embedding_lsh": Q.sql_dedup_embedding_lsh(),

@@ -894,6 +894,58 @@ def q_doc_fingerprints(sf_dir: str) -> rd.Dataset:
     return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(f, batch_format="pandas")
 
 
+def _sql_doc_fingerprints() -> str:
+    """Exact oracle for q_doc_fingerprints: the winnowing scan in SQL.
+    Per-position md5s via list_transform; little-endian uint64 from the hex
+    digest by digit-position byte extraction; window minima via list slices;
+    distinct + bit_xor fold. Short docs (<K chars) emit the zero row, like
+    the Python side."""
+    K, W = 8, 16
+
+    def hexbyte(col: str, idx: int) -> str:
+        c1 = f"substr({col}, {2 * idx + 1}, 1)"
+        c2 = f"substr({col}, {2 * idx + 2}, 1)"
+        return (
+            f"((instr('0123456789abcdef', {c1}) - 1) * 16"
+            f" + instr('0123456789abcdef', {c2}) - 1)"
+        )
+
+    u64 = " + ".join(
+        f"CAST({hexbyte('m', j)} AS UBIGINT) * {256 ** j}" for j in range(8)
+    )
+    return f"""
+WITH long_docs AS (
+  SELECT doc_id, coalesce(text, '') AS text FROM documents
+  WHERE length(coalesce(text, '')) >= {K}
+),
+hexes AS (
+  SELECT doc_id,
+         list_transform(range(1, length(text) - {K} + 2),
+                        i -> md5(substr(text, i, {K}))) AS hx
+  FROM long_docs
+),
+hs AS (SELECT doc_id, list_transform(hx, m -> {u64}) AS h FROM hexes),
+mins AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(h) - {W} + 1, 1) + 1),
+           i -> list_min(h[i:i+{W - 1}]))) AS m
+  FROM hs
+)
+SELECT doc_id,
+       CAST(len(m) AS BIGINT) AS n_fingerprints,
+       lower(lpad(hex(list_aggregate(m, 'bit_xor')), 16, '0')) AS fingerprint_xor
+FROM mins
+UNION ALL
+SELECT doc_id, CAST(0 AS BIGINT) AS n_fingerprints,
+       '0000000000000000' AS fingerprint_xor
+FROM documents WHERE length(coalesce(text, '')) < {K}
+"""
+
+
+SQL_DOC_FINGERPRINTS = _sql_doc_fingerprints()
+
+
 # ---------------------------------------------------------------------------
 # Similarity search over `embeddings`
 # ---------------------------------------------------------------------------
