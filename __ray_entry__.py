@@ -114,6 +114,9 @@ def oracle_sql() -> dict[str, str]:
         "doc_shingle_stats": Q.SQL_DOC_SHINGLE_STATS,
         "doc_fingerprints": Q.SQL_DOC_FINGERPRINTS,
         "dedup_exact": Q.SQL_DEDUP_EXACT,
+        "dedup_minhash_lsh": Q.sql_dedup_minhash_lsh(),
+        "dedup_simhash": Q.SQL_DEDUP_SIMHASH,
+        "dedup_simhash_pairs": Q.SQL_DEDUP_SIMHASH_PAIRS,
         "dedup_embedding": Q.SQL_DEDUP_EMBEDDING,
         "dedup_embedding_lsh": Q.sql_dedup_embedding_lsh(),
         "knn_cosine": Q.sql_knn_cosine(),

@@ -522,18 +522,28 @@ class TestDedupSkew:
         assert pairs["doc_id_a"].max() < MINHASH_BUCKET_CAP
         assert (pairs["jaccard_pct"] == 100).all()
 
-    def test_simhash_bucket_cap_bounds_pairs(self, ray_session, tmp_path):
-        from service1_text_extraction_ray.pipelines.queries import (
-            SIMHASH_BUCKET_CAP,
-            q_dedup_simhash_pairs,
-        )
+    def test_simhash_full_pairs_within_cap(self, ray_session, tmp_path):
+        """Below the cap, a mass-identical bucket yields the complete
+        (correct) pair set via the tiled verify kernel — no silent drops."""
+        from service1_text_extraction_ray.pipelines.queries import q_dedup_simhash_pairs
 
-        n_dups = 1000
+        n_dups = 600  # > one verify tile (512): exercises cross-tile pairs
         d = self._identical_corpus(tmp_path, n_dups)
         pairs = q_dedup_simhash_pairs(d)
-        max_pairs = SIMHASH_BUCKET_CAP * (SIMHASH_BUCKET_CAP - 1) // 2
+        assert len(pairs) == n_dups * (n_dups - 1) // 2
+        assert (pairs["hamming"] == 0).all()
+
+    def test_simhash_bucket_cap_bounds_pairs(self, ray_session, tmp_path, monkeypatch):
+        from service1_text_extraction_ray.pipelines import queries as Q
+
+        monkeypatch.setattr(Q, "SIMHASH_BUCKET_CAP", 64)
+        n_dups = 500
+        d = self._identical_corpus(tmp_path, n_dups)
+        pairs = Q.q_dedup_simhash_pairs(d)
+        max_pairs = 64 * 63 // 2
         assert 0 < len(pairs) <= max_pairs
-        assert pairs["doc_id_a"].max() < SIMHASH_BUCKET_CAP
+        # the kept ids are the lowest doc_ids (deterministic cap policy)
+        assert pairs["doc_id_a"].max() < 64
         assert (pairs["hamming"] == 0).all()
 
     def test_simhash_vectorized_hamming_matches_scalar(self):
