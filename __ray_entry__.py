@@ -108,6 +108,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_distribution": Q.SQL_LANG_DISTRIBUTION,
         "doc_normalize_ws": Q.SQL_DOC_NORMALIZE_WS,
         "doc_chunk_counts": Q.SQL_DOC_CHUNK_COUNTS,
+        "doc_clean_unicode": Q.SQL_DOC_CLEAN_UNICODE,
         "language_id": Q.SQL_LANGUAGE_ID,
         "doc_extract_numbers": Q.SQL_DOC_EXTRACT_NUMBERS,
         "doc_strip_headers": Q.SQL_DOC_STRIP_HEADERS,

@@ -411,6 +411,38 @@ LANG_PROFILES = {
 }
 
 
+def _sql_clean_unicode() -> str:
+    """Exact oracle for clean_unicode, built from the SAME replacement
+    tables the Python side uses: the sequential replace chains, then one
+    character-class pass (keep \\t\\n\\r, U+0020-U+00FF, and the currency
+    keep-set; everything else — controls, non-latin, emoji — becomes a
+    space), exactly the reference's per-char loop."""
+    from ..functions.quality import (
+        _CURRENCY_REPLACEMENTS,
+        _KEEP_CURRENCY,
+        _UNICODE_REPLACEMENTS,
+    )
+
+    def esc(s: str) -> str:
+        return s.replace("'", "''")
+
+    expr = "coalesce(text, '')"
+    for old, new in list(_CURRENCY_REPLACEMENTS.items()) + list(
+        _UNICODE_REPLACEMENTS.items()
+    ):
+        expr = f"replace({expr}, '{esc(old)}', '{esc(new)}')"
+    keep = "".join(sorted(_KEEP_CURRENCY))
+    return f"""
+SELECT doc_id,
+       regexp_replace({expr},
+                      '[^\\x09\\x0A\\x0D\\x20-\\xFF{keep}]', ' ', 'g') AS clean_text
+FROM documents
+"""
+
+
+SQL_DOC_CLEAN_UNICODE = _sql_clean_unicode()
+
+
 def q_language_id(sf_dir: str) -> rd.Dataset:
     """Heuristic n-gram/stopword language ID over the text column (a
     training-data-pipeline staple). Deterministic scores; exact SQL oracle
