@@ -56,6 +56,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_extract_numbers": Q.q_doc_extract_numbers,
         "doc_strip_headers": Q.q_doc_strip_headers,
         "doc_shingle_stats": Q.q_doc_shingle_stats,
+        "doc_gopher_filter": Q.q_doc_gopher_filter,
+        "doc_repetition": Q.q_doc_repetition,
         # --- deduplication ---
         "dedup_exact": Q.q_dedup_exact,
         "dedup_minhash_lsh": Q.q_dedup_minhash_lsh,
@@ -113,6 +115,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_extract_numbers": Q.SQL_DOC_EXTRACT_NUMBERS,
         "doc_strip_headers": Q.SQL_DOC_STRIP_HEADERS,
         "doc_shingle_stats": Q.SQL_DOC_SHINGLE_STATS,
+        "doc_gopher_filter": Q.SQL_DOC_GOPHER_FILTER,
+        "doc_repetition": Q.SQL_DOC_REPETITION,
         "doc_fingerprints": Q.SQL_DOC_FINGERPRINTS,
         "dedup_exact": Q.SQL_DEDUP_EXACT,
         "dedup_minhash_lsh": Q.sql_dedup_minhash_lsh(),

@@ -612,6 +612,134 @@ FROM tok
 
 
 # ---------------------------------------------------------------------------
+# Training-data quality filters (Gopher-style document rules — Rae et al.
+# 2021 §A1.1, public heuristics; every rule is an exact integer comparison
+# so the SQL oracle matches bit-for-bit with no float thresholds)
+# ---------------------------------------------------------------------------
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+_BULLET_RX = re.compile(r"^[ \t]*[-*] ")
+_ELLIPSIS_END_RX = re.compile(r"\.\.\.[ \t]*$")
+_ALPHA_RX = re.compile(r"[A-Za-z]")
+
+
+def q_doc_gopher_filter(sf_dir: str) -> rd.Dataset:
+    """Gopher-style document quality filter: word-count bounds, mean word
+    length (as integer cross-multiplication, no floats), symbol-to-word
+    ratio, bullet-line and ellipsis-line fractions, alphabetic-word
+    fraction, stop-word containment. Emits the raw counts plus the ``keep``
+    verdict so downstream filtering is one boolean column."""
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        out_rows = []
+        for doc_id, text in zip(df["doc_id"], df["text"].fillna("")):
+            words = text.split()
+            n_words = len(words)
+            sum_chars = sum(len(w) for w in words)
+            n_symbols = text.count("#") + text.count("...")
+            lines = text.split("\n")
+            n_lines = len(lines)
+            n_bullets = sum(1 for l in lines if _BULLET_RX.search(l))
+            n_ellipsis = sum(1 for l in lines if _ELLIPSIS_END_RX.search(l))
+            n_alpha = sum(1 for w in words if _ALPHA_RX.search(w))
+            low = text.lower().split()
+            n_stop = len({w for w in low if w in GOPHER_STOPWORDS})
+            keep = (
+                50 <= n_words <= 100_000
+                and 3 * n_words <= sum_chars <= 10 * n_words
+                and 10 * n_symbols < n_words
+                and 10 * n_bullets < 9 * n_lines
+                and 10 * n_ellipsis < 3 * n_lines
+                and 5 * n_alpha > 4 * n_words
+                and n_stop >= 2
+            )
+            out_rows.append(
+                (int(doc_id), n_words, sum_chars, n_symbols, n_lines,
+                 n_bullets, n_ellipsis, n_alpha, n_stop, keep)
+            )
+        cols = ["doc_id", "n_words", "sum_word_chars", "n_symbols", "n_lines",
+                "n_bullet_lines", "n_ellipsis_lines", "n_alpha_words",
+                "n_stopwords_present", "keep"]
+        out = pd.DataFrame(out_rows, columns=cols)
+        return out.astype({c: "int64" for c in cols[:-1]} | {"keep": "bool"})
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(f, batch_format="pandas")
+
+
+_SQL_GOPHER_STOPS = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
+SQL_DOC_GOPHER_FILTER = f"""
+WITH base AS (
+  SELECT doc_id, coalesce(text, '') AS t,
+         list_filter(regexp_split_to_array(coalesce(text, ''), '\\s+'), x -> x <> '') AS w,
+         str_split(coalesce(text, ''), chr(10)) AS lines
+  FROM documents
+),
+counts AS (
+  SELECT doc_id,
+         CAST(len(w) AS BIGINT) AS n_words,
+         CAST(coalesce(list_aggregate(list_transform(w, x -> length(x)), 'sum'), 0) AS BIGINT) AS sum_word_chars,
+         CAST((length(t) - length(replace(t, '#', '')))
+              + (length(t) - length(replace(t, '...', ''))) // 3 AS BIGINT) AS n_symbols,
+         CAST(len(lines) AS BIGINT) AS n_lines,
+         CAST(len(list_filter(lines, l -> regexp_matches(l, '^[ \t]*[-*] '))) AS BIGINT) AS n_bullet_lines,
+         CAST(len(list_filter(lines, l -> regexp_matches(l, '\\.\\.\\.[ \t]*$'))) AS BIGINT) AS n_ellipsis_lines,
+         CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS n_alpha_words,
+         CAST(len(list_distinct(list_filter(
+             list_filter(regexp_split_to_array(lower(t), '\\s+'), x -> x <> ''),
+             x -> x IN ({_SQL_GOPHER_STOPS})))) AS BIGINT) AS n_stopwords_present
+  FROM base
+)
+SELECT *,
+       (n_words BETWEEN 50 AND 100000
+        AND 3 * n_words <= sum_word_chars AND sum_word_chars <= 10 * n_words
+        AND 10 * n_symbols < n_words
+        AND 10 * n_bullet_lines < 9 * n_lines
+        AND 10 * n_ellipsis_lines < 3 * n_lines
+        AND 5 * n_alpha_words > 4 * n_words
+        AND n_stopwords_present >= 2) AS keep
+FROM counts
+"""
+
+
+def q_doc_repetition(sf_dir: str) -> rd.Dataset:
+    """Repetition signal (the Gopher duplicate-line family): per doc, the
+    number of lines, distinct lines, and characters living in lines whose
+    content occurs more than once (every occurrence counted) — all exact
+    integers."""
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for doc_id, text in zip(df["doc_id"], df["text"].fillna("")):
+            lines = text.split("\n")
+            from collections import Counter
+
+            c = Counter(lines)
+            dup_chars = sum(len(l) for l in lines if c[l] > 1)
+            rows.append((int(doc_id), len(lines), len(c), dup_chars))
+        out = pd.DataFrame(
+            rows, columns=["doc_id", "n_lines", "n_distinct_lines", "dup_line_chars"]
+        )
+        return out.astype("int64")
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(f, batch_format="pandas")
+
+
+SQL_DOC_REPETITION = """
+WITH base AS (
+  SELECT doc_id, str_split(coalesce(text, ''), chr(10)) AS lines FROM documents
+)
+SELECT doc_id,
+       CAST(len(lines) AS BIGINT) AS n_lines,
+       CAST(len(list_distinct(lines)) AS BIGINT) AS n_distinct_lines,
+       CAST(coalesce(list_aggregate(
+         list_transform(list_filter(lines,
+                                    l -> len(list_filter(lines, x -> x = l)) > 1),
+                        l -> length(l)), 'sum'), 0) AS BIGINT) AS dup_line_chars
+FROM base
+"""
+
+
+# ---------------------------------------------------------------------------
 # Deduplication family (training-data pipeline ops)
 # ---------------------------------------------------------------------------
 

@@ -710,3 +710,44 @@ class TestEmbeddingGeneration:
         assert a["url"].tolist() == b["url"].tolist()
         assert len(a) == 10
         assert (a["sim"].to_numpy() == b["sim"].to_numpy()).all()
+
+
+class TestGopherFilter:
+    def _docs(self, tmp_path, texts):
+        import pyarrow.parquet as pq
+
+        rows = [{"doc_id": i, "text": t, "lang": "en"} for i, t in enumerate(texts)]
+        d = tmp_path / "sf"
+        d.mkdir()
+        pq.write_table(pa.Table.from_pylist(rows), str(d / "documents.parquet"))
+        return str(d)
+
+    def test_rules_trigger_individually(self, ray_session, tmp_path):
+        from service1_text_extraction_ray.pipelines.queries import q_doc_gopher_filter
+
+        good = ("the data with all of that have to be " * 10).strip()  # 80 words
+        texts = [
+            good,                                   # 0: passes every rule
+            "too short of the text",                # 1: < 50 words
+            ("# " * 40 + good),                     # 2: symbol ratio
+            "\n".join(["- bullet point here"] * 30) + "\nthe of",  # 3: bullets
+            ("zz1! @@2? " * 30 + "the of and"),     # 4: alpha-word fraction
+            ("xyzzy abcde fghij " * 30).strip(),    # 5: no stopwords
+        ]
+        d = self._docs(tmp_path, texts)
+        out = q_doc_gopher_filter(d).to_pandas().set_index("doc_id")
+        assert bool(out.loc[0, "keep"]) is True
+        for i in range(1, 6):
+            assert bool(out.loc[i, "keep"]) is False, i
+
+    def test_repetition_counts(self, ray_session, tmp_path):
+        from service1_text_extraction_ray.pipelines.queries import q_doc_repetition
+
+        texts = ["a\nb\na\nc", "unique\nlines\nonly", ""]
+        d = self._docs(tmp_path, texts)
+        out = q_doc_repetition(d).to_pandas().set_index("doc_id")
+        assert out.loc[0, "n_lines"] == 4
+        assert out.loc[0, "n_distinct_lines"] == 3
+        assert out.loc[0, "dup_line_chars"] == 2  # both 'a' occurrences
+        assert out.loc[1, "dup_line_chars"] == 0
+        assert out.loc[2, "n_lines"] == 1  # ''.split('\n') == ['']
