@@ -61,6 +61,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- deduplication ---
         "dedup_exact": Q.q_dedup_exact,
         "dedup_minhash_lsh": Q.q_dedup_minhash_lsh,
+        "dedup_jaccard": Q.q_dedup_jaccard,
         "dedup_simhash": Q.q_dedup_simhash,
         "dedup_simhash_pairs": Q.q_dedup_simhash_pairs,
         "dedup_embedding": Q.q_dedup_embedding,
@@ -120,6 +121,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprints": Q.SQL_DOC_FINGERPRINTS,
         "dedup_exact": Q.SQL_DEDUP_EXACT,
         "dedup_minhash_lsh": Q.sql_dedup_minhash_lsh(),
+        "dedup_jaccard": Q.SQL_DEDUP_JACCARD,
         "dedup_simhash": Q.SQL_DEDUP_SIMHASH,
         "dedup_simhash_pairs": Q.SQL_DEDUP_SIMHASH_PAIRS,
         "dedup_embedding": Q.SQL_DEDUP_EMBEDDING,

@@ -901,6 +901,129 @@ def q_dedup_minhash_lsh(sf_dir: str) -> pd.DataFrame:
     )
 
 
+JACCARD_DUP_PCT = 80
+
+
+def q_dedup_jaccard(sf_dir: str) -> rd.Dataset:
+    """EXACT n-gram Jaccard dedup: all (a < b) pairs whose distinct word-
+    3-gram Jaccard rounds to >= JACCARD_DUP_PCT — no banding, no candidates
+    missed. Same distributed chunk-pair join as q_dedup_embedding (each doc's
+    shingle set replicated to its chunk-pair partitions, per-partition set
+    intersections, only qualifying pairs leave the workers). This is the
+    O(n^2)-compare truth the MinHash+LSH pipeline approximates; at 10^9 docs
+    run the LSH pipeline and reserve this for within-cluster verification.
+    """
+    B = DEDUP_EMB_BUCKETS
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].astype("int64").to_numpy()
+        sets = [sorted(_shingles(t or "")) for t in df["text"]]
+        chunk = ids % B
+        parts, out_ids, out_chunks, out_sets = [], [], [], []
+        for k in range(B):
+            i = np.minimum(chunk, k)
+            j = np.maximum(chunk, k)
+            parts.extend((i * B + j).tolist())
+            out_ids.extend(ids.tolist())
+            out_chunks.extend(chunk.tolist())
+            out_sets.extend(sets)
+        return pd.DataFrame(
+            {
+                "part": pd.Series(parts, dtype="int64"),
+                "doc_id": pd.Series(out_ids, dtype="int64"),
+                "chunk": pd.Series(out_chunks, dtype="int64"),
+                "sh": pd.Series(out_sets, dtype="object"),
+            }
+        )
+
+    def _jacc(sa: frozenset, sb: frozenset) -> int:
+        if not sa and not sb:
+            return 100
+        inter = len(sa & sb)
+        return int(round(100 * inter / max(1, len(sa) + len(sb) - inter)))
+
+    _EMPTY = {"doc_id_a": "int64", "doc_id_b": "int64", "jaccard_pct": "int64"}
+
+    def pairs_in_partition(g: pd.DataFrame) -> pd.DataFrame:
+        part = int(g["part"].iloc[0])
+        ci, cj = part // B, part % B
+        out_a, out_b, out_j = [], [], []
+        if ci == cj:
+            sub = g.drop_duplicates("doc_id").sort_values("doc_id")
+            ids = sub["doc_id"].to_numpy()
+            sets = [frozenset(s) for s in sub["sh"]]
+            for x in range(len(ids)):
+                for y in range(x + 1, len(ids)):
+                    jp = _jacc(sets[x], sets[y])
+                    if jp >= JACCARD_DUP_PCT:
+                        out_a.append(int(ids[x])); out_b.append(int(ids[y])); out_j.append(jp)
+        else:
+            left = g[g["chunk"] == ci].drop_duplicates("doc_id")
+            right = g[g["chunk"] == cj].drop_duplicates("doc_id")
+            lids, rids = left["doc_id"].to_numpy(), right["doc_id"].to_numpy()
+            lsets = [frozenset(s) for s in left["sh"]]
+            rsets = [frozenset(s) for s in right["sh"]]
+            for x in range(len(lids)):
+                for y in range(len(rids)):
+                    jp = _jacc(lsets[x], rsets[y])
+                    if jp >= JACCARD_DUP_PCT:
+                        a, b = int(lids[x]), int(rids[y])
+                        out_a.append(min(a, b)); out_b.append(max(a, b)); out_j.append(jp)
+        return pd.DataFrame(
+            {
+                "doc_id_a": pd.Series(out_a, dtype="int64"),
+                "doc_id_b": pd.Series(out_b, dtype="int64"),
+                "jaccard_pct": pd.Series(out_j, dtype="int64"),
+            }
+        )
+
+    return (
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(explode, batch_format="pandas")
+        .groupby("part")
+        .map_groups(pairs_in_partition, batch_format="pandas")
+    )
+
+
+# Exact oracle via an exploded (doc_id, shingle) self-join: intersection
+# sizes come from a hash join + GROUP BY (never a per-pair nested scan);
+# pairs with Jaccard >= 0.8 necessarily share shingles, so the join loses
+# nothing; empty-empty pairs (Jaccard 100 by convention) are unioned in.
+SQL_DEDUP_JACCARD = f"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(coalesce(text, ''), '\\s+'), x -> x <> '') AS w
+  FROM documents
+),
+shingles AS (
+  SELECT doc_id, CASE
+    WHEN len(w) = 0 THEN []
+    WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+    ELSE list_distinct(list_transform(range(1, len(w) - 1),
+                                      i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]))
+  END AS sh FROM tok
+),
+sizes AS (SELECT doc_id, len(sh) AS n FROM shingles),
+ex AS (SELECT doc_id, unnest(sh) AS s FROM shingles),
+inter AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+scored AS (
+  SELECT da, db,
+         CAST(round_even(100.0 * i / greatest(1, sa.n + sb.n - i), 0) AS BIGINT) AS jaccard_pct
+  FROM inter JOIN sizes sa ON sa.doc_id = inter.da
+             JOIN sizes sb ON sb.doc_id = inter.db
+)
+SELECT da AS doc_id_a, db AS doc_id_b, jaccard_pct FROM scored
+WHERE jaccard_pct >= {JACCARD_DUP_PCT}
+UNION ALL
+SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, CAST(100 AS BIGINT) AS jaccard_pct
+FROM sizes a JOIN sizes b ON a.doc_id < b.doc_id AND a.n = 0 AND b.n = 0
+"""
+
+
 def sql_dedup_minhash_lsh() -> str:
     """Exact oracle for the FULL MinHash+LSH pipeline — banding included.
 
