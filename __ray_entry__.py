@@ -57,6 +57,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_strip_headers": Q.q_doc_strip_headers,
         "doc_shingle_stats": Q.q_doc_shingle_stats,
         "doc_gopher_filter": Q.q_doc_gopher_filter,
+        "doc_sample": Q.q_doc_sample,
+        "sample_per_lang": Q.q_sample_per_lang,
         "doc_repetition": Q.q_doc_repetition,
         # --- deduplication ---
         "dedup_exact": Q.q_dedup_exact,
@@ -117,6 +119,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_strip_headers": Q.SQL_DOC_STRIP_HEADERS,
         "doc_shingle_stats": Q.SQL_DOC_SHINGLE_STATS,
         "doc_gopher_filter": Q.SQL_DOC_GOPHER_FILTER,
+        "doc_sample": Q.SQL_DOC_SAMPLE,
+        "sample_per_lang": Q.SQL_SAMPLE_PER_LANG,
         "doc_repetition": Q.SQL_DOC_REPETITION,
         "doc_fingerprints": Q.SQL_DOC_FINGERPRINTS,
         "dedup_exact": Q.SQL_DEDUP_EXACT,

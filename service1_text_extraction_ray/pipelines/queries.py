@@ -612,6 +612,90 @@ FROM tok
 
 
 # ---------------------------------------------------------------------------
+# Deterministic sampling (hash-based — reproducible across runs, machines
+# and cluster sizes, unlike RNG sampling; the standard way to cut a stable
+# training-data subset or holdout)
+# ---------------------------------------------------------------------------
+
+SAMPLE_PERMILLE = 100  # keep ~10% of docs
+STRATA_PER_LANG = 20   # per-language stratified sample size
+
+
+def _doc_sample_key(doc_id: int) -> int:
+    """16-bit sampling key from md5(doc_id) — uniform, deterministic."""
+    return int.from_bytes(hashlib.md5(str(doc_id).encode()).digest()[:2], "big")
+
+
+def q_doc_sample(sf_dir: str) -> rd.Dataset:
+    """Hash-based Bernoulli sampling: keep docs whose md5(doc_id) 16-bit key
+    falls under the rate threshold. Pure per-batch filter — no shuffle, no
+    RNG state, identical subset at any parallelism."""
+    thresh = (65536 * SAMPLE_PERMILLE) // 1000
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        keys = df["doc_id"].map(_doc_sample_key)
+        out = df.loc[keys < thresh, ["doc_id", "lang", "n_chars"]].copy()
+        return out.astype({"doc_id": "int64", "n_chars": "int64"})
+
+    return _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"]).map_batches(
+        f, batch_format="pandas"
+    )
+
+
+SQL_DOC_SAMPLE = f"""
+SELECT doc_id, lang, n_chars FROM documents
+WHERE (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+    + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+    + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+    + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1)
+    < {(65536 * SAMPLE_PERMILLE) // 1000}
+"""
+
+
+def q_sample_per_lang(sf_dir: str) -> rd.Dataset:
+    """Stratified sampling: the STRATA_PER_LANG docs with the smallest
+    md5(doc_id) key per language — the top-N-per-group shape (per-batch
+    partial prune, then a tiny per-group head), giving a balanced,
+    reproducible per-language subset."""
+
+    def tag_and_prune(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "lang": df["lang"],
+                "doc_id": df["doc_id"].astype("int64"),
+                "skey": df["doc_id"].map(
+                    lambda d: hashlib.md5(str(d).encode()).hexdigest()
+                ),
+            }
+        )
+        out = out.sort_values(["skey", "doc_id"])
+        return out.groupby("lang", sort=False).head(STRATA_PER_LANG)
+
+    def head_n(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["skey", "doc_id"]).head(STRATA_PER_LANG)
+        return g[["lang", "doc_id"]].astype({"doc_id": "int64"})
+
+    return (
+        _read(sf_dir, "documents", ["doc_id", "lang"])
+        .map_batches(tag_and_prune, batch_format="pandas")
+        .groupby("lang")
+        .map_groups(head_n, batch_format="pandas")
+    )
+
+
+SQL_SAMPLE_PER_LANG = f"""
+SELECT lang, doc_id FROM (
+  SELECT lang, doc_id,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rn
+  FROM documents
+) WHERE rn <= {STRATA_PER_LANG}
+"""
+
+
+# ---------------------------------------------------------------------------
 # Training-data quality filters (Gopher-style document rules — Rae et al.
 # 2021 §A1.1, public heuristics; every rule is an exact integer comparison
 # so the SQL oracle matches bit-for-bit with no float thresholds)
