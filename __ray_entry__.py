@@ -145,6 +145,7 @@ def oracle_sql() -> dict[str, str]:
         "supplier_nation_balance": R.SQL_SUPPLIER_NATION_BALANCE,
         "order_price_quantiles": R.SQL_ORDER_PRICE_QUANTILES,
         "distinct_parts_per_flag": R.SQL_DISTINCT_PARTS_PER_FLAG,
+        "distinct_users_hll": R.SQL_DISTINCT_USERS_HLL,
         "events_hourly": R.SQL_EVENTS_HOURLY,
         "events_sessionize": R.SQL_EVENTS_SESSIONIZE,
         "events_asof_orders": R.SQL_EVENTS_ASOF_ORDERS,

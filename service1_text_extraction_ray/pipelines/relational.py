@@ -414,14 +414,23 @@ def _hll_registers(values) -> "np.ndarray":
 
 
 def _hll_estimate(reg) -> int:
+    import math
+
     import numpy as np
 
     m = len(reg)
+    # Exact-integer harmonic numerator: sum(2^-r) == N / 2^53 with
+    # N = sum(2^(53-r)) — a plain integer, so the accumulation is
+    # order-free, partials merge exactly, and the SQL oracle can reproduce
+    # the estimate bit-for-bit (the float ops below are then a fixed,
+    # deterministic sequence on exact integer inputs). Registers hold
+    # ranks <= 53 (h >> 12 has 52 bits; bit_length 0 -> rank 53).
+    n_int = int(sum(1 << (53 - int(r)) for r in reg))
     alpha = 0.7213 / (1 + 1.079 / m)
-    est = alpha * m * m / np.sum(np.float64(2.0) ** -reg.astype(np.float64))
+    est = alpha * m * m * float(1 << 53) / float(n_int)
     zeros = int(np.sum(reg == 0))
     if est <= 2.5 * m and zeros:  # small-range linear counting correction
-        est = m * np.log(m / zeros)
+        est = m * math.log(m / zeros)
     return int(round(est))
 
 
@@ -430,9 +439,11 @@ def q_distinct_users_hll(sf_dir: str) -> pd.DataFrame:
     register partials (one 4 KiB array per block), element-wise-max merged
     on the driver — the canonical mergeable-sketch reduction. At 10^12 rows
     the merge is a tree of tiny arrays instead of the exact two-level
-    distinct's full shuffle. Rows-only driver check; accuracy (<4% at known
-    cardinalities; 2^12 registers give ~1.6% standard error) is
-    pytest-verified."""
+    distinct's full shuffle. EXACT SQL oracle (round 2): the registers are
+    a deterministic md5 function of the values and the estimate's harmonic
+    sum is exact-integer (see _hll_estimate), so DuckDB reproduces the
+    estimate bit-for-bit. Accuracy (<4% at known cardinalities; 2^12
+    registers give ~1.6% standard error) is additionally pytest-verified."""
     import numpy as np
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -447,7 +458,65 @@ def q_distinct_users_hll(sf_dir: str) -> pd.DataFrame:
     merged = np.zeros(1 << HLL_P, dtype=np.uint8)
     for r in partials:
         np.maximum(merged, np.asarray(r, dtype=np.uint8), out=merged)
-    return pd.DataFrame({"n_distinct_users_est": [_hll_estimate(merged)]})
+    return pd.DataFrame(
+        {"n_distinct_users_est": pd.Series([_hll_estimate(merged)], dtype="int64")}
+    )
+
+
+def _sql_distinct_users_hll() -> str:
+    """Exact oracle for the HLL estimate: md5-derived registers (idx = low
+    12 bits, rank = 53 - bit_length(high 52 bits) via a generated CASE
+    chain), exact-integer harmonic numerator in HUGEINT, then the same
+    fixed float sequence (alpha, linear-counting branch, round_even)."""
+    m = 1 << HLL_P
+
+    def hexbyte(col: str, idx: int) -> str:
+        c1 = f"substr({col}, {2 * idx + 1}, 1)"
+        c2 = f"substr({col}, {2 * idx + 2}, 1)"
+        return (
+            f"((instr('0123456789abcdef', {c1}) - 1) * 16"
+            f" + instr('0123456789abcdef', {c2}) - 1)"
+        )
+
+    u64 = " + ".join(
+        f"CAST({hexbyte('md5(CAST(user_id AS VARCHAR))', j)} AS UBIGINT) * {256 ** j}"
+        for j in range(8)
+    )
+    # rank = 53 - bit_length(w), w = h >> 12 (52 significant bits)
+    rank_case = (
+        "CASE "
+        + " ".join(f"WHEN w >= {1 << (52 - r)} THEN {r}" for r in range(1, 53))
+        + " ELSE 53 END"
+    )
+    est = f"(0.7213 / (1 + 1.079 / {m})) * {m} * {m} * {float(1 << 53)!r} / CAST(n_int AS DOUBLE)"
+    return f"""
+WITH h AS (
+  SELECT ({u64}) AS hv FROM events
+),
+w AS (SELECT hv % {m} AS idx, hv >> {HLL_P} AS w FROM h),
+regs AS (SELECT idx, max({rank_case}) AS rank FROM w GROUP BY idx),
+agg AS (
+  SELECT count(*) AS n_present,
+         SUM(CAST(CASE rank
+           {" ".join(f"WHEN {r} THEN {1 << (53 - r)}" for r in range(1, 54))}
+         END AS HUGEINT)) AS present_sum
+  FROM regs
+),
+folded AS (
+  SELECT ({m} - n_present) AS zeros,
+         present_sum + CAST(({m} - n_present) AS HUGEINT) * {1 << 53} AS n_int
+  FROM agg
+)
+SELECT CAST(round_even(CASE
+    WHEN {est} <= 2.5 * {m} AND zeros > 0
+    THEN {m} * ln({m} / CAST(zeros AS DOUBLE))
+    ELSE {est}
+  END, 0) AS BIGINT) AS n_distinct_users_est
+FROM folded
+"""
+
+
+SQL_DISTINCT_USERS_HLL = _sql_distinct_users_hll()
 
 
 # ---------------------------------------------------------------------------
