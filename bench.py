@@ -128,7 +128,8 @@ def run_headline(corpus: str, n_rows: int) -> dict:
 
 QUERY_NAMES = [
     "extract_docs", "extract_summary",
-    "doc_token_counts", "dedup_exact", "dedup_minhash_lsh", "dedup_embedding",
+    "doc_token_counts", "doc_gopher_filter", "doc_sample",
+    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash_pairs", "dedup_embedding",
     "doc_embeddings", "extract_dedup_near",
     "knn_cosine", "ann_ivf", "media_features",
     "pricing_summary", "segment_order_stats", "top_customers_by_revenue",
