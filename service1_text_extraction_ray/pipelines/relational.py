@@ -249,13 +249,16 @@ HIGH_VALUE_CUT = 400000.0
 
 
 def q_high_value_orders(sf_dir: str) -> rd.Dataset:
-    """Filter + project + top-20 by raw double (no arithmetic -> exact)."""
-    def f(batch: pa.Table) -> pa.Table:
-        return batch.filter(pc.greater(batch["o_totalprice"], pa.scalar(HIGH_VALUE_CUT)))
+    """Filter + project + top-20 by raw double (no arithmetic -> exact).
+    The price predicate is pushed to the read (row-group pruning)."""
+    import pyarrow.dataset as pds
 
     return (
-        _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"])
-        .map_batches(f, batch_format="pyarrow")
+        rd.read_parquet(
+            _pq(sf_dir, "orders"),
+            columns=["o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"],
+            filter=pds.field("o_totalprice") > HIGH_VALUE_CUT,
+        )
         .sort("o_totalprice", descending=True)
         .limit(20)
     )
@@ -269,16 +272,21 @@ ORDER BY o_totalprice DESC LIMIT 20
 
 
 def q_orders_priority_counts(sf_dir: str) -> rd.Dataset:
-    def f(batch: pa.Table) -> pa.Table:
-        m = pc.and_(
-            pc.greater_equal(batch["o_orderdate"], pa.scalar(pd.Timestamp("1995-01-01"))),
-            pc.less(batch["o_orderdate"], pa.scalar(pd.Timestamp("1996-01-01"))),
-        )
-        return batch.filter(m)
+    """Filtered grouped count with the filter PUSHED TO THE READ: the date
+    range travels as a pyarrow dataset expression, so parquet row groups
+    outside it never leave storage (row-group statistics pruning) — the
+    "prune at the read" rule applied to rows, not just columns."""
+    import pyarrow.dataset as pds
 
+    flt = (pds.field("o_orderdate") >= pd.Timestamp("1995-01-01")) & (
+        pds.field("o_orderdate") < pd.Timestamp("1996-01-01")
+    )
     return (
-        _read(sf_dir, "orders", ["o_orderpriority", "o_orderdate"])
-        .map_batches(f, batch_format="pyarrow")
+        rd.read_parquet(
+            _pq(sf_dir, "orders"),
+            columns=["o_orderpriority", "o_orderdate"],
+            filter=flt,
+        )
         .groupby("o_orderpriority")
         .aggregate(Count(alias_name="n_orders"))
     )
@@ -852,12 +860,14 @@ def q_customers_without_big_orders(sf_dir: str) -> rd.Dataset:
     positives.
     """
 
-    def high_value(batch: pa.Table) -> pa.Table:
-        return batch.filter(pc.greater(batch["o_totalprice"], pa.scalar(HIGH_VALUE_CUT)))
+    import pyarrow.dataset as pds
 
     probe_ids = (
-        _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
-        .map_batches(high_value, batch_format="pyarrow")
+        rd.read_parquet(
+            _pq(sf_dir, "orders"),
+            columns=["o_custkey", "o_totalprice"],
+            filter=pds.field("o_totalprice") > HIGH_VALUE_CUT,  # read-side prune
+        )
         .groupby("o_custkey")
         .aggregate(Count(alias_name="_n"))
         .to_pandas()["o_custkey"]
