@@ -98,6 +98,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessionize": R.q_events_sessionize,
         "events_asof_orders": R.q_events_asof_orders,
         "user_event_type_matrix": R.q_user_event_type_matrix,
+        "events_topk_users_hourly": R.q_events_topk_users_hourly,
         "events_sliding_window": R.q_events_sliding_window,
         "top_orders_per_segment": R.q_top_orders_per_segment,
         "customers_without_big_orders": R.q_customers_without_big_orders,
@@ -150,6 +151,7 @@ def oracle_sql() -> dict[str, str]:
         "events_sessionize": R.SQL_EVENTS_SESSIONIZE,
         "events_asof_orders": R.SQL_EVENTS_ASOF_ORDERS,
         "user_event_type_matrix": R.SQL_USER_EVENT_TYPE_MATRIX,
+        "events_topk_users_hourly": R.SQL_EVENTS_TOPK_USERS_HOURLY,
         "events_sliding_window": R.SQL_EVENTS_SLIDING_WINDOW,
         "top_orders_per_segment": R.SQL_TOP_ORDERS_PER_SEGMENT,
         "customers_without_big_orders": R.SQL_CUSTOMERS_WITHOUT_BIG_ORDERS,

@@ -704,6 +704,54 @@ FROM events e ASOF JOIN orders o
 """
 
 
+TOPK_USERS_PER_HOUR = 3
+
+
+def q_events_topk_users_hourly(sf_dir: str) -> rd.Dataset:
+    """Windowed rank over time buckets: the 3 most active users per hour
+    (count desc, user_id asc tiebreak). Shape: tumbling pre-aggregate
+    (hour, user) counts — the heavy reduction — then a tiny per-hour
+    map_groups head; the raw stream never reaches the rank stage."""
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [pc.floor_temporal(batch["ts"], unit="hour"),
+             pc.cast(batch["user_id"], pa.int64())],
+            names=["hour", "user_id"],
+        )
+
+    hourly = (
+        _read(sf_dir, "events", ["ts", "user_id"])
+        .map_batches(bucket, batch_format="pyarrow")
+        .groupby(["hour", "user_id"])
+        .aggregate(Count(alias_name="n"))
+    )
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["n", "user_id"], ascending=[False, True]).head(
+            TOPK_USERS_PER_HOUR
+        ).copy()
+        g["rank"] = pd.Series(range(1, len(g) + 1), index=g.index, dtype="int64")
+        return g[["hour", "rank", "user_id", "n"]].astype(
+            {"rank": "int64", "user_id": "int64", "n": "int64"}
+        )
+
+    return hourly.groupby("hour").map_groups(topk, batch_format="pandas")
+
+
+SQL_EVENTS_TOPK_USERS_HOURLY = f"""
+SELECT hour, CAST(rank AS BIGINT) AS rank, user_id, n FROM (
+  SELECT date_trunc('hour', ts) AS hour, user_id, count(*) AS n,
+         row_number() OVER (
+           PARTITION BY date_trunc('hour', ts)
+           ORDER BY count(*) DESC, user_id ASC
+         ) AS rank
+  FROM events GROUP BY date_trunc('hour', ts), user_id
+)
+WHERE rank <= {TOPK_USERS_PER_HOUR}
+"""
+
+
 def q_user_event_type_matrix(sf_dir: str) -> rd.Dataset:
     """Per (user, event_type) counts — the reference's value_counts analogue
     (G4) at event grain."""
