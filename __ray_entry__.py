@@ -82,6 +82,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_label_stats": Q.q_embedding_label_stats,
         # --- multimodal plumbing (stub decoder) ---
         "media_features": Q.q_media_features,
+        "media_resize": Q.q_media_resize,
+        "media_frames": Q.q_media_frames,
         # --- relational / windowed operators ---
         "pricing_summary": R.q_pricing_summary,
         "segment_order_stats": R.q_segment_order_stats,

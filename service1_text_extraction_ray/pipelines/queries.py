@@ -2191,6 +2191,57 @@ def q_media_features(sf_dir: str) -> rd.Dataset:
     )
 
 
+def _media_dataset(sf_dir: str) -> rd.Dataset:
+    """documents' text bytes as deterministic opaque media rows (shared by
+    the feature / resize / frame-sample stages)."""
+    from ..stages.multimodal import MEDIA_SCHEMA
+
+    kinds = ("image", "audio", "video")
+
+    def to_media(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        return pa.Table.from_arrays(
+            [
+                pa.array([int(i) for i in ids], pa.int64()),
+                pa.array([kinds[int(i) % 3] for i in ids], pa.string()),
+                pa.array([(t or "").encode("utf-8") for t in texts], pa.binary()),
+            ],
+            schema=MEDIA_SCHEMA,
+        )
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        to_media, batch_format="pyarrow"
+    )
+
+
+def q_media_resize(sf_dir: str) -> rd.Dataset:
+    """Media resize plumbing (stub rasterizer): actor-pool stage emitting a
+    real placeholder PNG at the aspect-fitted target geometry per media row.
+    Rows-only driver check; determinism + geometry pytest-verified."""
+    from ..stages.multimodal import MediaResize
+
+    out = _media_dataset(sf_dir).map_batches(
+        MediaResize, batch_format="pyarrow", batch_size=64, concurrency=(1, 4)
+    )
+    return out.select_columns(
+        ["media_id", "media_type", "target_w", "target_h", "resize_ok"]
+    )
+
+
+def q_media_frames(sf_dir: str) -> rd.Dataset:
+    """Video frame-sampling plumbing (stub decoder): each video row explodes
+    into per-frame rows at a fixed interval over the stub duration — the
+    flat_map shape a real ffmpeg sampler slots into. Rows-only driver
+    check; per-row frame counts pytest-verified."""
+    from ..stages.multimodal import FrameSampler
+
+    out = _media_dataset(sf_dir).map_batches(
+        FrameSampler, batch_format="pyarrow", batch_size=64, concurrency=(1, 4)
+    )
+    return out.select_columns(["media_id", "frame_idx", "ts_ms", "decode_ok"])
+
+
 def _sql_sha_byte(idx: int) -> str:
     """SQL expression for byte ``idx`` of the sha256 hex string column
     ``sha256`` (hex-digit position lookup; DuckDB 1.0 has no hex->int cast)."""

@@ -135,3 +135,101 @@ class MediaFeatureExtractor:
             ],
             schema=FEATURE_SCHEMA,
         )
+
+
+RESIZE_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.int64()),
+        ("media_type", pa.string()),
+        ("target_w", pa.int32()),
+        ("target_h", pa.int32()),
+        ("resized_png", pa.binary()),   # real (placeholder-shaded) PNG bytes
+        ("resize_ok", pa.bool_()),
+    ]
+)
+
+
+class MediaResize:
+    """Actor-pool resize stage (stub-parity: no raster codec in this
+    sandbox, so the output is a REAL grayscale PNG of the target geometry —
+    stdlib-zlib writer from functions/page_render — shaded by the payload
+    hash, with ``resize_ok=False`` marking it a placeholder). Aspect ratio
+    comes from the stub decoder's pseudo-dims, fitted inside the target box
+    exactly as a real resampler would."""
+
+    def __init__(self, target: int = 64, decoder: Optional[object] = None) -> None:
+        self.target = target
+        self.decoder = decoder or DecoderStub()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.page_render import write_gray_png
+
+        rows = []
+        for media_id, kind, payload in zip(
+            batch["media_id"].to_pylist(),
+            batch["media_type"].to_pylist(),
+            batch["media"].to_pylist(),
+        ):
+            payload = payload or b""
+            d = self.decoder.decode(payload, kind)
+            w, h = int(d["width"]), int(d["height"])
+            scale = self.target / max(w, h, 1)
+            tw, th = max(1, round(w * scale)), max(1, round(h * scale))
+            shade = hashlib.sha256(payload).digest()[1]
+            rows.append({
+                "media_id": int(media_id), "media_type": kind,
+                "target_w": tw, "target_h": th,
+                "resized_png": write_gray_png(tw, th, shade),
+                "resize_ok": False,
+            })
+        return pa.Table.from_pylist(rows, schema=RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.int64()),
+        ("frame_idx", pa.int32()),
+        ("ts_ms", pa.int32()),
+        ("frame_png", pa.binary()),
+        ("decode_ok", pa.bool_()),
+    ]
+)
+
+FRAME_INTERVAL_MS = 1000
+MAX_FRAMES = 8
+
+
+class FrameSampler:
+    """Actor-pool frame-sampling stage for video rows: one input row
+    explodes into up to MAX_FRAMES per-frame rows at FRAME_INTERVAL_MS
+    spacing over the (stub) duration — the flat_map-shaped transform a real
+    ffmpeg sampler slots into (per-frame placeholder PNGs, decode_ok=False).
+    Non-video rows emit zero frames (dispatch by media_type)."""
+
+    def __init__(self, decoder: Optional[object] = None) -> None:
+        self.decoder = decoder or DecoderStub()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.page_render import write_gray_png
+
+        rows = []
+        for media_id, kind, payload in zip(
+            batch["media_id"].to_pylist(),
+            batch["media_type"].to_pylist(),
+            batch["media"].to_pylist(),
+        ):
+            if kind != "video":
+                continue
+            payload = payload or b""
+            d = self.decoder.decode(payload, kind)
+            n = min(MAX_FRAMES, max(1, int(d["duration_ms"]) // FRAME_INTERVAL_MS))
+            digest = hashlib.sha256(payload).digest()
+            for i in range(n):
+                rows.append({
+                    "media_id": int(media_id),
+                    "frame_idx": i,
+                    "ts_ms": i * FRAME_INTERVAL_MS,
+                    "frame_png": write_gray_png(16, 9, digest[i % 32]),
+                    "decode_ok": False,
+                })
+        return pa.Table.from_pylist(rows, schema=FRAME_SCHEMA)

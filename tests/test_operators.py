@@ -751,3 +751,53 @@ class TestGopherFilter:
         assert out.loc[0, "dup_line_chars"] == 2  # both 'a' occurrences
         assert out.loc[1, "dup_line_chars"] == 0
         assert out.loc[2, "n_lines"] == 1  # ''.split('\n') == ['']
+
+
+class TestMediaResizeAndFrames:
+    def _media_batch(self):
+        return pa.Table.from_pylist(
+            [
+                {"media_id": 1, "media_type": "image", "media": b"img payload bytes"},
+                {"media_id": 2, "media_type": "video", "media": b"video payload bytes"},
+                {"media_id": 3, "media_type": "audio", "media": b"audio payload"},
+            ],
+            schema=pa.schema(
+                [("media_id", pa.int64()), ("media_type", pa.string()),
+                 ("media", pa.binary())]
+            ),
+        )
+
+    def test_resize_geometry_and_determinism(self):
+        from service1_text_extraction_ray.stages.multimodal import DecoderStub, MediaResize
+
+        rz = MediaResize(target=64)
+        out1, out2 = rz(self._media_batch()), rz(self._media_batch())
+        assert out1.equals(out2)
+        for row in out1.to_pylist():
+            assert max(row["target_w"], row["target_h"]) == 64
+            assert row["resize_ok"] is False
+            assert row["resized_png"].startswith(b"\x89PNG")
+        # aspect preserved vs the stub decoder's pseudo-dims (media_id 1)
+        d = DecoderStub().decode(b"img payload bytes", "image")
+        row = out1.to_pylist()[0]
+        scale = 64 / max(d["width"], d["height"])
+        assert row["target_w"] == max(1, round(d["width"] * scale))
+        assert row["target_h"] == max(1, round(d["height"] * scale))
+
+    def test_frame_sampler_only_video_and_interval(self):
+        from service1_text_extraction_ray.stages.multimodal import (
+            FRAME_INTERVAL_MS,
+            MAX_FRAMES,
+            DecoderStub,
+            FrameSampler,
+        )
+
+        out = FrameSampler()(self._media_batch())
+        rows = out.to_pylist()
+        assert all(r["media_id"] == 2 for r in rows)  # only the video row
+        d = DecoderStub().decode(b"video payload bytes", "video")
+        want_n = min(MAX_FRAMES, max(1, d["duration_ms"] // FRAME_INTERVAL_MS))
+        assert len(rows) == want_n
+        assert [r["frame_idx"] for r in rows] == list(range(want_n))
+        assert all(r["ts_ms"] == r["frame_idx"] * FRAME_INTERVAL_MS for r in rows)
+        assert all(not r["decode_ok"] for r in rows)
