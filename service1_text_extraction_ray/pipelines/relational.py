@@ -16,6 +16,7 @@ from __future__ import annotations
 import os
 from typing import List
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -123,38 +124,129 @@ GROUP BY l_returnflag, l_linestatus
 
 
 # ---------------------------------------------------------------------------
-# Broadcast hash joins (small dimension side via ray.put)
+# Joins: a general co-partitioned shuffle hash join, plus broadcast lookups
+# for genuinely small dimension sides (nation/region)
 # ---------------------------------------------------------------------------
 
 
-def q_segment_order_stats(sf_dir: str) -> rd.Dataset:
-    """orders ⋈ customer on custkey, grouped by market segment.
+def hash_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    left_on: str,
+    right_on: str,
+    key_type: pa.DataType,
+    left_fields: List[pa.Field],
+    right_fields: List[pa.Field],
+) -> rd.Dataset:
+    """General co-partitioned shuffle hash join (inner, many-to-many).
 
-    The customer side is small (dimension table): loaded once on the driver,
-    broadcast with ray.put, mapped per batch — no shuffle join (SURVEY.md
-    §2.4 J2 pattern at table scale)."""
-    cust = (
-        _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
-        .to_pandas()
-        .set_index("c_custkey")["c_mktsegment"]
+    The reference has no hash join (SURVEY.md §2.4) — this is the engine
+    operator that replaces the driver-collected broadcast for FACT-sized
+    "dimensions" (customer is ~150k rows/sf: a multi-GB driver pin at a 100x
+    corpus). Topology: tag each side with a null-padded union schema + a
+    ``__side`` marker, union the two streams, co-partition with ONE
+    ``groupby(key)`` shuffle, and emit the per-key cross product inside each
+    group task (the ``events_asof_orders`` tag+union shape, generalized).
+    No driver-side materialization of either input; per-task memory is one
+    key group. Partitioning assumption (custom-operator contract): all rows
+    of one key fit one group task — a pathological hot key needs salting on
+    the many side + replication of the few side, which callers get by
+    pre-reducing (see q_segment_order_stats) or pre-pruning (see
+    q_top_orders_per_segment) before the join.
+
+    ``left_fields`` / ``right_fields`` are the payload (non-key) columns of
+    each side; inputs must carry exactly key + payload columns. Output
+    columns: ``[left_on, *left_fields, *right_fields]`` (key keeps the left
+    name). Arrow-native throughout: typed null padding and typed empties, so
+    empty groups/blocks never degrade the block schema.
+    """
+    union_schema = pa.schema(
+        [pa.field(left_on, key_type)]
+        + list(left_fields)
+        + list(right_fields)
+        + [pa.field("__side", pa.int8())]
     )
-    cust_ref = ray.put(cust)
+    out_schema = pa.schema(
+        [pa.field(left_on, key_type)] + list(left_fields) + list(right_fields)
+    )
 
-    def join(df: pd.DataFrame) -> pd.DataFrame:
-        lookup = ray.get(cust_ref)
-        out = pd.DataFrame()
-        out["c_mktsegment"] = df["o_custkey"].map(lookup)
-        out["totalprice_cents"] = _cents_pd(df["o_totalprice"])
-        return out
+    def _tag(side: int, key_col: str):
+        def tag(t: pa.Table) -> pa.Table:
+            arrays = [pc.cast(t[key_col], key_type)]
+            for f in left_fields:
+                arrays.append(
+                    pc.cast(t[f.name], f.type) if side == 0 else pa.nulls(t.num_rows, f.type)
+                )
+            for f in right_fields:
+                arrays.append(
+                    pc.cast(t[f.name], f.type) if side == 1 else pa.nulls(t.num_rows, f.type)
+                )
+            arrays.append(pa.array(np.full(t.num_rows, side, dtype=np.int8)))
+            return pa.Table.from_arrays(arrays, schema=union_schema)
 
+        return tag
+
+    def merge(t: pa.Table) -> pa.Table:
+        lmask = pc.equal(t["__side"], pa.scalar(0, pa.int8()))
+        lt = t.filter(lmask)
+        rt = t.filter(pc.invert(lmask))
+        nl, nr = lt.num_rows, rt.num_rows
+        if nl == 0 or nr == 0:  # inner join: unmatched keys emit nothing
+            return out_schema.empty_table()
+        li = pa.array(np.repeat(np.arange(nl, dtype=np.int64), nr))
+        ri = pa.array(np.tile(np.arange(nr, dtype=np.int64), nl))
+        arrays = [pc.take(lt[left_on], li)]
+        arrays += [pc.take(lt[f.name], li) for f in left_fields]
+        arrays += [pc.take(rt[f.name], ri) for f in right_fields]
+        return pa.Table.from_arrays(arrays, schema=out_schema)
+
+    tagged_left = left.map_batches(_tag(0, left_on), batch_format="pyarrow")
+    tagged_right = right.map_batches(_tag(1, right_on), batch_format="pyarrow")
     return (
+        tagged_left.union(tagged_right)
+        .groupby(left_on)
+        .map_groups(merge, batch_format="pyarrow")
+    )
+
+
+def q_segment_order_stats(sf_dir: str) -> rd.Dataset:
+    """orders ⋈ customer on custkey, grouped by market segment — via the
+    co-partitioned shuffle hash join (round-2 VERDICT #1: customer is
+    fact-sized at TPC-H scale, so the driver-collected broadcast is gone).
+
+    Orders are pre-REDUCED per custkey inside the first groupby (Ray's hash
+    aggregate combines per block before the exchange), so the join shuffle
+    moves one int64-partial row per custkey — never raw orders — and each
+    join group is exactly (1 partial row x 1 customer row)."""
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [batch["o_custkey"], _cents(batch["o_totalprice"])],
+            names=["o_custkey", "totalprice_cents"],
+        )
+
+    partials = (
         _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
-        .map_batches(join, batch_format="pandas")
-        .groupby("c_mktsegment")
+        .map_batches(prep, batch_format="pyarrow")
+        .groupby("o_custkey")
         .aggregate(
             Count(alias_name="n_orders"),
-            Sum("totalprice_cents", alias_name="sum_totalprice_cents"),
+            Sum("totalprice_cents", alias_name="cents"),
         )
+    )
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    joined = hash_join(
+        partials,
+        cust,
+        left_on="o_custkey",
+        right_on="c_custkey",
+        key_type=pa.int64(),
+        left_fields=[pa.field("n_orders", pa.int64()), pa.field("cents", pa.int64())],
+        right_fields=[pa.field("c_mktsegment", pa.string())],
+    )
+    return joined.groupby("c_mktsegment").aggregate(
+        Sum("n_orders", alias_name="n_orders"),
+        Sum("cents", alias_name="sum_totalprice_cents"),
     )
 
 
@@ -248,26 +340,50 @@ ORDER BY revenue_cents DESC, o_custkey ASC LIMIT {TOPK_CUSTOMERS}
 HIGH_VALUE_CUT = 400000.0
 
 
-def q_high_value_orders(sf_dir: str) -> rd.Dataset:
+HIGH_VALUE_TOPK = 20
+
+
+def q_high_value_orders(sf_dir: str) -> pd.DataFrame:
     """Filter + project + top-20 by raw double (no arithmetic -> exact).
-    The price predicate is pushed to the read (row-group pruning)."""
+    The price predicate is pushed to the read (row-group pruning); the top-k
+    is per-BLOCK partial top-k + a tiny driver merge of <=k-per-block rows —
+    no global Sort operator (round-2 VERDICT #6: filtered cardinality is
+    unbounded in general). o_orderkey is the tiebreak on both sides
+    (boundary determinism under the driver's value hash)."""
     import pyarrow.dataset as pds
 
-    return (
+    _SCHEMA = pa.schema([
+        ("o_orderkey", pa.int64()), ("o_custkey", pa.int64()),
+        ("o_totalprice", pa.float64()), ("o_orderpriority", pa.string()),
+    ])
+
+    def block_topk(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _SCHEMA.empty_table()
+        df = t.to_pandas().sort_values(
+            ["o_totalprice", "o_orderkey"], ascending=[False, True]
+        ).head(HIGH_VALUE_TOPK)
+        return pa.Table.from_pandas(df, schema=_SCHEMA, preserve_index=False)
+
+    partials = (
         rd.read_parquet(
             _pq(sf_dir, "orders"),
             columns=["o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"],
             filter=pds.field("o_totalprice") > HIGH_VALUE_CUT,
         )
-        .sort("o_totalprice", descending=True)
-        .limit(20)
+        .map_batches(block_topk, batch_format="pyarrow")
+        .to_pandas()
     )
+    top = partials.sort_values(
+        ["o_totalprice", "o_orderkey"], ascending=[False, True]
+    ).head(HIGH_VALUE_TOPK)
+    return top.reset_index(drop=True)
 
 
 SQL_HIGH_VALUE_ORDERS = f"""
 SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
 FROM orders WHERE o_totalprice > {HIGH_VALUE_CUT}
-ORDER BY o_totalprice DESC LIMIT 20
+ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT {HIGH_VALUE_TOPK}
 """
 
 
@@ -822,63 +938,87 @@ TOPN_PER_SEGMENT = 3
 
 def q_top_orders_per_segment(sf_dir: str) -> rd.Dataset:
     """Top-N per group (windowed rank): the 3 highest-value orders per market
-    segment, ties broken by orderkey (deterministic rank).
+    segment, ties broken by orderkey (deterministic rank) — via the
+    co-partitioned shuffle hash join (round-2 VERDICT #1: no driver-collected
+    customer broadcast).
 
-    Shape: broadcast-join the segment in (small dim side), then per-batch
-    partial top-N before the groupby — each block forwards at most N rows
-    per segment, so the shuffle moves O(segments x N x blocks), not the
-    orders table. The group fn takes the global top N of the partials.
+    Shape: per-BLOCK top-N-per-custkey prune on the orders side (all of one
+    customer's orders share a segment, so only its top N can reach the
+    segment top N — the join shuffle moves at most N x distinct-custkeys-
+    per-block rows), hash_join in the segment, then per-block top-N per
+    segment before the final tiny groupby. All stages emit typed Arrow
+    tables, so empty blocks never degrade the block schema (the round-2
+    "RefBundle with a different schema" warning source).
     """
-    cust = (
-        _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
-        .to_pandas()
-        .set_index("c_custkey")["c_mktsegment"]
-    )
-    cust_ref = ray.put(cust)
+    _PRUNE_SCHEMA = pa.schema([
+        ("o_custkey", pa.int64()), ("o_orderkey", pa.int64()),
+        ("o_totalprice", pa.float64()),
+    ])
+    _SEG_SCHEMA = pa.schema([
+        ("c_mktsegment", pa.string()), ("o_orderkey", pa.int64()),
+        ("o_totalprice", pa.float64()),
+    ])
+    _TOPN_SCHEMA = pa.schema([
+        ("c_mktsegment", pa.string()), ("rank", pa.int64()),
+        ("o_orderkey", pa.int64()), ("o_totalprice", pa.float64()),
+    ])
 
-    # Typed empties: a pandas UDF returning a bare empty frame drops the
-    # column dtypes, and Ray's streaming executor then sees a different
-    # block schema (the "RefBundle with a different schema" warning — the
-    # classic latent heterogeneous-schema bug). Always return these shapes.
-    _PRUNE_EMPTY = pd.DataFrame({
-        "c_mktsegment": pd.Series([], dtype="object"),
-        "o_orderkey": pd.Series([], dtype="int64"),
-        "o_totalprice": pd.Series([], dtype="float64"),
-    })
-    _TOPN_EMPTY = pd.DataFrame({
-        "c_mktsegment": pd.Series([], dtype="object"),
-        "rank": pd.Series([], dtype="int64"),
-        "o_orderkey": pd.Series([], dtype="int64"),
-        "o_totalprice": pd.Series([], dtype="float64"),
-    })
-
-    def tag_and_prune(df: pd.DataFrame) -> pd.DataFrame:
-        if len(df) == 0:
-            return _PRUNE_EMPTY.copy()
-        lookup = ray.get(cust_ref)
-        out = pd.DataFrame({
-            "c_mktsegment": df["o_custkey"].map(lookup),
-            "o_orderkey": df["o_orderkey"].astype("int64"),
-            "o_totalprice": df["o_totalprice"].astype("float64"),
-        })
-        out = out.sort_values(
+    def prune_per_custkey(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _PRUNE_SCHEMA.empty_table()
+        df = t.to_pandas().sort_values(
             ["o_totalprice", "o_orderkey"], ascending=[False, True]
         )
-        return out.groupby("c_mktsegment", sort=False).head(TOPN_PER_SEGMENT)
+        df = df.groupby("o_custkey", sort=False).head(TOPN_PER_SEGMENT)
+        return pa.Table.from_pandas(
+            df[["o_custkey", "o_orderkey", "o_totalprice"]],
+            schema=_PRUNE_SCHEMA, preserve_index=False,
+        )
 
-    def topn(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) == 0:
-            return _TOPN_EMPTY.copy()
-        g = g.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True])
-        g = g.head(TOPN_PER_SEGMENT).copy()
-        g["rank"] = pd.Series(range(1, len(g) + 1), index=g.index, dtype="int64")
-        return g[["c_mktsegment", "rank", "o_orderkey", "o_totalprice"]]
+    def prune_per_segment(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _SEG_SCHEMA.empty_table()
+        df = t.to_pandas().sort_values(
+            ["o_totalprice", "o_orderkey"], ascending=[False, True]
+        )
+        df = df.groupby("c_mktsegment", sort=False).head(TOPN_PER_SEGMENT)
+        return pa.Table.from_pandas(
+            df[["c_mktsegment", "o_orderkey", "o_totalprice"]],
+            schema=_SEG_SCHEMA, preserve_index=False,
+        )
 
-    return (
+    def topn(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _TOPN_SCHEMA.empty_table()
+        df = t.to_pandas().sort_values(
+            ["o_totalprice", "o_orderkey"], ascending=[False, True]
+        ).head(TOPN_PER_SEGMENT)
+        df["rank"] = range(1, len(df) + 1)
+        return pa.Table.from_pandas(
+            df[["c_mktsegment", "rank", "o_orderkey", "o_totalprice"]],
+            schema=_TOPN_SCHEMA, preserve_index=False,
+        )
+
+    pruned = (
         _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
-        .map_batches(tag_and_prune, batch_format="pandas")
+        .map_batches(prune_per_custkey, batch_format="pyarrow")
+    )
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    joined = hash_join(
+        pruned,
+        cust,
+        left_on="o_custkey",
+        right_on="c_custkey",
+        key_type=pa.int64(),
+        left_fields=[pa.field("o_orderkey", pa.int64()),
+                     pa.field("o_totalprice", pa.float64())],
+        right_fields=[pa.field("c_mktsegment", pa.string())],
+    )
+    return (
+        joined
+        .map_batches(prune_per_segment, batch_format="pyarrow")
         .groupby("c_mktsegment")
-        .map_groups(topn, batch_format="pandas")
+        .map_groups(topn, batch_format="pyarrow")
     )
 
 

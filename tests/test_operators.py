@@ -268,6 +268,55 @@ class TestScalarExtractorQueries:
         assert out["n_shingles"].tolist() == [2, 1, 0, 1]
 
 
+class TestHashJoin:
+    """The general co-partitioned shuffle hash join (relational.hash_join) and
+    the two fact-sized-dimension queries that round 2 flagged for using a
+    driver-collected customer broadcast."""
+
+    def test_inner_many_to_many_matches_pandas_merge(self, ray_session):
+        import ray.data as rd
+
+        from service1_text_extraction_ray.pipelines.relational import hash_join
+
+        left = pd.DataFrame({
+            "k": [1, 1, 2, 3, 5],          # key 5 unmatched on the right
+            "lv": [10, 11, 20, 30, 50],
+        })
+        right = pd.DataFrame({
+            "rk": [1, 2, 2, 4],            # key 4 unmatched on the left
+            "rv": ["a", "b", "c", "d"],
+        })
+        out = hash_join(
+            rd.from_pandas(left).repartition(3),
+            rd.from_pandas(right).repartition(2),
+            left_on="k", right_on="rk", key_type=pa.int64(),
+            left_fields=[pa.field("lv", pa.int64())],
+            right_fields=[pa.field("rv", pa.string())],
+        ).to_pandas()
+        expect = left.merge(right, left_on="k", right_on="rk")[["k", "lv", "rv"]]
+        key = lambda df: sorted(map(tuple, df[["k", "lv", "rv"]].to_numpy()))
+        assert key(out) == key(expect)
+        assert list(out.columns) == ["k", "lv", "rv"]
+
+    def test_join_queries_never_broadcast_the_fact_side(self):
+        """q_segment_order_stats / q_top_orders_per_segment must use the
+        shuffle hash join — no ray.put broadcast of the customer table and no
+        Dataset-level to_pandas (per-batch t.to_pandas() inside UDFs is fine)."""
+        import inspect
+
+        from service1_text_extraction_ray.pipelines.relational import (
+            q_segment_order_stats,
+            q_top_orders_per_segment,
+        )
+
+        for fn in (q_segment_order_stats, q_top_orders_per_segment):
+            src = inspect.getsource(fn)
+            assert "ray.put" not in src
+            assert "hash_join(" in src
+            # every to_pandas is a per-batch Arrow-table conversion
+            assert src.count(".to_pandas()") == src.count("t.to_pandas()")
+
+
 class TestAsofJoin:
     def test_asof_matches_reference_semantics(self, ray_session, tmp_path):
         """Distributed as-of join vs a straightforward per-row computation."""
