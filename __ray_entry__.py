@@ -109,6 +109,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "extract_summary": Q.sql_extract_summary(),
         "doc_token_counts": Q.SQL_DOC_TOKEN_COUNTS,
         "doc_bpe_token_counts": Q.SQL_DOC_BPE_TOKEN_COUNTS,
         "doc_quality_scores": Q.SQL_DOC_QUALITY_SCORES,

