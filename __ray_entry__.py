@@ -137,8 +137,11 @@ def oracle_sql() -> dict[str, str]:
         "knn_cosine": Q.sql_knn_cosine(),
         "knn_batch": Q.sql_knn_batch(),
         "ann_lsh": Q.sql_ann_lsh(),
+        "ann_ivf": Q.sql_ann_ivf(),
         "embedding_label_stats": Q.SQL_EMBEDDING_LABEL_STATS,
         "media_features": Q.SQL_MEDIA_FEATURES,
+        "media_resize": Q.SQL_MEDIA_RESIZE,
+        "media_frames": Q.SQL_MEDIA_FRAMES,
         "pricing_summary": R.SQL_PRICING_SUMMARY,
         "segment_order_stats": R.SQL_SEGMENT_ORDER_STATS,
         "nation_customer_counts": R.SQL_NATION_CUSTOMER_COUNTS,

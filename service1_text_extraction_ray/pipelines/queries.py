@@ -2058,18 +2058,22 @@ IVF_KMEANS_ITERS = 10
 IVF_SAMPLE = 1024
 
 
-def q_ann_ivf(sf_dir: str) -> pd.DataFrame:
-    """IVF approximate NN (the coarse-quantizer scale path next to q_ann_lsh):
-    spherical k-means centroids fit on a deterministic driver-side sample,
-    broadcast; each batch assigns its vectors to the nearest centroid and
-    scores only vectors whose list is among the query's IVF_NPROBE probed
-    lists. At 10^9 vectors the assignment becomes a partitioning key (one
-    shuffle, lists stored clustered); here it is a per-batch filter. Rows-only
-    driver check; recall vs brute force is pytest-verified."""
-    sample = (
-        _read(sf_dir, "embeddings", ["embedding"]).limit(IVF_SAMPLE).to_pandas()
-    )
-    smat = np.stack(sample["embedding"].to_numpy()).astype(np.float64)
+def _ivf_centroids(sf_dir: str) -> tuple[np.ndarray, set]:
+    """Deterministic spherical-k-means fit on the first IVF_SAMPLE embedding
+    rows (bounded pyarrow read of the parquet head — parquet row order is
+    fixed, so the sample is byte-stable). Shared by q_ann_ivf AND its SQL
+    oracle, so both see bit-identical centroids and probe lists."""
+    import pyarrow.parquet as papq
+
+    pf = papq.ParquetFile(_pq(sf_dir, "embeddings"))
+    chunks, got = [], 0
+    for rb in pf.iter_batches(batch_size=IVF_SAMPLE, columns=["embedding"]):
+        chunks.append(rb)
+        got += rb.num_rows
+        if got >= IVF_SAMPLE:
+            break
+    sample = pa.Table.from_batches(chunks).slice(0, IVF_SAMPLE)
+    smat = np.stack(sample["embedding"].to_pandas().to_numpy()).astype(np.float64)
     snrm = np.linalg.norm(smat, axis=1)
     snrm[snrm == 0] = 1.0
     smat = smat / snrm[:, None]
@@ -2090,6 +2094,22 @@ def q_ann_ivf(sf_dir: str) -> pd.DataFrame:
     qv = _query_vector()
     qn = qv / np.linalg.norm(qv)
     probe = set(np.argsort(-(cent @ qn))[: min(IVF_NPROBE, k)].tolist())
+    return cent, probe
+
+
+def q_ann_ivf(sf_dir: str) -> pd.DataFrame:
+    """IVF approximate NN (the coarse-quantizer scale path next to q_ann_lsh):
+    spherical k-means centroids fit on a deterministic driver-side sample,
+    broadcast; each batch assigns its vectors to the nearest centroid and
+    scores only vectors whose list is among the query's IVF_NPROBE probed
+    lists. At 10^9 vectors the assignment becomes a partitioning key (one
+    shuffle, lists stored clustered); here it is a per-batch filter. Exact
+    oracle: sql_ann_ivf inlines the (deterministic) centroids; recall vs
+    brute force is additionally pytest-verified. vec_id tiebreaks both
+    sides (boundary determinism)."""
+    cent, probe = _ivf_centroids(sf_dir)
+    qv = _query_vector()
+    qn = qv / np.linalg.norm(qv)
     cent_ref = ray.put(cent)
     probe_ref = ray.put(probe)
     qref = ray.put(qn)
@@ -2110,8 +2130,9 @@ def q_ann_ivf(sf_dir: str) -> pd.DataFrame:
                              "sim": pa.array([], pa.float64())})
         sims = mn[mask] @ q
         kk = min(KNN_K, len(sims))
-        idx = np.argsort(-sims)[:kk]
-        return pa.table({"vec_id": pa.array(ids[mask][idx], pa.int64()),
+        sel_ids = ids[mask]
+        idx = np.lexsort((sel_ids, -sims))[:kk]  # sim desc, vec_id asc
+        return pa.table({"vec_id": pa.array(sel_ids[idx], pa.int64()),
                          "sim": pa.array(sims[idx], pa.float64())})
 
     partials = (
@@ -2121,8 +2142,43 @@ def q_ann_ivf(sf_dir: str) -> pd.DataFrame:
     )
     if len(partials) == 0:
         return pd.DataFrame({"vec_id": pd.Series([], dtype="int64")})
-    top = partials.nlargest(min(KNN_K, len(partials)), "sim")
+    top = partials.sort_values(["sim", "vec_id"], ascending=[False, True]).head(KNN_K)
     return pd.DataFrame({"vec_id": top["vec_id"].astype("int64").to_numpy()})
+
+
+def sql_ann_ivf(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    """Exact oracle for q_ann_ivf (round-2 VERDICT #5): the centroid fit is
+    deterministic (parquet-head sample + seeded Lloyd, _ivf_centroids), so
+    the centroids and probe set are inlined as literals. The per-row list
+    assignment replays numpy's argmax (first index of the max, via
+    list_position on the dot-product list — normalization doesn't change the
+    argmax), the probe filter is an IN list, and the restricted cosine top-k
+    tiebreaks on vec_id like the Ray side."""
+    cent, probe = _ivf_centroids(sf_dir)
+    qv = _query_vector()
+    qlit = "[" + ", ".join(repr(float(x)) for x in qv) + "]"
+    dot_terms = ", ".join(
+        "list_dot_product(e, ["
+        + ", ".join(repr(float(x)) for x in cent[c])
+        + "])"
+        for c in range(len(cent))
+    )
+    probe_list = ", ".join(str(p) for p in sorted(probe))
+    return f"""
+WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+),
+dots AS (
+  SELECT vec_id, e, [{dot_terms}] AS d FROM base
+),
+assigned AS (
+  SELECT vec_id, e, list_position(d, list_max(d)) - 1 AS lst FROM dots
+)
+SELECT vec_id FROM (
+  SELECT vec_id, list_cosine_similarity(e, {qlit}) AS sim
+  FROM assigned WHERE lst IN ({probe_list})
+) ORDER BY sim DESC, vec_id ASC LIMIT {KNN_K}
+"""
 
 
 def q_embedding_label_stats(sf_dir: str) -> rd.Dataset:
@@ -2435,4 +2491,50 @@ SELECT media_id, media_type, n_bytes, sha256,
                  THEN ({_sql_sha_byte(2)}) + 256 * ({_sql_sha_byte(3)})
                  ELSE 0 END AS INTEGER) AS duration_ms
 FROM m
+"""
+
+
+# Exact oracle for q_media_resize: the aspect-fit geometry is a pure function
+# of the stub decoder's sha-derived dims. Python's round() is banker's
+# rounding -> round_even on the identically-ordered double expression
+# (w * (target / max(w, h, 1))).
+SQL_MEDIA_RESIZE = f"""
+WITH m AS (
+  SELECT doc_id AS media_id,
+         CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+         sha256(coalesce(text, '')) AS sha256
+  FROM documents
+),
+dims AS (
+  SELECT media_id, media_type,
+         16 + ({_sql_sha_byte(0)}) % 2048 AS w,
+         16 + ({_sql_sha_byte(1)}) % 2048 AS h
+  FROM m
+)
+SELECT media_id, media_type,
+       CAST(greatest(1, round_even(w * (64.0 / greatest(w, h, 1)), 0)) AS INTEGER) AS target_w,
+       CAST(greatest(1, round_even(h * (64.0 / greatest(w, h, 1)), 0)) AS INTEGER) AS target_h,
+       FALSE AS resize_ok
+FROM dims
+"""
+
+
+# Exact oracle for q_media_frames: video rows only (doc_id % 3 = 2), frame
+# count = min(MAX_FRAMES, max(1, duration_ms // FRAME_INTERVAL_MS)) with the
+# stub duration from sha bytes 2-3, exploded with range()/unnest.
+SQL_MEDIA_FRAMES = f"""
+WITH m AS (
+  SELECT doc_id AS media_id, sha256(coalesce(text, '')) AS sha256
+  FROM documents WHERE doc_id % 3 = 2
+),
+d AS (
+  SELECT media_id,
+         least(8, greatest(1, (({_sql_sha_byte(2)}) + 256 * ({_sql_sha_byte(3)})) // 1000)) AS n
+  FROM m
+)
+SELECT media_id,
+       CAST(f AS INTEGER) AS frame_idx,
+       CAST(f * 1000 AS INTEGER) AS ts_ms,
+       FALSE AS decode_ok
+FROM (SELECT media_id, unnest(range(0, CAST(n AS BIGINT))) AS f FROM d)
 """
