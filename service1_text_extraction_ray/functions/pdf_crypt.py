@@ -1,4 +1,5 @@
-"""PDF standard security handler (RC4, /V 1-2, /R 2-3) on the stdlib.
+"""PDF standard security handler (RC4 /V 1-2 /R 2-3 and AES-128 /V 4 /R 4)
+on the stdlib (+numpy for the vectorized AES decrypt path).
 
 From-scratch implementation of the public PDF 1.7 spec (ISO 32000-1 §7.6.2-
 7.6.3) encryption algorithms the reference exercises through PyMuPDF
@@ -7,18 +8,23 @@ inside the <=3-attempt password loop):
 
 - Algorithm 2: file encryption key from the (padded) user password.
 - Algorithm 3: the /O (owner) entry — also used by the fixture writer.
-- Algorithms 4/5: the /U (user) entry for /R 2 and /R 3.
+- Algorithms 4/5: the /U (user) entry for /R 2 and /R 3-4.
 - Algorithms 6/7: user / owner password verification.
-- Per-object keys: md5(file_key + objnum[0:3] + gennum[0:2]) truncated to
-  min(len+5, 16) — applied to stream bytes BEFORE the /Filter chain.
+- Per-object keys: md5(file_key + objnum[0:3] + gennum[0:2] [+ b"sAlT" for
+  AESV2]) truncated to min(len+5, 16) — applied to stream bytes BEFORE the
+  /Filter chain.
+- AESV2 crypt filter (/V 4): AES-128-CBC per FIPS-197, IV prepended,
+  PKCS#7 padding; the S-box is generated from the GF(2^8) definition and
+  verified by the FIPS-197 Appendix C known-answer test.
 
 Both sides (the parser's decrypt and ``synth.make_pdf``'s encrypt) use these
 same pure functions, so fixture round-trips are exact by construction.
 RC4 here is a 25-line stdlib implementation — fine for fixtures and for the
-per-document data sizes this engine decrypts; it is a *legacy* cipher kept
-for format compatibility (the PDF spec itself deprecates it), not a security
-recommendation. AES (/V 4-5) is outside the supported subset and surfaces as
-a counted ``unsupported encryption`` parse failure, never junk text.
+per-document data sizes this engine decrypts; both it and AES-128 are kept
+for *format compatibility* (the PDF spec itself deprecates RC4), not as a
+security recommendation. /V 5 (AESV3, SHA-256 handler) remains outside the
+supported subset and surfaces as a counted ``unsupported encryption`` parse
+failure, never junk text.
 
 Passwords are encoded latin-1 (PDFDocEncoding approximation — exact for the
 ASCII passwords real queues carry and the fixtures emit).
@@ -146,16 +152,190 @@ def authenticate_owner_password(
     )
 
 
-def object_key(file_key: bytes, num: int, gen: int) -> bytes:
-    """Per-object RC4 key (§7.6.2 Algorithm 1, steps a-c)."""
+def object_key(file_key: bytes, num: int, gen: int, aes: bool = False) -> bytes:
+    """Per-object key (§7.6.2 Algorithm 1, steps a-c; AESV2 appends the
+    spec's literal ``sAlT`` bytes before hashing)."""
     ext = (
         file_key
         + struct.pack("<i", num)[:3]
         + struct.pack("<i", gen)[:2]
+        + (b"sAlT" if aes else b"")
     )
     return hashlib.md5(ext).digest()[: min(len(file_key) + 5, 16)]
 
 
 def crypt_object_bytes(file_key: bytes, num: int, gen: int, data: bytes) -> bytes:
-    """Encrypt/decrypt one object's stream (or string) bytes."""
+    """Encrypt/decrypt one object's stream (or string) bytes (RC4 /V 1-2)."""
     return rc4(object_key(file_key, num, gen), data)
+
+
+# ---------------------------------------------------------------------------
+# AES-128 (FIPS-197) from scratch — the /V 4 /CFM AESV2 crypt filter
+# (ISO 32000-1 §7.6.2: CBC, 16-byte random IV prepended, PKCS#7 padding).
+# The S-box is GENERATED from the public definition (GF(2^8) inverse + affine
+# transform) rather than transcribed, and verified by the FIPS-197 Appendix C
+# known-answer test in tests/test_pdf_crypt.py. The writer side encrypts one
+# block at a time (fixtures are small); the parser side decrypts all blocks
+# of a stream at once with numpy (CBC decryption is block-parallel), keeping
+# the hot path vectorized.
+# ---------------------------------------------------------------------------
+
+
+def _build_aes_tables():
+    exp = [0] * 510
+    log = [0] * 256
+    x = 1
+    for i in range(255):
+        exp[i] = x
+        log[x] = i
+        # multiply x by 3 (generator) in GF(2^8) mod 0x11B
+        x ^= ((x << 1) ^ (0x11B if x & 0x80 else 0)) & 0x1FF
+        x &= 0xFF
+    for i in range(255, 510):
+        exp[i] = exp[i - 255]
+
+    def _rotl8(b: int, n: int) -> int:
+        return ((b << n) | (b >> (8 - n))) & 0xFF
+
+    sbox = [0] * 256
+    for c in range(256):
+        inv = 0 if c == 0 else exp[255 - log[c]]
+        sbox[c] = (
+            inv ^ _rotl8(inv, 1) ^ _rotl8(inv, 2) ^ _rotl8(inv, 3) ^ _rotl8(inv, 4) ^ 0x63
+        )
+    inv_sbox = [0] * 256
+    for i, s in enumerate(sbox):
+        inv_sbox[s] = i
+
+    def gmul(a: int, b: int) -> int:
+        if a == 0 or b == 0:
+            return 0
+        return exp[log[a] + log[b]]
+
+    # 256-entry multiply tables for the fixed Mix/InvMix coefficients
+    mul = {m: bytes(gmul(m, x) for x in range(256)) for m in (2, 3, 9, 11, 13, 14)}
+    return bytes(sbox), bytes(inv_sbox), mul
+
+
+_SBOX, _INV_SBOX, _GMUL = _build_aes_tables()
+_RCON = (0x01, 0x02, 0x04, 0x08, 0x10, 0x20, 0x40, 0x80, 0x1B, 0x36)
+
+# ShiftRows / InvShiftRows as flat-index permutations of the column-major
+# 4x4 state (index = row + 4*col).
+_SHIFT = tuple((r + 4 * ((c + r) % 4)) for c in range(4) for r in range(4))
+_INV_SHIFT = tuple((r + 4 * ((c - r) % 4)) for c in range(4) for r in range(4))
+
+
+def aes128_key_schedule(key: bytes) -> bytes:
+    """Expanded key: 11 round keys x 16 bytes (FIPS-197 §5.2)."""
+    if len(key) != 16:
+        raise ValueError("AES-128 key must be 16 bytes")
+    w = bytearray(key)
+    for i in range(4, 44):
+        t = bytearray(w[4 * (i - 1) : 4 * i])
+        if i % 4 == 0:
+            t = t[1:] + t[:1]  # RotWord
+            t = bytearray(_SBOX[b] for b in t)  # SubWord
+            t[0] ^= _RCON[i // 4 - 1]
+        prev = w[4 * (i - 4) : 4 * (i - 3)]
+        w += bytes(a ^ b for a, b in zip(t, prev))
+    return bytes(w)
+
+
+def aes128_encrypt_block(ks: bytes, block: bytes) -> bytes:
+    """One-block AES-128 encryption (writer side + known-answer tests)."""
+    s = bytearray(a ^ b for a, b in zip(block, ks[:16]))
+    m2, m3 = _GMUL[2], _GMUL[3]
+    for rnd in range(1, 10):
+        s = bytearray(_SBOX[b] for b in s)        # SubBytes
+        s = bytearray(s[_SHIFT[i]] for i in range(16))  # ShiftRows
+        t = bytearray(16)                          # MixColumns
+        for c in range(4):
+            a0, a1, a2, a3 = s[4 * c : 4 * c + 4]
+            t[4 * c + 0] = m2[a0] ^ m3[a1] ^ a2 ^ a3
+            t[4 * c + 1] = a0 ^ m2[a1] ^ m3[a2] ^ a3
+            t[4 * c + 2] = a0 ^ a1 ^ m2[a2] ^ m3[a3]
+            t[4 * c + 3] = m3[a0] ^ a1 ^ a2 ^ m2[a3]
+        rk = ks[16 * rnd : 16 * rnd + 16]
+        s = bytearray(a ^ b for a, b in zip(t, rk))
+    s = bytearray(_SBOX[b] for b in s)
+    s = bytearray(s[_SHIFT[i]] for i in range(16))
+    return bytes(a ^ b for a, b in zip(s, ks[160:176]))
+
+
+def _aes128_decrypt_blocks(ks: bytes, blocks):
+    """Vectorized inverse cipher over an (n, 16) uint8 ndarray of blocks."""
+    import numpy as np
+
+    sbox_inv = np.frombuffer(_INV_SBOX, dtype=np.uint8)
+    m9 = np.frombuffer(_GMUL[9], dtype=np.uint8)
+    m11 = np.frombuffer(_GMUL[11], dtype=np.uint8)
+    m13 = np.frombuffer(_GMUL[13], dtype=np.uint8)
+    m14 = np.frombuffer(_GMUL[14], dtype=np.uint8)
+    inv_shift = np.array(_INV_SHIFT, dtype=np.int64)
+    rks = np.frombuffer(ks, dtype=np.uint8).reshape(11, 16)
+
+    s = blocks ^ rks[10]
+    for rnd in range(9, 0, -1):
+        s = s[:, inv_shift]          # InvShiftRows
+        s = sbox_inv[s]              # InvSubBytes
+        s = s ^ rks[rnd]             # AddRoundKey
+        t = np.empty_like(s)         # InvMixColumns
+        for c in range(4):
+            a0 = s[:, 4 * c + 0]
+            a1 = s[:, 4 * c + 1]
+            a2 = s[:, 4 * c + 2]
+            a3 = s[:, 4 * c + 3]
+            t[:, 4 * c + 0] = m14[a0] ^ m11[a1] ^ m13[a2] ^ m9[a3]
+            t[:, 4 * c + 1] = m9[a0] ^ m14[a1] ^ m11[a2] ^ m13[a3]
+            t[:, 4 * c + 2] = m13[a0] ^ m9[a1] ^ m14[a2] ^ m11[a3]
+            t[:, 4 * c + 3] = m11[a0] ^ m13[a1] ^ m9[a2] ^ m14[a3]
+        s = t
+    s = s[:, inv_shift]
+    s = sbox_inv[s]
+    return s ^ rks[0]
+
+
+def aes_cbc_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
+    """AES-128-CBC with PKCS#7 padding; returns iv + ciphertext (the PDF
+    AESV2 stored layout)."""
+    ks = aes128_key_schedule(key)
+    pad_n = 16 - (len(data) % 16)
+    data = data + bytes([pad_n]) * pad_n
+    out = bytearray(iv)
+    prev = iv
+    for i in range(0, len(data), 16):
+        block = bytes(a ^ b for a, b in zip(data[i : i + 16], prev))
+        prev = aes128_encrypt_block(ks, block)
+        out += prev
+    return bytes(out)
+
+
+def aes_cbc_decrypt(key: bytes, data: bytes) -> bytes:
+    """Inverse of aes_cbc_encrypt: data = iv + ciphertext; strips padding.
+    Block-parallel via numpy (D(c_i) ^ c_{i-1})."""
+    import numpy as np
+
+    if len(data) < 32 or len(data) % 16:
+        raise ValueError("AES-CBC data must be iv + non-empty whole blocks")
+    ks = aes128_key_schedule(key)
+    arr = np.frombuffer(data, dtype=np.uint8).reshape(-1, 16)
+    plain = _aes128_decrypt_blocks(ks, arr[1:]) ^ arr[:-1]
+    out = plain.tobytes()
+    pad_n = out[-1]
+    if not 1 <= pad_n <= 16:
+        raise ValueError("bad AES-CBC padding")
+    return out[:-pad_n]
+
+
+def crypt_object_bytes_aes(
+    file_key: bytes, num: int, gen: int, data: bytes, iv: bytes
+) -> bytes:
+    """Encrypt one object's bytes with the AESV2 crypt filter (writer side;
+    the fixture writer passes a deterministic IV so corpora are seed-pure)."""
+    return aes_cbc_encrypt(object_key(file_key, num, gen, aes=True), iv, data)
+
+
+def decrypt_object_bytes_aes(file_key: bytes, num: int, gen: int, data: bytes) -> bytes:
+    """Decrypt one object's AESV2 bytes (parser side)."""
+    return aes_cbc_decrypt(object_key(file_key, num, gen, aes=True), data)

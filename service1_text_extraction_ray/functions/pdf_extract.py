@@ -217,7 +217,9 @@ def _ascii_hex_decode(raw: bytes) -> bytes:
     return bytes.fromhex(compact.decode("ascii"))
 
 
-def _decode_stream(obj: "_PdfObject", file_key: Optional[bytes] = None) -> bytes:
+def _decode_stream(
+    obj: "_PdfObject", file_key: Optional[bytes] = None, aes: bool = False
+) -> bytes:
     """Apply the object's /Filter chain (in array order) to its stream.
 
     Supported: FlateDecode (stdlib zlib), ASCIIHexDecode, and chains of
@@ -225,14 +227,21 @@ def _decode_stream(obj: "_PdfObject", file_key: Optional[bytes] = None) -> bytes
     dispatcher turns into a counted parse-failure row.
 
     Decryption (``file_key`` set) is OUTERMOST: stored bytes are
-    RC4(filtered(content)), so decrypt first, then defilter (ISO 32000-1
-    §7.6.2 — see functions/pdf_crypt.py).
+    crypt(filtered(content)), so decrypt first, then defilter (ISO 32000-1
+    §7.6.2 — see functions/pdf_crypt.py). ``aes`` selects the AESV2 crypt
+    filter (/V 4) over RC4 (/V 1-2).
     """
     raw = obj.stream
     if file_key is not None:
-        from .pdf_crypt import crypt_object_bytes
+        from .pdf_crypt import crypt_object_bytes, decrypt_object_bytes_aes
 
-        raw = crypt_object_bytes(file_key, obj.num, obj.gen, raw)
+        if aes:
+            try:
+                raw = decrypt_object_bytes_aes(file_key, obj.num, obj.gen, raw)
+            except ValueError as e:
+                raise PdfParseError(f"AESV2 stream: {e}")
+        else:
+            raw = crypt_object_bytes(file_key, obj.num, obj.gen, raw)
     m = _FILTER_RE.search(obj.dict_bytes)
     if not m:
         return raw
@@ -336,6 +345,7 @@ def _content_bytes(
     objects: Dict[int, _PdfObject],
     page: _PdfObject,
     file_key: Optional[bytes] = None,
+    aes: bool = False,
 ) -> bytes:
     refs: List[int] = []
     cm = _CONTENTS_REF_RE.search(page.dict_bytes)
@@ -350,7 +360,7 @@ def _content_bytes(
         obj = objects.get(r)
         if obj is None or obj.stream is None:
             raise PdfParseError(f"missing content stream {r}")
-        out += _decode_stream(obj, file_key)
+        out += _decode_stream(obj, file_key, aes)
         out += b"\n"
     return bytes(out)
 
@@ -795,7 +805,7 @@ _INT_ENTRY = {
 
 @dataclass
 class PdfEncryptInfo:
-    """Parsed /Encrypt dictionary (standard handler, RC4)."""
+    """Parsed /Encrypt dictionary (standard handler, RC4 or AESV2)."""
 
     v: int
     r: int
@@ -804,6 +814,7 @@ class PdfEncryptInfo:
     u_entry: bytes
     p: int
     id0: bytes
+    cfm: str = "V2"  # "V2" (RC4) or "AESV2" (/V 4 crypt filter)
 
 
 def _parse_string_entry(dict_bytes: bytes, name: bytes) -> Optional[bytes]:
@@ -826,8 +837,10 @@ def _find_encrypt_info(
     """Locate and parse the /Encrypt dictionary from the (last) trailer.
 
     Returns None for unencrypted documents; raises PdfParseError for
-    encryption outside the supported subset (non-Standard handler, /V > 2,
-    AES) — counted failure, never junk text.
+    encryption outside the supported subset (non-Standard handler, /V 5
+    AESV3, unknown crypt filters) — counted failure, never junk text.
+    Supported: /V 1-2 (RC4) and /V 4 with /StdCF /CFM of V2 (RC4) or AESV2
+    (AES-128-CBC, functions/pdf_crypt.py).
     """
     m = None
     for m in re.finditer(rb"trailer", data):
@@ -849,10 +862,19 @@ def _find_encrypt_info(
     if fm is None or fm.group(1) != b"Standard":
         raise PdfParseError("unsupported encryption handler")
     v = int(_INT_ENTRY["V"].search(d).group(1)) if _INT_ENTRY["V"].search(d) else 0
-    if v not in (1, 2):
+    if v not in (1, 2, 4):
         raise PdfParseError(f"unsupported encryption /V {v}")
+    cfm = "V2"
+    if v == 4:
+        cm = re.search(rb"/CFM\s*/(\w+)", d)
+        cfm = cm.group(1).decode("ascii") if cm else "V2"
+        if cfm not in ("V2", "AESV2"):
+            raise PdfParseError(f"unsupported crypt filter /CFM {cfm}")
+        if re.search(rb"/EncryptMetadata\s+false", d):
+            # would append ffffffff to the key hash; outside the subset
+            raise PdfParseError("unsupported /EncryptMetadata false")
     r = int(_INT_ENTRY["R"].search(d).group(1)) if _INT_ENTRY["R"].search(d) else 2
-    if r not in (2, 3):
+    if r not in (2, 3, 4):
         raise PdfParseError(f"unsupported encryption /R {r}")
     length_bits = 40
     lm = _INT_ENTRY["Length"].search(d)
@@ -875,6 +897,7 @@ def _find_encrypt_info(
     return PdfEncryptInfo(
         v=v, r=r, key_len=max(5, min(16, length_bits // 8)),
         o_entry=o_entry, u_entry=u_entry, p=int(pm.group(1)), id0=id0,
+        cfm=cfm,
     )
 
 
@@ -954,7 +977,10 @@ class PdfDocument:
             width = box[2] - box[0]
             height = box[3] - box[1]
             try:
-                content = _content_bytes(self._objects, page_obj, self._file_key)
+                content = _content_bytes(
+                    self._objects, page_obj, self._file_key,
+                    aes=(self._encrypt is not None and self._encrypt.cfm == "AESV2"),
+                )
                 spans = _interpret_text(content)
                 pages.append(_assemble_page(spans, width, height, rotate))
             except PdfParseError:

@@ -209,11 +209,13 @@ def make_pdf(page_line_texts: List[List[str]], rng: random.Random, compress: boo
     golden reading order is left column top-down then right column).
 
     ``encrypt``: standard-security-handler encryption via pdf_crypt —
-    ``{"user_pw": str, "owner_pw": str, "v": 1|2}`` (v=1 -> RC4-40 /R 2,
-    v=2 -> RC4-128 /R 3). Stream bytes are stored RC4(filtered(content)):
-    filters apply first, encryption is outermost, exactly what the parser
-    inverts. An empty ``user_pw`` produces a document that opens without a
-    prompt (needs_pass False), the common real-world "owner-locked" case.
+    ``{"user_pw": str, "owner_pw": str, "v": 1|2|4}`` (v=1 -> RC4-40 /R 2,
+    v=2 -> RC4-128 /R 3, v=4 -> AES-128-CBC /R 4 with /StdCF /CFM /AESV2).
+    Stream bytes are stored crypt(filtered(content)): filters apply first,
+    encryption is outermost, exactly what the parser inverts. AES IVs are
+    derived from (id0, object number), so corpora stay pure functions of
+    (seed, i). An empty ``user_pw`` produces a document that opens without
+    a prompt (needs_pass False), the common real-world "owner-locked" case.
     """
     objects: List[bytes] = []
 
@@ -237,12 +239,13 @@ def make_pdf(page_line_texts: List[List[str]], rng: random.Random, compress: boo
             compute_o_entry,
             compute_u_entry,
             crypt_object_bytes,
+            crypt_object_bytes_aes,
         )
 
         user_pw = encrypt["user_pw"].encode("latin-1")
         owner_pw = encrypt.get("owner_pw", "").encode("latin-1")
         v = int(encrypt.get("v", 1))
-        r = 2 if v == 1 else 3
+        r = {1: 2, 2: 3, 4: 4}[v]
         length_bits = 40 if v == 1 else 128
         key_len = length_bits // 8
         p = -44  # print+extract denied; any value works, P feeds the key hash
@@ -252,10 +255,20 @@ def make_pdf(page_line_texts: List[List[str]], rng: random.Random, compress: boo
         o_entry = compute_o_entry(owner_pw, user_pw, key_len, r)
         file_key = compute_encryption_key(user_pw, o_entry, p, id0, key_len, r)
         u_entry = compute_u_entry(file_key, id0, r)
+        if v == 4:
+            import hashlib as _hl
+
+            def _aes_fn(key: bytes, num: int, gen: int, data: bytes) -> bytes:
+                iv = _hl.md5(b"graft-iv" + id0 + bytes([num & 0xFF, gen & 0xFF])).digest()
+                return crypt_object_bytes_aes(key, num, gen, data, iv)
+
+            fn = _aes_fn
+        else:
+            fn = crypt_object_bytes
         crypt = {
             "file_key": file_key, "o": o_entry, "u": u_entry, "p": p,
             "v": v, "r": r, "length_bits": length_bits, "id0": id0,
-            "fn": crypt_object_bytes,
+            "fn": fn,
         }
 
     add(f"<< /Type /Catalog /Pages {pages_num} 0 R >>".encode())
@@ -292,10 +305,15 @@ def make_pdf(page_line_texts: List[List[str]], rng: random.Random, compress: boo
 
     encrypt_clause = ""
     if crypt is not None:
+        cf_clause = (
+            "/CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen /Length 16 >> >> "
+            "/StmF /StdCF /StrF /StdCF "
+            if crypt["v"] == 4 else ""
+        )
         encrypt_num = add(
             (
                 f"<< /Filter /Standard /V {crypt['v']} /R {crypt['r']} "
-                f"/Length {crypt['length_bits']} "
+                f"/Length {crypt['length_bits']} {cf_clause}"
                 f"/O <{crypt['o'].hex()}> /U <{crypt['u'].hex()}> "
                 f"/P {crypt['p']} >>"
             ).encode()
@@ -401,13 +419,14 @@ def make_row(i: int, seed: int = 42) -> dict:
         from .passwords import DEFAULT_PASSWORD
 
         encrypt = None
+        enc_v = (1, 2, 4)[i % 3]  # RC4-40 /R2, RC4-128 /R3, AES-128 /V4 /R4
         if cat == 84:
-            encrypt = {"user_pw": "", "owner_pw": f"owner-{site}", "v": 1 + (i % 2)}
+            encrypt = {"user_pw": "", "owner_pw": f"owner-{site}", "v": enc_v}
         elif cat == 91:
             pw = DEFAULT_PASSWORD if i % 3 == 0 else f"pw-{site}"
-            encrypt = {"user_pw": pw, "owner_pw": f"owner-{site}", "v": 1 + (i % 2)}
+            encrypt = {"user_pw": pw, "owner_pw": f"owner-{site}", "v": enc_v}
         elif cat == 94:
-            encrypt = {"user_pw": f"secret-{i}", "owner_pw": f"hidden-{i}", "v": 1 + (i % 2)}
+            encrypt = {"user_pw": f"secret-{i}", "owner_pw": f"hidden-{i}", "v": enc_v}
         payload = make_pdf(
             pages,
             rng,

@@ -89,3 +89,126 @@ class TestHandler:
         assert crypt_object_bytes(fk, 4, 0, enc) == data
         # a different object number must not decrypt
         assert crypt_object_bytes(fk, 5, 0, enc) != data
+
+
+class TestAES:
+    def test_fips197_known_answer(self):
+        """FIPS-197 Appendix C.1 (AES-128) — validates the generated S-box,
+        key schedule, and both cipher directions."""
+        from service1_text_extraction_ray.functions.pdf_crypt import (
+            _aes128_decrypt_blocks,
+            aes128_encrypt_block,
+            aes128_key_schedule,
+        )
+        import numpy as np
+
+        key = bytes.fromhex("000102030405060708090a0b0c0d0e0f")
+        pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+        ks = aes128_key_schedule(key)
+        ct = aes128_encrypt_block(ks, pt)
+        assert ct.hex() == "69c4e0d86a7b0430d8cdb78070b4c55a"
+        back = _aes128_decrypt_blocks(ks, np.frombuffer(ct, np.uint8).reshape(1, 16))
+        assert back.tobytes() == pt
+
+    @pytest.mark.parametrize("n", [0, 1, 15, 16, 17, 1000])
+    def test_cbc_roundtrip_all_padding_lengths(self, n):
+        from service1_text_extraction_ray.functions.pdf_crypt import (
+            aes_cbc_decrypt,
+            aes_cbc_encrypt,
+        )
+
+        key, iv = b"0123456789abcdef", bytes(range(16))
+        data = bytes(range(256))[:n] if n <= 256 else None
+        data = (b"x" * n) if data is None else data
+        enc = aes_cbc_encrypt(key, iv, data)
+        assert enc[:16] == iv and len(enc) % 16 == 0
+        assert aes_cbc_decrypt(key, enc) == data
+
+    def test_aes_object_key_uses_salt(self):
+        from service1_text_extraction_ray.functions.pdf_crypt import object_key
+
+        fk = b"0123456789abcdef"
+        assert object_key(fk, 4, 0, aes=True) != object_key(fk, 4, 0, aes=False)
+
+    def test_aes_object_roundtrip(self):
+        from service1_text_extraction_ray.functions.pdf_crypt import (
+            crypt_object_bytes_aes,
+            decrypt_object_bytes_aes,
+        )
+
+        fk = b"0123456789abcdef"
+        data = b"BT /F1 12 Tf (aes page) Tj ET" * 17
+        iv = bytes(16)
+        enc = crypt_object_bytes_aes(fk, 4, 0, data, iv)
+        assert decrypt_object_bytes_aes(fk, 4, 0, enc) == data
+        with pytest.raises(ValueError):
+            decrypt_object_bytes_aes(fk, 4, 0, enc[:24])  # not whole blocks
+
+
+class TestAesPdfFixtures:
+    """AESV2-encrypted fixture PDFs round-trip through the real parser."""
+
+    def _pages(self):
+        return [["hello aes world", "line two of page one"], ["page two line"]]
+
+    def _plain_text(self):
+        import random
+
+        from service1_text_extraction_ray.functions.pdf_extract import parse_pdf
+        from service1_text_extraction_ray.functions.synth import make_pdf
+
+        plain = make_pdf(self._pages(), random.Random(7))
+        return "\n".join(p.text for p in parse_pdf(plain))
+
+    @pytest.mark.parametrize("compress", [False, True])
+    def test_v4_user_and_owner_auth_byte_identical_text(self, compress):
+        import random
+
+        from service1_text_extraction_ray.functions.pdf_extract import open_pdf
+        from service1_text_extraction_ray.functions.synth import make_pdf
+
+        expected = self._plain_text()
+        enc = make_pdf(
+            self._pages(), random.Random(7), compress=compress,
+            encrypt={"user_pw": "s3cret", "owner_pw": "own", "v": 4},
+        )
+        assert b"/CFM /AESV2" in enc
+        for pw in ("s3cret", "own"):
+            doc = open_pdf(enc)
+            assert doc.needs_pass
+            assert doc.authenticate(pw)
+            assert "\n".join(p.text for p in doc.extract_pages()) == expected
+        bad = open_pdf(enc)
+        assert not bad.authenticate("wrong")
+
+    def test_v4_empty_user_password_opens_transparently(self):
+        import random
+
+        from service1_text_extraction_ray.functions.pdf_extract import open_pdf
+        from service1_text_extraction_ray.functions.synth import make_pdf
+
+        enc = make_pdf(
+            self._pages(), random.Random(7),
+            encrypt={"user_pw": "", "owner_pw": "own", "v": 4},
+        )
+        doc = open_pdf(enc)
+        assert not doc.needs_pass
+        assert "\n".join(p.text for p in doc.extract_pages()) == self._plain_text()
+
+    def test_v5_still_counted_unsupported(self):
+        """/V 5 (AESV3) stays outside the subset — a counted parse failure."""
+        import random
+
+        from service1_text_extraction_ray.functions.pdf_extract import (
+            PdfParseError,
+            open_pdf,
+        )
+        from service1_text_extraction_ray.functions.synth import make_pdf
+
+        enc = make_pdf(
+            self._pages(), random.Random(7),
+            encrypt={"user_pw": "x", "owner_pw": "y", "v": 4},
+        )
+        tampered = enc.replace(b"/V 4 /R 4", b"/V 5 /R 6")
+        with pytest.raises(PdfParseError):
+            open_pdf(tampered)
