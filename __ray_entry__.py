@@ -94,6 +94,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_type_stats": R.q_part_type_stats,
         "supplier_nation_balance": R.q_supplier_nation_balance,
         "order_price_quantiles": R.q_order_price_quantiles,
+        "order_price_tdigest": R.q_order_price_tdigest,
+        "customers_without_big_orders_bloom": R.q_customers_without_big_orders_bloom,
         "distinct_users_hll": R.q_distinct_users_hll,
         "distinct_parts_per_flag": R.q_distinct_parts_per_flag,
         "events_hourly": R.q_events_hourly,
@@ -161,4 +163,7 @@ def oracle_sql() -> dict[str, str]:
         "events_sliding_window": R.SQL_EVENTS_SLIDING_WINDOW,
         "top_orders_per_segment": R.SQL_TOP_ORDERS_PER_SEGMENT,
         "customers_without_big_orders": R.SQL_CUSTOMERS_WITHOUT_BIG_ORDERS,
+        # bloom variant is EXACT (bloom negatives + rechecked positives) ->
+        # shares the exact anti-join's oracle
+        "customers_without_big_orders_bloom": R.SQL_CUSTOMERS_WITHOUT_BIG_ORDERS,
     }

@@ -534,6 +534,52 @@ class TestSketchesAndQuantiles:
         assert row["p90"] == 40.0   # ceil(3.6)-1 = idx 3
         assert row["p99"] == 40.0
 
+    def test_tdigest_quantiles_within_error_bound(self, ray_session, tmp_path):
+        """Mergeable t-digest partials vs exact quantiles: rank error must
+        stay within ~1/delta at the median and tighter at the tails."""
+        import pyarrow.parquet as pq
+
+        from service1_text_extraction_ray.pipelines.relational import (
+            q_order_price_tdigest,
+        )
+
+        rs = np.random.RandomState(5)
+        n = 20_000
+        prices = np.concatenate([
+            rs.lognormal(10, 0.6, n // 2),        # skewed body
+            rs.uniform(1.0, 100.0, n // 2),       # flat tail filler
+        ])
+        rows = [{"o_orderkey": i, "o_custkey": 1, "o_orderpriority": "1-URGENT",
+                 "o_totalprice": float(p), "o_orderdate": pd.Timestamp("1995-01-01")}
+                for i, p in enumerate(prices)]
+        d = tmp_path / "sf"
+        d.mkdir()
+        pq.write_table(pa.Table.from_pylist(rows), str(d / "orders.parquet"))
+
+        out = q_order_price_tdigest(str(d)).to_pandas().iloc[0]
+        assert out["n_orders"] == n  # exact integer weight sum
+        srt = np.sort(prices)
+        for q, col in ((0.5, "p50_est"), (0.9, "p90_est"), (0.99, "p99_est")):
+            est = out[col]
+            # rank of the estimate must sit within 1.5% of the target rank
+            rank = np.searchsorted(srt, est) / n
+            assert abs(rank - q) < 0.015, (col, est, rank)
+
+    def test_bloom_anti_join_exact_vs_plain(self, ray_session):
+        """The bloom + recheck variant must return EXACTLY the plain
+        anti-join's rows (bloom false positives rechecked, negatives kept)."""
+        from service1_text_extraction_ray.pipelines.relational import (
+            q_customers_without_big_orders,
+            q_customers_without_big_orders_bloom,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        key = lambda df: sorted(map(tuple, df[["c_custkey", "c_mktsegment"]].to_numpy()))
+        plain = q_customers_without_big_orders(sf).to_pandas()
+        bloom = q_customers_without_big_orders_bloom(sf).to_pandas()
+        assert key(bloom) == key(plain)
+        assert len(bloom) > 0
+
 
 class TestDedupSkew:
     """Degenerate-bucket behavior: a mass of identical docs must not emit
