@@ -22,6 +22,7 @@ if _REPO not in sys.path:
 import service1_text_extraction_ray as _pkg
 from service1_text_extraction_ray.pipelines import queries as Q
 from service1_text_extraction_ray.pipelines import relational as R
+from service1_text_extraction_ray.pipelines import webtext as W
 
 SF_SMOKE = "/root/testdata/sf0.001"
 
@@ -106,6 +107,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding_window": R.q_events_sliding_window,
         "top_orders_per_segment": R.q_top_orders_per_segment,
         "customers_without_big_orders": R.q_customers_without_big_orders,
+        # --- web-corpus curation (round 3) ---
+        "doc_pii_scan": W.q_doc_pii_scan,
+        "doc_tfidf_top_terms": W.q_doc_tfidf_top_terms,
+        "doc_contamination": W.q_doc_contamination,
+        "dedup_spans": W.q_dedup_spans,
+        "corpus_vocab_stats": W.q_corpus_vocab_stats,
     }
 
 
@@ -166,4 +173,9 @@ def oracle_sql() -> dict[str, str]:
         # bloom variant is EXACT (bloom negatives + rechecked positives) ->
         # shares the exact anti-join's oracle
         "customers_without_big_orders_bloom": R.SQL_CUSTOMERS_WITHOUT_BIG_ORDERS,
+        "doc_pii_scan": W.SQL_DOC_PII_SCAN,
+        "doc_tfidf_top_terms": W.SQL_DOC_TFIDF_TOP_TERMS,
+        "doc_contamination": W.SQL_DOC_CONTAMINATION,
+        "dedup_spans": W.SQL_DEDUP_SPANS,
+        "corpus_vocab_stats": W.SQL_CORPUS_VOCAB_STATS,
     }

@@ -1,0 +1,458 @@
+"""Web-corpus curation operators over the ``documents`` table.
+
+Round-3 additions beyond the reference's own surface (SURVEY.md §2 lists no
+corpus-level curation ops — the reference stops at per-document extraction):
+the operators a 100-TB training-data pipeline runs AFTER extraction —
+PII scanning/redaction, TF-IDF rare-term extraction, benchmark-contamination
+detection, duplicated-passage (token-span) mining, and corpus vocabulary
+statistics. Every operator has an exact DuckDB oracle (integer/string
+outputs only — no float accumulation — so the driver's value hash matches
+at any parallelism).
+
+Scale notes (the design constraints each operator is built around):
+
+- Tokenization is the whitespace split shared with queries.py's token ops,
+  so the SQL oracle (``regexp_split_to_array``) matches byte-for-byte.
+- Anything corpus-wide (document frequency, span multiplicity, vocabulary)
+  is PRE-AGGREGATED inside ``map_batches`` before its groupby, so the
+  shuffle moves (token, partial_count) rows — never text.
+- The benchmark n-gram set in ``doc_contamination`` is the one genuinely
+  small side (benchmark suites are ~10^5 grams in practice): broadcast once
+  via ``ray.put``, read per actor — never re-shipped per batch.
+- Document-frequency join-back in ``doc_tfidf_top_terms`` uses the general
+  co-partitioned ``hash_join`` (relational.py) keyed on the token string —
+  vocabulary is fact-sized at web scale, so no driver collect / broadcast.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from typing import List
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Sum
+
+from .queries import _pq, _read
+from .relational import hash_join
+
+# ---------------------------------------------------------------------------
+# tokenization shared with the SQL oracles
+# ---------------------------------------------------------------------------
+
+_WS_RX = re.compile(r"\s+")
+
+
+def _tokens(text: str) -> List[str]:
+    """Whitespace tokens, empty strings dropped — byte-identical to DuckDB's
+    ``list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')``."""
+    return [t for t in _WS_RX.split(text) if t]
+
+
+# ---------------------------------------------------------------------------
+# PII scan / redaction
+# ---------------------------------------------------------------------------
+
+# Patterns restricted to constructs Python `re` and DuckDB's RE2 interpret
+# identically (no lookaround, ASCII classes, bounded repeats).
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+PII_PHONE = r"\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}"
+
+
+def q_doc_pii_scan(sf_dir: str) -> rd.Dataset:
+    """Per-document PII hit counts + redacted text.
+
+    Counts are taken on the RAW text (patterns evaluated independently);
+    redaction applies email -> ipv4 -> phone in that fixed order on both
+    sides, so overlap resolution is identical. Pure per-batch map — no
+    shuffle; vectorized pandas ``str.count`` / ``str.replace`` (compiled
+    once at module import)."""
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        text = df["text"].fillna("")
+        out = pd.DataFrame()
+        out["doc_id"] = df["doc_id"]
+        out["n_emails"] = text.str.count(PII_EMAIL).astype("int64")
+        out["n_ipv4"] = text.str.count(PII_IPV4).astype("int64")
+        out["n_phones"] = text.str.count(PII_PHONE).astype("int64")
+        out["text_redacted"] = (
+            text.str.replace(PII_EMAIL, "[EMAIL]", regex=True)
+            .str.replace(PII_IPV4, "[IP]", regex=True)
+            .str.replace(PII_PHONE, "[PHONE]", regex=True)
+        )
+        return out
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        f, batch_format="pandas"
+    )
+
+
+SQL_DOC_PII_SCAN = f"""
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '{PII_EMAIL}')) AS BIGINT) AS n_emails,
+  CAST(len(regexp_extract_all(text, '{PII_IPV4}')) AS BIGINT) AS n_ipv4,
+  CAST(len(regexp_extract_all(text, '{PII_PHONE}')) AS BIGINT) AS n_phones,
+  regexp_replace(regexp_replace(regexp_replace(text,
+      '{PII_EMAIL}', '[EMAIL]', 'g'),
+      '{PII_IPV4}', '[IP]', 'g'),
+      '{PII_PHONE}', '[PHONE]', 'g') AS text_redacted
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF rare-term extraction (document frequency + co-partitioned join-back)
+# ---------------------------------------------------------------------------
+
+TFIDF_TOPK = 3
+
+_PAIR_SCHEMA = pa.schema([("doc_id", pa.int64()), ("token", pa.string())])
+_TFIDF_SCHEMA = pa.schema(
+    [("doc_id", pa.int64()), ("token", pa.string()), ("df", pa.int64())]
+)
+
+
+def _distinct_token_pairs(t: pa.Table) -> pa.Table:
+    """Explode each doc into its DISTINCT tokens: (doc_id, token) rows."""
+    ids: List[int] = []
+    toks: List[str] = []
+    for doc_id, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        for tok in sorted(set(_tokens(text or ""))):
+            ids.append(doc_id)
+            toks.append(tok)
+    return pa.Table.from_arrays(
+        [pa.array(ids, pa.int64()), pa.array(toks, pa.string())],
+        schema=_PAIR_SCHEMA,
+    )
+
+
+def q_doc_tfidf_top_terms(sf_dir: str) -> rd.Dataset:
+    """Top-3 RAREST distinct tokens per document (df asc, token asc) — the
+    integer-exact core of TF-IDF keyword extraction (the idf ordering
+    without the float log, so the driver hash is parallelism-independent).
+
+    Topology (all fact-sized — vocabulary does NOT fit a driver broadcast at
+    web scale): distinct (doc_id, token) pairs -> groupby(token) count = df
+    -> co-partitioned ``hash_join`` back to the pairs on the token string ->
+    per-doc top-k inside ``map_groups``. Ray's hash aggregate pre-combines
+    the df counts per block, so the first shuffle moves (token, partial)
+    rows; the join shuffle moves (token, df) + (token, doc_id) rows — text
+    never leaves the tokenizing stage."""
+    pairs = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        _distinct_token_pairs, batch_format="pyarrow"
+    )
+    df = pairs.groupby("token").aggregate(Count(alias_name="df"))
+    joined = hash_join(
+        df,
+        _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+            _distinct_token_pairs, batch_format="pyarrow"
+        ),
+        left_on="token",
+        right_on="token",
+        key_type=pa.string(),
+        left_fields=[pa.field("df", pa.int64())],
+        right_fields=[pa.field("doc_id", pa.int64())],
+    )
+
+    def topk(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _TFIDF_SCHEMA.empty_table()
+        order = pc.sort_indices(
+            t, sort_keys=[("df", "ascending"), ("token", "ascending")]
+        )[:TFIDF_TOPK]
+        taken = t.take(order)
+        return pa.Table.from_arrays(
+            [taken["doc_id"], taken["token"], pc.cast(taken["df"], pa.int64())],
+            schema=_TFIDF_SCHEMA,
+        )
+
+    return joined.groupby("doc_id").map_groups(topk, batch_format="pyarrow")
+
+
+SQL_DOC_TFIDF_TOP_TERMS = f"""
+WITH t AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))) AS token
+  FROM documents
+),
+df AS (SELECT token, count(*) AS df FROM t GROUP BY token),
+r AS (
+  SELECT t.doc_id, t.token, df.df,
+         row_number() OVER (PARTITION BY t.doc_id ORDER BY df.df ASC, t.token ASC) AS rn
+  FROM t JOIN df USING (token)
+)
+SELECT doc_id, token, CAST(df AS BIGINT) AS df FROM r WHERE rn <= {TFIDF_TOPK}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Benchmark-contamination detection (broadcast n-gram set)
+# ---------------------------------------------------------------------------
+
+CONTAM_NGRAM = 8
+CONTAM_BENCH_MOD = 97  # doc_id % MOD == 0 defines the deterministic "benchmark" split
+
+
+def _doc_grams(text: str) -> set:
+    toks = _tokens(text or "")
+    return {
+        " ".join(toks[i : i + CONTAM_NGRAM])
+        for i in range(max(len(toks) - CONTAM_NGRAM + 1, 0))
+    }
+
+
+def q_doc_contamination(sf_dir: str) -> rd.Dataset:
+    """Benchmark-contamination scan: count, per document, its distinct
+    overlapping word-8-grams that appear in the benchmark split
+    (``doc_id % 97 == 0`` — a deterministic stand-in for a real eval suite).
+
+    The benchmark gram set is the textbook BROADCAST small side: built once
+    (batch-level modulo filter — pyarrow dataset expressions can't push a
+    modulo to the read, so benchmark rows are selected right after the scan,
+    before any tokenization), ``ray.put`` once, read by reference in every
+    scan task — never a shuffle join against the corpus. At 100 TB the
+    corpus side stays a pure streaming map; the broadcast is bounded by the
+    benchmark size (real suites are ~10^5 grams)."""
+
+    def bench_grams(t: pa.Table) -> pa.Table:
+        mask = pc.equal(
+            pc.subtract(
+                t["doc_id"],
+                pc.multiply(
+                    pc.divide(t["doc_id"], CONTAM_BENCH_MOD), CONTAM_BENCH_MOD
+                ),
+            ),
+            0,
+        )
+        kept = t.filter(mask)
+        grams: set = set()
+        for x in kept["text"].to_pylist():
+            grams |= _doc_grams(x)
+        return pa.Table.from_arrays(
+            [pa.array(sorted(grams), pa.string())], names=["gram"]
+        )
+
+    bench = (
+        rd.read_parquet(_pq(sf_dir, "documents"), columns=["doc_id", "text"])
+        .map_batches(bench_grams, batch_format="pyarrow")
+        .to_pandas()
+    )
+    gram_set = frozenset(bench["gram"])
+    ref = ray.put(gram_set)
+
+    def scan(df: pd.DataFrame) -> pd.DataFrame:
+        grams = ray.get(ref)
+        out = pd.DataFrame()
+        out["doc_id"] = df["doc_id"]
+        out["n_benchmark_grams"] = [
+            len(_doc_grams(t) & grams) for t in df["text"].fillna("")
+        ]
+        out["n_benchmark_grams"] = out["n_benchmark_grams"].astype("int64")
+        out["is_benchmark"] = (df["doc_id"] % CONTAM_BENCH_MOD == 0).astype("bool")
+        return out
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        scan, batch_format="pandas"
+    )
+
+
+SQL_DOC_CONTAMINATION = f"""
+WITH t AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS toks
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(toks[i+1:i+{CONTAM_NGRAM}], ' ')
+                        for i in range(greatest(len(toks) - {CONTAM_NGRAM - 1}, 0))]) AS grams
+  FROM t
+),
+e AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+b AS (SELECT DISTINCT gram FROM e WHERE doc_id % {CONTAM_BENCH_MOD} = 0),
+h AS (SELECT e.doc_id, count(*) AS n FROM e JOIN b USING (gram) GROUP BY e.doc_id)
+SELECT d.doc_id,
+       CAST(coalesce(h.n, 0) AS BIGINT) AS n_benchmark_grams,
+       (d.doc_id % {CONTAM_BENCH_MOD} = 0) AS is_benchmark
+FROM documents d LEFT JOIN h USING (doc_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Duplicated-passage mining (non-overlapping token-span multiplicity)
+# ---------------------------------------------------------------------------
+
+SPAN_W = 10  # tokens per window, non-overlapping stride
+
+_SPAN_PARTIAL_SCHEMA = pa.schema(
+    [("win_hash", pa.string()), ("doc_id", pa.int64()), ("n", pa.int64())]
+)
+_SPAN_OUT_SCHEMA = pa.schema(
+    [
+        ("win_hash", pa.string()),
+        ("n_occurrences", pa.int64()),
+        ("n_docs", pa.int64()),
+        ("first_doc", pa.int64()),
+    ]
+)
+
+
+def q_dedup_spans(sf_dir: str) -> rd.Dataset:
+    """Duplicated-passage mining (Lee et al. 2022 "Deduplicating Training
+    Data Makes Language Models Better", coarse-grained variant): hash every
+    non-overlapping 10-token window, report windows occurring >= 2 times
+    across the corpus with occurrence/doc counts.
+
+    The shuffle moves (win_hash, doc_id, partial_count) — the 32-hex-char
+    hash, never the window text (the round-2 MinHash lesson applied from the
+    start). Per-batch pre-aggregation collapses within-doc repeats before
+    the exchange, and the final group task sees one row per (window, doc,
+    block) — bounded even when a boilerplate passage repeats 10^6 times
+    inside one shard."""
+
+    def windows(t: pa.Table) -> pa.Table:
+        counts: dict = {}
+        for doc_id, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            toks = _tokens(text or "")
+            for i in range(len(toks) // SPAN_W):
+                win = " ".join(toks[i * SPAN_W : (i + 1) * SPAN_W])
+                key = (hashlib.md5(win.encode()).hexdigest(), doc_id)
+                counts[key] = counts.get(key, 0) + 1
+        if not counts:
+            return _SPAN_PARTIAL_SCHEMA.empty_table()
+        hashes, ids, ns = zip(*((h, d, n) for (h, d), n in counts.items()))
+        return pa.Table.from_arrays(
+            [
+                pa.array(hashes, pa.string()),
+                pa.array(ids, pa.int64()),
+                pa.array(ns, pa.int64()),
+            ],
+            schema=_SPAN_PARTIAL_SCHEMA,
+        )
+
+    def reduce_group(t: pa.Table) -> pa.Table:
+        n_occ = pc.sum(t["n"]).as_py() or 0
+        if n_occ < 2:
+            return _SPAN_OUT_SCHEMA.empty_table()
+        return pa.Table.from_arrays(
+            [
+                t["win_hash"][:1],
+                pa.array([n_occ], pa.int64()),
+                pa.array([pc.count_distinct(t["doc_id"]).as_py()], pa.int64()),
+                pa.array([pc.min(t["doc_id"]).as_py()], pa.int64()),
+            ],
+            schema=_SPAN_OUT_SCHEMA,
+        )
+
+    return (
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(windows, batch_format="pyarrow")
+        .groupby("win_hash")
+        .map_groups(reduce_group, batch_format="pyarrow")
+    )
+
+
+SQL_DEDUP_SPANS = f"""
+WITH t AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS toks
+  FROM documents
+),
+w AS (
+  SELECT doc_id, array_to_string(toks[(i*{SPAN_W}+1):(i*{SPAN_W}+{SPAN_W})], ' ') AS win
+  FROM t, unnest(range(len(toks) // {SPAN_W})) AS u(i)
+),
+g AS (
+  SELECT win, count(*) AS n_occurrences, count(DISTINCT doc_id) AS n_docs, min(doc_id) AS first_doc
+  FROM w GROUP BY win
+)
+SELECT md5(win) AS win_hash, CAST(n_occurrences AS BIGINT) AS n_occurrences,
+       CAST(n_docs AS BIGINT) AS n_docs, first_doc
+FROM g WHERE n_occurrences >= 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Corpus vocabulary statistics
+# ---------------------------------------------------------------------------
+
+_VOCAB_PARTIAL_SCHEMA = pa.schema([("token", pa.string()), ("n", pa.int64())])
+
+
+def q_corpus_vocab_stats(sf_dir: str) -> pd.DataFrame:
+    """One-row corpus vocabulary summary: vocab size, total token count,
+    hapax count (tokens occurring exactly once), min/max token.
+
+    Two-level aggregation: per-batch token counts (pandas explode +
+    value_counts — the shuffle input is (token, partial) not text), one
+    vocabulary-keyed groupby-sum, then per-BLOCK stat partials merged on the
+    driver (O(blocks) rows — the partial-top-k pattern applied to scalar
+    stats)."""
+
+    def partial_counts(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].fillna("").str.split(r"\s+", regex=True).explode()
+        toks = toks[toks.astype(bool) & toks.notna()]
+        vc = toks.value_counts()
+        return pd.DataFrame(
+            {"token": vc.index.astype(str), "n": vc.values.astype("int64")}
+        )
+
+    def block_stats(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "vocab_size": pa.array([], pa.int64()),
+                    "total_tokens": pa.array([], pa.int64()),
+                    "hapax_count": pa.array([], pa.int64()),
+                    "min_token": pa.array([], pa.string()),
+                    "max_token": pa.array([], pa.string()),
+                }
+            )
+        return pa.table(
+            {
+                "vocab_size": pa.array([t.num_rows], pa.int64()),
+                "total_tokens": pa.array([pc.sum(t["n"]).as_py()], pa.int64()),
+                "hapax_count": pa.array(
+                    [pc.sum(pc.cast(pc.equal(t["n"], 1), pa.int64())).as_py()],
+                    pa.int64(),
+                ),
+                "min_token": pa.array([pc.min(t["token"]).as_py()], pa.string()),
+                "max_token": pa.array([pc.max(t["token"]).as_py()], pa.string()),
+            }
+        )
+
+    partials = (
+        _read(sf_dir, "documents", ["text"])
+        .map_batches(partial_counts, batch_format="pandas")
+        .groupby("token")
+        .aggregate(Sum("n", alias_name="n"))
+        .map_batches(block_stats, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return pd.DataFrame(
+        {
+            "vocab_size": [int(partials["vocab_size"].sum())],
+            "total_tokens": [int(partials["total_tokens"].sum())],
+            "hapax_count": [int(partials["hapax_count"].sum())],
+            "min_token": [partials["min_token"].min()],
+            "max_token": [partials["max_token"].max()],
+        }
+    )
+
+
+SQL_CORPUS_VOCAB_STATS = """
+WITH tok AS (
+  SELECT unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS token
+  FROM documents
+),
+c AS (SELECT token, count(*) AS n FROM tok GROUP BY token)
+SELECT CAST(count(*) AS BIGINT) AS vocab_size,
+       CAST(sum(n) AS BIGINT) AS total_tokens,
+       CAST(count(*) FILTER (n = 1) AS BIGINT) AS hapax_count,
+       min(token) AS min_token, max(token) AS max_token
+FROM c
+"""

@@ -1,0 +1,130 @@
+"""Web-corpus curation operators (pipelines/webtext.py): PII scan/redaction,
+TF-IDF rare terms, benchmark contamination, duplicated-passage mining,
+corpus vocabulary stats. Semantics on constructed inputs; the DuckDB oracles
+cover the sf-scale hash parity."""
+
+import pyarrow as pa
+import pytest
+
+
+def _docs(tmp_path, texts, ids=None):
+    import pyarrow.parquet as pq
+
+    ids = ids if ids is not None else list(range(len(texts)))
+    t = pa.Table.from_pylist(
+        [{"doc_id": i, "text": s, "lang": "en"} for i, s in zip(ids, texts)]
+    )
+    d = tmp_path / "sf"
+    d.mkdir(exist_ok=True)
+    pq.write_table(t, str(d / "documents.parquet"))
+    return str(d)
+
+
+class TestPiiScan:
+    def test_counts_and_redaction(self, ray_session, tmp_path):
+        from service1_text_extraction_ray.pipelines.webtext import q_doc_pii_scan
+
+        texts = [
+            "mail a@b.co and c.d@e.org now",
+            "host 10.0.0.1 dials 555-123-4567",
+            "clean text with nothing sensitive",
+        ]
+        out = q_doc_pii_scan(_docs(tmp_path, texts)).to_pandas().sort_values("doc_id")
+        assert out["n_emails"].tolist() == [2, 0, 0]
+        assert out["n_ipv4"].tolist() == [0, 1, 0]
+        assert out["n_phones"].tolist() == [0, 1, 0]
+        assert out["text_redacted"].iloc[0] == "mail [EMAIL] and [EMAIL] now"
+        assert out["text_redacted"].iloc[1] == "host [IP] dials [PHONE]"
+        assert out["text_redacted"].iloc[2] == texts[2]
+
+
+class TestTfidfTopTerms:
+    def test_rarest_terms_win(self, ray_session, tmp_path):
+        from service1_text_extraction_ray.pipelines.webtext import (
+            TFIDF_TOPK,
+            q_doc_tfidf_top_terms,
+        )
+
+        # "common" in every doc (df=3); each doc also has unique tokens (df=1)
+        texts = [
+            "common alpha beta gamma",
+            "common delta epsilon",
+            "common zeta",
+        ]
+        out = (
+            q_doc_tfidf_top_terms(_docs(tmp_path, texts))
+            .to_pandas()
+            .sort_values(["doc_id", "df", "token"])
+        )
+        d0 = out[out["doc_id"] == 0]
+        assert len(d0) == TFIDF_TOPK
+        # top-3 rarest for doc 0 are its df=1 tokens, token-asc
+        assert d0["token"].tolist() == ["alpha", "beta", "gamma"]
+        assert d0["df"].tolist() == [1, 1, 1]
+        d2 = out[out["doc_id"] == 2]
+        # doc 2 only has 2 distinct tokens -> both returned, rarest first
+        assert d2["token"].tolist() == ["zeta", "common"]
+        assert d2["df"].tolist() == [1, 3]
+
+
+class TestContamination:
+    def test_benchmark_overlap_counted(self, ray_session, tmp_path):
+        from service1_text_extraction_ray.pipelines.webtext import (
+            CONTAM_BENCH_MOD,
+            CONTAM_NGRAM,
+            q_doc_contamination,
+        )
+
+        bench_text = " ".join(f"w{i}" for i in range(CONTAM_NGRAM + 1))  # 2 grams
+        contaminated = bench_text  # shares both grams
+        clean = " ".join(f"z{i}" for i in range(CONTAM_NGRAM + 1))
+        sf = _docs(
+            tmp_path,
+            [bench_text, contaminated, clean],
+            ids=[0, 1, 2],  # doc 0 is benchmark (0 % MOD == 0)
+        )
+        assert 1 % CONTAM_BENCH_MOD != 0 and 2 % CONTAM_BENCH_MOD != 0
+        out = q_doc_contamination(sf).to_pandas().sort_values("doc_id")
+        assert out["is_benchmark"].tolist() == [True, False, False]
+        assert out["n_benchmark_grams"].tolist() == [2, 2, 0]
+
+
+class TestDedupSpans:
+    def test_cross_doc_and_within_doc_multiplicity(self, ray_session, tmp_path):
+        from service1_text_extraction_ray.pipelines.webtext import SPAN_W, q_dedup_spans
+
+        passage = " ".join(f"p{i}" for i in range(SPAN_W))
+        uniq_a = " ".join(f"a{i}" for i in range(SPAN_W))
+        uniq_b = " ".join(f"b{i}" for i in range(SPAN_W))
+        texts = [
+            passage + " " + uniq_a,            # passage once
+            passage + " " + passage,           # passage twice within one doc
+            uniq_b,                            # no duplicated window
+        ]
+        out = q_dedup_spans(_docs(tmp_path, texts)).to_pandas()
+        assert len(out) == 1  # only the shared passage crosses the >=2 bar
+        row = out.iloc[0]
+        assert row["n_occurrences"] == 3
+        assert row["n_docs"] == 2
+        assert row["first_doc"] == 0
+
+    def test_partial_windows_dropped(self, ray_session, tmp_path):
+        from service1_text_extraction_ray.pipelines.webtext import SPAN_W, q_dedup_spans
+
+        short = " ".join(f"s{i}" for i in range(SPAN_W - 1))  # < one window
+        out = q_dedup_spans(_docs(tmp_path, [short, short])).to_pandas()
+        assert len(out) == 0
+
+
+class TestCorpusVocabStats:
+    def test_counts(self, ray_session, tmp_path):
+        from service1_text_extraction_ray.pipelines.webtext import q_corpus_vocab_stats
+
+        out = q_corpus_vocab_stats(
+            _docs(tmp_path, ["a b b", "b c", ""])
+        )
+        assert out["vocab_size"].tolist() == [3]
+        assert out["total_tokens"].tolist() == [5]
+        assert out["hapax_count"].tolist() == [2]  # a, c
+        assert out["min_token"].tolist() == ["a"]
+        assert out["max_token"].tolist() == ["c"]
