@@ -138,6 +138,7 @@ QUERY_NAMES = [
     "pricing_summary", "segment_order_stats", "top_customers_by_revenue",
     "distinct_parts_per_flag", "events_hourly", "events_sessionize",
     "events_asof_orders", "events_sliding_window", "top_orders_per_segment",
+    "doc_pii_scan", "doc_tfidf_top_terms", "dedup_spans",
 ]
 
 
