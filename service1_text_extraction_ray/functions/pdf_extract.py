@@ -11,8 +11,13 @@ Supported subset (documented per SURVEY.md §7.4 item 2; the fixture writer in
 ``functions/synth.py`` emits only this subset, and real-world deviations
 surface as per-page/per-doc ``parse_failure`` rows, never exceptions):
 
-- PDF 1.x, classic (non-object-stream) layout: ``N G obj ... endobj`` bodies,
-  dictionaries ``<< ... >>``, direct ``/Length`` integers on streams.
+- PDF 1.x layout: ``N G obj ... endobj`` bodies, dictionaries ``<< ... >>``,
+  direct ``/Length`` integers on streams (an indirect ``/Length N 0 R``
+  falls back to the ``endstream`` scan), PLUS 1.5+ object streams: every
+  ``/Type /ObjStm`` is decoded and its contained objects unpacked into the
+  object map (``_expand_object_streams``), so compressed-catalog documents
+  parse; trailer fields are also read from ``/Type /XRef`` stream dicts
+  (cross-reference-stream files have no ``trailer`` keyword).
 - Document structure: ``trailer`` dict (or a ``/Type /Catalog`` object) ->
   ``/Root`` -> ``/Pages`` tree with nested ``/Kids`` -> ``/Type /Page``
   leaves; ``/MediaBox`` inherited or per-page; ``/Contents`` as a single ref
@@ -129,7 +134,10 @@ def _skip_string(data: bytes, i: int) -> int:
     raise PdfParseError("unterminated string")
 
 
-_LENGTH_RE = re.compile(rb"/Length\s+(\d+)")
+# Direct /Length only: an indirect '/Length 12 0 R' must NOT match as 12
+# (or backtrack to 1) — (?!\d) pins the full number, the second lookahead
+# rejects the reference form so the endstream-scan fallback resolves it.
+_LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?!\d)(?!\s+\d+\s+R)")
 
 
 @dataclass
@@ -274,6 +282,69 @@ def _decode_stream(
     return raw
 
 
+_N_RE = re.compile(rb"/N\s+(\d+)")
+_FIRST_RE = re.compile(rb"/First\s+(\d+)")
+
+
+def _expand_object_streams(
+    objects: Dict[int, _PdfObject],
+    file_key: Optional[bytes] = None,
+    aes: bool = False,
+) -> None:
+    """Unpack PDF 1.5+ object streams (/Type /ObjStm, ISO 32000-1 §7.5.7)
+    into the object map, in place.
+
+    Object-stream PDFs keep most non-stream objects (catalog, page tree,
+    fonts) compressed INSIDE a stream, so the raw-file scan in
+    ``_scan_objects`` cannot see them — this pass decodes each ObjStm and
+    parses its ``/N`` header pairs (objnum, offset-from-/First). Contained
+    objects never carry streams (§7.5.7 forbids it), so each body is either
+    a dictionary or a bare value; both are stored as ``dict_bytes`` (every
+    downstream consumer regexes over that field). First definition wins, as
+    in the scan: a classic-layout object shadows an ObjStm twin.
+
+    In encrypted documents the ObjStm stream itself is encrypted (strings
+    inside it are NOT re-encrypted — the whole stream was), so callers pass
+    the armed ``file_key``; PdfDocument defers this pass until the key
+    exists. Malformed ObjStm contents raise PdfParseError -> counted
+    parse-failure row, never junk objects.
+    """
+    for num in sorted(objects):
+        obj = objects[num]
+        tm = _TYPE_RE.search(obj.dict_bytes)
+        if tm is None or tm.group(1) != b"ObjStm" or obj.stream is None:
+            continue
+        data = _decode_stream(obj, file_key, aes)
+        nm = _N_RE.search(obj.dict_bytes)
+        fm = _FIRST_RE.search(obj.dict_bytes)
+        if nm is None or fm is None:
+            raise PdfParseError("ObjStm without direct /N and /First")
+        n_objs = int(nm.group(1))
+        first = int(fm.group(1))
+        if first > len(data):
+            raise PdfParseError("ObjStm /First beyond stream end")
+        header = data[:first].split()
+        if len(header) < 2 * n_objs:
+            raise PdfParseError("ObjStm header truncated")
+        try:
+            pairs = [
+                (int(header[2 * i]), int(header[2 * i + 1])) for i in range(n_objs)
+            ]
+        except ValueError as e:
+            raise PdfParseError(f"ObjStm header not integer pairs: {e}") from e
+        for i, (inner_num, off) in enumerate(pairs):
+            start = first + off
+            end = first + pairs[i + 1][1] if i + 1 < n_objs else len(data)
+            if start > len(data) or end > len(data) or start > end:
+                raise PdfParseError("ObjStm offset out of range")
+            body = data[start:end].strip()
+            if inner_num in objects:
+                continue
+            if body.startswith(b"<<"):
+                body, _ = _scan_dict(body, 0)
+            objects[inner_num] = _PdfObject(inner_num, body, None, 0)
+
+
 def _find_root(data: bytes, objects: Dict[int, _PdfObject]) -> int:
     m = None
     for m in re.finditer(rb"trailer", data):
@@ -283,6 +354,14 @@ def _find_root(data: bytes, objects: Dict[int, _PdfObject]) -> int:
         if data[i : i + 2] == b"<<":
             tdict, _ = _scan_dict(data, i)
             rm = _NAME_VAL_RE["Root"].search(tdict)
+            if rm:
+                return int(rm.group(1))
+    # Cross-reference-stream PDFs (1.5+) have no 'trailer' keyword: the
+    # trailer fields live in the /Type /XRef stream dictionary (§7.5.8).
+    for num in sorted(objects):
+        tm = _TYPE_RE.search(objects[num].dict_bytes)
+        if tm and tm.group(1) == b"XRef":
+            rm = _NAME_VAL_RE["Root"].search(objects[num].dict_bytes)
             if rm:
                 return int(rm.group(1))
     # Fallback: first /Type /Catalog object, in object-number order.
@@ -834,7 +913,8 @@ def _parse_string_entry(dict_bytes: bytes, name: bytes) -> Optional[bytes]:
 def _find_encrypt_info(
     data: bytes, objects: Dict[int, _PdfObject]
 ) -> Optional[PdfEncryptInfo]:
-    """Locate and parse the /Encrypt dictionary from the (last) trailer.
+    """Locate and parse the /Encrypt dictionary from the (last) trailer,
+    or from a /Type /XRef stream dict when the file has no trailer keyword.
 
     Returns None for unencrypted documents; raises PdfParseError for
     encryption outside the supported subset (non-Standard handler, /V 5
@@ -842,16 +922,25 @@ def _find_encrypt_info(
     Supported: /V 1-2 (RC4) and /V 4 with /StdCF /CFM of V2 (RC4) or AESV2
     (AES-128-CBC, functions/pdf_crypt.py).
     """
+    # Trailer-field candidates: the (last) 'trailer' dict, else any
+    # /Type /XRef stream dict (cross-reference-stream files, §7.5.8).
+    candidates: List[bytes] = []
     m = None
     for m in re.finditer(rb"trailer", data):
         pass
-    if m is None:
-        return None
-    i = _skip_ws(data, m.end())
-    if data[i : i + 2] != b"<<":
-        return None
-    tdict, _ = _scan_dict(data, i)
-    em = _ENCRYPT_REF_RE.search(tdict)
+    if m is not None:
+        i = _skip_ws(data, m.end())
+        if data[i : i + 2] == b"<<":
+            candidates.append(_scan_dict(data, i)[0])
+    for num in sorted(objects):
+        tm = _TYPE_RE.search(objects[num].dict_bytes)
+        if tm and tm.group(1) == b"XRef":
+            candidates.append(objects[num].dict_bytes)
+    tdict = em = None
+    for tdict in candidates:
+        em = _ENCRYPT_REF_RE.search(tdict)
+        if em is not None:
+            break
     if em is None:
         return None
     enc_obj = objects.get(int(em.group(1)))
@@ -921,14 +1010,27 @@ class PdfDocument:
     def __init__(self, payload: bytes) -> None:
         if payload[:5] != b"%PDF-":
             raise PdfParseError("missing %PDF- header")
+        self._payload = payload
         self._objects = _scan_objects(payload)
-        self._root = _find_root(payload, self._objects)
         self._encrypt = _find_encrypt_info(payload, self._objects)
         self._file_key: Optional[bytes] = None
-        if self._encrypt is not None:
-            # Empty-user-password docs open without a prompt.
+        if self._encrypt is None:
+            _expand_object_streams(self._objects)
+        else:
+            # Empty-user-password docs open without a prompt. On success,
+            # authenticate() expands any (encrypted) object streams and
+            # resolves the root with the full object map.
             self.authenticate("")
         self.needs_pass: bool = self._encrypt is not None and self._file_key is None
+        if self.needs_pass:
+            # The catalog may live inside an encrypted ObjStm — defer root
+            # resolution until a later authenticate() arms the key.
+            try:
+                self._root: Optional[int] = _find_root(payload, self._objects)
+            except PdfParseError:
+                self._root = None
+        else:
+            self._root = _find_root(payload, self._objects)
 
     @property
     def is_encrypted(self) -> bool:
@@ -953,6 +1055,11 @@ class PdfDocument:
         if key is None:
             return False
         self._file_key = key
+        # With the key armed, encrypted object streams become readable:
+        # unpack them and resolve a root that was deferred in __init__.
+        _expand_object_streams(self._objects, key, aes=(e.cfm == "AESV2"))
+        if getattr(self, "_root", None) is None:
+            self._root = _find_root(self._payload, self._objects)
         return True
 
     def extract_pages(self, max_pages: Optional[int] = None) -> List[PdfPage]:
@@ -965,6 +1072,8 @@ class PdfDocument:
         """
         if self._encrypt is not None and self._file_key is None:
             raise PdfPasswordError("document requires a password")
+        if self._root is None:  # deferred root never resolved (see __init__)
+            raise PdfParseError("no document catalog")
         page_nums = _page_order(self._objects, self._root)
         total = len(page_nums) if max_pages is None else min(len(page_nums), max_pages)
 

@@ -201,8 +201,18 @@ def _page_content(lines: List[Tuple[float, float, str]], use_tm: bool, rng: rand
 
 def make_pdf(page_line_texts: List[List[str]], rng: random.Random, compress: bool = False,
              two_column: bool = False, use_tm: bool = False,
-             encrypt: dict | None = None) -> bytes:
+             encrypt: dict | None = None, objstm: bool = False) -> bytes:
     """Write a minimal PDF 1.4 with the given per-page line texts.
+
+    ``objstm``: emit the PDF 1.5+ compressed-object layout instead — every
+    non-stream object (catalog, page tree, page dicts, font) is packed into
+    one FlateDecode'd /Type /ObjStm, the trailer fields move into a
+    /Type /XRef stream dict, and the file has NO ``trailer`` keyword.
+    Content streams (and the /Encrypt dict, which must stay readable before
+    the key exists) remain classic objects. Combined with ``encrypt``, the
+    ObjStm stream itself is encrypted under its own object number — the
+    deferred-root path in PdfDocument. Same text operators either way, so
+    extracted text is byte-identical to the classic layout.
 
     Layout: letter MediaBox (612x792), 12pt lines, 14pt leading starting at
     y=720. ``two_column`` splits lines between x=72 and x=320 columns (the
@@ -321,6 +331,49 @@ def make_pdf(page_line_texts: List[List[str]], rng: random.Random, compress: boo
         idhex = crypt["id0"].hex()
         encrypt_clause = f" /Encrypt {encrypt_num} 0 R /ID [<{idhex}> <{idhex}>]"
 
+    if objstm:
+        classic_nums = set(content_nums)
+        if crypt is not None:
+            classic_nums.add(encrypt_num)
+        packed = [
+            (num, body)
+            for num, body in enumerate(objects, start=1)
+            if num not in classic_nums
+        ]
+        bodies = [body for _, body in packed]
+        offs, pos = [], 0
+        for b in bodies:
+            offs.append(pos)
+            pos += len(b) + 1  # one space between bodies
+        header = (
+            " ".join(f"{num} {off}" for (num, _), off in zip(packed, offs)) + "\n"
+        ).encode()
+        first = len(header)
+        data = zlib.compress(header + b" ".join(bodies), 6)
+        objstm_num = len(objects) + 1
+        if crypt is not None:
+            data = crypt["fn"](crypt["file_key"], objstm_num, 0, data)
+        objstm_body = (
+            f"<< /Type /ObjStm /N {len(packed)} /First {first} "
+            f"/Length {len(data)} /Filter /FlateDecode >>\nstream\n"
+        ).encode() + data + b"\nendstream"
+        xref_num = objstm_num + 1
+        size = xref_num + 1
+        xref_entries = b"\x00" * (4 * size)  # entries unread by the parser
+        xref_body = (
+            f"<< /Type /XRef /Size {size} /Root {catalog_num} 0 R{encrypt_clause}"
+            f" /W [1 2 1] /Index [0 {size}] /Length {len(xref_entries)} >>\nstream\n"
+        ).encode() + xref_entries + b"\nendstream"
+        out = bytearray(b"%PDF-1.5\n")
+        for num, body in enumerate(objects, start=1):
+            if num in classic_nums:
+                out += f"{num} 0 obj\n".encode() + body + b"\nendobj\n"
+        out += f"{objstm_num} 0 obj\n".encode() + objstm_body + b"\nendobj\n"
+        xref_pos = len(out)
+        out += f"{xref_num} 0 obj\n".encode() + xref_body + b"\nendobj\n"
+        out += f"startxref\n{xref_pos}\n%%EOF\n".encode()
+        return bytes(out)
+
     out = bytearray(b"%PDF-1.4\n")
     offsets = [0]
     for num, body in enumerate(objects, start=1):
@@ -434,6 +487,9 @@ def make_row(i: int, seed: int = 42) -> dict:
             two_column=two_column,
             use_tm=(cat in (88, 89, 93)),
             encrypt=encrypt,
+            # ~1 in 5 PDFs (incl. encrypted ones) use the PDF 1.5+
+            # compressed-object layout; text goldens are unchanged by it.
+            objstm=(i % 5 == 1),
         )
         text = "" if cat == 94 else "\n\n".join("\n".join(p) for p in pages)
     else:

@@ -9,6 +9,7 @@ from service1_text_extraction_ray.functions.pdf_extract import (
     _interpret_text,
     _read_literal_string,
     _tokenize,
+    open_pdf,
     parse_pdf,
 )
 from service1_text_extraction_ray.functions.synth import make_pdf
@@ -226,3 +227,85 @@ def test_indirect_filter_ref_isolates_to_empty_page():
     filtered = _rewrite_stream_filter(pdf, lambda b: _z.compress(b), b"9 0 R")
     pages = parse_pdf(filtered)
     assert pages[0].text == ""
+
+
+# --------------------------------------------------------------------------
+# PDF 1.5+ object streams (/Type /ObjStm) + cross-reference-stream trailer
+# --------------------------------------------------------------------------
+
+
+def _two_pages():
+    return [
+        [f"Line number {i} with several words here." for i in range(20)],
+        [f"Second page line {i} more words." for i in range(15)],
+    ]
+
+
+def test_objstm_text_matches_classic_layout():
+    """The compressed-object layout must extract byte-identically to the
+    classic layout of the same document (same content streams)."""
+    classic = make_pdf(_two_pages(), rng())
+    packed = make_pdf(_two_pages(), rng(), objstm=True)
+    assert b"trailer" not in packed          # xref-stream file, no trailer
+    assert b"/Type /ObjStm" in packed
+    t_classic = [p.text for p in parse_pdf(classic)]
+    t_packed = [p.text for p in parse_pdf(packed)]
+    assert t_packed == t_classic
+    assert len(t_packed) == 2
+
+
+def test_objstm_with_compressed_contents():
+    t1 = [p.text for p in parse_pdf(make_pdf(_two_pages(), rng(), compress=True))]
+    t2 = [p.text for p in parse_pdf(make_pdf(_two_pages(), rng(), compress=True, objstm=True))]
+    assert t1 == t2
+
+
+@pytest.mark.parametrize("v", [1, 2, 4])
+def test_objstm_encrypted_deferred_root(v):
+    """Encrypted ObjStm: the catalog lives inside an encrypted stream, so
+    root resolution must defer until authenticate() arms the key."""
+    enc = {"user_pw": "sesame", "owner_pw": "own", "v": v}
+    pdf = make_pdf(_two_pages(), rng(), objstm=True, encrypt=enc)
+    doc = open_pdf(pdf)
+    assert doc.needs_pass
+    assert not doc.authenticate("wrong")
+    assert doc.authenticate("sesame")
+    plain = [p.text for p in parse_pdf(make_pdf(_two_pages(), rng()))]
+    assert [p.text for p in doc.extract_pages()] == plain
+
+
+def test_objstm_owner_locked_opens_transparently():
+    enc = {"user_pw": "", "owner_pw": "own", "v": 4}
+    pdf = make_pdf(_two_pages(), rng(), objstm=True, encrypt=enc)
+    doc = open_pdf(pdf)
+    assert not doc.needs_pass
+    assert [p.text for p in doc.extract_pages()] == [
+        p.text for p in parse_pdf(make_pdf(_two_pages(), rng()))
+    ]
+
+
+def test_objstm_truncated_header_raises():
+    pdf = make_pdf([["Some text."]], rng(), objstm=True)
+    # Corrupt /N upward so the header claims more pairs than exist.
+    assert b"/Type /ObjStm /N 4" in pdf
+    bad = pdf.replace(b"/Type /ObjStm /N 4", b"/Type /ObjStm /N 40", 1)
+    with pytest.raises(PdfParseError):
+        parse_pdf(bad)
+
+
+def test_indirect_length_falls_back_to_endstream_scan():
+    """'/Length 12 0 R' must not be misread as a direct length of 12 (nor
+    backtrack to 1): the endstream scan resolves the real extent."""
+    pdf = make_pdf([["Indirect length page text here."]], rng(), compress=False)
+    ref = parse_pdf(pdf)[0].text
+    assert ref
+    # Rewrite the content stream's direct /Length to an indirect reference.
+    import re as _re
+
+    m = _re.search(rb"<< /Length (\d+) /?.*?>>\nstream\n", pdf)
+    assert m is not None
+    rewritten = pdf[: m.start()] + pdf[m.start():].replace(
+        b"/Length " + m.group(1), b"/Length 12 0 R", 1
+    )
+    assert rewritten != pdf
+    assert parse_pdf(rewritten)[0].text == ref
