@@ -966,6 +966,11 @@ MINHASH_BUCKET_CAP = 128  # ids verified per band bucket; beyond this the
                           # dropped (a degenerate bucket of near-identical /
                           # empty docs would otherwise emit O(k^2) pairs)
 
+MINHASH_BROADCAST_TEXT_BYTES = 64 << 20  # candidate-text tables under this
+                                         # are broadcast (ray.put once, read
+                                         # per verify task); above it the
+                                         # co-partitioned hash-join path runs
+
 _EMPTY_JACCARD_PAIRS = {"doc_id_a": "int64", "doc_id_b": "int64", "jaccard_pct": "int64"}
 
 
@@ -983,16 +988,21 @@ def q_dedup_minhash_lsh(sf_dir: str) -> pd.DataFrame:
     deduped across bands with one candidate-grain groupby, the distinct
     candidate ids (a candidate-rate-sized set — the anti-join probe-side
     pattern; a partitioned bloom filter at 10^12 docs) are broadcast to
-    filter the corpus on a second read, and the two texts are attached with
-    two hash_join passes over the FILTERED docs. Text bytes therefore move
-    only for actual candidates, once per side; verification runs per batch
-    with no further shuffle. Cost trade vs round 2: one extra (filtered)
-    corpus read instead of a 16x text exchange — the winning side of the
-    trade whenever candidates are rare, which post-exact-dedup web corpora
-    are. Candidate selection (banding, cap, lowest-ids-kept) and the verify
-    formula are byte-identical to round 2, so the full-pipeline SQL oracle
-    is unchanged. Pytest-verified on planted dups and a 1k-identical-docs
-    skew corpus.
+    filter the corpus on a second read, and the two texts are attached by a
+    topology picked from the MEASURED candidate-text size: under
+    MINHASH_BROADCAST_TEXT_BYTES the filtered texts are broadcast once
+    (ray.put) and verification is a single narrow map over the pairs (zero
+    extra shuffles — each hash join is an all-to-all Sort whose fixed cost
+    dominates at low candidate rates); above it, two co-partitioned
+    hash_join passes attach the texts without any driver copy. Either way
+    text bytes move only for actual candidates, once per side. Cost trade
+    vs round 2: one extra (filtered) corpus read instead of a 16x text
+    exchange — the winning side of the trade whenever candidates are rare,
+    which post-exact-dedup web corpora are. Candidate selection (banding,
+    cap, lowest-ids-kept) and the verify formula are identical in both
+    branches, so the full-pipeline SQL oracle is unchanged; a pytest pins
+    branch equality. Pytest-verified on planted dups and a
+    1k-identical-docs skew corpus.
     """
     import logging
 
@@ -1113,31 +1123,15 @@ def q_dedup_minhash_lsh(sf_dir: str) -> pd.DataFrame:
         .map_batches(candidate_docs, batch_format="pyarrow")
         .materialize()
     )
-    docs_a = docs_f.map_batches(_renamed("text_a"), batch_format="pyarrow")
-    docs_b = docs_f.map_batches(_renamed("text_b"), batch_format="pyarrow")
-    j1 = hash_join(
-        cand, docs_a, left_on="doc_id_a", right_on="doc_id", key_type=pa.int64(),
-        left_fields=[pa.field("doc_id_b", pa.int64())],
-        right_fields=[pa.field("text_a", pa.string())],
-    )
-    j2 = hash_join(
-        j1, docs_b, left_on="doc_id_b", right_on="doc_id", key_type=pa.int64(),
-        left_fields=[pa.field("doc_id_a", pa.int64()),
-                     pa.field("text_a", pa.string())],
-        right_fields=[pa.field("text_b", pa.string())],
-    )
 
     _VERIFIED_SCHEMA = pa.schema([
         ("doc_id_a", pa.int64()), ("doc_id_b", pa.int64()),
         ("jaccard_pct", pa.int64()),
     ])
 
-    def verify(t: pa.Table) -> pa.Table:
+    def _verify_rows(ids_a, ids_b, texts_a, texts_b) -> pa.Table:
         out_a, out_b, out_j = [], [], []
-        for a, b, ta, tb in zip(
-            t["doc_id_a"].to_pylist(), t["doc_id_b"].to_pylist(),
-            t["text_a"].to_pylist(), t["text_b"].to_pylist(),
-        ):
+        for a, b, ta, tb in zip(ids_a, ids_b, texts_a, texts_b):
             sa, sb = _shingles(ta or ""), _shingles(tb or "")
             if not sa and not sb:
                 jac = 100
@@ -1153,7 +1147,56 @@ def q_dedup_minhash_lsh(sf_dir: str) -> pd.DataFrame:
             schema=_VERIFIED_SCHEMA,
         )
 
-    verified = j2.map_batches(verify, batch_format="pyarrow").to_pandas()
+    # Adaptive text attachment, picked by the MEASURED candidate-text size
+    # (the "choose variant by candidate rate" trade from the round-2
+    # review): under the cap, broadcast the candidate texts once via
+    # ray.put and verify in a single narrow map over the pairs — zero
+    # further shuffles (each hash_join is an all-to-all Sort whose fixed
+    # cost dominates at low candidate rates). Over the cap — candidates too
+    # big for one broadcast copy per node — fall back to two co-partitioned
+    # hash joins; text bytes still move only for candidates, once per side.
+    broadcast = docs_f.size_bytes() <= MINHASH_BROADCAST_TEXT_BYTES
+    if broadcast:
+        texts_pd = docs_f.to_pandas()
+        texts_ref = ray.put(
+            dict(zip(texts_pd["doc_id"].astype("int64"), texts_pd["text"]))
+        )
+
+        def verify_broadcast(t: pa.Table) -> pa.Table:
+            texts = ray.get(texts_ref)
+            ids_a = t["doc_id_a"].to_pylist()
+            ids_b = t["doc_id_b"].to_pylist()
+            return _verify_rows(
+                ids_a, ids_b,
+                [texts.get(a, "") for a in ids_a],
+                [texts.get(b, "") for b in ids_b],
+            )
+
+        verified = cand.map_batches(
+            verify_broadcast, batch_format="pyarrow"
+        ).to_pandas()
+    else:
+        docs_a = docs_f.map_batches(_renamed("text_a"), batch_format="pyarrow")
+        docs_b = docs_f.map_batches(_renamed("text_b"), batch_format="pyarrow")
+        j1 = hash_join(
+            cand, docs_a, left_on="doc_id_a", right_on="doc_id", key_type=pa.int64(),
+            left_fields=[pa.field("doc_id_b", pa.int64())],
+            right_fields=[pa.field("text_a", pa.string())],
+        )
+        j2 = hash_join(
+            j1, docs_b, left_on="doc_id_b", right_on="doc_id", key_type=pa.int64(),
+            left_fields=[pa.field("doc_id_a", pa.int64()),
+                         pa.field("text_a", pa.string())],
+            right_fields=[pa.field("text_b", pa.string())],
+        )
+
+        def verify(t: pa.Table) -> pa.Table:
+            return _verify_rows(
+                t["doc_id_a"].to_pylist(), t["doc_id_b"].to_pylist(),
+                t["text_a"].to_pylist(), t["text_b"].to_pylist(),
+            )
+
+        verified = j2.map_batches(verify, batch_format="pyarrow").to_pandas()
     return verified.reset_index(drop=True).astype(_EMPTY_JACCARD_PAIRS)
 
 

@@ -64,6 +64,21 @@ class TestMinHash:
         # no false positives among the unique docs
         assert all(a >= 100 and b >= 100 for a, b in got)
 
+        # Branch equality: forcing the over-cap hash-join text attachment
+        # must produce the identical verified pairs as the broadcast path
+        # (which the small fixture takes by default).
+        from service1_text_extraction_ray.pipelines import queries as Q
+
+        old_cap = Q.MINHASH_BROADCAST_TEXT_BYTES
+        Q.MINHASH_BROADCAST_TEXT_BYTES = 0
+        try:
+            pairs_join = q_dedup_minhash_lsh(str(d))
+        finally:
+            Q.MINHASH_BROADCAST_TEXT_BYTES = old_cap
+        lhs = pairs.sort_values(["doc_id_a", "doc_id_b"]).reset_index(drop=True)
+        rhs = pairs_join.sort_values(["doc_id_a", "doc_id_b"]).reset_index(drop=True)
+        assert lhs.equals(rhs)
+
 
 class TestSimHash:
     def test_deterministic(self):
