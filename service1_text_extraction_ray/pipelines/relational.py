@@ -129,6 +129,10 @@ GROUP BY l_returnflag, l_linestatus
 # ---------------------------------------------------------------------------
 
 
+JOIN_SHARDS = 64  # hash-join co-partitions; per-task memory = shard rows of
+                  # both sides. Set near the cluster task count at scale.
+
+
 def hash_join(
     left: rd.Dataset,
     right: rd.Dataset,
@@ -143,15 +147,22 @@ def hash_join(
     The reference has no hash join (SURVEY.md §2.4) — this is the engine
     operator that replaces the driver-collected broadcast for FACT-sized
     "dimensions" (customer is ~150k rows/sf: a multi-GB driver pin at a 100x
-    corpus). Topology: tag each side with a null-padded union schema + a
-    ``__side`` marker, union the two streams, co-partition with ONE
-    ``groupby(key)`` shuffle, and emit the per-key cross product inside each
-    group task (the ``events_asof_orders`` tag+union shape, generalized).
+    corpus). Topology: tag each side with a null-padded union schema, a
+    ``__side`` marker and a ``__shard`` = hash(key) % JOIN_SHARDS column,
+    union the two streams, co-partition with ONE ``groupby(__shard)``
+    shuffle, and join each shard's two sides with a vectorized Arrow
+    (Acero) inner join inside the group task. Sharding on a key HASH rather
+    than the key itself keeps the group count at JOIN_SHARDS instead of
+    n_distinct_keys — per-key ``map_groups`` paid one Python dispatch per
+    key (15k groups for customer at sf0.1), which dominated the join's
+    wall time; the in-shard Acero join is C-level and many-to-many.
     No driver-side materialization of either input; per-task memory is one
-    key group. Partitioning assumption (custom-operator contract): all rows
-    of one key fit one group task — a pathological hot key needs salting on
-    the many side + replication of the few side, which callers get by
-    pre-reducing (see q_segment_order_stats) or pre-pruning (see
+    shard's rows from both sides (JOIN_SHARDS sizes this — set it near the
+    cluster's task count at scale). Partitioning assumption
+    (custom-operator contract): a shard fits one group task; a pathological
+    hot key still lands whole in one shard and needs salting on the many
+    side + replication of the few side, which callers get by pre-reducing
+    (see q_segment_order_stats) or pre-pruning (see
     q_top_orders_per_segment) before the join.
 
     ``left_fields`` / ``right_fields`` are the payload (non-key) columns of
@@ -164,15 +175,27 @@ def hash_join(
         [pa.field(left_on, key_type)]
         + list(left_fields)
         + list(right_fields)
-        + [pa.field("__side", pa.int8())]
+        + [pa.field("__side", pa.int8()), pa.field("__shard", pa.int64())]
     )
     out_schema = pa.schema(
         [pa.field(left_on, key_type)] + list(left_fields) + list(right_fields)
     )
 
+    def _shard_of(keys: pa.ChunkedArray) -> pa.Array:
+        if pa.types.is_integer(key_type):
+            v = pc.cast(keys, pa.int64()).to_numpy(zero_copy_only=False)
+            return pa.array(np.abs(v) % JOIN_SHARDS, pa.int64())
+        import zlib
+
+        return pa.array(
+            [zlib.crc32(str(x).encode("utf-8")) % JOIN_SHARDS for x in keys.to_pylist()],
+            pa.int64(),
+        )
+
     def _tag(side: int, key_col: str):
         def tag(t: pa.Table) -> pa.Table:
-            arrays = [pc.cast(t[key_col], key_type)]
+            keys = pc.cast(t[key_col], key_type)
+            arrays = [keys]
             for f in left_fields:
                 arrays.append(
                     pc.cast(t[f.name], f.type) if side == 0 else pa.nulls(t.num_rows, f.type)
@@ -182,29 +205,28 @@ def hash_join(
                     pc.cast(t[f.name], f.type) if side == 1 else pa.nulls(t.num_rows, f.type)
                 )
             arrays.append(pa.array(np.full(t.num_rows, side, dtype=np.int8)))
+            arrays.append(_shard_of(keys))
             return pa.Table.from_arrays(arrays, schema=union_schema)
 
         return tag
 
+    left_names = [left_on] + [f.name for f in left_fields]
+    right_names = [left_on] + [f.name for f in right_fields]
+
     def merge(t: pa.Table) -> pa.Table:
         lmask = pc.equal(t["__side"], pa.scalar(0, pa.int8()))
-        lt = t.filter(lmask)
-        rt = t.filter(pc.invert(lmask))
-        nl, nr = lt.num_rows, rt.num_rows
-        if nl == 0 or nr == 0:  # inner join: unmatched keys emit nothing
-            return out_schema.empty_table()
-        li = pa.array(np.repeat(np.arange(nl, dtype=np.int64), nr))
-        ri = pa.array(np.tile(np.arange(nr, dtype=np.int64), nl))
-        arrays = [pc.take(lt[left_on], li)]
-        arrays += [pc.take(lt[f.name], li) for f in left_fields]
-        arrays += [pc.take(rt[f.name], ri) for f in right_fields]
-        return pa.Table.from_arrays(arrays, schema=out_schema)
+        lt = t.filter(lmask).select(left_names)
+        rt = t.filter(pc.invert(lmask)).select(right_names)
+        if lt.num_rows == 0 or rt.num_rows == 0:
+            return out_schema.empty_table()  # inner join: nothing matches
+        joined = lt.join(rt, keys=left_on, join_type="inner")
+        return joined.select(out_schema.names).cast(out_schema)
 
     tagged_left = left.map_batches(_tag(0, left_on), batch_format="pyarrow")
     tagged_right = right.map_batches(_tag(1, right_on), batch_format="pyarrow")
     return (
         tagged_left.union(tagged_right)
-        .groupby(left_on)
+        .groupby("__shard")
         .map_groups(merge, batch_format="pyarrow")
     )
 
