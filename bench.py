@@ -160,6 +160,32 @@ def run_queries() -> dict:
     return times
 
 
+def _mute_empty_block_schema_warnings() -> None:
+    """Drop Ray Data's 'different schema' warning ONLY for empty bundles.
+
+    Every UDF in this repo returns typed empties (hash_join's
+    ``out_schema.empty_table()``, the typed-empty pandas frames in
+    queries.py), but Ray's sort/aggregate internals emit schema-LESS empty
+    bundles for empty shuffle partitions and the streaming executor warns
+    on them (streaming_executor_state.py). Those messages are noise here;
+    a real schema divergence (non-empty new schema) still surfaces.
+    """
+    import logging
+
+    class _F(logging.Filter):
+        def filter(self, record: logging.LogRecord) -> bool:
+            msg = record.getMessage()
+            if "different schema" not in msg:
+                return True
+            tail = msg.split("new schema:", 1)[-1]
+            empty = tail.strip().startswith(".") or "names=[], types=[]" in tail
+            return not empty
+
+    logging.getLogger(
+        "ray.data._internal.execution.streaming_executor_state"
+    ).addFilter(_F())
+
+
 def bench_once() -> dict:
     import ray
 
@@ -170,6 +196,7 @@ def bench_once() -> dict:
         ignore_reinit_error=True,
         logging_level="ERROR",
     )
+    _mute_empty_block_schema_warnings()
     from ray.data import DataContext
 
     ctx = DataContext.get_current()
@@ -464,6 +491,7 @@ def bench_headline_only() -> dict:
         ignore_reinit_error=True, logging_level="ERROR",
         **({"object_store_memory": int(obj)} if obj else {}),
     )
+    _mute_empty_block_schema_warnings()
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
