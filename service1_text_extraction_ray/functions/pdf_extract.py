@@ -345,6 +345,135 @@ def _expand_object_streams(
             objects[inner_num] = _PdfObject(inner_num, body, None, 0)
 
 
+# ---------------------------------------------------------------------------
+# Composite (Type0/CID) fonts: /ToUnicode CMap -> cid -> text mapping
+# ---------------------------------------------------------------------------
+
+_BFCHAR_RE = re.compile(rb"beginbfchar(.*?)endbfchar", re.S)
+_BFRANGE_RE = re.compile(rb"beginbfrange(.*?)endbfrange", re.S)
+_CMAP_TOKEN_RE = re.compile(rb"<([0-9A-Fa-f]+)>|(\[)|(\])")
+_TOUNICODE_CAP = 1 << 16  # one code space; caps degenerate bfranges
+
+
+def _utf16be(hexs: bytes) -> str:
+    if len(hexs) % 2:
+        hexs += b"0"
+    return bytes.fromhex(hexs.decode("ascii")).decode("utf-16-be", "replace")
+
+
+def _dst_plus(hexs: bytes, k: int) -> str:
+    """bfrange increment rule (Adobe CMap spec): the LAST 16-bit code unit
+    of the destination is incremented; earlier units stay fixed."""
+    if len(hexs) % 2:
+        hexs += b"0"
+    raw = bytes.fromhex(hexs.decode("ascii"))
+    if len(raw) < 2:
+        raw = b"\x00" + raw
+    base = int.from_bytes(raw[-2:], "big")
+    raw = raw[:-2] + ((base + k) & 0xFFFF).to_bytes(2, "big")
+    return raw.decode("utf-16-be", "replace")
+
+
+def _parse_tounicode(data: bytes) -> Dict[int, str]:
+    """Parse a /ToUnicode CMap stream (Adobe CMap syntax, the subset every
+    generator emits): ``beginbfchar`` pairs and ``beginbfrange`` triples,
+    including the array-destination form. Source codes are big-endian ints
+    of any byte width (Identity-H uses 2); destinations are UTF-16BE."""
+    out: Dict[int, str] = {}
+    for m in _BFCHAR_RE.finditer(data):
+        toks = [t[0] for t in _CMAP_TOKEN_RE.findall(m.group(1)) if t[0]]
+        for i in range(0, len(toks) - 1, 2):
+            out[int(toks[i], 16)] = _utf16be(toks[i + 1])
+    for m in _BFRANGE_RE.finditer(data):
+        toks = _CMAP_TOKEN_RE.findall(m.group(1))
+        i = 0
+        while i < len(toks):
+            if not (toks[i][0] and i + 2 < len(toks) and toks[i + 1][0]):
+                i += 1
+                continue
+            lo, hi = int(toks[i][0], 16), int(toks[i + 1][0], 16)
+            hi = min(hi, lo + _TOUNICODE_CAP)
+            if toks[i + 2][1]:  # '[' — explicit destination per code
+                i += 3
+                for code in range(lo, hi + 1):
+                    if i >= len(toks) or toks[i][2]:
+                        break
+                    if toks[i][0]:
+                        out[code] = _utf16be(toks[i][0])
+                    i += 1
+                while i < len(toks) and not toks[i][2]:
+                    i += 1
+                i += 1  # skip ']'
+            else:
+                dst = toks[i + 2][0]
+                for k in range(hi - lo + 1):
+                    out[lo + k] = _dst_plus(dst, k)
+                i += 3
+    return out
+
+
+_FONT_RES_RE = re.compile(rb"/Font\s*(<<|\d+\s+\d+\s+R)")
+_FONT_ENTRY_RE = re.compile(rb"/(\w+)\s+(\d+)\s+\d+\s+R")
+_RESOURCES_RE = re.compile(rb"/Resources\s*(<<|\d+\s+\d+\s+R)")
+_TOUNICODE_REF_RE = re.compile(rb"/ToUnicode\s+(\d+)\s+\d+\s+R")
+
+
+def _resolve_dict(
+    objects: Dict[int, _PdfObject], container: bytes, m: "re.Match"
+) -> Optional[bytes]:
+    """Resolve a ``<< ... >>`` found in place or a ``N 0 R`` reference to
+    the dict bytes of the target (None if dangling/malformed)."""
+    spec = m.group(1)
+    if spec == b"<<":
+        try:
+            return _scan_dict(container, m.start(1))[0]
+        except PdfParseError:
+            return None
+    ref = objects.get(int(spec.split()[0]))
+    return ref.dict_bytes if ref is not None else None
+
+
+def _page_cid_fonts(
+    objects: Dict[int, _PdfObject],
+    resources: Optional[bytes],
+    file_key: Optional[bytes],
+    aes: bool,
+) -> Dict[str, Dict[int, str]]:
+    """Map font resource name -> cid->text table for every Type0 font with
+    a /ToUnicode CMap in the page's resources. Single-byte (simple) fonts
+    are absent from the map and keep the latin-1 path; a Type0 font WITHOUT
+    /ToUnicode decodes to U+FFFD per code (documented subset boundary — the
+    reference's fitz reads the embedded font program instead).
+    """
+    if not resources:
+        return {}
+    fm = _FONT_RES_RE.search(resources)
+    if fm is None:
+        return {}
+    font_dict = _resolve_dict(objects, resources, fm)
+    if font_dict is None:
+        return {}
+    fonts: Dict[str, Dict[int, str]] = {}
+    for name, num in _FONT_ENTRY_RE.findall(font_dict):
+        fobj = objects.get(int(num))
+        if fobj is None:
+            continue
+        st = re.search(rb"/Subtype\s*/(\w+)", fobj.dict_bytes)
+        if st is None or st.group(1) != b"Type0":
+            continue
+        tm = _TOUNICODE_REF_RE.search(fobj.dict_bytes)
+        cmap: Dict[int, str] = {}
+        if tm is not None:
+            cobj = objects.get(int(tm.group(1)))
+            if cobj is not None and cobj.stream is not None:
+                try:
+                    cmap = _parse_tounicode(_decode_stream(cobj, file_key, aes))
+                except PdfParseError:
+                    cmap = {}
+        fonts[name.decode("latin-1")] = cmap
+    return fonts
+
+
 def _find_root(data: bytes, objects: Dict[int, _PdfObject]) -> int:
     m = None
     for m in re.finditer(rb"trailer", data):
@@ -377,11 +506,13 @@ _ROTATE_RE = re.compile(rb"/Rotate\s+(-?\d+)")
 
 def _page_order(objects: Dict[int, _PdfObject], root_num: int) -> List[tuple]:
     """Walk Catalog -> Pages -> Kids recursively, yielding
-    ``(page_num, rotate, mediabox | None)`` in document order.
+    ``(page_num, rotate, mediabox | None, resources_dict_bytes | None)``
+    in document order.
 
-    /Rotate and /MediaBox are INHERITABLE page attributes (PDF 1.7 §7.7.3.4):
-    a value on an interior Pages node applies to every leaf beneath it unless
-    the leaf overrides it, so the walk threads the current values down."""
+    /Rotate, /MediaBox and /Resources are INHERITABLE page attributes (PDF
+    1.7 §7.7.3.4): a value on an interior Pages node applies to every leaf
+    beneath it unless the leaf overrides it, so the walk threads the
+    current values down."""
     root = objects.get(root_num)
     if root is None:
         raise PdfParseError("dangling Root reference")
@@ -391,7 +522,7 @@ def _page_order(objects: Dict[int, _PdfObject], root_num: int) -> List[tuple]:
 
     pages: List[tuple] = []
 
-    def walk(num: int, depth: int = 0, rotate: int = 0, box=None) -> None:
+    def walk(num: int, depth: int = 0, rotate: int = 0, box=None, res=None) -> None:
         if depth > 64:
             raise PdfParseError("page tree too deep")
         obj = objects.get(num)
@@ -403,16 +534,19 @@ def _page_order(objects: Dict[int, _PdfObject], root_num: int) -> List[tuple]:
         mb = _MEDIABOX_RE.search(obj.dict_bytes)
         if mb:
             box = tuple(float(x) for x in mb.groups())
+        resm = _RESOURCES_RE.search(obj.dict_bytes)
+        if resm:
+            res = _resolve_dict(objects, obj.dict_bytes, resm) or res
         t = _TYPE_RE.search(obj.dict_bytes)
         tname = t.group(1) if t else b""
         if tname == b"Page":
-            pages.append((num, rotate, box))
+            pages.append((num, rotate, box, res))
             return
         km = _KIDS_RE.search(obj.dict_bytes)
         if km is None:
             raise PdfParseError("Pages node without Kids")
         for rm2 in _REF_RE.finditer(km.group(1)):
-            walk(int(rm2.group(1)), depth + 1, rotate, box)
+            walk(int(rm2.group(1)), depth + 1, rotate, box, res)
 
     walk(int(pm.group(1)))
     if not pages:
@@ -582,13 +716,21 @@ class Span:
     font: str
 
 
-def _interpret_text(content: bytes) -> List[Span]:
+def _interpret_text(
+    content: bytes, cid_fonts: Optional[Dict[str, Dict[int, str]]] = None
+) -> List[Span]:
     """Execute the text operators of a content stream, emitting spans.
 
     Implements ``BT ET Tf Td TD Tm T* TL Tj TJ ' "``. Graphics-state
     operators outside text objects are ignored. TJ numbers adjust x by
     ``-n/1000 * size`` (the PDF kerning rule); strings advance x by an
     approximate glyph width (affects bboxes only, not text bytes).
+
+    ``cid_fonts`` maps font resource names (Tf operand) to cid->text
+    tables for composite (Type0/Identity-H) fonts: while such a font is
+    selected, string bytes are 2-byte big-endian CIDs decoded through the
+    table (unmapped cid -> U+FFFD); other fonts keep the single-byte
+    latin-1 path.
     """
     spans: List[Span] = []
     stack: List[Any] = []
@@ -607,7 +749,16 @@ def _interpret_text(content: bytes) -> List[Span]:
         nonlocal cx
         if not raw:
             return
-        text = raw.decode("latin-1")
+        cmap = cid_fonts.get(font) if cid_fonts else None
+        if cmap is not None:
+            text = "".join(
+                cmap.get(int.from_bytes(raw[i : i + 2], "big"), "�")
+                for i in range(0, len(raw) - 1, 2)
+            )
+        else:
+            text = raw.decode("latin-1")
+        if not text:
+            return
         spans.append(Span(text=text, x=cx, y=cy, size=size, font=font))
         cx += GLYPH_WIDTH_FACTOR * size * len(text)
 
@@ -1079,7 +1230,8 @@ class PdfDocument:
 
         pages: List[PdfPage] = []
         default_box = (0.0, 0.0, 612.0, 792.0)
-        for pnum, rotate, box in page_nums[:total]:
+        aes = self._encrypt is not None and self._encrypt.cfm == "AESV2"
+        for pnum, rotate, box, resources in page_nums[:total]:
             page_obj = self._objects[pnum]
             if box is None:
                 box = default_box
@@ -1087,10 +1239,12 @@ class PdfDocument:
             height = box[3] - box[1]
             try:
                 content = _content_bytes(
-                    self._objects, page_obj, self._file_key,
-                    aes=(self._encrypt is not None and self._encrypt.cfm == "AESV2"),
+                    self._objects, page_obj, self._file_key, aes=aes,
                 )
-                spans = _interpret_text(content)
+                cid_fonts = _page_cid_fonts(
+                    self._objects, resources, self._file_key, aes
+                )
+                spans = _interpret_text(content, cid_fonts or None)
                 pages.append(_assemble_page(spans, width, height, rotate))
             except PdfParseError:
                 pages.append(

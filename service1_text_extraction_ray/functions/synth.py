@@ -165,17 +165,25 @@ def _pdf_escape(s: str) -> str:
     return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
 
 
-def _page_content(lines: List[Tuple[float, float, str]], use_tm: bool, rng: random.Random) -> bytes:
+def _page_content(lines: List[Tuple[float, float, str]], use_tm: bool, rng: random.Random,
+                  cid_map: dict | None = None) -> bytes:
     """Content stream placing each (x, y, text) line. ``use_tm`` emits absolute
     Tm placements in a shuffled order (exercises span reordering); otherwise a
-    classic Td/T* relative walk."""
+    classic Td/T* relative walk. With ``cid_map`` (char -> CID), strings are
+    hex 2-byte-CID strings for a Type0/Identity-H font instead of literals."""
+
+    def enc(s: str) -> str:
+        if cid_map is None:
+            return f"({_pdf_escape(s)})"
+        return "<" + "".join(f"{cid_map[ch]:04x}" for ch in s) + ">"
+
     ops: List[str] = ["BT", "/F1 12 Tf"]
     if use_tm:
         order = list(range(len(lines)))
         rng.shuffle(order)  # seeded; exercises out-of-order placement
         for idx in order:
             x, y, s = lines[idx]
-            ops.append(f"1 0 0 1 {x:g} {y:g} Tm ({_pdf_escape(s)}) Tj")
+            ops.append(f"1 0 0 1 {x:g} {y:g} Tm {enc(s)} Tj")
     else:
         ops.append("14 TL")
         prev_x, prev_y = 0.0, 0.0
@@ -191,18 +199,63 @@ def _page_content(lines: List[Tuple[float, float, str]], use_tm: bool, rng: rand
             if i % 3 == 2:
                 # exercise TJ with kerning numbers
                 mid = max(1, len(s) // 2)
-                ops.append(f"[({_pdf_escape(s[:mid])}) -20 ({_pdf_escape(s[mid:])})] TJ")
+                ops.append(f"[{enc(s[:mid])} -20 {enc(s[mid:])}] TJ")
             else:
-                ops.append(f"({_pdf_escape(s)}) Tj")
+                ops.append(f"{enc(s)} Tj")
             prev_x, prev_y = x, y
     ops.append("ET")
     return "\n".join(ops).encode("latin-1")
 
 
+def _tounicode_cmap(cid_map: dict) -> bytes:
+    """ToUnicode CMap for char->CID ``cid_map``: contiguous codepoint runs
+    (CIDs are assigned in sorted-codepoint order, so runs are contiguous in
+    both) become ``bfrange`` entries, singletons become ``bfchar``."""
+    items = sorted(cid_map.items(), key=lambda kv: kv[1])
+    runs: List[Tuple[int, int, int]] = []  # (cid_lo, cid_hi, cp_lo)
+    for ch, cid in items:
+        cp = ord(ch)
+        if runs and runs[-1][1] == cid - 1 and cp == runs[-1][2] + (cid - runs[-1][0]):
+            runs[-1] = (runs[-1][0], cid, runs[-1][2])
+        else:
+            runs.append((cid, cid, cp))
+    ranges = [r for r in runs if r[1] - r[0] >= 2]
+    chars = [
+        (cid, runs_cp + (cid - cid_lo))
+        for cid_lo, cid_hi, runs_cp in runs
+        if cid_hi - cid_lo < 2
+        for cid in range(cid_lo, cid_hi + 1)
+    ]
+    parts = [
+        "/CIDInit /ProcSet findresource begin\n12 dict begin\nbegincmap\n"
+        "1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange"
+    ]
+    if ranges:
+        parts.append(f"{len(ranges)} beginbfrange")
+        for lo, hi, cp in ranges:
+            parts.append(f"<{lo:04x}> <{hi:04x}> <{cp:04x}>")
+        parts.append("endbfrange")
+    if chars:
+        parts.append(f"{len(chars)} beginbfchar")
+        for cid, cp in chars:
+            parts.append(f"<{cid:04x}> <{cp:04x}>")
+        parts.append("endbfchar")
+    parts.append("endcmap\nCMapName currentdict /CMap defineresource pop\nend\nend")
+    return "\n".join(parts).encode("latin-1")
+
+
 def make_pdf(page_line_texts: List[List[str]], rng: random.Random, compress: bool = False,
              two_column: bool = False, use_tm: bool = False,
-             encrypt: dict | None = None, objstm: bool = False) -> bytes:
+             encrypt: dict | None = None, objstm: bool = False,
+             cid_font: bool = False) -> bytes:
     """Write a minimal PDF 1.4 with the given per-page line texts.
+
+    ``cid_font``: use a composite Type0 font with /Encoding /Identity-H
+    instead of the simple Type1 font — strings in the content streams are
+    hex 2-byte CIDs and a /ToUnicode CMap stream (bfrange for contiguous
+    codepoint runs, bfchar for singletons) maps them back, so extracted
+    text is byte-identical to the simple-font layout. Composable with
+    ``compress`` (CMap FlateDecode'd), ``encrypt`` and ``objstm``.
 
     ``objstm``: emit the PDF 1.5+ compressed-object layout instead — every
     non-stream object (catalog, page tree, page dicts, font) is packed into
@@ -281,6 +334,11 @@ def make_pdf(page_line_texts: List[List[str]], rng: random.Random, compress: boo
             "fn": fn,
         }
 
+    cid_map = None
+    if cid_font:
+        charset = sorted({ch for texts in page_line_texts for t in texts for ch in t})
+        cid_map = {ch: i + 1 for i, ch in enumerate(charset)}
+
     add(f"<< /Type /Catalog /Pages {pages_num} 0 R >>".encode())
     kids = " ".join(f"{p} 0 R" for p in page_nums)
     add(f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode())
@@ -296,7 +354,7 @@ def make_pdf(page_line_texts: List[List[str]], rng: random.Random, compress: boo
         else:
             for j, t in enumerate(texts):
                 lines.append((72.0, 720.0 - 14.0 * j, t))
-        content = _page_content(lines, use_tm, rng)
+        content = _page_content(lines, use_tm, rng, cid_map)
         filt = ""
         if compress:
             content = zlib.compress(content, 6)
@@ -311,7 +369,25 @@ def make_pdf(page_line_texts: List[List[str]], rng: random.Random, compress: boo
         objects.append(
             f"<< /Length {len(content)}{filt} >>\nstream\n".encode() + content + b"\nendstream"
         )
-    add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    if cid_map is not None:
+        tounicode_num = font_num + 1
+        add(
+            f"<< /Type /Font /Subtype /Type0 /BaseFont /SynthCID "
+            f"/Encoding /Identity-H /ToUnicode {tounicode_num} 0 R >>".encode()
+        )
+        cmap_data = _tounicode_cmap(cid_map)
+        cmap_filt = ""
+        if compress:
+            cmap_data = zlib.compress(cmap_data, 6)
+            cmap_filt = " /Filter /FlateDecode"
+        if crypt is not None:
+            cmap_data = crypt["fn"](crypt["file_key"], tounicode_num, 0, cmap_data)
+        objects.append(
+            f"<< /Length {len(cmap_data)}{cmap_filt} >>\nstream\n".encode()
+            + cmap_data + b"\nendstream"
+        )
+    else:
+        add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
 
     encrypt_clause = ""
     if crypt is not None:
@@ -335,6 +411,8 @@ def make_pdf(page_line_texts: List[List[str]], rng: random.Random, compress: boo
         classic_nums = set(content_nums)
         if crypt is not None:
             classic_nums.add(encrypt_num)
+        if cid_map is not None:
+            classic_nums.add(font_num + 1)  # the /ToUnicode CMap stream
         packed = [
             (num, body)
             for num, body in enumerate(objects, start=1)
@@ -488,8 +566,11 @@ def make_row(i: int, seed: int = 42) -> dict:
             use_tm=(cat in (88, 89, 93)),
             encrypt=encrypt,
             # ~1 in 5 PDFs (incl. encrypted ones) use the PDF 1.5+
-            # compressed-object layout; text goldens are unchanged by it.
+            # compressed-object layout, and ~1 in 7 a composite
+            # Type0/Identity-H font with a /ToUnicode CMap; text goldens
+            # are unchanged by either re-encoding.
             objstm=(i % 5 == 1),
+            cid_font=(i % 7 == 2),
         )
         text = "" if cat == 94 else "\n\n".join("\n".join(p) for p in pages)
     else:

@@ -309,3 +309,62 @@ def test_indirect_length_falls_back_to_endstream_scan():
     )
     assert rewritten != pdf
     assert parse_pdf(rewritten)[0].text == ref
+
+
+# --------------------------------------------------------------------------
+# Composite (Type0/Identity-H) fonts with /ToUnicode CMaps
+# --------------------------------------------------------------------------
+
+
+def test_cid_font_matches_simple_font_text():
+    classic = make_pdf(_two_pages(), rng())
+    cid = make_pdf(_two_pages(), rng(), cid_font=True)
+    assert b"/Identity-H" in cid and b"beginbf" in cid
+    assert [p.text for p in parse_pdf(cid)] == [p.text for p in parse_pdf(classic)]
+
+
+def test_cid_font_composes_with_compress_objstm_encrypt():
+    ref = [p.text for p in parse_pdf(make_pdf(_two_pages(), rng()))]
+    pdf = make_pdf(_two_pages(), rng(), compress=True, objstm=True, cid_font=True,
+                   encrypt={"user_pw": "sesame", "owner_pw": "o", "v": 4})
+    doc = open_pdf(pdf)
+    assert doc.authenticate("sesame")
+    assert [p.text for p in doc.extract_pages()] == ref
+
+
+def test_cid_font_carries_non_latin_text():
+    """Unicode beyond latin-1 is only expressible through the CID path —
+    the round-trip must preserve it exactly (incl. the bfrange entries the
+    contiguous codepoint runs produce)."""
+    lines = ["Wörter — čćž § niño", "Ελληνικά κείμενο εδώ", "日本語 テキスト",
+             "abcdefghij klmnopqrs"]  # a long ASCII run -> bfrange
+    pdf = make_pdf([list([lines[0], lines[1], lines[2], lines[3]])], rng(), cid_font=True)
+    assert parse_pdf(pdf)[0].text == "\n".join(lines)
+
+
+def test_cid_font_unmapped_cid_yields_replacement_char():
+    pdf = make_pdf([["abc"]], rng(), cid_font=True)
+    # Point the content at a CID outside the CMap: replace the first hex
+    # string with an unmapped CID (abc -> cids 1..3; 0x7fff is unmapped).
+    import re as _re
+    m = _re.search(rb"<([0-9a-f]{12})>", pdf)
+    assert m is not None
+    pdf2 = pdf.replace(m.group(0), b"<7fff" + m.group(1)[4:] + b">", 1)
+    text = parse_pdf(pdf2)[0].text
+    assert text.startswith("�")
+    assert text[1:] == parse_pdf(pdf)[0].text[1:]
+
+
+def test_tounicode_bfrange_array_destination_form():
+    from service1_text_extraction_ray.functions.pdf_extract import _parse_tounicode
+
+    cmap = b"""
+1 beginbfrange
+<0001> <0003> [<0041> <0042> <0043>]
+endbfrange
+1 beginbfchar
+<0010> <00480049>
+endbfchar
+"""
+    m = _parse_tounicode(cmap)
+    assert m == {1: "A", 2: "B", 3: "C", 0x10: "HI"}
