@@ -65,6 +65,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": Q.q_dedup_exact,
         "dedup_minhash_lsh": Q.q_dedup_minhash_lsh,
         "dedup_jaccard": Q.q_dedup_jaccard,
+        "dedup_clusters": Q.q_dedup_clusters,
         "dedup_simhash": Q.q_dedup_simhash,
         "dedup_simhash_pairs": Q.q_dedup_simhash_pairs,
         "dedup_embedding": Q.q_dedup_embedding,
@@ -139,6 +140,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": Q.SQL_DEDUP_EXACT,
         "dedup_minhash_lsh": Q.sql_dedup_minhash_lsh(),
         "dedup_jaccard": Q.SQL_DEDUP_JACCARD,
+        "dedup_clusters": Q.sql_dedup_clusters(),
         "dedup_simhash": Q.SQL_DEDUP_SIMHASH,
         "dedup_simhash_pairs": Q.SQL_DEDUP_SIMHASH_PAIRS,
         "dedup_embedding": Q.SQL_DEDUP_EMBEDDING,

@@ -1393,6 +1393,87 @@ SELECT da AS doc_id_a, db AS doc_id_b, jaccard_pct FROM scored WHERE jaccard_pct
 """
 
 
+_EMPTY_CLUSTERS = {
+    "doc_id": "int64", "cluster_id": "int64",
+    "cluster_size": "int64", "is_canonical": "int64",
+}
+
+
+def q_dedup_clusters(sf_dir: str) -> pd.DataFrame:
+    """Near-duplicate CLUSTERING: connected components over the verified
+    MinHash+LSH pairs. Every doc that appears in a pair gets the component's
+    minimum doc_id as ``cluster_id``; ``is_canonical`` (1/0) marks that
+    representative — the "keep one per near-dup group" primitive a curation
+    pipeline runs after pair detection. Transitive: a~b and b~c cluster
+    a,b,c together even when (a,c) was never emitted as a pair.
+
+    Topology: the distributed pipeline produces the pairs; the pair list is
+    candidate-rate-bounded (the same measured-size argument that gates the
+    broadcast in q_dedup_minhash_lsh), so union-find runs on the driver
+    over PAIRS ONLY — never texts, never the corpus. At 10^12 docs, when
+    the pair list itself outgrows one machine, the scale path is iterative
+    min-label propagation: repeat (join each node's current label to the
+    edge list, take the min over neighbors) via hash_join + groupby-min
+    until fixpoint — O(component diameter) rounds, and near-dup components
+    are shallow (diameter 1-3 measured at both sf levels).
+
+    Oracle: recursive-CTE transitive closure over the SAME pair SQL
+    (sql_dedup_minhash_lsh nested as a CTE) -> min-reachable-id per node.
+    """
+    pairs = q_dedup_minhash_lsh(sf_dir)
+
+    parent: dict = {}
+
+    def find(x: int) -> int:
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])  # path halving
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs["doc_id_a"], pairs["doc_id_b"]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            # union by min id keeps the root = canonical representative
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+
+    nodes = sorted(set(pairs["doc_id_a"]) | set(pairs["doc_id_b"]))
+    roots = {n: find(int(n)) for n in nodes}
+    sizes: dict = {}
+    for r in roots.values():
+        sizes[r] = sizes.get(r, 0) + 1
+    out = pd.DataFrame(
+        {
+            "doc_id": nodes,
+            "cluster_id": [roots[n] for n in nodes],
+            "cluster_size": [sizes[roots[n]] for n in nodes],
+            "is_canonical": [1 if roots[n] == n else 0 for n in nodes],
+        }
+    )
+    return out.astype(_EMPTY_CLUSTERS)
+
+
+def sql_dedup_clusters() -> str:
+    return f"""
+WITH RECURSIVE pairs AS ({sql_dedup_minhash_lsh()}),
+edges AS (
+  SELECT doc_id_a AS a, doc_id_b AS b FROM pairs
+  UNION SELECT doc_id_b, doc_id_a FROM pairs
+),
+nodes AS (SELECT DISTINCT a FROM edges),
+reach AS (
+  SELECT a, a AS b FROM nodes
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+comp AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a),
+sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY cluster_id)
+SELECT c.doc_id, c.cluster_id, s.cluster_size,
+       CAST(c.doc_id = c.cluster_id AS BIGINT) AS is_canonical
+FROM comp c JOIN sizes s USING (cluster_id)
+"""
+
+
 def _simhash64(text: str) -> int:
     """64-bit SimHash over whitespace tokens (deterministic md5 token
     hashes). Bit votes vectorized across all tokens at once (one (n x 64)

@@ -911,3 +911,36 @@ class TestMediaResizeAndFrames:
         assert [r["frame_idx"] for r in rows] == list(range(want_n))
         assert all(r["ts_ms"] == r["frame_idx"] * FRAME_INTERVAL_MS for r in rows)
         assert all(not r["decode_ok"] for r in rows)
+
+
+class TestDedupClusters:
+    def test_transitive_chain_clusters_together(self, ray_session, tmp_path):
+        """a~b and b~c must land in one cluster even when (a,c) is below
+        the pair threshold — the transitivity the pair list alone lacks."""
+        import pyarrow.parquet as pq
+
+        from service1_text_extraction_ray.pipelines.queries import q_dedup_clusters
+
+        base = [f"tok{i % 41} fil{i % 13} w{i % 7}" for i in range(300)]
+        extra1 = [f"ex1 word{i} more" for i in range(60)]
+        extra2 = [f"ex2 word{i} other" for i in range(60)]
+        rows = [
+            {"doc_id": 1, "text": " ".join(base), "lang": "en"},
+            {"doc_id": 2, "text": " ".join(base + extra1), "lang": "en"},
+            {"doc_id": 3, "text": " ".join(base + extra1 + extra2), "lang": "en"},
+        ]
+        for i in range(10, 40):
+            rows.append({"doc_id": i, "text": f"unique {i} " + " ".join(f"u{i}v{j}" for j in range(120)), "lang": "en"})
+        d = tmp_path / "sf"
+        d.mkdir()
+        pq.write_table(pa.Table.from_pylist(rows), str(d / "documents.parquet"))
+
+        out = q_dedup_clusters(str(d))
+        by_doc = out.set_index("doc_id")
+        assert set(by_doc.index) >= {1, 2, 3}
+        assert by_doc.loc[2, "cluster_id"] == 1 and by_doc.loc[3, "cluster_id"] == 1
+        assert by_doc.loc[1, "cluster_size"] == 3
+        assert by_doc.loc[1, "is_canonical"] == 1
+        assert by_doc.loc[2, "is_canonical"] == 0
+        # unique docs never appear
+        assert set(by_doc.index).isdisjoint(range(10, 40))
