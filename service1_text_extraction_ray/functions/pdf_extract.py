@@ -226,7 +226,7 @@ def _ascii_hex_decode(raw: bytes) -> bytes:
 
 
 def _decode_stream(
-    obj: "_PdfObject", file_key: Optional[bytes] = None, aes: bool = False
+    obj: "_PdfObject", file_key: Optional[bytes] = None, cfm: str = "V2"
 ) -> bytes:
     """Apply the object's /Filter chain (in array order) to its stream.
 
@@ -236,20 +236,27 @@ def _decode_stream(
 
     Decryption (``file_key`` set) is OUTERMOST: stored bytes are
     crypt(filtered(content)), so decrypt first, then defilter (ISO 32000-1
-    §7.6.2 — see functions/pdf_crypt.py). ``aes`` selects the AESV2 crypt
-    filter (/V 4) over RC4 (/V 1-2).
+    §7.6.2 — see functions/pdf_crypt.py). ``cfm`` selects the crypt
+    filter: "V2" (RC4, /V 1-2 and /V 4 /CFM V2), "AESV2" (/V 4) or
+    "AESV3" (/V 5, AES-256 with the file key directly).
     """
     raw = obj.stream
     if file_key is not None:
-        from .pdf_crypt import crypt_object_bytes, decrypt_object_bytes_aes
+        from .pdf_crypt import (
+            crypt_object_bytes,
+            decrypt_object_bytes_aes,
+            decrypt_object_bytes_aes256,
+        )
 
-        if aes:
-            try:
+        try:
+            if cfm == "AESV3":
+                raw = decrypt_object_bytes_aes256(file_key, raw)
+            elif cfm == "AESV2":
                 raw = decrypt_object_bytes_aes(file_key, obj.num, obj.gen, raw)
-            except ValueError as e:
-                raise PdfParseError(f"AESV2 stream: {e}")
-        else:
-            raw = crypt_object_bytes(file_key, obj.num, obj.gen, raw)
+            else:
+                raw = crypt_object_bytes(file_key, obj.num, obj.gen, raw)
+        except ValueError as e:
+            raise PdfParseError(f"{cfm} stream: {e}")
     m = _FILTER_RE.search(obj.dict_bytes)
     if not m:
         return raw
@@ -289,7 +296,7 @@ _FIRST_RE = re.compile(rb"/First\s+(\d+)")
 def _expand_object_streams(
     objects: Dict[int, _PdfObject],
     file_key: Optional[bytes] = None,
-    aes: bool = False,
+    cfm: str = "V2",
 ) -> None:
     """Unpack PDF 1.5+ object streams (/Type /ObjStm, ISO 32000-1 §7.5.7)
     into the object map, in place.
@@ -314,7 +321,7 @@ def _expand_object_streams(
         tm = _TYPE_RE.search(obj.dict_bytes)
         if tm is None or tm.group(1) != b"ObjStm" or obj.stream is None:
             continue
-        data = _decode_stream(obj, file_key, aes)
+        data = _decode_stream(obj, file_key, cfm)
         nm = _N_RE.search(obj.dict_bytes)
         fm = _FIRST_RE.search(obj.dict_bytes)
         if nm is None or fm is None:
@@ -437,7 +444,7 @@ def _page_cid_fonts(
     objects: Dict[int, _PdfObject],
     resources: Optional[bytes],
     file_key: Optional[bytes],
-    aes: bool,
+    cfm: str,
 ) -> Dict[str, Dict[int, str]]:
     """Map font resource name -> cid->text table for every Type0 font with
     a /ToUnicode CMap in the page's resources. Single-byte (simple) fonts
@@ -467,7 +474,7 @@ def _page_cid_fonts(
             cobj = objects.get(int(tm.group(1)))
             if cobj is not None and cobj.stream is not None:
                 try:
-                    cmap = _parse_tounicode(_decode_stream(cobj, file_key, aes))
+                    cmap = _parse_tounicode(_decode_stream(cobj, file_key, cfm))
                 except PdfParseError:
                     cmap = {}
         fonts[name.decode("latin-1")] = cmap
@@ -558,7 +565,7 @@ def _content_bytes(
     objects: Dict[int, _PdfObject],
     page: _PdfObject,
     file_key: Optional[bytes] = None,
-    aes: bool = False,
+    cfm: str = "V2",
 ) -> bytes:
     refs: List[int] = []
     cm = _CONTENTS_REF_RE.search(page.dict_bytes)
@@ -573,7 +580,7 @@ def _content_bytes(
         obj = objects.get(r)
         if obj is None or obj.stream is None:
             raise PdfParseError(f"missing content stream {r}")
-        out += _decode_stream(obj, file_key, aes)
+        out += _decode_stream(obj, file_key, cfm)
         out += b"\n"
     return bytes(out)
 
@@ -1035,7 +1042,7 @@ _INT_ENTRY = {
 
 @dataclass
 class PdfEncryptInfo:
-    """Parsed /Encrypt dictionary (standard handler, RC4 or AESV2)."""
+    """Parsed /Encrypt dictionary (standard handler: RC4, AESV2, AESV3)."""
 
     v: int
     r: int
@@ -1044,7 +1051,10 @@ class PdfEncryptInfo:
     u_entry: bytes
     p: int
     id0: bytes
-    cfm: str = "V2"  # "V2" (RC4) or "AESV2" (/V 4 crypt filter)
+    cfm: str = "V2"  # "V2" (RC4), "AESV2" (/V 4) or "AESV3" (/V 5)
+    ue_entry: bytes = b""  # /V 5 wrapped file key (user path)
+    oe_entry: bytes = b""  # /V 5 wrapped file key (owner path)
+    perms_entry: bytes = b""  # /V 5 encrypted permissions echo
 
 
 def _parse_string_entry(dict_bytes: bytes, name: bytes) -> Optional[bytes]:
@@ -1102,19 +1112,19 @@ def _find_encrypt_info(
     if fm is None or fm.group(1) != b"Standard":
         raise PdfParseError("unsupported encryption handler")
     v = int(_INT_ENTRY["V"].search(d).group(1)) if _INT_ENTRY["V"].search(d) else 0
-    if v not in (1, 2, 4):
+    if v not in (1, 2, 4, 5):
         raise PdfParseError(f"unsupported encryption /V {v}")
     cfm = "V2"
-    if v == 4:
+    if v in (4, 5):
         cm = re.search(rb"/CFM\s*/(\w+)", d)
         cfm = cm.group(1).decode("ascii") if cm else "V2"
-        if cfm not in ("V2", "AESV2"):
+        if (v == 4 and cfm not in ("V2", "AESV2")) or (v == 5 and cfm != "AESV3"):
             raise PdfParseError(f"unsupported crypt filter /CFM {cfm}")
         if re.search(rb"/EncryptMetadata\s+false", d):
             # would append ffffffff to the key hash; outside the subset
             raise PdfParseError("unsupported /EncryptMetadata false")
     r = int(_INT_ENTRY["R"].search(d).group(1)) if _INT_ENTRY["R"].search(d) else 2
-    if r not in (2, 3, 4):
+    if (v == 5 and r not in (5, 6)) or (v != 5 and r not in (2, 3, 4)):
         raise PdfParseError(f"unsupported encryption /R {r}")
     length_bits = 40
     lm = _INT_ENTRY["Length"].search(d)
@@ -1134,10 +1144,18 @@ def _find_encrypt_info(
         if len(hex_digits) % 2:
             hex_digits += b"0"
         id0 = bytes.fromhex(hex_digits.decode("ascii"))
+    ue_entry = oe_entry = perms_entry = b""
+    if v == 5:
+        ue_entry = _parse_string_entry(d, b"UE") or b""
+        oe_entry = _parse_string_entry(d, b"OE") or b""
+        perms_entry = _parse_string_entry(d, b"Perms") or b""
+        if not ue_entry or not oe_entry:
+            raise PdfParseError("/V 5 encryption dictionary without /UE or /OE")
+    key_len = 32 if v == 5 else max(5, min(16, length_bits // 8))
     return PdfEncryptInfo(
-        v=v, r=r, key_len=max(5, min(16, length_bits // 8)),
+        v=v, r=r, key_len=key_len,
         o_entry=o_entry, u_entry=u_entry, p=int(pm.group(1)), id0=id0,
-        cfm=cfm,
+        cfm=cfm, ue_entry=ue_entry, oe_entry=oe_entry, perms_entry=perms_entry,
     )
 
 
@@ -1194,21 +1212,41 @@ class PdfDocument:
             return True
         if self._file_key is not None:
             return True
-        from .pdf_crypt import authenticate_owner_password, authenticate_user_password
+        from .pdf_crypt import (
+            authenticate_owner_password,
+            authenticate_owner_password_v5,
+            authenticate_user_password,
+            authenticate_user_password_v5,
+        )
 
         e = self._encrypt
-        pw = (password or "").encode("latin-1", "replace")
-        key = authenticate_user_password(
-            pw, e.o_entry, e.u_entry, e.p, e.id0, e.key_len, e.r
-        ) or authenticate_owner_password(
-            pw, e.o_entry, e.u_entry, e.p, e.id0, e.key_len, e.r
-        )
+        if e.v == 5:
+            pw = (password or "").encode("utf-8")
+            key = authenticate_user_password_v5(
+                pw, e.u_entry, e.ue_entry, e.r
+            ) or authenticate_owner_password_v5(
+                pw, e.o_entry, e.u_entry, e.oe_entry, e.r
+            )
+        else:
+            pw = (password or "").encode("latin-1", "replace")
+            key = authenticate_user_password(
+                pw, e.o_entry, e.u_entry, e.p, e.id0, e.key_len, e.r
+            ) or authenticate_owner_password(
+                pw, e.o_entry, e.u_entry, e.p, e.id0, e.key_len, e.r
+            )
         if key is None:
             return False
+        if e.v == 5 and e.perms_entry:
+            # Algorithm 13: /Perms echoes /P under the file key — a
+            # mismatch means the dictionary was tampered after signing.
+            from .pdf_crypt import verify_perms_v5
+
+            if not verify_perms_v5(key, e.perms_entry, e.p):
+                raise PdfParseError("/V 5 /Perms does not validate against /P")
         self._file_key = key
         # With the key armed, encrypted object streams become readable:
         # unpack them and resolve a root that was deferred in __init__.
-        _expand_object_streams(self._objects, key, aes=(e.cfm == "AESV2"))
+        _expand_object_streams(self._objects, key, cfm=e.cfm)
         if getattr(self, "_root", None) is None:
             self._root = _find_root(self._payload, self._objects)
         return True
@@ -1230,7 +1268,7 @@ class PdfDocument:
 
         pages: List[PdfPage] = []
         default_box = (0.0, 0.0, 612.0, 792.0)
-        aes = self._encrypt is not None and self._encrypt.cfm == "AESV2"
+        cfm = self._encrypt.cfm if self._encrypt is not None else "V2"
         for pnum, rotate, box, resources in page_nums[:total]:
             page_obj = self._objects[pnum]
             if box is None:
@@ -1239,10 +1277,10 @@ class PdfDocument:
             height = box[3] - box[1]
             try:
                 content = _content_bytes(
-                    self._objects, page_obj, self._file_key, aes=aes,
+                    self._objects, page_obj, self._file_key, cfm=cfm,
                 )
                 cid_fonts = _page_cid_fonts(
-                    self._objects, resources, self._file_key, aes
+                    self._objects, resources, self._file_key, cfm
                 )
                 spans = _interpret_text(content, cid_fonts or None)
                 pages.append(_assemble_page(spans, width, height, rotate))

@@ -308,30 +308,45 @@ def make_pdf(page_line_texts: List[List[str]], rng: random.Random, compress: boo
         user_pw = encrypt["user_pw"].encode("latin-1")
         owner_pw = encrypt.get("owner_pw", "").encode("latin-1")
         v = int(encrypt.get("v", 1))
-        r = {1: 2, 2: 3, 4: 4}[v]
-        length_bits = 40 if v == 1 else 128
+        r = {1: 2, 2: 3, 4: 4, 5: int(encrypt.get("r", 6))}[v]
+        length_bits = {1: 40, 2: 128, 4: 128, 5: 256}[v]
         key_len = length_bits // 8
         p = -44  # print+extract denied; any value works, P feeds the key hash
-        id0 = __import__("hashlib").md5(
+        import hashlib as _hl
+
+        id0 = _hl.md5(
             b"graft-fixture-id" + user_pw + owner_pw + bytes([v])
         ).digest()
-        o_entry = compute_o_entry(owner_pw, user_pw, key_len, r)
-        file_key = compute_encryption_key(user_pw, o_entry, p, id0, key_len, r)
-        u_entry = compute_u_entry(file_key, id0, r)
-        if v == 4:
-            import hashlib as _hl
+        extra = {}
+        if v == 5:
+            from .pdf_crypt import crypt_object_bytes_aes256, make_v5_entries
 
-            def _aes_fn(key: bytes, num: int, gen: int, data: bytes) -> bytes:
+            file_key = _hl.sha256(b"graft-v5-filekey" + id0).digest()
+            ents = make_v5_entries(user_pw, owner_pw, file_key, id0, r, p)
+            o_entry, u_entry = ents["o"], ents["u"]
+            extra = {"ue": ents["ue"], "oe": ents["oe"], "perms": ents["perms"]}
+
+            def _aes256_fn(key: bytes, num: int, gen: int, data: bytes) -> bytes:
                 iv = _hl.md5(b"graft-iv" + id0 + bytes([num & 0xFF, gen & 0xFF])).digest()
-                return crypt_object_bytes_aes(key, num, gen, data, iv)
+                return crypt_object_bytes_aes256(key, data, iv)
 
-            fn = _aes_fn
+            fn = _aes256_fn
         else:
-            fn = crypt_object_bytes
+            o_entry = compute_o_entry(owner_pw, user_pw, key_len, r)
+            file_key = compute_encryption_key(user_pw, o_entry, p, id0, key_len, r)
+            u_entry = compute_u_entry(file_key, id0, r)
+            if v == 4:
+                def _aes_fn(key: bytes, num: int, gen: int, data: bytes) -> bytes:
+                    iv = _hl.md5(b"graft-iv" + id0 + bytes([num & 0xFF, gen & 0xFF])).digest()
+                    return crypt_object_bytes_aes(key, num, gen, data, iv)
+
+                fn = _aes_fn
+            else:
+                fn = crypt_object_bytes
         crypt = {
             "file_key": file_key, "o": o_entry, "u": u_entry, "p": p,
             "v": v, "r": r, "length_bits": length_bits, "id0": id0,
-            "fn": fn,
+            "fn": fn, **extra,
         }
 
     cid_map = None
@@ -391,16 +406,28 @@ def make_pdf(page_line_texts: List[List[str]], rng: random.Random, compress: boo
 
     encrypt_clause = ""
     if crypt is not None:
-        cf_clause = (
-            "/CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen /Length 16 >> >> "
-            "/StmF /StdCF /StrF /StdCF "
-            if crypt["v"] == 4 else ""
+        if crypt["v"] == 4:
+            cf_clause = (
+                "/CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen /Length 16 >> >> "
+                "/StmF /StdCF /StrF /StdCF "
+            )
+        elif crypt["v"] == 5:
+            cf_clause = (
+                "/CF << /StdCF << /CFM /AESV3 /AuthEvent /DocOpen /Length 32 >> >> "
+                "/StmF /StdCF /StrF /StdCF "
+            )
+        else:
+            cf_clause = ""
+        v5_clause = (
+            f"/UE <{crypt['ue'].hex()}> /OE <{crypt['oe'].hex()}> "
+            f"/Perms <{crypt['perms'].hex()}> "
+            if crypt["v"] == 5 else ""
         )
         encrypt_num = add(
             (
                 f"<< /Filter /Standard /V {crypt['v']} /R {crypt['r']} "
                 f"/Length {crypt['length_bits']} {cf_clause}"
-                f"/O <{crypt['o'].hex()}> /U <{crypt['u'].hex()}> "
+                f"/O <{crypt['o'].hex()}> /U <{crypt['u'].hex()}> {v5_clause}"
                 f"/P {crypt['p']} >>"
             ).encode()
         )
@@ -550,7 +577,8 @@ def make_row(i: int, seed: int = 42) -> dict:
         from .passwords import DEFAULT_PASSWORD
 
         encrypt = None
-        enc_v = (1, 2, 4)[i % 3]  # RC4-40 /R2, RC4-128 /R3, AES-128 /V4 /R4
+        # RC4-40 /R2, RC4-128 /R3, AES-128 /V4 /R4, AES-256 /V5 /R6
+        enc_v = (1, 2, 4, 5)[i % 4]
         if cat == 84:
             encrypt = {"user_pw": "", "owner_pw": f"owner-{site}", "v": enc_v}
         elif cat == 91:

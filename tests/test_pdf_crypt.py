@@ -110,6 +110,43 @@ class TestAES:
         back = _aes128_decrypt_blocks(ks, np.frombuffer(ct, np.uint8).reshape(1, 16))
         assert back.tobytes() == pt
 
+    def test_fips197_c3_aes256_known_answer(self):
+        """FIPS-197 Appendix C.3 (AES-256) — validates the Nk=8 key
+        schedule (extra SubWord at i % 8 == 4) and the 14-round cipher."""
+        from service1_text_extraction_ray.functions.pdf_crypt import (
+            aes_encrypt_block,
+            aes_key_schedule,
+        )
+
+        key = bytes.fromhex(
+            "000102030405060708090a0b0c0d0e0f101112131415161718191a1b1c1d1e1f"
+        )
+        pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+        ks = aes_key_schedule(key)
+        assert len(ks) == 15 * 16
+        assert aes_encrypt_block(ks, pt).hex() == "8ea2b7ca516745bfeafc49904b496089"
+
+    def test_native_and_pure_cbc_agree(self):
+        """The OpenSSL fast path and the from-scratch AES must produce
+        identical CBC bytes for both key sizes and both directions."""
+        import service1_text_extraction_ray.functions.pdf_crypt as pc
+
+        if pc._NativeCipher is None:
+            pytest.skip("cryptography not available")
+        data = bytes(range(256)) * 2  # 32 blocks
+        iv = bytes(range(16))
+        for key in (b"0123456789abcdef", bytes(range(32))):
+            ks = pc.aes_key_schedule(key)
+            pure_enc = bytearray()
+            prev = iv
+            for i in range(0, len(data), 16):
+                block = bytes(a ^ b for a, b in zip(data[i : i + 16], prev))
+                prev = pc.aes_encrypt_block(ks, block)
+                pure_enc += prev
+            native_enc = pc._native_cbc(key, iv, data, encrypt=True)
+            assert bytes(pure_enc) == native_enc
+            assert pc._native_cbc(key, iv, native_enc, encrypt=False) == data
+
     @pytest.mark.parametrize("n", [0, 1, 15, 16, 17, 1000])
     def test_cbc_roundtrip_all_padding_lengths(self, n):
         from service1_text_extraction_ray.functions.pdf_crypt import (
@@ -195,8 +232,9 @@ class TestAesPdfFixtures:
         assert not doc.needs_pass
         assert "\n".join(p.text for p in doc.extract_pages()) == self._plain_text()
 
-    def test_v5_still_counted_unsupported(self):
-        """/V 5 (AESV3) stays outside the subset — a counted parse failure."""
+    def test_v5_without_ue_oe_counted_unsupported(self):
+        """A /V 5 dictionary missing /UE or /OE (e.g. a /V 4 file whose
+        version entries were tampered) is a counted parse failure."""
         import random
 
         from service1_text_extraction_ray.functions.pdf_extract import (
@@ -212,3 +250,149 @@ class TestAesPdfFixtures:
         tampered = enc.replace(b"/V 4 /R 4", b"/V 5 /R 6")
         with pytest.raises(PdfParseError):
             open_pdf(tampered)
+
+
+class TestV5Handler:
+    """ISO 32000-2 §7.6.4 — AES-256 handler unit round-trips (writer
+    entries from make_v5_entries, parser side the authenticate_*_v5)."""
+
+    def _entries(self, r):
+        from service1_text_extraction_ray.functions.pdf_crypt import make_v5_entries
+
+        file_key = bytes(range(32))
+        ents = make_v5_entries(b"usr", b"own", file_key, b"seed", r, -44)
+        return file_key, ents
+
+    @pytest.mark.parametrize("r", [5, 6])
+    def test_user_auth_unwraps_file_key(self, r):
+        from service1_text_extraction_ray.functions.pdf_crypt import (
+            authenticate_user_password_v5,
+        )
+
+        file_key, e = self._entries(r)
+        assert authenticate_user_password_v5(b"usr", e["u"], e["ue"], r) == file_key
+        assert authenticate_user_password_v5(b"nope", e["u"], e["ue"], r) is None
+
+    @pytest.mark.parametrize("r", [5, 6])
+    def test_owner_auth_unwraps_file_key(self, r):
+        from service1_text_extraction_ray.functions.pdf_crypt import (
+            authenticate_owner_password_v5,
+        )
+
+        file_key, e = self._entries(r)
+        assert (
+            authenticate_owner_password_v5(b"own", e["o"], e["u"], e["oe"], r)
+            == file_key
+        )
+        assert authenticate_owner_password_v5(b"usr", e["o"], e["u"], e["oe"], r) is None
+
+    @pytest.mark.parametrize("r", [5, 6])
+    def test_perms_validates_and_detects_tamper(self, r):
+        from service1_text_extraction_ray.functions.pdf_crypt import verify_perms_v5
+
+        file_key, e = self._entries(r)
+        assert verify_perms_v5(file_key, e["perms"], -44)
+        assert not verify_perms_v5(file_key, e["perms"], -4)  # /P swapped
+        assert not verify_perms_v5(bytes(32), e["perms"], -44)  # wrong key
+
+    def test_pw_clipped_to_127_utf8_bytes(self):
+        from service1_text_extraction_ray.functions.pdf_crypt import (
+            authenticate_user_password_v5,
+            make_v5_entries,
+        )
+
+        long_pw = ("p" * 200).encode()
+        ents = make_v5_entries(long_pw, b"o", bytes(32), b"s", 6, -44)
+        assert (
+            authenticate_user_password_v5(long_pw[:127], ents["u"], ents["ue"], 6)
+            == bytes(32)
+        )
+
+
+class TestV5PdfFixtures:
+    """AES-256 (/V 5) encrypted fixture PDFs round-trip through the parser."""
+
+    def _pages(self):
+        return [["hello aes256 world", "line two of page one"], ["page two line"]]
+
+    def _plain_text(self):
+        import random
+
+        from service1_text_extraction_ray.functions.pdf_extract import parse_pdf
+        from service1_text_extraction_ray.functions.synth import make_pdf
+
+        plain = make_pdf(self._pages(), random.Random(11))
+        return "\n".join(p.text for p in parse_pdf(plain))
+
+    @pytest.mark.parametrize("r", [5, 6])
+    @pytest.mark.parametrize("compress", [False, True])
+    def test_v5_user_and_owner_auth_byte_identical_text(self, r, compress):
+        import random
+
+        from service1_text_extraction_ray.functions.pdf_extract import open_pdf
+        from service1_text_extraction_ray.functions.synth import make_pdf
+
+        expected = self._plain_text()
+        enc = make_pdf(
+            self._pages(), random.Random(11), compress=compress,
+            encrypt={"user_pw": "s3cret", "owner_pw": "own", "v": 5, "r": r},
+        )
+        assert b"/CFM /AESV3" in enc and b"/UE <" in enc
+        for pw in ("s3cret", "own"):
+            doc = open_pdf(enc)
+            assert doc.needs_pass
+            assert doc.authenticate(pw)
+            assert "\n".join(p.text for p in doc.extract_pages()) == expected
+        bad = open_pdf(enc)
+        assert not bad.authenticate("wrong")
+
+    def test_v5_empty_user_password_opens_transparently(self):
+        import random
+
+        from service1_text_extraction_ray.functions.pdf_extract import open_pdf
+        from service1_text_extraction_ray.functions.synth import make_pdf
+
+        enc = make_pdf(
+            self._pages(), random.Random(11),
+            encrypt={"user_pw": "", "owner_pw": "own", "v": 5},
+        )
+        doc = open_pdf(enc)
+        assert not doc.needs_pass
+        assert "\n".join(p.text for p in doc.extract_pages()) == self._plain_text()
+
+    def test_v5_objstm_layout_roundtrips(self):
+        import random
+
+        from service1_text_extraction_ray.functions.pdf_extract import open_pdf
+        from service1_text_extraction_ray.functions.synth import make_pdf
+
+        enc = make_pdf(
+            self._pages(), random.Random(11), objstm=True,
+            encrypt={"user_pw": "pw", "owner_pw": "own", "v": 5, "r": 6},
+        )
+        doc = open_pdf(enc)
+        assert doc.authenticate("pw")
+        assert "\n".join(p.text for p in doc.extract_pages()) == self._plain_text()
+
+    def test_v5_tampered_perms_is_parse_failure(self):
+        import random
+        import re
+
+        from service1_text_extraction_ray.functions.pdf_extract import (
+            PdfParseError,
+            open_pdf,
+        )
+        from service1_text_extraction_ray.functions.synth import make_pdf
+
+        enc = make_pdf(
+            self._pages(), random.Random(11),
+            encrypt={"user_pw": "pw", "owner_pw": "own", "v": 5, "r": 6},
+        )
+        m = re.search(rb"/Perms <([0-9a-f]+)>", enc)
+        assert m is not None
+        flipped = bytearray.fromhex(m.group(1).decode())
+        flipped[0] ^= 0xFF
+        tampered = enc.replace(m.group(0), b"/Perms <" + flipped.hex().encode() + b">")
+        doc = open_pdf(tampered)
+        with pytest.raises(PdfParseError):
+            doc.authenticate("pw")
