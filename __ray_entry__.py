@@ -114,6 +114,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_contamination": W.q_doc_contamination,
         "dedup_spans": W.q_dedup_spans,
         "corpus_vocab_stats": W.q_corpus_vocab_stats,
+        "doc_split_assign": W.q_doc_split_assign,
+        "token_postings": W.q_token_postings,
+        "corpus_bigrams": W.q_corpus_bigrams,
     }
 
 
@@ -180,4 +183,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_contamination": W.SQL_DOC_CONTAMINATION,
         "dedup_spans": W.SQL_DEDUP_SPANS,
         "corpus_vocab_stats": W.SQL_CORPUS_VOCAB_STATS,
+        "doc_split_assign": W.SQL_DOC_SPLIT_ASSIGN,
+        "token_postings": W.SQL_TOKEN_POSTINGS,
+        "corpus_bigrams": W.SQL_CORPUS_BIGRAMS,
     }

@@ -456,3 +456,194 @@ SELECT CAST(count(*) AS BIGINT) AS vocab_size,
        min(token) AS min_token, max(token) AS max_token
 FROM c
 """
+
+
+# ---------------------------------------------------------------------------
+# Deterministic train/valid/test split assignment
+# ---------------------------------------------------------------------------
+
+# Permille thresholds over the 16-bit md5(doc_id) key — the same key the
+# hash-Bernoulli sampler (queries.q_doc_sample) uses, so split membership is
+# reproducible across runs, machines, and parallelism levels, and docs keep
+# their split when the corpus grows (new doc_ids hash independently).
+SPLIT_TRAIN_PERMILLE = 980
+SPLIT_VALID_PERMILLE = 990  # valid = [980, 990), test = [990, 1000)
+
+_TRAIN_CUT = (65536 * SPLIT_TRAIN_PERMILLE) // 1000
+_VALID_CUT = (65536 * SPLIT_VALID_PERMILLE) // 1000
+
+
+def q_doc_split_assign(sf_dir: str) -> rd.Dataset:
+    """Assign every document to train/valid/test by hashed doc_id.
+
+    The standard corpus-split op a training pipeline runs last: membership
+    must be a pure function of the stable document id (NOT row position or
+    RNG state) so that re-runs, resumes and different cluster sizes produce
+    the same split. Pure per-batch map — no shuffle, no driver state."""
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        keys = df["doc_id"].map(
+            lambda d: int.from_bytes(
+                hashlib.md5(str(d).encode()).digest()[:2], "big"
+            )
+        )
+        split = np.where(
+            keys < _TRAIN_CUT, "train", np.where(keys < _VALID_CUT, "valid", "test")
+        )
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"], "lang": df["lang"], "split": split}
+        )
+
+    return _read(sf_dir, "documents", ["doc_id", "lang"]).map_batches(
+        f, batch_format="pandas"
+    )
+
+
+_SQL_MD5_KEY16 = """
+  (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
++ (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
++ (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
++ (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1)
+"""
+
+SQL_DOC_SPLIT_ASSIGN = f"""
+SELECT doc_id, lang,
+       CASE WHEN ({_SQL_MD5_KEY16}) < {_TRAIN_CUT} THEN 'train'
+            WHEN ({_SQL_MD5_KEY16}) < {_VALID_CUT} THEN 'valid'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Inverted index (token postings)
+# ---------------------------------------------------------------------------
+
+POSTINGS_MIN_DF = 5
+
+_POSTINGS_PARTIAL_SCHEMA = pa.schema(
+    [("token", pa.string()), ("df", pa.int64()), ("tf", pa.int64())]
+)
+
+
+def q_token_postings(sf_dir: str) -> rd.Dataset:
+    """Corpus inverted-index statistics: per token, document frequency and
+    total term frequency, for tokens appearing in >= POSTINGS_MIN_DF docs.
+
+    The index-build shape: each batch emits one (token, df_partial,
+    tf_partial) row per distinct token IN THAT BATCH (documents never span
+    batches, so df partials are exact), then ONE vocabulary-keyed
+    groupby-sum — the shuffle moves (string, int64, int64) rows, never
+    text. The df filter runs after the merge (a HAVING, not a WHERE)."""
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].fillna("").map(_tokens)
+        tf = toks.explode().dropna().value_counts()
+        dfreq = toks.map(lambda ts: sorted(set(ts))).explode().dropna().value_counts()
+        merged = pd.DataFrame({"tf": tf, "df": dfreq}).fillna(0)
+        return pd.DataFrame(
+            {
+                "token": merged.index.astype(str),
+                "df": merged["df"].astype("int64"),
+                "tf": merged["tf"].astype("int64"),
+            }
+        )
+
+    def having(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t["df"], POSTINGS_MIN_DF))
+
+    return (
+        _read(sf_dir, "documents", ["text"])
+        .map_batches(partials, batch_format="pandas")
+        .groupby("token")
+        .aggregate(Sum("df", alias_name="df"), Sum("tf", alias_name="tf"))
+        .map_batches(having, batch_format="pyarrow")
+    )
+
+
+SQL_TOKEN_POSTINGS = f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS token
+  FROM documents
+)
+SELECT token,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+       CAST(count(*) AS BIGINT) AS tf
+FROM tok GROUP BY token
+HAVING count(DISTINCT doc_id) >= {POSTINGS_MIN_DF}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Corpus bigram counts (top-K)
+# ---------------------------------------------------------------------------
+
+BIGRAM_TOPK = 50
+
+_BIGRAM_SCHEMA = pa.schema([("bigram", pa.string()), ("n", pa.int64())])
+
+
+def q_corpus_bigrams(sf_dir: str) -> pd.DataFrame:
+    """Top-K corpus bigrams (adjacent whitespace-token pairs) by count.
+
+    N-gram LM / tokenizer-training statistics shape: per-batch bigram
+    partial counts (Counter over each doc's adjacent pairs), groupby-sum
+    keyed on the bigram string, then per-BLOCK partial top-K + a tiny
+    driver merge — after the groupby every bigram lives in exactly one
+    block, so block-local top-K is exact (the top_customers_by_revenue
+    pattern). Ties break on the bigram string ascending."""
+    from collections import Counter
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        c: Counter = Counter()
+        for text in df["text"]:
+            ts = _tokens(text or "")
+            c.update(zip(ts, ts[1:]))
+        return pd.DataFrame(
+            {
+                "bigram": [f"{a} {b}" for a, b in c.keys()],
+                "n": pd.Series(list(c.values()), dtype="int64"),
+            }
+        )
+
+    def block_topk(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _BIGRAM_SCHEMA.empty_table()
+        df = t.to_pandas().sort_values(
+            ["n", "bigram"], ascending=[False, True]
+        ).head(BIGRAM_TOPK)
+        return pa.Table.from_pandas(df, schema=_BIGRAM_SCHEMA, preserve_index=False)
+
+    merged = (
+        _read(sf_dir, "documents", ["text"])
+        .map_batches(partials, batch_format="pandas")
+        .groupby("bigram")
+        .aggregate(Sum("n", alias_name="n"))
+        .map_batches(block_topk, batch_format="pyarrow")
+        .to_pandas()
+    )
+    if merged.empty:
+        # zero bigrams corpus-wide: Ray's empty result carries no columns
+        return _BIGRAM_SCHEMA.empty_table().to_pandas()
+    return (
+        merged.sort_values(["n", "bigram"], ascending=[False, True])
+        .head(BIGRAM_TOPK)
+        .reset_index(drop=True)
+    )
+
+
+SQL_CORPUS_BIGRAMS = f"""
+WITH arrs AS (
+  SELECT list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS a
+  FROM documents
+),
+bg AS (
+  SELECT unnest(list_transform(range(1, len(a)), i -> a[i] || ' ' || a[i + 1])) AS bigram
+  FROM arrs WHERE len(a) >= 2
+)
+SELECT bigram, CAST(count(*) AS BIGINT) AS n
+FROM bg GROUP BY bigram
+ORDER BY n DESC, bigram
+LIMIT {BIGRAM_TOPK}
+"""

@@ -128,3 +128,83 @@ class TestCorpusVocabStats:
         assert out["hapax_count"].tolist() == [2]  # a, c
         assert out["min_token"].tolist() == ["a"]
         assert out["max_token"].tolist() == ["c"]
+
+
+class TestSplitAssign:
+    def test_deterministic_and_proportional(self, ray_session, tmp_path):
+        import hashlib
+
+        from service1_text_extraction_ray.pipelines.webtext import (
+            _TRAIN_CUT,
+            _VALID_CUT,
+            q_doc_split_assign,
+        )
+
+        n = 400
+        sf = _docs(tmp_path, [f"doc {i}" for i in range(n)])
+        out = q_doc_split_assign(sf).to_pandas().set_index("doc_id")["split"]
+        # membership is a pure function of md5(doc_id)
+        for d in range(n):
+            key = int.from_bytes(hashlib.md5(str(d).encode()).digest()[:2], "big")
+            want = "train" if key < _TRAIN_CUT else ("valid" if key < _VALID_CUT else "test")
+            assert out[d] == want
+        # ~98/1/1 proportions at n=400: train dominates, all splits nonempty-ish
+        counts = out.value_counts()
+        assert counts.get("train", 0) > 0.9 * n
+        assert set(counts.index) <= {"train", "valid", "test"}
+
+    def test_rerun_identical(self, ray_session, tmp_path):
+        from service1_text_extraction_ray.pipelines.webtext import q_doc_split_assign
+
+        sf = _docs(tmp_path, [f"doc {i}" for i in range(50)])
+        a = q_doc_split_assign(sf).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        b = q_doc_split_assign(sf).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        assert a.equals(b)
+
+
+class TestTokenPostings:
+    def test_df_tf_and_min_df_filter(self, ray_session, tmp_path):
+        import service1_text_extraction_ray.pipelines.webtext as W
+
+        old = W.POSTINGS_MIN_DF
+        W.POSTINGS_MIN_DF = 2
+        try:
+            # 'b' appears in 2 docs (3 times total); 'a'/'c' in 1 doc each
+            sf = _docs(tmp_path, ["a b b", "b c", ""])
+            out = W.q_token_postings(sf).to_pandas().set_index("token")
+            assert list(out.index) == ["b"]
+            assert out.loc["b", "df"] == 2
+            assert out.loc["b", "tf"] == 3
+        finally:
+            W.POSTINGS_MIN_DF = old
+
+    def test_doc_repeats_count_once_for_df(self, ray_session, tmp_path):
+        import service1_text_extraction_ray.pipelines.webtext as W
+
+        old = W.POSTINGS_MIN_DF
+        W.POSTINGS_MIN_DF = 1
+        try:
+            sf = _docs(tmp_path, ["x x x x"])
+            out = W.q_token_postings(sf).to_pandas().set_index("token")
+            assert out.loc["x", "df"] == 1
+            assert out.loc["x", "tf"] == 4
+        finally:
+            W.POSTINGS_MIN_DF = old
+
+
+class TestCorpusBigrams:
+    def test_counts_and_tiebreak(self, ray_session, tmp_path):
+        from service1_text_extraction_ray.pipelines.webtext import q_corpus_bigrams
+
+        # "a b" x2 (one per doc), "b a" x1, "b c" x1 -> tie broken by string
+        sf = _docs(tmp_path, ["a b a b", "b c"])
+        out = q_corpus_bigrams(sf)
+        assert out["bigram"].tolist() == ["a b", "b a", "b c"]
+        assert out["n"].tolist() == [2, 1, 1]
+
+    def test_no_cross_doc_bigrams(self, ray_session, tmp_path):
+        from service1_text_extraction_ray.pipelines.webtext import q_corpus_bigrams
+
+        sf = _docs(tmp_path, ["a", "b"])  # single-token docs -> no bigrams
+        out = q_corpus_bigrams(sf)
+        assert len(out) == 0
