@@ -108,6 +108,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding_window": R.q_events_sliding_window,
         "top_orders_per_segment": R.q_top_orders_per_segment,
         "customers_without_big_orders": R.q_customers_without_big_orders,
+        "orders_latest_per_customer": R.q_orders_latest_per_customer,
         # --- web-corpus curation (round 3) ---
         "doc_pii_scan": W.q_doc_pii_scan,
         "doc_tfidf_top_terms": W.q_doc_tfidf_top_terms,
@@ -178,6 +179,7 @@ def oracle_sql() -> dict[str, str]:
         # bloom variant is EXACT (bloom negatives + rechecked positives) ->
         # shares the exact anti-join's oracle
         "customers_without_big_orders_bloom": R.SQL_CUSTOMERS_WITHOUT_BIG_ORDERS,
+        "orders_latest_per_customer": R.SQL_ORDERS_LATEST_PER_CUSTOMER,
         "doc_pii_scan": W.SQL_DOC_PII_SCAN,
         "doc_tfidf_top_terms": W.SQL_DOC_TFIDF_TOP_TERMS,
         "doc_contamination": W.SQL_DOC_CONTAMINATION,

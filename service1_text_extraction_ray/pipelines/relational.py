@@ -1323,3 +1323,72 @@ SQL_USER_EVENT_TYPE_MATRIX = """
 SELECT user_id, event_type, count(*) AS n
 FROM events GROUP BY user_id, event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# Latest-record-per-key compaction (the upsert / CDC shape)
+# ---------------------------------------------------------------------------
+
+_LATEST_SCHEMA = pa.schema(
+    [
+        ("o_custkey", pa.int64()),
+        ("o_orderkey", pa.int64()),
+        ("o_orderdate", pa.timestamp("us")),
+        ("o_totalprice", pa.float64()),
+    ]
+)
+
+
+def q_orders_latest_per_customer(sf_dir: str) -> rd.Dataset:
+    """Each customer's most recent order (ties broken by highest orderkey) —
+    the compaction/upsert shape a lakehouse pipeline runs to keep the
+    latest version per key.
+
+    Two-level argmax: a per-BATCH partial argmax first (pandas groupby
+    idxmax over (date, key) rank), so the key-hash shuffle carries at most
+    one row per (customer x batch) — never the raw fact table — then the
+    same argmax per key group. Both levels use the identical
+    (o_orderdate, o_orderkey) lexicographic max, so the result is exact and
+    parallelism-independent. No totalprice arithmetic: the double passes
+    through untouched (exact under the driver's value hash)."""
+
+    def partial_latest(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return _LATEST_SCHEMA.empty_table().to_pandas()
+        idx = (
+            df.sort_values(["o_orderdate", "o_orderkey"])
+            .groupby("o_custkey", sort=False)
+            .tail(1)
+            .index
+        )
+        return df.loc[
+            idx, ["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"]
+        ]
+
+    def final_latest(df: pd.DataFrame) -> pd.DataFrame:
+        return partial_latest(df)
+
+    return (
+        _read(
+            sf_dir,
+            "orders",
+            ["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"],
+        )
+        .map_batches(partial_latest, batch_format="pandas")
+        .groupby("o_custkey")
+        .map_groups(final_latest, batch_format="pandas")
+    )
+
+
+SQL_ORDERS_LATEST_PER_CUSTOMER = """
+SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice
+FROM (
+  SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+         row_number() OVER (
+           PARTITION BY o_custkey
+           ORDER BY o_orderdate DESC, o_orderkey DESC
+         ) AS rn
+  FROM orders
+)
+WHERE rn = 1
+"""

@@ -944,3 +944,40 @@ class TestDedupClusters:
         assert by_doc.loc[2, "is_canonical"] == 0
         # unique docs never appear
         assert set(by_doc.index).isdisjoint(range(10, 40))
+
+
+class TestOrdersLatestPerCustomer:
+    def test_latest_with_date_tie(self, ray_session, tmp_path):
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        from service1_text_extraction_ray.pipelines.relational import (
+            q_orders_latest_per_customer,
+        )
+
+        d = tmp_path / "sf"
+        d.mkdir()
+        orders = pa.table({
+            "o_orderkey": pa.array([10, 11, 12, 13, 14], pa.int64()),
+            "o_custkey": pa.array([1, 1, 2, 2, 3], pa.int64()),
+            "o_orderdate": pa.array(
+                pd.to_datetime([
+                    "2020-01-01", "2020-05-01",  # cust 1: 11 is latest
+                    "2020-07-01", "2020-07-01",  # cust 2: date tie -> key 13
+                    "2019-01-01",                 # cust 3: single order
+                ]),
+                pa.timestamp("us"),
+            ),
+            "o_totalprice": pa.array([1.0, 2.0, 3.0, 4.0, 5.0]),
+        })
+        pq.write_table(orders, str(d / "orders.parquet"))
+
+        out = (
+            q_orders_latest_per_customer(str(d))
+            .to_pandas()
+            .sort_values("o_custkey")
+            .reset_index(drop=True)
+        )
+        assert out["o_custkey"].tolist() == [1, 2, 3]
+        assert out["o_orderkey"].tolist() == [11, 13, 14]
+        assert out["o_totalprice"].tolist() == [2.0, 4.0, 5.0]
