@@ -39,7 +39,7 @@ import ray.data as rd
 from ray.data.aggregate import Count, Sum
 
 from .queries import _pq, _read
-from .relational import hash_join
+from .relational import hash_exchange, hash_join
 
 # ---------------------------------------------------------------------------
 # tokenization shared with the SQL oracles
@@ -138,18 +138,28 @@ def q_doc_tfidf_top_terms(sf_dir: str) -> rd.Dataset:
     without the float log, so the driver hash is parallelism-independent).
 
     Topology (all fact-sized — vocabulary does NOT fit a driver broadcast at
-    web scale): distinct (doc_id, token) pairs -> groupby(token) count = df
-    -> co-partitioned ``hash_join`` back to the pairs on the token string ->
-    per-doc top-k inside ``map_groups``. Ray's hash aggregate pre-combines
-    the df counts per block, so the first shuffle moves (token, partial)
-    rows; the join shuffle moves (token, df) + (token, doc_id) rows — text
-    never leaves the tokenizing stage."""
-    pairs = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
-        _distinct_token_pairs, batch_format="pyarrow"
+    web scale): distinct (doc_id, token) pairs -> per-BLOCK partial df
+    counts (vectorized pyarrow group_by, no shuffle) -> the df combine is
+    FUSED into the join's shard merge (``combine_left_sum``), so aggregate
+    + join cost ONE exchange moving (token, partial) + (token, doc_id)
+    rows — text never leaves the tokenizing stage, and the standalone
+    ``groupby(token)`` sort-shuffle is gone -> per-doc top-k inside
+    ``map_groups``."""
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("token").aggregate([([], "count_all")])
+        return pa.Table.from_arrays(
+            [g["token"], pc.cast(g["count_all"], pa.int64())],
+            names=["token", "df"],
+        )
+
+    dfp = (
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(_distinct_token_pairs, batch_format="pyarrow")
+        .map_batches(df_partial, batch_format="pyarrow")
     )
-    df = pairs.groupby("token").aggregate(Count(alias_name="df"))
     joined = hash_join(
-        df,
+        dfp,
         _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
             _distinct_token_pairs, batch_format="pyarrow"
         ),
@@ -158,6 +168,7 @@ def q_doc_tfidf_top_terms(sf_dir: str) -> rd.Dataset:
         key_type=pa.string(),
         left_fields=[pa.field("df", pa.int64())],
         right_fields=[pa.field("doc_id", pa.int64())],
+        combine_left_sum=True,
     )
 
     def topk(t: pa.Table) -> pa.Table:
@@ -588,11 +599,13 @@ def q_corpus_bigrams(sf_dir: str) -> pd.DataFrame:
     """Top-K corpus bigrams (adjacent whitespace-token pairs) by count.
 
     N-gram LM / tokenizer-training statistics shape: per-batch bigram
-    partial counts (Counter over each doc's adjacent pairs), groupby-sum
-    keyed on the bigram string, then per-BLOCK partial top-K + a tiny
-    driver merge — after the groupby every bigram lives in exactly one
-    block, so block-local top-K is exact (the top_customers_by_revenue
-    pattern). Ties break on the bigram string ascending."""
+    partial counts (Counter over each doc's adjacent pairs), ONE
+    ``hash_exchange`` on the bigram (every bigram's partials land in one
+    shard, where a vectorized group_by sums them and a block-local top-K
+    prunes — exact, since a shard holds ALL of each bigram's count), then a
+    tiny driver merge of ≤ num_shards × K rows. Replaces a ``groupby``
+    that sort-shuffled every distinct bigram STRING; the exchange sorts
+    int64 shard ids instead. Ties break on the bigram string ascending."""
     from collections import Counter
 
     def partials(df: pd.DataFrame) -> pd.DataFrame:
@@ -607,22 +620,24 @@ def q_corpus_bigrams(sf_dir: str) -> pd.DataFrame:
             }
         )
 
-    def block_topk(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return _BIGRAM_SCHEMA.empty_table()
-        df = t.to_pandas().sort_values(
-            ["n", "bigram"], ascending=[False, True]
-        ).head(BIGRAM_TOPK)
-        return pa.Table.from_pandas(df, schema=_BIGRAM_SCHEMA, preserve_index=False)
+    def shard_topk(t: pa.Table) -> pa.Table:
+        g = t.group_by("bigram").aggregate([("n", "sum")])
+        summed = pa.Table.from_arrays(
+            [g["bigram"], g["n_sum"]], names=["bigram", "n"]
+        )
+        order = pc.sort_indices(
+            summed, sort_keys=[("n", "descending"), ("bigram", "ascending")]
+        )[:BIGRAM_TOPK]
+        return summed.take(order)
 
-    merged = (
-        _read(sf_dir, "documents", ["text"])
-        .map_batches(partials, batch_format="pandas")
-        .groupby("bigram")
-        .aggregate(Sum("n", alias_name="n"))
-        .map_batches(block_topk, batch_format="pyarrow")
-        .to_pandas()
-    )
+    merged = hash_exchange(
+        _read(sf_dir, "documents", ["text"]).map_batches(
+            partials, batch_format="pandas"
+        ),
+        ["bigram"],
+        shard_topk,
+        _BIGRAM_SCHEMA,
+    ).to_pandas()
     if merged.empty:
         # zero bigrams corpus-wide: Ray's empty result carries no columns
         return _BIGRAM_SCHEMA.empty_table().to_pandas()
