@@ -912,21 +912,35 @@ def _md5(s: str) -> str:
 
 def q_dedup_exact(sf_dir: str) -> rd.Dataset:
     """Exact dedup: hash-partition on content hash, keep lowest doc_id per
-    group (SURVEY.md §2.7). The groupby key is the md5 hash, not the text —
-    the shuffle moves 32-byte keys, not documents."""
-    from ray.data.aggregate import Min
+    group (SURVEY.md §2.7). The exchange key is the md5 hash, not the text —
+    the shuffle moves 32-byte keys, not documents — and it runs as a
+    hash_exchange, so the sort orders int64 shard ids instead of half a
+    million md5 STRINGS (the string sort dominated the old groupby)."""
+    from .relational import hash_exchange
+
+    dedup_schema = pa.schema(
+        [pa.field("text_hash", pa.string()), pa.field("doc_id", pa.int64())]
+    )
 
     def add_hash(df: pd.DataFrame) -> pd.DataFrame:
         out = pd.DataFrame()
-        out["doc_id"] = df["doc_id"]
         out["text_hash"] = df["text"].fillna("").map(_md5)
+        out["doc_id"] = df["doc_id"].astype("int64")
         return out
 
-    return (
-        _read(sf_dir, "documents", ["doc_id", "text"])
-        .map_batches(add_hash, batch_format="pandas")
-        .groupby("text_hash")
-        .aggregate(Min("doc_id", alias_name="doc_id"))
+    def shard_min(t: pa.Table) -> pa.Table:
+        g = t.group_by("text_hash").aggregate([("doc_id", "min")])
+        return pa.Table.from_arrays(
+            [g["text_hash"], g["doc_id_min"]], schema=dedup_schema
+        )
+
+    return hash_exchange(
+        _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+            add_hash, batch_format="pandas"
+        ),
+        ["text_hash"],
+        shard_min,
+        dedup_schema,
     )
 
 

@@ -61,11 +61,16 @@ Q1_CUTOFF = "1998-09-02"
 def q_pricing_summary(sf_dir: str) -> rd.Dataset:
     """Lineitem pricing summary (TPC-H Q1 shape).
 
-    The vectorized pre-stage computes per-row cents columns; the groupby then
-    moves only (key, int64-partials). At scale, Ray's hash aggregate already
-    combines per block before the exchange — the cents columns make those
-    partial sums exact and order-independent.
+    The vectorized pre-stage computes per-row cents columns AND combines
+    them per block (pyarrow group_by -> ≤6 partial rows per block), so the
+    exchange moves a few hundred int64-partial rows instead of every
+    lineitem; the cents columns make the partial sums exact and
+    order-independent. The final groupby runs over coalesced blocks.
     """
+    _PARTIAL_COLS = [
+        "sum_qty", "sum_base_price_cents", "sum_disc_price_cents",
+        "sum_charge_cents", "count_order",
+    ]
 
     def prep(batch: pa.Table) -> pa.Table:
         batch = batch.filter(
@@ -77,7 +82,7 @@ def q_pricing_summary(sf_dir: str) -> rd.Dataset:
         charge = pc.multiply(
             disc_price, pc.add(pa.scalar(1.0), batch["l_tax"])
         )
-        return pa.Table.from_arrays(
+        rows = pa.Table.from_arrays(
             [
                 batch["l_returnflag"],
                 batch["l_linestatus"],
@@ -91,6 +96,19 @@ def q_pricing_summary(sf_dir: str) -> rd.Dataset:
                 "base_price_cents", "disc_price_cents", "charge_cents",
             ],
         )
+        g = rows.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("qty", "sum"), ("base_price_cents", "sum"),
+             ("disc_price_cents", "sum"), ("charge_cents", "sum"),
+             ([], "count_all")]
+        )
+        return pa.Table.from_arrays(
+            [
+                g["l_returnflag"], g["l_linestatus"], g["qty_sum"],
+                g["base_price_cents_sum"], g["disc_price_cents_sum"],
+                g["charge_cents_sum"], pc.cast(g["count_all"], pa.int64()),
+            ],
+            names=["l_returnflag", "l_linestatus"] + _PARTIAL_COLS,
+        )
 
     return (
         _read(
@@ -99,14 +117,9 @@ def q_pricing_summary(sf_dir: str) -> rd.Dataset:
              "l_discount", "l_tax", "l_shipdate"],
         )
         .map_batches(prep, batch_format="pyarrow")
+        .repartition(8)
         .groupby(["l_returnflag", "l_linestatus"])
-        .aggregate(
-            Sum("qty", alias_name="sum_qty"),
-            Sum("base_price_cents", alias_name="sum_base_price_cents"),
-            Sum("disc_price_cents", alias_name="sum_disc_price_cents"),
-            Sum("charge_cents", alias_name="sum_charge_cents"),
-            Count(alias_name="count_order"),
-        )
+        .aggregate(*[Sum(c, alias_name=c) for c in _PARTIAL_COLS])
     )
 
 
@@ -1071,20 +1084,35 @@ GROUP BY n.n_name
 
 
 def q_events_hourly(sf_dir: str) -> rd.Dataset:
-    """Tumbling 1-hour window counts/sums per event type (vectorized floor)."""
+    """Tumbling 1-hour window counts/sums per event type (vectorized floor).
+    Per-block partial combine (pyarrow group_by — one row per hour×type per
+    block) before the exchange; the final groupby sums partials over
+    coalesced blocks."""
 
     def f(batch: pa.Table) -> pa.Table:
         hour = pc.floor_temporal(batch["ts"], unit="hour")
-        return pa.Table.from_arrays(
+        rows = pa.Table.from_arrays(
             [hour, batch["event_type"], _cents(batch["value"])],
             names=["hour", "event_type", "value_cents"],
+        )
+        g = rows.group_by(["hour", "event_type"]).aggregate(
+            [([], "count_all"), ("value_cents", "sum")]
+        )
+        return pa.Table.from_arrays(
+            [g["hour"], g["event_type"], pc.cast(g["count_all"], pa.int64()),
+             g["value_cents_sum"]],
+            names=["hour", "event_type", "n_events", "sum_value_cents"],
         )
 
     return (
         _read(sf_dir, "events", ["ts", "event_type", "value"])
         .map_batches(f, batch_format="pyarrow")
+        .repartition(8)
         .groupby(["hour", "event_type"])
-        .aggregate(Count(alias_name="n_events"), Sum("value_cents", alias_name="sum_value_cents"))
+        .aggregate(
+            Sum("n_events", alias_name="n_events"),
+            Sum("sum_value_cents", alias_name="sum_value_cents"),
+        )
     )
 
 
@@ -1101,22 +1129,44 @@ SESSION_GAP_S = 1800
 
 def q_events_sessionize(sf_dir: str) -> rd.Dataset:
     """Session windows per user (gap > 30 min starts a new session) —
-    the groupby(key).map_groups(ordered window fn) pattern for
-    streaming-shaped workloads (no watermarks needed for batch logs)."""
+    the keyed-window pattern for streaming-shaped workloads (no watermarks
+    needed for batch logs). ONE hash_exchange co-locates each user's
+    events; inside a shard the sessionization is fully vectorized over ALL
+    the shard's users at once (sort by (user, ts), gap diff, boundary mask,
+    one C-level pandas groupby) — no per-user Python dispatch (the previous
+    per-key ``map_groups`` paid one pandas call per user)."""
+    sess_schema = pa.schema(
+        [pa.field("user_id", pa.int64()), pa.field("n_sessions", pa.int64()),
+         pa.field("n_events", pa.int64())]
+    )
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("ts")
-        gaps = g["ts"].diff().dt.total_seconds()
-        n = int((gaps > SESSION_GAP_S).sum()) + 1
-        return pd.DataFrame(
-            {"user_id": [int(g["user_id"].iloc[0])], "n_sessions": [n],
-             "n_events": [len(g)]}
+    def shard_sessions(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values(["user_id", "ts"], kind="mergesort")
+        same_user = df["user_id"].eq(df["user_id"].shift())
+        gaps = df["ts"].diff().dt.total_seconds()
+        new_session = ~same_user | (gaps > SESSION_GAP_S)
+        agg = (
+            pd.DataFrame(
+                {"user_id": df["user_id"].to_numpy(), "s": new_session.to_numpy()}
+            )
+            .groupby("user_id", sort=False)["s"]
+            .agg(["sum", "size"])
+            .reset_index()
+        )
+        return pa.Table.from_arrays(
+            [
+                pa.array(agg["user_id"].to_numpy(dtype="int64")),
+                pa.array(agg["sum"].to_numpy(dtype="int64")),
+                pa.array(agg["size"].to_numpy(dtype="int64")),
+            ],
+            schema=sess_schema,
         )
 
-    return (
-        _read(sf_dir, "events", ["user_id", "ts"])
-        .groupby("user_id")
-        .map_groups(sessions, batch_format="pandas")
+    return hash_exchange(
+        _read(sf_dir, "events", ["user_id", "ts"]),
+        ["user_id"],
+        shard_sessions,
+        sess_schema,
     )
 
 
@@ -1139,12 +1189,14 @@ def q_events_asof_orders(sf_dir: str) -> rd.Dataset:
     §2.9 / the engine's windowed-operator family).
 
     Distributed shape: tag + union both sides into one (key, t, side) stream,
-    co-partition with a single ``groupby(key)`` shuffle, then inside each
-    group sort the order dates once and vectorized-``searchsorted`` every
-    event against them. Partitioning assumption (documented per the custom-
-    operator contract): all rows of one key fit one group task — at 10^12
-    events a hot key needs time-range sub-splitting (salt by coarse time
-    bucket, carry the last order of the previous bucket forward).
+    co-partition with ONE ``hash_exchange`` on the key, then inside each
+    shard run a single vectorized ``pd.merge_asof(by=key)`` over ALL the
+    shard's keys at once — C-level backward as-of, no per-key Python
+    dispatch (the previous per-key ``map_groups`` paid one pandas call per
+    user). Partitioning assumption (documented per the custom-operator
+    contract): all rows of one key fit one shard task — at 10^12 events a
+    hot key needs time-range sub-splitting (salt by coarse time bucket,
+    carry the last order of the previous bucket forward).
 
     Emits the matched *date*, not an order id: among equal dates the SQL
     ASOF pick is unspecified, so ids would be nondeterministic; dates make
@@ -1167,23 +1219,37 @@ def q_events_asof_orders(sf_dir: str) -> rd.Dataset:
             names=["key", "ts", "order_date"],
         )
 
-    def asof(g: pd.DataFrame) -> pd.DataFrame:
-        import numpy as np
+    asof_schema = pa.schema(
+        [
+            pa.field("user_id", pa.int64()),
+            pa.field("ts", pa.timestamp("us")),
+            pa.field("last_order_date", pa.timestamp("us")),
+        ]
+    )
 
-        ev = g[g["ts"].notna()]
-        orders = g["order_date"].dropna().sort_values().to_numpy()
-        if len(ev) == 0 or len(orders) == 0:
-            return pd.DataFrame({"user_id": pd.Series([], dtype="int64"),
-                                 "ts": pd.Series([], dtype="datetime64[ns]"),
-                                 "last_order_date": pd.Series([], dtype="datetime64[ns]")})
-        idx = np.searchsorted(orders, ev["ts"].to_numpy(), side="right") - 1
-        keep = idx >= 0
-        ev = ev[keep]
-        return pd.DataFrame({
-            "user_id": ev["key"].astype("int64").to_numpy(),
-            "ts": ev["ts"].to_numpy(),
-            "last_order_date": orders[idx[keep]],
-        })
+    def shard_asof(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        ev = df.loc[df["ts"].notna(), ["key", "ts"]].sort_values(
+            "ts", kind="mergesort"
+        )
+        od = df.loc[df["order_date"].notna(), ["key", "order_date"]].sort_values(
+            "order_date", kind="mergesort"
+        )
+        if ev.empty or od.empty:
+            return asof_schema.empty_table()
+        m = pd.merge_asof(
+            ev, od, left_on="ts", right_on="order_date", by="key",
+            direction="backward", allow_exact_matches=True,
+        )
+        m = m[m["order_date"].notna()]
+        return pa.Table.from_arrays(
+            [
+                pa.array(m["key"].to_numpy(dtype="int64"), pa.int64()),
+                pa.Array.from_pandas(m["ts"]).cast(pa.timestamp("us")),
+                pa.Array.from_pandas(m["order_date"]).cast(pa.timestamp("us")),
+            ],
+            schema=asof_schema,
+        )
 
     events = _read(sf_dir, "events", ["user_id", "ts"]).map_batches(
         tag_events, batch_format="pyarrow"
@@ -1191,10 +1257,8 @@ def q_events_asof_orders(sf_dir: str) -> rd.Dataset:
     orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"]).map_batches(
         tag_orders, batch_format="pyarrow"
     )
-    return (
-        events.union(orders)
-        .groupby("key")
-        .map_groups(asof, batch_format="pandas")
+    return hash_exchange(
+        events.union(orders), ["key"], shard_asof, asof_schema
     )
 
 
@@ -1276,16 +1340,22 @@ def q_events_sliding_window(sf_dir: str) -> rd.Dataset:
     """
 
     def bucket(batch: pa.Table) -> pa.Table:
-        return pa.Table.from_arrays(
+        rows = pa.Table.from_arrays(
             [pc.floor_temporal(batch["ts"], unit="hour"), batch["event_type"]],
             names=["hour", "event_type"],
+        )
+        g = rows.group_by(["hour", "event_type"]).aggregate([([], "count_all")])
+        return pa.Table.from_arrays(
+            [g["hour"], g["event_type"], pc.cast(g["count_all"], pa.int64())],
+            names=["hour", "event_type", "n"],
         )
 
     hourly = (
         _read(sf_dir, "events", ["ts", "event_type"])
         .map_batches(bucket, batch_format="pyarrow")
+        .repartition(8)
         .groupby(["hour", "event_type"])
-        .aggregate(Count(alias_name="n"))
+        .aggregate(Sum("n", alias_name="n"))
     )
 
     def rolling(g: pd.DataFrame) -> pd.DataFrame:
@@ -1402,6 +1472,7 @@ def q_top_orders_per_segment(sf_dir: str) -> rd.Dataset:
     return (
         joined
         .map_batches(prune_per_segment, batch_format="pyarrow")
+        .repartition(8)
         .groupby("c_mktsegment")
         .map_groups(topn, batch_format="pyarrow")
     )

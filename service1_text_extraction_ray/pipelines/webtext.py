@@ -543,9 +543,15 @@ def q_token_postings(sf_dir: str) -> rd.Dataset:
 
     The index-build shape: each batch emits one (token, df_partial,
     tf_partial) row per distinct token IN THAT BATCH (documents never span
-    batches, so df partials are exact), then ONE vocabulary-keyed
-    groupby-sum — the shuffle moves (string, int64, int64) rows, never
-    text. The df filter runs after the merge (a HAVING, not a WHERE)."""
+    batches, so df partials are exact), then ONE ``hash_exchange`` on the
+    token merges partials per shard — the exchange moves (string, int64,
+    int64) rows, never text, and sorts int64 shard ids instead of the
+    vocabulary's strings. The df filter runs after the merge (a HAVING,
+    not a WHERE)."""
+    posting_schema = pa.schema(
+        [pa.field("token", pa.string()), pa.field("df", pa.int64()),
+         pa.field("tf", pa.int64())]
+    )
 
     def partials(df: pd.DataFrame) -> pd.DataFrame:
         toks = df["text"].fillna("").map(_tokens)
@@ -560,15 +566,20 @@ def q_token_postings(sf_dir: str) -> rd.Dataset:
             }
         )
 
-    def having(t: pa.Table) -> pa.Table:
-        return t.filter(pc.greater_equal(t["df"], POSTINGS_MIN_DF))
+    def shard_sum_having(t: pa.Table) -> pa.Table:
+        g = t.group_by("token").aggregate([("df", "sum"), ("tf", "sum")])
+        merged = pa.Table.from_arrays(
+            [g["token"], g["df_sum"], g["tf_sum"]], schema=posting_schema
+        )
+        return merged.filter(pc.greater_equal(merged["df"], POSTINGS_MIN_DF))
 
-    return (
-        _read(sf_dir, "documents", ["text"])
-        .map_batches(partials, batch_format="pandas")
-        .groupby("token")
-        .aggregate(Sum("df", alias_name="df"), Sum("tf", alias_name="tf"))
-        .map_batches(having, batch_format="pyarrow")
+    return hash_exchange(
+        _read(sf_dir, "documents", ["text"]).map_batches(
+            partials, batch_format="pandas"
+        ),
+        ["token"],
+        shard_sum_having,
+        posting_schema,
     )
 
 
