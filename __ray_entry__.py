@@ -89,6 +89,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- relational / windowed operators ---
         "pricing_summary": R.q_pricing_summary,
         "segment_order_stats": R.q_segment_order_stats,
+        "customer_order_counts": R.q_customer_order_counts,
+        "customers_dormant": R.q_customers_dormant,
+        "customers_with_orders": R.q_customers_with_orders,
         "nation_customer_counts": R.q_nation_customer_counts,
         "top_customers_by_revenue": R.q_top_customers_by_revenue,
         "high_value_orders": R.q_high_value_orders,
@@ -118,6 +121,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_split_assign": W.q_doc_split_assign,
         "token_postings": W.q_token_postings,
         "corpus_bigrams": W.q_corpus_bigrams,
+        "corpus_heavy_hitters": W.q_corpus_heavy_hitters,
     }
 
 
@@ -159,6 +163,9 @@ def oracle_sql() -> dict[str, str]:
         "media_frames": Q.SQL_MEDIA_FRAMES,
         "pricing_summary": R.SQL_PRICING_SUMMARY,
         "segment_order_stats": R.SQL_SEGMENT_ORDER_STATS,
+        "customer_order_counts": R.SQL_CUSTOMER_ORDER_COUNTS,
+        "customers_dormant": R.SQL_CUSTOMERS_DORMANT,
+        "customers_with_orders": R.SQL_CUSTOMERS_WITH_ORDERS,
         "nation_customer_counts": R.SQL_NATION_CUSTOMER_COUNTS,
         "top_customers_by_revenue": R.SQL_TOP_CUSTOMERS_BY_REVENUE,
         "high_value_orders": R.SQL_HIGH_VALUE_ORDERS,
@@ -188,4 +195,5 @@ def oracle_sql() -> dict[str, str]:
         "doc_split_assign": W.SQL_DOC_SPLIT_ASSIGN,
         "token_postings": W.SQL_TOKEN_POSTINGS,
         "corpus_bigrams": W.SQL_CORPUS_BIGRAMS,
+        "corpus_heavy_hitters": W.SQL_CORPUS_HEAVY_HITTERS,
     }

@@ -139,7 +139,8 @@ QUERY_NAMES = [
     "distinct_parts_per_flag", "events_hourly", "events_sessionize",
     "events_asof_orders", "events_sliding_window", "top_orders_per_segment",
     "doc_pii_scan", "doc_tfidf_top_terms", "dedup_spans",
-    "token_postings", "corpus_bigrams",
+    "token_postings", "corpus_bigrams", "corpus_heavy_hitters",
+    "customer_order_counts",
 ]
 
 

@@ -226,8 +226,19 @@ def hash_join(
     left_fields: List[pa.Field],
     right_fields: List[pa.Field],
     combine_left_sum: bool = False,
+    combine_right_sum: bool = False,
+    how: str = "inner",
 ) -> rd.Dataset:
-    """General co-partitioned shuffle hash join (inner, many-to-many).
+    """General co-partitioned shuffle hash join (many-to-many).
+
+    ``how``: "inner" (default), "left" (left outer — unmatched left rows
+    keep typed nulls in the right fields), "semi" (left rows WITH a match,
+    left columns only), or "anti" (left rows WITHOUT a match, left columns
+    only — the distributed anti-join shape that replaces a broadcast probe
+    set once the probe side outgrows driver memory). All flavors run in
+    the same single exchange; the in-shard Acero join picks the matching
+    join_type. ``combine_right_sum`` mirrors ``combine_left_sum`` for the
+    right side.
 
     The reference has no hash join (SURVEY.md §2.4) — this is the engine
     operator that replaces the driver-collected broadcast for FACT-sized
@@ -272,9 +283,16 @@ def hash_join(
         + list(right_fields)
         + [pa.field("__side", pa.int8()), pa.field("__shard", pa.int64())]
     )
-    out_schema = pa.schema(
-        [pa.field(left_on, key_type)] + list(left_fields) + list(right_fields)
+    if how not in ("inner", "left", "semi", "anti"):
+        raise ValueError(f"unsupported join flavor: {how!r}")
+    out_fields = list(left_fields) + (
+        list(right_fields) if how in ("inner", "left") else []
     )
+    out_schema = pa.schema([pa.field(left_on, key_type)] + out_fields)
+    acero_how = {
+        "inner": "inner", "left": "left outer",
+        "semi": "left semi", "anti": "left anti",
+    }[how]
 
     def _shard_of(keys: pa.ChunkedArray) -> pa.Array:
         if pa.types.is_integer(key_type):
@@ -311,22 +329,36 @@ def hash_join(
     left_names = [left_on] + [f.name for f in left_fields]
     right_names = [left_on] + [f.name for f in right_fields]
 
+    def _combine(side_t: pa.Table, key: str, fields: List[pa.Field], names):
+        agg = side_t.group_by(key).aggregate([(f.name, "sum") for f in fields])
+        return pa.Table.from_arrays(
+            [agg[key]] + [pc.cast(agg[f"{f.name}_sum"], f.type) for f in fields],
+            names=names,
+        )
+
     def merge(t: pa.Table) -> pa.Table:
         lmask = pc.equal(t["__side"], pa.scalar(0, pa.int8()))
         lt = t.filter(lmask).select(left_names)
         rt = t.filter(pc.invert(lmask)).select(right_names)
-        if lt.num_rows == 0 or rt.num_rows == 0:
-            return out_schema.empty_table()  # inner join: nothing matches
-        if combine_left_sum:
-            agg = lt.group_by(left_on).aggregate(
-                [(f.name, "sum") for f in left_fields]
-            )
-            lt = pa.Table.from_arrays(
-                [agg[left_on]]
-                + [pc.cast(agg[f"{f.name}_sum"], f.type) for f in left_fields],
-                names=left_names,
-            )
-        joined = lt.join(rt, keys=left_on, join_type="inner")
+        if lt.num_rows == 0:
+            return out_schema.empty_table()
+        if combine_left_sum and lt.num_rows:
+            lt = _combine(lt, left_on, left_fields, left_names)
+        if rt.num_rows == 0:
+            if how == "inner" or how == "semi":
+                return out_schema.empty_table()  # nothing matches
+            if how == "anti":
+                return lt.select(out_schema.names).cast(out_schema)
+            # left outer: every left row survives with null right fields
+            padded = lt
+            for f in right_fields:
+                padded = padded.append_column(
+                    f.name, pa.nulls(padded.num_rows, f.type)
+                )
+            return padded.select(out_schema.names).cast(out_schema)
+        if combine_right_sum:
+            rt = _combine(rt, left_on, right_fields, right_names)
+        joined = lt.join(rt, keys=left_on, join_type=acero_how)
         return joined.select(out_schema.names).cast(out_schema)
 
     tagged_left = left.map_batches(_tag(0, left_on), batch_format="pyarrow")
@@ -409,6 +441,124 @@ SELECT c.c_mktsegment,
        CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_totalprice_cents
 FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 GROUP BY c.c_mktsegment
+"""
+
+
+def _order_count_partials(sf_dir: str) -> rd.Dataset:
+    """Per-BLOCK (o_custkey, n_orders) partial counts — no shuffle."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("o_custkey").aggregate([([], "count_all")])
+        return pa.Table.from_arrays(
+            [pc.cast(g["o_custkey"], pa.int64()), pc.cast(g["count_all"], pa.int64())],
+            names=["o_custkey", "n_orders"],
+        )
+
+    return _read(sf_dir, "orders", ["o_custkey"]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+
+
+def q_customer_order_counts(sf_dir: str) -> rd.Dataset:
+    """LEFT OUTER hash join: every customer with its order count, 0 when it
+    has none — the join flavor a broadcast probe can't express once both
+    sides are fact-sized. Orders are pre-reduced per block and the final
+    per-custkey combine is fused into the join's shard merge
+    (combine_right_sum); unmatched customers surface as typed nulls that a
+    vectorized fill turns into 0."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    joined = hash_join(
+        cust,
+        _order_count_partials(sf_dir),
+        left_on="c_custkey",
+        right_on="o_custkey",
+        key_type=pa.int64(),
+        left_fields=[pa.field("c_mktsegment", pa.string())],
+        right_fields=[pa.field("n_orders", pa.int64())],
+        combine_right_sum=True,
+        how="left",
+    )
+
+    def fill_zero(t: pa.Table) -> pa.Table:
+        return t.set_column(
+            t.schema.get_field_index("n_orders"),
+            "n_orders",
+            pc.fill_null(t["n_orders"], pa.scalar(0, pa.int64())),
+        )
+
+    return joined.map_batches(fill_zero, batch_format="pyarrow")
+
+
+SQL_CUSTOMER_ORDER_COUNTS = """
+SELECT c.c_custkey, c.c_mktsegment,
+       COALESCE(o.cnt, 0) AS n_orders
+FROM customer c
+LEFT JOIN (SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY o_custkey) o
+  ON c.c_custkey = o.o_custkey
+"""
+
+
+DORMANT_CUTOFF = "1997-06-01"
+
+
+def q_customers_dormant(sf_dir: str) -> rd.Dataset:
+    """Distributed ANTI join: customers with NO order on/after the cutoff
+    ("dormant"). Unlike q_customers_without_big_orders (broadcast probe
+    set), this stays fully distributed — the shape to use once the probe
+    side outgrows driver memory. The date filter is pushed to the parquet
+    read; the orders side then ships per-block-distinct custkeys only."""
+
+    def recent_keys(t: pa.Table) -> pa.Table:
+        g = t.group_by("o_custkey").aggregate([([], "count_all")])
+        return pa.Table.from_arrays(
+            [pc.cast(g["o_custkey"], pa.int64()), pc.cast(g["count_all"], pa.int64())],
+            names=["o_custkey", "n_orders"],
+        )
+
+    import pyarrow.dataset as pads
+
+    recent = rd.read_parquet(
+        _pq(sf_dir, "orders"),
+        columns=["o_custkey"],
+        filter=pads.field("o_orderdate") >= pd.Timestamp(DORMANT_CUTOFF),
+    ).map_batches(recent_keys, batch_format="pyarrow")
+    return hash_join(
+        _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]),
+        recent,
+        left_on="c_custkey",
+        right_on="o_custkey",
+        key_type=pa.int64(),
+        left_fields=[pa.field("c_mktsegment", pa.string())],
+        right_fields=[pa.field("n_orders", pa.int64())],
+        how="anti",
+    )
+
+
+SQL_CUSTOMERS_DORMANT = f"""
+SELECT c_custkey, c_mktsegment FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= DATE '{DORMANT_CUTOFF}')
+"""
+
+
+def q_customers_with_orders(sf_dir: str) -> rd.Dataset:
+    """Distributed SEMI join twin of q_customers_no_orders."""
+    return hash_join(
+        _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]),
+        _order_count_partials(sf_dir),
+        left_on="c_custkey",
+        right_on="o_custkey",
+        key_type=pa.int64(),
+        left_fields=[pa.field("c_mktsegment", pa.string())],
+        right_fields=[pa.field("n_orders", pa.int64())],
+        how="semi",
+    )
+
+
+SQL_CUSTOMERS_WITH_ORDERS = """
+SELECT c_custkey, c_mktsegment FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
 """
 
 

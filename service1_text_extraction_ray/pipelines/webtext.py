@@ -673,3 +673,100 @@ FROM bg GROUP BY bigram
 ORDER BY n DESC, bigram
 LIMIT {BIGRAM_TOPK}
 """
+
+
+# ---------------------------------------------------------------------------
+# Heavy hitters: exact top-K tokens by corpus frequency, two passes
+# ---------------------------------------------------------------------------
+
+HH_TOPK = 20
+HH_CAPACITY = 2048  # candidate capacity C: every token with count >= N/C survives
+
+_HH_SCHEMA = pa.schema([("token", pa.string()), ("n", pa.int64())])
+
+
+def q_corpus_heavy_hitters(sf_dir: str) -> pd.DataFrame:
+    """Exact top-K corpus tokens by count via the two-pass heavy-hitters
+    protocol (Misra-Gries-style frequent-items guarantee, exact recount):
+
+    Pass 1 — candidate generation: each block emits its tokens with local
+    count >= block_tokens / C (at most C per block by pigeonhole). Any
+    token with GLOBAL count >= N/C must clear that bar in at least one
+    block (weighted-average argument), so the union of block candidates is
+    a guaranteed superset of every global heavy hitter. Candidates are
+    deduped on the driver — bounded by C x blocks in theory, tiny in
+    practice because hot tokens repeat across blocks (logged).
+
+    Pass 2 — exact recount: the candidate set is broadcast (ray.put once,
+    read per task), each block emits exact partial counts for candidates
+    only, and a tiny merge sums <= |candidates| rows. Top-K by (n desc,
+    token asc) is then provably exact iff the K-th count >= N/C (no
+    non-candidate can reach it) — asserted at runtime, so a corpus that
+    breaks the guarantee fails loudly instead of silently truncating.
+
+    At 100 TB: pass 1 and pass 2 are pure streaming maps; driver state is
+    bounded by the candidate set, never the vocabulary."""
+
+    def candidates(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].fillna("").map(_tokens)
+        counts = toks.explode().dropna().value_counts()
+        total = int(counts.sum())
+        if total == 0:
+            return pd.DataFrame({"token": pd.Series([], dtype=str)})
+        keep = counts[counts * HH_CAPACITY >= total]
+        return pd.DataFrame({"token": keep.index.astype(str)})
+
+    ds = _read(sf_dir, "documents", ["text"])
+    cand_rows = ds.map_batches(candidates, batch_format="pandas").take_all()
+    cand = sorted({r["token"] for r in cand_rows})
+    cand_ref = ray.put(set(cand))
+
+    def recount(df: pd.DataFrame) -> pd.DataFrame:
+        cset = ray.get(cand_ref)
+        toks = df["text"].fillna("").map(_tokens)
+        flat = toks.explode().dropna()
+        counts = flat[flat.isin(cset)].value_counts()
+        out = pd.DataFrame(
+            {
+                "token": counts.index.astype(str),
+                "n": counts.to_numpy(dtype="int64"),
+                "total": np.int64(0),
+            }
+        )
+        # block token total rides on ONE sentinel row (token=None), not on
+        # every count row — summing a per-row copy over-counts it
+        sentinel = pd.DataFrame({"token": [None], "n": [0], "total": [len(flat)]})
+        return pd.concat([out, sentinel], ignore_index=True)
+
+    parts = ds.map_batches(recount, batch_format="pandas").to_pandas()
+    n_total = int(parts["total"].sum()) if len(parts) else 0
+    counts_only = parts.dropna(subset=["token"])
+    merged = (
+        counts_only.groupby("token", sort=False)["n"].sum().reset_index()
+        if len(counts_only)
+        else pd.DataFrame({"token": pd.Series([], dtype=str), "n": pd.Series([], dtype="int64")})
+    )
+    top = merged.sort_values(["n", "token"], ascending=[False, True]).head(HH_TOPK)
+    covered = int(merged["n"].sum()) if len(merged) else 0
+    if n_total and covered != n_total:
+        # non-candidate tokens exist; each has count < N/C. The top-K is
+        # exact only if it is full AND its K-th count clears that bound.
+        kth = int(top["n"].iloc[-1]) if len(top) == HH_TOPK else 0
+        if kth * HH_CAPACITY < n_total:
+            raise AssertionError(
+                f"heavy-hitter guarantee violated: kth count {kth} < N/C "
+                f"= {n_total}/{HH_CAPACITY}; raise HH_CAPACITY"
+            )
+    return top.reset_index(drop=True).astype({"token": str, "n": "int64"})
+
+
+SQL_CORPUS_HEAVY_HITTERS = f"""
+WITH tok AS (
+  SELECT unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS token
+  FROM documents
+)
+SELECT token, CAST(count(*) AS BIGINT) AS n
+FROM tok GROUP BY token
+ORDER BY n DESC, token
+LIMIT {HH_TOPK}
+"""

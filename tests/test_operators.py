@@ -313,6 +313,64 @@ class TestHashJoin:
         assert key(out) == key(expect)
         assert list(out.columns) == ["k", "lv", "rv"]
 
+    def test_left_semi_anti_flavors_match_pandas(self, ray_session):
+        """how='left'/'semi'/'anti' vs pandas merge semantics, including
+        unmatched-left null padding and empty-right-side shards."""
+        import ray.data as rd
+
+        from service1_text_extraction_ray.pipelines.relational import hash_join
+
+        left = pd.DataFrame({"k": [1, 1, 2, 3, 5], "lv": [10, 11, 20, 30, 50]})
+        right = pd.DataFrame({"rk": [1, 2, 2, 4], "rv": ["a", "b", "c", "d"]})
+        args = dict(
+            left_on="k", right_on="rk", key_type=pa.int64(),
+            left_fields=[pa.field("lv", pa.int64())],
+            right_fields=[pa.field("rv", pa.string())],
+        )
+
+        def run(how):
+            return hash_join(
+                rd.from_pandas(left).repartition(3),
+                rd.from_pandas(right).repartition(2),
+                how=how, **args,
+            ).to_pandas()
+
+        out = run("left")
+        expect = left.merge(right, left_on="k", right_on="rk", how="left")
+        assert sorted(map(tuple, out[["k", "lv"]].to_numpy())) == sorted(
+            map(tuple, expect[["k", "lv"]].to_numpy())
+        )
+        # unmatched keys (3, 5) carry nulls in the right field
+        assert out.loc[out["k"].isin([3, 5]), "rv"].isna().all()
+
+        semi = run("semi")
+        assert sorted(map(tuple, semi.to_numpy())) == [(1, 10), (1, 11), (2, 20)]
+        assert list(semi.columns) == ["k", "lv"]
+
+        anti = run("anti")
+        assert sorted(map(tuple, anti.to_numpy())) == [(3, 30), (5, 50)]
+        assert list(anti.columns) == ["k", "lv"]
+
+    def test_combine_right_sum_fuses_right_aggregate(self, ray_session):
+        """Per-block right partials are reduced per key inside the shard
+        merge — counts must match a plain groupby regardless of how the
+        right side is blocked."""
+        import ray.data as rd
+
+        from service1_text_extraction_ray.pipelines.relational import hash_join
+
+        left = pd.DataFrame({"k": [1, 2, 3], "lv": [10, 20, 30]})
+        right = pd.DataFrame({"rk": [1, 1, 1, 2], "n": [1, 1, 1, 1]})
+        out = hash_join(
+            rd.from_pandas(left).repartition(2),
+            rd.from_pandas(right).repartition(3),  # key 1 spans blocks
+            left_on="k", right_on="rk", key_type=pa.int64(),
+            left_fields=[pa.field("lv", pa.int64())],
+            right_fields=[pa.field("n", pa.int64())],
+            combine_right_sum=True, how="left",
+        ).to_pandas().sort_values("k")
+        assert out["n"].fillna(0).astype(int).tolist() == [3, 1, 0]
+
     def test_join_queries_never_broadcast_the_fact_side(self):
         """q_segment_order_stats / q_top_orders_per_segment must use the
         shuffle hash join — no ray.put broadcast of the customer table and no

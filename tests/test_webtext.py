@@ -208,3 +208,31 @@ class TestCorpusBigrams:
         sf = _docs(tmp_path, ["a", "b"])  # single-token docs -> no bigrams
         out = q_corpus_bigrams(sf)
         assert len(out) == 0
+
+
+class TestCorpusHeavyHitters:
+    def test_exact_topk_with_tiebreak(self, ray_session, tmp_path):
+        from service1_text_extraction_ray.pipelines.webtext import (
+            q_corpus_heavy_hitters,
+        )
+
+        sf = _docs(tmp_path, ["x x x y y z", "y x z a"])
+        out = q_corpus_heavy_hitters(sf)
+        # x:4 y:3 z:2 a:1; ties broken by token ascending
+        assert out["token"].tolist() == ["x", "y", "z", "a"]
+        assert out["n"].tolist() == [4, 3, 2, 1]
+
+    def test_guarantee_violation_raises(self, ray_session, tmp_path):
+        """A corpus whose K-th count falls below N/C must fail loudly, not
+        silently return a possibly-wrong top-K."""
+        from service1_text_extraction_ray.pipelines import webtext
+        from service1_text_extraction_ray.pipelines.webtext import (
+            q_corpus_heavy_hitters,
+        )
+
+        # one dominant token + a long tail of singletons: the 20th-ranked
+        # count is 1, and N > C * 1, so exactness can't be certified
+        tail = " ".join(f"t{i:05d}" for i in range(5000))
+        sf = _docs(tmp_path, ["hot " * 2500, tail])
+        with pytest.raises(AssertionError, match="heavy-hitter guarantee"):
+            q_corpus_heavy_hitters(sf)
