@@ -112,6 +112,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_orders_per_segment": R.q_top_orders_per_segment,
         "customers_without_big_orders": R.q_customers_without_big_orders,
         "orders_latest_per_customer": R.q_orders_latest_per_customer,
+        "orders_followup_counts": R.q_orders_followup_counts,
+        "user_running_value": R.q_user_running_value,
         # --- web-corpus curation (round 3) ---
         "doc_pii_scan": W.q_doc_pii_scan,
         "doc_tfidf_top_terms": W.q_doc_tfidf_top_terms,
@@ -187,6 +189,8 @@ def oracle_sql() -> dict[str, str]:
         # shares the exact anti-join's oracle
         "customers_without_big_orders_bloom": R.SQL_CUSTOMERS_WITHOUT_BIG_ORDERS,
         "orders_latest_per_customer": R.SQL_ORDERS_LATEST_PER_CUSTOMER,
+        "orders_followup_counts": R.SQL_ORDERS_FOLLOWUP_COUNTS,
+        "user_running_value": R.SQL_USER_RUNNING_VALUE,
         "doc_pii_scan": W.SQL_DOC_PII_SCAN,
         "doc_tfidf_top_terms": W.SQL_DOC_TFIDF_TOP_TERMS,
         "doc_contamination": W.SQL_DOC_CONTAMINATION,

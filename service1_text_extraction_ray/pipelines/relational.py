@@ -1764,3 +1764,121 @@ FROM (
 )
 WHERE rn = 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Range (interval) join and cumulative window — the two windowed-operator
+# shapes the family still lacked (SURVEY.md §2.8 has none; as-of covers
+# point-in-time, these cover intervals and running state)
+# ---------------------------------------------------------------------------
+
+FOLLOWUP_DAYS = 30
+
+
+def q_orders_followup_counts(sf_dir: str) -> rd.Dataset:
+    """Range (interval) self-join: for every order, how many orders the SAME
+    customer placed in the following 30 days (strictly later, inclusive
+    upper bound) — the non-equi band join Ray Data lacks natively.
+
+    Distributed shape: ONE hash_exchange on custkey co-locates each
+    customer's orders; inside a shard the interval counting is fully
+    vectorized over ALL customers at once — encode (custkey, day) into one
+    sortable int64, sort once, and two ``np.searchsorted`` calls bound each
+    row's window; no per-customer Python dispatch and no quadratic pair
+    expansion (counts come from index arithmetic, pairs are never
+    materialized). Partitioning contract: one customer's orders fit one
+    shard task."""
+    out_schema = pa.schema(
+        [pa.field("o_orderkey", pa.int64()), pa.field("n_followups", pa.int64())]
+    )
+
+    def shard_count(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        cust = pc.cast(t["o_custkey"], pa.int64()).to_numpy(zero_copy_only=False)
+        days = (
+            pc.cast(t["o_orderdate"], pa.timestamp("us"))
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[D]")
+            .astype(np.int64)
+        )
+        keys = pc.cast(t["o_orderkey"], pa.int64()).to_numpy(zero_copy_only=False)
+        # (custkey, day) -> one sortable int64; day spans < 10^5, so the
+        # composite never overflows for custkey < 9.2e13
+        combo = cust * np.int64(1_000_000) + days
+        order = np.argsort(combo, kind="stable")
+        c_sorted = combo[order]
+        upper = np.searchsorted(c_sorted, combo + FOLLOWUP_DAYS, side="right")
+        lower = np.searchsorted(c_sorted, combo, side="right")
+        return pa.Table.from_arrays(
+            [pa.array(keys, pa.int64()), pa.array(upper - lower, pa.int64())],
+            schema=out_schema,
+        )
+
+    return hash_exchange(
+        _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]),
+        ["o_custkey"],
+        shard_count,
+        out_schema,
+    )
+
+
+SQL_ORDERS_FOLLOWUP_COUNTS = f"""
+SELECT o1.o_orderkey,
+       CAST(count(o2.o_orderkey) AS BIGINT) AS n_followups
+FROM orders o1
+LEFT JOIN orders o2
+  ON o2.o_custkey = o1.o_custkey
+ AND o2.o_orderdate > o1.o_orderdate
+ AND o2.o_orderdate <= o1.o_orderdate + INTERVAL {FOLLOWUP_DAYS} DAY
+GROUP BY o1.o_orderkey
+"""
+
+
+def q_user_running_value(sf_dir: str) -> rd.Dataset:
+    """Cumulative window: per user, the running sum of event value (integer
+    cents) in event_id order (unique, monotone with ingest time) — the
+    keyed running-state shape (SUM() OVER (PARTITION BY ... ORDER BY ...)).
+
+    ONE hash_exchange on user_id; inside a shard the running sum is a
+    single C-level ``groupby(user).cumsum`` over the shard's sorted rows —
+    no per-user dispatch. The unique order key makes the result exact
+    under the driver's value hash at any parallelism."""
+    out_schema = pa.schema(
+        [pa.field("event_id", pa.int64()), pa.field("user_id", pa.int64()),
+         pa.field("running_value_cents", pa.int64())]
+    )
+
+    def shard_cumsum(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        df = pa.Table.from_arrays(
+            [t["event_id"], t["user_id"], _cents(t["value"])],
+            names=["event_id", "user_id", "cents"],
+        ).to_pandas()
+        df = df.sort_values(["user_id", "event_id"], kind="mergesort")
+        run = df.groupby("user_id", sort=False)["cents"].cumsum()
+        return pa.Table.from_arrays(
+            [
+                pa.array(df["event_id"].to_numpy(dtype="int64")),
+                pa.array(df["user_id"].to_numpy(dtype="int64")),
+                pa.array(run.to_numpy(dtype="int64")),
+            ],
+            schema=out_schema,
+        )
+
+    return hash_exchange(
+        _read(sf_dir, "events", ["event_id", "user_id", "value"]),
+        ["user_id"],
+        shard_cumsum,
+        out_schema,
+    )
+
+
+SQL_USER_RUNNING_VALUE = """
+SELECT event_id, user_id,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER (
+         PARTITION BY user_id ORDER BY event_id
+       ) AS BIGINT) AS running_value_cents
+FROM events
+"""

@@ -1039,3 +1039,58 @@ class TestOrdersLatestPerCustomer:
         assert out["o_custkey"].tolist() == [1, 2, 3]
         assert out["o_orderkey"].tolist() == [11, 13, 14]
         assert out["o_totalprice"].tolist() == [2.0, 4.0, 5.0]
+
+
+class TestRangeJoinAndRunningWindow:
+    def test_followup_counts_window_boundaries(self, ray_session, tmp_path):
+        """Strictly-later lower bound, inclusive 30-day upper bound, no
+        cross-customer counting."""
+        import pyarrow.parquet as pq
+
+        from service1_text_extraction_ray.pipelines.relational import (
+            q_orders_followup_counts,
+        )
+
+        d = tmp_path / "sf"
+        d.mkdir()
+        orders = pa.table({
+            "o_orderkey": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "o_custkey": pa.array([7, 7, 7, 7, 9], pa.int64()),
+            "o_orderdate": pa.array(
+                pd.to_datetime([
+                    "2020-01-01",  # counts Jan 31 (+30, inclusive); NOT its
+                                   # same-day twin (not later) or Feb 1 (+31)
+                    "2020-01-01",  # same-day twin of order 1
+                    "2020-01-31",  # counts Feb 1 (+1)
+                    "2020-02-01",  # nothing after it
+                    "2020-01-02",  # other customer, inside the window
+                ]),
+                pa.timestamp("us"),
+            ),
+        })
+        pq.write_table(orders, str(d / "orders.parquet"))
+        out = (
+            q_orders_followup_counts(str(d))
+            .to_pandas()
+            .sort_values("o_orderkey")
+        )
+        assert out["n_followups"].tolist() == [1, 1, 1, 0, 0]
+
+    def test_running_value_per_user(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from service1_text_extraction_ray.pipelines.relational import (
+            q_user_running_value,
+        )
+
+        d = tmp_path / "sf"
+        d.mkdir()
+        ev = pa.table({
+            "event_id": pa.array([3, 1, 2, 4], pa.int64()),
+            "user_id": pa.array([1, 1, 2, 2], pa.int64()),
+            "value": pa.array([0.5, 1.0, 2.0, 3.0]),
+        })
+        pq.write_table(ev, str(d / "events.parquet"))
+        out = q_user_running_value(str(d)).to_pandas().sort_values("event_id")
+        # user 1: id1=100, id3=100+50; user 2: id2=200, id4=200+300
+        assert out["running_value_cents"].tolist() == [100, 200, 150, 500]
