@@ -141,6 +141,7 @@ QUERY_NAMES = [
     "doc_pii_scan", "doc_tfidf_top_terms", "dedup_spans",
     "token_postings", "corpus_bigrams", "corpus_heavy_hitters",
     "customer_order_counts",
+    "orders_latest_per_customer", "orders_followup_counts", "user_running_value",
 ]
 
 
