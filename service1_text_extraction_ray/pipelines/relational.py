@@ -1717,12 +1717,14 @@ def q_orders_latest_per_customer(sf_dir: str) -> rd.Dataset:
     latest version per key.
 
     Two-level argmax: a per-BATCH partial argmax first (pandas groupby
-    idxmax over (date, key) rank), so the key-hash shuffle carries at most
-    one row per (customer x batch) — never the raw fact table — then the
-    same argmax per key group. Both levels use the identical
-    (o_orderdate, o_orderkey) lexicographic max, so the result is exact and
-    parallelism-independent. No totalprice arithmetic: the double passes
-    through untouched (exact under the driver's value hash)."""
+    tail over a (date, key) sort), so the exchange carries at most one row
+    per (customer x batch) — never the raw fact table — then the same
+    argmax per key-hash SHARD via hash_exchange (one vectorized pass per
+    shard; the sort-shuffle orders num_shards int64 ids, not 10^5 distinct
+    custkeys, and there is no per-key Python dispatch). Both levels use the
+    identical (o_orderdate, o_orderkey) lexicographic max, so the result is
+    exact and parallelism-independent. No totalprice arithmetic: the double
+    passes through untouched (exact under the driver's value hash)."""
 
     def partial_latest(df: pd.DataFrame) -> pd.DataFrame:
         if df.empty:
@@ -1737,18 +1739,22 @@ def q_orders_latest_per_customer(sf_dir: str) -> rd.Dataset:
             idx, ["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"]
         ]
 
-    def final_latest(df: pd.DataFrame) -> pd.DataFrame:
-        return partial_latest(df)
+    def shard_latest(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _LATEST_SCHEMA.empty_table()
+        return pa.Table.from_pandas(
+            partial_latest(t.to_pandas()), preserve_index=False
+        )
 
-    return (
+    return hash_exchange(
         _read(
             sf_dir,
             "orders",
             ["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"],
-        )
-        .map_batches(partial_latest, batch_format="pandas")
-        .groupby("o_custkey")
-        .map_groups(final_latest, batch_format="pandas")
+        ).map_batches(partial_latest, batch_format="pandas"),
+        ["o_custkey"],
+        shard_latest,
+        _LATEST_SCHEMA,
     )
 
 
