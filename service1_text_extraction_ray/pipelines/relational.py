@@ -600,33 +600,46 @@ TOPK_CUSTOMERS = 10
 
 
 def q_top_customers_by_revenue(sf_dir: str) -> pd.DataFrame:
-    """Top-10 customers by total order value: pre-aggregate per custkey
-    (shuffle of int64 partials), then per-BLOCK partial top-k inside
-    map_batches, then a tiny driver merge of the <=k-per-block partials —
-    never a global sort for 10 rows (at 10^9 customers a sort().limit()
-    would be an all-to-all exchange; this ships O(k x blocks) rows).
-    o_custkey is the tiebreak on both sides (boundary determinism)."""
+    """Top-10 customers by total order value: per-BLOCK partial sums
+    (pyarrow group_by — one int64 row per customer per block crosses the
+    wire), a hash_exchange on custkey whose shard fn finishes the sum AND
+    takes the shard's top-k, then a tiny driver merge of the <=k-per-shard
+    partials — never a global sort for 10 rows, and never a sort-aggregate
+    keyed on 10^5+ distinct custkeys (the exchange orders num_shards int64
+    ids). o_custkey is the tiebreak at every level (boundary determinism)."""
+    topk_schema = pa.schema(
+        [pa.field("o_custkey", pa.int64()), pa.field("revenue_cents", pa.int64())]
+    )
 
-    def prep(batch: pa.Table) -> pa.Table:
-        return pa.Table.from_arrays(
-            [batch["o_custkey"], _cents(batch["o_totalprice"])],
+    def partial_sums(batch: pa.Table) -> pa.Table:
+        rows = pa.Table.from_arrays(
+            [pc.cast(batch["o_custkey"], pa.int64()), _cents(batch["o_totalprice"])],
             names=["o_custkey", "totalprice_cents"],
         )
+        g = rows.group_by("o_custkey").aggregate([("totalprice_cents", "sum")])
+        return pa.Table.from_arrays(
+            [g["o_custkey"], g["totalprice_cents_sum"]],
+            schema=topk_schema,
+        )
 
-    def block_topk(df: pd.DataFrame) -> pd.DataFrame:
-        out = df.sort_values(
+    def shard_topk(t: pa.Table) -> pa.Table:
+        g = t.group_by("o_custkey").aggregate([("revenue_cents", "sum")])
+        df = pa.Table.from_arrays(
+            [g["o_custkey"], g["revenue_cents_sum"]], schema=topk_schema
+        ).to_pandas()
+        top = df.sort_values(
             ["revenue_cents", "o_custkey"], ascending=[False, True]
         ).head(TOPK_CUSTOMERS)
-        return out.astype({"o_custkey": "int64", "revenue_cents": "int64"})
+        return pa.Table.from_pandas(top, schema=topk_schema, preserve_index=False)
 
-    partials = (
-        _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
-        .map_batches(prep, batch_format="pyarrow")
-        .groupby("o_custkey")
-        .aggregate(Sum("totalprice_cents", alias_name="revenue_cents"))
-        .map_batches(block_topk, batch_format="pandas")
-        .to_pandas()
-    )
+    partials = hash_exchange(
+        _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
+            partial_sums, batch_format="pyarrow"
+        ),
+        ["o_custkey"],
+        shard_topk,
+        topk_schema,
+    ).to_pandas()
     top = partials.sort_values(
         ["revenue_cents", "o_custkey"], ascending=[False, True]
     ).head(TOPK_CUSTOMERS)
@@ -1469,11 +1482,36 @@ WHERE rank <= {TOPK_USERS_PER_HOUR}
 
 def q_user_event_type_matrix(sf_dir: str) -> rd.Dataset:
     """Per (user, event_type) counts — the reference's value_counts analogue
-    (G4) at event grain."""
-    return (
-        _read(sf_dir, "events", ["user_id", "event_type"])
-        .groupby(["user_id", "event_type"])
-        .aggregate(Count(alias_name="n"))
+    (G4) at event grain. Per-block pyarrow partial counts first (one row per
+    (user, type) per block crosses the wire), then a hash_exchange on
+    user_id finishes the sum per shard — no sort-aggregate keyed on the full
+    (user x type) composite."""
+    matrix_schema = pa.schema(
+        [pa.field("user_id", pa.int64()), pa.field("event_type", pa.string()),
+         pa.field("n", pa.int64())]
+    )
+
+    def partial_counts(t: pa.Table) -> pa.Table:
+        g = t.group_by(["user_id", "event_type"]).aggregate([([], "count_all")])
+        return pa.Table.from_arrays(
+            [pc.cast(g["user_id"], pa.int64()), g["event_type"],
+             pc.cast(g["count_all"], pa.int64())],
+            schema=matrix_schema,
+        )
+
+    def shard_counts(t: pa.Table) -> pa.Table:
+        g = t.group_by(["user_id", "event_type"]).aggregate([("n", "sum")])
+        return pa.Table.from_arrays(
+            [g["user_id"], g["event_type"], g["n_sum"]], schema=matrix_schema
+        )
+
+    return hash_exchange(
+        _read(sf_dir, "events", ["user_id", "event_type"]).map_batches(
+            partial_counts, batch_format="pyarrow"
+        ),
+        ["user_id"],
+        shard_counts,
+        matrix_schema,
     )
 
 
@@ -1656,18 +1694,26 @@ def q_customers_without_big_orders(sf_dir: str) -> rd.Dataset:
 
     import pyarrow.dataset as pds
 
-    probe_ids = (
+    def block_unique(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [pc.unique(pc.cast(t["o_custkey"], pa.int64()))], names=["o_custkey"]
+        )
+
+    probe_set: set = set()
+    for b in (
         rd.read_parquet(
             _pq(sf_dir, "orders"),
             columns=["o_custkey", "o_totalprice"],
             filter=pds.field("o_totalprice") > HIGH_VALUE_CUT,  # read-side prune
         )
-        .groupby("o_custkey")
-        .aggregate(Count(alias_name="_n"))
-        .to_pandas()["o_custkey"]
-        .to_numpy()
-    )
-    probe_ref = ray.put(set(int(x) for x in probe_ids))
+        # per-block unique, union-ed on the driver: ships at most
+        # (distinct-per-block x blocks) int64s and skips the sort-aggregate
+        # a distinct groupby would pay
+        .map_batches(block_unique, batch_format="pyarrow")
+        .iter_batches(batch_size=65536, batch_format="pyarrow")
+    ):
+        probe_set.update(b["o_custkey"].to_pylist())
+    probe_ref = ray.put(probe_set)
 
     def anti(df: pd.DataFrame) -> pd.DataFrame:
         probe = ray.get(probe_ref)
