@@ -94,6 +94,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_with_orders": R.q_customers_with_orders,
         "nation_customer_counts": R.q_nation_customer_counts,
         "top_customers_by_revenue": R.q_top_customers_by_revenue,
+        "top_unshipped_orders": R.q_top_unshipped_orders,
         "high_value_orders": R.q_high_value_orders,
         "orders_priority_counts": R.q_orders_priority_counts,
         "part_type_stats": R.q_part_type_stats,
@@ -170,6 +171,7 @@ def oracle_sql() -> dict[str, str]:
         "customers_with_orders": R.SQL_CUSTOMERS_WITH_ORDERS,
         "nation_customer_counts": R.SQL_NATION_CUSTOMER_COUNTS,
         "top_customers_by_revenue": R.SQL_TOP_CUSTOMERS_BY_REVENUE,
+        "top_unshipped_orders": R.SQL_TOP_UNSHIPPED_ORDERS,
         "high_value_orders": R.SQL_HIGH_VALUE_ORDERS,
         "orders_priority_counts": R.SQL_ORDERS_PRIORITY_COUNTS,
         "part_type_stats": R.SQL_PART_TYPE_STATS,

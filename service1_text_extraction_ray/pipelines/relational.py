@@ -459,6 +459,125 @@ def _order_count_partials(sf_dir: str) -> rd.Dataset:
     )
 
 
+Q3_SEGMENT = "BUILDING"
+Q3_CUTOFF = "1996-06-30"
+Q3_TOPK = 10
+
+
+def q_top_unshipped_orders(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q3 shape: top-10 orders by open revenue for one market segment
+    — the MULTI-WAY join (customer ⋈ orders ⋈ lineitem) every other query
+    here only exercises one edge of. Demonstrates that ``hash_join``
+    composes: the output Dataset of one join feeds the next as an ordinary
+    lazy stream.
+
+    Plan (two exchanges total, both key-hash shards — no global sort):
+      1. customer is filtered to the segment AT THE READ (row-group prune)
+         and used as the build side of a SEMI join against orders (orders
+         pre-filtered to o_orderdate < cutoff at the read) — fact ⋈ fact,
+         so no driver-collected broadcast.
+      2. lineitem (l_shipdate > cutoff pushed to the read) is pre-reduced
+         per l_orderkey per BLOCK into integer-cent revenue partials; the
+         second hash_join fuses the final per-key combine into its shard
+         merge (combine_left_sum) while joining the surviving open orders.
+      3. top-10 = per-block partial top-k + a tiny driver merge
+         (revenue desc, orderkey asc tiebreak — boundary determinism).
+    """
+    import pyarrow.dataset as pds
+
+    cutoff = pd.Timestamp(Q3_CUTOFF)
+
+    cust = rd.read_parquet(
+        _pq(sf_dir, "customer"),
+        columns=["c_custkey", "c_mktsegment"],
+        filter=pds.field("c_mktsegment") == Q3_SEGMENT,
+    )
+    orders = rd.read_parquet(
+        _pq(sf_dir, "orders"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=pds.field("o_orderdate") < cutoff,
+    )
+    open_orders = hash_join(
+        orders,
+        cust,
+        left_on="o_custkey",
+        right_on="c_custkey",
+        key_type=pa.int64(),
+        left_fields=[pa.field("o_orderkey", pa.int64()),
+                     pa.field("o_orderdate", pa.timestamp("us"))],
+        right_fields=[pa.field("c_mktsegment", pa.string())],
+        how="semi",
+    ).select_columns(["o_orderkey", "o_orderdate"])
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        rev = _cents(
+            pc.multiply(
+                t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+            )
+        )
+        rows = pa.Table.from_arrays(
+            [pc.cast(t["l_orderkey"], pa.int64()), rev],
+            names=["l_orderkey", "revenue_cents"],
+        )
+        g = rows.group_by("l_orderkey").aggregate([("revenue_cents", "sum")])
+        return pa.Table.from_arrays(
+            [g["l_orderkey"], g["revenue_cents_sum"]],
+            names=["l_orderkey", "revenue_cents"],
+        )
+
+    li = rd.read_parquet(
+        _pq(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        filter=pds.field("l_shipdate") > cutoff,
+    ).map_batches(li_partial, batch_format="pyarrow")
+
+    joined = hash_join(
+        li,
+        open_orders,
+        left_on="l_orderkey",
+        right_on="o_orderkey",
+        key_type=pa.int64(),
+        left_fields=[pa.field("revenue_cents", pa.int64())],
+        right_fields=[pa.field("o_orderdate", pa.timestamp("us"))],
+        combine_left_sum=True,
+    )
+
+    _TOP_SCHEMA = pa.schema([
+        ("l_orderkey", pa.int64()), ("revenue_cents", pa.int64()),
+        ("o_orderdate", pa.timestamp("us")),
+    ])
+
+    def block_topk(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _TOP_SCHEMA.empty_table()
+        df = t.to_pandas().sort_values(
+            ["revenue_cents", "l_orderkey"], ascending=[False, True]
+        ).head(Q3_TOPK)
+        return pa.Table.from_pandas(df, schema=_TOP_SCHEMA, preserve_index=False)
+
+    partials = joined.map_batches(block_topk, batch_format="pyarrow").to_pandas()
+    top = partials.sort_values(
+        ["revenue_cents", "l_orderkey"], ascending=[False, True]
+    ).head(Q3_TOPK)
+    return top[["l_orderkey", "revenue_cents", "o_orderdate"]].reset_index(drop=True)
+
+
+SQL_TOP_UNSHIPPED_ORDERS = f"""
+SELECT l.l_orderkey,
+       CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+       o.o_orderdate
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = '{Q3_SEGMENT}'
+  AND o.o_orderdate < TIMESTAMP '{Q3_CUTOFF} 00:00:00'
+  AND l.l_shipdate > TIMESTAMP '{Q3_CUTOFF} 00:00:00'
+GROUP BY l.l_orderkey, o.o_orderdate
+ORDER BY revenue_cents DESC, l.l_orderkey ASC
+LIMIT {Q3_TOPK}
+"""
+
+
 def q_customer_order_counts(sf_dir: str) -> rd.Dataset:
     """LEFT OUTER hash join: every customer with its order count, 0 when it
     has none — the join flavor a broadcast probe can't express once both

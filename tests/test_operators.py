@@ -389,6 +389,62 @@ class TestHashJoin:
             # every to_pandas is a per-batch Arrow-table conversion
             assert src.count(".to_pandas()") == src.count("t.to_pandas()")
 
+    def test_chained_joins_match_duckdb(self, ray_session, tmp_path):
+        """q_top_unshipped_orders: two hash_joins chained (semi then
+        fused-combine inner) must reproduce the 3-table SQL exactly,
+        including both read-side date filters and the revenue tiebreak."""
+        import duckdb
+        import pyarrow.parquet as pq
+
+        from service1_text_extraction_ray.pipelines.relational import (
+            SQL_TOP_UNSHIPPED_ORDERS,
+            q_top_unshipped_orders,
+        )
+
+        rng = np.random.default_rng(7)
+        d = tmp_path / "sf"
+        d.mkdir()
+        n_cust, n_ord, n_li = 40, 200, 600
+        cust = pa.table({
+            "c_custkey": pa.array(range(n_cust), pa.int64()),
+            "c_mktsegment": pa.array(
+                [["BUILDING", "AUTO", "HOUSE"][i % 3] for i in range(n_cust)]
+            ),
+        })
+        odate = pd.Timestamp("1995-06-01") + pd.to_timedelta(
+            rng.integers(0, 700, n_ord), unit="D"
+        )
+        orders = pa.table({
+            "o_orderkey": pa.array(range(n_ord), pa.int64()),
+            "o_custkey": pa.array(rng.integers(0, n_cust, n_ord), pa.int64()),
+            "o_orderdate": pa.array(odate, pa.timestamp("us")),
+        })
+        sdate = pd.Timestamp("1995-06-01") + pd.to_timedelta(
+            rng.integers(0, 800, n_li), unit="D"
+        )
+        li = pa.table({
+            "l_orderkey": pa.array(rng.integers(0, n_ord, n_li), pa.int64()),
+            "l_extendedprice": pa.array(
+                np.round(rng.uniform(100, 9000, n_li), 2)
+            ),
+            "l_discount": pa.array(np.round(rng.uniform(0, 0.1, n_li), 2)),
+            "l_shipdate": pa.array(sdate, pa.timestamp("us")),
+        })
+        pq.write_table(cust, str(d / "customer.parquet"))
+        pq.write_table(orders, str(d / "orders.parquet"))
+        pq.write_table(li, str(d / "lineitem.parquet"))
+
+        got = q_top_unshipped_orders(str(d))
+        con = duckdb.connect()
+        for name in ("customer", "orders", "lineitem"):
+            con.execute(
+                f"CREATE VIEW {name} AS SELECT * FROM '{d / (name + '.parquet')}'"
+            )
+        want = con.execute(SQL_TOP_UNSHIPPED_ORDERS).fetchdf()
+        assert got["l_orderkey"].tolist() == want["l_orderkey"].tolist()
+        assert got["revenue_cents"].tolist() == want["revenue_cents"].tolist()
+        assert got["o_orderdate"].tolist() == want["o_orderdate"].tolist()
+
 
 class TestAsofJoin:
     def test_asof_matches_reference_semantics(self, ray_session, tmp_path):
