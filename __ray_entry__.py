@@ -125,6 +125,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_postings": W.q_token_postings,
         "corpus_bigrams": W.q_corpus_bigrams,
         "corpus_heavy_hitters": W.q_corpus_heavy_hitters,
+        "curate_corpus": W.q_curate_corpus,
     }
 
 
@@ -202,4 +203,5 @@ def oracle_sql() -> dict[str, str]:
         "token_postings": W.SQL_TOKEN_POSTINGS,
         "corpus_bigrams": W.SQL_CORPUS_BIGRAMS,
         "corpus_heavy_hitters": W.SQL_CORPUS_HEAVY_HITTERS,
+        "curate_corpus": W.sql_curate_corpus(),
     }

@@ -785,6 +785,34 @@ _ELLIPSIS_END_RX = re.compile(r"\.\.\.[ \t]*$")
 _ALPHA_RX = re.compile(r"[A-Za-z]")
 
 
+def gopher_row(text: str) -> tuple:
+    """Per-document Gopher quality counts + keep verdict (all exact
+    integers) — the pure core shared by q_doc_gopher_filter and the chained
+    q_curate_corpus pipeline (webtext.py)."""
+    words = text.split()
+    n_words = len(words)
+    sum_chars = sum(len(w) for w in words)
+    n_symbols = text.count("#") + text.count("...")
+    lines = text.split("\n")
+    n_lines = len(lines)
+    n_bullets = sum(1 for l in lines if _BULLET_RX.search(l))
+    n_ellipsis = sum(1 for l in lines if _ELLIPSIS_END_RX.search(l))
+    n_alpha = sum(1 for w in words if _ALPHA_RX.search(w))
+    low = text.lower().split()
+    n_stop = len({w for w in low if w in GOPHER_STOPWORDS})
+    keep = (
+        50 <= n_words <= 100_000
+        and 3 * n_words <= sum_chars <= 10 * n_words
+        and 10 * n_symbols < n_words
+        and 10 * n_bullets < 9 * n_lines
+        and 10 * n_ellipsis < 3 * n_lines
+        and 5 * n_alpha > 4 * n_words
+        and n_stop >= 2
+    )
+    return (n_words, sum_chars, n_symbols, n_lines, n_bullets, n_ellipsis,
+            n_alpha, n_stop, keep)
+
+
 def q_doc_gopher_filter(sf_dir: str) -> rd.Dataset:
     """Gopher-style document quality filter: word-count bounds, mean word
     length (as integer cross-multiplication, no floats), symbol-to-word
@@ -795,30 +823,7 @@ def q_doc_gopher_filter(sf_dir: str) -> rd.Dataset:
     def f(df: pd.DataFrame) -> pd.DataFrame:
         out_rows = []
         for doc_id, text in zip(df["doc_id"], df["text"].fillna("")):
-            words = text.split()
-            n_words = len(words)
-            sum_chars = sum(len(w) for w in words)
-            n_symbols = text.count("#") + text.count("...")
-            lines = text.split("\n")
-            n_lines = len(lines)
-            n_bullets = sum(1 for l in lines if _BULLET_RX.search(l))
-            n_ellipsis = sum(1 for l in lines if _ELLIPSIS_END_RX.search(l))
-            n_alpha = sum(1 for w in words if _ALPHA_RX.search(w))
-            low = text.lower().split()
-            n_stop = len({w for w in low if w in GOPHER_STOPWORDS})
-            keep = (
-                50 <= n_words <= 100_000
-                and 3 * n_words <= sum_chars <= 10 * n_words
-                and 10 * n_symbols < n_words
-                and 10 * n_bullets < 9 * n_lines
-                and 10 * n_ellipsis < 3 * n_lines
-                and 5 * n_alpha > 4 * n_words
-                and n_stop >= 2
-            )
-            out_rows.append(
-                (int(doc_id), n_words, sum_chars, n_symbols, n_lines,
-                 n_bullets, n_ellipsis, n_alpha, n_stop, keep)
-            )
+            out_rows.append((int(doc_id),) + gopher_row(text))
         cols = ["doc_id", "n_words", "sum_word_chars", "n_symbols", "n_lines",
                 "n_bullet_lines", "n_ellipsis_lines", "n_alpha_words",
                 "n_stopwords_present", "keep"]

@@ -770,3 +770,139 @@ FROM tok GROUP BY token
 ORDER BY n DESC, token
 LIMIT {HH_TOPK}
 """
+
+
+# ---------------------------------------------------------------------------
+# Chained curation pipeline: quality filter -> exact dedup -> split assign
+# ---------------------------------------------------------------------------
+
+
+def q_curate_corpus(sf_dir: str) -> rd.Dataset:
+    """The end-to-end corpus-curation chain a training pipeline actually
+    runs, as ONE streaming Dataset: Gopher quality filter (per-batch, no
+    shuffle) -> exact dedup on md5(text) keeping the lowest doc_id (ONE
+    hash_exchange of 32-byte keys + ids + lang — the filtered survivors'
+    text never rides the shuffle) -> deterministic train/valid/test split
+    assignment (pure hash of doc_id, per-batch). Output: one row per
+    curated document (doc_id, lang, split).
+
+    Every stage reuses the exact pure core its standalone query uses
+    (queries.gopher_row counts, md5 dedup keys, the md5-16-bit split cut),
+    so the composed SQL oracle reproduces the chain bit-for-bit —
+    composition is verified, not just each piece. The quality gate is the
+    Gopher STRUCTURAL clauses (word count, char ratio, symbols, bullets,
+    ellipsis, alpha words) — the English-stopword containment clause is a
+    language-specific rule that belongs before language routing, not in a
+    multilingual chain (and would vacuously drop the whole synthetic
+    corpus). At 100 TB the only exchange is the dedup's hash-shard pass;
+    filter and split stay embarrassingly parallel.
+    """
+    from .queries import _md5, gopher_row
+
+    surv_schema = pa.schema(
+        [pa.field("text_hash", pa.string()), pa.field("doc_id", pa.int64()),
+         pa.field("lang", pa.string())]
+    )
+
+    def _structural_keep(counts: tuple) -> bool:
+        (n_words, sum_chars, n_symbols, n_lines,
+         n_bullets, n_ellipsis, n_alpha, _n_stop, _keep) = counts
+        return (
+            50 <= n_words <= 100_000
+            and 3 * n_words <= sum_chars <= 10 * n_words
+            and 10 * n_symbols < n_words
+            and 10 * n_bullets < 9 * n_lines
+            and 10 * n_ellipsis < 3 * n_lines
+            and 5 * n_alpha > 4 * n_words
+        )
+
+    def filter_and_hash(t: pa.Table) -> pa.Table:
+        texts = pc.fill_null(t["text"], "").to_pylist()
+        keep = np.fromiter(
+            (_structural_keep(gopher_row(x)) for x in texts),
+            dtype=bool, count=len(texts),
+        )
+        ids = pc.cast(t["doc_id"], pa.int64()).to_numpy(zero_copy_only=False)
+        langs = pc.cast(t["lang"], pa.string())
+        mask = pa.array(keep)
+        return pa.Table.from_arrays(
+            [
+                pa.array([_md5(x) for x, k in zip(texts, keep) if k]),
+                pa.array(ids[keep], pa.int64()),
+                langs.filter(mask) if hasattr(langs, "filter") else pc.filter(langs, mask),
+            ],
+            schema=surv_schema,
+        )
+
+    def shard_first(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return surv_schema.empty_table()
+        df = (
+            t.to_pandas()
+            .sort_values(["text_hash", "doc_id"], kind="mergesort")
+            .groupby("text_hash", sort=False)
+            .head(1)
+        )
+        return pa.Table.from_pandas(df, schema=surv_schema, preserve_index=False)
+
+    survivors = hash_exchange(
+        _read(sf_dir, "documents", ["doc_id", "text", "lang"]).map_batches(
+            filter_and_hash, batch_format="pyarrow"
+        ),
+        ["text_hash"],
+        shard_first,
+        surv_schema,
+    )
+
+    out_schema = pa.schema(
+        [pa.field("doc_id", pa.int64()), pa.field("lang", pa.string()),
+         pa.field("split", pa.string())]
+    )
+
+    def assign_split(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        keys = np.fromiter(
+            (int.from_bytes(hashlib.md5(str(d).encode()).digest()[:2], "big")
+             for d in ids),
+            dtype=np.int64, count=len(ids),
+        )
+        split = np.where(
+            keys < _TRAIN_CUT, "train", np.where(keys < _VALID_CUT, "valid", "test")
+        )
+        return pa.Table.from_arrays(
+            [t["doc_id"], t["lang"], pa.array(split.tolist(), pa.string())],
+            schema=out_schema,
+        )
+
+    return survivors.map_batches(assign_split, batch_format="pyarrow")
+
+
+def sql_curate_corpus() -> str:
+    """Composed oracle: the gopher-filter SQL as a CTE (structural clauses
+    only — see q_curate_corpus), then the dedup and split stages replayed
+    with the same md5 keys/cuts as the standalone oracles
+    (SQL_DEDUP_EXACT / SQL_DOC_SPLIT_ASSIGN)."""
+    from .queries import SQL_DOC_GOPHER_FILTER
+
+    return f"""
+WITH gf AS ({SQL_DOC_GOPHER_FILTER}),
+kept AS (
+  SELECT d.doc_id, d.lang, d.text
+  FROM documents d JOIN gf ON d.doc_id = gf.doc_id
+  WHERE gf.n_words BETWEEN 50 AND 100000
+    AND 3 * gf.n_words <= gf.sum_word_chars
+    AND gf.sum_word_chars <= 10 * gf.n_words
+    AND 10 * gf.n_symbols < gf.n_words
+    AND 10 * gf.n_bullet_lines < 9 * gf.n_lines
+    AND 10 * gf.n_ellipsis_lines < 3 * gf.n_lines
+    AND 5 * gf.n_alpha_words > 4 * gf.n_words
+),
+dedup AS (
+  SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(text)
+)
+SELECT k.doc_id, k.lang,
+       CASE WHEN ({_SQL_MD5_KEY16.replace('doc_id', 'k.doc_id')}) < {_TRAIN_CUT} THEN 'train'
+            WHEN ({_SQL_MD5_KEY16.replace('doc_id', 'k.doc_id')}) < {_VALID_CUT} THEN 'valid'
+            ELSE 'test' END AS split
+FROM kept k JOIN dedup u ON k.doc_id = u.doc_id
+"""

@@ -236,3 +236,42 @@ class TestCorpusHeavyHitters:
         sf = _docs(tmp_path, ["hot " * 2500, tail])
         with pytest.raises(AssertionError, match="heavy-hitter guarantee"):
             q_corpus_heavy_hitters(sf)
+
+
+class TestCurateCorpus:
+    def test_filter_dedup_split_chain(self, ray_session, tmp_path):
+        """Low-quality docs dropped, exact dups keep the lowest doc_id, and
+        split assignment is the same pure hash the standalone query uses."""
+        import hashlib
+
+        from service1_text_extraction_ray.pipelines.webtext import (
+            _TRAIN_CUT,
+            _VALID_CUT,
+            q_curate_corpus,
+        )
+
+        good = " ".join(f"alpha{i % 23} beta{i % 7}" for i in range(60))
+        texts = [
+            good,                      # doc 0: kept (min id of the dup pair)
+            good,                      # doc 1: exact dup of 0 -> dropped
+            "too short",               # doc 2: fails word-count bound
+            good + " gamma tail",      # doc 3: kept (distinct)
+        ]
+        out = q_curate_corpus(_docs(tmp_path, texts)).to_pandas()
+        assert sorted(out["doc_id"].tolist()) == [0, 3]
+
+        def expect_split(d):
+            k = int.from_bytes(hashlib.md5(str(d).encode()).digest()[:2], "big")
+            return "train" if k < _TRAIN_CUT else ("valid" if k < _VALID_CUT else "test")
+
+        got = dict(zip(out["doc_id"], out["split"]))
+        assert got == {0: expect_split(0), 3: expect_split(3)}
+
+    def test_rerun_identical(self, ray_session, tmp_path):
+        from service1_text_extraction_ray.pipelines.webtext import q_curate_corpus
+
+        texts = [" ".join(f"w{i}x{j}" for j in range(80)) for i in range(20)]
+        d = _docs(tmp_path, texts)
+        a = q_curate_corpus(d).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        b = q_curate_corpus(d).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        assert a.equals(b)
