@@ -115,6 +115,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_latest_per_customer": R.q_orders_latest_per_customer,
         "orders_followup_counts": R.q_orders_followup_counts,
         "user_running_value": R.q_user_running_value,
+        "orders_rollup": R.q_orders_rollup,
+        "user_event_pivot": R.q_user_event_pivot,
+        "order_price_histogram": R.q_order_price_histogram,
+        "part_size_mode": R.q_part_size_mode,
+        "lineitem_corr": R.q_lineitem_corr,
         # --- web-corpus curation (round 3) ---
         "doc_pii_scan": W.q_doc_pii_scan,
         "doc_tfidf_top_terms": W.q_doc_tfidf_top_terms,
@@ -194,6 +199,11 @@ def oracle_sql() -> dict[str, str]:
         "orders_latest_per_customer": R.SQL_ORDERS_LATEST_PER_CUSTOMER,
         "orders_followup_counts": R.SQL_ORDERS_FOLLOWUP_COUNTS,
         "user_running_value": R.SQL_USER_RUNNING_VALUE,
+        "orders_rollup": R.SQL_ORDERS_ROLLUP,
+        "user_event_pivot": R.SQL_USER_EVENT_PIVOT,
+        "order_price_histogram": R.SQL_ORDER_PRICE_HISTOGRAM,
+        "part_size_mode": R.SQL_PART_SIZE_MODE,
+        "lineitem_corr": R.SQL_LINEITEM_CORR,
         "doc_pii_scan": W.SQL_DOC_PII_SCAN,
         "doc_tfidf_top_terms": W.SQL_DOC_TFIDF_TOP_TERMS,
         "doc_contamination": W.SQL_DOC_CONTAMINATION,

@@ -142,6 +142,9 @@ QUERY_NAMES = [
     "token_postings", "corpus_bigrams", "corpus_heavy_hitters",
     "customer_order_counts",
     "orders_latest_per_customer", "orders_followup_counts", "user_running_value",
+    "top_unshipped_orders", "curate_corpus",
+    "orders_rollup", "user_event_pivot", "order_price_histogram",
+    "part_size_mode", "lineitem_corr",
 ]
 
 

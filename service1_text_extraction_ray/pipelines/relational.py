@@ -2053,3 +2053,324 @@ SELECT event_id, user_id,
        ) AS BIGINT) AS running_value_cents
 FROM events
 """
+
+
+# ---------------------------------------------------------------------------
+# Aggregate-family extensions: rollup, pivot, histogram, per-group mode,
+# correlation from exact integer partials (SURVEY.md §2.5 lists only plain
+# grouped aggregates — these are the remaining grouped-aggregate shapes a
+# general engine needs)
+# ---------------------------------------------------------------------------
+
+ROLLUP_ALL = "ALL"
+
+
+def q_orders_rollup(sf_dir: str) -> pd.DataFrame:
+    """ROLLUP aggregate: revenue by (priority, status), per-priority
+    subtotals, and the grand total — in ONE pass. The coarser levels are
+    derived from the FINEST-grain partials (a few dozen rows), never from a
+    second scan: per-block pyarrow partials -> one tiny groupby -> driver
+    derivation of subtotal/total rows. 'ALL' markers instead of SQL NULLs
+    keep the driver's value hash unambiguous."""
+
+    def prep(t: pa.Table) -> pa.Table:
+        rows = pa.Table.from_arrays(
+            [t["o_orderpriority"], t["o_orderstatus"], _cents(t["o_totalprice"])],
+            names=["o_orderpriority", "o_orderstatus", "cents"],
+        )
+        g = rows.group_by(["o_orderpriority", "o_orderstatus"]).aggregate(
+            [("cents", "sum"), ([], "count_all")]
+        )
+        return pa.Table.from_arrays(
+            [g["o_orderpriority"], g["o_orderstatus"],
+             pc.cast(g["count_all"], pa.int64()), g["cents_sum"]],
+            names=["o_orderpriority", "o_orderstatus", "n_orders", "revenue_cents"],
+        )
+
+    finest = (
+        _read(sf_dir, "orders", ["o_orderpriority", "o_orderstatus", "o_totalprice"])
+        .map_batches(prep, batch_format="pyarrow")
+        .repartition(8)
+        .groupby(["o_orderpriority", "o_orderstatus"])
+        .aggregate(
+            Sum("n_orders", alias_name="n_orders"),
+            Sum("revenue_cents", alias_name="revenue_cents"),
+        )
+        .to_pandas()  # the finest grain is (priorities x statuses) rows — tiny
+    )
+    by_prio = (
+        finest.groupby("o_orderpriority", as_index=False)[["n_orders", "revenue_cents"]]
+        .sum()
+        .assign(o_orderstatus=ROLLUP_ALL)
+    )
+    total = pd.DataFrame([{
+        "o_orderpriority": ROLLUP_ALL, "o_orderstatus": ROLLUP_ALL,
+        "n_orders": finest["n_orders"].sum(),
+        "revenue_cents": finest["revenue_cents"].sum(),
+    }])
+    out = pd.concat([finest, by_prio, total], ignore_index=True)
+    out = out[["o_orderpriority", "o_orderstatus", "n_orders", "revenue_cents"]]
+    return out.astype({"n_orders": "int64", "revenue_cents": "int64"})
+
+
+SQL_ORDERS_ROLLUP = f"""
+SELECT coalesce(o_orderpriority, '{ROLLUP_ALL}') AS o_orderpriority,
+       coalesce(o_orderstatus, '{ROLLUP_ALL}') AS o_orderstatus,
+       count(*) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM orders
+GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+"""
+
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def q_user_event_pivot(sf_dir: str) -> rd.Dataset:
+    """PIVOT: per-user event counts as one WIDE row (n_click, n_error, ...)
+    — the wide twin of q_user_event_type_matrix. The pivot happens inside
+    map_batches (each block -> one partial wide row per user, vectorized
+    pyarrow dictionary-encode + bincount), so the exchange moves fixed-width
+    int64 rows and the final reduce is a plain Sum per column — a pivot
+    never needs its own shuffle beyond the keyed sum. Column set is the
+    engine-config event vocabulary (EVENT_TYPES): at web scale a pivot over
+    an unbounded value domain is a design error, so the operator takes the
+    closed set explicitly and raises on out-of-vocabulary values."""
+    cols = [f"n_{t}" for t in EVENT_TYPES]
+    pivot_schema = pa.schema(
+        [pa.field("user_id", pa.int64())] + [pa.field(c, pa.int64()) for c in cols]
+    )
+
+    def partial_pivot(t: pa.Table) -> pa.Table:
+        uid = pc.cast(t["user_id"], pa.int64()).to_numpy(zero_copy_only=False)
+        etype = t["event_type"].to_pylist()
+        type_idx = {name: i for i, name in enumerate(EVENT_TYPES)}
+        try:
+            tcode = np.fromiter(
+                (type_idx[x] for x in etype), dtype=np.int64, count=len(etype)
+            )
+        except KeyError as e:  # closed-vocabulary contract
+            raise ValueError(f"out-of-vocabulary event_type: {e}") from e
+        uniq, inv = np.unique(uid, return_inverse=True)
+        counts = np.zeros((len(uniq), len(EVENT_TYPES)), dtype=np.int64)
+        np.add.at(counts, (inv, tcode), 1)
+        return pa.Table.from_arrays(
+            [pa.array(uniq, pa.int64())]
+            + [pa.array(counts[:, i], pa.int64()) for i in range(len(EVENT_TYPES))],
+            schema=pivot_schema,
+        )
+
+    def shard_sum(t: pa.Table) -> pa.Table:
+        g = t.group_by("user_id").aggregate([(c, "sum") for c in cols])
+        return pa.Table.from_arrays(
+            [g["user_id"]] + [g[f"{c}_sum"] for c in cols], schema=pivot_schema
+        )
+
+    return hash_exchange(
+        _read(sf_dir, "events", ["user_id", "event_type"]).map_batches(
+            partial_pivot, batch_format="pyarrow"
+        ),
+        ["user_id"],
+        shard_sum,
+        pivot_schema,
+    )
+
+
+SQL_USER_EVENT_PIVOT = "\n".join(
+    ["SELECT user_id,"]
+    + [
+        f"       CAST(count(*) FILTER (event_type = '{t}') AS BIGINT) AS n_{t},"
+        for t in EVENT_TYPES[:-1]
+    ]
+    + [
+        f"       CAST(count(*) FILTER (event_type = '{EVENT_TYPES[-1]}') AS BIGINT) AS n_{EVENT_TYPES[-1]}",
+        "FROM events GROUP BY user_id",
+    ]
+)
+
+
+HIST_BIN_WIDTH = 50_000  # dollars per bin over o_totalprice
+
+
+def q_order_price_histogram(sf_dir: str) -> rd.Dataset:
+    """Fixed-width histogram of order prices: bin = floor(price / width).
+    Per-block vectorized binning + partial counts (pyarrow group_by), then
+    one tiny groupby over <= ~12 bins — the canonical distributed-histogram
+    shape (partials are mergeable; no raw row ever crosses the wire)."""
+
+    def binit(t: pa.Table) -> pa.Table:
+        b = pc.cast(
+            pc.floor(pc.divide(t["o_totalprice"], pa.scalar(float(HIST_BIN_WIDTH)))),
+            pa.int64(),
+        )
+        rows = pa.Table.from_arrays(
+            [b, _cents(t["o_totalprice"])], names=["bin", "cents"]
+        )
+        g = rows.group_by("bin").aggregate([([], "count_all"), ("cents", "sum")])
+        return pa.Table.from_arrays(
+            [g["bin"], pc.cast(g["count_all"], pa.int64()), g["cents_sum"]],
+            names=["bin", "n_orders", "sum_cents"],
+        )
+
+    return (
+        _read(sf_dir, "orders", ["o_totalprice"])
+        .map_batches(binit, batch_format="pyarrow")
+        .repartition(8)
+        .groupby("bin")
+        .aggregate(
+            Sum("n_orders", alias_name="n_orders"),
+            Sum("sum_cents", alias_name="sum_cents"),
+        )
+    )
+
+
+SQL_ORDER_PRICE_HISTOGRAM = f"""
+SELECT CAST(floor(o_totalprice / {HIST_BIN_WIDTH}) AS BIGINT) AS bin,
+       count(*) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM orders GROUP BY 1
+"""
+
+
+def q_part_size_mode(sf_dir: str) -> rd.Dataset:
+    """MODE per group: each part type's most frequent size (ties -> smallest
+    size). Two-level argmax-of-counts: per-block (type, size) partial counts
+    (no shuffle), ONE hash_exchange on p_type whose shard fn finishes the
+    counts and takes the per-type argmax vectorized over all the shard's
+    types at once — the distributed mode never builds a per-group value
+    histogram on one worker bigger than that group's distinct sizes."""
+    mode_schema = pa.schema(
+        [pa.field("p_type", pa.string()), pa.field("mode_size", pa.int64()),
+         pa.field("n_mode", pa.int64())]
+    )
+    partial_schema = pa.schema(
+        [pa.field("p_type", pa.string()), pa.field("p_size", pa.int64()),
+         pa.field("n", pa.int64())]
+    )
+
+    def partial_counts(t: pa.Table) -> pa.Table:
+        rows = pa.Table.from_arrays(
+            [t["p_type"], pc.cast(t["p_size"], pa.int64())],
+            names=["p_type", "p_size"],
+        )
+        g = rows.group_by(["p_type", "p_size"]).aggregate([([], "count_all")])
+        return pa.Table.from_arrays(
+            [g["p_type"], g["p_size"], pc.cast(g["count_all"], pa.int64())],
+            schema=partial_schema,
+        )
+
+    def shard_mode(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return mode_schema.empty_table()
+        df = (
+            t.to_pandas()
+            .groupby(["p_type", "p_size"], sort=False, as_index=False)["n"].sum()
+            .sort_values(["p_type", "n", "p_size"], ascending=[True, False, True],
+                         kind="mergesort")
+            .groupby("p_type", sort=False)
+            .head(1)
+        )
+        return pa.Table.from_arrays(
+            [pa.array(df["p_type"].astype(str)),
+             pa.array(df["p_size"].to_numpy(dtype="int64")),
+             pa.array(df["n"].to_numpy(dtype="int64"))],
+            schema=mode_schema,
+        )
+
+    return hash_exchange(
+        _read(sf_dir, "part", ["p_type", "p_size"]).map_batches(
+            partial_counts, batch_format="pyarrow"
+        ),
+        ["p_type"],
+        shard_mode,
+        mode_schema,
+    )
+
+
+SQL_PART_SIZE_MODE = """
+SELECT p_type, mode_size, n_mode FROM (
+  SELECT p_type, CAST(p_size AS BIGINT) AS mode_size,
+         count(*) AS n_mode,
+         row_number() OVER (
+           PARTITION BY p_type ORDER BY count(*) DESC, p_size ASC
+         ) AS rn
+  FROM part GROUP BY p_type, p_size
+)
+WHERE rn = 1
+"""
+
+
+def q_lineitem_corr(sf_dir: str) -> pd.DataFrame:
+    """Pearson correlation of (quantity, price-in-dollars) per returnflag
+    from EXACT integer partials: each block contributes
+    (n, Σx, Σy, Σx², Σy², Σxy) as int64 — order-free, mergeable, and
+    bit-reproducible at any parallelism — and the final float formula runs
+    once on the driver over the exact integer totals. This is the
+    moment-sketch pattern every distributed variance/corr needs (naive
+    float accumulation is order-dependent and breaks the value hash).
+    x = round(quantity) <= 50, y = round(price) <= ~10^5: Σx·y over 10^8
+    rows stays < 2^63; at 10^12 rows the partials widen to int128/HUGEINT —
+    same topology, wider lanes (the SQL oracle already runs HUGEINT)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        flag = t["l_returnflag"].to_pylist()
+        x = (
+            pc.cast(pc.round(t["l_quantity"], round_mode="half_towards_infinity"), pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        y = (
+            pc.cast(pc.round(t["l_extendedprice"], round_mode="half_towards_infinity"), pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        df = pd.DataFrame({
+            "l_returnflag": flag, "n": 1, "sx": x, "sy": y,
+            "sxx": x * x, "syy": y * y, "sxy": x * y,
+        })
+        g = df.groupby("l_returnflag", sort=False, as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    sums = (
+        _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity", "l_extendedprice"])
+        .map_batches(partial, batch_format="pyarrow")
+        .repartition(8)
+        .groupby("l_returnflag")
+        .aggregate(*[Sum(c, alias_name=c) for c in ("n", "sx", "sy", "sxx", "syy", "sxy")])
+        .to_pandas()  # one row per returnflag
+        .sort_values("l_returnflag")
+    )
+    n = sums["n"].to_numpy(dtype="float64")
+    sx, sy = sums["sx"].to_numpy(dtype="float64"), sums["sy"].to_numpy(dtype="float64")
+    sxx, syy = sums["sxx"].to_numpy(dtype="float64"), sums["syy"].to_numpy(dtype="float64")
+    sxy = sums["sxy"].to_numpy(dtype="float64")
+    corr = (n * sxy - sx * sy) / (
+        np.sqrt(n * sxx - sx * sx) * np.sqrt(n * syy - sy * sy)
+    )
+    return pd.DataFrame({
+        "l_returnflag": sums["l_returnflag"].astype(str),
+        "n_rows": sums["n"].astype("int64"),
+        "corr_qty_price": corr,
+    }).reset_index(drop=True)
+
+
+SQL_LINEITEM_CORR = """
+WITH p AS (
+  SELECT l_returnflag,
+         CAST(count(*) AS HUGEINT) AS n,
+         sum(CAST(CAST(round(l_quantity) AS BIGINT) AS HUGEINT)) AS sx,
+         sum(CAST(CAST(round(l_extendedprice) AS BIGINT) AS HUGEINT)) AS sy,
+         sum(CAST(CAST(round(l_quantity) AS BIGINT) AS HUGEINT)
+             * CAST(round(l_quantity) AS BIGINT)) AS sxx,
+         sum(CAST(CAST(round(l_extendedprice) AS BIGINT) AS HUGEINT)
+             * CAST(round(l_extendedprice) AS BIGINT)) AS syy,
+         sum(CAST(CAST(round(l_quantity) AS BIGINT) AS HUGEINT)
+             * CAST(round(l_extendedprice) AS BIGINT)) AS sxy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+       CAST(n AS BIGINT) AS n_rows,
+       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+          * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+       AS corr_qty_price
+FROM p
+"""

@@ -1150,3 +1150,70 @@ class TestRangeJoinAndRunningWindow:
         out = q_user_running_value(str(d)).to_pandas().sort_values("event_id")
         # user 1: id1=100, id3=100+50; user 2: id2=200, id4=200+300
         assert out["running_value_cents"].tolist() == [100, 200, 150, 500]
+
+
+class TestAggregateExtensions:
+    def _write(self, tmp_path, name, table):
+        import pyarrow.parquet as pq
+
+        d = tmp_path / "sf"
+        d.mkdir(exist_ok=True)
+        pq.write_table(table, str(d / f"{name}.parquet"))
+        return str(d)
+
+    def test_pivot_counts_and_closed_vocab(self, ray_session, tmp_path):
+        from service1_text_extraction_ray.pipelines.relational import (
+            q_user_event_pivot,
+        )
+
+        d = self._write(tmp_path, "events", pa.table({
+            "user_id": pa.array([1, 1, 1, 2], pa.int32()),
+            "event_type": pa.array(["click", "click", "view", "error"]),
+        }))
+        out = q_user_event_pivot(d).to_pandas().sort_values("user_id")
+        assert out["n_click"].tolist() == [2, 0]
+        assert out["n_view"].tolist() == [1, 0]
+        assert out["n_error"].tolist() == [0, 1]
+
+        (tmp_path / "b").mkdir()
+        bad = self._write(tmp_path / "b", "events", pa.table({
+            "user_id": pa.array([1], pa.int32()),
+            "event_type": pa.array(["unknown_kind"]),
+        }))
+        with pytest.raises(Exception, match="out-of-vocabulary"):
+            q_user_event_pivot(bad).to_pandas()
+
+    def test_mode_tiebreak_smallest_size(self, ray_session, tmp_path):
+        from service1_text_extraction_ray.pipelines.relational import q_part_size_mode
+
+        d = self._write(tmp_path, "part", pa.table({
+            "p_type": pa.array(["a", "a", "a", "a", "b"]),
+            "p_size": pa.array([7, 7, 3, 3, 9], pa.int32()),
+        }))
+        out = q_part_size_mode(d).to_pandas().sort_values("p_type")
+        # type a: sizes 3 and 7 tie at 2 -> smallest (3) wins
+        assert out["mode_size"].tolist() == [3, 9]
+        assert out["n_mode"].tolist() == [2, 1]
+
+    def test_corr_matches_numpy_and_is_parallelism_stable(self, ray_session, tmp_path):
+        from service1_text_extraction_ray.pipelines.relational import q_lineitem_corr
+
+        rng = np.random.default_rng(3)
+        n = 5000
+        qty = rng.integers(1, 51, n).astype(float)
+        price = qty * 1000 + rng.normal(0, 5000, n)
+        d = self._write(tmp_path, "lineitem", pa.table({
+            "l_returnflag": pa.array(["R"] * n),
+            "l_quantity": pa.array(qty),
+            "l_extendedprice": pa.array(np.abs(price)),
+        }))
+        out = q_lineitem_corr(d)
+        x = np.round(qty).astype(np.int64)
+        y = np.asarray(
+            [float(np.floor(v + 0.5)) for v in np.abs(price)], dtype=np.int64
+        )
+        want = np.corrcoef(x, y)[0, 1]
+        assert abs(out["corr_qty_price"].iloc[0] - want) < 1e-9
+        # bit-stable across runs (integer partials -> same totals)
+        again = q_lineitem_corr(d)
+        assert out["corr_qty_price"].iloc[0] == again["corr_qty_price"].iloc[0]
