@@ -689,16 +689,20 @@ def q_nation_customer_counts(sf_dir: str) -> rd.Dataset:
     key_to_names = dim.set_index("n_nationkey")[["n_name", "r_name"]]
     ref = ray.put(key_to_names)
 
-    def join(df: pd.DataFrame) -> pd.DataFrame:
+    def join_and_count(df: pd.DataFrame) -> pd.DataFrame:
+        # broadcast-join the two tiny dims, then pre-combine per block so
+        # the exchange moves <= 25 (region, nation, count) partial rows
         lookup = ray.get(ref)
         joined = df.join(lookup, on="c_nationkey")
-        return joined[["r_name", "n_name"]]
+        g = joined.groupby(["r_name", "n_name"], sort=False, as_index=False).size()
+        return g.rename(columns={"size": "n_customers"}).astype({"n_customers": "int64"})
 
     return (
         _read(sf_dir, "customer", ["c_nationkey"])
-        .map_batches(join, batch_format="pandas")
+        .map_batches(join_and_count, batch_format="pandas")
+        .repartition(8)
         .groupby(["r_name", "n_name"])
-        .aggregate(Count(alias_name="n_customers"))
+        .aggregate(Sum("n_customers", alias_name="n_customers"))
     )
 
 
@@ -832,14 +836,24 @@ def q_orders_priority_counts(sf_dir: str) -> rd.Dataset:
     flt = (pds.field("o_orderdate") >= pd.Timestamp("1995-01-01")) & (
         pds.field("o_orderdate") < pd.Timestamp("1996-01-01")
     )
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("o_orderpriority").aggregate([([], "count_all")])
+        return pa.Table.from_arrays(
+            [g["o_orderpriority"], pc.cast(g["count_all"], pa.int64())],
+            names=["o_orderpriority", "n_orders"],
+        )
+
     return (
         rd.read_parquet(
             _pq(sf_dir, "orders"),
             columns=["o_orderpriority", "o_orderdate"],
             filter=flt,
         )
+        .map_batches(partial, batch_format="pyarrow")  # <=5 rows per block
+        .repartition(8)
         .groupby("o_orderpriority")
-        .aggregate(Count(alias_name="n_orders"))
+        .aggregate(Sum("n_orders", alias_name="n_orders"))
     )
 
 
@@ -852,20 +866,36 @@ GROUP BY o_orderpriority
 
 
 def q_part_type_stats(sf_dir: str) -> rd.Dataset:
-    """min/max on raw doubles (exact, no accumulation) + int sum + count."""
+    """min/max on raw doubles (exact, no accumulation) + int sum + count.
+    All four aggregates are mergeable, so each block pre-combines to <=
+    n_distinct_types partial rows (pyarrow group_by) and the exchange only
+    merges partials (count->sum, min->min, max->max, sum->sum)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        rows = pa.Table.from_arrays(
+            [t["p_type"], t["p_retailprice"], pc.cast(t["p_size"], pa.int64())],
+            names=["p_type", "p_retailprice", "p_size64"],
+        )
+        g = rows.group_by("p_type").aggregate(
+            [([], "count_all"), ("p_retailprice", "min"),
+             ("p_retailprice", "max"), ("p_size64", "sum")]
+        )
+        return pa.Table.from_arrays(
+            [g["p_type"], pc.cast(g["count_all"], pa.int64()),
+             g["p_retailprice_min"], g["p_retailprice_max"], g["p_size64_sum"]],
+            names=["p_type", "n_parts", "min_price", "max_price", "sum_size"],
+        )
+
     return (
         _read(sf_dir, "part", ["p_type", "p_retailprice", "p_size"])
-        .map_batches(
-            lambda t: t.append_column("p_size64", pc.cast(t["p_size"], pa.int64())),
-            batch_format="pyarrow",
-        )
-        .select_columns(["p_type", "p_retailprice", "p_size64"])
+        .map_batches(partial, batch_format="pyarrow")
+        .repartition(8)
         .groupby("p_type")
         .aggregate(
-            Count(alias_name="n_parts"),
-            Min("p_retailprice", alias_name="min_price"),
-            Max("p_retailprice", alias_name="max_price"),
-            Sum("p_size64", alias_name="sum_size"),
+            Sum("n_parts", alias_name="n_parts"),
+            Min("min_price", alias_name="min_price"),
+            Max("max_price", alias_name="max_price"),
+            Sum("sum_size", alias_name="sum_size"),
         )
     )
 
@@ -1556,34 +1586,57 @@ TOPK_USERS_PER_HOUR = 3
 
 def q_events_topk_users_hourly(sf_dir: str) -> rd.Dataset:
     """Windowed rank over time buckets: the 3 most active users per hour
-    (count desc, user_id asc tiebreak). Shape: tumbling pre-aggregate
-    (hour, user) counts — the heavy reduction — then a tiny per-hour
-    map_groups head; the raw stream never reaches the rank stage."""
+    (count desc, user_id asc tiebreak). Shape: per-BLOCK (hour, user)
+    partial counts (pyarrow group_by — the raw stream never crosses the
+    wire), ONE hash_exchange on the hour whose shard fn finishes the counts
+    and ranks ALL its hours vectorized (one pandas sort + groupby head per
+    shard, no per-hour Python dispatch)."""
+    rank_schema = pa.schema(
+        [pa.field("hour", pa.timestamp("us")), pa.field("rank", pa.int64()),
+         pa.field("user_id", pa.int64()), pa.field("n", pa.int64())]
+    )
 
     def bucket(batch: pa.Table) -> pa.Table:
-        return pa.Table.from_arrays(
+        rows = pa.Table.from_arrays(
             [pc.floor_temporal(batch["ts"], unit="hour"),
              pc.cast(batch["user_id"], pa.int64())],
             names=["hour", "user_id"],
         )
-
-    hourly = (
-        _read(sf_dir, "events", ["ts", "user_id"])
-        .map_batches(bucket, batch_format="pyarrow")
-        .groupby(["hour", "user_id"])
-        .aggregate(Count(alias_name="n"))
-    )
-
-    def topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["n", "user_id"], ascending=[False, True]).head(
-            TOPK_USERS_PER_HOUR
-        ).copy()
-        g["rank"] = pd.Series(range(1, len(g) + 1), index=g.index, dtype="int64")
-        return g[["hour", "rank", "user_id", "n"]].astype(
-            {"rank": "int64", "user_id": "int64", "n": "int64"}
+        g = rows.group_by(["hour", "user_id"]).aggregate([([], "count_all")])
+        return pa.Table.from_arrays(
+            [g["hour"], g["user_id"], pc.cast(g["count_all"], pa.int64())],
+            names=["hour", "user_id", "n"],
         )
 
-    return hourly.groupby("hour").map_groups(topk, batch_format="pandas")
+    def shard_topk(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return rank_schema.empty_table()
+        df = (
+            t.to_pandas()
+            .groupby(["hour", "user_id"], sort=False, as_index=False)["n"].sum()
+            .sort_values(["hour", "n", "user_id"],
+                         ascending=[True, False, True], kind="mergesort")
+        )
+        top = df.groupby("hour", sort=False).head(TOPK_USERS_PER_HOUR)
+        rank = top.groupby("hour", sort=False).cumcount() + 1
+        return pa.Table.from_arrays(
+            [
+                pa.Array.from_pandas(top["hour"]).cast(pa.timestamp("us")),
+                pa.array(rank.to_numpy(dtype="int64")),
+                pa.array(top["user_id"].to_numpy(dtype="int64")),
+                pa.array(top["n"].to_numpy(dtype="int64")),
+            ],
+            schema=rank_schema,
+        )
+
+    return hash_exchange(
+        _read(sf_dir, "events", ["ts", "user_id"]).map_batches(
+            bucket, batch_format="pyarrow"
+        ),
+        ["hour"],
+        shard_topk,
+        rank_schema,
+    )
 
 
 SQL_EVENTS_TOPK_USERS_HOURLY = f"""
