@@ -44,6 +44,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "layout_stats": Q.q_layout_stats,
         "render_pages": Q.q_render_pages,
         "extract_summary": Q.q_extract_summary,
+        "extract_tables": Q.q_extract_tables,
         # --- text analysis over documents ---
         "doc_token_counts": Q.q_doc_token_counts,
         "doc_bpe_token_counts": Q.q_doc_bpe_token_counts,
@@ -137,6 +138,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "extract_summary": Q.sql_extract_summary(),
+        "extract_tables": Q.SQL_EXTRACT_TABLES,
         "doc_token_counts": Q.SQL_DOC_TOKEN_COUNTS,
         "doc_bpe_token_counts": Q.SQL_DOC_BPE_TOKEN_COUNTS,
         "doc_quality_scores": Q.SQL_DOC_QUALITY_SCORES,

@@ -643,3 +643,31 @@ def write_pages_parquet(path: str, n_rows: int, seed: int = 42, rows_per_file: i
         )
         start += n
         part += 1
+
+
+def make_table_page(doc_id: int, lang: str, source: str, n_chars: int) -> bytes:
+    """Deterministic table-bearing page derived ONLY from the document's
+    columns — the fixture for the structured-table extractor
+    (functions/html_tables.py). Table 0 (every doc): <th> header (k, v) and
+    1 + doc_id%4 data rows (k{i}, n_chars+i). Table 1 (doc_id%5==0): header
+    (lang, src), one row (lang, source). A decoy table inside <script> must
+    be dropped, and the nav boilerplate must not leak into any cell."""
+    rows0 = "".join(
+        f"<tr><td>k{i}</td><td>{n_chars + i}</td></tr>"
+        for i in range(1 + doc_id % 4)
+    )
+    t0 = f"<table><tr><th>k</th><th>v</th></tr>{rows0}</table>"
+    t1 = (
+        f"<table><tr><th>lang</th><th>src</th></tr>"
+        f"<tr><td>{lang}</td><td>{source}</td></tr></table>"
+        if doc_id % 5 == 0
+        else ""
+    )
+    decoy = "<script>var x = '<table><tr><td>NOPE</td></tr></table>';</script>"
+    nav = '<nav><a href="/a">Home</a> <a href="/b">About</a></nav>'
+    html = (
+        f"<html><head><title>doc {doc_id}</title>{decoy}</head>"
+        f"<body><header>{nav}</header><main><h1>Doc {doc_id}</h1>{t0}{t1}</main>"
+        f"<footer><p>footer boilerplate</p></footer></body></html>"
+    )
+    return html.encode("utf-8")

@@ -151,6 +151,78 @@ def q_render_pages(sf_dir: str) -> rd.Dataset:
     return pages.map_batches(render_pages_batch, batch_format="pyarrow")
 
 
+def q_extract_tables(sf_dir: str) -> rd.Dataset:
+    """Structured HTML <table> extraction (functions/html_tables.py): each
+    outermost table becomes one row (doc_id, table_idx, n_rows, n_cols,
+    table_md). Pages are synthesized deterministically per document from its
+    OWN columns (synth.make_table_page), so the DuckDB oracle reconstructs
+    the expected markdown exactly from the documents table — the extraction
+    family's first value-hash-checked query (the parse itself is inside the
+    checked loop, not just row counts). Pure per-batch flat map: one page in,
+    0..2 table rows out, no shuffle."""
+    from ..functions.html_tables import extract_html_tables, table_markdown
+    from ..functions.synth import make_table_page
+
+    out_schema = pa.schema([
+        ("doc_id", pa.int64()), ("table_idx", pa.int64()),
+        ("n_rows", pa.int64()), ("n_cols", pa.int64()),
+        ("table_md", pa.string()),
+    ])
+
+    def f(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        langs = t["lang"].to_pylist()
+        sources = t["source"].to_pylist()
+        n_chars = t["n_chars"].to_pylist()
+        rows = []
+        for d, lang, src, nc in zip(ids, langs, sources, n_chars):
+            page = make_table_page(int(d), lang, src, int(nc))
+            for idx, tab in enumerate(extract_html_tables(page)):
+                rows.append({
+                    "doc_id": int(d), "table_idx": idx,
+                    "n_rows": tab.n_rows, "n_cols": tab.n_cols,
+                    "table_md": table_markdown(tab),
+                })
+        if not rows:
+            return out_schema.empty_table()
+        return pa.Table.from_pylist(rows, schema=out_schema)
+
+    return _read(sf_dir, "documents", ["doc_id", "lang", "source", "n_chars"]).map_batches(
+        f, batch_format="pyarrow"
+    )
+
+
+def _sql_extract_tables() -> str:
+    """Expected tables reconstructed from the documents columns: table 0 has
+    a (k, v) header plus 1 + doc_id%4 data rows of (k{i}, n_chars+i); table 1
+    (doc_id%5==0) is ((lang, src), (lang, source)). Data rows <= 4, so the
+    row aggregation is a fixed CASE chain (no lateral unnest needed)."""
+    row_i = lambda i: (
+        f"CASE WHEN doc_id % 4 >= {i} THEN chr(10) || '| k{i} | ' "
+        f"|| CAST(n_chars + {i} AS VARCHAR) || ' |' ELSE '' END"
+    )
+    t0_md = (
+        "'| k | v |' || chr(10) || '| --- | --- |' || chr(10) || "
+        "'| k0 | ' || CAST(n_chars AS VARCHAR) || ' |' || "
+        + " || ".join(row_i(i) for i in (1, 2, 3))
+    )
+    return f"""
+SELECT doc_id, CAST(0 AS BIGINT) AS table_idx,
+       CAST(2 + doc_id % 4 AS BIGINT) AS n_rows,
+       CAST(2 AS BIGINT) AS n_cols,
+       {t0_md} AS table_md
+FROM documents
+UNION ALL
+SELECT doc_id, CAST(1 AS BIGINT), CAST(2 AS BIGINT), CAST(2 AS BIGINT),
+       '| lang | src |' || chr(10) || '| --- | --- |' || chr(10) ||
+       '| ' || lang || ' | ' || source || ' |'
+FROM documents WHERE doc_id % 5 = 0
+"""
+
+
+SQL_EXTRACT_TABLES = _sql_extract_tables()
+
+
 # --- extract-once, consume-many (round-2 VERDICT #3) ------------------------
 #
 # Five driver queries (extract_summary, doc_embeddings, embeddings_wide,

@@ -94,3 +94,80 @@ def test_block_features():
     assert 0 < b.link_density < 1
     kept = select_content_blocks(blocks, min_block_chars=5, max_link_density=0.9)
     assert kept
+
+
+class TestHtmlTables:
+    """functions/html_tables.py — structured <table> extraction semantics."""
+
+    def _tables(self, html: str):
+        from service1_text_extraction_ray.functions.html_tables import (
+            extract_html_tables,
+        )
+
+        return extract_html_tables(html.encode("utf-8"))
+
+    def test_basic_th_header_and_cells(self):
+        from service1_text_extraction_ray.functions.html_tables import table_markdown
+
+        t = self._tables(
+            "<table><tr><th>a</th><th>b</th></tr>"
+            "<tr><td> x  y </td><td>z</td></tr></table>"
+        )
+        assert len(t) == 1
+        assert t[0].header_is_th
+        assert t[0].rows == [["a", "b"], ["x y", "z"]]
+        assert table_markdown(t[0]) == "| a | b |\n| --- | --- |\n| x y | z |"
+
+    def test_no_th_header_gets_empty_header(self):
+        from service1_text_extraction_ray.functions.html_tables import table_markdown
+
+        t = self._tables("<table><tr><td>1</td><td>2</td></tr></table>")
+        assert not t[0].header_is_th
+        assert table_markdown(t[0]) == "|  |  |\n| --- | --- |\n| 1 | 2 |"
+
+    def test_nested_table_folds_into_outer_cell(self):
+        t = self._tables(
+            "<table><tr><td>outer "
+            "<table><tr><td>inner</td></tr></table>"
+            " tail</td></tr></table>"
+        )
+        assert len(t) == 1  # nested table not emitted separately
+        assert t[0].rows == [["outer inner tail"]]
+
+    def test_script_decoy_and_ragged_rows(self):
+        from service1_text_extraction_ray.functions.html_tables import table_markdown
+
+        t = self._tables(
+            "<script>'<table><tr><td>NOPE</td></tr></table>'</script>"
+            "<table><tr><td>a</td><td>b</td><td>c</td></tr>"
+            "<tr><td>only</td></tr></table>"
+        )
+        assert len(t) == 1
+        assert t[0].n_cols == 3
+        md = table_markdown(t[0])
+        assert "NOPE" not in md
+        assert md.splitlines()[-1] == "| only |  |  |"
+
+    def test_truncated_markup_flushes_open_table(self):
+        t = self._tables("<table><tr><td>left</td><td>right")
+        assert t and t[0].rows == [["left", "right"]]
+
+    def test_pipe_escaped_in_markdown(self):
+        from service1_text_extraction_ray.functions.html_tables import table_markdown
+
+        t = self._tables("<table><tr><td>a|b</td></tr></table>")
+        assert "a\\|b" in table_markdown(t[0])
+
+    def test_fixture_page_round_trip(self):
+        """make_table_page -> extractor recovers exactly the planted tables."""
+        from service1_text_extraction_ray.functions.html_tables import (
+            extract_html_tables,
+        )
+        from service1_text_extraction_ray.functions.synth import make_table_page
+
+        page = make_table_page(10, "en", "src3", 500)  # %4==2 -> 3 data rows; %5==0 -> 2 tables
+        tabs = extract_html_tables(page)
+        assert len(tabs) == 2
+        assert tabs[0].rows[0] == ["k", "v"]
+        assert tabs[0].rows[1:] == [["k0", "500"], ["k1", "501"], ["k2", "502"]]
+        assert tabs[1].rows == [["lang", "src"], ["en", "src3"]]
