@@ -107,6 +107,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_parts_per_flag": R.q_distinct_parts_per_flag,
         "events_hourly": R.q_events_hourly,
         "events_sessionize": R.q_events_sessionize,
+        "events_sessions": R.q_events_sessions,
+        "customers_not_event_users": R.q_customers_not_event_users,
         "events_asof_orders": R.q_events_asof_orders,
         "user_event_type_matrix": R.q_user_event_type_matrix,
         "events_topk_users_hourly": R.q_events_topk_users_hourly,
@@ -189,6 +191,8 @@ def oracle_sql() -> dict[str, str]:
         "distinct_users_hll": R.SQL_DISTINCT_USERS_HLL,
         "events_hourly": R.SQL_EVENTS_HOURLY,
         "events_sessionize": R.SQL_EVENTS_SESSIONIZE,
+        "events_sessions": R.SQL_EVENTS_SESSIONS,
+        "customers_not_event_users": R.SQL_CUSTOMERS_NOT_EVENT_USERS,
         "events_asof_orders": R.SQL_EVENTS_ASOF_ORDERS,
         "user_event_type_matrix": R.SQL_USER_EVENT_TYPE_MATRIX,
         "events_topk_users_hourly": R.SQL_EVENTS_TOPK_USERS_HOURLY,

@@ -2427,3 +2427,112 @@ SELECT l_returnflag,
        AS corr_qty_price
 FROM p
 """
+
+
+def q_events_sessions(sf_dir: str) -> rd.Dataset:
+    """Session-GRAIN windows: one row per (user, session) with event count
+    and start/end timestamps — the explode view of q_events_sessionize
+    (which emits per-user totals). Same topology: ONE hash_exchange on
+    user_id, then inside a shard the boundary mask, per-user cumulative
+    session index, and the (user, session) aggregate are all C-level
+    vectorized passes over the shard's sorted rows. Session ids are
+    1-based in time order, so the output is exact at any parallelism."""
+    sess_schema = pa.schema(
+        [pa.field("user_id", pa.int64()), pa.field("session_idx", pa.int64()),
+         pa.field("n_events", pa.int64()),
+         pa.field("start_ts", pa.timestamp("us")),
+         pa.field("end_ts", pa.timestamp("us"))]
+    )
+
+    def shard_sessions(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return sess_schema.empty_table()
+        df = t.to_pandas().sort_values(["user_id", "ts"], kind="mergesort")
+        same_user = df["user_id"].eq(df["user_id"].shift())
+        gaps = df["ts"].diff().dt.total_seconds()
+        new_session = (~same_user | (gaps > SESSION_GAP_S)).astype("int64")
+        df = df.assign(
+            session_idx=new_session.groupby(
+                df["user_id"].to_numpy(), sort=False
+            ).cumsum()
+        )
+        agg = (
+            df.groupby(["user_id", "session_idx"], sort=False)
+            .agg(n_events=("ts", "size"), start_ts=("ts", "min"),
+                 end_ts=("ts", "max"))
+            .reset_index()
+        )
+        return pa.Table.from_arrays(
+            [
+                pa.array(agg["user_id"].to_numpy(dtype="int64")),
+                pa.array(agg["session_idx"].to_numpy(dtype="int64")),
+                pa.array(agg["n_events"].to_numpy(dtype="int64")),
+                pa.Array.from_pandas(agg["start_ts"]).cast(pa.timestamp("us")),
+                pa.Array.from_pandas(agg["end_ts"]).cast(pa.timestamp("us")),
+            ],
+            schema=sess_schema,
+        )
+
+    return hash_exchange(
+        _read(sf_dir, "events", ["user_id", "ts"]),
+        ["user_id"],
+        shard_sessions,
+        sess_schema,
+    )
+
+
+SQL_EVENTS_SESSIONS = f"""
+WITH g AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts - lag(ts) OVER w) > {SESSION_GAP_S}
+              THEN 1 ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+s AS (
+  SELECT user_id, ts,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM g
+)
+SELECT user_id, CAST(sid AS BIGINT) AS session_idx,
+       count(*) AS n_events, min(ts) AS start_ts, max(ts) AS end_ts
+FROM s GROUP BY user_id, sid
+"""
+
+
+def q_customers_not_event_users(sf_dir: str) -> rd.Dataset:
+    """Set difference (EXCEPT): customers with no event row — SURVEY.md §2.7
+    notes the reference has no union/intersect/except; this supplies the
+    missing one (semi = customers_with_orders; key-level anti = here). The
+    probe side (events) is per-BLOCK deduped to distinct user_ids inside
+    map_batches — presence is all anti needs, so duplicates across blocks
+    are harmless and no pre-shuffle reduce runs — then the co-partitioned
+    hash join runs anti. Fully distributed: no driver-collected probe set."""
+
+    def block_distinct(t: pa.Table) -> pa.Table:
+        g = t.group_by("user_id").aggregate([])
+        return pa.Table.from_arrays(
+            [pc.cast(g["user_id"], pa.int64())], names=["user_id"]
+        )
+
+    users = _read(sf_dir, "events", ["user_id"]).map_batches(
+        block_distinct, batch_format="pyarrow"
+    )
+    return hash_join(
+        _read(sf_dir, "customer", ["c_custkey"]),
+        users,
+        left_on="c_custkey",
+        right_on="user_id",
+        key_type=pa.int64(),
+        left_fields=[],
+        right_fields=[],
+        how="anti",
+    )
+
+
+SQL_CUSTOMERS_NOT_EVENT_USERS = """
+SELECT c_custkey FROM customer
+EXCEPT
+SELECT user_id AS c_custkey FROM events
+"""
