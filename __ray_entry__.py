@@ -45,6 +45,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "render_pages": Q.q_render_pages,
         "extract_summary": Q.q_extract_summary,
         "extract_tables": Q.q_extract_tables,
+        "url_host_stats": Q.q_url_host_stats,
         # --- text analysis over documents ---
         "doc_token_counts": Q.q_doc_token_counts,
         "doc_bpe_token_counts": Q.q_doc_bpe_token_counts,
@@ -109,6 +110,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessionize": R.q_events_sessionize,
         "events_sessions": R.q_events_sessions,
         "customers_not_event_users": R.q_customers_not_event_users,
+        "events_funnel": R.q_events_funnel,
+        "events_props_stats": R.q_events_props_stats,
         "events_asof_orders": R.q_events_asof_orders,
         "user_event_type_matrix": R.q_user_event_type_matrix,
         "events_topk_users_hourly": R.q_events_topk_users_hourly,
@@ -141,6 +144,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "extract_summary": Q.sql_extract_summary(),
         "extract_tables": Q.SQL_EXTRACT_TABLES,
+        "url_host_stats": Q.SQL_URL_HOST_STATS,
         "doc_token_counts": Q.SQL_DOC_TOKEN_COUNTS,
         "doc_bpe_token_counts": Q.SQL_DOC_BPE_TOKEN_COUNTS,
         "doc_quality_scores": Q.SQL_DOC_QUALITY_SCORES,
@@ -193,6 +197,8 @@ def oracle_sql() -> dict[str, str]:
         "events_sessionize": R.SQL_EVENTS_SESSIONIZE,
         "events_sessions": R.SQL_EVENTS_SESSIONS,
         "customers_not_event_users": R.SQL_CUSTOMERS_NOT_EVENT_USERS,
+        "events_funnel": R.SQL_EVENTS_FUNNEL,
+        "events_props_stats": R.SQL_EVENTS_PROPS_STATS,
         "events_asof_orders": R.SQL_EVENTS_ASOF_ORDERS,
         "user_event_type_matrix": R.SQL_USER_EVENT_TYPE_MATRIX,
         "events_topk_users_hourly": R.SQL_EVENTS_TOPK_USERS_HOURLY,

@@ -2753,3 +2753,107 @@ SELECT media_id,
        FALSE AS decode_ok
 FROM (SELECT media_id, unnest(range(0, CAST(n AS BIGINT))) AS f FROM d)
 """
+
+
+# ---------------------------------------------------------------------------
+# URL decomposition (webtext: per-site grouping keys — functions/urls.py)
+# ---------------------------------------------------------------------------
+
+_URL_TLDS = ("com", "org", "net")
+
+
+def _synth_urls(t: pa.Table) -> pa.ChunkedArray:
+    """Deterministic absolute URL per document row, from its own columns —
+    scheme / tld / explicit port / extra path segments / query string all
+    vary by doc_id residues so every parser branch is exercised and the
+    DuckDB oracle can rebuild the identical string."""
+    import pandas as pd
+
+    d = t["doc_id"].to_pandas()
+    src = t["source"].to_pandas()
+    lang = t["lang"].to_pandas().fillna("en")
+    scheme = pd.Series(np.where(d % 5 == 0, "http", "https"), index=d.index)
+    tld = pd.Series([_URL_TLDS[i % 3] for i in d], index=d.index)
+    port = pd.Series(np.where(d % 11 == 0, ":8443", ""), index=d.index)
+    extra = pd.Series(["/a" * (i % 3) for i in d], index=d.index)
+    query = pd.Series(
+        np.where(d % 2 == 0, "?ref=" + (d % 7).astype(str), ""), index=d.index
+    )
+    urls = (
+        scheme + "://" + src + ".example." + tld + port + "/" + lang
+        + extra + "/doc-" + d.map("{:08d}".format) + query
+    )
+    return pa.array(urls.to_numpy(dtype=object), pa.string())
+
+
+def q_url_host_stats(sf_dir: str) -> rd.Dataset:
+    """Per-host corpus stats over parsed URLs: synthesize each document's
+    URL from its own columns, decompose the whole column with ONE
+    vectorized extract_regex (functions/urls.parse_urls — no per-row
+    Python), then pre-combine per block to <= n_hosts partial rows before
+    a tiny groupby exchange. Output: one row per host with doc count,
+    https count, explicit-port count, query-string count, summed path
+    depth, and the host's tld. The group key is the parsed HOST (the
+    per-site scope every crawl-side operator — politeness, per-site dedup,
+    domain priors — partitions on)."""
+    from ..functions.urls import parse_urls
+
+    def partial(t: pa.Table) -> pa.Table:
+        parsed = parse_urls(_synth_urls(t))
+        stats = pa.Table.from_arrays(
+            [
+                parsed["host"],
+                parsed["tld"],
+                pc.cast(pc.equal(parsed["scheme"], "https"), pa.int64()),
+                pc.cast(pc.is_valid(parsed["port"]), pa.int64()),
+                pc.cast(pc.is_valid(parsed["query"]), pa.int64()),
+                parsed["path_depth"],
+            ],
+            names=["host", "tld", "is_https", "has_port", "has_query", "path_depth"],
+        )
+        g = stats.group_by(["host", "tld"]).aggregate(
+            [([], "count_all"), ("is_https", "sum"), ("has_port", "sum"),
+             ("has_query", "sum"), ("path_depth", "sum")]
+        )
+        return pa.Table.from_arrays(
+            [g["host"], g["tld"], pc.cast(g["count_all"], pa.int64()),
+             pc.cast(g["is_https_sum"], pa.int64()),
+             pc.cast(g["has_port_sum"], pa.int64()),
+             pc.cast(g["has_query_sum"], pa.int64()),
+             pc.cast(g["path_depth_sum"], pa.int64())],
+            names=["host", "tld", "n_docs", "n_https", "n_port", "n_query",
+                   "sum_path_depth"],
+        )
+
+    from ray.data.aggregate import Max, Sum
+
+    return (
+        _read(sf_dir, "documents", ["doc_id", "source", "lang"])
+        .map_batches(partial, batch_format="pyarrow")
+        .repartition(8)
+        .groupby("host")
+        .aggregate(
+            Max("tld", alias_name="tld"),
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("n_https", alias_name="n_https"),
+            Sum("n_port", alias_name="n_port"),
+            Sum("n_query", alias_name="n_query"),
+            Sum("sum_path_depth", alias_name="sum_path_depth"),
+        )
+    )
+
+
+SQL_URL_HOST_STATS = """
+SELECT source || '.example.' ||
+         CASE doc_id % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'org' ELSE 'net' END
+         AS host,
+       CASE doc_id % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'org' ELSE 'net' END
+         AS tld,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN doc_id % 5 = 0 THEN 0 ELSE 1 END) AS BIGINT) AS n_https,
+       CAST(sum(CASE WHEN doc_id % 11 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_port,
+       CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_query,
+       CAST(sum(2 + doc_id % 3) AS BIGINT) AS sum_path_depth
+FROM documents
+GROUP BY 1, 2
+"""

@@ -2536,3 +2536,144 @@ SELECT c_custkey FROM customer
 EXCEPT
 SELECT user_id AS c_custkey FROM events
 """
+
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def q_events_funnel(sf_dir: str) -> rd.Dataset:
+    """Ordered-sequence funnel (view -> click -> purchase): for every user
+    with at least one event, the furthest step reached where each step's
+    first qualifying event must be STRICTLY later than the previous step's
+    (classic product-analytics funnel; a sequence-pattern match the engine
+    had no shape for — sessionize cuts on gaps, asof joins on one boundary,
+    this chains k ordered boundaries).
+
+    Topology: ONE hash_exchange on user_id (all of a user's events land in
+    one shard), then the k-step chain runs as k vectorized passes over the
+    shard — per step, filter to that event type, gate on the previous
+    step's per-user timestamp (pandas map + boolean mask), and take the
+    per-user min. No per-user Python loop; no global sort; output is one
+    row per user, exact at any parallelism (strict `>` makes ties
+    well-defined identically here and in the SQL replay)."""
+    out_schema = pa.schema(
+        [pa.field("user_id", pa.int64()), pa.field("funnel_stage", pa.int64())]
+    )
+
+    def shard_funnel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        df = t.to_pandas()
+        users = np.unique(df["user_id"].to_numpy(dtype=np.int64))
+        stage = np.zeros(len(users), dtype=np.int64)
+        prev: pd.Series | None = None  # per-user ts of the previous step
+        for step in FUNNEL_STEPS:
+            sub = df[df["event_type"].eq(step)]
+            if prev is not None:
+                gate = sub["user_id"].map(prev)
+                sub = sub[gate.notna().to_numpy() & (sub["ts"] > gate).to_numpy()]
+            cur = sub.groupby("user_id")["ts"].min()
+            stage += np.isin(users, cur.index.to_numpy())
+            prev = cur
+        return pa.Table.from_arrays(
+            [pa.array(users), pa.array(stage)], schema=out_schema
+        )
+
+    return hash_exchange(
+        _read(sf_dir, "events", ["user_id", "ts", "event_type"]),
+        ["user_id"],
+        shard_funnel,
+        out_schema,
+    )
+
+
+SQL_EVENTS_FUNNEL = """
+WITH u AS (SELECT DISTINCT user_id FROM events),
+v AS (SELECT user_id, min(ts) AS t FROM events WHERE event_type = 'view' GROUP BY 1),
+c AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+      JOIN v ON e.user_id = v.user_id AND e.ts > v.t
+      WHERE e.event_type = 'click' GROUP BY 1),
+p AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+      JOIN c ON e.user_id = c.user_id AND e.ts > c.t
+      WHERE e.event_type = 'purchase' GROUP BY 1)
+SELECT u.user_id,
+       CASE WHEN p.user_id IS NOT NULL THEN 3
+            WHEN c.user_id IS NOT NULL THEN 2
+            WHEN v.user_id IS NOT NULL THEN 1
+            ELSE 0 END AS funnel_stage
+FROM u
+LEFT JOIN v ON u.user_id = v.user_id
+LEFT JOIN c ON u.user_id = c.user_id
+LEFT JOIN p ON u.user_id = p.user_id
+"""
+
+
+def q_events_props_stats(sf_dir: str) -> rd.Dataset:
+    """JSON property extraction at table scale: pull the integer ``k`` out
+    of each event's JSON ``props`` payload and aggregate per event type
+    (count / exact integer sum / avg = sum/n on the driver-sized result).
+
+    Hot path is a vectorized regex fast-path (pyarrow extract_regex — the
+    synthesizer's canonical '{"k": N}' shape) with the engine's P16
+    JSON-salvage suite (functions/json_utils.safe_json_loads, reference
+    backend/core/json_utils.py) as the per-row fallback for anything the
+    regex rejects — the production shape for 'mostly-clean JSON columns
+    with a dirty tail'. Each block pre-combines to <= n_event_types
+    partial rows before the (tiny) groupby exchange."""
+    from ..functions.json_utils import safe_json_loads
+
+    pat = r'^\{"k": (?P<k>-?\d+)\}$'
+
+    def partial(t: pa.Table) -> pa.Table:
+        props = t["props"]
+        m = pc.extract_regex(props, pat)
+        k = pc.cast(pc.struct_field(m, "k"), pa.int64())
+        if k.null_count and k.null_count > 0:
+            mask = pc.is_null(k).to_numpy(zero_copy_only=False)
+            vals = k.to_numpy(zero_copy_only=False).copy()
+            raw = props.to_pylist()
+            for i in np.flatnonzero(mask):
+                obj = safe_json_loads(raw[i])
+                vals[i] = int(obj.get("k", 0)) if isinstance(obj, dict) else 0
+            k = pa.array(vals, pa.int64())
+        g = pa.Table.from_arrays(
+            [t["event_type"], k], names=["event_type", "k"]
+        ).group_by("event_type").aggregate([("k", "sum"), ("k", "count")])
+        return pa.Table.from_arrays(
+            [g["event_type"], pc.cast(g["k_sum"], pa.int64()),
+             pc.cast(g["k_count"], pa.int64())],
+            names=["event_type", "sum_k", "n_events"],
+        )
+
+    merged = (
+        _read(sf_dir, "events", ["event_type", "props"])
+        .map_batches(partial, batch_format="pyarrow")
+        .repartition(8)
+        .groupby("event_type")
+        .aggregate(
+            Sum("sum_k", alias_name="sum_k"),
+            Sum("n_events", alias_name="n_events"),
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        avg = pc.divide(
+            pc.cast(t["sum_k"], pa.float64()), pc.cast(t["n_events"], pa.float64())
+        )
+        return pa.Table.from_arrays(
+            [t["event_type"], t["n_events"], t["sum_k"], avg],
+            names=["event_type", "n_events", "sum_k", "avg_k"],
+        )
+
+    return merged.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_EVENTS_PROPS_STATS = """
+SELECT event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE)
+         / count(*) AS avg_k
+FROM events
+GROUP BY event_type
+"""

@@ -275,3 +275,71 @@ class TestCurateCorpus:
         a = q_curate_corpus(d).to_pandas().sort_values("doc_id").reset_index(drop=True)
         b = q_curate_corpus(d).to_pandas().sort_values("doc_id").reset_index(drop=True)
         assert a.equals(b)
+
+
+class TestParseUrls:
+    def test_components(self):
+        from service1_text_extraction_ray.functions.urls import parse_urls
+
+        urls = pa.array(
+            [
+                "https://Site.Example.COM:8443/a/b/c?x=1#frag",
+                "http://example.org/",
+                "https://dotless/path/only",
+                "ftp://files.example.net",
+                "not a url",
+                None,
+            ]
+        )
+        p = parse_urls(urls).to_pylist()
+        assert p[0] == {
+            "scheme": "https", "host": "site.example.com", "port": 8443,
+            "path": "/a/b/c", "query": "x=1", "tld": "com", "path_depth": 3,
+        }
+        assert p[1]["path_depth"] == 0 and p[1]["port"] is None
+        assert p[1]["query"] is None
+        assert p[2]["tld"] is None  # dotless host
+        assert p[3]["path"] == "" and p[3]["path_depth"] == 0
+        assert all(v is None for v in p[4].values())  # malformed -> all null
+        assert all(v is None for v in p[5].values())
+
+    def test_trailing_slash_depth(self):
+        from service1_text_extraction_ray.functions.urls import parse_urls
+
+        p = parse_urls(pa.array(["https://h.io/a/b/", "https://h.io/a//b"]))
+        # trailing slash doesn't add a segment; '//' counts the empty segment
+        assert p["path_depth"].to_pylist() == [2, 3]
+
+
+class TestEventsFunnel:
+    def test_strict_order_semantics(self, ray_session, tmp_path):
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        from service1_text_extraction_ray.pipelines.relational import q_events_funnel
+
+        rows = []
+
+        def ev(uid, sec, typ):
+            rows.append(
+                {"user_id": uid, "ts": pd.Timestamp("2024-01-01") + pd.Timedelta(seconds=sec),
+                 "event_type": typ}
+            )
+
+        # u1: full funnel in order -> 3
+        ev(1, 0, "view"); ev(1, 1, "click"); ev(1, 2, "purchase")
+        # u2: purchase BEFORE click -> stops at 2
+        ev(2, 0, "view"); ev(2, 1, "purchase"); ev(2, 2, "click")
+        # u3: click equal-ts with view (strict > required) -> stops at 1
+        ev(3, 0, "view"); ev(3, 0, "click")
+        # u4: events but never views -> 0
+        ev(4, 0, "signup"); ev(4, 1, "purchase")
+        # u5: late first view; earlier clicks don't count, later one does
+        ev(5, 0, "click"); ev(5, 1, "view"); ev(5, 2, "click"); ev(5, 3, "purchase")
+        t = pa.Table.from_pylist(rows)
+        d = tmp_path / "sf"
+        d.mkdir(exist_ok=True)
+        pq.write_table(t, str(d / "events.parquet"))
+
+        out = q_events_funnel(str(d)).to_pandas().set_index("user_id")["funnel_stage"]
+        assert out.to_dict() == {1: 3, 2: 2, 3: 1, 4: 0, 5: 3}
