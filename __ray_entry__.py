@@ -46,6 +46,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_summary": Q.q_extract_summary,
         "extract_tables": Q.q_extract_tables,
         "url_host_stats": Q.q_url_host_stats,
+        "dedup_edit_distance": Q.q_dedup_edit_distance,
         # --- text analysis over documents ---
         "doc_token_counts": Q.q_doc_token_counts,
         "doc_bpe_token_counts": Q.q_doc_bpe_token_counts,
@@ -145,6 +146,7 @@ def oracle_sql() -> dict[str, str]:
         "extract_summary": Q.sql_extract_summary(),
         "extract_tables": Q.SQL_EXTRACT_TABLES,
         "url_host_stats": Q.SQL_URL_HOST_STATS,
+        "dedup_edit_distance": Q.SQL_DEDUP_EDIT_DISTANCE,
         "doc_token_counts": Q.SQL_DOC_TOKEN_COUNTS,
         "doc_bpe_token_counts": Q.SQL_DOC_BPE_TOKEN_COUNTS,
         "doc_quality_scores": Q.SQL_DOC_QUALITY_SCORES,

@@ -2857,3 +2857,175 @@ SELECT source || '.example.' ||
 FROM documents
 GROUP BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# Edit-distance-verified near-duplicates (simhash candidates -> Levenshtein)
+# ---------------------------------------------------------------------------
+
+EDIT_PREFIX_CHARS = 96   # verify window: first N CHARACTERS of each doc
+EDIT_MAX_DIST = 12       # byte-level Levenshtein threshold over that window
+
+
+def _levenshtein_pairs(a_bytes: list, b_bytes: list) -> np.ndarray:
+    """Byte-level Levenshtein for P string pairs, vectorized ACROSS pairs:
+    one classic DP row-sweep where each step updates a (P, L+1) row with
+    numpy mins — no per-pair Python DP. Byte-level (not codepoint) on
+    purpose: it matches DuckDB's levenshtein() exactly, which the oracle
+    uses. Memory O(P*L); time O(maxlen_a) row sweeps."""
+    P = len(a_bytes)
+    la = np.array([len(x) for x in a_bytes], dtype=np.int64)
+    lb = np.array([len(x) for x in b_bytes], dtype=np.int64)
+    La, Lb = int(la.max(initial=0)), int(lb.max(initial=0))
+    A = np.zeros((P, La), dtype=np.int16)
+    B = np.zeros((P, Lb), dtype=np.int16)
+    for p, x in enumerate(a_bytes):
+        A[p, : len(x)] = np.frombuffer(x, dtype=np.uint8)
+    for p, x in enumerate(b_bytes):
+        B[p, : len(x)] = np.frombuffer(x, dtype=np.uint8)
+    # pad each side beyond its own length with sentinels that never match
+    colB = np.arange(Lb)[None, :]
+    B = np.where(colB < lb[:, None], B, np.int16(-1))
+    rowA = np.arange(La)[None, :]
+    A = np.where(rowA < la[:, None], A, np.int16(-2))
+
+    dp = np.tile(np.arange(Lb + 1, dtype=np.int32), (P, 1))  # row i=0
+    out = np.where(la == 0, lb, -1).astype(np.int32)
+    for i in range(1, La + 1):
+        prev = dp
+        dp = np.empty_like(prev)
+        dp[:, 0] = i
+        eq = (A[:, i - 1 : i] == B).astype(np.int32)  # (P, Lb)
+        sub = prev[:, :-1] + (1 - eq)
+        dele = prev[:, 1:] + 1
+        np.minimum(sub, dele, out=sub)
+        # insertion needs a left-to-right scan: dp[j] = min(cand[j], dp[j-1]+1)
+        cand = sub
+        run = np.minimum.accumulate(
+            cand - np.arange(1, Lb + 1, dtype=np.int32)[None, :], axis=1
+        )
+        left0 = dp[:, 0:1] - 0  # dp[:,0] = i
+        dp[:, 1:] = np.minimum(
+            cand,
+            np.minimum(run + np.arange(2, Lb + 2, dtype=np.int32)[None, :] - 1,
+                       left0 + np.arange(1, Lb + 1, dtype=np.int32)),
+        )
+        done = la == i
+        if done.any():
+            out[done] = dp[done, lb[done]]
+    return out
+
+
+def q_dedup_edit_distance(sf_dir: str) -> pd.DataFrame:
+    """Edit-distance-verified near-duplicate pairs: simhash banding proposes
+    candidates (the q_dedup_simhash_pairs topology — pigeonhole-complete for
+    Hamming <= 3), then each surviving pair is verified with a byte-level
+    Levenshtein over the docs' first EDIT_PREFIX_CHARS characters,
+    vectorized ACROSS pairs (_levenshtein_pairs: one DP row-sweep updating a
+    (P, L+1) numpy row — no per-pair Python DP). Output: (doc_id_a,
+    doc_id_b, edit_dist <= EDIT_MAX_DIST).
+
+    Scale notes: the banding shuffle carries an extra bounded 96-char prefix
+    per band row (not the document); the Hamming pre-filter bounds the
+    O(P*L^2-ish) DP to actual near-candidates; bucket cap + tile as in the
+    simhash verify. Byte-level distance is deliberate — it equals DuckDB's
+    levenshtein(), so the oracle replays the FULL pipeline exactly
+    (simhash CTE -> hamming <= 3 self-join -> levenshtein filter)."""
+    import logging
+
+    log = logging.getLogger(__name__)
+
+    def sig_batch(df: pd.DataFrame) -> pd.DataFrame:
+        bands, vals, ids, hashes, prefixes = [], [], [], [], []
+        for doc_id, text in zip(df["doc_id"], df["text"].fillna("")):
+            sh = _simhash64(text)
+            pref = text[:EDIT_PREFIX_CHARS]
+            for b in range(SIMHASH_BANDS):
+                bands.append(b)
+                vals.append(int((sh >> (16 * b)) & 0xFFFF))
+                ids.append(int(doc_id))
+                hashes.append(f"{sh:016x}")
+                prefixes.append(pref)
+        return pd.DataFrame(
+            {
+                "band": pd.Series(bands, dtype="int64"),
+                "band_val": pd.Series(vals, dtype="int64"),
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "simhash": pd.Series(hashes, dtype="object"),
+                "prefix": pd.Series(prefixes, dtype="object"),
+            }
+        )
+
+    empty = {"doc_id_a": "int64", "doc_id_b": "int64", "edit_dist": "int64"}
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        sub = g.drop_duplicates("doc_id").sort_values("doc_id")
+        if len(sub) > SIMHASH_BUCKET_CAP:
+            log.warning("edit-dist bucket capped: %d -> %d", len(sub), SIMHASH_BUCKET_CAP)
+            sub = sub.head(SIMHASH_BUCKET_CAP)
+        n = len(sub)
+        if n < 2:
+            return pd.DataFrame({k: pd.Series([], dtype=v) for k, v in empty.items()})
+        ids = sub["doc_id"].to_numpy()
+        h = np.array([int(x, 16) for x in sub["simhash"]], dtype=np.uint64)
+        prefs = sub["prefix"].to_list()
+        T = _SIMHASH_VERIFY_TILE
+        pa_i, pb_i = [], []
+        for i0 in range(0, n, T):
+            for j0 in range(i0, n, T):
+                xor = h[i0 : i0 + T, None] ^ h[None, j0 : j0 + T]
+                na, nb = xor.shape
+                pop = np.unpackbits(
+                    np.ascontiguousarray(xor).view(np.uint8).reshape(na, nb, 8),
+                    axis=2,
+                ).sum(axis=2)
+                close = pop <= SIMHASH_MAX_HAMMING
+                if i0 == j0:
+                    close = np.triu(close, k=1)
+                ai, bi = np.nonzero(close)
+                if len(ai):
+                    pa_i.append(i0 + ai)
+                    pb_i.append(j0 + bi)
+        if not pa_i:
+            return pd.DataFrame({k: pd.Series([], dtype=v) for k, v in empty.items()})
+        ai = np.concatenate(pa_i)
+        bi = np.concatenate(pb_i)
+        a_b = [prefs[i].encode("utf-8") for i in ai]
+        b_b = [prefs[i].encode("utf-8") for i in bi]
+        dist = _levenshtein_pairs(a_b, b_b)
+        keep = dist <= EDIT_MAX_DIST
+        return pd.DataFrame(
+            {
+                "doc_id_a": pd.Series(ids[ai[keep]], dtype="int64"),
+                "doc_id_b": pd.Series(ids[bi[keep]], dtype="int64"),
+                "edit_dist": pd.Series(dist[keep], dtype="int64"),
+            }
+        )
+
+    verified = (
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(sig_batch, batch_format="pandas")
+        .groupby(["band", "band_val"])
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .to_pandas()
+    )
+    if len(verified) == 0:
+        return pd.DataFrame({k: pd.Series([], dtype=v) for k, v in empty.items()})
+    return verified.drop_duplicates().reset_index(drop=True).astype(empty)
+
+
+SQL_DEDUP_EDIT_DISTANCE = f"""
+WITH {_sql_simhash_cte()},
+pref AS (
+  SELECT doc_id, substr(coalesce(text, ''), 1, {EDIT_PREFIX_CHARS}) AS p
+  FROM documents
+)
+SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+       CAST(levenshtein(pa.p, pb.p) AS BIGINT) AS edit_dist
+FROM sig a
+JOIN sig b ON a.doc_id < b.doc_id
+JOIN pref pa ON pa.doc_id = a.doc_id
+JOIN pref pb ON pb.doc_id = b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
+  AND levenshtein(pa.p, pb.p) <= {EDIT_MAX_DIST}
+"""

@@ -343,3 +343,51 @@ class TestEventsFunnel:
 
         out = q_events_funnel(str(d)).to_pandas().set_index("user_id")["funnel_stage"]
         assert out.to_dict() == {1: 3, 2: 2, 3: 1, 4: 0, 5: 3}
+
+
+class TestEditDistanceDedup:
+    def test_vectorized_dp_matches_scalar(self):
+        import random
+
+        import numpy as np
+
+        from service1_text_extraction_ray.pipelines.queries import _levenshtein_pairs
+
+        def ref(a, b):
+            la, lb = len(a), len(b)
+            dp = list(range(lb + 1))
+            for i in range(1, la + 1):
+                prev, dp = dp, [i] + [0] * lb
+                for j in range(1, lb + 1):
+                    dp[j] = min(prev[j - 1] + (a[i - 1] != b[j - 1]),
+                                prev[j] + 1, dp[j - 1] + 1)
+            return dp[lb]
+
+        rng = random.Random(7)
+        pairs = []
+        for _ in range(200):
+            n1, n2 = rng.randint(0, 24), rng.randint(0, 24)
+            a = bytes(rng.choice(b"abc\xe4\xb8\xad") for _ in range(n1))
+            b = bytes(rng.choice(b"abc\xe4\xb8\xad") for _ in range(n2))
+            pairs.append((a, b))
+        got = _levenshtein_pairs([p[0] for p in pairs], [p[1] for p in pairs])
+        exp = np.array([ref(a, b) for a, b in pairs])
+        assert (got == exp).all()
+
+    def test_planted_near_duplicates(self, ray_session, tmp_path):
+        from service1_text_extraction_ray.pipelines.queries import q_dedup_edit_distance
+
+        base = "the quick brown fox jumps over the lazy dog " * 4
+        texts = [
+            base,                                   # 0
+            base.replace("quick", "quack", 1),      # 1: 1 substitution in prefix
+            base + " tail beyond the prefix window",  # 2: identical prefix
+            "completely different content about databases and engines " * 3,  # 3
+        ]
+        d = _docs(tmp_path, texts)
+        out = q_dedup_edit_distance(d)
+        pairs = {(a, b): e for a, b, e in
+                 zip(out["doc_id_a"], out["doc_id_b"], out["edit_dist"])}
+        assert pairs[(0, 1)] == 1
+        assert pairs[(0, 2)] == 0  # same 96-char prefix
+        assert all(3 not in p for p in pairs)
