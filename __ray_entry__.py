@@ -47,6 +47,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_tables": Q.q_extract_tables,
         "url_host_stats": Q.q_url_host_stats,
         "dedup_edit_distance": Q.q_dedup_edit_distance,
+        "extract_outlinks": Q.q_extract_outlinks,
+        "host_link_graph": Q.q_host_link_graph,
         # --- text analysis over documents ---
         "doc_token_counts": Q.q_doc_token_counts,
         "doc_bpe_token_counts": Q.q_doc_bpe_token_counts,
@@ -147,6 +149,8 @@ def oracle_sql() -> dict[str, str]:
         "extract_tables": Q.SQL_EXTRACT_TABLES,
         "url_host_stats": Q.SQL_URL_HOST_STATS,
         "dedup_edit_distance": Q.SQL_DEDUP_EDIT_DISTANCE,
+        "extract_outlinks": Q.SQL_EXTRACT_OUTLINKS,
+        "host_link_graph": Q.SQL_HOST_LINK_GRAPH,
         "doc_token_counts": Q.SQL_DOC_TOKEN_COUNTS,
         "doc_bpe_token_counts": Q.SQL_DOC_BPE_TOKEN_COUNTS,
         "doc_quality_scores": Q.SQL_DOC_QUALITY_SCORES,

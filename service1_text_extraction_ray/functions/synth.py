@@ -671,3 +671,37 @@ def make_table_page(doc_id: int, lang: str, source: str, n_chars: int) -> bytes:
         f"<footer><p>footer boilerplate</p></footer></body></html>"
     )
     return html.encode("utf-8")
+
+
+def make_link_page(doc_id: int, source: str, lang: str) -> tuple[bytes, str]:
+    """Deterministic outlink-bearing page derived ONLY from the document's
+    columns — the fixture for the web-graph extractor (functions/links.py).
+    Returns (html, base_url). Every resolution branch is exercised:
+    absolute cross-site, protocol-relative, root-relative, ``..`` relative,
+    a nofollow ad link (even doc_ids), plus hrefs that MUST be dropped
+    (javascript:, mailto:, bare fragment) and a <script> decoy link. Meta
+    robots is noindex,nofollow for doc_id%7==0 pages."""
+    base_url = f"https://{source}.example.com/d/{doc_id}/index.html"
+    robots = "noindex,nofollow" if doc_id % 7 == 0 else "index,follow"
+    links = [
+        f'<a href="https://src{(doc_id * 7 + 1) % 20}.example.net/x/{doc_id % 9}">ref {doc_id % 9}</a>',
+        f'<a href="//cdn.example.org/lib/{doc_id % 4}">cdn <b>{doc_id % 4}</b></a>',
+        f'<a href="/local/{doc_id % 5}">local {doc_id % 5}</a>',
+        f'<a href="../up/{doc_id % 3}">up {doc_id % 3}</a>',
+    ]
+    if doc_id % 2 == 0:
+        links.append(
+            f'<a href="http://ads.example.com/click?id={doc_id % 11}" rel="nofollow">ad</a>'
+        )
+    dropped = (
+        '<a href="javascript:void(0)">js</a>'
+        '<a href="mailto:x@example.com">mail</a>'
+        '<a href="#top">top</a>'
+    )
+    decoy = "<script>var s = '<a href=\"https://evil.example/x\">no</a>';</script>"
+    html = (
+        f'<html><head><title>links {doc_id}</title>'
+        f'<meta name="robots" content="{robots}">{decoy}</head>'
+        f"<body><p>{lang} page</p>{''.join(links)}{dropped}</body></html>"
+    )
+    return html.encode("utf-8"), base_url

@@ -3029,3 +3029,158 @@ JOIN pref pb ON pb.doc_id = b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
   AND levenshtein(pa.p, pb.p) <= {EDIT_MAX_DIST}
 """
+
+
+# ---------------------------------------------------------------------------
+# Web-graph extraction: outlinks + host link graph (functions/links.py)
+# ---------------------------------------------------------------------------
+
+
+def q_extract_outlinks(sf_dir: str) -> rd.Dataset:
+    """Outlink + robots extraction: synthesize a deterministic link-bearing
+    page per document (synth.make_link_page — absolute/protocol-relative/
+    root-relative/dot-dot hrefs, nofollow ads, javascript:/mailto:/#fragment
+    drops, <script> decoys, meta robots), parse with the streaming
+    functions/links.py extractor, and explode to one row per kept link:
+    (doc_id, link_idx, href, anchor, nofollow, page_noindex). The parse —
+    the real per-doc workload — runs inside the checked loop; the DuckDB
+    oracle reconstructs every resolved URL and anchor string exactly from
+    the documents columns. Pure per-batch flat map, no shuffle."""
+    from ..functions.links import extract_outlinks
+    from ..functions.synth import make_link_page
+
+    out_schema = pa.schema([
+        ("doc_id", pa.int64()), ("link_idx", pa.int64()),
+        ("href", pa.string()), ("anchor", pa.string()),
+        ("nofollow", pa.bool_()), ("page_noindex", pa.bool_()),
+    ])
+
+    def f(t: pa.Table) -> pa.Table:
+        rows = []
+        for d, src, lang in zip(
+            t["doc_id"].to_pylist(), t["source"].to_pylist(), t["lang"].to_pylist()
+        ):
+            html, base = make_link_page(int(d), src, lang or "en")
+            links, noindex, _ = extract_outlinks(html, base)
+            for i, ln in enumerate(links):
+                rows.append({
+                    "doc_id": int(d), "link_idx": i, "href": ln.href,
+                    "anchor": ln.anchor, "nofollow": ln.nofollow,
+                    "page_noindex": noindex,
+                })
+        if not rows:
+            return out_schema.empty_table()
+        return pa.Table.from_pylist(rows, schema=out_schema)
+
+    return _read(sf_dir, "documents", ["doc_id", "source", "lang"]).map_batches(
+        f, batch_format="pyarrow"
+    )
+
+
+SQL_EXTRACT_OUTLINKS = """
+WITH base AS (
+  SELECT doc_id, source, (doc_id % 7 = 0) AS page_noindex FROM documents
+)
+SELECT doc_id, CAST(0 AS BIGINT) AS link_idx,
+       'https://src' || ((doc_id * 7 + 1) % 20) || '.example.net/x/' || (doc_id % 9) AS href,
+       'ref ' || (doc_id % 9) AS anchor, FALSE AS nofollow, page_noindex
+FROM base
+UNION ALL
+SELECT doc_id, 1, 'https://cdn.example.org/lib/' || (doc_id % 4),
+       'cdn ' || (doc_id % 4), FALSE, page_noindex FROM base
+UNION ALL
+SELECT doc_id, 2, 'https://' || source || '.example.com/local/' || (doc_id % 5),
+       'local ' || (doc_id % 5), FALSE, page_noindex FROM base
+UNION ALL
+SELECT doc_id, 3, 'https://' || source || '.example.com/d/up/' || (doc_id % 3),
+       'up ' || (doc_id % 3), FALSE, page_noindex FROM base
+UNION ALL
+SELECT doc_id, 4, 'http://ads.example.com/click?id=' || (doc_id % 11),
+       'ad', TRUE, page_noindex FROM base WHERE doc_id % 2 = 0
+"""
+
+
+def q_host_link_graph(sf_dir: str) -> rd.Dataset:
+    """Host-level link graph from extracted outlinks: FOLLOWABLE links only
+    (link not rel=nofollow AND page robots not nofollow), target host parsed
+    with the vectorized URL decomposer. Per target host: total in-links and
+    distinct source hosts. Topology: per-block (target, source-host) partial
+    counts (the parse output never rides a shuffle raw), one groupby over
+    the pair partials to finish the counts, then a per-host reduce of the
+    (now unique) pairs — in-degree aggregation at web scale is exactly this
+    two-level pair-partial shape."""
+    from ..functions.links import extract_outlinks, split_url
+    from ..functions.synth import make_link_page
+
+    pair_schema = pa.schema([
+        ("host", pa.string()), ("src_host", pa.string()), ("n_links", pa.int64()),
+    ])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        counts: dict[tuple[str, str], int] = {}
+        for d, src, lang in zip(
+            t["doc_id"].to_pylist(), t["source"].to_pylist(), t["lang"].to_pylist()
+        ):
+            html, base = make_link_page(int(d), src, lang or "en")
+            links, _, page_nofollow = extract_outlinks(html, base)
+            if page_nofollow:
+                continue
+            src_host = split_url(base)[1]
+            for ln in links:
+                if ln.nofollow:
+                    continue
+                key = (split_url(ln.href)[1], src_host)
+                counts[key] = counts.get(key, 0) + 1
+        if not counts:
+            return pair_schema.empty_table()
+        return pa.Table.from_pylist(
+            [{"host": h, "src_host": s, "n_links": n} for (h, s), n in counts.items()],
+            schema=pair_schema,
+        )
+
+    from ray.data.aggregate import Count, Sum
+
+    def finish(t: pa.Table) -> pa.Table:
+        g = t.group_by("host").aggregate([("n_links", "sum"), ([], "count_all")])
+        return pa.Table.from_arrays(
+            [g["host"], pc.cast(g["n_links_sum"], pa.int64()),
+             pc.cast(g["count_all"], pa.int64())],
+            names=["host", "n_links", "n_src_hosts"],
+        )
+
+    return (
+        _read(sf_dir, "documents", ["doc_id", "source", "lang"])
+        .map_batches(pairs, batch_format="pyarrow")
+        .groupby(["host", "src_host"])
+        .aggregate(Sum("n_links", alias_name="n_links"))
+        .repartition(8)
+        .map_batches(finish, batch_format="pyarrow")
+        .groupby("host")
+        .aggregate(
+            Sum("n_links", alias_name="n_links"),
+            Sum("n_src_hosts", alias_name="n_src_hosts"),
+        )
+    )
+
+
+SQL_HOST_LINK_GRAPH = """
+WITH base AS (
+  SELECT doc_id, source FROM documents WHERE doc_id % 7 <> 0
+),
+links AS (
+  SELECT 'src' || ((doc_id * 7 + 1) % 20) || '.example.net' AS host,
+         source || '.example.com' AS src_host
+  FROM base
+  UNION ALL
+  SELECT 'cdn.example.org', source || '.example.com' FROM base
+  UNION ALL
+  SELECT source || '.example.com', source || '.example.com' FROM base
+  UNION ALL
+  SELECT source || '.example.com', source || '.example.com' FROM base
+)
+SELECT host,
+       count(*) AS n_links,
+       count(DISTINCT src_host) AS n_src_hosts
+FROM links
+GROUP BY host
+"""

@@ -391,3 +391,43 @@ class TestEditDistanceDedup:
         assert pairs[(0, 1)] == 1
         assert pairs[(0, 2)] == 0  # same 96-char prefix
         assert all(3 not in p for p in pairs)
+
+
+class TestOutlinks:
+    def test_resolution_rules(self):
+        from service1_text_extraction_ray.functions.links import resolve_href
+
+        base = "https://h.example.com/a/b/page.html?q=1"
+        assert resolve_href(base, "https://x.io/p?k=2#f") == "https://x.io/p?k=2"
+        assert resolve_href(base, "//cdn.io/x") == "https://cdn.io/x"
+        assert resolve_href(base, "/root") == "https://h.example.com/root"
+        assert resolve_href(base, "sib.html") == "https://h.example.com/a/b/sib.html"
+        assert resolve_href(base, "../up") == "https://h.example.com/a/up"
+        assert resolve_href(base, "../../../over") == "https://h.example.com/over"
+        assert resolve_href(base, "./here") == "https://h.example.com/a/b/here"
+        for dead in ("#frag", "javascript:void(0)", "mailto:a@b.c", "tel:+1", ""):
+            assert resolve_href(base, dead) is None
+        assert resolve_href(base, "ftp://files.io/x") is None  # non-http scheme
+
+    def test_parse_decoys_robots_truncation(self):
+        from service1_text_extraction_ray.functions.links import extract_outlinks
+
+        html = (
+            '<html><head><meta name="robots" content="noindex">'
+            "<script>var a='<a href=\"https://evil.example/\">x</a>';</script></head>"
+            '<body><a href="/one">first <i>link</i></a>'
+            '<a href="/two">trunca'  # unclosed <a> at EOF
+        )
+        links, noindex, nofollow = extract_outlinks(html, "https://h.io/d/p")
+        assert noindex and not nofollow
+        assert [(l.href, l.anchor) for l in links] == [
+            ("https://h.io/one", "first link"),
+            ("https://h.io/two", "trunca"),
+        ]
+
+    def test_nofollow_and_nested_anchor(self):
+        from service1_text_extraction_ray.functions.links import extract_outlinks
+
+        html = '<a href="/x" rel="sponsored nofollow">a  b\n c</a>'
+        links, _, _ = extract_outlinks(html, "https://h.io/")
+        assert links[0].nofollow and links[0].anchor == "a b c"
