@@ -145,6 +145,9 @@ QUERY_NAMES = [
     "top_unshipped_orders", "curate_corpus",
     "orders_rollup", "user_event_pivot", "order_price_histogram",
     "part_size_mode", "lineitem_corr",
+    "events_funnel", "events_retention", "events_props_stats",
+    "url_host_stats", "extract_outlinks", "host_link_graph",
+    "dedup_edit_distance",
 ]
 
 

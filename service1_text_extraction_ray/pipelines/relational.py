@@ -2677,3 +2677,133 @@ SELECT event_type,
 FROM events
 GROUP BY event_type
 """
+
+
+def _week_start_days(ts_us: np.ndarray) -> np.ndarray:
+    """Monday-start week truncation in integer epoch DAYS (1970-01-01 was a
+    Thursday, so dow = (days+3) % 7) — exact integer arithmetic, matching
+    DuckDB's date_trunc('week', ts)."""
+    days = ts_us // 86_400_000_000
+    return days - (days + 3) % 7
+
+
+def q_events_retention(sf_dir: str) -> rd.Dataset:
+    """Cohort retention matrix: users are cohorted by the Monday-start week
+    of their FIRST signup event; each later active week (any event type)
+    increments that (cohort_week, week_offset) cell's distinct-user count.
+    The product-analytics companion to the funnel — per-user state across
+    the whole timeline, so it rides ONE hash_exchange on user_id; inside a
+    shard the per-user first-signup, the week truncation, and the distinct
+    (user, week) pairs are all integer-vectorized. Pair partials (already
+    distinct, since a user lives in exactly one shard) then merge in a tiny
+    groupby-sum. Exact at any parallelism."""
+    out_schema = pa.schema([
+        pa.field("cohort_week", pa.timestamp("us")),
+        pa.field("week_offset", pa.int64()),
+        pa.field("n_users", pa.int64()),
+    ])
+
+    def shard_retention(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        df = t.to_pandas()
+        ts_us = df["ts"].astype("int64").to_numpy()
+        week = _week_start_days(ts_us)
+        uid = df["user_id"].to_numpy()
+        signup = df["event_type"].eq("signup").to_numpy()
+        if not signup.any():
+            return out_schema.empty_table()
+        s = pd.Series(ts_us[signup], index=uid[signup])
+        first_signup_us = s.groupby(level=0).min()
+        cohort_week = pd.Series(
+            _week_start_days(first_signup_us.to_numpy()),
+            index=first_signup_us.index,
+        )
+        cw = pd.Series(uid).map(cohort_week).to_numpy()
+        keep = ~np.isnan(cw)
+        offs = week[keep] - cw[keep].astype(np.int64)
+        offs //= 7
+        keep2 = offs >= 0  # pre-signup activity doesn't count toward retention
+        cells = pd.DataFrame({
+            "user": uid[keep][keep2],
+            "cohort_days": cw[keep][keep2].astype(np.int64),
+            "week_offset": offs[keep2],
+        }).drop_duplicates(["user", "cohort_days", "week_offset"])
+        agg = (
+            cells.groupby(["cohort_days", "week_offset"], sort=False)
+            .size()
+            .reset_index(name="n_users")
+        )
+        return pa.Table.from_arrays(
+            [
+                pa.array(agg["cohort_days"].to_numpy() * 86_400_000_000).cast(
+                    pa.timestamp("us")
+                ),
+                pa.array(agg["week_offset"].to_numpy(dtype="int64")),
+                pa.array(agg["n_users"].to_numpy(dtype="int64")),
+            ],
+            schema=out_schema,
+        )
+
+    pairs = hash_exchange(
+        _read(sf_dir, "events", ["user_id", "ts", "event_type"]),
+        ["user_id"],
+        shard_retention,
+        out_schema,
+    )
+    return pairs.groupby(["cohort_week", "week_offset"]).aggregate(
+        Sum("n_users", alias_name="n_users")
+    )
+
+
+SQL_EVENTS_RETENTION = """
+WITH first_signup AS (
+  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+),
+active AS (
+  SELECT DISTINCT e.user_id, f.cohort_week,
+         date_diff('day', f.cohort_week, date_trunc('week', e.ts)) // 7
+           AS week_offset
+  FROM events e JOIN first_signup f USING (user_id)
+  WHERE date_trunc('week', e.ts) >= f.cohort_week
+)
+SELECT CAST(cohort_week AS TIMESTAMP) AS cohort_week,
+       CAST(week_offset AS BIGINT) AS week_offset,
+       count(*) AS n_users
+FROM active GROUP BY 1, 2
+"""
+
+
+def q_order_price_quantiles_cont(sf_dir: str) -> rd.Dataset:
+    """Interpolated per-priority quantiles (DuckDB quantile_cont convention:
+    linear interpolation at rank q*(n-1)) — the continuous companion to the
+    quantile_disc query, same one-groupby co-partition topology."""
+
+    def quants(g: pd.DataFrame) -> pd.DataFrame:
+        v = g["o_totalprice"].sort_values().to_numpy()
+        n = len(v)
+        row = {"o_orderpriority": g["o_orderpriority"].iloc[0], "n_orders": n}
+        for q in QUANTILES:
+            h = q * (n - 1)
+            lo = int(np.floor(h))
+            hi = min(lo + 1, n - 1)
+            frac = h - lo
+            row[f"p{int(q * 100)}"] = float(v[lo] + (v[hi] - v[lo]) * frac)
+        return pd.DataFrame([row])
+
+    return (
+        _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+        .groupby("o_orderpriority")
+        .map_groups(quants, batch_format="pandas")
+    )
+
+
+SQL_ORDER_PRICE_QUANTILES_CONT = """
+SELECT o_orderpriority,
+       count(*) AS n_orders,
+       quantile_cont(o_totalprice, 0.5) AS p50,
+       quantile_cont(o_totalprice, 0.9) AS p90,
+       quantile_cont(o_totalprice, 0.99) AS p99
+FROM orders GROUP BY o_orderpriority
+"""
