@@ -3184,3 +3184,201 @@ SELECT host,
 FROM links
 GROUP BY host
 """
+
+
+# ---------------------------------------------------------------------------
+# Iterative graph algorithm: PageRank over the host link graph
+# ---------------------------------------------------------------------------
+
+PAGERANK_ITERS = 3
+PR_UNIT = 1_000_000          # PageRank in integer micro-units
+PR_DAMP = 850_000            # 0.85 damping, micro-units
+PR_BASE = PR_UNIT - PR_DAMP  # 0.15
+
+
+def q_host_pagerank(sf_dir: str) -> rd.Dataset:
+    """PageRank over the followable host link graph — the engine's iterative
+    distributed algorithm. All arithmetic is INTEGER micro-units (pr starts
+    at 1e6; each edge carries floor(pr * n_links / out_links); pr' =
+    150_000 + floor(850_000 * sum(contrib) / 1e6)), so per-iteration sums
+    are order-independent and the result is bit-identical at any
+    parallelism AND exactly replayable in SQL (the oracle unrolls the same
+    PAGERANK_ITERS iterations as plain CTEs). Dangling-node mass is
+    dropped (documented divergence from the re-distribution variant).
+
+    Topology per iteration: ONE co-partitioned hash_join (edges x pr on
+    src) + ONE groupby-sum over (contrib ∪ zero-base) — the scale shape
+    for a pr vector too large to broadcast. Edges/out-degrees are host-
+    grain (orders of magnitude smaller than the corpus) and materialized
+    once; each iteration's pr is a new small Dataset."""
+    from ray.data.aggregate import Sum as RSum
+
+    from .relational import hash_join
+
+    edge_schema = pa.schema([
+        ("src", pa.string()), ("dst", pa.string()), ("n_links", pa.int64()),
+    ])
+
+    def pair_partials(t: pa.Table) -> pa.Table:
+        from ..functions.links import extract_outlinks, split_url
+        from ..functions.synth import make_link_page
+
+        counts: dict[tuple[str, str], int] = {}
+        for d, src, lang in zip(
+            t["doc_id"].to_pylist(), t["source"].to_pylist(), t["lang"].to_pylist()
+        ):
+            html, base = make_link_page(int(d), src, lang or "en")
+            links, _, page_nofollow = extract_outlinks(html, base)
+            if page_nofollow:
+                continue
+            src_host = split_url(base)[1]
+            for ln in links:
+                if ln.nofollow:
+                    continue
+                key = (src_host, split_url(ln.href)[1])
+                counts[key] = counts.get(key, 0) + 1
+        if not counts:
+            return edge_schema.empty_table()
+        return pa.Table.from_pylist(
+            [{"src": s, "dst": t_, "n_links": n} for (s, t_), n in counts.items()],
+            schema=edge_schema,
+        )
+
+    edges = (
+        _read(sf_dir, "documents", ["doc_id", "source", "lang"])
+        .map_batches(pair_partials, batch_format="pyarrow")
+        .groupby(["src", "dst"])
+        .aggregate(RSum("n_links", alias_name="n_links"))
+        .materialize()  # host-grain: bounded by #hosts^2, not corpus size
+    )
+
+    def out_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("src").aggregate([("n_links", "sum")])
+        return pa.Table.from_arrays(
+            [g["src"], pc.cast(g["n_links_sum"], pa.int64())],
+            names=["src", "out_n"],
+        )
+
+    out_deg = (
+        edges.map_batches(out_partial, batch_format="pyarrow")
+        .groupby("src")
+        .aggregate(RSum("out_n", alias_name="out_n"))
+    )
+    # annotate each edge with its source's total out-link count (host-grain
+    # join, done once before the iterations)
+    edges_out = hash_join(
+        edges.map_batches(
+            lambda t: t.select(["src", "dst", "n_links"]), batch_format="pyarrow"
+        ),
+        out_deg,
+        left_on="src",
+        right_on="src",
+        key_type=pa.string(),
+        left_fields=[pa.field("dst", pa.string()), pa.field("n_links", pa.int64())],
+        right_fields=[pa.field("out_n", pa.int64())],
+    ).materialize()
+
+    def host_partials(t: pa.Table) -> pa.Table:
+        hosts = pc.unique(
+            pa.chunked_array([pc.cast(t["src"], pa.string()), pc.cast(t["dst"], pa.string())])
+        )
+        return pa.Table.from_arrays(
+            [hosts, pa.nulls(len(hosts), pa.int64()).fill_null(0)],
+            names=["host", "zero"],
+        )
+
+    hosts = (
+        edges.map_batches(host_partials, batch_format="pyarrow")
+        .groupby("host")
+        .aggregate(RSum("zero", alias_name="zero"))
+        .materialize()
+    )
+
+    def init_pr(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [t["host"], pa.nulls(t.num_rows, pa.int64()).fill_null(PR_UNIT)],
+            names=["host", "pr"],
+        )
+
+    pr = hosts.map_batches(init_pr, batch_format="pyarrow")
+
+    def zero_base(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [t["host"], pa.nulls(t.num_rows, pa.int64()).fill_null(0)],
+            names=["host", "contrib"],
+        )
+
+    def edge_contrib(t: pa.Table) -> pa.Table:
+        prv = t["pr"].to_numpy(zero_copy_only=False)
+        n = t["n_links"].to_numpy(zero_copy_only=False)
+        out = t["out_n"].to_numpy(zero_copy_only=False)
+        share = (prv * n) // out
+        return pa.Table.from_arrays(
+            [t["dst"], pa.array(share, pa.int64())], names=["host", "contrib"]
+        )
+
+    def damp(t: pa.Table) -> pa.Table:
+        c = t["contrib"].to_numpy(zero_copy_only=False)
+        pr_new = PR_BASE + (PR_DAMP * c) // PR_UNIT
+        return pa.Table.from_arrays(
+            [t["host"], pa.array(pr_new, pa.int64())], names=["host", "pr"]
+        )
+
+    for _ in range(PAGERANK_ITERS):
+        joined = hash_join(
+            edges_out,
+            pr,
+            left_on="src",
+            right_on="host",
+            key_type=pa.string(),
+            left_fields=[pa.field("dst", pa.string()), pa.field("n_links", pa.int64()),
+                         pa.field("out_n", pa.int64())],
+            right_fields=[pa.field("pr", pa.int64())],
+        )
+        contrib = joined.map_batches(edge_contrib, batch_format="pyarrow")
+        pr = (
+            contrib.union(hosts.map_batches(zero_base, batch_format="pyarrow"))
+            .groupby("host")
+            .aggregate(RSum("contrib", alias_name="contrib"))
+            .map_batches(damp, batch_format="pyarrow")
+            .materialize()
+        )
+    return pr
+
+
+def _sql_host_pagerank() -> str:
+    links = """
+base AS (SELECT doc_id, source FROM documents WHERE doc_id % 7 <> 0),
+links AS (
+  SELECT source || '.example.com' AS src,
+         'src' || ((doc_id * 7 + 1) % 20) || '.example.net' AS dst FROM base
+  UNION ALL
+  SELECT source || '.example.com', 'cdn.example.org' FROM base
+  UNION ALL
+  SELECT source || '.example.com', source || '.example.com' FROM base
+  UNION ALL
+  SELECT source || '.example.com', source || '.example.com' FROM base
+),
+edges AS (SELECT src, dst, count(*) AS n FROM links GROUP BY 1, 2),
+outd AS (SELECT src, CAST(sum(n) AS BIGINT) AS out_n FROM edges GROUP BY 1),
+hosts AS (SELECT src AS host FROM edges UNION SELECT dst FROM edges),
+pr0 AS (SELECT host, CAST(1000000 AS BIGINT) AS pr FROM hosts)"""
+    its = []
+    for i in range(PAGERANK_ITERS):
+        its.append(f"""
+c{i + 1} AS (
+  SELECT e.dst AS host, CAST(sum((p.pr * e.n) // o.out_n) AS BIGINT) AS contrib
+  FROM edges e JOIN pr{i} p ON p.host = e.src JOIN outd o ON o.src = e.src
+  GROUP BY 1),
+pr{i + 1} AS (
+  SELECT h.host,
+         CAST({PR_BASE} + ({PR_DAMP} * coalesce(c.contrib, 0)) // {PR_UNIT}
+              AS BIGINT) AS pr
+  FROM pr{i} h LEFT JOIN c{i + 1} c USING (host))""")
+    return (
+        "WITH " + links + "," + ",".join(its)
+        + f"\nSELECT host, pr FROM pr{PAGERANK_ITERS}"
+    )
+
+
+SQL_HOST_PAGERANK = _sql_host_pagerank()

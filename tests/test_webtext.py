@@ -431,3 +431,58 @@ class TestOutlinks:
         html = '<a href="/x" rel="sponsored nofollow">a  b\n c</a>'
         links, _, _ = extract_outlinks(html, "https://h.io/")
         assert links[0].nofollow and links[0].anchor == "a b c"
+
+
+class TestHostPagerank:
+    def test_matches_scalar_replay(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from service1_text_extraction_ray.functions.links import (
+            extract_outlinks,
+            split_url,
+        )
+        from service1_text_extraction_ray.functions.synth import make_link_page
+        from service1_text_extraction_ray.pipelines.queries import (
+            PAGERANK_ITERS,
+            PR_BASE,
+            PR_DAMP,
+            PR_UNIT,
+            q_host_pagerank,
+        )
+
+        rows = [
+            {"doc_id": i, "text": "x", "lang": "en", "source": f"s{i % 4}"}
+            for i in range(40)
+        ]
+        d = tmp_path / "sf"
+        d.mkdir(exist_ok=True)
+        pq.write_table(pa.Table.from_pylist(rows), str(d / "documents.parquet"))
+
+        # scalar replay of the integer-quantized iteration
+        edges: dict[tuple, int] = {}
+        for r in rows:
+            html, base = make_link_page(r["doc_id"], r["source"], r["lang"])
+            links, _, page_nofollow = extract_outlinks(html, base)
+            if page_nofollow:
+                continue
+            src = split_url(base)[1]
+            for ln in links:
+                if not ln.nofollow:
+                    k = (src, split_url(ln.href)[1])
+                    edges[k] = edges.get(k, 0) + 1
+        hosts = {h for e in edges for h in e}
+        out = {}
+        for (s, _), n in edges.items():
+            out[s] = out.get(s, 0) + n
+        pr = {h: PR_UNIT for h in hosts}
+        for _ in range(PAGERANK_ITERS):
+            contrib = {h: 0 for h in hosts}
+            for (s, t), n in edges.items():
+                contrib[t] += (pr[s] * n) // out[s]
+            pr = {h: PR_BASE + (PR_DAMP * contrib[h]) // PR_UNIT for h in hosts}
+
+        got = q_host_pagerank(str(d)).to_pandas().set_index("host")["pr"].to_dict()
+        assert got == pr
+        # sink hosts (no out-links) should still accumulate rank above base
+        sinks = hosts - set(out)
+        assert sinks and all(got[h] > PR_BASE for h in sinks)
