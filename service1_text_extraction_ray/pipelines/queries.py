@@ -3194,6 +3194,61 @@ PAGERANK_ITERS = 3
 PR_UNIT = 1_000_000          # PageRank in integer micro-units
 PR_DAMP = 850_000            # 0.85 damping, micro-units
 PR_BASE = PR_UNIT - PR_DAMP  # 0.15
+PAGERANK_BROADCAST_HOSTS = 200_000  # edge-count gate for the broadcast regime
+
+
+def _pagerank_broadcast(edges, out_partial) -> rd.Dataset:
+    """Broadcast-regime PageRank iterations: rank + out-degree dicts ride
+    ray.put into ONE map_batches pass over the materialized host-grain
+    edges per iteration; per-block (dst, contrib) partials merge on the
+    driver (bounded by the gate). Zero per-iteration shuffles; identical
+    integer update to the join regime."""
+    out_map: dict[str, int] = {}
+    dst_set: set[str] = set()
+    for b in edges.map_batches(out_partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for s, n in zip(b["src"].to_pylist(), b["out_n"].to_pylist()):
+            out_map[s] = out_map.get(s, 0) + n
+    for b in edges.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        dst_set.update(b["dst"].to_pylist())
+    hosts = dst_set | set(out_map)
+    pr_map = {h: PR_UNIT for h in hosts}
+
+    contrib_schema = pa.schema([("host", pa.string()), ("contrib", pa.int64())])
+
+    for _ in range(PAGERANK_ITERS):
+        ref = ray.put((pr_map, out_map))
+
+        def contrib_partial(t: pa.Table, _ref=ref) -> pa.Table:
+            pr_d, out_d = ray.get(_ref)
+            acc: dict[str, int] = {}
+            for s, d, k in zip(
+                t["src"].to_pylist(), t["dst"].to_pylist(), t["n_links"].to_pylist()
+            ):
+                acc[d] = acc.get(d, 0) + (pr_d[s] * k) // out_d[s]
+            if not acc:
+                return contrib_schema.empty_table()
+            return pa.Table.from_pylist(
+                [{"host": h, "contrib": c} for h, c in acc.items()],
+                schema=contrib_schema,
+            )
+
+        contrib: dict[str, int] = {}
+        for b in edges.map_batches(contrib_partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        ):
+            for h, c in zip(b["host"].to_pylist(), b["contrib"].to_pylist()):
+                contrib[h] = contrib.get(h, 0) + c
+        pr_map = {
+            h: PR_BASE + (PR_DAMP * contrib.get(h, 0)) // PR_UNIT for h in hosts
+        }
+
+    out = pa.Table.from_pylist(
+        [{"host": h, "pr": p} for h, p in sorted(pr_map.items())],
+        schema=pa.schema([("host", pa.string()), ("pr", pa.int64())]),
+    )
+    return rd.from_arrow(out)
 
 
 def q_host_pagerank(sf_dir: str) -> rd.Dataset:
@@ -3206,11 +3261,20 @@ def q_host_pagerank(sf_dir: str) -> rd.Dataset:
     PAGERANK_ITERS iterations as plain CTEs). Dangling-node mass is
     dropped (documented divergence from the re-distribution variant).
 
-    Topology per iteration: ONE co-partitioned hash_join (edges x pr on
-    src) + ONE groupby-sum over (contrib ∪ zero-base) — the scale shape
-    for a pr vector too large to broadcast. Edges/out-degrees are host-
-    grain (orders of magnitude smaller than the corpus) and materialized
-    once; each iteration's pr is a new small Dataset."""
+    Two regimes, selected by the measured host count (classic size-based
+    plan choice):
+    - BROADCAST (n_hosts <= PAGERANK_BROADCAST_HOSTS): the rank vector fits
+      memory, so each iteration is one map_batches over the materialized
+      edges with the pr/out-degree dicts shipped via ray.put, per-block
+      (dst, contrib) partials merged on the driver — ZERO per-iteration
+      shuffles. This is the regime every sf-scale run and the oracle hit.
+    - JOIN (larger): ONE co-partitioned hash_join (edges x pr on src) +
+      ONE groupby-sum over (contrib ∪ zero-base) per iteration — the
+      scale shape for a pr vector too large to broadcast.
+    Both regimes execute the identical integer update, so they are
+    bit-equal (pytest crosses them on the same graph). Edges/out-degrees
+    are host-grain (orders of magnitude smaller than the corpus) and
+    materialized once."""
     from ray.data.aggregate import Sum as RSum
 
     from .relational import hash_join
@@ -3258,6 +3322,9 @@ def q_host_pagerank(sf_dir: str) -> rd.Dataset:
             [g["src"], pc.cast(g["n_links_sum"], pa.int64())],
             names=["src", "out_n"],
         )
+
+    if edges.count() <= PAGERANK_BROADCAST_HOSTS:
+        return _pagerank_broadcast(edges, out_partial)
 
     out_deg = (
         edges.map_batches(out_partial, batch_format="pyarrow")

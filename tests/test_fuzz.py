@@ -100,3 +100,43 @@ def test_truncated_encrypted_pdf_never_raises(cut):
     base = _encrypted_pdf(1)
     res = extract_document("https://site3.example/fuzz", base[: cut % len(base)], CFG)
     assert res["status"] in ("ok", "parse_failure")
+
+
+@settings(max_examples=200, deadline=None)
+@given(html=st.text(max_size=2048))
+def test_outlink_parser_total_on_arbitrary_markup(html):
+    from service1_text_extraction_ray.functions.links import extract_outlinks
+
+    links, noindex, nofollow = extract_outlinks(html, "https://h.example.com/a/b")
+    assert isinstance(links, list)
+    for ln in links:
+        assert ln.href.startswith(("http://", "https://"))
+        assert isinstance(ln.anchor, str) and isinstance(ln.nofollow, bool)
+    # determinism
+    again = extract_outlinks(html, "https://h.example.com/a/b")
+    assert [(l.href, l.anchor, l.nofollow) for l in links] == [
+        (l.href, l.anchor, l.nofollow) for l in again[0]
+    ] and (noindex, nofollow) == (again[1], again[2])
+
+
+@settings(max_examples=200, deadline=None)
+@given(href=st.text(max_size=200))
+def test_resolve_href_total(href):
+    from service1_text_extraction_ray.functions.links import resolve_href
+
+    out = resolve_href("https://h.example.com/d/1/index.html", href)
+    assert out is None or out.startswith(("http://", "https://"))
+
+
+@settings(max_examples=200, deadline=None)
+@given(url=st.text(max_size=200))
+def test_parse_urls_total(url):
+    import pyarrow as pa
+
+    from service1_text_extraction_ray.functions.urls import parse_urls
+
+    t = parse_urls(pa.array([url], pa.string()))
+    assert t.num_rows == 1
+    row = t.to_pylist()[0]
+    if row["scheme"] is None:
+        assert row["host"] is None and row["path_depth"] is None

@@ -486,3 +486,27 @@ class TestHostPagerank:
         # sink hosts (no out-links) should still accumulate rank above base
         sinks = hosts - set(out)
         assert sinks and all(got[h] > PR_BASE for h in sinks)
+
+
+class TestPagerankRegimes:
+    def test_broadcast_and_join_regimes_bit_equal(self, ray_session, tmp_path, monkeypatch):
+        import pyarrow.parquet as pq
+
+        import service1_text_extraction_ray.pipelines.queries as Q
+
+        rows = [
+            {"doc_id": i, "text": "x", "lang": "en", "source": f"s{i % 3}"}
+            for i in range(30)
+        ]
+        d = tmp_path / "sf"
+        d.mkdir(exist_ok=True)
+        pq.write_table(pa.Table.from_pylist(rows), str(d / "documents.parquet"))
+
+        broadcast = (
+            Q.q_host_pagerank(str(d)).to_pandas().set_index("host")["pr"].to_dict()
+        )
+        monkeypatch.setattr(Q, "PAGERANK_BROADCAST_HOSTS", 0)
+        joined = (
+            Q.q_host_pagerank(str(d)).to_pandas().set_index("host")["pr"].to_dict()
+        )
+        assert broadcast == joined and len(broadcast) > 0
