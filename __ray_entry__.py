@@ -50,6 +50,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_outlinks": Q.q_extract_outlinks,
         "host_link_graph": Q.q_host_link_graph,
         "host_pagerank": Q.q_host_pagerank,
+        "dedup_incremental": Q.q_dedup_incremental,
         # --- text analysis over documents ---
         "doc_token_counts": Q.q_doc_token_counts,
         "doc_bpe_token_counts": Q.q_doc_bpe_token_counts,
@@ -155,6 +156,7 @@ def oracle_sql() -> dict[str, str]:
         "extract_outlinks": Q.SQL_EXTRACT_OUTLINKS,
         "host_link_graph": Q.SQL_HOST_LINK_GRAPH,
         "host_pagerank": Q.SQL_HOST_PAGERANK,
+        "dedup_incremental": Q.SQL_DEDUP_INCREMENTAL,
         "doc_token_counts": Q.SQL_DOC_TOKEN_COUNTS,
         "doc_bpe_token_counts": Q.SQL_DOC_BPE_TOKEN_COUNTS,
         "doc_quality_scores": Q.SQL_DOC_QUALITY_SCORES,

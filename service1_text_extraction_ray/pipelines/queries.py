@@ -3449,3 +3449,74 @@ pr{i + 1} AS (
 
 
 SQL_HOST_PAGERANK = _sql_host_pagerank()
+
+
+def q_dedup_incremental(sf_dir: str) -> rd.Dataset:
+    """Incremental ingestion dedup: which NEW documents (odd doc_ids, the
+    'incoming shard') are not already in the EXISTING corpus (even doc_ids)
+    by exact content hash — the production shape for appending a crawl
+    increment to a deduplicated corpus. Both sides stream; md5 keys are
+    computed per block (32-byte keys ride the shuffle, never text) and the
+    co-partitioned anti hash_join emits the novel docs. At scale the
+    existing side is the corpus hash index (or its bloom front, see
+    customers_without_big_orders) — same topology either way."""
+    from .relational import hash_join
+
+    def hashed(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        texts = t["text"].to_pylist()
+        return pa.Table.from_arrays(
+            [
+                pa.array(ids, pa.int64()),
+                pa.array(
+                    [hashlib.md5((x or "").encode("utf-8")).hexdigest() for x in texts],
+                    pa.string(),
+                ),
+            ],
+            names=["doc_id", "h"],
+        )
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        hashed, batch_format="pyarrow"
+    )
+
+    def parity(p: int):
+        def f(t: pa.Table) -> pa.Table:
+            keep = pc.equal(pc.bit_wise_and(t["doc_id"], pa.scalar(1, pa.int64())),
+                            pa.scalar(p, pa.int64()))
+            return t.filter(keep)
+
+        return f
+
+    new = docs.map_batches(parity(1), batch_format="pyarrow")
+    existing = docs.map_batches(parity(0), batch_format="pyarrow")
+    novel = hash_join(
+        new,
+        existing.map_batches(
+            lambda t: t.select(["h"]).append_column(
+                "x", pa.nulls(t.num_rows, pa.int64()).fill_null(0)
+            ),
+            batch_format="pyarrow",
+        ),
+        left_on="h",
+        right_on="h",
+        key_type=pa.string(),
+        left_fields=[pa.field("doc_id", pa.int64())],
+        right_fields=[pa.field("x", pa.int64())],
+        how="anti",
+    )
+    return novel.map_batches(
+        lambda t: t.select(["doc_id"]), batch_format="pyarrow"
+    )
+
+
+SQL_DEDUP_INCREMENTAL = """
+SELECT d.doc_id
+FROM documents d
+WHERE d.doc_id % 2 = 1
+  AND NOT EXISTS (
+    SELECT 1 FROM documents e
+    WHERE e.doc_id % 2 = 0
+      AND md5(coalesce(e.text, '')) = md5(coalesce(d.text, ''))
+  )
+"""
