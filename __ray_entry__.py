@@ -51,6 +51,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_link_graph": Q.q_host_link_graph,
         "host_pagerank": Q.q_host_pagerank,
         "dedup_incremental": Q.q_dedup_incremental,
+        "extract_meta": Q.q_extract_meta,
+        "dedup_canonical": Q.q_dedup_canonical,
         # --- text analysis over documents ---
         "doc_token_counts": Q.q_doc_token_counts,
         "doc_bpe_token_counts": Q.q_doc_bpe_token_counts,
@@ -157,6 +159,8 @@ def oracle_sql() -> dict[str, str]:
         "host_link_graph": Q.SQL_HOST_LINK_GRAPH,
         "host_pagerank": Q.SQL_HOST_PAGERANK,
         "dedup_incremental": Q.SQL_DEDUP_INCREMENTAL,
+        "extract_meta": Q.SQL_EXTRACT_META,
+        "dedup_canonical": Q.SQL_DEDUP_CANONICAL,
         "doc_token_counts": Q.SQL_DOC_TOKEN_COUNTS,
         "doc_bpe_token_counts": Q.SQL_DOC_BPE_TOKEN_COUNTS,
         "doc_quality_scores": Q.SQL_DOC_QUALITY_SCORES,

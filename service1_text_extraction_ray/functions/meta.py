@@ -1,0 +1,92 @@
+"""Page-metadata extraction: <title>, OpenGraph, description, canonical URL.
+
+The metadata side of web extraction the reference never needed (its input
+was PDFs behind a queue): canonical URLs drive dedup scopes (pages sharing
+a canonical target are declared duplicates by the SITE, stronger than any
+similarity signal), og:/description feed document metadata columns. Same
+stdlib streaming-parser foundation as functions/links.py, one pass,
+script/style decoys dropped, truncation-tolerant.
+
+Semantics (kept SQL-replayable):
+- title: character data inside the FIRST <title> element, whitespace-
+  normalized; later <title>s ignored.
+- og_title / description: first <meta property="og:title" content=...> /
+  <meta name="description" content=...>, content used verbatim.
+- canonical: first <link rel="canonical" href=...>, resolved against the
+  base URL with links.resolve_href (so relative canonicals work).
+"""
+
+from __future__ import annotations
+
+from html.parser import HTMLParser
+from typing import Optional
+
+from .links import resolve_href
+
+
+class _MetaParser(HTMLParser):
+    def __init__(self, base_url: str) -> None:
+        super().__init__(convert_charrefs=True)
+        self.base_url = base_url
+        self.title: Optional[str] = None
+        self.og_title: Optional[str] = None
+        self.description: Optional[str] = None
+        self.canonical: Optional[str] = None
+        self._skip_depth = 0
+        self._in_title = False
+        self._title_parts: list[str] = []
+        self._title_done = False
+
+    def handle_starttag(self, tag, attrs):
+        if tag in ("script", "style"):
+            self._skip_depth += 1
+            return
+        if self._skip_depth:
+            return
+        d = dict(attrs)
+        if tag == "title" and not self._title_done:
+            self._in_title = True
+            return
+        if tag == "meta":
+            prop = (d.get("property") or "").strip().lower()
+            name = (d.get("name") or "").strip().lower()
+            content = d.get("content")
+            if prop == "og:title" and self.og_title is None and content is not None:
+                self.og_title = content
+            elif name == "description" and self.description is None and content is not None:
+                self.description = content
+            return
+        if tag == "link" and self.canonical is None:
+            rel = {t.strip().lower() for t in (d.get("rel") or "").split()}
+            if "canonical" in rel:
+                self.canonical = resolve_href(self.base_url, d.get("href") or "")
+
+    def handle_endtag(self, tag):
+        if tag in ("script", "style"):
+            self._skip_depth = max(0, self._skip_depth - 1)
+            return
+        if tag == "title" and self._in_title:
+            self._in_title = False
+            self._title_done = True
+
+    def handle_data(self, data):
+        if self._in_title and not self._skip_depth:
+            self._title_parts.append(data)
+
+
+def extract_meta(html: bytes | str, base_url: str) -> dict:
+    """-> {title, og_title, description, canonical} (None when absent)."""
+    text = html.decode("utf-8", errors="replace") if isinstance(html, bytes) else html
+    p = _MetaParser(base_url)
+    try:
+        p.feed(text)
+        p.close()
+    except Exception:
+        pass
+    title = " ".join("".join(p._title_parts).split()) if p._title_parts else None
+    return {
+        "title": title,
+        "og_title": p.og_title,
+        "description": p.description,
+        "canonical": p.canonical,
+    }

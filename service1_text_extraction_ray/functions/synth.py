@@ -705,3 +705,36 @@ def make_link_page(doc_id: int, source: str, lang: str) -> tuple[bytes, str]:
         f"<body><p>{lang} page</p>{''.join(links)}{dropped}</body></html>"
     )
     return html.encode("utf-8"), base_url
+
+
+def make_meta_page(doc_id: int, source: str, lang: str, n_chars: int) -> tuple[bytes, str]:
+    """Deterministic metadata-bearing page from the document's own columns —
+    fixture for functions/meta.py. Branch coverage: og:title present for
+    doc_id%3!=0, description for doc_id%4!=0, canonical <link> (RELATIVE,
+    exercising resolution) for doc_id%2==0 with a /5 bucket so ~5 even docs
+    share one canonical target (the dedup_canonical fixture); a second
+    <title> and a <script> decoy title must be ignored."""
+    og = (
+        f'<meta property="og:title" content="OG {doc_id}">'
+        if doc_id % 3 != 0 else ""
+    )
+    desc = (
+        f'<meta name="description" content="{lang} description {n_chars}">'
+        if doc_id % 4 != 0 else ""
+    )
+    # even docs: RELATIVE canonical (exercises resolution; self-host target,
+    # unique per page with the testdata's doc_id%20 source layout); odd
+    # docs: ABSOLUTE cross-site canonical shared by the 5 odd ids of each
+    # /10 bucket — the dedup_canonical duplicate groups.
+    canon = (
+        f'<link rel="canonical" href="/canon/{doc_id // 5}">'
+        if doc_id % 2 == 0
+        else f'<link rel="canonical" href="https://archive.example.org/c/{doc_id // 10}">'
+    )
+    decoy = "<script>var t = '<title>NOPE</title>';</script>"
+    html = (
+        f"<html><head><title>Doc {doc_id} · {source}</title>{og}{desc}{canon}"
+        f"{decoy}<title>second ignored</title></head>"
+        f"<body><p>{lang} body</p></body></html>"
+    )
+    return html.encode("utf-8"), f"https://{source}.example.com/p/{doc_id}"

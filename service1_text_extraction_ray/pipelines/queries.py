@@ -3520,3 +3520,123 @@ WHERE d.doc_id % 2 = 1
       AND md5(coalesce(e.text, '')) = md5(coalesce(d.text, ''))
   )
 """
+
+
+# ---------------------------------------------------------------------------
+# Page metadata extraction + canonical-URL dedup (functions/meta.py)
+# ---------------------------------------------------------------------------
+
+
+def q_extract_meta(sf_dir: str) -> rd.Dataset:
+    """<title>/OpenGraph/description/canonical extraction over deterministic
+    metadata pages (synth.make_meta_page): the parser — first-title-wins,
+    script decoy suppression, relative-canonical resolution — runs inside
+    the value-hash-checked loop; the oracle rebuilds every string from the
+    documents columns. Pure per-batch map, no shuffle."""
+    from ..functions.meta import extract_meta
+    from ..functions.synth import make_meta_page
+
+    out_schema = pa.schema([
+        ("doc_id", pa.int64()), ("title", pa.string()),
+        ("og_title", pa.string()), ("description", pa.string()),
+        ("canonical", pa.string()),
+    ])
+
+    def f(t: pa.Table) -> pa.Table:
+        rows = []
+        for d, src, lang, nc in zip(
+            t["doc_id"].to_pylist(), t["source"].to_pylist(),
+            t["lang"].to_pylist(), t["n_chars"].to_pylist(),
+        ):
+            html, base = make_meta_page(int(d), src, lang or "en", int(nc))
+            m = extract_meta(html, base)
+            rows.append({"doc_id": int(d), **m})
+        return pa.Table.from_pylist(rows, schema=out_schema)
+
+    return _read(sf_dir, "documents", ["doc_id", "source", "lang", "n_chars"]).map_batches(
+        f, batch_format="pyarrow"
+    )
+
+
+SQL_EXTRACT_META = """
+SELECT doc_id,
+       'Doc ' || doc_id || ' · ' || source AS title,
+       CASE WHEN doc_id % 3 <> 0 THEN 'OG ' || doc_id END AS og_title,
+       CASE WHEN doc_id % 4 <> 0 THEN lang || ' description ' || n_chars END
+         AS description,
+       CASE WHEN doc_id % 2 = 0
+            THEN 'https://' || source || '.example.com/canon/' || (doc_id // 5)
+            ELSE 'https://archive.example.org/c/' || (doc_id // 10)
+       END AS canonical
+FROM documents
+"""
+
+
+def q_dedup_canonical(sf_dir: str) -> rd.Dataset:
+    """Canonical-URL dedup: pages whose <link rel=canonical> resolves to the
+    same target are site-declared duplicates — the strongest dedup signal a
+    web corpus has (no similarity computation at all). Per-block partials
+    (canonical, min doc_id, count) then one groupby merge; output one row
+    per canonical target shared by >= 2 pages with the representative
+    (lowest doc_id) and the group size."""
+    from ..functions.meta import extract_meta
+    from ..functions.synth import make_meta_page
+
+    part_schema = pa.schema([
+        ("canonical", pa.string()), ("rep_doc_id", pa.int64()),
+        ("n_pages", pa.int64()),
+    ])
+
+    def partial(t: pa.Table) -> pa.Table:
+        acc: dict[str, list[int]] = {}
+        for d, src, lang, nc in zip(
+            t["doc_id"].to_pylist(), t["source"].to_pylist(),
+            t["lang"].to_pylist(), t["n_chars"].to_pylist(),
+        ):
+            html, base = make_meta_page(int(d), src, lang or "en", int(nc))
+            canon = extract_meta(html, base)["canonical"]
+            if canon is None:
+                continue
+            if canon in acc:
+                acc[canon][0] = min(acc[canon][0], int(d))
+                acc[canon][1] += 1
+            else:
+                acc[canon] = [int(d), 1]
+        if not acc:
+            return part_schema.empty_table()
+        return pa.Table.from_pylist(
+            [{"canonical": c, "rep_doc_id": v[0], "n_pages": v[1]}
+             for c, v in acc.items()],
+            schema=part_schema,
+        )
+
+    from ray.data.aggregate import Min, Sum
+
+    merged = (
+        _read(sf_dir, "documents", ["doc_id", "source", "lang", "n_chars"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("canonical")
+        .aggregate(
+            Min("rep_doc_id", alias_name="rep_doc_id"),
+            Sum("n_pages", alias_name="n_pages"),
+        )
+    )
+
+    def dupsonly(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t["n_pages"], pa.scalar(2, pa.int64())))
+
+    return merged.map_batches(dupsonly, batch_format="pyarrow")
+
+
+SQL_DEDUP_CANONICAL = """
+WITH c AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0
+              THEN 'https://' || source || '.example.com/canon/' || (doc_id // 5)
+              ELSE 'https://archive.example.org/c/' || (doc_id // 10)
+         END AS canonical
+  FROM documents
+)
+SELECT canonical, min(doc_id) AS rep_doc_id, count(*) AS n_pages
+FROM c GROUP BY 1 HAVING count(*) >= 2
+"""

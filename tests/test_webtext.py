@@ -510,3 +510,35 @@ class TestPagerankRegimes:
             Q.q_host_pagerank(str(d)).to_pandas().set_index("host")["pr"].to_dict()
         )
         assert broadcast == joined and len(broadcast) > 0
+
+
+class TestExtractMeta:
+    def test_first_wins_decoys_relative_canonical(self):
+        from service1_text_extraction_ray.functions.meta import extract_meta
+
+        html = (
+            "<html><head>"
+            "<script>var t='<title>NOPE</title>';</script>"
+            "<title>Real  Title </title><title>second</title>"
+            '<meta property="og:title" content="OG one">'
+            '<meta property="og:title" content="OG two">'
+            '<meta name="description" content="d1">'
+            '<link rel="canonical" href="../c/7">'
+            '<link rel="canonical" href="/other">'
+            "</head><body></body></html>"
+        )
+        m = extract_meta(html, "https://h.io/a/b/page")
+        assert m == {
+            "title": "Real Title",
+            "og_title": "OG one",
+            "description": "d1",
+            "canonical": "https://h.io/a/c/7",
+        }
+
+    def test_absent_fields_and_truncation(self):
+        from service1_text_extraction_ray.functions.meta import extract_meta
+
+        m = extract_meta("<html><head><title>only ti", "https://h.io/")
+        assert m["og_title"] is None and m["canonical"] is None
+        # unclosed <title> at EOF still yields the collected text
+        assert m["title"] == "only ti"
