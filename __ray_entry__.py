@@ -52,6 +52,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_pagerank": Q.q_host_pagerank,
         "dedup_incremental": Q.q_dedup_incremental,
         "extract_meta": Q.q_extract_meta,
+        "doc_sentences": Q.q_doc_sentences,
         "dedup_canonical": Q.q_dedup_canonical,
         # --- text analysis over documents ---
         "doc_token_counts": Q.q_doc_token_counts,
@@ -160,6 +161,7 @@ def oracle_sql() -> dict[str, str]:
         "host_pagerank": Q.SQL_HOST_PAGERANK,
         "dedup_incremental": Q.SQL_DEDUP_INCREMENTAL,
         "extract_meta": Q.SQL_EXTRACT_META,
+        "doc_sentences": Q.SQL_DOC_SENTENCES,
         "dedup_canonical": Q.SQL_DEDUP_CANONICAL,
         "doc_token_counts": Q.SQL_DOC_TOKEN_COUNTS,
         "doc_bpe_token_counts": Q.SQL_DOC_BPE_TOKEN_COUNTS,

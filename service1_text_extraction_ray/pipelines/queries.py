@@ -3640,3 +3640,55 @@ WITH c AS (
 SELECT canonical, min(doc_id) AS rep_doc_id, count(*) AS n_pages
 FROM c GROUP BY 1 HAVING count(*) >= 2
 """
+
+
+# ---------------------------------------------------------------------------
+# Sentence segmentation stats
+# ---------------------------------------------------------------------------
+
+_SENT_SPLIT = re.compile(r"[.!?]+[ \t\n\r\f]+")
+
+
+def q_doc_sentences(sf_dir: str) -> rd.Dataset:
+    """Per-doc sentence segmentation ([.!?]+ followed by whitespace — the
+    explicit char class keeps Python-re and DuckDB-RE2 semantics identical;
+    \\s differs between the engines): sentence count, word count, and the
+    longest sentence's word count. Pure per-batch map; all-integer output."""
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        n_sents, n_words, max_words = [], [], []
+        for t in df["text"].fillna(""):
+            sents = [s for s in _SENT_SPLIT.split(t) if s != ""]
+            wc = [len(s.split()) for s in sents]
+            n_sents.append(len(sents))
+            n_words.append(len(t.split()))
+            max_words.append(max(wc, default=0))
+        return pd.DataFrame({
+            "doc_id": df["doc_id"],
+            "n_sentences": pd.Series(n_sents, dtype="int64", index=df.index),
+            "n_words": pd.Series(n_words, dtype="int64", index=df.index),
+            "max_sentence_words": pd.Series(max_words, dtype="int64", index=df.index),
+        })
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        f, batch_format="pandas"
+    )
+
+
+SQL_DOC_SENTENCES = r"""
+WITH s AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(coalesce(text, ''), '[.!?]+[ \t\n\r\f]+'),
+                     x -> x <> '') AS sents,
+         list_filter(regexp_split_to_array(coalesce(text, ''), '[ \t\n\r\f\v\x1c\x1d\x1e\x1f\x85   ]+'),
+                     x -> x <> '') AS words
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(sents) AS BIGINT) AS n_sentences,
+       CAST(len(words) AS BIGINT) AS n_words,
+       CAST(coalesce(list_max(list_transform(sents,
+            x -> len(list_filter(regexp_split_to_array(x, '[ \t\n\r\f\v\x1c\x1d\x1e\x1f\x85   ]+'), w -> w <> '')))), 0) AS BIGINT)
+         AS max_sentence_words
+FROM s
+"""
