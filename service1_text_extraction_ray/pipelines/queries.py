@@ -294,11 +294,16 @@ def q_extract_summary(sf_dir: str) -> rd.Dataset:
     )
 
 
-def sql_extract_summary(sf_dir: str = "/root/testdata/sf0.01") -> str:
+def sql_extract_summary(sf_dir: str | None = None) -> str:
     """DuckDB oracle over the extract-once parquet (round-2 VERDICT #5:
     'oracle extract_summary by loading the extraction output into DuckDB
     from the written parts'). Builds the cache if Ray is up so the oracle
-    never races the query."""
+    never races the query. oracle_sql() is a static contract, so the sf the
+    driver compares at comes from $GRAFT_ORACLE_SF_DIR (default sf0.01, the
+    driver's correctness scale) — tools/check_oracles.py sets it to its
+    sf_dir argument so sweeps at other scales stay honest."""
+    if sf_dir is None:
+        sf_dir = os.environ.get("GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
     try:
         if ray.is_initialized():
             ensure_extracted_docs(sf_dir)

@@ -2807,3 +2807,79 @@ SELECT o_orderpriority,
        quantile_cont(o_totalprice, 0.99) AS p99
 FROM orders GROUP BY o_orderpriority
 """
+
+
+PROFILE_COLUMNS = (
+    "o_orderkey", "o_custkey", "o_orderstatus",
+    "o_totalprice", "o_orderdate", "o_orderpriority",
+)
+
+
+def q_orders_profile(sf_dir: str) -> rd.Dataset:
+    """Column profile of the orders table: per column, row count, null
+    count, and EXACT distinct count — the data-quality probe every
+    ingestion pipeline runs first. Row/null counts are one partial-combine
+    pass over all columns; each distinct count is its own per-block-dedup
+    -> tiny groupby-count pipeline on the TYPED column (so doubles and
+    timestamps never round-trip through strings). Per-block dedup shrinks
+    low-cardinality columns to a handful of rows before their exchange;
+    for columns where even the distinct stream is huge at 100 TB, the HLL
+    sketch (q_distinct_users_hll) is the documented approximate path."""
+    from ray.data.aggregate import Sum as RSum
+
+    counts_schema = pa.schema([
+        ("col", pa.string()), ("n_rows", pa.int64()), ("n_nulls", pa.int64()),
+    ])
+
+    def count_partials(t: pa.Table) -> pa.Table:
+        rows = [
+            {"col": c, "n_rows": t.num_rows, "n_nulls": t[c].null_count}
+            for c in PROFILE_COLUMNS
+        ]
+        return pa.Table.from_pylist(rows, schema=counts_schema)
+
+    base = _read(sf_dir, "orders", list(PROFILE_COLUMNS))
+    counts = (
+        base.map_batches(count_partials, batch_format="pyarrow")
+        .groupby("col")
+        .aggregate(
+            RSum("n_rows", alias_name="n_rows"),
+            RSum("n_nulls", alias_name="n_nulls"),
+        )
+        .to_pandas()
+        .set_index("col")
+    )
+
+    distinct: dict[str, int] = {}
+    for c in PROFILE_COLUMNS:
+
+        def block_distinct(t: pa.Table, _c=c) -> pa.Table:
+            return pa.Table.from_arrays(
+                [pc.unique(pc.cast(t[_c], t[_c].type))], names=[_c]
+            )
+
+        distinct[c] = (
+            _read(sf_dir, "orders", [c])
+            .map_batches(block_distinct, batch_format="pyarrow")
+            .groupby(c)
+            .count()
+            .count()
+        )
+
+    out = pd.DataFrame(
+        {
+            "col": list(PROFILE_COLUMNS),
+            "n_rows": [int(counts.loc[c, "n_rows"]) for c in PROFILE_COLUMNS],
+            "n_nulls": [int(counts.loc[c, "n_nulls"]) for c in PROFILE_COLUMNS],
+            "n_distinct": [int(distinct[c]) for c in PROFILE_COLUMNS],
+        }
+    )
+    return out
+
+
+SQL_ORDERS_PROFILE = " UNION ALL ".join(
+    f"SELECT '{c}' AS col, count(*) AS n_rows,"
+    f" CAST(count(*) - count({c}) AS BIGINT) AS n_nulls,"
+    f" count(DISTINCT {c}) AS n_distinct FROM orders"
+    for c in PROFILE_COLUMNS
+)

@@ -52,6 +52,11 @@ def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
+    import os
+
+    # static-SQL oracles that embed a cache path derive it from this
+    os.environ["GRAFT_ORACLE_SF_DIR"] = sf_dir
+
     import ray
 
     if not ray.is_initialized():
