@@ -2366,14 +2366,19 @@ def q_ann_ivf(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({"vec_id": top["vec_id"].astype("int64").to_numpy()})
 
 
-def sql_ann_ivf(sf_dir: str = "/root/testdata/sf0.01") -> str:
+def sql_ann_ivf(sf_dir: str | None = None) -> str:
     """Exact oracle for q_ann_ivf (round-2 VERDICT #5): the centroid fit is
     deterministic (parquet-head sample + seeded Lloyd, _ivf_centroids), so
-    the centroids and probe set are inlined as literals. The per-row list
+    the centroids and probe set are inlined as literals. The centroids
+    depend on the table the query runs over, so the inlined sf comes from
+    $GRAFT_ORACLE_SF_DIR (default sf0.01, the driver's correctness scale
+    — same contract as sql_extract_summary). The per-row list
     assignment replays numpy's argmax (first index of the max, via
     list_position on the dot-product list — normalization doesn't change the
     argmax), the probe filter is an IN list, and the restricted cosine top-k
     tiebreaks on vec_id like the Ray side."""
+    if sf_dir is None:
+        sf_dir = os.environ.get("GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
     cent, probe = _ivf_centroids(sf_dir)
     qv = _query_vector()
     qlit = "[" + ", ".join(repr(float(x)) for x in qv) + "]"

@@ -2618,9 +2618,19 @@ def q_events_props_stats(sf_dir: str) -> rd.Dataset:
     JSON-salvage suite (functions/json_utils.safe_json_loads, reference
     backend/core/json_utils.py) as the per-row fallback for anything the
     regex rejects — the production shape for 'mostly-clean JSON columns
-    with a dirty tail'. Each block pre-combines to <= n_event_types
-    partial rows before the (tiny) groupby exchange."""
-    from ..functions.json_utils import safe_json_loads
+    with a dirty tail'. Unsalvageable rows count 0 (totality; a poison
+    payload must never kill the task). Each block pre-combines to <=
+    n_event_types partial rows before the (tiny) groupby exchange."""
+    from ..functions.json_utils import parse_relaxed, safe_json_loads
+
+    def _salvage(raw: str) -> int:
+        try:
+            obj = safe_json_loads(raw)
+        except Exception:
+            obj, ok = parse_relaxed(raw)
+            if not ok:
+                return 0
+        return int(obj.get("k", 0)) if isinstance(obj, dict) else 0
 
     pat = r'^\{"k": (?P<k>-?\d+)\}$'
 
@@ -2633,8 +2643,7 @@ def q_events_props_stats(sf_dir: str) -> rd.Dataset:
             vals = k.to_numpy(zero_copy_only=False).copy()
             raw = props.to_pylist()
             for i in np.flatnonzero(mask):
-                obj = safe_json_loads(raw[i])
-                vals[i] = int(obj.get("k", 0)) if isinstance(obj, dict) else 0
+                vals[i] = _salvage(raw[i])
             k = pa.array(vals, pa.int64())
         g = pa.Table.from_arrays(
             [t["event_type"], k], names=["event_type", "k"]
@@ -2854,9 +2863,10 @@ def q_orders_profile(sf_dir: str) -> rd.Dataset:
     for c in PROFILE_COLUMNS:
 
         def block_distinct(t: pa.Table, _c=c) -> pa.Table:
-            return pa.Table.from_arrays(
-                [pc.unique(pc.cast(t[_c], t[_c].type))], names=[_c]
-            )
+            # nulls excluded, matching SQL count(DISTINCT col) — and Ray's
+            # sort-based groupby can't order null against non-null anyway
+            vals = pc.drop_null(pc.unique(t[_c]))
+            return pa.Table.from_arrays([vals], names=[_c])
 
         distinct[c] = (
             _read(sf_dir, "orders", [c])

@@ -1217,3 +1217,68 @@ class TestAggregateExtensions:
         # bit-stable across runs (integer partials -> same totals)
         again = q_lineitem_corr(d)
         assert out["corr_qty_price"].iloc[0] == again["corr_qty_price"].iloc[0]
+
+
+class TestEventsPropsFallback:
+    def test_dirty_json_tail_salvaged(self, ray_session, tmp_path):
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from service1_text_extraction_ray.pipelines.relational import (
+            q_events_props_stats,
+        )
+
+        rows = [
+            {"event_type": "click", "props": '{"k": 10}'},      # fast path
+            {"event_type": "click", "props": '{ "k" : 5 }'},    # regex miss -> salvage
+            {"event_type": "click", "props": "{'k': 7}"},       # unsalvageable (P16
+            #   parity: the suite doesn't repair single-quoted keys) -> 0
+            {"event_type": "click", "props": "not json at all"},  # -> 0
+            {"event_type": "view", "props": '{"k": 3}'},
+        ]
+        t = pa.Table.from_pylist(rows)
+        d = tmp_path / "sf"
+        d.mkdir(exist_ok=True)
+        pq.write_table(t, str(d / "events.parquet"))
+        out = (
+            q_events_props_stats(str(d))
+            .to_pandas()
+            .set_index("event_type")
+            .sort_index()
+        )
+        assert out.loc["click", "sum_k"] == 15 and out.loc["click", "n_events"] == 4
+        assert out.loc["view", "sum_k"] == 3
+
+
+class TestOrdersProfileNulls:
+    def test_null_and_distinct_counts(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from service1_text_extraction_ray.pipelines.relational import q_orders_profile
+
+        t = pa.Table.from_pylist(
+            [
+                {"o_orderkey": 1, "o_custkey": 1, "o_orderstatus": "O",
+                 "o_totalprice": 1.5, "o_orderdate": None, "o_orderpriority": "1-URGENT"},
+                {"o_orderkey": 2, "o_custkey": 1, "o_orderstatus": None,
+                 "o_totalprice": 1.5, "o_orderdate": None, "o_orderpriority": "1-URGENT"},
+                {"o_orderkey": 3, "o_custkey": 2, "o_orderstatus": "F",
+                 "o_totalprice": 2.5, "o_orderdate": None, "o_orderpriority": "2-HIGH"},
+            ],
+            schema=pa.schema([
+                ("o_orderkey", pa.int64()), ("o_custkey", pa.int64()),
+                ("o_orderstatus", pa.string()), ("o_totalprice", pa.float64()),
+                ("o_orderdate", pa.timestamp("us")), ("o_orderpriority", pa.string()),
+            ]),
+        )
+        d = tmp_path / "sf"
+        d.mkdir(exist_ok=True)
+        pq.write_table(t, str(d / "orders.parquet"))
+        out = q_orders_profile(str(d)).set_index("col")
+        assert out.loc["o_orderstatus", "n_nulls"] == 1
+        assert out.loc["o_orderdate", "n_nulls"] == 3
+        assert out.loc["o_custkey", "n_distinct"] == 2
+        assert out.loc["o_totalprice", "n_distinct"] == 2
+        assert (out["n_rows"] == 3).all()
