@@ -122,6 +122,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_retention": R.q_events_retention,
         "order_price_quantiles_cont": R.q_order_price_quantiles_cont,
         "orders_profile": R.q_orders_profile,
+        "nation_revenue": R.q_nation_revenue,
         "events_props_stats": R.q_events_props_stats,
         "events_asof_orders": R.q_events_asof_orders,
         "user_event_type_matrix": R.q_user_event_type_matrix,
@@ -220,6 +221,7 @@ def oracle_sql() -> dict[str, str]:
         "events_retention": R.SQL_EVENTS_RETENTION,
         "order_price_quantiles_cont": R.SQL_ORDER_PRICE_QUANTILES_CONT,
         "orders_profile": R.SQL_ORDERS_PROFILE,
+        "nation_revenue": R.SQL_NATION_REVENUE,
         "events_props_stats": R.SQL_EVENTS_PROPS_STATS,
         "events_asof_orders": R.SQL_EVENTS_ASOF_ORDERS,
         "user_event_type_matrix": R.SQL_USER_EVENT_TYPE_MATRIX,

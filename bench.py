@@ -147,7 +147,7 @@ QUERY_NAMES = [
     "part_size_mode", "lineitem_corr",
     "events_funnel", "events_retention", "events_props_stats",
     "url_host_stats", "extract_outlinks", "host_link_graph",
-    "dedup_edit_distance", "host_pagerank",
+    "dedup_edit_distance", "host_pagerank", "nation_revenue",
 ]
 
 

@@ -2893,3 +2893,155 @@ SQL_ORDERS_PROFILE = " UNION ALL ".join(
     f" count(DISTINCT {c}) AS n_distinct FROM orders"
     for c in PROFILE_COLUMNS
 )
+
+
+Q5_REGION = "ASIA"
+Q5_DATE_LO = "1996-01-01"
+Q5_DATE_HI = "1998-01-01"
+
+
+def q_nation_revenue(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q5 shape: revenue by nation for one region and a date range,
+    with the LOCAL-supplier condition (customer nation == supplier nation)
+    — the 5-table join (region ⋈ nation ⋈ customer ⋈ orders ⋈ lineitem ⋈
+    supplier) that mixes BOTH join regimes the engine has:
+      - region/nation/supplier are dim-sized -> driver-collected broadcast
+        maps via ray.put (supplier is sf x 10k rows; at a scale where even
+        that outgrows broadcast, swap for a third hash_join — same code
+        shape as the orders edge);
+      - customer ⋈ orders and the lineitem edge are fact ⋈ fact -> two
+        co-partitioned hash_joins, with lineitem pre-reduced per
+        (l_orderkey, s_nationkey) per BLOCK so the join exchange moves
+        integer-cent partials, not raw line items.
+    The local-supplier filter runs vectorized right after the final join;
+    per-nation partials then merge in a 5-row groupby. All money stays in
+    integer cents end-to-end."""
+    import pyarrow.dataset as pds
+
+    lo, hi = pd.Timestamp(Q5_DATE_LO), pd.Timestamp(Q5_DATE_HI)
+
+    # --- broadcast side: nations of the region, nationkey -> name, supplier map
+    nation = pd.read_parquet(_pq(sf_dir, "nation"))
+    region = pd.read_parquet(_pq(sf_dir, "region"))
+    rkey = int(region.loc[region["r_name"] == Q5_REGION, "r_regionkey"].iloc[0])
+    nat = nation[nation["n_regionkey"] == rkey]
+    nation_names = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
+    nation_keys = set(nation_names)
+    supp = pd.read_parquet(_pq(sf_dir, "supplier"), columns=["s_suppkey", "s_nationkey"])
+    supp_map_ref = ray.put(dict(zip(supp["s_suppkey"].astype(int), supp["s_nationkey"].astype(int))))
+    nk_ref = ray.put(nation_keys)
+
+    # --- customers of the region's nations (broadcast filter at the read)
+    def cust_filter(t: pa.Table) -> pa.Table:
+        keys = ray.get(nk_ref)
+        mask = pc.is_in(
+            t["c_nationkey"], value_set=pa.array(sorted(keys), pa.int64())
+        )
+        return t.filter(mask).select(["c_custkey", "c_nationkey"])
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
+        cust_filter, batch_format="pyarrow"
+    )
+    orders = rd.read_parquet(
+        _pq(sf_dir, "orders"),
+        columns=["o_orderkey", "o_custkey"],
+        filter=(pds.field("o_orderdate") >= lo) & (pds.field("o_orderdate") < hi),
+    )
+    # fact ⋈ fact #1: orders ⋈ customer -> (o_orderkey, c_nationkey)
+    order_nation = hash_join(
+        orders,
+        cust,
+        left_on="o_custkey",
+        right_on="c_custkey",
+        key_type=pa.int64(),
+        left_fields=[pa.field("o_orderkey", pa.int64())],
+        right_fields=[pa.field("c_nationkey", pa.int64())],
+    ).select_columns(["o_orderkey", "c_nationkey"])
+
+    # lineitem: map suppkey -> supplier nation (broadcast), pre-reduce per
+    # (l_orderkey, s_nationkey) per block
+    def li_partial(t: pa.Table) -> pa.Table:
+        smap = ray.get(supp_map_ref)
+        s_nat = pd.Series(t["l_suppkey"].to_pandas().astype(int)).map(smap)
+        rev = _cents(
+            pc.multiply(
+                t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+            )
+        )
+        rows = pa.Table.from_arrays(
+            [pc.cast(t["l_orderkey"], pa.int64()),
+             pa.array(s_nat.to_numpy(dtype="int64")),
+             rev],
+            names=["l_orderkey", "s_nationkey", "revenue_cents"],
+        )
+        g = rows.group_by(["l_orderkey", "s_nationkey"]).aggregate(
+            [("revenue_cents", "sum")]
+        )
+        return pa.Table.from_arrays(
+            [g["l_orderkey"], g["s_nationkey"],
+             pc.cast(g["revenue_cents_sum"], pa.int64())],
+            names=["l_orderkey", "s_nationkey", "revenue_cents"],
+        )
+
+    li = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]
+    ).map_batches(li_partial, batch_format="pyarrow")
+
+    # fact ⋈ fact #2: lineitem partials ⋈ order_nation on orderkey
+    joined = hash_join(
+        li,
+        order_nation,
+        left_on="l_orderkey",
+        right_on="o_orderkey",
+        key_type=pa.int64(),
+        left_fields=[pa.field("s_nationkey", pa.int64()),
+                     pa.field("revenue_cents", pa.int64())],
+        right_fields=[pa.field("c_nationkey", pa.int64())],
+    )
+
+    # local-supplier condition + per-nation block partials
+    def local_partial(t: pa.Table) -> pa.Table:
+        keep = pc.equal(t["s_nationkey"], t["c_nationkey"])
+        f = t.filter(keep)
+        g = pa.Table.from_arrays(
+            [f["c_nationkey"], f["revenue_cents"]],
+            names=["n_nationkey", "revenue_cents"],
+        ).group_by("n_nationkey").aggregate([("revenue_cents", "sum")])
+        return pa.Table.from_arrays(
+            [g["n_nationkey"], pc.cast(g["revenue_cents_sum"], pa.int64())],
+            names=["n_nationkey", "revenue_cents"],
+        )
+
+    merged = (
+        joined.map_batches(local_partial, batch_format="pyarrow")
+        .repartition(8)
+        .groupby("n_nationkey")
+        .aggregate(Sum("revenue_cents", alias_name="revenue_cents"))
+    )
+
+    def name_it(t: pa.Table) -> pa.Table:
+        names = [nation_names[int(k)] for k in t["n_nationkey"].to_pylist()]
+        return pa.Table.from_arrays(
+            [pa.array(names, pa.string()),
+             pc.cast(t["revenue_cents"], pa.int64())],
+            names=["n_name", "revenue_cents"],
+        )
+
+    return merged.map_batches(name_it, batch_format="pyarrow")
+
+
+SQL_NATION_REVENUE = f"""
+SELECT n.n_name,
+       CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM region r
+JOIN nation n ON n.n_regionkey = r.r_regionkey
+JOIN customer c ON c.c_nationkey = n.n_nationkey
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+WHERE r.r_name = '{Q5_REGION}'
+  AND o.o_orderdate >= TIMESTAMP '{Q5_DATE_LO} 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '{Q5_DATE_HI} 00:00:00'
+GROUP BY n.n_name
+"""
