@@ -53,6 +53,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_incremental": Q.q_dedup_incremental,
         "extract_meta": Q.q_extract_meta,
         "doc_sentences": Q.q_doc_sentences,
+        "write_partitioned": Q.q_write_partitioned,
         "dedup_canonical": Q.q_dedup_canonical,
         # --- text analysis over documents ---
         "doc_token_counts": Q.q_doc_token_counts,
@@ -164,6 +165,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_incremental": Q.SQL_DEDUP_INCREMENTAL,
         "extract_meta": Q.SQL_EXTRACT_META,
         "doc_sentences": Q.SQL_DOC_SENTENCES,
+        "write_partitioned": Q.SQL_WRITE_PARTITIONED,
         "dedup_canonical": Q.SQL_DEDUP_CANONICAL,
         "doc_token_counts": Q.SQL_DOC_TOKEN_COUNTS,
         "doc_bpe_token_counts": Q.SQL_DOC_BPE_TOKEN_COUNTS,

@@ -3702,3 +3702,72 @@ SELECT doc_id,
          AS max_sentence_words
 FROM s
 """
+
+
+# ---------------------------------------------------------------------------
+# Partitioned-parquet sink with read-back verification
+# ---------------------------------------------------------------------------
+
+
+def q_write_partitioned(sf_dir: str) -> rd.Dataset:
+    """Key-partitioned parquet sink (the north rule's 'resumable output,
+    one directory per key range'): filter the corpus (n_chars >= 200),
+    write it hive-partitioned by lang under a content-keyed /tmp dir
+    (atomic tmp+rename, concurrent callers converge), then READ THE FILES
+    BACK and count per partition directory — so the oracle checks what
+    actually landed on disk, not what the writer claimed. A failed run
+    reruns only missing partitions in a real deployment; here the readback
+    proves partition completeness."""
+    import shutil
+
+    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+    key = hashlib.md5(
+        f"partwrite|{os.path.realpath(sf_dir)}|{st.st_size}|{st.st_mtime_ns}".encode()
+    ).hexdigest()[:16]
+    path = os.path.join("/tmp/graft_partitioned", key)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        os.makedirs("/tmp/graft_partitioned", exist_ok=True)
+        tmp = f"{path}.tmp.{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
+
+        def keep(t: pa.Table) -> pa.Table:
+            return t.filter(pc.greater_equal(t["n_chars"], pa.scalar(200, pa.int64())))
+
+        (
+            _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+            .map_batches(keep, batch_format="pyarrow")
+            .write_parquet(tmp, partition_cols=["lang"])
+        )
+        with open(os.path.join(tmp, "_SUCCESS"), "w") as f:
+            f.write("ok")
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    back = rd.read_parquet(path, file_extensions=["parquet"])
+    from ray.data.aggregate import Count, Sum
+
+    def tag(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [pc.cast(t["lang"], pa.string()),
+             pa.nulls(t.num_rows, pa.int64()).fill_null(1),
+             pc.cast(t["n_chars"], pa.int64())],
+            names=["lang", "one", "n_chars"],
+        )
+
+    return (
+        back.map_batches(tag, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(
+            Sum("one", alias_name="n_docs"),
+            Sum("n_chars", alias_name="total_chars"),
+        )
+    )
+
+
+SQL_WRITE_PARTITIONED = """
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents WHERE n_chars >= 200 GROUP BY lang
+"""
