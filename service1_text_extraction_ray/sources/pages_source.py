@@ -106,3 +106,70 @@ def documents_to_pages(sf_dir: str) -> rd.Dataset:
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text", "lang"]
     )
     return docs.map_batches(to_pages, batch_format="pyarrow")
+
+
+def read_pages_jsonl(input_path: str) -> rd.Dataset:
+    """JSONL pages source: one JSON object per line with the pages columns,
+    ``html`` base64-encoded (JSON has no binary type) and ``warc_ts`` in
+    ISO-8601 or epoch-microseconds. Normalized per block into the exact
+    PAGES_SCHEMA the extraction job consumes, so downstream output is
+    byte-identical to the parquet path on the same logical rows
+    (pytest-asserted). Use for interop with line-oriented crawl dumps;
+    parquet remains the production source (column pruning, row-group
+    stats)."""
+    import base64
+
+    import pyarrow.compute as pc
+
+    def normalize(t: pa.Table) -> pa.Table:
+        html = pa.array(
+            [base64.b64decode(x) if x is not None else None
+             for x in t["html"].to_pylist()],
+            pa.binary(),
+        )
+        ts = t["warc_ts"]
+        if pa.types.is_integer(ts.type):
+            ts = pc.cast(ts, pa.timestamp("us"))
+        else:
+            # ISO-8601 strings (and timestamps) cast directly; Arrow's
+            # strptime can't parse %f fractional seconds, cast can.
+            ts = pc.cast(ts, pa.timestamp("us"))
+        return pa.Table.from_arrays(
+            [
+                pc.cast(t["url"], pa.string()),
+                ts,
+                html,
+                pc.cast(t["text"], pa.string()),
+                pc.cast(t["lang"], pa.string()),
+            ],
+            schema=PAGES_SCHEMA,
+        )
+
+    return rd.read_json(input_path).map_batches(normalize, batch_format="pyarrow")
+
+
+def write_pages_jsonl(pages: rd.Dataset, out_dir: str) -> None:
+    """Inverse of read_pages_jsonl (html base64, warc_ts ISO-8601)."""
+    import base64
+
+    def encode(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [
+                t["url"],
+                pa.array(
+                    [x.isoformat(timespec="microseconds") if x is not None else None
+                     for x in t["warc_ts"].to_pylist()],
+                    pa.string(),
+                ),
+                pa.array(
+                    [base64.b64encode(x).decode("ascii") if x is not None else None
+                     for x in t["html"].to_pylist()],
+                    pa.string(),
+                ),
+                t["text"],
+                t["lang"],
+            ],
+            names=["url", "warc_ts", "html", "text", "lang"],
+        )
+
+    pages.map_batches(encode, batch_format="pyarrow").write_json(out_dir)

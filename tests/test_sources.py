@@ -1,0 +1,41 @@
+"""Source-format interop: the JSONL pages source must produce byte-identical
+extraction output to the parquet source on the same logical rows."""
+
+import pyarrow as pa
+import pytest
+
+
+class TestJsonlPagesSource:
+    def test_roundtrip_and_extraction_parity(self, ray_session, tmp_path):
+        from service1_text_extraction_ray.functions.synth import gen_pages_table
+        from service1_text_extraction_ray.pipelines.extract_pipeline import (
+            extract_dataset,
+        )
+        from service1_text_extraction_ray.sources.pages_source import (
+            read_pages_jsonl,
+            write_pages_jsonl,
+        )
+        import ray.data as rd
+
+        pages = gen_pages_table(60, seed=42)
+        jl = tmp_path / "pages_jsonl"
+        write_pages_jsonl(rd.from_arrow(pages), str(jl))
+        back = read_pages_jsonl(str(jl))
+
+        got = back.take_all()
+        exp = {r["url"]: r for r in pages.to_pylist()}
+        assert len(got) == 60
+        for r in got:
+            e = exp[r["url"]]
+            assert r["html"] == e["html"]          # binary survives base64
+            assert r["warc_ts"] == e["warc_ts"]    # timestamp survives ISO-8601
+            assert (r["text"], r["lang"]) == (e["text"], e["lang"])
+
+        def doc_map(ds):
+            out = extract_dataset(ds).select_columns(
+                ["url", "content_hash", "status", "n_pages"]
+            )
+            return {r["url"]: (r["content_hash"], r["status"], r["n_pages"])
+                    for r in out.take_all()}
+
+        assert doc_map(read_pages_jsonl(str(jl))) == doc_map(rd.from_arrow(pages))
