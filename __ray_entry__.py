@@ -124,6 +124,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_price_quantiles_cont": R.q_order_price_quantiles_cont,
         "orders_profile": R.q_orders_profile,
         "nation_revenue": R.q_nation_revenue,
+        "distinct_users_per_type_salted": R.q_distinct_users_per_type_salted,
         "events_props_stats": R.q_events_props_stats,
         "events_asof_orders": R.q_events_asof_orders,
         "user_event_type_matrix": R.q_user_event_type_matrix,
@@ -224,6 +225,7 @@ def oracle_sql() -> dict[str, str]:
         "order_price_quantiles_cont": R.SQL_ORDER_PRICE_QUANTILES_CONT,
         "orders_profile": R.SQL_ORDERS_PROFILE,
         "nation_revenue": R.SQL_NATION_REVENUE,
+        "distinct_users_per_type_salted": R.SQL_DISTINCT_USERS_PER_TYPE_SALTED,
         "events_props_stats": R.SQL_EVENTS_PROPS_STATS,
         "events_asof_orders": R.SQL_EVENTS_ASOF_ORDERS,
         "user_event_type_matrix": R.SQL_USER_EVENT_TYPE_MATRIX,

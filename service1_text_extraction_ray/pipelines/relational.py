@@ -3045,3 +3045,53 @@ WHERE r.r_name = '{Q5_REGION}'
   AND o.o_orderdate < TIMESTAMP '{Q5_DATE_HI} 00:00:00'
 GROUP BY n.n_name
 """
+
+
+SALT_BUCKETS = 16
+
+
+def q_distinct_users_per_type_salted(sf_dir: str) -> rd.Dataset:
+    """EXACT distinct users per event type via SALTED two-level aggregation
+    — the hot-key treatment for HOLISTIC aggregates (the north rule's
+    'salt hot keys' clause, applied to an aggregate instead of a join).
+    event_type has only 5 values, so a naive groupby(event_type) +
+    in-group dedup concentrates each hot key's entire user stream in ONE
+    task. Salting by hash(user_id) % SALT_BUCKETS splits every key into
+    disjoint-BY-CONSTRUCTION user subsets: per-(type, salt) distinct
+    counts are computed independently (bounded per-task memory) and SUM
+    exactly — no approximation, no single-task bottleneck. Per-block
+    dedup shrinks the stream before the one (type, salt) exchange."""
+
+    def block_partial(t: pa.Table) -> pa.Table:
+        uid = pc.cast(t["user_id"], pa.int64())
+        salt = pc.bit_wise_and(uid, pa.scalar(SALT_BUCKETS - 1, pa.int64()))
+        g = pa.Table.from_arrays(
+            [t["event_type"], pa.chunked_array([salt]) if isinstance(salt, pa.ChunkedArray) else salt, uid],
+            names=["event_type", "salt", "user_id"],
+        ).group_by(["event_type", "salt", "user_id"]).aggregate([])
+        return g
+
+    def count_salt_group(g: pd.DataFrame) -> pd.DataFrame:
+        # rows of one (type, salt) shard: distinct users across blocks
+        n = g["user_id"].nunique()
+        return pd.DataFrame(
+            {"event_type": [g["event_type"].iloc[0]],
+             "salt": [int(g["salt"].iloc[0])],
+             "n_users": pd.Series([n], dtype="int64")}
+        )
+
+    per_salt = (
+        _read(sf_dir, "events", ["event_type", "user_id"])
+        .map_batches(block_partial, batch_format="pyarrow")
+        .groupby(["event_type", "salt"])
+        .map_groups(count_salt_group, batch_format="pandas")
+    )
+    return per_salt.groupby("event_type").aggregate(
+        Sum("n_users", alias_name="n_users")
+    )
+
+
+SQL_DISTINCT_USERS_PER_TYPE_SALTED = """
+SELECT event_type, count(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type
+"""
