@@ -54,6 +54,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_meta": Q.q_extract_meta,
         "doc_sentences": Q.q_doc_sentences,
         "write_partitioned": Q.q_write_partitioned,
+        "dedup_normalized": Q.q_dedup_normalized,
         "dedup_canonical": Q.q_dedup_canonical,
         # --- text analysis over documents ---
         "doc_token_counts": Q.q_doc_token_counts,
@@ -167,6 +168,7 @@ def oracle_sql() -> dict[str, str]:
         "extract_meta": Q.SQL_EXTRACT_META,
         "doc_sentences": Q.SQL_DOC_SENTENCES,
         "write_partitioned": Q.SQL_WRITE_PARTITIONED,
+        "dedup_normalized": Q.SQL_DEDUP_NORMALIZED,
         "dedup_canonical": Q.SQL_DEDUP_CANONICAL,
         "doc_token_counts": Q.SQL_DOC_TOKEN_COUNTS,
         "doc_bpe_token_counts": Q.SQL_DOC_BPE_TOKEN_COUNTS,

@@ -3771,3 +3771,78 @@ SELECT lang, count(*) AS n_docs,
        CAST(sum(n_chars) AS BIGINT) AS total_chars
 FROM documents WHERE n_chars >= 200 GROUP BY lang
 """
+
+
+# ---------------------------------------------------------------------------
+# Normalized-text dedup (CCNet-style canonicalize -> exact hash)
+# ---------------------------------------------------------------------------
+
+_NORM_PUNCT = re.compile(r"[!-/:-@\[-`{-~]")
+_NORM_WS = re.compile(r"\s+")
+
+
+def normalize_for_dedup(text: str) -> str:
+    """Dedup canonicalization (CCNet-style): lowercase, strip ASCII
+    punctuation, collapse whitespace, trim. The punctuation class is the
+    explicit ASCII range (not \\w) so Python re and DuckDB RE2 agree;
+    lower() parity is unicode (utf8proc == CPython on this corpus's
+    alphabets, parity-tested)."""
+    return _NORM_WS.sub(" ", _NORM_PUNCT.sub("", (text or "").lower())).strip()
+
+
+def q_dedup_normalized(sf_dir: str) -> rd.Dataset:
+    """Casing/punctuation/whitespace-insensitive exact dedup: canonicalize
+    per block, hash, groupby the 32-byte digest (text never rides the
+    shuffle), emit one row per canonical group with the lowest doc_id as
+    representative and the group size — groups with n_docs >= 2 are the
+    near-exact duplicates (reformatted copies, shouting mirrors) that
+    byte-exact dedup misses. All groups are emitted (the testdata has no
+    planted normalized dups; emitting every group makes the oracle check
+    the normalization of EVERY row, which is stronger anyway — the
+    planted-dup behavior is pytest-covered)."""
+
+    def hashed(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [
+                pc.cast(t["doc_id"], pa.int64()),
+                pa.array(
+                    [hashlib.md5(normalize_for_dedup(x).encode("utf-8")).hexdigest()
+                     for x in t["text"].to_pylist()],
+                    pa.string(),
+                ),
+            ],
+            names=["doc_id", "h"],
+        )
+
+    from ray.data.aggregate import Count, Min
+
+    merged = (
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(hashed, batch_format="pyarrow")
+        .groupby("h")
+        .aggregate(
+            Min("doc_id", alias_name="rep_doc_id"),
+            Count(alias_name="n_docs"),
+        )
+    )
+
+    def typed(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [t["h"], pc.cast(t["rep_doc_id"], pa.int64()),
+             pc.cast(t["n_docs"], pa.int64())],
+            names=["h", "rep_doc_id", "n_docs"],
+        )
+
+    return merged.map_batches(typed, batch_format="pyarrow")
+
+
+SQL_DEDUP_NORMALIZED = r"""
+WITH n AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(regexp_replace(lower(coalesce(text, '')),
+             '[!-/:-@\[-`{-~]', '', 'g'), '\s+', ' ', 'g'))) AS h
+  FROM documents
+)
+SELECT h, min(doc_id) AS rep_doc_id, count(*) AS n_docs
+FROM n GROUP BY h
+"""

@@ -542,3 +542,29 @@ class TestExtractMeta:
         assert m["og_title"] is None and m["canonical"] is None
         # unclosed <title> at EOF still yields the collected text
         assert m["title"] == "only ti"
+
+
+class TestDedupNormalized:
+    def test_planted_reformatted_duplicates(self, ray_session, tmp_path):
+        from service1_text_extraction_ray.pipelines.queries import (
+            normalize_for_dedup,
+            q_dedup_normalized,
+        )
+
+        texts = [
+            "Hello, World! This is a test.",
+            "hello   world this is a TEST",   # same after normalization
+            "HELLO WORLD:  this is a test",   # same after normalization
+            "something else entirely",
+        ]
+        assert (
+            normalize_for_dedup(texts[0])
+            == normalize_for_dedup(texts[1])
+            == normalize_for_dedup(texts[2])
+        )
+        d = _docs(tmp_path, texts)
+        out = q_dedup_normalized(d).to_pandas()
+        grp = out[out["n_docs"] >= 2]
+        assert len(grp) == 1
+        assert grp.iloc[0]["rep_doc_id"] == 0 and grp.iloc[0]["n_docs"] == 3
+        assert len(out) == 2  # the dup group + the singleton
