@@ -55,6 +55,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_sentences": Q.q_doc_sentences,
         "write_partitioned": Q.q_write_partitioned,
         "dedup_normalized": Q.q_dedup_normalized,
+        "doc_compression_ratio": Q.q_doc_compression_ratio,
         "dedup_canonical": Q.q_dedup_canonical,
         # --- text analysis over documents ---
         "doc_token_counts": Q.q_doc_token_counts,

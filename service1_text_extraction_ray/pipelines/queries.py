@@ -3846,3 +3846,34 @@ WITH n AS (
 SELECT h, min(doc_id) AS rep_doc_id, count(*) AS n_docs
 FROM n GROUP BY h
 """
+
+
+def q_doc_compression_ratio(sf_dir: str) -> rd.Dataset:
+    """Per-doc zlib compression ratio — the classic repetitiveness signal
+    (highly-templated/boilerplate text compresses far better than natural
+    prose; corpora pipelines gate on it next to the Gopher rules). Emits
+    raw/compressed byte sizes and ratio_pct = compressed*100//raw (integer,
+    parallelism-independent). zlib level pinned so results are stable
+    across runs. Non-SQL (no zlib in DuckDB) -> rows-only driver check;
+    semantics pytest-pinned on repetitive vs random text."""
+    import zlib
+
+    def f(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        texts = t["text"].to_pylist()
+        raw_n, comp_n, ratio = [], [], []
+        for x in texts:
+            b = (x or "").encode("utf-8")
+            c = zlib.compress(b, 6)
+            raw_n.append(len(b))
+            comp_n.append(len(c))
+            ratio.append(len(c) * 100 // len(b) if b else 100)
+        return pa.Table.from_arrays(
+            [pa.array(ids, pa.int64()), pa.array(raw_n, pa.int64()),
+             pa.array(comp_n, pa.int64()), pa.array(ratio, pa.int64())],
+            names=["doc_id", "raw_bytes", "compressed_bytes", "ratio_pct"],
+        )
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow"
+    )

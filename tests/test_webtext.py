@@ -568,3 +568,32 @@ class TestDedupNormalized:
         assert len(grp) == 1
         assert grp.iloc[0]["rep_doc_id"] == 0 and grp.iloc[0]["n_docs"] == 3
         assert len(out) == 2  # the dup group + the singleton
+
+
+class TestCompressionRatio:
+    def test_repetitive_vs_diverse(self, ray_session, tmp_path):
+        from service1_text_extraction_ray.pipelines.queries import (
+            q_doc_compression_ratio,
+        )
+
+        import hashlib
+
+        chain, h = [], b"seed"
+        for _ in range(60):
+            h = hashlib.md5(h).digest()
+            chain.append(h.hex())
+        texts = [
+            "spam " * 400,      # highly repetitive
+            "".join(chain),     # hash-chain hex: high entropy
+            "",                 # empty edge
+        ]
+        d = _docs(tmp_path, texts)
+        out = (
+            q_doc_compression_ratio(d).to_pandas().set_index("doc_id").sort_index()
+        )
+        assert out.loc[0, "ratio_pct"] < 5
+        assert out.loc[1, "ratio_pct"] > 40
+        assert out.loc[2, "ratio_pct"] == 100 and out.loc[2, "raw_bytes"] == 0
+        # determinism across a second run
+        again = q_doc_compression_ratio(d).to_pandas().set_index("doc_id").sort_index()
+        assert (again == out).all().all()
