@@ -421,6 +421,7 @@ def _parse_tounicode(data: bytes) -> Dict[int, str]:
 
 _FONT_RES_RE = re.compile(rb"/Font\s*(<<|\d+\s+\d+\s+R)")
 _FONT_ENTRY_RE = re.compile(rb"/(\w+)\s+(\d+)\s+\d+\s+R")
+_XOBJECT_RES_RE = re.compile(rb"/XObject\s*(<<|\d+\s+\d+\s+R)")
 _RESOURCES_RE = re.compile(rb"/Resources\s*(<<|\d+\s+\d+\s+R)")
 _TOUNICODE_REF_RE = re.compile(rb"/ToUnicode\s+(\d+)\s+\d+\s+R")
 
@@ -479,6 +480,43 @@ def _page_cid_fonts(
                     cmap = {}
         fonts[name.decode("latin-1")] = cmap
     return fonts
+
+
+def _page_form_xobjects(
+    objects: Dict[int, _PdfObject],
+    resources: Optional[bytes],
+    file_key: Optional[bytes],
+    cfm: str,
+) -> Dict[str, bytes]:
+    """Map XObject resource name -> decoded content bytes for every
+    /Subtype /Form entry in the page's resources (PDF 1.7 §8.10: reusable
+    content streams invoked by the ``Do`` operator — headers/footers/
+    letterheads in real corpora). Image XObjects are skipped (no raster
+    decoding in this engine; media plumbing lives in stages/multimodal).
+    Subset boundary (documented): the form's own /Resources and /Matrix
+    are ignored — forms inherit the page's fonts and draw in page
+    coordinates, which is exactly how the synth fixtures emit them."""
+    if not resources:
+        return {}
+    xm = _XOBJECT_RES_RE.search(resources)
+    if xm is None:
+        return {}
+    xdict = _resolve_dict(objects, resources, xm)
+    if xdict is None:
+        return {}
+    forms: Dict[str, bytes] = {}
+    for name, num in _FONT_ENTRY_RE.findall(xdict):
+        xobj = objects.get(int(num))
+        if xobj is None or xobj.stream is None:
+            continue
+        st = re.search(rb"/Subtype\s*/(\w+)", xobj.dict_bytes)
+        if st is None or st.group(1) != b"Form":
+            continue
+        try:
+            forms[name.decode("latin-1")] = _decode_stream(xobj, file_key, cfm)
+        except PdfParseError:
+            continue
+    return forms
 
 
 def _find_root(data: bytes, objects: Dict[int, _PdfObject]) -> int:
@@ -723,8 +761,14 @@ class Span:
     font: str
 
 
+_MAX_FORM_DEPTH = 8  # Do-recursion bound (cyclic form refs must not hang)
+
+
 def _interpret_text(
-    content: bytes, cid_fonts: Optional[Dict[str, Dict[int, str]]] = None
+    content: bytes,
+    cid_fonts: Optional[Dict[str, Dict[int, str]]] = None,
+    xobjects: Optional[Dict[str, bytes]] = None,
+    _depth: int = 0,
 ) -> List[Span]:
     """Execute the text operators of a content stream, emitting spans.
 
@@ -843,6 +887,17 @@ def _interpret_text(
                             emit(el)
                         elif isinstance(el, float):
                             cx += -el / 1000.0 * size
+            elif op == b"Do":
+                # Form XObject invocation: interpret the form's content
+                # stream in place (page coordinates — subset contract of
+                # _page_form_xobjects), emitting into the same span list.
+                fname = stack[-1]
+                if xobjects and isinstance(fname, bytes) and _depth < _MAX_FORM_DEPTH:
+                    form = xobjects.get(fname.decode("latin-1").lstrip("/"))
+                    if form is not None:
+                        spans.extend(
+                            _interpret_text(form, cid_fonts, xobjects, _depth + 1)
+                        )
         except (IndexError, ValueError, TypeError):
             # Malformed operand stack — tolerant skip (per-page failure
             # isolation happens at the caller).
@@ -1282,7 +1337,12 @@ class PdfDocument:
                 cid_fonts = _page_cid_fonts(
                     self._objects, resources, self._file_key, cfm
                 )
-                spans = _interpret_text(content, cid_fonts or None)
+                xobjects = _page_form_xobjects(
+                    self._objects, resources, self._file_key, cfm
+                )
+                spans = _interpret_text(
+                    content, cid_fonts or None, xobjects or None
+                )
                 pages.append(_assemble_page(spans, width, height, rotate))
             except PdfParseError:
                 pages.append(

@@ -247,7 +247,7 @@ def _tounicode_cmap(cid_map: dict) -> bytes:
 def make_pdf(page_line_texts: List[List[str]], rng: random.Random, compress: bool = False,
              two_column: bool = False, use_tm: bool = False,
              encrypt: dict | None = None, objstm: bool = False,
-             cid_font: bool = False) -> bytes:
+             cid_font: bool = False, form_header: bool = False) -> bytes:
     """Write a minimal PDF 1.4 with the given per-page line texts.
 
     ``cid_font``: use a composite Type0 font with /Encoding /Identity-H
@@ -294,6 +294,11 @@ def make_pdf(page_line_texts: List[List[str]], rng: random.Random, compress: boo
     page_nums = [3 + 2 * i for i in range(n_pages)]
     content_nums = [4 + 2 * i for i in range(n_pages)]
     font_num = 3 + 2 * n_pages
+    # ``form_header``: each page's first two lines live in a Form XObject
+    # (PDF 1.7 §8.10) invoked via ``/FmI Do`` — the reusable-letterhead
+    # layout real corpora use. Form stream objects follow the font block.
+    form_base = font_num + (2 if cid_font else 1)
+    form_nums = [form_base + i for i in range(n_pages)] if form_header else []
 
     crypt = None
     if encrypt is not None:
@@ -358,6 +363,7 @@ def make_pdf(page_line_texts: List[List[str]], rng: random.Random, compress: boo
     kids = " ".join(f"{p} 0 R" for p in page_nums)
     add(f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode())
 
+    form_bodies: List[bytes] = []
     for i, texts in enumerate(page_line_texts):
         lines: List[Tuple[float, float, str]] = []
         if two_column:
@@ -369,7 +375,14 @@ def make_pdf(page_line_texts: List[List[str]], rng: random.Random, compress: boo
         else:
             for j, t in enumerate(texts):
                 lines.append((72.0, 720.0 - 14.0 * j, t))
-        content = _page_content(lines, use_tm, rng, cid_map)
+        xobj_clause = ""
+        if form_header:
+            head, lines = lines[:2], lines[2:]
+            form_bodies.append(_page_content(head, use_tm, rng, cid_map))
+            xobj_clause = f"/XObject << /Fm{i} {form_nums[i]} 0 R >> "
+            content = f"/Fm{i} Do\n".encode() + _page_content(lines, use_tm, rng, cid_map)
+        else:
+            content = _page_content(lines, use_tm, rng, cid_map)
         filt = ""
         if compress:
             content = zlib.compress(content, 6)
@@ -379,7 +392,7 @@ def make_pdf(page_line_texts: List[List[str]], rng: random.Random, compress: boo
         add(
             f"<< /Type /Page /Parent {pages_num} 0 R /MediaBox [0 0 612 792] "
             f"/Contents {content_nums[i]} 0 R "
-            f"/Resources << /Font << /F1 {font_num} 0 R >> >> >>".encode()
+            f"/Resources << /Font << /F1 {font_num} 0 R >> {xobj_clause}>> >>".encode()
         )
         objects.append(
             f"<< /Length {len(content)}{filt} >>\nstream\n".encode() + content + b"\nendstream"
@@ -403,6 +416,20 @@ def make_pdf(page_line_texts: List[List[str]], rng: random.Random, compress: boo
         )
     else:
         add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+
+    for i, body in enumerate(form_bodies):
+        ffilt = ""
+        if compress:
+            body = zlib.compress(body, 6)
+            ffilt = " /Filter /FlateDecode"
+        if crypt is not None:
+            body = crypt["fn"](crypt["file_key"], form_nums[i], 0, body)
+        objects.append(
+            (
+                f"<< /Type /XObject /Subtype /Form /BBox [0 0 612 792] "
+                f"/Length {len(body)}{ffilt} >>\nstream\n"
+            ).encode() + body + b"\nendstream"
+        )
 
     encrypt_clause = ""
     if crypt is not None:
@@ -435,7 +462,7 @@ def make_pdf(page_line_texts: List[List[str]], rng: random.Random, compress: boo
         encrypt_clause = f" /Encrypt {encrypt_num} 0 R /ID [<{idhex}> <{idhex}>]"
 
     if objstm:
-        classic_nums = set(content_nums)
+        classic_nums = set(content_nums) | set(form_nums)
         if crypt is not None:
             classic_nums.add(encrypt_num)
         if cid_map is not None:

@@ -235,7 +235,7 @@ SQL_EXTRACT_TABLES = _sql_extract_tables()
 # atomic (write to tmp dir, os.rename into place), so racing callers converge.
 
 _EXTRACT_CACHE_ROOT = "/tmp/graft_extract_cache"
-_EXTRACT_CACHE_VERSION = 1  # bump when extraction semantics change
+_EXTRACT_CACHE_VERSION = 2  # bump when extraction semantics change
 
 
 def _extract_cache_dir(sf_dir: str) -> str:

@@ -86,6 +86,9 @@ def documents_to_pages(sf_dir: str) -> rd.Dataset:
                 payload = make_pdf(
                     [lines or [""]], rng,
                     compress=(int(doc_id) % 2 == 0), encrypt=encrypt,
+                    # sel 15: first lines live in a Form XObject (/Do) —
+                    # the reusable-letterhead layout; text is unchanged.
+                    form_header=(sel == 15),
                 )
             elif sel < 19:
                 payload = make_linkfarm_html(rng, paras)

@@ -368,3 +368,54 @@ endbfchar
 """
     m = _parse_tounicode(cmap)
     assert m == {1: "A", 2: "B", 3: "C", 0x10: "HI"}
+
+
+class TestFormXObjects:
+    def test_form_header_text_identical_to_inline(self):
+        import random
+
+        from service1_text_extraction_ray.functions.pdf_extract import parse_pdf
+        from service1_text_extraction_ray.functions.synth import make_pdf
+
+        pages = [["Head A", "Head B", "Body 1", "Body 2"], ["X", "Y", "Z"]]
+        inline = parse_pdf(make_pdf(pages, random.Random(1)))
+        formed = parse_pdf(make_pdf(pages, random.Random(1), form_header=True))
+        assert [p.text for p in formed] == [p.text for p in inline]
+        # line positions are identical (the fixture writes the form in page
+        # coordinates); span GROUPING and the ~0.24pt TJ-kern width estimate
+        # differ because the TJ-split cadence restarts per stream — fixture
+        # artifacts, not parser behavior — so compare line origins.
+        def line_origins(p):
+            return [
+                (ln["bbox"][0], ln["bbox"][1], ln["bbox"][3])
+                for b in p.layout["blocks"] for ln in b["lines"]
+            ]
+
+        assert [line_origins(p) for p in formed] == [line_origins(p) for p in inline]
+
+    def test_form_composes_with_crypt_objstm_cid(self):
+        import random
+
+        from service1_text_extraction_ray.functions.pdf_extract import parse_pdf
+        from service1_text_extraction_ray.functions.synth import make_pdf
+
+        pages = [["Top secret head", "and second line", "then the body"]]
+        pdf = make_pdf(
+            pages, random.Random(2), form_header=True, compress=True,
+            objstm=True, cid_font=True,
+            encrypt={"user_pw": "pw", "owner_pw": "o", "v": 5},
+        )
+        out = parse_pdf(pdf, password="pw")
+        assert out[0].text == "Top secret head\nand second line\nthen the body"
+
+    def test_missing_form_ref_is_tolerant(self):
+        import random
+
+        from service1_text_extraction_ray.functions.pdf_extract import parse_pdf
+        from service1_text_extraction_ray.functions.synth import make_pdf
+
+        pdf = make_pdf([["H", "H2", "B"]], random.Random(3), form_header=True)
+        # corrupt: retarget the XObject ref to a nonexistent object
+        broken = pdf.replace(b"/XObject << /Fm0 6 0 R >>", b"/XObject << /Fm0 99 0 R >>")
+        out = parse_pdf(broken)
+        assert out[0].text == "B"  # body still extracted; missing form skipped
