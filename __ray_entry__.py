@@ -123,6 +123,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_not_event_users": R.q_customers_not_event_users,
         "events_funnel": R.q_events_funnel,
         "events_retention": R.q_events_retention,
+        "events_transitions": R.q_events_transitions,
         "order_price_quantiles_cont": R.q_order_price_quantiles_cont,
         "orders_profile": R.q_orders_profile,
         "nation_revenue": R.q_nation_revenue,
@@ -225,6 +226,7 @@ def oracle_sql() -> dict[str, str]:
         "customers_not_event_users": R.SQL_CUSTOMERS_NOT_EVENT_USERS,
         "events_funnel": R.SQL_EVENTS_FUNNEL,
         "events_retention": R.SQL_EVENTS_RETENTION,
+        "events_transitions": R.SQL_EVENTS_TRANSITIONS,
         "order_price_quantiles_cont": R.SQL_ORDER_PRICE_QUANTILES_CONT,
         "orders_profile": R.SQL_ORDERS_PROFILE,
         "nation_revenue": R.SQL_NATION_REVENUE,

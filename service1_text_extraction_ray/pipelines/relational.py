@@ -3095,3 +3095,61 @@ SQL_DISTINCT_USERS_PER_TYPE_SALTED = """
 SELECT event_type, count(DISTINCT user_id) AS n_users
 FROM events GROUP BY event_type
 """
+
+
+def q_events_transitions(sf_dir: str) -> rd.Dataset:
+    """Per-user ordered event-type transition counts (the Markov-chain view
+    of behavior): for each user's time-ordered event stream, count every
+    consecutive (prev_type, next_type) pair, then sum across users. ONE
+    hash_exchange on user_id; inside a shard the sort, the per-user shift,
+    and the pair groupby are vectorized (the boundary between users is
+    masked out, so no per-user loop). Ties on ts are ordered by event_id —
+    deterministic and replayed identically by the SQL window."""
+    out_schema = pa.schema([
+        pa.field("prev_type", pa.string()), pa.field("next_type", pa.string()),
+        pa.field("n", pa.int64()),
+    ])
+
+    def shard_transitions(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        df = t.to_pandas().sort_values(
+            ["user_id", "ts", "event_id"], kind="mergesort"
+        )
+        same_user = df["user_id"].eq(df["user_id"].shift()).to_numpy()
+        prev_t = df["event_type"].shift().to_numpy()
+        pairs = pd.DataFrame({
+            "prev_type": prev_t[same_user],
+            "next_type": df["event_type"].to_numpy()[same_user],
+        })
+        agg = pairs.groupby(["prev_type", "next_type"], sort=False).size()
+        agg = agg.reset_index(name="n")
+        return pa.Table.from_arrays(
+            [pa.array(agg["prev_type"], pa.string()),
+             pa.array(agg["next_type"], pa.string()),
+             pa.array(agg["n"].to_numpy(dtype="int64"))],
+            schema=out_schema,
+        )
+
+    partials = hash_exchange(
+        _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"]),
+        ["user_id"],
+        shard_transitions,
+        out_schema,
+    )
+    return partials.groupby(["prev_type", "next_type"]).aggregate(
+        Sum("n", alias_name="n")
+    )
+
+
+SQL_EVENTS_TRANSITIONS = """
+WITH s AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events
+)
+SELECT prev_type, event_type AS next_type, count(*) AS n
+FROM s WHERE prev_type IS NOT NULL
+GROUP BY prev_type, next_type
+"""
