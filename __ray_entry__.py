@@ -50,6 +50,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_outlinks": Q.q_extract_outlinks,
         "host_link_graph": Q.q_host_link_graph,
         "host_pagerank": Q.q_host_pagerank,
+        "frontier_scores": Q.q_frontier_scores,
         "dedup_incremental": Q.q_dedup_incremental,
         "extract_meta": Q.q_extract_meta,
         "doc_sentences": Q.q_doc_sentences,
@@ -166,6 +167,7 @@ def oracle_sql() -> dict[str, str]:
         "extract_outlinks": Q.SQL_EXTRACT_OUTLINKS,
         "host_link_graph": Q.SQL_HOST_LINK_GRAPH,
         "host_pagerank": Q.SQL_HOST_PAGERANK,
+        "frontier_scores": Q.SQL_FRONTIER_SCORES,
         "dedup_incremental": Q.SQL_DEDUP_INCREMENTAL,
         "extract_meta": Q.SQL_EXTRACT_META,
         "doc_sentences": Q.SQL_DOC_SENTENCES,

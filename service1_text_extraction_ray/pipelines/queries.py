@@ -3877,3 +3877,93 @@ def q_doc_compression_ratio(sf_dir: str) -> rd.Dataset:
     return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         f, batch_format="pyarrow"
     )
+
+
+def q_frontier_scores(sf_dir: str) -> rd.Dataset:
+    """Crawl-frontier prioritization — the composition op: extracted
+    followable outlinks (q_extract_outlinks semantics) are scored by the
+    target host's PageRank discounted by link depth:
+    ``score = pr[host] // (1 + path_depth)``. PageRank is the integer-
+    quantized q_host_pagerank result (small: one row per host), broadcast
+    via ray.put into the per-batch scorer; hrefs are decomposed with the
+    vectorized URL parser. Output one row per followable link. Everything
+    stays integer, so the oracle replays the whole composition (unrolled
+    PageRank CTEs + reconstructed links) exactly."""
+    from ..functions.links import extract_outlinks
+    from ..functions.synth import make_link_page
+    from ..functions.urls import parse_urls
+
+    pr_tbl = q_host_pagerank(sf_dir)
+    pr_map = {
+        r["host"]: int(r["pr"])
+        for b in pr_tbl.iter_batches(batch_format="pyarrow")
+        for r in b.to_pylist()
+    }
+    pr_ref = ray.put(pr_map)
+
+    out_schema = pa.schema([
+        ("doc_id", pa.int64()), ("href", pa.string()), ("score", pa.int64()),
+    ])
+
+    def f(t: pa.Table) -> pa.Table:
+        prs = ray.get(pr_ref)
+        ids, hrefs = [], []
+        for d, src, lang in zip(
+            t["doc_id"].to_pylist(), t["source"].to_pylist(), t["lang"].to_pylist()
+        ):
+            html, base = make_link_page(int(d), src, lang or "en")
+            links, _, page_nofollow = extract_outlinks(html, base)
+            if page_nofollow:
+                continue
+            for ln in links:
+                if not ln.nofollow:
+                    ids.append(int(d))
+                    hrefs.append(ln.href)
+        if not ids:
+            return out_schema.empty_table()
+        parsed = parse_urls(pa.array(hrefs, pa.string()))
+        hosts = parsed["host"].to_pylist()
+        depths = parsed["path_depth"].to_pylist()
+        scores = [prs.get(h, 0) // (1 + (dep or 0)) for h, dep in zip(hosts, depths)]
+        return pa.Table.from_arrays(
+            [pa.array(ids, pa.int64()), pa.array(hrefs, pa.string()),
+             pa.array(scores, pa.int64())],
+            schema=out_schema,
+        )
+
+    return _read(sf_dir, "documents", ["doc_id", "source", "lang"]).map_batches(
+        f, batch_format="pyarrow"
+    )
+
+
+def _sql_frontier_scores() -> str:
+    # reconstructed followable links with their parsed path depth
+    links = """
+flinks AS (
+  SELECT doc_id,
+         'https://src' || ((doc_id * 7 + 1) % 20) || '.example.net/x/' || (doc_id % 9) AS href,
+         'src' || ((doc_id * 7 + 1) % 20) || '.example.net' AS host,
+         2 AS depth
+  FROM fbase
+  UNION ALL
+  SELECT doc_id, 'https://cdn.example.org/lib/' || (doc_id % 4),
+         'cdn.example.org', 2 FROM fbase
+  UNION ALL
+  SELECT doc_id, 'https://' || source || '.example.com/local/' || (doc_id % 5),
+         source || '.example.com', 2 FROM fbase
+  UNION ALL
+  SELECT doc_id, 'https://' || source || '.example.com/d/up/' || (doc_id % 3),
+         source || '.example.com', 3 FROM fbase
+)"""
+    pagerank_cte = SQL_HOST_PAGERANK.split("WITH", 1)[1].rsplit("\nSELECT", 1)[0]
+    return f"""
+WITH {pagerank_cte},
+fbase AS (SELECT doc_id, source FROM documents WHERE doc_id % 7 <> 0),
+{links.lstrip()}
+SELECT f.doc_id, f.href,
+       CAST(coalesce(p.pr, 0) // (1 + f.depth) AS BIGINT) AS score
+FROM flinks f LEFT JOIN pr{PAGERANK_ITERS} p ON p.host = f.host
+"""
+
+
+SQL_FRONTIER_SCORES = _sql_frontier_scores()
