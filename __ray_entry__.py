@@ -55,6 +55,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_meta": Q.q_extract_meta,
         "doc_sentences": Q.q_doc_sentences,
         "write_partitioned": Q.q_write_partitioned,
+        "read_partition_pruned": Q.q_read_partition_pruned,
         "dedup_normalized": Q.q_dedup_normalized,
         "doc_compression_ratio": Q.q_doc_compression_ratio,
         "dedup_canonical": Q.q_dedup_canonical,
@@ -125,6 +126,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_funnel": R.q_events_funnel,
         "events_retention": R.q_events_retention,
         "events_transitions": R.q_events_transitions,
+        "customer_activity_reconcile": R.q_customer_activity_reconcile,
         "order_price_quantiles_cont": R.q_order_price_quantiles_cont,
         "orders_profile": R.q_orders_profile,
         "nation_revenue": R.q_nation_revenue,
@@ -172,6 +174,7 @@ def oracle_sql() -> dict[str, str]:
         "extract_meta": Q.SQL_EXTRACT_META,
         "doc_sentences": Q.SQL_DOC_SENTENCES,
         "write_partitioned": Q.SQL_WRITE_PARTITIONED,
+        "read_partition_pruned": Q.SQL_READ_PARTITION_PRUNED,
         "dedup_normalized": Q.SQL_DEDUP_NORMALIZED,
         "dedup_canonical": Q.SQL_DEDUP_CANONICAL,
         "doc_token_counts": Q.SQL_DOC_TOKEN_COUNTS,
@@ -229,6 +232,7 @@ def oracle_sql() -> dict[str, str]:
         "events_funnel": R.SQL_EVENTS_FUNNEL,
         "events_retention": R.SQL_EVENTS_RETENTION,
         "events_transitions": R.SQL_EVENTS_TRANSITIONS,
+        "customer_activity_reconcile": R.SQL_CUSTOMER_ACTIVITY_RECONCILE,
         "order_price_quantiles_cont": R.SQL_ORDER_PRICE_QUANTILES_CONT,
         "orders_profile": R.SQL_ORDERS_PROFILE,
         "nation_revenue": R.SQL_NATION_REVENUE,

@@ -3967,3 +3967,74 @@ FROM flinks f LEFT JOIN pr{PAGERANK_ITERS} p ON p.host = f.host
 
 
 SQL_FRONTIER_SCORES = _sql_frontier_scores()
+
+
+def q_read_partition_pruned(sf_dir: str) -> rd.Dataset:
+    """Partition-pruned read over the hive-partitioned output of
+    q_write_partitioned: only the ``lang=en`` directory's files are listed
+    and read — no other partition's bytes leave storage (the 'prune at the
+    read' rule applied to the PARTITION axis; the column/row-group pruning
+    variant is orders_priority_counts). Returns the en-partition stats;
+    the oracle recomputes them from the source table with the same
+    filter."""
+    import glob as _glob
+
+    # ensure the partitioned output exists (same cache the writer query uses)
+    for _ in q_write_partitioned(sf_dir).iter_batches(batch_format="pyarrow"):
+        pass
+    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+    key = hashlib.md5(
+        f"partwrite|{os.path.realpath(sf_dir)}|{st.st_size}|{st.st_mtime_ns}".encode()
+    ).hexdigest()[:16]
+    en_dir = os.path.join("/tmp/graft_partitioned", key, "lang=en")
+    files = sorted(_glob.glob(os.path.join(en_dir, "*.parquet")))
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    def tag(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [pa.nulls(t.num_rows, pa.int64()).fill_null(1),
+             pc.cast(t["n_chars"], pa.int64()),
+             pc.cast(t["doc_id"], pa.int64())],
+            names=["one", "n_chars", "doc_id"],
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        g = t.group_by([]).aggregate(
+            [("one", "sum"), ("n_chars", "sum"), ("doc_id", "min"), ("doc_id", "max")]
+        )
+        return pa.Table.from_arrays(
+            [pc.cast(g["one_sum"], pa.int64()),
+             pc.cast(g["n_chars_sum"], pa.int64()),
+             pc.cast(g["doc_id_min"], pa.int64()),
+             pc.cast(g["doc_id_max"], pa.int64())],
+            names=["n_docs", "total_chars", "min_doc_id", "max_doc_id"],
+        )
+
+    partials = rd.read_parquet(files).map_batches(
+        tag, batch_format="pyarrow"
+    ).map_batches(finish, batch_format="pyarrow")
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by([]).aggregate(
+            [("n_docs", "sum"), ("total_chars", "sum"),
+             ("min_doc_id", "min"), ("max_doc_id", "max")]
+        )
+        return pa.Table.from_arrays(
+            [pc.cast(g["n_docs_sum"], pa.int64()),
+             pc.cast(g["total_chars_sum"], pa.int64()),
+             pc.cast(g["min_doc_id_min"], pa.int64()),
+             pc.cast(g["max_doc_id_max"], pa.int64())],
+            names=["n_docs", "total_chars", "min_doc_id", "max_doc_id"],
+        )
+
+    return partials.repartition(1).map_batches(merge, batch_format="pyarrow")
+
+
+SQL_READ_PARTITION_PRUNED = """
+SELECT count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       min(doc_id) AS min_doc_id,
+       max(doc_id) AS max_doc_id
+FROM documents WHERE n_chars >= 200 AND lang = 'en'
+"""

@@ -283,14 +283,14 @@ def hash_join(
         + list(right_fields)
         + [pa.field("__side", pa.int8()), pa.field("__shard", pa.int64())]
     )
-    if how not in ("inner", "left", "semi", "anti"):
+    if how not in ("inner", "left", "full", "semi", "anti"):
         raise ValueError(f"unsupported join flavor: {how!r}")
     out_fields = list(left_fields) + (
-        list(right_fields) if how in ("inner", "left") else []
+        list(right_fields) if how in ("inner", "left", "full") else []
     )
     out_schema = pa.schema([pa.field(left_on, key_type)] + out_fields)
     acero_how = {
-        "inner": "inner", "left": "left outer",
+        "inner": "inner", "left": "left outer", "full": "full outer",
         "semi": "left semi", "anti": "left anti",
     }[how]
 
@@ -341,6 +341,14 @@ def hash_join(
         lt = t.filter(lmask).select(left_names)
         rt = t.filter(pc.invert(lmask)).select(right_names)
         if lt.num_rows == 0:
+            if how == "full" and rt.num_rows:
+                # full outer: unmatched right rows survive with null left
+                padded = rt
+                for f in left_fields:
+                    padded = padded.append_column(
+                        f.name, pa.nulls(padded.num_rows, f.type)
+                    )
+                return padded.select(out_schema.names).cast(out_schema)
             return out_schema.empty_table()
         if combine_left_sum and lt.num_rows:
             lt = _combine(lt, left_on, left_fields, left_names)
@@ -349,7 +357,7 @@ def hash_join(
                 return out_schema.empty_table()  # nothing matches
             if how == "anti":
                 return lt.select(out_schema.names).cast(out_schema)
-            # left outer: every left row survives with null right fields
+            # left/full outer: every left row survives with null right fields
             padded = lt
             for f in right_fields:
                 padded = padded.append_column(
@@ -3152,4 +3160,51 @@ WITH s AS (
 SELECT prev_type, event_type AS next_type, count(*) AS n
 FROM s WHERE prev_type IS NOT NULL
 GROUP BY prev_type, next_type
+"""
+
+
+def q_customer_activity_reconcile(sf_dir: str) -> rd.Dataset:
+    """FULL OUTER co-partitioned hash join — the reconciliation shape:
+    per-customer order counts vs per-user event counts, keeping keys that
+    exist on only ONE side (customers who order but never click, users who
+    click but never order) with typed nulls on the other. Both inputs are
+    per-block partial counts and both per-key combines are fused into the
+    join's single exchange (combine_left_sum + combine_right_sum) — two
+    fact tables reconciled with ONE shuffle of integer partials."""
+
+    def count_partial(key_in: str, key_out: str, val: str):
+        def f(t: pa.Table) -> pa.Table:
+            g = t.group_by(key_in).aggregate([([], "count_all")])
+            return pa.Table.from_arrays(
+                [pc.cast(g[key_in], pa.int64()), pc.cast(g["count_all"], pa.int64())],
+                names=[key_out, val],
+            )
+
+        return f
+
+    orders = _read(sf_dir, "orders", ["o_custkey"]).map_batches(
+        count_partial("o_custkey", "custkey", "n_orders"), batch_format="pyarrow"
+    )
+    events = _read(sf_dir, "events", ["user_id"]).map_batches(
+        count_partial("user_id", "user_id", "n_events"), batch_format="pyarrow"
+    )
+    return hash_join(
+        orders,
+        events,
+        left_on="custkey",
+        right_on="user_id",
+        key_type=pa.int64(),
+        left_fields=[pa.field("n_orders", pa.int64())],
+        right_fields=[pa.field("n_events", pa.int64())],
+        combine_left_sum=True,
+        combine_right_sum=True,
+        how="full",
+    )
+
+
+SQL_CUSTOMER_ACTIVITY_RECONCILE = """
+WITH o AS (SELECT o_custkey AS k, count(*) AS n_orders FROM orders GROUP BY 1),
+e AS (SELECT user_id AS k, count(*) AS n_events FROM events GROUP BY 1)
+SELECT coalesce(o.k, e.k) AS custkey, o.n_orders, e.n_events
+FROM o FULL OUTER JOIN e ON o.k = e.k
 """

@@ -1282,3 +1282,34 @@ class TestOrdersProfileNulls:
         assert out.loc["o_custkey", "n_distinct"] == 2
         assert out.loc["o_totalprice", "n_distinct"] == 2
         assert (out["n_rows"] == 3).all()
+
+
+class TestHashJoinFullOuter:
+    def test_full_outer_keeps_both_unmatched_sides(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from service1_text_extraction_ray.pipelines.relational import hash_join
+
+        left = rd.from_arrow(pa.table({"k": [1, 2, 2], "a": [10, 20, 21]}))
+        right = rd.from_arrow(pa.table({"k": [2, 3], "b": [200, 300]}))
+        out = hash_join(
+            left, right, left_on="k", right_on="k", key_type=pa.int64(),
+            left_fields=[pa.field("a", pa.int64())],
+            right_fields=[pa.field("b", pa.int64())],
+            how="full",
+        ).to_pandas().sort_values(["k", "a"]).reset_index(drop=True)
+        rows = [tuple(None if pd_isna(v) else int(v) for v in r)
+                for r in out.itertuples(index=False)]
+        assert rows == [
+            (1, 10, None),        # left-only
+            (2, 20, 200),         # matched (many-to-one)
+            (2, 21, 200),
+            (3, None, 300),       # right-only
+        ]
+
+
+def pd_isna(v):
+    import pandas as pd
+
+    return pd.isna(v)
