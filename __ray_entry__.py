@@ -51,6 +51,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_link_graph": Q.q_host_link_graph,
         "host_pagerank": Q.q_host_pagerank,
         "frontier_scores": Q.q_frontier_scores,
+        "label_centroids": Q.q_label_centroids,
         "dedup_incremental": Q.q_dedup_incremental,
         "extract_meta": Q.q_extract_meta,
         "doc_sentences": Q.q_doc_sentences,
@@ -170,6 +171,7 @@ def oracle_sql() -> dict[str, str]:
         "host_link_graph": Q.SQL_HOST_LINK_GRAPH,
         "host_pagerank": Q.SQL_HOST_PAGERANK,
         "frontier_scores": Q.SQL_FRONTIER_SCORES,
+        "label_centroids": Q.SQL_LABEL_CENTROIDS,
         "dedup_incremental": Q.SQL_DEDUP_INCREMENTAL,
         "extract_meta": Q.SQL_EXTRACT_META,
         "doc_sentences": Q.SQL_DOC_SENTENCES,

@@ -4038,3 +4038,86 @@ SELECT count(*) AS n_docs,
        max(doc_id) AS max_doc_id
 FROM documents WHERE n_chars >= 200 AND lang = 'en'
 """
+
+
+# ---------------------------------------------------------------------------
+# Vector aggregate: per-label embedding centroids (the k-means/IVF kernel)
+# ---------------------------------------------------------------------------
+
+CENTROID_UNIT = 1_000_000  # micro-unit quantization -> order-independent sums
+
+
+def q_label_centroids(sf_dir: str) -> rd.Dataset:
+    """Per-label embedding centroid — the vector AGGREGATE every clustering
+    / IVF build runs, as a first-class exact query: each block flattens its
+    list<float> column, quantizes to int64 micro-units (round half-away-
+    from-zero, matching DuckDB), and emits per-(label, dim) partial sums +
+    counts; one groupby merges the partials; mean_micro = truncating
+    integer division (DuckDB's // convention). Output one row per
+    (label, dim) — all integer, bit-identical at any parallelism."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        emb = t["embedding"].combine_chunks()
+        flat = pc.list_flatten(emb)
+        q = pc.cast(
+            pc.round(
+                pc.multiply(pc.cast(flat, pa.float64()), pa.scalar(float(CENTROID_UNIT))),
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        ).to_numpy(zero_copy_only=False)
+        n = t.num_rows
+        d = len(q) // n
+        mat = q.reshape(n, d)
+        labels = t["label"].to_numpy(zero_copy_only=False)
+        rows = []
+        for lab in np.unique(labels):
+            sums = mat[labels == lab].sum(axis=0, dtype=np.int64)
+            cnt = int((labels == lab).sum())
+            for dim in range(d):
+                rows.append({"label": int(lab), "dim": dim + 1,
+                             "n_vecs": cnt, "sum_micro": int(sums[dim])})
+        return pa.Table.from_pylist(rows, schema=pa.schema([
+            ("label", pa.int64()), ("dim", pa.int64()),
+            ("n_vecs", pa.int64()), ("sum_micro", pa.int64()),
+        ]))
+
+    from ray.data.aggregate import Sum as RSum
+
+    merged = (
+        _read(sf_dir, "embeddings", ["embedding", "label"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["label", "dim"])
+        .aggregate(
+            RSum("n_vecs", alias_name="n_vecs"),
+            RSum("sum_micro", alias_name="sum_micro"),
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        s = t["sum_micro"].to_numpy(zero_copy_only=False)
+        n = t["n_vecs"].to_numpy(zero_copy_only=False)
+        mean = np.sign(s) * (np.abs(s) // n)  # truncating division (DuckDB //)
+        return pa.Table.from_arrays(
+            [pc.cast(t["label"], pa.int64()), pc.cast(t["dim"], pa.int64()),
+             pc.cast(t["n_vecs"], pa.int64()), pc.cast(t["sum_micro"], pa.int64()),
+             pa.array(mean.astype(np.int64))],
+            names=["label", "dim", "n_vecs", "sum_micro", "mean_micro"],
+        )
+
+    return merged.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_LABEL_CENTROIDS = f"""
+WITH q AS (
+  SELECT label,
+         unnest(generate_series(1, len(embedding))) AS dim,
+         CAST(round(CAST(unnest(embedding) AS DOUBLE) * {CENTROID_UNIT}) AS BIGINT) AS qv
+  FROM embeddings
+)
+SELECT CAST(label AS BIGINT) AS label, CAST(dim AS BIGINT) AS dim,
+       count(*) AS n_vecs,
+       CAST(sum(qv) AS BIGINT) AS sum_micro,
+       CAST(sum(qv) // count(*) AS BIGINT) AS mean_micro
+FROM q GROUP BY label, dim
+"""
