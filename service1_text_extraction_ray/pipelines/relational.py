@@ -3208,3 +3208,68 @@ e AS (SELECT user_id AS k, count(*) AS n_events FROM events GROUP BY 1)
 SELECT coalesce(o.k, e.k) AS custkey, o.n_orders, e.n_events
 FROM o FULL OUTER JOIN e ON o.k = e.k
 """
+
+
+BASKET_MIN_COUNT = 2
+
+
+def q_part_cooccurrence(sf_dir: str) -> rd.Dataset:
+    """Market-basket co-occurrence: unordered part pairs appearing together
+    in at least BASKET_MIN_COUNT orders — the within-group PAIR-EXPLOSION
+    shape (relational cousin of the shingle/banding explosions). ONE
+    hash_exchange on l_orderkey co-locates each order's line items; inside
+    a shard the pair generation is a vectorized pandas self-merge on
+    orderkey filtered to a < b (bounded: pairs per order = k(k-1)/2 with
+    k = lines per order, ~4), pre-reduced to per-shard pair counts; a tiny
+    groupby merges shards and applies the support threshold."""
+    pair_schema = pa.schema([
+        pa.field("part_a", pa.int64()), pa.field("part_b", pa.int64()),
+        pa.field("n_orders", pa.int64()),
+    ])
+
+    def shard_pairs(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pair_schema.empty_table()
+        df = t.to_pandas().drop_duplicates()  # same part twice in one order counts once
+        m = df.merge(df, on="l_orderkey")
+        m = m[m["l_partkey_x"] < m["l_partkey_y"]]
+        agg = (
+            m.groupby(["l_partkey_x", "l_partkey_y"], sort=False)
+            .size()
+            .reset_index(name="n_orders")
+        )
+        return pa.Table.from_arrays(
+            [pa.array(agg["l_partkey_x"].to_numpy(dtype="int64")),
+             pa.array(agg["l_partkey_y"].to_numpy(dtype="int64")),
+             pa.array(agg["n_orders"].to_numpy(dtype="int64"))],
+            schema=pair_schema,
+        )
+
+    merged = hash_exchange(
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"]),
+        ["l_orderkey"],
+        shard_pairs,
+        pair_schema,
+    ).groupby(["part_a", "part_b"]).aggregate(Sum("n_orders", alias_name="n_orders"))
+
+    def support(t: pa.Table) -> pa.Table:
+        f = t.filter(
+            pc.greater_equal(t["n_orders"], pa.scalar(BASKET_MIN_COUNT, pa.int64()))
+        )
+        return pa.Table.from_arrays(
+            [pc.cast(f["part_a"], pa.int64()), pc.cast(f["part_b"], pa.int64()),
+             pc.cast(f["n_orders"], pa.int64())],
+            names=["part_a", "part_b", "n_orders"],
+        )
+
+    return merged.map_batches(support, batch_format="pyarrow")
+
+
+SQL_PART_COOCCURRENCE = f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n_orders
+FROM li a JOIN li b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2
+HAVING count(*) >= {BASKET_MIN_COUNT}
+"""
