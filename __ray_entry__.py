@@ -52,6 +52,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_pagerank": Q.q_host_pagerank,
         "frontier_scores": Q.q_frontier_scores,
         "label_centroids": Q.q_label_centroids,
+        "lang_confusion": Q.q_lang_confusion,
         "dedup_incremental": Q.q_dedup_incremental,
         "extract_meta": Q.q_extract_meta,
         "doc_sentences": Q.q_doc_sentences,
@@ -173,6 +174,7 @@ def oracle_sql() -> dict[str, str]:
         "host_pagerank": Q.SQL_HOST_PAGERANK,
         "frontier_scores": Q.SQL_FRONTIER_SCORES,
         "label_centroids": Q.SQL_LABEL_CENTROIDS,
+        "lang_confusion": Q.SQL_LANG_CONFUSION,
         "dedup_incremental": Q.SQL_DEDUP_INCREMENTAL,
         "extract_meta": Q.SQL_EXTRACT_META,
         "doc_sentences": Q.SQL_DOC_SENTENCES,

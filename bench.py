@@ -148,6 +148,9 @@ QUERY_NAMES = [
     "events_funnel", "events_retention", "events_props_stats",
     "url_host_stats", "extract_outlinks", "host_link_graph",
     "dedup_edit_distance", "host_pagerank", "nation_revenue",
+    "frontier_scores", "label_centroids", "part_cooccurrence",
+    "customer_activity_reconcile", "events_transitions", "dedup_normalized",
+    "extract_meta", "lang_confusion",
 ]
 
 

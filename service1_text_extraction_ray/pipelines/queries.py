@@ -4121,3 +4121,65 @@ SELECT CAST(label AS BIGINT) AS label, CAST(dim AS BIGINT) AS dim,
        CAST(sum(qv) // count(*) AS BIGINT) AS mean_micro
 FROM q GROUP BY label, dim
 """
+
+
+def q_lang_confusion(sf_dir: str) -> rd.Dataset:
+    """Language-ID confusion matrix — the evaluation composition: the
+    heuristic predictor (q_language_id semantics) runs per block, pairs
+    with the labeled lang column, and per-block (true, pred) partial
+    counts merge in a tiny groupby. The eval-matrix shape every classifier
+    stage in a curation pipeline reports."""
+    profiles = {k: set(v) for k, v in LANG_PROFILES.items()}
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        def lid(t: str) -> str:
+            words = t.lower().split()
+            if not words:
+                return "und"
+            best, best_n = "und", 0
+            for lang in ("de", "en", "es", "fr"):
+                n = sum(1 for w in words if w in profiles[lang])
+                if n > best_n:
+                    best, best_n = lang, n
+            return best
+
+        pred = df["text"].fillna("").map(lid)
+        agg = (
+            pd.DataFrame({"true_lang": df["lang"].fillna("und"), "pred_lang": pred})
+            .groupby(["true_lang", "pred_lang"], sort=False)
+            .size()
+            .reset_index(name="n_docs")
+        )
+        agg["n_docs"] = agg["n_docs"].astype("int64")
+        return agg
+
+    from ray.data.aggregate import Sum as RSum
+
+    return (
+        _read(sf_dir, "documents", ["text", "lang"])
+        .map_batches(partial, batch_format="pandas")
+        .groupby(["true_lang", "pred_lang"])
+        .aggregate(RSum("n_docs", alias_name="n_docs"))
+    )
+
+
+SQL_LANG_CONFUSION = f"""
+WITH tok AS (
+  SELECT coalesce(lang, 'und') AS true_lang,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS w
+  FROM documents
+), cnt AS (
+  SELECT true_lang,
+         {_sql_lang_counts()}
+  FROM tok
+)
+SELECT true_lang,
+       CASE WHEN greatest(n_de, n_en, n_es, n_fr) = 0 THEN 'und'
+            WHEN n_de = greatest(n_de, n_en, n_es, n_fr) THEN 'de'
+            WHEN n_en = greatest(n_de, n_en, n_es, n_fr) THEN 'en'
+            WHEN n_es = greatest(n_de, n_en, n_es, n_fr) THEN 'es'
+            ELSE 'fr' END AS pred_lang,
+       count(*) AS n_docs
+FROM cnt
+GROUP BY 1, 2
+"""
