@@ -130,6 +130,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_transitions": R.q_events_transitions,
         "customer_activity_reconcile": R.q_customer_activity_reconcile,
         "part_cooccurrence": R.q_part_cooccurrence,
+        "orders_ntile": R.q_orders_ntile,
         "order_price_quantiles_cont": R.q_order_price_quantiles_cont,
         "orders_profile": R.q_orders_profile,
         "nation_revenue": R.q_nation_revenue,
@@ -239,6 +240,7 @@ def oracle_sql() -> dict[str, str]:
         "events_transitions": R.SQL_EVENTS_TRANSITIONS,
         "customer_activity_reconcile": R.SQL_CUSTOMER_ACTIVITY_RECONCILE,
         "part_cooccurrence": R.SQL_PART_COOCCURRENCE,
+        "orders_ntile": R.SQL_ORDERS_NTILE,
         "order_price_quantiles_cont": R.SQL_ORDER_PRICE_QUANTILES_CONT,
         "orders_profile": R.SQL_ORDERS_PROFILE,
         "nation_revenue": R.SQL_NATION_REVENUE,

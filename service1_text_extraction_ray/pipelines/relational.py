@@ -3273,3 +3273,43 @@ FROM li a JOIN li b
 GROUP BY 1, 2
 HAVING count(*) >= {BASKET_MIN_COUNT}
 """
+
+
+NTILE_BUCKETS = 4
+
+
+def q_orders_ntile(sf_dir: str) -> rd.Dataset:
+    """NTILE window function: each order's price quartile WITHIN its
+    priority class (deterministic total order: price, then orderkey —
+    ties must be pinned or ntile is nondeterministic in any engine). One
+    groupby co-partitions each priority; inside the group the sort and
+    the SQL-standard bucket sizing (first n % k buckets get one extra
+    row) are vectorized numpy."""
+
+    def tiles(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_totalprice", "o_orderkey"], kind="mergesort")
+        n = len(g)
+        base, extra = divmod(n, NTILE_BUCKETS)
+        sizes = np.full(NTILE_BUCKETS, base, dtype=np.int64)
+        sizes[:extra] += 1
+        buckets = np.repeat(np.arange(1, NTILE_BUCKETS + 1, dtype=np.int64), sizes)
+        return pd.DataFrame({
+            "o_orderkey": g["o_orderkey"].to_numpy(),
+            "o_orderpriority": g["o_orderpriority"].to_numpy(),
+            "quartile": buckets[:n],
+        })
+
+    return (
+        _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority", "o_totalprice"])
+        .groupby("o_orderpriority")
+        .map_groups(tiles, batch_format="pandas")
+    )
+
+
+SQL_ORDERS_NTILE = f"""
+SELECT o_orderkey, o_orderpriority,
+       CAST(ntile({NTILE_BUCKETS}) OVER (
+         PARTITION BY o_orderpriority
+         ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS quartile
+FROM orders
+"""
