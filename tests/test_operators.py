@@ -1313,3 +1313,37 @@ def pd_isna(v):
     import pandas as pd
 
     return pd.isna(v)
+
+
+class TestExchangeShardInvariance:
+    """Results of hash_exchange-based operators must be independent of the
+    shard count (the knob that changes with cluster size) — the single-node
+    stand-in for parallelism invariance."""
+
+    def test_funnel_and_transitions_invariant(self, ray_session, monkeypatch):
+        import functools
+
+        import service1_text_extraction_ray.pipelines.relational as R
+
+        sf = "/root/testdata/sf0.001"
+        orig = R.hash_exchange
+
+        def run_all():
+            funnel = (
+                R.q_events_funnel(sf).to_pandas()
+                .sort_values("user_id").reset_index(drop=True)
+            )
+            trans = (
+                R.q_events_transitions(sf).to_pandas()
+                .sort_values(["prev_type", "next_type"]).reset_index(drop=True)
+            )
+            return funnel, trans
+
+        base = run_all()
+        for shards in (3, 17):
+            monkeypatch.setattr(
+                R, "hash_exchange", functools.partial(orig, num_shards=shards)
+            )
+            got = run_all()
+            assert got[0].equals(base[0]) and got[1].equals(base[1]), shards
+            monkeypatch.setattr(R, "hash_exchange", orig)
