@@ -3220,8 +3220,15 @@ def q_part_cooccurrence(sf_dir: str) -> rd.Dataset:
     hash_exchange on l_orderkey co-locates each order's line items; inside
     a shard the pair generation is a vectorized pandas self-merge on
     orderkey filtered to a < b (bounded: pairs per order = k(k-1)/2 with
-    k = lines per order, ~4), pre-reduced to per-shard pair counts; a tiny
-    groupby merges shards and applies the support threshold."""
+    k = lines per order, ~4), pre-reduced to per-shard pair counts; a
+    SECOND hash_exchange on (part_a, part_b) merges the per-shard partial
+    counts and applies the support threshold inside the shard task (valid
+    there: after that exchange every partial for a pair is co-located).
+    The pair stream is NOT tiny (~6 pairs/order, mostly count 1 — it
+    outnumbers the orders), so the merge uses the same int64-shard
+    exchange as every other keyed operator instead of a two-string-column
+    sort-shuffle groupby; the support filter then prunes ~95% of pairs
+    before anything leaves the merge task."""
     pair_schema = pa.schema([
         pa.field("part_a", pa.int64()), pa.field("part_b", pa.int64()),
         pa.field("n_orders", pa.int64()),
@@ -3245,24 +3252,26 @@ def q_part_cooccurrence(sf_dir: str) -> rd.Dataset:
             schema=pair_schema,
         )
 
-    merged = hash_exchange(
+    partials = hash_exchange(
         _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"]),
         ["l_orderkey"],
         shard_pairs,
         pair_schema,
-    ).groupby(["part_a", "part_b"]).aggregate(Sum("n_orders", alias_name="n_orders"))
+    )
 
-    def support(t: pa.Table) -> pa.Table:
-        f = t.filter(
-            pc.greater_equal(t["n_orders"], pa.scalar(BASKET_MIN_COUNT, pa.int64()))
+    def merge_support(t: pa.Table) -> pa.Table:
+        agg = t.group_by(["part_a", "part_b"]).aggregate([("n_orders", "sum")])
+        agg = agg.filter(
+            pc.greater_equal(
+                agg["n_orders_sum"], pa.scalar(BASKET_MIN_COUNT, pa.int64())
+            )
         )
         return pa.Table.from_arrays(
-            [pc.cast(f["part_a"], pa.int64()), pc.cast(f["part_b"], pa.int64()),
-             pc.cast(f["n_orders"], pa.int64())],
+            [agg["part_a"], agg["part_b"], pc.cast(agg["n_orders_sum"], pa.int64())],
             names=["part_a", "part_b", "n_orders"],
         )
 
-    return merged.map_batches(support, batch_format="pyarrow")
+    return hash_exchange(partials, ["part_a", "part_b"], merge_support, pair_schema)
 
 
 SQL_PART_COOCCURRENCE = f"""
