@@ -3322,3 +3322,143 @@ SELECT o_orderkey, o_orderpriority,
          ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS quartile
 FROM orders
 """
+
+
+# ---------------------------------------------------------------------------
+# Offset windows (LAG/LEAD) and set intersection — the remaining window /
+# set-op shapes of a general engine (SURVEY.md §2.6/§2.7 list only ranks,
+# running sums and EXCEPT)
+# ---------------------------------------------------------------------------
+
+
+def q_user_event_gaps(sf_dir: str) -> rd.Dataset:
+    """Offset windows: per event, microseconds since the user's PREVIOUS
+    event (LAG) and until the NEXT one (LEAD), -1 at the partition edges —
+    the inter-arrival-time shape behind session gap tuning and bot
+    detection. ONE hash_exchange on user_id co-locates each user's events;
+    inside a shard the whole window is three vectorized steps (one
+    mergesort by (user, ts, event_id), one C-level groupby diff each way) —
+    no per-user dispatch. The unique event_id tiebreak pins a total order
+    so the result is exact at any parallelism."""
+    out_schema = pa.schema([
+        pa.field("event_id", pa.int64()), pa.field("user_id", pa.int64()),
+        pa.field("prev_gap_us", pa.int64()), pa.field("next_gap_us", pa.int64()),
+    ])
+
+    def shard_gaps(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        df = pa.Table.from_arrays(
+            [t["event_id"], t["user_id"], pc.cast(t["ts"], pa.int64())],
+            names=["event_id", "user_id", "ts_us"],
+        ).to_pandas()
+        df = df.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
+        g = df.groupby("user_id", sort=False)["ts_us"]
+        prev_gap = g.diff().fillna(-1).astype("int64")
+        next_gap = (-g.diff(-1)).fillna(-1).astype("int64")
+        return pa.Table.from_arrays(
+            [
+                pa.array(df["event_id"].to_numpy(dtype="int64")),
+                pa.array(df["user_id"].to_numpy(dtype="int64")),
+                pa.array(prev_gap.to_numpy(dtype="int64")),
+                pa.array(next_gap.to_numpy(dtype="int64")),
+            ],
+            schema=out_schema,
+        )
+
+    return hash_exchange(
+        _read(sf_dir, "events", ["event_id", "user_id", "ts"]),
+        ["user_id"],
+        shard_gaps,
+        out_schema,
+    )
+
+
+SQL_USER_EVENT_GAPS = """
+SELECT event_id, user_id,
+       CAST(coalesce(epoch_us(ts) - lag(epoch_us(ts)) OVER w, -1) AS BIGINT)
+         AS prev_gap_us,
+       CAST(coalesce(lead(epoch_us(ts)) OVER w - epoch_us(ts), -1) AS BIGINT)
+         AS next_gap_us
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+INTERSECT_NATION_A = "NATION_1"
+INTERSECT_NATION_B = "NATION_2"
+
+
+def q_parts_both_nations(sf_dir: str) -> rd.Dataset:
+    """INTERSECT set op: part keys shipped by suppliers of BOTH nation A and
+    nation B. The supplier->nation side is a genuinely small dimension
+    (10k rows/sf), so it broadcasts via ray.put; each lineitem block then
+    pre-combines to per-block (partkey, in_a, in_b) membership flags — the
+    stream that reaches the exchange is one row per distinct partkey per
+    block, not per lineitem — and ONE hash_exchange on partkey ORs the
+    flags and keeps keys with both. Set intersection distributes as a
+    flag-max aggregate, the same partial-combine shape as every other
+    keyed reduce here (EXCEPT is q_customers_not_event_users)."""
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    key_a = set(nat[nat["n_name"] == INTERSECT_NATION_A]["n_nationkey"])
+    key_b = set(nat[nat["n_name"] == INTERSECT_NATION_B]["n_nationkey"])
+    supp_a = supp[supp["s_nationkey"].isin(key_a)]["s_suppkey"].to_numpy(dtype="int64")
+    supp_b = supp[supp["s_nationkey"].isin(key_b)]["s_suppkey"].to_numpy(dtype="int64")
+    ref = ray.put((np.sort(supp_a), np.sort(supp_b)))
+
+    flag_schema = pa.schema([
+        pa.field("partkey", pa.int64()),
+        pa.field("in_a", pa.int64()), pa.field("in_b", pa.int64()),
+    ])
+
+    def flags(t: pa.Table, _ref=ref) -> pa.Table:
+        sa, sb = ray.get(_ref)
+        sk = t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        in_a = np.isin(sk, sa).astype(np.int64)
+        in_b = np.isin(sk, sb).astype(np.int64)
+        keep = (in_a | in_b).astype(bool)
+        if not keep.any():
+            return flag_schema.empty_table()
+        pk = t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tt = pa.Table.from_arrays(
+            [pa.array(pk[keep]), pa.array(in_a[keep]), pa.array(in_b[keep])],
+            names=["partkey", "in_a", "in_b"],
+        )
+        g = tt.group_by("partkey").aggregate([("in_a", "max"), ("in_b", "max")])
+        return pa.Table.from_arrays(
+            [g["partkey"], g["in_a_max"], g["in_b_max"]],
+            names=["partkey", "in_a", "in_b"],
+        )
+
+    out_schema = pa.schema([pa.field("partkey", pa.int64())])
+
+    def intersect(t: pa.Table) -> pa.Table:
+        g = t.group_by("partkey").aggregate([("in_a", "max"), ("in_b", "max")])
+        both = pc.and_(
+            pc.equal(g["in_a_max"], pa.scalar(1, pa.int64())),
+            pc.equal(g["in_b_max"], pa.scalar(1, pa.int64())),
+        )
+        return pa.Table.from_arrays([g.filter(both)["partkey"]], names=["partkey"])
+
+    return hash_exchange(
+        _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"]).map_batches(
+            flags, batch_format="pyarrow"
+        ),
+        ["partkey"],
+        intersect,
+        out_schema,
+    )
+
+
+SQL_PARTS_BOTH_NATIONS = f"""
+SELECT DISTINCT l_partkey AS partkey
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = '{INTERSECT_NATION_A}'
+INTERSECT
+SELECT DISTINCT l_partkey AS partkey
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = '{INTERSECT_NATION_B}'
+"""

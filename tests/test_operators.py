@@ -1347,3 +1347,69 @@ class TestExchangeShardInvariance:
             got = run_all()
             assert got[0].equals(base[0]) and got[1].equals(base[1]), shards
             monkeypatch.setattr(R, "hash_exchange", orig)
+
+
+class TestOffsetWindowsAndIntersect:
+    def _write(self, tmp_path, tables):
+        import pyarrow.parquet as pq
+
+        d = tmp_path / "sf"
+        d.mkdir(exist_ok=True)
+        for name, t in tables.items():
+            pq.write_table(t, str(d / f"{name}.parquet"))
+        return str(d)
+
+    def test_lag_lead_gaps_and_edges(self, ray_session, tmp_path):
+        from service1_text_extraction_ray.pipelines.relational import (
+            q_user_event_gaps,
+        )
+
+        ts = pa.array([1_000_000, 4_000_000, 9_000_000, 2_000_000],
+                      pa.timestamp("us"))
+        d = self._write(tmp_path, {"events": pa.table({
+            "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "user_id": pa.array([7, 7, 7, 8], pa.int64()),
+            "ts": ts,
+        })})
+        out = q_user_event_gaps(d).to_pandas().sort_values("event_id")
+        # user 7: gaps 3s then 5s; first prev and last next are -1
+        assert out["prev_gap_us"].tolist() == [-1, 3_000_000, 5_000_000, -1]
+        assert out["next_gap_us"].tolist() == [3_000_000, 5_000_000, -1, -1]
+
+    def test_lag_ties_broken_by_event_id(self, ray_session, tmp_path):
+        from service1_text_extraction_ray.pipelines.relational import (
+            q_user_event_gaps,
+        )
+
+        ts = pa.array([5_000_000, 5_000_000], pa.timestamp("us"))
+        d = self._write(tmp_path, {"events": pa.table({
+            "event_id": pa.array([2, 1], pa.int64()),
+            "user_id": pa.array([1, 1], pa.int64()),
+            "ts": ts,
+        })})
+        out = q_user_event_gaps(d).to_pandas().sort_values("event_id")
+        # identical ts -> event_id order pins: 1 first (prev=-1), 2 second (gap 0)
+        assert out["prev_gap_us"].tolist() == [-1, 0]
+
+    def test_intersect_requires_both_nations(self, ray_session, tmp_path):
+        import service1_text_extraction_ray.pipelines.relational as R
+
+        d = self._write(tmp_path, {
+            "nation": pa.table({
+                "n_nationkey": pa.array([1, 2, 3], pa.int64()),
+                "n_name": pa.array([
+                    R.INTERSECT_NATION_A, R.INTERSECT_NATION_B, "NATION_OTHER",
+                ]),
+            }),
+            "supplier": pa.table({
+                "s_suppkey": pa.array([10, 20, 30], pa.int64()),
+                "s_nationkey": pa.array([1, 2, 3], pa.int64()),
+            }),
+            # part 100 ships from both A and B; 200 only A; 300 only other
+            "lineitem": pa.table({
+                "l_partkey": pa.array([100, 100, 200, 300], pa.int64()),
+                "l_suppkey": pa.array([10, 20, 10, 30], pa.int64()),
+            }),
+        })
+        out = R.q_parts_both_nations(d).to_pandas()
+        assert out["partkey"].tolist() == [100]
