@@ -3261,33 +3261,13 @@ def _pagerank_broadcast(edges, out_partial) -> rd.Dataset:
     return rd.from_arrow(out)
 
 
-def q_host_pagerank(sf_dir: str) -> rd.Dataset:
-    """PageRank over the followable host link graph — the engine's iterative
-    distributed algorithm. All arithmetic is INTEGER micro-units (pr starts
-    at 1e6; each edge carries floor(pr * n_links / out_links); pr' =
-    150_000 + floor(850_000 * sum(contrib) / 1e6)), so per-iteration sums
-    are order-independent and the result is bit-identical at any
-    parallelism AND exactly replayable in SQL (the oracle unrolls the same
-    PAGERANK_ITERS iterations as plain CTEs). Dangling-node mass is
-    dropped (documented divergence from the re-distribution variant).
-
-    Two regimes, selected by the measured host count (classic size-based
-    plan choice):
-    - BROADCAST (n_hosts <= PAGERANK_BROADCAST_HOSTS): the rank vector fits
-      memory, so each iteration is one map_batches over the materialized
-      edges with the pr/out-degree dicts shipped via ray.put, per-block
-      (dst, contrib) partials merged on the driver — ZERO per-iteration
-      shuffles. This is the regime every sf-scale run and the oracle hit.
-    - JOIN (larger): ONE co-partitioned hash_join (edges x pr on src) +
-      ONE groupby-sum over (contrib ∪ zero-base) per iteration — the
-      scale shape for a pr vector too large to broadcast.
-    Both regimes execute the identical integer update, so they are
-    bit-equal (pytest crosses them on the same graph). Edges/out-degrees
-    are host-grain (orders of magnitude smaller than the corpus) and
-    materialized once."""
+def _host_edges(sf_dir: str) -> rd.Dataset:
+    """Directed followable host-grain edge list (src, dst, n_links) from the
+    synthetic outlink pages — per-block pair partials (the parse output
+    never rides a shuffle raw), one groupby to finish, materialized once
+    (host-grain: bounded by #hosts^2, not corpus size). Shared by the
+    iterative graph algorithms (PageRank, connected components)."""
     from ray.data.aggregate import Sum as RSum
-
-    from .relational import hash_join
 
     edge_schema = pa.schema([
         ("src", pa.string()), ("dst", pa.string()), ("n_links", pa.int64()),
@@ -3318,13 +3298,44 @@ def q_host_pagerank(sf_dir: str) -> rd.Dataset:
             schema=edge_schema,
         )
 
-    edges = (
+    return (
         _read(sf_dir, "documents", ["doc_id", "source", "lang"])
         .map_batches(pair_partials, batch_format="pyarrow")
         .groupby(["src", "dst"])
         .aggregate(RSum("n_links", alias_name="n_links"))
-        .materialize()  # host-grain: bounded by #hosts^2, not corpus size
+        .materialize()
     )
+
+
+def q_host_pagerank(sf_dir: str) -> rd.Dataset:
+    """PageRank over the followable host link graph — the engine's iterative
+    distributed algorithm. All arithmetic is INTEGER micro-units (pr starts
+    at 1e6; each edge carries floor(pr * n_links / out_links); pr' =
+    150_000 + floor(850_000 * sum(contrib) / 1e6)), so per-iteration sums
+    are order-independent and the result is bit-identical at any
+    parallelism AND exactly replayable in SQL (the oracle unrolls the same
+    PAGERANK_ITERS iterations as plain CTEs). Dangling-node mass is
+    dropped (documented divergence from the re-distribution variant).
+
+    Two regimes, selected by the measured host count (classic size-based
+    plan choice):
+    - BROADCAST (n_hosts <= PAGERANK_BROADCAST_HOSTS): the rank vector fits
+      memory, so each iteration is one map_batches over the materialized
+      edges with the pr/out-degree dicts shipped via ray.put, per-block
+      (dst, contrib) partials merged on the driver — ZERO per-iteration
+      shuffles. This is the regime every sf-scale run and the oracle hit.
+    - JOIN (larger): ONE co-partitioned hash_join (edges x pr on src) +
+      ONE groupby-sum over (contrib ∪ zero-base) per iteration — the
+      scale shape for a pr vector too large to broadcast.
+    Both regimes execute the identical integer update, so they are
+    bit-equal (pytest crosses them on the same graph). Edges/out-degrees
+    are host-grain (orders of magnitude smaller than the corpus) and
+    materialized once."""
+    from ray.data.aggregate import Sum as RSum
+
+    from .relational import hash_join
+
+    edges = _host_edges(sf_dir)
 
     def out_partial(t: pa.Table) -> pa.Table:
         g = t.group_by("src").aggregate([("n_links", "sum")])
@@ -3459,6 +3470,195 @@ pr{i + 1} AS (
 
 
 SQL_HOST_PAGERANK = _sql_host_pagerank()
+
+
+# ---------------------------------------------------------------------------
+# Iterative graph algorithm #2: connected components of the host link graph
+# (undirected) — min-label propagation to FIXPOINT, so the result equals the
+# transitive-closure oracle regardless of iteration count
+# ---------------------------------------------------------------------------
+
+CC_MAX_ITERS = 64  # diameter cap; propagation converges in graph-diameter
+                   # rounds and raises if the cap is hit uncoverged
+
+
+def q_host_components(sf_dir: str) -> rd.Dataset:
+    """Connected components of the UNDIRECTED followable host graph — the
+    second iterative graph algorithm (with PageRank) and the backbone of
+    dedup-cluster consolidation at corpus scale. Each host's component
+    label is the lexicographic MIN host name in its component, computed by
+    min-label propagation run to FIXPOINT (label' = min(label, labels of
+    neighbors)); converging fully (not a fixed iteration count) is what
+    makes the result equal the recursive-CTE transitive-closure oracle.
+
+    Two regimes, selected by the measured edge count (the same size-based
+    plan choice as PageRank):
+    - BROADCAST (n_edges <= PAGERANK_BROADCAST_HOSTS): the label vector is
+      host-grain and fits memory; each round is ONE map_batches over the
+      materialized edges with the label dict shipped via ray.put, per-block
+      (host, min incoming label) partials merged on the driver. Zero
+      per-round shuffles.
+    - JOIN (larger): per round, ONE hash_join (undirected edges x labels on
+      edge source) produces neighbor-label candidates, a groupby-min over
+      (candidates ∪ current labels) updates, and a host-grain changed-count
+      join decides convergence — the scale shape for label vectors too
+      large to broadcast (#hosts on the real web ~10^8).
+    Both regimes execute the identical min-label update and are bit-equal
+    (pytest crosses them on the same graph, incl. a diameter-stress chain).
+    """
+    from ray.data.aggregate import Min as RMin
+
+    from .relational import hash_join
+
+    edges = _host_edges(sf_dir)
+
+    if edges.count() <= PAGERANK_BROADCAST_HOSTS:
+        return _components_broadcast(edges)
+
+    uedge_schema = pa.schema([("a", pa.string()), ("b", pa.string())])
+
+    def undirect(t: pa.Table) -> pa.Table:
+        a = pa.chunked_array([t["src"], t["dst"]])
+        b = pa.chunked_array([t["dst"], t["src"]])
+        return pa.Table.from_arrays([a, b], schema=uedge_schema)
+
+    uedges = edges.map_batches(undirect, batch_format="pyarrow").materialize()
+
+    def init_labels(t: pa.Table) -> pa.Table:
+        hosts = pc.unique(t["a"].combine_chunks() if isinstance(t["a"], pa.ChunkedArray) else t["a"])
+        return pa.Table.from_arrays([hosts, hosts], names=["host", "label"])
+
+    labels = (
+        uedges.map_batches(init_labels, batch_format="pyarrow")
+        .groupby("host")
+        .aggregate(RMin("label", alias_name="label"))
+        .materialize()
+    )
+
+    for _ in range(CC_MAX_ITERS):
+        cand = hash_join(
+            uedges,
+            labels,
+            left_on="a",
+            right_on="host",
+            key_type=pa.string(),
+            left_fields=[pa.field("b", pa.string())],
+            right_fields=[pa.field("label", pa.string())],
+        ).map_batches(
+            lambda t: pa.Table.from_arrays([t["b"], t["label"]],
+                                           names=["host", "label"]),
+            batch_format="pyarrow",
+        )
+        merged = (
+            cand.union(labels.select_columns(["host", "label"]))
+            .groupby("host")
+            .aggregate(RMin("label", alias_name="label"))
+            .materialize()
+        )
+        changed = (
+            hash_join(
+                merged,
+                labels.map_batches(
+                    lambda t: pa.Table.from_arrays(
+                        [t["host"], t["label"]], names=["host", "label_old"]
+                    ),
+                    batch_format="pyarrow",
+                ),
+                left_on="host",
+                right_on="host",
+                key_type=pa.string(),
+                left_fields=[pa.field("label", pa.string())],
+                right_fields=[pa.field("label_old", pa.string())],
+            )
+            .map_batches(
+                lambda t: pa.Table.from_arrays(
+                    [pc.cast(pc.not_equal(t["label"], t["label_old"]), pa.int64())],
+                    names=["chg"],
+                ),
+                batch_format="pyarrow",
+            )
+            .sum("chg")
+        )
+        labels = merged
+        if not changed:
+            return labels.map_batches(
+                lambda t: pa.Table.from_arrays(
+                    [t["host"], t["label"]], names=["host", "component"]
+                ),
+                batch_format="pyarrow",
+            )
+    raise RuntimeError(f"components did not converge in {CC_MAX_ITERS} rounds")
+
+
+def _components_broadcast(edges: rd.Dataset) -> rd.Dataset:
+    """Broadcast-regime min-label propagation (see q_host_components)."""
+    part_schema = pa.schema([("host", pa.string()), ("cand", pa.string())])
+
+    labels: dict[str, str] = {}
+    for b in edges.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        for s, d in zip(b["src"].to_pylist(), b["dst"].to_pylist()):
+            labels[s] = s
+            labels[d] = d
+
+    for _ in range(CC_MAX_ITERS):
+        ref = ray.put(labels)
+
+        def prop(t: pa.Table, _ref=ref) -> pa.Table:
+            lab = ray.get(_ref)
+            acc: dict[str, str] = {}
+            for s, d in zip(t["src"].to_pylist(), t["dst"].to_pylist()):
+                ls, ld = lab[s], lab[d]
+                if ld < acc.get(s, ls):
+                    acc[s] = ld
+                if ls < acc.get(d, ld):
+                    acc[d] = ls
+            if not acc:
+                return part_schema.empty_table()
+            return pa.Table.from_pylist(
+                [{"host": h, "cand": c} for h, c in acc.items()], schema=part_schema
+            )
+
+        changed = False
+        for b in edges.map_batches(prop, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        ):
+            for h, c in zip(b["host"].to_pylist(), b["cand"].to_pylist()):
+                if c < labels[h]:
+                    labels[h] = c
+                    changed = True
+        if not changed:
+            out = pa.Table.from_pylist(
+                [{"host": h, "component": c} for h, c in sorted(labels.items())],
+                schema=pa.schema([("host", pa.string()), ("component", pa.string())]),
+            )
+            return rd.from_arrow(out)
+    raise RuntimeError(f"components did not converge in {CC_MAX_ITERS} rounds")
+
+
+SQL_HOST_COMPONENTS = """
+WITH RECURSIVE
+base AS (SELECT doc_id, source FROM documents WHERE doc_id % 7 <> 0),
+links AS (
+  SELECT source || '.example.com' AS src,
+         'src' || ((doc_id * 7 + 1) % 20) || '.example.net' AS dst FROM base
+  UNION ALL
+  SELECT source || '.example.com', 'cdn.example.org' FROM base
+  UNION ALL
+  SELECT source || '.example.com', source || '.example.com' FROM base
+),
+uedges AS (
+  SELECT src AS a, dst AS b FROM links
+  UNION
+  SELECT dst, src FROM links
+),
+hosts AS (SELECT DISTINCT a AS host FROM uedges),
+reach(a, b) AS (
+  SELECT host, host FROM hosts
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN uedges e ON r.b = e.a
+)
+SELECT a AS host, min(b) AS component FROM reach GROUP BY a
+"""
 
 
 def q_dedup_incremental(sf_dir: str) -> rd.Dataset:

@@ -1413,3 +1413,55 @@ class TestOffsetWindowsAndIntersect:
         })
         out = R.q_parts_both_nations(d).to_pandas()
         assert out["partkey"].tolist() == [100]
+
+
+class TestHostComponents:
+    def _edges(self, pairs):
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({
+            "src": pa.array([a for a, _ in pairs]),
+            "dst": pa.array([b for _, b in pairs]),
+            "n_links": pa.array([1] * len(pairs), pa.int64()),
+        }))
+
+    def test_chain_converges_to_single_min_label(self, ray_session):
+        from service1_text_extraction_ray.pipelines.queries import (
+            _components_broadcast,
+        )
+
+        # diameter-stress chain e-d-c-b-a: min label 'a' must walk 4 hops
+        out = (
+            _components_broadcast(self._edges(
+                [("e", "d"), ("d", "c"), ("c", "b"), ("b", "a")]
+            ))
+            .to_pandas().sort_values("host")
+        )
+        assert out["component"].tolist() == ["a"] * 5
+
+    def test_two_components_stay_separate(self, ray_session):
+        from service1_text_extraction_ray.pipelines.queries import (
+            _components_broadcast,
+        )
+
+        out = (
+            _components_broadcast(self._edges([("b", "a"), ("x", "y")]))
+            .to_pandas().set_index("host")["component"]
+        )
+        assert out["a"] == "a" and out["b"] == "a"
+        assert out["x"] == "x" and out["y"] == "x"
+
+    def test_join_regime_bit_equal_to_broadcast(self, ray_session, monkeypatch):
+        import service1_text_extraction_ray.pipelines.queries as Q
+
+        sf = "/root/testdata/sf0.001"
+        base = (
+            Q.q_host_components(sf).to_pandas()
+            .sort_values("host").reset_index(drop=True)
+        )
+        monkeypatch.setattr(Q, "PAGERANK_BROADCAST_HOSTS", -1)
+        joined = (
+            Q.q_host_components(sf).to_pandas()
+            .sort_values("host").reset_index(drop=True)
+        )
+        assert joined.equals(base)
