@@ -906,3 +906,133 @@ SELECT k.doc_id, k.lang,
             ELSE 'test' END AS split
 FROM kept k JOIN dedup u ON k.doc_id = u.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Count-Min Sketch (approximate token counts with a deterministic,
+# SQL-replayable build) — completes the sketch family (HLL, t-digest,
+# bloom, exact heavy hitters)
+# ---------------------------------------------------------------------------
+
+CMS_DEPTH = 3     # hash rows
+CMS_WIDTH = 512   # counters per row (power of two -> idx is a bit-slice)
+
+
+def _cms_token_u64(tok: str) -> int:
+    """Little-endian uint64 of the first 8 md5 bytes — the corpus-wide token
+    hash every sketch here derives from (same bytes as _sql_md5_u64le)."""
+    return int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "little")
+
+
+def q_corpus_cms_counts(sf_dir: str) -> rd.Dataset:
+    """Count-Min Sketch build over all document tokens: CMS_DEPTH x
+    CMS_WIDTH integer counters, row i indexed by bits [16i, 16i+9) of the
+    md5-u64 token hash. The sketch is a MERGEABLE integer aggregate — each
+    block contributes per-cell partial counts (bounded: <= DEPTH x WIDTH
+    rows per block regardless of block size), one tiny groupby sums cells —
+    so the build never shuffles tokens, only (cell, count) partials, and
+    the result is bit-identical at any parallelism. Point estimates read
+    min over the DEPTH cells of a token (pytest checks the one-sided CMS
+    guarantee against exact counts); the full-cell table is the query
+    output so the oracle can replay every counter exactly."""
+    part_schema = pa.schema([
+        ("cms_row", pa.int64()), ("cms_idx", pa.int64()), ("cnt", pa.int64()),
+    ])
+
+    def partial(t: pa.Table) -> pa.Table:
+        cells: dict = {}
+        for text in t["text"].to_pylist():
+            for tok in _tokens(text or ""):
+                h = _cms_token_u64(tok)
+                for i in range(CMS_DEPTH):
+                    key = (i, (h >> (16 * i)) & (CMS_WIDTH - 1))
+                    cells[key] = cells.get(key, 0) + 1
+        if not cells:
+            return part_schema.empty_table()
+        return pa.Table.from_pylist(
+            [{"cms_row": r, "cms_idx": x, "cnt": n} for (r, x), n in cells.items()],
+            schema=part_schema,
+        )
+
+    return (
+        _read(sf_dir, "documents", ["text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["cms_row", "cms_idx"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+
+
+def cms_estimate(cells: pd.DataFrame, tok: str) -> int:
+    """Point estimate from a q_corpus_cms_counts result: min over rows of
+    the token's cell (absent cell = 0). One-sided: >= the true count."""
+    h = _cms_token_u64(tok)
+    lut = {(r, x): n for r, x, n in
+           zip(cells["cms_row"], cells["cms_idx"], cells["cnt"])}
+    return min(
+        lut.get((i, (h >> (16 * i)) & (CMS_WIDTH - 1)), 0) for i in range(CMS_DEPTH)
+    )
+
+
+def _sql_cms() -> str:
+    from .queries import _sql_md5_u64le
+
+    rows = "\n  UNION ALL\n".join(
+        f"  SELECT {i} AS cms_row, CAST((h >> {16 * i}) & {CMS_WIDTH - 1} AS BIGINT)"
+        f" AS cms_idx FROM h"
+        for i in range(CMS_DEPTH)
+    )
+    return f"""
+WITH tok AS (
+  SELECT unnest(list_filter(regexp_split_to_array(coalesce(text, ''), '\\s+'),
+                x -> x <> '')) AS t
+  FROM documents
+),
+h AS (SELECT {_sql_md5_u64le('md5(t)')} AS h FROM tok),
+cells AS (
+{rows}
+)
+SELECT cms_row, cms_idx, count(*) AS cnt FROM cells GROUP BY 1, 2
+"""
+
+
+SQL_CORPUS_CMS_COUNTS = _sql_cms()
+
+
+# ---------------------------------------------------------------------------
+# Weight-proportional document sampling (quality/length-weighted curation
+# draw) — integer-exact, so reproducible at any parallelism
+# ---------------------------------------------------------------------------
+
+WEIGHT_MULT = 16  # P(keep) = min(1, n_chars * 16 / 65536) = n_chars/4096
+
+
+def q_doc_sample_weighted(sf_dir: str) -> rd.Dataset:
+    """Weight-proportional Bernoulli sample: keep a doc iff its 16-bit
+    md5(doc_id) key < n_chars * WEIGHT_MULT — inclusion probability
+    proportional to document length (the quality-weighted curation draw),
+    decided by pure INTEGER comparison on a hash of the stable id. No RNG
+    state, no floats, no shuffle: membership is a per-batch filter that
+    re-runs, resumes and any cluster size reproduce exactly (same contract
+    as q_doc_sample's uniform draw; this is its importance-weighted
+    sibling)."""
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        keys = df["doc_id"].map(
+            lambda d: int.from_bytes(
+                hashlib.md5(str(d).encode()).digest()[:2], "big"
+            )
+        ).to_numpy()
+        keep = keys < df["n_chars"].to_numpy() * WEIGHT_MULT
+        out = df.loc[keep, ["doc_id", "lang", "n_chars"]]
+        return out
+
+    return _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"]).map_batches(
+        f, batch_format="pandas"
+    )
+
+
+SQL_DOC_SAMPLE_WEIGHTED = f"""
+SELECT doc_id, lang, n_chars
+FROM documents
+WHERE ({_SQL_MD5_KEY16}) < n_chars * {WEIGHT_MULT}
+"""

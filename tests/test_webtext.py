@@ -597,3 +597,61 @@ class TestCompressionRatio:
         # determinism across a second run
         again = q_doc_compression_ratio(d).to_pandas().set_index("doc_id").sort_index()
         assert (again == out).all().all()
+
+
+class TestCmsAndWeightedSample:
+    def test_cms_estimate_one_sided_and_tight_for_heavy_tokens(
+        self, ray_session, tmp_path
+    ):
+        import collections
+
+        import pyarrow.parquet as pq
+
+        from service1_text_extraction_ray.pipelines.webtext import (
+            _tokens,
+            cms_estimate,
+            q_corpus_cms_counts,
+        )
+
+        d = tmp_path / "sf"
+        d.mkdir()
+        texts = ["alpha beta gamma"] * 40 + ["beta delta"] * 25 + ["rare one"]
+        pq.write_table(pa.table({"text": pa.array(texts)}), str(d / "documents.parquet"))
+        cells = q_corpus_cms_counts(str(d)).to_pandas()
+
+        truth = collections.Counter()
+        for t in texts:
+            truth.update(_tokens(t))
+        for tok, n in truth.items():
+            est = cms_estimate(cells, tok)
+            assert est >= n, tok  # CMS never underestimates
+        # total mass per row equals the token stream length exactly
+        per_row = cells.groupby("cms_row")["cnt"].sum()
+        assert set(per_row) == {sum(truth.values())}
+
+    def test_weighted_sample_rate_tracks_weight(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from service1_text_extraction_ray.pipelines.webtext import (
+            WEIGHT_MULT,
+            q_doc_sample_weighted,
+        )
+
+        d = tmp_path / "sf"
+        d.mkdir()
+        n = 4000
+        # half short (512 chars -> p=1/8), half long (2048 -> p=1/2)
+        chars = [512] * (n // 2) + [2048] * (n // 2)
+        pq.write_table(pa.table({
+            "doc_id": pa.array(range(n), pa.int64()),
+            "lang": pa.array(["en"] * n),
+            "n_chars": pa.array(chars, pa.int64()),
+        }), str(d / "documents.parquet"))
+        out = q_doc_sample_weighted(str(d)).to_pandas()
+        short = (out["n_chars"] == 512).sum() / (n / 2)
+        long = (out["n_chars"] == 2048).sum() / (n / 2)
+        assert abs(short - 512 * WEIGHT_MULT / 65536) < 0.03
+        assert abs(long - 2048 * WEIGHT_MULT / 65536) < 0.03
+        # deterministic: second run identical
+        again = q_doc_sample_weighted(str(d)).to_pandas()
+        assert sorted(out["doc_id"]) == sorted(again["doc_id"])
