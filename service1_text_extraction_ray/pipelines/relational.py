@@ -2126,13 +2126,9 @@ FROM events
 ROLLUP_ALL = "ALL"
 
 
-def q_orders_rollup(sf_dir: str) -> pd.DataFrame:
-    """ROLLUP aggregate: revenue by (priority, status), per-priority
-    subtotals, and the grand total — in ONE pass. The coarser levels are
-    derived from the FINEST-grain partials (a few dozen rows), never from a
-    second scan: per-block pyarrow partials -> one tiny groupby -> driver
-    derivation of subtotal/total rows. 'ALL' markers instead of SQL NULLs
-    keep the driver's value hash unambiguous."""
+def _orders_finest(sf_dir: str) -> pd.DataFrame:
+    """Finest-grain (priority, status) revenue partials — the single scan
+    all ROLLUP/CUBE levels derive from (a few dozen rows once reduced)."""
 
     def prep(t: pa.Table) -> pa.Table:
         rows = pa.Table.from_arrays(
@@ -2148,7 +2144,7 @@ def q_orders_rollup(sf_dir: str) -> pd.DataFrame:
             names=["o_orderpriority", "o_orderstatus", "n_orders", "revenue_cents"],
         )
 
-    finest = (
+    return (
         _read(sf_dir, "orders", ["o_orderpriority", "o_orderstatus", "o_totalprice"])
         .map_batches(prep, batch_format="pyarrow")
         .repartition(8)
@@ -2159,6 +2155,16 @@ def q_orders_rollup(sf_dir: str) -> pd.DataFrame:
         )
         .to_pandas()  # the finest grain is (priorities x statuses) rows — tiny
     )
+
+
+def q_orders_rollup(sf_dir: str) -> pd.DataFrame:
+    """ROLLUP aggregate: revenue by (priority, status), per-priority
+    subtotals, and the grand total — in ONE pass. The coarser levels are
+    derived from the FINEST-grain partials (a few dozen rows), never from a
+    second scan: per-block pyarrow partials -> one tiny groupby -> driver
+    derivation of subtotal/total rows. 'ALL' markers instead of SQL NULLs
+    keep the driver's value hash unambiguous."""
+    finest = _orders_finest(sf_dir)
     by_prio = (
         finest.groupby("o_orderpriority", as_index=False)[["n_orders", "revenue_cents"]]
         .sum()
@@ -2181,6 +2187,44 @@ SELECT coalesce(o_orderpriority, '{ROLLUP_ALL}') AS o_orderpriority,
        CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
 FROM orders
 GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+"""
+
+
+def q_orders_cube(sf_dir: str) -> pd.DataFrame:
+    """CUBE aggregate: ROLLUP's three levels plus the per-status margin —
+    all four grouping sets derived from the SAME single finest-grain scan
+    (_orders_finest). A cube never needs one pass per grouping set: coarser
+    cells are sums of finest cells, computed on the driver over a few dozen
+    rows."""
+    finest = _orders_finest(sf_dir)
+    margins = []
+    for keep, drop in (
+        (["o_orderpriority"], "o_orderstatus"),
+        (["o_orderstatus"], "o_orderpriority"),
+    ):
+        m = (
+            finest.groupby(keep, as_index=False)[["n_orders", "revenue_cents"]]
+            .sum()
+            .assign(**{drop: ROLLUP_ALL})
+        )
+        margins.append(m)
+    total = pd.DataFrame([{
+        "o_orderpriority": ROLLUP_ALL, "o_orderstatus": ROLLUP_ALL,
+        "n_orders": finest["n_orders"].sum(),
+        "revenue_cents": finest["revenue_cents"].sum(),
+    }])
+    out = pd.concat([finest, *margins, total], ignore_index=True)
+    out = out[["o_orderpriority", "o_orderstatus", "n_orders", "revenue_cents"]]
+    return out.astype({"n_orders": "int64", "revenue_cents": "int64"})
+
+
+SQL_ORDERS_CUBE = f"""
+SELECT coalesce(o_orderpriority, '{ROLLUP_ALL}') AS o_orderpriority,
+       coalesce(o_orderstatus, '{ROLLUP_ALL}') AS o_orderstatus,
+       count(*) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM orders
+GROUP BY CUBE (o_orderpriority, o_orderstatus)
 """
 
 
