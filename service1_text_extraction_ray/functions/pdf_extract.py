@@ -23,7 +23,8 @@ surface as per-page/per-doc ``parse_failure`` rows, never exceptions):
   leaves; ``/MediaBox`` inherited or per-page; ``/Contents`` as a single ref
   or an array of refs.
 - Content streams: raw, ``/Filter /FlateDecode`` (stdlib zlib),
-  ``/Filter /ASCIIHexDecode``, or a chain of the two in array order
+  ``/LZWDecode`` (TIFF-variant LZW, EarlyChange=1), ``/RunLengthDecode``,
+  ``/ASCIIHexDecode``, or a chain of these in array order
   (any other filter -> counted parse failure, never junk text); text
   operators ``BT ET Tf Td TD Tm T* TL Tj TJ ' "``; literal ``(...)`` strings
   with standard escapes + octal, hex ``<...>`` strings; single-byte
@@ -225,14 +226,98 @@ def _ascii_hex_decode(raw: bytes) -> bytes:
     return bytes.fromhex(compact.decode("ascii"))
 
 
+def _lzw_decode(data: bytes) -> bytes:
+    """LZWDecode (PDF 1.7 §7.4.4 / TIFF variant, EarlyChange=1 — the
+    default; a /DecodeParms override is not emitted by any mainstream
+    producer for content streams). Codes start at 9 bits; 256 clears the
+    table, 257 is EOD; the code width grows when the table length reaches
+    511/1023/2047 (one entry EARLY, matching encoders that bump the width
+    one code before the table is actually full)."""
+    out = bytearray()
+    table: List[bytes] = []
+    prev = b""
+    width = 9
+    bitbuf = 0
+    bitcnt = 0
+
+    def _reset() -> List[bytes]:
+        return [bytes([c]) for c in range(256)] + [b"", b""]
+
+    table = _reset()
+    for byte in data:
+        bitbuf = (bitbuf << 8) | byte
+        bitcnt += 8
+        while bitcnt >= width:
+            code = (bitbuf >> (bitcnt - width)) & ((1 << width) - 1)
+            bitcnt -= width
+            if code == 256:
+                table = _reset()
+                width = 9
+                prev = b""
+                continue
+            if code == 257:
+                return bytes(out)
+            if not prev:
+                if code >= len(table):
+                    raise PdfParseError("LZWDecode: literal code out of range")
+                entry = table[code]
+            else:
+                if code < len(table):
+                    entry = table[code]
+                    table.append(prev + entry[:1])
+                elif code == len(table):
+                    entry = prev + prev[:1]
+                    table.append(entry)
+                else:
+                    raise PdfParseError("LZWDecode: code out of range")
+                n = len(table)
+                if n == 511:
+                    width = 10
+                elif n == 1023:
+                    width = 11
+                elif n == 2047:
+                    width = 12
+            out += entry
+            prev = entry
+    # Truncated stream without an EOD marker: tolerate (real-world PDFs
+    # sometimes omit it); everything decoded so far is valid output.
+    return bytes(out)
+
+
+def _run_length_decode(data: bytes) -> bytes:
+    """RunLengthDecode (PDF 1.7 §7.4.5): length byte L then either L+1
+    literal bytes (L < 128) or one byte repeated 257-L times (L > 128);
+    L == 128 is EOD."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        l = data[i]
+        if l == 128:
+            return bytes(out)
+        if l < 128:
+            end = i + 1 + l + 1
+            if end > n:
+                raise PdfParseError("RunLengthDecode: truncated literal run")
+            out += data[i + 1:end]
+            i = end
+        else:
+            if i + 1 >= n:
+                raise PdfParseError("RunLengthDecode: truncated repeat run")
+            out += bytes([data[i + 1]]) * (257 - l)
+            i += 2
+    raise PdfParseError("RunLengthDecode: missing EOD")
+
+
 def _decode_stream(
     obj: "_PdfObject", file_key: Optional[bytes] = None, cfm: str = "V2"
 ) -> bytes:
     """Apply the object's /Filter chain (in array order) to its stream.
 
-    Supported: FlateDecode (stdlib zlib), ASCIIHexDecode, and chains of
-    the two. Any other filter raises PdfParseError, which the document
-    dispatcher turns into a counted parse-failure row.
+    Supported: FlateDecode (stdlib zlib), LZWDecode, RunLengthDecode,
+    ASCIIHexDecode, and chains thereof. Any other filter raises
+    PdfParseError, which the document dispatcher turns into a counted
+    parse-failure row.
 
     Decryption (``file_key`` set) is OUTERMOST: stored bytes are
     crypt(filtered(content)), so decrypt first, then defilter (ISO 32000-1
@@ -284,6 +369,10 @@ def _decode_stream(
                 raise PdfParseError(f"FlateDecode failed: {e}") from e
         elif name == b"ASCIIHexDecode":
             raw = _ascii_hex_decode(raw)
+        elif name == b"LZWDecode":
+            raw = _lzw_decode(raw)
+        elif name == b"RunLengthDecode":
+            raw = _run_length_decode(raw)
         else:
             raise PdfParseError(f"unsupported stream filter /{name.decode('ascii', 'replace')}")
     return raw

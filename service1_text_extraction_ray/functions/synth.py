@@ -244,11 +244,94 @@ def _tounicode_cmap(cid_map: dict) -> bytes:
     return "\n".join(parts).encode("latin-1")
 
 
-def make_pdf(page_line_texts: List[List[str]], rng: random.Random, compress: bool = False,
+def _lzw_encode(data: bytes) -> bytes:
+    """LZWDecode-compatible encoder (PDF 1.7 §7.4.4, TIFF variant,
+    EarlyChange=1). Width bumps mirror the decoder exactly: the decoder's
+    table is one entry behind the encoder's, so the encoder widens when its
+    next free code reaches 512/1024/2048 (the decoder's 511/1023/2047)."""
+    bits: List[Tuple[int, int]] = [(256, 9)]  # clear table first (spec)
+    table = {bytes([c]): c for c in range(256)}
+    next_code = 258
+    width = 9
+    w = b""
+    for b in data:
+        c = bytes([b])
+        if w + c in table:
+            w += c
+            continue
+        bits.append((table[w], width))
+        table[w + c] = next_code
+        next_code += 1
+        if next_code - 1 in (511, 1023, 2047):
+            width += 1
+        if next_code == 4096:
+            bits.append((256, width))
+            table = {bytes([ch]): ch for ch in range(256)}
+            next_code = 258
+            width = 9
+        w = c
+    if w:
+        bits.append((table[w], width))
+    bits.append((257, width))
+    out = bytearray()
+    buf = 0
+    cnt = 0
+    for code, wd in bits:
+        buf = (buf << wd) | code
+        cnt += wd
+        while cnt >= 8:
+            out.append((buf >> (cnt - 8)) & 0xFF)
+            cnt -= 8
+    if cnt:
+        out.append((buf << (8 - cnt)) & 0xFF)
+    return bytes(out)
+
+
+def _rle_encode(data: bytes) -> bytes:
+    """RunLengthDecode-compatible encoder (PDF 1.7 §7.4.5): repeat runs of
+    2-128 equal bytes as (257-n, byte); literals in chunks of <= 128."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    lit_start = i
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 2:
+            j = lit_start
+            while j < i:
+                k = min(128, i - j)
+                out.append(k - 1)
+                out += data[j:j + k]
+                j += k
+            out.append(257 - run)
+            out.append(data[i])
+            i += run
+            lit_start = i
+        else:
+            i += 1
+    j = lit_start
+    while j < n:
+        k = min(128, n - j)
+        out.append(k - 1)
+        out += data[j:j + k]
+        j += k
+    out.append(128)  # EOD
+    return bytes(out)
+
+
+def make_pdf(page_line_texts: List[List[str]], rng: random.Random,
+             compress: "bool | str" = False,
              two_column: bool = False, use_tm: bool = False,
              encrypt: dict | None = None, objstm: bool = False,
              cid_font: bool = False, form_header: bool = False) -> bytes:
     """Write a minimal PDF 1.4 with the given per-page line texts.
+
+    ``compress``: False = raw content streams; True = FlateDecode; "lzw" /
+    "rle" = LZWDecode / RunLengthDecode page content (auxiliary streams
+    stay Flate) — same text operators, so extraction is byte-identical
+    across all four encodings.
 
     ``cid_font``: use a composite Type0 font with /Encoding /Identity-H
     instead of the simple Type1 font — strings in the content streams are
@@ -384,7 +467,13 @@ def make_pdf(page_line_texts: List[List[str]], rng: random.Random, compress: boo
         else:
             content = _page_content(lines, use_tm, rng, cid_map)
         filt = ""
-        if compress:
+        if compress == "lzw":
+            content = _lzw_encode(content)
+            filt = " /Filter /LZWDecode"
+        elif compress == "rle":
+            content = _rle_encode(content)
+            filt = " /Filter /RunLengthDecode"
+        elif compress:
             content = zlib.compress(content, 6)
             filt = " /Filter /FlateDecode"
         if crypt is not None:
@@ -616,7 +705,14 @@ def make_row(i: int, seed: int = 42) -> dict:
         payload = make_pdf(
             pages,
             rng,
-            compress=(i % 2 == 0),
+            # Filter rotation over the compressed half: mostly Flate, every
+            # 8th row LZWDecode, every 8th+4 RunLengthDecode — extracted
+            # text is byte-identical across filters, so goldens and the
+            # corpus content hash are unchanged by the re-encoding.
+            compress=(
+                False if i % 2 else
+                ("lzw" if i % 8 == 0 else ("rle" if i % 8 == 4 else True))
+            ),
             two_column=two_column,
             use_tm=(cat in (88, 89, 93)),
             encrypt=encrypt,

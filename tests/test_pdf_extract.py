@@ -419,3 +419,62 @@ class TestFormXObjects:
         broken = pdf.replace(b"/XObject << /Fm0 6 0 R >>", b"/XObject << /Fm0 99 0 R >>")
         out = parse_pdf(broken)
         assert out[0].text == "B"  # body still extracted; missing form skipped
+
+
+def test_lzw_rle_codec_roundtrip():
+    from service1_text_extraction_ray.functions.pdf_extract import (
+        _lzw_decode,
+        _run_length_decode,
+    )
+    from service1_text_extraction_ray.functions.synth import (
+        _lzw_encode,
+        _rle_encode,
+    )
+
+    r = random.Random(7)
+    cases = [
+        b"",
+        b"A",
+        b"AAAA",
+        b"ABABABABAB" * 50,
+        bytes(r.randrange(256) for _ in range(5000)),   # crosses 9->10 bits
+        bytes(r.randrange(4) for _ in range(40000)),    # crosses 10->11 bits
+        b"\x00" * 1000 + b"\xff" * 300 + bytes(range(256)) * 3,
+    ]
+    for data in cases:
+        assert _lzw_decode(_lzw_encode(data)) == data
+        assert _run_length_decode(_rle_encode(data)) == data
+
+
+def test_lzw_spec_example_codes():
+    # Hand-derivable stream for "AAAA": Clear(256), 'A'(65), 258, 'A'(65),
+    # EOD(257) at 9 bits each -> verifies bit packing + the deferred-entry
+    # (code == next_code) branch against the published algorithm, not just
+    # self-consistency with our encoder.
+    from service1_text_extraction_ray.functions.pdf_extract import _lzw_decode
+
+    bits = ""
+    for code in (256, 65, 258, 65, 257):
+        bits += format(code, "09b")
+    bits += "0" * (-len(bits) % 8)
+    raw = bytes(int(bits[i:i + 8], 2) for i in range(0, len(bits), 8))
+    assert _lzw_decode(raw) == b"AAAA"
+
+
+def test_rle_spec_forms():
+    from service1_text_extraction_ray.functions.pdf_extract import (
+        _run_length_decode,
+    )
+
+    # literal run of 3, repeat 'B' x4, EOD
+    assert _run_length_decode(b"\x02abc" + bytes([257 - 4]) + b"B\x80") == b"abcBBBB"
+    with pytest.raises(Exception):
+        _run_length_decode(b"\x05ab")  # truncated literal
+
+
+def test_lzw_and_rle_pdfs_extract_identically():
+    lines = ["Filter parity line %d with repeats aaaa bbbb." % i for i in range(30)]
+    base = [p.text for p in parse_pdf(make_pdf([lines], rng(), compress=True))]
+    for filt in ("lzw", "rle", False):
+        got = [p.text for p in parse_pdf(make_pdf([lines], rng(), compress=filt))]
+        assert got == base, filt
