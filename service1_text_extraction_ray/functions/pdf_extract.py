@@ -17,7 +17,9 @@ surface as per-page/per-doc ``parse_failure`` rows, never exceptions):
   ``/Type /ObjStm`` is decoded and its contained objects unpacked into the
   object map (``_expand_object_streams``), so compressed-catalog documents
   parse; trailer fields are also read from ``/Type /XRef`` stream dicts
-  (cross-reference-stream files have no ``trailer`` keyword).
+  (cross-reference-stream files have no ``trailer`` keyword). Incremental
+  updates (§7.5.6) resolve last-definition-at-highest-generation wins, so
+  appended replacement objects shadow their originals.
 - Document structure: ``trailer`` dict (or a ``/Type /Catalog`` object) ->
   ``/Root`` -> ``/Pages`` tree with nested ``/Kids`` -> ``/Type /Page``
   leaves; ``/MediaBox`` inherited or per-page; ``/Contents`` as a single ref
@@ -188,8 +190,13 @@ def _scan_objects(data: bytes) -> Dict[int, _PdfObject]:
                     i = i + length
         end_obj = data.find(b"endobj", i)
         pos = end_obj + 6 if end_obj >= 0 else i + 1
-        # First definition wins (objects are unique in the subset).
-        if num not in objects:
+        # Incremental updates (ISO 32000-1 §7.5.6) append replacement
+        # objects at the END of the file; with xref ignored, the live
+        # version is the LAST definition at the highest generation — the
+        # same repair heuristic scanning parsers use. A later definition
+        # with a LOWER generation is a stale freed object and never wins.
+        prior = objects.get(num)
+        if prior is None or gen >= prior.gen:
             objects[num] = _PdfObject(num, dict_bytes, stream, gen)
     if not objects:
         raise PdfParseError("no PDF objects found")

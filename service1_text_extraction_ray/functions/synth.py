@@ -612,6 +612,32 @@ def make_pdf(page_line_texts: List[List[str]], rng: random.Random,
     return bytes(out)
 
 
+def append_incremental_update(pdf: bytes, page_index: int,
+                              new_lines: List[str], rng: random.Random) -> bytes:
+    """Append an incremental update (ISO 32000-1 §7.5.6) replacing one
+    page's content stream: a new object with the SAME object number after
+    the original ``%%EOF``, plus an update xref section and trailer with
+    ``/Prev``. The live document is the appended version — parsers must
+    resolve last-definition-wins. Valid for classic non-encrypted
+    ``make_pdf`` output (content object numbers are ``4 + 2*page``);
+    the replacement content is raw (uncompressed) single-column text."""
+    content = _page_content(
+        [(72.0, 720.0 - 14.0 * j, t) for j, t in enumerate(new_lines)],
+        False, rng, None,
+    )
+    num = 4 + 2 * page_index
+    obj = (
+        f"{num} 0 obj\n<< /Length {len(content)} >>\nstream\n".encode()
+        + content + b"\nendstream\nendobj\n"
+    )
+    offset = len(pdf) + 1
+    tail = (
+        f"xref\n{num} 1\n{offset:010d} 00000 n \n"
+        f"trailer\n<< /Prev 0 >>\nstartxref\n{offset}\n%%EOF\n"
+    )
+    return pdf + b"\n" + obj + tail.encode()
+
+
 def make_malformed(rng: random.Random, variant: int) -> bytes:
     variant = variant % 4
     if variant == 0:
@@ -723,6 +749,18 @@ def make_row(i: int, seed: int = 42) -> dict:
             objstm=(i % 5 == 1),
             cid_font=(i % 7 == 2),
         )
+        if encrypt is None and i % 7 != 2 and i % 11 == 5:
+            # Incrementally-updated document (§7.5.6): page 0's content is
+            # replaced by an appended object with the same number — the
+            # golden text is the UPDATED page (last-definition-wins).
+            # Excluded: encrypted docs (replacement would need the object
+            # crypt) and CID-font docs (replacement uses literal strings).
+            new_lines = [
+                _sentence(rng, rng.randint(*words)).strip()
+                for _ in range(rng.randint(6, 14))
+            ]
+            payload = append_incremental_update(payload, 0, new_lines, rng)
+            pages[0] = new_lines
         text = "" if cat == 94 else "\n\n".join("\n".join(p) for p in pages)
     else:
         payload = make_malformed(rng, variant=i)

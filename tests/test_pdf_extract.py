@@ -478,3 +478,32 @@ def test_lzw_and_rle_pdfs_extract_identically():
     for filt in ("lzw", "rle", False):
         got = [p.text for p in parse_pdf(make_pdf([lines], rng(), compress=filt))]
         assert got == base, filt
+
+
+def test_incremental_update_replaces_page():
+    from service1_text_extraction_ray.functions.synth import (
+        append_incremental_update,
+    )
+
+    base_lines = [["Original page one line."], ["Untouched page two line."]]
+    pdf = make_pdf(base_lines, rng())
+    updated = append_incremental_update(pdf, 0, ["Replacement text wins."], rng())
+    pages = parse_pdf(updated)
+    assert pages[0].text == "Replacement text wins."
+    assert pages[1].text == "Untouched page two line."
+    # chain: a second update shadows the first
+    updated2 = append_incremental_update(updated, 0, ["Second revision."], rng())
+    assert parse_pdf(updated2)[0].text == "Second revision."
+
+
+def test_stale_lower_generation_never_wins():
+    from service1_text_extraction_ray.functions.synth import (
+        append_incremental_update,
+    )
+
+    pdf = make_pdf([["Live high-generation content."]], rng())
+    # bump the original content object (num 4) to generation 1, then append
+    # a gen-0 "update": the gen-1 original must stay live
+    pdf_gen1 = pdf.replace(b"4 0 obj", b"4 1 obj", 1)
+    shadowed = append_incremental_update(pdf_gen1, 0, ["Stale freed object."], rng())
+    assert parse_pdf(shadowed)[0].text == "Live high-generation content."
