@@ -3506,3 +3506,57 @@ FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
               JOIN nation ON s_nationkey = n_nationkey
 WHERE n_name = '{INTERSECT_NATION_B}'
 """
+
+
+def q_orders_above_cust_avg(sf_dir: str) -> rd.Dataset:
+    """Correlated-subquery decorrelation: orders strictly above their OWN
+    customer's average order value ("price > AVG(...) per customer" — the
+    shape optimizers rewrite into a window/co-partition plan). ONE
+    hash_exchange on o_custkey; inside a shard the per-customer sum/count
+    come from one C-level groupby-transform and the comparison is the
+    INTEGER cross-multiplication cents * n > sum — no division, no floats,
+    so the result is exact at any parallelism."""
+    out_schema = pa.schema([
+        pa.field("o_orderkey", pa.int64()), pa.field("o_custkey", pa.int64()),
+        pa.field("cents", pa.int64()),
+    ])
+
+    def shard_filter(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        df = pa.Table.from_arrays(
+            [t["o_orderkey"], t["o_custkey"], _cents(t["o_totalprice"])],
+            names=["o_orderkey", "o_custkey", "cents"],
+        ).to_pandas()
+        g = df.groupby("o_custkey", sort=False)["cents"]
+        s = g.transform("sum").to_numpy()
+        n = g.transform("size").to_numpy()
+        keep = df["cents"].to_numpy() * n > s
+        out = df.loc[keep]
+        return pa.Table.from_arrays(
+            [pa.array(out["o_orderkey"].to_numpy(dtype="int64")),
+             pa.array(out["o_custkey"].to_numpy(dtype="int64")),
+             pa.array(out["cents"].to_numpy(dtype="int64"))],
+            schema=out_schema,
+        )
+
+    return hash_exchange(
+        _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"]),
+        ["o_custkey"],
+        shard_filter,
+        out_schema,
+    )
+
+
+SQL_ORDERS_ABOVE_CUST_AVG = """
+SELECT o_orderkey, o_custkey, cents
+FROM (
+  SELECT o_orderkey, o_custkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT))
+           OVER (PARTITION BY o_custkey) AS s,
+         count(*) OVER (PARTITION BY o_custkey) AS n
+  FROM orders
+)
+WHERE cents * n > s
+"""
