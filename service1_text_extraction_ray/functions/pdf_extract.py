@@ -26,8 +26,8 @@ surface as per-page/per-doc ``parse_failure`` rows, never exceptions):
   or an array of refs.
 - Content streams: raw, ``/Filter /FlateDecode`` (stdlib zlib),
   ``/LZWDecode`` (TIFF-variant LZW, EarlyChange=1), ``/RunLengthDecode``,
-  ``/ASCIIHexDecode``, or a chain of these in array order
-  (any other filter -> counted parse failure, never junk text); text
+  ``/ASCIIHexDecode``, ``/ASCII85Decode``, or a chain of these in array
+  order (any other filter -> counted parse failure, never junk text); text
   operators ``BT ET Tf Td TD Tm T* TL Tj TJ ' "``; literal ``(...)`` strings
   with standard escapes + octal, hex ``<...>`` strings; single-byte
   (StandardEncoding/WinAnsi ~ latin-1) text.
@@ -233,6 +233,48 @@ def _ascii_hex_decode(raw: bytes) -> bytes:
     return bytes.fromhex(compact.decode("ascii"))
 
 
+def _ascii85_decode(raw: bytes) -> bytes:
+    """ASCII85Decode (PDF 1.7 §7.4.3): base-85 groups of 5 chars -> 4
+    bytes, ``z`` shorthand for four zero bytes (only between groups),
+    ``~>`` is EOD, whitespace ignored; a trailing partial group of n chars
+    (2 <= n <= 4) yields n-1 bytes (pad with 'u', drop the pad bytes)."""
+    eod = raw.find(b"~>")
+    if eod != -1:
+        raw = raw[:eod]
+    if raw.startswith(b"<~"):
+        raw = raw[2:]
+    out = bytearray()
+    group: List[int] = []
+    for c in raw:
+        if c in b" \t\r\n\f\x00":
+            continue
+        if c == 0x7A:  # 'z'
+            if group:
+                raise PdfParseError("ASCII85Decode: z inside group")
+            out += b"\x00\x00\x00\x00"
+            continue
+        if not (0x21 <= c <= 0x75):
+            raise PdfParseError("ASCII85Decode: character out of range")
+        group.append(c - 0x21)
+        if len(group) == 5:
+            acc = 0
+            for d in group:
+                acc = acc * 85 + d
+            if acc > 0xFFFFFFFF:
+                raise PdfParseError("ASCII85Decode: group overflow")
+            out += acc.to_bytes(4, "big")
+            group = []
+    if group:
+        n = len(group)
+        if n == 1:
+            raise PdfParseError("ASCII85Decode: single trailing character")
+        acc = 0
+        for d in group + [84] * (5 - n):
+            acc = acc * 85 + d
+        out += acc.to_bytes(4, "big")[: n - 1]
+    return bytes(out)
+
+
 def _lzw_decode(data: bytes) -> bytes:
     """LZWDecode (PDF 1.7 §7.4.4 / TIFF variant, EarlyChange=1 — the
     default; a /DecodeParms override is not emitted by any mainstream
@@ -322,9 +364,9 @@ def _decode_stream(
     """Apply the object's /Filter chain (in array order) to its stream.
 
     Supported: FlateDecode (stdlib zlib), LZWDecode, RunLengthDecode,
-    ASCIIHexDecode, and chains thereof. Any other filter raises
-    PdfParseError, which the document dispatcher turns into a counted
-    parse-failure row.
+    ASCIIHexDecode, ASCII85Decode, and chains thereof. Any other filter
+    raises PdfParseError, which the document dispatcher turns into a
+    counted parse-failure row.
 
     Decryption (``file_key`` set) is OUTERMOST: stored bytes are
     crypt(filtered(content)), so decrypt first, then defilter (ISO 32000-1
@@ -380,6 +422,8 @@ def _decode_stream(
             raw = _lzw_decode(raw)
         elif name == b"RunLengthDecode":
             raw = _run_length_decode(raw)
+        elif name == b"ASCII85Decode":
+            raw = _ascii85_decode(raw)
         else:
             raise PdfParseError(f"unsupported stream filter /{name.decode('ascii', 'replace')}")
     return raw

@@ -287,6 +287,28 @@ def _lzw_encode(data: bytes) -> bytes:
     return bytes(out)
 
 
+def _a85_encode(data: bytes) -> bytes:
+    """ASCII85Decode-compatible encoder (PDF 1.7 §7.4.3): 4 bytes -> 5
+    base-85 chars, all-zero full groups as ``z``, trailing n bytes as n+1
+    chars, ``~>`` EOD."""
+    out = bytearray()
+    for i in range(0, len(data), 4):
+        chunk = data[i:i + 4]
+        n = len(chunk)
+        acc = int.from_bytes(chunk + b"\x00" * (4 - n), "big")
+        if acc == 0 and n == 4:
+            out.append(0x7A)  # 'z'
+            continue
+        grp = bytearray()
+        for _ in range(5):
+            grp.append(acc % 85 + 0x21)
+            acc //= 85
+        grp.reverse()
+        out += grp[: n + 1]
+    out += b"~>"
+    return bytes(out)
+
+
 def _rle_encode(data: bytes) -> bytes:
     """RunLengthDecode-compatible encoder (PDF 1.7 §7.4.5): repeat runs of
     2-128 equal bytes as (257-n, byte); literals in chunks of <= 128."""
@@ -329,9 +351,9 @@ def make_pdf(page_line_texts: List[List[str]], rng: random.Random,
     """Write a minimal PDF 1.4 with the given per-page line texts.
 
     ``compress``: False = raw content streams; True = FlateDecode; "lzw" /
-    "rle" = LZWDecode / RunLengthDecode page content (auxiliary streams
-    stay Flate) — same text operators, so extraction is byte-identical
-    across all four encodings.
+    "rle" / "a85" = LZWDecode / RunLengthDecode / ASCII85Decode page
+    content (auxiliary streams stay Flate) — same text operators, so
+    extraction is byte-identical across every encoding.
 
     ``cid_font``: use a composite Type0 font with /Encoding /Identity-H
     instead of the simple Type1 font — strings in the content streams are
@@ -473,6 +495,9 @@ def make_pdf(page_line_texts: List[List[str]], rng: random.Random,
         elif compress == "rle":
             content = _rle_encode(content)
             filt = " /Filter /RunLengthDecode"
+        elif compress == "a85":
+            content = _a85_encode(content)
+            filt = " /Filter /ASCII85Decode"
         elif compress:
             content = zlib.compress(content, 6)
             filt = " /Filter /FlateDecode"
@@ -731,13 +756,16 @@ def make_row(i: int, seed: int = 42) -> dict:
         payload = make_pdf(
             pages,
             rng,
-            # Filter rotation over the compressed half: mostly Flate, every
-            # 8th row LZWDecode, every 8th+4 RunLengthDecode — extracted
-            # text is byte-identical across filters, so goldens and the
-            # corpus content hash are unchanged by the re-encoding.
+            # Filter rotation over the compressed half: mostly Flate, with
+            # LZWDecode (i%8==0), RunLengthDecode (i%8==4) and
+            # ASCII85Decode (i%16==6) slices — extracted text is
+            # byte-identical across filters, so goldens and the corpus
+            # content hash are unchanged by the re-encoding.
             compress=(
                 False if i % 2 else
-                ("lzw" if i % 8 == 0 else ("rle" if i % 8 == 4 else True))
+                ("lzw" if i % 8 == 0 else
+                 ("rle" if i % 8 == 4 else
+                  ("a85" if i % 16 == 6 else True)))
             ),
             two_column=two_column,
             use_tm=(cat in (88, 89, 93)),

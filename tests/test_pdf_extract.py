@@ -507,3 +507,34 @@ def test_stale_lower_generation_never_wins():
     pdf_gen1 = pdf.replace(b"4 0 obj", b"4 1 obj", 1)
     shadowed = append_incremental_update(pdf_gen1, 0, ["Stale freed object."], rng())
     assert parse_pdf(shadowed)[0].text == "Live high-generation content."
+
+
+def test_ascii85_roundtrip_and_stdlib_interop():
+    import base64
+
+    from service1_text_extraction_ray.functions.pdf_extract import _ascii85_decode
+    from service1_text_extraction_ray.functions.synth import _a85_encode
+
+    r = random.Random(3)
+    cases = [
+        b"",
+        b"M",
+        b"Man ",
+        b"\x00\x00\x00\x00" * 3 + b"tail",
+        bytes(r.randrange(256) for _ in range(1031)),
+    ]
+    for data in cases:
+        assert _ascii85_decode(_a85_encode(data)) == data
+        # independent reference: stdlib Adobe-framed ascii85
+        assert _ascii85_decode(base64.a85encode(data, adobe=True)) == data
+    with pytest.raises(Exception):
+        _ascii85_decode(b"!!z!!")  # 'z' inside a group
+    with pytest.raises(Exception):
+        _ascii85_decode(b"!~>")  # single trailing char
+
+
+def test_a85_pdf_extracts_identically():
+    lines = ["Ascii85 page line %d." % i for i in range(12)]
+    base = [p.text for p in parse_pdf(make_pdf([lines], rng(), compress=True))]
+    got = [p.text for p in parse_pdf(make_pdf([lines], rng(), compress="a85"))]
+    assert got == base
