@@ -151,6 +151,9 @@ QUERY_NAMES = [
     "frontier_scores", "label_centroids", "part_cooccurrence",
     "customer_activity_reconcile", "events_transitions", "dedup_normalized",
     "extract_meta", "lang_confusion",
+    "user_event_gaps", "parts_both_nations", "host_components",
+    "corpus_cms_counts", "doc_sample_weighted", "orders_cube",
+    "orders_above_cust_avg", "events_outliers",
 ]
 
 

@@ -3560,3 +3560,75 @@ FROM (
 )
 WHERE cents * n > s
 """
+
+
+def q_events_outliers(sf_dir: str) -> rd.Dataset:
+    """Per-user anomaly detection: events whose value is more than two
+    standard deviations ABOVE the user's own mean — the per-key z-score
+    outlier shape, made integer-exact by clearing denominators: with
+    n = user's event count, s = sum(cents), q = sum(cents^2),
+    v > mean + 2*sigma  <=>  (v*n - s) > 0  AND  (v*n - s)^2 > 4*(n*q - s^2).
+    No division, no sqrt, no floats — bit-reproducible at any parallelism
+    and replayed verbatim by the SQL oracle. ONE hash_exchange on user_id;
+    per-shard moments come from C-level groupby transforms. int64 domain
+    guard: |v*n - s| and the variance term must stay below 2^31.5-scale
+    squares; the operator RAISES on overflow instead of wrapping (at cents
+    <= 2^21 this allows ~2^20 events per user — beyond that, window the
+    stream per epoch before flagging)."""
+    out_schema = pa.schema([
+        pa.field("event_id", pa.int64()), pa.field("user_id", pa.int64()),
+        pa.field("cents", pa.int64()),
+    ])
+
+    def shard_flag(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        df = pa.Table.from_arrays(
+            [t["event_id"], t["user_id"], _cents(t["value"])],
+            names=["event_id", "user_id", "cents"],
+        ).to_pandas()
+        g = df.groupby("user_id", sort=False)["cents"]
+        n = g.transform("size").to_numpy()
+        s = g.transform("sum").to_numpy()
+        sq = df["cents"].to_numpy() ** 2
+        q = (
+            df.assign(sq=sq).groupby("user_id", sort=False)["sq"]
+            .transform("sum").to_numpy()
+        )
+        v = df["cents"].to_numpy()
+        dev = v * n - s
+        var_term = n * q - s * s
+        if (np.abs(dev) >= 3_000_000_000).any() or (var_term < 0).any():
+            raise OverflowError("events_outliers: int64 moment domain exceeded")
+        keep = (dev > 0) & (dev * dev > 4 * var_term)
+        out = df.loc[keep]
+        return pa.Table.from_arrays(
+            [pa.array(out["event_id"].to_numpy(dtype="int64")),
+             pa.array(out["user_id"].to_numpy(dtype="int64")),
+             pa.array(out["cents"].to_numpy(dtype="int64"))],
+            schema=out_schema,
+        )
+
+    return hash_exchange(
+        _read(sf_dir, "events", ["event_id", "user_id", "value"]),
+        ["user_id"],
+        shard_flag,
+        out_schema,
+    )
+
+
+SQL_EVENTS_OUTLIERS = """
+SELECT event_id, user_id, cents
+FROM (
+  SELECT event_id, user_id,
+         CAST(round(value * 100) AS BIGINT) AS cents,
+         count(*) OVER w AS n,
+         sum(CAST(round(value * 100) AS BIGINT)) OVER w AS s,
+         sum(CAST(round(value * 100) AS BIGINT)
+             * CAST(round(value * 100) AS BIGINT)) OVER w AS q
+  FROM events
+  WINDOW w AS (PARTITION BY user_id)
+)
+WHERE (cents * n - s) > 0
+  AND (cents * n - s) * (cents * n - s) > 4 * (n * q - s * s)
+"""

@@ -1337,7 +1337,19 @@ class TestExchangeShardInvariance:
                 R.q_events_transitions(sf).to_pandas()
                 .sort_values(["prev_type", "next_type"]).reset_index(drop=True)
             )
-            return funnel, trans
+            gaps = (
+                R.q_user_event_gaps(sf).to_pandas()
+                .sort_values("event_id").reset_index(drop=True)
+            )
+            above = (
+                R.q_orders_above_cust_avg(sf).to_pandas()
+                .sort_values("o_orderkey").reset_index(drop=True)
+            )
+            outl = (
+                R.q_events_outliers(sf).to_pandas()
+                .sort_values("event_id").reset_index(drop=True)
+            )
+            return funnel, trans, gaps, above, outl
 
         base = run_all()
         for shards in (3, 17):
@@ -1345,7 +1357,8 @@ class TestExchangeShardInvariance:
                 R, "hash_exchange", functools.partial(orig, num_shards=shards)
             )
             got = run_all()
-            assert got[0].equals(base[0]) and got[1].equals(base[1]), shards
+            for gi, bi in zip(got, base):
+                assert gi.equals(bi), shards
             monkeypatch.setattr(R, "hash_exchange", orig)
 
 
@@ -1465,3 +1478,44 @@ class TestHostComponents:
             .sort_values("host").reset_index(drop=True)
         )
         assert joined.equals(base)
+
+
+class TestEventsOutliers:
+    def test_two_sigma_rule_exact(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from service1_text_extraction_ray.pipelines.relational import (
+            q_events_outliers,
+        )
+
+        d = tmp_path / "sf"
+        d.mkdir()
+        # user 1: nine 10.00s and one 100.00 -> spike is >2 sigma above mean.
+        # user 2: uniform values -> nothing flagged.
+        vals = [10.0] * 9 + [100.0] + [5.0, 5.0, 5.0]
+        users = [1] * 10 + [2] * 3
+        pq.write_table(pa.table({
+            "event_id": pa.array(range(13), pa.int64()),
+            "user_id": pa.array(users, pa.int64()),
+            "value": pa.array(vals),
+        }), str(d / "events.parquet"))
+        out = q_events_outliers(str(d)).to_pandas()
+        assert out["event_id"].tolist() == [9]
+        assert out["cents"].tolist() == [10000]
+
+    def test_below_mean_never_flagged(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from service1_text_extraction_ray.pipelines.relational import (
+            q_events_outliers,
+        )
+
+        d = tmp_path / "sf"
+        d.mkdir()
+        # a deep NEGATIVE spike is >2 sigma in magnitude but below the mean
+        pq.write_table(pa.table({
+            "event_id": pa.array(range(10), pa.int64()),
+            "user_id": pa.array([1] * 10, pa.int64()),
+            "value": pa.array([50.0] * 9 + [0.0]),
+        }), str(d / "events.parquet"))
+        assert q_events_outliers(str(d)).count() == 0
