@@ -153,7 +153,7 @@ QUERY_NAMES = [
     "extract_meta", "lang_confusion",
     "user_event_gaps", "parts_both_nations", "host_components",
     "corpus_cms_counts", "doc_sample_weighted", "orders_cube",
-    "orders_above_cust_avg", "events_outliers",
+    "orders_above_cust_avg", "events_outliers", "dedup_jaccard_prefix",
 ]
 
 

@@ -1519,3 +1519,62 @@ class TestEventsOutliers:
             "value": pa.array([50.0] * 9 + [0.0]),
         }), str(d / "events.parquet"))
         assert q_events_outliers(str(d)).count() == 0
+
+
+class TestPrefixJaccardJoin:
+    def test_matches_allpairs_truth_with_planted_dups(self, ray_session, tmp_path):
+        import random
+
+        import pyarrow.parquet as pq
+
+        from service1_text_extraction_ray.pipelines.queries import (
+            q_dedup_jaccard,
+            q_dedup_jaccard_prefix,
+        )
+
+        r = random.Random(5)
+        vocab = [f"w{i}" for i in range(60)]
+        texts = []
+        for i in range(40):
+            words = [r.choice(vocab) for _ in range(r.randint(10, 24))]
+            texts.append(" ".join(words))
+            if i % 7 == 0:
+                # planted near-dup: same words with one changed at the tail
+                near = words[:-1] + [r.choice(vocab)]
+                texts.append(" ".join(near))
+        d = tmp_path / "sf"
+        d.mkdir()
+        pq.write_table(pa.table({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+        }), str(d / "documents.parquet"))
+
+        key = ["doc_id_a", "doc_id_b"]
+        truth = (
+            q_dedup_jaccard(str(d)).to_pandas()
+            .sort_values(key).reset_index(drop=True)
+        )
+        fast = (
+            q_dedup_jaccard_prefix(str(d)).to_pandas()
+            .sort_values(key).reset_index(drop=True)
+        )
+        assert fast.equals(truth)
+        assert len(truth) > 0  # the planted dups must actually appear
+
+    def test_empty_set_convention_and_cap(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from service1_text_extraction_ray.pipelines.queries import (
+            q_dedup_jaccard_prefix,
+        )
+
+        d = tmp_path / "sf"
+        d.mkdir()
+        pq.write_table(pa.table({
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(["", "", "alpha beta gamma delta"]),
+        }), str(d / "documents.parquet"))
+        out = q_dedup_jaccard_prefix(str(d)).to_pandas()
+        assert out[["doc_id_a", "doc_id_b", "jaccard_pct"]].values.tolist() == [
+            [1, 2, 100]
+        ]
