@@ -3632,3 +3632,185 @@ FROM (
 WHERE (cents * n - s) > 0
   AND (cents * n - s) * (cents * n - s) > 4 * (n * q - s * s)
 """
+
+
+def q_distinct_users_hll_by_type(sf_dir: str) -> pd.DataFrame:
+    """GROUPED HyperLogLog: approximate distinct users PER EVENT TYPE — the
+    sketch-per-key shape that replaces an exact per-group distinct's full
+    shuffle at web scale: each block contributes one 4 KiB register array
+    per key it saw, and the merge is an element-wise max per key (keys x
+    4 KiB, independent of row count). Same deterministic md5 registers and
+    exact-integer harmonic estimate as the global q_distinct_users_hll, so
+    the grouped estimates are bit-reproducible and SQL-replayed exactly."""
+    import numpy as np
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        types, regs = [], []
+        for et, g in df.groupby("event_type", sort=False):
+            types.append(et)
+            regs.append(_hll_registers(g["user_id"].tolist()).tolist())
+        return pd.DataFrame({
+            "event_type": pd.Series(types, dtype="object"),
+            "registers": pd.Series(regs, dtype="object"),
+        })
+
+    merged: dict = {}
+    for b in (
+        _read(sf_dir, "events", ["user_id", "event_type"])
+        .map_batches(partial, batch_format="pandas")
+        .iter_batches(batch_format="pandas")
+    ):
+        for et, r in zip(b["event_type"], b["registers"]):
+            arr = np.asarray(r, dtype=np.uint8)
+            if et in merged:
+                np.maximum(merged[et], arr, out=merged[et])
+            else:
+                merged[et] = arr.copy()
+    rows = sorted((et, _hll_estimate(r)) for et, r in merged.items())
+    return pd.DataFrame({
+        "event_type": pd.Series([r[0] for r in rows], dtype="object"),
+        "n_distinct_users_est": pd.Series([r[1] for r in rows], dtype="int64"),
+    })
+
+
+def _sql_distinct_users_hll_by_type() -> str:
+    """Grouped twin of _sql_distinct_users_hll: identical register and
+    estimate arithmetic with event_type threaded through every level."""
+    m = 1 << HLL_P
+
+    def hexbyte(col: str, idx: int) -> str:
+        c1 = f"substr({col}, {2 * idx + 1}, 1)"
+        c2 = f"substr({col}, {2 * idx + 2}, 1)"
+        return (
+            f"((instr('0123456789abcdef', {c1}) - 1) * 16"
+            f" + instr('0123456789abcdef', {c2}) - 1)"
+        )
+
+    u64 = " + ".join(
+        f"CAST({hexbyte('md5(CAST(user_id AS VARCHAR))', j)} AS UBIGINT) * {256 ** j}"
+        for j in range(8)
+    )
+    rank_case = (
+        "CASE "
+        + " ".join(f"WHEN w >= {1 << (52 - r)} THEN {r}" for r in range(1, 53))
+        + " ELSE 53 END"
+    )
+    est = (
+        f"(0.7213 / (1 + 1.079 / {m})) * {m} * {m} * {float(1 << 53)!r}"
+        f" / CAST(n_int AS DOUBLE)"
+    )
+    return f"""
+WITH h AS (
+  SELECT event_type, ({u64}) AS hv FROM events
+),
+w AS (SELECT event_type, hv % {m} AS idx, hv >> {HLL_P} AS w FROM h),
+regs AS (SELECT event_type, idx, max({rank_case}) AS rank FROM w GROUP BY 1, 2),
+agg AS (
+  SELECT event_type, count(*) AS n_present,
+         SUM(CAST(CASE rank
+           {" ".join(f"WHEN {r} THEN {1 << (53 - r)}" for r in range(1, 54))}
+         END AS HUGEINT)) AS present_sum
+  FROM regs GROUP BY 1
+),
+folded AS (
+  SELECT event_type, ({m} - n_present) AS zeros,
+         present_sum + CAST(({m} - n_present) AS HUGEINT) * {1 << 53} AS n_int
+  FROM agg
+)
+SELECT event_type, CAST(round_even(CASE
+    WHEN {est} <= 2.5 * {m} AND zeros > 0
+    THEN {m} * ln({m} / CAST(zeros AS DOUBLE))
+    ELSE {est}
+  END, 0) AS BIGINT) AS n_distinct_users_est
+FROM folded
+"""
+
+
+SQL_DISTINCT_USERS_HLL_BY_TYPE = _sql_distinct_users_hll_by_type()
+
+
+def q_orders_percent_rank(sf_dir: str) -> rd.Dataset:
+    """PERCENT_RANK window in exact integer parts-per-million:
+    ppm = (rank - 1) * 1e6 // (n - 1) within each priority class, rank by
+    (price, orderkey) — float-free so the driver's value hash matches at
+    any parallelism (SQL's native percent_rank() returns a double; both
+    sides compute the integer formula instead). One groupby co-partitions
+    each priority; ranks are a vectorized argsort inside the group."""
+
+    def ranks(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_totalprice", "o_orderkey"], kind="mergesort")
+        n = len(g)
+        r = np.arange(n, dtype=np.int64)
+        ppm = r * 1_000_000 // max(1, n - 1) if n > 1 else np.zeros(1, dtype=np.int64)
+        return pd.DataFrame({
+            "o_orderkey": g["o_orderkey"].to_numpy(),
+            "o_orderpriority": g["o_orderpriority"].to_numpy(),
+            "pct_rank_ppm": ppm,
+        })
+
+    return (
+        _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority", "o_totalprice"])
+        .groupby("o_orderpriority")
+        .map_groups(ranks, batch_format="pandas")
+    )
+
+
+SQL_ORDERS_PERCENT_RANK = """
+SELECT o_orderkey, o_orderpriority,
+       CAST((CAST(rank() OVER (
+              PARTITION BY o_orderpriority
+              ORDER BY o_totalprice, o_orderkey) AS BIGINT) - 1) * 1000000
+            // greatest(1, CAST(count(*) OVER (
+              PARTITION BY o_orderpriority) AS BIGINT) - 1)
+            AS BIGINT) AS pct_rank_ppm
+FROM orders
+"""
+
+
+def q_user_event_paths(sf_dir: str) -> rd.Dataset:
+    """Sequence assembly: each user's full event-type path in time order as
+    one '>'-joined string — the sessions-to-sequences shape behavioral
+    models train on. ONE hash_exchange on user_id; inside a shard the path
+    is one mergesort + one C-level groupby string-join (no per-user Python
+    dispatch). (ts, event_id) pins tie order. At web scale, truncate or
+    window per epoch upstream — a path column is only as bounded as the
+    per-user event count."""
+    out_schema = pa.schema([
+        pa.field("user_id", pa.int64()), pa.field("path", pa.string()),
+        pa.field("n_events", pa.int64()),
+    ])
+
+    def shard_paths(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        df = pa.Table.from_arrays(
+            [t["user_id"], pc.cast(t["ts"], pa.int64()), t["event_id"],
+             t["event_type"]],
+            names=["user_id", "ts_us", "event_id", "event_type"],
+        ).to_pandas()
+        df = df.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
+        g = df.groupby("user_id", sort=False)["event_type"]
+        agg = g.agg(">".join)
+        n = g.size()
+        return pa.Table.from_arrays(
+            [pa.array(agg.index.to_numpy(dtype="int64")),
+             pa.array(agg.to_numpy(dtype=object), pa.string()),
+             pa.array(n.to_numpy(dtype="int64"))],
+            schema=out_schema,
+        )
+
+    return hash_exchange(
+        _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"]),
+        ["user_id"],
+        shard_paths,
+        out_schema,
+    )
+
+
+SQL_USER_EVENT_PATHS = """
+SELECT user_id,
+       string_agg(event_type, '>' ORDER BY ts, event_id) AS path,
+       count(*) AS n_events
+FROM events
+GROUP BY user_id
+"""

@@ -1578,3 +1578,68 @@ class TestPrefixJaccardJoin:
         assert out[["doc_id_a", "doc_id_b", "jaccard_pct"]].values.tolist() == [
             [1, 2, 100]
         ]
+
+
+class TestGroupedSketchAndSequences:
+    def _write_events(self, tmp_path, tbl):
+        import pyarrow.parquet as pq
+
+        d = tmp_path / "sf"
+        d.mkdir(exist_ok=True)
+        pq.write_table(tbl, str(d / "events.parquet"))
+        return str(d)
+
+    def test_grouped_hll_accuracy_per_key(self, ray_session, tmp_path):
+        from service1_text_extraction_ray.pipelines.relational import (
+            q_distinct_users_hll_by_type,
+        )
+
+        n_a, n_b = 3000, 50
+        d = self._write_events(tmp_path, pa.table({
+            "user_id": pa.array(
+                list(range(n_a)) * 2 + list(range(100000, 100000 + n_b)),
+                pa.int64(),
+            ),
+            "event_type": pa.array(["a"] * (2 * n_a) + ["b"] * n_b),
+        }))
+        out = q_distinct_users_hll_by_type(d).set_index("event_type")
+        est_a = out.loc["a", "n_distinct_users_est"]
+        est_b = out.loc["b", "n_distinct_users_est"]
+        assert abs(est_a - n_a) / n_a < 0.05
+        assert abs(est_b - n_b) / n_b < 0.05  # linear-counting branch
+
+    def test_percent_rank_edges(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from service1_text_extraction_ray.pipelines.relational import (
+            q_orders_percent_rank,
+        )
+
+        d = tmp_path / "sf"
+        d.mkdir()
+        pq.write_table(pa.table({
+            "o_orderkey": pa.array([1, 2, 3, 9], pa.int64()),
+            "o_orderpriority": pa.array(["P1", "P1", "P1", "P2"]),
+            "o_totalprice": pa.array([10.0, 20.0, 30.0, 5.0]),
+        }), str(d / "orders.parquet"))
+        out = (
+            q_orders_percent_rank(str(d)).to_pandas()
+            .sort_values("o_orderkey")
+        )
+        # three-row group: 0, 500000, 1000000; singleton group: 0
+        assert out["pct_rank_ppm"].tolist() == [0, 500000, 1000000, 0]
+
+    def test_event_paths_time_ordered(self, ray_session, tmp_path):
+        from service1_text_extraction_ray.pipelines.relational import (
+            q_user_event_paths,
+        )
+
+        d = self._write_events(tmp_path, pa.table({
+            "event_id": pa.array([4, 1, 2], pa.int64()),
+            "user_id": pa.array([1, 1, 1], pa.int64()),
+            "ts": pa.array([3_000_000, 1_000_000, 2_000_000], pa.timestamp("us")),
+            "event_type": pa.array(["purchase", "view", "click"]),
+        }))
+        out = q_user_event_paths(d).to_pandas()
+        assert out["path"].tolist() == ["view>click>purchase"]
+        assert out["n_events"].tolist() == [3]
