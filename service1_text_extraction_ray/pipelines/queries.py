@@ -1384,8 +1384,7 @@ def q_dedup_jaccard(sf_dir: str) -> rd.Dataset:
 # sizes come from a hash join + GROUP BY (never a per-pair nested scan);
 # pairs with Jaccard >= 0.8 necessarily share shingles, so the join loses
 # nothing; empty-empty pairs (Jaccard 100 by convention) are unioned in.
-SQL_DEDUP_JACCARD = f"""
-WITH tok AS (
+_JACC_CTES = f"""tok AS (
   SELECT doc_id,
          list_filter(regexp_split_to_array(coalesce(text, ''), '\\s+'), x -> x <> '') AS w
   FROM documents
@@ -1410,13 +1409,15 @@ scored AS (
          CAST(round_even(100.0 * i / greatest(1, sa.n + sb.n - i), 0) AS BIGINT) AS jaccard_pct
   FROM inter JOIN sizes sa ON sa.doc_id = inter.da
              JOIN sizes sb ON sb.doc_id = inter.db
-)
-SELECT da AS doc_id_a, db AS doc_id_b, jaccard_pct FROM scored
+)"""
+
+_JACC_SELECT = f"""SELECT da AS doc_id_a, db AS doc_id_b, jaccard_pct FROM scored
 WHERE jaccard_pct >= {JACCARD_DUP_PCT}
 UNION ALL
 SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, CAST(100 AS BIGINT) AS jaccard_pct
-FROM sizes a JOIN sizes b ON a.doc_id < b.doc_id AND a.n = 0 AND b.n = 0
-"""
+FROM sizes a JOIN sizes b ON a.doc_id < b.doc_id AND a.n = 0 AND b.n = 0"""
+
+SQL_DEDUP_JACCARD = f"WITH {_JACC_CTES}\n{_JACC_SELECT}"
 
 
 def sql_dedup_minhash_lsh() -> str:
@@ -4607,3 +4608,63 @@ def q_dedup_jaccard_prefix(sf_dir: str) -> rd.Dataset:
         ))
         verified = verified.union(empties)
     return verified
+
+
+def q_dedup_near_clusters(sf_dir: str) -> rd.Dataset:
+    """NEAR-dup cluster consolidation: connected components over the exact
+    prefix-join pair graph — the composition that turns pairwise >= 80%
+    Jaccard verdicts into dedup groups (cluster id = min doc_id in the
+    component, the representative a curation pass keeps). Reuses the
+    fixpoint min-label machinery of q_host_components on the pair edges
+    (pair output is result-scale, orders of magnitude below the corpus, so
+    the broadcast regime always applies; doc ids ride as zero-padded
+    strings so lexicographic min == numeric min). Oracle: the all-pairs
+    Jaccard SQL nested as a CTE under a recursive transitive closure."""
+    pair_schema = pa.schema([
+        ("src", pa.string()), ("dst", pa.string()), ("n_links", pa.int64()),
+    ])
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        a = [f"{x:012d}" for x in t["doc_id_a"].to_pylist()]
+        b = [f"{x:012d}" for x in t["doc_id_b"].to_pylist()]
+        return pa.Table.from_arrays(
+            [pa.array(a), pa.array(b),
+             pa.nulls(len(a), pa.int64()).fill_null(1)],
+            schema=pair_schema,
+        )
+
+    edges = q_dedup_jaccard_prefix(sf_dir).map_batches(
+        to_edges, batch_format="pyarrow"
+    ).materialize()
+
+    comp = _components_broadcast(edges)
+
+    def back(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [pa.array([int(h) for h in t["host"].to_pylist()], pa.int64()),
+             pa.array([int(c) for c in t["component"].to_pylist()], pa.int64())],
+            names=["doc_id", "cluster_id"],
+        )
+
+    return comp.map_batches(back, batch_format="pyarrow")
+
+
+# The jaccard CTEs are FLATTENED into the outer WITH (DuckDB drops nested
+# CTE scope when a nested WITH body is a top-level UNION ALL); the union
+# select is wrapped in a subquery for the same reason.
+SQL_DEDUP_NEAR_CLUSTERS = f"""
+WITH RECURSIVE {_JACC_CTES},
+pairs AS (SELECT * FROM ({_JACC_SELECT}) u),
+uedges AS (
+  SELECT doc_id_a AS a, doc_id_b AS b FROM pairs
+  UNION
+  SELECT doc_id_b, doc_id_a FROM pairs
+),
+nodes AS (SELECT DISTINCT a AS d FROM uedges),
+reach(a, b) AS (
+  SELECT d, d FROM nodes
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN uedges e ON r.b = e.a
+)
+SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a
+"""

@@ -1643,3 +1643,33 @@ class TestGroupedSketchAndSequences:
         out = q_user_event_paths(d).to_pandas()
         assert out["path"].tolist() == ["view>click>purchase"]
         assert out["n_events"].tolist() == [3]
+
+
+class TestNearDupClusters:
+    def test_transitive_chain_consolidates(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from service1_text_extraction_ray.pipelines.queries import (
+            q_dedup_near_clusters,
+        )
+
+        # A-B and B-C are near-dups (one word changed at the tail); A-C may
+        # or may not qualify pairwise — the component must still consolidate
+        # all three. D is unrelated.
+        base = ["w%d" % i for i in range(30)]
+        a = " ".join(base)
+        b = " ".join(base[:-1] + ["x0"])
+        c = " ".join(base[:-2] + ["x1", "x0"])
+        d = " ".join("z%d" % i for i in range(30))
+        dd = tmp_path / "sf"
+        dd.mkdir()
+        pq.write_table(pa.table({
+            "doc_id": pa.array([10, 11, 12, 13], pa.int64()),
+            "text": pa.array([a, b, c, d]),
+        }), str(dd / "documents.parquet"))
+        out = (
+            q_dedup_near_clusters(str(dd)).to_pandas()
+            .sort_values("doc_id").reset_index(drop=True)
+        )
+        assert out["doc_id"].tolist() == [10, 11, 12]
+        assert out["cluster_id"].tolist() == [10, 10, 10]
