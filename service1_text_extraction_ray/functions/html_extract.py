@@ -166,9 +166,35 @@ class _BlockParser(HTMLParser):
         self._flush()
 
 
+_META_CHARSET_RE = re.compile(
+    rb"""<meta[^>]+?(?:charset\s*=\s*["']?|content\s*=\s*["'][^"']*?charset=)"""
+    rb"""([A-Za-z0-9_\-]+)""",
+    re.IGNORECASE,
+)
+
+
 def decode_payload(payload: bytes) -> str:
-    """Deterministic bytes->str: strict UTF-8, falling back to latin-1
-    (which never fails). No charset guessing libraries — determinism first."""
+    """Deterministic bytes->str, WHATWG-style precedence without guessing
+    libraries: (1) byte-order mark (UTF-8/UTF-16 LE/BE — BOM stripped, and
+    a BOM overrides any declared charset, per the encoding standard);
+    (2) ``<meta charset=...>`` / ``http-equiv`` declaration in the first
+    1024 bytes, if Python knows the codec and the bytes actually decode;
+    (3) strict UTF-8; (4) latin-1 (never fails). Every step is a pure
+    function of the payload bytes, so extraction stays byte-reproducible."""
+    if payload.startswith(b"\xef\xbb\xbf"):
+        return payload[3:].decode("utf-8", errors="replace")
+    if payload.startswith(b"\xff\xfe"):
+        return payload.decode("utf-16-le", errors="replace")[1:]
+    if payload.startswith(b"\xfe\xff"):
+        return payload.decode("utf-16-be", errors="replace")[1:]
+    m = _META_CHARSET_RE.search(payload[:1024])
+    if m:
+        name = m.group(1).decode("ascii", "replace").lower()
+        if name not in ("utf-8", "utf8"):
+            try:
+                return payload.decode(name)
+            except (UnicodeDecodeError, LookupError):
+                pass  # mis-declared charset: fall through to the UTF-8 path
     try:
         return payload.decode("utf-8")
     except UnicodeDecodeError:

@@ -82,10 +82,16 @@ def make_paragraphs(rng: random.Random, n_paras: int, words_per_sentence=(6, 14)
 # --------------------------------------------------------------------------
 
 
-def make_article_html(title: str, paragraphs: List[str], rng: random.Random, heavy_scripts: bool = False) -> bytes:
+def make_article_html(title: str, paragraphs: List[str], rng: random.Random,
+                      heavy_scripts: bool = False, charset: str = "utf-8",
+                      bom: bool = False) -> bytes:
     """A realistic article page: head, nav, header, main content, sidebar,
     related-links box, footer. The extractor's golden output is the title +
-    content paragraphs (boilerplate must be stripped)."""
+    content paragraphs (boilerplate must be stripped).
+
+    ``charset``: declared in ``<meta charset>`` AND used to encode the
+    bytes (e.g. "windows-1252" legacy pages). ``bom``: prefix a UTF-8 BOM
+    (utf-8 only) — the extractor must strip it."""
     scripts = ""
     if heavy_scripts:
         blob = " ".join(rng.choice(_VOCAB) for _ in range(400))
@@ -102,7 +108,7 @@ def make_article_html(title: str, paragraphs: List[str], rng: random.Random, hea
     ad = '<div class="ad"><a href="/buy">Buy now</a> <a href="/deal">Hot deal</a></div>'
     html = (
         "<!DOCTYPE html>"
-        f'<html><head><title>{title}</title><meta charset="utf-8">{scripts}</head>'
+        f'<html><head><title>{title}</title><meta charset="{charset}">{scripts}</head>'
         "<body>"
         f"<header><h1>Example Site</h1><nav>{nav_links}</nav></header>"
         f"<main><article><h1>{title}</h1>{body_paras}</article>"
@@ -110,7 +116,11 @@ def make_article_html(title: str, paragraphs: List[str], rng: random.Random, hea
         f"<footer><p>{BOILERPLATE_FOOTER}</p></footer>"
         "</body></html>"
     )
-    return html.encode("utf-8")
+    payload = html.encode(charset)
+    if bom:
+        assert charset == "utf-8"
+        payload = b"\xef\xbb\xbf" + payload
+    return payload
 
 
 def make_linkfarm_html(rng: random.Random, keep_paragraphs: List[str]) -> bytes:
@@ -706,8 +716,21 @@ def make_row(i: int, seed: int = 42) -> dict:
     elif cat < 55:
         n_paras = rng.randint(4, 10)
         paras = make_paragraphs(rng, n_paras)
-        title = f"Article {i}: {' '.join(rng.choice(_VOCAB) for _ in range(3))}"
-        payload = make_article_html(title, paras, rng)
+        # Charset fixtures: i%13==7 -> legacy windows-1252 page with a
+        # declared meta charset and non-ASCII content (the decoder must
+        # honor the declaration, not mojibake it through latin-1   — the
+        # golden text carries the accents); i%13==3 -> UTF-8 BOM page (the
+        # decoder must strip the BOM from the extracted text).
+        if i % 13 == 7:
+            paras = [p + " Café déjà vu — señal única." for p in paras]
+            title = f"Article {i}: résumé"
+            payload = make_article_html(title, paras, rng, charset="windows-1252")
+        elif i % 13 == 3:
+            title = f"Article {i}: {' '.join(rng.choice(_VOCAB) for _ in range(3))}"
+            payload = make_article_html(title, paras, rng, bom=True)
+        else:
+            title = f"Article {i}: {' '.join(rng.choice(_VOCAB) for _ in range(3))}"
+            payload = make_article_html(title, paras, rng)
         text = "\n\n".join(paras)
     elif cat < 65:
         paras = make_paragraphs(rng, rng.randint(2, 4))

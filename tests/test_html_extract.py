@@ -171,3 +171,58 @@ class TestHtmlTables:
         assert tabs[0].rows[0] == ["k", "v"]
         assert tabs[0].rows[1:] == [["k0", "500"], ["k1", "501"], ["k2", "502"]]
         assert tabs[1].rows == [["lang", "src"], ["en", "src3"]]
+
+
+class TestCharsetDecoding:
+    def test_bom_variants_stripped(self):
+        from service1_text_extraction_ray.functions.html_extract import (
+            decode_payload,
+        )
+
+        assert decode_payload(b"\xef\xbb\xbfhi") == "hi"
+        assert decode_payload("hé".encode("utf-16-le").join([b"\xff\xfe", b""])) == "hé"
+        assert decode_payload(b"\xfe\xff" + "hé".encode("utf-16-be")) == "hé"
+
+    def test_meta_charset_honored(self):
+        from service1_text_extraction_ray.functions.html_extract import (
+            decode_payload,
+        )
+
+        page = '<html><head><meta charset="windows-1252"></head><body>café</body></html>'
+        assert "café" in decode_payload(page.encode("windows-1252"))
+        # http-equiv form
+        page2 = ('<html><head><meta http-equiv="Content-Type" '
+                 'content="text/html; charset=iso-8859-1"></head><body>niño</body></html>')
+        assert "niño" in decode_payload(page2.encode("iso-8859-1"))
+
+    def test_misdeclared_charset_falls_back(self):
+        from service1_text_extraction_ray.functions.html_extract import (
+            decode_payload,
+        )
+
+        # declared cp1252 but actually valid UTF-8 that is NOT valid cp1252
+        # (0x81 is unmapped in cp1252): must fall through without raising
+        body = '<meta charset="windows-1252">' .encode() + b"\xc2\x81tail"
+        out = decode_payload(body)
+        assert out.endswith("tail")
+        # unknown codec name
+        out2 = decode_payload(b'<meta charset="no-such-enc">plain ascii')
+        assert out2.endswith("plain ascii")
+
+    def test_corpus_charset_fixtures_roundtrip(self):
+        from service1_text_extraction_ray.functions.extract import (
+            ExtractConfig,
+            extract_document,
+        )
+        from service1_text_extraction_ray.functions.synth import make_row
+
+        # i=20 -> windows-1252 fixture; i=3 -> BOM fixture (seed default)
+        r = make_row(20)
+        res = extract_document(r["url"], r["html"], ExtractConfig())
+        assert "Café déjà vu — señal única." in res["doc_text"]
+        assert "﻿" not in res["doc_text"]
+        r3 = make_row(3)
+        assert r3["html"].startswith(b"\xef\xbb\xbf")
+        res3 = extract_document(r3["url"], r3["html"], ExtractConfig())
+        assert "﻿" not in res3["doc_text"]
+        assert len(res3["doc_text"]) > 250
