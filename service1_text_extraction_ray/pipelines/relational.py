@@ -3814,3 +3814,121 @@ SELECT user_id,
 FROM events
 GROUP BY user_id
 """
+
+
+EQD_BUCKETS = 8
+
+
+def q_order_price_histogram_eqd(sf_dir: str) -> rd.Dataset:
+    """EQUI-DEPTH histogram of order prices: bucket boundaries at the exact
+    k/B quantiles (DuckDB's quantile_disc convention, element ceil(q*n)-1),
+    then per-bucket counts — the optimizer-statistics shape (equi-WIDTH is
+    q_order_price_histogram). Two passes: pass 1 computes the B boundaries
+    with the same single-group exact sort as q_order_price_quantiles (same
+    documented one-task bound; t-digest is the scale path), pass 2
+    broadcasts the tiny boundary array and pre-combines per-block
+    searchsorted counts so the final groupby moves <= B rows per block.
+    All cents-integer; only non-empty buckets are emitted (GROUP BY
+    semantics on both sides)."""
+    import math
+
+    cents = (
+        _read(sf_dir, "orders", ["o_totalprice"])
+        .map_batches(
+            lambda t: pa.Table.from_arrays([_cents(t["o_totalprice"])],
+                                           names=["c"]),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    def bounds_fn(g: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(g["c"].to_numpy())
+        n = len(v)
+        return pd.DataFrame({
+            "k": np.arange(1, EQD_BUCKETS + 1, dtype=np.int64),
+            "b": [int(v[max(0, math.ceil(k / EQD_BUCKETS * n) - 1)])
+                  for k in range(1, EQD_BUCKETS + 1)],
+        })
+
+    # exact path: the sort happens in ONE GROUP TASK (same documented
+    # one-task bound as q_order_price_quantiles; t-digest is the 100x
+    # path) — only the B boundary rows reach the driver for broadcast.
+    bdf = (
+        cents.map_batches(
+            lambda t: t.append_column("g", pa.nulls(t.num_rows, pa.int64())
+                                      .fill_null(0)),
+            batch_format="pyarrow",
+        )
+        .groupby("g")
+        .map_groups(bounds_fn, batch_format="pandas")
+        .to_pandas()
+        .sort_values("k")
+    )
+    bounds = bdf["b"].to_numpy(dtype="int64")
+    bref = ray.put(bounds)
+
+    part_schema = pa.schema([("bucket", pa.int64()), ("n_orders", pa.int64())])
+
+    def partial(t: pa.Table, _b=bref) -> pa.Table:
+        b = ray.get(_b)
+        c = t["c"].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(b, c, side="left")
+        counts = np.bincount(idx, minlength=EQD_BUCKETS)
+        nz = np.flatnonzero(counts)
+        return pa.Table.from_arrays(
+            [pa.array(nz + 1, pa.int64()),
+             pa.array(counts[nz], pa.int64())],
+            schema=part_schema,
+        )
+
+    def finish(t: pa.Table, _b=bref) -> pa.Table:
+        b = ray.get(_b)
+        g = t.group_by("bucket").aggregate([("n_orders", "sum")])
+        buckets = g["bucket"].to_numpy(zero_copy_only=False)
+        return pa.Table.from_arrays(
+            [pa.array(buckets, pa.int64()),
+             pa.array(b[buckets - 1], pa.int64()),
+             pc.cast(g["n_orders_sum"], pa.int64())],
+            names=["bucket", "hi_cents", "n_orders"],
+        )
+
+    return (
+        cents.map_batches(partial, batch_format="pyarrow")
+        .repartition(8)
+        .map_batches(finish, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Sum("n_orders", alias_name="n_orders"),
+                   Max("hi_cents", alias_name="hi_cents"))
+        .map_batches(
+            lambda t: t.select(["bucket", "hi_cents", "n_orders"]),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def _sql_eqd() -> str:
+    bs = ", ".join(
+        f"quantile_disc(c, {k}/{EQD_BUCKETS}.0) AS b{k}"
+        for k in range(1, EQD_BUCKETS + 1)
+    )
+    case = (
+        "CASE "
+        + " ".join(f"WHEN c <= b{k} THEN {k}" for k in range(1, EQD_BUCKETS + 1))
+        + " END"
+    )
+    hi = (
+        "CASE bucket "
+        + " ".join(f"WHEN {k} THEN b{k}" for k in range(1, EQD_BUCKETS + 1))
+        + " END"
+    )
+    return f"""
+WITH v AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c FROM orders),
+bounds AS (SELECT {bs} FROM v),
+tagged AS (SELECT {case} AS bucket, * FROM v CROSS JOIN bounds)
+SELECT bucket, CAST({hi} AS BIGINT) AS hi_cents, count(*) AS n_orders
+FROM tagged
+GROUP BY bucket, {hi.replace("bucket", "bucket")}
+"""
+
+
+SQL_ORDER_PRICE_HISTOGRAM_EQD = _sql_eqd()

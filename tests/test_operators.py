@@ -1673,3 +1673,38 @@ class TestNearDupClusters:
         )
         assert out["doc_id"].tolist() == [10, 11, 12]
         assert out["cluster_id"].tolist() == [10, 10, 10]
+
+
+class TestEquiDepthHistogram:
+    def test_depths_equal_and_ties_to_lowest_bucket(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from service1_text_extraction_ray.pipelines.relational import (
+            EQD_BUCKETS,
+            q_order_price_histogram_eqd,
+        )
+
+        d = tmp_path / "sf"
+        d.mkdir()
+        # 80 distinct ascending prices -> every bucket holds exactly 10
+        pq.write_table(pa.table({
+            "o_totalprice": pa.array([float(i + 1) for i in range(80)]),
+        }), str(d / "orders.parquet"))
+        out = (
+            q_order_price_histogram_eqd(str(d)).to_pandas()
+            .sort_values("bucket")
+        )
+        assert out["n_orders"].tolist() == [10] * EQD_BUCKETS
+        assert out["hi_cents"].tolist() == [1000 * k for k in range(1, 9)]
+
+        # all-equal values: every row lands in bucket 1 (c <= b1), other
+        # buckets are empty and therefore absent
+        (tmp_path / "b").mkdir()
+        d2 = tmp_path / "b" / "sf"
+        d2.mkdir()
+        pq.write_table(pa.table({
+            "o_totalprice": pa.array([5.0] * 40),
+        }), str(d2 / "orders.parquet"))
+        out2 = q_order_price_histogram_eqd(str(d2)).to_pandas()
+        assert out2["bucket"].tolist() == [1]
+        assert out2["n_orders"].tolist() == [40]
