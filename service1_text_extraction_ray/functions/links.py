@@ -96,6 +96,7 @@ class _LinkParser(HTMLParser):
         self.robots_noindex = False
         self.robots_nofollow = False
         self._robots_seen = False
+        self._base_seen = False
         self._skip_depth = 0          # inside <script>/<style>
         self._cur: Optional[Tuple[str, bool]] = None  # (resolved, nofollow)
         self._anchor_parts: List[str] = []
@@ -107,6 +108,18 @@ class _LinkParser(HTMLParser):
         if self._skip_depth:
             return
         d = dict(attrs)
+        if tag == "base" and not self._base_seen:
+            # HTML spec: the FIRST <base href> sets the resolution base for
+            # (subsequently parsed) relative URLs; the page's own host —
+            # used as the graph source — is unaffected. The base href is
+            # itself resolved against the page URL.
+            self._base_seen = True
+            href = (d.get("href") or "").strip()
+            if href:
+                resolved = resolve_href(self.base_url, href)
+                if resolved is not None:
+                    self.base_url = resolved
+            return
         if tag == "meta" and not self._robots_seen:
             if (d.get("name") or "").strip().lower() == "robots":
                 self._robots_seen = True

@@ -895,6 +895,13 @@ def make_link_page(doc_id: int, source: str, lang: str) -> tuple[bytes, str]:
     robots is noindex,nofollow for doc_id%7==0 pages."""
     base_url = f"https://{source}.example.com/d/{doc_id}/index.html"
     robots = "noindex,nofollow" if doc_id % 7 == 0 else "index,follow"
+    # doc_id%6==3 pages carry a <base href> that re-roots RELATIVE links
+    # onto another host (absolute and protocol-relative links unaffected;
+    # the page's own host — the graph source — is unchanged per spec).
+    base_tag = (
+        f'<base href="https://base{doc_id % 4}.example.org/dir/sub/">'
+        if doc_id % 6 == 3 else ""
+    )
     links = [
         f'<a href="https://src{(doc_id * 7 + 1) % 20}.example.net/x/{doc_id % 9}">ref {doc_id % 9}</a>',
         f'<a href="//cdn.example.org/lib/{doc_id % 4}">cdn <b>{doc_id % 4}</b></a>',
@@ -912,7 +919,7 @@ def make_link_page(doc_id: int, source: str, lang: str) -> tuple[bytes, str]:
     )
     decoy = "<script>var s = '<a href=\"https://evil.example/x\">no</a>';</script>"
     html = (
-        f'<html><head><title>links {doc_id}</title>'
+        f'<html><head><title>links {doc_id}</title>{base_tag}'
         f'<meta name="robots" content="{robots}">{decoy}</head>'
         f"<body><p>{lang} page</p>{''.join(links)}{dropped}</body></html>"
     )

@@ -3100,10 +3100,13 @@ UNION ALL
 SELECT doc_id, 1, 'https://cdn.example.org/lib/' || (doc_id % 4),
        'cdn ' || (doc_id % 4), FALSE, page_noindex FROM base
 UNION ALL
-SELECT doc_id, 2, 'https://' || source || '.example.com/local/' || (doc_id % 5),
+SELECT doc_id, 2, 'https://' || (CASE WHEN doc_id % 6 = 3 THEN 'base' || (doc_id % 4) || '.example.org' ELSE source || '.example.com' END) || '/local/' || (doc_id % 5),
        'local ' || (doc_id % 5), FALSE, page_noindex FROM base
 UNION ALL
-SELECT doc_id, 3, 'https://' || source || '.example.com/d/up/' || (doc_id % 3),
+SELECT doc_id, 3,
+       'https://' || (CASE WHEN doc_id % 6 = 3 THEN 'base' || (doc_id % 4) || '.example.org' ELSE source || '.example.com' END)
+         || CASE WHEN doc_id % 6 = 3 THEN '/dir/up/' ELSE '/d/up/' END
+         || (doc_id % 3),
        'up ' || (doc_id % 3), FALSE, page_noindex FROM base
 UNION ALL
 SELECT doc_id, 4, 'http://ads.example.com/click?id=' || (doc_id % 11),
@@ -3185,9 +3188,9 @@ links AS (
   UNION ALL
   SELECT 'cdn.example.org', source || '.example.com' FROM base
   UNION ALL
-  SELECT source || '.example.com', source || '.example.com' FROM base
+  SELECT CASE WHEN doc_id % 6 = 3 THEN 'base' || (doc_id % 4) || '.example.org' ELSE source || '.example.com' END, source || '.example.com' FROM base
   UNION ALL
-  SELECT source || '.example.com', source || '.example.com' FROM base
+  SELECT CASE WHEN doc_id % 6 = 3 THEN 'base' || (doc_id % 4) || '.example.org' ELSE source || '.example.com' END, source || '.example.com' FROM base
 )
 SELECT host,
        count(*) AS n_links,
@@ -3444,9 +3447,9 @@ links AS (
   UNION ALL
   SELECT source || '.example.com', 'cdn.example.org' FROM base
   UNION ALL
-  SELECT source || '.example.com', source || '.example.com' FROM base
+  SELECT source || '.example.com', CASE WHEN doc_id % 6 = 3 THEN 'base' || (doc_id % 4) || '.example.org' ELSE source || '.example.com' END FROM base
   UNION ALL
-  SELECT source || '.example.com', source || '.example.com' FROM base
+  SELECT source || '.example.com', CASE WHEN doc_id % 6 = 3 THEN 'base' || (doc_id % 4) || '.example.org' ELSE source || '.example.com' END FROM base
 ),
 edges AS (SELECT src, dst, count(*) AS n FROM links GROUP BY 1, 2),
 outd AS (SELECT src, CAST(sum(n) AS BIGINT) AS out_n FROM edges GROUP BY 1),
@@ -3645,7 +3648,7 @@ links AS (
   UNION ALL
   SELECT source || '.example.com', 'cdn.example.org' FROM base
   UNION ALL
-  SELECT source || '.example.com', source || '.example.com' FROM base
+  SELECT source || '.example.com', CASE WHEN doc_id % 6 = 3 THEN 'base' || (doc_id % 4) || '.example.org' ELSE source || '.example.com' END FROM base
 ),
 uedges AS (
   SELECT src AS a, dst AS b FROM links
@@ -4150,11 +4153,14 @@ flinks AS (
   SELECT doc_id, 'https://cdn.example.org/lib/' || (doc_id % 4),
          'cdn.example.org', 2 FROM fbase
   UNION ALL
-  SELECT doc_id, 'https://' || source || '.example.com/local/' || (doc_id % 5),
-         source || '.example.com', 2 FROM fbase
+  SELECT doc_id, 'https://' || (CASE WHEN doc_id % 6 = 3 THEN 'base' || (doc_id % 4) || '.example.org' ELSE source || '.example.com' END) || '/local/' || (doc_id % 5),
+         CASE WHEN doc_id % 6 = 3 THEN 'base' || (doc_id % 4) || '.example.org' ELSE source || '.example.com' END, 2 FROM fbase
   UNION ALL
-  SELECT doc_id, 'https://' || source || '.example.com/d/up/' || (doc_id % 3),
-         source || '.example.com', 3 FROM fbase
+  SELECT doc_id,
+         'https://' || (CASE WHEN doc_id % 6 = 3 THEN 'base' || (doc_id % 4) || '.example.org' ELSE source || '.example.com' END)
+           || CASE WHEN doc_id % 6 = 3 THEN '/dir/up/' ELSE '/d/up/' END
+           || (doc_id % 3),
+         CASE WHEN doc_id % 6 = 3 THEN 'base' || (doc_id % 4) || '.example.org' ELSE source || '.example.com' END, 3 FROM fbase
 )"""
     pagerank_cte = SQL_HOST_PAGERANK.split("WITH", 1)[1].rsplit("\nSELECT", 1)[0]
     return f"""

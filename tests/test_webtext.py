@@ -655,3 +655,35 @@ class TestCmsAndWeightedSample:
         # deterministic: second run identical
         again = q_doc_sample_weighted(str(d)).to_pandas()
         assert sorted(out["doc_id"]) == sorted(again["doc_id"])
+
+
+class TestBaseHref:
+    def test_base_rebases_relative_links_only(self):
+        from service1_text_extraction_ray.functions.links import extract_outlinks
+
+        html = (b'<html><head><base href="https://cdn.example.net/a/b/"></head>'
+                b'<body>'
+                b'<a href="/root">r</a>'
+                b'<a href="rel/x">q</a>'
+                b'<a href="../up">u</a>'
+                b'<a href="https://abs.example.com/z">a</a>'
+                b'</body></html>')
+        links, _, _ = extract_outlinks(html, "https://page.example.com/d/1/i.html")
+        hrefs = [l.href for l in links]
+        assert hrefs == [
+            "https://cdn.example.net/root",
+            "https://cdn.example.net/a/b/rel/x",
+            "https://cdn.example.net/a/up",
+            "https://abs.example.com/z",
+        ]
+
+    def test_only_first_base_wins_and_relative_base_resolves(self):
+        from service1_text_extraction_ray.functions.links import extract_outlinks
+
+        html = (b'<html><head>'
+                b'<base href="/newdir/">'
+                b'<base href="https://second.example.org/">'
+                b'</head><body><a href="x">x</a></body></html>')
+        links, _, _ = extract_outlinks(html, "https://page.example.com/d/1/i.html")
+        # first base ('/newdir/') resolves against the page URL; second ignored
+        assert links[0].href == "https://page.example.com/newdir/x"
