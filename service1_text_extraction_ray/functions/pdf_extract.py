@@ -207,6 +207,7 @@ _REF_RE = re.compile(rb"(\d+)\s+\d+\s+R")
 _NAME_VAL_RE = {
     "Root": re.compile(rb"/Root\s+(\d+)\s+\d+\s+R"),
     "Pages": re.compile(rb"/Pages\s+(\d+)\s+\d+\s+R"),
+    "Info": re.compile(rb"/Info\s+(\d+)\s+\d+\s+R"),
 }
 _TYPE_RE = re.compile(rb"/Type\s*/(\w+)")
 _KIDS_RE = re.compile(rb"/Kids\s*\[([^\]]*)\]")
@@ -684,6 +685,46 @@ def _find_root(data: bytes, objects: Dict[int, _PdfObject]) -> int:
         if tm and tm.group(1) == b"Catalog":
             return num
     raise PdfParseError("no document catalog")
+
+
+_INFO_KEYS = ("Title", "Author", "Subject", "Producer", "CreationDate")
+
+
+def document_info(data: bytes, objects: Dict[int, _PdfObject]) -> Dict[str, str]:
+    """Document information dictionary (ISO 32000-1 §14.3.3): the /Info
+    reference from the LAST ``trailer`` dict (or the /Type /XRef stream
+    dict for cross-reference-stream files), with the standard string
+    entries decoded latin-1 (PDFDocEncoding's ASCII range; UTF-16 metadata
+    strings are out of subset). Missing dict or entries -> absent keys,
+    never an error."""
+    info_num = None
+    m = None
+    for m in re.finditer(rb"trailer", data):
+        pass
+    if m is not None:
+        i = _skip_ws(data, m.end())
+        if data[i : i + 2] == b"<<":
+            tdict, _ = _scan_dict(data, i)
+            rm = _NAME_VAL_RE["Info"].search(tdict)
+            if rm:
+                info_num = int(rm.group(1))
+    if info_num is None:
+        for num in sorted(objects):
+            tm = _TYPE_RE.search(objects[num].dict_bytes)
+            if tm and tm.group(1) == b"XRef":
+                rm = _NAME_VAL_RE["Info"].search(objects[num].dict_bytes)
+                if rm:
+                    info_num = int(rm.group(1))
+                    break
+    obj = objects.get(info_num) if info_num is not None else None
+    if obj is None:
+        return {}
+    out: Dict[str, str] = {}
+    for key in _INFO_KEYS:
+        s = _parse_string_entry(obj.dict_bytes, key.encode("ascii"))
+        if s is not None:
+            out[key] = s.decode("latin-1")
+    return out
 
 
 _ROTATE_RE = re.compile(rb"/Rotate\s+(-?\d+)")
@@ -1399,6 +1440,14 @@ class PdfDocument:
     @property
     def is_encrypted(self) -> bool:
         return self._encrypt is not None
+
+    def info(self) -> Dict[str, str]:
+        """Document information dictionary entries (Title/Author/...);
+        empty for docs without /Info. Strings in encrypted documents are
+        themselves encrypted and are out of subset -> empty dict there."""
+        if self._encrypt is not None:
+            return {}
+        return document_info(self._payload, self._objects)
 
     def authenticate(self, password: Optional[str]) -> bool:
         """Try ``password`` as user then owner password; arm the key on

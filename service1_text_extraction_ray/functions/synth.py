@@ -357,7 +357,8 @@ def make_pdf(page_line_texts: List[List[str]], rng: random.Random,
              compress: "bool | str" = False,
              two_column: bool = False, use_tm: bool = False,
              encrypt: dict | None = None, objstm: bool = False,
-             cid_font: bool = False, form_header: bool = False) -> bytes:
+             cid_font: bool = False, form_header: bool = False,
+             info: dict | None = None) -> bytes:
     """Write a minimal PDF 1.4 with the given per-page line texts.
 
     ``compress``: False = raw content streams; True = FlateDecode; "lzw" /
@@ -555,6 +556,17 @@ def make_pdf(page_line_texts: List[List[str]], rng: random.Random,
             ).encode() + body + b"\nendstream"
         )
 
+    info_clause = ""
+    if info is not None and crypt is None:
+        # /Info document-information dictionary (§14.3.3). Emitted only for
+        # non-encrypted docs: strings in encrypted documents are themselves
+        # encrypted, which is out of the fixture subset.
+        ent = " ".join(
+            f"/{k} ({_pdf_escape(str(v))})" for k, v in sorted(info.items())
+        )
+        info_num = add(f"<< {ent} >>".encode())
+        info_clause = f" /Info {info_num} 0 R"
+
     encrypt_clause = ""
     if crypt is not None:
         if crypt["v"] == 4:
@@ -617,7 +629,7 @@ def make_pdf(page_line_texts: List[List[str]], rng: random.Random,
         size = xref_num + 1
         xref_entries = b"\x00" * (4 * size)  # entries unread by the parser
         xref_body = (
-            f"<< /Type /XRef /Size {size} /Root {catalog_num} 0 R{encrypt_clause}"
+            f"<< /Type /XRef /Size {size} /Root {catalog_num} 0 R{encrypt_clause}{info_clause}"
             f" /W [1 2 1] /Index [0 {size}] /Length {len(xref_entries)} >>\nstream\n"
         ).encode() + xref_entries + b"\nendstream"
         out = bytearray(b"%PDF-1.5\n")
@@ -641,7 +653,7 @@ def make_pdf(page_line_texts: List[List[str]], rng: random.Random,
     for off in offsets[1:]:
         out += f"{off:010d} 00000 n \n".encode()
     out += (
-        f"trailer\n<< /Size {len(objects) + 1} /Root {catalog_num} 0 R{encrypt_clause} >>\n"
+        f"trailer\n<< /Size {len(objects) + 1} /Root {catalog_num} 0 R{encrypt_clause}{info_clause} >>\n"
         f"startxref\n{xref_pos}\n%%EOF\n".encode()
     )
     return bytes(out)

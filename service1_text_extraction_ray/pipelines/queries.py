@@ -4674,3 +4674,54 @@ reach(a, b) AS (
 )
 SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a
 """
+
+
+def q_extract_pdf_info(sf_dir: str) -> rd.Dataset:
+    """PDF document-information metadata (ISO 32000-1 §14.3.3): open each
+    synthesized PDF payload and read the /Info dictionary's Title/Author/
+    Producer — the PDF twin of the HTML q_extract_meta operator. Pure
+    per-batch map over the pages stream (the open + trailer walk is the
+    per-doc workload); non-PDF payloads and encrypted docs (whose strings
+    are themselves encrypted — out of subset, documented) produce no row.
+    The oracle reconstructs the deterministic fixture metadata exactly."""
+    from ..functions.pdf_extract import PdfDocument, PdfParseError
+    from ..sources.pages_source import documents_to_pages
+
+    out_schema = pa.schema([
+        ("url", pa.string()), ("title", pa.string()),
+        ("author", pa.string()), ("producer", pa.string()),
+    ])
+
+    def f(t: pa.Table) -> pa.Table:
+        rows = []
+        for url, payload in zip(t["url"].to_pylist(), t["html"].to_pylist()):
+            if not payload.startswith(b"%PDF-"):
+                continue
+            try:
+                doc = PdfDocument(payload)
+            except PdfParseError:
+                continue
+            info = doc.info()
+            if not info:
+                continue
+            rows.append({
+                "url": url,
+                "title": info.get("Title", ""),
+                "author": info.get("Author", ""),
+                "producer": info.get("Producer", ""),
+            })
+        if not rows:
+            return out_schema.empty_table()
+        return pa.Table.from_pylist(rows, schema=out_schema)
+
+    return documents_to_pages(sf_dir).map_batches(f, batch_format="pyarrow")
+
+
+SQL_EXTRACT_PDF_INFO = """
+SELECT 'https://docs.example/' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS url,
+       'Document ' || doc_id AS title,
+       'crawler-' || (doc_id % 7) AS author,
+       'synthpdf 1.0' AS producer
+FROM documents
+WHERE doc_id % 20 IN (14, 15)
+"""

@@ -89,6 +89,13 @@ def documents_to_pages(sf_dir: str) -> rd.Dataset:
                     # sel 15: first lines live in a Form XObject (/Do) —
                     # the reusable-letterhead layout; text is unchanged.
                     form_header=(sel == 15),
+                    # non-encrypted PDFs carry a deterministic /Info dict
+                    # (document-information metadata, §14.3.3)
+                    info=None if encrypt is not None else {
+                        "Title": f"Document {doc_id}",
+                        "Author": f"crawler-{int(doc_id) % 7}",
+                        "Producer": "synthpdf 1.0",
+                    },
                 )
             elif sel < 19:
                 payload = make_linkfarm_html(rng, paras)

@@ -538,3 +538,22 @@ def test_a85_pdf_extracts_identically():
     base = [p.text for p in parse_pdf(make_pdf([lines], rng(), compress=True))]
     got = [p.text for p in parse_pdf(make_pdf([lines], rng(), compress="a85"))]
     assert got == base
+
+
+def test_info_dictionary_roundtrip():
+    from service1_text_extraction_ray.functions.pdf_extract import PdfDocument
+
+    info = {"Title": "A (tricky) title", "Author": "a\\b", "Producer": "p"}
+    pdf = make_pdf([["Body line."]], rng(), info=info)
+    got = PdfDocument(pdf).info()
+    assert got["Title"] == "A (tricky) title"
+    assert got["Author"] == "a\\b"
+    # objstm layout: /Info rides the XRef stream dict
+    pdf2 = make_pdf([["Body line."]], rng(), info=info, objstm=True)
+    assert PdfDocument(pdf2).info()["Title"] == "A (tricky) title"
+    # no info -> empty dict; encrypted -> empty dict (documented subset)
+    assert PdfDocument(make_pdf([["x"]], rng())).info() == {}
+    enc = make_pdf([["x"]], rng(), info=info,
+                   encrypt={"user_pw": "", "owner_pw": "o", "v": 1})
+    d = PdfDocument(enc)
+    assert d.info() == {}
