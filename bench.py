@@ -155,7 +155,7 @@ QUERY_NAMES = [
     "corpus_cms_counts", "doc_sample_weighted", "orders_cube",
     "orders_above_cust_avg", "events_outliers", "dedup_jaccard_prefix",
     "distinct_users_hll_by_type", "orders_percent_rank", "user_event_paths",
-    "dedup_near_clusters", "order_price_histogram_eqd", "extract_pdf_info",
+    "dedup_near_clusters", "order_price_histogram_eqd", "extract_pdf_info", "orders_mom",
 ]
 
 

@@ -3932,3 +3932,59 @@ GROUP BY bucket, {hi.replace("bucket", "bucket")}
 
 
 SQL_ORDER_PRICE_HISTOGRAM_EQD = _sql_eqd()
+
+
+def q_orders_mom(sf_dir: str) -> pd.DataFrame:
+    """Aggregate-then-window composition: monthly revenue with the
+    month-over-month delta — the reporting shape (GROUP BY month, then
+    LAG over the aggregated series). Per-block pyarrow partials
+    pre-combine (month, cents, n) so the groupby moves <= #months rows per
+    block; the aggregated series is calendar-scale (~tens of rows), so the
+    window runs on the driver — windowing a RESULT is not a driver-side
+    loop over data. All integer cents."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        months = pc.strftime(t["o_orderdate"], format="%Y-%m")
+        rows = pa.Table.from_arrays(
+            [months, _cents(t["o_totalprice"])], names=["month", "cents"]
+        )
+        g = rows.group_by("month").aggregate([("cents", "sum"), ([], "count_all")])
+        return pa.Table.from_arrays(
+            [g["month"], pc.cast(g["cents_sum"], pa.int64()),
+             pc.cast(g["count_all"], pa.int64())],
+            names=["month", "revenue_cents", "n_orders"],
+        )
+
+    agg = (
+        _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+        .map_batches(partial, batch_format="pyarrow")
+        .repartition(8)
+        .groupby("month")
+        .aggregate(Sum("revenue_cents", alias_name="revenue_cents"),
+                   Sum("n_orders", alias_name="n_orders"))
+        .to_pandas()
+        .sort_values("month")
+        .reset_index(drop=True)
+    )
+    delta = agg["revenue_cents"].diff().fillna(0).astype("int64")
+    return pd.DataFrame({
+        "month": agg["month"],
+        "revenue_cents": agg["revenue_cents"].astype("int64"),
+        "n_orders": agg["n_orders"].astype("int64"),
+        "delta_cents": delta,
+    })
+
+
+SQL_ORDERS_MOM = """
+WITH m AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS month,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS revenue_cents,
+         count(*) AS n_orders
+  FROM orders GROUP BY 1
+)
+SELECT month, revenue_cents, n_orders,
+       CAST(coalesce(revenue_cents - lag(revenue_cents) OVER (ORDER BY month), 0)
+            AS BIGINT) AS delta_cents
+FROM m
+"""
