@@ -3988,3 +3988,72 @@ SELECT month, revenue_cents, n_orders,
             AS BIGINT) AS delta_cents
 FROM m
 """
+
+
+TOP_PATHS_K = 20
+PATH_PREFIX_LEN = 5  # full paths are ~unique; the first-N-event prefix is
+                     # where behavioral patterns repeat
+
+
+def q_events_top_paths(sf_dir: str) -> pd.DataFrame:
+    """Behavioral path mining: the TOP_PATHS_K most common first-
+    PATH_PREFIX_LEN-event paths (prefixes of the q_user_event_paths grain)
+    with deterministic (count desc, path asc) order — funnel discovery
+    over assembled sequences. The path table is user-grain; per-block
+    partial (prefix, n) counts pre-combine before ONE exchange merges
+    them, and each merge shard emits only its local top-K so the driver
+    ranks <= K x shards candidate rows (the partial top-k pattern)."""
+    paths = q_user_event_paths(sf_dir)
+
+    part_schema = pa.schema([("path", pa.string()), ("n_users", pa.int64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        pref = pa.array(
+            [">".join(p.split(">")[:PATH_PREFIX_LEN])
+             for p in t["path"].to_pylist()],
+            pa.string(),
+        )
+        g = (
+            pa.Table.from_arrays([pref], names=["path"])
+            .group_by("path").aggregate([([], "count_all")])
+        )
+        return pa.Table.from_arrays(
+            [g["path"], pc.cast(g["count_all"], pa.int64())],
+            schema=part_schema,
+        )
+
+    def merge_topk(t: pa.Table) -> pa.Table:
+        g = t.group_by("path").aggregate([("n_users", "sum")])
+        df = pa.Table.from_arrays(
+            [g["path"], pc.cast(g["n_users_sum"], pa.int64())],
+            names=["path", "n_users"],
+        ).to_pandas()
+        df = df.sort_values(["n_users", "path"], ascending=[False, True])
+        return pa.Table.from_pandas(df.head(TOP_PATHS_K), schema=part_schema,
+                                    preserve_index=False)
+
+    cand = hash_exchange(
+        paths.map_batches(partial, batch_format="pyarrow"),
+        ["path"],
+        merge_topk,
+        part_schema,
+    ).to_pandas()
+    cand = cand.sort_values(["n_users", "path"], ascending=[False, True])
+    return cand.head(TOP_PATHS_K).reset_index(drop=True)
+
+
+SQL_EVENTS_TOP_PATHS = f"""
+WITH e AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+),
+p AS (
+  SELECT string_agg(event_type, '>' ORDER BY rn) AS path
+  FROM e WHERE rn <= {PATH_PREFIX_LEN} GROUP BY user_id
+)
+SELECT path, count(*) AS n_users
+FROM p GROUP BY path
+ORDER BY n_users DESC, path
+LIMIT {TOP_PATHS_K}
+"""
