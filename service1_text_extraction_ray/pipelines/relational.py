@@ -4057,3 +4057,57 @@ FROM p GROUP BY path
 ORDER BY n_users DESC, path
 LIMIT {TOP_PATHS_K}
 """
+
+
+MOVING_FRAME = 3  # current row + 2 preceding
+
+
+def q_user_value_moving_sum(sf_dir: str) -> rd.Dataset:
+    """Bounded window frame: per user, the moving sum of event value
+    (integer cents) over the last MOVING_FRAME events in event_id order —
+    SUM() OVER (... ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), the sliding
+    frame every rate/trend feature uses (the cumulative frame is
+    q_user_running_value). ONE hash_exchange on user_id; inside a shard
+    the frame is one C-level groupby rolling-sum over the sorted rows.
+    Integer cents -> exact at any parallelism."""
+    out_schema = pa.schema([
+        pa.field("event_id", pa.int64()), pa.field("user_id", pa.int64()),
+        pa.field("moving_cents", pa.int64()),
+    ])
+
+    def shard_roll(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        df = pa.Table.from_arrays(
+            [t["event_id"], t["user_id"], _cents(t["value"])],
+            names=["event_id", "user_id", "cents"],
+        ).to_pandas()
+        df = df.sort_values(["user_id", "event_id"], kind="mergesort")
+        roll = (
+            df.groupby("user_id", sort=False)["cents"]
+            .rolling(MOVING_FRAME, min_periods=1).sum()
+            .reset_index(level=0, drop=True)
+        )
+        return pa.Table.from_arrays(
+            [pa.array(df["event_id"].to_numpy(dtype="int64")),
+             pa.array(df["user_id"].to_numpy(dtype="int64")),
+             pa.array(roll.to_numpy(dtype="int64"))],
+            schema=out_schema,
+        )
+
+    return hash_exchange(
+        _read(sf_dir, "events", ["event_id", "user_id", "value"]),
+        ["user_id"],
+        shard_roll,
+        out_schema,
+    )
+
+
+SQL_USER_VALUE_MOVING_SUM = f"""
+SELECT event_id, user_id,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER (
+         PARTITION BY user_id ORDER BY event_id
+         ROWS BETWEEN {MOVING_FRAME - 1} PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS moving_cents
+FROM events
+"""
