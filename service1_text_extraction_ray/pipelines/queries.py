@@ -4725,3 +4725,124 @@ SELECT 'https://docs.example/' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS url,
 FROM documents
 WHERE doc_id % 20 IN (14, 15)
 """
+
+
+def q_knn_self_1nn(sf_dir: str) -> rd.Dataset:
+    """All-pairs nearest neighbor: for EVERY vector, its single closest
+    other vector by cosine (ties -> smaller vec_id) — the clustering /
+    dedup primitive (vs q_knn_cosine's one-query search). Same chunk-pair
+    theta-join topology as q_dedup_embedding: each chunk-pair task runs one
+    numpy matmul over its two chunk matrices and emits a PARTIAL best
+    neighbor per vector (B rows per vec across all its partitions, never
+    the n^2 pair stream); one hash_exchange on vec_id reduces partials to
+    the global argmax. Only ids leave the pipeline — similarities stay
+    internal, so the driver hash is float-free."""
+    B = DEDUP_EMB_BUCKETS
+
+    def explode(batch: pa.Table) -> pd.DataFrame:
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mat = np.stack(batch["embedding"].to_pandas().to_numpy()).astype(np.float64)
+        nrm = np.linalg.norm(mat, axis=1)
+        nrm[nrm == 0] = 1.0
+        mat = mat / nrm[:, None]
+        chunk = ids % B
+        parts, out_ids, out_chunks, out_vecs = [], [], [], []
+        for k in range(B):
+            i = np.minimum(chunk, k)
+            j = np.maximum(chunk, k)
+            parts.extend((i * B + j).tolist())
+            out_ids.extend(ids.tolist())
+            out_chunks.extend(chunk.tolist())
+            out_vecs.extend(list(mat))
+        return pd.DataFrame({
+            "part": pd.Series(parts, dtype="int64"),
+            "vec_id": pd.Series(out_ids, dtype="int64"),
+            "chunk": pd.Series(out_chunks, dtype="int64"),
+            "v": pd.Series(out_vecs, dtype="object"),
+        })
+
+    part_schema = pa.schema([
+        ("vec_id", pa.int64()), ("nn_id", pa.int64()), ("sim", pa.float64()),
+    ])
+
+    def best_in_partition(g: pd.DataFrame) -> pd.DataFrame:
+        part = int(g["part"].iloc[0])
+        ci, cj = part // B, part % B
+        g = g.drop_duplicates("vec_id")
+        rows = []
+
+        def emit(ids_a, mat_a, ids_b, mat_b, exclude_self: bool) -> None:
+            if len(ids_a) == 0 or len(ids_b) == 0:
+                return
+            sims = mat_a @ mat_b.T
+            if exclude_self:
+                eq = ids_a[:, None] == ids_b[None, :]
+                sims = np.where(eq, -np.inf, sims)
+            # argmax with smaller-id tiebreak: sort keys (sim desc, id asc)
+            for x in range(len(ids_a)):
+                order = np.lexsort((ids_b, -sims[x]))
+                bidx = order[0]
+                if np.isfinite(sims[x, bidx]):
+                    rows.append((int(ids_a[x]), int(ids_b[bidx]),
+                                 float(sims[x, bidx])))
+
+        if ci == cj:
+            sub = g[g["chunk"] == ci]
+            ids = sub["vec_id"].to_numpy()
+            mat = np.stack(sub["v"].to_numpy()) if len(ids) else np.zeros((0, 1))
+            emit(ids, mat, ids, mat, True)
+        else:
+            left = g[g["chunk"] == ci]
+            right = g[g["chunk"] == cj]
+            lid = left["vec_id"].to_numpy()
+            rid = right["vec_id"].to_numpy()
+            lm = np.stack(left["v"].to_numpy()) if len(lid) else np.zeros((0, 1))
+            rm = np.stack(right["v"].to_numpy()) if len(rid) else np.zeros((0, 1))
+            emit(lid, lm, rid, rm, False)
+            emit(rid, rm, lid, lm, False)
+        return pd.DataFrame({
+            "vec_id": pd.Series([r[0] for r in rows], dtype="int64"),
+            "nn_id": pd.Series([r[1] for r in rows], dtype="int64"),
+            "sim": pd.Series([r[2] for r in rows], dtype="float64"),
+        })
+
+    out_schema = pa.schema([("vec_id", pa.int64()), ("nn_id", pa.int64())])
+
+    def reduce_best(t: pa.Table) -> pa.Table:
+        df = pa.Table.from_arrays(
+            [t["vec_id"], t["nn_id"], t["sim"]],
+            names=["vec_id", "nn_id", "sim"],
+        ).to_pandas()
+        df = df.sort_values(["vec_id", "sim", "nn_id"],
+                            ascending=[True, False, True], kind="mergesort")
+        best = df.drop_duplicates("vec_id", keep="first")
+        return pa.Table.from_arrays(
+            [pa.array(best["vec_id"].to_numpy(dtype="int64")),
+             pa.array(best["nn_id"].to_numpy(dtype="int64"))],
+            schema=out_schema,
+        )
+
+    from .relational import hash_exchange
+
+    partials = (
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+        .map_batches(explode, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(best_in_partition, batch_format="pandas")
+    )
+    return hash_exchange(partials, ["vec_id"], reduce_best, out_schema)
+
+
+SQL_KNN_SELF_1NN = """
+SELECT vec_id, nn_id FROM (
+  SELECT a.vec_id, b.vec_id AS nn_id,
+         row_number() OVER (
+           PARTITION BY a.vec_id
+           ORDER BY list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                           CAST(b.embedding AS DOUBLE[])) DESC,
+                    b.vec_id
+         ) AS rn
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+)
+WHERE rn = 1
+"""

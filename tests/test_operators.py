@@ -1708,3 +1708,35 @@ class TestEquiDepthHistogram:
         out2 = q_order_price_histogram_eqd(str(d2)).to_pandas()
         assert out2["bucket"].tolist() == [1]
         assert out2["n_orders"].tolist() == [40]
+
+
+class TestKnnSelf1nn:
+    def test_identical_twin_is_nearest_and_ties_pick_smaller_id(
+        self, ray_session, tmp_path
+    ):
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from service1_text_extraction_ray.pipelines.queries import q_knn_self_1nn
+
+        rs = np.random.RandomState(3)
+        base = rs.standard_normal((6, 8)).astype("float32")
+        # vec 10 and 11 are identical twins; 12 is also identical (3-way tie
+        # group: each must pick the SMALLEST other id)
+        vecs = [base[0], base[0], base[0], base[1], base[2], base[3]]
+        ids = [10, 11, 12, 20, 21, 22]
+        d = tmp_path / "sf"
+        d.mkdir()
+        pq.write_table(pa.table({
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in vecs],
+                                  pa.list_(pa.float32())),
+        }), str(d / "embeddings.parquet"))
+        out = (
+            q_knn_self_1nn(str(d)).to_pandas()
+            .set_index("vec_id")["nn_id"].to_dict()
+        )
+        assert out[10] == 11  # tie among {11, 12} -> smaller
+        assert out[11] == 10
+        assert out[12] == 10
+        assert len(out) == 6  # every vector has a neighbor
