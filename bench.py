@@ -156,7 +156,7 @@ QUERY_NAMES = [
     "orders_above_cust_avg", "events_outliers", "dedup_jaccard_prefix",
     "distinct_users_hll_by_type", "orders_percent_rank", "user_event_paths",
     "dedup_near_clusters", "order_price_histogram_eqd", "extract_pdf_info", "orders_mom",
-    "events_top_paths", "user_value_moving_sum", "knn_self_1nn",
+    "events_top_paths", "user_value_moving_sum", "knn_self_1nn", "kmeans_embeddings",
 ]
 
 

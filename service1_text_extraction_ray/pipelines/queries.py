@@ -4846,3 +4846,166 @@ SELECT vec_id, nn_id FROM (
 )
 WHERE rn = 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Iterative algorithm #3: integer-exact Lloyd k-means over the embeddings —
+# the IVF coarse-quantizer TRAINING step as a first-class verified operator
+# ---------------------------------------------------------------------------
+
+KMEANS_K = 8
+KMEANS_ITERS = 3
+KM_DIM = 64
+KM_UNIT = 1_000_000  # micro-unit quantization of raw embedding components
+
+
+def _km_trunc_div(s: np.ndarray, c: int) -> np.ndarray:
+    """Integer division truncating toward zero — DuckDB's ``//`` semantics
+    (Python's ``//`` floors toward -inf; they differ on negative sums)."""
+    return (np.sign(s) * (np.abs(s) // c)).astype(np.int64)
+
+
+def _km_quant(mat: np.ndarray) -> np.ndarray:
+    """round(KM_UNIT * x) half-AWAY-from-zero, matching DuckDB round()."""
+    return (np.sign(mat) * np.floor(np.abs(mat) * KM_UNIT + 0.5)).astype(np.int64)
+
+
+def q_kmeans_embeddings(sf_dir: str) -> rd.Dataset:
+    """Lloyd k-means over the embeddings table, ENTIRELY in int64: vectors
+    quantize to micro-units, assignment minimizes the exact integer
+    squared distance (ties -> lower cluster id; np.argmin's first-min
+    matches the SQL row_number tiebreak), and each update step is
+    per-block partial (cluster, dim-sums, count) partials merged in a tree
+    with truncating integer division — so every iteration is
+    bit-reproducible at any parallelism AND the oracle replays all
+    KMEANS_ITERS iterations as unrolled CTEs. This is the third iterative
+    algorithm (with PageRank and connected components) and the actual
+    training step behind q_ann_ivf's coarse quantizer. Initialization:
+    the K lowest vec_ids (deterministic). Empty clusters keep their
+    previous centroid. Output: the final (vec_id, cluster) assignment."""
+    emb = (
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+        .materialize()  # scanned ITERS+1 times; vector table is the input
+    )
+
+    init = (
+        emb.filter(lambda r: r["vec_id"] < KMEANS_K)
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    cent = _km_quant(np.stack(init["embedding"].to_numpy()).astype(np.float64))
+    assert cent.shape == (KMEANS_K, KM_DIM)
+
+    part_schema = pa.schema([
+        ("cluster", pa.int64()), ("count", pa.int64()),
+        ("sums", pa.list_(pa.int64())),
+    ])
+
+    def make_update_partial(cent_ref):
+        def update_partial(batch: pa.Table) -> pa.Table:
+            c = ray.get(cent_ref)
+            mat = np.stack(batch["embedding"].to_pandas().to_numpy()).astype(np.float64)
+            vq = _km_quant(mat)
+            d = ((vq[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            cl = np.argmin(d, axis=1)
+            rows = []
+            for k in range(KMEANS_K):
+                mask = cl == k
+                n = int(mask.sum())
+                if n:
+                    rows.append({
+                        "cluster": k, "count": n,
+                        "sums": vq[mask].sum(axis=0).tolist(),
+                    })
+            if not rows:
+                return part_schema.empty_table()
+            return pa.Table.from_pylist(rows, schema=part_schema)
+
+        return update_partial
+
+    for _ in range(KMEANS_ITERS):
+        ref = ray.put(cent)
+        new = cent.copy()
+        acc = np.zeros((KMEANS_K, KM_DIM), dtype=np.int64)
+        cnt = np.zeros(KMEANS_K, dtype=np.int64)
+        for b in emb.map_batches(
+            make_update_partial(ref), batch_format="pyarrow"
+        ).iter_batches(batch_format="pyarrow"):
+            for r in b.to_pylist():
+                acc[r["cluster"]] += np.asarray(r["sums"], dtype=np.int64)
+                cnt[r["cluster"]] += r["count"]
+        for k in range(KMEANS_K):
+            if cnt[k]:
+                new[k] = _km_trunc_div(acc[k], int(cnt[k]))
+        cent = new
+
+    final_ref = ray.put(cent)
+    out_schema = pa.schema([("vec_id", pa.int64()), ("cluster", pa.int64())])
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(final_ref)
+        mat = np.stack(batch["embedding"].to_pandas().to_numpy()).astype(np.float64)
+        vq = _km_quant(mat)
+        d = ((vq[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        return pa.Table.from_arrays(
+            [pc.cast(batch["vec_id"], pa.int64()),
+             pa.array(np.argmin(d, axis=1).astype(np.int64))],
+            schema=out_schema,
+        )
+
+    return emb.map_batches(assign, batch_format="pyarrow")
+
+
+def _sql_kmeans() -> str:
+    dist = ("list_sum(list_transform(range(1, %d), i -> "
+            "(v[i] - c[i]) * (v[i] - c[i])))" % (KM_DIM + 1))
+    parts = [f"""
+vq AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(round({KM_UNIT} * x) AS BIGINT)) AS v
+  FROM embeddings
+),
+c0 AS (
+  SELECT vec_id AS cluster, v AS c FROM vq WHERE vec_id < {KMEANS_K}
+)"""]
+    prev = "c0"
+    for it in range(1, KMEANS_ITERS + 1):
+        parts.append(f""",
+a{it} AS (
+  SELECT vec_id, cluster FROM (
+    SELECT q.vec_id, t.cluster,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY {dist.replace('v[i]', 'q.v[i]').replace('c[i]', 't.c[i]')},
+                      t.cluster) AS rn
+    FROM vq q CROSS JOIN {prev} t
+  ) WHERE rn = 1
+),
+c{it} AS (
+  SELECT p.cluster,
+         coalesce(u.c, p.c) AS c
+  FROM {prev} p LEFT JOIN (
+    SELECT cluster, list(s ORDER BY i) AS c FROM (
+      SELECT a.cluster, t.i,
+             CAST(sum(q.v[t.i]) // count(*) AS BIGINT) AS s
+      FROM a{it} a JOIN vq q USING (vec_id)
+           CROSS JOIN range(1, {KM_DIM + 1}) t(i)
+      GROUP BY a.cluster, t.i
+    ) GROUP BY cluster
+  ) u ON u.cluster = p.cluster
+)""")
+        prev = f"c{it}"
+    parts.append(f"""
+SELECT vec_id, cluster FROM (
+  SELECT q.vec_id, t.cluster,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY {dist.replace('v[i]', 'q.v[i]').replace('c[i]', 't.c[i]')},
+                    t.cluster) AS rn
+  FROM vq q CROSS JOIN {prev} t
+) WHERE rn = 1""")
+    return "WITH " + "".join(parts).lstrip()
+
+
+SQL_KMEANS_EMBEDDINGS = _sql_kmeans()

@@ -1740,3 +1740,51 @@ class TestKnnSelf1nn:
         assert out[11] == 10
         assert out[12] == 10
         assert len(out) == 6  # every vector has a neighbor
+
+
+class TestKmeansEmbeddings:
+    def test_separated_blobs_recovered_and_deterministic(
+        self, ray_session, tmp_path
+    ):
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from service1_text_extraction_ray.pipelines.queries import (
+            KMEANS_K,
+            q_kmeans_embeddings,
+        )
+
+        rs = np.random.RandomState(11)
+        # K well-separated blobs, 8 points each; the first point of blob k
+        # has vec_id k (so init picks one seed per blob)
+        centers = rs.standard_normal((KMEANS_K, 64)) * 50
+        ids, vecs = [], []
+        nxt = KMEANS_K
+        for k in range(KMEANS_K):
+            for j in range(8):
+                if j == 0:
+                    ids.append(k)
+                else:
+                    ids.append(nxt)
+                    nxt += 1
+                vecs.append(centers[k] + rs.standard_normal(64) * 0.01)
+        d = tmp_path / "sf"
+        d.mkdir()
+        pq.write_table(pa.table({
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in vecs],
+                                  pa.list_(pa.float32())),
+        }), str(d / "embeddings.parquet"))
+        out = q_kmeans_embeddings(str(d)).to_pandas()
+        lookup = out.set_index("vec_id")["cluster"]
+        # every blob's members share the seed's cluster
+        idx = 0
+        for k in range(KMEANS_K):
+            members = ids[idx:idx + 8]
+            assert len({lookup[m] for m in members}) == 1, k
+            idx += 8
+        # bit-identical rerun
+        again = q_kmeans_embeddings(str(d)).to_pandas()
+        assert out.sort_values("vec_id").reset_index(drop=True).equals(
+            again.sort_values("vec_id").reset_index(drop=True)
+        )
