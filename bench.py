@@ -157,6 +157,8 @@ QUERY_NAMES = [
     "distinct_users_hll_by_type", "orders_percent_rank", "user_event_paths",
     "dedup_near_clusters", "order_price_histogram_eqd", "extract_pdf_info", "orders_mom",
     "events_top_paths", "user_value_moving_sum", "knn_self_1nn", "kmeans_embeddings",
+    "part_skyline", "priority_price_trend", "event_type_entropy",
+    "segment_acctbal_moments", "part_reach", "doc_unigram_logprob",
 ]
 
 

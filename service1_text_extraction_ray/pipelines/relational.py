@@ -4111,3 +4111,412 @@ SELECT event_id, user_id,
        ) AS BIGINT) AS moving_cents
 FROM events
 """
+
+
+# ---------------------------------------------------------------------------
+# Skyline (Pareto frontier) — the multi-criteria dominance operator
+# ---------------------------------------------------------------------------
+
+
+def q_part_skyline(sf_dir: str) -> rd.Dataset:
+    """Skyline of ``part`` under (minimize retail price, maximize size):
+    every part not dominated by another (q dominates p iff q is no more
+    expensive AND no smaller, strictly better in one). The classic
+    multi-criteria shortlist operator — and a showcase of a DISTRIBUTIVE
+    reduction Ray Data has no built-in for: skyline(A ∪ B) =
+    skyline(skyline(A) ∪ skyline(B)), so each block shrinks to its local
+    skyline first (vectorized sort + per-price-group max + running-max
+    scan, no pairwise compare) and only those survivors — O(log² n)
+    expected rows per block for independent dims — travel to ONE final
+    task for the identical merge pass. Ties at the same (price, size)
+    point are mutually non-dominating and all kept, matching the
+    NOT-EXISTS dominance semantics of the SQL oracle."""
+    sky_schema = pa.schema([
+        pa.field("p_partkey", pa.int64()), pa.field("p_size", pa.int64()),
+        pa.field("p_retailprice", pa.float64()),
+    ])
+
+    def local_skyline(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return sky_schema.empty_table()
+        df = t.to_pandas().sort_values(
+            ["p_retailprice", "p_size"], ascending=[True, False], kind="mergesort"
+        )
+        price = df["p_retailprice"].to_numpy(dtype="float64")
+        size = df["p_size"].to_numpy(dtype="int64")
+        new_grp = np.ones(len(df), dtype=bool)
+        new_grp[1:] = price[1:] != price[:-1]
+        grp_idx = np.cumsum(new_grp) - 1
+        grp_max = size[new_grp]          # first row of each price group = its max size
+        prev_best = np.concatenate(
+            ([np.iinfo(np.int64).min], np.maximum.accumulate(grp_max)[:-1])
+        )
+        keep = (size == grp_max[grp_idx]) & (size > prev_best[grp_idx])
+        kept = df[keep]
+        return pa.Table.from_arrays(
+            [pa.array(kept["p_partkey"].to_numpy(dtype="int64")),
+             pa.array(kept["p_size"].to_numpy(dtype="int64")),
+             pa.array(kept["p_retailprice"].to_numpy(dtype="float64"))],
+            schema=sky_schema,
+        )
+
+    return (
+        _read(sf_dir, "part", ["p_partkey", "p_size", "p_retailprice"])
+        .map_batches(
+            lambda t: local_skyline(
+                t.append_column(
+                    "p_size64", pc.cast(t["p_size"], pa.int64())
+                ).drop_columns(["p_size"]).rename_columns(
+                    ["p_partkey", "p_retailprice", "p_size"]
+                )
+            ),
+            batch_format="pyarrow",
+        )
+        .repartition(1)
+        .map_batches(local_skyline, batch_format="pyarrow", batch_size=None)
+    )
+
+
+SQL_PART_SKYLINE = """
+WITH g AS (
+  SELECT p_retailprice, max(p_size) AS gmax FROM part GROUP BY p_retailprice
+),
+r AS (
+  SELECT p_retailprice, gmax,
+         max(gmax) OVER (ORDER BY p_retailprice
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prevmax
+  FROM g
+)
+SELECT p.p_partkey, CAST(p.p_size AS BIGINT) AS p_size, p.p_retailprice
+FROM part p JOIN r ON p.p_retailprice = r.p_retailprice
+WHERE p.p_size = r.gmax AND (r.prevmax IS NULL OR p.p_size > r.prevmax)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Per-group OLS regression from exact integer partials
+# ---------------------------------------------------------------------------
+
+
+def q_priority_price_trend(sf_dir: str) -> pd.DataFrame:
+    """Per-priority linear price trend: OLS slope and intercept of
+    y = order price (cents) on x = order date (days since epoch), from
+    EXACT integer partials (n, Σx, Σy, Σx², Σxy) — the regr_slope /
+    regr_intercept aggregate as a mergeable moment sketch (the corr twin
+    is q_lineitem_corr). The normal-equation numerator n·Σxy − Σx·Σy
+    cancels catastrophically in floats, so both sides form it in EXACT
+    integer arithmetic (Python ints here, HUGEINT in the oracle) and cast
+    to double only for the final division — bit-reproducible at any
+    parallelism. int64 partial lanes hold to ~10^8 rows (x ≤ 2·10^4,
+    y ≤ 6·10^7 cents ⇒ Σxy < 2^63); beyond that the partials widen to
+    the same two-lane HUGEINT split the oracle already runs."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = (
+            pc.divide(pc.cast(t["o_orderdate"], pa.int64()),
+                      pa.scalar(86_400_000_000, pa.int64()))
+            .to_numpy(zero_copy_only=False)
+        )
+        y = _cents(t["o_totalprice"]).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({
+            "o_orderpriority": t["o_orderpriority"].to_pylist(),
+            "n": 1, "sx": x, "sy": y, "sxx": x * x, "sxy": x * y,
+        })
+        g = df.groupby("o_orderpriority", sort=False, as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    sums = (
+        _read(sf_dir, "orders", ["o_orderpriority", "o_orderdate", "o_totalprice"])
+        .map_batches(partial, batch_format="pyarrow")
+        .repartition(8)
+        .groupby("o_orderpriority")
+        .aggregate(*[Sum(c, alias_name=c) for c in ("n", "sx", "sy", "sxx", "sxy")])
+        .to_pandas()  # one row per priority class
+        .sort_values("o_orderpriority")
+    )
+    slopes, intercepts = [], []
+    for _, r in sums.iterrows():
+        n, sx, sy = int(r["n"]), int(r["sx"]), int(r["sy"])
+        sxx, sxy = int(r["sxx"]), int(r["sxy"])
+        num, den = n * sxy - sx * sy, n * sxx - sx * sx   # exact ints
+        slope = float(num) / float(den)
+        slopes.append(slope)
+        intercepts.append((float(sy) - slope * float(sx)) / n)
+    return pd.DataFrame({
+        "o_orderpriority": sums["o_orderpriority"].astype(str),
+        "n_orders": sums["n"].astype("int64"),
+        "slope_cents_per_day": slopes,
+        "intercept_cents": intercepts,
+    }).reset_index(drop=True)
+
+
+SQL_PRIORITY_PRICE_TREND = """
+WITH p AS (
+  SELECT o_orderpriority,
+         CAST(count(*) AS HUGEINT) AS n,
+         sum(CAST(CAST(epoch(o_orderdate) / 86400 AS BIGINT) AS HUGEINT)) AS sx,
+         sum(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS HUGEINT)) AS sy,
+         sum(CAST(CAST(epoch(o_orderdate) / 86400 AS BIGINT) AS HUGEINT)
+             * CAST(epoch(o_orderdate) / 86400 AS BIGINT)) AS sxx,
+         sum(CAST(CAST(epoch(o_orderdate) / 86400 AS BIGINT) AS HUGEINT)
+             * CAST(round(o_totalprice * 100) AS BIGINT)) AS sxy
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT o_orderpriority,
+       CAST(n AS BIGINT) AS n_orders,
+       CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)
+         AS slope_cents_per_day,
+       (CAST(sy AS DOUBLE)
+        - (CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE))
+          * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept_cents
+FROM p
+"""
+
+
+# ---------------------------------------------------------------------------
+# Shannon entropy per group (two-level exact-count aggregation)
+# ---------------------------------------------------------------------------
+
+
+def q_event_type_entropy(sf_dir: str) -> pd.DataFrame:
+    """Shannon entropy (bits) of each event type's hour-of-day histogram —
+    the distribution-shape feature behind bot/burst detection. Exact
+    two-level topology: per-block (type, hour) partial counts (≤ 24·n_types
+    rows leave a block), ONE groupby merges them, and the entropy formula
+    H = log2(n) − Σ c·log2(c) / n runs on the driver over the exact final
+    counts — float appears only in that last expression, so the result is
+    reproducible at any parallelism and any summation order to ~1e-13."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        hours = (
+            pc.hour(t["ts"]).to_numpy(zero_copy_only=False).astype("int64")
+        )
+        df = pd.DataFrame({"event_type": t["event_type"].to_pylist(), "h": hours})
+        g = df.groupby(["event_type", "h"], sort=False).size().reset_index(name="c")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    counts = (
+        _read(sf_dir, "events", ["event_type", "ts"])
+        .map_batches(partial, batch_format="pyarrow")
+        .repartition(8)
+        .groupby(["event_type", "h"])
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()  # ≤ 24 rows per event type
+    )
+    rows = []
+    for etype, grp in counts.groupby("event_type", sort=True):
+        c = grp.sort_values("h")["c"].to_numpy(dtype="float64")
+        n = c.sum()
+        rows.append({
+            "event_type": etype,
+            "n_events": int(n),
+            "entropy_bits": float(np.log2(n) - (c * np.log2(c)).sum() / n),
+        })
+    return pd.DataFrame(rows)
+
+
+SQL_EVENT_TYPE_ENTROPY = """
+WITH c AS (
+  SELECT event_type, CAST(extract(hour FROM ts) AS BIGINT) AS h, count(*) AS c
+  FROM events GROUP BY 1, 2
+),
+t AS (SELECT event_type, sum(c) AS n FROM c GROUP BY 1)
+SELECT c.event_type,
+       CAST(t.n AS BIGINT) AS n_events,
+       log2(CAST(t.n AS DOUBLE))
+         - sum(CAST(c.c AS DOUBLE) * log2(CAST(c.c AS DOUBLE))) / CAST(t.n AS DOUBLE)
+         AS entropy_bits
+FROM c JOIN t USING (event_type)
+GROUP BY c.event_type, t.n
+"""
+
+
+# ---------------------------------------------------------------------------
+# Grouped higher moments (skewness / kurtosis) from exact power sums
+# ---------------------------------------------------------------------------
+
+
+def q_segment_acctbal_moments(sf_dir: str) -> pd.DataFrame:
+    """Per-segment skewness and excess kurtosis of round(acctbal) — the
+    3rd/4th-moment extension of the (n, Σx, Σx²) variance sketch. Σx⁴
+    overflows int64 at block scale (x ≤ 10⁴ ⇒ x⁴ ≤ 10¹⁶), so per-block
+    partials accumulate in PYTHON ints (object-dtype pandas sum — exact,
+    arbitrary precision) and ship as decimal STRINGS; the driver merges
+    the ≤ 5·n_blocks tiny partial rows back into exact ints and runs the
+    raw-moment formulas in double, mirroring the oracle's HUGEINT sums
+    bit-for-bit. Scale path: partial rows are O(groups × blocks) — at
+    cluster scale the string-int merge tree-reduces instead of driving."""
+
+    cols = ("n", "sx", "sxx", "sx3", "sx4")
+    part_schema = pa.schema(
+        [pa.field("c_mktsegment", pa.string())]
+        + [pa.field(c, pa.string()) for c in cols]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = (
+            pc.cast(pc.round(t["c_acctbal"], round_mode="half_towards_infinity"),
+                    pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        xo = x.astype(object)  # Python ints: exact x³/x⁴ sums
+        df = pd.DataFrame({
+            "c_mktsegment": t["c_mktsegment"].to_pylist(),
+            "n": 1, "sx": xo, "sxx": xo * xo, "sx3": xo ** 3, "sx4": xo ** 4,
+        })
+        g = df.groupby("c_mktsegment", sort=False, as_index=False).sum()
+        return pa.Table.from_arrays(
+            [pa.array(g["c_mktsegment"].astype(str))]
+            + [pa.array(g[c].map(str)) for c in cols],
+            schema=part_schema,
+        )
+
+    parts = (
+        _read(sf_dir, "customer", ["c_mktsegment", "c_acctbal"])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()  # ≤ 5 segments × n_blocks partial rows
+    )
+    for c in cols:
+        parts[c] = parts[c].map(int)  # back to exact Python ints
+    merged = parts.groupby("c_mktsegment", sort=True).sum()
+    rows = []
+    for seg, r in merged.iterrows():
+        n = float(r["n"])
+        mu = float(r["sx"]) / n
+        m2 = float(r["sxx"]) / n - mu * mu
+        m3 = float(r["sx3"]) / n - 3.0 * mu * (float(r["sxx"]) / n) + 2.0 * mu ** 3
+        m4 = (float(r["sx4"]) / n - 4.0 * mu * (float(r["sx3"]) / n)
+              + 6.0 * mu * mu * (float(r["sxx"]) / n) - 3.0 * mu ** 4)
+        rows.append({
+            "c_mktsegment": seg,
+            "n_customers": int(r["n"]),
+            "skewness": m3 / m2 ** 1.5,
+            "kurtosis_excess": m4 / (m2 * m2) - 3.0,
+        })
+    return pd.DataFrame(rows)
+
+
+SQL_SEGMENT_ACCTBAL_MOMENTS = """
+WITH p AS (
+  SELECT c_mktsegment,
+         CAST(count(*) AS HUGEINT) AS n,
+         sum(CAST(CAST(round(c_acctbal) AS BIGINT) AS HUGEINT)) AS sx,
+         sum(CAST(CAST(round(c_acctbal) AS BIGINT) AS HUGEINT)
+             * CAST(round(c_acctbal) AS BIGINT)) AS sxx,
+         sum(CAST(CAST(round(c_acctbal) AS BIGINT) AS HUGEINT)
+             * CAST(round(c_acctbal) AS BIGINT) * CAST(round(c_acctbal) AS BIGINT)) AS sx3,
+         sum(CAST(CAST(round(c_acctbal) AS BIGINT) AS HUGEINT)
+             * CAST(round(c_acctbal) AS BIGINT) * CAST(round(c_acctbal) AS BIGINT)
+             * CAST(round(c_acctbal) AS BIGINT)) AS sx4
+  FROM customer GROUP BY c_mktsegment
+),
+m AS (
+  SELECT c_mktsegment, CAST(n AS BIGINT) AS n_customers,
+         CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+         CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE) AS rm2,
+         CAST(sx3 AS DOUBLE) / CAST(n AS DOUBLE) AS rm3,
+         CAST(sx4 AS DOUBLE) / CAST(n AS DOUBLE) AS rm4
+  FROM p
+)
+SELECT c_mktsegment, n_customers,
+       (rm3 - 3 * mu * rm2 + 2 * mu * mu * mu)
+         / pow(rm2 - mu * mu, 1.5) AS skewness,
+       (rm4 - 4 * mu * rm3 + 6 * mu * mu * rm2 - 3 * mu * mu * mu * mu)
+         / ((rm2 - mu * mu) * (rm2 - mu * mu)) - 3.0 AS kurtosis_excess
+FROM m
+"""
+
+
+# ---------------------------------------------------------------------------
+# BFS shortest hops over the part co-occurrence graph
+# ---------------------------------------------------------------------------
+
+BFS_MAX_ITERS = 32
+
+
+def q_part_reach(sf_dir: str) -> pd.DataFrame:
+    """BFS hop distance from a seed part over the support-filtered
+    co-occurrence graph (edges = q_part_cooccurrence, seed = smallest
+    part key in the edge set) — single-source shortest paths on an
+    unweighted graph, the third iterative graph operator (with PageRank
+    and connected components). Broadcast regime: the frontier/distance
+    vector rides ``ray.put`` into ONE map_batches relaxation pass over
+    the materialized edges per round; per-block (part, candidate_dist)
+    partials min-merge on the driver; converges at the graph's
+    eccentricity (RAISES past BFS_MAX_ITERS rather than return a
+    non-BFS result — which also keeps the oracle's recursion cap from
+    ever binding). The distance vector here is part-grain and bounded by
+    the support filter; past broadcast size the round becomes the same
+    hash_join relaxation as q_host_components' join regime. Output: one
+    row per reached part with its hop count."""
+    cand_schema = pa.schema([("part", pa.int64()), ("cand", pa.int64())])
+    edges = q_part_cooccurrence(sf_dir).materialize()
+
+    seed_a = edges.min("part_a")
+    seed_b = edges.min("part_b")
+    if seed_a is None and seed_b is None:
+        return pd.DataFrame({"part": pd.Series([], dtype="int64"),
+                             "hops": pd.Series([], dtype="int64")})
+    seed = min(s for s in (seed_a, seed_b) if s is not None)
+
+    dist: dict = {int(seed): 0}
+    for _ in range(BFS_MAX_ITERS):
+        ref = ray.put(dist)
+
+        def relax(t: pa.Table, _ref=ref) -> pa.Table:
+            d = ray.get(_ref)
+            acc: dict = {}
+            for a, b in zip(t["part_a"].to_pylist(), t["part_b"].to_pylist()):
+                da, db = d.get(a), d.get(b)
+                if da is not None and (db is None or db > da + 1):
+                    c = acc.get(b)
+                    if c is None or c > da + 1:
+                        acc[b] = da + 1
+                if db is not None and (da is None or da > db + 1):
+                    c = acc.get(a)
+                    if c is None or c > db + 1:
+                        acc[a] = db + 1
+            if not acc:
+                return cand_schema.empty_table()
+            return pa.Table.from_pylist(
+                [{"part": p, "cand": c} for p, c in acc.items()], schema=cand_schema
+            )
+
+        changed = False
+        for b in edges.map_batches(relax, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        ):
+            for p, c in zip(b["part"].to_pylist(), b["cand"].to_pylist()):
+                if p not in dist or dist[p] > c:
+                    dist[p] = c
+                    changed = True
+        if not changed:
+            items = sorted(dist.items())
+            return pd.DataFrame({
+                "part": pd.Series([p for p, _ in items], dtype="int64"),
+                "hops": pd.Series([h for _, h in items], dtype="int64"),
+            })
+    raise RuntimeError(f"BFS did not converge in {BFS_MAX_ITERS} rounds")
+
+
+SQL_PART_REACH = f"""
+WITH RECURSIVE
+li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (
+  SELECT a.l_partkey AS a, b.l_partkey AS b
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING count(*) >= {BASKET_MIN_COUNT}
+),
+ue AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+seed AS (SELECT min(a) AS s FROM ue),
+walk(part, hops) AS (
+  SELECT s, 0 FROM seed
+  UNION
+  SELECT ue.b, walk.hops + 1
+  FROM walk JOIN ue ON ue.a = walk.part
+  WHERE walk.hops < {BFS_MAX_ITERS}
+)
+SELECT part, CAST(min(hops) AS BIGINT) AS hops FROM walk GROUP BY part
+"""

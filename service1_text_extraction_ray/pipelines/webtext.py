@@ -1036,3 +1036,91 @@ SELECT doc_id, lang, n_chars
 FROM documents
 WHERE ({_SQL_MD5_KEY16}) < n_chars * {WEIGHT_MULT}
 """
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM quality scoring (the KenLM-filter shape)
+# ---------------------------------------------------------------------------
+
+
+def q_doc_unigram_logprob(sf_dir: str) -> rd.Dataset:
+    """Per-document average negative log-likelihood under the corpus's own
+    unigram language model — the model-based quality-filter shape (CCNet /
+    Gopher run a KenLM here; the plumbing is identical, only the scorer
+    swaps). Two passes: (1) corpus token counts via per-batch partials +
+    ONE hash_exchange (the LM build — nothing but (token, int64) rows
+    cross the wire), collected into a token→count table and broadcast
+    ONCE via ``ray.put``; (2) a pure map_batches scores each doc as
+    mean(-ln(count/total)) over its tokens, reading the broadcast from the
+    object store per task — never re-shipped per batch. Every token is in
+    the LM by construction (trained on the same corpus), so there is no
+    OOV branch; at web scale the LM truncates to a top-V vocabulary with
+    an OOV floor and the broadcast stays bounded (documented scale path).
+    Zero-token docs carry no distribution and are excluded (the oracle's
+    join does the same)."""
+    cnt_schema = pa.schema([pa.field("token", pa.string()), pa.field("tf", pa.int64())])
+
+    def count_partials(df: pd.DataFrame) -> pd.DataFrame:
+        tf = df["text"].fillna("").map(_tokens).explode().dropna().value_counts()
+        return pd.DataFrame({"token": tf.index.astype(str), "tf": tf.to_numpy(dtype="int64")})
+
+    def shard_sum(t: pa.Table) -> pa.Table:
+        g = t.group_by("token").aggregate([("tf", "sum")])
+        return pa.Table.from_arrays([g["token"], g["tf_sum"]], schema=cnt_schema)
+
+    lm: dict = {}
+    counts = hash_exchange(
+        _read(sf_dir, "documents", ["text"]).map_batches(
+            count_partials, batch_format="pandas"
+        ),
+        ["token"],
+        shard_sum,
+        cnt_schema,
+    )
+    for b in counts.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        for tok, c in zip(b["token"].to_pylist(), b["tf"].to_pylist()):
+            lm[tok] = c
+    total = float(sum(lm.values()))
+    lm_ref = ray.put(lm)
+
+    out_schema = pa.schema([
+        pa.field("doc_id", pa.int64()), pa.field("n_tokens", pa.int64()),
+        pa.field("avg_nll", pa.float64()),
+    ])
+
+    def score(t: pa.Table, _ref=lm_ref) -> pa.Table:
+        d = ray.get(_ref)
+        ids, ns, nlls = [], [], []
+        for doc_id, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            toks = _tokens(text or "")
+            if not toks:
+                continue
+            c = np.array([d[tok] for tok in toks], dtype="float64")
+            ids.append(doc_id)
+            ns.append(len(toks))
+            nlls.append(float(-(np.log(c / total)).sum() / len(toks)))
+        return pa.Table.from_arrays(
+            [pa.array(ids, pa.int64()), pa.array(ns, pa.int64()),
+             pa.array(nlls, pa.float64())],
+            schema=out_schema,
+        )
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        score, batch_format="pyarrow"
+    )
+
+
+SQL_DOC_UNIGRAM_LOGPROB = """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS token
+  FROM documents
+),
+cnt AS (SELECT token, count(*) AS c FROM tok GROUP BY token),
+tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM tok)
+SELECT t.doc_id,
+       count(*) AS n_tokens,
+       sum(-ln(CAST(c.c AS DOUBLE) / (SELECT n FROM tot))) / count(*) AS avg_nll
+FROM tok t JOIN cnt c USING (token)
+GROUP BY t.doc_id
+"""

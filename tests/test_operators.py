@@ -1788,3 +1788,157 @@ class TestKmeansEmbeddings:
         assert out.sort_values("vec_id").reset_index(drop=True).equals(
             again.sort_values("vec_id").reset_index(drop=True)
         )
+
+
+def _write_tbl(tmp_path, name, table):
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "sf"
+    d.mkdir(exist_ok=True)
+    pq.write_table(table, str(d / f"{name}.parquet"))
+    return str(d)
+
+
+class TestSkyline:
+    def test_planted_frontier_and_ties(self, ray_session, tmp_path):
+        from service1_text_extraction_ray.pipelines.relational import q_part_skyline
+
+        # frontier: (10, 5), (20, 8), (30, 9); dominated: (20, 5), (30, 8);
+        # tie at (20, 8) twice -> both kept (mutually non-dominating)
+        d = _write_tbl(tmp_path, "part", pa.table({
+            "p_partkey": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+            "p_size": pa.array([5, 8, 9, 5, 8, 8], pa.int32()),
+            "p_retailprice": pa.array([10.0, 20.0, 30.0, 20.0, 30.0, 20.0]),
+        }))
+        out = q_part_skyline(d).to_pandas().sort_values("p_partkey")
+        assert out["p_partkey"].tolist() == [1, 2, 3, 6]
+
+    def test_matches_bruteforce_on_random(self, ray_session, tmp_path):
+        from service1_text_extraction_ray.pipelines.relational import q_part_skyline
+
+        rng = np.random.default_rng(7)
+        n = 2000
+        size = rng.integers(1, 50, n)
+        price = rng.uniform(900, 2000, n).round(2)
+        d = _write_tbl(tmp_path, "part", pa.table({
+            "p_partkey": pa.array(range(n), pa.int64()),
+            "p_size": pa.array(size, pa.int32()),
+            "p_retailprice": pa.array(price),
+        }))
+        out = set(q_part_skyline(d).to_pandas()["p_partkey"])
+        want = set()
+        for i in range(n):
+            dominated = np.any(
+                (price <= price[i]) & (size >= size[i])
+                & ((price < price[i]) | (size > size[i]))
+            )
+            if not dominated:
+                want.add(i)
+        assert out == want
+
+
+class TestRegressionTrend:
+    def test_matches_numpy_lstsq(self, ray_session, tmp_path):
+        from service1_text_extraction_ray.pipelines.relational import (
+            q_priority_price_trend,
+        )
+
+        rng = np.random.default_rng(11)
+        n = 4000
+        days = rng.integers(8000, 11000, n)
+        price = 1500.0 + 0.25 * days + rng.normal(0, 40, n)
+        d = _write_tbl(tmp_path, "orders", pa.table({
+            "o_orderpriority": pa.array(["1-URGENT"] * n),
+            "o_orderdate": pa.array(
+                (days * 86_400_000_000).astype("int64"), pa.timestamp("us")
+            ),
+            "o_totalprice": pa.array(price),
+        }))
+        out = q_priority_price_trend(d)
+        x = days.astype(np.float64)
+        y = np.floor(np.abs(price) * 100 + 0.5) * np.sign(price)
+        slope, intercept = np.polyfit(x, y, 1)
+        assert abs(out["slope_cents_per_day"].iloc[0] - slope) < 1e-6 * abs(slope)
+        assert abs(out["intercept_cents"].iloc[0] - intercept) < 1e-3 * abs(intercept)
+
+
+class TestEntropy:
+    def test_uniform_and_degenerate(self, ray_session, tmp_path):
+        from service1_text_extraction_ray.pipelines.relational import (
+            q_event_type_entropy,
+        )
+
+        # 'flat': one event in each of 16 hours -> exactly 4 bits
+        # 'spike': all events at hour 3 -> exactly 0 bits
+        ts_flat = [pd.Timestamp(2024, 1, 1, h) for h in range(16)]
+        ts_spike = [pd.Timestamp(2024, 1, 2, 3)] * 10
+        d = _write_tbl(tmp_path, "events", pa.table({
+            "event_type": pa.array(["flat"] * 16 + ["spike"] * 10),
+            "ts": pa.array(ts_flat + ts_spike, pa.timestamp("us")),
+        }))
+        out = q_event_type_entropy(d).set_index("event_type")
+        assert abs(out.loc["flat", "entropy_bits"] - 4.0) < 1e-12
+        assert abs(out.loc["spike", "entropy_bits"]) < 1e-12
+
+
+class TestMoments:
+    def test_matches_numpy_moments(self, ray_session, tmp_path):
+        from service1_text_extraction_ray.pipelines.relational import (
+            q_segment_acctbal_moments,
+        )
+
+        rng = np.random.default_rng(13)
+        bal = rng.gamma(2.0, 1500.0, 3000) - 900.0  # skewed, spans negatives
+        d = _write_tbl(tmp_path, "customer", pa.table({
+            "c_mktsegment": pa.array(["S"] * len(bal)),
+            "c_acctbal": pa.array(bal),
+        }))
+        out = q_segment_acctbal_moments(d)
+        x = np.floor(np.abs(bal) + 0.5) * np.sign(bal)  # round half away
+        m2 = ((x - x.mean()) ** 2).mean()
+        m3 = ((x - x.mean()) ** 3).mean()
+        m4 = ((x - x.mean()) ** 4).mean()
+        assert abs(out["skewness"].iloc[0] - m3 / m2 ** 1.5) < 1e-9
+        assert abs(out["kurtosis_excess"].iloc[0] - (m4 / m2**2 - 3)) < 1e-9
+
+
+class TestPartReach:
+    def test_chain_graph_hops(self, ray_session, tmp_path):
+        from service1_text_extraction_ray.pipelines.relational import q_part_reach
+
+        # Orders forming a chain 1-2, 2-3, 3-4 (each pair twice to pass the
+        # support filter) plus an isolated pair 8-9 (unreachable from seed 1).
+        rows_ok, rows_pk = [], []
+        orderkey = 0
+        for a, b in [(1, 2), (1, 2), (2, 3), (2, 3), (3, 4), (3, 4),
+                     (8, 9), (8, 9)]:
+            orderkey += 1
+            rows_ok += [orderkey, orderkey]
+            rows_pk += [a, b]
+        d = _write_tbl(tmp_path, "lineitem", pa.table({
+            "l_orderkey": pa.array(rows_ok, pa.int64()),
+            "l_partkey": pa.array(rows_pk, pa.int64()),
+        }))
+        out = q_part_reach(d).set_index("part")["hops"].to_dict()
+        assert out == {1: 0, 2: 1, 3: 2, 4: 3}
+
+
+class TestUnigramLogprob:
+    def test_hand_computed_scores(self, ray_session, tmp_path):
+        from service1_text_extraction_ray.pipelines.webtext import (
+            q_doc_unigram_logprob,
+        )
+
+        # corpus: "a a a b" + "b c" -> counts a=3 b=2 c=1, total 6
+        d = _write_tbl(tmp_path, "documents", pa.table({
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(["a a a b", "b c", ""]),
+        }))
+        out = q_doc_unigram_logprob(d).to_pandas().set_index("doc_id")
+        import math
+
+        want0 = -(3 * math.log(3 / 6) + math.log(2 / 6)) / 4
+        want1 = -(math.log(2 / 6) + math.log(1 / 6)) / 2
+        assert abs(out.loc[0, "avg_nll"] - want0) < 1e-12
+        assert abs(out.loc[1, "avg_nll"] - want1) < 1e-12
+        assert 2 not in out.index  # zero-token doc excluded
