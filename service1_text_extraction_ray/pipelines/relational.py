@@ -4520,3 +4520,238 @@ walk(part, hops) AS (
 )
 SELECT part, CAST(min(hops) AS BIGINT) AS hops FROM walk GROUP BY part
 """
+
+
+# ---------------------------------------------------------------------------
+# Spearman rank correlation via the bounded-domain distributed rank transform
+# ---------------------------------------------------------------------------
+
+
+def q_lineitem_spearman(sf_dir: str) -> pd.DataFrame:
+    """Spearman rank correlation of (quantity, price) per returnflag — the
+    rank-transform operator q_lineitem_corr's Pearson can't express. A
+    global rank is the distributed-hard part: this uses the BOUNDED-DOMAIN
+    counting transform — pass 1 builds per-(flag, value) COUNT histograms
+    (two small partial-aggregated tables; the domain is round(qty) ≤ 50 and
+    round(price) distinct dollars, both orders of magnitude below row
+    count), the driver turns cumulative counts into tie-averaged ranks
+    (kept EXACT as 2·rank ints: r2 = 2·cum_before + c + 1), broadcasts the
+    two rank maps once via ray.put, and pass 2 is a pure map_batches that
+    re-keys every row to its integer rank pair and emits the same exact
+    (n, Σ, ΣΣ) moment partials as q_lineitem_corr. No row-scale sort
+    anywhere — ranking by counting is how rank transforms scale when the
+    value domain is bounded; unbounded domains range-partition a sort
+    instead (the documented alternative)."""
+    hist_schema = pa.schema([
+        ("f", pa.string()), ("which", pa.string()), ("v", pa.int64()),
+        ("c", pa.int64()),
+    ])
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        f = t["l_returnflag"].to_pylist()
+        x = (
+            pc.cast(pc.round(t["l_quantity"], round_mode="half_towards_infinity"), pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        y = (
+            pc.cast(pc.round(t["l_extendedprice"], round_mode="half_towards_infinity"), pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        dx = pd.DataFrame({"f": f, "which": "x", "v": x})
+        dy = pd.DataFrame({"f": f, "which": "y", "v": y})
+        g = (
+            pd.concat([dx, dy])
+            .groupby(["f", "which", "v"], sort=False)
+            .size()
+            .reset_index(name="c")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False).cast(hist_schema)
+
+    src = _read(
+        sf_dir, "lineitem", ["l_returnflag", "l_quantity", "l_extendedprice"]
+    )
+    hist = (
+        src.map_batches(hist_partial, batch_format="pyarrow")
+        .repartition(8)
+        .groupby(["f", "which", "v"])
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()  # bounded by the value DOMAIN, not the row count
+    )
+    rank_maps: dict = {}  # (f, which) -> {value: r2}
+    for (f, which), grp in hist.groupby(["f", "which"], sort=False):
+        grp = grp.sort_values("v")
+        c = grp["c"].to_numpy(dtype="int64")
+        cum_before = np.concatenate(([0], np.cumsum(c)[:-1]))
+        r2 = 2 * cum_before + c + 1  # exact 2x tie-averaged rank
+        rank_maps[(f, which)] = dict(zip(grp["v"].tolist(), r2.tolist()))
+    maps_ref = ray.put(rank_maps)
+
+    def moment_partial(t: pa.Table, _ref=maps_ref) -> pa.Table:
+        m = ray.get(_ref)
+        f = t["l_returnflag"].to_pylist()
+        x = (
+            pc.cast(pc.round(t["l_quantity"], round_mode="half_towards_infinity"), pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        y = (
+            pc.cast(pc.round(t["l_extendedprice"], round_mode="half_towards_infinity"), pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        rx = np.fromiter(
+            (m[(fi, "x")][xi] for fi, xi in zip(f, x)), dtype=np.int64, count=len(f)
+        )
+        ry = np.fromiter(
+            (m[(fi, "y")][yi] for fi, yi in zip(f, y)), dtype=np.int64, count=len(f)
+        )
+        df = pd.DataFrame({
+            "f": f, "n": 1, "sx": rx, "sy": ry,
+            "sxx": rx * rx, "syy": ry * ry, "sxy": rx * ry,
+        })
+        g = df.groupby("f", sort=False, as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    sums = (
+        src.map_batches(moment_partial, batch_format="pyarrow")
+        .repartition(8)
+        .groupby("f")
+        .aggregate(*[Sum(c, alias_name=c) for c in ("n", "sx", "sy", "sxx", "syy", "sxy")])
+        .to_pandas()
+        .sort_values("f")
+    )
+    rhos = []
+    for _, r in sums.iterrows():
+        n, sx, sy = int(r["n"]), int(r["sx"]), int(r["sy"])
+        sxx, syy, sxy = int(r["sxx"]), int(r["syy"]), int(r["sxy"])
+        num = n * sxy - sx * sy            # exact ints: the cancelling terms
+        denx, deny = n * sxx - sx * sx, n * syy - sy * sy
+        rhos.append(float(num) / (float(denx) ** 0.5 * float(deny) ** 0.5))
+    return pd.DataFrame({
+        "l_returnflag": sums["f"].astype(str),
+        "n_rows": sums["n"].astype("int64"),
+        "spearman_qty_price": rhos,
+    }).reset_index(drop=True)
+
+
+SQL_LINEITEM_SPEARMAN = """
+WITH v AS (
+  SELECT l_returnflag AS f,
+         CAST(round(l_quantity) AS BIGINT) AS x,
+         CAST(round(l_extendedprice) AS BIGINT) AS y
+  FROM lineitem
+),
+hx AS (SELECT f, x, count(*) AS c FROM v GROUP BY f, x),
+rx AS (
+  SELECT f, x,
+         2 * (sum(c) OVER (PARTITION BY f ORDER BY x) - c) + c + 1 AS r2x
+  FROM hx
+),
+hy AS (SELECT f, y, count(*) AS c FROM v GROUP BY f, y),
+ry AS (
+  SELECT f, y,
+         2 * (sum(c) OVER (PARTITION BY f ORDER BY y) - c) + c + 1 AS r2y
+  FROM hy
+),
+r AS (
+  SELECT v.f, rx.r2x, ry.r2y
+  FROM v JOIN rx ON v.f = rx.f AND v.x = rx.x
+         JOIN ry ON v.f = ry.f AND v.y = ry.y
+),
+p AS (
+  SELECT f, CAST(count(*) AS HUGEINT) AS n,
+         sum(CAST(r2x AS HUGEINT)) AS sx, sum(CAST(r2y AS HUGEINT)) AS sy,
+         sum(CAST(r2x AS HUGEINT) * r2x) AS sxx,
+         sum(CAST(r2y AS HUGEINT) * r2y) AS syy,
+         sum(CAST(r2x AS HUGEINT) * r2y) AS sxy
+  FROM r GROUP BY f
+)
+SELECT f AS l_returnflag, CAST(n AS BIGINT) AS n_rows,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+         / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+            * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS spearman_qty_price
+FROM p
+"""
+
+
+# ---------------------------------------------------------------------------
+# Gaps-and-islands: consecutive-order-day streaks per customer
+# ---------------------------------------------------------------------------
+
+
+def q_customer_order_streaks(sf_dir: str) -> rd.Dataset:
+    """Gaps-and-islands per customer: group each customer's DISTINCT order
+    days into runs of consecutive calendar days; emit the island count and
+    the longest streak — the calendar cousin of gap sessionization (there
+    the boundary is a time delta, here day - day ≠ 1). ONE hash_exchange
+    on custkey; inside a shard: per-customer day dedup, the day − rank
+    island-id trick, and both aggregates are C-level vectorized passes
+    over the shard's sorted rows."""
+    out_schema = pa.schema([
+        pa.field("o_custkey", pa.int64()),
+        pa.field("n_islands", pa.int64()),
+        pa.field("max_streak_days", pa.int64()),
+    ])
+
+    def shard_streaks(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        days = (
+            pc.divide(pc.cast(t["o_orderdate"], pa.int64()),
+                      pa.scalar(86_400_000_000, pa.int64()))
+            .to_numpy(zero_copy_only=False)
+        )
+        df = (
+            pd.DataFrame({"k": t["o_custkey"].to_numpy(zero_copy_only=False),
+                          "d": days})
+            .drop_duplicates()
+            .sort_values(["k", "d"], kind="mergesort")
+        )
+        k = df["k"].to_numpy()
+        d = df["d"].to_numpy()
+        new_island = np.ones(len(df), dtype=np.int64)
+        if len(df) > 1:
+            new_island[1:] = ((k[1:] != k[:-1]) | (d[1:] != d[:-1] + 1)).astype(np.int64)
+        island = np.cumsum(new_island)  # global island id across the shard frame
+        g = (
+            pd.DataFrame({"k": k, "island": island})
+            .groupby(["k", "island"], sort=False)
+            .size()
+            .reset_index(name="len")
+        )
+        agg = g.groupby("k", sort=False).agg(
+            n_islands=("island", "size"), max_streak_days=("len", "max")
+        ).reset_index()
+        return pa.Table.from_arrays(
+            [pa.array(agg["k"].to_numpy(dtype="int64")),
+             pa.array(agg["n_islands"].to_numpy(dtype="int64")),
+             pa.array(agg["max_streak_days"].to_numpy(dtype="int64"))],
+            schema=out_schema,
+        )
+
+    return hash_exchange(
+        _read(sf_dir, "orders", ["o_custkey", "o_orderdate"]),
+        ["o_custkey"],
+        shard_streaks,
+        out_schema,
+    )
+
+
+SQL_CUSTOMER_ORDER_STREAKS = """
+WITH d AS (
+  SELECT DISTINCT o_custkey,
+         CAST(epoch(o_orderdate) / 86400 AS BIGINT) AS day
+  FROM orders
+),
+i AS (
+  SELECT o_custkey, day,
+         day - row_number() OVER (PARTITION BY o_custkey ORDER BY day) AS island
+  FROM d
+),
+runs AS (
+  SELECT o_custkey, island, count(*) AS len
+  FROM i GROUP BY o_custkey, island
+)
+SELECT o_custkey,
+       count(*) AS n_islands,
+       CAST(max(len) AS BIGINT) AS max_streak_days
+FROM runs GROUP BY o_custkey
+"""

@@ -1124,3 +1124,80 @@ SELECT t.doc_id,
 FROM tok t JOIN cnt c USING (token)
 GROUP BY t.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Per-group heavy hitters: top-K tokens per language
+# ---------------------------------------------------------------------------
+
+LANG_TOPK = 5
+
+
+def q_lang_top_tokens(sf_dir: str) -> pd.DataFrame:
+    """Top-K tokens per language by corpus frequency — the GROUPED
+    heavy-hitters shape (corpus_bigrams is the global one; doc_tfidf is
+    per-doc). Per-batch (lang, token) partial counts, ONE hash_exchange on
+    (lang, token) — after it every count for a (lang, token) is whole in
+    one shard, so a per-shard per-LANG top-K prune there is exact-safe
+    (a shard may hold only part of a language's vocabulary, but it holds
+    ALL counts of the tokens it has, so the true per-lang top-K survives
+    every shard prune) — then a tiny driver merge of ≤ shards × langs × K
+    rows. Ties break (count desc, token asc). Emits rank 1..K per lang."""
+    cnt_schema = pa.schema([
+        ("lang", pa.string()), ("token", pa.string()), ("n", pa.int64()),
+    ])
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        rows = (
+            pd.DataFrame({
+                "lang": df["lang"].fillna(""),
+                "token": df["text"].fillna("").map(_tokens),
+            })
+            .explode("token")
+            .dropna(subset=["token"])
+        )
+        g = rows.groupby(["lang", "token"], sort=False).size().reset_index(name="n")
+        return g
+
+    def shard_topk(t: pa.Table) -> pa.Table:
+        g = t.group_by(["lang", "token"]).aggregate([("n", "sum")])
+        df = pa.Table.from_arrays(
+            [g["lang"], g["token"], g["n_sum"]], names=["lang", "token", "n"]
+        ).to_pandas()
+        df = df.sort_values(["lang", "n", "token"], ascending=[True, False, True])
+        pruned = df.groupby("lang", sort=False).head(LANG_TOPK)
+        return pa.Table.from_pandas(pruned, preserve_index=False).cast(cnt_schema)
+
+    merged = hash_exchange(
+        _read(sf_dir, "documents", ["lang", "text"]).map_batches(
+            partials, batch_format="pandas"
+        ),
+        ["lang", "token"],
+        shard_topk,
+        cnt_schema,
+    ).to_pandas()
+    if merged.empty:
+        return pd.DataFrame({
+            "lang": pd.Series([], dtype=str), "token": pd.Series([], dtype=str),
+            "n": pd.Series([], dtype="int64"), "rank": pd.Series([], dtype="int64"),
+        })
+    merged = merged.sort_values(["lang", "n", "token"], ascending=[True, False, True])
+    top = merged.groupby("lang", sort=False).head(LANG_TOPK).copy()
+    top["rank"] = top.groupby("lang", sort=False).cumcount() + 1
+    return top.reset_index(drop=True)
+
+
+SQL_LANG_TOP_TOKENS = f"""
+WITH tok AS (
+  SELECT lang,
+         unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS token
+  FROM documents
+),
+c AS (SELECT lang, token, count(*) AS n FROM tok GROUP BY lang, token),
+r AS (
+  SELECT lang, token, n,
+         row_number() OVER (PARTITION BY lang ORDER BY n DESC, token ASC) AS rank
+  FROM c
+)
+SELECT lang, token, n, rank FROM r WHERE rank <= {LANG_TOPK}
+"""

@@ -1942,3 +1942,89 @@ class TestUnigramLogprob:
         assert abs(out.loc[0, "avg_nll"] - want0) < 1e-12
         assert abs(out.loc[1, "avg_nll"] - want1) < 1e-12
         assert 2 not in out.index  # zero-token doc excluded
+
+
+class TestSpearman:
+    def test_monotone_transform_gives_rho_one(self, ray_session, tmp_path):
+        from service1_text_extraction_ray.pipelines.relational import (
+            q_lineitem_spearman,
+        )
+
+        rng = np.random.default_rng(17)
+        qty = rng.integers(1, 51, 2000).astype(float)
+        price = np.exp(qty / 10.0) * 100  # monotone in qty -> rho == 1 (up to ties)
+        d = _write_tbl(tmp_path, "lineitem", pa.table({
+            "l_returnflag": pa.array(["A"] * 2000),
+            "l_quantity": pa.array(qty),
+            "l_extendedprice": pa.array(price),
+        }))
+        out = q_lineitem_spearman(d)
+        # ties in qty map to tied prices -> tie-averaged ranks still align
+        assert out["spearman_qty_price"].iloc[0] > 0.999
+
+    def test_matches_scipy_free_reference(self, ray_session, tmp_path):
+        from service1_text_extraction_ray.pipelines.relational import (
+            q_lineitem_spearman,
+        )
+
+        rng = np.random.default_rng(19)
+        n = 3000
+        qty = rng.integers(1, 51, n).astype(float)
+        price = rng.uniform(1000, 2000, n) + qty * 5
+        d = _write_tbl(tmp_path, "lineitem", pa.table({
+            "l_returnflag": pa.array(["A"] * n),
+            "l_quantity": pa.array(qty),
+            "l_extendedprice": pa.array(price),
+        }))
+        out = q_lineitem_spearman(d)
+        # reference: Pearson corr of tie-averaged ranks via pandas
+        x = pd.Series(np.round(qty)).rank(method="average")
+        y = pd.Series([np.floor(v + 0.5) for v in price]).rank(method="average")
+        want = np.corrcoef(x, y)[0, 1]
+        assert abs(out["spearman_qty_price"].iloc[0] - want) < 1e-9
+
+
+class TestStreaks:
+    def test_islands_and_longest_streak(self, ray_session, tmp_path):
+        from service1_text_extraction_ray.pipelines.relational import (
+            q_customer_order_streaks,
+        )
+
+        def day(n):
+            return pd.Timestamp("2024-01-01") + pd.Timedelta(days=n)
+
+        # cust 1: days 0,1,2 | 5 | 7,8   -> 3 islands, max 3
+        # cust 2: day 4 twice (dedup)    -> 1 island, max 1
+        ts = [day(0), day(1), day(2), day(5), day(7), day(8), day(4), day(4)]
+        ck = [1, 1, 1, 1, 1, 1, 2, 2]
+        d = _write_tbl(tmp_path, "orders", pa.table({
+            "o_custkey": pa.array(ck, pa.int64()),
+            "o_orderdate": pa.array(ts, pa.timestamp("us")),
+        }))
+        out = q_customer_order_streaks(d).to_pandas().set_index("o_custkey")
+        assert out.loc[1, "n_islands"] == 3 and out.loc[1, "max_streak_days"] == 3
+        assert out.loc[2, "n_islands"] == 1 and out.loc[2, "max_streak_days"] == 1
+
+
+class TestLangTopTokens:
+    def test_topk_and_tiebreak(self, ray_session, tmp_path):
+        from service1_text_extraction_ray.pipelines.webtext import (
+            LANG_TOPK,
+            q_lang_top_tokens,
+        )
+
+        d = _write_tbl(tmp_path, "documents", pa.table({
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "lang": pa.array(["en", "de"]),
+            "text": pa.array([
+                "a a a b b c d e f g h",   # en: a=3, b=2, then ties at 1 -> c d e
+                "x y x",                    # de: x=2, y=1
+            ]),
+        }))
+        out = q_lang_top_tokens(d)
+        en = out[out["lang"] == "en"]
+        assert en["token"].tolist() == ["a", "b", "c", "d", "e"]
+        assert en["rank"].tolist() == [1, 2, 3, 4, 5]
+        de = out[out["lang"] == "de"]
+        assert de["token"].tolist() == ["x", "y"]
+        assert len(en) == LANG_TOPK
