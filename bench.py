@@ -159,6 +159,8 @@ QUERY_NAMES = [
     "events_top_paths", "user_value_moving_sum", "knn_self_1nn", "kmeans_embeddings",
     "part_skyline", "priority_price_trend", "event_type_entropy",
     "segment_acctbal_moments", "part_reach", "doc_unigram_logprob",
+    "lineitem_spearman", "customer_order_streaks", "lang_top_tokens",
+    "orders_checksums", "orders_winsorized_mean", "segment_balance_mad",
 ]
 
 

@@ -4755,3 +4755,185 @@ SELECT o_custkey,
        CAST(max(len) AS BIGINT) AS max_streak_days
 FROM runs GROUP BY o_custkey
 """
+
+
+# ---------------------------------------------------------------------------
+# Anti-entropy partition checksums (replication / migration verification)
+# ---------------------------------------------------------------------------
+
+CHECKSUM_SHARDS = 16
+CHECKSUM_MOD = (1 << 61) - 1  # Mersenne prime: order-free modular row-hash sum
+
+
+def q_orders_checksums(sf_dir: str) -> pd.DataFrame:
+    """Per-partition content fingerprints of ``orders`` — the anti-entropy
+    operator a 100-TB engine runs to verify two copies of a table match
+    (replication checks, migration sign-off, resume validation) without
+    moving the data: each row hashes to a 64-bit value (md5 of a canonical
+    ``key|key|cents`` string — DuckDB's ``md5_number_lower`` and Python's
+    little-endian bytes 8..16 of the digest agree bit-for-bit, probed and
+    pinned in pytest), and a partition's checksum is the SUM of its row
+    hashes mod a Mersenne prime — commutative, so block/order/parallelism
+    independent, and mismatches localize to the shard. Per-block partials
+    reduce mod M (an int64 lane each); the tiny (shard × block) partial
+    rows merge exactly on the driver in Python ints. Disagreeing shards
+    re-split recursively in practice (Merkle descent) — one level shown."""
+    import hashlib
+
+    part_schema = pa.schema([
+        ("shard", pa.int64()), ("n_rows", pa.int64()), ("hsum", pa.int64()),
+    ])
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys = t["o_orderkey"].to_pylist()
+        custs = t["o_custkey"].to_pylist()
+        cents = _cents(t["o_totalprice"]).to_pylist()
+        acc: dict = {}
+        for k, c, m in zip(keys, custs, cents):
+            h = int.from_bytes(
+                hashlib.md5(f"{k}|{c}|{m}".encode()).digest()[8:16], "little"
+            )
+            s = k % CHECKSUM_SHARDS
+            n, tot = acc.get(s, (0, 0))
+            acc[s] = (n + 1, (tot + h) % CHECKSUM_MOD)
+        return pa.Table.from_pylist(
+            [{"shard": s, "n_rows": n, "hsum": tot} for s, (n, tot) in acc.items()],
+            schema=part_schema,
+        )
+
+    parts = (
+        _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()  # ≤ CHECKSUM_SHARDS × n_blocks tiny rows
+    )
+    rows = []
+    for s, grp in parts.groupby("shard", sort=True):
+        rows.append({
+            "shard": int(s),
+            "n_rows": int(grp["n_rows"].sum()),
+            "checksum": int(sum(int(v) for v in grp["hsum"]) % CHECKSUM_MOD),
+        })
+    return pd.DataFrame(rows, columns=["shard", "n_rows", "checksum"]).astype(
+        {"shard": "int64", "n_rows": "int64", "checksum": "int64"}
+    )
+
+
+SQL_ORDERS_CHECKSUMS = f"""
+SELECT o_orderkey % {CHECKSUM_SHARDS} AS shard,
+       count(*) AS n_rows,
+       CAST(sum(CAST(md5_number_lower(
+              CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR)
+              || '|' || CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR)
+            ) AS HUGEINT)) % {CHECKSUM_MOD} AS BIGINT) AS checksum
+FROM orders
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Winsorized mean (quantile-clipped robust aggregate)
+# ---------------------------------------------------------------------------
+
+WINSOR_LO, WINSOR_HI = 0.05, 0.95
+
+
+def q_orders_winsorized_mean(sf_dir: str) -> rd.Dataset:
+    """Winsorized mean price per priority: values clipped to the group's
+    exact [p05, p95] (quantile_disc convention) before averaging — the
+    robust-aggregate composition of the exact-quantile and mean operators
+    (outlier-resistant KPIs at corpus scale). One groupby co-partitions a
+    priority; the group task sorts once, indexes both quantiles, clips,
+    and emits the exact integer cents sum — float appears only in the
+    final division. Same holds-while-a-group-fits contract as
+    q_order_price_quantiles; the scale path swaps the in-group sort for
+    histogram/t-digest quantile partials."""
+    import math
+
+    def winsor(g: pd.DataFrame) -> pd.DataFrame:
+        cents = _cents_pd(g["o_totalprice"]).to_numpy()
+        v = np.sort(cents)
+        n = len(v)
+        lo = v[max(0, math.ceil(WINSOR_LO * n) - 1)]
+        hi = v[max(0, math.ceil(WINSOR_HI * n) - 1)]
+        clipped = np.clip(cents, lo, hi)
+        return pd.DataFrame([{
+            "o_orderpriority": g["o_orderpriority"].iloc[0],
+            "n_orders": n,
+            "winsorized_mean_cents": float(int(clipped.sum())) / n,
+        }])
+
+    return (
+        _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+        .groupby("o_orderpriority")
+        .map_groups(winsor, batch_format="pandas")
+    )
+
+
+SQL_ORDERS_WINSORIZED_MEAN = f"""
+WITH v AS (
+  SELECT o_orderpriority, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+q AS (
+  SELECT o_orderpriority,
+         quantile_disc(cents, {WINSOR_LO}) AS lo,
+         quantile_disc(cents, {WINSOR_HI}) AS hi
+  FROM v GROUP BY o_orderpriority
+)
+SELECT v.o_orderpriority,
+       count(*) AS n_orders,
+       CAST(sum(least(greatest(v.cents, q.lo), q.hi)) AS DOUBLE) / count(*)
+         AS winsorized_mean_cents
+FROM v JOIN q USING (o_orderpriority)
+GROUP BY v.o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# Median absolute deviation (two-level exact quantile composition)
+# ---------------------------------------------------------------------------
+
+
+def q_segment_balance_mad(sf_dir: str) -> rd.Dataset:
+    """Median absolute deviation of acctbal cents per segment — the robust
+    spread measure (variance's outlier-proof twin): med(|x − med(x)|),
+    both medians exact with the quantile_disc convention. One groupby;
+    the group task computes both passes in memory (sort, index, abs-dev,
+    sort). All-integer output — parallelism-independent by construction."""
+    import math
+
+    def mad(g: pd.DataFrame) -> pd.DataFrame:
+        cents = _cents_pd(g["c_acctbal"]).to_numpy()
+        n = len(cents)
+        med = np.sort(cents)[max(0, math.ceil(0.5 * n) - 1)]
+        dev = np.sort(np.abs(cents - med))
+        return pd.DataFrame([{
+            "c_mktsegment": g["c_mktsegment"].iloc[0],
+            "n_customers": n,
+            "median_cents": int(med),
+            "mad_cents": int(dev[max(0, math.ceil(0.5 * n) - 1)]),
+        }])
+
+    return (
+        _read(sf_dir, "customer", ["c_mktsegment", "c_acctbal"])
+        .groupby("c_mktsegment")
+        .map_groups(mad, batch_format="pandas")
+    )
+
+
+SQL_SEGMENT_BALANCE_MAD = """
+WITH v AS (
+  SELECT c_mktsegment, CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+  FROM customer
+),
+m AS (
+  SELECT c_mktsegment, quantile_disc(cents, 0.5) AS med
+  FROM v GROUP BY c_mktsegment
+)
+SELECT v.c_mktsegment,
+       count(*) AS n_customers,
+       CAST(any_value(m.med) AS BIGINT) AS median_cents,
+       CAST(quantile_disc(abs(v.cents - m.med), 0.5) AS BIGINT) AS mad_cents
+FROM v JOIN m USING (c_mktsegment)
+GROUP BY v.c_mktsegment
+"""

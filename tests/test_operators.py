@@ -1794,7 +1794,7 @@ def _write_tbl(tmp_path, name, table):
     import pyarrow.parquet as pq
 
     d = tmp_path / "sf"
-    d.mkdir(exist_ok=True)
+    d.mkdir(parents=True, exist_ok=True)
     pq.write_table(table, str(d / f"{name}.parquet"))
     return str(d)
 
@@ -2028,3 +2028,93 @@ class TestLangTopTokens:
         de = out[out["lang"] == "de"]
         assert de["token"].tolist() == ["x", "y"]
         assert len(en) == LANG_TOPK
+
+
+class TestChecksums:
+    def test_detects_single_value_change(self, ray_session, tmp_path):
+        from service1_text_extraction_ray.pipelines.relational import (
+            CHECKSUM_SHARDS,
+            q_orders_checksums,
+        )
+
+        n = 500
+        base = pa.table({
+            "o_orderkey": pa.array(range(n), pa.int64()),
+            "o_custkey": pa.array([i % 37 for i in range(n)], pa.int64()),
+            "o_totalprice": pa.array([100.0 + i for i in range(n)]),
+        })
+        d1 = _write_tbl(tmp_path / "a", "orders", base)
+        a = q_orders_checksums(d1).set_index("shard")
+
+        # flip one row's price -> exactly one shard's checksum moves
+        prices = base["o_totalprice"].to_pylist()
+        prices[123] += 0.01
+        mut = base.set_column(2, "o_totalprice", pa.array(prices))
+        d2 = _write_tbl(tmp_path / "b", "orders", mut)
+        b = q_orders_checksums(d2).set_index("shard")
+
+        diff = [s for s in a.index if a.loc[s, "checksum"] != b.loc[s, "checksum"]]
+        assert diff == [123 % CHECKSUM_SHARDS]
+        assert (a["n_rows"] == b["n_rows"]).all()
+
+    def test_order_and_parallelism_invariant(self, ray_session, tmp_path):
+        from service1_text_extraction_ray.pipelines.relational import (
+            q_orders_checksums,
+        )
+        import pyarrow.parquet as pq
+
+        n = 400
+        rng = np.random.default_rng(23)
+        perm = rng.permutation(n)
+        t = pa.table({
+            "o_orderkey": pa.array(range(n), pa.int64()),
+            "o_custkey": pa.array([i % 11 for i in range(n)], pa.int64()),
+            "o_totalprice": pa.array([50.0 + (i % 97) for i in range(n)]),
+        })
+        d1 = _write_tbl(tmp_path / "fwd", "orders", t)
+        d2d = tmp_path / "shuf" / "sf"
+        d2d.mkdir(parents=True)
+        # same rows, shuffled order, split across two row groups
+        shuf = t.take(pa.array(perm))
+        pq.write_table(shuf, str(d2d / "orders.parquet"), row_group_size=100)
+        a = q_orders_checksums(d1)
+        b = q_orders_checksums(str(d2d.parent / "sf"))
+        pd.testing.assert_frame_equal(a, b)
+
+
+class TestRobustAggregates:
+    def test_winsorized_mean_hand_case(self, ray_session, tmp_path):
+        from service1_text_extraction_ray.pipelines.relational import (
+            q_orders_winsorized_mean,
+        )
+
+        # 100 values 1..99 + one huge outlier; p05 = 5, p95 = 95 (disc, 1-idx ceil)
+        vals = [float(i) for i in range(1, 100)] + [10_000.0]
+        d = _write_tbl(tmp_path, "orders", pa.table({
+            "o_orderpriority": pa.array(["P"] * 100),
+            "o_totalprice": pa.array(vals),
+        }))
+        out = q_orders_winsorized_mean(d).to_pandas()
+        cents = np.array(sorted(int(round(v * 100)) for v in vals))
+        import math
+        lo = cents[math.ceil(0.05 * 100) - 1]
+        hi = cents[math.ceil(0.95 * 100) - 1]
+        want = np.clip(cents, lo, hi).sum() / 100
+        assert abs(out["winsorized_mean_cents"].iloc[0] - want) < 1e-9
+        # outlier influence is bounded by the clip
+        assert out["winsorized_mean_cents"].iloc[0] < 10_000
+
+    def test_mad_known_distribution(self, ray_session, tmp_path):
+        from service1_text_extraction_ray.pipelines.relational import (
+            q_segment_balance_mad,
+        )
+
+        # symmetric around 50 with spread 10: median 50.00, MAD 10.00 cents-exact
+        bal = [40.0, 45.0, 50.0, 55.0, 60.0]
+        d = _write_tbl(tmp_path, "customer", pa.table({
+            "c_mktsegment": pa.array(["S"] * 5),
+            "c_acctbal": pa.array(bal),
+        }))
+        out = q_segment_balance_mad(d).to_pandas()
+        assert out["median_cents"].iloc[0] == 5000
+        assert out["mad_cents"].iloc[0] == 500
