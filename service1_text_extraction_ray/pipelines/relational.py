@@ -4937,3 +4937,178 @@ SELECT v.c_mktsegment,
 FROM v JOIN m USING (c_mktsegment)
 GROUP BY v.c_mktsegment
 """
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting over the part co-occurrence graph
+# ---------------------------------------------------------------------------
+
+
+def q_part_triangles(sf_dir: str) -> pd.DataFrame:
+    """Triangle census of the support-filtered co-occurrence graph — the
+    clustering-coefficient numerator, and the third distinct graph
+    topology in the engine (PageRank = iterate, components/BFS = fixpoint
+    propagate, triangles = WEDGE-JOIN): stage 1 co-locates each node's
+    edge list (ONE hash_exchange on the lower endpoint — edges are stored
+    a<b, so out[a] is the full forward adjacency) and emits its wedges
+    (b, c), b<c, via a vectorized in-shard self-merge; stage 2 joins the
+    wedge stream back against the edge set on the composite key (ONE
+    co-partitioned hash_join on b·2³² + c — part keys are < 2³¹) and
+    counts matches. Wedge volume is Σ deg(a)² — the support threshold
+    bounds hub degrees here; at web scale the standard fix is
+    orient-by-degree before wedge generation (documented, same code
+    shape). Returns (n_edges, n_wedges, n_triangles)."""
+    wedge_schema = pa.schema([("x", pa.int64()), ("y", pa.int64())])
+
+    edges = q_part_cooccurrence(sf_dir).materialize()
+
+    def shard_wedges(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return wedge_schema.empty_table()
+        df = t.to_pandas()[["part_a", "part_b"]]
+        m = df.merge(df, on="part_a")
+        m = m[m["part_b_x"] < m["part_b_y"]]
+        return pa.Table.from_arrays(
+            [pa.array(m["part_b_x"].to_numpy(dtype="int64")),
+             pa.array(m["part_b_y"].to_numpy(dtype="int64"))],
+            schema=wedge_schema,
+        )
+
+    wedges = hash_exchange(edges, ["part_a"], shard_wedges, wedge_schema)
+
+    def key_wedge(t: pa.Table) -> pa.Table:
+        k = (
+            t["x"].to_numpy(zero_copy_only=False) * (1 << 32)
+            + t["y"].to_numpy(zero_copy_only=False)
+        )
+        return pa.Table.from_arrays([pa.array(k)], names=["k"])
+
+    def key_edge(t: pa.Table) -> pa.Table:
+        k = (
+            t["part_a"].to_numpy(zero_copy_only=False) * (1 << 32)
+            + t["part_b"].to_numpy(zero_copy_only=False)
+        )
+        return pa.Table.from_arrays(
+            [pa.array(k), pa.array(np.ones(t.num_rows, dtype=np.int64))],
+            names=["k", "one"],
+        )
+
+    matched = hash_join(
+        wedges.map_batches(key_wedge, batch_format="pyarrow"),
+        edges.map_batches(key_edge, batch_format="pyarrow"),
+        left_on="k",
+        right_on="k",
+        key_type=pa.int64(),
+        left_fields=[],
+        right_fields=[pa.field("one", pa.int64())],
+    )
+    n_tri = matched.count()
+    return pd.DataFrame([{
+        "n_edges": int(edges.count()),
+        "n_wedges": int(wedges.count()),
+        "n_triangles": int(n_tri),
+    }]).astype("int64")
+
+
+SQL_PART_TRIANGLES = f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (
+  SELECT a.l_partkey AS a, b.l_partkey AS b
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING count(*) >= {BASKET_MIN_COUNT}
+),
+w AS (
+  SELECT e1.b AS x, e2.b AS y
+  FROM e e1 JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b
+)
+SELECT (SELECT count(*) FROM e) AS n_edges,
+       (SELECT count(*) FROM w) AS n_wedges,
+       (SELECT count(*) FROM w JOIN e ON e.a = w.x AND e.b = w.y) AS n_triangles
+"""
+
+
+# ---------------------------------------------------------------------------
+# Hot-key skew profiling (exact Gini from the count-of-counts histogram)
+# ---------------------------------------------------------------------------
+
+
+def q_events_user_skew(sf_dir: str) -> pd.DataFrame:
+    """Key-skew profile of the event log — the diagnosis operator behind
+    every salting decision in this engine: per-user counts (two-level
+    partial aggregation), collapsed to the COUNT-OF-COUNTS histogram
+    (tiny: one row per distinct frequency), from which the driver computes
+    the exact Gini coefficient with integer rank-block sums — users tied
+    at frequency c occupy a consecutive rank block, so Σ i·x_i reduces to
+    c·(m·s + m(m+1)/2) per block, all exact ints (HUGEINT replay in SQL).
+    Output: n_users, n_events, max_user_events, top_share_ppm, gini."""
+    uc_schema = pa.schema([("user_id", pa.int64()), ("c", pa.int64())])
+
+    def block_counts(t: pa.Table) -> pa.Table:
+        g = t.group_by("user_id").aggregate([([], "count_all")])
+        return pa.Table.from_arrays(
+            [g["user_id"], pc.cast(g["count_all"], pa.int64())], schema=uc_schema
+        )
+
+    def shard_merge(t: pa.Table) -> pa.Table:
+        g = t.group_by("user_id").aggregate([("c", "sum")])
+        return pa.Table.from_arrays([g["user_id"], g["c_sum"]], schema=uc_schema)
+
+    user_counts = hash_exchange(
+        _read(sf_dir, "events", ["user_id"]).map_batches(
+            block_counts, batch_format="pyarrow"
+        ),
+        ["user_id"],
+        shard_merge,
+        uc_schema,
+    )
+
+    cc_schema = pa.schema([("c", pa.int64()), ("m", pa.int64())])
+
+    def count_of_counts(t: pa.Table) -> pa.Table:
+        g = t.group_by("c").aggregate([([], "count_all")])
+        return pa.Table.from_arrays(
+            [g["c"], pc.cast(g["count_all"], pa.int64())], schema=cc_schema
+        )
+
+    cc = (
+        user_counts.map_batches(count_of_counts, batch_format="pyarrow")
+        .groupby("c")
+        .aggregate(Sum("m", alias_name="m"))
+        .to_pandas()  # one row per distinct frequency
+        .sort_values("c")
+    )
+    S = T = U = 0
+    maxc = 0
+    for _, r in cc.iterrows():
+        c, m = int(r["c"]), int(r["m"])
+        S += c * (m * U + m * (m + 1) // 2)  # U is the rank offset so far
+        T += c * m
+        U += m
+        maxc = max(maxc, c)
+    gini = float(2 * S - (U + 1) * T) / float(U * T)
+    return pd.DataFrame([{
+        "n_users": U, "n_events": T, "max_user_events": maxc,
+        "top_share_ppm": (1_000_000 * maxc) // T, "gini": gini,
+    }]).astype({"n_users": "int64", "n_events": "int64",
+                "max_user_events": "int64", "top_share_ppm": "int64"})
+
+
+SQL_EVENTS_USER_SKEW = """
+WITH uc AS (SELECT user_id, count(*) AS c FROM events GROUP BY user_id),
+cc AS (SELECT c, count(*) AS m FROM uc GROUP BY c),
+o AS (SELECT c, m, sum(m) OVER (ORDER BY c) - m AS s FROM cc),
+agg AS (
+  SELECT sum(CAST(c AS HUGEINT) * (m * s + m * (m + 1) / 2)) AS S,
+         sum(CAST(c AS HUGEINT) * m) AS T,
+         CAST(sum(m) AS HUGEINT) AS U,
+         max(c) AS maxc
+  FROM o
+)
+SELECT CAST(U AS BIGINT) AS n_users,
+       CAST(T AS BIGINT) AS n_events,
+       CAST(maxc AS BIGINT) AS max_user_events,
+       CAST(1000000 * maxc // CAST(T AS BIGINT) AS BIGINT) AS top_share_ppm,
+       CAST(2 * S - (U + 1) * T AS DOUBLE) / CAST(U * T AS DOUBLE) AS gini
+FROM agg
+"""

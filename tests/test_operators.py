@@ -2118,3 +2118,56 @@ class TestRobustAggregates:
         out = q_segment_balance_mad(d).to_pandas()
         assert out["median_cents"].iloc[0] == 5000
         assert out["mad_cents"].iloc[0] == 500
+
+
+class TestTriangles:
+    def test_known_graph_census(self, ray_session, tmp_path):
+        from service1_text_extraction_ray.pipelines.relational import (
+            q_part_triangles,
+        )
+
+        # co-occurrence graph (each pair in 2 orders to pass support):
+        # triangle 1-2-3 plus pendant edge 3-4 -> 1 triangle.
+        # Forward wedges (edges stored a<b): out[1]={2,3} -> (2,3);
+        # out[2]={3} and out[3]={4} have <2 forward neighbors -> 1 wedge.
+        pairs = [(1, 2), (1, 3), (2, 3), (3, 4)]
+        ok_, pk_ = [], []
+        okey = 0
+        for a, b in pairs:
+            for _ in range(2):
+                okey += 1
+                ok_ += [okey, okey]
+                pk_ += [a, b]
+        d = _write_tbl(tmp_path, "lineitem", pa.table({
+            "l_orderkey": pa.array(ok_, pa.int64()),
+            "l_partkey": pa.array(pk_, pa.int64()),
+        }))
+        out = q_part_triangles(d)
+        assert out["n_edges"].iloc[0] == 4
+        assert out["n_wedges"].iloc[0] == 1
+        assert out["n_triangles"].iloc[0] == 1
+
+
+class TestUserSkew:
+    def test_uniform_gini_zero_and_hot_key(self, ray_session, tmp_path):
+        from service1_text_extraction_ray.pipelines.relational import (
+            q_events_user_skew,
+        )
+
+        # 10 users x 5 events each -> gini 0
+        users = [u for u in range(10) for _ in range(5)]
+        d = _write_tbl(tmp_path / "u", "events", pa.table({
+            "user_id": pa.array(users, pa.int64()),
+        }))
+        out = q_events_user_skew(d)
+        assert out["n_users"].iloc[0] == 10
+        assert abs(out["gini"].iloc[0]) < 1e-12
+
+        # one hot user: 91 events of 100 -> high gini, share 910000 ppm
+        users2 = [0] * 91 + list(range(1, 10))
+        d2 = _write_tbl(tmp_path / "h", "events", pa.table({
+            "user_id": pa.array(users2, pa.int64()),
+        }))
+        out2 = q_events_user_skew(d2)
+        assert out2["top_share_ppm"].iloc[0] == 910000
+        assert out2["gini"].iloc[0] > 0.8
