@@ -161,6 +161,9 @@ QUERY_NAMES = [
     "segment_acctbal_moments", "part_reach", "doc_unigram_logprob",
     "lineitem_spearman", "customer_order_streaks", "lang_top_tokens",
     "orders_checksums", "orders_winsorized_mean", "segment_balance_mad",
+    "part_triangles", "events_user_skew",
+    "doc_pack_sequences", "dedup_url_canonical", "doc_length_band",
+    "host_anchor_terms",
 ]
 
 

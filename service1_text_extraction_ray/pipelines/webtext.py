@@ -1201,3 +1201,455 @@ r AS (
 )
 SELECT lang, token, n, rank FROM r WHERE rank <= {LANG_TOPK}
 """
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing: the distributed ordered prefix-scan
+# ---------------------------------------------------------------------------
+
+PACK_SEQ_LEN = 2048   # training block length (tokens)
+PACK_BUCKET = 4096    # doc_ids per range bucket; size so n_buckets ~ 1e5 at scale
+
+
+def q_doc_pack_sequences(sf_dir: str) -> rd.Dataset:
+    """Sequence packing for LLM training: concatenate every document's
+    tokens (+1 EOS each) in GLOBAL doc_id order and cut the stream into
+    fixed ``PACK_SEQ_LEN``-token blocks; emit, per document, its token
+    count, its exclusive global token offset, and the first/last/packed
+    block span it lands in. This is the engine's distributed ORDERED
+    prefix-scan topology (every other keyed op is order-free): docs are
+    RANGE-bucketed by ``doc_id // PACK_BUCKET``, per-bucket token totals
+    reduce to one tiny row per bucket, the driver prefix-sums that bucket
+    histogram (n_buckets rows — size PACK_BUCKET so this stays ~1e5 at
+    10^12 docs) and broadcasts the per-bucket base offsets via ``ray.put``;
+    a single keyed exchange then co-locates each bucket and computes
+    within-bucket cumsums vectorized (C-level groupby cumsum — no Python
+    loop). The doc-grain (doc_id, bucket, n_tokens) intermediate is
+    int-only (~24 B/doc — 0.02% of corpus bytes) and is materialized once
+    so tokenization runs a single pass for both the bucket histogram and
+    the packed output."""
+    cnt_schema = pa.schema([
+        ("doc_id", pa.int64()), ("bucket", pa.int64()), ("n_tokens", pa.int64()),
+    ])
+
+    def tok_counts(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": df["doc_id"],
+            "bucket": (df["doc_id"] // PACK_BUCKET).astype("int64"),
+            "n_tokens": df["text"].fillna("").str.count(r"\S+").astype("int64") + 1,
+        })
+
+    counts = (
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(tok_counts, batch_format="pandas")
+        .materialize()
+    )
+
+    bt = (
+        counts.groupby("bucket")
+        .aggregate(Sum("n_tokens", alias_name="total"))
+        .to_pandas()
+        .sort_values("bucket")
+    )
+    totals = bt["total"].to_numpy(dtype="int64")
+    base = dict(zip(bt["bucket"].tolist(), (np.cumsum(totals) - totals).tolist()))
+    base_ref = ray.put(base)
+
+    out_schema = pa.schema([
+        ("doc_id", pa.int64()), ("n_tokens", pa.int64()),
+        ("tok_offset", pa.int64()), ("first_block", pa.int64()),
+        ("last_block", pa.int64()), ("n_blocks", pa.int64()),
+    ])
+
+    def pack(t: pa.Table, _ref=base_ref) -> pa.Table:
+        df = t.to_pandas().sort_values("doc_id")
+        b = ray.get(_ref)
+        excl = df.groupby("bucket", sort=False)["n_tokens"].cumsum() - df["n_tokens"]
+        off = (df["bucket"].map(b).astype("int64") + excl).to_numpy(dtype="int64")
+        n = df["n_tokens"].to_numpy(dtype="int64")
+        first = off // PACK_SEQ_LEN
+        last = (off + n - 1) // PACK_SEQ_LEN
+        return pa.Table.from_arrays(
+            [pa.array(df["doc_id"].to_numpy(dtype="int64")), pa.array(n),
+             pa.array(off), pa.array(first), pa.array(last),
+             pa.array(last - first + 1)],
+            schema=out_schema,
+        )
+
+    return hash_exchange(counts, ["bucket"], pack, out_schema)
+
+
+SQL_DOC_PACK_SEQUENCES = f"""
+WITH tok AS (
+  SELECT doc_id,
+         len(list_filter(regexp_split_to_array(coalesce(text, ''), '\\s+'),
+                         x -> x <> '')) + 1 AS n_tokens
+  FROM documents
+),
+o AS (
+  SELECT doc_id, n_tokens,
+         coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_offset
+  FROM tok
+)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(tok_offset AS BIGINT) AS tok_offset,
+       CAST(tok_offset // {PACK_SEQ_LEN} AS BIGINT) AS first_block,
+       CAST((tok_offset + n_tokens - 1) // {PACK_SEQ_LEN} AS BIGINT) AS last_block,
+       CAST((tok_offset + n_tokens - 1) // {PACK_SEQ_LEN}
+            - tok_offset // {PACK_SEQ_LEN} + 1 AS BIGINT) AS n_blocks
+FROM o
+"""
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization dedup
+# ---------------------------------------------------------------------------
+
+_URL_SPLIT_RX = r"^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)\??([^#]*).*$"
+_TRACKING_PARAM_RX = re.compile(r"(?:utm_[a-z]+|fbclid|gclid)=[^&]*&?")
+
+
+def canonicalize_urls(urls: pd.Series) -> pd.Series:
+    """Vectorized URL canonicalizer (the crawl-side normalization every
+    URL-keyed dedup/frontier op runs first): lowercase scheme+host, strip
+    the fragment, drop default ports (``:80`` http / ``:443`` https), drop
+    tracking query params (``utm_*``, ``fbclid``, ``gclid`` — and the ``?``
+    itself if nothing survives), and strip a trailing slash from non-root
+    paths. Pure pandas str kernels — no per-row Python."""
+    m = urls.str.extract(_URL_SPLIT_RX)
+    scheme = m[0].str.lower()
+    hostport = m[1].str.lower()
+    path = m[2].fillna("")
+    query = m[3].fillna("")
+
+    hostport = pd.Series(
+        np.where(
+            (scheme == "https") & hostport.str.endswith(":443"),
+            hostport.str.replace(r":443$", "", regex=True),
+            np.where(
+                (scheme == "http") & hostport.str.endswith(":80"),
+                hostport.str.replace(r":80$", "", regex=True),
+                hostport,
+            ),
+        ),
+        index=urls.index,
+    )
+    path = pd.Series(
+        np.where(
+            (path.str.len() > 1) & path.str.endswith("/"),
+            path.str.rstrip("/"),
+            path,
+        ),
+        index=urls.index,
+    )
+    query = (
+        query.str.replace(_TRACKING_PARAM_RX, "", regex=True)
+        .str.rstrip("&")
+    )
+    return (
+        scheme + "://" + hostport + path
+        + np.where(query != "", "?" + query, "")
+    )
+
+
+def _synth_messy_urls(t: pa.Table) -> pd.DataFrame:
+    """Deterministic MESSY URL per document: pairs of docs (grp = doc_id//2)
+    share one canonical page but each carries its own residue-driven noise —
+    scheme/host casing, explicit default port, tracking params (sometimes
+    BEFORE the real param), fragments, trailing slashes — so the
+    canonicalizer has real work on every clause and the DuckDB oracle can
+    rebuild the CLEAN form directly from doc_id (verifying the regex
+    canonicalizer against an independent construction)."""
+    d = t["doc_id"].to_pandas()
+    grp = d // 2
+    scheme = pd.Series(np.where(d % 8 == 3, "HTTPS", "https"), index=d.index)
+    host = "site" + (grp % 97).astype(str) + ".example.org"
+    host = pd.Series(np.where(d % 4 == 1, host.str.upper(), host), index=d.index)
+    port = pd.Series(np.where(d % 6 == 0, ":443", ""), index=d.index)
+    path = "/p/" + grp.map("{:06d}".format)
+    path = path + pd.Series(np.where(d % 7 == 0, "/", ""), index=d.index)
+    keep = pd.Series(np.where(grp % 3 == 0, "id=" + (grp % 7).astype(str), ""),
+                     index=d.index)
+    track = pd.Series(
+        np.where(d % 2 == 0,
+                 "utm_source=feed&utm_campaign=c" + (d % 4).astype(str), ""),
+        index=d.index,
+    )
+    track_first = (d % 9 == 4) & (track != "") & (keep != "")
+    qs = pd.Series(
+        np.where(
+            track_first,
+            track + "&" + keep,
+            keep + np.where((keep != "") & (track != ""), "&", "") + track,
+        ),
+        index=d.index,
+    )
+    frag = pd.Series(np.where(d % 5 == 0, "#frag" + (d % 9).astype(str), ""),
+                     index=d.index)
+    url = (
+        scheme + "://" + host + port + path
+        + np.where(qs != "", "?" + qs, "") + frag
+    )
+    return pd.DataFrame({"doc_id": d, "url": url})
+
+
+def q_dedup_url_canonical(sf_dir: str) -> rd.Dataset:
+    """URL dedup after canonicalization — the first dedup pass of every
+    crawl pipeline (the same page is re-fetched under casing/port/tracking/
+    fragment variants far more often than its text mutates): canonicalize
+    the whole column vectorized, pre-combine per block to one
+    (canon_url, partial_count, partial_min_doc) row per distinct URL, then
+    ONE keyed exchange on the canonical string finishes count + keeper
+    (min doc_id). The shuffle moves one short row per distinct URL per
+    block — never raw variants. Output: (canon_url, n_docs, keeper_doc_id)."""
+    agg_schema = pa.schema([
+        ("canon_url", pa.string()), ("n_docs", pa.int64()),
+        ("keeper_doc_id", pa.int64()),
+    ])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = _synth_messy_urls(t)
+        df["canon_url"] = canonicalize_urls(df["url"])
+        g = df.groupby("canon_url", sort=False)["doc_id"].agg(["size", "min"])
+        return pa.Table.from_arrays(
+            [pa.array(g.index.to_numpy(dtype=object), pa.string()),
+             pa.array(g["size"].to_numpy(dtype="int64")),
+             pa.array(g["min"].to_numpy(dtype="int64"))],
+            schema=agg_schema,
+        )
+
+    def shard_agg(t: pa.Table) -> pa.Table:
+        g = t.group_by("canon_url").aggregate(
+            [("n_docs", "sum"), ("keeper_doc_id", "min")]
+        )
+        return pa.Table.from_arrays(
+            [g["canon_url"], g["n_docs_sum"], g["keeper_doc_id_min"]],
+            schema=agg_schema,
+        )
+
+    return hash_exchange(
+        _read(sf_dir, "documents", ["doc_id"]).map_batches(
+            partial, batch_format="pyarrow"
+        ),
+        ["canon_url"],
+        shard_agg,
+        agg_schema,
+    )
+
+
+SQL_DEDUP_URL_CANONICAL = """
+WITH c AS (
+  SELECT doc_id,
+         'https://site' || ((doc_id // 2) % 97) || '.example.org/p/'
+           || lpad(CAST(doc_id // 2 AS VARCHAR), 6, '0')
+           || CASE WHEN (doc_id // 2) % 3 = 0
+                   THEN '?id=' || ((doc_id // 2) % 7) ELSE '' END AS canon_url
+  FROM documents
+)
+SELECT canon_url, count(*) AS n_docs, min(doc_id) AS keeper_doc_id
+FROM c GROUP BY canon_url
+"""
+
+
+# ---------------------------------------------------------------------------
+# Global length-band filter (exact corpus percentiles from a tiny histogram)
+# ---------------------------------------------------------------------------
+
+BAND_LO_DECILE = 1   # keep docs between the exact P10 ...
+BAND_HI_DECILE = 9   # ... and the exact P90 of the token-count distribution
+
+
+def q_doc_length_band(sf_dir: str) -> rd.Dataset:
+    """Global length-band filter: keep documents whose token count lies
+    between the EXACT corpus P10 and P90 — the two-pass global-threshold
+    shape (Gopher's length gates use fixed constants; production corpora
+    re-derive them per crawl). Pass 1 collapses per-doc counts to the
+    COUNT-OF-COUNTS histogram (one row per distinct length — tiny at any
+    corpus size), the driver walks its cumsum for the exact order
+    statistics using INTEGER rank math (k = ceil(d*n/10) computed as
+    (d*n+9)//10 — no float percentile drift vs the oracle), and pass 2
+    re-filters the materialized int-only doc-grain counts against the two
+    broadcast scalars. Output: (doc_id, n_tokens) of kept docs."""
+    cnt_schema = pa.schema([("doc_id", pa.int64()), ("n_tokens", pa.int64())])
+
+    def tok(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": df["doc_id"],
+            "n_tokens": df["text"].fillna("").str.count(r"\S+").astype("int64"),
+        })
+
+    counts = (
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(tok, batch_format="pandas")
+        .materialize()
+    )
+
+    def hist(t: pa.Table) -> pa.Table:
+        g = t.group_by("n_tokens").aggregate([([], "count_all")])
+        return pa.Table.from_arrays(
+            [g["n_tokens"], pc.cast(g["count_all"], pa.int64())],
+            names=["n_tokens", "m"],
+        )
+
+    cc = (
+        counts.map_batches(hist, batch_format="pyarrow")
+        .groupby("n_tokens")
+        .aggregate(Sum("m", alias_name="m"))
+        .to_pandas()
+        .sort_values("n_tokens")
+    )
+    m = cc["m"].to_numpy(dtype="int64")
+    vals = cc["n_tokens"].to_numpy(dtype="int64")
+    cum = np.cumsum(m)
+    n = int(cum[-1])
+    k_lo = (BAND_LO_DECILE * n + 9) // 10
+    k_hi = (BAND_HI_DECILE * n + 9) // 10
+    p_lo = int(vals[np.searchsorted(cum, k_lo)])
+    p_hi = int(vals[np.searchsorted(cum, k_hi)])
+
+    def band(t: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.greater_equal(t["n_tokens"], p_lo),
+            pc.less_equal(t["n_tokens"], p_hi),
+        )
+        return t.filter(keep)
+
+    return counts.map_batches(band, batch_format="pyarrow")
+
+
+SQL_DOC_LENGTH_BAND = f"""
+WITH tok AS (
+  SELECT doc_id,
+         len(list_filter(regexp_split_to_array(coalesce(text, ''), '\\s+'),
+                         x -> x <> '')) AS n_tokens
+  FROM documents
+),
+r AS (
+  SELECT doc_id, n_tokens,
+         row_number() OVER (ORDER BY n_tokens, doc_id) AS rn,
+         count(*) OVER () AS n
+  FROM tok
+),
+th AS (
+  SELECT max(CASE WHEN rn = ({BAND_LO_DECILE} * n + 9) // 10
+             THEN n_tokens END) AS p_lo,
+         max(CASE WHEN rn = ({BAND_HI_DECILE} * n + 9) // 10
+             THEN n_tokens END) AS p_hi
+  FROM r
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens
+FROM tok, th WHERE n_tokens BETWEEN p_lo AND p_hi
+"""
+
+
+# ---------------------------------------------------------------------------
+# Anchor-text aggregation: top terms per target host
+# ---------------------------------------------------------------------------
+
+HOST_ANCHOR_TOPK = 3
+
+
+def q_host_anchor_terms(sf_dir: str) -> pd.DataFrame:
+    """Incoming anchor-text terms per TARGET host — the web-search-era
+    operator training-data pipelines inherited (anchor terms describe the
+    target better than the target's own boilerplate; used for doc priors
+    and query-independent quality). Followable links only (no rel=nofollow,
+    no page-level robots nofollow). Topology: per-batch (host, token)
+    partial counts from the parsed link stream (anchors never ride the
+    shuffle raw), ONE keyed exchange on (host, token), per-shard per-host
+    top-K prune (exact-safe: a shard holds ALL counts of the tokens it
+    has), tiny driver merge. Ties (count desc, token asc); rank 1..K."""
+    from ..functions.links import extract_outlinks, split_url
+    from ..functions.synth import make_link_page
+
+    cnt_schema = pa.schema([
+        ("host", pa.string()), ("token", pa.string()), ("n", pa.int64()),
+    ])
+
+    def partials(t: pa.Table) -> pa.Table:
+        counts: dict = {}
+        for d, src, lang in zip(
+            t["doc_id"].to_pylist(), t["source"].to_pylist(),
+            t["lang"].to_pylist(),
+        ):
+            html, base = make_link_page(int(d), src, lang or "en")
+            links, _, page_nofollow = extract_outlinks(html, base)
+            if page_nofollow:
+                continue
+            for ln in links:
+                if ln.nofollow:
+                    continue
+                host = split_url(ln.href)[1]
+                for tok_ in _tokens(ln.anchor):
+                    key = (host, tok_)
+                    counts[key] = counts.get(key, 0) + 1
+        if not counts:
+            return cnt_schema.empty_table()
+        hosts, toks, ns = zip(*((h, tk, n) for (h, tk), n in counts.items()))
+        return pa.Table.from_arrays(
+            [pa.array(hosts, pa.string()), pa.array(toks, pa.string()),
+             pa.array(ns, pa.int64())],
+            schema=cnt_schema,
+        )
+
+    def shard_topk(t: pa.Table) -> pa.Table:
+        g = t.group_by(["host", "token"]).aggregate([("n", "sum")])
+        df = pa.Table.from_arrays(
+            [g["host"], g["token"], g["n_sum"]], names=["host", "token", "n"]
+        ).to_pandas()
+        df = df.sort_values(["host", "n", "token"], ascending=[True, False, True])
+        return pa.Table.from_pandas(
+            df.groupby("host", sort=False).head(HOST_ANCHOR_TOPK),
+            preserve_index=False,
+        ).cast(cnt_schema)
+
+    merged = hash_exchange(
+        _read(sf_dir, "documents", ["doc_id", "source", "lang"]).map_batches(
+            partials, batch_format="pyarrow"
+        ),
+        ["host", "token"],
+        shard_topk,
+        cnt_schema,
+    ).to_pandas()
+    merged = merged.sort_values(["host", "n", "token"],
+                                ascending=[True, False, True])
+    top = merged.groupby("host", sort=False).head(HOST_ANCHOR_TOPK).copy()
+    top["rank"] = (top.groupby("host", sort=False).cumcount() + 1).astype("int64")
+    return top.reset_index(drop=True)
+
+
+SQL_HOST_ANCHOR_TERMS = f"""
+WITH base AS (
+  SELECT doc_id, source FROM documents WHERE doc_id % 7 <> 0
+),
+links AS (
+  SELECT 'src' || ((doc_id * 7 + 1) % 20) || '.example.net' AS host,
+         'ref ' || (doc_id % 9) AS anchor FROM base
+  UNION ALL
+  SELECT 'cdn.example.org', 'cdn ' || (doc_id % 4) FROM base
+  UNION ALL
+  SELECT CASE WHEN doc_id % 6 = 3 THEN 'base' || (doc_id % 4) || '.example.org'
+              ELSE source || '.example.com' END,
+         'local ' || (doc_id % 5) FROM base
+  UNION ALL
+  SELECT CASE WHEN doc_id % 6 = 3 THEN 'base' || (doc_id % 4) || '.example.org'
+              ELSE source || '.example.com' END,
+         'up ' || (doc_id % 3) FROM base
+),
+tok AS (
+  SELECT host,
+         unnest(list_filter(regexp_split_to_array(anchor, '\\s+'),
+                            x -> x <> '')) AS token
+  FROM links
+),
+c AS (SELECT host, token, count(*) AS n FROM tok GROUP BY host, token),
+r AS (
+  SELECT host, token, n,
+         row_number() OVER (PARTITION BY host ORDER BY n DESC, token ASC)
+           AS rank
+  FROM c
+)
+SELECT host, token, n, rank FROM r WHERE rank <= {HOST_ANCHOR_TOPK}
+"""

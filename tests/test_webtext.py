@@ -687,3 +687,113 @@ class TestBaseHref:
         links, _, _ = extract_outlinks(html, "https://page.example.com/d/1/i.html")
         # first base ('/newdir/') resolves against the page URL; second ignored
         assert links[0].href == "https://page.example.com/newdir/x"
+
+
+class TestPackSequences:
+    def test_offsets_and_block_spans(self, ray_session, tmp_path):
+        from service1_text_extraction_ray.pipelines.webtext import (
+            PACK_SEQ_LEN,
+            q_doc_pack_sequences,
+        )
+
+        # doc0: 1500 tokens (+EOS 1501), doc1: 600 (+1), doc2: 10 (+1)
+        texts = ["w " * 1500, "x " * 600, "y " * 10]
+        out = (
+            q_doc_pack_sequences(_docs(tmp_path, texts))
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert out["n_tokens"].tolist() == [1501, 601, 11]
+        assert out["tok_offset"].tolist() == [0, 1501, 2102]
+        # doc0 fits block 0; doc1 spans the 2048 boundary; doc2 in block 1
+        assert out["first_block"].tolist() == [0, 0, 1]
+        assert out["last_block"].tolist() == [0, 1, 1]
+        assert out["n_blocks"].tolist() == [1, 2, 1]
+        assert PACK_SEQ_LEN == 2048
+
+    def test_empty_text_counts_one_eos(self, ray_session, tmp_path):
+        from service1_text_extraction_ray.pipelines.webtext import (
+            q_doc_pack_sequences,
+        )
+
+        out = (
+            q_doc_pack_sequences(_docs(tmp_path, ["", "a b c"]))
+            .to_pandas()
+            .sort_values("doc_id")
+        )
+        assert out["n_tokens"].tolist() == [1, 4]
+        assert out["tok_offset"].tolist() == [0, 1]
+
+
+class TestCanonicalizeUrls:
+    def test_each_clause(self):
+        import pandas as pd
+
+        from service1_text_extraction_ray.pipelines.webtext import (
+            canonicalize_urls,
+        )
+
+        cases = {
+            # scheme + host lowercase
+            "HTTPS://WWW.Example.COM/A": "https://www.example.com/A",
+            # default ports stripped only for the matching scheme
+            "https://h.org:443/x": "https://h.org/x",
+            "http://h.org:80/x": "http://h.org/x",
+            "http://h.org:443/x": "http://h.org:443/x",
+            "https://h.org:8443/x": "https://h.org:8443/x",
+            # fragment stripped
+            "https://h.org/x#frag": "https://h.org/x",
+            # tracking params dropped, real params kept in order
+            "https://h.org/x?utm_source=a&id=3": "https://h.org/x?id=3",
+            "https://h.org/x?id=3&utm_campaign=b&q=1": "https://h.org/x?id=3&q=1",
+            "https://h.org/x?fbclid=zz": "https://h.org/x",
+            # trailing slash stripped on non-root paths only
+            "https://h.org/a/b/": "https://h.org/a/b",
+            "https://h.org/": "https://h.org/",
+        }
+        got = canonicalize_urls(pd.Series(list(cases))).tolist()
+        assert got == list(cases.values())
+
+
+class TestLengthBand:
+    def test_exact_decile_thresholds(self, ray_session, tmp_path):
+        from service1_text_extraction_ray.pipelines.webtext import (
+            q_doc_length_band,
+        )
+
+        # 10 docs with 1..10 tokens: P10 = value at rank ceil(10/10)=1 -> 1,
+        # P90 = value at rank ceil(90/10)... rank 9 -> 9: keep lengths 1..9
+        texts = [("t " * n).strip() for n in range(1, 11)]
+        out = q_doc_length_band(_docs(tmp_path, texts)).to_pandas()
+        assert sorted(out["n_tokens"].tolist()) == list(range(1, 10))
+
+
+class TestHostAnchorTerms:
+    def test_rank_and_follow_filters(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from service1_text_extraction_ray.pipelines.webtext import (
+            HOST_ANCHOR_TOPK,
+            q_host_anchor_terms,
+        )
+
+        # doc_ids chosen so none hit the page-nofollow residue (doc_id%7==0
+        # is robots-nofollow); source column feeds make_link_page
+        t = pa.Table.from_pylist(
+            [{"doc_id": i, "source": "s", "lang": "en"} for i in (1, 2, 3)]
+        )
+        d = tmp_path / "sf"
+        d.mkdir(exist_ok=True)
+        pq.write_table(t, str(d / "documents.parquet"))
+        out = q_host_anchor_terms(str(d))
+        # ad links are nofollow: the ads host never appears
+        assert not out["host"].str.contains("ads").any()
+        # every host emits at most K ranked rows, rank starts at 1
+        per = out.groupby("host")["rank"].agg(["min", "max", "size"])
+        assert (per["min"] == 1).all()
+        assert (per["size"] <= HOST_ANCHOR_TOPK).all()
+        # 'cdn.example.org' receives anchors 'cdn <k>' from all three docs:
+        # token 'cdn' has count 3 and must rank first there
+        cdn = out[out["host"] == "cdn.example.org"].iloc[0]
+        assert (cdn["token"], cdn["n"], cdn["rank"]) == ("cdn", 3, 1)
