@@ -164,6 +164,8 @@ QUERY_NAMES = [
     "part_triangles", "events_user_skew",
     "doc_pack_sequences", "dedup_url_canonical", "doc_length_band",
     "host_anchor_terms",
+    "user_state_intervals", "user_value_trailing_1h", "events_late_arrivals",
+    "embedding_gram",
 ]
 
 

@@ -5009,3 +5009,80 @@ SELECT vec_id, cluster FROM (
 
 
 SQL_KMEANS_EMBEDDINGS = _sql_kmeans()
+
+
+# ---------------------------------------------------------------------------
+# Distributed Gram / covariance accumulation (the PCA-whitening feed)
+# ---------------------------------------------------------------------------
+
+
+def q_embedding_gram(sf_dir: str) -> rd.Dataset:
+    """Distributed Gram-matrix accumulation X^T X over the embedding
+    column — the map-reduce linear-algebra step that feeds PCA/whitening
+    (and, with the label_centroids means, the covariance): each block
+    quantizes its vectors to int64 micro-units (the label_centroids
+    convention, round half-away-from-zero = DuckDB) and computes its
+    partial Gram with ONE exact int64 numpy matmul; only the D(D+1)/2
+    upper-triangle entries (D=64 -> 2080 rows) ride the tiny groupby
+    merge. Per-block products stay < 2^60 at any block size here; at
+    10^12 rows the partials promote to decimal-string accumulation (the
+    segment_acctbal_moments pattern, documented there). Output:
+    (dim_i, dim_j, n_vecs, sum_qq) — all integer, bit-identical at any
+    parallelism."""
+    part_schema = pa.schema([
+        ("dim_i", pa.int64()), ("dim_j", pa.int64()),
+        ("n_vecs", pa.int64()), ("sum_qq", pa.int64()),
+    ])
+
+    def partial(t: pa.Table) -> pa.Table:
+        emb = t["embedding"].combine_chunks()
+        flat = pc.list_flatten(emb)
+        q = pc.cast(
+            pc.round(
+                pc.multiply(pc.cast(flat, pa.float64()),
+                            pa.scalar(float(CENTROID_UNIT))),
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        ).to_numpy(zero_copy_only=False)
+        n = t.num_rows
+        if n == 0:
+            return part_schema.empty_table()
+        d = len(q) // n
+        mat = q.reshape(n, d)
+        g = mat.T @ mat  # exact int64 (|q| < 1e6 -> products < 2^40)
+        iu, ju = np.triu_indices(d)
+        return pa.Table.from_arrays(
+            [pa.array((iu + 1).astype("int64")),
+             pa.array((ju + 1).astype("int64")),
+             pa.array(np.full(len(iu), n, dtype="int64")),
+             pa.array(g[iu, ju])],
+            schema=part_schema,
+        )
+
+    from ray.data.aggregate import Sum as RSum
+
+    return (
+        _read(sf_dir, "embeddings", ["embedding"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["dim_i", "dim_j"])
+        .aggregate(
+            RSum("n_vecs", alias_name="n_vecs"),
+            RSum("sum_qq", alias_name="sum_qq"),
+        )
+    )
+
+
+SQL_EMBEDDING_GRAM = f"""
+WITH q AS (
+  SELECT vec_id,
+         unnest(generate_series(1, len(embedding))) AS dim,
+         CAST(round(CAST(unnest(embedding) AS DOUBLE) * {CENTROID_UNIT}) AS BIGINT) AS qv
+  FROM embeddings
+)
+SELECT a.dim AS dim_i, b.dim AS dim_j,
+       count(*) AS n_vecs,
+       CAST(sum(a.qv * b.qv) AS BIGINT) AS sum_qq
+FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+GROUP BY a.dim, b.dim
+"""

@@ -5112,3 +5112,246 @@ SELECT CAST(U AS BIGINT) AS n_users,
        CAST(2 * S - (U + 1) * T AS DOUBLE) / CAST(U * T AS DOUBLE) AS gini
 FROM agg
 """
+
+
+# ---------------------------------------------------------------------------
+# SCD2 state intervals (temporal-table build from an event stream)
+# ---------------------------------------------------------------------------
+
+
+def q_user_state_intervals(sf_dir: str) -> rd.Dataset:
+    """SCD2 / temporal-table build: collapse each user's event stream
+    (event_id order — unique, monotone with ingest) into CONSECUTIVE-STATE
+    intervals, one row per run of equal event_type: (user, state, run_seq,
+    from_event_id, to_event_id, n_events). This is the history-table
+    compaction every CDC pipeline runs (orders_latest_per_customer is the
+    keep-last variant; this keeps the full validity chain). ONE
+    hash_exchange on user_id; in-shard the run ids are the vectorized
+    change-flag cumsum (no per-user Python), and the interval assembly is
+    a single C-level groupby agg."""
+    out_schema = pa.schema([
+        ("user_id", pa.int64()), ("state", pa.string()),
+        ("run_seq", pa.int64()), ("from_event_id", pa.int64()),
+        ("to_event_id", pa.int64()), ("n_events", pa.int64()),
+    ])
+
+    def shard_runs(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        df = t.to_pandas().sort_values(["user_id", "event_id"], kind="mergesort")
+        user_chg = df["user_id"].ne(df["user_id"].shift())
+        type_chg = df["event_type"].ne(df["event_type"].shift())
+        chg = (user_chg | type_chg).astype("int64")
+        df["run_seq"] = chg.groupby(df["user_id"].to_numpy()).cumsum()
+        g = df.groupby(["user_id", "run_seq"], sort=True).agg(
+            state=("event_type", "first"),
+            from_event_id=("event_id", "min"),
+            to_event_id=("event_id", "max"),
+            n_events=("event_id", "size"),
+        ).reset_index()
+        return pa.Table.from_pandas(
+            g[["user_id", "state", "run_seq", "from_event_id",
+               "to_event_id", "n_events"]],
+            preserve_index=False,
+        ).cast(out_schema)
+
+    return hash_exchange(
+        _read(sf_dir, "events", ["event_id", "user_id", "event_type"]),
+        ["user_id"],
+        shard_runs,
+        out_schema,
+    )
+
+
+SQL_USER_STATE_INTERVALS = """
+WITH m AS (
+  SELECT user_id, event_id, event_type,
+         CASE WHEN lag(event_type) OVER (PARTITION BY user_id ORDER BY event_id)
+                   IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg
+  FROM events
+),
+r AS (
+  SELECT user_id, event_id, event_type,
+         sum(chg) OVER (PARTITION BY user_id ORDER BY event_id) AS run_seq
+  FROM m
+)
+SELECT user_id, event_type AS state, CAST(run_seq AS BIGINT) AS run_seq,
+       min(event_id) AS from_event_id, max(event_id) AS to_event_id,
+       count(*) AS n_events
+FROM r GROUP BY user_id, event_type, run_seq
+"""
+
+
+# ---------------------------------------------------------------------------
+# Trailing time-RANGE window (interval frame, tie-safe)
+# ---------------------------------------------------------------------------
+
+
+def q_user_value_trailing_1h(sf_dir: str) -> rd.Dataset:
+    """Time-RANGE moving aggregate: per event, the sum of the same user's
+    event value (cents) in the trailing ONE-HOUR interval [ts - 1h, ts] —
+    the RANGE-frame sibling of the ROWS-frame q_user_value_moving_sum.
+    RANGE semantics make all ts-peers of the current row part of its
+    frame, so rows first pre-aggregate to (user, ts) TIE-GROUPS; the
+    per-group trailing sum is one C-level pandas time-rolling pass
+    (closed='both' = inclusive bounds, matching SQL RANGE ... PRECEDING
+    AND CURRENT ROW) and joins back to every member event. Cents stay
+    < 2^53 so the rolling float path is exact; output is int64. ONE
+    hash_exchange on user_id."""
+    out_schema = pa.schema([
+        ("event_id", pa.int64()), ("user_id", pa.int64()),
+        ("trailing_cents", pa.int64()),
+    ])
+
+    def shard_roll(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        df = pa.Table.from_arrays(
+            [t["event_id"], t["user_id"], t["ts"], _cents(t["value"])],
+            names=["event_id", "user_id", "ts", "cents"],
+        ).to_pandas().sort_values(["user_id", "ts"], kind="mergesort")
+        tie = (
+            df.groupby(["user_id", "ts"], sort=False)["cents"].sum()
+            .reset_index()
+        )
+        roll = (
+            tie.groupby("user_id", sort=False)
+            .rolling(pd.Timedelta(hours=1), on="ts", closed="both")["cents"]
+            .sum()
+            .reset_index(drop=True)
+        )
+        tie["trailing_cents"] = roll.astype("int64")
+        out = df.merge(tie[["user_id", "ts", "trailing_cents"]],
+                       on=["user_id", "ts"], how="left")
+        return pa.Table.from_pandas(
+            out[["event_id", "user_id", "trailing_cents"]], preserve_index=False
+        ).cast(out_schema)
+
+    return hash_exchange(
+        _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"]),
+        ["user_id"],
+        shard_roll,
+        out_schema,
+    )
+
+
+SQL_USER_VALUE_TRAILING_1H = """
+SELECT event_id, user_id,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER (
+         PARTITION BY user_id ORDER BY ts
+         RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS trailing_cents
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# Watermark / late-arrival accounting (ordered prefix-scan #2)
+# ---------------------------------------------------------------------------
+
+LATE_BUCKET = 65536                 # event_ids per range bucket
+LATENESS_US = 3_600_000_000         # allowed lateness: 1 hour, microseconds
+
+
+def q_events_late_arrivals(sf_dir: str) -> rd.Dataset:
+    """Streaming watermark accounting over the ingest log: with arrival
+    order = event_id and watermark = max event-time seen so far (exclusive
+    running max), count events arriving more than 1 hour behind the
+    watermark — the late-data metric every streaming window operator keys
+    its triggers on. Second use of the distributed ORDERED prefix-scan
+    topology (q_doc_pack_sequences is the sum form; this is the max form):
+    range-bucket by event_id, per-bucket max(ts) reduces to one tiny row
+    per bucket, the driver prefix-maxes the bucket histogram and
+    broadcasts per-bucket bases, one keyed exchange computes in-bucket
+    exclusive running maxes vectorized (np.maximum.accumulate) and emits
+    per-type partials. Output: (event_type, n_events, n_late)."""
+    cnt_schema = pa.schema([
+        ("bucket", pa.int64()), ("event_id", pa.int64()),
+        ("ts_us", pa.int64()), ("event_type", pa.string()),
+    ])
+
+    def prep(t: pa.Table) -> pa.Table:
+        eid = pc.cast(t["event_id"], pa.int64())
+        return pa.Table.from_arrays(
+            [pc.divide(eid, pa.scalar(LATE_BUCKET, pa.int64())),
+             eid,
+             pc.cast(t["ts"], pa.int64()),
+             t["event_type"]],
+            schema=cnt_schema,
+        )
+
+    prepped = (
+        _read(sf_dir, "events", ["event_id", "ts", "event_type"])
+        .map_batches(prep, batch_format="pyarrow")
+        .materialize()
+    )
+
+    bm = (
+        prepped.groupby("bucket")
+        .aggregate(Max("ts_us", alias_name="mx"))
+        .to_pandas()
+        .sort_values("bucket")
+    )
+    mx = bm["mx"].to_numpy(dtype="int64")
+    excl = np.concatenate(([np.iinfo(np.int64).min], np.maximum.accumulate(mx)[:-1]))
+    base = dict(zip(bm["bucket"].tolist(), excl.tolist()))
+    base_ref = ray.put(base)
+
+    part_schema = pa.schema([
+        ("event_type", pa.string()), ("n_events", pa.int64()),
+        ("n_late", pa.int64()),
+    ])
+
+    def late(t: pa.Table, _ref=base_ref) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        df = t.to_pandas().sort_values("event_id")
+        b = ray.get(_ref)
+        INT_MIN = np.iinfo(np.int64).min
+        ts = df["ts_us"].to_numpy(dtype="int64")
+        # per-bucket exclusive running max (buckets are contiguous after the
+        # event_id sort because bucket = event_id // LATE_BUCKET)
+        bk = df["bucket"].to_numpy(dtype="int64")
+        bounds = np.flatnonzero(
+            np.concatenate(([True], bk[1:] != bk[:-1]))
+        ).tolist() + [len(bk)]
+        in_bucket_excl = np.empty(len(bk), dtype="int64")
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            in_bucket_excl[s:e] = np.concatenate(
+                ([INT_MIN], np.maximum.accumulate(ts[s:e])[:-1])
+            )
+        bases = np.array([b[k] for k in bk], dtype="int64")
+        wm = np.maximum(bases, in_bucket_excl)
+        is_late = (wm > INT_MIN) & (ts < wm - LATENESS_US)
+        out = pd.DataFrame({"event_type": df["event_type"].to_numpy(),
+                            "late": is_late.astype("int64")})
+        g = out.groupby("event_type", sort=False)["late"].agg(["size", "sum"])
+        return pa.Table.from_arrays(
+            [pa.array(g.index.to_numpy(dtype=object), pa.string()),
+             pa.array(g["size"].to_numpy(dtype="int64")),
+             pa.array(g["sum"].to_numpy(dtype="int64"))],
+            schema=part_schema,
+        )
+
+    return (
+        hash_exchange(prepped, ["bucket"], late, part_schema)
+        .groupby("event_type")
+        .aggregate(
+            Sum("n_events", alias_name="n_events"),
+            Sum("n_late", alias_name="n_late"),
+        )
+    )
+
+
+SQL_EVENTS_LATE_ARRIVALS = """
+WITH w AS (
+  SELECT event_type, ts,
+         max(ts) OVER (ORDER BY event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm
+  FROM events
+)
+SELECT event_type, count(*) AS n_events,
+       CAST(sum(CASE WHEN wm IS NOT NULL AND ts < wm - INTERVAL 1 HOUR
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_late
+FROM w GROUP BY event_type
+"""

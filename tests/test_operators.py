@@ -2171,3 +2171,107 @@ class TestUserSkew:
         out2 = q_events_user_skew(d2)
         assert out2["top_share_ppm"].iloc[0] == 910000
         assert out2["gini"].iloc[0] > 0.8
+
+
+class TestStateIntervals:
+    def test_runs_collapse_per_user(self, ray_session, tmp_path):
+        from service1_text_extraction_ray.pipelines.relational import (
+            q_user_state_intervals,
+        )
+
+        # user 1: A A B A ; user 2: B B
+        d = _write_tbl(tmp_path, "events", pa.table({
+            "event_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+            "user_id": pa.array([1, 1, 1, 1, 2, 2], pa.int64()),
+            "event_type": pa.array(["A", "A", "B", "A", "B", "B"]),
+        }))
+        out = (
+            q_user_state_intervals(d).to_pandas()
+            .sort_values(["user_id", "run_seq"]).reset_index(drop=True)
+        )
+        assert out["state"].tolist() == ["A", "B", "A", "B"]
+        assert out["run_seq"].tolist() == [1, 2, 3, 1]
+        assert out["from_event_id"].tolist() == [1, 3, 4, 5]
+        assert out["to_event_id"].tolist() == [2, 3, 4, 6]
+        assert out["n_events"].tolist() == [2, 1, 1, 2]
+
+
+class TestTrailingRange:
+    def test_interval_bounds_and_ts_ties(self, ray_session, tmp_path):
+        import pandas as pd
+
+        from service1_text_extraction_ray.pipelines.relational import (
+            q_user_value_trailing_1h,
+        )
+
+        t0 = pd.Timestamp("2024-01-01 00:00:00")
+        h = pd.Timedelta(hours=1)
+        # events: t0 (1.00), t0+30m (2.00), t0+30m TIE (4.00), t0+90m (8.00),
+        # t0+191m (16.00 -- isolated, outside every earlier frame)
+        ts = [t0, t0 + h / 2, t0 + h / 2, t0 + h + h / 2, t0 + 3 * h + pd.Timedelta(minutes=11)]
+        d = _write_tbl(tmp_path, "events", pa.table({
+            "event_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "user_id": pa.array([7] * 5, pa.int64()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "value": pa.array([1.0, 2.0, 4.0, 8.0, 16.0], pa.float64()),
+        }))
+        out = (
+            q_user_value_trailing_1h(d).to_pandas()
+            .sort_values("event_id").reset_index(drop=True)
+        )
+        # RANGE semantics: both ts-tied rows (2,3) see each other's value;
+        # row 4's frame [t0+30m, t0+90m] includes the ties but NOT t0
+        # (boundary inclusive: t0+90m-1h == t0+30m); row 5 stands alone
+        assert out["trailing_cents"].tolist() == [100, 700, 700, 1400, 1600]
+
+
+class TestLateArrivals:
+    def test_watermark_lateness(self, ray_session, tmp_path):
+        import pandas as pd
+
+        from service1_text_extraction_ray.pipelines.relational import (
+            q_events_late_arrivals,
+        )
+
+        t0 = pd.Timestamp("2024-06-01 12:00:00")
+        m = pd.Timedelta(minutes=1)
+        # arrival order 1..4: wm after 1,2 is t0+120m; event 3 arrives 61min
+        # behind it (late); event 4 exactly 60min behind (NOT late, strict <)
+        d = _write_tbl(tmp_path, "events", pa.table({
+            "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "ts": pa.array([t0, t0 + 120 * m, t0 + 59 * m, t0 + 60 * m],
+                           pa.timestamp("us")),
+            "event_type": pa.array(["x", "x", "x", "x"]),
+        }))
+        out = q_events_late_arrivals(d).to_pandas()
+        assert out["n_events"].iloc[0] == 4
+        assert out["n_late"].iloc[0] == 1
+
+
+class TestEmbeddingGram:
+    def test_known_vectors_exact(self, ray_session, tmp_path):
+        from service1_text_extraction_ray.pipelines.queries import (
+            CENTROID_UNIT,
+            q_embedding_gram,
+        )
+
+        # v1=(1, 0.5), v2=(-0.5, 0.25): quantized q1=(U, U/2), q2=(-U/2, U/4)
+        d = _write_tbl(tmp_path, "embeddings", pa.table({
+            "vec_id": pa.array([1, 2], pa.int64()),
+            "embedding": pa.array([[1.0, 0.5], [-0.5, 0.25]],
+                                  pa.list_(pa.float32())),
+        }))
+        out = (
+            q_embedding_gram(d).to_pandas()
+            .sort_values(["dim_i", "dim_j"]).reset_index(drop=True)
+        )
+        U = CENTROID_UNIT
+        # (1,1): U*U + U/2*U/2 ; (1,2): U*U/2 + (-U/2)*(U/4) ; (2,2): U^2/4 + U^2/16
+        assert out["dim_i"].tolist() == [1, 1, 2]
+        assert out["dim_j"].tolist() == [1, 2, 2]
+        assert out["sum_qq"].tolist() == [
+            U * U + (U // 2) ** 2,
+            U * (U // 2) + (-U // 2) * (U // 4),
+            (U // 2) ** 2 + (U // 4) ** 2,
+        ]
+        assert (out["n_vecs"] == 2).all()
