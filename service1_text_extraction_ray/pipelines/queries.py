@@ -5086,3 +5086,103 @@ SELECT a.dim AS dim_i, b.dim AS dim_j,
 FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.dim <= b.dim
 GROUP BY a.dim, b.dim
 """
+
+
+# ---------------------------------------------------------------------------
+# int8 embedding quantization — the storage/serving compression step every
+# 10^12-vector ANN deployment applies before indexing (FAISS SQ8 shape:
+# per-vector symmetric absmax scaling). The reference has no vector ops at
+# all (SURVEY.md §2.5); this generalizes its float pipeline the same way
+# q_embedding_gram does.
+# ---------------------------------------------------------------------------
+
+ERR_UNIT = 10**9  # reconstruction-error micro-unit (nano): int64-exact sums
+
+
+def q_embedding_quantize_int8(sf_dir: str) -> rd.Dataset:
+    """Per-vector symmetric int8 quantization with exact integer checksums.
+
+    For each embedding: scale = absmax/127 (one float64 division — exact and
+    order-free), codes q_i = round_half_away(v_i / scale) in [-127, 127]
+    (absmax scaling can't clip), zero vectors get scale 0 and all-zero
+    codes. The verified output is one row per vector carrying the scale and
+    three integer checksums of the full code vector — sum, |sum|, and the
+    position-weighted sum Σ dim·q_i — plus the total reconstruction error
+    Σ round(|v_i − q_i·scale|·1e9) as an exact int64 (per-element rounding
+    to nano-units makes the sum order-independent, the house convention).
+
+    Scale shape: a pure per-row map — NO shuffle of any kind; each block
+    reshapes its flattened list column once and runs four numpy reductions.
+    At 10^12 vectors this is the embarrassingly-parallel compression pass
+    whose int8 output then feeds q_ann_ivf / q_knn_* at 4x less object-store
+    and network cost; the checksum design is what lets a DuckDB oracle
+    verify the exact codes without exploding D rows per vector.
+    """
+    out_schema = pa.schema([
+        ("vec_id", pa.int64()), ("scale", pa.float64()),
+        ("sum_q", pa.int64()), ("sum_abs_q", pa.int64()),
+        ("sum_dim_q", pa.int64()), ("err_nano", pa.int64()),
+    ])
+
+    def _round_half_away(x: "np.ndarray") -> "np.ndarray":
+        return np.where(x >= 0, np.floor(x + 0.5), np.ceil(x - 0.5))
+
+    def quantize(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return out_schema.empty_table()
+        emb = t["embedding"].combine_chunks()
+        flat = pc.cast(pc.list_flatten(emb), pa.float64()).to_numpy(
+            zero_copy_only=False
+        )
+        d = len(flat) // n
+        v = flat.reshape(n, d)
+        absmax = np.abs(v).max(axis=1)
+        scale = absmax / 127.0
+        safe = np.where(scale == 0.0, 1.0, scale)
+        q = _round_half_away(v / safe[:, None])
+        q[scale == 0.0, :] = 0.0
+        recon = q * scale[:, None]
+        err = _round_half_away(np.abs(v - recon) * float(ERR_UNIT))
+        dims = np.arange(1, d + 1, dtype=np.int64)
+        qi = q.astype(np.int64)
+        return pa.Table.from_arrays(
+            [
+                pc.cast(t["vec_id"], pa.int64()),
+                pa.array(scale),
+                pa.array(qi.sum(axis=1)),
+                pa.array(np.abs(qi).sum(axis=1)),
+                pa.array((qi * dims).sum(axis=1)),
+                pa.array(err.astype(np.int64).sum(axis=1)),
+            ],
+            schema=out_schema,
+        )
+
+    return _read(sf_dir, "embeddings", ["vec_id", "embedding"]).map_batches(
+        quantize, batch_format="pyarrow"
+    )
+
+
+SQL_EMBEDDING_QUANTIZE_INT8 = f"""
+WITH e AS (
+  SELECT vec_id,
+         unnest(generate_series(1, len(embedding))) AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+),
+s AS (SELECT vec_id, max(abs(v)) / 127.0 AS scale FROM e GROUP BY vec_id),
+q AS (
+  SELECT e.vec_id, e.dim, e.v, s.scale,
+         CASE WHEN s.scale = 0 THEN 0
+              ELSE CAST(round(e.v / s.scale) AS BIGINT) END AS qv
+  FROM e JOIN s ON e.vec_id = s.vec_id
+)
+SELECT vec_id,
+       any_value(scale) AS scale,
+       CAST(sum(qv) AS BIGINT) AS sum_q,
+       CAST(sum(abs(qv)) AS BIGINT) AS sum_abs_q,
+       CAST(sum(dim * qv) AS BIGINT) AS sum_dim_q,
+       CAST(sum(CAST(round(abs(v - qv * scale) * {ERR_UNIT}.0) AS BIGINT)) AS BIGINT) AS err_nano
+FROM q
+GROUP BY vec_id
+"""

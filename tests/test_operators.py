@@ -2275,3 +2275,53 @@ class TestEmbeddingGram:
             (U // 2) ** 2 + (U // 4) ** 2,
         ]
         assert (out["n_vecs"] == 2).all()
+
+
+class TestEmbeddingQuantizeInt8:
+    def test_codes_bounded_and_zero_vector(self, ray_session, tmp_path):
+        """Codes stay in [-127,127] (checksum bound |sum_dim_q| <= 127*D*(D+1)/2),
+        a zero vector gets scale 0 with all-zero checksums, and the
+        reconstruction error per dim stays under scale/2 + 1 nano-unit."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from service1_text_extraction_ray.pipelines.queries import (
+            ERR_UNIT,
+            q_embedding_quantize_int8,
+        )
+
+        d = 8
+        vecs = [
+            [0.5, -1.25, 3.0, 0.0, -0.001, 2.75, -3.0, 1.0],
+            [0.0] * d,                      # zero vector: scale 0, codes 0
+            [1e-6] * d,                     # tiny but nonzero absmax
+            [-2.0] * d,                     # constant negative
+        ]
+        t = pa.table({
+            "vec_id": pa.array(range(len(vecs)), pa.int64()),
+            "embedding": pa.array(vecs, pa.list_(pa.float32())),
+            "label": pa.array([0] * len(vecs), pa.int32()),
+        })
+        pq.write_table(t, tmp_path / "embeddings.parquet")
+        out = (
+            q_embedding_quantize_int8(str(tmp_path))
+            .to_pandas()
+            .set_index("vec_id")
+            .sort_index()
+        )
+        assert len(out) == len(vecs)
+        zero = out.loc[1]
+        assert zero["scale"] == 0.0
+        assert (zero[["sum_q", "sum_abs_q", "sum_dim_q", "err_nano"]] == 0).all()
+        bound = 127 * d * (d + 1) // 2
+        assert (out["sum_dim_q"].abs() <= bound).all()
+        assert (out["sum_abs_q"] <= 127 * d).all()
+        # absmax scaling: max |err| per element is scale/2 -> err_nano bounded
+        nonzero = out[out["scale"] > 0]
+        assert (
+            nonzero["err_nano"]
+            <= (nonzero["scale"] / 2 * ERR_UNIT + 1) * d
+        ).all()
+        # constant vector quantizes exactly: every element is +-absmax -> code +-127
+        assert out.loc[3, "err_nano"] == 0
+        assert out.loc[3, "sum_abs_q"] == 127 * d
