@@ -4567,23 +4567,30 @@ def q_lineitem_spearman(sf_dir: str) -> pd.DataFrame:
         )
         return pa.Table.from_pandas(g, preserve_index=False).cast(hist_schema)
 
+    def hist_merge(t: pa.Table) -> pa.Table:
+        g = t.group_by(["f", "which", "v"]).aggregate([("c", "sum")])
+        return g.rename_columns(["f", "which", "v", "c"])
+
     src = _read(
         sf_dir, "lineitem", ["l_returnflag", "l_quantity", "l_extendedprice"]
     )
-    hist = (
-        src.map_batches(hist_partial, batch_format="pyarrow")
-        .repartition(8)
-        .groupby(["f", "which", "v"])
-        .aggregate(Sum("c", alias_name="c"))
-        .to_pandas()  # bounded by the value DOMAIN, not the row count
-    )
-    rank_maps: dict = {}  # (f, which) -> {value: r2}
+    # Histogram merge rides the int64 hash_exchange instead of a composite
+    # (string, string, int) sort-groupby: the price domain is ~10^5 distinct
+    # dollars here, and sorting 3x10^5 composite keys in Ray's sort shuffle
+    # measured 20+ s where the sharded exchange is ~2 s on identical rows.
+    hist = hash_exchange(
+        src.map_batches(hist_partial, batch_format="pyarrow"),
+        ["f", "which", "v"],
+        hist_merge,
+        hist_schema,
+    ).to_pandas()  # bounded by the value DOMAIN, not the row count
+    rank_maps: dict = {}  # (f, which) -> (sorted values, 2x tie-avg ranks)
     for (f, which), grp in hist.groupby(["f", "which"], sort=False):
         grp = grp.sort_values("v")
         c = grp["c"].to_numpy(dtype="int64")
         cum_before = np.concatenate(([0], np.cumsum(c)[:-1]))
         r2 = 2 * cum_before + c + 1  # exact 2x tie-averaged rank
-        rank_maps[(f, which)] = dict(zip(grp["v"].tolist(), r2.tolist()))
+        rank_maps[(f, which)] = (grp["v"].to_numpy(dtype="int64"), r2)
     maps_ref = ray.put(rank_maps)
 
     def moment_partial(t: pa.Table, _ref=maps_ref) -> pa.Table:
@@ -4597,12 +4604,15 @@ def q_lineitem_spearman(sf_dir: str) -> pd.DataFrame:
             pc.cast(pc.round(t["l_extendedprice"], round_mode="half_towards_infinity"), pa.int64())
             .to_numpy(zero_copy_only=False)
         )
-        rx = np.fromiter(
-            (m[(fi, "x")][xi] for fi, xi in zip(f, x)), dtype=np.int64, count=len(f)
-        )
-        ry = np.fromiter(
-            (m[(fi, "y")][yi] for fi, yi in zip(f, y)), dtype=np.int64, count=len(f)
-        )
+        fl = np.asarray(f, dtype=object)
+        rx = np.empty(len(f), dtype=np.int64)
+        ry = np.empty(len(f), dtype=np.int64)
+        for flag in set(f):  # <= n_flags slices; lookups are searchsorted
+            mask = fl == flag
+            vx, r2x = m[(flag, "x")]
+            vy, r2y = m[(flag, "y")]
+            rx[mask] = r2x[np.searchsorted(vx, x[mask])]
+            ry[mask] = r2y[np.searchsorted(vy, y[mask])]
         df = pd.DataFrame({
             "f": f, "n": 1, "sx": rx, "sy": ry,
             "sxx": rx * rx, "syy": ry * ry, "sxy": rx * ry,
