@@ -5186,3 +5186,99 @@ SELECT vec_id,
 FROM q
 GROUP BY vec_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Shingle novelty — the "new information fraction" curation score: how much
+# of a document's 3-gram content appears in NO earlier document (first
+# occurrence wins, doc_id order). Complements the dedup family: dedup asks
+# "is this doc a copy of one other doc"; novelty asks "how much of this doc
+# is new against the WHOLE corpus so far" — the score curation pipelines
+# threshold to drop boilerplate-heavy near-copies that no pairwise dedup
+# catches (each pair below threshold, content still mostly recycled).
+# ---------------------------------------------------------------------------
+
+
+def q_doc_shingle_novelty(sf_dir: str) -> rd.Dataset:
+    """Per-doc novel-shingle counts: n_novel = distinct word-3-grams whose
+    global first occurrence (min doc_id over all docs containing them) is
+    this doc.
+
+    Topology (the global-first-occurrence shape): flat-map each doc to its
+    DISTINCT shingles (the per-doc set, so a shingle rides once per doc,
+    never once per occurrence), ONE hash_exchange on the shingle string
+    co-locates all owners of a shingle, the shard fn computes min(doc_id)
+    per shingle and folds each pair to (doc_id, novel?) — pre-combined to
+    per-doc partial counts INSIDE the shard, so the final groupby merges
+    <= num_shards small int rows per doc. Per-task state is one shard's
+    pairs; no driver-side shingle table at any point. The shingle text
+    rides the exchange once (1x corpus bytes — the same trade the MinHash
+    banding docstring argues at 16x; at 10^12 docs swap the key for a
+    128-bit shingle hash and accept the collision rate, documented here
+    rather than silently).
+    """
+    pair_schema = pa.schema([("s", pa.string()), ("doc_id", pa.int64())])
+    part_schema = pa.schema([
+        ("doc_id", pa.int64()), ("n_shingles", pa.int64()),
+        ("n_novel", pa.int64()),
+    ])
+
+    def pairs(df: pd.DataFrame) -> pa.Table:
+        ss: list = []
+        ids: list = []
+        for did, text in zip(df["doc_id"], df["text"].fillna("")):
+            sh = _shingles(text)
+            ss.extend(sh)
+            ids.extend([did] * len(sh))
+        return pa.Table.from_arrays(
+            [pa.array(ss, pa.string()), pa.array(ids, pa.int64())],
+            schema=pair_schema,
+        )
+
+    def shard_novel(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        first = df.groupby("s")["doc_id"].transform("min")
+        df["novel"] = (df["doc_id"] == first).astype("int64")
+        g = df.groupby("doc_id", as_index=False).agg(
+            n_shingles=("s", "size"), n_novel=("novel", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False).cast(part_schema)
+
+    from ray.data.aggregate import Sum as RSum
+
+    from .relational import hash_exchange
+
+    partials = hash_exchange(
+        _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+            pairs, batch_format="pandas"
+        ),
+        ["s"],
+        shard_novel,
+        part_schema,
+    )
+    return partials.groupby("doc_id").aggregate(
+        RSum("n_shingles", alias_name="n_shingles"),
+        RSum("n_novel", alias_name="n_novel"),
+    )
+
+
+SQL_DOC_SHINGLE_NOVELTY = """
+WITH tok AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS w
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, unnest(CASE
+    WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+    ELSE list_distinct(list_transform(range(1, len(w) - 1),
+                                      i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]))
+  END) AS s
+  FROM tok WHERE len(w) > 0
+),
+m AS (SELECT s, min(doc_id) AS first_doc FROM sh GROUP BY s)
+SELECT sh.doc_id,
+       count(*) AS n_shingles,
+       CAST(sum(CASE WHEN sh.doc_id = m.first_doc THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+FROM sh JOIN m ON sh.s = m.s
+GROUP BY sh.doc_id
+"""

@@ -2325,3 +2325,43 @@ class TestEmbeddingQuantizeInt8:
         # constant vector quantizes exactly: every element is +-absmax -> code +-127
         assert out.loc[3, "err_nano"] == 0
         assert out.loc[3, "sum_abs_q"] == 127 * d
+
+
+class TestDocShingleNovelty:
+    def test_first_occurrence_semantics(self, ray_session, tmp_path):
+        """Doc 1 owns all its shingles (first), an exact copy at doc 2 has
+        zero novel shingles, a half-overlap doc gets exactly the new ones,
+        and short/<3-word docs fall back to the whole-words shingle."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from service1_text_extraction_ray.pipelines.queries import (
+            q_doc_shingle_novelty,
+        )
+
+        docs = [
+            (1, "a b c d e"),          # shingles: abc bcd cde (3, all novel)
+            (2, "a b c d e"),          # exact copy: 0 novel
+            (3, "c d e f g"),          # cde def efg -> cde seen, 2 novel
+            (4, "x y"),                # <3 words: one shingle "x y", novel
+            (5, ""),                   # empty: excluded from output
+        ]
+        t = pa.table({
+            "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+            "text": pa.array([s for _, s in docs], pa.string()),
+            "lang": pa.array(["en"] * len(docs), pa.string()),
+            "source": pa.array(["t"] * len(docs), pa.string()),
+            "n_chars": pa.array([len(s) for _, s in docs], pa.int64()),
+        })
+        pq.write_table(t, tmp_path / "documents.parquet")
+        out = (
+            q_doc_shingle_novelty(str(tmp_path))
+            .to_pandas()
+            .set_index("doc_id")
+            .sort_index()
+        )
+        assert list(out.index) == [1, 2, 3, 4]
+        assert tuple(out.loc[1]) == (3, 3)
+        assert tuple(out.loc[2]) == (3, 0)
+        assert tuple(out.loc[3]) == (3, 2)
+        assert tuple(out.loc[4]) == (1, 1)
