@@ -1653,3 +1653,159 @@ r AS (
 )
 SELECT host, token, n, rank FROM r WHERE rank <= {HOST_ANCHOR_TOPK}
 """
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranked retrieval — the search-side consumer of the inverted-index
+# stats (q_token_postings builds the index; this ranks against it). Scores
+# follow Robertson/Sparck-Jones BM25 (k1=1.2, b=0.75) with the +1 idf
+# smoothing (Lucene's variant, always positive).
+# ---------------------------------------------------------------------------
+
+BM25_TERMS = ("hash", "join", "stream")  # the fixed benchmark query
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 20
+
+
+def q_search_bm25(sf_dir: str) -> pd.DataFrame:
+    """Top-20 documents by BM25 for a fixed term query, exact to the bit.
+
+    Two passes, no row-scale shuffle anywhere:
+      1. STATS: each block emits ONE row — doc count, token-length sum, and
+         per-term document-frequency partials (docs never span blocks, so
+         df partials are exact). The driver sums <= n_blocks tiny rows;
+         N / avgdl / per-term idf become broadcast constants.
+      2. SCORE: a pure map computes each doc's score as the FIXED
+         left-associated sum over the query terms (term order pinned, so
+         the float sequence is reproducible in SQL), quantizes to int64
+         nano-units, keeps scoring docs only, and takes a per-block partial
+         top-k; the driver merges <= k-per-block rows. Never a global sort.
+
+    At 10^12 docs pass 1 is a tree-reduce of constant-size rows and pass 2
+    is embarrassingly parallel — this is the standard two-round scatter-
+    gather ranked retrieval (per-shard top-k + tiny merge) every search
+    engine runs; the "index" here is recomputed inline because the corpus
+    IS the input (against a prebuilt postings table the same pass-2 shape
+    probes q_token_postings' output instead)."""
+    import math
+
+    terms = list(BM25_TERMS)
+    stats_schema = pa.schema(
+        [pa.field("n", pa.int64()), pa.field("sdl", pa.int64())]
+        + [pa.field(f"df{i}", pa.int64()) for i in range(len(terms))]
+    )
+
+    def stats_partial(df: pd.DataFrame) -> pa.Table:
+        toks = df["text"].fillna("").map(_tokens)
+        row = {"n": len(df), "sdl": int(toks.map(len).sum())}
+        for i, term in enumerate(terms):
+            row[f"df{i}"] = int(toks.map(lambda ts: term in ts).sum())
+        return pa.Table.from_pylist([row], schema=stats_schema)
+
+    stats = (
+        _read(sf_dir, "documents", ["text"])
+        .map_batches(stats_partial, batch_format="pandas")
+        .to_pandas()
+        .sum()
+    )
+    n, sdl = int(stats["n"]), int(stats["sdl"])
+    avgdl = sdl / n
+    idf = [
+        math.log((n - int(stats[f"df{i}"]) + 0.5) / (int(stats[f"df{i}"]) + 0.5) + 1.0)
+        for i in range(len(terms))
+    ]
+
+    out_schema = pa.schema(
+        [pa.field("doc_id", pa.int64()), pa.field("score_nano", pa.int64())]
+    )
+
+    def score_topk(df: pd.DataFrame) -> pa.Table:
+        toks = df["text"].fillna("").map(_tokens)
+        dl = toks.map(len).to_numpy(dtype="float64")
+        k_doc = BM25_K1 * ((1.0 - BM25_B) + BM25_B * (dl / avgdl))
+        score = np.zeros(len(df), dtype="float64")
+        for i, term in enumerate(terms):  # fixed order = fixed float sequence
+            tf = toks.map(lambda ts: ts.count(term)).to_numpy(dtype="float64")
+            score = score + idf[i] * ((tf * (BM25_K1 + 1.0)) / (tf + k_doc))
+        nano = np.where(score >= 0, np.floor(score * 1e9 + 0.5),
+                        np.ceil(score * 1e9 - 0.5)).astype("int64")
+        out = pd.DataFrame({"doc_id": df["doc_id"].astype("int64"), "score_nano": nano})
+        out = out[out["score_nano"] > 0].sort_values(
+            ["score_nano", "doc_id"], ascending=[False, True]
+        ).head(BM25_TOPK)
+        return pa.Table.from_pandas(out, schema=out_schema, preserve_index=False)
+
+    partials = (
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(score_topk, batch_format="pandas")
+        .to_pandas()
+    )
+    top = partials.sort_values(
+        ["score_nano", "doc_id"], ascending=[False, True]
+    ).head(BM25_TOPK)
+    return top.reset_index(drop=True)
+
+
+def sql_search_bm25() -> str:
+    terms = list(BM25_TERMS)
+    tf_cols = ",\n         ".join(
+        f"sum(CASE WHEN token = '{t}' THEN 1 ELSE 0 END) AS tf{i}"
+        for i, t in enumerate(terms)
+    )
+    idf = [
+        f"ln((CAST(n - df{i} AS DOUBLE) + 0.5) / (CAST(df{i} AS DOUBLE) + 0.5) + 1.0)"
+        for i in range(len(terms))
+    ]
+    df_cols = ",\n         ".join(
+        f"sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+        for i in range(len(terms))
+    )
+    score = " + ".join(
+        f"(s.idf{i} * ((CAST(t.tf{i} AS DOUBLE) * {BM25_K1 + 1.0!r})"
+        f" / (CAST(t.tf{i} AS DOUBLE) + t.k_doc)))"
+        for i in range(len(terms))
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS token
+  FROM documents
+),
+base AS (
+  SELECT doc_id,
+         CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS BIGINT) AS dl
+  FROM documents
+),
+tf0 AS (
+  SELECT doc_id,
+         {tf_cols}
+  FROM tok GROUP BY doc_id
+),
+t0 AS (
+  SELECT b.doc_id, b.dl,
+         {", ".join(f"COALESCE(f.tf{i}, 0) AS tf{i}" for i in range(len(terms)))}
+  FROM base b LEFT JOIN tf0 f ON b.doc_id = f.doc_id
+),
+corpus AS (
+  SELECT count(*) AS n, sum(dl) AS sdl,
+         {df_cols}
+  FROM t0
+),
+s AS (
+  SELECT n, CAST(sdl AS DOUBLE) / n AS avgdl,
+         {", ".join(f"{e} AS idf{i}" for i, e in enumerate(idf))}
+  FROM corpus
+),
+scored AS (
+  SELECT t.doc_id,
+         CAST(round(({score}) * 1000000000.0) AS BIGINT) AS score_nano
+  FROM (SELECT *,
+          {BM25_K1!r} * ((1.0 - {BM25_B!r}) + {BM25_B!r} * (CAST(dl AS DOUBLE) / (SELECT avgdl FROM s))) AS k_doc
+        FROM t0) t, s
+)
+SELECT doc_id, score_nano FROM scored
+WHERE score_nano > 0
+ORDER BY score_nano DESC, doc_id ASC
+LIMIT {BM25_TOPK}
+"""

@@ -2365,3 +2365,44 @@ class TestDocShingleNovelty:
         assert tuple(out.loc[2]) == (3, 0)
         assert tuple(out.loc[3]) == (3, 2)
         assert tuple(out.loc[4]) == (1, 1)
+
+
+class TestSearchBM25:
+    def test_ranking_semantics(self, ray_session, tmp_path):
+        """A doc matching all three query terms outranks single-term docs;
+        rarer terms weigh more (idf); term-free docs never appear; repeated
+        terms saturate (tf part bounded by k1+1)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from service1_text_extraction_ray.pipelines.webtext import q_search_bm25
+
+        docs = [
+            (1, "hash join stream pipeline"),        # all three terms
+            (2, "hash table lookup code"),           # common term only
+            (3, "stream stream stream stream"),      # repeated rare term
+            (4, "sort merge shuffle"),               # no query terms
+            (5, "hash hash hash hash hash hash"),    # tf saturation
+            (6, "join the hash stream"),             # all three again
+        ] + [(10 + i, "hash plus filler words") for i in range(10)]
+        t = pa.table({
+            "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+            "text": pa.array([s for _, s in docs], pa.string()),
+            "lang": pa.array(["en"] * len(docs), pa.string()),
+            "source": pa.array(["t"] * len(docs), pa.string()),
+            "n_chars": pa.array([len(s) for _, s in docs], pa.int64()),
+        })
+        pq.write_table(t, tmp_path / "documents.parquet")
+        out = q_search_bm25(str(tmp_path))
+        ranked = list(out["doc_id"])
+        assert 4 not in ranked                     # no-term doc absent
+        scores = dict(zip(out["doc_id"], out["score_nano"]))
+        assert scores[1] > scores[2]               # 3 terms beat 1 common term
+        assert scores[6] > scores[2]
+        # 'stream'/'join' are rarer than 'hash' -> higher idf: doc 3 beats
+        # every hash-only doc despite equal-ish lengths
+        assert scores[3] > scores[2]
+        # tf saturation: six repeats of the common term can't beat the
+        # single occurrence of the rare term
+        assert scores[3] > scores[5]
+        assert (out["score_nano"] > 0).all()
