@@ -786,11 +786,15 @@ def q_doc_sample(sf_dir: str) -> rd.Dataset:
     falls under the rate threshold. Pure per-batch filter — no shuffle, no
     RNG state, identical subset at any parallelism."""
     thresh = (65536 * SAMPLE_PERMILLE) // 1000
+    out_schema = pa.schema([
+        ("doc_id", pa.int64()), ("lang", pa.string()), ("n_chars", pa.int64()),
+    ])
 
-    def f(df: pd.DataFrame) -> pd.DataFrame:
+    def f(df: pd.DataFrame) -> pa.Table:
         keys = df["doc_id"].map(_doc_sample_key)
-        out = df.loc[keys < thresh, ["doc_id", "lang", "n_chars"]].copy()
-        return out.astype({"doc_id": "int64", "n_chars": "int64"})
+        out = df.loc[keys < thresh, ["doc_id", "lang", "n_chars"]]
+        # typed Arrow out: an all-filtered block stays schema-stable
+        return pa.Table.from_pandas(out, schema=out_schema, preserve_index=False)
 
     return _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"]).map_batches(
         f, batch_format="pandas"

@@ -1016,7 +1016,11 @@ def q_doc_sample_weighted(sf_dir: str) -> rd.Dataset:
     as q_doc_sample's uniform draw; this is its importance-weighted
     sibling)."""
 
-    def f(df: pd.DataFrame) -> pd.DataFrame:
+    out_schema = pa.schema([
+        ("doc_id", pa.int64()), ("lang", pa.string()), ("n_chars", pa.int64()),
+    ])
+
+    def f(df: pd.DataFrame) -> pa.Table:
         keys = df["doc_id"].map(
             lambda d: int.from_bytes(
                 hashlib.md5(str(d).encode()).digest()[:2], "big"
@@ -1024,7 +1028,9 @@ def q_doc_sample_weighted(sf_dir: str) -> rd.Dataset:
         ).to_numpy()
         keep = keys < df["n_chars"].to_numpy() * WEIGHT_MULT
         out = df.loc[keep, ["doc_id", "lang", "n_chars"]]
-        return out
+        # typed Arrow out: an all-filtered block stays schema-stable (an
+        # EMPTY object-dtype pandas block trips Ray's size estimator)
+        return pa.Table.from_pandas(out, schema=out_schema, preserve_index=False)
 
     return _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"]).map_batches(
         f, batch_format="pandas"
