@@ -5286,3 +5286,90 @@ SELECT sh.doc_id,
 FROM sh JOIN m ON sh.s = m.s
 GROUP BY sh.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Crawl-budget apportionment — the scheduling step between frontier scoring
+# and fetching: split a fixed global request budget across hosts exactly
+# proportionally to their page mass, with no fractional slots and no budget
+# lost to rounding (Hamilton largest-remainder method — the same exact-
+# integer apportionment used for seats-from-votes).
+# ---------------------------------------------------------------------------
+
+CRAWL_BUDGET = 1000  # global slots to apportion across hosts
+
+
+def q_host_crawl_budget(sf_dir: str) -> pd.DataFrame:
+    """Per-host integer crawl budget: base = floor(B*n/total) per host, the
+    leftover B - Σbase slots go to the largest remainders ((B*n) mod total,
+    host-asc tiebreak). All arithmetic is exact int64; Σbudget == B always.
+
+    Topology: per-block host partial counts (vectorized pyarrow group_by —
+    the url_host_stats pre-combine), one tiny groupby to per-host totals,
+    then the apportionment runs on the collected host table — hosts are the
+    per-site scope, orders of magnitude below doc count (a few dozen here;
+    10^7-10^8 at web scale, still a single-task table of int rows). Beyond
+    that, the remainder ranking distributes as a sort on one int64 column +
+    the doc_pack_sequences ordered prefix-scan to number the top-`extra`
+    rows — documented rather than built, since the collected table is the
+    right call at every realistic host cardinality."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        from ..functions.urls import parse_urls
+
+        parsed = parse_urls(_synth_urls(t))
+        g = pa.Table.from_arrays(
+            [parsed["host"]], names=["host"]
+        ).group_by("host").aggregate([([], "count_all")])
+        return pa.Table.from_arrays(
+            [g["host"], pc.cast(g["count_all"], pa.int64())],
+            names=["host", "n_docs"],
+        )
+
+    from ray.data.aggregate import Sum as RSum
+
+    hosts = (
+        _read(sf_dir, "documents", ["doc_id", "source", "lang"])
+        .map_batches(partial, batch_format="pyarrow")
+        .repartition(8)
+        .groupby("host")
+        .aggregate(RSum("n_docs", alias_name="n_docs"))
+        .to_pandas()  # bounded by HOST cardinality, never doc count
+    )
+    total = int(hosts["n_docs"].sum())
+    scaled = CRAWL_BUDGET * hosts["n_docs"].astype("int64")
+    hosts["base"] = scaled // total
+    hosts["rem"] = scaled % total
+    extra = CRAWL_BUDGET - int(hosts["base"].sum())
+    hosts = hosts.sort_values(["rem", "host"], ascending=[False, True])
+    bonus = np.zeros(len(hosts), dtype="int64")
+    bonus[:extra] = 1
+    hosts["budget"] = hosts["base"].to_numpy() + bonus
+    out = hosts.sort_values("host")[["host", "n_docs", "budget"]]
+    return out.astype({"n_docs": "int64", "budget": "int64"}).reset_index(drop=True)
+
+
+SQL_HOST_CRAWL_BUDGET = f"""
+WITH hc AS (
+  SELECT source || '.example.' ||
+           CASE doc_id % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'org' ELSE 'net' END AS host,
+         count(*) AS n_docs
+  FROM documents GROUP BY 1
+),
+t AS (SELECT sum(n_docs) AS total FROM hc),
+b AS (
+  SELECT host, n_docs,
+         ({CRAWL_BUDGET} * n_docs) // total AS base,
+         ({CRAWL_BUDGET} * n_docs) % total AS rem
+  FROM hc, t
+),
+r AS (
+  SELECT host, n_docs, base,
+         row_number() OVER (ORDER BY rem DESC, host ASC) AS rk
+  FROM b
+)
+SELECT host, n_docs,
+       CAST(base + CASE WHEN rk <= {CRAWL_BUDGET} - (SELECT sum(base) FROM b)
+                        THEN 1 ELSE 0 END AS BIGINT) AS budget
+FROM r
+"""

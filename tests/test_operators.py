@@ -2406,3 +2406,24 @@ class TestSearchBM25:
         # single occurrence of the rare term
         assert scores[3] > scores[5]
         assert (out["score_nano"] > 0).all()
+
+
+class TestHostCrawlBudget:
+    def test_hamilton_invariants(self, ray_session):
+        """Σbudget == CRAWL_BUDGET exactly (no slot lost or invented), every
+        budget within 1 of the exact proportional share, monotone in mass."""
+        from service1_text_extraction_ray.pipelines.queries import (
+            CRAWL_BUDGET,
+            q_host_crawl_budget,
+        )
+
+        out = q_host_crawl_budget("/root/testdata/sf0.001")
+        assert int(out["budget"].sum()) == CRAWL_BUDGET
+        total = int(out["n_docs"].sum())
+        exact = CRAWL_BUDGET * out["n_docs"] / total
+        assert ((out["budget"] - exact).abs() < 1.0).all()  # quota rule
+        by_mass = out.sort_values(["n_docs", "host"])
+        assert by_mass["budget"].is_monotonic_increasing or (
+            # equal masses may swap by remainder tiebreak; allow +-1 jitter
+            (by_mass["budget"].diff().dropna() >= -1).all()
+        )
