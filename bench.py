@@ -165,7 +165,7 @@ QUERY_NAMES = [
     "doc_pack_sequences", "dedup_url_canonical", "doc_length_band",
     "host_anchor_terms",
     "user_state_intervals", "user_value_trailing_1h", "events_late_arrivals",
-    "embedding_gram", "embedding_quantize_int8", "doc_shingle_novelty", "search_bm25", "host_crawl_budget",
+    "embedding_gram", "embedding_quantize_int8", "doc_shingle_novelty", "search_bm25", "host_crawl_budget", "corpus_zipf_fit",
 ]
 
 

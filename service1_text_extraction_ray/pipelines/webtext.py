@@ -1815,3 +1815,106 @@ WHERE score_nano > 0
 ORDER BY score_nano DESC, doc_id ASC
 LIMIT {BM25_TOPK}
 """
+
+
+# ---------------------------------------------------------------------------
+# Zipf-law fit — the corpus-statistics capstone: OLS slope of ln(freq) on
+# ln(rank) over the full vocabulary (Zipf's law predicts ~ -1). Corpus
+# health checks use the fitted exponent to catch boilerplate floods and
+# template corpora (slope drifts toward 0) before training ever sees them.
+# ---------------------------------------------------------------------------
+
+ZIPF_UNIT = 10**9  # nano-quantization of the log coords: integer-exact sums
+
+
+def q_corpus_zipf_fit(sf_dir: str) -> pd.DataFrame:
+    """One-row corpus fit: vocabulary size, Zipf slope and intercept.
+
+    Determinism contract (what makes a FLOAT regression oracle-exact): rank
+    is the (tf DESC, token ASC) row number; each coordinate ln(rank), ln(tf)
+    is quantized to int64 nano-units immediately (one libm ln + one round
+    per value — reproducible), all five OLS moments are then EXACT integer
+    sums (Python ints / HUGEINT, order-free), and slope/intercept are a
+    fixed two-step float expression on those integers, nano-quantized for
+    the output hash.
+
+    Topology: per-block token partials -> ONE hash_exchange merges tf per
+    token (the q_token_postings index shape, no HAVING) -> the vocabulary
+    table (orders of magnitude below corpus size) is ranked and reduced on
+    the driver. At a 10^9-term vocabulary the rank becomes a distributed
+    sort on one int64 column and the moments a tree-reduce of five-int rows
+    — same contract, documented rather than built."""
+    import math
+
+    posting_schema = pa.schema(
+        [pa.field("token", pa.string()), pa.field("tf", pa.int64())]
+    )
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        tf = df["text"].fillna("").map(_tokens).explode().dropna().value_counts()
+        return pd.DataFrame({"token": tf.index.astype(str), "tf": tf.astype("int64")})
+
+    def shard_sum(t: pa.Table) -> pa.Table:
+        g = t.group_by("token").aggregate([("tf", "sum")])
+        return pa.Table.from_arrays([g["token"], g["tf_sum"]], schema=posting_schema)
+
+    vocab = hash_exchange(
+        _read(sf_dir, "documents", ["text"]).map_batches(
+            partials, batch_format="pandas"
+        ),
+        ["token"],
+        shard_sum,
+        posting_schema,
+    ).to_pandas()  # bounded by VOCABULARY size, never corpus size
+
+    vocab = vocab.sort_values(["tf", "token"], ascending=[False, True])
+    n = len(vocab)
+    sx = sy = sxx = sxy = 0  # Python ints: exact at any magnitude
+    for rank, tf in enumerate(vocab["tf"].tolist(), start=1):
+        xq = int(np.floor(math.log(float(rank)) * ZIPF_UNIT + 0.5))
+        yq = int(np.floor(math.log(float(tf)) * ZIPF_UNIT + 0.5))
+        sx += xq; sy += yq; sxx += xq * xq; sxy += xq * yq
+    slope = float(n * sxy - sx * sy) / float(n * sxx - sx * sx)
+    intercept = (float(sy) - slope * float(sx)) / n
+    return pd.DataFrame({
+        "n_vocab": pd.Series([n], dtype="int64"),
+        "zipf_slope_nano": pd.Series(
+            [int(np.floor(slope * ZIPF_UNIT + 0.5)) if slope >= 0
+             else int(np.ceil(slope * ZIPF_UNIT - 0.5))], dtype="int64"),
+        "zipf_intercept_nano": pd.Series(
+            [int(np.floor(intercept + 0.5)) if intercept >= 0
+             else int(np.ceil(intercept - 0.5))], dtype="int64"),
+    })
+
+
+SQL_CORPUS_ZIPF_FIT = f"""
+WITH tok AS (
+  SELECT unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS token
+  FROM documents
+),
+tf AS (SELECT token, count(*) AS tf FROM tok GROUP BY token),
+r AS (
+  SELECT tf, row_number() OVER (ORDER BY tf DESC, token ASC) AS rank FROM tf
+),
+q AS (
+  SELECT CAST(round(ln(CAST(rank AS DOUBLE)) * {ZIPF_UNIT}) AS BIGINT) AS xq,
+         CAST(round(ln(CAST(tf AS DOUBLE)) * {ZIPF_UNIT}) AS BIGINT) AS yq
+  FROM r
+),
+s AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n,
+         sum(CAST(xq AS HUGEINT)) AS sx, sum(CAST(yq AS HUGEINT)) AS sy,
+         sum(CAST(xq AS HUGEINT) * xq) AS sxx,
+         sum(CAST(xq AS HUGEINT) * yq) AS sxy
+  FROM q
+),
+f AS (
+  SELECT n, sx, sy,
+         CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) AS slope
+  FROM s
+)
+SELECT CAST(n AS BIGINT) AS n_vocab,
+       CAST(round(slope * {ZIPF_UNIT}) AS BIGINT) AS zipf_slope_nano,
+       CAST(round((CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)) AS BIGINT) AS zipf_intercept_nano
+FROM f
+"""

@@ -2427,3 +2427,43 @@ class TestHostCrawlBudget:
             # equal masses may swap by remainder tiebreak; allow +-1 jitter
             (by_mass["budget"].diff().dropna() >= -1).all()
         )
+
+
+class TestCorpusZipfFit:
+    def test_slope_on_constructed_powerlaw(self, ray_session, tmp_path):
+        """A corpus whose token frequencies follow freq = C/rank exactly
+        fits slope ~ -1; a flat (uniform-frequency) corpus fits slope ~ 0."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from service1_text_extraction_ray.pipelines.webtext import (
+            ZIPF_UNIT,
+            q_corpus_zipf_fit,
+        )
+
+        def write_docs(path, texts):
+            t = pa.table({
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * len(texts), pa.string()),
+                "source": pa.array(["t"] * len(texts), pa.string()),
+                "n_chars": pa.array([len(s) for s in texts], pa.int64()),
+            })
+            path.mkdir()
+            pq.write_table(t, path / "documents.parquet")
+
+        # power law: token t_r appears floor(120/r) times, r = 1..30
+        toks = []
+        for r in range(1, 31):
+            toks.extend([f"t{r:02d}"] * (120 // r))
+        powerlaw = tmp_path / "pl"
+        write_docs(powerlaw, [" ".join(toks)])
+        out = q_corpus_zipf_fit(str(powerlaw))
+        slope = out["zipf_slope_nano"][0] / ZIPF_UNIT
+        assert out["n_vocab"][0] == 30
+        assert -1.15 < slope < -0.85
+
+        flat = tmp_path / "flat"
+        write_docs(flat, [" ".join([f"u{r}" for r in range(50)] * 4)])
+        out2 = q_corpus_zipf_fit(str(flat))
+        assert abs(out2["zipf_slope_nano"][0] / ZIPF_UNIT) < 1e-6
