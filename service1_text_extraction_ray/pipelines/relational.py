@@ -5365,3 +5365,131 @@ SELECT event_type, count(*) AS n_events,
                 THEN 1 ELSE 0 END) AS BIGINT) AS n_late
 FROM w GROUP BY event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# Interval-overlap self-join (sweep-line) — concurrent activity per user
+# ---------------------------------------------------------------------------
+
+OVERLAP_DUR_MOD_MIN = 120  # activity window length = round(value) % 120 minutes
+
+
+def q_user_interval_overlaps(sf_dir: str) -> rd.Dataset:
+    """Interval-overlap SELF-JOIN via sweep-line index arithmetic — the
+    range-predicate join shape Ray Data lacks natively (generalizes the
+    band join of ``q_orders_followup_counts`` from points-in-window to
+    interval×interval overlap).
+
+    Each event opens an activity window ``[ts, ts + (round(value) % 120)
+    minutes]``.  Per user, report (a) the number of unordered pairs of that
+    user's windows that overlap (closed-interval semantics: touching
+    endpoints overlap) and (b) the peak concurrency — the maximum number of
+    windows simultaneously open at any window start.
+
+    Distributed shape: ONE ``hash_exchange`` on user_id co-locates each
+    user's events; inside a shard BOTH metrics come from index arithmetic
+    over sorted arrays — never a pair materialization:
+
+    - pairs: sort by (user, start); for a pair with start_a <= start_b the
+      intervals overlap iff start_b <= end_a, so each row's pair count is
+      ``searchsorted(starts, end_i, 'right') - pos_i - 1`` (valid because
+      end >= start always — durations are nonnegative).  Σ counts each
+      unordered pair exactly once.
+    - concurrency at start_i = #{j: start_j <= start_i} − #{j: end_j <
+      start_i}: one searchsorted against the sorted starts, one against the
+      independently sorted ends.  Sweeping only start points is lossless —
+      concurrency can only increase at a start.
+
+    Multiple users share a shard without per-user Python dispatch: users get
+    dense codes and times are offset into disjoint per-user ranges
+    (``code * span + (t - t_min)``), so ONE searchsorted per metric covers
+    the whole shard at exact microsecond resolution.  O(n log n) per shard,
+    O(1) extra memory per row; the SQL oracle is the O(n²/user) join replay.
+    Partitioning contract: one user's events fit one shard task.
+    """
+    out_schema = pa.schema(
+        [pa.field("user_id", pa.int64()),
+         pa.field("n_overlap_pairs", pa.int64()),
+         pa.field("peak_concurrency", pa.int64())]
+    )
+
+    def shard_sweep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        user = pc.cast(t["user_id"], pa.int64()).to_numpy(zero_copy_only=False)
+        s_us = (
+            pc.cast(t["ts"], pa.timestamp("us"))
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        v = t["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        # DuckDB round(): half away from zero (numpy .round is half-to-even)
+        dur_min = np.where(v >= 0, np.floor(v + 0.5), np.ceil(v - 0.5)).astype(
+            np.int64
+        ) % OVERLAP_DUR_MOD_MIN
+        e_us = s_us + dur_min * 60_000_000
+        # dense user codes + disjoint per-user time ranges -> one composite
+        # sort covers every user in the shard at microsecond resolution
+        codes, inv = np.unique(user, return_inverse=True)
+        t0 = s_us.min()
+        span = np.int64(e_us.max() - t0 + 1)
+        cs = inv.astype(np.int64) * span + (s_us - t0)
+        ce = inv.astype(np.int64) * span + (e_us - t0)
+        order = np.argsort(cs, kind="stable")
+        cs_sorted = cs[order]
+        ce_by_start = ce[order]
+        ce_sorted = np.sort(ce)
+        pos = np.arange(len(cs_sorted), dtype=np.int64)
+        pairs_i = np.searchsorted(cs_sorted, ce_by_start, side="right") - pos - 1
+        conc_i = (
+            np.searchsorted(cs_sorted, cs_sorted, side="right")
+            - np.searchsorted(ce_sorted, cs_sorted, side="left")
+        )
+        inv_sorted = inv[order]
+        n_users = len(codes)
+        pair_sum = np.zeros(n_users, dtype=np.int64)
+        np.add.at(pair_sum, inv_sorted, pairs_i)
+        peak = np.zeros(n_users, dtype=np.int64)
+        np.maximum.at(peak, inv_sorted, conc_i)
+        return pa.Table.from_arrays(
+            [pa.array(codes, pa.int64()), pa.array(pair_sum, pa.int64()),
+             pa.array(peak, pa.int64())],
+            schema=out_schema,
+        )
+
+    return hash_exchange(
+        _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"]),
+        ["user_id"],
+        shard_sweep,
+        out_schema,
+    )
+
+
+SQL_USER_INTERVAL_OVERLAPS = f"""
+WITH iv AS (
+  SELECT event_id, user_id, ts AS s,
+         ts + to_minutes(CAST(round(value) AS BIGINT) % {OVERLAP_DUR_MOD_MIN}) AS e
+  FROM events
+),
+pairs AS (
+  SELECT a.user_id, CAST(count(*) AS BIGINT) AS n
+  FROM iv a JOIN iv b
+    ON a.user_id = b.user_id AND a.event_id < b.event_id
+   AND a.s <= b.e AND b.s <= a.e
+  GROUP BY a.user_id
+),
+conc AS (
+  SELECT a.user_id, a.event_id, count(*) AS c
+  FROM iv a JOIN iv b
+    ON a.user_id = b.user_id AND b.s <= a.s AND a.s <= b.e
+  GROUP BY a.user_id, a.event_id
+)
+SELECT u.user_id,
+       COALESCE(p.n, 0) AS n_overlap_pairs,
+       CAST(max(c.c) AS BIGINT) AS peak_concurrency
+FROM (SELECT DISTINCT user_id FROM iv) u
+LEFT JOIN pairs p ON p.user_id = u.user_id
+JOIN conc c ON c.user_id = u.user_id
+GROUP BY u.user_id, p.n
+"""

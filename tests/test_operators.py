@@ -2467,3 +2467,44 @@ class TestCorpusZipfFit:
         write_docs(flat, [" ".join([f"u{r}" for r in range(50)] * 4)])
         out2 = q_corpus_zipf_fit(str(flat))
         assert abs(out2["zipf_slope_nano"][0] / ZIPF_UNIT) < 1e-6
+
+
+class TestIntervalOverlaps:
+    def test_sweep_matches_hand_case(self, ray_session, tmp_path):
+        """Closed-interval overlap (touching endpoints count), per-user
+        isolation, and peak concurrency at a three-deep stack."""
+        import pyarrow.parquet as pq
+
+        from service1_text_extraction_ray.pipelines.relational import (
+            q_user_interval_overlaps,
+        )
+
+        d = tmp_path / "sf"
+        d.mkdir()
+        # user 7: [00:00,00:10], [00:05,00:15], [00:10,00:30], [01:00,01:00]
+        #   pairs: (1,2) (1,3 touch at 00:10) (2,3) = 3; peak 3 at 00:10
+        #   (events 1,2,3 all open: starts<=00:10, ends>=00:10)
+        # user 9: [00:00,00:05], [00:06,00:10] -> 0 pairs, peak 1
+        events = pa.table({
+            "event_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+            "user_id": pa.array([7, 7, 7, 7, 9, 9], pa.int64()),
+            "ts": pa.array(
+                pd.to_datetime([
+                    "2024-01-01 00:00:00", "2024-01-01 00:05:00",
+                    "2024-01-01 00:10:00", "2024-01-01 01:00:00",
+                    "2024-01-01 00:00:00", "2024-01-01 00:06:00",
+                ]),
+                pa.timestamp("us"),
+            ),
+            "value": pa.array([10.0, 10.0, 20.0, 0.2, 5.0, 4.0], pa.float64()),
+        })
+        pq.write_table(events, str(d / "events.parquet"))
+        out = (
+            q_user_interval_overlaps(str(d))
+            .to_pandas()
+            .sort_values("user_id")
+            .reset_index(drop=True)
+        )
+        assert out["user_id"].tolist() == [7, 9]
+        assert out["n_overlap_pairs"].tolist() == [3, 0]
+        assert out["peak_concurrency"].tolist() == [3, 1]
