@@ -5373,3 +5373,112 @@ SELECT host, n_docs,
                         THEN 1 ELSE 0 END AS BIGINT) AS budget
 FROM r
 """
+
+
+# ---------------------------------------------------------------------------
+# Robots-exclusion gate — the crawl-politeness step between frontier scoring
+# and fetching: every followable outlink is checked against its TARGET
+# host's robots.txt (RFC 9309 longest-match semantics, functions/robots.py).
+# ---------------------------------------------------------------------------
+
+
+def q_frontier_allowed(sf_dir: str) -> rd.Dataset:
+    """Followable outlinks annotated with the robots-exclusion verdict of
+    their target host — the allow/deny gate every crawler runs before a
+    fetch (the missing step in the extract_outlinks -> frontier_scores ->
+    host_crawl_budget stack).
+
+    No network exists, so each host's robots.txt body is synthesized
+    deterministically (``make_robots_txt``: the governing rule set is a
+    pure function of the host string) and parsed by the REAL RFC 9309
+    parser — group selection past a decoy deny-all agent, wildcard ``*``
+    patterns, longest-match precedence with Allow winning ties. Per batch,
+    robots are fetched+parsed once per DISTINCT host (a dict cache; at web
+    scale this stage is an actor pool whose per-actor LRU holds the
+    host->rules map, exactly the A2 password-cache idiom). Pure map — no
+    shuffle; link extraction and URL decomposition reuse the outlink parser
+    and the vectorized URL parser. The SQL oracle replays the synthetic
+    rule table (k = (len(host)+ord(host[0])) % 5) over reconstructed links;
+    the parser's full semantics are unit-tested separately."""
+    from ..functions.links import extract_outlinks
+    from ..functions.robots import AGENT, is_allowed, make_robots_txt, parse_robots
+    from ..functions.synth import make_link_page
+    from ..functions.urls import parse_urls
+
+    out_schema = pa.schema([
+        ("doc_id", pa.int64()), ("href", pa.string()), ("allowed", pa.int64()),
+    ])
+
+    def f(t: pa.Table) -> pa.Table:
+        rules_cache: dict = {}
+        ids, hrefs = [], []
+        for d, src, lang in zip(
+            t["doc_id"].to_pylist(), t["source"].to_pylist(), t["lang"].to_pylist()
+        ):
+            html, base = make_link_page(int(d), src, lang or "en")
+            links, _, page_nofollow = extract_outlinks(html, base)
+            if page_nofollow:
+                continue
+            for ln in links:
+                if not ln.nofollow:
+                    ids.append(int(d))
+                    hrefs.append(ln.href)
+        if not ids:
+            return out_schema.empty_table()
+        parsed = parse_urls(pa.array(hrefs, pa.string()))
+        hosts = parsed["host"].to_pylist()
+        paths = parsed["path"].to_pylist()
+        allowed = []
+        for h, p in zip(hosts, paths):
+            rules = rules_cache.get(h)
+            if rules is None:
+                rules = parse_robots(make_robots_txt(h or ""), AGENT)
+                rules_cache[h] = rules
+            allowed.append(1 if is_allowed(rules, p or "/") else 0)
+        return pa.Table.from_arrays(
+            [pa.array(ids, pa.int64()), pa.array(hrefs, pa.string()),
+             pa.array(allowed, pa.int64())],
+            schema=out_schema,
+        )
+
+    return _read(sf_dir, "documents", ["doc_id", "source", "lang"]).map_batches(
+        f, batch_format="pyarrow"
+    )
+
+
+SQL_FRONTIER_ALLOWED = """
+WITH fbase AS (SELECT doc_id, source FROM documents WHERE doc_id % 7 <> 0),
+flinks AS (
+  SELECT doc_id,
+         'https://src' || ((doc_id * 7 + 1) % 20) || '.example.net/x/' || (doc_id % 9) AS href,
+         'src' || ((doc_id * 7 + 1) % 20) || '.example.net' AS host,
+         '/x/' || (doc_id % 9) AS path
+  FROM fbase
+  UNION ALL
+  SELECT doc_id, 'https://cdn.example.org/lib/' || (doc_id % 4),
+         'cdn.example.org', '/lib/' || (doc_id % 4) FROM fbase
+  UNION ALL
+  SELECT doc_id,
+         'https://' || (CASE WHEN doc_id % 6 = 3 THEN 'base' || (doc_id % 4) || '.example.org' ELSE source || '.example.com' END) || '/local/' || (doc_id % 5),
+         CASE WHEN doc_id % 6 = 3 THEN 'base' || (doc_id % 4) || '.example.org' ELSE source || '.example.com' END,
+         '/local/' || (doc_id % 5) FROM fbase
+  UNION ALL
+  SELECT doc_id,
+         'https://' || (CASE WHEN doc_id % 6 = 3 THEN 'base' || (doc_id % 4) || '.example.org' ELSE source || '.example.com' END)
+           || CASE WHEN doc_id % 6 = 3 THEN '/dir/up/' ELSE '/d/up/' END
+           || (doc_id % 3),
+         CASE WHEN doc_id % 6 = 3 THEN 'base' || (doc_id % 4) || '.example.org' ELSE source || '.example.com' END,
+         (CASE WHEN doc_id % 6 = 3 THEN '/dir/up/' ELSE '/d/up/' END) || (doc_id % 3) FROM fbase
+)
+SELECT doc_id, href,
+       CAST(CASE ((length(host) + ascii(substr(host, 1, 1))) % 5)
+            WHEN 0 THEN 1
+            WHEN 1 THEN CASE WHEN starts_with(path, '/x/') THEN 0 ELSE 1 END
+            WHEN 2 THEN CASE WHEN starts_with(path, '/local/')
+                              AND NOT starts_with(path, '/local/2')
+                        THEN 0 ELSE 1 END
+            WHEN 3 THEN CASE WHEN starts_with(path, '/d/') THEN 1 ELSE 0 END
+            ELSE CASE WHEN path LIKE '/%/up/%' THEN 0 ELSE 1 END
+       END AS BIGINT) AS allowed
+FROM flinks
+"""

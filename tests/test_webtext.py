@@ -797,3 +797,102 @@ class TestHostAnchorTerms:
         # token 'cdn' has count 3 and must rank first there
         cdn = out[out["host"] == "cdn.example.org"].iloc[0]
         assert (cdn["token"], cdn["n"], cdn["rank"]) == ("cdn", 3, 1)
+
+
+class TestRobots:
+    def test_group_selection_specific_beats_star(self):
+        from service1_text_extraction_ray.functions.robots import (
+            is_allowed, parse_robots,
+        )
+
+        txt = (
+            "User-agent: graftbot\nDisallow: /private/\n\n"
+            "User-agent: *\nDisallow: /\n"
+        )
+        rules = parse_robots(txt, "graftbot")
+        assert not is_allowed(rules, "/private/x")
+        assert is_allowed(rules, "/public")  # star's deny-all not inherited
+        other = parse_robots(txt, "otherbot")
+        assert not is_allowed(other, "/public")  # falls back to * group
+
+    def test_shared_agent_lines_and_group_break(self):
+        from service1_text_extraction_ray.functions.robots import parse_robots
+
+        txt = (
+            "User-agent: a\nUser-agent: graftbot\nDisallow: /x\n"
+            "User-agent: b\nDisallow: /y\n"
+        )
+        rules = parse_robots(txt, "graftbot")
+        assert [(al, p) for al, p, _ in rules] == [(False, "/x")]
+
+    def test_longest_match_and_allow_tie(self):
+        from service1_text_extraction_ray.functions.robots import (
+            is_allowed, parse_robots,
+        )
+
+        rules = parse_robots(
+            "User-agent: *\nDisallow: /a/\nAllow: /a/b/\nDisallow: /c\nAllow: /c\n"
+        )
+        assert not is_allowed(rules, "/a/x")
+        assert is_allowed(rules, "/a/b/x")  # longer Allow wins
+        assert is_allowed(rules, "/c/d")  # equal length -> Allow wins
+        assert is_allowed(rules, "/elsewhere")  # default allow
+
+    def test_wildcard_and_anchor(self):
+        from service1_text_extraction_ray.functions.robots import (
+            is_allowed, parse_robots,
+        )
+
+        rules = parse_robots("User-agent: *\nDisallow: /*.pdf$\nDisallow: /t*mp/\n")
+        assert not is_allowed(rules, "/docs/a.pdf")
+        assert is_allowed(rules, "/docs/a.pdf.html")  # $ anchors the end
+        assert not is_allowed(rules, "/tmp/x")
+        assert not is_allowed(rules, "/temp/x")
+        assert is_allowed(rules, "/top/x")
+
+    def test_empty_disallow_and_comments(self):
+        from service1_text_extraction_ray.functions.robots import (
+            is_allowed, parse_robots,
+        )
+
+        rules = parse_robots(
+            "User-agent: *  # our bot\nDisallow:  # empty = match nothing\n"
+        )
+        assert is_allowed(rules, "/anything")
+
+    def test_synthetic_rules_match_oracle_table(self):
+        """make_robots_txt -> parse -> is_allowed reproduces the k-table the
+        SQL oracle replays, for every k branch."""
+        from service1_text_extraction_ray.functions.robots import (
+            is_allowed, make_robots_txt, parse_robots,
+        )
+
+        def verdict(host, path):
+            return is_allowed(parse_robots(make_robots_txt(host)), path)
+
+        by_k = {}
+        for host in (
+            "cdn.example.org", "src0.example.net", "src10.example.net",
+            "base1.example.org", "web3.example.com", "a.example.com",
+            "bb.example.com", "xyz0.example.net",
+        ):
+            by_k.setdefault((len(host) + ord(host[0])) % 5, host)
+        assert len(by_k) >= 4
+        for k, host in by_k.items():
+            if k == 0:
+                assert verdict(host, "/x/1") and verdict(host, "/local/3")
+            elif k == 1:
+                assert not verdict(host, "/x/1")
+                assert verdict(host, "/local/3")
+            elif k == 2:
+                assert not verdict(host, "/local/3")
+                assert verdict(host, "/local/2")
+                assert verdict(host, "/x/1")
+            elif k == 3:
+                assert verdict(host, "/d/up/1")
+                assert not verdict(host, "/dir/up/1")
+                assert not verdict(host, "/local/2")
+            else:
+                assert not verdict(host, "/d/up/1")
+                assert not verdict(host, "/dir/up/1")
+                assert verdict(host, "/x/1")
