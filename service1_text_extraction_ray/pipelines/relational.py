@@ -5493,3 +5493,137 @@ LEFT JOIN pairs p ON p.user_id = u.user_id
 JOIN conc c ON c.user_id = u.user_id
 GROUP BY u.user_id, p.n
 """
+
+
+# ---------------------------------------------------------------------------
+# 3-way co-group (customer-360) — N tagged streams, ONE exchange
+# ---------------------------------------------------------------------------
+
+
+def q_customer_360(sf_dir: str) -> rd.Dataset:
+    """Multi-way CO-GROUP: three fact/dim streams (customer attributes,
+    per-customer order partials, per-user event partials) reconciled into
+    one per-key profile row with a SINGLE exchange — the N-ary
+    generalization of hash_join's tag+union topology (pairwise joins would
+    pay N−1 shuffles; a co-group pays one).
+
+    Each input pre-combines per block to integer partials (orders/events:
+    count + exact cents sum; customer: one attribute row per key), is
+    tagged with a ``side`` column and null-padded to the union schema, and
+    the three streams union into ONE hash_exchange on the key. Inside a
+    shard the sides split and outer-merge with C-level pandas joins. Keys
+    present on ANY side survive (full-outer semantics): customers who never
+    order or click keep zero counts, event users with no customer row keep
+    a null segment. Per-task memory = one shard's partials (≤ one row per
+    key per side after the in-shard combine)."""
+    out_schema = pa.schema([
+        pa.field("custkey", pa.int64()), pa.field("segment", pa.string()),
+        pa.field("n_orders", pa.int64()), pa.field("order_cents", pa.int64()),
+        pa.field("n_events", pa.int64()), pa.field("event_cents", pa.int64()),
+    ])
+    union_schema = pa.schema([
+        pa.field("custkey", pa.int64()), pa.field("side", pa.int64()),
+        pa.field("seg", pa.string()), pa.field("n", pa.int64()),
+        pa.field("cents", pa.int64()),
+    ])
+
+    def cust_prep(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.Table.from_arrays(
+            [pc.cast(t["c_custkey"], pa.int64()),
+             pa.array(np.zeros(n, dtype="int64")),
+             pc.cast(t["c_mktsegment"], pa.string()),
+             pa.array(np.zeros(n, dtype="int64")),
+             pa.array(np.zeros(n, dtype="int64"))],
+            schema=union_schema,
+        )
+
+    def fact_prep(key_col: str, val_col: str, side: int):
+        def f(t: pa.Table) -> pa.Table:
+            rows = pa.Table.from_arrays(
+                [pc.cast(t[key_col], pa.int64()), _cents(t[val_col])],
+                names=["custkey", "cents"],
+            )
+            g = rows.group_by("custkey").aggregate(
+                [("cents", "sum"), ([], "count_all")]
+            )
+            n = g.num_rows
+            return pa.Table.from_arrays(
+                [g["custkey"], pa.array(np.full(n, side, dtype="int64")),
+                 pa.array([None] * n, pa.string()),
+                 pc.cast(g["count_all"], pa.int64()),
+                 pc.cast(g["cents_sum"], pa.int64())],
+                schema=union_schema,
+            )
+
+        return f
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).map_batches(
+        cust_prep, batch_format="pyarrow"
+    )
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
+        fact_prep("o_custkey", "o_totalprice", 1), batch_format="pyarrow"
+    )
+    events = _read(sf_dir, "events", ["user_id", "value"]).map_batches(
+        fact_prep("user_id", "value", 2), batch_format="pyarrow"
+    )
+
+    def shard_cogroup(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        df = t.to_pandas()
+        keys = pd.DataFrame({"custkey": df["custkey"].unique()})
+        seg = df[df["side"] == 0][["custkey", "seg"]].drop_duplicates("custkey")
+        merged = keys.merge(seg, on="custkey", how="left")
+        for side, (ncol, ccol) in ((1, ("n_orders", "order_cents")),
+                                   (2, ("n_events", "event_cents"))):
+            part = (
+                df[df["side"] == side]
+                .groupby("custkey", sort=False)[["n", "cents"]]
+                .sum()
+                .reset_index()
+                .rename(columns={"n": ncol, "cents": ccol})
+            )
+            merged = merged.merge(part, on="custkey", how="left")
+            merged[ncol] = merged[ncol].fillna(0).astype("int64")
+            merged[ccol] = merged[ccol].fillna(0).astype("int64")
+        return pa.Table.from_arrays(
+            [pa.array(merged["custkey"].to_numpy(dtype="int64")),
+             pa.array(merged["seg"].where(merged["seg"].notna(), None), pa.string()),
+             pa.array(merged["n_orders"].to_numpy(dtype="int64")),
+             pa.array(merged["order_cents"].to_numpy(dtype="int64")),
+             pa.array(merged["n_events"].to_numpy(dtype="int64")),
+             pa.array(merged["event_cents"].to_numpy(dtype="int64"))],
+            schema=out_schema,
+        )
+
+    return hash_exchange(
+        cust.union(orders).union(events), ["custkey"], shard_cogroup, out_schema
+    )
+
+
+SQL_CUSTOMER_360 = """
+WITH o AS (
+  SELECT o_custkey AS k, count(*) AS n_orders,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS order_cents
+  FROM orders GROUP BY 1
+),
+e AS (
+  SELECT user_id AS k, count(*) AS n_events,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS event_cents
+  FROM events GROUP BY 1
+),
+keys AS (
+  SELECT c_custkey AS k FROM customer
+  UNION SELECT k FROM o UNION SELECT k FROM e
+)
+SELECT keys.k AS custkey, c.c_mktsegment AS segment,
+       coalesce(o.n_orders, 0) AS n_orders,
+       coalesce(o.order_cents, 0) AS order_cents,
+       coalesce(e.n_events, 0) AS n_events,
+       coalesce(e.event_cents, 0) AS event_cents
+FROM keys
+LEFT JOIN customer c ON c.c_custkey = keys.k
+LEFT JOIN o ON o.k = keys.k
+LEFT JOIN e ON e.k = keys.k
+"""

@@ -2508,3 +2508,42 @@ class TestIntervalOverlaps:
         assert out["user_id"].tolist() == [7, 9]
         assert out["n_overlap_pairs"].tolist() == [3, 0]
         assert out["peak_concurrency"].tolist() == [3, 1]
+
+
+class TestCustomer360:
+    def test_three_way_cogroup_full_outer(self, ray_session, tmp_path):
+        """Keys on ANY side survive: customer with no activity keeps zero
+        counts; event user with no customer row keeps a null segment."""
+        import pyarrow.parquet as pq
+
+        from service1_text_extraction_ray.pipelines.relational import (
+            q_customer_360,
+        )
+
+        d = tmp_path / "sf"
+        d.mkdir()
+        pq.write_table(pa.table({
+            "c_custkey": pa.array([1, 2], pa.int64()),
+            "c_mktsegment": pa.array(["AUTO", "HOUSE"], pa.string()),
+        }), str(d / "customer.parquet"))
+        pq.write_table(pa.table({
+            "o_custkey": pa.array([1, 1], pa.int64()),
+            "o_totalprice": pa.array([10.0, 2.5], pa.float64()),
+        }), str(d / "orders.parquet"))
+        pq.write_table(pa.table({
+            "user_id": pa.array([1, 99], pa.int64()),
+            "value": pa.array([1.0, 3.0], pa.float64()),
+        }), str(d / "events.parquet"))
+        out = (
+            q_customer_360(str(d))
+            .to_pandas()
+            .sort_values("custkey")
+            .reset_index(drop=True)
+        )
+        assert out["custkey"].tolist() == [1, 2, 99]
+        assert out["segment"].tolist()[:2] == ["AUTO", "HOUSE"]
+        assert out["segment"].isna().tolist() == [False, False, True]
+        assert out["n_orders"].tolist() == [2, 0, 0]
+        assert out["order_cents"].tolist() == [1250, 0, 0]
+        assert out["n_events"].tolist() == [1, 0, 1]
+        assert out["event_cents"].tolist() == [100, 0, 300]
