@@ -5482,3 +5482,86 @@ SELECT doc_id, href,
        END AS BIGINT) AS allowed
 FROM flinks
 """
+
+
+def q_host_sitemap_urls(sf_dir: str) -> rd.Dataset:
+    """Sitemap-tree discovery — the frontier-seeding step after the robots
+    gate: for every corpus host, fetch ``/sitemap.xml`` (a sitemapindex),
+    follow its child urlsets, and emit one row per discovered URL with its
+    lastmod and priority (ppm). Bodies are deterministic synthetics (no
+    network) parsed by the REAL tolerant scanner (functions/sitemaps.py:
+    namespaces, CDATA, entity escapes, omitted fields -> spec defaults).
+
+    Topology: the host list is a per-block distinct partial over
+    documents.source followed by a tiny groupby (20 hosts here; millions at
+    web scale — still a rounding error next to the page corpus), then the
+    index->children->entries explosion runs as a flat ``map_batches`` over
+    the host rows, one task per host block. The SQL oracle replays the
+    synthetic tree (entity/CDATA/default branches included) from the same
+    distinct-source set."""
+    from ..functions.sitemaps import (
+        N_CHILD_SITEMAPS, make_sitemap, make_sitemap_index, parse_sitemap,
+    )
+
+    out_schema = pa.schema([
+        ("host", pa.string()), ("url", pa.string()),
+        ("lastmod", pa.string()), ("priority_ppm", pa.int64()),
+    ])
+
+    def distinct_partial(t: pa.Table) -> pa.Table:
+        hosts = pc.unique(t["source"])
+        return pa.Table.from_arrays(
+            [pc.binary_join_element_wise(
+                pc.cast(hosts, pa.string()), ".example.com", "")],
+            names=["host"],
+        )
+
+    def crawl_tree(t: pa.Table) -> pa.Table:
+        hosts_out, urls, mods, prios = [], [], [], []
+        for host in t["host"].to_pylist():
+            kind, children = parse_sitemap(make_sitemap_index(host))
+            assert kind == "index" and len(children) == N_CHILD_SITEMAPS
+            for k, (child_loc, _, _) in enumerate(children):
+                assert child_loc == f"https://{host}/sitemap-{k}.xml"
+                ckind, entries = parse_sitemap(make_sitemap(host, k))
+                assert ckind == "urlset"
+                for loc, lastmod, prio in entries:
+                    hosts_out.append(host)
+                    urls.append(loc)
+                    mods.append(lastmod)
+                    prios.append(prio)
+        return pa.Table.from_arrays(
+            [pa.array(hosts_out, pa.string()), pa.array(urls, pa.string()),
+             pa.array(mods, pa.string()), pa.array(prios, pa.int64())],
+            schema=out_schema,
+        )
+
+    return (
+        _read(sf_dir, "documents", ["source"])
+        .map_batches(distinct_partial, batch_format="pyarrow")
+        .groupby("host")
+        .map_groups(
+            lambda t: pa.Table.from_arrays([t["host"][:1]], names=["host"]),
+            batch_format="pyarrow",
+        )
+        .map_batches(crawl_tree, batch_format="pyarrow")
+    )
+
+
+SQL_HOST_SITEMAP_URLS = """
+WITH hosts AS (SELECT DISTINCT source || '.example.com' AS host FROM documents),
+g AS (
+  SELECT host, t1.k, t2.i
+  FROM hosts
+  CROSS JOIN generate_series(0, 1) t1(k)
+  CROSS JOIN generate_series(0, 5) t2(i)
+  WHERE t2.i < 4 + (length(host) + t1.k) % 3
+)
+SELECT host,
+       'https://' || host || '/p/' || k || '/' || i
+         || CASE WHEN i % 4 = 0 THEN '?x=1&ref=home' ELSE '' END AS url,
+       '2024-01-' || printf('%02d', 1 + (i * 7 + length(host) + k) % 28) AS lastmod,
+       CAST(CASE WHEN i % 5 = 1 THEN 500000
+                 ELSE ((i + k) % 9 + 1) * 100000 END AS BIGINT) AS priority_ppm
+FROM g
+"""

@@ -896,3 +896,54 @@ class TestRobots:
                 assert not verdict(host, "/d/up/1")
                 assert not verdict(host, "/dir/up/1")
                 assert verdict(host, "/x/1")
+
+
+class TestSitemaps:
+    def test_parse_urlset_full_semantics(self):
+        from service1_text_extraction_ray.functions.sitemaps import parse_sitemap
+
+        xml = """<?xml version="1.0"?>
+        <sm:urlset xmlns:sm="http://www.sitemaps.org/schemas/sitemap/0.9">
+          <sm:url><sm:loc> https://h/a?x=1&amp;y=2 </sm:loc>
+            <sm:lastmod>2023-05-01</sm:lastmod><sm:priority>0.8</sm:priority></sm:url>
+          <sm:url><sm:loc><![CDATA[https://h/b]]></sm:loc></sm:url>
+          <sm:url><lastmod>2023-01-01</lastmod></sm:url>
+          <sm:url><sm:loc>https://h/&#99;</sm:loc><sm:priority>bogus</sm:priority></sm:url>
+        </sm:urlset>"""
+        kind, entries = parse_sitemap(xml)
+        assert kind == "urlset"
+        # entry without <loc> dropped; whitespace stripped; entities decoded
+        assert entries == [
+            ("https://h/a?x=1&y=2", "2023-05-01", 800000),
+            ("https://h/b", None, 500000),
+            ("https://h/c", None, 500000),
+        ]
+
+    def test_parse_index(self):
+        from service1_text_extraction_ray.functions.sitemaps import parse_sitemap
+
+        kind, entries = parse_sitemap(
+            "<sitemapindex><sitemap><loc>https://h/s1.xml</loc></sitemap>"
+            "<sitemap><loc>https://h/s2.xml</loc></sitemap></sitemapindex>"
+        )
+        assert kind == "index"
+        assert [e[0] for e in entries] == ["https://h/s1.xml", "https://h/s2.xml"]
+
+    def test_synthetic_tree_round_trip(self):
+        from service1_text_extraction_ray.functions.sitemaps import (
+            make_sitemap, make_sitemap_index, n_urls_in_child, parse_sitemap,
+        )
+
+        host = "src3.example.com"
+        kind, children = parse_sitemap(make_sitemap_index(host))
+        assert kind == "index" and len(children) == 2
+        for k in range(2):
+            ckind, entries = parse_sitemap(make_sitemap(host, k))
+            assert ckind == "urlset"
+            assert len(entries) == n_urls_in_child(host, k)
+            # i=0 entry carries the entity-escaped query, decoded
+            assert entries[0][0] == f"https://{host}/p/{k}/0?x=1&ref=home"
+            # i=1 omits priority -> spec default 0.5
+            assert entries[1][2] == 500000
+            # i=2 is CDATA-wrapped, still a clean loc
+            assert entries[2][0] == f"https://{host}/p/{k}/2"
