@@ -5627,3 +5627,97 @@ LEFT JOIN customer c ON c.c_custkey = keys.k
 LEFT JOIN o ON o.k = keys.k
 LEFT JOIN e ON e.k = keys.k
 """
+
+
+# ---------------------------------------------------------------------------
+# Streaming debounce / throttle — greedy windowed dedup per key
+# ---------------------------------------------------------------------------
+
+DEBOUNCE_MIN = 5  # suppression window after each KEPT event
+
+
+def q_events_dedup_window(sf_dir: str) -> rd.Dataset:
+    """Windowed event dedup (debounce): per (user, event_type) stream in
+    (ts, event_id) order, keep an event iff it is more than DEBOUNCE_MIN
+    minutes after the last KEPT event — the alerting/metrics throttle every
+    streaming stack runs. Output per key: total events and kept events.
+
+    This is the engine's genuinely NON-ASSOCIATIVE scan: whether an event
+    survives depends on the previous *kept* event, not the previous event,
+    so no prefix-sum / searchsorted trick applies (contrast
+    events_sessionize, where gaps depend only on adjacent rows). The
+    distributed shape is still one hash_exchange on user_id; inside a shard
+    each (user, type) chain is a short sequential walk over its sorted
+    timestamp array (numpy int64; chains here are ~10 events — the walk is
+    O(chain) and chains are independent, so at 100 TB the cost stays one
+    linear pass per key, parallel across shards; there is no asymptotically
+    better exact algorithm for a greedy chain). The oracle replays the
+    chain with a recursive CTE stepping kept-event to kept-event."""
+    out_schema = pa.schema([
+        pa.field("user_id", pa.int64()), pa.field("event_type", pa.string()),
+        pa.field("n_events", pa.int64()), pa.field("n_kept", pa.int64()),
+    ])
+    win_us = DEBOUNCE_MIN * 60 * 1_000_000
+
+    def shard_debounce(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        df = t.to_pandas().sort_values(
+            ["user_id", "event_type", "ts", "event_id"], kind="mergesort"
+        )
+        ts = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        gb = df.groupby(["user_id", "event_type"], sort=False)
+        users, types, totals, kepts = [], [], [], []
+        for (u, et), idx in gb.indices.items():
+            a = ts[idx]  # sorted within the group by construction
+            kept = 1
+            last = a[0]
+            for x in a[1:]:
+                if x > last + win_us:
+                    kept += 1
+                    last = x
+            users.append(u)
+            types.append(et)
+            totals.append(len(a))
+            kepts.append(kept)
+        return pa.Table.from_arrays(
+            [pa.array(users, pa.int64()), pa.array(types, pa.string()),
+             pa.array(totals, pa.int64()), pa.array(kepts, pa.int64())],
+            schema=out_schema,
+        )
+
+    return hash_exchange(
+        _read(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"]),
+        ["user_id"],
+        shard_debounce,
+        out_schema,
+    )
+
+
+SQL_EVENTS_DEDUP_WINDOW = f"""
+WITH RECURSIVE s AS (
+  SELECT user_id, event_type, ts,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+),
+k AS (
+  SELECT user_id, event_type, ts, rn FROM s WHERE rn = 1
+  UNION ALL
+  SELECT s2.user_id, s2.event_type, s2.ts, s2.rn
+  FROM (
+    SELECT k.user_id, k.event_type, min(s.rn) AS nrn
+    FROM k JOIN s ON s.user_id = k.user_id AND s.event_type = k.event_type
+         AND s.ts > k.ts + INTERVAL {DEBOUNCE_MIN} MINUTE
+    GROUP BY k.user_id, k.event_type
+  ) nx
+  JOIN s s2 ON s2.user_id = nx.user_id AND s2.event_type = nx.event_type
+           AND s2.rn = nx.nrn
+)
+SELECT s.user_id, s.event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(k.rn) AS BIGINT) AS n_kept
+FROM s LEFT JOIN k ON k.user_id = s.user_id AND k.event_type = s.event_type
+                  AND k.rn = s.rn
+GROUP BY s.user_id, s.event_type
+"""

@@ -2547,3 +2547,40 @@ class TestCustomer360:
         assert out["order_cents"].tolist() == [1250, 0, 0]
         assert out["n_events"].tolist() == [1, 0, 1]
         assert out["event_cents"].tolist() == [100, 0, 300]
+
+
+class TestDebounce:
+    def test_greedy_chain_not_pairwise(self, ray_session, tmp_path):
+        """Debounce is measured from the last KEPT event: 0,4,8,12 min with a
+        5-min window keeps 0 and 8 (4 is within 0+5, 8 is past it, 12 is
+        within 8+5) — a pairwise-gap rule would wrongly drop everything
+        after 0 or keep pairs."""
+        import pyarrow.parquet as pq
+
+        from service1_text_extraction_ray.pipelines.relational import (
+            q_events_dedup_window,
+        )
+
+        d = tmp_path / "sf"
+        d.mkdir()
+        pq.write_table(pa.table({
+            "event_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "user_id": pa.array([7, 7, 7, 7, 8], pa.int64()),
+            "event_type": pa.array(["a", "a", "a", "a", "a"], pa.string()),
+            "ts": pa.array(
+                pd.to_datetime([
+                    "2024-01-01 00:00:00", "2024-01-01 00:04:00",
+                    "2024-01-01 00:08:00", "2024-01-01 00:12:00",
+                    "2024-01-01 00:00:00",
+                ]),
+                pa.timestamp("us"),
+            ),
+        }), str(d / "events.parquet"))
+        out = (
+            q_events_dedup_window(str(d))
+            .to_pandas()
+            .sort_values("user_id")
+            .reset_index(drop=True)
+        )
+        assert out["n_events"].tolist() == [4, 1]
+        assert out["n_kept"].tolist() == [2, 1]
