@@ -313,3 +313,86 @@ def read_pages_warc(input_path: str) -> rd.Dataset:
     return rd.read_binary_files(input_path).map_batches(
         parse, batch_format="pyarrow"
     )
+
+
+# ---------------------------------------------------------------------------
+# CSV source/sink — completes the container matrix
+# (parquet / JSONL / WARC / hive-partitioned / CSV)
+# ---------------------------------------------------------------------------
+
+
+def write_pages_csv(pages: rd.Dataset, out_dir: str) -> None:
+    """CSV pages sink: ``html`` base64-encoded (CSV is text-only; base64
+    also sidesteps every quoting/newline hazard raw bytes would pose),
+    ``warc_ts`` ISO-8601. One file per block via Ray's csv datasink. CSV is
+    the interop floor — no schema, no column pruning, no stats — so parquet
+    remains the production container; this exists because crawl tooling
+    still exchanges CSV manifests."""
+    import base64
+
+    def encode(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [
+                t["url"],
+                pa.array(
+                    [x.isoformat(timespec="microseconds") if x is not None else None
+                     for x in t["warc_ts"].to_pylist()],
+                    pa.string(),
+                ),
+                pa.array(
+                    [base64.b64encode(x).decode("ascii") if x is not None else None
+                     for x in t["html"].to_pylist()],
+                    pa.string(),
+                ),
+                t["text"],
+                t["lang"],
+            ],
+            names=["url", "warc_ts", "html", "text", "lang"],
+        )
+
+    pages.map_batches(encode, batch_format="pyarrow").write_csv(out_dir)
+
+
+def read_pages_csv(input_path: str) -> rd.Dataset:
+    """Inverse of write_pages_csv, normalized to the exact PAGES_SCHEMA the
+    extraction job consumes (extraction parity vs the parquet source is
+    pytest-asserted). ``text`` and ``lang`` are forced to string at the
+    reader (a CSV reader will happily infer int64 for an all-numeric text
+    column); ``warc_ts`` parses from ISO-8601."""
+    import base64
+
+    import pyarrow.compute as pc
+    from pyarrow import csv as pacsv
+
+    convert = pacsv.ConvertOptions(
+        column_types={"url": pa.string(), "warc_ts": pa.string(),
+                      "html": pa.string(), "text": pa.string(),
+                      "lang": pa.string()}
+    )
+    # extracted text carries real newlines; quoted multi-line fields need
+    # explicit opt-in in Arrow's CSV parser, and a value may not straddle
+    # two parse blocks — size blocks to hold the largest row
+    parse = pacsv.ParseOptions(newlines_in_values=True)
+    read = pacsv.ReadOptions(block_size=64 << 20)
+
+    def normalize(t: pa.Table) -> pa.Table:
+        html = pa.array(
+            [base64.b64decode(x) if x is not None else None
+             for x in t["html"].to_pylist()],
+            pa.binary(),
+        )
+        return pa.Table.from_arrays(
+            [
+                pc.cast(t["url"], pa.string()),
+                pc.cast(t["warc_ts"], pa.timestamp("us")),
+                html,
+                pc.cast(t["text"], pa.string()),
+                pc.cast(t["lang"], pa.string()),
+            ],
+            schema=PAGES_SCHEMA,
+        )
+
+    return rd.read_csv(
+        input_path, convert_options=convert, parse_options=parse,
+        read_options=read,
+    ).map_batches(normalize, batch_format="pyarrow")

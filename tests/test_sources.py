@@ -93,3 +93,39 @@ class TestWarcPagesSource:
         first = sorted(os.listdir(wd))
         write_pages_warc(rd.from_arrow(pages), str(wd))
         assert sorted(os.listdir(wd)) == first
+
+
+class TestCsvPagesSource:
+    def test_roundtrip_and_extraction_parity(self, ray_session, tmp_path):
+        from service1_text_extraction_ray.functions.synth import gen_pages_table
+        from service1_text_extraction_ray.pipelines.extract_pipeline import (
+            extract_dataset,
+        )
+        from service1_text_extraction_ray.sources.pages_source import (
+            read_pages_csv,
+            write_pages_csv,
+        )
+        import ray.data as rd
+
+        pages = gen_pages_table(60, seed=42)
+        cd = tmp_path / "pages_csv"
+        write_pages_csv(rd.from_arrow(pages), str(cd))
+        back = read_pages_csv(str(cd))
+
+        got = back.take_all()
+        exp = {r["url"]: r for r in pages.to_pylist()}
+        assert len(got) == 60
+        for r in got:
+            e = exp[r["url"]]
+            assert r["html"] == e["html"]          # binary survives base64
+            assert r["warc_ts"] == e["warc_ts"]    # timestamp survives ISO-8601
+            assert (r["text"], r["lang"]) == (e["text"], e["lang"])
+
+        def doc_map(ds):
+            out = extract_dataset(ds).select_columns(
+                ["url", "content_hash", "status", "n_pages"]
+            )
+            return {r["url"]: (r["content_hash"], r["status"], r["n_pages"])
+                    for r in out.take_all()}
+
+        assert doc_map(read_pages_csv(str(cd))) == doc_map(rd.from_arrow(pages))
