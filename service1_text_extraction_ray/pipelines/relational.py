@@ -228,6 +228,7 @@ def hash_join(
     combine_left_sum: bool = False,
     combine_right_sum: bool = False,
     how: str = "inner",
+    salt: int = 1,
 ) -> rd.Dataset:
     """General co-partitioned shuffle hash join (many-to-many).
 
@@ -276,6 +277,22 @@ def hash_join(
     orders pre-aggregate groupby cost 10.2 s of the query's 12.4 s; fusing
     removes it (one exchange of partial rows instead of a full sort shuffle
     plus the join exchange).
+
+    ``salt > 1`` is the HOT-KEY regime (the documented pathological case:
+    one key owning a disproportionate share of the left side would land
+    whole in one shard task): every left row additionally spreads across
+    ``salt`` sub-shards (shard = hash(key)*salt + spread), and every right
+    row REPLICATES into all ``salt`` sub-shards of its key, so each left
+    row still meets its key's full right match-set exactly once. Exact for
+    inner/left/semi/anti (each LEFT row lives in exactly one sub-shard;
+    right rows never emit alone in those flavors); ``full`` outer is
+    rejected (an unmatched right row would surface once per replica). With
+    ``combine_left_sum`` the per-key combine becomes per-(key, sub-shard) —
+    up to ``salt`` partial rows per key leave the join, so callers that
+    re-aggregate downstream (the partial-sum pattern) get exactness for
+    free, and the per-task memory bound shrinks by ~salt for the hot key.
+    Cost: right-side bytes × salt — size salt to the observed skew (the
+    events_user_skew Gini profile is the measuring instrument).
     """
     union_schema = pa.schema(
         [pa.field(left_on, key_type)]
@@ -285,6 +302,13 @@ def hash_join(
     )
     if how not in ("inner", "left", "full", "semi", "anti"):
         raise ValueError(f"unsupported join flavor: {how!r}")
+    if salt < 1:
+        raise ValueError("salt must be >= 1")
+    if salt > 1 and how == "full":
+        raise ValueError(
+            "salt > 1 cannot preserve full-outer semantics: an unmatched "
+            "right row would surface once per replica"
+        )
     out_fields = list(left_fields) + (
         list(right_fields) if how in ("inner", "left", "full") else []
     )
@@ -294,10 +318,10 @@ def hash_join(
         "semi": "left semi", "anti": "left anti",
     }[how]
 
-    def _shard_of(keys: pa.ChunkedArray) -> pa.Array:
+    def _base_shard(keys: pa.ChunkedArray) -> np.ndarray:
         if pa.types.is_integer(key_type):
             v = pc.cast(keys, pa.int64()).to_numpy(zero_copy_only=False)
-            return pa.array(np.abs(v) % JOIN_SHARDS, pa.int64())
+            return (np.abs(v) % JOIN_SHARDS).astype(np.int64)
         # String keys: vectorized C-level hash (shard choice only affects
         # partitioning, never output values, so any stable hash works).
         h = pd.util.hash_array(
@@ -306,7 +330,7 @@ def hash_join(
             ),
             categorize=False,
         )
-        return pa.array((h % JOIN_SHARDS).astype(np.int64), pa.int64())
+        return (h % JOIN_SHARDS).astype(np.int64)
 
     def _tag(side: int, key_col: str):
         def tag(t: pa.Table) -> pa.Table:
@@ -321,8 +345,24 @@ def hash_join(
                     pc.cast(t[f.name], f.type) if side == 1 else pa.nulls(t.num_rows, f.type)
                 )
             arrays.append(pa.array(np.full(t.num_rows, side, dtype=np.int8)))
-            arrays.append(_shard_of(keys))
-            return pa.Table.from_arrays(arrays, schema=union_schema)
+            base = _base_shard(keys)
+            if salt == 1:
+                arrays.append(pa.array(base, pa.int64()))
+                return pa.Table.from_arrays(arrays, schema=union_schema)
+            if side == 0:
+                # spread each left row over one of the key's salt sub-shards
+                # (any stable spread works: partitioning never changes values)
+                spread = np.arange(t.num_rows, dtype=np.int64) % salt
+                arrays.append(pa.array(base * salt + spread, pa.int64()))
+                return pa.Table.from_arrays(arrays, schema=union_schema)
+            # right side: replicate each row into ALL salt sub-shards of its
+            # key, so every left sub-shard sees the key's full match-set
+            idx = np.repeat(np.arange(t.num_rows, dtype=np.int64), salt)
+            take = pa.array(idx)
+            rep = [a.take(take) for a in arrays]
+            spread = np.tile(np.arange(salt, dtype=np.int64), t.num_rows)
+            rep.append(pa.array(base[idx] * salt + spread, pa.int64()))
+            return pa.Table.from_arrays(rep, schema=union_schema)
 
         return tag
 

@@ -2584,3 +2584,83 @@ class TestDebounce:
         )
         assert out["n_events"].tolist() == [4, 1]
         assert out["n_kept"].tolist() == [2, 1]
+
+
+class TestSaltedHashJoin:
+    def _sides(self, skew_rows=400):
+        """Left: heavily skewed fact (70% of rows on key 1). Right: dim."""
+        left = pa.table({
+            "k": pa.array(
+                [1] * int(skew_rows * 0.7)
+                + [i % 50 + 2 for i in range(skew_rows - int(skew_rows * 0.7))],
+                pa.int64(),
+            ),
+            "v": pa.array(list(range(skew_rows)), pa.int64()),
+        })
+        right = pa.table({
+            "k": pa.array(list(range(1, 40)), pa.int64()),
+            "name": pa.array([f"n{i}" for i in range(1, 40)], pa.string()),
+        })
+        return left, right
+
+    def _run(self, how, salt, ray_session):
+        import ray.data as rd
+
+        from service1_text_extraction_ray.pipelines.relational import hash_join
+
+        left, right = self._sides()
+        out = hash_join(
+            rd.from_arrow(left),
+            rd.from_arrow(right),
+            left_on="k",
+            right_on="k",
+            key_type=pa.int64(),
+            left_fields=[pa.field("v", pa.int64())],
+            right_fields=[pa.field("name", pa.string())],
+            how=how,
+            salt=salt,
+        ).to_pandas()
+        cols = list(out.columns)
+        return out.sort_values(cols).reset_index(drop=True)
+
+    @pytest.mark.parametrize("how", ["inner", "left", "semi", "anti"])
+    def test_salted_equals_unsalted(self, ray_session, how):
+        a = self._run(how, 1, ray_session)
+        b = self._run(how, 4, ray_session)
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_full_outer_rejects_salt(self, ray_session):
+        import ray.data as rd
+
+        from service1_text_extraction_ray.pipelines.relational import hash_join
+
+        left, right = self._sides(10)
+        with pytest.raises(ValueError, match="full-outer"):
+            hash_join(
+                rd.from_arrow(left), rd.from_arrow(right),
+                left_on="k", right_on="k", key_type=pa.int64(),
+                left_fields=[pa.field("v", pa.int64())],
+                right_fields=[pa.field("name", pa.string())],
+                how="full", salt=4,
+            )
+
+    def test_salted_combine_partials_reaggregate_exact(self, ray_session):
+        """With combine_left_sum + salt, up to `salt` partial rows per key
+        leave the join; re-aggregating them reproduces the unsalted sums."""
+        import ray.data as rd
+
+        from service1_text_extraction_ray.pipelines.relational import hash_join
+
+        left, right = self._sides()
+
+        def go(salt):
+            out = hash_join(
+                rd.from_arrow(left), rd.from_arrow(right),
+                left_on="k", right_on="k", key_type=pa.int64(),
+                left_fields=[pa.field("v", pa.int64())],
+                right_fields=[pa.field("name", pa.string())],
+                how="inner", salt=salt, combine_left_sum=True,
+            ).to_pandas()
+            return out.groupby("k")["v"].sum().sort_index()
+
+        pd.testing.assert_series_equal(go(1), go(4))
