@@ -396,3 +396,44 @@ def read_pages_csv(input_path: str) -> rd.Dataset:
         input_path, convert_options=convert, parse_options=parse,
         read_options=read,
     ).map_batches(normalize, batch_format="pyarrow")
+
+
+def read_pages_evolved(input_path: str) -> rd.Dataset:
+    """Schema-evolution-tolerant pages source: reads a directory whose
+    parquet shards were written across SCHEMA VERSIONS — older shards may
+    lack newer optional columns (``lang``, ``text``), newer shards may
+    carry extra columns — and normalizes every block to PAGES_SCHEMA.
+
+    A decade-long crawl layout never has one uniform schema; rewriting
+    100 TB to add a column is exactly the migration this read avoids.
+    Mechanics: passing an explicit unified ``schema`` to the parquet
+    scanner makes missing columns surface as typed nulls and drops unknown
+    extras at the READER (column pruning still applies — this is schema
+    unification, not a rescan); the normalize pass then fills the
+    documented defaults (``lang`` null -> "und" — unknown, BCP-47; ``text``
+    null -> ""). Required columns (url, warc_ts, html) raise per-file if
+    absent entirely: a shard without payloads is corruption, not
+    evolution."""
+    import pyarrow.compute as pc
+
+    def normalize(t: pa.Table) -> pa.Table:
+        for col in ("url", "warc_ts", "html"):
+            if pc.sum(pc.cast(pc.is_null(t[col]), pa.int64())).as_py() == t.num_rows and t.num_rows:
+                raise ValueError(
+                    f"required column {col!r} is entirely null in a shard — "
+                    "corrupt input, not schema evolution"
+                )
+        return pa.Table.from_arrays(
+            [
+                t["url"],
+                t["warc_ts"],
+                t["html"],
+                pc.coalesce(t["text"], pa.scalar("", pa.string())),
+                pc.coalesce(t["lang"], pa.scalar("und", pa.string())),
+            ],
+            schema=PAGES_SCHEMA,
+        )
+
+    return rd.read_parquet(input_path, schema=PAGES_SCHEMA).map_batches(
+        normalize, batch_format="pyarrow"
+    )

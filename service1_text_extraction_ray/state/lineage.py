@@ -326,3 +326,66 @@ def summarize(records: List[Dict[str, Any]]) -> Dict[str, Any]:
         acc ^= int(r["content_hash"], 16)
     out["content_hash"] = f"{acc:016x}"
     return out
+
+
+def compact_shard(out_dir: str, shard_id: int, target_rows: int = 100_000) -> Dict[str, Any]:
+    """Small-file compaction for one committed shard — the storage-
+    maintenance pass every long-lived 100-TB layout needs (many appends ->
+    many tiny parts -> footer-read amplification on every consumer).
+
+    Merges the shard's manifest-listed parts into ``ceil(n_docs /
+    target_rows)`` right-sized parts. Crash-safe by the same commit
+    discipline as extraction: new content-addressed parts are written
+    FIRST, then the manifest atomically re-points to them, and only then
+    are the old parts unlinked — a crash at any step leaves either the old
+    or the new manifest, each referencing only parts that exist (orphans
+    are never read). Counters and the order-insensitive content_hash are
+    preserved exactly (asserted here, not assumed); already-compact shards
+    are a no-op, and re-running lands on identical content-addressed names.
+    Returns the (possibly unchanged) manifest record."""
+    rec_by_id = {r["shard_id"]: r for r in load_lineage(out_dir)}
+    rec = rec_by_id[shard_id]
+    n_new = max(1, -(-rec["n_docs"] // target_rows))
+    if len(rec["parts"]) <= n_new:
+        return rec  # already compact
+
+    table = read_shard(out_dir, shard_id)
+    old_parts = set(rec["parts"])
+    new_records = []
+    step = -(-table.num_rows // n_new)
+    for start in range(0, table.num_rows, step):
+        new_records.append(
+            write_part(out_dir, shard_id, table.slice(start, step))
+        )
+    new_rec = commit_shard_manifest(out_dir, shard_id, new_records)
+    if new_rec["content_hash"] != rec["content_hash"] or new_rec["n_docs"] != rec["n_docs"]:
+        raise RuntimeError(
+            f"compaction changed shard {shard_id} content "
+            f"({rec['content_hash']}/{rec['n_docs']} -> "
+            f"{new_rec['content_hash']}/{new_rec['n_docs']})"
+        )
+    # old parts are now unreferenced; unlink them and their pending records
+    ddir = shard_data_dir(out_dir, shard_id)
+    pdir = pending_dir(out_dir, shard_id)
+    keep = set(new_rec["parts"])
+    for part in old_parts - keep:
+        for path in (
+            os.path.join(ddir, part),
+            os.path.join(pdir, part.replace(".parquet", ".json")),
+        ):
+            try:
+                os.remove(path)
+            except OSError:
+                pass
+    return new_rec
+
+
+def compact_output(out_dir: str, target_rows: int = 100_000) -> Dict[str, Any]:
+    """Compact every committed shard (thread-pooled: compaction is IO-bound
+    and shards are independent). Returns the job summary over the resulting
+    manifests — byte-identical counters/content_hash to pre-compaction."""
+    records = load_lineage(out_dir)
+    thread_map(
+        lambda r: compact_shard(out_dir, r["shard_id"], target_rows), records
+    )
+    return summarize(load_lineage(out_dir))

@@ -240,3 +240,66 @@ def test_bucketed_variant_matches_default(ray_session, corpus_dir, oracle_result
     for url, o in oracle_results.items():
         assert out.loc[url, "doc_text"] == o["doc_text"], f"byte mismatch for {url}"
         assert out.loc[url, "status"] == o["status"]
+
+
+class TestCompaction:
+    @staticmethod
+    def _rows(i0, n):
+        import hashlib
+
+        return pa.table({
+            "url": pa.array([f"https://d/{i}" for i in range(i0, i0 + n)]),
+            "status": pa.array(["ok"] * n),
+            "n_pages": pa.array([1] * n, pa.int64()),
+            "n_pages_ok": pa.array([1] * n, pa.int64()),
+            "doc_chars": pa.array([10 + i for i in range(i0, i0 + n)], pa.int64()),
+            "truncated": pa.array([False] * n),
+            "password_required": pa.array([False] * n),
+            "content_hash": pa.array(
+                [hashlib.sha256(str(i).encode()).hexdigest() for i in range(i0, i0 + n)]
+            ),
+        })
+
+    def test_compact_preserves_content_and_is_idempotent(self, tmp_path):
+        from service1_text_extraction_ray.state import lineage as L
+
+        out = str(tmp_path / "job")
+        recs = [L.write_part(out, 3, self._rows(i0, 5)) for i0 in (0, 5, 10)]
+        before = L.commit_shard_manifest(out, 3, recs)
+        assert len(before["parts"]) == 3
+
+        after = L.compact_shard(out, 3, target_rows=100)
+        assert len(after["parts"]) == 1
+        assert after["content_hash"] == before["content_hash"]
+        assert after["n_docs"] == before["n_docs"] == 15
+        # old parts unlinked; manifest-listed data still validates + reads
+        import os
+
+        ddir = L.shard_data_dir(out, 3)
+        assert sorted(os.listdir(ddir)) == sorted(after["parts"])
+        assert L.completed_shards(out) == {3}
+        t = L.read_shard(out, 3)
+        assert t.num_rows == 15
+        assert sorted(t["url"].to_pylist()) == sorted(
+            f"https://d/{i}" for i in range(15)
+        )
+        # second pass: no-op (content-addressed names, already compact)
+        again = L.compact_shard(out, 3, target_rows=100)
+        assert again["parts"] == after["parts"]
+
+    def test_compact_output_summary_unchanged(self, tmp_path):
+        from service1_text_extraction_ray.state import lineage as L
+
+        out = str(tmp_path / "job2")
+        for sid in (0, 1):
+            recs = [
+                L.write_part(out, sid, self._rows(100 * sid + i0, 4))
+                for i0 in (0, 4, 8)
+            ]
+            L.commit_shard_manifest(out, sid, recs)
+        before = L.summarize(L.load_lineage(out))
+        after = L.compact_output(out, target_rows=6)
+        assert after == before
+        for sid in (0, 1):
+            rec = {r["shard_id"]: r for r in L.load_lineage(out)}[sid]
+            assert len(rec["parts"]) == 2  # 12 rows / 6 per part

@@ -129,3 +129,44 @@ class TestCsvPagesSource:
                     for r in out.take_all()}
 
         assert doc_map(read_pages_csv(str(cd))) == doc_map(rd.from_arrow(pages))
+
+
+class TestEvolvedPagesSource:
+    def test_mixed_schema_shards_normalize(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from service1_text_extraction_ray.functions.synth import gen_pages_table
+        from service1_text_extraction_ray.pipelines.extract_pipeline import (
+            extract_dataset,
+        )
+        from service1_text_extraction_ray.sources.pages_source import (
+            read_pages_evolved,
+        )
+
+        pages = gen_pages_table(30, seed=42)
+        d = tmp_path / "mixed"
+        d.mkdir()
+        # v1 shard: before `lang` and `text` existed
+        pq.write_table(
+            pages.slice(0, 15).drop_columns(["lang", "text"]),
+            str(d / "shard-v1.parquet"),
+        )
+        # v2 shard: current schema + an extra column a newer writer added
+        v2 = pages.slice(15, 15).append_column(
+            "fetch_ms", pa.array([1] * 15, pa.int64())
+        )
+        pq.write_table(v2, str(d / "shard-v2.parquet"))
+
+        back = read_pages_evolved(str(d))
+        got = {r["url"]: r for r in back.take_all()}
+        assert len(got) == 30
+        exp = {r["url"]: r for r in pages.to_pylist()}
+        for url, r in got.items():
+            assert r["html"] == exp[url]["html"]
+            assert "fetch_ms" not in r  # extras dropped at the reader
+        v1_urls = set(pages.slice(0, 15)["url"].to_pylist())
+        for url in v1_urls:
+            assert got[url]["lang"] == "und" and got[url]["text"] == ""
+        # and the extraction pipeline consumes the normalized stream whole
+        out = extract_dataset(read_pages_evolved(str(d)))
+        assert out.count() == 30
