@@ -166,6 +166,8 @@ QUERY_NAMES = [
     "host_anchor_terms",
     "user_state_intervals", "user_value_trailing_1h", "events_late_arrivals",
     "embedding_gram", "embedding_quantize_int8", "doc_shingle_novelty", "search_bm25", "host_crawl_budget", "corpus_zipf_fit",
+    "user_interval_overlaps", "frontier_allowed", "host_sitemap_urls",
+    "customer_360", "events_dedup_window", "event_type_overlap",
 ]
 
 

@@ -5761,3 +5761,115 @@ FROM s LEFT JOIN k ON k.user_id = s.user_id AND k.event_type = s.event_type
                   AND k.rn = s.rn
 GROUP BY s.user_id, s.event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# Audience overlap via bitmask histogram — exact multi-set intersections
+# ---------------------------------------------------------------------------
+
+
+def q_event_type_overlap(sf_dir: str) -> pa.Table:
+    """Exact audience-overlap matrix: for every unordered pair of event
+    types, how many distinct users did BOTH — the segment-intersection
+    question (HLL sketches only approximate intersections, and badly when
+    overlap is small; this is the exact path for a bounded type vocabulary).
+
+    Distributed shape — the BITMASK-HISTOGRAM reduction: types get dense
+    alphabetical indices (a tiny distinct pass, broadcast); one
+    hash_exchange on user_id co-locates each user's events; in-shard,
+    ``np.bitwise_or.at`` folds each user's types into one int64 mask (≤63
+    types — asserted), and the shard emits its MASK HISTOGRAM (one row per
+    distinct observed combination — bounded by real co-occurrence patterns,
+    not user count). Histograms merge in a tiny groupby; the driver expands
+    the ≤|masks| rows into the pair matrix with popcount arithmetic. User-
+    scale data crosses the wire once; the pair expansion never sees rows.
+    SQL replays the same mask build with bit_or over (1 << idx)."""
+    types_tbl = (
+        _read(sf_dir, "events", ["event_type"])
+        .map_batches(
+            lambda t: pa.Table.from_arrays(
+                [pc.unique(t["event_type"])], names=["event_type"]
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("event_type")
+        .count()
+        .to_pandas()
+    )
+    types = sorted(types_tbl["event_type"].tolist())
+    if len(types) > 63:
+        raise ValueError(
+            f"{len(types)} event types exceed the int64 bitmask domain; "
+            "use the salted exact-distinct path per pair instead"
+        )
+    idx_of = {t: i for i, t in enumerate(types)}
+
+    part_schema = pa.schema(
+        [pa.field("mask", pa.int64()), pa.field("n", pa.int64())]
+    )
+
+    def shard_masks(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        users = pc.cast(t["user_id"], pa.int64()).to_numpy(zero_copy_only=False)
+        bits = np.array(
+            [1 << idx_of[et] for et in t["event_type"].to_pylist()],
+            dtype=np.int64,
+        )
+        codes, inv = np.unique(users, return_inverse=True)
+        masks = np.zeros(len(codes), dtype=np.int64)
+        np.bitwise_or.at(masks, inv, bits)
+        mh, counts = np.unique(masks, return_counts=True)
+        return pa.Table.from_arrays(
+            [pa.array(mh, pa.int64()), pa.array(counts.astype("int64"))],
+            schema=part_schema,
+        )
+
+    hist = (
+        hash_exchange(
+            _read(sf_dir, "events", ["user_id", "event_type"]),
+            ["user_id"],
+            shard_masks,
+            part_schema,
+        )
+        .groupby("mask")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    mask_arr = hist["mask"].to_numpy(dtype="int64")
+    n_arr = hist["n"].to_numpy(dtype="int64")
+    rows_a, rows_b, rows_n = [], [], []
+    for i, ta in enumerate(types):
+        for j in range(i + 1, len(types)):
+            both = ((mask_arr >> i) & 1) & ((mask_arr >> np.int64(j)) & 1)
+            rows_a.append(ta)
+            rows_b.append(types[j])
+            rows_n.append(int(n_arr[both.astype(bool)].sum()))
+    return pa.Table.from_arrays(
+        [pa.array(rows_a, pa.string()), pa.array(rows_b, pa.string()),
+         pa.array(rows_n, pa.int64())],
+        names=["type_a", "type_b", "n_users_both"],
+    )
+
+
+SQL_EVENT_TYPE_OVERLAP = """
+WITH tidx AS (
+  SELECT event_type,
+         CAST(row_number() OVER (ORDER BY event_type) - 1 AS BIGINT) AS idx
+  FROM (SELECT DISTINCT event_type FROM events)
+),
+um AS (
+  SELECT e.user_id, CAST(bit_or(1::BIGINT << t.idx) AS BIGINT) AS mask
+  FROM events e JOIN tidx t ON t.event_type = e.event_type
+  GROUP BY e.user_id
+),
+mh AS (SELECT mask, count(*) AS n FROM um GROUP BY mask)
+SELECT ta.event_type AS type_a, tb.event_type AS type_b,
+       CAST(coalesce(sum(mh.n) FILTER (
+         WHERE (mh.mask >> ta.idx) % 2 = 1 AND (mh.mask >> tb.idx) % 2 = 1
+       ), 0) AS BIGINT) AS n_users_both
+FROM tidx ta
+JOIN tidx tb ON ta.idx < tb.idx
+CROSS JOIN mh
+GROUP BY ta.event_type, tb.event_type
+"""
