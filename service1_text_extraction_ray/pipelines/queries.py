@@ -5565,3 +5565,194 @@ SELECT host,
                  ELSE ((i + k) % 9 + 1) * 100000 END AS BIGINT) AS priority_ppm
 FROM g
 """
+
+
+def q_crawl_plan(sf_dir: str) -> rd.Dataset:
+    """END-TO-END crawl plan — the composition every scheduler runs before a
+    fetch wave, in one pipeline: followable outlinks -> robots-exclusion
+    gate (REAL RFC 9309 parser over deterministic per-host bodies) ->
+    PageRank/depth frontier score -> Hamilton largest-remainder budget per
+    TARGET host (apportioned over the allowed-link mass) -> per-host slot
+    assignment (rank by score desc within host, keep rank <= budget).
+
+    Everything stays integer, so the oracle replays the WHOLE composition:
+    unrolled PageRank CTEs x reconstructed links x the robots k-rule table
+    x Hamilton CTEs x a window rank. Topology: the link stream derives
+    twice (deterministic flat map — cheaper than materializing it: once for
+    the tiny per-host allowed counts that feed the apportionment, once for
+    ranking); PageRank and the budget table broadcast via ray.put (host-
+    cardinality maps); the only exchange is ONE hash_exchange on host for
+    the in-shard vectorized rank+filter."""
+    from ..functions.links import extract_outlinks
+    from ..functions.robots import AGENT, is_allowed, make_robots_txt, parse_robots
+    from ..functions.synth import make_link_page
+    from ..functions.urls import parse_urls
+
+    link_schema = pa.schema([
+        ("doc_id", pa.int64()), ("href", pa.string()), ("host", pa.string()),
+        ("score", pa.int64()),
+    ])
+
+    pr_map = {
+        r["host"]: int(r["pr"])
+        for b in q_host_pagerank(sf_dir).iter_batches(batch_format="pyarrow")
+        for r in b.to_pylist()
+    }
+    pr_ref = ray.put(pr_map)
+
+    def allowed_links(t: pa.Table) -> pa.Table:
+        prs = ray.get(pr_ref)
+        rules_cache: dict = {}
+        ids, hrefs = [], []
+        for d, src, lang in zip(
+            t["doc_id"].to_pylist(), t["source"].to_pylist(), t["lang"].to_pylist()
+        ):
+            html, base = make_link_page(int(d), src, lang or "en")
+            links, _, page_nofollow = extract_outlinks(html, base)
+            if page_nofollow:
+                continue
+            for ln in links:
+                if not ln.nofollow:
+                    ids.append(int(d))
+                    hrefs.append(ln.href)
+        if not ids:
+            return link_schema.empty_table()
+        parsed = parse_urls(pa.array(hrefs, pa.string()))
+        hosts = parsed["host"].to_pylist()
+        paths = parsed["path"].to_pylist()
+        depths = parsed["path_depth"].to_pylist()
+        out_i, out_h, out_ho, out_s = [], [], [], []
+        for i, (h, p, dep) in enumerate(zip(hosts, paths, depths)):
+            rules = rules_cache.get(h)
+            if rules is None:
+                rules = parse_robots(make_robots_txt(h or ""), AGENT)
+                rules_cache[h] = rules
+            if not is_allowed(rules, p or "/"):
+                continue
+            out_i.append(ids[i])
+            out_h.append(hrefs[i])
+            out_ho.append(h)
+            out_s.append(prs.get(h, 0) // (1 + (dep or 0)))
+        return pa.Table.from_arrays(
+            [pa.array(out_i, pa.int64()), pa.array(out_h, pa.string()),
+             pa.array(out_ho, pa.string()), pa.array(out_s, pa.int64())],
+            schema=link_schema,
+        )
+
+    docs = _read(sf_dir, "documents", ["doc_id", "source", "lang"])
+    links = docs.map_batches(allowed_links, batch_format="pyarrow")
+
+    # pass 1: per-host allowed-link mass -> Hamilton apportionment (exact
+    # int64, sum(budget) == CRAWL_BUDGET; host table is tiny by definition)
+    from ray.data.aggregate import Sum as _Sum
+
+    def host_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("host").aggregate([([], "count_all")])
+        return pa.Table.from_arrays(
+            [g["host"], pc.cast(g["count_all"], pa.int64())],
+            names=["host", "n_links"],
+        )
+
+    hc = (
+        links.map_batches(host_partial, batch_format="pyarrow")
+        .groupby("host")
+        .aggregate(_Sum("n_links", alias_name="n_links"))
+        .to_pandas()
+    )
+    total = int(hc["n_links"].sum())
+    scaled = CRAWL_BUDGET * hc["n_links"].astype("int64")
+    hc["base"] = scaled // total
+    hc["rem"] = scaled % total
+    extra = CRAWL_BUDGET - int(hc["base"].sum())
+    hc = hc.sort_values(["rem", "host"], ascending=[False, True])
+    bonus = np.zeros(len(hc), dtype="int64")
+    bonus[:extra] = 1
+    budget_map = dict(zip(hc["host"], (hc["base"].to_numpy() + bonus).tolist()))
+    budget_ref = ray.put(budget_map)
+
+    out_schema = pa.schema([
+        ("host", pa.string()), ("href", pa.string()), ("doc_id", pa.int64()),
+        ("score", pa.int64()), ("slot", pa.int64()),
+    ])
+
+    def shard_rank(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        budgets = ray.get(budget_ref)
+        df = t.to_pandas().sort_values(
+            ["host", "score", "href", "doc_id"],
+            ascending=[True, False, True, True],
+            kind="mergesort",
+        )
+        slot = df.groupby("host", sort=False).cumcount().to_numpy() + 1
+        cap = df["host"].map(lambda h: budgets.get(h, 0)).to_numpy(dtype="int64")
+        keep = slot <= cap
+        df = df[keep]
+        return pa.Table.from_arrays(
+            [pa.array(df["host"].to_numpy(dtype=object), pa.string()),
+             pa.array(df["href"].to_numpy(dtype=object), pa.string()),
+             pa.array(df["doc_id"].to_numpy(dtype="int64")),
+             pa.array(df["score"].to_numpy(dtype="int64")),
+             pa.array(slot[keep].astype("int64"))],
+            schema=out_schema,
+        )
+
+    # pass 2: re-derive links (deterministic) and rank within host
+    from .relational import hash_exchange
+
+    return hash_exchange(
+        docs.map_batches(allowed_links, batch_format="pyarrow"),
+        ["host"],
+        shard_rank,
+        out_schema,
+    )
+
+
+def _sql_crawl_plan() -> str:
+    pagerank_cte = SQL_HOST_PAGERANK.split("WITH", 1)[1].rsplit("\nSELECT", 1)[0]
+    flinks = SQL_FRONTIER_ALLOWED.split("WITH", 1)[1].rsplit("\nSELECT", 1)[0]
+    return f"""
+WITH {pagerank_cte},
+{flinks},
+al AS (
+  SELECT f.doc_id, f.href, f.host,
+         CAST(coalesce(p.pr, 0) // (1 + len(string_split(trim(f.path, '/'), '/'))
+              - CASE WHEN trim(f.path, '/') = '' THEN 1 ELSE 0 END) AS BIGINT) AS score
+  FROM flinks f LEFT JOIN pr{PAGERANK_ITERS} p ON p.host = f.host
+  WHERE CASE ((length(f.host) + ascii(substr(f.host, 1, 1))) % 5)
+          WHEN 0 THEN 1
+          WHEN 1 THEN CASE WHEN starts_with(f.path, '/x/') THEN 0 ELSE 1 END
+          WHEN 2 THEN CASE WHEN starts_with(f.path, '/local/')
+                            AND NOT starts_with(f.path, '/local/2')
+                      THEN 0 ELSE 1 END
+          WHEN 3 THEN CASE WHEN starts_with(f.path, '/d/') THEN 1 ELSE 0 END
+          ELSE CASE WHEN f.path LIKE '/%/up/%' THEN 0 ELSE 1 END
+        END = 1
+),
+hc AS (SELECT host, count(*) AS n_links FROM al GROUP BY host),
+t AS (SELECT sum(n_links) AS total FROM hc),
+b AS (
+  SELECT host, ({CRAWL_BUDGET} * n_links) // total AS base,
+         ({CRAWL_BUDGET} * n_links) % total AS rem
+  FROM hc, t
+),
+r AS (
+  SELECT host, base, row_number() OVER (ORDER BY rem DESC, host ASC) AS rk
+  FROM b
+),
+bud AS (
+  SELECT host,
+         base + CASE WHEN rk <= {CRAWL_BUDGET} - (SELECT sum(base) FROM b)
+                     THEN 1 ELSE 0 END AS budget
+  FROM r
+),
+ranked AS (
+  SELECT al.host, al.href, al.doc_id, al.score,
+         row_number() OVER (PARTITION BY al.host
+                            ORDER BY al.score DESC, al.href, al.doc_id) AS slot
+  FROM al
+)
+SELECT ranked.host, href, doc_id, score, CAST(slot AS BIGINT) AS slot
+FROM ranked JOIN bud ON bud.host = ranked.host
+WHERE slot <= bud.budget
+"""
