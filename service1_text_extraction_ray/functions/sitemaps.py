@@ -47,7 +47,10 @@ def _text(raw: str) -> str:
     def sub(em: "re.Match[str]") -> str:
         name = em.group(1)
         if name.startswith("#"):
-            return chr(int(name[1:]))
+            cp = int(name[1:])
+            # out-of-range numeric references (hostile input) pass through
+            # verbatim rather than crashing the task
+            return chr(cp) if cp <= 0x10FFFF else em.group(0)
         return {"amp": "&", "lt": "<", "gt": ">", "quot": '"', "apos": "'"}[name]
 
     return _ENTITY.sub(sub, raw.strip())

@@ -140,3 +140,34 @@ def test_parse_urls_total(url):
     row = t.to_pylist()[0]
     if row["scheme"] is None:
         assert row["host"] is None and row["path_depth"] is None
+
+
+@settings(max_examples=200, deadline=None)
+@given(text=st.text(max_size=2048))
+def test_robots_parser_total_on_arbitrary_text(text):
+    """robots.txt arrives from arbitrary servers: the parser must never
+    raise, and every verdict must be deterministic."""
+    from service1_text_extraction_ray.functions.robots import (
+        is_allowed, parse_robots,
+    )
+
+    rules = parse_robots(text)
+    assert isinstance(rules, list)
+    for path in ("/", "/a/b", "a", ""):
+        v = is_allowed(rules, path)
+        assert isinstance(v, bool)
+        assert is_allowed(rules, path) == v
+
+
+@settings(max_examples=200, deadline=None)
+@given(xml=st.text(max_size=2048))
+def test_sitemap_parser_total_on_arbitrary_text(xml):
+    from service1_text_extraction_ray.functions.sitemaps import parse_sitemap
+
+    kind, entries = parse_sitemap(xml)
+    assert kind in ("index", "urlset")
+    for loc, lastmod, prio in entries:
+        assert isinstance(loc, str) and loc
+        assert lastmod is None or isinstance(lastmod, str)
+        assert isinstance(prio, int)
+    assert parse_sitemap(xml) == (kind, entries)
