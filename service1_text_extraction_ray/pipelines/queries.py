@@ -4740,7 +4740,13 @@ def q_knn_self_1nn(sf_dir: str) -> rd.Dataset:
     neighbor per vector (B rows per vec across all its partitions, never
     the n^2 pair stream); one hash_exchange on vec_id reduces partials to
     the global argmax. Only ids leave the pipeline — similarities stay
-    internal, so the driver hash is float-free."""
+    internal, so the driver hash is float-free. Similarities are quantized
+    to integer picounits (1e12) BEFORE any comparison: different chunk-pair
+    partitions run different-shaped BLAS matmuls whose last-ulp results can
+    differ, so comparing raw floats across partitions would break the
+    smaller-id tiebreak for exact-duplicate vectors (sim == 1.0 up to ulp);
+    at 1e12 the quantized value is identical everywhere and the tiebreak is
+    bit-reproducible at any parallelism."""
     B = DEDUP_EMB_BUCKETS
 
     def explode(batch: pa.Table) -> pd.DataFrame:
@@ -4766,7 +4772,7 @@ def q_knn_self_1nn(sf_dir: str) -> rd.Dataset:
         })
 
     part_schema = pa.schema([
-        ("vec_id", pa.int64()), ("nn_id", pa.int64()), ("sim", pa.float64()),
+        ("vec_id", pa.int64()), ("nn_id", pa.int64()), ("simq", pa.int64()),
     ])
 
     def best_in_partition(g: pd.DataFrame) -> pd.DataFrame:
@@ -4779,16 +4785,19 @@ def q_knn_self_1nn(sf_dir: str) -> rd.Dataset:
             if len(ids_a) == 0 or len(ids_b) == 0:
                 return
             sims = mat_a @ mat_b.T
+            # picounit quantization: half-away-from-zero like _km_quant, so
+            # exact-duplicate sims land on the SAME int in every partition
+            simq = (np.sign(sims) * np.floor(np.abs(sims) * 1e12 + 0.5))
             if exclude_self:
                 eq = ids_a[:, None] == ids_b[None, :]
-                sims = np.where(eq, -np.inf, sims)
+                simq = np.where(eq, -np.inf, simq)
             # argmax with smaller-id tiebreak: sort keys (sim desc, id asc)
             for x in range(len(ids_a)):
-                order = np.lexsort((ids_b, -sims[x]))
+                order = np.lexsort((ids_b, -simq[x]))
                 bidx = order[0]
-                if np.isfinite(sims[x, bidx]):
+                if np.isfinite(simq[x, bidx]):
                     rows.append((int(ids_a[x]), int(ids_b[bidx]),
-                                 float(sims[x, bidx])))
+                                 int(simq[x, bidx])))
 
         if ci == cj:
             sub = g[g["chunk"] == ci]
@@ -4807,17 +4816,17 @@ def q_knn_self_1nn(sf_dir: str) -> rd.Dataset:
         return pd.DataFrame({
             "vec_id": pd.Series([r[0] for r in rows], dtype="int64"),
             "nn_id": pd.Series([r[1] for r in rows], dtype="int64"),
-            "sim": pd.Series([r[2] for r in rows], dtype="float64"),
+            "simq": pd.Series([r[2] for r in rows], dtype="int64"),
         })
 
     out_schema = pa.schema([("vec_id", pa.int64()), ("nn_id", pa.int64())])
 
     def reduce_best(t: pa.Table) -> pa.Table:
         df = pa.Table.from_arrays(
-            [t["vec_id"], t["nn_id"], t["sim"]],
-            names=["vec_id", "nn_id", "sim"],
+            [t["vec_id"], t["nn_id"], t["simq"]],
+            names=["vec_id", "nn_id", "simq"],
         ).to_pandas()
-        df = df.sort_values(["vec_id", "sim", "nn_id"],
+        df = df.sort_values(["vec_id", "simq", "nn_id"],
                             ascending=[True, False, True], kind="mergesort")
         best = df.drop_duplicates("vec_id", keep="first")
         return pa.Table.from_arrays(

@@ -215,11 +215,19 @@ def _warc_record(rec_type: bytes, uri: str, date_iso: str, payload: bytes,
     return b"".join(hdrs) + b"\r\n" + payload + b"\r\n\r\n"
 
 
-def write_pages_warc(pages: rd.Dataset, out_dir: str) -> int:
+def write_pages_warc(pages: rd.Dataset, out_dir: str,
+                     gzip_members: bool = False) -> int:
     """Write the pages Dataset as .warc shard files (one per input block,
     content-addressed names so re-runs are idempotent). Returns the number
     of shards written. Distributed: each task serializes and writes its own
-    block; nothing rides through the driver."""
+    block; nothing rides through the driver.
+
+    ``gzip_members=True`` writes Common Crawl's canonical ``.warc.gz``
+    layout (ISO 28500-2 Annex; the WARC 1.1 guideline): each record is an
+    INDEPENDENT gzip member, so a reader can seek to any member boundary
+    and decompress one record without touching the rest of the shard —
+    that per-record random access is what makes CC index lookups work."""
+    import gzip
     import hashlib
 
     os.makedirs(out_dir, exist_ok=True)
@@ -228,20 +236,28 @@ def write_pages_warc(pages: rd.Dataset, out_dir: str) -> int:
         buf = []
         for row in t.to_pylist():
             date_iso = row["warc_ts"].isoformat(timespec="microseconds") + "Z"
-            buf.append(_warc_record(
-                b"response", row["url"], date_iso, row["html"] or b"",
-                [b"Content-Type: application/http; msgtype=response\r\n"],
-            ))
-            buf.append(_warc_record(
-                b"conversion", row["url"], date_iso,
-                (row["text"] or "").encode("utf-8"),
-                [b"WARC-Identified-Content-Language: "
-                 + (row["lang"] or "").encode("utf-8") + b"\r\n",
-                 b"Content-Type: text/plain\r\n"],
-            ))
+            recs = [
+                _warc_record(
+                    b"response", row["url"], date_iso, row["html"] or b"",
+                    [b"Content-Type: application/http; msgtype=response\r\n"],
+                ),
+                _warc_record(
+                    b"conversion", row["url"], date_iso,
+                    (row["text"] or "").encode("utf-8"),
+                    [b"WARC-Identified-Content-Language: "
+                     + (row["lang"] or "").encode("utf-8") + b"\r\n",
+                     b"Content-Type: text/plain\r\n"],
+                ),
+            ]
+            if gzip_members:
+                # mtime=0 -> deterministic bytes -> stable content-addressed
+                # shard names across re-runs (the resume contract)
+                recs = [gzip.compress(r, mtime=0) for r in recs]
+            buf.extend(recs)
         blob = b"".join(buf)
         name = hashlib.md5(blob).hexdigest()[:16]
-        path = os.path.join(out_dir, f"pages-{name}.warc")
+        ext = "warc.gz" if gzip_members else "warc"
+        path = os.path.join(out_dir, f"pages-{name}.{ext}")
         tmp = path + ".tmp"
         with open(tmp, "wb") as f:
             f.write(blob)
@@ -277,17 +293,38 @@ def _parse_warc_records(blob: bytes):
         yield hdrs, payload
 
 
+def _gunzip_members(blob: bytes) -> bytes:
+    """Decompress a multi-member gzip stream (the .warc.gz layout: one
+    member per record) into the concatenated plain-WARC bytes. zlib's
+    decompressobj stops at each member boundary; loop over unused_data."""
+    import zlib
+
+    out = []
+    rest = blob
+    while rest:
+        d = zlib.decompressobj(wbits=31)
+        out.append(d.decompress(rest))
+        out.append(d.flush())
+        if not d.eof:
+            raise ValueError("truncated gzip member in .warc.gz shard")
+        rest = d.unused_data
+    return b"".join(out)
+
+
 def read_pages_warc(input_path: str) -> rd.Dataset:
-    """WARC pages source: read .warc shard files as binary blobs (one task
-    per file — shard files ARE the parallelism unit, exactly as Common
-    Crawl segments are) and reassemble (response, conversion) record pairs
-    into the PAGES_SCHEMA the extraction job consumes. Byte-identical
-    downstream output vs the parquet path on the same logical rows
-    (pytest-asserted)."""
+    """WARC pages source: read .warc / .warc.gz shard files as binary blobs
+    (one task per file — shard files ARE the parallelism unit, exactly as
+    Common Crawl segments are) and reassemble (response, conversion) record
+    pairs into the PAGES_SCHEMA the extraction job consumes. Gzip shards
+    (detected by magic, not extension) are decompressed member-by-member.
+    Byte-identical downstream output vs the parquet path on the same
+    logical rows (pytest-asserted)."""
 
     def parse(t: pa.Table) -> pa.Table:
         rows = []
         for blob in t["bytes"].to_pylist():
+            if blob[:2] == b"\x1f\x8b":
+                blob = _gunzip_members(blob)
             pending = {}
             for hdrs, payload in _parse_warc_records(blob):
                 uri = hdrs["warc-target-uri"]

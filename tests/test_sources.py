@@ -94,6 +94,52 @@ class TestWarcPagesSource:
         write_pages_warc(rd.from_arrow(pages), str(wd))
         assert sorted(os.listdir(wd)) == first
 
+    def test_gzip_members_roundtrip_and_random_access(
+        self, ray_session, tmp_path
+    ):
+        """Common Crawl .warc.gz layout: every record is an INDEPENDENT
+        gzip member. Round-trip parity with the plain path, plus the
+        member-boundary property CC index lookups rely on: any single
+        member sliced out of the middle of the shard decompresses to one
+        complete WARC record on its own."""
+        import os
+
+        from service1_text_extraction_ray.functions.synth import gen_pages_table
+        from service1_text_extraction_ray.sources.pages_source import (
+            read_pages_warc,
+            write_pages_warc,
+        )
+        import ray.data as rd
+
+        pages = gen_pages_table(40, seed=9)
+        wd = tmp_path / "pages_warc_gz"
+        n = write_pages_warc(rd.from_arrow(pages), str(wd), gzip_members=True)
+        assert n >= 1
+        names = sorted(os.listdir(wd))
+        assert all(nm.endswith(".warc.gz") for nm in names)
+
+        got = {r["url"]: r for r in read_pages_warc(str(wd)).take_all()}
+        exp = {r["url"]: r for r in pages.to_pylist()}
+        assert len(got) == 40
+        for url, e in exp.items():
+            r = got[url]
+            assert r["html"] == e["html"]
+            assert r["warc_ts"] == e["warc_ts"]
+            assert (r["text"], r["lang"]) == (e["text"], e["lang"])
+
+        # random access: find the 2nd member boundary by magic scan and
+        # decompress ONLY that member
+        blob = (wd / names[0]).read_bytes()
+        import zlib
+        d = zlib.decompressobj(wbits=31)
+        d.decompress(blob); d.flush()
+        second = d.unused_data
+        assert second[:2] == b"\x1f\x8b"
+        d2 = zlib.decompressobj(wbits=31)
+        rec = d2.decompress(second) + d2.flush()
+        assert rec.startswith(b"WARC/1.0\r\n")
+        assert rec.endswith(b"\r\n\r\n")
+
 
 class TestCsvPagesSource:
     def test_roundtrip_and_extraction_parity(self, ray_session, tmp_path):
