@@ -4428,7 +4428,10 @@ def q_dedup_jaccard_prefix(sf_dir: str) -> rd.Dataset:
     contain the newline separator because words are whitespace-split).
     Topology: doc-grain sets materialized once -> prefix explosion
     (~(1-t)*m rows/doc) -> hash_exchange on the token -> per-token pair
-    generation -> hash_exchange dedup -> join-back -> vectorized verify.
+    generation -> join-back (pair dedup FUSED into the first join's shard
+    merge via dedup_left: duplicates share doc_id_a so they co-locate —
+    one fewer all-to-all barrier than a dedicated dedup exchange) ->
+    vectorized verify.
     Empty-shingle docs (J=100 with each other by convention) cannot be
     indexed; they are collected (bounded by PREFIX_EMPTY_CAP, raises
     beyond) and cross-paired on the driver."""
@@ -4520,15 +4523,11 @@ def q_dedup_jaccard_prefix(sf_dir: str) -> rd.Dataset:
         pair_schema,
     )
 
-    uniq = hash_exchange(
-        cands,
-        ["doc_id_a", "doc_id_b"],
-        lambda t: t.group_by(["doc_id_a", "doc_id_b"]).aggregate([]),
-        pair_schema,
-    )
-
+    # candidate pairs repeat once per shared prefix token; the global dedup
+    # is fused into the first join-back's exchange (dedup_left) instead of
+    # paying a dedicated (doc_id_a, doc_id_b) exchange barrier
     with_a = hash_join(
-        uniq,
+        cands,
         sets_ds.map_batches(
             lambda t: pa.Table.from_arrays(
                 [t["doc_id"], t["sh"]], names=["doc_id", "sh_a"]
@@ -4540,6 +4539,7 @@ def q_dedup_jaccard_prefix(sf_dir: str) -> rd.Dataset:
         key_type=pa.int64(),
         left_fields=[pa.field("doc_id_b", pa.int64())],
         right_fields=[pa.field("sh_a", pa.string())],
+        dedup_left=True,
     )
     with_b = hash_join(
         with_a.map_batches(

@@ -229,6 +229,7 @@ def hash_join(
     combine_right_sum: bool = False,
     how: str = "inner",
     salt: int = 1,
+    dedup_left: bool = False,
 ) -> rd.Dataset:
     """General co-partitioned shuffle hash join (many-to-many).
 
@@ -293,6 +294,15 @@ def hash_join(
     free, and the per-task memory bound shrinks by ~salt for the hot key.
     Cost: right-side bytes × salt — size salt to the observed skew (the
     events_user_skew Gini profile is the measuring instrument).
+
+    ``dedup_left=True`` drops duplicate left rows (distinct on key + all
+    left_fields) inside the shard merge — duplicates of the same row always
+    share the key, hence the shard, so this is exact and replaces a whole
+    upstream exchange-based dedup pass (one fewer all-to-all barrier;
+    measured on dedup_jaccard_prefix, whose candidate pairs repeat once per
+    shared prefix token). Incompatible with salt > 1 (duplicates could
+    spread across sub-shards) and combine_left_sum (summing contradicts
+    dropping).
     """
     union_schema = pa.schema(
         [pa.field(left_on, key_type)]
@@ -309,6 +319,10 @@ def hash_join(
             "salt > 1 cannot preserve full-outer semantics: an unmatched "
             "right row would surface once per replica"
         )
+    if dedup_left and (salt > 1 or combine_left_sum):
+        # per-sub-shard dedup misses cross-sub-shard duplicates; combining
+        # sums over duplicate rows contradicts dropping them
+        raise ValueError("dedup_left requires salt == 1 and no combine_left_sum")
     out_fields = list(left_fields) + (
         list(right_fields) if how in ("inner", "left", "full") else []
     )
@@ -392,6 +406,12 @@ def hash_join(
             return out_schema.empty_table()
         if combine_left_sum and lt.num_rows:
             lt = _combine(lt, left_on, left_fields, left_names)
+        if dedup_left and lt.num_rows:
+            # distinct (key, *fields) rows — duplicates of the same left row
+            # co-locate here (same key -> same shard), so an upstream
+            # exchange-based dedup pass is redundant; fusing it into the
+            # join removes one all-to-all barrier from the caller's plan
+            lt = lt.group_by(left_names).aggregate([]).select(left_names)
         if rt.num_rows == 0:
             if how == "inner" or how == "semi":
                 return out_schema.empty_table()  # nothing matches

@@ -313,6 +313,40 @@ class TestHashJoin:
         assert key(out) == key(expect)
         assert list(out.columns) == ["k", "lv", "rv"]
 
+    def test_dedup_left_drops_duplicate_left_rows(self, ray_session):
+        """dedup_left=True joins each DISTINCT left row once (the fused
+        candidate-pair dedup shape), and the flag rejects the combinations
+        it cannot keep exact."""
+        import ray.data as rd
+
+        from service1_text_extraction_ray.pipelines.relational import hash_join
+
+        left = pd.DataFrame({
+            "k": [1, 1, 1, 2, 2],
+            "lv": [10, 10, 11, 20, 20],   # (1,10) x2 and (2,20) x2
+        })
+        right = pd.DataFrame({"rk": [1, 2], "rv": ["a", "b"]})
+        out = hash_join(
+            rd.from_pandas(left).repartition(3),
+            rd.from_pandas(right).repartition(2),
+            left_on="k", right_on="rk", key_type=pa.int64(),
+            left_fields=[pa.field("lv", pa.int64())],
+            right_fields=[pa.field("rv", pa.string())],
+            dedup_left=True,
+        ).to_pandas()
+        got = sorted(map(tuple, out[["k", "lv", "rv"]].to_numpy()))
+        assert got == [(1, 10, "a"), (1, 11, "a"), (2, 20, "b")]
+
+        for bad in (dict(salt=2), dict(combine_left_sum=True)):
+            with pytest.raises(ValueError):
+                hash_join(
+                    rd.from_pandas(left), rd.from_pandas(right),
+                    left_on="k", right_on="rk", key_type=pa.int64(),
+                    left_fields=[pa.field("lv", pa.int64())],
+                    right_fields=[pa.field("rv", pa.string())],
+                    dedup_left=True, **bad,
+                )
+
     def test_left_semi_anti_flavors_match_pandas(self, ray_session):
         """how='left'/'semi'/'anti' vs pandas merge semantics, including
         unmatched-left null padding and empty-right-side shards."""
