@@ -969,3 +969,117 @@ def make_meta_page(doc_id: int, source: str, lang: str, n_chars: int) -> tuple[b
         f"<body><p>{lang} body</p></body></html>"
     )
     return html.encode("utf-8"), f"https://{source}.example.com/p/{doc_id}"
+
+
+def make_jsonld_page(doc_id: int, source: str, lang: str, n_chars: int) -> tuple[bytes, str]:
+    """Deterministic JSON-LD-bearing page from the document's own columns —
+    fixture for functions/structured.py. Branch coverage:
+
+    - Article block on every doc: headline ``Doc {doc_id}``, wordCount
+      ``n_chars`` — with a TRAILING COMMA for doc_id%7==0 (the sanitizer
+      must salvage it to the identical values) and a missing-comma
+      syntax break for doc_id%13==0 that yields NO Article entity
+      (%7 loses to %13 when both divide): the sanitizer's quote-escape
+      repair produces a valid object whose ``@type`` key is swallowed
+      into the preceding ``@context`` value — an untyped node the
+      extractor skips. ``@context`` first is load-bearing for that.
+    - @graph block for doc_id%5==0: Organization ``Org {source}`` +
+      WebPage ``Page {doc_id}`` (graph flattening).
+    - Decoys that must contribute nothing: a text/javascript script and an
+      untyped script both carrying JSON-looking source.
+    """
+    if doc_id % 13 == 0:
+        # missing comma between members: json.loads fails; the sanitizer's
+        # repair leaves a valid-but-untyped node -> no entity row
+        article = (
+            f'{{"@context": "https://schema.org" "@type": "Article", '
+            f'"headline": "Doc {doc_id}", "wordCount": {n_chars}}}'
+        )
+    elif doc_id % 7 == 0:
+        article = (
+            f'{{"@context": "https://schema.org", "@type": "Article", '
+            f'"headline": "Doc {doc_id}", "wordCount": {n_chars},}}'
+        )
+    else:
+        article = (
+            f'{{"@context": "https://schema.org", "@type": "Article", '
+            f'"headline": "Doc {doc_id}", "wordCount": {n_chars}}}'
+        )
+    graph = (
+        f'<script type="application/ld+json">{{"@context": "https://schema.org", '
+        f'"@graph": [{{"@type": "Organization", "name": "Org {source}"}}, '
+        f'{{"@type": "WebPage", "name": "Page {doc_id}"}}]}}</script>'
+        if doc_id % 5 == 0 else ""
+    )
+    decoys = (
+        '<script type="text/javascript">var x = {"@type": "Movie", "name": "NOPE"};</script>'
+        '<script>var y = {"@type": "Book", "name": "NOPE"};</script>'
+    )
+    html = (
+        f"<html><head><title>ld {doc_id}</title>"
+        f'<script type="application/ld+json">{article}</script>'
+        f"{graph}{decoys}</head>"
+        f"<body><p>{lang} article body</p></body></html>"
+    )
+    return html.encode("utf-8"), f"https://{source}.example.com/a/{doc_id}"
+
+
+FEED_EPOCH_BASE = 1_600_000_000  # fixed UTC origin for feed timestamps
+
+
+def make_feed_page(doc_id: int, source: str, lang: str) -> tuple[bytes, str]:
+    """Deterministic RSS/Atom feed document from the document's own columns —
+    fixture for functions/feeds.py. Branch coverage:
+
+    - doc_id%2==0 -> RSS 2.0 (RFC 822 pubDates); odd -> Atom (ISO 8601
+      ``updated``, namespaced tags, rel="self" decoy link that must lose to
+      the rel-less alternate).
+    - 1 + doc_id%3 items; item i: title ``Item {doc_id}-{i}``, link
+      ``https://{source}.example.com/post/{doc_id}/{i}``, timestamp epoch
+      ``FEED_EPOCH_BASE + doc_id*3600 + i*60``.
+    - doc_id%11==0 -> truncated XML (no closing root tag): malformed,
+      parse_feed returns None, no rows.
+    - A commented-out decoy item that ElementTree must drop.
+    """
+    from datetime import datetime, timezone
+    from email.utils import format_datetime
+
+    url = f"https://{source}.example.com/feed/{doc_id}.xml"
+    n_items = 1 + doc_id % 3
+    stamps = [
+        datetime.fromtimestamp(
+            FEED_EPOCH_BASE + doc_id * 3600 + i * 60, tz=timezone.utc
+        )
+        for i in range(n_items)
+    ]
+    title = f"Feed {source} {doc_id}"
+    if doc_id % 2 == 0:
+        items = "".join(
+            f"<item><title>Item {doc_id}-{i}</title>"
+            f"<link>https://{source}.example.com/post/{doc_id}/{i}</link>"
+            f"<pubDate>{format_datetime(stamps[i])}</pubDate></item>"
+            for i in range(n_items)
+        )
+        decoy = "<!-- <item><title>NOPE</title></item> -->"
+        body = (
+            f'<?xml version="1.0" encoding="UTF-8"?>\n'
+            f'<rss version="2.0"><channel><title>{title}</title>'
+            f"<language>{lang}</language>{decoy}{items}</channel></rss>"
+        )
+    else:
+        entries = "".join(
+            f"<entry><title>Item {doc_id}-{i}</title>"
+            f'<link rel="self" href="https://{source}.example.com/feed/{doc_id}.xml"/>'
+            f'<link href="https://{source}.example.com/post/{doc_id}/{i}"/>'
+            f"<updated>{stamps[i].isoformat().replace('+00:00', 'Z')}</updated></entry>"
+            for i in range(n_items)
+        )
+        decoy = "<!-- <entry><title>NOPE</title></entry> -->"
+        body = (
+            f'<?xml version="1.0" encoding="UTF-8"?>\n'
+            f'<feed xmlns="http://www.w3.org/2005/Atom"><title>{title}</title>'
+            f"{decoy}{entries}</feed>"
+        )
+    if doc_id % 11 == 0:
+        body = body[: len(body) // 2]  # truncated: malformed XML
+    return body.encode("utf-8"), url

@@ -5765,3 +5765,115 @@ SELECT ranked.host, href, doc_id, score, CAST(slot AS BIGINT) AS slot
 FROM ranked JOIN bud ON bud.host = ranked.host
 WHERE slot <= bud.budget
 """
+
+
+def q_extract_jsonld(sf_dir: str) -> rd.Dataset:
+    """schema.org JSON-LD entity extraction over deterministic ld+json pages
+    (synth.make_jsonld_page): MIME-gated block collection, tolerant-parse
+    salvage (the json_utils trailing-comma fix runs inside the value-hashed
+    loop for doc_id%7==0 pages), @graph flattening, decoy drops, and the
+    %13 missing-comma pages whose repaired block is untyped (no entity).
+    Pure per-batch map, no shuffle; the oracle rebuilds every entity
+    row from the documents columns, including which pages salvage and which
+    fail."""
+    from ..functions.structured import extract_jsonld
+    from ..functions.synth import make_jsonld_page
+
+    out_schema = pa.schema([
+        ("url", pa.string()), ("entity_type", pa.string()),
+        ("name", pa.string()), ("word_count", pa.int64()),
+    ])
+
+    def f(t: pa.Table) -> pa.Table:
+        rows = []
+        for d, src, lang, nc in zip(
+            t["doc_id"].to_pylist(), t["source"].to_pylist(),
+            t["lang"].to_pylist(), t["n_chars"].to_pylist(),
+        ):
+            html, url = make_jsonld_page(int(d), src, lang or "en", int(nc))
+            for ent in extract_jsonld(html):
+                rows.append({"url": url, **ent})
+        if not rows:
+            return out_schema.empty_table()
+        return pa.Table.from_pylist(rows, schema=out_schema)
+
+    return _read(
+        sf_dir, "documents", ["doc_id", "source", "lang", "n_chars"]
+    ).map_batches(f, batch_format="pyarrow")
+
+
+SQL_EXTRACT_JSONLD = """
+WITH base AS (
+  SELECT doc_id, source, n_chars,
+         'https://' || source || '.example.com/a/' || doc_id AS url
+  FROM documents
+)
+SELECT url, 'Article' AS entity_type, 'Doc ' || doc_id AS name,
+       n_chars AS word_count
+FROM base WHERE doc_id % 13 <> 0
+UNION ALL
+SELECT url, 'Organization', 'Org ' || source, CAST(NULL AS BIGINT)
+FROM base WHERE doc_id % 5 = 0
+UNION ALL
+SELECT url, 'WebPage', 'Page ' || doc_id, CAST(NULL AS BIGINT)
+FROM base WHERE doc_id % 5 = 0
+"""
+
+
+def q_extract_feed(sf_dir: str) -> rd.Dataset:
+    """RSS 2.0 / Atom feed-item extraction over deterministic feed documents
+    (synth.make_feed_page): root-tag dispatch, namespaced Atom tags,
+    rel="self" decoy links, RFC 822 + ISO 8601 timestamp normalization to
+    epoch seconds, and the %11 truncated-XML pages that parse to nothing.
+    Pure per-batch map, no shuffle; the oracle regenerates every item row
+    (including the exact epoch arithmetic) from the documents columns."""
+    from ..functions.feeds import parse_feed
+    from ..functions.synth import make_feed_page
+
+    out_schema = pa.schema([
+        ("url", pa.string()), ("feed_kind", pa.string()),
+        ("feed_title", pa.string()), ("item_title", pa.string()),
+        ("link", pa.string()), ("pub_epoch", pa.int64()),
+    ])
+
+    def f(t: pa.Table) -> pa.Table:
+        rows = []
+        for d, src, lang in zip(
+            t["doc_id"].to_pylist(), t["source"].to_pylist(),
+            t["lang"].to_pylist(),
+        ):
+            xml, url = make_feed_page(int(d), src, lang or "en")
+            feed = parse_feed(xml)
+            if feed is None:
+                continue
+            for it in feed["items"]:
+                rows.append({
+                    "url": url, "feed_kind": feed["kind"],
+                    "feed_title": feed["feed_title"], **it,
+                    "link": it["link"],
+                })
+        if not rows:
+            return out_schema.empty_table()
+        return pa.Table.from_pylist(rows, schema=out_schema)
+
+    return _read(sf_dir, "documents", ["doc_id", "source", "lang"]).map_batches(
+        f, batch_format="pyarrow"
+    )
+
+
+SQL_EXTRACT_FEED = f"""
+WITH s(i) AS (VALUES (0), (1), (2)),
+base AS (
+  SELECT doc_id, source,
+         'https://' || source || '.example.com/feed/' || doc_id || '.xml' AS url
+  FROM documents WHERE doc_id % 11 <> 0
+)
+SELECT url,
+       CASE WHEN doc_id % 2 = 0 THEN 'rss' ELSE 'atom' END AS feed_kind,
+       'Feed ' || source || ' ' || doc_id AS feed_title,
+       'Item ' || doc_id || '-' || i AS item_title,
+       'https://' || source || '.example.com/post/' || doc_id || '/' || i AS link,
+       {1_600_000_000} + doc_id * 3600 + i * 60 AS pub_epoch
+FROM base, s
+WHERE s.i < 1 + base.doc_id % 3
+"""
