@@ -303,3 +303,47 @@ class TestCompaction:
         for sid in (0, 1):
             rec = {r["shard_id"]: r for r in L.load_lineage(out)}[sid]
             assert len(rec["parts"]) == 2  # 12 rows / 6 per part
+
+
+class TestTransientFaultRetry:
+    def test_injected_task_failure_retries_to_identical_output(
+        self, ray_session, tmp_path
+    ):
+        """At 100-TB scale transient worker failures are constant background
+        noise; the engine contract is at-least-once task execution with
+        byte-identical results. Inject a one-shot application failure into
+        a pre-parse stage (first attempt trips a filesystem marker and
+        raises; the Ray task retry finds the marker and proceeds) and
+        assert the extraction output matches the clean run row for row."""
+        import ray.data as rd
+
+        from service1_text_extraction_ray.functions.synth import gen_pages_table
+        from service1_text_extraction_ray.pipelines.extract_pipeline import (
+            extract_dataset,
+        )
+
+        pages = gen_pages_table(200, seed=5)
+        marker = tmp_path / "boom_once"
+
+        def flaky(batch):
+            if not marker.exists():
+                marker.write_text("x")
+                raise RuntimeError("injected transient failure")
+            return batch
+
+        def doc_map(ds):
+            out = extract_dataset(ds).select_columns(
+                ["url", "content_hash", "status", "n_pages"]
+            )
+            return {r["url"]: (r["content_hash"], r["status"], r["n_pages"])
+                    for r in out.take_all()}
+
+        clean = doc_map(rd.from_arrow(pages))
+        flaky_src = rd.from_arrow(pages).map_batches(
+            flaky,
+            batch_format="pyarrow",
+            retry_exceptions=True,
+            max_retries=4,
+        )
+        assert doc_map(flaky_src) == clean
+        assert marker.exists()  # the failure really fired
