@@ -168,7 +168,7 @@ QUERY_NAMES = [
     "embedding_gram", "embedding_quantize_int8", "doc_shingle_novelty", "search_bm25", "host_crawl_budget", "corpus_zipf_fit",
     "user_interval_overlaps", "frontier_allowed", "host_sitemap_urls",
     "customer_360", "events_dedup_window", "event_type_overlap",
-    "crawl_plan",
+    "crawl_plan", "extract_jsonld", "extract_feed",
 ]
 
 

@@ -233,12 +233,22 @@ def write_pages_warc(pages: rd.Dataset, out_dir: str,
     os.makedirs(out_dir, exist_ok=True)
 
     def write_block(t: pa.Table) -> pa.Table:
+        from ..functions.sniff import sniff_payload
+
         buf = []
         for row in t.to_pylist():
             date_iso = row["warc_ts"].isoformat(timespec="microseconds") + "Z"
+            body = row["html"] or b""
+            # response payloads are FULL HTTP messages (the real CC layout),
+            # not bare bodies; content type from the same sniff the
+            # extraction dispatch uses
+            ctype = {
+                "pdf": "application/pdf", "html": "text/html",
+            }.get(sniff_payload(body), "application/octet-stream")
             recs = [
                 _warc_record(
-                    b"response", row["url"], date_iso, row["html"] or b"",
+                    b"response", row["url"], date_iso,
+                    _http_envelope(body, ctype),
                     [b"Content-Type: application/http; msgtype=response\r\n"],
                 ),
                 _warc_record(
@@ -293,6 +303,73 @@ def _parse_warc_records(blob: bytes):
         yield hdrs, payload
 
 
+def _http_envelope(body: bytes, content_type: str) -> bytes:
+    """Wrap a payload in a deterministic HTTP/1.1 response message — the
+    shape real Common Crawl ``response`` records carry (the WARC payload is
+    the full HTTP message, not the bare body)."""
+    head = (
+        b"HTTP/1.1 200 OK\r\n"
+        b"Content-Type: " + content_type.encode("ascii") + b"\r\n"
+        b"Content-Length: " + str(len(body)).encode("ascii") + b"\r\n"
+        b"\r\n"
+    )
+    return head + body
+
+
+def parse_http_response(payload: bytes) -> tuple[int, dict, bytes]:
+    """Parse an HTTP response message into (status, headers, body).
+
+    Covers what a crawler actually meets in WARC response records:
+    ``Content-Length`` framing (anything past the declared length — e.g. a
+    peer's trailing junk — is dropped), ``Transfer-Encoding: chunked``
+    de-chunking, and ``Content-Encoding: gzip`` / ``deflate`` body
+    decompression (after de-chunking, per RFC 9112 ordering). Header names
+    lower-case; duplicate headers keep the first value (the crawl-archive
+    convention). Raises ValueError on a non-HTTP prefix or malformed
+    framing — callers in batch stages count it as a parse failure."""
+    import zlib
+
+    sep = payload.find(b"\r\n\r\n")
+    if sep < 0:
+        raise ValueError("no header/body separator in HTTP message")
+    head_lines = payload[:sep].decode("latin-1").split("\r\n")
+    status_line = head_lines[0].split(" ", 2)
+    if len(status_line) < 2 or not status_line[0].startswith("HTTP/"):
+        raise ValueError(f"not an HTTP status line: {head_lines[0]!r}")
+    status = int(status_line[1])
+    headers: dict = {}
+    for line in head_lines[1:]:
+        k, _, v = line.partition(":")
+        headers.setdefault(k.strip().lower(), v.strip())
+    body = payload[sep + 4 :]
+    if headers.get("transfer-encoding", "").lower() == "chunked":
+        out, pos = [], 0
+        while True:
+            eol = body.find(b"\r\n", pos)
+            if eol < 0:
+                raise ValueError("truncated chunk-size line")
+            size = int(body[pos:eol].split(b";")[0], 16)  # ignore extensions
+            if size == 0:
+                break
+            chunk = body[eol + 2 : eol + 2 + size]
+            if len(chunk) < size:
+                raise ValueError("truncated chunk body")
+            out.append(chunk)
+            pos = eol + 2 + size + 2  # skip trailing CRLF
+        body = b"".join(out)
+    elif "content-length" in headers:
+        body = body[: int(headers["content-length"])]
+    enc = headers.get("content-encoding", "").lower()
+    if enc == "gzip":
+        body = zlib.decompress(body, wbits=31)
+    elif enc == "deflate":
+        try:
+            body = zlib.decompress(body)
+        except zlib.error:
+            body = zlib.decompress(body, wbits=-15)  # raw-deflate servers
+    return status, headers, body
+
+
 def _gunzip_members(blob: bytes) -> bytes:
     """Decompress a multi-member gzip stream (the .warc.gz layout: one
     member per record) into the concatenated plain-WARC bytes. zlib's
@@ -330,6 +407,12 @@ def read_pages_warc(input_path: str) -> rd.Dataset:
                 uri = hdrs["warc-target-uri"]
                 rtype = hdrs["warc-type"]
                 if rtype == "response":
+                    if payload[:5] == b"HTTP/":
+                        # full HTTP message (the CC layout; what our writer
+                        # emits) -> unwrap. Bare bodies (older shards, WET
+                        # mirrors) pass through: no real page starts with
+                        # the ASCII bytes "HTTP/".
+                        _, _, payload = parse_http_response(payload)
                     pending[uri] = (hdrs, payload)
                 elif rtype == "conversion":
                     rh, rp = pending.pop(uri)

@@ -216,3 +216,91 @@ class TestEvolvedPagesSource:
         # and the extraction pipeline consumes the normalized stream whole
         out = extract_dataset(read_pages_evolved(str(d)))
         assert out.count() == 30
+
+
+class TestHttpEnvelope:
+    """WARC response payloads are full HTTP messages (the real Common Crawl
+    layout); the parser must handle the framings a crawl archive carries."""
+
+    def test_content_length_framing_drops_trailing_junk(self):
+        from service1_text_extraction_ray.sources.pages_source import (
+            parse_http_response,
+        )
+
+        msg = (
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+            b"Content-Length: 5\r\n\r\nhelloJUNK"
+        )
+        status, hdrs, body = parse_http_response(msg)
+        assert (status, body) == (200, b"hello")
+        assert hdrs["content-type"] == "text/html"
+
+    def test_chunked_transfer_encoding(self):
+        from service1_text_extraction_ray.sources.pages_source import (
+            parse_http_response,
+        )
+
+        msg = (
+            b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
+            b"5\r\nhello\r\n6;ext=1\r\n world\r\n0\r\n\r\n"
+        )
+        assert parse_http_response(msg)[2] == b"hello world"
+
+    def test_gzip_and_deflate_bodies(self):
+        import gzip
+        import zlib
+
+        from service1_text_extraction_ray.sources.pages_source import (
+            parse_http_response,
+        )
+
+        gz = gzip.compress(b"<html>x</html>", mtime=0)
+        msg = (
+            b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n"
+            b"Content-Length: " + str(len(gz)).encode() + b"\r\n\r\n" + gz
+        )
+        assert parse_http_response(msg)[2] == b"<html>x</html>"
+
+        zl = zlib.compress(b"abc")  # zlib-wrapped deflate
+        msg2 = (
+            b"HTTP/1.1 200 OK\r\nContent-Encoding: deflate\r\n"
+            b"Content-Length: " + str(len(zl)).encode() + b"\r\n\r\n" + zl
+        )
+        assert parse_http_response(msg2)[2] == b"abc"
+        co = zlib.compressobj(wbits=-15)
+        rawdef = co.compress(b"abc") + co.flush()
+        msg3 = (
+            b"HTTP/1.1 200 OK\r\nContent-Encoding: deflate\r\n"
+            b"Content-Length: " + str(len(rawdef)).encode() + b"\r\n\r\n" + rawdef
+        )
+        assert parse_http_response(msg3)[2] == b"abc"
+
+    def test_non_http_raises(self):
+        from service1_text_extraction_ray.sources.pages_source import (
+            parse_http_response,
+        )
+
+        with pytest.raises(ValueError):
+            parse_http_response(b"<html>not http</html>\r\n\r\nbody")
+
+    def test_warc_roundtrip_with_envelopes(self, ray_session, tmp_path):
+        """The writer wraps response bodies in HTTP messages; the reader
+        unwraps them — html column still round-trips byte-identically,
+        including PDF payloads (content-type from the sniff)."""
+        import ray.data as rd
+
+        from service1_text_extraction_ray.functions.synth import gen_pages_table
+        from service1_text_extraction_ray.sources.pages_source import (
+            read_pages_warc,
+            write_pages_warc,
+        )
+
+        pages = gen_pages_table(100, seed=42)  # covers the PDF categories
+        wd = tmp_path / "warc_env"
+        write_pages_warc(rd.from_arrow(pages), str(wd))
+        raw = b"".join(f.read_bytes() for f in sorted(wd.glob("*.warc")))
+        assert b"\r\nHTTP/1.1 200 OK\r\n" in raw        # envelopes on disk
+        assert b"Content-Type: application/pdf" in raw   # sniffed PDF rows
+        got = {r["url"]: r["html"] for r in read_pages_warc(str(wd)).take_all()}
+        exp = {r["url"]: r["html"] for r in pages.to_pylist()}
+        assert got == exp
