@@ -37,13 +37,15 @@ from .passwords import (
 from .pdf_extract import PdfParseError, open_pdf
 from .quality import MIN_TEXT_LENGTH, is_garbage_text
 from .render import combine_pages, page_markdown
-from .sniff import KIND_HTML, KIND_PDF, sniff_payload
+from .feeds import parse_feed
+from .sniff import KIND_FEED, KIND_HTML, KIND_PDF, sniff_payload
 
 STATUS_OK = "ok"
 STATUS_PARSE_FAILURE = "parse_failure"
 
 METHOD_DOM = "dom"
 METHOD_PDF = "pdf_text"
+METHOD_FEED = "feed_items"
 METHOD_FAILED = "failed"
 
 
@@ -168,6 +170,32 @@ def _extract_pdf(
                 "attempts_made": attempts_made}
 
 
+def _extract_feed(
+    url: str, payload: bytes, cfg: ExtractConfig, book: PasswordBook
+) -> Dict[str, Any]:
+    """Built-in RSS/Atom extractor (functions/feeds.py): one page whose
+    text is the feed title plus one ``title <link>`` line per item — the
+    text a syndication page contributes to a corpus. Feeds are listings,
+    not articles, so the ``min_text_length`` article gate does NOT apply
+    (a 3-item feed is legitimately short); the garbage predicate still
+    does. Malformed XML is a counted parse failure like any other payload."""
+    try:
+        feed = parse_feed(payload)
+    except Exception as e:  # defensive: parser bugs become failure rows
+        return {"status": STATUS_PARSE_FAILURE, "error": f"feed: {e}"}
+    if feed is None:
+        return {"status": STATUS_PARSE_FAILURE, "error": "feed: malformed XML"}
+    lines = [feed["feed_title"] or ""]
+    for it in feed["items"]:
+        title = it["item_title"] or ""
+        link = it["link"] or ""
+        lines.append(f"{title} <{link}>".strip())
+    text = "\n".join(lines).strip()
+    if text and not is_garbage_text(text):
+        return {"pages": [_page_row(1, METHOD_FEED, text, None)]}
+    return {"pages": [_page_row(1, METHOD_FAILED, "", None)]}
+
+
 # §2.9 user-extension surface (SURVEY.md): content kind -> extractor. An
 # extractor is any callable ``(url, payload, cfg, book) -> partial result
 # dict`` with optional keys {pages, status, error, password_required,
@@ -179,6 +207,7 @@ def _extract_pdf(
 EXTRACTORS: Dict[str, Any] = {
     KIND_HTML: _extract_html,
     KIND_PDF: _extract_pdf,
+    KIND_FEED: _extract_feed,
 }
 
 

@@ -22,14 +22,17 @@ import pyarrow.compute as pc
 
 KIND_HTML = "html"
 KIND_PDF = "pdf"
+KIND_FEED = "feed"
 KIND_OTHER = "other"
 
 _HTML_PREFIXES = (b"<", b"\xef\xbb\xbf<")  # optional UTF-8 BOM then markup
 
 
 def sniff_payload(payload: bytes | None) -> str:
-    """Classify a single payload: %PDF- magic -> pdf; leading '<' (after
-    whitespace / UTF-8 BOM) -> html; else other."""
+    """Classify a single payload: %PDF- magic -> pdf; an RSS/Atom ROOT TAG
+    -> feed (an ``<?xml``-prefixed XHTML page stays html — the root tag
+    decides, see feeds.detect_feed); leading '<' (after whitespace / UTF-8
+    BOM) -> html; else other."""
     if payload is None or len(payload) == 0:
         return KIND_OTHER
     if payload[:5] == b"%PDF-":
@@ -37,7 +40,17 @@ def sniff_payload(payload: bytes | None) -> str:
     head = payload[:64]
     if head[:3] == b"\xef\xbb\xbf":
         head = head[3:]
-    if head.lstrip(b" \t\r\n")[:1] == b"<":
+    stripped = head.lstrip(b" \t\r\n")
+    if stripped[:1] == b"<":
+        # Feed check only for the three root-ish prefixes (a <!DOCTYPE html>
+        # page never pays the root-tag scan; a comment-prefixed feed is
+        # consistently classified html — documented prefilter, identical in
+        # the vectorized path so scalar/table sniffs always agree).
+        if stripped[:5] == b"<?xml" or stripped[:4] in (b"<rss", b"<fee"):
+            from .feeds import detect_feed
+
+            if detect_feed(payload) is not None:
+                return KIND_FEED
         return KIND_HTML
     return KIND_OTHER
 
@@ -84,17 +97,48 @@ def sniff_table(batch: pa.Table, size_bucket_edges: tuple[int, ...]) -> pa.Table
         is_pdf_np, KIND_PDF, np.where(is_html_np, KIND_HTML, KIND_OTHER)
     ).astype(object)
 
+    # Feed refinement: only '<'-prefixed rows whose first element could be
+    # an rss/feed root (cheap vectorized prefix prefilter; the scalar
+    # root-tag scan runs on just those rows — feeds are rare in a crawl).
+    maybe_feed = is_html_np & pc.fill_null(
+        pc.or_(
+            pc.or_(
+                pc.starts_with(payload, pattern=b"<?xml"),
+                pc.starts_with(payload, pattern=b"<rss"),
+            ),
+            pc.starts_with(payload, pattern=b"<feed"),
+        ),
+        False,
+    ).to_numpy(zero_copy_only=False)
+    if maybe_feed.any():
+        from .feeds import detect_feed
+
+        head512 = pc.binary_slice(payload, 0, 512)
+        for i in np.nonzero(maybe_feed)[0]:
+            if detect_feed(head512[int(i)].as_py()) is not None:
+                kinds[i] = KIND_FEED
+
     lens_np = payload_len.to_numpy(zero_copy_only=False)
     maybe_slow = ~is_pdf_np & ~is_html_np & (lens_np > 0)
     if maybe_slow.any():
-        head = pc.binary_slice(payload, 0, 64)
+        from .feeds import detect_feed
+
+        head = pc.binary_slice(payload, 0, 512)
         for i in np.nonzero(maybe_slow)[0]:
             h = head[int(i)].as_py()
             if h:
                 if h[:3] == b"\xef\xbb\xbf":
                     h = h[3:]
-                if h.lstrip(b" \t\r\n")[:1] == b"<":
-                    kinds[i] = KIND_HTML
+                hs = h.lstrip(b" \t\r\n")
+                if hs[:1] == b"<":
+                    # BOM/whitespace-prefixed markup: same feed refinement
+                    # (same three-prefix gate as the scalar path)
+                    kinds[i] = (
+                        KIND_FEED
+                        if (hs[:5] == b"<?xml" or hs[:4] in (b"<rss", b"<fee"))
+                        and detect_feed(hs) is not None
+                        else KIND_HTML
+                    )
 
     # Shard from source file: encode the handful of distinct paths per batch.
     # Datasets with no file provenance (in-memory synthesis, adapters) fall

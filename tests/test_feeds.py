@@ -84,3 +84,118 @@ class TestFeedFixture:
             assert it["link"] == f"https://srcX.example.com/post/{doc_id}/{i}"
             assert it["pub_epoch"] == FEED_EPOCH_BASE + doc_id * 3600 + i * 60
         assert not any("NOPE" in (it["item_title"] or "") for it in feed["items"])
+
+
+class TestFeedDispatch:
+    """Feeds as a first-class content kind in the extraction engine."""
+
+    def test_sniff_scalar_classifies_feeds(self):
+        from service1_text_extraction_ray.functions.sniff import (
+            KIND_FEED,
+            KIND_HTML,
+            sniff_payload,
+        )
+
+        assert sniff_payload(b'<rss version="2.0"></rss>') == KIND_FEED
+        assert sniff_payload(
+            b'<?xml version="1.0"?><feed xmlns="http://www.w3.org/2005/Atom"/>'
+        ) == KIND_FEED
+        # XHTML with an XML declaration stays html (root tag decides)
+        assert sniff_payload(b'<?xml version="1.0"?><html></html>') == KIND_HTML
+        assert sniff_payload(b"<!DOCTYPE html><html></html>") == KIND_HTML
+        # BOM + whitespace prefixed feed
+        assert sniff_payload(b"\xef\xbb\xbf  <rss></rss>") == KIND_FEED
+
+    def test_sniff_table_matches_scalar(self):
+        import pyarrow as pa
+
+        from service1_text_extraction_ray.functions.sniff import (
+            sniff_payload,
+            sniff_table,
+        )
+
+        payloads = [
+            b'<rss version="2.0"><channel/></rss>',
+            b'<?xml version="1.0"?><feed xmlns="http://www.w3.org/2005/Atom"/>',
+            b'<?xml version="1.0"?><html></html>',
+            b"<!DOCTYPE html><html></html>",
+            b"\xef\xbb\xbf<rss/>",
+            b"  \n<feed/>",
+            b"%PDF-1.4 x",
+            b"plain text",
+            b"",
+            None,
+        ]
+        t = pa.table({
+            "url": [f"u{i}" for i in range(len(payloads))],
+            "html": pa.array(payloads, pa.binary()),
+        })
+        got = sniff_table(t, (4096, 65536, 1_048_576))["content_kind"].to_pylist()
+        assert got == [sniff_payload(p) for p in payloads]
+
+    def test_extract_document_feed_semantics(self):
+        from service1_text_extraction_ray.functions.extract import (
+            METHOD_FEED,
+            ExtractConfig,
+            extract_document,
+        )
+        from service1_text_extraction_ray.functions.synth import make_feed_page
+
+        xml, url = make_feed_page(3, "srcZ", "en")
+        r = extract_document(url, xml, ExtractConfig())
+        assert (r["status"], r["content_kind"]) == ("ok", "feed")
+        assert r["pages"][0]["method"] == METHOD_FEED
+        # listings bypass the 250-char article gate
+        assert 0 < r["doc_chars"] < 250
+        assert "Item 3-0 <https://srcZ.example.com/post/3/0>" in r["doc_text"]
+
+        bad, url2 = make_feed_page(11, "srcZ", "en")  # truncated XML
+        r2 = extract_document(url2, bad, ExtractConfig())
+        assert (r2["status"], r2["content_kind"]) == ("parse_failure", "feed")
+
+    def test_feed_corpus_extracts_deterministically_e2e(
+        self, ray_session, tmp_path
+    ):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from service1_text_extraction_ray.functions.synth import (
+            EPOCH_US,
+            make_feed_page,
+        )
+        from service1_text_extraction_ray.pipelines.extract_pipeline import (
+            extract_dataset,
+        )
+
+        rows = []
+        for d in range(40):
+            xml, url = make_feed_page(d, f"src{d % 3}", "en")
+            rows.append({
+                "url": url,
+                "warc_ts": EPOCH_US + d,
+                "html": xml,
+                "text": "",
+                "lang": "en",
+            })
+        t = pa.table({
+            "url": pa.array([r["url"] for r in rows]),
+            "warc_ts": pa.array([r["warc_ts"] for r in rows],
+                                pa.timestamp("us")),
+            "html": pa.array([r["html"] for r in rows], pa.binary()),
+            "text": pa.array([r["text"] for r in rows]),
+            "lang": pa.array([r["lang"] for r in rows]),
+        })
+
+        def snap(ds):
+            out = extract_dataset(ds).select_columns(
+                ["url", "content_kind", "status", "content_hash"]
+            )
+            return sorted(map(tuple, out.to_pandas().to_numpy()))
+
+        a = snap(rd.from_arrow(t).repartition(8))
+        b = snap(rd.from_arrow(t).repartition(3))
+        assert a == b                                     # parallelism-invariant
+        kinds = {r[1] for r in a}
+        assert kinds == {"feed"}
+        failures = [r for r in a if r[2] == "parse_failure"]
+        assert len(failures) == len([d for d in range(40) if d % 11 == 0])
