@@ -557,3 +557,143 @@ def read_pages_evolved(input_path: str) -> rd.Dataset:
     return rd.read_parquet(input_path, schema=PAGES_SCHEMA).map_batches(
         normalize, batch_format="pyarrow"
     )
+
+
+# ---------------------------------------------------------------------------
+# WAT sink — Common Crawl's derived-metadata artifact
+# ---------------------------------------------------------------------------
+#
+# CC publishes three files per crawl segment: WARC (raw responses), WET
+# (extracted text — our ``conversion`` records), and WAT (per-response
+# metadata as JSON inside WARC ``metadata`` records). This sink completes
+# the triple: one metadata record per page whose payload is a compact JSON
+# envelope with the WARC header echo plus HTML head metadata and outlinks —
+# derived with the SAME parsers the extraction engine uses (functions/meta,
+# functions/links), so the WAT content is consistent-by-construction with
+# every other pipeline over the corpus.
+
+
+def _wat_envelope(url: str, date_iso: str, html: bytes | None) -> bytes:
+    import json as _json
+
+    from ..functions.links import extract_outlinks
+    from ..functions.meta import extract_meta
+    from ..functions.sniff import KIND_HTML, sniff_payload
+
+    env: dict = {
+        "Envelope": {
+            "WARC-Header-Metadata": {
+                "WARC-Type": "response",
+                "WARC-Target-URI": url,
+                "WARC-Date": date_iso,
+            },
+            "Payload-Metadata": {
+                "Actual-Content-Length": len(html or b""),
+            },
+        }
+    }
+    if html and sniff_payload(html) == KIND_HTML:
+        meta = extract_meta(html, url)
+        links, noindex, nofollow = extract_outlinks(html, url)
+        head: dict = {}
+        if meta["title"] is not None:
+            head["Title"] = meta["title"]
+        metas = []
+        if meta["og_title"] is not None:
+            metas.append({"property": "og:title", "content": meta["og_title"]})
+        if meta["description"] is not None:
+            metas.append({"name": "description", "content": meta["description"]})
+        if metas:
+            head["Metas"] = metas
+        if meta["canonical"] is not None:
+            head["Link"] = [{"rel": "canonical", "url": meta["canonical"]}]
+        html_md: dict = {"Head": head}
+        html_md["Links"] = [
+            {"url": ln.href, "text": ln.anchor,
+             **({"rel": "nofollow"} if ln.nofollow else {})}
+            for ln in links
+        ]
+        if noindex or nofollow:
+            html_md["Robots"] = {"noindex": noindex, "nofollow": nofollow}
+        env["Envelope"]["Payload-Metadata"]["HTTP-Response-Metadata"] = {
+            "HTML-Metadata": html_md
+        }
+    return _json.dumps(env, sort_keys=True, separators=(",", ":")).encode("utf-8")
+
+
+def write_pages_wat(pages: rd.Dataset, out_dir: str) -> int:
+    """Write .wat shard files (WARC ``metadata`` records, one per page, JSON
+    payload per _wat_envelope). Content-addressed names; distributed —
+    each task writes its own block. Returns shards written."""
+    import hashlib
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_block(t: pa.Table) -> pa.Table:
+        buf = []
+        for row in t.to_pylist():
+            date_iso = row["warc_ts"].isoformat(timespec="microseconds") + "Z"
+            payload = _wat_envelope(row["url"], date_iso, row["html"])
+            buf.append(_warc_record(
+                b"metadata", row["url"], date_iso, payload,
+                [b"Content-Type: application/json\r\n"],
+            ))
+        blob = b"".join(buf)
+        name = hashlib.md5(blob).hexdigest()[:16]
+        path = os.path.join(out_dir, f"pages-{name}.wat")
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(blob)
+        os.replace(tmp, path)
+        return pa.Table.from_pylist([{"shard": path, "n_rows": t.num_rows}])
+
+    return sum(
+        1 for _ in pages.map_batches(write_block, batch_format="pyarrow")
+        .iter_rows()
+    )
+
+
+def read_pages_wat(input_path: str) -> rd.Dataset:
+    """Read .wat shards back into a flat metadata Dataset: (url, warc_ts,
+    content_length, title, canonical, n_links, noindex, nofollow). The
+    JSON envelope is the storage shape; the flat row is the query shape."""
+    import json as _json
+
+    out_schema = pa.schema([
+        ("url", pa.string()), ("warc_ts", pa.timestamp("us")),
+        ("content_length", pa.int64()), ("title", pa.string()),
+        ("canonical", pa.string()), ("n_links", pa.int64()),
+        ("noindex", pa.bool_()), ("nofollow", pa.bool_()),
+    ])
+
+    def parse(t: pa.Table) -> pa.Table:
+        import datetime as _dt
+
+        rows = []
+        for blob in t["bytes"].to_pylist():
+            for hdrs, payload in _parse_warc_records(blob):
+                if hdrs["warc-type"] != "metadata":
+                    continue
+                env = _json.loads(payload)["Envelope"]
+                pm = env["Payload-Metadata"]
+                hm = pm.get("HTTP-Response-Metadata", {}).get("HTML-Metadata", {})
+                head = hm.get("Head", {})
+                robots = hm.get("Robots", {})
+                link = (head.get("Link") or [{}])[0]
+                rows.append({
+                    "url": env["WARC-Header-Metadata"]["WARC-Target-URI"],
+                    "warc_ts": _dt.datetime.fromisoformat(
+                        env["WARC-Header-Metadata"]["WARC-Date"].rstrip("Z")
+                    ),
+                    "content_length": int(pm["Actual-Content-Length"]),
+                    "title": head.get("Title"),
+                    "canonical": link.get("url"),
+                    "n_links": len(hm.get("Links", [])),
+                    "noindex": bool(robots.get("noindex", False)),
+                    "nofollow": bool(robots.get("nofollow", False)),
+                })
+        return pa.Table.from_pylist(rows, schema=out_schema)
+
+    return rd.read_binary_files(input_path).map_batches(
+        parse, batch_format="pyarrow"
+    )

@@ -304,3 +304,61 @@ class TestHttpEnvelope:
         got = {r["url"]: r["html"] for r in read_pages_warc(str(wd)).take_all()}
         exp = {r["url"]: r["html"] for r in pages.to_pylist()}
         assert got == exp
+
+
+class TestWatSink:
+    def test_wat_roundtrip_consistent_with_parsers(self, ray_session, tmp_path):
+        """The WAT envelope must agree with the engine's own meta/link
+        parsers on every page, and the flat read-back exposes exactly the
+        envelope's fields."""
+        import ray.data as rd
+
+        from service1_text_extraction_ray.functions.links import extract_outlinks
+        from service1_text_extraction_ray.functions.meta import extract_meta
+        from service1_text_extraction_ray.functions.sniff import sniff_payload
+        from service1_text_extraction_ray.functions.synth import gen_pages_table
+        from service1_text_extraction_ray.sources.pages_source import (
+            read_pages_wat,
+            write_pages_wat,
+        )
+
+        pages = gen_pages_table(100, seed=42)  # covers html + pdf + garbage
+        wd = tmp_path / "pages_wat"
+        n = write_pages_wat(rd.from_arrow(pages), str(wd))
+        assert n >= 1
+
+        got = {r["url"]: r for r in read_pages_wat(str(wd)).take_all()}
+        assert len(got) == 100
+        for row in pages.to_pylist():
+            r = got[row["url"]]
+            assert r["warc_ts"] == row["warc_ts"]
+            assert r["content_length"] == len(row["html"] or b"")
+            if row["html"] and sniff_payload(row["html"]) == "html":
+                meta = extract_meta(row["html"], row["url"])
+                links, noindex, nofollow = extract_outlinks(
+                    row["html"], row["url"]
+                )
+                assert r["title"] == meta["title"]
+                assert r["canonical"] == meta["canonical"]
+                assert r["n_links"] == len(links)
+                assert (r["noindex"], r["nofollow"]) == (noindex, nofollow)
+            else:
+                # non-HTML rows: envelope has no HTML-Metadata section
+                assert r["title"] is None and r["n_links"] == 0
+
+    def test_wat_idempotent_rewrite(self, ray_session, tmp_path):
+        import os
+
+        import ray.data as rd
+
+        from service1_text_extraction_ray.functions.synth import gen_pages_table
+        from service1_text_extraction_ray.sources.pages_source import (
+            write_pages_wat,
+        )
+
+        pages = gen_pages_table(30, seed=7)
+        wd = tmp_path / "wat_idem"
+        write_pages_wat(rd.from_arrow(pages), str(wd))
+        first = sorted(os.listdir(wd))
+        write_pages_wat(rd.from_arrow(pages), str(wd))
+        assert sorted(os.listdir(wd)) == first
