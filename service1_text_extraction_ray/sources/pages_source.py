@@ -360,13 +360,18 @@ def parse_http_response(payload: bytes) -> tuple[int, dict, bytes]:
     elif "content-length" in headers:
         body = body[: int(headers["content-length"])]
     enc = headers.get("content-encoding", "").lower()
-    if enc == "gzip":
-        body = zlib.decompress(body, wbits=31)
-    elif enc == "deflate":
-        try:
-            body = zlib.decompress(body)
-        except zlib.error:
-            body = zlib.decompress(body, wbits=-15)  # raw-deflate servers
+    try:
+        if enc == "gzip":
+            body = zlib.decompress(body, wbits=31)
+        elif enc == "deflate":
+            try:
+                body = zlib.decompress(body)
+            except zlib.error:
+                body = zlib.decompress(body, wbits=-15)  # raw-deflate servers
+    except zlib.error as e:
+        # declared encoding, junk body: same counted-failure contract as
+        # every other framing violation
+        raise ValueError(f"bad {enc} body: {e}") from e
     return status, headers, body
 
 

@@ -9,6 +9,7 @@ from hypothesis import given, settings, strategies as st
 from service1_text_extraction_ray.functions.extract import (
     METHOD_DOM,
     METHOD_FAILED,
+    METHOD_FEED,
     METHOD_PDF,
     ExtractConfig,
     extract_document,
@@ -29,7 +30,7 @@ def _check_doc_result(res):
     assert isinstance(res["pages"], list) and len(res["pages"]) == res["n_pages"]
     for p in res["pages"]:
         assert isinstance(p["text"], str)
-        assert p["method"] in {METHOD_DOM, METHOD_PDF, METHOD_FAILED}
+        assert p["method"] in {METHOD_DOM, METHOD_PDF, METHOD_FEED, METHOD_FAILED}
 
 
 @settings(max_examples=200, deadline=None)
@@ -60,7 +61,7 @@ def test_html_parser_total_on_arbitrary_markup(text):
 @given(payload=st.one_of(st.none(), st.binary(max_size=256)))
 def test_sniff_total_and_deterministic(payload):
     kind = sniff_payload(payload)
-    assert kind in {"html", "pdf", "other"}
+    assert kind in {"html", "pdf", "feed", "other"}
     assert sniff_payload(payload) == kind
 
 
@@ -171,3 +172,63 @@ def test_sitemap_parser_total_on_arbitrary_text(xml):
         assert lastmod is None or isinstance(lastmod, str)
         assert isinstance(prio, int)
     assert parse_sitemap(xml) == (kind, entries)
+
+
+@settings(max_examples=150, deadline=None)
+@given(payload=st.one_of(
+    st.binary(max_size=2048),
+    st.binary(max_size=2000).map(lambda b: b"<rss>" + b),
+    st.binary(max_size=2000).map(
+        lambda b: b'<feed xmlns="http://www.w3.org/2005/Atom">' + b
+    ),
+))
+def test_feed_parser_total_on_arbitrary_bytes(payload):
+    from service1_text_extraction_ray.functions.feeds import detect_feed, parse_feed
+
+    kind = detect_feed(payload)
+    assert kind in (None, "rss", "atom")
+    feed = parse_feed(payload)
+    # totality: None or a well-shaped dict, never an exception
+    if feed is not None:
+        assert feed["kind"] in ("rss", "atom")
+        for it in feed["items"]:
+            assert set(it) == {"item_title", "link", "pub_epoch"}
+    assert parse_feed(payload) == feed  # deterministic
+
+
+@settings(max_examples=150, deadline=None)
+@given(payload=st.one_of(
+    st.binary(max_size=2048),
+    st.binary(max_size=2000).map(lambda b: b"HTTP/1.1 200 OK\r\n" + b),
+    st.binary(max_size=1500).map(
+        lambda b: b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n" + b
+    ),
+))
+def test_http_response_parser_total(payload):
+    """parse_http_response raises ONLY ValueError (the counted-failure
+    contract); a successful parse is deterministic."""
+    from service1_text_extraction_ray.sources.pages_source import (
+        parse_http_response,
+    )
+
+    try:
+        first = parse_http_response(payload)
+    except ValueError:
+        return
+    assert parse_http_response(payload) == first
+
+
+@settings(max_examples=150, deadline=None)
+@given(text=st.text(max_size=2048))
+def test_jsonld_extractor_total_on_arbitrary_markup(text):
+    from service1_text_extraction_ray.functions.structured import extract_jsonld
+
+    html = (
+        '<script type="application/ld+json">' + text + "</script>"
+    ).encode("utf-8", "surrogatepass")
+    ents = extract_jsonld(html)
+    assert isinstance(ents, list)
+    for e in ents:
+        assert set(e) == {"entity_type", "name", "word_count"}
+        assert isinstance(e["entity_type"], str)
+    assert extract_jsonld(html) == ents
