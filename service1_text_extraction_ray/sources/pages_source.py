@@ -393,18 +393,43 @@ def _gunzip_members(blob: bytes) -> bytes:
     return b"".join(out)
 
 
-def read_pages_warc(input_path: str) -> rd.Dataset:
+def count_warc_pages(path: str) -> int:
+    """Exact page (response-record) count of one WARC shard — the
+    ``expected_rows`` source for the extraction job's incremental manifest
+    commits. Parquet gets this from footer metadata for free; WARC has no
+    footer, so this is a full record scan (decompress + header walk).
+    IO-bound and per-file independent — run it under lineage.thread_map."""
+    with open(path, "rb") as f:
+        blob = f.read()
+    if blob[:2] == b"\x1f\x8b":
+        blob = _gunzip_members(blob)
+    return sum(
+        1 for hdrs, _ in _parse_warc_records(blob)
+        if hdrs["warc-type"] == "response"
+    )
+
+
+def read_pages_warc(input_path: str | list, include_paths: bool = False) -> rd.Dataset:
     """WARC pages source: read .warc / .warc.gz shard files as binary blobs
     (one task per file — shard files ARE the parallelism unit, exactly as
     Common Crawl segments are) and reassemble (response, conversion) record
     pairs into the PAGES_SCHEMA the extraction job consumes. Gzip shards
     (detected by magic, not extension) are decompressed member-by-member.
+    ``include_paths=True`` appends the source file as a ``path`` column —
+    the shard identity the extraction job's resume contract keys on.
     Byte-identical downstream output vs the parquet path on the same
     logical rows (pytest-asserted)."""
+    schema = PAGES_SCHEMA
+    if include_paths:
+        schema = pa.schema(list(PAGES_SCHEMA) + [pa.field("path", pa.string())])
 
     def parse(t: pa.Table) -> pa.Table:
         rows = []
-        for blob in t["bytes"].to_pylist():
+        for blob, src_path in zip(
+            t["bytes"].to_pylist(),
+            t["path"].to_pylist() if "path" in t.column_names
+            else [None] * t.num_rows,
+        ):
             if blob[:2] == b"\x1f\x8b":
                 blob = _gunzip_members(blob)
             pending = {}
@@ -422,22 +447,25 @@ def read_pages_warc(input_path: str) -> rd.Dataset:
                 elif rtype == "conversion":
                     rh, rp = pending.pop(uri)
                     date = rh["warc-date"].rstrip("Z")
-                    rows.append({
+                    row = {
                         "url": uri,
                         "warc_ts": __import__("datetime").datetime.fromisoformat(date),
                         "html": rp,
                         "text": payload.decode("utf-8"),
                         "lang": hdrs.get("warc-identified-content-language", ""),
-                    })
+                    }
+                    if include_paths:
+                        row["path"] = src_path
+                    rows.append(row)
             if pending:
                 raise ValueError(
                     f"unpaired WARC response records: {sorted(pending)[:3]}"
                 )
-        return pa.Table.from_pylist(rows, schema=PAGES_SCHEMA)
+        return pa.Table.from_pylist(rows, schema=schema)
 
-    return rd.read_binary_files(input_path).map_batches(
-        parse, batch_format="pyarrow"
-    )
+    return rd.read_binary_files(
+        input_path, include_paths=include_paths
+    ).map_batches(parse, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------

@@ -362,3 +362,59 @@ class TestWatSink:
         first = sorted(os.listdir(wd))
         write_pages_wat(rd.from_arrow(pages), str(wd))
         assert sorted(os.listdir(wd)) == first
+
+
+class TestWarcIngestionJob:
+    def test_flagship_job_over_warc_gz_matches_parquet_run(
+        self, ray_session, tmp_path
+    ):
+        """run_extraction_job consumes .warc.gz shards directly: identical
+        counters AND job content hash vs the parquet run over the same
+        logical rows (the XOR-combined hash is shard-layout-insensitive),
+        and resume skips completed WARC shards."""
+        import ray.data as rd
+
+        from service1_text_extraction_ray.functions.extract import ExtractConfig
+        from service1_text_extraction_ray.functions.synth import (
+            gen_pages_table,
+            write_pages_parquet,
+        )
+        from service1_text_extraction_ray.pipelines.extract_pipeline import (
+            run_extraction_job,
+        )
+        from service1_text_extraction_ray.sources.pages_source import (
+            write_pages_warc,
+        )
+
+        inp_pq = tmp_path / "in_pq"
+        inp_warc = tmp_path / "in_warc"
+        write_pages_parquet(str(inp_pq), 400, seed=42, rows_per_file=100)
+        write_pages_warc(
+            rd.from_arrow(gen_pages_table(400, seed=42)).repartition(4),
+            str(inp_warc), gzip_members=True,
+        )
+
+        s_pq = run_extraction_job(str(inp_pq), str(tmp_path / "out_pq"),
+                                  ExtractConfig())
+        s_w = run_extraction_job(str(inp_warc), str(tmp_path / "out_w"),
+                                 ExtractConfig())
+        keys = ("n_docs", "n_pages", "n_pages_ok", "parse_failures",
+                "empty_extractions", "truncations", "password_required",
+                "content_hash")
+        assert {k: s_pq[k] for k in keys} == {k: s_w[k] for k in keys}
+
+        s_res = run_extraction_job(str(inp_warc), str(tmp_path / "out_w"),
+                                   ExtractConfig(), resume=True)
+        assert s_res["resumed_shards_skipped"] == s_w["n_shards"]
+        assert s_res["new_shards_written"] == 0
+        assert s_res["content_hash"] == s_w["content_hash"]
+
+    def test_mixed_format_input_rejected(self, tmp_path):
+        from service1_text_extraction_ray.pipelines.extract_pipeline import (
+            list_input_files,
+        )
+
+        (tmp_path / "a.parquet").write_bytes(b"")
+        (tmp_path / "b.warc.gz").write_bytes(b"")
+        with pytest.raises(ValueError):
+            list_input_files(str(tmp_path))
