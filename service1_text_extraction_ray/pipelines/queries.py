@@ -5877,3 +5877,141 @@ SELECT url,
 FROM base, s
 WHERE s.i < 1 + base.doc_id % 3
 """
+
+
+def q_feed_freshness(sf_dir: str) -> rd.Dataset:
+    """Per-host feed freshness — the recrawl-scheduling signal: item count,
+    newest pub_epoch, and posting cadence (seconds between first and last
+    item per feed, averaged over the host's feeds as exact integer
+    division). Composition: extract_feed -> per-block pyarrow partials ->
+    one groupby merge on host; everything int64 so the oracle replays the
+    arithmetic exactly. The partial is per-FEED (url, count, min, max) —
+    mergeable even if a feed's items straddle a block split (count sums,
+    min/max combine), so no assumption about block boundaries survives
+    into the result; the span arithmetic happens only after the per-url
+    combine inside the host shard."""
+    from .relational import hash_exchange
+
+    part_schema = pa.schema([
+        ("host", pa.string()), ("url", pa.string()), ("n_items", pa.int64()),
+        ("min_epoch", pa.int64()), ("max_epoch", pa.int64()),
+    ])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.Table.from_arrays(
+            [t["url"], t["pub_epoch"]], names=["url", "pub_epoch"]
+        ).group_by("url").aggregate([
+            ("pub_epoch", "min"), ("pub_epoch", "max"), ([], "count_all"),
+        ])
+        urls = g["url"].to_pylist()
+        hosts = pa.array([u.split("/")[2] for u in urls], pa.string())
+        return pa.Table.from_arrays(
+            [hosts, g["url"], pc.cast(g["count_all"], pa.int64()),
+             pc.cast(g["pub_epoch_min"], pa.int64()),
+             pc.cast(g["pub_epoch_max"], pa.int64())],
+            schema=part_schema,
+        )
+
+    out_schema = pa.schema([
+        ("host", pa.string()), ("n_items", pa.int64()),
+        ("latest_epoch", pa.int64()), ("avg_span_s", pa.int64()),
+    ])
+
+    def merge(t: pa.Table) -> pa.Table:
+        # per-feed combine first (split-proof), then the host report
+        f = t.group_by(["host", "url"]).aggregate([
+            ("n_items", "sum"), ("min_epoch", "min"), ("max_epoch", "max"),
+        ])
+        span = pc.subtract(f["max_epoch_max"], f["min_epoch_min"])
+        f2 = pa.Table.from_arrays(
+            [f["host"], pc.cast(f["n_items_sum"], pa.int64()),
+             pc.cast(f["max_epoch_max"], pa.int64()),
+             pc.cast(span, pa.int64())],
+            names=["host", "n_items", "latest", "span"],
+        )
+        g = f2.group_by("host").aggregate([
+            ("n_items", "sum"), ("latest", "max"), ("span", "sum"),
+            ([], "count_all"),
+        ])
+        spans = g["span_sum"].to_numpy(zero_copy_only=False)
+        feeds = g["count_all"].to_numpy(zero_copy_only=False)
+        return pa.Table.from_arrays(
+            [g["host"], pc.cast(g["n_items_sum"], pa.int64()),
+             pc.cast(g["latest_max"], pa.int64()),
+             pa.array((spans // feeds).astype("int64"))],
+            schema=out_schema,
+        )
+
+    parts = q_extract_feed(sf_dir).map_batches(partial, batch_format="pyarrow")
+    return hash_exchange(parts, ["host"], merge, out_schema)
+
+
+SQL_FEED_FRESHNESS = """
+WITH s(i) AS (VALUES (0), (1), (2)),
+items AS (
+  SELECT source, doc_id,
+         1600000000 + doc_id * 3600 + i * 60 AS pub_epoch
+  FROM documents, s
+  WHERE doc_id % 11 <> 0 AND s.i < 1 + doc_id % 3
+),
+per_feed AS (
+  SELECT source || '.example.com' AS host, doc_id,
+         count(*) AS n_items, max(pub_epoch) AS latest,
+         max(pub_epoch) - min(pub_epoch) AS span
+  FROM items GROUP BY 1, 2
+)
+SELECT host, CAST(sum(n_items) AS BIGINT) AS n_items,
+       max(latest) AS latest_epoch,
+       CAST(sum(span) // count(*) AS BIGINT) AS avg_span_s
+FROM per_feed GROUP BY host
+"""
+
+
+def q_jsonld_type_counts(sf_dir: str) -> rd.Dataset:
+    """schema.org entity-type histogram with per-type wordCount totals —
+    the corpus-composition report a curation pass reads first. Per-block
+    pyarrow partials over extract_jsonld, one groupby merge."""
+    from .relational import hash_exchange
+
+    part_schema = pa.schema([
+        ("entity_type", pa.string()), ("n", pa.int64()),
+        ("word_count_sum", pa.int64()),
+    ])
+
+    def partial(t: pa.Table) -> pa.Table:
+        wc = pc.fill_null(t["word_count"], 0)
+        g = pa.Table.from_arrays(
+            [t["entity_type"], wc], names=["entity_type", "wc"]
+        ).group_by("entity_type").aggregate([("wc", "sum"), ([], "count_all")])
+        return pa.Table.from_arrays(
+            [g["entity_type"], pc.cast(g["count_all"], pa.int64()),
+             pc.cast(g["wc_sum"], pa.int64())],
+            schema=part_schema,
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by("entity_type").aggregate([
+            ("n", "sum"), ("word_count_sum", "sum"),
+        ])
+        return pa.Table.from_arrays(
+            [g["entity_type"], pc.cast(g["n_sum"], pa.int64()),
+             pc.cast(g["word_count_sum_sum"], pa.int64())],
+            schema=part_schema,
+        )
+
+    parts = q_extract_jsonld(sf_dir).map_batches(partial, batch_format="pyarrow")
+    return hash_exchange(parts, ["entity_type"], merge, part_schema)
+
+
+SQL_JSONLD_TYPE_COUNTS = """
+WITH ents AS (
+  SELECT 'Article' AS entity_type, n_chars AS wc FROM documents WHERE doc_id % 13 <> 0
+  UNION ALL
+  SELECT 'Organization', 0 FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT 'WebPage', 0 FROM documents WHERE doc_id % 5 = 0
+)
+SELECT entity_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(wc) AS BIGINT) AS word_count_sum
+FROM ents GROUP BY entity_type
+"""
