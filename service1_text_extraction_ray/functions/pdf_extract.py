@@ -30,7 +30,9 @@ surface as per-page/per-doc ``parse_failure`` rows, never exceptions):
   order (any other filter -> counted parse failure, never junk text); text
   operators ``BT ET Tf Td TD Tm T* TL Tj TJ ' "``; literal ``(...)`` strings
   with standard escapes + octal, hex ``<...>`` strings; single-byte
-  (StandardEncoding/WinAnsi ~ latin-1) text.
+  (StandardEncoding/WinAnsi ~ latin-1) text, with ``/Encoding
+  /Differences`` glyph-name remapping honored per font (uniXXXX names and
+  an Adobe-Glyph-List subset; inline or indirect encoding dicts).
 - The xref table is ignored (objects are located by scanning) — tolerant of
   broken/truncated xref sections, which is the common real-world corruption.
 
@@ -494,6 +496,142 @@ def _expand_object_streams(
 
 
 # ---------------------------------------------------------------------------
+# Simple-font /Encoding /Differences: glyph-name remapping (ISO 32000-1
+# §9.6.6.3). Real generators (TeX, old Office exports) remap byte codes to
+# named glyphs; without the table, accented text decodes as the wrong
+# latin-1 byte. Glyph name -> char resolution: the uniXXXX convention
+# first (covers everything), then an Adobe-Glyph-List subset of the names
+# the Latin corpus actually uses.
+# ---------------------------------------------------------------------------
+
+_AGL_SUBSET = {
+    # ASCII names that differ from the character itself
+    "space": " ", "exclam": "!", "quotedbl": '"', "numbersign": "#",
+    "dollar": "$", "percent": "%", "ampersand": "&", "quotesingle": "'",
+    "parenleft": "(", "parenright": ")", "asterisk": "*", "plus": "+",
+    "comma": ",", "hyphen": "-", "period": ".", "slash": "/",
+    "zero": "0", "one": "1", "two": "2", "three": "3", "four": "4",
+    "five": "5", "six": "6", "seven": "7", "eight": "8", "nine": "9",
+    "colon": ":", "semicolon": ";", "less": "<", "equal": "=",
+    "greater": ">", "question": "?", "at": "@", "bracketleft": "[",
+    "backslash": "\\", "bracketright": "]", "asciicircum": "^",
+    "underscore": "_", "grave": "`", "braceleft": "{", "bar": "|",
+    "braceright": "}", "asciitilde": "~",
+    # Latin-1 supplement + common typography
+    "exclamdown": "¡", "cent": "¢", "sterling": "£", "yen": "¥",
+    "section": "§", "copyright": "©", "registered": "®", "degree": "°",
+    "plusminus": "±", "paragraph": "¶", "questiondown": "¿",
+    "multiply": "×", "divide": "÷", "germandbls": "ß",
+    "Agrave": "À", "Aacute": "Á", "Acircumflex": "Â", "Atilde": "Ã",
+    "Adieresis": "Ä", "Aring": "Å", "AE": "Æ", "Ccedilla": "Ç",
+    "Egrave": "È", "Eacute": "É", "Ecircumflex": "Ê", "Edieresis": "Ë",
+    "Igrave": "Ì", "Iacute": "Í", "Icircumflex": "Î", "Idieresis": "Ï",
+    "Ntilde": "Ñ", "Ograve": "Ò", "Oacute": "Ó", "Ocircumflex": "Ô",
+    "Otilde": "Õ", "Odieresis": "Ö", "Oslash": "Ø", "Ugrave": "Ù",
+    "Uacute": "Ú", "Ucircumflex": "Û", "Udieresis": "Ü", "Yacute": "Ý",
+    "agrave": "à", "aacute": "á", "acircumflex": "â", "atilde": "ã",
+    "adieresis": "ä", "aring": "å", "ae": "æ", "ccedilla": "ç",
+    "egrave": "è", "eacute": "é", "ecircumflex": "ê", "edieresis": "ë",
+    "igrave": "ì", "iacute": "í", "icircumflex": "î", "idieresis": "ï",
+    "ntilde": "ñ", "ograve": "ò", "oacute": "ó", "ocircumflex": "ô",
+    "otilde": "õ", "odieresis": "ö", "oslash": "ø", "ugrave": "ù",
+    "uacute": "ú", "ucircumflex": "û", "udieresis": "ü", "yacute": "ý",
+    "ydieresis": "ÿ", "OE": "Œ", "oe": "œ", "Scaron": "Š", "scaron": "š",
+    "Zcaron": "Ž", "zcaron": "ž", "florin": "ƒ",
+    "bullet": "•", "dagger": "†", "daggerdbl": "‡", "ellipsis": "…",
+    "emdash": "—", "endash": "–", "quoteleft": "‘",
+    "quoteright": "’", "quotedblleft": "“",
+    "quotedblright": "”", "quotesinglbase": "‚", "quotedblbase": "„",
+    "guilsinglleft": "‹", "guilsinglright": "›", "guillemotleft": "«",
+    "guillemotright": "»", "fi": "ﬁ", "fl": "ﬂ", "fraction": "⁄",
+    "perthousand": "‰", "trademark": "™", "Euro": "€", "minus": "−",
+}
+
+
+def _glyph_to_char(name: str) -> Optional[str]:
+    """Glyph name -> character: single ASCII letters map to themselves,
+    ``uniXXXX``/``uXXXX[XX]`` parse directly, the rest via the AGL subset.
+    Unknown names return None (the byte keeps its latin-1 default)."""
+    if len(name) == 1:
+        return name
+    if name.startswith("uni") and len(name) == 7:
+        try:
+            return chr(int(name[3:], 16))
+        except ValueError:
+            return None
+    if name.startswith("u") and len(name) in (5, 7):
+        try:
+            return chr(int(name[1:], 16))
+        except ValueError:
+            return None
+    return _AGL_SUBSET.get(name)
+
+
+_ENCODING_REF_RE = re.compile(rb"/Encoding\s+(\d+)\s+\d+\s+R")
+_DIFFERENCES_RE = re.compile(rb"/Differences\s*\[")
+_DIFF_TOKEN_RE = re.compile(rb"(\d+)|/([^\s/\[\]<>()]+)|(\])")
+
+
+def _parse_differences(enc_bytes: bytes) -> Optional[Dict[int, str]]:
+    """Parse ``/Differences [ code /name /name code /name ... ]`` into a
+    byte -> char override table (ISO 32000-1 Table 114 semantics: an
+    integer sets the next code, each name assigns then increments)."""
+    m = _DIFFERENCES_RE.search(enc_bytes)
+    if m is None:
+        return None
+    table: Dict[int, str] = {}
+    code = 0
+    for tok in _DIFF_TOKEN_RE.finditer(enc_bytes, m.end()):
+        if tok.group(3):
+            break  # closing ]
+        if tok.group(1):
+            code = int(tok.group(1))
+            continue
+        ch = _glyph_to_char(tok.group(2).decode("latin-1"))
+        if ch is not None and 0 <= code <= 255:
+            table[code] = ch
+        code += 1
+    return table or None
+
+
+def _page_simple_encodings(
+    objects: Dict[int, _PdfObject],
+    resources: Optional[bytes],
+) -> Dict[str, Dict[int, str]]:
+    """Map font resource name -> byte->char override table for every simple
+    (non-Type0) font whose /Encoding carries a /Differences array — inline
+    (``/Encoding << ... /Differences [...] >>``) or as an indirect
+    encoding object. Bytes absent from the table keep the latin-1 path."""
+    if not resources:
+        return {}
+    fm = _FONT_RES_RE.search(resources)
+    if fm is None:
+        return {}
+    font_dict = _resolve_dict(objects, resources, fm)
+    if font_dict is None:
+        return {}
+    out: Dict[str, Dict[int, str]] = {}
+    for name, num in _FONT_ENTRY_RE.findall(font_dict):
+        fobj = objects.get(int(num))
+        if fobj is None:
+            continue
+        st = re.search(rb"/Subtype\s*/(\w+)", fobj.dict_bytes)
+        if st is not None and st.group(1) == b"Type0":
+            continue  # composite fonts use the CMap path
+        enc_bytes = fobj.dict_bytes
+        rm = _ENCODING_REF_RE.search(fobj.dict_bytes)
+        if rm is not None:
+            eobj = objects.get(int(rm.group(1)))
+            if eobj is None:
+                continue
+            enc_bytes = eobj.dict_bytes
+        table = _parse_differences(enc_bytes)
+        if table:
+            out[name.decode("latin-1")] = table
+    return out
+
+
+# ---------------------------------------------------------------------------
 # Composite (Type0/CID) fonts: /ToUnicode CMap -> cid -> text mapping
 # ---------------------------------------------------------------------------
 
@@ -950,6 +1088,7 @@ def _interpret_text(
     cid_fonts: Optional[Dict[str, Dict[int, str]]] = None,
     xobjects: Optional[Dict[str, bytes]] = None,
     _depth: int = 0,
+    simple_encodings: Optional[Dict[str, Dict[int, str]]] = None,
 ) -> List[Span]:
     """Execute the text operators of a content stream, emitting spans.
 
@@ -962,7 +1101,9 @@ def _interpret_text(
     tables for composite (Type0/Identity-H) fonts: while such a font is
     selected, string bytes are 2-byte big-endian CIDs decoded through the
     table (unmapped cid -> U+FFFD); other fonts keep the single-byte
-    latin-1 path.
+    latin-1 path. ``simple_encodings`` maps font names to byte->char
+    /Differences override tables (bytes absent from the table keep
+    latin-1).
     """
     spans: List[Span] = []
     stack: List[Any] = []
@@ -988,7 +1129,13 @@ def _interpret_text(
                 for i in range(0, len(raw) - 1, 2)
             )
         else:
-            text = raw.decode("latin-1")
+            diff = simple_encodings.get(font) if simple_encodings else None
+            if diff is not None:
+                text = "".join(
+                    diff.get(b, chr(b)) for b in raw
+                )
+            else:
+                text = raw.decode("latin-1")
         if not text:
             return
         spans.append(Span(text=text, x=cx, y=cy, size=size, font=font))
@@ -1077,7 +1224,8 @@ def _interpret_text(
                     form = xobjects.get(fname.decode("latin-1").lstrip("/"))
                     if form is not None:
                         spans.extend(
-                            _interpret_text(form, cid_fonts, xobjects, _depth + 1)
+                            _interpret_text(form, cid_fonts, xobjects,
+                                            _depth + 1, simple_encodings)
                         )
         except (IndexError, ValueError, TypeError):
             # Malformed operand stack — tolerant skip (per-page failure
@@ -1529,8 +1677,10 @@ class PdfDocument:
                 xobjects = _page_form_xobjects(
                     self._objects, resources, self._file_key, cfm
                 )
+                simple_enc = _page_simple_encodings(self._objects, resources)
                 spans = _interpret_text(
-                    content, cid_fonts or None, xobjects or None
+                    content, cid_fonts or None, xobjects or None,
+                    simple_encodings=simple_enc or None,
                 )
                 pages.append(_assemble_page(spans, width, height, rotate))
             except PdfParseError:

@@ -557,3 +557,65 @@ def test_info_dictionary_roundtrip():
                    encrypt={"user_pw": "", "owner_pw": "o", "v": 1})
     d = PdfDocument(enc)
     assert d.info() == {}
+
+
+def _diff_pdf(encoding_entry: bytes, extra_objs: bytes = b"") -> bytes:
+    """Minimal classic-layout PDF: one page, one Type1 font with the given
+    /Encoding entry, content bytes 0x82/0x8F remapped by /Differences."""
+    content = b"BT /F1 12 Tf 72 720 Td (Caf\x82 na\x8fve r\xc8sum\x82) Tj ET"
+    stream = (
+        b"4 0 obj << /Length " + str(len(content)).encode() + b" >>\n"
+        b"stream\n" + content + b"\nendstream endobj\n"
+    )
+    return (
+        b"%PDF-1.4\n"
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+        b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n"
+        b"3 0 obj << /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >> endobj\n"
+        + stream +
+        b"5 0 obj << /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+        b"/Encoding " + encoding_entry + b" >> endobj\n"
+        + extra_objs +
+        b"trailer << /Root 1 0 R >>\n%%EOF\n"
+    )
+
+
+class TestEncodingDifferences:
+    def test_inline_differences(self):
+        pdf = _diff_pdf(
+            b"<< /BaseEncoding /WinAnsiEncoding /Differences "
+            b"[ 130 /eacute 143 /idieresis ] >>"
+        )
+        pages = parse_pdf(pdf)
+        # 0x82 -> eacute, 0x8F -> idieresis, 0xC8 keeps latin-1 (È)
+        assert pages[0].text == "Café naïve r\xc8sumé"
+
+    def test_indirect_encoding_object_and_uniXXXX(self):
+        pdf = _diff_pdf(
+            b"6 0 R",
+            extra_objs=(
+                b"6 0 obj << /Type /Encoding /Differences "
+                b"[ 130 /eacute /idieresis 200 /uni0142 ] >> endobj\n"
+            ),
+        )
+        # consecutive names increment the code: 130->eacute, 131->idieresis;
+        # 0x8F is NOT remapped here; 200 (0xC8) -> uni0142 (l-stroke)
+        pages = parse_pdf(pdf)
+        assert pages[0].text == "Café na\x8fve rłsumé"
+
+    def test_unknown_glyph_names_keep_latin1(self):
+        pdf = _diff_pdf(
+            b"<< /Differences [ 130 /notarealglyphname ] >>"
+        )
+        pages = parse_pdf(pdf)
+        assert pages[0].text == "Caf\x82 na\x8fve r\xc8sum\x82"
+
+    def test_differences_do_not_touch_type0_path(self):
+        # composite-font fixtures still decode through the CMap
+        from service1_text_extraction_ray.functions.synth import make_pdf
+
+        lines = ["Zażółć gęślą jaźń — unicode line one.",
+                 "Druga linia tekstu w teście."]
+        pdf = make_pdf([lines], rng(), cid_font=True)
+        assert parse_pdf(pdf)[0].text == "\n".join(lines)
