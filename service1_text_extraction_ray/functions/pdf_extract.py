@@ -570,6 +570,32 @@ def _glyph_to_char(name: str) -> Optional[str]:
 _ENCODING_REF_RE = re.compile(rb"/Encoding\s+(\d+)\s+\d+\s+R")
 _DIFFERENCES_RE = re.compile(rb"/Differences\s*\[")
 _DIFF_TOKEN_RE = re.compile(rb"(\d+)|/([^\s/\[\]<>()]+)|(\])")
+_BASE_ENC_RE = re.compile(rb"/(?:Base)?Encoding\s*/(\w+)")
+
+
+def _base_encoding_table(enc_bytes: bytes) -> Dict[int, str]:
+    """Byte->char overrides for a named base encoding. latin-1 is the
+    decode default, so only the bytes where the named encoding DIFFERS
+    need entries: WinAnsi (cp1252) and MacRoman repopulate 0x80-0x9F
+    (and beyond, for MacRoman) where latin-1 has control characters —
+    curly quotes, the euro sign, em dashes, trademark."""
+    m = _BASE_ENC_RE.search(enc_bytes)
+    if m is None:
+        return {}
+    codec = {b"WinAnsiEncoding": "cp1252", b"MacRomanEncoding": "mac_roman"}.get(
+        m.group(1)
+    )
+    if codec is None:
+        return {}
+    table: Dict[int, str] = {}
+    for b in range(0x80, 0x100):
+        try:
+            ch = bytes([b]).decode(codec)
+        except UnicodeDecodeError:
+            continue  # undefined code point keeps the latin-1 default
+        if ch != chr(b):
+            table[b] = ch
+    return table
 
 
 def _parse_differences(enc_bytes: bytes) -> Optional[Dict[int, str]]:
@@ -625,7 +651,8 @@ def _page_simple_encodings(
             if eobj is None:
                 continue
             enc_bytes = eobj.dict_bytes
-        table = _parse_differences(enc_bytes)
+        table = _base_encoding_table(enc_bytes)
+        table.update(_parse_differences(enc_bytes) or {})
         if table:
             out[name.decode("latin-1")] = table
     return out

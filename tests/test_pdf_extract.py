@@ -559,10 +559,14 @@ def test_info_dictionary_roundtrip():
     assert d.info() == {}
 
 
-def _diff_pdf(encoding_entry: bytes, extra_objs: bytes = b"") -> bytes:
+def _diff_pdf(
+    encoding_entry: bytes,
+    extra_objs: bytes = b"",
+    string: bytes = b"(Caf\x82 na\x8fve r\xc8sum\x82)",
+) -> bytes:
     """Minimal classic-layout PDF: one page, one Type1 font with the given
-    /Encoding entry, content bytes 0x82/0x8F remapped by /Differences."""
-    content = b"BT /F1 12 Tf 72 720 Td (Caf\x82 na\x8fve r\xc8sum\x82) Tj ET"
+    /Encoding entry, the given literal string as the page text."""
+    content = b"BT /F1 12 Tf 72 720 Td " + string + b" Tj ET"
     stream = (
         b"4 0 obj << /Length " + str(len(content)).encode() + b" >>\n"
         b"stream\n" + content + b"\nendstream endobj\n"
@@ -619,3 +623,30 @@ class TestEncodingDifferences:
                  "Druga linia tekstu w teście."]
         pdf = make_pdf([lines], rng(), cid_font=True)
         assert parse_pdf(pdf)[0].text == "\n".join(lines)
+
+
+class TestBaseEncodings:
+    def test_winansi_high_range(self):
+        # 0x93/0x94 curly quotes, 0x80 euro, 0x99 trademark, 0x97 em dash
+        pdf = _diff_pdf(
+            b"/WinAnsiEncoding",
+            string=b"(\x93quoted\x94 \x80 price\x99 \x97 dash)",
+        )
+        assert parse_pdf(pdf)[0].text == "“quoted” € price™ — dash"
+
+    def test_macroman(self):
+        pdf = _diff_pdf(b"/MacRomanEncoding", string=b"(caf\x8e \xd0 x)")
+        expect = b"caf\x8e \xd0 x".decode("mac_roman")
+        assert parse_pdf(pdf)[0].text == expect
+
+    def test_winansi_base_plus_differences_override(self):
+        pdf = _diff_pdf(
+            b"<< /BaseEncoding /WinAnsiEncoding /Differences [ 147 /bullet ] >>",
+            string=b"(\x93 \x94)",
+        )
+        # 0x93 overridden to bullet by Differences; 0x94 stays WinAnsi
+        assert parse_pdf(pdf)[0].text == "• ”"
+
+    def test_no_declared_encoding_keeps_latin1(self):
+        pdf = _diff_pdf(b"<< >>")
+        assert parse_pdf(pdf)[0].text == "Caf\x82 na\x8fve r\xc8sum\x82"
