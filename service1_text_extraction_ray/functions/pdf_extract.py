@@ -214,6 +214,9 @@ _NAME_VAL_RE = {
 _TYPE_RE = re.compile(rb"/Type\s*/(\w+)")
 _KIDS_RE = re.compile(rb"/Kids\s*\[([^\]]*)\]")
 _CONTENTS_REF_RE = re.compile(rb"/Contents\s+(\d+)\s+\d+\s+R")
+_ANNOTS_RE = re.compile(rb"/Annots\s*\[([^\]]*)\]")
+_ACTION_REF_RE = re.compile(rb"/A\s+(\d+)\s+\d+\s+R")
+_URI_STR_RE = re.compile(rb"/URI\s*\(")
 _CONTENTS_ARR_RE = re.compile(rb"/Contents\s*\[([^\]]*)\]")
 _MEDIABOX_RE = re.compile(
     rb"/MediaBox\s*\[\s*([\d.+-]+)\s+([\d.+-]+)\s+([\d.+-]+)\s+([\d.+-]+)\s*\]"
@@ -1623,6 +1626,49 @@ class PdfDocument:
         if self._encrypt is not None:
             return {}
         return document_info(self._payload, self._objects)
+
+    def links(self) -> List[Tuple[int, str]]:
+        """External URI link annotations, in page order: ``(page_number
+        1-based, uri)`` per /Subtype /Link annotation whose action is
+        /S /URI (ISO 32000-1 §12.5.6.5, §12.6.4.7) — the PDF twin of the
+        HTML outlink extractor, feeding the same web-graph operators.
+        Internal GoTo links and non-link annotations contribute nothing.
+        Encrypted documents: URI strings are themselves encrypted — out of
+        subset, empty list (same boundary as info())."""
+        if self._encrypt is not None or self._root is None:
+            return []
+        out: List[Tuple[int, str]] = []
+        for idx, (pnum, _rot, _box, _res) in enumerate(
+            _page_order(self._objects, self._root), start=1
+        ):
+            page = self._objects.get(pnum)
+            if page is None:
+                continue
+            am = _ANNOTS_RE.search(page.dict_bytes)
+            if am is None:
+                continue
+            for rm in _REF_RE.finditer(am.group(1)):
+                annot = self._objects.get(int(rm.group(1)))
+                if annot is None:
+                    continue
+                st = re.search(rb"/Subtype\s*/(\w+)", annot.dict_bytes)
+                if st is None or st.group(1) != b"Link":
+                    continue
+                a_bytes = annot.dict_bytes
+                aref = _ACTION_REF_RE.search(annot.dict_bytes)
+                if aref is not None:
+                    aobj = self._objects.get(int(aref.group(1)))
+                    if aobj is None:
+                        continue
+                    a_bytes = aobj.dict_bytes
+                if re.search(rb"/S\s*/URI\b", a_bytes) is None:
+                    continue
+                um = _URI_STR_RE.search(a_bytes)
+                if um is None:
+                    continue
+                raw, _ = _read_literal_string(a_bytes, um.end() - 1)
+                out.append((idx, raw.decode("latin-1")))
+        return out
 
     def authenticate(self, password: Optional[str]) -> bool:
         """Try ``password`` as user then owner password; arm the key on

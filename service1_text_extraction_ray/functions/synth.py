@@ -1083,3 +1083,74 @@ def make_feed_page(doc_id: int, source: str, lang: str) -> tuple[bytes, str]:
     if doc_id % 11 == 0:
         body = body[: len(body) // 2]  # truncated: malformed XML
     return body.encode("utf-8"), url
+
+
+def make_pdf_link_doc(doc_id: int, source: str) -> tuple[bytes, str]:
+    """Deterministic PDF with URI link annotations — fixture for
+    PdfDocument.links() (the PDF twin of the outlink extractor). Branch
+    coverage: 2 + doc_id%3 external URI links (the FIRST via an indirect
+    /A action object, the rest inline), plus decoys that must contribute
+    nothing: a /Square annotation and a /Link whose action is an internal
+    /GoTo. One content line keeps the page a valid text page."""
+    n_links = 2 + doc_id % 3
+    uris = [
+        f"https://ref{(doc_id * 5 + i) % 17}.example.net/p/{doc_id % 9}/{i}"
+        for i in range(n_links)
+    ]
+    url = f"https://{source}.example.com/pdf/{doc_id}"
+    content = f"BT /F1 12 Tf 72 720 Td (Document {doc_id} with links) Tj ET".encode()
+
+    objs = []
+    annot_refs = []
+    next_num = 10
+    # indirect action for link 0
+    objs.append(
+        f"{next_num} 0 obj << /Type /Action /S /URI /URI ({uris[0]}) >> endobj\n".encode()
+    )
+    action_ref = next_num
+    next_num += 1
+    objs.append(
+        f"{next_num} 0 obj << /Type /Annot /Subtype /Link "
+        f"/Rect [72 700 200 712] /A {action_ref} 0 R >> endobj\n".encode()
+    )
+    annot_refs.append(next_num)
+    next_num += 1
+    for uri in uris[1:]:
+        objs.append(
+            f"{next_num} 0 obj << /Type /Annot /Subtype /Link "
+            f"/Rect [72 680 200 692] /A << /Type /Action /S /URI "
+            f"/URI ({uri}) >> >> endobj\n".encode()
+        )
+        annot_refs.append(next_num)
+        next_num += 1
+    # decoys
+    objs.append(
+        f"{next_num} 0 obj << /Type /Annot /Subtype /Square "
+        f"/Rect [0 0 10 10] >> endobj\n".encode()
+    )
+    annot_refs.append(next_num)
+    next_num += 1
+    objs.append(
+        f"{next_num} 0 obj << /Type /Annot /Subtype /Link "
+        f"/Rect [0 0 10 10] /A << /Type /Action /S /GoTo /D (page2) >> "
+        f">> endobj\n".encode()
+    )
+    annot_refs.append(next_num)
+
+    annots = " ".join(f"{n} 0 R" for n in annot_refs)
+    pdf = (
+        b"%PDF-1.4\n"
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+        b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n"
+        + (
+            f"3 0 obj << /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            f"/Contents 4 0 R /Annots [ {annots} ] "
+            f"/Resources << /Font << /F1 5 0 R >> >> >> endobj\n"
+        ).encode()
+        + b"4 0 obj << /Length " + str(len(content)).encode() + b" >>\n"
+        b"stream\n" + content + b"\nendstream endobj\n"
+        b"5 0 obj << /Type /Font /Subtype /Type1 /BaseFont /Helvetica >> endobj\n"
+        + b"".join(objs)
+        + b"trailer << /Root 1 0 R >>\n%%EOF\n"
+    )
+    return pdf, url

@@ -6015,3 +6015,47 @@ SELECT entity_type, CAST(count(*) AS BIGINT) AS n,
        CAST(sum(wc) AS BIGINT) AS word_count_sum
 FROM ents GROUP BY entity_type
 """
+
+
+def q_extract_pdf_links(sf_dir: str) -> rd.Dataset:
+    """URI link annotations from PDFs (ISO 32000-1 §12.5.6.5 /Link +
+    §12.6.4.7 /URI actions) — the PDF twin of extract_outlinks, feeding
+    the same web-graph operators. Deterministic annotation-bearing PDFs
+    from the documents columns (synth.make_pdf_link_doc: indirect and
+    inline actions, /Square and internal-GoTo decoys); pure per-batch
+    map, no shuffle; the oracle replays the URI construction."""
+    from ..functions.pdf_extract import PdfDocument, PdfParseError
+    from ..functions.synth import make_pdf_link_doc
+
+    out_schema = pa.schema([
+        ("url", pa.string()), ("page", pa.int64()), ("uri", pa.string()),
+    ])
+
+    def f(t: pa.Table) -> pa.Table:
+        rows = []
+        for d, src in zip(t["doc_id"].to_pylist(), t["source"].to_pylist()):
+            pdf, url = make_pdf_link_doc(int(d), src)
+            try:
+                doc = PdfDocument(pdf)
+            except PdfParseError:
+                continue
+            for page, uri in doc.links():
+                rows.append({"url": url, "page": page, "uri": uri})
+        if not rows:
+            return out_schema.empty_table()
+        return pa.Table.from_pylist(rows, schema=out_schema)
+
+    return _read(sf_dir, "documents", ["doc_id", "source"]).map_batches(
+        f, batch_format="pyarrow"
+    )
+
+
+SQL_EXTRACT_PDF_LINKS = """
+WITH s(i) AS (VALUES (0), (1), (2), (3), (4))
+SELECT 'https://' || source || '.example.com/pdf/' || doc_id AS url,
+       CAST(1 AS BIGINT) AS page,
+       'https://ref' || ((doc_id * 5 + i) % 17) || '.example.net/p/'
+           || (doc_id % 9) || '/' || i AS uri
+FROM documents, s
+WHERE s.i < 2 + doc_id % 3
+"""

@@ -650,3 +650,35 @@ class TestBaseEncodings:
     def test_no_declared_encoding_keeps_latin1(self):
         pdf = _diff_pdf(b"<< >>")
         assert parse_pdf(pdf)[0].text == "Caf\x82 na\x8fve r\xc8sum\x82"
+
+
+class TestLinkAnnotations:
+    def test_links_indirect_inline_and_decoys(self):
+        from service1_text_extraction_ray.functions.synth import make_pdf_link_doc
+        from service1_text_extraction_ray.functions.pdf_extract import PdfDocument
+
+        pdf, _ = make_pdf_link_doc(2, "srcA")  # 4 links
+        links = PdfDocument(pdf).links()
+        assert [u for _, u in links] == [
+            f"https://ref{(2 * 5 + i) % 17}.example.net/p/2/{i}"
+            for i in range(4)
+        ]
+        assert all(p == 1 for p, _ in links)
+        # decoys excluded: Square annot + internal GoTo link
+        assert not any("page2" in u for _, u in links)
+
+    def test_no_annots_page_yields_empty(self):
+        pdf = make_pdf([["Some plain page text."]], rng())
+        from service1_text_extraction_ray.functions.pdf_extract import PdfDocument
+
+        assert PdfDocument(pdf).links() == []
+
+    def test_encrypted_doc_links_out_of_subset(self):
+        from service1_text_extraction_ray.functions.pdf_extract import PdfDocument
+
+        pdf = make_pdf(
+            [["Encrypted doc line."]], rng(),
+            encrypt={"user_pw": "x", "owner_pw": "y", "v": 1},
+        )
+        doc = PdfDocument(pdf)
+        assert doc.links() == []  # documented boundary, never junk
