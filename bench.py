@@ -169,7 +169,7 @@ QUERY_NAMES = [
     "user_interval_overlaps", "frontier_allowed", "host_sitemap_urls",
     "customer_360", "events_dedup_window", "event_type_overlap",
     "crawl_plan", "extract_jsonld", "extract_feed",
-    "feed_freshness", "jsonld_type_counts", "extract_pdf_links",
+    "feed_freshness", "jsonld_type_counts", "extract_pdf_links", "extract_image_alts",
 ]
 
 

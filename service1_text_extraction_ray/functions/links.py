@@ -178,3 +178,68 @@ def extract_outlinks(
     if p._cur is not None:
         p._flush()
     return p.links, p.robots_noindex, p.robots_nofollow
+
+
+@dataclass
+class ImageRef:
+    src: str           # resolved absolute URL
+    alt: str           # whitespace-normalized alt text (never empty)
+
+
+class _ImageParser(HTMLParser):
+    """Collect <img src alt> pairs — the image-text pairing primitive a
+    multimodal training corpus is built from (CLIP-style pairs). Same
+    <base href> and <script>/<style> skip semantics as the link parser.
+    Images without a NON-EMPTY alt are dropped: an empty alt declares the
+    image decorative (WAI-ARIA), and a missing one pairs with nothing.
+    data:/javascript: sources resolve to None and are dropped."""
+
+    def __init__(self, base_url: str) -> None:
+        super().__init__(convert_charrefs=True)
+        self.base_url = base_url
+        self.images: List[ImageRef] = []
+        self._base_seen = False
+        self._skip_depth = 0
+
+    def handle_starttag(self, tag, attrs):
+        if tag in ("script", "style"):
+            self._skip_depth += 1
+            return
+        if self._skip_depth:
+            return
+        d = dict(attrs)
+        if tag == "base" and not self._base_seen:
+            self._base_seen = True
+            href = (d.get("href") or "").strip()
+            if href:
+                resolved = resolve_href(self.base_url, href)
+                if resolved is not None:
+                    self.base_url = resolved
+            return
+        if tag == "img":
+            alt = " ".join((d.get("alt") or "").split())
+            if not alt:
+                return
+            resolved = resolve_href(self.base_url, d.get("src") or "")
+            if resolved is None:
+                return
+            self.images.append(ImageRef(resolved, alt))
+
+    def handle_endtag(self, tag):
+        if tag in ("script", "style"):
+            self._skip_depth = max(0, self._skip_depth - 1)
+
+    # img is a void element: no data/endtag handling needed
+
+
+def extract_image_alts(html: bytes | str, base_url: str) -> List[ImageRef]:
+    """Parse a page -> resolved (src, alt) image-text pairs, in document
+    order. Truncation-tolerant like the link parser."""
+    text = html.decode("utf-8", errors="replace") if isinstance(html, bytes) else html
+    p = _ImageParser(base_url)
+    try:
+        p.feed(text)
+        p.close()
+    except Exception:
+        pass
+    return p.images

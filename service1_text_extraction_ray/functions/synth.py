@@ -1154,3 +1154,34 @@ def make_pdf_link_doc(doc_id: int, source: str) -> tuple[bytes, str]:
         + b"trailer << /Root 1 0 R >>\n%%EOF\n"
     )
     return pdf, url
+
+
+def make_image_page(doc_id: int, source: str, lang: str) -> tuple[bytes, str]:
+    """Deterministic image-bearing page — fixture for the image-alt pair
+    extractor (functions/links.extract_image_alts). Branch coverage:
+    RELATIVE src resolved through a <base href> for doc_id%6==3, absolute
+    cross-host src, root-relative src; drops that must contribute nothing:
+    missing alt, empty (decorative) alt, a data: URI, and a <script>
+    decoy img."""
+    base_url = f"https://{source}.example.com/g/{doc_id}/index.html"
+    base_tag = (
+        f'<base href="https://img{doc_id % 4}.example.org/cdn/">'
+        if doc_id % 6 == 3 else ""
+    )
+    imgs = [
+        f'<img src="pics/{doc_id % 7}.jpg" alt="{lang} photo {doc_id % 7}">',
+        f'<img src="https://media.example.net/m/{doc_id % 5}.png" '
+        f'alt="Figure {doc_id % 5}">',
+        f'<img src="/static/logo{doc_id % 3}.gif" alt="Logo {doc_id % 3}">',
+    ]
+    drops = (
+        '<img src="plain.jpg">'                       # no alt
+        '<img src="deco.jpg" alt="">'                  # decorative
+        '<img src="data:image/gif;base64,R0lGOD" alt="inline">'  # data URI
+    )
+    decoy = "<script>var i = '<img src=\"x.jpg\" alt=\"NOPE\">';</script>"
+    html = (
+        f"<html><head><title>gallery {doc_id}</title>{base_tag}{decoy}</head>"
+        f"<body><p>{lang} gallery</p>{''.join(imgs)}{drops}</body></html>"
+    )
+    return html.encode("utf-8"), base_url

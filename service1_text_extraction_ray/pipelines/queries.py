@@ -6059,3 +6059,62 @@ SELECT 'https://' || source || '.example.com/pdf/' || doc_id AS url,
 FROM documents, s
 WHERE s.i < 2 + doc_id % 3
 """
+
+
+def q_extract_image_alts(sf_dir: str) -> rd.Dataset:
+    """Image-alt pair extraction — the (image URL, caption) pairing a
+    CLIP-style multimodal corpus is built from. Deterministic gallery
+    pages (synth.make_image_page: base-href re-rooting, absolute/root/
+    relative srcs, decorative/data:/script drops); the oracle rebuilds
+    every resolved src and alt from the documents columns, including the
+    %6==3 base-href branch. Pure per-batch map, no shuffle."""
+    from ..functions.links import extract_image_alts
+    from ..functions.synth import make_image_page
+
+    out_schema = pa.schema([
+        ("url", pa.string()), ("src", pa.string()), ("alt", pa.string()),
+    ])
+
+    def f(t: pa.Table) -> pa.Table:
+        rows = []
+        for d, src, lang in zip(
+            t["doc_id"].to_pylist(), t["source"].to_pylist(),
+            t["lang"].to_pylist(),
+        ):
+            html, base = make_image_page(int(d), src, lang or "en")
+            for img in extract_image_alts(html, base):
+                rows.append({"url": base, "src": img.src, "alt": img.alt})
+        if not rows:
+            return out_schema.empty_table()
+        return pa.Table.from_pylist(rows, schema=out_schema)
+
+    return _read(sf_dir, "documents", ["doc_id", "source", "lang"]).map_batches(
+        f, batch_format="pyarrow"
+    )
+
+
+SQL_EXTRACT_IMAGE_ALTS = """
+WITH base AS (
+  SELECT doc_id, source, lang,
+         'https://' || source || '.example.com/g/' || doc_id || '/index.html' AS url,
+         CASE WHEN doc_id % 6 = 3
+              THEN 'https://img' || (doc_id % 4) || '.example.org'
+              ELSE 'https://' || source || '.example.com' END AS eff_host,
+         CASE WHEN doc_id % 6 = 3
+              THEN 'https://img' || (doc_id % 4) || '.example.org/cdn/'
+              ELSE 'https://' || source || '.example.com/g/' || doc_id || '/' END
+           AS eff_dir
+  FROM documents
+)
+SELECT url, eff_dir || 'pics/' || (doc_id % 7) || '.jpg' AS src,
+       lang || ' photo ' || (doc_id % 7) AS alt
+FROM base
+UNION ALL
+SELECT url, 'https://media.example.net/m/' || (doc_id % 5) || '.png',
+       'Figure ' || (doc_id % 5)
+FROM base
+UNION ALL
+SELECT url, eff_host || '/static/logo' || (doc_id % 3) || '.gif',
+       'Logo ' || (doc_id % 3)
+FROM base
+"""

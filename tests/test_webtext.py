@@ -947,3 +947,32 @@ class TestSitemaps:
             assert entries[1][2] == 500000
             # i=2 is CDATA-wrapped, still a clean loc
             assert entries[2][0] == f"https://{host}/p/{k}/2"
+
+
+class TestImageAlts:
+    def test_drops_and_resolution(self):
+        from service1_text_extraction_ray.functions.links import extract_image_alts
+
+        html = (
+            b'<base href="https://cdn.example.org/a/">'
+            b'<img src="x.jpg" alt="  spaced   alt ">'
+            b'<img src="/root.png" alt="rooted">'
+            b'<img src="no-alt.jpg">'
+            b'<img src="deco.jpg" alt="">'
+            b'<img src="data:image/gif;base64,AA" alt="inline">'
+            b'<script>var s = \'<img src="d.jpg" alt="NOPE">\';</script>'
+        )
+        got = extract_image_alts(html, "https://h.example.com/p/1")
+        assert [(i.src, i.alt) for i in got] == [
+            ("https://cdn.example.org/a/x.jpg", "spaced alt"),
+            ("https://cdn.example.org/root.png", "rooted"),
+        ]
+
+    def test_truncation_tolerant(self):
+        from service1_text_extraction_ray.functions.links import extract_image_alts
+
+        html = b'<img src="a.jpg" alt="ok"><img src="b.jp'
+        got = extract_image_alts(html, "https://h.example.com/")
+        assert [(i.src, i.alt) for i in got] == [
+            ("https://h.example.com/a.jpg", "ok")
+        ]
