@@ -90,3 +90,52 @@ def extract_meta(html: bytes | str, base_url: str) -> dict:
         "description": p.description,
         "canonical": p.canonical,
     }
+
+
+class _HreflangParser(HTMLParser):
+    """Collect <link rel="alternate" hreflang="xx" href="..."> entries —
+    the site-declared translation set (RFC 8288 + Google's hreflang
+    convention). Pages sharing an alternate cluster are the SAME content
+    in different languages: a multilingual corpus keeps one per language
+    but must not treat them as independent documents. Same script/style
+    skip and href resolution as the other head parsers."""
+
+    def __init__(self, base_url: str) -> None:
+        super().__init__(convert_charrefs=True)
+        self.base_url = base_url
+        self.alternates: list[tuple[str, str]] = []  # (hreflang, resolved href)
+        self._skip_depth = 0
+
+    def handle_starttag(self, tag, attrs):
+        if tag in ("script", "style"):
+            self._skip_depth += 1
+            return
+        if self._skip_depth:
+            return
+        if tag != "link":
+            return
+        d = dict(attrs)
+        rel = {t.strip().lower() for t in (d.get("rel") or "").split()}
+        lang = (d.get("hreflang") or "").strip().lower()
+        if "alternate" not in rel or not lang:
+            return
+        resolved = resolve_href(self.base_url, d.get("href") or "")
+        if resolved is not None:
+            self.alternates.append((lang, resolved))
+
+    def handle_endtag(self, tag):
+        if tag in ("script", "style"):
+            self._skip_depth = max(0, self._skip_depth - 1)
+
+
+def extract_hreflang(html: bytes | str, base_url: str) -> list[tuple[str, str]]:
+    """Parse a page -> [(hreflang, absolute href)] in document order.
+    x-default is kept as the literal 'x-default' language tag."""
+    text = html.decode("utf-8", errors="replace") if isinstance(html, bytes) else html
+    p = _HreflangParser(base_url)
+    try:
+        p.feed(text)
+        p.close()
+    except Exception:
+        pass
+    return p.alternates

@@ -1185,3 +1185,33 @@ def make_image_page(doc_id: int, source: str, lang: str) -> tuple[bytes, str]:
         f"<body><p>{lang} gallery</p>{''.join(imgs)}{drops}</body></html>"
     )
     return html.encode("utf-8"), base_url
+
+
+def make_hreflang_page(doc_id: int, source: str, lang: str) -> tuple[bytes, str]:
+    """Deterministic hreflang-bearing page — fixture for the alternate-
+    language extractor. Cluster structure: docs sharing doc_id//4 form one
+    translation set; each page lists all 3 language variants (en/de/fr,
+    RELATIVE hrefs — exercising resolution) plus an x-default (absolute).
+    Drops: a stylesheet <link>, an alternate WITHOUT hreflang (an RSS
+    autodiscovery link), and a <script> decoy."""
+    base_url = f"https://{source}.example.com/t/{doc_id}"
+    cluster = doc_id // 4
+    alts = "".join(
+        f'<link rel="alternate" hreflang="{lg}" href="/i18n/{cluster}/{lg}">'
+        for lg in ("en", "de", "fr")
+    )
+    xdef = (
+        f'<link rel="alternate" hreflang="x-default" '
+        f'href="https://www.example.com/i18n/{cluster}">'
+    )
+    drops = (
+        '<link rel="stylesheet" href="/style.css">'
+        '<link rel="alternate" type="application/rss+xml" href="/feed.xml">'
+    )
+    decoy = ("<script>var l = '<link rel=\"alternate\" hreflang=\"zz\" "
+             "href=\"/no\">';</script>")
+    html = (
+        f"<html><head><title>t {doc_id}</title>{alts}{xdef}{drops}{decoy}</head>"
+        f"<body><p>{lang} translated page</p></body></html>"
+    )
+    return html.encode("utf-8"), base_url

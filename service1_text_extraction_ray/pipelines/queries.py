@@ -6118,3 +6118,123 @@ SELECT url, eff_host || '/static/logo' || (doc_id % 3) || '.gif',
        'Logo ' || (doc_id % 3)
 FROM base
 """
+
+
+def q_extract_hreflang(sf_dir: str) -> rd.Dataset:
+    """hreflang alternate-language extraction (<link rel=alternate
+    hreflang>) — the site-declared translation set. Deterministic fixture
+    pages (synth.make_hreflang_page: relative hrefs resolved, x-default
+    kept, stylesheet/RSS/script drops); pure per-batch map; the oracle
+    rebuilds every (lang, href) row."""
+    from ..functions.meta import extract_hreflang
+    from ..functions.synth import make_hreflang_page
+
+    out_schema = pa.schema([
+        ("url", pa.string()), ("hreflang", pa.string()), ("href", pa.string()),
+    ])
+
+    def f(t: pa.Table) -> pa.Table:
+        rows = []
+        for d, src, lang in zip(
+            t["doc_id"].to_pylist(), t["source"].to_pylist(),
+            t["lang"].to_pylist(),
+        ):
+            html, base = make_hreflang_page(int(d), src, lang or "en")
+            for lg, href in extract_hreflang(html, base):
+                rows.append({"url": base, "hreflang": lg, "href": href})
+        if not rows:
+            return out_schema.empty_table()
+        return pa.Table.from_pylist(rows, schema=out_schema)
+
+    return _read(sf_dir, "documents", ["doc_id", "source", "lang"]).map_batches(
+        f, batch_format="pyarrow"
+    )
+
+
+SQL_EXTRACT_HREFLANG = """
+WITH langs(lg) AS (VALUES ('en'), ('de'), ('fr')),
+base AS (
+  SELECT doc_id, source, doc_id // 4 AS cluster,
+         'https://' || source || '.example.com/t/' || doc_id AS url
+  FROM documents
+)
+SELECT url, lg AS hreflang,
+       'https://' || source || '.example.com/i18n/' || cluster || '/' || lg AS href
+FROM base, langs
+UNION ALL
+SELECT url, 'x-default',
+       'https://www.example.com/i18n/' || cluster
+FROM base
+"""
+
+
+def q_hreflang_clusters(sf_dir: str) -> rd.Dataset:
+    """Translation-set consolidation: pages sharing an x-default alternate
+    are the SAME content in different languages — group by that target,
+    keep the cluster size and the representative (lowest url). The
+    multilingual sibling of dedup_canonical: per-block partials (cluster
+    key, min url, count) then one groupby merge; only clusters with >= 2
+    pages surface (a lone page declares nothing to consolidate)."""
+    from ..functions.meta import extract_hreflang
+    from ..functions.synth import make_hreflang_page
+    from .relational import hash_exchange
+
+    part_schema = pa.schema([
+        ("cluster_href", pa.string()), ("rep_url", pa.string()),
+        ("n_pages", pa.int64()),
+    ])
+
+    def partial(t: pa.Table) -> pa.Table:
+        acc: dict = {}
+        for d, src, lang in zip(
+            t["doc_id"].to_pylist(), t["source"].to_pylist(),
+            t["lang"].to_pylist(),
+        ):
+            html, base = make_hreflang_page(int(d), src, lang or "en")
+            key = None
+            for lg, href in extract_hreflang(html, base):
+                if lg == "x-default":
+                    key = href
+                    break
+            if key is None:
+                continue
+            if key in acc:
+                acc[key][0] = min(acc[key][0], base)
+                acc[key][1] += 1
+            else:
+                acc[key] = [base, 1]
+        if not acc:
+            return part_schema.empty_table()
+        return pa.Table.from_pylist(
+            [{"cluster_href": k, "rep_url": v[0], "n_pages": v[1]}
+             for k, v in acc.items()],
+            schema=part_schema,
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by("cluster_href").aggregate([
+            ("rep_url", "min"), ("n_pages", "sum"),
+        ])
+        out = pa.Table.from_arrays(
+            [g["cluster_href"], g["rep_url_min"],
+             pc.cast(g["n_pages_sum"], pa.int64())],
+            schema=part_schema,
+        )
+        return out.filter(pc.greater_equal(out["n_pages"], pa.scalar(2, pa.int64())))
+
+    parts = _read(sf_dir, "documents", ["doc_id", "source", "lang"]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+    return hash_exchange(parts, ["cluster_href"], merge, part_schema)
+
+
+SQL_HREFLANG_CLUSTERS = """
+WITH base AS (
+  SELECT doc_id // 4 AS cluster,
+         'https://' || source || '.example.com/t/' || doc_id AS url
+  FROM documents
+)
+SELECT 'https://www.example.com/i18n/' || cluster AS cluster_href,
+       min(url) AS rep_url, CAST(count(*) AS BIGINT) AS n_pages
+FROM base GROUP BY cluster HAVING count(*) >= 2
+"""

@@ -976,3 +976,23 @@ class TestImageAlts:
         assert [(i.src, i.alt) for i in got] == [
             ("https://h.example.com/a.jpg", "ok")
         ]
+
+
+class TestHreflang:
+    def test_extraction_drops_and_resolution(self):
+        from service1_text_extraction_ray.functions.meta import extract_hreflang
+
+        html = (
+            b'<link rel="alternate" hreflang="EN" href="/en">'
+            b'<link rel="alternate stylesheet" hreflang="de" href="//other.example/de">'
+            b'<link rel="alternate" href="/feed.xml">'
+            b'<link rel="stylesheet" href="/s.css">'
+            b'<link rel="alternate" hreflang="x-default" href="https://w.example/x">'
+            b'<script>var l=\'<link rel="alternate" hreflang="zz" href="/no">\';</script>'
+        )
+        got = extract_hreflang(html, "https://h.example.com/p/1")
+        assert got == [
+            ("en", "https://h.example.com/en"),           # lang lower-cased
+            ("de", "https://other.example/de"),           # rel token match
+            ("x-default", "https://w.example/x"),
+        ]
