@@ -217,6 +217,7 @@ _CONTENTS_REF_RE = re.compile(rb"/Contents\s+(\d+)\s+\d+\s+R")
 _ANNOTS_RE = re.compile(rb"/Annots\s*\[([^\]]*)\]")
 _ACTION_REF_RE = re.compile(rb"/A\s+(\d+)\s+\d+\s+R")
 _URI_STR_RE = re.compile(rb"/URI\s*\(")
+_TITLE_STR_RE = re.compile(rb"/Title\s*\(")
 _CONTENTS_ARR_RE = re.compile(rb"/Contents\s*\[([^\]]*)\]")
 _MEDIABOX_RE = re.compile(
     rb"/MediaBox\s*\[\s*([\d.+-]+)\s+([\d.+-]+)\s+([\d.+-]+)\s+([\d.+-]+)\s*\]"
@@ -1626,6 +1627,47 @@ class PdfDocument:
         if self._encrypt is not None:
             return {}
         return document_info(self._payload, self._objects)
+
+    def outline(self) -> List[Tuple[int, str]]:
+        """Document outline (bookmarks, ISO 32000-1 §12.3.3): ``(depth,
+        title)`` in reading order — depth 1 for top-level items. Walks the
+        /Outlines -> /First -> /Next chains with a visited-set cycle guard
+        and a depth cap (malformed trees terminate, never hang). Encrypted
+        documents: titles are encrypted strings — out of subset, empty
+        list (same boundary as info()/links())."""
+        if self._encrypt is not None or self._root is None:
+            return []
+        root = self._objects.get(self._root)
+        if root is None:
+            return []
+        om = re.search(rb"/Outlines\s+(\d+)\s+\d+\s+R", root.dict_bytes)
+        if om is None:
+            return []
+        out: List[Tuple[int, str]] = []
+        seen: set = set()
+
+        def first_ref(d: bytes, key: bytes) -> Optional[int]:
+            m = re.search(key + rb"\s+(\d+)\s+\d+\s+R", d)
+            return int(m.group(1)) if m else None
+
+        def walk(num: Optional[int], depth: int) -> None:
+            while num is not None and num not in seen and depth <= 16:
+                seen.add(num)
+                item = self._objects.get(num)
+                if item is None:
+                    return
+                tm = _TITLE_STR_RE.search(item.dict_bytes)
+                if tm is not None:
+                    raw, _ = _read_literal_string(item.dict_bytes, tm.end() - 1)
+                    out.append((depth, raw.decode("latin-1")))
+                walk(first_ref(item.dict_bytes, rb"/First"), depth + 1)
+                num = first_ref(item.dict_bytes, rb"/Next")
+
+        outlines = self._objects.get(int(om.group(1)))
+        if outlines is None:
+            return []
+        walk(first_ref(outlines.dict_bytes, rb"/First"), 1)
+        return out
 
     def links(self) -> List[Tuple[int, str]]:
         """External URI link annotations, in page order: ``(page_number

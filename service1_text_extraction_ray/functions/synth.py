@@ -1215,3 +1215,45 @@ def make_hreflang_page(doc_id: int, source: str, lang: str) -> tuple[bytes, str]
         f"<body><p>{lang} translated page</p></body></html>"
     )
     return html.encode("utf-8"), base_url
+
+
+def make_pdf_outline_doc(doc_id: int, source: str) -> tuple[bytes, str]:
+    """Deterministic PDF with a bookmark tree — fixture for
+    PdfDocument.outline(). Structure: 1 + doc_id%3 top-level sections
+    ("Section {doc_id}-{k}"), the FIRST with two children
+    ("Sub {doc_id}-0-{j}"); one content line keeps the page valid."""
+    n_top = 1 + doc_id % 3
+    url = f"https://{source}.example.com/book/{doc_id}"
+    content = f"BT /F1 12 Tf 72 720 Td (Book {doc_id}) Tj ET".encode()
+
+    objs = []
+    # outline item numbering: 10 = /Outlines root; tops 11..; subs 21, 22
+    tops = list(range(11, 11 + n_top))
+    header = f"10 0 obj << /Type /Outlines /First {tops[0]} 0 R /Last {tops[-1]} 0 R >> endobj\n"
+    objs.append(header.encode())
+    for k, num in enumerate(tops):
+        parts = [f"/Title (Section {doc_id}-{k})", "/Parent 10 0 R"]
+        if k + 1 < n_top:
+            parts.append(f"/Next {tops[k + 1]} 0 R")
+        if k == 0:
+            parts.append("/First 21 0 R /Last 22 0 R /Count 2")
+        objs.append(f"{num} 0 obj << {' '.join(parts)} >> endobj\n".encode())
+    objs.append(
+        f"21 0 obj << /Title (Sub {doc_id}-0-0) /Parent 11 0 R /Next 22 0 R >> endobj\n".encode()
+    )
+    objs.append(
+        f"22 0 obj << /Title (Sub {doc_id}-0-1) /Parent 11 0 R >> endobj\n".encode()
+    )
+    pdf = (
+        b"%PDF-1.4\n"
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R /Outlines 10 0 R >> endobj\n"
+        b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n"
+        b"3 0 obj << /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >> endobj\n"
+        b"4 0 obj << /Length " + str(len(content)).encode() + b" >>\n"
+        b"stream\n" + content + b"\nendstream endobj\n"
+        b"5 0 obj << /Type /Font /Subtype /Type1 /BaseFont /Helvetica >> endobj\n"
+        + b"".join(objs)
+        + b"trailer << /Root 1 0 R >>\n%%EOF\n"
+    )
+    return pdf, url

@@ -6238,3 +6238,53 @@ SELECT 'https://www.example.com/i18n/' || cluster AS cluster_href,
        min(url) AS rep_url, CAST(count(*) AS BIGINT) AS n_pages
 FROM base GROUP BY cluster HAVING count(*) >= 2
 """
+
+
+def q_extract_pdf_outline(sf_dir: str) -> rd.Dataset:
+    """PDF bookmark-tree extraction (ISO 32000-1 §12.3.3 document outline):
+    (depth, reading-order position, title) per item — the section
+    structure a long-document chunker keys on. Deterministic outline
+    fixtures (synth.make_pdf_outline_doc); the oracle replays the tree
+    walk's reading order arithmetically. Pure per-batch map."""
+    from ..functions.pdf_extract import PdfDocument, PdfParseError
+    from ..functions.synth import make_pdf_outline_doc
+
+    out_schema = pa.schema([
+        ("url", pa.string()), ("ord", pa.int64()),
+        ("depth", pa.int64()), ("title", pa.string()),
+    ])
+
+    def f(t: pa.Table) -> pa.Table:
+        rows = []
+        for d, src in zip(t["doc_id"].to_pylist(), t["source"].to_pylist()):
+            pdf, url = make_pdf_outline_doc(int(d), src)
+            try:
+                doc = PdfDocument(pdf)
+            except PdfParseError:
+                continue
+            for i, (depth, title) in enumerate(doc.outline(), start=1):
+                rows.append({"url": url, "ord": i, "depth": depth,
+                             "title": title})
+        if not rows:
+            return out_schema.empty_table()
+        return pa.Table.from_pylist(rows, schema=out_schema)
+
+    return _read(sf_dir, "documents", ["doc_id", "source"]).map_batches(
+        f, batch_format="pyarrow"
+    )
+
+
+SQL_EXTRACT_PDF_OUTLINE = """
+WITH s(k) AS (VALUES (0), (1), (2)),
+base AS (
+  SELECT doc_id,
+         'https://' || source || '.example.com/book/' || doc_id AS url
+  FROM documents
+)
+SELECT url, CASE WHEN k = 0 THEN 1 ELSE CAST(k + 3 AS BIGINT) END AS ord,
+       CAST(1 AS BIGINT) AS depth, 'Section ' || doc_id || '-' || k AS title
+FROM base, s WHERE s.k < 1 + doc_id % 3
+UNION ALL
+SELECT url, CAST(2 + j AS BIGINT), 2, 'Sub ' || doc_id || '-0-' || j
+FROM base, (VALUES (0), (1)) subs(j)
+"""

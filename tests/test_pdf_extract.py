@@ -682,3 +682,38 @@ class TestLinkAnnotations:
         )
         doc = PdfDocument(pdf)
         assert doc.links() == []  # documented boundary, never junk
+
+
+class TestOutline:
+    def test_reading_order_and_depth(self):
+        from service1_text_extraction_ray.functions.synth import (
+            make_pdf_outline_doc,
+        )
+        from service1_text_extraction_ray.functions.pdf_extract import PdfDocument
+
+        pdf, _ = make_pdf_outline_doc(2, "s")
+        assert PdfDocument(pdf).outline() == [
+            (1, "Section 2-0"), (2, "Sub 2-0-0"), (2, "Sub 2-0-1"),
+            (1, "Section 2-1"), (1, "Section 2-2"),
+        ]
+
+    def test_cyclic_outline_terminates(self):
+        from service1_text_extraction_ray.functions.synth import (
+            make_pdf_outline_doc,
+        )
+        from service1_text_extraction_ray.functions.pdf_extract import PdfDocument
+
+        pdf, _ = make_pdf_outline_doc(0, "s")
+        # point the last sub's /Next back at the first top item -> cycle
+        pdf = pdf.replace(
+            b"<< /Title (Sub 0-0-1) /Parent 11 0 R >>",
+            b"<< /Title (Sub 0-0-1) /Parent 11 0 R /Next 11 0 R >>",
+        )
+        got = PdfDocument(pdf).outline()
+        assert (1, "Section 0-0") in got and len(got) <= 4  # visited guard
+
+    def test_no_outline_is_empty(self):
+        from service1_text_extraction_ray.functions.pdf_extract import PdfDocument
+
+        pdf = make_pdf([["Plain page text."]], rng())
+        assert PdfDocument(pdf).outline() == []
