@@ -170,7 +170,7 @@ QUERY_NAMES = [
     "customer_360", "events_dedup_window", "event_type_overlap",
     "crawl_plan", "extract_jsonld", "extract_feed",
     "feed_freshness", "jsonld_type_counts", "extract_pdf_links", "extract_image_alts",
-    "extract_hreflang", "hreflang_clusters", "extract_pdf_outline",
+    "extract_hreflang", "hreflang_clusters", "extract_pdf_outline", "extract_microdata",
 ]
 
 

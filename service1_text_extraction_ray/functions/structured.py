@@ -23,7 +23,7 @@ would double-count names under the dedup/curation consumers downstream.
 from __future__ import annotations
 
 from html.parser import HTMLParser
-from typing import Any, Dict, List, Optional
+from typing import Any, Dict, List, Optional, Tuple
 
 from .json_utils import safe_json_loads
 
@@ -107,3 +107,112 @@ def extract_jsonld(html: bytes | str) -> List[Dict[str, Optional[object]]]:
                 "word_count": int(wc) if isinstance(wc, int) and not isinstance(wc, bool) else None,
             })
     return out
+
+
+# ---------------------------------------------------------------------------
+# Microdata (HTML attributes itemscope/itemtype/itemprop — the other
+# schema.org wire format; WHATWG HTML §5). Flat extraction: one row per
+# (entity, property) with the entity's type and ordinal, values from
+# either the tag's natural value attribute (href for <a>/<link>, src for
+# <img>, content for <meta>, datetime for <time>) or its text content.
+# Nested itemscopes start a NEW entity (their props never leak into the
+# parent — the mirror of the JSON-LD no-recursion rule).
+# ---------------------------------------------------------------------------
+
+_VALUE_ATTRS = {
+    "a": "href", "link": "href", "img": "src", "meta": "content",
+    "time": "datetime", "source": "src",
+}
+
+# WHATWG void elements: handle_starttag fires but handle_endtag never does —
+# they must not contribute to the tag-depth used for scope popping.
+_VOID_TAGS = frozenset(
+    "area base br col embed hr img input link meta param source track wbr".split()
+)
+
+
+class _MicrodataParser(HTMLParser):
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.rows: List[Dict[str, object]] = []
+        self._scope_stack: List[Tuple[int, str]] = []  # (entity ordinal, type)
+        self._n_entities = 0
+        self._depths: List[int] = []  # tag depth when each scope opened
+        self._depth = 0
+        self._skip_depth = 0
+        # open text-valued prop: (entity ordinal, type, prop, buffer)
+        self._open_prop: Optional[List[object]] = None
+
+    def handle_starttag(self, tag, attrs):
+        if tag not in _VOID_TAGS:
+            self._depth += 1
+        if tag in ("script", "style"):
+            self._skip_depth += 1
+            return
+        if self._skip_depth:
+            return
+        d = dict(attrs)
+        if "itemscope" in d and tag not in _VOID_TAGS:
+            self._n_entities += 1
+            itype = (d.get("itemtype") or "").strip()
+            self._scope_stack.append((self._n_entities, itype))
+            self._depths.append(self._depth)
+            return  # an itemscope tag's own itemprop belongs to the PARENT
+                    # scope per spec, but the subset keeps scopes disjoint
+        prop = (d.get("itemprop") or "").strip()
+        if prop and self._scope_stack:
+            ent, itype = self._scope_stack[-1]
+            vattr = _VALUE_ATTRS.get(tag)
+            if vattr is not None:
+                val = (d.get(vattr) or "").strip()
+                if val:
+                    self.rows.append({
+                        "entity": ent, "itemtype": itype,
+                        "prop": prop, "value": val,
+                    })
+            else:
+                if self._open_prop is not None:
+                    self._flush_prop()
+                self._open_prop = [ent, itype, prop, []]
+
+    def handle_endtag(self, tag):
+        if tag in _VOID_TAGS:
+            return  # stray </img> etc.: depth never counted them
+        if tag in ("script", "style"):
+            self._skip_depth = max(0, self._skip_depth - 1)
+        if self._open_prop is not None:
+            self._flush_prop()
+        if self._depths and self._depth <= self._depths[-1]:
+            self._depths.pop()
+            self._scope_stack.pop()
+        self._depth = max(0, self._depth - 1)
+
+    def handle_data(self, data):
+        if self._open_prop is not None and not self._skip_depth:
+            self._open_prop[3].append(data)
+
+    def _flush_prop(self) -> None:
+        ent, itype, prop, parts = self._open_prop  # type: ignore[misc]
+        self._open_prop = None
+        val = " ".join("".join(parts).split())
+        if val:
+            self.rows.append({
+                "entity": ent, "itemtype": itype, "prop": prop, "value": val,
+            })
+
+
+def extract_microdata(html: bytes | str) -> List[Dict[str, object]]:
+    """All microdata (entity ordinal, itemtype, prop, value) rows of a
+    page, in document order. Text-valued props close at their end tag;
+    a dangling open prop at EOF is flushed (truncation tolerance)."""
+    if isinstance(html, bytes):
+        html = html.decode("utf-8", errors="replace")
+    p = _MicrodataParser()
+    try:
+        p.feed(html)
+        p.close()
+    except Exception:
+        pass
+    if p._open_prop is not None:
+        p._flush_prop()
+    return p.rows

@@ -1257,3 +1257,33 @@ def make_pdf_outline_doc(doc_id: int, source: str) -> tuple[bytes, str]:
         + b"trailer << /Root 1 0 R >>\n%%EOF\n"
     )
     return pdf, url
+
+
+def make_microdata_page(doc_id: int, source: str, lang: str, n_chars: int) -> tuple[bytes, str]:
+    """Deterministic microdata-bearing page — fixture for
+    structured.extract_microdata. One Product entity per page (name, img
+    image, meta sku, time released) with a NESTED Offer entity (price) for
+    doc_id%3==0; drops: an itemprop outside any scope, an empty-value
+    meta, and a <script> decoy."""
+    url = f"https://{source}.example.com/shop/{doc_id}"
+    offer = (
+        f'<div itemscope itemtype="https://schema.org/Offer">'
+        f'<span itemprop="price">{doc_id % 90 + 10}.{doc_id % 100:02d}</span></div>'
+        if doc_id % 3 == 0 else ""
+    )
+    html = (
+        f"<html><head><title>shop {doc_id}</title>"
+        "<script>var m = '<span itemprop=\"name\">NOPE</span>';</script></head>"
+        f"<body>"
+        f'<div itemscope itemtype="https://schema.org/Product">'
+        f'<span itemprop="name">Product {doc_id} ({lang})</span>'
+        f'<img itemprop="image" src="/img/{doc_id % 8}.jpg">'
+        f'<meta itemprop="sku" content="SKU-{source}-{doc_id}">'
+        f"{offer}"
+        f'<time itemprop="released" datetime="2024-01-{1 + doc_id % 28:02d}">x</time>'
+        f'<meta itemprop="empty" content="">'
+        f"</div>"
+        f'<span itemprop="orphan">{n_chars}</span>'
+        f"</body></html>"
+    )
+    return html.encode("utf-8"), url

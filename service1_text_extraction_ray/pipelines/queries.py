@@ -6288,3 +6288,68 @@ UNION ALL
 SELECT url, CAST(2 + j AS BIGINT), 2, 'Sub ' || doc_id || '-0-' || j
 FROM base, (VALUES (0), (1)) subs(j)
 """
+
+
+def q_extract_microdata(sf_dir: str) -> rd.Dataset:
+    """schema.org microdata extraction (itemscope/itemprop attributes —
+    the other structured-data wire format next to JSON-LD): one row per
+    (entity ordinal, itemtype, prop, value), values from natural value
+    attributes (src/content/datetime) or whitespace-normalized text.
+    Deterministic product pages (synth.make_microdata_page: nested Offer
+    entities, orphan-prop/empty-value/script drops); pure per-batch map;
+    the oracle replays every row including the entity ordinals."""
+    from ..functions.structured import extract_microdata
+    from ..functions.synth import make_microdata_page
+
+    out_schema = pa.schema([
+        ("url", pa.string()), ("entity", pa.int64()),
+        ("itemtype", pa.string()), ("prop", pa.string()),
+        ("value", pa.string()),
+    ])
+
+    def f(t: pa.Table) -> pa.Table:
+        rows = []
+        for d, src, lang, nc in zip(
+            t["doc_id"].to_pylist(), t["source"].to_pylist(),
+            t["lang"].to_pylist(), t["n_chars"].to_pylist(),
+        ):
+            html, url = make_microdata_page(int(d), src, lang or "en", int(nc))
+            for r in extract_microdata(html):
+                rows.append({"url": url, **r})
+        if not rows:
+            return out_schema.empty_table()
+        return pa.Table.from_pylist(rows, schema=out_schema)
+
+    return _read(
+        sf_dir, "documents", ["doc_id", "source", "lang", "n_chars"]
+    ).map_batches(f, batch_format="pyarrow")
+
+
+SQL_EXTRACT_MICRODATA = """
+WITH base AS (
+  SELECT doc_id, source, lang,
+         'https://' || source || '.example.com/shop/' || doc_id AS url
+  FROM documents
+),
+product AS (
+  SELECT url, CAST(1 AS BIGINT) AS entity,
+         'https://schema.org/Product' AS itemtype, doc_id, source, lang
+  FROM base
+)
+SELECT url, entity, itemtype, 'name' AS prop,
+       'Product ' || doc_id || ' (' || lang || ')' AS value FROM product
+UNION ALL
+SELECT url, entity, itemtype, 'image', '/img/' || (doc_id % 8) || '.jpg'
+FROM product
+UNION ALL
+SELECT url, entity, itemtype, 'sku', 'SKU-' || source || '-' || doc_id
+FROM product
+UNION ALL
+SELECT url, CAST(2 AS BIGINT), 'https://schema.org/Offer', 'price',
+       (doc_id % 90 + 10) || '.' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+FROM product WHERE doc_id % 3 = 0
+UNION ALL
+SELECT url, entity, itemtype, 'released',
+       '2024-01-' || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0')
+FROM product
+"""

@@ -91,3 +91,49 @@ class TestExtractJsonld:
                 "entity_type": "Article", "name": f"Doc {doc_id}",
                 "word_count": 100,
             }
+
+
+class TestExtractMicrodata:
+    def test_scopes_values_and_drops(self):
+        from service1_text_extraction_ray.functions.structured import (
+            extract_microdata,
+        )
+
+        html = (
+            b'<div itemscope itemtype="https://schema.org/Product">'
+            b'<span itemprop="name">Widget  X</span>'
+            b'<img itemprop="image" src="/w.jpg">'
+            b'<meta itemprop="sku" content="SKU-1">'
+            b'<div itemscope itemtype="https://schema.org/Offer">'
+            b'<span itemprop="price">9.99</span></div>'
+            b'<time itemprop="released" datetime="2020-01-02">Jan 2</time>'
+            b"</div>"
+            b'<span itemprop="orphan">no scope</span>'
+            b'<meta itemprop="empty" content="">'
+            b'<script>var x=\'<span itemprop="name">NOPE</span>\';</script>'
+        )
+        got = extract_microdata(html)
+        assert got == [
+            {"entity": 1, "itemtype": "https://schema.org/Product",
+             "prop": "name", "value": "Widget X"},
+            {"entity": 1, "itemtype": "https://schema.org/Product",
+             "prop": "image", "value": "/w.jpg"},
+            {"entity": 1, "itemtype": "https://schema.org/Product",
+             "prop": "sku", "value": "SKU-1"},
+            {"entity": 2, "itemtype": "https://schema.org/Offer",
+             "prop": "price", "value": "9.99"},
+            {"entity": 1, "itemtype": "https://schema.org/Product",
+             "prop": "released", "value": "2020-01-02"},
+        ]
+
+    def test_truncation_flushes_open_prop(self):
+        from service1_text_extraction_ray.functions.structured import (
+            extract_microdata,
+        )
+
+        html = (
+            b'<div itemscope itemtype="T"><span itemprop="p">dangling text'
+        )
+        assert extract_microdata(html) == [
+            {"entity": 1, "itemtype": "T", "prop": "p", "value": "dangling text"}
+        ]
