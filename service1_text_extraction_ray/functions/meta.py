@@ -139,3 +139,56 @@ def extract_hreflang(html: bytes | str, base_url: str) -> list[tuple[str, str]]:
     except Exception:
         pass
     return p.alternates
+
+
+_FEED_MIMES = {
+    "application/rss+xml": "rss",
+    "application/atom+xml": "atom",
+}
+
+
+class _FeedDiscoveryParser(HTMLParser):
+    """Collect feed-autodiscovery links (<link rel="alternate"
+    type="application/rss+xml|atom+xml">, the WHATWG/RSS-board
+    convention) — how a crawler finds a site's feeds from any page.
+    Same skip/resolution semantics as the other head parsers."""
+
+    def __init__(self, base_url: str) -> None:
+        super().__init__(convert_charrefs=True)
+        self.base_url = base_url
+        self.feeds: list[tuple[str, str, str]] = []  # (kind, href, title)
+        self._skip_depth = 0
+
+    def handle_starttag(self, tag, attrs):
+        if tag in ("script", "style"):
+            self._skip_depth += 1
+            return
+        if self._skip_depth or tag != "link":
+            return
+        d = dict(attrs)
+        rel = {t.strip().lower() for t in (d.get("rel") or "").split()}
+        kind = _FEED_MIMES.get((d.get("type") or "").split(";")[0].strip().lower())
+        if "alternate" not in rel or kind is None:
+            return
+        resolved = resolve_href(self.base_url, d.get("href") or "")
+        if resolved is None:
+            return
+        title = " ".join((d.get("title") or "").split())
+        self.feeds.append((kind, resolved, title))
+
+    def handle_endtag(self, tag):
+        if tag in ("script", "style"):
+            self._skip_depth = max(0, self._skip_depth - 1)
+
+
+def discover_feeds(html: bytes | str, base_url: str) -> list[tuple[str, str, str]]:
+    """Parse a page -> [(feed kind, absolute feed URL, title)] in document
+    order."""
+    text = html.decode("utf-8", errors="replace") if isinstance(html, bytes) else html
+    p = _FeedDiscoveryParser(base_url)
+    try:
+        p.feed(text)
+        p.close()
+    except Exception:
+        pass
+    return p.feeds

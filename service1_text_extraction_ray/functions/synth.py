@@ -1287,3 +1287,28 @@ def make_microdata_page(doc_id: int, source: str, lang: str, n_chars: int) -> tu
         f"</body></html>"
     )
     return html.encode("utf-8"), url
+
+
+def make_feed_discovery_page(doc_id: int, source: str, lang: str) -> tuple[bytes, str]:
+    """Deterministic page with feed-autodiscovery links — fixture for
+    meta.discover_feeds. Every page advertises an RSS feed (relative
+    href); doc_id%4==0 pages also an Atom feed (absolute, titled); drops:
+    an hreflang alternate, a stylesheet, and a text/html alternate."""
+    url = f"https://{source}.example.com/blog/{doc_id}"
+    atom = (
+        f'<link rel="alternate" type="application/atom+xml" '
+        f'href="https://feeds.example.net/{source}/atom.xml" '
+        f'title="Atom feed for {source}">'
+        if doc_id % 4 == 0 else ""
+    )
+    drops = (
+        f'<link rel="alternate" hreflang="de" href="/de/{doc_id}">'
+        '<link rel="stylesheet" href="/s.css">'
+        f'<link rel="alternate" type="text/html" href="/m/{doc_id}">'
+    )
+    html = (
+        f"<html><head><title>blog {doc_id}</title>"
+        f'<link rel="alternate" type="application/rss+xml" href="/feed/{doc_id % 5}.xml">'
+        f"{atom}{drops}</head><body><p>{lang} post</p></body></html>"
+    )
+    return html.encode("utf-8"), url

@@ -6353,3 +6353,54 @@ SELECT url, entity, itemtype, 'released',
        '2024-01-' || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0')
 FROM product
 """
+
+
+def q_discover_feeds(sf_dir: str) -> rd.Dataset:
+    """Feed autodiscovery (<link rel=alternate type=application/rss+xml|
+    atom+xml>) — how a crawler finds a site's feeds from any page, the
+    upstream step of extract_feed. Deterministic fixture pages
+    (synth.make_feed_discovery_page: relative hrefs resolved, hreflang/
+    stylesheet/text-html drops); pure per-batch map; exact oracle."""
+    from ..functions.meta import discover_feeds
+    from ..functions.synth import make_feed_discovery_page
+
+    out_schema = pa.schema([
+        ("url", pa.string()), ("feed_kind", pa.string()),
+        ("feed_url", pa.string()), ("title", pa.string()),
+    ])
+
+    def f(t: pa.Table) -> pa.Table:
+        rows = []
+        for d, src, lang in zip(
+            t["doc_id"].to_pylist(), t["source"].to_pylist(),
+            t["lang"].to_pylist(),
+        ):
+            html, url = make_feed_discovery_page(int(d), src, lang or "en")
+            for kind, href, title in discover_feeds(html, url):
+                rows.append({"url": url, "feed_kind": kind,
+                             "feed_url": href, "title": title})
+        if not rows:
+            return out_schema.empty_table()
+        return pa.Table.from_pylist(rows, schema=out_schema)
+
+    return _read(sf_dir, "documents", ["doc_id", "source", "lang"]).map_batches(
+        f, batch_format="pyarrow"
+    )
+
+
+SQL_DISCOVER_FEEDS = """
+WITH base AS (
+  SELECT doc_id, source,
+         'https://' || source || '.example.com/blog/' || doc_id AS url
+  FROM documents
+)
+SELECT url, 'rss' AS feed_kind,
+       'https://' || source || '.example.com/feed/' || (doc_id % 5) || '.xml'
+         AS feed_url,
+       '' AS title
+FROM base
+UNION ALL
+SELECT url, 'atom', 'https://feeds.example.net/' || source || '/atom.xml',
+       'Atom feed for ' || source
+FROM base WHERE doc_id % 4 = 0
+"""

@@ -996,3 +996,24 @@ class TestHreflang:
             ("de", "https://other.example/de"),           # rel token match
             ("x-default", "https://w.example/x"),
         ]
+
+
+class TestFeedDiscovery:
+    def test_kinds_resolution_and_drops(self):
+        from service1_text_extraction_ray.functions.meta import discover_feeds
+
+        html = (
+            b'<link rel="alternate" type="application/rss+xml" href="/f.xml">'
+            b'<link rel="alternate" type="application/atom+xml; charset=utf-8"'
+            b' href="//feeds.example.net/a.xml" title=" My   Feed ">'
+            b'<link rel="alternate" type="text/html" href="/mobile">'
+            b'<link rel="alternate" hreflang="de" href="/de">'
+            b'<link rel="stylesheet" href="/s.css">'
+            b'<script>var f=\'<link rel="alternate" type="application/rss+xml"'
+            b' href="/no.xml">\';</script>'
+        )
+        got = discover_feeds(html, "https://h.example.com/p/1")
+        assert got == [
+            ("rss", "https://h.example.com/f.xml", ""),
+            ("atom", "https://feeds.example.net/a.xml", "My Feed"),
+        ]
