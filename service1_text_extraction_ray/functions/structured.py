@@ -216,3 +216,135 @@ def extract_microdata(html: bytes | str) -> List[Dict[str, object]]:
     if p._open_prop is not None:
         p._flush_prop()
     return p.rows
+
+# ---------------------------------------------------------------------------
+# RDFa Lite (W3C RDFa Lite 1.1: vocab/typeof/property/resource attributes —
+# the THIRD schema.org wire format next to JSON-LD and microdata; news CMSes
+# and Facebook-era pages ship it). Same flat row model as microdata: one row
+# per (entity ordinal, type, property, value), document order.
+#
+# Subset semantics (documented; chosen to mirror the microdata subset so the
+# three wire formats produce comparable rows):
+# - ``typeof`` on a non-void tag opens a NEW entity scope; nested typeofs are
+#   disjoint entities (no chaining — the mirror of microdata's nested-scope
+#   and JSON-LD's no-recursion rule). A ``property`` on the typeof tag itself
+#   is skipped (full RDFa gives it chaining semantics the flat model cannot
+#   represent).
+# - ``vocab`` applies to its element's subtree; terse ``typeof``/``property``
+#   terms (no ``:``) expand against the innermost vocab, CURIEs/IRIs
+#   (containing ``:``) pass through verbatim. Multi-token ``typeof`` takes
+#   the FIRST token (the primary type).
+# - Property value: ``content`` attr wins (RDFa Lite §2.2), then the tag's
+#   natural value attribute (href/src/datetime), then whitespace-normalized
+#   text content. Empty values drop the row.
+# - A ``property`` outside any typeof scope is dropped (full RDFa would
+#   attach it to the document subject; classification-less rows carry
+#   nothing downstream — the microdata orphan rule).
+# ---------------------------------------------------------------------------
+
+
+class _RdfaParser(HTMLParser):
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.rows: List[Dict[str, object]] = []
+        self._scope_stack: List[Tuple[int, str]] = []  # (entity ordinal, type)
+        self._scope_depths: List[int] = []
+        self._vocab_stack: List[Tuple[int, str]] = []  # (depth when set, vocab)
+        self._n_entities = 0
+        self._depth = 0
+        self._skip_depth = 0
+        # open text-valued property: (entity, type, prop, buffer)
+        self._open_prop: Optional[List[object]] = None
+
+    def _vocab(self) -> str:
+        return self._vocab_stack[-1][1] if self._vocab_stack else ""
+
+    def _expand(self, term: str) -> str:
+        return term if ":" in term else self._vocab() + term
+
+    def handle_starttag(self, tag, attrs):
+        if tag not in _VOID_TAGS:
+            self._depth += 1
+        if tag in ("script", "style"):
+            self._skip_depth += 1
+            return
+        if self._skip_depth:
+            return
+        d = dict(attrs)
+        vocab = (d.get("vocab") or "").strip()
+        if vocab and tag not in _VOID_TAGS:
+            self._vocab_stack.append((self._depth, vocab))
+        typeof = (d.get("typeof") or "").strip()
+        if typeof and tag not in _VOID_TAGS:
+            self._n_entities += 1
+            rtype = self._expand(typeof.split()[0])
+            self._scope_stack.append((self._n_entities, rtype))
+            self._scope_depths.append(self._depth)
+            return  # property on the typeof tag itself: chaining, skipped
+        prop = (d.get("property") or "").strip()
+        if prop and self._scope_stack:
+            ent, rtype = self._scope_stack[-1]
+            prop = self._expand(prop.split()[0])
+            content = (d.get("content") or "").strip()
+            if content:
+                self.rows.append({
+                    "entity": ent, "rtype": rtype, "prop": prop,
+                    "value": content,
+                })
+                return
+            vattr = _VALUE_ATTRS.get(tag)
+            if vattr is not None and vattr != "content":
+                val = (d.get(vattr) or "").strip()
+                if val:
+                    self.rows.append({
+                        "entity": ent, "rtype": rtype, "prop": prop,
+                        "value": val,
+                    })
+                return
+            if self._open_prop is not None:
+                self._flush_prop()
+            self._open_prop = [ent, rtype, prop, []]
+
+    def handle_endtag(self, tag):
+        if tag in _VOID_TAGS:
+            return
+        if tag in ("script", "style"):
+            self._skip_depth = max(0, self._skip_depth - 1)
+        if self._open_prop is not None:
+            self._flush_prop()
+        if self._scope_depths and self._depth <= self._scope_depths[-1]:
+            self._scope_depths.pop()
+            self._scope_stack.pop()
+        while self._vocab_stack and self._depth <= self._vocab_stack[-1][0]:
+            self._vocab_stack.pop()
+        self._depth = max(0, self._depth - 1)
+
+    def handle_data(self, data):
+        if self._open_prop is not None and not self._skip_depth:
+            self._open_prop[3].append(data)
+
+    def _flush_prop(self) -> None:
+        ent, rtype, prop, parts = self._open_prop  # type: ignore[misc]
+        self._open_prop = None
+        val = " ".join("".join(parts).split())
+        if val:
+            self.rows.append({
+                "entity": ent, "rtype": rtype, "prop": prop, "value": val,
+            })
+
+
+def extract_rdfa(html: bytes | str) -> List[Dict[str, object]]:
+    """All RDFa Lite (entity ordinal, rtype, prop, value) rows of a page,
+    in document order. Truncation-tolerant like the microdata twin: a
+    dangling open property at EOF is flushed."""
+    if isinstance(html, bytes):
+        html = html.decode("utf-8", errors="replace")
+    p = _RdfaParser()
+    try:
+        p.feed(html)
+        p.close()
+    except Exception:
+        pass
+    if p._open_prop is not None:
+        p._flush_prop()
+    return p.rows

@@ -1312,3 +1312,37 @@ def make_feed_discovery_page(doc_id: int, source: str, lang: str) -> tuple[bytes
         f"{atom}{drops}</head><body><p>{lang} post</p></body></html>"
     )
     return html.encode("utf-8"), url
+
+
+def make_rdfa_page(doc_id: int, source: str, lang: str) -> tuple[bytes, str]:
+    """Deterministic RDFa-Lite-bearing page — fixture for
+    structured.extract_rdfa. One Article entity per page (name text,
+    datePublished datetime, image src, wordCount content) under a body
+    vocab; doc_id%3==0 pages nest a Person entity (reporter name); a CURIE
+    property (dc:subject) follows the nested scope, back on the Article;
+    drops: a chained property on the typeof tag, an empty-value meta, an
+    out-of-scope property, and a <script> decoy."""
+    url = f"https://{source}.example.com/news/{doc_id}"
+    person = (
+        f'<span typeof="Person"><span property="name">'
+        f"Reporter {doc_id % 10}</span></span>"
+        if doc_id % 3 == 0 else ""
+    )
+    html = (
+        f"<html><head><title>news {doc_id}</title>"
+        "<script>var r = '<span property=\"name\">NOPE</span>';</script></head>"
+        f'<body vocab="https://schema.org/">'
+        f'<article typeof="Article" property="chained">'
+        f'<h1 property="name">Story {doc_id} ({lang})</h1>'
+        f'<time property="datePublished" '
+        f'datetime="2024-{1 + doc_id % 12:02d}-{1 + doc_id % 28:02d}">d</time>'
+        f'<img property="image" src="/img/{doc_id % 8}.jpg">'
+        f'<meta property="wordCount" content="{100 + doc_id % 900}">'
+        f"{person}"
+        f'<span property="dc:subject">beat-{doc_id % 5}</span>'
+        f'<meta property="empty" content="">'
+        f"</article>"
+        f'<span property="orphan">{lang}</span>'
+        f"</body></html>"
+    )
+    return html.encode("utf-8"), url

@@ -6404,3 +6404,72 @@ SELECT url, 'atom', 'https://feeds.example.net/' || source || '/atom.xml',
        'Atom feed for ' || source
 FROM base WHERE doc_id % 4 = 0
 """
+
+
+def q_extract_rdfa(sf_dir: str) -> rd.Dataset:
+    """RDFa Lite extraction (vocab/typeof/property attributes — the THIRD
+    schema.org wire format, completing the JSON-LD / microdata / RDFa
+    trio): one row per (entity ordinal, rtype, prop, value), vocab-
+    expanded terms, CURIE passthrough, content-attr priority.
+    Deterministic article pages (synth.make_rdfa_page: nested Person
+    entities, chained/orphan/empty/script drops); pure per-batch map; the
+    oracle replays every row including entity ordinals and vocab
+    expansion."""
+    from ..functions.structured import extract_rdfa
+    from ..functions.synth import make_rdfa_page
+
+    out_schema = pa.schema([
+        ("url", pa.string()), ("entity", pa.int64()),
+        ("rtype", pa.string()), ("prop", pa.string()),
+        ("value", pa.string()),
+    ])
+
+    def f(t: pa.Table) -> pa.Table:
+        rows = []
+        for d, src, lang in zip(
+            t["doc_id"].to_pylist(), t["source"].to_pylist(),
+            t["lang"].to_pylist(),
+        ):
+            html, url = make_rdfa_page(int(d), src, lang or "en")
+            for r in extract_rdfa(html):
+                rows.append({"url": url, **r})
+        if not rows:
+            return out_schema.empty_table()
+        return pa.Table.from_pylist(rows, schema=out_schema)
+
+    return _read(sf_dir, "documents", ["doc_id", "source", "lang"]).map_batches(
+        f, batch_format="pyarrow"
+    )
+
+
+SQL_EXTRACT_RDFA = """
+WITH base AS (
+  SELECT doc_id, source, lang,
+         'https://' || source || '.example.com/news/' || doc_id AS url
+  FROM documents
+),
+art AS (
+  SELECT url, CAST(1 AS BIGINT) AS entity,
+         'https://schema.org/Article' AS rtype, doc_id, source, lang
+  FROM base
+)
+SELECT url, entity, rtype, 'https://schema.org/name' AS prop,
+       'Story ' || doc_id || ' (' || lang || ')' AS value FROM art
+UNION ALL
+SELECT url, entity, rtype, 'https://schema.org/datePublished',
+       '2024-' || lpad(CAST(1 + doc_id % 12 AS VARCHAR), 2, '0')
+            || '-' || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0')
+FROM art
+UNION ALL
+SELECT url, entity, rtype, 'https://schema.org/image',
+       '/img/' || (doc_id % 8) || '.jpg' FROM art
+UNION ALL
+SELECT url, entity, rtype, 'https://schema.org/wordCount',
+       CAST(100 + doc_id % 900 AS VARCHAR) FROM art
+UNION ALL
+SELECT url, CAST(2 AS BIGINT), 'https://schema.org/Person',
+       'https://schema.org/name', 'Reporter ' || (doc_id % 10)
+FROM art WHERE doc_id % 3 = 0
+UNION ALL
+SELECT url, entity, rtype, 'dc:subject', 'beat-' || (doc_id % 5) FROM art
+"""

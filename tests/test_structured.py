@@ -137,3 +137,79 @@ class TestExtractMicrodata:
         assert extract_microdata(html) == [
             {"entity": 1, "itemtype": "T", "prop": "p", "value": "dangling text"}
         ]
+
+
+class TestRdfa:
+    def test_vocab_expansion_values_and_drops(self):
+        from service1_text_extraction_ray.functions.structured import extract_rdfa
+
+        html = (
+            b'<body vocab="https://schema.org/">'
+            b'<div typeof="Article" property="chained">'
+            b'<h1 property="name">Hello  World</h1>'
+            b'<time property="datePublished" datetime="2024-02-03">Feb</time>'
+            b'<img property="image" src="/i/4.jpg">'
+            b'<meta property="wordCount" content="123">'
+            b'<meta property="empty" content="">'
+            b'<div typeof="Person"><span property="name">Ada</span></div>'
+            b'<span property="dc:creator">CURIE</span>'
+            b"</div>"
+            b'<span property="orphan">drop</span>'
+            b'<script>var x=\'<span property="name">NO</span>\';</script>'
+            b"</body>"
+        )
+        assert extract_rdfa(html) == [
+            {"entity": 1, "rtype": "https://schema.org/Article",
+             "prop": "https://schema.org/name", "value": "Hello World"},
+            {"entity": 1, "rtype": "https://schema.org/Article",
+             "prop": "https://schema.org/datePublished", "value": "2024-02-03"},
+            {"entity": 1, "rtype": "https://schema.org/Article",
+             "prop": "https://schema.org/image", "value": "/i/4.jpg"},
+            {"entity": 1, "rtype": "https://schema.org/Article",
+             "prop": "https://schema.org/wordCount", "value": "123"},
+            {"entity": 2, "rtype": "https://schema.org/Person",
+             "prop": "https://schema.org/name", "value": "Ada"},
+            # after the nested scope closes, rows attach to the Article again
+            {"entity": 1, "rtype": "https://schema.org/Article",
+             "prop": "dc:creator", "value": "CURIE"},
+        ]
+
+    def test_content_attr_beats_natural_value_and_text(self):
+        from service1_text_extraction_ray.functions.structured import extract_rdfa
+
+        html = (
+            b'<div typeof="T">'
+            b'<a property="p" content="won" href="/lost">text lost</a>'
+            b"</div>"
+        )
+        assert extract_rdfa(html) == [
+            {"entity": 1, "rtype": "T", "prop": "p", "value": "won"}
+        ]
+
+    def test_vocab_scoping_pops_with_subtree(self):
+        from service1_text_extraction_ray.functions.structured import extract_rdfa
+
+        html = (
+            b'<div vocab="https://a.example/"><div typeof="X">'
+            b'<span property="p">1</span></div></div>'
+            b'<div typeof="Y"><span property="q">2</span></div>'
+        )
+        got = extract_rdfa(html)
+        assert got[0]["rtype"] == "https://a.example/X"
+        # second entity is OUTSIDE the vocab subtree: bare term, no prefix
+        assert got[1] == {"entity": 2, "rtype": "Y", "prop": "q", "value": "2"}
+
+    def test_multi_token_typeof_takes_first(self):
+        from service1_text_extraction_ray.functions.structured import extract_rdfa
+
+        html = b'<div vocab="v/" typeof="A B"><span property="p">x</span></div>'
+        # first token 'A' (no colon) expands against the vocab; 'B' dropped
+        assert extract_rdfa(html)[0]["rtype"] == "v/A"
+
+    def test_truncation_flushes_open_prop(self):
+        from service1_text_extraction_ray.functions.structured import extract_rdfa
+
+        html = b'<div typeof="T"><span property="p">dangling'
+        assert extract_rdfa(html) == [
+            {"entity": 1, "rtype": "T", "prop": "p", "value": "dangling"}
+        ]
