@@ -106,14 +106,60 @@ def make_robots_txt(host: str) -> str:
         3: ["Disallow: /", "Allow: /d/"],
         4: ["Disallow: /*/up/"],
     }[k]
+    delay = 1 + (len(host) + ord(host[0])) % 4
     lines = [
         "# synthetic robots for " + host,
         "User-agent: evilbot",
         "Disallow: /",
+        "Crawl-delay: 99",  # decoy: group selection must skip it
         "",
         "User-agent: *",
         *star_rules,
+        f"Crawl-delay: {delay}",
         "",
         "Sitemap: https://" + host + "/sitemap.xml",
     ]
     return "\n".join(lines) + "\n"
+
+
+def parse_crawl_delay(text: str, agent: str = AGENT) -> int:
+    """Per-agent Crawl-delay in whole seconds (the de-facto extension Bing/
+    Yandex honor; RFC 9309 leaves it undefined). Same group-selection
+    semantics as ``parse_robots`` — the agent's own group wins over the
+    ``*`` fallback — with Crawl-delay itself counting as a rule line for
+    group termination. Missing/unparsable -> 0 (no pacing constraint)."""
+    groups: List[Tuple[List[str], int]] = []
+    cur_agents: List[str] = []
+    cur_delay = 0
+    in_rules = False
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        field, _, value = line.partition(":")
+        field = field.strip().lower()
+        value = value.strip()
+        if field == "user-agent":
+            if in_rules:
+                groups.append((cur_agents, cur_delay))
+                cur_agents, cur_delay, in_rules = [], 0, False
+            cur_agents.append(value.lower())
+        elif field in ("allow", "disallow"):
+            in_rules = True
+        elif field == "crawl-delay":
+            in_rules = True
+            try:
+                cur_delay = max(0, int(float(value)))
+            except ValueError:
+                pass
+    if cur_agents:
+        groups.append((cur_agents, cur_delay))
+
+    agent = agent.lower()
+    fallback = 0
+    for agents, delay in groups:
+        if agent in agents:
+            return delay
+        if "*" in agents:
+            fallback = delay
+    return fallback

@@ -6473,3 +6473,82 @@ FROM art WHERE doc_id % 3 = 0
 UNION ALL
 SELECT url, entity, rtype, 'dc:subject', 'beat-' || (doc_id % 5) FROM art
 """
+
+
+def q_crawl_schedule(sf_dir: str) -> rd.Dataset:
+    """Politeness schedule for one fetch wave: each host's Hamilton budget
+    (q_host_crawl_budget) expands to per-slot fetch times paced by the
+    host's robots.txt ``Crawl-delay`` (REAL parser — robots.parse_crawl_delay
+    with group selection against a decoy group; the de-facto extension
+    Bing/Yandex honor). slot k fetches at (k-1)*delay seconds; wave_end_s
+    (the host's last fetch) is what a scheduler balances against budget.
+
+    Topology: the budget table is host-cardinality (tiny by definition —
+    see q_host_crawl_budget's scale note); the slot EXPANSION — the part
+    that is row-scale, CRAWL_BUDGET rows here, budget x 10^8 hosts at web
+    scale — runs distributed as a flat per-batch map over the host table.
+    The oracle replays Hamilton x the delay rule x generate_series."""
+    from ..functions.robots import make_robots_txt, parse_crawl_delay
+
+    out_schema = pa.schema([
+        ("host", pa.string()), ("slot", pa.int64()),
+        ("delay_s", pa.int64()), ("fetch_at_s", pa.int64()),
+    ])
+
+    hosts = q_host_crawl_budget(sf_dir)  # host-cardinality pandas table
+
+    def expand(df: pd.DataFrame) -> pa.Table:
+        budgets = df["budget"].to_numpy(dtype="int64")
+        if budgets.sum() == 0:
+            return out_schema.empty_table()
+        delays = np.array(
+            [parse_crawl_delay(make_robots_txt(h)) for h in df["host"]],
+            dtype="int64",
+        )
+        host_rep = np.repeat(df["host"].to_numpy(), budgets)
+        delay_rep = np.repeat(delays, budgets)
+        # slot = 1..budget within each host: global arange minus each run's start
+        ends = np.cumsum(budgets)
+        starts = ends - budgets
+        slots = np.arange(ends[-1], dtype="int64") - np.repeat(starts, budgets) + 1
+        return pa.Table.from_arrays(
+            [pa.array(host_rep, pa.string()), pa.array(slots),
+             pa.array(delay_rep), pa.array((slots - 1) * delay_rep)],
+            schema=out_schema,
+        )
+
+    return rd.from_pandas(hosts).map_batches(expand, batch_format="pandas")
+
+
+SQL_CRAWL_SCHEDULE = f"""
+WITH hc AS (
+  SELECT source || '.example.' ||
+           CASE doc_id % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'org' ELSE 'net' END AS host,
+         count(*) AS n_docs
+  FROM documents GROUP BY 1
+),
+t AS (SELECT sum(n_docs) AS total FROM hc),
+b AS (
+  SELECT host, n_docs,
+         ({CRAWL_BUDGET} * n_docs) // total AS base,
+         ({CRAWL_BUDGET} * n_docs) % total AS rem
+  FROM hc, t
+),
+r AS (
+  SELECT host, base,
+         row_number() OVER (ORDER BY rem DESC, host ASC) AS rk
+  FROM b
+),
+budget AS (
+  SELECT host,
+         base + CASE WHEN rk <= {CRAWL_BUDGET} - (SELECT sum(base) FROM b)
+                     THEN 1 ELSE 0 END AS budget,
+         1 + (length(host) + ascii(substr(host, 1, 1))) % 4 AS delay_s
+  FROM r
+)
+SELECT host, CAST(UNNEST(generate_series(1, CAST(budget AS BIGINT))) AS BIGINT) AS slot,
+       CAST(delay_s AS BIGINT) AS delay_s,
+       CAST((UNNEST(generate_series(1, CAST(budget AS BIGINT))) - 1) * delay_s AS BIGINT)
+         AS fetch_at_s
+FROM budget
+"""

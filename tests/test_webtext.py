@@ -1017,3 +1017,43 @@ class TestFeedDiscovery:
             ("rss", "https://h.example.com/f.xml", ""),
             ("atom", "https://feeds.example.net/a.xml", "My Feed"),
         ]
+
+
+class TestCrawlDelay:
+    def test_group_selection_and_parsing(self):
+        from service1_text_extraction_ray.functions.robots import (
+            make_robots_txt, parse_crawl_delay,
+        )
+
+        txt = make_robots_txt("acme.example.com")
+        # k-rule: 1 + (len + ord('a')) % 4; decoy evilbot group carries 99
+        assert parse_crawl_delay(txt) == 1 + (len("acme.example.com") + 97) % 4
+        assert parse_crawl_delay(txt, "evilbot") == 99
+
+    def test_own_group_beats_star_and_default_zero(self):
+        from service1_text_extraction_ray.functions.robots import parse_crawl_delay
+
+        txt = (
+            "User-agent: graftbot\nCrawl-delay: 7\n\n"
+            "User-agent: *\nCrawl-delay: 3\n"
+        )
+        assert parse_crawl_delay(txt) == 7
+        assert parse_crawl_delay(txt, "otherbot") == 3
+        assert parse_crawl_delay("User-agent: *\nDisallow: /x/\n") == 0
+
+    def test_fractional_and_garbage_values(self):
+        from service1_text_extraction_ray.functions.robots import parse_crawl_delay
+
+        assert parse_crawl_delay("User-agent: *\nCrawl-delay: 2.9\n") == 2
+        assert parse_crawl_delay("User-agent: *\nCrawl-delay: soon\n") == 0
+
+    def test_crawl_delay_terminates_group(self):
+        from service1_text_extraction_ray.functions.robots import parse_crawl_delay
+
+        # the second User-agent after a crawl-delay rule starts a NEW group:
+        # the * group's delay must not leak into graftbot's dedicated group
+        txt = (
+            "User-agent: *\nCrawl-delay: 5\n\n"
+            "User-agent: graftbot\nDisallow: /private/\n"
+        )
+        assert parse_crawl_delay(txt) == 0
