@@ -172,6 +172,7 @@ QUERY_NAMES = [
     "feed_freshness", "jsonld_type_counts", "extract_pdf_links", "extract_image_alts",
     "extract_hreflang", "hreflang_clusters", "extract_pdf_outline", "extract_microdata",
     "discover_feeds", "extract_rdfa", "crawl_schedule",
+    "extract_pagination", "pagination_chains",
 ]
 
 

@@ -192,3 +192,53 @@ def discover_feeds(html: bytes | str, base_url: str) -> list[tuple[str, str, str
     except Exception:
         pass
     return p.feeds
+
+
+class _RelLinkParser(HTMLParser):
+    """Collect <link rel="..."> targets for a chosen rel-token set (next/
+    prev pagination, amphtml, etc.) — same skip/resolution semantics as the
+    other head parsers. A link matching several wanted tokens emits one row
+    per token (rel is a set per WHATWG)."""
+
+    def __init__(self, base_url: str, rels: frozenset) -> None:
+        super().__init__(convert_charrefs=True)
+        self.base_url = base_url
+        self.rels = rels
+        self.found: list[tuple[str, str]] = []  # (rel token, absolute href)
+        self._skip_depth = 0
+
+    def handle_starttag(self, tag, attrs):
+        if tag in ("script", "style"):
+            self._skip_depth += 1
+            return
+        if self._skip_depth or tag != "link":
+            return
+        d = dict(attrs)
+        tokens = {t.strip().lower() for t in (d.get("rel") or "").split()}
+        wanted = tokens & self.rels
+        if not wanted:
+            return
+        resolved = resolve_href(self.base_url, d.get("href") or "")
+        if resolved is None:
+            return
+        for rel in sorted(wanted):
+            self.found.append((rel, resolved))
+
+    def handle_endtag(self, tag):
+        if tag in ("script", "style"):
+            self._skip_depth = max(0, self._skip_depth - 1)
+
+
+def extract_rel_links(
+    html: bytes | str, base_url: str, rels: tuple = ("next", "prev")
+) -> list[tuple[str, str]]:
+    """Parse a page -> [(rel token, absolute href)] in document order, for
+    the requested rel tokens only."""
+    text = html.decode("utf-8", errors="replace") if isinstance(html, bytes) else html
+    p = _RelLinkParser(base_url, frozenset(r.lower() for r in rels))
+    try:
+        p.feed(text)
+        p.close()
+    except Exception:
+        pass
+    return p.found

@@ -1346,3 +1346,35 @@ def make_rdfa_page(doc_id: int, source: str, lang: str) -> tuple[bytes, str]:
         f"</body></html>"
     )
     return html.encode("utf-8"), url
+
+
+def make_paginated_page(doc_id: int, source: str, lang: str) -> tuple[bytes, str]:
+    """Deterministic paginated-article page — fixture for the rel=next/prev
+    extractor. Articles are 4-page series WITHIN one host: docs sharing
+    (source, doc_id//80) form one series at position (doc_id%80)//20+1
+    (source is periodic in doc_id with period 20, so the four members
+    share a host and the chain key is assemblable). The corpus tail
+    truncates the last series of each host to fewer pages — exactly the
+    incomplete-chain structure a recrawl scheduler queues. Each page links
+    rel=next (pos<4) and rel=prev (pos>1) with absolute-path hrefs.
+    Drops: a stylesheet link, an empty-href next, and a <script> decoy."""
+    series, pos = doc_id // 80, (doc_id % 80) // 20 + 1
+    url = f"https://{source}.example.com/art/{series}?page={pos}"
+    nxt = (
+        f'<link rel="next" href="/art/{series}?page={pos + 1}">'
+        if pos < 4 else ""
+    )
+    prv = (
+        f'<link rel="prev" href="/art/{series}?page={pos - 1}">'
+        if pos > 1 else ""
+    )
+    drops = (
+        '<link rel="stylesheet" href="/s.css">'
+        '<link rel="next" href="">'
+        "<script>var p = '<link rel=\"next\" href=\"/no\">';</script>"
+    )
+    html = (
+        f"<html><head><title>art {series} p{pos}</title>{nxt}{prv}{drops}</head>"
+        f"<body><p>{lang} page {pos} of series {series}</p></body></html>"
+    )
+    return html.encode("utf-8"), url

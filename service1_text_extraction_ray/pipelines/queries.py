@@ -6552,3 +6552,143 @@ SELECT host, CAST(UNNEST(generate_series(1, CAST(budget AS BIGINT))) AS BIGINT) 
          AS fetch_at_s
 FROM budget
 """
+
+
+def _pagination_rows(t: pa.Table):
+    """Shared extraction step: one row per fixture page with its chain key
+    (URL sans query), position (from the page param), and parsed rel
+    next/prev presence (REAL head-link parser, not fixture arithmetic)."""
+    from ..functions.meta import extract_rel_links
+    from ..functions.synth import make_paginated_page
+
+    rows = []
+    for d, src, lang in zip(
+        t["doc_id"].to_pylist(), t["source"].to_pylist(), t["lang"].to_pylist()
+    ):
+        html, url = make_paginated_page(int(d), src, lang or "en")
+        rels = {r for r, _ in extract_rel_links(html, url)}
+        chain_url, _, query = url.partition("?")
+        rows.append({
+            "url": url, "chain_url": chain_url,
+            "pos": int(query.split("page=", 1)[1]),
+            "has_next": int("next" in rels), "has_prev": int("prev" in rels),
+        })
+    return rows
+
+
+def q_extract_pagination(sf_dir: str) -> rd.Dataset:
+    """Per-page pagination signals: rel=next/prev link presence (parsed
+    from the head with extract_rel_links) plus the chain key and position
+    a crawler derives from the URL's page parameter. Pure per-batch map;
+    the oracle replays every row."""
+    out_schema = pa.schema([
+        ("url", pa.string()), ("chain_url", pa.string()), ("pos", pa.int64()),
+        ("has_next", pa.int64()), ("has_prev", pa.int64()),
+    ])
+
+    def f(t: pa.Table) -> pa.Table:
+        rows = _pagination_rows(t)
+        if not rows:
+            return out_schema.empty_table()
+        return pa.Table.from_pylist(rows, schema=out_schema)
+
+    return _read(sf_dir, "documents", ["doc_id", "source", "lang"]).map_batches(
+        f, batch_format="pyarrow"
+    )
+
+
+SQL_EXTRACT_PAGINATION = """
+SELECT 'https://' || source || '.example.com/art/' || (doc_id // 80)
+         || '?page=' || ((doc_id % 80) // 20 + 1) AS url,
+       'https://' || source || '.example.com/art/' || (doc_id // 80) AS chain_url,
+       CAST((doc_id % 80) // 20 + 1 AS BIGINT) AS pos,
+       CAST(CASE WHEN (doc_id % 80) // 20 + 1 < 4 THEN 1 ELSE 0 END AS BIGINT) AS has_next,
+       CAST(CASE WHEN (doc_id % 80) // 20 + 1 > 1 THEN 1 ELSE 0 END AS BIGINT) AS has_prev
+FROM documents
+"""
+
+
+def q_pagination_chains(sf_dir: str) -> rd.Dataset:
+    """Pagination-chain assembly: group per-page pagination rows by chain
+    key and report each chain's page count, position span, and whether it
+    is COMPLETE (starts at page 1, positions contiguous, exactly one tail
+    page without rel=next). Because the fixture's series fragment across
+    hosts, incomplete fragments are the common case — the gap structure a
+    recrawl scheduler queues. Topology: per-block partial chain stats
+    (count/min/max/tails — the url_host_stats pre-combine shape), one tiny
+    groupby merge keyed on chain_url, completeness decided per merged row;
+    at web scale chains are bounded (tens of pages), so no skew risk."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    part_schema = pa.schema([
+        ("chain_url", pa.string()), ("n_pages", pa.int64()),
+        ("first_pos", pa.int64()), ("last_pos", pa.int64()),
+        ("n_tails", pa.int64()),
+    ])
+
+    def partial(t: pa.Table) -> pa.Table:
+        acc: dict = {}
+        for r in _pagination_rows(t):
+            k = r["chain_url"]
+            tail = 1 - r["has_next"]
+            if k in acc:
+                a = acc[k]
+                a[0] += 1
+                a[1] = min(a[1], r["pos"])
+                a[2] = max(a[2], r["pos"])
+                a[3] += tail
+            else:
+                acc[k] = [1, r["pos"], r["pos"], tail]
+        if not acc:
+            return part_schema.empty_table()
+        return pa.Table.from_pylist(
+            [{"chain_url": k, "n_pages": v[0], "first_pos": v[1],
+              "last_pos": v[2], "n_tails": v[3]} for k, v in acc.items()],
+            schema=part_schema,
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        complete = pc.and_(
+            pc.and_(
+                pc.equal(t["n_pages"],
+                         pc.add(pc.subtract(t["last_pos"], t["first_pos"]), 1)),
+                pc.equal(t["first_pos"], 1),
+            ),
+            pc.equal(t["n_tails"], 1),
+        )
+        return pa.Table.from_arrays(
+            [t["chain_url"], t["n_pages"], t["first_pos"], t["last_pos"],
+             pc.cast(complete, pa.int64())],
+            names=["chain_url", "n_pages", "first_pos", "last_pos", "complete"],
+        )
+
+    return (
+        _read(sf_dir, "documents", ["doc_id", "source", "lang"])
+        .map_batches(partial, batch_format="pyarrow")
+        .repartition(8)
+        .groupby("chain_url")
+        .aggregate(
+            Sum("n_pages", alias_name="n_pages"),
+            Min("first_pos", alias_name="first_pos"),
+            Max("last_pos", alias_name="last_pos"),
+            Sum("n_tails", alias_name="n_tails"),
+        )
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
+SQL_PAGINATION_CHAINS = """
+WITH p AS (
+  SELECT 'https://' || source || '.example.com/art/' || (doc_id // 80) AS chain_url,
+         (doc_id % 80) // 20 + 1 AS pos,
+         CASE WHEN (doc_id % 80) // 20 + 1 < 4 THEN 0 ELSE 1 END AS tail
+  FROM documents
+)
+SELECT chain_url, count(*) AS n_pages,
+       CAST(min(pos) AS BIGINT) AS first_pos,
+       CAST(max(pos) AS BIGINT) AS last_pos,
+       CAST(CASE WHEN count(*) = max(pos) - min(pos) + 1
+                  AND min(pos) = 1 AND sum(tail) = 1
+                 THEN 1 ELSE 0 END AS BIGINT) AS complete
+FROM p GROUP BY chain_url
+"""

@@ -1057,3 +1057,53 @@ class TestCrawlDelay:
             "User-agent: graftbot\nDisallow: /private/\n"
         )
         assert parse_crawl_delay(txt) == 0
+
+
+class TestRelLinks:
+    def test_rel_token_set_resolution_and_drops(self):
+        from service1_text_extraction_ray.functions.meta import extract_rel_links
+
+        html = (
+            b'<link rel="next" href="/a/7?page=3">'
+            b'<link rel="prev" href="//other.example/a/7?page=1">'
+            b'<link rel="NEXT PREFETCH" href="/both">'  # rel is a token SET
+            b'<link rel="stylesheet" href="/s.css">'
+            b'<link rel="next" href="">'
+            b'<script>var x=\'<link rel="next" href="/no">\';</script>'
+        )
+        got = extract_rel_links(html, "https://h.example.com/a/7?page=2")
+        assert got == [
+            ("next", "https://h.example.com/a/7?page=3"),
+            ("prev", "https://other.example/a/7?page=1"),
+            ("next", "https://h.example.com/both"),
+        ]
+
+    def test_custom_rel_filter(self):
+        from service1_text_extraction_ray.functions.meta import extract_rel_links
+
+        html = b'<link rel="amphtml" href="/amp"><link rel="next" href="/n">'
+        assert extract_rel_links(html, "https://h.example/x", rels=("amphtml",)) == [
+            ("amphtml", "https://h.example/amp")
+        ]
+
+
+class TestPaginationChains:
+    def test_chain_assembly_complete_and_fragment(self):
+        import pyarrow as pa
+
+        from service1_text_extraction_ray.pipelines.queries import _pagination_rows
+
+        # doc_ids 0,20,40,60 share source src0 -> one complete 4-page chain
+        t = pa.table({
+            "doc_id": [0, 20, 40, 60, 480],
+            "source": ["src0"] * 4 + ["src0"],
+            "lang": ["en"] * 5,
+        })
+        rows = _pagination_rows(t)
+        chain0 = [r for r in rows if r["chain_url"].endswith("/art/0")]
+        assert [r["pos"] for r in chain0] == [1, 2, 3, 4]
+        assert [r["has_next"] for r in chain0] == [1, 1, 1, 0]
+        assert [r["has_prev"] for r in chain0] == [0, 1, 1, 1]
+        # doc 480 is series 6 position 1: a head-only fragment (no tail)
+        frag = [r for r in rows if r["chain_url"].endswith("/art/6")]
+        assert frag[0]["pos"] == 1 and frag[0]["has_next"] == 1
