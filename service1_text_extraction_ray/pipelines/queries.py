@@ -3669,6 +3669,451 @@ SELECT a AS host, min(b) AS component FROM reach GROUP BY a
 """
 
 
+# ---------------------------------------------------------------------------
+# Iterative graph algorithm #3: HITS hubs/authorities over the host graph
+# ---------------------------------------------------------------------------
+
+HITS_ITERS = 3
+HITS_UNIT = 1_000_000  # scores in integer micro-units, max-normalized
+
+
+def q_host_hits(sf_dir: str) -> rd.Dataset:
+    """HITS (Kleinberg 1999) hubs/authorities over the followable host link
+    graph — the third iterative graph algorithm (with PageRank and
+    connected components). Edge multiplicity (n_links) weights the sums,
+    i.e. the adjacency matrix carries link counts. All arithmetic is
+    INTEGER: scores start at HITS_UNIT; each half-iteration computes
+    auth'(d) = sum_{s->d} hub(s)*n then MAX-normalizes
+    (x -> x * HITS_UNIT // max(x), so the top score is exactly HITS_UNIT),
+    then hub'(s) = sum_{s->d} auth'(d)*n with the same normalization.
+    Integer sums are order-independent, so the result is bit-identical at
+    any parallelism and exactly replayable in SQL (the oracle unrolls the
+    same HITS_ITERS iterations as plain CTEs, HUGEINT intermediates for
+    the normalization product).
+
+    Two regimes, selected by the measured edge count (the PageRank gate):
+    - BROADCAST (host-grain vectors fit memory): per half-iteration, ONE
+      map_batches over the materialized edges with the score dict via
+      ray.put, per-block (host, partial-sum) partials merged on the
+      driver, normalization on the driver. Zero per-iteration shuffles.
+    - JOIN (larger): per half-iteration, ONE co-partitioned hash_join
+      (edges x scores on the message source) + ONE groupby-sum; the max
+      for normalization is a scalar ds.max() — the scale shape when the
+      score vector outgrows driver memory.
+    Both regimes execute the identical integer update (pytest crosses
+    them on the same graph)."""
+    from ray.data.aggregate import Sum as RSum
+
+    from .relational import hash_join
+
+    edges = _host_edges(sf_dir)
+
+    if edges.count() <= PAGERANK_BROADCAST_HOSTS:
+        return _hits_broadcast(edges)
+
+    def hosts_partial(t: pa.Table) -> pa.Table:
+        hosts = pc.unique(
+            pa.chunked_array([pc.cast(t["src"], pa.string()),
+                              pc.cast(t["dst"], pa.string())])
+        )
+        return pa.Table.from_arrays(
+            [hosts, pa.nulls(len(hosts), pa.int64()).fill_null(0)],
+            names=["host", "score"],
+        )
+
+    hosts = (
+        edges.map_batches(hosts_partial, batch_format="pyarrow")
+        .groupby("host")
+        .aggregate(RSum("score", alias_name="score"))
+        .materialize()
+    )
+
+    def const_vec(v: int):
+        def f(t: pa.Table) -> pa.Table:
+            return pa.Table.from_arrays(
+                [t["host"], pa.nulls(t.num_rows, pa.int64()).fill_null(v)],
+                names=["host", "score"],
+            )
+
+        return f
+
+    def half_iter(scores: rd.Dataset, msg_src: str, msg_dst: str) -> rd.Dataset:
+        """One weighted-sum + max-normalize half-iteration along
+        msg_src -> msg_dst edges (join regime)."""
+        joined = hash_join(
+            edges.map_batches(
+                lambda t, a=msg_src, b=msg_dst: pa.Table.from_arrays(
+                    [t[a], t[b], t["n_links"]], names=["from_h", "to_h", "n"]
+                ),
+                batch_format="pyarrow",
+            ),
+            scores,
+            left_on="from_h",
+            right_on="host",
+            key_type=pa.string(),
+            left_fields=[pa.field("to_h", pa.string()), pa.field("n", pa.int64())],
+            right_fields=[pa.field("score", pa.int64())],
+        )
+
+        def weigh(t: pa.Table) -> pa.Table:
+            s = t["score"].to_numpy(zero_copy_only=False)
+            n = t["n"].to_numpy(zero_copy_only=False)
+            return pa.Table.from_arrays(
+                [t["to_h"], pa.array(s * n, pa.int64())], names=["host", "score"]
+            )
+
+        raw = (
+            joined.map_batches(weigh, batch_format="pyarrow")
+            .union(hosts.map_batches(const_vec(0), batch_format="pyarrow"))
+            .groupby("host")
+            .aggregate(RSum("score", alias_name="score"))
+            .materialize()
+        )
+        mx = raw.max("score") or 1
+
+        def norm(t: pa.Table, _mx=int(mx)) -> pa.Table:
+            s = t["score"].to_pylist()
+            return pa.Table.from_arrays(
+                [t["host"],
+                 pa.array([x * HITS_UNIT // _mx for x in s], pa.int64())],
+                names=["host", "score"],
+            )
+
+        return raw.map_batches(norm, batch_format="pyarrow")
+
+    hub = hosts.map_batches(const_vec(HITS_UNIT), batch_format="pyarrow")
+    auth = hub
+    for _ in range(HITS_ITERS):
+        auth = half_iter(hub, "src", "dst")
+        hub = half_iter(auth, "dst", "src")
+
+    both = hash_join(
+        hub.map_batches(
+            lambda t: pa.Table.from_arrays([t["host"], t["score"]],
+                                           names=["host", "hub"]),
+            batch_format="pyarrow",
+        ),
+        auth.map_batches(
+            lambda t: pa.Table.from_arrays([t["host"], t["score"]],
+                                           names=["host", "auth"]),
+            batch_format="pyarrow",
+        ),
+        left_on="host",
+        right_on="host",
+        key_type=pa.string(),
+        left_fields=[pa.field("hub", pa.int64())],
+        right_fields=[pa.field("auth", pa.int64())],
+    )
+    return both
+
+
+def _hits_broadcast(edges: rd.Dataset) -> rd.Dataset:
+    """Broadcast-regime HITS (see q_host_hits): score dict rides ray.put,
+    per-block partial sums merge on the driver, integer max-normalize."""
+    part_schema = pa.schema([("host", pa.string()), ("part", pa.int64())])
+
+    hosts: set[str] = set()
+    edge_rows: list[tuple[str, str, int]] = []  # host-grain, bounded
+    for b in edges.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        for s, d, n in zip(
+            b["src"].to_pylist(), b["dst"].to_pylist(), b["n_links"].to_pylist()
+        ):
+            hosts.add(s)
+            hosts.add(d)
+            edge_rows.append((s, d, int(n)))
+
+    def half(scores: dict[str, int], forward: bool) -> dict[str, int]:
+        ref = ray.put(scores)
+
+        def partial(t: pa.Table, _ref=ref, _fwd=forward) -> pa.Table:
+            sc = ray.get(_ref)
+            acc: dict[str, int] = {}
+            for s, d, n in zip(
+                t["src"].to_pylist(), t["dst"].to_pylist(), t["n_links"].to_pylist()
+            ):
+                src, dst = (s, d) if _fwd else (d, s)
+                acc[dst] = acc.get(dst, 0) + sc[src] * int(n)
+            if not acc:
+                return part_schema.empty_table()
+            return pa.Table.from_pylist(
+                [{"host": h, "part": v} for h, v in acc.items()], schema=part_schema
+            )
+
+        raw = {h: 0 for h in hosts}
+        for b in edges.map_batches(partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        ):
+            for h, v in zip(b["host"].to_pylist(), b["part"].to_pylist()):
+                raw[h] += int(v)
+        mx = max(raw.values()) or 1
+        return {h: v * HITS_UNIT // mx for h, v in raw.items()}
+
+    hub = {h: HITS_UNIT for h in hosts}
+    auth = dict(hub)
+    for _ in range(HITS_ITERS):
+        auth = half(hub, True)
+        hub = half(auth, False)
+
+    out = pa.Table.from_pylist(
+        [{"host": h, "hub": hub[h], "auth": auth[h]} for h in sorted(hosts)],
+        schema=pa.schema([
+            ("host", pa.string()), ("hub", pa.int64()), ("auth", pa.int64()),
+        ]),
+    )
+    return rd.from_arrow(out)
+
+
+def _sql_host_hits() -> str:
+    links = """
+base AS (SELECT doc_id, source FROM documents WHERE doc_id % 7 <> 0),
+links AS (
+  SELECT source || '.example.com' AS src,
+         'src' || ((doc_id * 7 + 1) % 20) || '.example.net' AS dst FROM base
+  UNION ALL
+  SELECT source || '.example.com', 'cdn.example.org' FROM base
+  UNION ALL
+  SELECT source || '.example.com', CASE WHEN doc_id % 6 = 3 THEN 'base' || (doc_id % 4) || '.example.org' ELSE source || '.example.com' END FROM base
+  UNION ALL
+  SELECT source || '.example.com', CASE WHEN doc_id % 6 = 3 THEN 'base' || (doc_id % 4) || '.example.org' ELSE source || '.example.com' END FROM base
+),
+edges AS MATERIALIZED (SELECT src, dst, CAST(count(*) AS BIGINT) AS n FROM links GROUP BY 1, 2),
+hosts AS MATERIALIZED (SELECT src AS host FROM edges UNION SELECT dst FROM edges),
+hub0 AS MATERIALIZED (SELECT host, CAST(1000000 AS BIGINT) AS score FROM hosts)"""
+    U = HITS_UNIT
+    its = []
+    # every CTE is MATERIALIZED: DuckDB otherwise re-inlines each reference,
+    # and the chained-iteration references grow exponentially (a hang at
+    # HITS_ITERS=3 even on a 40-host graph)
+    for i in range(HITS_ITERS):
+        its.append(f"""
+araw{i + 1} AS MATERIALIZED (
+  SELECT h.host, CAST(coalesce(sum(s.score * e.n), 0) AS BIGINT) AS score
+  FROM hosts h
+  LEFT JOIN edges e ON e.dst = h.host
+  LEFT JOIN hub{i} s ON s.host = e.src
+  GROUP BY h.host),
+auth{i + 1} AS MATERIALIZED (
+  SELECT host, CAST(CAST(score AS HUGEINT) * {U}
+       // greatest((SELECT max(score) FROM araw{i + 1}), 1) AS BIGINT) AS score
+  FROM araw{i + 1}),
+hraw{i + 1} AS MATERIALIZED (
+  SELECT h.host, CAST(coalesce(sum(s.score * e.n), 0) AS BIGINT) AS score
+  FROM hosts h
+  LEFT JOIN edges e ON e.src = h.host
+  LEFT JOIN auth{i + 1} s ON s.host = e.dst
+  GROUP BY h.host),
+hub{i + 1} AS MATERIALIZED (
+  SELECT host, CAST(CAST(score AS HUGEINT) * {U}
+       // greatest((SELECT max(score) FROM hraw{i + 1}), 1) AS BIGINT) AS score
+  FROM hraw{i + 1})""")
+    return (
+        "WITH " + links + "," + ",".join(its)
+        + f"""
+SELECT h.host, h.score AS hub, a.score AS auth
+FROM hub{HITS_ITERS} h JOIN auth{HITS_ITERS} a USING (host)"""
+    )
+
+
+SQL_HOST_HITS = _sql_host_hits()
+
+
+# ---------------------------------------------------------------------------
+# Iterative graph algorithm #4: BFS hop distance from a crawl seed set
+# ---------------------------------------------------------------------------
+
+SEED_DIST_CAP = 20  # >= graph diameter; recursion cap shared with the oracle
+
+
+def q_host_seed_distance(sf_dir: str) -> rd.Dataset:
+    """Minimum hop distance of every host from the crawl SEED SET
+    (deterministically: hosts ending '.example.org' — the curated-hub
+    analogue) over the UNDIRECTED followable host graph — the frontier-
+    depth metric a crawler uses to budget discovery (pages >K hops from
+    any seed are low-trust). Min-distance propagation run to FIXPOINT
+    (dist' = min(dist, neighbor dist + 1)), the connected-components
+    topology with an integer label; unreachable hosts report dist = -1
+    (the oracle's sentinel for NULL-distance hosts).
+
+    Regimes, selected by the PageRank edge-count gate: BROADCAST (dist
+    dict rides ray.put, per-block min-partials merge on the driver, zero
+    per-round shuffles) and JOIN (per round ONE hash_join of undirected
+    edges x dists + groupby-min + a changed-count scalar; the
+    q_host_components scale shape). Identical update; pytest crosses
+    them."""
+    from ray.data.aggregate import Min as RMin
+
+    from .relational import hash_join
+
+    edges = _host_edges(sf_dir)
+
+    if edges.count() <= PAGERANK_BROADCAST_HOSTS:
+        return _seed_distance_broadcast(edges)
+
+    uedge_schema = pa.schema([("a", pa.string()), ("b", pa.string())])
+
+    def undirect(t: pa.Table) -> pa.Table:
+        a = pa.chunked_array([pc.cast(t["src"], pa.string()),
+                              pc.cast(t["dst"], pa.string())])
+        b = pa.chunked_array([pc.cast(t["dst"], pa.string()),
+                              pc.cast(t["src"], pa.string())])
+        return pa.Table.from_arrays([a, b], schema=uedge_schema)
+
+    uedges = edges.map_batches(undirect, batch_format="pyarrow").materialize()
+
+    BIG = SEED_DIST_CAP + 1
+
+    def init_dist(t: pa.Table) -> pa.Table:
+        hosts = pc.unique(t["a"].combine_chunks()
+                          if isinstance(t["a"], pa.ChunkedArray) else t["a"])
+        d = pc.if_else(
+            pc.ends_with(hosts, pattern=".example.org"),
+            pa.scalar(0, pa.int64()), pa.scalar(BIG, pa.int64()),
+        )
+        return pa.Table.from_arrays([hosts, d], names=["host", "dist"])
+
+    dists = (
+        uedges.map_batches(init_dist, batch_format="pyarrow")
+        .groupby("host")
+        .aggregate(RMin("dist", alias_name="dist"))
+        .materialize()
+    )
+
+    for _ in range(SEED_DIST_CAP + 1):
+        cand = hash_join(
+            uedges,
+            dists,
+            left_on="a",
+            right_on="host",
+            key_type=pa.string(),
+            left_fields=[pa.field("b", pa.string())],
+            right_fields=[pa.field("dist", pa.int64())],
+        ).map_batches(
+            lambda t: pa.Table.from_arrays(
+                [t["b"], pc.add(t["dist"], pa.scalar(1, pa.int64()))],
+                names=["host", "dist"],
+            ),
+            batch_format="pyarrow",
+        )
+        merged = (
+            cand.union(dists.select_columns(["host", "dist"]))
+            .groupby("host")
+            .aggregate(RMin("dist", alias_name="dist"))
+            .materialize()
+        )
+        changed = (
+            hash_join(
+                merged,
+                dists.map_batches(
+                    lambda t: pa.Table.from_arrays(
+                        [t["host"], t["dist"]], names=["host", "dist_old"]
+                    ),
+                    batch_format="pyarrow",
+                ),
+                left_on="host",
+                right_on="host",
+                key_type=pa.string(),
+                left_fields=[pa.field("dist", pa.int64())],
+                right_fields=[pa.field("dist_old", pa.int64())],
+            )
+            .map_batches(
+                lambda t: pa.Table.from_arrays(
+                    [pc.cast(pc.not_equal(t["dist"], t["dist_old"]), pa.int64())],
+                    names=["chg"],
+                ),
+                batch_format="pyarrow",
+            )
+            .sum("chg")
+        )
+        dists = merged
+        if not changed:
+            break
+    else:
+        raise RuntimeError(f"seed distance did not converge in {SEED_DIST_CAP + 1} rounds")
+
+    def finish(t: pa.Table, _big=BIG) -> pa.Table:
+        d = pc.if_else(pc.greater_equal(t["dist"], pa.scalar(_big, pa.int64())),
+                       pa.scalar(-1, pa.int64()), t["dist"])
+        return pa.Table.from_arrays([t["host"], d], names=["host", "dist"])
+
+    return dists.map_batches(finish, batch_format="pyarrow")
+
+
+def _seed_distance_broadcast(edges: rd.Dataset) -> rd.Dataset:
+    """Broadcast-regime min-distance propagation (see q_host_seed_distance)."""
+    part_schema = pa.schema([("host", pa.string()), ("cand", pa.int64())])
+    BIG = SEED_DIST_CAP + 1
+
+    dist: dict[str, int] = {}
+    for b in edges.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        for s, d in zip(b["src"].to_pylist(), b["dst"].to_pylist()):
+            for h in (s, d):
+                if h not in dist:
+                    dist[h] = 0 if h.endswith(".example.org") else BIG
+
+    for _ in range(SEED_DIST_CAP + 1):
+        ref = ray.put(dist)
+
+        def prop(t: pa.Table, _ref=ref) -> pa.Table:
+            dd = ray.get(_ref)
+            acc: dict[str, int] = {}
+            for s, d in zip(t["src"].to_pylist(), t["dst"].to_pylist()):
+                ns, nd = dd[d] + 1, dd[s] + 1
+                if ns < dd[s] and ns < acc.get(s, BIG + 1):
+                    acc[s] = ns
+                if nd < dd[d] and nd < acc.get(d, BIG + 1):
+                    acc[d] = nd
+            if not acc:
+                return part_schema.empty_table()
+            return pa.Table.from_pylist(
+                [{"host": h, "cand": c} for h, c in acc.items()], schema=part_schema
+            )
+
+        changed = False
+        for b in edges.map_batches(prop, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        ):
+            for h, c in zip(b["host"].to_pylist(), b["cand"].to_pylist()):
+                if c < dist[h]:
+                    dist[h] = int(c)
+                    changed = True
+        if not changed:
+            out = pa.Table.from_pylist(
+                [{"host": h, "dist": (d if d < BIG else -1)}
+                 for h, d in sorted(dist.items())],
+                schema=pa.schema([("host", pa.string()), ("dist", pa.int64())]),
+            )
+            return rd.from_arrow(out)
+    raise RuntimeError(f"seed distance did not converge in {SEED_DIST_CAP + 1} rounds")
+
+
+SQL_HOST_SEED_DISTANCE = f"""
+WITH RECURSIVE
+base AS (SELECT doc_id, source FROM documents WHERE doc_id % 7 <> 0),
+links AS (
+  SELECT source || '.example.com' AS src,
+         'src' || ((doc_id * 7 + 1) % 20) || '.example.net' AS dst FROM base
+  UNION ALL
+  SELECT source || '.example.com', 'cdn.example.org' FROM base
+  UNION ALL
+  SELECT source || '.example.com', CASE WHEN doc_id % 6 = 3 THEN 'base' || (doc_id % 4) || '.example.org' ELSE source || '.example.com' END FROM base
+),
+uedges AS (
+  SELECT src AS a, dst AS b FROM links
+  UNION
+  SELECT dst, src FROM links
+),
+hosts AS (SELECT DISTINCT a AS host FROM uedges),
+walk(host, d) AS (
+  SELECT host, CAST(0 AS BIGINT) FROM hosts WHERE host LIKE '%.example.org'
+  UNION
+  SELECT e.b, w.d + 1 FROM walk w JOIN uedges e ON e.a = w.host
+  WHERE w.d < {SEED_DIST_CAP}
+)
+SELECT h.host, coalesce((SELECT min(w.d) FROM walk w WHERE w.host = h.host), -1) AS dist
+FROM hosts h
+"""
+
+
 def q_dedup_incremental(sf_dir: str) -> rd.Dataset:
     """Incremental ingestion dedup: which NEW documents (odd doc_ids, the
     'incoming shard') are not already in the EXISTING corpus (even doc_ids)

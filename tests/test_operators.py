@@ -1514,6 +1514,124 @@ class TestHostComponents:
         assert joined.equals(base)
 
 
+class TestHostHits:
+    def _edges(self, pairs):
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({
+            "src": pa.array([a for a, _ in pairs]),
+            "dst": pa.array([b for _, b in pairs]),
+            "n_links": pa.array([1] * len(pairs), pa.int64()),
+        }))
+
+    def test_pure_hub_and_authority(self, ray_session):
+        from service1_text_extraction_ray.pipelines.queries import (
+            HITS_UNIT,
+            _hits_broadcast,
+        )
+
+        # a and b each point only at c: c is the sole (max) authority; a and
+        # b are symmetric max hubs; c originates nothing so its hub is 0.
+        out = (
+            _hits_broadcast(self._edges([("a", "c"), ("b", "c")]))
+            .to_pandas().set_index("host")
+        )
+        assert out.loc["c", "auth"] == HITS_UNIT
+        assert out.loc["a", "hub"] == HITS_UNIT
+        assert out.loc["b", "hub"] == HITS_UNIT
+        assert out.loc["c", "hub"] == 0
+        assert out.loc["a", "auth"] == 0 and out.loc["b", "auth"] == 0
+
+    def test_multiplicity_weights_the_sums(self, ray_session):
+        import ray.data as rd
+
+        from service1_text_extraction_ray.pipelines.queries import (
+            HITS_UNIT,
+            _hits_broadcast,
+        )
+
+        # a->c carries 3 links, b->c carries 1: a's hub outweighs b's 3:1
+        edges = rd.from_arrow(pa.table({
+            "src": pa.array(["a", "b"]),
+            "dst": pa.array(["c", "c"]),
+            "n_links": pa.array([3, 1], pa.int64()),
+        }))
+        out = _hits_broadcast(edges).to_pandas().set_index("host")
+        assert out.loc["a", "hub"] == HITS_UNIT
+        assert out.loc["b", "hub"] == HITS_UNIT // 3
+
+    def test_join_regime_bit_equal_to_broadcast(self, ray_session, monkeypatch):
+        import service1_text_extraction_ray.pipelines.queries as Q
+
+        sf = "/root/testdata/sf0.001"
+        base = (
+            Q.q_host_hits(sf).to_pandas()
+            .sort_values("host").reset_index(drop=True)
+        )
+        monkeypatch.setattr(Q, "PAGERANK_BROADCAST_HOSTS", -1)
+        joined = (
+            Q.q_host_hits(sf).to_pandas()
+            .sort_values("host").reset_index(drop=True)
+        )
+        assert joined.equals(base)
+
+
+class TestHostSeedDistance:
+    def _edges(self, pairs):
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({
+            "src": pa.array([a for a, _ in pairs]),
+            "dst": pa.array([b for _, b in pairs]),
+            "n_links": pa.array([1] * len(pairs), pa.int64()),
+        }))
+
+    def test_chain_distances_and_unreachable(self, ray_session):
+        from service1_text_extraction_ray.pipelines.queries import (
+            _seed_distance_broadcast,
+        )
+
+        # seed -> a -> b chain (undirected hops 0,1,2); x-y unreachable -> -1
+        out = (
+            _seed_distance_broadcast(self._edges(
+                [("s.example.org", "a"), ("a", "b"), ("x", "y")]
+            ))
+            .to_pandas().set_index("host")["dist"]
+        )
+        assert out["s.example.org"] == 0
+        assert out["a"] == 1 and out["b"] == 2
+        assert out["x"] == -1 and out["y"] == -1
+
+    def test_min_over_two_seeds(self, ray_session):
+        from service1_text_extraction_ray.pipelines.queries import (
+            _seed_distance_broadcast,
+        )
+
+        # m sits between two seeds: dist is the MIN (1), not the first found
+        out = (
+            _seed_distance_broadcast(self._edges(
+                [("p.example.org", "m"), ("q.example.org", "m")]
+            ))
+            .to_pandas().set_index("host")["dist"]
+        )
+        assert out["m"] == 1
+
+    def test_join_regime_bit_equal_to_broadcast(self, ray_session, monkeypatch):
+        import service1_text_extraction_ray.pipelines.queries as Q
+
+        sf = "/root/testdata/sf0.001"
+        base = (
+            Q.q_host_seed_distance(sf).to_pandas()
+            .sort_values("host").reset_index(drop=True)
+        )
+        monkeypatch.setattr(Q, "PAGERANK_BROADCAST_HOSTS", -1)
+        joined = (
+            Q.q_host_seed_distance(sf).to_pandas()
+            .sort_values("host").reset_index(drop=True)
+        )
+        assert joined.equals(base)
+
+
 class TestEventsOutliers:
     def test_two_sigma_rule_exact(self, ray_session, tmp_path):
         import pyarrow.parquet as pq
