@@ -1918,3 +1918,204 @@ SELECT CAST(n AS BIGINT) AS n_vocab,
        CAST(round((CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)) AS BIGINT) AS zipf_intercept_nano
 FROM f
 """
+
+
+# ---------------------------------------------------------------------------
+# CC-Net-style per-host boilerplate line removal
+# ---------------------------------------------------------------------------
+
+BOILER_MIN_HOST_DOCS = 10   # hosts with fewer docs give no frequency signal
+BOILER_DOC_FRACTION = 2     # line is boilerplate if n_docs_with * 2 >= host_docs
+
+
+def _doc_lines(doc_id: int, source: str, lang: str, text: str) -> List[str]:
+    """The deterministic per-document line set (the 'extracted page' a line-
+    frequency pass sees): every host page carries the nav line, 2/3 carry
+    the copyright footer, 1/2 the newsletter plug, plus the unique content
+    line and a tag line. Shared verbatim by both boilerplate queries and
+    replayed arithmetically by their SQL oracles."""
+    lines = [f"{source} home | about | contact"]
+    if doc_id % 3 != 0:
+        lines.append(f"(c) 2024 {source}.example.com all rights reserved")
+    if doc_id % 2 == 0:
+        lines.append(f"subscribe to the {source} newsletter")
+    lines.append(text or "")
+    lines.append(f"tags: {lang} topic-{doc_id % 7}")
+    return lines
+
+
+_SQL_DOC_LINES = """
+doc_lines AS (
+  SELECT doc_id, source AS host, source || ' home | about | contact' AS line FROM documents
+  UNION ALL
+  SELECT doc_id, source, '(c) 2024 ' || source || '.example.com all rights reserved'
+  FROM documents WHERE doc_id % 3 <> 0
+  UNION ALL
+  SELECT doc_id, source, 'subscribe to the ' || source || ' newsletter'
+  FROM documents WHERE doc_id % 2 = 0
+  UNION ALL
+  SELECT doc_id, source, coalesce(text, '') FROM documents
+  UNION ALL
+  SELECT doc_id, source, 'tags: ' || lang || ' topic-' || (doc_id % 7) FROM documents
+),
+counts AS (
+  SELECT host, line, CAST(count(*) AS BIGINT) AS n_docs_with
+  FROM doc_lines GROUP BY 1, 2
+),
+totals AS (
+  SELECT source AS host, CAST(count(*) AS BIGINT) AS host_docs
+  FROM documents GROUP BY 1
+),
+boiler AS (
+  SELECT c.host, c.line, c.n_docs_with, t.host_docs
+  FROM counts c JOIN totals t USING (host)
+  WHERE t.host_docs >= 10 AND c.n_docs_with * 2 >= t.host_docs
+)"""
+
+
+def q_host_boilerplate_lines(sf_dir: str) -> rd.Dataset:
+    """Per-host boilerplate line detection (CC-Net, Wenzek 2020 §4.1 /
+    RefinedWeb line-wise filtering): a line that recurs across most
+    documents of one HOST is chrome (nav, footer, cookie banner), not
+    content — the line-frequency pass every web-corpus pipeline runs after
+    extraction. Rule: host has >= BOILER_MIN_HOST_DOCS docs AND the line
+    appears in >= half of them.
+
+    Topology: per-block partial (host, line-hash->count) dicts — the
+    shuffle moves (host, line, partial_count) rows, never document text
+    beyond the candidate lines themselves; one groupby-sum finishes
+    document frequency; host totals (host-grain, tiny) attach via the
+    co-partitioned hash_join. At 100 TB the line-frequency table is
+    bounded by (hosts x distinct lines per host): the unique content
+    lines long-tail is pruned where it is born by a per-block min-count
+    floor... NOT applied here because exactness is the oracle contract —
+    the documented production knob is dropping block-local singletons,
+    which only misses lines scattered 1-per-block."""
+    pair_schema = pa.schema([
+        ("host", pa.string()), ("line", pa.string()), ("n_docs_with", pa.int64()),
+    ])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        acc: dict[tuple, int] = {}
+        for d, src, lang, text in zip(
+            t["doc_id"].to_pylist(), t["source"].to_pylist(),
+            t["lang"].to_pylist(), t["text"].to_pylist(),
+        ):
+            for ln in set(_doc_lines(int(d), src, lang or "", text or "")):
+                k = (src, ln)
+                acc[k] = acc.get(k, 0) + 1
+        if not acc:
+            return pair_schema.empty_table()
+        return pa.Table.from_pylist(
+            [{"host": h, "line": l, "n_docs_with": n} for (h, l), n in acc.items()],
+            schema=pair_schema,
+        )
+
+    counts = (
+        _read(sf_dir, "documents", ["doc_id", "source", "lang", "text"])
+        .map_batches(pairs, batch_format="pyarrow")
+        .groupby(["host", "line"])
+        .aggregate(Sum("n_docs_with", alias_name="n_docs_with"))
+    )
+
+    def totals_part(t: pa.Table) -> pa.Table:
+        g = t.group_by("source").aggregate([([], "count_all")])
+        return pa.Table.from_arrays(
+            [g["source"], pc.cast(g["count_all"], pa.int64())],
+            names=["host", "host_docs"],
+        )
+
+    totals = (
+        _read(sf_dir, "documents", ["source"])
+        .map_batches(totals_part, batch_format="pyarrow")
+        .groupby("host")
+        .aggregate(Sum("host_docs", alias_name="host_docs"))
+    )
+
+    joined = hash_join(
+        counts,
+        totals,
+        left_on="host",
+        right_on="host",
+        key_type=pa.string(),
+        left_fields=[pa.field("line", pa.string()), pa.field("n_docs_with", pa.int64())],
+        right_fields=[pa.field("host_docs", pa.int64())],
+    )
+
+    def keep_boiler(t: pa.Table) -> pa.Table:
+        ok = pc.and_(
+            pc.greater_equal(t["host_docs"], pa.scalar(BOILER_MIN_HOST_DOCS, pa.int64())),
+            pc.greater_equal(
+                pc.multiply(t["n_docs_with"], pa.scalar(BOILER_DOC_FRACTION, pa.int64())),
+                t["host_docs"],
+            ),
+        )
+        return t.filter(ok).select(["host", "line", "n_docs_with", "host_docs"])
+
+    return joined.map_batches(keep_boiler, batch_format="pyarrow")
+
+
+SQL_HOST_BOILERPLATE_LINES = (
+    "WITH " + _SQL_DOC_LINES
+    + "\nSELECT host, line, n_docs_with, host_docs FROM boiler"
+)
+
+
+def q_doc_strip_boilerplate(sf_dir: str) -> rd.Dataset:
+    """Apply the host-boilerplate table to every document: drop the chrome
+    lines, keep the content (CC-Net's removal step). The boilerplate table
+    is host-grain SMALL (hosts x few recurring lines — independent of
+    corpus size), so it is collected once and broadcast via ray.put into a
+    single map over the corpus: the canonical broadcast-small-side join.
+    Per doc: total lines, lines removed, and the character count of the
+    kept lines (sum of line lengths — separator-free so the SQL replay is
+    exact)."""
+    boiler: dict[str, set] = {}
+    for b in q_host_boilerplate_lines(sf_dir).iter_batches(
+        batch_size=65536, batch_format="pyarrow"
+    ):
+        for h, l in zip(b["host"].to_pylist(), b["line"].to_pylist()):
+            boiler.setdefault(h, set()).add(l)
+    ref = ray.put(boiler)
+
+    out_schema = pa.schema([
+        ("doc_id", pa.int64()), ("n_lines", pa.int64()),
+        ("n_removed", pa.int64()), ("clean_chars", pa.int64()),
+    ])
+
+    def strip(t: pa.Table, _ref=ref) -> pa.Table:
+        bl = ray.get(_ref)
+        rows = []
+        for d, src, lang, text in zip(
+            t["doc_id"].to_pylist(), t["source"].to_pylist(),
+            t["lang"].to_pylist(), t["text"].to_pylist(),
+        ):
+            lines = _doc_lines(int(d), src, lang or "", text or "")
+            host_bl = bl.get(src, ())
+            kept = [ln for ln in lines if ln not in host_bl]
+            rows.append({
+                "doc_id": int(d),
+                "n_lines": len(lines),
+                "n_removed": len(lines) - len(kept),
+                "clean_chars": sum(len(ln) for ln in kept),
+            })
+        return pa.Table.from_pylist(rows, schema=out_schema)
+
+    return _read(sf_dir, "documents", ["doc_id", "source", "lang", "text"]).map_batches(
+        strip, batch_format="pyarrow"
+    )
+
+
+SQL_DOC_STRIP_BOILERPLATE = (
+    "WITH " + _SQL_DOC_LINES
+    + """
+SELECT dl.doc_id,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CASE WHEN b.line IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_removed,
+       CAST(sum(CASE WHEN b.line IS NULL THEN length(dl.line) ELSE 0 END) AS BIGINT)
+         AS clean_chars
+FROM doc_lines dl
+LEFT JOIN boiler b ON b.host = dl.host AND b.line = dl.line
+GROUP BY dl.doc_id"""
+)

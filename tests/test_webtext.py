@@ -1107,3 +1107,57 @@ class TestPaginationChains:
         # doc 480 is series 6 position 1: a head-only fragment (no tail)
         frag = [r for r in rows if r["chain_url"].endswith("/art/6")]
         assert frag[0]["pos"] == 1 and frag[0]["has_next"] == 1
+
+
+class TestHostBoilerplate:
+    def _docs(self, tmp_path, n_a=12, n_b=3):
+        import pyarrow.parquet as pq
+
+        rows = []
+        for i in range(n_a):
+            rows.append({"doc_id": i, "text": f"content {i}", "lang": "en",
+                         "source": "hosta"})
+        for i in range(n_b):
+            rows.append({"doc_id": 100 + i, "text": f"other {i}", "lang": "en",
+                         "source": "hostb"})
+        d = tmp_path / "sf"
+        d.mkdir(exist_ok=True)
+        pq.write_table(pa.Table.from_pylist(rows), str(d / "documents.parquet"))
+        return str(d)
+
+    def test_threshold_and_small_host_exemption(self, ray_session, tmp_path):
+        from service1_text_extraction_ray.pipelines.webtext import (
+            q_host_boilerplate_lines,
+        )
+
+        out = q_host_boilerplate_lines(self._docs(tmp_path)).to_pandas()
+        # hostb has 3 docs < BOILER_MIN_HOST_DOCS -> contributes nothing
+        assert set(out["host"]) == {"hosta"}
+        lines = set(out["line"])
+        # nav (12/12), copyright (8/12 >= 6), newsletter (6/12 == half)
+        assert "hosta home | about | contact" in lines
+        assert "(c) 2024 hosta.example.com all rights reserved" in lines
+        assert "subscribe to the hosta newsletter" in lines
+        # unique content lines never reach half
+        assert not any(l.startswith("content ") for l in lines)
+
+    def test_strip_counts(self, ray_session, tmp_path):
+        from service1_text_extraction_ray.pipelines.webtext import (
+            _doc_lines,
+            q_doc_strip_boilerplate,
+        )
+
+        out = (
+            q_doc_strip_boilerplate(self._docs(tmp_path))
+            .to_pandas().set_index("doc_id")
+        )
+        # doc 1 (hosta, id%3!=0, id%2!=0): lines = nav, copyright, text, tags
+        assert out.loc[1, "n_lines"] == 4
+        # nav + copyright removed; the tags line 'tags: en topic-1' appears in
+        # ceil(12/7) < 6 docs -> kept
+        assert out.loc[1, "n_removed"] == 2
+        kept = [l for l in _doc_lines(1, "hosta", "en", "content 1")
+                if l in ("content 1", "tags: en topic-1")]
+        assert out.loc[1, "clean_chars"] == sum(len(l) for l in kept)
+        # hostb docs: small host, nothing removed
+        assert (out.loc[100:, "n_removed"] == 0).all()
