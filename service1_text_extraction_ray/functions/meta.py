@@ -242,3 +242,108 @@ def extract_rel_links(
     except Exception:
         pass
     return p.found
+
+
+# ---------------------------------------------------------------------------
+# Robots-meta directives + soft-404 classification
+# ---------------------------------------------------------------------------
+
+# phrases, not the bare token "404": a healthy title like "Doc 404" must
+# not flag (the classic soft-404 false positive — caught by the oracle at
+# doc_id=404)
+_SOFT404_TITLE_MARKERS = ("not found", "error 404")
+_SOFT404_BODY_MARKERS = (
+    "page does not exist",
+    "page not found",
+    "could not be found",
+    "has been removed",
+)
+SOFT404_BODY_MAX_CHARS = 200  # error phrasing only counts on a thin page
+
+
+class _StatusParser(HTMLParser):
+    """Collect the first <title>, the first <meta name=robots> content and
+    the page's visible body text (character data outside script/style and
+    outside the title) — the three signals the indexability classifier
+    reads."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.robots: Optional[str] = None
+        self._skip_depth = 0
+        self._in_title = False
+        self._title_done = False
+        self._title_parts: list[str] = []
+        self._body_parts: list[str] = []
+
+    def handle_starttag(self, tag, attrs):
+        if tag in ("script", "style"):
+            self._skip_depth += 1
+            return
+        if self._skip_depth:
+            return
+        if tag == "title" and not self._title_done:
+            self._in_title = True
+            return
+        if tag == "meta" and self.robots is None:
+            d = dict(attrs)
+            if (d.get("name") or "").strip().lower() == "robots":
+                self.robots = d.get("content")
+
+    def handle_endtag(self, tag):
+        if tag in ("script", "style"):
+            self._skip_depth = max(0, self._skip_depth - 1)
+            return
+        if tag == "title" and self._in_title:
+            self._in_title = False
+            self._title_done = True
+
+    def handle_data(self, data):
+        if self._skip_depth:
+            return
+        if self._in_title:
+            self._title_parts.append(data)
+        else:
+            self._body_parts.append(data)
+
+
+def page_status(html: bytes | str) -> dict:
+    """-> {noindex, nofollow, soft404, reason}.
+
+    Robots-meta semantics (Google/Bing documented behavior): the content
+    attribute is a comma-separated, case-insensitive token list; ``none``
+    means ``noindex, nofollow``. Soft-404 heuristic (the classifier every
+    crawl pipeline runs because servers answer 200 for missing pages):
+    a 404-ish TITLE flags unconditionally (reason='title'); an error
+    phrase in the BODY flags only when the visible text is thin
+    (< SOFT404_BODY_MAX_CHARS, reason='body') — long pages legitimately
+    mention "not found"."""
+    text = html.decode("utf-8", errors="replace") if isinstance(html, bytes) else html
+    p = _StatusParser()
+    try:
+        p.feed(text)
+        p.close()
+    except Exception:
+        pass
+    tokens = set()
+    if p.robots:
+        tokens = {t.strip().lower() for t in p.robots.split(",")}
+    noindex = "noindex" in tokens or "none" in tokens
+    nofollow = "nofollow" in tokens or "none" in tokens
+
+    title = " ".join("".join(p._title_parts).split()).lower()
+    body = " ".join("".join(p._body_parts).split())
+    soft404 = False
+    reason = None
+    if any(m in title for m in _SOFT404_TITLE_MARKERS):
+        soft404, reason = True, "title"
+    elif len(body) < SOFT404_BODY_MAX_CHARS and any(
+        m in body.lower() for m in _SOFT404_BODY_MARKERS
+    ):
+        soft404, reason = True, "body"
+    return {
+        "noindex": noindex,
+        "nofollow": nofollow,
+        "soft404": soft404,
+        "reason": reason,
+    }

@@ -1378,3 +1378,34 @@ def make_paginated_page(doc_id: int, source: str, lang: str) -> tuple[bytes, str
         f"<body><p>{lang} page {pos} of series {series}</p></body></html>"
     )
     return html.encode("utf-8"), url
+
+
+def make_status_page(doc_id: int, source: str, lang: str) -> tuple[bytes, str]:
+    """Deterministic indexability/status fixture page — for
+    functions/meta.py's page_status. Branch coverage: robots meta on
+    doc_id%6 in {1: noindex, 3: nofollow, 5: BOTH via case/space variant
+    'NOINDEX,NOFOLLOW'}; soft-404 content on doc_id%9==4 (404 TITLE, thin
+    body) and doc_id%9==7 (healthy title, thin body with an error phrase);
+    everything else a healthy page whose body is long enough to clear the
+    thin-page gate."""
+    robots = {
+        1: '<meta name="robots" content="noindex, follow">',
+        3: '<meta name="robots" content="index, nofollow">',
+        5: '<meta name="ROBOTS" content="NOINDEX,NOFOLLOW">',
+    }.get(doc_id % 6, "")
+    m = doc_id % 9
+    if m == 4:
+        title = f"404 Not Found - {source}"
+        body = "The page you requested could not be found."
+    elif m == 7:
+        title = f"Doc {doc_id} - {source}"
+        body = "Sorry, this page does not exist or has been removed."
+    else:
+        title = f"Doc {doc_id} - {source}"
+        body = f"{lang} content paragraph for document {doc_id}. " * 5
+    html = (
+        f"<html><head><title>{title}</title>{robots}"
+        f"<script>var x = 'page not found decoy';</script></head>"
+        f"<body><p>{body}</p></body></html>"
+    )
+    return html.encode("utf-8"), f"https://{source}.example.com/s/{doc_id}"

@@ -7137,3 +7137,53 @@ SELECT chain_url, count(*) AS n_pages,
                  THEN 1 ELSE 0 END AS BIGINT) AS complete
 FROM p GROUP BY chain_url
 """
+
+
+# ---------------------------------------------------------------------------
+# Indexability + soft-404 classification (functions/meta.py page_status)
+# ---------------------------------------------------------------------------
+
+
+def q_page_indexability(sf_dir: str) -> rd.Dataset:
+    """Per-page indexability report: robots-meta directives (noindex /
+    nofollow, case-insensitive token list incl. the 'none' alias) and the
+    soft-404 classifier (servers answering 200 for missing pages — a
+    404-ish title, or an error phrase on a thin page). The signals a crawl
+    pipeline uses to drop pages BEFORE they pollute a training corpus.
+    Pure per-batch map over deterministic status pages
+    (synth.make_status_page); the real HTML parser runs inside the
+    value-hash-checked loop; the oracle rebuilds the flags from doc_id
+    arithmetic."""
+    from ..functions.meta import page_status
+    from ..functions.synth import make_status_page
+
+    out_schema = pa.schema([
+        ("doc_id", pa.int64()), ("noindex", pa.bool_()),
+        ("nofollow", pa.bool_()), ("soft404", pa.bool_()),
+        ("reason", pa.string()),
+    ])
+
+    def f(t: pa.Table) -> pa.Table:
+        rows = []
+        for d, src, lang in zip(
+            t["doc_id"].to_pylist(), t["source"].to_pylist(), t["lang"].to_pylist()
+        ):
+            html, _ = make_status_page(int(d), src, lang or "en")
+            s = page_status(html)
+            rows.append({"doc_id": int(d), **s})
+        return pa.Table.from_pylist(rows, schema=out_schema)
+
+    return _read(sf_dir, "documents", ["doc_id", "source", "lang"]).map_batches(
+        f, batch_format="pyarrow"
+    )
+
+
+SQL_PAGE_INDEXABILITY = """
+SELECT doc_id,
+       (doc_id % 6 = 1 OR doc_id % 6 = 5) AS noindex,
+       (doc_id % 6 = 3 OR doc_id % 6 = 5) AS nofollow,
+       (doc_id % 9 = 4 OR doc_id % 9 = 7) AS soft404,
+       CASE WHEN doc_id % 9 = 4 THEN 'title'
+            WHEN doc_id % 9 = 7 THEN 'body' END AS reason
+FROM documents
+"""

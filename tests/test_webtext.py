@@ -1161,3 +1161,38 @@ class TestHostBoilerplate:
         assert out.loc[1, "clean_chars"] == sum(len(l) for l in kept)
         # hostb docs: small host, nothing removed
         assert (out.loc[100:, "n_removed"] == 0).all()
+
+
+class TestPageStatus:
+    def _status(self, html):
+        from service1_text_extraction_ray.functions.meta import page_status
+
+        return page_status(html)
+
+    def test_robots_none_alias_and_case(self):
+        s = self._status('<meta name="ROBOTS" content="NONE"><title>t</title>')
+        assert s["noindex"] and s["nofollow"]
+        s = self._status('<meta name="robots" content=" NoIndex , Follow ">')
+        assert s["noindex"] and not s["nofollow"]
+
+    def test_bare_404_in_healthy_title_does_not_flag(self):
+        body = "x" * 300
+        s = self._status(f"<title>Doc 404 - src</title><body>{body}</body>")
+        assert not s["soft404"]
+        s = self._status(f"<title>404 Not Found</title><body>{body}</body>")
+        assert s["soft404"] and s["reason"] == "title"
+
+    def test_body_phrase_needs_thin_page(self):
+        thin = "<title>ok</title><body>Sorry, this page does not exist.</body>"
+        s = self._status(thin)
+        assert s["soft404"] and s["reason"] == "body"
+        long = ("<title>ok</title><body>page does not exist "
+                + "filler words " * 30 + "</body>")
+        assert not self._status(long)["soft404"]
+
+    def test_script_decoy_ignored(self):
+        s = self._status(
+            "<title>ok</title><script>var t='page not found';</script>"
+            "<body>" + "y" * 300 + "</body>"
+        )
+        assert not s["soft404"]
