@@ -2119,3 +2119,190 @@ FROM doc_lines dl
 LEFT JOIN boiler b ON b.host = dl.host AND b.line = dl.line
 GROUP BY dl.doc_id"""
 )
+
+
+# ---------------------------------------------------------------------------
+# PMI collocations: which adjacent token pairs co-occur far above chance
+# ---------------------------------------------------------------------------
+
+PMI_TOPK = 20
+PMI_MIN_COUNT = 5  # pairs below this have too little support for a PMI score
+PMI_UNIT = 1_000_000_000  # PMI quantized to nano-nats (the zipf convention)
+
+_PMI_SCHEMA = pa.schema([
+    ("bigram", pa.string()), ("n_ab", pa.int64()), ("pmi_nano", pa.int64()),
+])
+
+
+def q_corpus_pmi(sf_dir: str) -> pd.DataFrame:
+    """Top-K collocations by pointwise mutual information (Church & Hanks
+    1990): pmi(a,b) = ln( (n_ab/B) / ((n_a/T)·(n_b/T)) ) with B total
+    bigrams, T total tokens — the statistic tokenizer/phrase-mining
+    pipelines use to find multi-word units. Pairs with n_ab <
+    PMI_MIN_COUNT are dropped (PMI is noise at low support). PMI is
+    quantized to integer nano-nats with the float expression evaluated in
+    the exact association order the SQL oracle uses, so the driver hash
+    matches bit-for-bit.
+
+    Scale topology (vocabulary is FACT-sized on the web, so no driver
+    collects): unigram and bigram counts each finish in ONE
+    ``hash_exchange`` keyed on the token/pair (partials pre-aggregated per
+    block — the shuffle moves (token, count), never text); n_a and n_b
+    attach to each pair via TWO co-partitioned ``hash_join``s on the first
+    then second token; T and B are driver scalars (two Dataset sums);
+    per-block partial top-K then a ≤ blocks×K driver merge."""
+    import math
+
+    from collections import Counter
+
+    uni_schema = pa.schema([("token", pa.string()), ("n", pa.int64())])
+    big_schema = pa.schema([
+        ("t1", pa.string()), ("t2", pa.string()), ("n_ab", pa.int64()),
+    ])
+
+    def uni_partials(df: pd.DataFrame) -> pd.DataFrame:
+        c: Counter = Counter()
+        for text in df["text"]:
+            c.update(_tokens(text or ""))
+        return pd.DataFrame({
+            "token": list(c.keys()),
+            "n": pd.Series(list(c.values()), dtype="int64"),
+        })
+
+    def big_partials(df: pd.DataFrame) -> pd.DataFrame:
+        c: Counter = Counter()
+        for text in df["text"]:
+            ts = _tokens(text or "")
+            c.update(zip(ts, ts[1:]))
+        return pd.DataFrame({
+            "t1": [a for a, _ in c.keys()],
+            "t2": [b for _, b in c.keys()],
+            "n_ab": pd.Series(list(c.values()), dtype="int64"),
+        })
+
+    def sum_by(cols, ncol):
+        def f(t: pa.Table) -> pa.Table:
+            g = t.group_by(cols).aggregate([(ncol, "sum")])
+            return pa.Table.from_arrays(
+                [g[c] for c in cols] + [pc.cast(g[f"{ncol}_sum"], pa.int64())],
+                names=cols + [ncol],
+            )
+
+        return f
+
+    docs = _read(sf_dir, "documents", ["text"])
+    uni = hash_exchange(
+        docs.map_batches(uni_partials, batch_format="pandas"),
+        ["token"], sum_by(["token"], "n"), uni_schema,
+    ).materialize()
+    big = hash_exchange(
+        docs.map_batches(big_partials, batch_format="pandas"),
+        ["t1", "t2"], sum_by(["t1", "t2"], "n_ab"), big_schema,
+    )
+
+    T = int(uni.sum("n") or 0)
+    if T == 0:
+        return _PMI_SCHEMA.empty_table().to_pandas()
+
+    big = big.map_batches(
+        lambda t: t.filter(
+            pc.greater_equal(t["n_ab"], pa.scalar(PMI_MIN_COUNT, pa.int64()))
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    B = int(
+        hash_exchange(
+            docs.map_batches(
+                lambda df: pd.DataFrame({
+                    "k": [0],
+                    "b": pd.Series(
+                        [sum(max(0, len(_tokens(x or "")) - 1) for x in df["text"])],
+                        dtype="int64",
+                    ),
+                }),
+                batch_format="pandas",
+            ),
+            ["k"], sum_by(["k"], "b"), pa.schema([("k", pa.int64()), ("b", pa.int64())]),
+        ).sum("b")
+        or 0
+    )
+
+    j1 = hash_join(
+        big, uni,
+        left_on="t1", right_on="token", key_type=pa.string(),
+        left_fields=[pa.field("t2", pa.string()), pa.field("n_ab", pa.int64())],
+        right_fields=[pa.field("n", pa.int64())],
+    ).map_batches(
+        lambda t: pa.Table.from_arrays(
+            [t["t1"], t["t2"], t["n_ab"], t["n"]], names=["t1", "t2", "n_ab", "n1"]
+        ),
+        batch_format="pyarrow",
+    )
+    j2 = hash_join(
+        j1, uni,
+        left_on="t2", right_on="token", key_type=pa.string(),
+        left_fields=[pa.field("t1", pa.string()), pa.field("n_ab", pa.int64()),
+                     pa.field("n1", pa.int64())],
+        right_fields=[pa.field("n", pa.int64())],
+    )
+
+    def score_topk(t: pa.Table, _T=T, _B=B) -> pa.Table:
+        rows = []
+        for t1, t2, n_ab, n1, n2 in zip(
+            t["t1"].to_pylist(), t["t2"].to_pylist(), t["n_ab"].to_pylist(),
+            t["n1"].to_pylist(), t["n"].to_pylist(),
+        ):
+            # association order mirrors the SQL: ((n_ab*T)*T) / ((B*n1)*n2)
+            val = math.log(float(n_ab) * _T * _T / (float(_B) * n1 * n2))
+            rows.append({
+                "bigram": f"{t1} {t2}", "n_ab": int(n_ab),
+                "pmi_nano": int(round(val * PMI_UNIT)),
+            })
+        if not rows:
+            return _PMI_SCHEMA.empty_table()
+        out = pa.Table.from_pylist(rows, schema=_PMI_SCHEMA)
+        order = pc.sort_indices(
+            out, sort_keys=[("pmi_nano", "descending"), ("bigram", "ascending")]
+        )[:PMI_TOPK]
+        return out.take(order)
+
+    merged = j2.map_batches(score_topk, batch_format="pyarrow").to_pandas()
+    if merged.empty:
+        return _PMI_SCHEMA.empty_table().to_pandas()
+    return (
+        merged.sort_values(["pmi_nano", "bigram"], ascending=[False, True])
+        .head(PMI_TOPK)
+        .reset_index(drop=True)
+    )
+
+
+SQL_CORPUS_PMI = f"""
+WITH arrs AS (
+  SELECT list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS a
+  FROM documents
+),
+toks AS (SELECT unnest(a) AS t FROM arrs),
+uni AS (SELECT t AS token, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY 1),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS T FROM toks),
+bg AS (
+  SELECT unnest(list_transform(range(1, len(a)), i -> a[i] || ' ' || a[i + 1])) AS bigram
+  FROM arrs WHERE len(a) >= 2
+),
+btot AS (SELECT CAST(count(*) AS BIGINT) AS B FROM bg),
+cnt AS (
+  SELECT split_part(bigram, ' ', 1) AS t1, split_part(bigram, ' ', 2) AS t2,
+         CAST(count(*) AS BIGINT) AS n_ab
+  FROM bg GROUP BY 1, 2
+  HAVING count(*) >= {PMI_MIN_COUNT}
+)
+SELECT c.t1 || ' ' || c.t2 AS bigram, c.n_ab,
+       CAST(round(ln(CAST(c.n_ab AS DOUBLE) * tot.T * tot.T
+                     / (CAST(btot.B AS DOUBLE) * u1.n * u2.n)) * {PMI_UNIT})
+            AS BIGINT) AS pmi_nano
+FROM cnt c
+JOIN uni u1 ON u1.token = c.t1
+JOIN uni u2 ON u2.token = c.t2
+CROSS JOIN tot CROSS JOIN btot
+ORDER BY pmi_nano DESC, bigram ASC
+LIMIT {PMI_TOPK}
+"""

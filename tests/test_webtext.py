@@ -1196,3 +1196,33 @@ class TestPageStatus:
             "<body>" + "y" * 300 + "</body>"
         )
         assert not s["soft404"]
+
+
+class TestCorpusPmi:
+    def test_planted_collocation_ranks_first(self, ray_session, tmp_path):
+        from service1_text_extraction_ray.pipelines.webtext import q_corpus_pmi
+
+        # "hong kong" always adjacent and exclusive -> max PMI; "the cat"
+        # pair exists but both tokens are frequent elsewhere -> lower PMI
+        texts = (
+            ["hong kong"] * 6
+            + ["the cat sat on the mat the cat"] * 3
+            + ["the dog and the bird saw the mat"] * 3
+        )
+        out = q_corpus_pmi(_docs(tmp_path, texts))
+        assert out.iloc[0]["bigram"] == "hong kong"
+        assert out.iloc[0]["n_ab"] == 6
+        got = dict(zip(out["bigram"], out["pmi_nano"]))
+        assert "the cat" in got
+        assert got["the cat"] < got["hong kong"]
+
+    def test_min_support_filters_rare_pairs(self, ray_session, tmp_path):
+        from service1_text_extraction_ray.pipelines.webtext import (
+            PMI_MIN_COUNT,
+            q_corpus_pmi,
+        )
+
+        texts = ["rare pair"] * (PMI_MIN_COUNT - 1) + ["hong kong"] * PMI_MIN_COUNT
+        out = q_corpus_pmi(_docs(tmp_path, texts))
+        assert "rare pair" not in set(out["bigram"])
+        assert "hong kong" in set(out["bigram"])
