@@ -2306,3 +2306,122 @@ CROSS JOIN tot CROSS JOIN btot
 ORDER BY pmi_nano DESC, bigram ASC
 LIMIT {PMI_TOPK}
 """
+
+
+# ---------------------------------------------------------------------------
+# Recrawl snapshot diff: what changed between two crawls of the same page
+# ---------------------------------------------------------------------------
+
+JACCARD_UNIT = 1_000_000  # token-set similarity in integer micro-units
+
+
+def q_recrawl_diff(sf_dir: str) -> rd.Dataset:
+    """Change detection between two crawl snapshots of the same logical
+    page — the operator an incremental crawler runs to decide refresh
+    budgets (unchanged pages crawl less often; heavily-churning pages
+    more). Snapshot framing mirrors dedup_incremental: EVEN doc_ids are
+    crawl A, ODD are crawl B, logical page_id = doc_id // 2. Per page:
+    status (unchanged = byte-equal, changed, orphan = no B version),
+    char-length delta, and distinct-token Jaccard similarity in integer
+    micro-units (floor division, so the SQL replay is exact).
+
+    Topology: both snapshot streams key themselves by page_id and meet in
+    ONE co-partitioned left-outer hash_join — text rides exactly one
+    exchange, the minimum for a diff that must co-locate both versions;
+    the token-set comparison runs inside the join output's map, never on
+    the driver."""
+    side_schema = pa.schema([("page_id", pa.int64()), ("text", pa.string())])
+
+    def side(parity: int):
+        def f(t: pa.Table) -> pa.Table:
+            keep = pc.equal(
+                pc.bit_wise_and(t["doc_id"], pa.scalar(1, pa.int64())),
+                pa.scalar(parity, pa.int64()),
+            )
+            s = t.filter(keep)
+            return pa.Table.from_arrays(
+                [pc.divide(s["doc_id"], pa.scalar(2, pa.int64())),
+                 s["text"].combine_chunks() if isinstance(s["text"], pa.ChunkedArray)
+                 else s["text"]],
+                schema=side_schema,
+            )
+
+        return f
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    a = docs.map_batches(side(0), batch_format="pyarrow")
+    b = docs.map_batches(side(1), batch_format="pyarrow").map_batches(
+        lambda t: pa.Table.from_arrays([t["page_id"], t["text"]],
+                                       names=["page_id", "text_b"]),
+        batch_format="pyarrow",
+    )
+
+    joined = hash_join(
+        a, b,
+        left_on="page_id", right_on="page_id", key_type=pa.int64(),
+        left_fields=[pa.field("text", pa.string())],
+        right_fields=[pa.field("text_b", pa.string())],
+        how="left",
+    )
+
+    out_schema = pa.schema([
+        ("page_id", pa.int64()), ("status", pa.string()),
+        ("delta_chars", pa.int64()), ("jaccard_micro", pa.int64()),
+    ])
+
+    def diff(t: pa.Table) -> pa.Table:
+        rows = []
+        for pid, ta, tb in zip(
+            t["page_id"].to_pylist(), t["text"].to_pylist(), t["text_b"].to_pylist()
+        ):
+            ta = ta or ""
+            if tb is None:
+                rows.append({"page_id": int(pid), "status": "orphan",
+                             "delta_chars": None, "jaccard_micro": None})
+                continue
+            sa, sb = set(_tokens(ta)), set(_tokens(tb))
+            uni = len(sa | sb)
+            jac = JACCARD_UNIT if uni == 0 else (len(sa & sb) * JACCARD_UNIT) // uni
+            rows.append({
+                "page_id": int(pid),
+                "status": "unchanged" if ta == tb else "changed",
+                "delta_chars": len(tb) - len(ta),
+                "jaccard_micro": jac,
+            })
+        if not rows:
+            return out_schema.empty_table()
+        return pa.Table.from_pylist(rows, schema=out_schema)
+
+    return joined.map_batches(diff, batch_format="pyarrow")
+
+
+SQL_RECRAWL_DIFF = f"""
+WITH a AS (
+  SELECT doc_id // 2 AS page_id, coalesce(text, '') AS ta
+  FROM documents WHERE doc_id % 2 = 0
+),
+b AS (
+  SELECT doc_id // 2 AS page_id, coalesce(text, '') AS tb
+  FROM documents WHERE doc_id % 2 = 1
+),
+j AS (SELECT a.page_id, a.ta, b.tb FROM a LEFT JOIN b USING (page_id)),
+tok AS (
+  SELECT page_id, ta, tb,
+         list_distinct(list_filter(regexp_split_to_array(ta, '\\s+'), x -> x <> '')) AS la,
+         CASE WHEN tb IS NULL THEN NULL
+              ELSE list_distinct(list_filter(regexp_split_to_array(tb, '\\s+'), x -> x <> ''))
+         END AS lb
+  FROM j
+)
+SELECT page_id,
+       CASE WHEN tb IS NULL THEN 'orphan'
+            WHEN ta = tb THEN 'unchanged' ELSE 'changed' END AS status,
+       CASE WHEN tb IS NULL THEN NULL
+            ELSE CAST(length(tb) - length(ta) AS BIGINT) END AS delta_chars,
+       CASE WHEN tb IS NULL THEN NULL
+            WHEN len(list_distinct(la || lb)) = 0 THEN {JACCARD_UNIT}
+            ELSE CAST(len(list_intersect(la, lb)) AS BIGINT) * {JACCARD_UNIT}
+                 // len(list_distinct(la || lb))
+       END AS jaccard_micro
+FROM tok
+"""

@@ -1226,3 +1226,29 @@ class TestCorpusPmi:
         out = q_corpus_pmi(_docs(tmp_path, texts))
         assert "rare pair" not in set(out["bigram"])
         assert "hong kong" in set(out["bigram"])
+
+
+class TestRecrawlDiff:
+    def test_statuses_and_jaccard(self, ray_session, tmp_path):
+        from service1_text_extraction_ray.pipelines.webtext import (
+            JACCARD_UNIT,
+            q_recrawl_diff,
+        )
+
+        # page 0: identical; page 1: half-overlapping tokens; page 2: orphan
+        texts = ["same words here", "same words here",
+                 "alpha beta gamma delta", "alpha beta x y",
+                 "lonely old version"]
+        out = (
+            q_recrawl_diff(_docs(tmp_path, texts))
+            .to_pandas().set_index("page_id").sort_index()
+        )
+        assert out.loc[0, "status"] == "unchanged"
+        assert out.loc[0, "jaccard_micro"] == JACCARD_UNIT
+        assert out.loc[1, "status"] == "changed"
+        # |{alpha,beta}| / |{alpha,beta,gamma,delta,x,y}| = 2/6
+        assert out.loc[1, "jaccard_micro"] == 2 * JACCARD_UNIT // 6
+        assert out.loc[1, "delta_chars"] == len("alpha beta x y") - len("alpha beta gamma delta")
+        assert out.loc[2, "status"] == "orphan"
+        import pandas as pd
+        assert pd.isna(out.loc[2, "jaccard_micro"])
