@@ -5893,3 +5893,244 @@ JOIN tidx tb ON ta.idx < tb.idx
 CROSS JOIN mh
 GROUP BY ta.event_type, tb.event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q14 shape: promotion revenue share per ship month
+# ---------------------------------------------------------------------------
+
+PROMO_TYPE = "PROMO"
+SHARE_UNIT = 1_000_000  # revenue share in integer micro-units
+
+
+def q_promo_revenue_share(sf_dir: str) -> rd.Dataset:
+    """Monthly promotion-revenue share (TPC-H Q14 shape): of each ship
+    month's discounted revenue, the fraction from PROMO-type parts. The
+    part side is FACT-sized at TPC-H scale (200k x sf), so it attaches via
+    the co-partitioned hash_join on partkey — not a driver broadcast;
+    lineitem pre-reduces per (l_partkey, month) per block so the join
+    exchange moves integer-cent partials, never raw line items. Share is
+    integer micro-units with floor division (exact SQL replay)."""
+    part_schema = pa.schema([
+        ("l_partkey", pa.int64()), ("month", pa.string()), ("cents", pa.int64()),
+    ])
+
+    def prep(t: pa.Table) -> pa.Table:
+        disc = pc.multiply(
+            t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+        )
+        rows = pa.Table.from_arrays(
+            [t["l_partkey"], pc.strftime(t["l_shipdate"], format="%Y-%m"),
+             _cents(disc)],
+            schema=part_schema,
+        )
+        g = rows.group_by(["l_partkey", "month"]).aggregate([("cents", "sum")])
+        return pa.Table.from_arrays(
+            [g["l_partkey"], g["month"], pc.cast(g["cents_sum"], pa.int64())],
+            schema=part_schema,
+        )
+
+    li = _read(
+        sf_dir, "lineitem", ["l_partkey", "l_shipdate", "l_extendedprice", "l_discount"]
+    ).map_batches(prep, batch_format="pyarrow")
+
+    joined = hash_join(
+        li,
+        _read(sf_dir, "part", ["p_partkey", "p_type"]),
+        left_on="l_partkey",
+        right_on="p_partkey",
+        key_type=pa.int64(),
+        left_fields=[pa.field("month", pa.string()), pa.field("cents", pa.int64())],
+        right_fields=[pa.field("p_type", pa.string())],
+    )
+
+    month_schema = pa.schema([
+        ("month", pa.string()), ("promo_cents", pa.int64()), ("total_cents", pa.int64()),
+    ])
+
+    def month_partial(t: pa.Table) -> pa.Table:
+        promo = pc.if_else(
+            pc.equal(t["p_type"], pa.scalar(PROMO_TYPE)),
+            t["cents"], pa.scalar(0, pa.int64()),
+        )
+        rows = pa.Table.from_arrays(
+            [t["month"], promo, t["cents"]], schema=month_schema
+        )
+        g = rows.group_by(["month"]).aggregate(
+            [("promo_cents", "sum"), ("total_cents", "sum")]
+        )
+        return pa.Table.from_arrays(
+            [g["month"], pc.cast(g["promo_cents_sum"], pa.int64()),
+             pc.cast(g["total_cents_sum"], pa.int64())],
+            schema=month_schema,
+        )
+
+    merged = (
+        joined.map_batches(month_partial, batch_format="pyarrow")
+        .repartition(8)
+        .groupby("month")
+        .aggregate(
+            Sum("promo_cents", alias_name="promo_cents"),
+            Sum("total_cents", alias_name="total_cents"),
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        p = t["promo_cents"].to_numpy(zero_copy_only=False)
+        tot = t["total_cents"].to_numpy(zero_copy_only=False)
+        share = np.where(tot > 0, p * SHARE_UNIT // np.maximum(tot, 1), 0)
+        return pa.Table.from_arrays(
+            [t["month"], t["promo_cents"], t["total_cents"],
+             pa.array(share, pa.int64())],
+            names=["month", "promo_cents", "total_cents", "share_micro"],
+        )
+
+    return merged.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_PROMO_REVENUE_SHARE = f"""
+WITH j AS (
+  SELECT strftime(l.l_shipdate, '%Y-%m') AS month,
+         CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT) AS cents,
+         p.p_type
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+),
+m AS (
+  SELECT month,
+         CAST(sum(CASE WHEN p_type = '{PROMO_TYPE}' THEN cents ELSE 0 END) AS BIGINT)
+           AS promo_cents,
+         CAST(sum(cents) AS BIGINT) AS total_cents
+  FROM j GROUP BY month
+)
+SELECT month, promo_cents, total_cents,
+       CASE WHEN total_cents > 0 THEN promo_cents * {SHARE_UNIT} // total_cents
+            ELSE 0 END AS share_micro
+FROM m
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q7 shape: shipping volume between supplier and customer nations
+# ---------------------------------------------------------------------------
+
+Q7_DATE_LO = "1996-01-01"
+Q7_DATE_HI = "1998-01-01"
+
+
+def q_nation_pair_volume(sf_dir: str) -> rd.Dataset:
+    """Cross-border shipping volume (TPC-H Q7 shape): discounted revenue
+    per (supplier nation, customer nation) pair, supp != cust, for a
+    two-year ship window. Join topology mixes both regimes deliberately:
+    supplier and nation are dim-sized -> broadcast maps via ray.put;
+    lineitem ⋈ orders and the customer-nation attach are fact ⋈ fact ->
+    TWO co-partitioned hash_joins (orderkey then custkey), with lineitem
+    pre-reduced per (l_orderkey, supp_nation) per block so each exchange
+    moves integer-cent partials. The cross-pair matrix (25x25 max)
+    finishes in a tiny groupby."""
+    nation = pd.read_parquet(_pq(sf_dir, "nation"), columns=["n_nationkey", "n_name"])
+    nmap = dict(zip(nation["n_nationkey"].astype(int), nation["n_name"]))
+    supp = pd.read_parquet(_pq(sf_dir, "supplier"), columns=["s_suppkey", "s_nationkey"])
+    smap_ref = ray.put(
+        {int(k): nmap[int(v)] for k, v in zip(supp["s_suppkey"], supp["s_nationkey"])}
+    )
+    nmap_ref = ray.put(nmap)
+
+    lo, hi = pd.Timestamp(Q7_DATE_LO), pd.Timestamp(Q7_DATE_HI)
+    li_schema = pa.schema([
+        ("l_orderkey", pa.int64()), ("supp_nation", pa.string()),
+        ("cents", pa.int64()),
+    ])
+
+    def prep(t: pa.Table, _ref=smap_ref) -> pa.Table:
+        smap = ray.get(_ref)
+        keep = pc.and_(
+            pc.greater_equal(t["l_shipdate"], pa.scalar(lo)),
+            pc.less(t["l_shipdate"], pa.scalar(hi)),
+        )
+        t = t.filter(keep)
+        disc = pc.multiply(
+            t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+        )
+        sn = pa.array(
+            [smap[int(k)] for k in t["l_suppkey"].to_pylist()], pa.string()
+        )
+        rows = pa.Table.from_arrays(
+            [t["l_orderkey"], sn, _cents(disc)], schema=li_schema
+        )
+        g = rows.group_by(["l_orderkey", "supp_nation"]).aggregate([("cents", "sum")])
+        return pa.Table.from_arrays(
+            [g["l_orderkey"], g["supp_nation"], pc.cast(g["cents_sum"], pa.int64())],
+            schema=li_schema,
+        )
+
+    li = _read(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    ).map_batches(prep, batch_format="pyarrow")
+
+    with_cust = hash_join(
+        li,
+        _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]),
+        left_on="l_orderkey",
+        right_on="o_orderkey",
+        key_type=pa.int64(),
+        left_fields=[pa.field("supp_nation", pa.string()), pa.field("cents", pa.int64())],
+        right_fields=[pa.field("o_custkey", pa.int64())],
+    )
+
+    pair_schema = pa.schema([
+        ("supp_nation", pa.string()), ("cust_nation", pa.string()),
+        ("revenue_cents", pa.int64()),
+    ])
+
+    def attach_cust_nation(t: pa.Table, _ref=nmap_ref) -> pa.Table:
+        nm = ray.get(_ref)
+        cn = pa.array(
+            [nm[int(k)] for k in t["c_nationkey"].to_pylist()], pa.string()
+        )
+        rows = pa.Table.from_arrays(
+            [t["supp_nation"], cn, t["cents"]], schema=pair_schema
+        )
+        rows = rows.filter(
+            pc.not_equal(rows["supp_nation"], rows["cust_nation"])
+        )
+        g = rows.group_by(["supp_nation", "cust_nation"]).aggregate(
+            [("revenue_cents", "sum")]
+        )
+        return pa.Table.from_arrays(
+            [g["supp_nation"], g["cust_nation"],
+             pc.cast(g["revenue_cents_sum"], pa.int64())],
+            schema=pair_schema,
+        )
+
+    pairs = hash_join(
+        with_cust,
+        _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]),
+        left_on="o_custkey",
+        right_on="c_custkey",
+        key_type=pa.int64(),
+        left_fields=[pa.field("supp_nation", pa.string()), pa.field("cents", pa.int64())],
+        right_fields=[pa.field("c_nationkey", pa.int64())],
+    ).map_batches(attach_cust_nation, batch_format="pyarrow")
+
+    return (
+        pairs.repartition(8)
+        .groupby(["supp_nation", "cust_nation"])
+        .aggregate(Sum("revenue_cents", alias_name="revenue_cents"))
+    )
+
+
+SQL_NATION_PAIR_VOLUME = f"""
+SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+       CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT))
+            AS BIGINT) AS revenue_cents
+FROM lineitem l
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+WHERE l.l_shipdate >= DATE '{Q7_DATE_LO}' AND l.l_shipdate < DATE '{Q7_DATE_HI}'
+  AND ns.n_name <> nc.n_name
+GROUP BY 1, 2
+"""

@@ -2816,3 +2816,76 @@ class TestSaltedHashJoin:
             return out.groupby("k")["v"].sum().sort_index()
 
         pd.testing.assert_series_equal(go(1), go(4))
+
+
+class TestTpchShapes:
+    def _write(self, tmp_path, tables):
+        import pyarrow.parquet as pq
+
+        d = tmp_path / "sf"
+        d.mkdir(exist_ok=True)
+        for name, t in tables.items():
+            pq.write_table(t, str(d / f"{name}.parquet"))
+        return str(d)
+
+    def test_promo_share_exact(self, ray_session, tmp_path):
+        import service1_text_extraction_ray.pipelines.relational as R
+
+        ts = pa.array(
+            [pd.Timestamp("1996-03-01")] * 3, pa.timestamp("us")
+        )
+        d = self._write(tmp_path, {
+            "lineitem": pa.table({
+                "l_partkey": pa.array([1, 1, 2], pa.int64()),
+                "l_shipdate": ts,
+                "l_extendedprice": pa.array([100.0, 50.0, 50.0]),
+                "l_discount": pa.array([0.0, 0.0, 0.0]),
+            }),
+            "part": pa.table({
+                "p_partkey": pa.array([1, 2], pa.int64()),
+                "p_type": pa.array([R.PROMO_TYPE, "STANDARD"]),
+            }),
+        })
+        out = R.q_promo_revenue_share(d).to_pandas()
+        assert len(out) == 1
+        row = out.iloc[0]
+        assert row["month"] == "1996-03"
+        assert row["promo_cents"] == 15000 and row["total_cents"] == 20000
+        assert row["share_micro"] == 15000 * R.SHARE_UNIT // 20000
+
+    def test_nation_pair_excludes_domestic(self, ray_session, tmp_path):
+        import service1_text_extraction_ray.pipelines.relational as R
+
+        ts = pa.array([pd.Timestamp("1996-06-01")] * 2, pa.timestamp("us"))
+        d = self._write(tmp_path, {
+            "nation": pa.table({
+                "n_nationkey": pa.array([1, 2], pa.int64()),
+                "n_name": pa.array(["FR", "DE"]),
+            }),
+            "supplier": pa.table({
+                "s_suppkey": pa.array([10, 20], pa.int64()),
+                "s_nationkey": pa.array([1, 2], pa.int64()),
+            }),
+            "customer": pa.table({
+                "c_custkey": pa.array([100], pa.int64()),
+                "c_nationkey": pa.array([1], pa.int64()),
+            }),
+            "orders": pa.table({
+                "o_orderkey": pa.array([1000], pa.int64()),
+                "o_custkey": pa.array([100], pa.int64()),
+            }),
+            # supplier 10 (FR) ships to FR customer -> domestic, excluded;
+            # supplier 20 (DE) ships to FR customer -> DE->FR pair kept
+            "lineitem": pa.table({
+                "l_orderkey": pa.array([1000, 1000], pa.int64()),
+                "l_suppkey": pa.array([10, 20], pa.int64()),
+                "l_shipdate": ts,
+                "l_extendedprice": pa.array([100.0, 40.0]),
+                "l_discount": pa.array([0.0, 0.5]),
+            }),
+        })
+        out = R.q_nation_pair_volume(d).to_pandas()
+        assert len(out) == 1
+        row = out.iloc[0]
+        assert (row["supp_nation"], row["cust_nation"]) == ("DE", "FR")
+        assert row["revenue_cents"] == 2000
