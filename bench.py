@@ -173,6 +173,10 @@ QUERY_NAMES = [
     "extract_hreflang", "hreflang_clusters", "extract_pdf_outline", "extract_microdata",
     "discover_feeds", "extract_rdfa", "crawl_schedule",
     "extract_pagination", "pagination_chains",
+    "host_hits", "host_seed_distance", "host_boilerplate_lines",
+    "doc_strip_boilerplate", "page_indexability", "corpus_pmi",
+    "recrawl_diff", "promo_revenue_share", "nation_pair_volume",
+    "host_templates", "doc_bigram_logprob", "host_quality",
 ]
 
 

@@ -347,3 +347,32 @@ def page_status(html: bytes | str) -> dict:
         "soft404": soft404,
         "reason": reason,
     }
+
+
+class _TagSeqParser(HTMLParser):
+    """Collect start tags in document order — the page's structural
+    skeleton. Void elements reach handle_starttag too; an explicit
+    handle_startendtag forwards XHTML-style self-closed tags so both
+    spellings fingerprint identically."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.tags: list[str] = []
+
+    def handle_starttag(self, tag, attrs):
+        self.tags.append(tag)
+
+    def handle_startendtag(self, tag, attrs):
+        self.tags.append(tag)
+
+
+def tag_sequence(html: bytes | str) -> list[str]:
+    """Start-tag sequence of a page — input to template fingerprinting."""
+    text = html.decode("utf-8", errors="replace") if isinstance(html, bytes) else html
+    p = _TagSeqParser()
+    try:
+        p.feed(text)
+        p.close()
+    except Exception:
+        pass
+    return p.tags

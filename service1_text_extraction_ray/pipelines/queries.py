@@ -7187,3 +7187,67 @@ SELECT doc_id,
             WHEN doc_id % 9 = 7 THEN 'body' END AS reason
 FROM documents
 """
+
+
+# ---------------------------------------------------------------------------
+# Template mining: structural fingerprints of pages per host
+# ---------------------------------------------------------------------------
+
+
+def q_host_templates(sf_dir: str) -> rd.Dataset:
+    """Template detection by DOM-shape fingerprint: pages generated from
+    the same server template share a start-tag sequence even when their
+    text differs — the structural-dedup / wrapper-induction primitive
+    (grouping a host's pages by template is how boilerplate models and
+    site-specific extractors get their training sets). Fingerprint =
+    md5 of the '|'-joined start-tag sequence from the real HTML parser
+    over the status fixture pages (whose head varies by the robots-meta
+    branch). Per-block (host, template) partial counts, one groupby —
+    the pair table is bounded by hosts x templates, not corpus size."""
+    import hashlib as _hl
+
+    from ..functions.meta import tag_sequence
+    from ..functions.synth import make_status_page
+
+    pair_schema = pa.schema([
+        ("host", pa.string()), ("template_hash", pa.string()),
+        ("n_pages", pa.int64()),
+    ])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        acc: dict[tuple, int] = {}
+        for d, src, lang in zip(
+            t["doc_id"].to_pylist(), t["source"].to_pylist(), t["lang"].to_pylist()
+        ):
+            html, _ = make_status_page(int(d), src, lang or "en")
+            h = _hl.md5("|".join(tag_sequence(html)).encode()).hexdigest()
+            k = (src, h)
+            acc[k] = acc.get(k, 0) + 1
+        if not acc:
+            return pair_schema.empty_table()
+        return pa.Table.from_pylist(
+            [{"host": s, "template_hash": h, "n_pages": n} for (s, h), n in acc.items()],
+            schema=pair_schema,
+        )
+
+    from ray.data.aggregate import Sum as RSum
+
+    return (
+        _read(sf_dir, "documents", ["doc_id", "source", "lang"])
+        .map_batches(pairs, batch_format="pyarrow")
+        .groupby(["host", "template_hash"])
+        .aggregate(RSum("n_pages", alias_name="n_pages"))
+    )
+
+
+SQL_HOST_TEMPLATES = """
+WITH seq AS (
+  SELECT source AS host,
+         'html|head|title'
+         || CASE WHEN doc_id % 6 IN (1, 3, 5) THEN '|meta' ELSE '' END
+         || '|script|body|p' AS s
+  FROM documents
+)
+SELECT host, md5(s) AS template_hash, CAST(count(*) AS BIGINT) AS n_pages
+FROM seq GROUP BY 1, 2
+"""

@@ -2425,3 +2425,318 @@ SELECT page_id,
        END AS jaccard_micro
 FROM tok
 """
+
+
+# ---------------------------------------------------------------------------
+# Bigram language-model scoring: per-doc conditional log-probability
+# ---------------------------------------------------------------------------
+
+LM_UNIT = 1_000_000_000  # per-bigram log-prob quantized to nano-nats
+
+
+def q_doc_bigram_logprob(sf_dir: str) -> rd.Dataset:
+    """Per-document average bigram log-probability under the corpus's own
+    MLE bigram model — the KenLM-style fluency score corpus pipelines use
+    to rank documents (CC-Net buckets its corpus by exactly this kind of
+    LM score). logp(b|a) = ln(n_ab / n_a); each bigram occurrence
+    quantizes to integer nano-nats BEFORE summation, so per-doc totals
+    are order-independent and the SQL replay is exact. No smoothing
+    needed: the model is fit on the scored corpus itself, so every doc
+    bigram has support.
+
+    Scale topology (vocabulary and bigram tables are FACT-sized): corpus
+    unigram/bigram counts finish in one keyed exchange each (the PMI
+    machinery); each doc's bigram multiset — (doc_id, bigram, k) partials,
+    never text — attaches n_ab then n_a via TWO co-partitioned hash_joins,
+    and a final groupby-sum per doc_id folds the quantized terms. Output:
+    (doc_id, n_bigrams, logprob_nano_sum)."""
+    import math
+
+    from collections import Counter
+
+    uni_schema = pa.schema([("token", pa.string()), ("n", pa.int64())])
+    big_schema = pa.schema([
+        ("bigram", pa.string()), ("n_ab", pa.int64()),
+    ])
+    docbg_schema = pa.schema([
+        ("doc_id", pa.int64()), ("bigram", pa.string()), ("k", pa.int64()),
+    ])
+
+    def uni_partials(df: pd.DataFrame) -> pd.DataFrame:
+        c: Counter = Counter()
+        for text in df["text"]:
+            c.update(_tokens(text or ""))
+        return pd.DataFrame({
+            "token": list(c.keys()),
+            "n": pd.Series(list(c.values()), dtype="int64"),
+        })
+
+    def big_partials(df: pd.DataFrame) -> pd.DataFrame:
+        c: Counter = Counter()
+        for text in df["text"]:
+            ts = _tokens(text or "")
+            c.update(zip(ts, ts[1:]))
+        return pd.DataFrame({
+            "bigram": [f"{a} {b}" for a, b in c.keys()],
+            "n_ab": pd.Series(list(c.values()), dtype="int64"),
+        })
+
+    def sum_by(cols, ncol):
+        def f(t: pa.Table) -> pa.Table:
+            g = t.group_by(cols).aggregate([(ncol, "sum")])
+            return pa.Table.from_arrays(
+                [g[c] for c in cols] + [pc.cast(g[f"{ncol}_sum"], pa.int64())],
+                names=cols + [ncol],
+            )
+
+        return f
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    uni = hash_exchange(
+        docs.map_batches(uni_partials, batch_format="pandas"),
+        ["token"], sum_by(["token"], "n"), uni_schema,
+    )
+    big = hash_exchange(
+        docs.map_batches(big_partials, batch_format="pandas"),
+        ["bigram"], sum_by(["bigram"], "n_ab"), big_schema,
+    )
+
+    def doc_bigrams(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for doc_id, text in zip(df["doc_id"], df["text"]):
+            ts = _tokens(text or "")
+            c = Counter(zip(ts, ts[1:]))
+            for (a, b), k in c.items():
+                rows.append((int(doc_id), f"{a} {b}", int(k)))
+        return pd.DataFrame(rows, columns=["doc_id", "bigram", "k"]).astype(
+            {"doc_id": "int64", "k": "int64"}
+        )
+
+    with_nab = hash_join(
+        docs.map_batches(doc_bigrams, batch_format="pandas"),
+        big,
+        left_on="bigram", right_on="bigram", key_type=pa.string(),
+        left_fields=[pa.field("doc_id", pa.int64()), pa.field("k", pa.int64())],
+        right_fields=[pa.field("n_ab", pa.int64())],
+    ).map_batches(
+        lambda t: pa.Table.from_arrays(
+            [t["doc_id"], t["k"], t["n_ab"],
+             pa.array([bg.split(" ", 1)[0] for bg in t["bigram"].to_pylist()],
+                      pa.string())],
+            names=["doc_id", "k", "n_ab", "t1"],
+        ),
+        batch_format="pyarrow",
+    )
+    scored = hash_join(
+        with_nab, uni,
+        left_on="t1", right_on="token", key_type=pa.string(),
+        left_fields=[pa.field("doc_id", pa.int64()), pa.field("k", pa.int64()),
+                     pa.field("n_ab", pa.int64())],
+        right_fields=[pa.field("n", pa.int64())],
+    )
+
+    part_schema = pa.schema([
+        ("doc_id", pa.int64()), ("n_bigrams", pa.int64()),
+        ("logprob_nano_sum", pa.int64()),
+    ])
+
+    def fold(t: pa.Table) -> pa.Table:
+        acc: dict[int, list] = {}
+        for d, k, n_ab, n_a in zip(
+            t["doc_id"].to_pylist(), t["k"].to_pylist(),
+            t["n_ab"].to_pylist(), t["n"].to_pylist(),
+        ):
+            q = int(round(math.log(n_ab / n_a) * LM_UNIT))
+            e = acc.setdefault(int(d), [0, 0])
+            e[0] += int(k)
+            e[1] += q * int(k)
+        if not acc:
+            return part_schema.empty_table()
+        return pa.Table.from_pylist(
+            [{"doc_id": d, "n_bigrams": v[0], "logprob_nano_sum": v[1]}
+             for d, v in acc.items()],
+            schema=part_schema,
+        )
+
+    merged = (
+        scored.map_batches(fold, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(
+            Sum("n_bigrams", alias_name="n_bigrams"),
+            Sum("logprob_nano_sum", alias_name="logprob_nano_sum"),
+        )
+    )
+
+    # docs with < 2 tokens have no bigrams: re-attach as zero rows so the
+    # output stays doc-grain (LEFT join shape, oracle mirrors with coalesce)
+    zeros = docs.map_batches(
+        lambda t: pa.Table.from_arrays(
+            [t["doc_id"], pa.nulls(t.num_rows, pa.int64()).fill_null(0),
+             pa.nulls(t.num_rows, pa.int64()).fill_null(0)],
+            schema=part_schema,
+        ),
+        batch_format="pyarrow",
+    )
+    return (
+        merged.union(zeros)
+        .groupby("doc_id")
+        .aggregate(
+            Sum("n_bigrams", alias_name="n_bigrams"),
+            Sum("logprob_nano_sum", alias_name="logprob_nano_sum"),
+        )
+    )
+
+
+SQL_DOC_BIGRAM_LOGPROB = f"""
+WITH arrs AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(coalesce(text, ''), '\\s+'), x -> x <> '') AS a
+  FROM documents
+),
+toks AS (SELECT unnest(a) AS t FROM arrs),
+uni AS (SELECT t AS token, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY 1),
+dbg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(a)), i -> a[i] || ' ' || a[i + 1])) AS bigram
+  FROM arrs WHERE len(a) >= 2
+),
+cnt AS (SELECT bigram, CAST(count(*) AS BIGINT) AS n_ab FROM dbg GROUP BY 1),
+terms AS (
+  SELECT d.doc_id,
+         CAST(round(ln(CAST(c.n_ab AS DOUBLE) / u.n) * {LM_UNIT}) AS BIGINT) AS q
+  FROM dbg d
+  JOIN cnt c ON c.bigram = d.bigram
+  JOIN uni u ON u.token = split_part(d.bigram, ' ', 1)
+),
+agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         CAST(sum(q) AS BIGINT) AS logprob_nano_sum
+  FROM terms GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(a.n_bigrams, 0) AS n_bigrams,
+       coalesce(a.logprob_nano_sum, 0) AS logprob_nano_sum
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Host-level quality rollup: the domain keep/drop decision
+# ---------------------------------------------------------------------------
+
+
+def q_host_quality(sf_dir: str) -> rd.Dataset:
+    """Host-level curation verdict (FineWeb/C4-style domain filtering):
+    aggregate each host's per-document Gopher quality outcomes into one
+    keep/drop decision — corpora drop whole LOW-QUALITY DOMAINS, not just
+    documents, because chrome-heavy or spammy hosts poison even their
+    'passing' pages. Per host: doc count, Gopher-pass count, total chars,
+    total words, floor-divided mean chars, and verdict keep iff at least
+    half the docs pass. Per-block partials reuse the exact gopher_row
+    counts; one host-grain groupby finishes."""
+    from .queries import gopher_row
+
+    part_schema = pa.schema([
+        ("host", pa.string()), ("n_docs", pa.int64()), ("n_keep", pa.int64()),
+        ("total_chars", pa.int64()), ("total_words", pa.int64()),
+    ])
+
+    def partials(t: pa.Table) -> pa.Table:
+        acc: dict[str, list] = {}
+        for src, text in zip(t["source"].to_pylist(), t["text"].to_pylist()):
+            text = text or ""
+            row = gopher_row(text)
+            keep = bool(row[-1])
+            e = acc.setdefault(src, [0, 0, 0, 0])
+            e[0] += 1
+            e[1] += 1 if keep else 0
+            e[2] += len(text)
+            e[3] += int(row[0])
+        if not acc:
+            return part_schema.empty_table()
+        return pa.Table.from_pylist(
+            [{"host": h, "n_docs": v[0], "n_keep": v[1],
+              "total_chars": v[2], "total_words": v[3]} for h, v in acc.items()],
+            schema=part_schema,
+        )
+
+    merged = (
+        _read(sf_dir, "documents", ["source", "text"])
+        .map_batches(partials, batch_format="pyarrow")
+        .groupby("host")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("n_keep", alias_name="n_keep"),
+            Sum("total_chars", alias_name="total_chars"),
+            Sum("total_words", alias_name="total_words"),
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        nd = t["n_docs"].to_numpy(zero_copy_only=False)
+        nk = t["n_keep"].to_numpy(zero_copy_only=False)
+        tc = t["total_chars"].to_numpy(zero_copy_only=False)
+        return pa.Table.from_arrays(
+            [t["host"], t["n_docs"], t["n_keep"], t["total_chars"],
+             t["total_words"],
+             pa.array(tc // np.maximum(nd, 1), pa.int64()),
+             pa.array(2 * nk >= nd)],
+            names=["host", "n_docs", "n_keep", "total_chars", "total_words",
+                   "mean_chars", "keep_host"],
+        )
+
+    return merged.map_batches(finish, batch_format="pyarrow")
+
+
+def _sql_host_quality() -> str:
+    from .queries import GOPHER_STOPWORDS
+
+    stops = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
+    return f"""
+WITH base AS (
+  SELECT source, coalesce(text, '') AS t,
+         list_filter(regexp_split_to_array(coalesce(text, ''), '\\s+'), x -> x <> '') AS w,
+         str_split(coalesce(text, ''), chr(10)) AS lines
+  FROM documents
+),
+counts AS (
+  SELECT source, length(t) AS n_chars,
+         CAST(len(w) AS BIGINT) AS n_words,
+         CAST(coalesce(list_aggregate(list_transform(w, x -> length(x)), 'sum'), 0) AS BIGINT) AS sum_word_chars,
+         CAST((length(t) - length(replace(t, '#', '')))
+              + (length(t) - length(replace(t, '...', ''))) // 3 AS BIGINT) AS n_symbols,
+         CAST(len(lines) AS BIGINT) AS n_lines,
+         CAST(len(list_filter(lines, l -> regexp_matches(l, '^[ \t]*[-*] '))) AS BIGINT) AS n_bullet_lines,
+         CAST(len(list_filter(lines, l -> regexp_matches(l, '\\.\\.\\.[ \t]*$'))) AS BIGINT) AS n_ellipsis_lines,
+         CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS n_alpha_words,
+         CAST(len(list_distinct(list_filter(
+             list_filter(regexp_split_to_array(lower(t), '\\s+'), x -> x <> ''),
+             x -> x IN ({stops})))) AS BIGINT) AS n_stopwords_present
+  FROM base
+),
+verdicts AS (
+  SELECT source, n_chars, n_words,
+         CASE WHEN n_words BETWEEN 50 AND 100000
+               AND 3 * n_words <= sum_word_chars AND sum_word_chars <= 10 * n_words
+               AND 10 * n_symbols < n_words
+               AND 10 * n_bullet_lines < 9 * n_lines
+               AND 10 * n_ellipsis_lines < 3 * n_lines
+               AND 5 * n_alpha_words > 4 * n_words
+               AND n_stopwords_present >= 2
+              THEN 1 ELSE 0 END AS keep
+  FROM counts
+),
+hosts AS (
+  SELECT source AS host,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(keep) AS BIGINT) AS n_keep,
+         CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         CAST(sum(n_words) AS BIGINT) AS total_words
+  FROM verdicts GROUP BY 1
+)
+SELECT host, n_docs, n_keep, total_chars, total_words,
+       total_chars // greatest(n_docs, 1) AS mean_chars,
+       2 * n_keep >= n_docs AS keep_host
+FROM hosts
+"""
+
+
+SQL_HOST_QUALITY = _sql_host_quality()

@@ -1252,3 +1252,68 @@ class TestRecrawlDiff:
         assert out.loc[2, "status"] == "orphan"
         import pandas as pd
         assert pd.isna(out.loc[2, "jaccard_micro"])
+
+
+class TestBigramLogprob:
+    def test_mle_conditional_probabilities(self, ray_session, tmp_path):
+        import math
+
+        from service1_text_extraction_ray.pipelines.webtext import (
+            LM_UNIT,
+            q_doc_bigram_logprob,
+        )
+
+        # corpus: "a b" x2 and "a c" -> p(b|a)=2/3, p(c|a)=1/3
+        texts = ["a b", "a b", "a c", "x"]
+        out = (
+            q_doc_bigram_logprob(_docs(tmp_path, texts))
+            .to_pandas().set_index("doc_id").sort_index()
+        )
+        q_ab = int(round(math.log(2 / 3) * LM_UNIT))
+        q_ac = int(round(math.log(1 / 3) * LM_UNIT))
+        assert out.loc[0, "n_bigrams"] == 1 and out.loc[0, "logprob_nano_sum"] == q_ab
+        assert out.loc[2, "logprob_nano_sum"] == q_ac
+        # single-token doc: zero bigrams, zero sum, still present
+        assert out.loc[3, "n_bigrams"] == 0 and out.loc[3, "logprob_nano_sum"] == 0
+
+
+class TestHostQuality:
+    def test_verdict_majority(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from service1_text_extraction_ray.pipelines.webtext import q_host_quality
+
+        good = ("the quick brown fox jumps over the lazy dog and runs far away "
+                * 10)  # passes gopher (>=50 words, stopwords, alpha)
+        bad = "x"  # fails word-count bound
+        rows = (
+            [{"doc_id": i, "text": good, "lang": "en", "source": "goodhost"}
+             for i in range(3)]
+            + [{"doc_id": 10 + i, "text": bad, "lang": "en", "source": "badhost"}
+               for i in range(3)]
+        )
+        d = tmp_path / "sf"
+        d.mkdir(exist_ok=True)
+        pq.write_table(pa.Table.from_pylist(rows), str(d / "documents.parquet"))
+        out = q_host_quality(str(d)).to_pandas().set_index("host")
+        assert bool(out.loc["goodhost", "keep_host"]) is True
+        assert out.loc["goodhost", "n_keep"] == 3
+        assert bool(out.loc["badhost", "keep_host"]) is False
+        assert out.loc["badhost", "mean_chars"] == 1
+
+
+class TestHostTemplates:
+    def test_two_templates_per_host(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from service1_text_extraction_ray.pipelines.queries import q_host_templates
+
+        # doc_ids 0..5 on one host: ids 1,3,5 carry the robots meta -> one
+        # template; 0,2,4 the other
+        rows = [{"doc_id": i, "lang": "en", "source": "h"} for i in range(6)]
+        d = tmp_path / "sf"
+        d.mkdir(exist_ok=True)
+        pq.write_table(pa.Table.from_pylist(rows), str(d / "documents.parquet"))
+        out = q_host_templates(str(d)).to_pandas()
+        assert len(out) == 2
+        assert sorted(out["n_pages"].tolist()) == [3, 3]
