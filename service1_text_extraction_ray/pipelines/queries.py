@@ -1792,22 +1792,32 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
 """
 
 
+WINNOW_K, WINNOW_W = 8, 16
+
+
+def winnow_fingerprints(text: str) -> set:
+    """Winnowing fingerprint set (Schleimer et al., SIGMOD'03): k-gram char
+    md5s (8-byte little-endian), window-min selection. Shared by
+    q_doc_fingerprints and q_host_mirror_overlap."""
+    K, W = WINNOW_K, WINNOW_W
+    if len(text) < K:
+        return set()
+    hs = [
+        int.from_bytes(hashlib.md5(text[i : i + K].encode()).digest()[:8], "little")
+        for i in range(0, len(text) - K + 1)
+    ]
+    picked = set()
+    for i in range(0, max(1, len(hs) - W + 1)):
+        picked.add(min(hs[i : i + W]))
+    return picked
+
+
 def q_doc_fingerprints(sf_dir: str) -> rd.Dataset:
     """Winnowing-style rolling-hash fingerprints (Schleimer et al., SIGMOD'03
     lineage): k-gram char hashes, window-min selection; per-doc count + XOR."""
-    K, W = 8, 16
 
     def fp(text: str) -> tuple[int, int]:
-        if len(text) < K:
-            return 0, 0
-        hs = [
-            int.from_bytes(hashlib.md5(text[i : i + K].encode()).digest()[:8], "little")
-            for i in range(0, len(text) - K + 1)
-        ]
-        picked = set()
-        for i in range(0, max(1, len(hs) - W + 1)):
-            win = hs[i : i + W]
-            picked.add(min(win))
+        picked = winnow_fingerprints(text)
         acc = 0
         for p in picked:
             acc ^= p
@@ -7251,3 +7261,119 @@ WITH seq AS (
 SELECT host, md5(s) AS template_hash, CAST(count(*) AS BIGINT) AS n_pages
 FROM seq GROUP BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# Mirror detection: fingerprint overlap between host pairs
+# ---------------------------------------------------------------------------
+
+
+def q_host_mirror_overlap(sf_dir: str) -> rd.Dataset:
+    """Cross-host content-overlap matrix from winnowing fingerprints — the
+    mirror-detection primitive: two hosts sharing a large fraction of
+    fingerprints are mirrors/scrapers of each other, and a crawler keeps
+    one. Per unordered host pair: the count of DISTINCT fingerprint values
+    present on both hosts.
+
+    Topology: per-block distinct (host, fp) pairs (a set per block, so the
+    exchange moves u64+host rows, never text), ONE hash_exchange keyed on
+    the fingerprint value — every fp's host list lands in one shard, where
+    pair generation (sorted hosts, a<b) and in-shard partial counts run —
+    then a tiny groupby-sum over the host-pair matrix (bounded by
+    hosts^2, not corpus size)."""
+    from .relational import hash_exchange
+
+    pair_schema = pa.schema([
+        ("host_a", pa.string()), ("host_b", pa.string()), ("n_shared", pa.int64()),
+    ])
+
+    def hostfps(df: pd.DataFrame) -> pd.DataFrame:
+        # fp rides the exchange as WRAPPED int64 (u64 two's complement):
+        # the value is only an internal join key, and the exchange hashes
+        # int64 natively
+        seen = set()
+        for src, text in zip(df["source"], df["text"].fillna("")):
+            for p in winnow_fingerprints(text):
+                seen.add((src, p - (1 << 64) if p >= (1 << 63) else p))
+        return pd.DataFrame(
+            {"host": [h for h, _ in seen],
+             "fp": pd.Series([p for _, p in seen], dtype="int64")}
+        )
+
+    def shard_pairs(t: pa.Table) -> pa.Table:
+        by_fp: dict[int, set] = {}
+        for h, p in zip(t["host"].to_pylist(), t["fp"].to_pylist()):
+            by_fp.setdefault(int(p), set()).add(h)
+        acc: dict[tuple, int] = {}
+        for hosts in by_fp.values():
+            hs = sorted(hosts)
+            for i in range(len(hs)):
+                for j in range(i + 1, len(hs)):
+                    k = (hs[i], hs[j])
+                    acc[k] = acc.get(k, 0) + 1
+        if not acc:
+            return pair_schema.empty_table()
+        return pa.Table.from_pylist(
+            [{"host_a": a, "host_b": b, "n_shared": n} for (a, b), n in acc.items()],
+            schema=pair_schema,
+        )
+
+    from ray.data.aggregate import Sum as RSum
+
+    return (
+        hash_exchange(
+            _read(sf_dir, "documents", ["source", "text"]).map_batches(
+                hostfps, batch_format="pandas"
+            ),
+            ["fp"],
+            shard_pairs,
+            pair_schema,
+        )
+        .groupby(["host_a", "host_b"])
+        .aggregate(RSum("n_shared", alias_name="n_shared"))
+    )
+
+
+def _sql_host_mirror_overlap() -> str:
+    """Oracle: the q_doc_fingerprints winnowing scan carrying the host
+    column, then a distinct (host, fp) self-join across host pairs."""
+    K, W = WINNOW_K, WINNOW_W
+
+    def hexbyte(col: str, idx: int) -> str:
+        c1 = f"substr({col}, {2 * idx + 1}, 1)"
+        c2 = f"substr({col}, {2 * idx + 2}, 1)"
+        return (
+            f"((instr('0123456789abcdef', {c1}) - 1) * 16"
+            f" + instr('0123456789abcdef', {c2}) - 1)"
+        )
+
+    u64 = " + ".join(
+        f"CAST({hexbyte('m', j)} AS UBIGINT) * {256 ** j}" for j in range(8)
+    )
+    return f"""
+WITH long_docs AS (
+  SELECT source AS host, coalesce(text, '') AS text FROM documents
+  WHERE length(coalesce(text, '')) >= {K}
+),
+hexes AS (
+  SELECT host,
+         list_transform(range(1, length(text) - {K} + 2),
+                        i -> md5(substr(text, i, {K}))) AS hx
+  FROM long_docs
+),
+hs AS (SELECT host, list_transform(hx, m -> {u64}) AS h FROM hexes),
+mins AS (
+  SELECT host,
+         list_distinct(list_transform(
+           range(1, greatest(len(h) - {W} + 1, 1) + 1),
+           i -> list_min(h[i:i+{W - 1}]))) AS m
+  FROM hs
+),
+hostfp AS (SELECT DISTINCT host, unnest(m) AS fp FROM mins)
+SELECT a.host AS host_a, b.host AS host_b, CAST(count(*) AS BIGINT) AS n_shared
+FROM hostfp a JOIN hostfp b ON a.fp = b.fp AND a.host < b.host
+GROUP BY 1, 2
+"""
+
+
+SQL_HOST_MIRROR_OVERLAP = _sql_host_mirror_overlap()

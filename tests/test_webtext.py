@@ -1317,3 +1317,33 @@ class TestHostTemplates:
         out = q_host_templates(str(d)).to_pandas()
         assert len(out) == 2
         assert sorted(out["n_pages"].tolist()) == [3, 3]
+
+
+class TestHostMirrorOverlap:
+    def test_mirrored_hosts_dominate(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from service1_text_extraction_ray.pipelines.queries import (
+            q_host_mirror_overlap,
+            winnow_fingerprints,
+        )
+
+        copied = "this exact article text is mirrored verbatim across two hosts"
+        rows = [
+            {"doc_id": 0, "text": copied, "lang": "en", "source": "origin"},
+            {"doc_id": 1, "text": copied, "lang": "en", "source": "mirror"},
+            {"doc_id": 2, "text": "zq9 xv7 unrelated kj2 wp5 mn8 bd4 gh6",
+             "lang": "en", "source": "other"},
+        ]
+        d = tmp_path / "sf"
+        d.mkdir(exist_ok=True)
+        pq.write_table(pa.Table.from_pylist(rows), str(d / "documents.parquet"))
+        out = (
+            q_host_mirror_overlap(str(d)).to_pandas()
+            .set_index(["host_a", "host_b"])["n_shared"]
+        )
+        # the verbatim mirror shares the FULL fingerprint set
+        assert out[("mirror", "origin")] == len(winnow_fingerprints(copied))
+        # unrelated host shares nothing with either
+        for pair in [("origin", "other"), ("mirror", "other"), ("other", "origin")]:
+            assert out.get(pair, 0) == 0
