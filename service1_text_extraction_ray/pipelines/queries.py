@@ -7377,3 +7377,144 @@ GROUP BY 1, 2
 
 
 SQL_HOST_MIRROR_OVERLAP = _sql_host_mirror_overlap()
+
+
+# ---------------------------------------------------------------------------
+# Sitemap coverage diff: declared-vs-crawled URL sets per host
+# ---------------------------------------------------------------------------
+
+
+def q_sitemap_coverage(sf_dir: str) -> rd.Dataset:
+    """Coverage diff between what each host's sitemap DECLARES and what the
+    crawl actually HOLDS — the audit a crawl operator runs per wave:
+    'missing' rows are sitemap URLs the crawl never fetched (scheduling
+    gap), 'unlisted' rows are crawled URLs absent from the sitemap
+    (discovered via links; often infinite-space or expired pages). The
+    crawled set derives deterministically from the corpus (each doc claims
+    /p/{doc_id%2}/{doc_id%6} on its host, same query-string rule as the
+    sitemap writer), so the diff is data-driven, not arithmetic-only.
+
+    Topology: the sitemap side explodes from the distinct host list (tiny);
+    the crawled side distincts per block then in-shard via one keyed
+    exchange; both directions of the diff run as co-partitioned ANTI
+    hash_joins on the url (which embeds the host, so the url alone is the
+    key). Output: (host, url, status)."""
+    from ..functions.sitemaps import (
+        N_CHILD_SITEMAPS, make_sitemap, make_sitemap_index, parse_sitemap,
+    )
+    from .relational import hash_exchange, hash_join
+
+    pair_schema = pa.schema([("host", pa.string()), ("url", pa.string())])
+
+    def distinct_hosts(t: pa.Table) -> pa.Table:
+        hosts = pc.unique(t["source"])
+        return pa.Table.from_arrays(
+            [pc.binary_join_element_wise(
+                pc.cast(hosts, pa.string()), ".example.com", "")],
+            names=["host"],
+        )
+
+    hosts_ds = (
+        _read(sf_dir, "documents", ["source"])
+        .map_batches(distinct_hosts, batch_format="pyarrow")
+        .groupby("host")
+        .count()
+        .select_columns(["host"])
+    )
+
+    def sitemap_urls(t: pa.Table) -> pa.Table:
+        hs, us = [], []
+        for host in t["host"].to_pylist():
+            _, children = parse_sitemap(make_sitemap_index(host))
+            for k in range(N_CHILD_SITEMAPS):
+                _, entries = parse_sitemap(make_sitemap(host, k))
+                for loc, _, _ in entries:
+                    hs.append(host)
+                    us.append(loc)
+        return pa.Table.from_arrays(
+            [pa.array(hs, pa.string()), pa.array(us, pa.string())],
+            schema=pair_schema,
+        )
+
+    declared = hosts_ds.map_batches(sitemap_urls, batch_format="pyarrow")
+
+    def crawled_partial(t: pa.Table) -> pa.Table:
+        seen = set()
+        for d, src in zip(t["doc_id"].to_pylist(), t["source"].to_pylist()):
+            host = f"{src}.example.com"
+            k, i = int(d) % 2, int(d) % 6
+            url = f"https://{host}/p/{k}/{i}"
+            if i % 4 == 0:
+                url += "?x=1&ref=home"
+            seen.add((host, url))
+        if not seen:
+            return pair_schema.empty_table()
+        return pa.Table.from_pylist(
+            [{"host": h, "url": u} for h, u in seen], schema=pair_schema
+        )
+
+    def shard_distinct(t: pa.Table) -> pa.Table:
+        g = t.group_by(["host", "url"]).aggregate([])
+        return g.select(["host", "url"])
+
+    crawled = hash_exchange(
+        _read(sf_dir, "documents", ["doc_id", "source"]).map_batches(
+            crawled_partial, batch_format="pyarrow"
+        ),
+        ["url"],
+        shard_distinct,
+        pair_schema,
+    )
+
+    def tag_status(status: str):
+        def f(t: pa.Table) -> pa.Table:
+            return pa.Table.from_arrays(
+                [t["host"], t["url"],
+                 pa.nulls(t.num_rows, pa.string()).fill_null(status)],
+                names=["host", "url", "status"],
+            )
+
+        return f
+
+    missing = hash_join(
+        declared, crawled.select_columns(["url"]),
+        left_on="url", right_on="url", key_type=pa.string(),
+        left_fields=[pa.field("host", pa.string())],
+        right_fields=[],
+        how="anti",
+    ).map_batches(tag_status("missing"), batch_format="pyarrow")
+
+    unlisted = hash_join(
+        crawled, declared.select_columns(["url"]),
+        left_on="url", right_on="url", key_type=pa.string(),
+        left_fields=[pa.field("host", pa.string())],
+        right_fields=[],
+        how="anti",
+    ).map_batches(tag_status("unlisted"), batch_format="pyarrow")
+
+    return missing.union(unlisted)
+
+
+SQL_SITEMAP_COVERAGE = """
+WITH hosts AS (SELECT DISTINCT source || '.example.com' AS host FROM documents),
+declared AS (
+  SELECT host,
+         'https://' || host || '/p/' || t1.k || '/' || t2.i
+           || CASE WHEN t2.i % 4 = 0 THEN '?x=1&ref=home' ELSE '' END AS url
+  FROM hosts
+  CROSS JOIN generate_series(0, 1) t1(k)
+  CROSS JOIN generate_series(0, 5) t2(i)
+  WHERE t2.i < 4 + (length(host) + t1.k) % 3
+),
+crawled AS (
+  SELECT DISTINCT source || '.example.com' AS host,
+         'https://' || source || '.example.com/p/' || (doc_id % 2) || '/' || (doc_id % 6)
+           || CASE WHEN (doc_id % 6) % 4 = 0 THEN '?x=1&ref=home' ELSE '' END AS url
+  FROM documents
+)
+SELECT host, url, 'missing' AS status
+FROM declared d WHERE NOT EXISTS (SELECT 1 FROM crawled c WHERE c.url = d.url)
+UNION ALL
+SELECT host, url, 'unlisted' AS status
+FROM crawled c WHERE NOT EXISTS (SELECT 1 FROM declared d WHERE d.url = c.url)
+"""

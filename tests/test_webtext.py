@@ -1347,3 +1347,30 @@ class TestHostMirrorOverlap:
         # unrelated host shares nothing with either
         for pair in [("origin", "other"), ("mirror", "other"), ("other", "origin")]:
             assert out.get(pair, 0) == 0
+
+
+class TestSitemapCoverage:
+    def test_missing_and_unlisted(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from service1_text_extraction_ray.pipelines.queries import (
+            q_sitemap_coverage,
+        )
+
+        # one host, docs 0 and 5: crawled /p/0/0?x=1&ref=home and /p/1/5;
+        # /p/1/5 is beyond the sitemap's url count -> unlisted; most of the
+        # declared tree is never crawled -> missing
+        # host 'hh.example.com' (len 14): child 1 declares only i<4, so
+        # /p/1/5 is out of the declared range
+        rows = [{"doc_id": 0, "source": "hh"}, {"doc_id": 5, "source": "hh"}]
+        d = tmp_path / "sf"
+        d.mkdir(exist_ok=True)
+        pq.write_table(pa.Table.from_pylist(rows), str(d / "documents.parquet"))
+        out = q_sitemap_coverage(str(d)).to_pandas()
+        unlisted = set(out[out["status"] == "unlisted"]["url"])
+        missing = set(out[out["status"] == "missing"]["url"])
+        assert unlisted == {"https://hh.example.com/p/1/5"}
+        assert "https://hh.example.com/p/0/0?x=1&ref=home" not in missing
+        assert "https://hh.example.com/p/0/1" in missing
+        # a declared url never appears in both buckets
+        assert not (unlisted & missing)
