@@ -27,7 +27,10 @@ surface as per-page/per-doc ``parse_failure`` rows, never exceptions):
 - Content streams: raw, ``/Filter /FlateDecode`` (stdlib zlib),
   ``/LZWDecode`` (TIFF-variant LZW, EarlyChange=1), ``/RunLengthDecode``,
   ``/ASCIIHexDecode``, ``/ASCII85Decode``, or a chain of these in array
-  order (any other filter -> counted parse failure, never junk text); text
+  order (any other filter -> counted parse failure, never junk text);
+  ``/DecodeParms`` ``/Predictor`` post-filters on the Flate/LZW stages —
+  TIFF horizontal differencing (2) and all five PNG row filters (10-15,
+  RFC 2083) with Columns/Colors/BitsPerComponent row geometry; text
   operators ``BT ET Tf Td TD Tm T* TL Tj TJ ' "``; literal ``(...)`` strings
   with standard escapes + octal, hex ``<...>`` strings; single-byte
   (StandardEncoding/WinAnsi ~ latin-1) text, with ``/Encoding
@@ -365,6 +368,117 @@ def _run_length_decode(data: bytes) -> bytes:
     raise PdfParseError("RunLengthDecode: missing EOD")
 
 
+_DECODEPARMS_RE = re.compile(rb"/(?:DecodeParms|DP)\b")
+_PRED_RE = re.compile(rb"/Predictor\s+(\d+)")
+_COLUMNS_RE = re.compile(rb"/Columns\s+(\d+)")
+_COLORS_RE = re.compile(rb"/Colors\s+(\d+)")
+_BPC_RE = re.compile(rb"/BitsPerComponent\s+(\d+)")
+
+
+def _parse_decode_parms(dict_bytes: bytes) -> List[Optional[dict]]:
+    """Parse /DecodeParms (or legacy /DP): a dict, an array of dict/null
+    aligned with the /Filter array, or absent. Returns one entry per
+    position (None = no parms). Indirect parms are out of subset ->
+    PdfParseError (counted failure, never silently-wrong bytes)."""
+    m = _DECODEPARMS_RE.search(dict_bytes)
+    if not m:
+        return []
+    i = _skip_ws(dict_bytes, m.end())
+    out: List[Optional[dict]] = []
+
+    def one(j: int) -> Tuple[Optional[dict], int]:
+        j = _skip_ws(dict_bytes, j)
+        if dict_bytes[j : j + 2] == b"<<":
+            d, j2 = _scan_dict(dict_bytes, j)
+            if _REF_RE.search(d):
+                raise PdfParseError("indirect value inside /DecodeParms")
+            p = _PRED_RE.search(d)
+            c = _COLUMNS_RE.search(d)
+            k = _COLORS_RE.search(d)
+            b = _BPC_RE.search(d)
+            return (
+                {
+                    "predictor": int(p.group(1)) if p else 1,
+                    "columns": int(c.group(1)) if c else 1,
+                    "colors": int(k.group(1)) if k else 1,
+                    "bpc": int(b.group(1)) if b else 8,
+                },
+                j2,
+            )
+        if dict_bytes[j : j + 4] == b"null":
+            return None, j + 4
+        raise PdfParseError("unsupported /DecodeParms value")
+
+    if dict_bytes[i : i + 1] == b"[":
+        j = i + 1
+        while True:
+            j = _skip_ws(dict_bytes, j)
+            if j >= len(dict_bytes) or dict_bytes[j : j + 1] == b"]":
+                break
+            entry, j = one(j)
+            out.append(entry)
+        return out
+    entry, _ = one(i)
+    return [entry]
+
+
+def _apply_predictor(data: bytes, parms: dict) -> bytes:
+    """Undo a /Predictor post-filter (ISO 32000-1 §7.4.4.4): 2 = TIFF
+    horizontal differencing; 10-15 = PNG row filters (RFC 2083 §6) with a
+    per-row filter-type byte. Row geometry from Columns/Colors/BPC."""
+    pred = parms["predictor"]
+    if pred <= 1:
+        return data
+    colors, bpc, columns = parms["colors"], parms["bpc"], parms["columns"]
+    bpp = max(1, (colors * bpc + 7) // 8)
+    rowlen = (columns * colors * bpc + 7) // 8
+    if rowlen <= 0:
+        raise PdfParseError("predictor with non-positive row length")
+    if pred == 2:
+        if bpc != 8:
+            raise PdfParseError("TIFF predictor supported only at 8 bpc")
+        out = bytearray(data)
+        for r in range(0, len(out) - rowlen + 1, rowlen):
+            for j in range(bpp, rowlen):
+                out[r + j] = (out[r + j] + out[r + j - bpp]) & 0xFF
+        return bytes(out)
+    if pred < 10 or pred > 15:
+        raise PdfParseError(f"unsupported /Predictor {pred}")
+    if len(data) % (rowlen + 1) != 0:
+        raise PdfParseError("PNG-predicted stream not a whole number of rows")
+    out = bytearray()
+    prev = bytearray(rowlen)
+    for r in range(0, len(data), rowlen + 1):
+        ft = data[r]
+        row = bytearray(data[r + 1 : r + 1 + rowlen])
+        if ft == 0:
+            pass
+        elif ft == 1:  # Sub
+            for j in range(bpp, rowlen):
+                row[j] = (row[j] + row[j - bpp]) & 0xFF
+        elif ft == 2:  # Up
+            for j in range(rowlen):
+                row[j] = (row[j] + prev[j]) & 0xFF
+        elif ft == 3:  # Average
+            for j in range(rowlen):
+                left = row[j - bpp] if j >= bpp else 0
+                row[j] = (row[j] + (left + prev[j]) // 2) & 0xFF
+        elif ft == 4:  # Paeth
+            for j in range(rowlen):
+                a = row[j - bpp] if j >= bpp else 0
+                b = prev[j]
+                c = prev[j - bpp] if j >= bpp else 0
+                p = a + b - c
+                pa, pb, pc_ = abs(p - a), abs(p - b), abs(p - c)
+                pred_v = a if (pa <= pb and pa <= pc_) else (b if pb <= pc_ else c)
+                row[j] = (row[j] + pred_v) & 0xFF
+        else:
+            raise PdfParseError(f"unknown PNG row filter {ft}")
+        out += row
+        prev = row
+    return bytes(out)
+
+
 def _decode_stream(
     obj: "_PdfObject", file_key: Optional[bytes] = None, cfm: str = "V2"
 ) -> bytes:
@@ -416,8 +530,10 @@ def _decode_stream(
         body = spec.strip(b"[] \t\r\n\f\x00")
         if _REF_RE.search(spec) or (body and not _FILTER_NAME_RE.search(spec)):
             raise PdfParseError("unresolvable /Filter array")
-    for name_m in _FILTER_NAME_RE.finditer(spec):
+    parms_list = _parse_decode_parms(obj.dict_bytes)
+    for idx, name_m in enumerate(_FILTER_NAME_RE.finditer(spec)):
         name = name_m.group(1)
+        parms = parms_list[idx] if idx < len(parms_list) else None
         if name == b"FlateDecode":
             try:
                 raw = zlib.decompress(raw)
@@ -433,6 +549,9 @@ def _decode_stream(
             raw = _ascii85_decode(raw)
         else:
             raise PdfParseError(f"unsupported stream filter /{name.decode('ascii', 'replace')}")
+        # /Predictor post-pass applies to the Flate/LZW stages (§7.4.4.4)
+        if parms is not None and name in (b"FlateDecode", b"LZWDecode"):
+            raw = _apply_predictor(raw, parms)
     return raw
 
 

@@ -717,3 +717,122 @@ class TestOutline:
 
         pdf = make_pdf([["Plain page text."]], rng())
         assert PdfDocument(pdf).outline() == []
+
+
+def _rewrite_stream_predictor(pdf: bytes, transform, filter_name: bytes,
+                              parms: bytes) -> bytes:
+    """Like _rewrite_stream_filter but also writes /DecodeParms."""
+    import re as _re
+
+    m = _re.search(rb"<< /Length (\d+) >>\nstream\n", pdf)
+    assert m, "no raw stream found"
+    start = m.end()
+    length = int(m.group(1))
+    body = pdf[start : start + length]
+    new_body = transform(body)
+    head = b"<< /Length %d /Filter %s /DecodeParms %s >>\nstream\n" % (
+        len(new_body), filter_name, parms)
+    return pdf[: m.start()] + head + new_body + pdf[start + length :]
+
+
+def _png_encode(body: bytes, columns: int, ftype: int) -> bytes:
+    """Apply one PNG row filter (RFC 2083) to every row, bpp=1."""
+    rows = [body[i : i + columns] for i in range(0, len(body), columns)]
+    if rows and len(rows[-1]) < columns:
+        rows[-1] = rows[-1] + b"\x00" * (columns - len(rows[-1]))
+    out = bytearray()
+    prev = bytes(columns)
+    for row in rows:
+        out.append(ftype)
+        for j, b in enumerate(row):
+            if ftype == 0:
+                out.append(b)
+            elif ftype == 1:
+                left = row[j - 1] if j >= 1 else 0
+                out.append((b - left) & 0xFF)
+            elif ftype == 2:
+                out.append((b - prev[j]) & 0xFF)
+            elif ftype == 3:
+                left = row[j - 1] if j >= 1 else 0
+                out.append((b - (left + prev[j]) // 2) & 0xFF)
+            elif ftype == 4:
+                a = row[j - 1] if j >= 1 else 0
+                up = prev[j]
+                c = prev[j - 1] if j >= 1 else 0
+                p = a + up - c
+                pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (up if pb <= pc else c)
+                out.append((b - pred) & 0xFF)
+        prev = row
+    return bytes(out)
+
+
+def test_png_predictor_up_roundtrip():
+    import zlib
+
+    lines = ["Predictor-compressed content stream.", "Second line of text."]
+    pdf = make_pdf([lines], rng(), compress=False)
+    cols = 17
+    enc = lambda b: zlib.compress(_png_encode(b, cols, 2))
+    # trailing NULs from row padding are harmless to the tokenizer
+    pred = _rewrite_stream_predictor(
+        pdf, enc, b"/FlateDecode",
+        b"<< /Predictor 12 /Columns %d >>" % cols,
+    )
+    pages = parse_pdf(pred)
+    assert pages[0].text == "\n".join(lines)
+
+
+def test_png_predictor_all_row_filters():
+    import zlib
+
+    lines = ["Every PNG row filter must invert."]
+    base = make_pdf([lines], rng(), compress=False)
+    for ftype, predictor in [(0, 10), (1, 11), (2, 12), (3, 13), (4, 14)]:
+        cols = 13
+        pred = _rewrite_stream_predictor(
+            base, lambda b, f=ftype: zlib.compress(_png_encode(b, cols, f)),
+            b"/FlateDecode", b"<< /Predictor %d /Columns %d >>" % (predictor, cols),
+        )
+        pages = parse_pdf(pred)
+        assert pages[0].text == "\n".join(lines), f"filter {ftype}"
+
+
+def test_tiff_predictor_roundtrip():
+    import zlib
+
+    lines = ["TIFF horizontal differencing."]
+    pdf = make_pdf([lines], rng(), compress=False)
+    cols = 11
+
+    def tiff_encode(body: bytes) -> bytes:
+        rows = [bytearray(body[i : i + cols]) for i in range(0, len(body), cols)]
+        if rows and len(rows[-1]) < cols:
+            rows[-1].extend(b"\x00" * (cols - len(rows[-1])))
+        out = bytearray()
+        for row in rows:
+            enc = bytearray(row)
+            for j in range(len(row) - 1, 0, -1):
+                enc[j] = (row[j] - row[j - 1]) & 0xFF
+            out += enc
+        return zlib.compress(bytes(out))
+
+    pred = _rewrite_stream_predictor(
+        pdf, tiff_encode, b"/FlateDecode",
+        b"<< /Predictor 2 /Columns %d >>" % cols,
+    )
+    pages = parse_pdf(pred)
+    assert pages[0].text == "\n".join(lines)
+
+
+def test_predictor_bad_row_count_is_counted_failure():
+    import zlib
+
+    pdf = make_pdf([["A page."]], rng(), compress=False)
+    # declare PNG predictor but supply un-prefixed data -> row mismatch
+    bad = _rewrite_stream_predictor(
+        pdf, lambda b: zlib.compress(b + b"x"), b"/FlateDecode",
+        b"<< /Predictor 12 /Columns 1000 >>",
+    )
+    pages = parse_pdf(bad)
+    assert pages[0].text == ""
