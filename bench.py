@@ -177,7 +177,7 @@ QUERY_NAMES = [
     "doc_strip_boilerplate", "page_indexability", "corpus_pmi",
     "recrawl_diff", "promo_revenue_share", "nation_pair_volume",
     "host_templates", "doc_bigram_logprob", "host_quality",
-    "host_mirror_overlap", "sitemap_coverage",
+    "host_mirror_overlap", "sitemap_coverage", "search_phrase", "ann_pq",
 ]
 
 

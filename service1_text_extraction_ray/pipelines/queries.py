@@ -7518,3 +7518,181 @@ UNION ALL
 SELECT host, url, 'unlisted' AS status
 FROM crawled c WHERE NOT EXISTS (SELECT 1 FROM declared d WHERE d.url = c.url)
 """
+
+
+# ---------------------------------------------------------------------------
+# Product quantization ANN (Jégou et al., TPAMI 2011) — the memory-scale path
+# ---------------------------------------------------------------------------
+
+PQ_M = 8          # subspaces (64-dim -> 8 dims each)
+PQ_K = 16         # centroids per subspace (4-bit codes)
+PQ_ITERS = 8      # Lloyd iterations per subspace
+PQ_UNIT = 1_000_000  # vector/centroid quantization: 1e-6 resolution
+PQ_RERANK = 50    # ADC candidates re-scored with exact (integer) dots
+
+
+def _pq_codebooks(sf_dir: str) -> np.ndarray:
+    """Deterministic per-subspace k-means codebooks, fit in float on the
+    bounded parquet-head sample (the _ivf_centroids protocol), then
+    QUANTIZED to integer micro-units — every downstream step (assignment,
+    ADC) is integer arithmetic, so the Ray job and the SQL oracle are
+    bit-equal by construction, not by libm luck.
+    Returns int64 [M, K, dim/M]."""
+    import pyarrow.parquet as papq
+
+    pf = papq.ParquetFile(_pq(sf_dir, "embeddings"))
+    chunks, got = [], 0
+    for rb in pf.iter_batches(batch_size=IVF_SAMPLE, columns=["embedding"]):
+        chunks.append(rb)
+        got += rb.num_rows
+        if got >= IVF_SAMPLE:
+            break
+    sample = pa.Table.from_batches(chunks).slice(0, IVF_SAMPLE)
+    smat = np.stack(sample["embedding"].to_pandas().to_numpy()).astype(np.float64)
+    dim = smat.shape[1]
+    sub = dim // PQ_M
+    rs = np.random.RandomState(KNN_SEED + 3)
+    books = np.zeros((PQ_M, PQ_K, sub), dtype=np.float64)
+    for m in range(PQ_M):
+        x = smat[:, m * sub : (m + 1) * sub]
+        k = min(PQ_K, len(x))
+        cent = x[rs.choice(len(x), size=k, replace=False)].copy()
+        for _ in range(PQ_ITERS):
+            d = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d, axis=1)
+            for c in range(k):
+                members = x[assign == c]
+                if len(members):
+                    cent[c] = members.mean(axis=0)
+        books[m, :k] = cent
+        if k < PQ_K:
+            books[m, k:] = cent[0]  # degenerate fill, never wins argmin ties
+    return np.round(books * PQ_UNIT).astype(np.int64)
+
+
+def _pq_quantize(mat: np.ndarray) -> np.ndarray:
+    """float [n, dim] -> int64 micro-units, the shared input quantization."""
+    return np.round(mat.astype(np.float64) * PQ_UNIT).astype(np.int64)
+
+
+def q_ann_pq(sf_dir: str) -> pd.DataFrame:
+    """Product-quantization ANN (Jégou et al. 2011): each vector compresses
+    to PQ_M 4-bit codes (16 bytes -> 4 bytes here; 256x memory reduction at
+    production dims), and query scoring is asymmetric distance computation
+    (ADC) — one LUT of query·centroid dot products per subspace, a vector's
+    approximate score is the sum of M table lookups. THE memory-scale ANN
+    path: at 10^9 vectors the codes fit in RAM when raw vectors cannot.
+
+    Everything after the (driver-side, deterministic, literal-inlined)
+    codebook fit is INTEGER: vectors and codebooks quantize to micro-units,
+    assignment is integer L2 argmin (ties -> lowest code, both sides),
+    ADC scores are integer sums — the Ray job and the SQL oracle are
+    bit-equal by construction. Two stages, the production PQ shape:
+    per-batch encode + LUT-score keeps a block-local ADC top-PQ_RERANK
+    (carrying the exact integer dot, free while the raw vector is still
+    in the batch); the driver takes the global ADC top-PQ_RERANK and
+    re-ranks those by exact dot — re-ranking is what turns PQ's lossy
+    recall into production recall. Recall vs brute force is
+    pytest-verified (the approximation contract)."""
+    books = _pq_codebooks(sf_dir)           # int64 [M, K, sub]
+    qq = _pq_quantize(_query_vector()[None, :])[0]  # int64 [dim]
+    sub = books.shape[2]
+    # integer ADC lookup table: lut[m, c] = q_sub(m) . books[m, c]
+    lut = np.einsum("mks,ms->mk", books, qq.reshape(PQ_M, sub))
+    books_ref = ray.put(books)
+    lut_ref = ray.put(lut)
+
+    def encode_score(batch: pa.Table) -> pa.Table:
+        bk = ray.get(books_ref)
+        lt = ray.get(lut_ref)
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        mat = _pq_quantize(np.stack(batch["embedding"].to_pandas().to_numpy()))
+        n = len(ids)
+        sims = np.zeros(n, dtype=np.int64)
+        for m in range(PQ_M):
+            x = mat[:, m * sub : (m + 1) * sub]            # [n, sub] int64
+            diff = x[:, None, :] - bk[m][None, :, :]        # [n, K, sub]
+            d = (diff * diff).sum(axis=2)                   # int64 exact
+            codes = np.argmin(d, axis=1)                    # first-min = lowest code
+            sims += lt[m][codes]
+        dots = mat @ qq                                    # exact integer dot
+        kk = min(PQ_RERANK, n)
+        idx = np.lexsort((ids, -sims))[:kk]
+        return pa.table({"vec_id": pa.array(ids[idx], pa.int64()),
+                         "sim": pa.array(sims[idx], pa.int64()),
+                         "dot": pa.array(dots[idx], pa.int64())})
+
+    partials = (
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+        .map_batches(encode_score, batch_format="pyarrow")
+        .to_pandas()
+    )
+    if len(partials) == 0:
+        return pd.DataFrame({"vec_id": pd.Series([], dtype="int64")})
+    cand = partials.sort_values(["sim", "vec_id"], ascending=[False, True]).head(PQ_RERANK)
+    top = cand.sort_values(["dot", "vec_id"], ascending=[False, True]).head(KNN_K)
+    return pd.DataFrame({"vec_id": top["vec_id"].astype("int64").to_numpy()})
+
+
+def sql_ann_pq(sf_dir: str | None = None) -> str:
+    """Exact oracle for q_ann_pq: codebooks and the ADC LUT are
+    deterministic integers -> inlined as literals (the sql_ann_ivf
+    contract, sf from $GRAFT_ORACLE_SF_DIR). Per subspace the integer L2
+    argmin replays via list_position(list_min) over the 16 inline distance
+    expressions; the score is the sum of LUT list-indexing terms; top-k
+    tiebreaks on vec_id."""
+    if sf_dir is None:
+        sf_dir = os.environ.get("GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    books = _pq_codebooks(sf_dir)
+    qq = _pq_quantize(_query_vector()[None, :])[0]
+    qlit = "[" + ", ".join(str(int(v)) for v in qq) + "]"
+    sub = books.shape[2]
+    lut = np.einsum("mks,ms->mk", books, qq.reshape(PQ_M, sub))
+
+    sim_terms = []
+    for m in range(PQ_M):
+        dists = []
+        for c in range(PQ_K):
+            terms = " + ".join(
+                f"(xq[{m * sub + j + 1}] - {books[m, c, j]})"
+                f" * (xq[{m * sub + j + 1}] - {books[m, c, j]})"
+                for j in range(sub)
+            )
+            dists.append(f"({terms})")
+        dlist = "[" + ", ".join(dists) + "]"
+        llist = "[" + ", ".join(str(int(v)) for v in lut[m]) + "]"
+        sim_terms.append(
+            f"{llist}[list_position(dl{m}, list_min(dl{m}))]"
+        )
+        # dl{m} computed in the projection below
+    dl_cols = []
+    for m in range(PQ_M):
+        dists = []
+        for c in range(PQ_K):
+            terms = " + ".join(
+                f"(xq[{m * sub + j + 1}] - {books[m, c, j]})"
+                f" * (xq[{m * sub + j + 1}] - {books[m, c, j]})"
+                for j in range(sub)
+            )
+            dists.append(f"({terms})")
+        dl_cols.append("[" + ", ".join(dists) + f"] AS dl{m}")
+    return f"""
+WITH base AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        v -> CAST(round(v * {PQ_UNIT}) AS BIGINT)) AS xq
+  FROM embeddings
+),
+dls AS (
+  SELECT vec_id, {", ".join(dl_cols)} FROM base
+),
+scored AS (
+  SELECT b.vec_id, {" + ".join(sim_terms)} AS sim,
+         list_dot_product(b.xq, {qlit}) AS dot
+  FROM dls JOIN base b USING (vec_id)
+),
+cand AS (
+  SELECT vec_id, dot FROM scored ORDER BY sim DESC, vec_id ASC LIMIT {PQ_RERANK}
+)
+SELECT vec_id FROM cand ORDER BY dot DESC, vec_id ASC LIMIT {KNN_K}
+"""

@@ -2740,3 +2740,77 @@ FROM hosts
 
 
 SQL_HOST_QUALITY = _sql_host_quality()
+
+
+# ---------------------------------------------------------------------------
+# Exact phrase search: adjacent-token runs, the positional-index query
+# ---------------------------------------------------------------------------
+
+SEARCH_PHRASES = ("batch table", "window merge", "spark data vector")
+
+
+def q_search_phrase(sf_dir: str) -> rd.Dataset:
+    """Exact multi-token phrase search (the positional-index query shape,
+    complementing search_bm25's bag-of-words ranking): for each query
+    phrase, every document containing the tokens ADJACENT and in order,
+    with the match count and the first match's token offset. The scan is
+    a pure per-batch map over token arrays — at index-serving scale the
+    same intersection runs over positional postings, but over a corpus
+    the one-pass scan IS the distributed shape (no shuffle at all;
+    output is match-grain tiny)."""
+    phrases = [p.split() for p in SEARCH_PHRASES]
+    out_schema = pa.schema([
+        ("phrase", pa.string()), ("doc_id", pa.int64()),
+        ("n_matches", pa.int64()), ("first_pos", pa.int64()),
+    ])
+
+    def scan(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for doc_id, text in zip(df["doc_id"], df["text"].fillna("")):
+            ts = _tokens(text)
+            for ptoks, pstr in zip(phrases, SEARCH_PHRASES):
+                n, first = 0, -1
+                for i in range(len(ts) - len(ptoks) + 1):
+                    if ts[i : i + len(ptoks)] == ptoks:
+                        n += 1
+                        if first < 0:
+                            first = i
+                if n:
+                    rows.append((pstr, int(doc_id), n, first))
+        return pd.DataFrame(
+            rows, columns=["phrase", "doc_id", "n_matches", "first_pos"]
+        ).astype({"doc_id": "int64", "n_matches": "int64", "first_pos": "int64"})
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        scan, batch_format="pandas"
+    )
+
+
+def _sql_search_phrase() -> str:
+    parts = []
+    for pstr in SEARCH_PHRASES:
+        toks = pstr.split()
+        cond = " AND ".join(
+            f"a[i + {j}] = '{t}'" for j, t in enumerate(toks)
+        )
+        parts.append(f"""
+SELECT '{pstr}' AS phrase, doc_id,
+       CAST(len(hits) AS BIGINT) AS n_matches,
+       CAST(hits[1] - 1 AS BIGINT) AS first_pos
+FROM (
+  SELECT doc_id,
+         list_filter(range(1, len(a) - {len(toks)} + 2), i -> {cond}) AS hits
+  FROM arrs WHERE len(a) >= {len(toks)}
+) WHERE len(hits) > 0""")
+    return (
+        """
+WITH arrs AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(coalesce(text, ''), '\\s+'), x -> x <> '') AS a
+  FROM documents
+)"""
+        + "\nUNION ALL".join(parts)
+    )
+
+
+SQL_SEARCH_PHRASE = _sql_search_phrase()

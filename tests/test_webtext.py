@@ -1374,3 +1374,19 @@ class TestSitemapCoverage:
         assert "https://hh.example.com/p/0/1" in missing
         # a declared url never appears in both buckets
         assert not (unlisted & missing)
+
+
+class TestSearchPhrase:
+    def test_adjacency_and_positions(self, ray_session, tmp_path, monkeypatch):
+        import service1_text_extraction_ray.pipelines.webtext as W
+
+        monkeypatch.setattr(W, "SEARCH_PHRASES", ("big cat",))
+        texts = [
+            "the big cat sat big cat again",   # 2 matches, first at pos 1
+            "big dog cat",                      # tokens present, not adjacent
+            "cat big",                          # wrong order
+        ]
+        out = W.q_search_phrase(_docs(tmp_path, texts)).to_pandas()
+        assert len(out) == 1
+        row = out.iloc[0]
+        assert row["doc_id"] == 0 and row["n_matches"] == 2 and row["first_pos"] == 1
