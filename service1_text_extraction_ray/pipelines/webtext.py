@@ -2814,3 +2814,97 @@ WITH arrs AS (
 
 
 SQL_SEARCH_PHRASE = _sql_search_phrase()
+
+
+# ---------------------------------------------------------------------------
+# CC-Net perplexity bucketing: head / middle / tail thirds by LM score
+# ---------------------------------------------------------------------------
+
+
+def _trunc_div(a: int, b: int) -> int:
+    """Truncating integer division (DuckDB's // truncates toward zero on
+    negatives; Python's floors — logprob sums are negative, so the
+    convention must be pinned)."""
+    if b == 0:
+        return 0
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b >= 0) else -q
+
+
+def q_doc_ppl_buckets(sf_dir: str) -> rd.Dataset:
+    """CC-Net's corpus partitioning (Wenzek 2020 §4.3): score every
+    document with the LM, split the corpus into head / middle / tail
+    THIRDS by score — training pipelines then sample head-heavy. Score =
+    per-doc average bigram log-prob in nano-nats (truncating integer
+    division, the DuckDB convention); tercile boundaries use the
+    quantile_disc convention via one single-group sort (exact while the
+    score column fits a task — the documented scale path is the t-digest
+    partial sketch, order_price_tdigest). Docs without bigrams carry no
+    score and are excluded, as in the oracle's WHERE.
+
+    Topology: the bigram-LM pipeline (two hash_joins + groupby) produces
+    doc-grain scores; the EXACT boundaries need the full score multiset,
+    so the int64 score column streams to the driver for one sort (8 bytes
+    x n_docs — the same exact-path bound as order_price_quantiles'
+    per-group sort; past driver memory the documented swap is mergeable
+    t-digest partials, order_price_tdigest's topology, trading exactness
+    for O(1) driver state); the 2-int boundary pair then broadcasts into
+    the final assign map."""
+    import math
+
+    scores = q_doc_bigram_logprob(sf_dir).map_batches(
+        lambda t: pa.Table.from_arrays(
+            [t["doc_id"],
+             pa.array([_trunc_div(int(s), int(n)) for s, n in
+                       zip(t["logprob_nano_sum"].to_pylist(),
+                           t["n_bigrams"].to_pylist())], pa.int64())],
+            names=["doc_id", "avg_nano"],
+        ).filter(pc.not_equal(
+            pa.chunked_array([pa.array(
+                [int(n) for n in t["n_bigrams"].to_pylist()], pa.int64())]),
+            pa.scalar(0, pa.int64()),
+        )),
+        batch_format="pyarrow",
+    ).materialize()
+
+    vals = []
+    for b in scores.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        vals.extend(b["avg_nano"].to_pylist())
+    vals.sort()
+    n = len(vals)
+    if n == 0:
+        return rd.from_arrow(pa.schema([
+            ("doc_id", pa.int64()), ("avg_nano", pa.int64()),
+            ("bucket", pa.string()),
+        ]).empty_table())
+    b1 = vals[max(0, math.ceil(n / 3) - 1)]
+    b2 = vals[max(0, math.ceil(2 * n / 3) - 1)]
+
+    def assign(t: pa.Table, _b1=b1, _b2=b2) -> pa.Table:
+        a = t["avg_nano"].to_numpy(zero_copy_only=False)
+        bucket = np.where(a <= _b1, "tail", np.where(a <= _b2, "middle", "head"))
+        return pa.Table.from_arrays(
+            [t["doc_id"], t["avg_nano"], pa.array(bucket, pa.string())],
+            names=["doc_id", "avg_nano", "bucket"],
+        )
+
+    return scores.map_batches(assign, batch_format="pyarrow")
+
+
+SQL_DOC_PPL_BUCKETS = f"""
+WITH lp AS ({SQL_DOC_BIGRAM_LOGPROB}),
+nb AS (
+  SELECT doc_id, logprob_nano_sum // n_bigrams AS avg_nano
+  FROM lp WHERE n_bigrams > 0
+),
+b AS (
+  SELECT quantile_disc(avg_nano, 1.0 / 3) AS b1,
+         quantile_disc(avg_nano, 2.0 / 3) AS b2
+  FROM nb
+)
+SELECT doc_id, avg_nano,
+       CASE WHEN avg_nano <= b.b1 THEN 'tail'
+            WHEN avg_nano <= b.b2 THEN 'middle'
+            ELSE 'head' END AS bucket
+FROM nb CROSS JOIN b
+"""

@@ -1390,3 +1390,32 @@ class TestSearchPhrase:
         assert len(out) == 1
         row = out.iloc[0]
         assert row["doc_id"] == 0 and row["n_matches"] == 2 and row["first_pos"] == 1
+
+
+class TestPplBuckets:
+    def test_thirds_and_ordering(self, ray_session, tmp_path):
+        from service1_text_extraction_ray.pipelines.webtext import (
+            q_doc_ppl_buckets,
+        )
+
+        # doc 0: all mass on one bigram (p=1 each step -> logprob 0, best);
+        # docs with rarer continuations score lower; single-token doc excluded
+        texts = [
+            "a b a b a b",      # p(b|a)=1 within its own stats? corpus-wide below
+            "a b a b",
+            "a c",
+            "a d",
+            "a e",
+            "x",
+        ]
+        out = q_doc_ppl_buckets(_docs(tmp_path, texts)).to_pandas()
+        assert 5 not in set(out["doc_id"])  # no bigrams -> excluded
+        assert set(out["bucket"]) <= {"head", "middle", "tail"}
+        by = out.set_index("doc_id")
+        # "a b" dominates (5 of 8 'a'-continuations) -> docs 0,1 score best
+        assert by.loc[0, "avg_nano"] > by.loc[2, "avg_nano"]
+        # buckets are monotone in score
+        order = {"tail": 0, "middle": 1, "head": 2}
+        s = out.sort_values("avg_nano")
+        ranks = [order[b] for b in s["bucket"]]
+        assert ranks == sorted(ranks)
