@@ -2908,3 +2908,131 @@ SELECT doc_id, avg_nano,
             ELSE 'head' END AS bucket
 FROM nb CROSS JOIN b
 """
+
+
+# ---------------------------------------------------------------------------
+# RAKE keyword extraction: per-doc phrase scores from degree/frequency
+# ---------------------------------------------------------------------------
+
+RAKE_TOPK = 3
+RAKE_UNIT = 1_000_000  # word score = degree * UNIT // freq, integer
+
+
+def q_doc_keywords_rake(sf_dir: str) -> rd.Dataset:
+    """RAKE keyword extraction (Rose et al. 2010): candidate phrases are
+    maximal stopword-free token runs (the Gopher stopword list); per doc,
+    word frequency and word degree (sum of containing-phrase lengths over
+    occurrences) give score(w) = degree*UNIT // freq; a phrase scores the
+    sum of its tokens' scores; top-RAKE_TOPK distinct phrases per doc,
+    ties broken phrase-ascending. All integer, per-document state only —
+    an embarrassingly parallel map (keyword extraction is the metadata
+    enrichment step corpus pipelines run after quality filtering)."""
+    from .queries import GOPHER_STOPWORDS
+
+    stops = set(GOPHER_STOPWORDS)
+    out_schema = pa.schema([
+        ("doc_id", pa.int64()), ("phrase", pa.string()), ("score", pa.int64()),
+    ])
+
+    def rake(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for doc_id, text in zip(df["doc_id"], df["text"].fillna("")):
+            toks = _tokens(text)
+            phrases: list[list[str]] = []
+            cur: list[str] = []
+            for t in toks:
+                if t in stops:
+                    if cur:
+                        phrases.append(cur)
+                    cur = []
+                else:
+                    cur.append(t)
+            if cur:
+                phrases.append(cur)
+            if not phrases:
+                continue
+            freq: dict[str, int] = {}
+            degree: dict[str, int] = {}
+            for ph in phrases:
+                for w in ph:
+                    freq[w] = freq.get(w, 0) + 1
+                    degree[w] = degree.get(w, 0) + len(ph)
+            scored: dict[str, int] = {}
+            for ph in phrases:
+                pstr = " ".join(ph)
+                if pstr not in scored:
+                    scored[pstr] = sum(
+                        degree[w] * RAKE_UNIT // freq[w] for w in ph
+                    )
+            top = sorted(scored.items(), key=lambda kv: (-kv[1], kv[0]))[:RAKE_TOPK]
+            for pstr, sc in top:
+                rows.append((int(doc_id), pstr, sc))
+        return pd.DataFrame(rows, columns=["doc_id", "phrase", "score"]).astype(
+            {"doc_id": "int64", "score": "int64"}
+        )
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        rake, batch_format="pandas"
+    )
+
+
+def _sql_doc_keywords_rake() -> str:
+    from .queries import GOPHER_STOPWORDS
+
+    stops = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, u.tok, u.i
+  FROM (
+    SELECT doc_id,
+           unnest(list_filter(regexp_split_to_array(coalesce(text, ''), '\\s+'),
+                              x -> x <> '')) AS tok,
+           unnest(range(1, len(list_filter(regexp_split_to_array(coalesce(text, ''), '\\s+'),
+                                           x -> x <> '')) + 1)) AS i
+    FROM documents
+  ) u
+),
+marked AS (
+  SELECT doc_id, tok, i,
+         CASE WHEN tok IN ({stops}) THEN 1 ELSE 0 END AS is_stop,
+         sum(CASE WHEN tok IN ({stops}) THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY i) AS pid
+  FROM toks
+),
+words AS (SELECT doc_id, tok, i, pid FROM marked WHERE is_stop = 0),
+plens AS (
+  SELECT doc_id, pid, CAST(count(*) AS BIGINT) AS plen
+  FROM words GROUP BY 1, 2
+),
+wstats AS (
+  SELECT w.doc_id, w.tok,
+         CAST(count(*) AS BIGINT) AS freq,
+         CAST(sum(p.plen) AS BIGINT) AS degree
+  FROM words w JOIN plens p ON p.doc_id = w.doc_id AND p.pid = w.pid
+  GROUP BY 1, 2
+),
+phrases AS (
+  SELECT doc_id, pid, string_agg(tok, ' ' ORDER BY i) AS phrase
+  FROM words GROUP BY 1, 2
+),
+pscores AS (
+  SELECT DISTINCT ph.doc_id, ph.phrase, sc.score
+  FROM phrases ph
+  JOIN (
+    SELECT w.doc_id, w.pid,
+           CAST(sum(s.degree * {RAKE_UNIT} // s.freq) AS BIGINT) AS score
+    FROM words w JOIN wstats s ON s.doc_id = w.doc_id AND s.tok = w.tok
+    GROUP BY 1, 2
+  ) sc ON sc.doc_id = ph.doc_id AND sc.pid = ph.pid
+),
+ranked AS (
+  SELECT doc_id, phrase, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, phrase ASC) AS rn
+  FROM (SELECT DISTINCT doc_id, phrase, score FROM pscores)
+)
+SELECT doc_id, phrase, score FROM ranked WHERE rn <= {RAKE_TOPK}
+"""
+
+
+SQL_DOC_KEYWORDS_RAKE = _sql_doc_keywords_rake()

@@ -1419,3 +1419,31 @@ class TestPplBuckets:
         s = out.sort_values("avg_nano")
         ranks = [order[b] for b in s["bucket"]]
         assert ranks == sorted(ranks)
+
+
+class TestRakeKeywords:
+    def test_textbook_example(self, ray_session, tmp_path):
+        from service1_text_extraction_ray.pipelines.webtext import (
+            RAKE_UNIT,
+            q_doc_keywords_rake,
+        )
+
+        # stopwords ('the', 'of', 'and') split phrases; 'deep learning'
+        # appears twice -> its words get degree 4, freq 2 -> score 2*U each
+        texts = ["deep learning the deep learning of robotics and vision"]
+        out = q_doc_keywords_rake(_docs(tmp_path, texts)).to_pandas()
+        by = out.set_index("phrase")["score"]
+        assert by["deep learning"] == 2 * (2 * 2 * RAKE_UNIT // 2)
+        assert by["robotics"] == RAKE_UNIT
+        # top-3 only, distinct phrases
+        assert len(out) == 3
+
+    def test_all_stopword_doc_emits_nothing(self, ray_session, tmp_path):
+        from service1_text_extraction_ray.pipelines.webtext import (
+            q_doc_keywords_rake,
+        )
+
+        out = q_doc_keywords_rake(
+            _docs(tmp_path, ["the of and that", "alpha"])
+        ).to_pandas()
+        assert set(out["doc_id"]) == {1}
