@@ -340,3 +340,41 @@ def remove_page_headers_footers(text: str) -> str:
             continue
         cleaned.append(line)
     return "\n".join(cleaned)
+
+
+# ---------------------------------------------------------------------------
+# License detection (phrase classifier over page text)
+# ---------------------------------------------------------------------------
+
+_LICENSE_PATTERNS = (
+    # order matters: more specific CC variants before plain cc-by
+    ("cc-by-nc", re.compile(r"creative commons attribution[- ]noncommercial", re.I)),
+    ("cc-by-nd", re.compile(r"creative commons attribution[- ]noderivatives", re.I)),
+    ("cc-by", re.compile(r"creative commons attribution", re.I)),
+    ("mit", re.compile(r"\bmit license\b", re.I)),
+)
+
+_LICENSE_RIGHTS = {
+    "cc-by": (True, True),
+    "cc-by-nc": (False, True),
+    "cc-by-nd": (True, False),
+    "mit": (True, True),
+    "unknown": (False, False),
+}
+
+
+def detect_license(text: str) -> dict:
+    """Classify a page's declared license by footer phrase (first matching
+    pattern wins; specific CC variants outrank plain cc-by). Returns
+    {license, allows_commercial, allows_derivatives} — 'unknown' grants
+    nothing (the conservative default a training-data pipeline needs)."""
+    for name, rx in _LICENSE_PATTERNS:
+        if rx.search(text):
+            commercial, derivatives = _LICENSE_RIGHTS[name]
+            return {
+                "license": name,
+                "allows_commercial": commercial,
+                "allows_derivatives": derivatives,
+            }
+    return {"license": "unknown", "allows_commercial": False,
+            "allows_derivatives": False}

@@ -1409,3 +1409,16 @@ def make_status_page(doc_id: int, source: str, lang: str) -> tuple[bytes, str]:
         f"<body><p>{body}</p></body></html>"
     )
     return html.encode("utf-8"), f"https://{source}.example.com/s/{doc_id}"
+
+
+def make_license_page(doc_id: int, source: str) -> str:
+    """Deterministic page-footer text for license detection
+    (functions/quality.py detect_license). doc_id%5 selects: 0 cc-by,
+    1 cc-by-nc, 2 cc-by-nd, 3 mit, 4 no declaration."""
+    footer = {
+        0: "Licensed under the Creative Commons Attribution 4.0 License.",
+        1: "Licensed under the Creative Commons Attribution-NonCommercial 4.0 License.",
+        2: "Licensed under the Creative Commons Attribution-NoDerivatives 4.0 License.",
+        3: "Released under the MIT License.",
+    }.get(doc_id % 5, "All rights reserved.")
+    return f"Article {doc_id} from {source}.\n\n{footer}\n"

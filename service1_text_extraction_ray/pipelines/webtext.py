@@ -3036,3 +3036,111 @@ SELECT doc_id, phrase, score FROM ranked WHERE rn <= {RAKE_TOPK}
 
 
 SQL_DOC_KEYWORDS_RAKE = _sql_doc_keywords_rake()
+
+
+# ---------------------------------------------------------------------------
+# Character-entropy profile: the information-density curation signal
+# ---------------------------------------------------------------------------
+
+ENTROPY_UNIT = 1_000_000  # per-term quantization: micro-nats
+
+
+def q_doc_char_entropy(sf_dir: str) -> rd.Dataset:
+    """Per-document character-distribution profile — the information-
+    density signal next to doc_compression_ratio (low-entropy docs are
+    repetitive chrome/filler; abnormally high-entropy docs are binary
+    mojibake): n_chars, distinct chars, and the entropy numerator
+    sum(c_i * ln(c_i)) with EACH TERM quantized to integer micro-nats
+    before summation — quantize-then-sum keeps the total independent of
+    summation order, so the SQL replay is exact (H = ln n - S/(n*U)
+    derives downstream in float, outside the hash). Pure per-batch map."""
+    import math
+
+    from collections import Counter
+
+    out_schema = pa.schema([
+        ("doc_id", pa.int64()), ("n_chars", pa.int64()),
+        ("n_distinct", pa.int64()), ("entropy_terms_micro", pa.int64()),
+    ])
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for doc_id, text in zip(df["doc_id"], df["text"].fillna("")):
+            c = Counter(text)
+            s = sum(
+                int(round(k * math.log(k) * ENTROPY_UNIT)) for k in c.values()
+            )
+            rows.append((int(doc_id), len(text), len(c), s))
+        return pd.DataFrame(
+            rows, columns=["doc_id", "n_chars", "n_distinct", "entropy_terms_micro"]
+        ).astype("int64")
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        f, batch_format="pandas"
+    )
+
+
+SQL_DOC_CHAR_ENTROPY = f"""
+WITH chars AS (
+  SELECT doc_id, unnest(string_split(coalesce(text, ''), '')) AS ch
+  FROM documents
+),
+cnt AS (SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS c FROM chars GROUP BY 1, 2),
+agg AS (
+  SELECT doc_id,
+         CAST(sum(c) AS BIGINT) AS n_chars,
+         CAST(count(*) AS BIGINT) AS n_distinct,
+         CAST(sum(CAST(round(c * ln(c) * {ENTROPY_UNIT}) AS BIGINT)) AS BIGINT)
+           AS entropy_terms_micro
+  FROM cnt GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(a.n_chars, 0) AS n_chars,
+       coalesce(a.n_distinct, 0) AS n_distinct,
+       coalesce(a.entropy_terms_micro, 0) AS entropy_terms_micro
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# License detection: the usage-rights curation gate
+# ---------------------------------------------------------------------------
+
+
+def q_doc_license(sf_dir: str) -> rd.Dataset:
+    """License detection over page footers (synth.make_license_page) — the
+    usage-rights gate responsible corpora run before training (keep
+    permissive, drop NC/ND, flag unknown): the REAL phrase classifier
+    (functions/quality.py detect_license) runs inside the value-hash-
+    checked loop; the oracle rebuilds the expected class from doc_id
+    arithmetic. Output: (doc_id, license, allows_commercial,
+    allows_derivatives)."""
+    from ..functions.quality import detect_license
+    from ..functions.synth import make_license_page
+
+    out_schema = pa.schema([
+        ("doc_id", pa.int64()), ("license", pa.string()),
+        ("allows_commercial", pa.bool_()), ("allows_derivatives", pa.bool_()),
+    ])
+
+    def f(t: pa.Table) -> pa.Table:
+        rows = []
+        for d, src in zip(t["doc_id"].to_pylist(), t["source"].to_pylist()):
+            page = make_license_page(int(d), src)
+            rows.append({"doc_id": int(d), **detect_license(page)})
+        return pa.Table.from_pylist(rows, schema=out_schema)
+
+    return _read(sf_dir, "documents", ["doc_id", "source"]).map_batches(
+        f, batch_format="pyarrow"
+    )
+
+
+SQL_DOC_LICENSE = """
+SELECT doc_id,
+       CASE doc_id % 5 WHEN 0 THEN 'cc-by' WHEN 1 THEN 'cc-by-nc'
+            WHEN 2 THEN 'cc-by-nd' WHEN 3 THEN 'mit' ELSE 'unknown' END
+         AS license,
+       doc_id % 5 IN (0, 2, 3) AS allows_commercial,
+       doc_id % 5 IN (0, 1, 3) AS allows_derivatives
+FROM documents
+"""

@@ -116,3 +116,22 @@ class TestScalars:
     def test_remove_headers_footers(self):
         text = "Page 1\nReal content line here\n42\n---\nab\nAnother real line"
         assert remove_page_headers_footers(text) == "Real content line here\nAnother real line"
+
+
+class TestDetectLicense:
+    def test_specific_cc_variants_outrank_plain(self):
+        from service1_text_extraction_ray.functions.quality import detect_license
+
+        r = detect_license("Creative Commons Attribution-NonCommercial 4.0")
+        assert r["license"] == "cc-by-nc" and not r["allows_commercial"]
+        r = detect_license("creative commons attribution 4.0")
+        assert r["license"] == "cc-by" and r["allows_commercial"]
+        r = detect_license("under the MIT License terms")
+        assert r["license"] == "mit"
+
+    def test_unknown_grants_nothing(self):
+        from service1_text_extraction_ray.functions.quality import detect_license
+
+        r = detect_license("All rights reserved.")
+        assert r == {"license": "unknown", "allows_commercial": False,
+                     "allows_derivatives": False}

@@ -1447,3 +1447,23 @@ class TestRakeKeywords:
             _docs(tmp_path, ["the of and that", "alpha"])
         ).to_pandas()
         assert set(out["doc_id"]) == {1}
+
+
+class TestCharEntropy:
+    def test_terms_match_hand_computation(self, ray_session, tmp_path):
+        import math
+
+        from service1_text_extraction_ray.pipelines.webtext import (
+            ENTROPY_UNIT,
+            q_doc_char_entropy,
+        )
+
+        out = (
+            q_doc_char_entropy(_docs(tmp_path, ["aab", ""]))
+            .to_pandas().set_index("doc_id")
+        )
+        # 'aab': counts {a:2, b:1} -> terms round(2 ln2 * U) + round(1 ln1 * U)
+        expect = int(round(2 * math.log(2) * ENTROPY_UNIT)) + 0
+        assert out.loc[0, "n_chars"] == 3 and out.loc[0, "n_distinct"] == 2
+        assert out.loc[0, "entropy_terms_micro"] == expect
+        assert out.loc[1, "n_chars"] == 0 and out.loc[1, "entropy_terms_micro"] == 0
