@@ -6134,3 +6134,144 @@ WHERE l.l_shipdate >= DATE '{Q7_DATE_LO}' AND l.l_shipdate < DATE '{Q7_DATE_HI}'
   AND ns.n_name <> nc.n_name
 GROUP BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation: recency / frequency / monetary quintile scores
+# ---------------------------------------------------------------------------
+
+RFM_REF_DATE = "1998-12-31"  # fixed reference "today" for recency days
+
+
+def q_customer_rfm(sf_dir: str) -> rd.Dataset:
+    """RFM segmentation (the classic behavioral scoring): per customer,
+    recency (days from last order to the fixed reference date), frequency
+    (order count) and monetary (total order cents), each bucketed 1-5 by
+    corpus quintile boundaries — score = 1 + #boundaries strictly below
+    the value, boundaries at quantile_disc(.2/.4/.6/.8), a tie-free rule
+    the SQL replays verbatim (ntile would need a row-order tiebreak;
+    boundary-counting needs none). Segment = the 3-digit code.
+
+    Topology: per-block (custkey, last_ts, n, cents) partials -> ONE
+    groupby merge (max/sum/sum); the 12 int boundaries come from one
+    driver-side sort of the customer-grain metric columns (the exact-path
+    bound documented at order_price_quantiles; t-digest is the scale
+    swap) and broadcast into the final scoring map."""
+    import math
+
+    part_schema = pa.schema([
+        ("custkey", pa.int64()), ("last_us", pa.int64()),
+        ("n_orders", pa.int64()), ("cents", pa.int64()),
+    ])
+
+    def partials(t: pa.Table) -> pa.Table:
+        rows = pa.Table.from_arrays(
+            [t["o_custkey"],
+             pc.cast(t["o_orderdate"], pa.int64()),
+             pa.nulls(t.num_rows, pa.int64()).fill_null(1),
+             _cents(t["o_totalprice"])],
+            schema=part_schema,
+        )
+        g = rows.group_by(["custkey"]).aggregate(
+            [("last_us", "max"), ("n_orders", "sum"), ("cents", "sum")]
+        )
+        return pa.Table.from_arrays(
+            [g["custkey"], g["last_us_max"], pc.cast(g["n_orders_sum"], pa.int64()),
+             pc.cast(g["cents_sum"], pa.int64())],
+            schema=part_schema,
+        )
+
+    merged = (
+        _read(sf_dir, "orders", ["o_custkey", "o_orderdate", "o_totalprice"])
+        .map_batches(partials, batch_format="pyarrow")
+        .groupby("custkey")
+        .aggregate(
+            Max("last_us", alias_name="last_us"),
+            Sum("n_orders", alias_name="n_orders"),
+            Sum("cents", alias_name="cents"),
+        )
+        .materialize()
+    )
+
+    ref_us = int(pd.Timestamp(RFM_REF_DATE).value // 1000)
+
+    def metrics(t: pa.Table, _ref=ref_us) -> pa.Table:
+        last = t["last_us"].to_numpy(zero_copy_only=False)
+        days = (_ref - last) // 86_400_000_000
+        return pa.Table.from_arrays(
+            [t["custkey"], pa.array(days, pa.int64()), t["n_orders"], t["cents"]],
+            names=["custkey", "recency_days", "n_orders", "cents"],
+        )
+
+    md = merged.map_batches(metrics, batch_format="pyarrow").materialize()
+
+    def boundaries(col: str) -> list:
+        vals = []
+        for b in md.iter_batches(batch_size=65536, batch_format="pyarrow"):
+            vals.extend(b[col].to_pylist())
+        vals.sort()
+        n = len(vals)
+        return [vals[max(0, math.ceil(q * n) - 1)] for q in (0.2, 0.4, 0.6, 0.8)]
+
+    bs = {c: boundaries(c) for c in ("recency_days", "n_orders", "cents")}
+
+    def score(t: pa.Table, _bs=bs) -> pa.Table:
+        def bucket(col):
+            v = t[col].to_numpy(zero_copy_only=False)
+            s = np.ones(len(v), dtype=np.int64)
+            for b in _bs[col]:
+                s += (v > b).astype(np.int64)
+            return s
+
+        r, f, m = bucket("recency_days"), bucket("n_orders"), bucket("cents")
+        seg = pa.array([f"{a}{b}{c}" for a, b, c in zip(r, f, m)], pa.string())
+        return pa.Table.from_arrays(
+            [t["custkey"], t["recency_days"], t["n_orders"], t["cents"],
+             pa.array(r, pa.int64()), pa.array(f, pa.int64()),
+             pa.array(m, pa.int64()), seg],
+            names=["custkey", "recency_days", "n_orders", "cents",
+                   "r_score", "f_score", "m_score", "segment"],
+        )
+
+    return md.map_batches(score, batch_format="pyarrow")
+
+
+SQL_CUSTOMER_RFM = f"""
+WITH m AS (
+  SELECT o_custkey AS custkey,
+         CAST((epoch_us(TIMESTAMP '{RFM_REF_DATE}') - epoch_us(max(o_orderdate)))
+              // 86400000000 AS BIGINT) AS recency_days,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY 1
+),
+b AS (
+  SELECT
+    quantile_disc(recency_days, 0.2) AS r1, quantile_disc(recency_days, 0.4) AS r2,
+    quantile_disc(recency_days, 0.6) AS r3, quantile_disc(recency_days, 0.8) AS r4,
+    quantile_disc(n_orders, 0.2) AS f1, quantile_disc(n_orders, 0.4) AS f2,
+    quantile_disc(n_orders, 0.6) AS f3, quantile_disc(n_orders, 0.8) AS f4,
+    quantile_disc(cents, 0.2) AS m1, quantile_disc(cents, 0.4) AS m2,
+    quantile_disc(cents, 0.6) AS m3, quantile_disc(cents, 0.8) AS m4
+  FROM m
+),
+s AS (
+  SELECT m.custkey, m.recency_days, m.n_orders, m.cents,
+         1 + CAST(m.recency_days > b.r1 AS INT) + CAST(m.recency_days > b.r2 AS INT)
+           + CAST(m.recency_days > b.r3 AS INT) + CAST(m.recency_days > b.r4 AS INT)
+           AS r_score,
+         1 + CAST(m.n_orders > b.f1 AS INT) + CAST(m.n_orders > b.f2 AS INT)
+           + CAST(m.n_orders > b.f3 AS INT) + CAST(m.n_orders > b.f4 AS INT)
+           AS f_score,
+         1 + CAST(m.cents > b.m1 AS INT) + CAST(m.cents > b.m2 AS INT)
+           + CAST(m.cents > b.m3 AS INT) + CAST(m.cents > b.m4 AS INT)
+           AS m_score
+  FROM m CROSS JOIN b
+)
+SELECT custkey, recency_days, n_orders, cents,
+       CAST(r_score AS BIGINT) AS r_score,
+       CAST(f_score AS BIGINT) AS f_score,
+       CAST(m_score AS BIGINT) AS m_score,
+       r_score || '' || f_score || '' || m_score AS segment
+FROM s
+"""

@@ -2927,3 +2927,30 @@ class TestAnnPq:
         b2 = _pq_codebooks(sf)
         assert b1.dtype == np.int64 and b1.shape == (PQ_M, PQ_K, 64 // PQ_M)
         assert (b1 == b2).all()
+
+
+class TestCustomerRfm:
+    def test_quintile_boundary_rule(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from service1_text_extraction_ray.pipelines.relational import (
+            q_customer_rfm,
+        )
+
+        # 5 customers, one order each on the same date, prices 10..50:
+        # monetary scores must be exactly 1..5 (boundary-counting rule);
+        # recency/frequency identical -> all score 1
+        ts = pa.array([pd.Timestamp("1998-01-01")] * 5, pa.timestamp("us"))
+        d = tmp_path / "sf"
+        d.mkdir(exist_ok=True)
+        pq.write_table(pa.table({
+            "o_custkey": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "o_orderdate": ts,
+            "o_totalprice": pa.array([10.0, 20.0, 30.0, 40.0, 50.0]),
+        }), str(d / "orders.parquet"))
+        out = q_customer_rfm(str(d)).to_pandas().set_index("custkey").sort_index()
+        assert out["m_score"].tolist() == [1, 2, 3, 4, 5]
+        assert set(out["r_score"]) == {1} and set(out["f_score"]) == {1}
+        assert out.loc[5, "segment"] == "115"
+        assert out.loc[5, "recency_days"] == (pd.Timestamp("1998-12-31")
+                                              - pd.Timestamp("1998-01-01")).days
