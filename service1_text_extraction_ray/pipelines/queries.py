@@ -7696,3 +7696,194 @@ cand AS (
 )
 SELECT vec_id FROM cand ORDER BY dot DESC, vec_id ASC LIMIT {KNN_K}
 """
+
+
+# ---------------------------------------------------------------------------
+# Iterative graph algorithm #5: label-propagation communities
+# ---------------------------------------------------------------------------
+
+LABELPROP_ITERS = 4
+
+
+def q_host_communities(sf_dir: str) -> rd.Dataset:
+    """Community detection by synchronous label propagation (Raghavan et
+    al. 2007) over the UNDIRECTED weighted host graph: each round every
+    host adopts the label carrying the most incident edge weight among
+    its neighbors' PREVIOUS-round labels (ties -> lexicographically
+    smallest label; isolated hosts keep their own), for a FIXED
+    LABELPROP_ITERS rounds — fixed-round synchronous update is what makes
+    the result deterministic and SQL-replayable (classic async LPA is
+    order-dependent), the same design choice as the PageRank oracle.
+
+    Regimes on the PageRank gate: BROADCAST (label dict via ray.put,
+    per-block (host, label, weight) partials merged + argmaxed on the
+    driver) and JOIN (per round ONE hash_join of undirected edges x
+    labels + ONE keyed exchange on host for the in-shard weighted argmax
+    — the scale shape). Identical update; pytest crosses them."""
+    from .relational import hash_exchange, hash_join
+
+    edges = _host_edges(sf_dir)
+
+    if edges.count() <= PAGERANK_BROADCAST_HOSTS:
+        return _communities_broadcast(edges)
+
+    uedge_schema = pa.schema([
+        ("a", pa.string()), ("b", pa.string()), ("w", pa.int64()),
+    ])
+
+    def undirect(t: pa.Table) -> pa.Table:
+        a = pa.chunked_array([pc.cast(t["src"], pa.string()),
+                              pc.cast(t["dst"], pa.string())])
+        b = pa.chunked_array([pc.cast(t["dst"], pa.string()),
+                              pc.cast(t["src"], pa.string())])
+        w = pa.chunked_array([t["n_links"], t["n_links"]])
+        return pa.Table.from_arrays([a, b, w], schema=uedge_schema)
+
+    uedges = edges.map_batches(undirect, batch_format="pyarrow").materialize()
+
+    def init_labels(t: pa.Table) -> pa.Table:
+        hosts = pc.unique(t["a"].combine_chunks()
+                          if isinstance(t["a"], pa.ChunkedArray) else t["a"])
+        return pa.Table.from_arrays([hosts, hosts], names=["host", "label"])
+
+    from ray.data.aggregate import Min as RMin
+
+    labels = (
+        uedges.map_batches(init_labels, batch_format="pyarrow")
+        .groupby("host")
+        .aggregate(RMin("label", alias_name="label"))
+        .materialize()
+    )
+    lab_schema = pa.schema([("host", pa.string()), ("label", pa.string())])
+
+    def argmax_shard(t: pa.Table) -> pa.Table:
+        g = t.group_by(["host", "label"]).aggregate([("w", "sum")])
+        df = g.to_pandas().sort_values(
+            ["host", "w_sum", "label"], ascending=[True, False, True]
+        )
+        first = df.drop_duplicates("host", keep="first")
+        return pa.Table.from_arrays(
+            [pa.array(first["host"], pa.string()),
+             pa.array(first["label"], pa.string())],
+            schema=lab_schema,
+        )
+
+    for _ in range(LABELPROP_ITERS):
+        cand = hash_join(
+            uedges,
+            labels,
+            left_on="b",
+            right_on="host",
+            key_type=pa.string(),
+            left_fields=[pa.field("a", pa.string()), pa.field("w", pa.int64())],
+            right_fields=[pa.field("label", pa.string())],
+        ).map_batches(
+            lambda t: pa.Table.from_arrays(
+                [t["a"], t["label"], t["w"]], names=["host", "label", "w"]
+            ),
+            batch_format="pyarrow",
+        )
+        labels = hash_exchange(cand, ["host"], argmax_shard, lab_schema).materialize()
+
+    return labels.map_batches(
+        lambda t: pa.Table.from_arrays([t["host"], t["label"]],
+                                       names=["host", "community"]),
+        batch_format="pyarrow",
+    )
+
+
+def _communities_broadcast(edges: rd.Dataset) -> rd.Dataset:
+    """Broadcast-regime synchronous LPA (see q_host_communities)."""
+    part_schema = pa.schema([
+        ("host", pa.string()), ("label", pa.string()), ("w", pa.int64()),
+    ])
+
+    labels: dict[str, str] = {}
+    for b in edges.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        for s, d in zip(b["src"].to_pylist(), b["dst"].to_pylist()):
+            labels[s] = s
+            labels[d] = d
+
+    for _ in range(LABELPROP_ITERS):
+        ref = ray.put(labels)
+
+        def partial(t: pa.Table, _ref=ref) -> pa.Table:
+            lab = ray.get(_ref)
+            acc: dict[tuple, int] = {}
+            for s, d, n in zip(
+                t["src"].to_pylist(), t["dst"].to_pylist(), t["n_links"].to_pylist()
+            ):
+                acc[(s, lab[d])] = acc.get((s, lab[d]), 0) + int(n)
+                acc[(d, lab[s])] = acc.get((d, lab[s]), 0) + int(n)
+            if not acc:
+                return part_schema.empty_table()
+            return pa.Table.from_pylist(
+                [{"host": h, "label": l, "w": w} for (h, l), w in acc.items()],
+                schema=part_schema,
+            )
+
+        weight: dict[str, dict[str, int]] = {}
+        for b in edges.map_batches(partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        ):
+            for h, l, w in zip(b["host"].to_pylist(), b["label"].to_pylist(),
+                               b["w"].to_pylist()):
+                weight.setdefault(h, {})[l] = weight.get(h, {}).get(l, 0) + int(w)
+        labels = {
+            h: (min(
+                (l for l, w in ws.items()
+                 if w == max(ws.values())),
+            ) if ws else labels[h])
+            for h, ws in ((h, weight.get(h, {})) for h in labels)
+        }
+
+    out = pa.Table.from_pylist(
+        [{"host": h, "community": c} for h, c in sorted(labels.items())],
+        schema=pa.schema([("host", pa.string()), ("community", pa.string())]),
+    )
+    return rd.from_arrow(out)
+
+
+def _sql_host_communities() -> str:
+    links = """
+base AS (SELECT doc_id, source FROM documents WHERE doc_id % 7 <> 0),
+links AS (
+  SELECT source || '.example.com' AS src,
+         'src' || ((doc_id * 7 + 1) % 20) || '.example.net' AS dst FROM base
+  UNION ALL
+  SELECT source || '.example.com', 'cdn.example.org' FROM base
+  UNION ALL
+  SELECT source || '.example.com', CASE WHEN doc_id % 6 = 3 THEN 'base' || (doc_id % 4) || '.example.org' ELSE source || '.example.com' END FROM base
+  UNION ALL
+  SELECT source || '.example.com', CASE WHEN doc_id % 6 = 3 THEN 'base' || (doc_id % 4) || '.example.org' ELSE source || '.example.com' END FROM base
+),
+edges AS MATERIALIZED (SELECT src, dst, CAST(count(*) AS BIGINT) AS n FROM links GROUP BY 1, 2),
+uedges AS MATERIALIZED (
+  SELECT src AS a, dst AS b, n FROM edges
+  UNION ALL
+  SELECT dst, src, n FROM edges
+),
+hosts AS MATERIALIZED (SELECT DISTINCT a AS host FROM uedges),
+lab0 AS MATERIALIZED (SELECT host, host AS label FROM hosts)"""
+    its = []
+    for i in range(LABELPROP_ITERS):
+        its.append(f"""
+wsum{i + 1} AS MATERIALIZED (
+  SELECT e.a AS host, l.label, CAST(sum(e.n) AS BIGINT) AS w
+  FROM uedges e JOIN lab{i} l ON l.host = e.b
+  GROUP BY 1, 2),
+pick{i + 1} AS MATERIALIZED (
+  SELECT host, label,
+         row_number() OVER (PARTITION BY host ORDER BY w DESC, label ASC) AS rn
+  FROM wsum{i + 1}),
+lab{i + 1} AS MATERIALIZED (
+  SELECT h.host, coalesce(p.label, h.host) AS label
+  FROM hosts h LEFT JOIN (SELECT host, label FROM pick{i + 1} WHERE rn = 1) p
+    USING (host))""")
+    return (
+        "WITH " + links + "," + ",".join(its)
+        + f"\nSELECT host, label AS community FROM lab{LABELPROP_ITERS}"
+    )
+
+
+SQL_HOST_COMMUNITIES = _sql_host_communities()

@@ -2954,3 +2954,68 @@ class TestCustomerRfm:
         assert out.loc[5, "segment"] == "115"
         assert out.loc[5, "recency_days"] == (pd.Timestamp("1998-12-31")
                                               - pd.Timestamp("1998-01-01")).days
+
+
+class TestHostCommunities:
+    def _edges(self, rows):
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({
+            "src": pa.array([a for a, _, _ in rows]),
+            "dst": pa.array([b for _, b, _ in rows]),
+            "n_links": pa.array([w for _, _, w in rows], pa.int64()),
+        }))
+
+    def test_two_cliques_converge_separately(self, ray_session):
+        from service1_text_extraction_ray.pipelines.queries import (
+            _communities_broadcast,
+        )
+
+        # triangle a-b-c and triangle x-y-z, no cross edges
+        out = (
+            _communities_broadcast(self._edges([
+                ("a", "b", 1), ("b", "c", 1), ("c", "a", 1),
+                ("x", "y", 1), ("y", "z", 1), ("z", "x", 1),
+            ]))
+            .to_pandas().set_index("host")["community"]
+        )
+        assert len(set(out[["a", "b", "c"]])) == 1
+        assert len(set(out[["x", "y", "z"]])) == 1
+        assert out["a"] != out["x"]
+
+    def test_weight_beats_count(self, ray_session):
+        from service1_text_extraction_ray.pipelines.queries import (
+            _communities_broadcast,
+        )
+
+        # m's heavy edge into the a-b-c triangle outweighs its two light
+        # edges to x/y: m joins the triangle's community ('a'); the x-y
+        # pendant pair label-swaps each synchronous round, and the even
+        # round count restores their own labels (the documented
+        # fixed-round-synchronous semantics)
+        out = (
+            _communities_broadcast(self._edges([
+                ("a", "b", 10), ("b", "c", 10), ("c", "a", 10),
+                ("m", "a", 10), ("m", "x", 1), ("m", "y", 1),
+                ("x", "y", 5),
+            ]))
+            .to_pandas().set_index("host")["community"]
+        )
+        assert out["m"] == "a"
+        assert (out[["a", "b", "c"]] == "a").all()
+        assert out["x"] == "x" and out["y"] == "y"
+
+    def test_join_regime_bit_equal_to_broadcast(self, ray_session, monkeypatch):
+        import service1_text_extraction_ray.pipelines.queries as Q
+
+        sf = "/root/testdata/sf0.001"
+        base = (
+            Q.q_host_communities(sf).to_pandas()
+            .sort_values("host").reset_index(drop=True)
+        )
+        monkeypatch.setattr(Q, "PAGERANK_BROADCAST_HOSTS", -1)
+        joined = (
+            Q.q_host_communities(sf).to_pandas()
+            .sort_values("host").reset_index(drop=True)
+        )
+        assert joined.equals(base)
