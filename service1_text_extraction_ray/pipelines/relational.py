@@ -6275,3 +6275,106 @@ SELECT custkey, recency_days, n_orders, cents,
        r_score || '' || f_score || '' || m_score AS segment
 FROM s
 """
+
+
+# ---------------------------------------------------------------------------
+# Z-order clustering layout: multi-column locality for scan pruning
+# ---------------------------------------------------------------------------
+
+ZORDER_BITS = 16          # bits per dimension
+ZORDER_PART_BITS = 8      # partitions = 2^8 leading z-bits
+ZBOX_CUST = (1000, 3000)          # the probe box: custkey range ...
+ZBOX_CENTS = (5_000_00, 20_000_00)  # ... x totalprice cents range
+
+
+def q_orders_zorder(sf_dir: str) -> rd.Dataset:
+    """Z-order (Morton) clustering report — the multi-column layout trick
+    behind Delta/Iceberg OPTIMIZE ZORDER: interleaving the bits of
+    (custkey, price-bucket) makes rows close in BOTH dimensions land in
+    the same leading-bit partition, so a 2-D box predicate prunes most
+    partitions at the read. Keys: custkey % 2^16 and cents // 1000
+    (capped), zvalue = bit interleave, partition = top ZORDER_PART_BITS
+    z-bits. Output per partition: row count, rows matching the fixed
+    probe box, and the z range — the concentration of matches in few
+    partitions IS the layout's value (vs. row-order layout where the box
+    touches every partition). Vectorized numpy bit ops per block, one
+    tiny groupby."""
+    out_schema = pa.schema([
+        ("zpart", pa.int64()), ("n_rows", pa.int64()), ("n_match", pa.int64()),
+        ("zmin", pa.int64()), ("zmax", pa.int64()),
+    ])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ck = t["o_custkey"].to_numpy(zero_copy_only=False)
+        cents = _cents(t["o_totalprice"]).to_numpy(zero_copy_only=False)
+        k1 = (ck % (1 << ZORDER_BITS)).astype(np.int64)
+        k2 = np.minimum(cents // 1000, (1 << ZORDER_BITS) - 1).astype(np.int64)
+        z = np.zeros(len(k1), dtype=np.int64)
+        for b in range(ZORDER_BITS):
+            z |= ((k1 >> b) & 1) << (2 * b)
+            z |= ((k2 >> b) & 1) << (2 * b + 1)
+        zpart = z >> (2 * ZORDER_BITS - ZORDER_PART_BITS)
+        match = (
+            (ck >= ZBOX_CUST[0]) & (ck <= ZBOX_CUST[1])
+            & (cents >= ZBOX_CENTS[0]) & (cents <= ZBOX_CENTS[1])
+        ).astype(np.int64)
+        rows = pa.table({
+            "zpart": pa.array(zpart, pa.int64()),
+            "n_rows": pa.array(np.ones(len(z), np.int64), pa.int64()),
+            "n_match": pa.array(match, pa.int64()),
+            "zmin": pa.array(z, pa.int64()),
+            "zmax": pa.array(z, pa.int64()),
+        })
+        g = rows.group_by(["zpart"]).aggregate(
+            [("n_rows", "sum"), ("n_match", "sum"), ("zmin", "min"), ("zmax", "max")]
+        )
+        return pa.Table.from_arrays(
+            [g["zpart"], pc.cast(g["n_rows_sum"], pa.int64()),
+             pc.cast(g["n_match_sum"], pa.int64()), g["zmin_min"], g["zmax_max"]],
+            schema=out_schema,
+        )
+
+    return (
+        _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+        .map_batches(partial, batch_format="pyarrow")
+        .repartition(8)
+        .groupby("zpart")
+        .aggregate(
+            Sum("n_rows", alias_name="n_rows"),
+            Sum("n_match", alias_name="n_match"),
+            Min("zmin", alias_name="zmin"),
+            Max("zmax", alias_name="zmax"),
+        )
+    )
+
+
+def _sql_orders_zorder() -> str:
+    terms = []
+    for b in range(ZORDER_BITS):
+        terms.append(f"(((k1 >> {b}) & 1) << {2 * b})")
+        terms.append(f"(((k2 >> {b}) & 1) << {2 * b + 1})")
+    zexpr = " | ".join(terms)
+    return f"""
+WITH keys AS (
+  SELECT o_custkey % {1 << ZORDER_BITS} AS k1,
+         least(CAST(round(o_totalprice * 100) AS BIGINT) // 1000,
+               {(1 << ZORDER_BITS) - 1}) AS k2,
+         o_custkey AS ck,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+z AS (
+  SELECT CAST({zexpr} AS BIGINT) AS zv, ck, cents FROM keys
+)
+SELECT zv >> {2 * ZORDER_BITS - ZORDER_PART_BITS} AS zpart,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN ck BETWEEN {ZBOX_CUST[0]} AND {ZBOX_CUST[1]}
+                      AND cents BETWEEN {ZBOX_CENTS[0]} AND {ZBOX_CENTS[1]}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
+       CAST(min(zv) AS BIGINT) AS zmin,
+       CAST(max(zv) AS BIGINT) AS zmax
+FROM z GROUP BY 1
+"""
+
+
+SQL_ORDERS_ZORDER = _sql_orders_zorder()

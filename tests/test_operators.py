@@ -3019,3 +3019,33 @@ class TestHostCommunities:
             .sort_values("host").reset_index(drop=True)
         )
         assert joined.equals(base)
+
+
+class TestOrdersZorder:
+    def test_interleave_and_partition(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        import service1_text_extraction_ray.pipelines.relational as R
+
+        # custkey=3 (bits 11), cents=2000 -> k2=2 (bits 10):
+        # z = interleave(k1=3, k2=2) = 1*1 + 1*2? bit-by-bit:
+        # b0: k1 bit 1 -> z bit0; k2 bit 0 -> z bit1
+        # b1: k1 bit 1 -> z bit2; k2 bit 1 -> z bit3  => z = 0b1101 = 13
+        d = tmp_path / "sf"
+        d.mkdir(exist_ok=True)
+        pq.write_table(pa.table({
+            "o_custkey": pa.array([3], pa.int64()),
+            "o_totalprice": pa.array([20.0]),  # 2000 cents -> bucket 2
+        }), str(d / "orders.parquet"))
+        out = R.q_orders_zorder(str(d)).to_pandas()
+        assert out.iloc[0]["zmin"] == 13 and out.iloc[0]["zmax"] == 13
+        assert out.iloc[0]["zpart"] == 13 >> (2 * R.ZORDER_BITS - R.ZORDER_PART_BITS)
+
+    def test_box_matches_concentrate(self, ray_session):
+        import service1_text_extraction_ray.pipelines.relational as R
+
+        df = R.q_orders_zorder("/root/testdata/sf0.01").to_pandas()
+        touched = (df["n_match"] > 0).sum()
+        # z-ordering keeps the 2-D box inside a small fraction of partitions
+        assert df["n_match"].sum() > 0
+        assert touched <= max(1, len(df) // 4)
