@@ -6378,3 +6378,125 @@ FROM z GROUP BY 1
 
 
 SQL_ORDERS_ZORDER = _sql_orders_zorder()
+
+
+# ---------------------------------------------------------------------------
+# Two-feature OLS by exact integer normal equations (Cramer determinants)
+# ---------------------------------------------------------------------------
+
+OLS_UNIT = 1_000_000_000  # coefficients in integer nano-units
+
+
+def _ols_trunc_div(a: int, b: int) -> int:
+    """Truncating division matching DuckDB's // on signed values."""
+    if b == 0:
+        return 0
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b >= 0) else -q
+
+
+def q_lineitem_ols2(sf_dir: str) -> rd.Dataset:
+    """Multiple linear regression price ~ quantity + discount solved EXACTLY
+    in integers: x1 = rounded quantity, x2 = discount basis points, y =
+    price cents; the 3x3 normal equations accumulate as nine integer power
+    sums (per-block partials, one single-key groupby — the
+    lineitem_corr moment topology extended to two features), and the
+    coefficients come from Cramer's rule on integer determinants, emitted
+    as nano-unit truncating ratios. No float ever enters the reduction,
+    so the result is bit-identical at any parallelism and the SQL oracle
+    (HUGEINT determinant arithmetic) replays it exactly."""
+    cols = ["n", "sx1", "sx2", "sy", "sx11", "sx12", "sx22", "sx1y", "sx2y"]
+
+    def partial(t: pa.Table) -> pa.Table:
+        x1 = pc.cast(pc.round(t["l_quantity"], round_mode="half_towards_infinity"),
+                     pa.int64()).to_numpy(zero_copy_only=False)
+        x2 = pc.cast(pc.round(pc.multiply(t["l_discount"], pa.scalar(10000.0)),
+                              round_mode="half_towards_infinity"),
+                     pa.int64()).to_numpy(zero_copy_only=False)
+        y = _cents(t["l_extendedprice"]).to_numpy(zero_copy_only=False)
+        vals = [len(x1), x1.sum(), x2.sum(), y.sum(), (x1 * x1).sum(),
+                (x1 * x2).sum(), (x2 * x2).sum(), (x1 * y).sum(), (x2 * y).sum()]
+        return pa.table({"k": pa.array([0], pa.int64()),
+                         **{c: pa.array([int(v)], pa.int64())
+                            for c, v in zip(cols, vals)}})
+
+    merged = (
+        _read(sf_dir, "lineitem", ["l_quantity", "l_discount", "l_extendedprice"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("k")
+        .aggregate(*[Sum(c, alias_name=c) for c in cols])
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        r = {c: int(t[c][0].as_py()) for c in cols}
+        n, sx1, sx2, sy = r["n"], r["sx1"], r["sx2"], r["sy"]
+        sx11, sx12, sx22, sx1y, sx2y = (
+            r["sx11"], r["sx12"], r["sx22"], r["sx1y"], r["sx2y"]
+        )
+
+        def det3(m):
+            return (
+                m[0][0] * (m[1][1] * m[2][2] - m[1][2] * m[2][1])
+                - m[0][1] * (m[1][0] * m[2][2] - m[1][2] * m[2][0])
+                + m[0][2] * (m[1][0] * m[2][1] - m[1][1] * m[2][0])
+            )
+
+        S = [[n, sx1, sx2], [sx1, sx11, sx12], [sx2, sx12, sx22]]
+        v = [sy, sx1y, sx2y]
+        d = det3(S)
+        betas = []
+        for i in range(3):
+            m = [row[:] for row in S]
+            for rr in range(3):
+                m[rr][i] = v[rr]
+            betas.append(_ols_trunc_div(det3(m) * OLS_UNIT, d))
+        return pa.table({
+            "n": pa.array([n], pa.int64()),
+            "b0_nano": pa.array([betas[0]], pa.int64()),
+            "b1_nano": pa.array([betas[1]], pa.int64()),
+            "b2_nano": pa.array([betas[2]], pa.int64()),
+        })
+
+    return merged.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_LINEITEM_OLS2 = f"""
+WITH t AS (
+  SELECT CAST(round(l_quantity) AS BIGINT) AS x1,
+         CAST(round(l_discount * 10000) AS BIGINT) AS x2,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+  FROM lineitem
+),
+s AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(x1) AS HUGEINT) AS sx1, CAST(sum(x2) AS HUGEINT) AS sx2,
+         CAST(sum(y) AS HUGEINT) AS sy,
+         CAST(sum(x1 * x1) AS HUGEINT) AS sx11,
+         CAST(sum(x1 * x2) AS HUGEINT) AS sx12,
+         CAST(sum(x2 * x2) AS HUGEINT) AS sx22,
+         CAST(sum(x1 * y) AS HUGEINT) AS sx1y,
+         CAST(sum(x2 * y) AS HUGEINT) AS sx2y
+  FROM t
+),
+d AS (
+  SELECT *,
+    n * (sx11 * sx22 - sx12 * sx12)
+      - sx1 * (sx1 * sx22 - sx12 * sx2)
+      + sx2 * (sx1 * sx12 - sx11 * sx2) AS det,
+    sy * (sx11 * sx22 - sx12 * sx12)
+      - sx1 * (sx1y * sx22 - sx12 * sx2y)
+      + sx2 * (sx1y * sx12 - sx11 * sx2y) AS det0,
+    n * (sx1y * sx22 - sx12 * sx2y)
+      - sy * (sx1 * sx22 - sx12 * sx2)
+      + sx2 * (sx1 * sx2y - sx1y * sx2) AS det1,
+    n * (sx11 * sx2y - sx1y * sx12)
+      - sx1 * (sx1 * sx2y - sx1y * sx2)
+      + sy * (sx1 * sx12 - sx11 * sx2) AS det2
+  FROM s
+)
+SELECT CAST(n AS BIGINT) AS n,
+       CAST(det0 * {OLS_UNIT} // det AS BIGINT) AS b0_nano,
+       CAST(det1 * {OLS_UNIT} // det AS BIGINT) AS b1_nano,
+       CAST(det2 * {OLS_UNIT} // det AS BIGINT) AS b2_nano
+FROM d
+"""

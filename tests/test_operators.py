@@ -3049,3 +3049,33 @@ class TestOrdersZorder:
         # z-ordering keeps the 2-D box inside a small fraction of partitions
         assert df["n_match"].sum() > 0
         assert touched <= max(1, len(df) // 4)
+
+
+class TestLineitemOls2:
+    def test_matches_numpy_lstsq(self, ray_session, tmp_path):
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        import service1_text_extraction_ray.pipelines.relational as R
+
+        rng = np.random.RandomState(7)
+        n = 200
+        qty = rng.randint(1, 50, n).astype(float)
+        disc = rng.randint(0, 10, n) / 100.0
+        price = 500.0 + 12.0 * qty - 2000.0 * disc + rng.randn(n)
+        d = tmp_path / "sf"
+        d.mkdir(exist_ok=True)
+        pq.write_table(pa.table({
+            "l_quantity": pa.array(qty),
+            "l_discount": pa.array(disc),
+            "l_extendedprice": pa.array(price),
+        }), str(d / "lineitem.parquet"))
+        out = R.q_lineitem_ols2(str(d)).to_pandas().iloc[0]
+
+        x1 = np.round(qty)
+        x2 = np.round(disc * 10000)
+        y = np.round(price * 100)
+        X = np.column_stack([np.ones(n), x1, x2])
+        beta = np.linalg.lstsq(X, y, rcond=None)[0]
+        got = np.array([out["b0_nano"], out["b1_nano"], out["b2_nano"]]) / R.OLS_UNIT
+        assert np.allclose(got, beta, rtol=1e-6, atol=1e-6)
