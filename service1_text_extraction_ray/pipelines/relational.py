@@ -6387,24 +6387,20 @@ SQL_ORDERS_ZORDER = _sql_orders_zorder()
 OLS_UNIT = 1_000_000_000  # coefficients in integer nano-units
 
 
-def _ols_trunc_div(a: int, b: int) -> int:
-    """Truncating division matching DuckDB's // on signed values."""
-    if b == 0:
-        return 0
-    q = abs(a) // abs(b)
-    return q if (a >= 0) == (b >= 0) else -q
-
-
 def q_lineitem_ols2(sf_dir: str) -> rd.Dataset:
     """Multiple linear regression price ~ quantity + discount solved EXACTLY
     in integers: x1 = rounded quantity, x2 = discount basis points, y =
     price cents; the 3x3 normal equations accumulate as nine integer power
     sums (per-block partials, one single-key groupby — the
     lineitem_corr moment topology extended to two features), and the
-    coefficients come from Cramer's rule on integer determinants, emitted
-    as nano-unit truncating ratios. No float ever enters the reduction,
-    so the result is bit-identical at any parallelism and the SQL oracle
-    (HUGEINT determinant arithmetic) replays it exactly."""
+    coefficients come from Cramer's rule on integer determinants. No
+    float enters the REDUCTION (sums and determinants are exact), so the
+    result is bit-identical at any parallelism; only the final 3 scalar
+    ratios det_i/det go through double (det*UNIT would overflow INT128 at
+    sf0.1) — an int->double cast + one division + round, identical IEEE
+    steps on both sides. The SQL oracle replays the HUGEINT determinant
+    arithmetic verbatim; INT128 bounds the dets to ~sf1-scale row counts,
+    past which the documented swap is centered/rescaled equations."""
     cols = ["n", "sx1", "sx2", "sy", "sx11", "sx12", "sx22", "sx1y", "sx2y"]
 
     def partial(t: pa.Table) -> pa.Table:
@@ -6449,7 +6445,8 @@ def q_lineitem_ols2(sf_dir: str) -> rd.Dataset:
             m = [row[:] for row in S]
             for rr in range(3):
                 m[rr][i] = v[rr]
-            betas.append(_ols_trunc_div(det3(m) * OLS_UNIT, d))
+            betas.append(int(round(float(det3(m)) / float(d) * OLS_UNIT))
+                         if d else 0)
         return pa.table({
             "n": pa.array([n], pa.int64()),
             "b0_nano": pa.array([betas[0]], pa.int64()),
@@ -6495,8 +6492,8 @@ d AS (
   FROM s
 )
 SELECT CAST(n AS BIGINT) AS n,
-       CAST(det0 * {OLS_UNIT} // det AS BIGINT) AS b0_nano,
-       CAST(det1 * {OLS_UNIT} // det AS BIGINT) AS b1_nano,
-       CAST(det2 * {OLS_UNIT} // det AS BIGINT) AS b2_nano
+       CAST(round(CAST(det0 AS DOUBLE) / CAST(det AS DOUBLE) * {OLS_UNIT}) AS BIGINT) AS b0_nano,
+       CAST(round(CAST(det1 AS DOUBLE) / CAST(det AS DOUBLE) * {OLS_UNIT}) AS BIGINT) AS b1_nano,
+       CAST(round(CAST(det2 AS DOUBLE) / CAST(det AS DOUBLE) * {OLS_UNIT}) AS BIGINT) AS b2_nano
 FROM d
 """
