@@ -6497,3 +6497,122 @@ SELECT CAST(n AS BIGINT) AS n,
        CAST(round(CAST(det2 AS DOUBLE) / CAST(det AS DOUBLE) * {OLS_UNIT}) AS BIGINT) AS b2_nano
 FROM d
 """
+
+
+# ---------------------------------------------------------------------------
+# CDC upsert/delete merge: changelog replay to final state
+# ---------------------------------------------------------------------------
+
+
+def q_users_cdc_state(sf_dir: str) -> rd.Dataset:
+    """Change-data-capture merge (the lakehouse MERGE INTO shape): the
+    events stream is a changelog keyed by user_id — 'signup' is an
+    upsert that (re)creates the row with its value, 'click'/'view'/
+    'purchase' are updates that add their value to a LIVE row (updates
+    against an absent row are dropped, the standard CDC convention),
+    'error' is a delete. Replay in deterministic (ts, event_id) order
+    yields the final state: live users only, with the applied-op count
+    and the accumulated integer cents.
+
+    Topology: ONE keyed exchange on user_id co-locates each key's full
+    changelog; the in-shard replay is a vectorized-sort + per-user scan
+    (state never crosses tasks). The oracle derives the same state
+    set-theoretically: a user is live iff their last signup outranks
+    every error; the value sums the updates after that signup."""
+    from .relational import hash_exchange  # self-import safe at module level
+
+    out_schema = pa.schema([
+        ("user_id", pa.int64()), ("n_applied", pa.int64()),
+        ("value_cents", pa.int64()),
+    ])
+
+    ev_schema = pa.schema([
+        ("user_id", pa.int64()), ("ts_us", pa.int64()),
+        ("event_id", pa.int64()), ("kind", pa.int8()),  # 0 ins, 1 upd, 2 del
+        ("cents", pa.int64()),
+    ])
+
+    def prep(t: pa.Table) -> pa.Table:
+        et = t["event_type"].to_pylist()
+        kind = pa.array(
+            [0 if e == "signup" else (2 if e == "error" else 1) for e in et],
+            pa.int8(),
+        )
+        return pa.Table.from_arrays(
+            [t["user_id"], pc.cast(t["ts"], pa.int64()), t["event_id"], kind,
+             _cents(t["value"])],
+            schema=ev_schema,
+        )
+
+    def replay(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values(["user_id", "ts_us", "event_id"],
+                                       kind="mergesort")
+        rows = []
+        cur = None  # (user, alive, n, cents)
+        for u, k, c in zip(df["user_id"], df["kind"], df["cents"]):
+            if cur is None or cur[0] != u:
+                if cur is not None and cur[1]:
+                    rows.append((cur[0], cur[2], cur[3]))
+                cur = [int(u), False, 0, 0]
+            if k == 0:
+                cur[1], cur[2], cur[3] = True, 1, int(c)
+            elif k == 2:
+                cur[1], cur[2], cur[3] = False, 0, 0
+            elif cur[1]:
+                cur[2] += 1
+                cur[3] += int(c)
+        if cur is not None and cur[1]:
+            rows.append((cur[0], cur[2], cur[3]))
+        if not rows:
+            return out_schema.empty_table()
+        return pa.Table.from_pylist(
+            [{"user_id": u, "n_applied": n, "value_cents": v} for u, n, v in rows],
+            schema=out_schema,
+        )
+
+    return hash_exchange(
+        _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type", "value"])
+        .map_batches(prep, batch_format="pyarrow"),
+        ["user_id"],
+        replay,
+        out_schema,
+    )
+
+
+SQL_USERS_CDC_STATE = """
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+         CASE WHEN event_type = 'signup' THEN 0
+              WHEN event_type = 'error' THEN 2 ELSE 1 END AS kind,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+last_ins AS (
+  SELECT user_id, ts_us AS ins_ts, event_id AS ins_id, cents AS ins_cents
+  FROM ev WHERE kind = 0
+  QUALIFY row_number() OVER (PARTITION BY user_id
+                             ORDER BY ts_us DESC, event_id DESC) = 1
+),
+alive AS (
+  SELECT l.user_id, l.ins_ts, l.ins_id, l.ins_cents
+  FROM last_ins l
+  WHERE NOT EXISTS (
+    SELECT 1 FROM ev e
+    WHERE e.user_id = l.user_id AND e.kind = 2
+      AND (e.ts_us > l.ins_ts OR (e.ts_us = l.ins_ts AND e.event_id > l.ins_id))
+  )
+),
+upd AS (
+  SELECT a.user_id,
+         CAST(count(e.event_id) AS BIGINT) AS n_upd,
+         CAST(coalesce(sum(e.cents), 0) AS BIGINT) AS upd_cents
+  FROM alive a
+  LEFT JOIN ev e ON e.user_id = a.user_id AND e.kind = 1
+    AND (e.ts_us > a.ins_ts OR (e.ts_us = a.ins_ts AND e.event_id > a.ins_id))
+  GROUP BY a.user_id
+)
+SELECT a.user_id,
+       CAST(1 + u.n_upd AS BIGINT) AS n_applied,
+       CAST(a.ins_cents + u.upd_cents AS BIGINT) AS value_cents
+FROM alive a JOIN upd u USING (user_id)
+"""

@@ -3079,3 +3079,56 @@ class TestLineitemOls2:
         beta = np.linalg.lstsq(X, y, rcond=None)[0]
         got = np.array([out["b0_nano"], out["b1_nano"], out["b2_nano"]]) / R.OLS_UNIT
         assert np.allclose(got, beta, rtol=1e-6, atol=1e-6)
+
+
+class TestUsersCdcState:
+    def _events(self, tmp_path, rows):
+        import pyarrow.parquet as pq
+
+        d = tmp_path / "sf"
+        d.mkdir(exist_ok=True)
+        pq.write_table(pa.table({
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([pd.Timestamp(r[1]) for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows]),
+            "value": pa.array([r[4] for r in rows]),
+        }), str(d / "events.parquet"))
+        return str(d)
+
+    def test_replay_semantics(self, ray_session, tmp_path):
+        from service1_text_extraction_ray.pipelines.relational import (
+            q_users_cdc_state,
+        )
+
+        d = self._events(tmp_path, [
+            # user 1: signup(10) -> click(5) -> error -> signup(7) -> view(2)
+            (1, "2024-01-01", 1, "signup", 10.0),
+            (2, "2024-01-02", 1, "click", 5.0),
+            (3, "2024-01-03", 1, "error", 0.0),
+            (4, "2024-01-04", 1, "signup", 7.0),
+            (5, "2024-01-05", 1, "view", 2.0),
+            # user 2: deleted at the end -> absent
+            (6, "2024-01-01", 2, "signup", 1.0),
+            (7, "2024-01-02", 2, "error", 0.0),
+            # user 3: update without signup -> dropped, user absent
+            (8, "2024-01-01", 3, "click", 9.0),
+        ])
+        out = q_users_cdc_state(d).to_pandas().set_index("user_id")
+        assert set(out.index) == {1}
+        assert out.loc[1, "n_applied"] == 2  # signup + view
+        assert out.loc[1, "value_cents"] == 700 + 200
+
+    def test_same_ts_ordered_by_event_id(self, ray_session, tmp_path):
+        from service1_text_extraction_ray.pipelines.relational import (
+            q_users_cdc_state,
+        )
+
+        # identical ts: event_id order pins -> signup(2) after error(1): live
+        d = self._events(tmp_path, [
+            (1, "2024-01-01", 7, "error", 0.0),
+            (2, "2024-01-01", 7, "signup", 3.0),
+        ])
+        out = q_users_cdc_state(d).to_pandas()
+        assert out["user_id"].tolist() == [7]
+        assert out["value_cents"].tolist() == [300]
