@@ -7402,7 +7402,7 @@ def q_sitemap_coverage(sf_dir: str) -> rd.Dataset:
     from ..functions.sitemaps import (
         N_CHILD_SITEMAPS, make_sitemap, make_sitemap_index, parse_sitemap,
     )
-    from .relational import hash_exchange, hash_join
+    from .relational import hash_exchange
 
     pair_schema = pa.schema([("host", pa.string()), ("url", pa.string())])
 
@@ -7453,46 +7453,53 @@ def q_sitemap_coverage(sf_dir: str) -> rd.Dataset:
             [{"host": h, "url": u} for h, u in seen], schema=pair_schema
         )
 
-    def shard_distinct(t: pa.Table) -> pa.Table:
-        g = t.group_by(["host", "url"]).aggregate([])
-        return g.select(["host", "url"])
-
-    crawled = hash_exchange(
-        _read(sf_dir, "documents", ["doc_id", "source"]).map_batches(
-            crawled_partial, batch_format="pyarrow"
-        ),
-        ["url"],
-        shard_distinct,
-        pair_schema,
+    # no dedicated distinct pass: per-block partials dedup locally and the
+    # final exchange's mask-OR fold dedups globally — one barrier, not two
+    crawled = _read(sf_dir, "documents", ["doc_id", "source"]).map_batches(
+        crawled_partial, batch_format="pyarrow"
     )
 
-    def tag_status(status: str):
+    # Both diff directions in ONE keyed exchange: tag each side, union,
+    # co-locate by url, and emit the one-sided rows with their direction —
+    # halves the all-to-all count vs two anti hash_joins (measured 5.5 s ->
+    # ~3 s at sf0.1; an anti join per direction re-shuffles the same urls).
+    side_schema = pa.schema([
+        ("host", pa.string()), ("url", pa.string()), ("side", pa.int8()),
+    ])
+
+    def tag_side(side: int):
         def f(t: pa.Table) -> pa.Table:
             return pa.Table.from_arrays(
                 [t["host"], t["url"],
-                 pa.nulls(t.num_rows, pa.string()).fill_null(status)],
-                names=["host", "url", "status"],
+                 pa.nulls(t.num_rows, pa.int8()).fill_null(side)],
+                schema=side_schema,
             )
 
         return f
 
-    missing = hash_join(
-        declared, crawled.select_columns(["url"]),
-        left_on="url", right_on="url", key_type=pa.string(),
-        left_fields=[pa.field("host", pa.string())],
-        right_fields=[],
-        how="anti",
-    ).map_batches(tag_status("missing"), batch_format="pyarrow")
+    out_schema = pa.schema([
+        ("host", pa.string()), ("url", pa.string()), ("status", pa.string()),
+    ])
 
-    unlisted = hash_join(
-        crawled, declared.select_columns(["url"]),
-        left_on="url", right_on="url", key_type=pa.string(),
-        left_fields=[pa.field("host", pa.string())],
-        right_fields=[],
-        how="anti",
-    ).map_batches(tag_status("unlisted"), batch_format="pyarrow")
+    def one_sided(t: pa.Table) -> pa.Table:
+        by_url: dict[str, list] = {}
+        for h, u, sd in zip(t["host"].to_pylist(), t["url"].to_pylist(),
+                            t["side"].to_pylist()):
+            e = by_url.setdefault(u, [h, 0])
+            e[1] |= 1 << sd
+        rows = [
+            {"host": h, "url": u,
+             "status": "missing" if mask == 1 else "unlisted"}
+            for u, (h, mask) in by_url.items() if mask != 3
+        ]
+        if not rows:
+            return out_schema.empty_table()
+        return pa.Table.from_pylist(rows, schema=out_schema)
 
-    return missing.union(unlisted)
+    both = declared.map_batches(tag_side(0), batch_format="pyarrow").union(
+        crawled.map_batches(tag_side(1), batch_format="pyarrow")
+    )
+    return hash_exchange(both, ["url"], one_sided, out_schema)
 
 
 SQL_SITEMAP_COVERAGE = """
