@@ -202,6 +202,15 @@ def write_pages_jsonl(pages: rd.Dataset, out_dir: str) -> None:
 _WARC_VERSION = b"WARC/1.0\r\n"
 
 
+def _sha1_b32(payload: bytes) -> bytes:
+    """``sha1:<base32>`` digest label, the Common Crawl convention for
+    WARC-Payload-Digest / WARC-Block-Digest values."""
+    import base64
+    import hashlib
+
+    return b"sha1:" + base64.b32encode(hashlib.sha1(payload).digest())
+
+
 def _warc_record(rec_type: bytes, uri: str, date_iso: str, payload: bytes,
                  extra: list) -> bytes:
     hdrs = [
@@ -245,18 +254,25 @@ def write_pages_warc(pages: rd.Dataset, out_dir: str,
             ctype = {
                 "pdf": "application/pdf", "html": "text/html",
             }.get(sniff_payload(body), "application/octet-stream")
+            envelope = _http_envelope(body, ctype)
+            wet_body = (row["text"] or "").encode("utf-8")
             recs = [
                 _warc_record(
                     b"response", row["url"], date_iso,
-                    _http_envelope(body, ctype),
-                    [b"Content-Type: application/http; msgtype=response\r\n"],
+                    envelope,
+                    [b"Content-Type: application/http; msgtype=response\r\n",
+                     # the CC digest pair (ISO 28500 §5.8/5.9): payload =
+                     # the HTTP entity body, block = the whole record block
+                     b"WARC-Payload-Digest: " + _sha1_b32(body) + b"\r\n",
+                     b"WARC-Block-Digest: " + _sha1_b32(envelope) + b"\r\n"],
                 ),
                 _warc_record(
                     b"conversion", row["url"], date_iso,
-                    (row["text"] or "").encode("utf-8"),
+                    wet_body,
                     [b"WARC-Identified-Content-Language: "
                      + (row["lang"] or "").encode("utf-8") + b"\r\n",
-                     b"Content-Type: text/plain\r\n"],
+                     b"Content-Type: text/plain\r\n",
+                     b"WARC-Block-Digest: " + _sha1_b32(wet_body) + b"\r\n"],
                 ),
             ]
             if gzip_members:
@@ -730,3 +746,31 @@ def read_pages_wat(input_path: str) -> rd.Dataset:
     return rd.read_binary_files(input_path).map_batches(
         parse, batch_format="pyarrow"
     )
+
+
+def verify_warc_digests(path: str) -> tuple:
+    """Re-compute and check every digest header in one .warc/.warc.gz shard:
+    returns (n_digests_checked, n_mismatched). For response records the
+    payload digest re-hashes the HTTP entity body (status line + headers
+    stripped); block digests re-hash the record block verbatim. The
+    integrity check a CC consumer runs before trusting a mirror copy."""
+    with open(path, "rb") as f:
+        blob = f.read()
+    if path.endswith(".gz"):
+        blob = _gunzip_members(blob)
+    checked = bad = 0
+    for hmap, payload in _parse_warc_records(blob):
+        block_d = hmap.get("warc-block-digest")
+        if block_d is not None:
+            checked += 1
+            if _sha1_b32(payload).decode("ascii") != block_d:
+                bad += 1
+        pay_d = hmap.get("warc-payload-digest")
+        if pay_d is not None:
+            checked += 1
+            body = payload
+            if hmap.get("content-type", "").startswith("application/http"):
+                _, _, body = parse_http_response(payload)
+            if _sha1_b32(body).decode("ascii") != pay_d:
+                bad += 1
+    return checked, bad

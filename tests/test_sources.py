@@ -418,3 +418,57 @@ class TestWarcIngestionJob:
         (tmp_path / "b.warc.gz").write_bytes(b"")
         with pytest.raises(ValueError):
             list_input_files(str(tmp_path))
+
+
+class TestWarcDigests:
+    def test_digests_verify_and_catch_tampering(self, ray_session, tmp_path):
+        import glob
+
+        import ray.data as rd
+
+        from service1_text_extraction_ray.sources.pages_source import (
+            synthesize_pages,
+            verify_warc_digests,
+            write_pages_warc,
+        )
+
+        out = str(tmp_path / "warc")
+        write_pages_warc(synthesize_pages(40, seed=7), out)
+        shards = sorted(glob.glob(out + "/*.warc"))
+        assert shards
+        total = badsum = 0
+        for sh in shards:
+            n, bad = verify_warc_digests(sh)
+            total += n
+            badsum += bad
+        # response: payload + block; conversion: block -> 3 per page
+        assert total == 40 * 3
+        assert badsum == 0
+
+        # flip one byte inside the largest shard's payload area -> >= 1 bad
+        sh = max(shards, key=lambda p: __import__("os").path.getsize(p))
+        blob = bytearray(open(sh, "rb").read())
+        # find a spot well inside a payload (after the first blank line)
+        i = blob.index(b"\r\n\r\n") + 200
+        blob[i] ^= 0xFF
+        tam = str(tmp_path / "tampered.warc")
+        open(tam, "wb").write(bytes(blob))
+        _, bad = verify_warc_digests(tam)
+        assert bad >= 1
+
+    def test_gz_members_carry_digests(self, ray_session, tmp_path):
+        import glob
+
+        from service1_text_extraction_ray.sources.pages_source import (
+            synthesize_pages,
+            verify_warc_digests,
+            write_pages_warc,
+        )
+
+        out = str(tmp_path / "warcgz")
+        write_pages_warc(synthesize_pages(12, seed=9), out, gzip_members=True)
+        shards = sorted(glob.glob(out + "/*.warc.gz"))
+        assert shards
+        for sh in shards:
+            n, bad = verify_warc_digests(sh)
+            assert n > 0 and bad == 0
