@@ -38,7 +38,7 @@ from .pdf_extract import PdfParseError, open_pdf
 from .quality import MIN_TEXT_LENGTH, is_garbage_text
 from .render import combine_pages, page_markdown
 from .feeds import parse_feed
-from .sniff import KIND_FEED, KIND_HTML, KIND_PDF, sniff_payload
+from .sniff import KIND_FEED, KIND_HTML, KIND_PDF, KIND_TEXT, sniff_payload
 
 STATUS_OK = "ok"
 STATUS_PARSE_FAILURE = "parse_failure"
@@ -46,6 +46,7 @@ STATUS_PARSE_FAILURE = "parse_failure"
 METHOD_DOM = "dom"
 METHOD_PDF = "pdf_text"
 METHOD_FEED = "feed_items"
+METHOD_TEXT = "text"
 METHOD_FAILED = "failed"
 
 
@@ -110,6 +111,27 @@ def _extract_html(
         return {"pages": pages}
     except Exception as e:  # defensive: parser bugs become failure rows
         return {"status": STATUS_PARSE_FAILURE, "error": f"html: {e}"}
+
+
+def _extract_plain_text(
+    url: str, payload: bytes, cfg: ExtractConfig, book: PasswordBook
+) -> Dict[str, Any]:
+    """Built-in plain-text extractor (text/plain crawl payloads: README,
+    robots-adjacent .txt, mailing-list archives). Charset handling is the
+    HTML path's decode_payload (BOM first, UTF-8 with replacement);
+    line endings normalize to \n; the page gate (min length + garbage
+    predicate) applies exactly as for DOM text, so thin/garbage text files
+    fail to an empty page like every other kind."""
+    from .html_extract import decode_payload
+
+    try:
+        text = decode_payload(payload).replace("\r\n", "\n").replace("\r", "\n")
+        text = text.strip()
+        if gate_page_text(text, cfg.min_text_length):
+            return {"pages": [_page_row(1, METHOD_TEXT, text, None)]}
+        return {"pages": [_page_row(1, METHOD_FAILED, "", None)]}
+    except Exception as e:  # defensive
+        return {"status": STATUS_PARSE_FAILURE, "error": f"text: {e}"}
 
 
 def _extract_pdf(
@@ -208,6 +230,7 @@ EXTRACTORS: Dict[str, Any] = {
     KIND_HTML: _extract_html,
     KIND_PDF: _extract_pdf,
     KIND_FEED: _extract_feed,
+    KIND_TEXT: _extract_plain_text,
 }
 
 

@@ -23,7 +23,26 @@ import pyarrow.compute as pc
 KIND_HTML = "html"
 KIND_PDF = "pdf"
 KIND_FEED = "feed"
+KIND_TEXT = "text"
 KIND_OTHER = "other"
+
+# plain-text detection over the first 64 bytes: ASCII printable + common
+# whitespace; a NUL or a high/control byte density > 10% means binary
+_TEXTY_OK = frozenset(range(0x20, 0x7F)) | {0x09, 0x0A, 0x0D}
+
+
+def _is_texty(head: bytes) -> bool:
+    """True when a non-markup payload head reads as plain text: no NUL,
+    >= 90% printable-ASCII/whitespace bytes, and not a truncated %PDF stub
+    (which starts printable but is a broken binary, counted as a parse
+    failure — reclassifying it would silently change the failure
+    counters)."""
+    if not head or head.startswith(b"%PDF"):
+        return False
+    if b"\x00" in head:
+        return False
+    ok = sum(1 for b in head if b in _TEXTY_OK)
+    return ok * 10 >= len(head) * 9
 
 _HTML_PREFIXES = (b"<", b"\xef\xbb\xbf<")  # optional UTF-8 BOM then markup
 
@@ -32,7 +51,8 @@ def sniff_payload(payload: bytes | None) -> str:
     """Classify a single payload: %PDF- magic -> pdf; an RSS/Atom ROOT TAG
     -> feed (an ``<?xml``-prefixed XHTML page stays html — the root tag
     decides, see feeds.detect_feed); leading '<' (after whitespace / UTF-8
-    BOM) -> html; else other."""
+    BOM) -> html; a printable-ASCII head (no NUL, >= 90% printable in the
+    first 64 bytes, not a %PDF stub) -> text; else other."""
     if payload is None or len(payload) == 0:
         return KIND_OTHER
     if payload[:5] == b"%PDF-":
@@ -52,6 +72,8 @@ def sniff_payload(payload: bytes | None) -> str:
             if detect_feed(payload) is not None:
                 return KIND_FEED
         return KIND_HTML
+    if _is_texty(payload[:64]):
+        return KIND_TEXT
     return KIND_OTHER
 
 
@@ -139,6 +161,8 @@ def sniff_table(batch: pa.Table, size_bucket_edges: tuple[int, ...]) -> pa.Table
                         and detect_feed(hs) is not None
                         else KIND_HTML
                     )
+                elif _is_texty(h[:64]):
+                    kinds[i] = KIND_TEXT
 
     # Shard from source file: encode the handful of distinct paths per batch.
     # Datasets with no file provenance (in-memory synthesis, adapters) fall

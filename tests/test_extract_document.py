@@ -247,7 +247,7 @@ class TestExtractorRegistry:
         from service1_text_extraction_ray.functions import extract as X
 
         def tsv_extractor(url, payload, cfg, book):
-            text = payload.decode("utf-8").replace("\t", " ")
+            text = payload.decode("utf-8", "ignore").replace("\t", " ").lstrip("\x00")
             return {"pages": [{"page": 1, "method": "tsv", "text": text,
                                "page_md": text, "n_chars": len(text),
                                "layout_json": ""}]}
@@ -256,7 +256,9 @@ class TestExtractorRegistry:
         prev = dict(X.EXTRACTORS)
         try:
             X.register_extractor("other", tsv_extractor)
-            res = X.extract_document("u", b"a\tb\tc", CFG)
+            # NUL prefix keeps the payload out of the text kind so the
+            # custom 'other' extractor is what fires
+            res = X.extract_document("u", b"\x00a\tb\tc", CFG)
             assert res["status"] == "ok"
             assert res["pages"][0]["method"] == "tsv"
             assert res["doc_text"].endswith("a b c")
@@ -268,3 +270,43 @@ class TestExtractorRegistry:
         res = extract_document("u", b"\x00\x01\x02binary junk", CFG)
         assert res["status"] == "parse_failure"
         assert res["error"] == "unrecognized content kind"
+
+
+class TestPlainTextExtraction:
+    def test_long_text_passes_gate_and_is_deterministic(self):
+        from service1_text_extraction_ray.functions.extract import (
+            ExtractConfig,
+            extract_document,
+        )
+
+        body = ("Readable plain text content with many ordinary words. " * 8
+                ).encode("utf-8")
+        r1 = extract_document("https://h.example.com/a.txt", body, ExtractConfig())
+        r2 = extract_document("https://h.example.com/a.txt", body, ExtractConfig())
+        assert r1 == r2
+        assert r1["content_kind"] == "text" and r1["n_pages_ok"] == 1
+        assert r1["pages"][0]["method"] == "text"
+        assert "--- PAGE 1 ---" in r1["doc_text"]
+
+    def test_crlf_normalized_and_bom_stripped(self):
+        from service1_text_extraction_ray.functions.extract import (
+            ExtractConfig,
+            extract_document,
+        )
+
+        body = ("﻿" + "line one with sufficient padding words here. " * 6
+                + "\r\nline two.").encode("utf-8")
+        r = extract_document("https://h/x.txt", body, ExtractConfig())
+        txt = r["pages"][0]["text"]
+        # CRLF normalizes; the LEADING BOM strips (interior ones are content)
+        assert "\r" not in txt and not txt.startswith("﻿")
+
+    def test_short_text_fails_gate(self):
+        from service1_text_extraction_ray.functions.extract import (
+            ExtractConfig,
+            extract_document,
+        )
+
+        r = extract_document("https://h/s.txt", b"tiny", ExtractConfig())
+        assert r["content_kind"] == "text"
+        assert r["pages"][0]["method"] == "failed" and r["doc_chars"] == 0

@@ -66,7 +66,10 @@ class TestSniff:
         assert sniff_payload(b"<html>") == KIND_HTML
         assert sniff_payload(b"  \n\t<!DOCTYPE html>") == KIND_HTML
         assert sniff_payload(b"\xef\xbb\xbf<html>") == KIND_HTML
-        assert sniff_payload(b"random bytes") == KIND_OTHER
+        # printable non-markup now classifies as plain text (the text
+        # content kind); binary stays other
+        assert sniff_payload(b"random bytes") == "text"
+        assert sniff_payload(b"\xe5\x1f\x00junk") == KIND_OTHER
         assert sniff_payload(b"") == KIND_OTHER
         assert sniff_payload(None) == KIND_OTHER
         assert sniff_payload(b"%PDF") == KIND_OTHER  # truncated magic
@@ -175,3 +178,42 @@ class TestPageRenderStub:
         assert out.schema == RENDER_SCHEMA
         assert out.num_rows == 2
         assert out["render_ok"].to_pylist() == [False, False]
+
+
+class TestPlainTextKind:
+    def test_scalar_table_agreement_on_text(self, ray_session):
+        import pyarrow as pa
+
+        from service1_text_extraction_ray.functions.sniff import (
+            sniff_payload,
+            sniff_table,
+        )
+
+        payloads = [
+            b"Plain readable file with words and lines.\nSecond line.",
+            b"%PDF",                    # truncated stub stays other
+            b"\xe5\x1f\xb8\x00binary",  # binary stays other
+            b"<html><body>x</body></html>",
+            b"% a printable but commenty file that reads as text anyway",
+            None,
+        ]
+        t = pa.table({
+            "url": pa.array([f"u{i}" for i in range(len(payloads))]),
+            "html": pa.array(payloads, pa.binary()),
+        })
+        out = sniff_table(t, (1024, 65536))
+        table_kinds = out["content_kind"].to_pylist()
+        scalar_kinds = [sniff_payload(p) for p in payloads]
+        assert table_kinds == scalar_kinds
+        assert scalar_kinds[0] == "text" and scalar_kinds[4] == "text"
+        assert scalar_kinds[1] == "other" and scalar_kinds[2] == "other"
+
+    def test_texty_threshold(self):
+        from service1_text_extraction_ray.functions.sniff import _is_texty
+
+        # exactly 90% printable passes; below fails
+        head = b"a" * 58 + b"\xff" * 6   # 58/64 = 90.6%
+        assert _is_texty(head)
+        head = b"a" * 56 + b"\xff" * 8   # 87.5%
+        assert not _is_texty(head)
+        assert not _is_texty(b"text with\x00nul")
