@@ -7894,3 +7894,67 @@ lab{i + 1} AS MATERIALIZED (
 
 
 SQL_HOST_COMMUNITIES = _sql_host_communities()
+
+
+# ---------------------------------------------------------------------------
+# Extraction-quality evaluation: token P/R vs the planted gold article
+# ---------------------------------------------------------------------------
+
+
+def q_extract_eval(sf_dir: str) -> rd.Dataset:
+    """Boilerplate-removal quality harness: each doc's text becomes the
+    GOLD article body of a realistic page (synth.make_article_html wraps
+    it in nav/sidebar/related/ad/footer chrome), the REAL extractor runs,
+    and the report scores token-multiset precision / recall per document
+    (n_gold, n_extracted, n_common) — precision drops when chrome leaks
+    through, recall drops when content is over-stripped. The metric every
+    extraction paper reports (Kohlschütter 2010 lineage); corpus micro-P/R
+    floors are pytest-pinned. Non-SQL semantics (the extractor itself is
+    the system under test) -> rows-only driver check."""
+    import random as _random
+
+    from collections import Counter
+
+    from ..functions.extract import ExtractConfig
+    from ..functions.html_extract import extract_html_text
+    from ..functions.synth import make_article_html
+
+    cfg = ExtractConfig()
+    out_schema = pa.schema([
+        ("doc_id", pa.int64()), ("n_gold", pa.int64()),
+        ("n_extracted", pa.int64()), ("n_common", pa.int64()),
+    ])
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for doc_id, text in zip(df["doc_id"], df["text"].fillna("")):
+            toks = text.split()
+            if not toks:
+                rows.append((int(doc_id), 0, 0, 0))
+                continue
+            title = f"Doc {int(doc_id)} report"
+            paragraphs = [
+                " ".join(toks[i : i + 12]) for i in range(0, len(toks), 12)
+            ]
+            html = make_article_html(title, paragraphs,
+                                     _random.Random(int(doc_id)))
+            extracted, _ = extract_html_text(
+                html,
+                min_block_chars=cfg.min_block_chars,
+                min_heading_chars=cfg.min_heading_chars,
+                max_link_density=cfg.max_link_density,
+            )
+            gold = Counter(title.split())
+            for p in paragraphs:
+                gold.update(p.split())
+            got = Counter(extracted.split())
+            common = sum(min(c, got.get(t, 0)) for t, c in gold.items())
+            rows.append((int(doc_id), sum(gold.values()),
+                         sum(got.values()), common))
+        return pd.DataFrame(
+            rows, columns=["doc_id", "n_gold", "n_extracted", "n_common"]
+        ).astype("int64")
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        f, batch_format="pandas"
+    )

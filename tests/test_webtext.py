@@ -1467,3 +1467,44 @@ class TestCharEntropy:
         assert out.loc[0, "n_chars"] == 3 and out.loc[0, "n_distinct"] == 2
         assert out.loc[0, "entropy_terms_micro"] == expect
         assert out.loc[1, "n_chars"] == 0 and out.loc[1, "entropy_terms_micro"] == 0
+
+
+class TestExtractEval:
+    def test_micro_precision_recall_floors(self, ray_session):
+        from service1_text_extraction_ray.pipelines.queries import q_extract_eval
+
+        df = q_extract_eval("/root/testdata/sf0.001").to_pandas()
+        P = df["n_common"].sum() / max(1, df["n_extracted"].sum())
+        R = df["n_common"].sum() / max(1, df["n_gold"].sum())
+        # measured 1.000 / 0.9865 at sf0.01: chrome fully stripped; the
+        # min-block gate costs a little recall on short tail paragraphs
+        assert P >= 0.99
+        assert R >= 0.95
+
+    def test_leaked_chrome_would_lower_precision(self, ray_session, tmp_path):
+        # sanity that the metric moves: extracting with NO filtering
+        # (simulated by comparing gold against gold+chrome tokens) < 1.0
+        import random as _random
+
+        from collections import Counter
+
+        from service1_text_extraction_ray.functions.html_extract import (
+            decode_payload,
+        )
+        from service1_text_extraction_ray.functions.synth import (
+            make_article_html,
+        )
+
+        paragraphs = ["alpha beta gamma delta epsilon zeta eta theta"]
+        html = make_article_html("T", paragraphs, _random.Random(0))
+        import re
+
+        raw_tokens = Counter(
+            re.sub(r"<[^>]+>", " ", decode_payload(html)).split()
+        )
+        gold = Counter("T".split())
+        for p in paragraphs:
+            gold.update(p.split())
+        common = sum(min(c, raw_tokens.get(t, 0)) for t, c in gold.items())
+        naive_p = common / sum(raw_tokens.values())
+        assert naive_p < 0.8  # chrome dominates an unfiltered extraction
