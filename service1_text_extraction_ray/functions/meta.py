@@ -376,3 +376,55 @@ def tag_sequence(html: bytes | str) -> list[str]:
     except Exception:
         pass
     return p.tags
+
+
+class _SocialCardParser(HTMLParser):
+    """Collect OpenGraph (property="og:*") and Twitter-card (name=
+    "twitter:*") metadata, first value per key wins — the share-preview
+    surface next to extract_meta's title/description. Same script/style
+    skip as the other head parsers."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.card: dict = {}
+        self._skip_depth = 0
+
+    def handle_starttag(self, tag, attrs):
+        if tag in ("script", "style"):
+            self._skip_depth += 1
+            return
+        if self._skip_depth or tag != "meta":
+            return
+        d = dict(attrs)
+        key = (d.get("property") or d.get("name") or "").strip().lower()
+        content = d.get("content")
+        if content is None:
+            return
+        if (key.startswith("og:") or key.startswith("twitter:")) \
+                and key not in self.card:
+            self.card[key] = content
+
+    def handle_endtag(self, tag):
+        if tag in ("script", "style"):
+            self._skip_depth = max(0, self._skip_depth - 1)
+
+
+def extract_social_card(html: bytes | str, base_url: str) -> dict:
+    """-> {og_type, og_image, twitter_card, twitter_site} (None when
+    absent); og:image resolves relative URLs against the base."""
+    text = html.decode("utf-8", errors="replace") if isinstance(html, bytes) else html
+    p = _SocialCardParser()
+    try:
+        p.feed(text)
+        p.close()
+    except Exception:
+        pass
+    img = p.card.get("og:image")
+    if img is not None:
+        img = resolve_href(base_url, img)
+    return {
+        "og_type": p.card.get("og:type"),
+        "og_image": img,
+        "twitter_card": p.card.get("twitter:card"),
+        "twitter_site": p.card.get("twitter:site"),
+    }

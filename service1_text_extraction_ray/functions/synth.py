@@ -1422,3 +1422,31 @@ def make_license_page(doc_id: int, source: str) -> str:
         3: "Released under the MIT License.",
     }.get(doc_id % 5, "All rights reserved.")
     return f"Article {doc_id} from {source}.\n\n{footer}\n"
+
+
+def make_social_page(doc_id: int, source: str, lang: str) -> tuple[bytes, str]:
+    """Deterministic social-card fixture page (functions/meta.py
+    extract_social_card). Branches: og:image RELATIVE for doc_id%2==0
+    (exercises resolution) else absent; og:type article/website by %3
+    (absent on %3==2); twitter:card summary vs summary_large_image by %4
+    (absent on %4==3); twitter:site for %5!=0; plus a decoy og:image
+    inside a script."""
+    parts = []
+    if doc_id % 2 == 0:
+        parts.append(f'<meta property="og:image" content="/img/{doc_id % 9}.jpg">')
+    if doc_id % 3 == 0:
+        parts.append('<meta property="og:type" content="article">')
+    elif doc_id % 3 == 1:
+        parts.append('<meta property="og:type" content="website">')
+    if doc_id % 4 == 0:
+        parts.append('<meta name="twitter:card" content="summary">')
+    elif doc_id % 4 in (1, 2):
+        parts.append('<meta name="twitter:card" content="summary_large_image">')
+    if doc_id % 5 != 0:
+        parts.append(f'<meta name="twitter:site" content="@{source}">')
+    decoy = "<script>var m = '<meta property=\"og:image\" content=\"NOPE\">';</script>"
+    html = (
+        f"<html><head><title>S{doc_id}</title>{''.join(parts)}{decoy}</head>"
+        f"<body><p>{lang} social body</p></body></html>"
+    )
+    return html.encode("utf-8"), f"https://{source}.example.com/sp/{doc_id}"

@@ -7958,3 +7958,46 @@ def q_extract_eval(sf_dir: str) -> rd.Dataset:
     return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         f, batch_format="pandas"
     )
+
+
+def q_extract_social_card(sf_dir: str) -> rd.Dataset:
+    """OpenGraph/Twitter share-card extraction (og:type, og:image with
+    relative-URL resolution, twitter:card, twitter:site) over
+    deterministic social fixture pages — the metadata completing
+    extract_meta's title/description surface. Pure per-batch map; the
+    oracle rebuilds every value from doc_id arithmetic."""
+    from ..functions.meta import extract_social_card
+    from ..functions.synth import make_social_page
+
+    out_schema = pa.schema([
+        ("doc_id", pa.int64()), ("og_type", pa.string()),
+        ("og_image", pa.string()), ("twitter_card", pa.string()),
+        ("twitter_site", pa.string()),
+    ])
+
+    def f(t: pa.Table) -> pa.Table:
+        rows = []
+        for d, src, lang in zip(
+            t["doc_id"].to_pylist(), t["source"].to_pylist(), t["lang"].to_pylist()
+        ):
+            html, base = make_social_page(int(d), src, lang or "en")
+            rows.append({"doc_id": int(d), **extract_social_card(html, base)})
+        return pa.Table.from_pylist(rows, schema=out_schema)
+
+    return _read(sf_dir, "documents", ["doc_id", "source", "lang"]).map_batches(
+        f, batch_format="pyarrow"
+    )
+
+
+SQL_EXTRACT_SOCIAL_CARD = """
+SELECT doc_id,
+       CASE WHEN doc_id % 3 = 0 THEN 'article'
+            WHEN doc_id % 3 = 1 THEN 'website' END AS og_type,
+       CASE WHEN doc_id % 2 = 0
+            THEN 'https://' || source || '.example.com/img/' || (doc_id % 9) || '.jpg'
+       END AS og_image,
+       CASE WHEN doc_id % 4 = 0 THEN 'summary'
+            WHEN doc_id % 4 IN (1, 2) THEN 'summary_large_image' END AS twitter_card,
+       CASE WHEN doc_id % 5 <> 0 THEN '@' || source END AS twitter_site
+FROM documents
+"""

@@ -1508,3 +1508,27 @@ class TestExtractEval:
         common = sum(min(c, raw_tokens.get(t, 0)) for t, c in gold.items())
         naive_p = common / sum(raw_tokens.values())
         assert naive_p < 0.8  # chrome dominates an unfiltered extraction
+
+
+class TestSocialCard:
+    def test_relative_image_resolves_and_decoy_ignored(self):
+        from service1_text_extraction_ray.functions.meta import (
+            extract_social_card,
+        )
+
+        html = (b'<meta property="og:image" content="/pic.png">'
+                b'<script>var x=\'<meta property="og:image" content="NO">\';</script>'
+                b'<meta name="twitter:card" content="summary">')
+        card = extract_social_card(html, "https://ex.org/a/b")
+        assert card["og_image"] == "https://ex.org/pic.png"
+        assert card["twitter_card"] == "summary"
+        assert card["og_type"] is None
+
+    def test_first_value_wins(self):
+        from service1_text_extraction_ray.functions.meta import (
+            extract_social_card,
+        )
+
+        html = (b'<meta property="og:type" content="article">'
+                b'<meta property="og:type" content="website">')
+        assert extract_social_card(html, "https://e/")["og_type"] == "article"
