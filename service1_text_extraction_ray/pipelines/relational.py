@@ -6616,3 +6616,113 @@ SELECT a.user_id,
        CAST(a.ins_cents + u.upd_cents AS BIGINT) AS value_cents
 FROM alive a JOIN upd u USING (user_id)
 """
+
+
+# ---------------------------------------------------------------------------
+# Complex-event pattern matching (the MATCH_RECOGNIZE shape)
+# ---------------------------------------------------------------------------
+
+
+def q_events_pattern_matches(sf_dir: str) -> rd.Dataset:
+    """CEP sequence matching — SQL MATCH_RECOGNIZE / Flink CEP shape: per
+    user, count the completed funnels ``signup -> (click|view)+ ->
+    purchase`` with NO error between the signup and the purchase. Exact
+    per-purchase semantics (each purchase scores independently against
+    its LATEST preceding signup; overlapping matches allowed), event
+    order pinned by (ts, event_id).
+
+    Topology: ONE keyed exchange on user_id, then an O(n) in-shard state
+    scan (last-signup / last-error position + engagement count since
+    signup) — the automaton a streaming CEP engine runs, here over the
+    co-located history. The oracle derives the same matches relationally:
+    latest signup per purchase via a windowed pick, error-between as NOT
+    EXISTS, engagement as EXISTS."""
+    from .relational import hash_exchange
+
+    out_schema = pa.schema([
+        ("user_id", pa.int64()), ("n_matches", pa.int64()),
+    ])
+
+    ev_schema = pa.schema([
+        ("user_id", pa.int64()), ("ts_us", pa.int64()),
+        ("event_id", pa.int64()), ("etype", pa.string()),
+    ])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [t["user_id"], pc.cast(t["ts"], pa.int64()), t["event_id"],
+             t["event_type"].combine_chunks()
+             if isinstance(t["event_type"], pa.ChunkedArray) else t["event_type"]],
+            schema=ev_schema,
+        )
+
+    def scan(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values(["user_id", "ts_us", "event_id"],
+                                       kind="mergesort")
+        rows = []
+        cur_user = None
+        sig = err = -1       # positions of last signup / last error
+        engaged = 0          # click/view count since last signup
+        pos = 0
+        matches = 0
+        for u, et in zip(df["user_id"], df["etype"]):
+            if cur_user is None or u != cur_user:
+                if cur_user is not None and matches:
+                    rows.append((int(cur_user), matches))
+                cur_user, sig, err, engaged, pos, matches = u, -1, -1, 0, 0, 0
+            if et == "signup":
+                sig, engaged = pos, 0
+            elif et == "error":
+                err = pos
+            elif et in ("click", "view"):
+                engaged += 1
+            elif et == "purchase":
+                if sig > err and engaged >= 1:
+                    matches += 1
+            pos += 1
+        if cur_user is not None and matches:
+            rows.append((int(cur_user), matches))
+        if not rows:
+            return out_schema.empty_table()
+        return pa.Table.from_pylist(
+            [{"user_id": u, "n_matches": m} for u, m in rows], schema=out_schema
+        )
+
+    return hash_exchange(
+        _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+        .map_batches(prep, batch_format="pyarrow"),
+        ["user_id"],
+        scan,
+        out_schema,
+    )
+
+
+SQL_EVENTS_PATTERN_MATCHES = """
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+           AS ord
+  FROM events
+),
+purchases AS (SELECT user_id, ord FROM ev WHERE event_type = 'purchase'),
+with_sig AS (
+  SELECT p.user_id, p.ord AS p_ord, s.ord AS s_ord
+  FROM purchases p JOIN ev s
+    ON s.user_id = p.user_id AND s.event_type = 'signup' AND s.ord < p.ord
+  QUALIFY row_number() OVER (PARTITION BY p.user_id, p.ord
+                             ORDER BY s.ord DESC) = 1
+),
+ok AS (
+  SELECT w.user_id
+  FROM with_sig w
+  WHERE NOT EXISTS (
+          SELECT 1 FROM ev e WHERE e.user_id = w.user_id
+            AND e.event_type = 'error' AND e.ord > w.s_ord AND e.ord < w.p_ord)
+    AND EXISTS (
+          SELECT 1 FROM ev e WHERE e.user_id = w.user_id
+            AND e.event_type IN ('click', 'view')
+            AND e.ord > w.s_ord AND e.ord < w.p_ord)
+)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_matches
+FROM ok GROUP BY user_id
+"""

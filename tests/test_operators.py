@@ -3132,3 +3132,39 @@ class TestUsersCdcState:
         out = q_users_cdc_state(d).to_pandas()
         assert out["user_id"].tolist() == [7]
         assert out["value_cents"].tolist() == [300]
+
+
+class TestEventsPatternMatches:
+    def test_funnel_semantics(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from service1_text_extraction_ray.pipelines.relational import (
+            q_events_pattern_matches,
+        )
+
+        def ev(i, u, t):
+            return {"event_id": i, "ts": pd.Timestamp("2024-01-01")
+                    + pd.Timedelta(seconds=i), "user_id": u, "event_type": t}
+
+        rows = [
+            # user 1: signup, click, purchase -> match; then purchase again
+            # (still engaged since signup, overlapping allowed) -> match 2
+            ev(1, 1, "signup"), ev(2, 1, "click"), ev(3, 1, "purchase"),
+            ev(4, 1, "purchase"),
+            # user 2: signup, purchase with NO engagement -> no match
+            ev(5, 2, "signup"), ev(6, 2, "purchase"),
+            # user 3: signup, view, error, purchase -> error blocks
+            ev(7, 3, "signup"), ev(8, 3, "view"), ev(9, 3, "error"),
+            ev(10, 3, "purchase"),
+            # user 4: purchase without signup -> no match
+            ev(11, 4, "click"), ev(12, 4, "purchase"),
+        ]
+        d = tmp_path / "sf"
+        d.mkdir(exist_ok=True)
+        t = pa.Table.from_pylist(rows)
+        t = t.set_column(t.schema.get_field_index("ts"),
+                         "ts", t["ts"].cast(pa.timestamp("us")))
+        pq.write_table(t, str(d / "events.parquet"))
+        out = q_events_pattern_matches(str(d)).to_pandas().set_index("user_id")
+        assert set(out.index) == {1}
+        assert out.loc[1, "n_matches"] == 2
