@@ -11,6 +11,7 @@ from service1_text_extraction_ray.functions.extract import (
     METHOD_FAILED,
     METHOD_FEED,
     METHOD_PDF,
+    METHOD_TEXT,
     ExtractConfig,
     extract_document,
 )
@@ -30,7 +31,7 @@ def _check_doc_result(res):
     assert isinstance(res["pages"], list) and len(res["pages"]) == res["n_pages"]
     for p in res["pages"]:
         assert isinstance(p["text"], str)
-        assert p["method"] in {METHOD_DOM, METHOD_PDF, METHOD_FEED, METHOD_FAILED}
+        assert p["method"] in {METHOD_DOM, METHOD_PDF, METHOD_FEED, METHOD_TEXT, METHOD_FAILED}
 
 
 @settings(max_examples=200, deadline=None)
@@ -61,7 +62,7 @@ def test_html_parser_total_on_arbitrary_markup(text):
 @given(payload=st.one_of(st.none(), st.binary(max_size=256)))
 def test_sniff_total_and_deterministic(payload):
     kind = sniff_payload(payload)
-    assert kind in {"html", "pdf", "feed", "other"}
+    assert kind in {"html", "pdf", "feed", "text", "other"}
     assert sniff_payload(payload) == kind
 
 
@@ -232,3 +233,47 @@ def test_jsonld_extractor_total_on_arbitrary_markup(text):
         assert set(e) == {"entity_type", "name", "word_count"}
         assert isinstance(e["entity_type"], str)
     assert extract_jsonld(html) == ents
+
+
+@settings(max_examples=150, deadline=None)
+@given(html=st.text(max_size=2048))
+def test_page_status_total_on_arbitrary_markup(html):
+    from service1_text_extraction_ray.functions.meta import page_status
+
+    s = page_status(html)
+    assert set(s) == {"noindex", "nofollow", "soft404", "reason"}
+    assert isinstance(s["noindex"], bool) and isinstance(s["soft404"], bool)
+    assert s["reason"] in (None, "title", "body")
+    assert page_status(html) == s  # deterministic
+
+
+@settings(max_examples=150, deadline=None)
+@given(html=st.binary(max_size=2048))
+def test_social_card_total_on_arbitrary_bytes(html):
+    from service1_text_extraction_ray.functions.meta import extract_social_card
+
+    c = extract_social_card(html, "https://f.example.com/x")
+    assert set(c) == {"og_type", "og_image", "twitter_card", "twitter_site"}
+    for v in c.values():
+        assert v is None or isinstance(v, str)
+
+
+@settings(max_examples=150, deadline=None)
+@given(html=st.text(max_size=2048))
+def test_tag_sequence_total(html):
+    from service1_text_extraction_ray.functions.meta import tag_sequence
+
+    tags = tag_sequence(html)
+    assert isinstance(tags, list)
+    assert all(isinstance(t, str) for t in tags)
+    assert tag_sequence(html) == tags
+
+
+@settings(max_examples=150, deadline=None)
+@given(text=st.text(max_size=1024))
+def test_detect_license_total(text):
+    from service1_text_extraction_ray.functions.quality import detect_license
+
+    r = detect_license(text)
+    assert r["license"] in {"cc-by", "cc-by-nc", "cc-by-nd", "mit", "unknown"}
+    assert isinstance(r["allows_commercial"], bool)
