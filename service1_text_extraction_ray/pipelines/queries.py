@@ -8001,3 +8001,33 @@ SELECT doc_id,
        CASE WHEN doc_id % 5 <> 0 THEN '@' || source END AS twitter_site
 FROM documents
 """
+
+
+def q_warc_cdx(sf_dir: str) -> rd.Dataset:
+    """Build the CDX random-access index over a WARC export of the corpus
+    (the fourth Common Crawl artifact, after WARC/WET/WAT): pages ->
+    .warc.gz shards with per-record gzip members + one CDX parquet per
+    shard, written task-locally by the writer itself (no extra pass).
+    Returns the deterministic index columns (url, rec_type, length,
+    digest) — shard names/offsets depend on block composition, i.e. on
+    parallelism, and stay in the on-disk index only. Random access via
+    read_warc_record is pytest-verified against full reads."""
+    import tempfile
+    import zlib
+
+    from ..sources.pages_source import documents_to_pages, write_pages_warc
+
+    out_root = os.path.join(
+        tempfile.gettempdir(),
+        f"graft_cdx_{zlib.crc32(sf_dir.encode()):08x}",
+    )
+    wdir, cdir = os.path.join(out_root, "warc"), os.path.join(out_root, "cdx")
+    import shutil
+
+    shutil.rmtree(out_root, ignore_errors=True)
+    write_pages_warc(documents_to_pages(sf_dir), wdir,
+                     gzip_members=True, cdx_dir=cdir)
+    return rd.read_parquet(cdir).map_batches(
+        lambda t: t.select(["url", "rec_type", "length", "digest"]),
+        batch_format="pyarrow",
+    )

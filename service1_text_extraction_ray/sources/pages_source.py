@@ -225,7 +225,8 @@ def _warc_record(rec_type: bytes, uri: str, date_iso: str, payload: bytes,
 
 
 def write_pages_warc(pages: rd.Dataset, out_dir: str,
-                     gzip_members: bool = False) -> int:
+                     gzip_members: bool = False,
+                     cdx_dir: str | None = None) -> int:
     """Write the pages Dataset as .warc shard files (one per input block,
     content-addressed names so re-runs are idempotent). Returns the number
     of shards written. Distributed: each task serializes and writes its own
@@ -235,16 +236,26 @@ def write_pages_warc(pages: rd.Dataset, out_dir: str,
     layout (ISO 28500-2 Annex; the WARC 1.1 guideline): each record is an
     INDEPENDENT gzip member, so a reader can seek to any member boundary
     and decompress one record without touching the rest of the shard —
-    that per-record random access is what makes CC index lookups work."""
+    that per-record random access is what makes CC index lookups work.
+
+    ``cdx_dir``: also write one CDX-style index parquet per shard
+    (url, rec_type, offset, length, payload digest) — the fourth Common
+    Crawl artifact next to WARC/WET/WAT; offset/length address the raw
+    record (plain) or the gzip MEMBER (gz), so ``read_warc_record`` can
+    fetch one record with a single ranged read. Each task indexes the
+    shard it just wrote: no extra pass, no shuffle."""
     import gzip
     import hashlib
 
     os.makedirs(out_dir, exist_ok=True)
+    if cdx_dir:
+        os.makedirs(cdx_dir, exist_ok=True)
 
     def write_block(t: pa.Table) -> pa.Table:
         from ..functions.sniff import sniff_payload
 
         buf = []
+        index = []  # (url, rec_type, payload digest) per record, in order
         for row in t.to_pylist():
             date_iso = row["warc_ts"].isoformat(timespec="microseconds") + "Z"
             body = row["html"] or b""
@@ -280,6 +291,8 @@ def write_pages_warc(pages: rd.Dataset, out_dir: str,
                 # shard names across re-runs (the resume contract)
                 recs = [gzip.compress(r, mtime=0) for r in recs]
             buf.extend(recs)
+            index.append((row["url"], "response", _sha1_b32(body).decode("ascii")))
+            index.append((row["url"], "conversion", _sha1_b32(wet_body).decode("ascii")))
         blob = b"".join(buf)
         name = hashlib.md5(blob).hexdigest()[:16]
         ext = "warc.gz" if gzip_members else "warc"
@@ -288,6 +301,21 @@ def write_pages_warc(pages: rd.Dataset, out_dir: str,
         with open(tmp, "wb") as f:
             f.write(blob)
         os.replace(tmp, path)
+        if cdx_dir:
+            import pyarrow.parquet as _pq
+
+            offs, off = [], 0
+            for r in buf:
+                offs.append((off, len(r)))
+                off += len(r)
+            cdx = pa.Table.from_pylist([
+                {"url": u, "rec_type": rt, "shard": os.path.basename(path),
+                 "offset": o, "length": ln, "digest": dg}
+                for (u, rt, dg), (o, ln) in zip(index, offs)
+            ])
+            cdx_path = os.path.join(cdx_dir, f"pages-{name}.cdx.parquet")
+            _pq.write_table(cdx, cdx_path + ".tmp")
+            os.replace(cdx_path + ".tmp", cdx_path)
         return pa.Table.from_pylist([{"shard": path, "n_rows": t.num_rows}])
 
     return sum(
@@ -680,6 +708,7 @@ def write_pages_wat(pages: rd.Dataset, out_dir: str) -> int:
 
     def write_block(t: pa.Table) -> pa.Table:
         buf = []
+        index = []  # (url, rec_type, payload digest) per record, in order
         for row in t.to_pylist():
             date_iso = row["warc_ts"].isoformat(timespec="microseconds") + "Z"
             payload = _wat_envelope(row["url"], date_iso, row["html"])
@@ -774,3 +803,19 @@ def verify_warc_digests(path: str) -> tuple:
             if _sha1_b32(body).decode("ascii") != pay_d:
                 bad += 1
     return checked, bad
+
+
+def read_warc_record(shard_path: str, offset: int, length: int):
+    """Random-access fetch of ONE record by its CDX (offset, length): a
+    single ranged read of the raw record (plain .warc) or the independent
+    gzip member (.warc.gz), then one record parse — the Common Crawl index
+    access pattern (range request against the public bucket). Returns
+    (headers dict, payload bytes)."""
+    with open(shard_path, "rb") as f:
+        f.seek(offset)
+        blob = f.read(length)
+    if shard_path.endswith(".gz"):
+        import gzip
+
+        blob = gzip.decompress(blob)
+    return next(_parse_warc_records(blob))

@@ -472,3 +472,71 @@ class TestWarcDigests:
         for sh in shards:
             n, bad = verify_warc_digests(sh)
             assert n > 0 and bad == 0
+
+
+class TestWarcCdx:
+    def _build(self, tmp_path, gz):
+        from service1_text_extraction_ray.sources.pages_source import (
+            synthesize_pages,
+            write_pages_warc,
+        )
+
+        wdir = str(tmp_path / ("w_gz" if gz else "w"))
+        cdir = str(tmp_path / ("c_gz" if gz else "c"))
+        write_pages_warc(synthesize_pages(30, seed=5), wdir,
+                         gzip_members=gz, cdx_dir=cdir)
+        return wdir, cdir
+
+    def _cdx(self, cdir):
+        import glob
+
+        import pyarrow.parquet as pq
+
+        tables = [pq.read_table(p) for p in sorted(glob.glob(cdir + "/*.parquet"))]
+        import pyarrow as pa
+
+        return pa.concat_tables(tables).to_pylist()
+
+    def test_random_access_matches_full_read(self, ray_session, tmp_path):
+        import os
+
+        from service1_text_extraction_ray.sources.pages_source import (
+            parse_http_response,
+            read_warc_record,
+        )
+
+        for gz in (False, True):
+            wdir, cdir = self._build(tmp_path, gz)
+            rows = self._cdx(cdir)
+            assert len(rows) == 30 * 2  # response + conversion per page
+            # fetch every response record by (offset, length) and check the
+            # digest of the decoded entity body matches the index
+            from service1_text_extraction_ray.sources.pages_source import (
+                _sha1_b32,
+            )
+
+            for r in rows:
+                if r["rec_type"] != "response":
+                    continue
+                hdrs, payload = read_warc_record(
+                    os.path.join(wdir, r["shard"]), r["offset"], r["length"]
+                )
+                assert hdrs["warc-type"] == "response"
+                assert hdrs["warc-target-uri"] == r["url"]
+                _, _, body = parse_http_response(payload)
+                assert _sha1_b32(body).decode("ascii") == r["digest"]
+
+    def test_offsets_partition_the_shard(self, ray_session, tmp_path):
+        import os
+        from collections import defaultdict
+
+        _, cdir = self._build(tmp_path, True)
+        by_shard = defaultdict(list)
+        for r in self._cdx(cdir):
+            by_shard[r["shard"]].append((r["offset"], r["length"]))
+        for sh, spans in by_shard.items():
+            spans.sort()
+            pos = 0
+            for off, ln in spans:
+                assert off == pos  # contiguous, no gaps or overlaps
+                pos = off + ln
