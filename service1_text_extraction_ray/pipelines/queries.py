@@ -8031,3 +8031,124 @@ def q_warc_cdx(sf_dir: str) -> rd.Dataset:
         lambda t: t.select(["url", "rec_type", "length", "digest"]),
         batch_format="pyarrow",
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash media dedup (aHash over the byte plane, banded LSH)
+# ---------------------------------------------------------------------------
+
+PHASH_BITS = 64
+PHASH_BANDS = 4           # 4 x 16-bit bands: pigeonhole-complete to 3-bit radius
+PHASH_MAX_HAMMING = 6
+
+
+def media_ahash(payload: bytes) -> int:
+    """Average-hash (aHash) over 64 equal byte slices: bit i is set when
+    slice i's mean exceeds the whole payload's mean — the classic
+    perceptual-hash recipe with the byte plane standing in for the 8x8
+    luminance grid (with a real decoder the slices become pixel blocks;
+    the hash, banding and verify stay identical). Byte-local edits flip
+    few slices -> small Hamming distance; unrelated payloads land ~32
+    apart."""
+    if not payload:
+        return 0
+    a = np.frombuffer(payload, dtype=np.uint8)
+    n = len(a)
+    idx = (np.arange(n) * PHASH_BITS) // n  # slice id per byte, balanced
+    sums = np.zeros(PHASH_BITS, dtype=np.int64)
+    counts = np.zeros(PHASH_BITS, dtype=np.int64)
+    np.add.at(sums, idx, a)
+    np.add.at(counts, idx, 1)
+    mean = a.mean()
+    bits = (sums > mean * np.maximum(counts, 1)).astype(np.uint64)
+    h = 0
+    for i in range(PHASH_BITS):
+        if bits[i]:
+            h |= 1 << i
+    return h
+
+
+def q_media_dedup_phash(sf_dir: str) -> rd.Dataset:
+    """Near-duplicate MEDIA detection by perceptual hash — the image-dedup
+    pipeline every multimodal corpus runs (re-encoded/lightly-edited
+    copies share most of their perceptual hash): aHash-64 per payload,
+    then exactly the SimHash banding topology (4 x 16-bit bands; two
+    hashes within Hamming 3 MUST share a band — pigeonhole; candidates
+    verified to <= PHASH_MAX_HAMMING inside the bucket group). Planted
+    perturbed clones (media_id = doc_id + 1e6, 3 bytes edited, for
+    doc_id%20==0) must pair with their originals — pytest-asserted; the
+    banding shuffle moves (band key, media_id, hash) rows, never payloads.
+    Output: (media_a, media_b, hamming) pairs, a < b."""
+    pair_schema = pa.schema([
+        ("media_a", pa.int64()), ("media_b", pa.int64()),
+        ("hamming", pa.int64()),
+    ])
+    band_schema = pa.schema([
+        ("band_key", pa.int64()), ("media_id", pa.int64()),
+        ("phash", pa.int64()),
+    ])
+
+    def hash_and_band(t: pa.Table) -> pa.Table:
+        rows = []
+        for d, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            payload = (text or "").encode("utf-8")
+            variants = [(int(d), payload)]
+            if int(d) % 20 == 0 and len(payload) >= 16:
+                b = bytearray(payload)
+                for off in (3, len(b) // 2, len(b) - 2):
+                    b[off] = (b[off] + 7) % 256
+                variants.append((int(d) + 1_000_000, bytes(b)))
+            for mid, pl in variants:
+                h = media_ahash(pl)
+                hs = h - (1 << 64) if h >= (1 << 63) else h  # wrapped int64
+                for band in range(PHASH_BANDS):
+                    seg = (h >> (16 * band)) & 0xFFFF
+                    rows.append({
+                        "band_key": (band << 16) | seg,
+                        "media_id": mid,
+                        "phash": hs,
+                    })
+        if not rows:
+            return band_schema.empty_table()
+        return pa.Table.from_pylist(rows, schema=band_schema)
+
+    from .relational import hash_exchange
+
+    def bucket_pairs(t: pa.Table) -> pa.Table:
+        by_key: dict[int, list] = {}
+        for k, m, h in zip(t["band_key"].to_pylist(), t["media_id"].to_pylist(),
+                           t["phash"].to_pylist()):
+            by_key.setdefault(int(k), []).append((int(m), int(h) & ((1 << 64) - 1)))
+        seen = set()
+        rows = []
+        for members in by_key.values():
+            members.sort()
+            for i in range(len(members)):
+                for j in range(i + 1, len(members)):
+                    a, ha = members[i]
+                    b, hb = members[j]
+                    if a == b or (a, b) in seen:
+                        continue
+                    seen.add((a, b))
+                    d = bin(ha ^ hb).count("1")
+                    if d <= PHASH_MAX_HAMMING:
+                        rows.append({"media_a": a, "media_b": b, "hamming": d})
+        if not rows:
+            return pair_schema.empty_table()
+        return pa.Table.from_pylist(rows, schema=pair_schema)
+
+    from ray.data.aggregate import Min as RMin
+
+    pairs = hash_exchange(
+        _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+            hash_and_band, batch_format="pyarrow"
+        ),
+        ["band_key"],
+        bucket_pairs,
+        pair_schema,
+    )
+    # a pair can surface from several bands/shards: one dedup groupby
+    return (
+        pairs.groupby(["media_a", "media_b"])
+        .aggregate(RMin("hamming", alias_name="hamming"))
+    )

@@ -3168,3 +3168,39 @@ class TestEventsPatternMatches:
         out = q_events_pattern_matches(str(d)).to_pandas().set_index("user_id")
         assert set(out.index) == {1}
         assert out.loc[1, "n_matches"] == 2
+
+
+class TestMediaDedupPhash:
+    def test_planted_clones_all_found_no_false_positives(self, ray_session):
+        from service1_text_extraction_ray.pipelines.queries import (
+            PHASH_MAX_HAMMING,
+            q_media_dedup_phash,
+        )
+
+        df = q_media_dedup_phash("/root/testdata/sf0.001").to_pandas()
+        planted = df[(df["media_b"] - df["media_a"]) == 1_000_000]
+        # every doc_id%20==0 clone pairs with its original
+        import pyarrow.parquet as pq
+
+        n_docs = pq.ParquetFile(
+            "/root/testdata/sf0.001/documents.parquet").metadata.num_rows
+        expected = sum(1 for i in range(n_docs) if i % 20 == 0)
+        assert len(planted) == expected
+        assert (planted["media_a"] % 20 == 0).all()
+        assert (df["hamming"] <= PHASH_MAX_HAMMING).all()
+        # unrelated texts never collide on this corpus
+        assert len(df) == len(planted)
+
+    def test_ahash_locality(self):
+        from service1_text_extraction_ray.pipelines.queries import media_ahash
+
+        base = bytes(range(256)) * 4
+        edited = bytearray(base)
+        edited[10] = 255
+        edited[500] = 0
+        near = bin(media_ahash(base) ^ media_ahash(bytes(edited))).count("1")
+        far = bin(media_ahash(base)
+                  ^ media_ahash(b"completely different payload " * 30)).count("1")
+        assert near <= 6
+        assert far > 10
+        assert media_ahash(b"") == 0
