@@ -8152,3 +8152,105 @@ def q_media_dedup_phash(sf_dir: str) -> rd.Dataset:
         pairs.groupby(["media_a", "media_b"])
         .aggregate(RMin("hamming", alias_name="hamming"))
     )
+
+
+def q_host_reciprocity(sf_dir: str) -> rd.Dataset:
+    """Link reciprocity per host: of a host's distinct outgoing neighbors,
+    how many link back — high reciprocity marks link exchanges/rings
+    (spam signal), near-zero marks one-way authority flows. Self-loops
+    excluded. Computed from the host-grain edge list: ONE co-partitioned
+    semi hash_join of the distinct directed pairs against their own
+    reverses, then per-host counts join out-degree in a second host-grain
+    join — every input is host-grain, so both joins move tiny tables.
+    Output: (host, n_out, n_reciprocal)."""
+    from ray.data.aggregate import Sum as RSum
+
+    from .relational import hash_join
+
+    edges = _host_edges(sf_dir)
+
+    pair_schema = pa.schema([("key", pa.string()), ("src", pa.string())])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        rows = []
+        for s_, d_ in zip(t["src"].to_pylist(), t["dst"].to_pylist()):
+            if s_ == d_:
+                continue
+            rows.append({"key": f"{s_}|{d_}", "src": s_})
+        if not rows:
+            return pair_schema.empty_table()
+        return pa.Table.from_pylist(rows, schema=pair_schema)
+
+    def rev_pairs(t: pa.Table) -> pa.Table:
+        rows = []
+        for s_, d_ in zip(t["src"].to_pylist(), t["dst"].to_pylist()):
+            if s_ == d_:
+                continue
+            rows.append({"key": f"{d_}|{s_}"})
+        if not rows:
+            return pa.schema([("key", pa.string())]).empty_table()
+        return pa.Table.from_pylist(rows, schema=pa.schema([("key", pa.string())]))
+
+    fwd = edges.map_batches(pairs, batch_format="pyarrow")
+    rev = edges.map_batches(rev_pairs, batch_format="pyarrow")
+
+    recip = hash_join(
+        fwd, rev,
+        left_on="key", right_on="key", key_type=pa.string(),
+        left_fields=[pa.field("src", pa.string())],
+        right_fields=[],
+        how="semi",
+    ).map_batches(
+        lambda t: pa.Table.from_arrays(
+            [t["src"], pa.nulls(t.num_rows, pa.int64()).fill_null(1)],
+            names=["host", "n_reciprocal"],
+        ),
+        batch_format="pyarrow",
+    ).groupby("host").aggregate(RSum("n_reciprocal", alias_name="n_reciprocal"))
+
+    outdeg = fwd.map_batches(
+        lambda t: pa.Table.from_arrays(
+            [t["src"], pa.nulls(t.num_rows, pa.int64()).fill_null(1)],
+            names=["host", "n_out"],
+        ),
+        batch_format="pyarrow",
+    ).groupby("host").aggregate(RSum("n_out", alias_name="n_out"))
+
+    joined = hash_join(
+        outdeg, recip,
+        left_on="host", right_on="host", key_type=pa.string(),
+        left_fields=[pa.field("n_out", pa.int64())],
+        right_fields=[pa.field("n_reciprocal", pa.int64())],
+        how="left",
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [t["host"], t["n_out"], pc.fill_null(t["n_reciprocal"], 0)],
+            names=["host", "n_out", "n_reciprocal"],
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_HOST_RECIPROCITY = """
+WITH base AS (SELECT doc_id, source FROM documents WHERE doc_id % 7 <> 0),
+links AS (
+  SELECT source || '.example.com' AS src,
+         'src' || ((doc_id * 7 + 1) % 20) || '.example.net' AS dst FROM base
+  UNION ALL
+  SELECT source || '.example.com', 'cdn.example.org' FROM base
+  UNION ALL
+  SELECT source || '.example.com', CASE WHEN doc_id % 6 = 3 THEN 'base' || (doc_id % 4) || '.example.org' ELSE source || '.example.com' END FROM base
+),
+edges AS (SELECT DISTINCT src, dst FROM links WHERE src <> dst),
+recip AS (
+  SELECT e.src AS host, CAST(count(*) AS BIGINT) AS n_reciprocal
+  FROM edges e JOIN edges r ON r.src = e.dst AND r.dst = e.src
+  GROUP BY 1
+)
+SELECT e.src AS host, CAST(count(*) AS BIGINT) AS n_out,
+       coalesce(any_value(r.n_reciprocal), 0) AS n_reciprocal
+FROM edges e LEFT JOIN recip r ON r.host = e.src
+GROUP BY e.src
+"""

@@ -3204,3 +3204,24 @@ class TestMediaDedupPhash:
         assert near <= 6
         assert far > 10
         assert media_ahash(b"") == 0
+
+
+class TestHostReciprocity:
+    def test_counts_on_tiny_graph(self, ray_session, monkeypatch):
+        import ray.data as rd
+        import service1_text_extraction_ray.pipelines.queries as Q
+
+        edges = rd.from_arrow(pa.table({
+            "src": pa.array(["a", "b", "a", "c", "c"]),
+            "dst": pa.array(["b", "a", "c", "c", "d"]),
+            "n_links": pa.array([1, 1, 1, 1, 1], pa.int64()),
+        }))
+        monkeypatch.setattr(Q, "_host_edges", lambda sf: edges)
+        out = (
+            Q.q_host_reciprocity("ignored").to_pandas()
+            .set_index("host").sort_index()
+        )
+        # a->b reciprocated (b->a); a->c not; c self-loop excluded
+        assert out.loc["a", "n_out"] == 2 and out.loc["a", "n_reciprocal"] == 1
+        assert out.loc["b", "n_out"] == 1 and out.loc["b", "n_reciprocal"] == 1
+        assert out.loc["c", "n_out"] == 1 and out.loc["c", "n_reciprocal"] == 0
