@@ -378,3 +378,16 @@ def detect_license(text: str) -> dict:
             }
     return {"license": "unknown", "allows_commercial": False,
             "allows_derivatives": False}
+
+
+_HYPHEN_BREAK_RX = re.compile(r"(\w)-\n(\w)")
+
+
+def dehyphenate(text: str) -> str:
+    """Rejoin words split by end-of-line hyphenation ("exam-\\nple" ->
+    "example") — the PDF/column-text repair every extraction
+    post-processor runs (line-wrapped justified text hyphenates words at
+    the right margin; the broken halves poison tokenizers and dedup
+    shingles). Only letter-hyphen-newline-letter joins; a hyphen before a
+    space or at a real compound ("well-known") is untouched."""
+    return _HYPHEN_BREAK_RX.sub(r"\1\2", text)

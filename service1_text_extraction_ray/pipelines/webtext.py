@@ -3144,3 +3144,63 @@ SELECT doc_id,
        doc_id % 5 IN (0, 1, 3) AS allows_derivatives
 FROM documents
 """
+
+
+# ---------------------------------------------------------------------------
+# De-hyphenation repair: self-verifying round-trip over planted breaks
+# ---------------------------------------------------------------------------
+
+
+def q_doc_dehyphenate(sf_dir: str) -> rd.Dataset:
+    """Hyphenation repair (functions/quality.py dehyphenate) proved by
+    round-trip: every 5th word of length >= 4 gets a mid-word "-\\n" break
+    planted (the justified-margin artifact), the repair runs, and
+    ``restored`` asserts byte equality with the original — per doc:
+    (doc_id, n_breaks, restored). A compound hyphen planted WITHOUT a
+    newline must survive (pytest). Pure per-batch map; the oracle counts
+    the plant sites arithmetically and pins restored TRUE."""
+    from ..functions.quality import dehyphenate
+
+    out_schema = pa.schema([
+        ("doc_id", pa.int64()), ("n_breaks", pa.int64()),
+        ("restored", pa.bool_()),
+    ])
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for doc_id, text in zip(df["doc_id"], df["text"].fillna("")):
+            toks = text.split(" ") if text else []
+            broken = []
+            n_breaks = 0
+            for i, w in enumerate(toks):
+                if i % 5 == 4 and len(w) >= 4:
+                    mid = len(w) // 2
+                    broken.append(w[:mid] + "-\n" + w[mid:])
+                    n_breaks += 1
+                else:
+                    broken.append(w)
+            repaired = dehyphenate(" ".join(broken))
+            rows.append((int(doc_id), n_breaks, repaired == text))
+        return pd.DataFrame(
+            rows, columns=["doc_id", "n_breaks", "restored"]
+        ).astype({"doc_id": "int64", "n_breaks": "int64", "restored": "bool"})
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        f, batch_format="pandas"
+    )
+
+
+SQL_DOC_DEHYPHENATE = """
+WITH arrs AS (
+  SELECT doc_id,
+         CASE WHEN coalesce(text, '') = '' THEN []
+              ELSE string_split(text, ' ') END AS a
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(list_filter(range(1, len(a) + 1),
+                            i -> i % 5 = 0 AND length(a[i]) >= 4))
+            AS BIGINT) AS n_breaks,
+       true AS restored
+FROM arrs
+"""

@@ -135,3 +135,14 @@ class TestDetectLicense:
         r = detect_license("All rights reserved.")
         assert r == {"license": "unknown", "allows_commercial": False,
                      "allows_derivatives": False}
+
+
+class TestDehyphenate:
+    def test_joins_breaks_keeps_compounds(self):
+        from service1_text_extraction_ray.functions.quality import dehyphenate
+
+        assert dehyphenate("exam-\nple text") == "example text"
+        assert dehyphenate("well-known term") == "well-known term"
+        assert dehyphenate("end-\n") == "end-\n"      # no following letter
+        assert dehyphenate("a -\nb stays") == "a -\nb stays"  # space before
+        assert dehyphenate("multi-\nline hy-\nphen") == "multiline hyphen"
