@@ -428,3 +428,120 @@ def extract_social_card(html: bytes | str, base_url: str) -> dict:
         "twitter_card": p.card.get("twitter:card"),
         "twitter_site": p.card.get("twitter:site"),
     }
+
+
+_REFRESH_RX = None  # built lazily below
+
+
+def parse_meta_refresh(html: bytes | str, base_url: str):
+    """First <meta http-equiv="refresh"> -> (delay_seconds, absolute target
+    url) or None. The HTML-level redirect (CC honors these like 3xx):
+    content is "N; url=TARGET" (case-insensitive 'url', optional quotes,
+    spec-tolerant whitespace); a bare "N" (reload, no url) returns None.
+    Script decoys ignored via the shared skip parser."""
+    import re as _re
+
+    global _REFRESH_RX
+    if _REFRESH_RX is None:
+        _REFRESH_RX = _re.compile(
+            r"^\s*(\d+)\s*(?:;\s*url\s*=\s*['\"]?([^'\"]+?)['\"]?\s*)?$",
+            _re.I,
+        )
+
+    text = html.decode("utf-8", errors="replace") if isinstance(html, bytes) else html
+
+    class _P(HTMLParser):
+        def __init__(self):
+            super().__init__(convert_charrefs=True)
+            self.content = None
+            self._skip = 0
+
+        def handle_starttag(self, tag, attrs):
+            if tag in ("script", "style"):
+                self._skip += 1
+                return
+            if self._skip or tag != "meta" or self.content is not None:
+                return
+            d = dict(attrs)
+            if (d.get("http-equiv") or "").strip().lower() == "refresh":
+                self.content = d.get("content") or ""
+
+        def handle_endtag(self, tag):
+            if tag in ("script", "style"):
+                self._skip = max(0, self._skip - 1)
+
+    p = _P()
+    try:
+        p.feed(text)
+        p.close()
+    except Exception:
+        pass
+    if p.content is None:
+        return None
+    m = _REFRESH_RX.match(p.content)
+    if not m or m.group(2) is None:
+        return None
+    target = resolve_href(base_url, m.group(2).strip())
+    if target is None:
+        return None
+    return int(m.group(1)), target
+
+
+class _FormParser(HTMLParser):
+    """Collect <form> elements with action/method and their input/select/
+    textarea field names — what a crawler needs to recognize (and avoid
+    crawling into) unbounded form spaces, and what wrapper-induction uses
+    to map site search."""
+
+    def __init__(self, base_url: str) -> None:
+        super().__init__(convert_charrefs=True)
+        self.base_url = base_url
+        self.forms: list = []
+        self._cur = None
+        self._skip = 0
+
+    def handle_starttag(self, tag, attrs):
+        if tag in ("script", "style"):
+            self._skip += 1
+            return
+        if self._skip:
+            return
+        d = dict(attrs)
+        if tag == "form":
+            action = resolve_href(self.base_url, d.get("action") or "")
+            self._cur = {
+                "action": action,
+                "method": (d.get("method") or "get").strip().lower(),
+                "fields": [],
+            }
+            return
+        if self._cur is not None and tag in ("input", "select", "textarea"):
+            name = (d.get("name") or "").strip()
+            if name:
+                self._cur["fields"].append(name)
+
+    def handle_endtag(self, tag):
+        if tag in ("script", "style"):
+            self._skip = max(0, self._skip - 1)
+            return
+        if tag == "form" and self._cur is not None:
+            self.forms.append(self._cur)
+            self._cur = None
+
+    def close(self):
+        super().close()
+        if self._cur is not None:  # unclosed form at EOF still counts
+            self.forms.append(self._cur)
+            self._cur = None
+
+
+def extract_forms(html: bytes | str, base_url: str) -> list:
+    """-> [{action, method, fields: [name,...]}] in document order."""
+    text = html.decode("utf-8", errors="replace") if isinstance(html, bytes) else html
+    p = _FormParser(base_url)
+    try:
+        p.feed(text)
+        p.close()
+    except Exception:
+        pass
+    return p.forms

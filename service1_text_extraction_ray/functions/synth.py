@@ -1450,3 +1450,36 @@ def make_social_page(doc_id: int, source: str, lang: str) -> tuple[bytes, str]:
         f"<body><p>{lang} social body</p></body></html>"
     )
     return html.encode("utf-8"), f"https://{source}.example.com/sp/{doc_id}"
+
+
+def make_nav_page(doc_id: int, source: str) -> tuple[bytes, str]:
+    """Deterministic redirect/form fixture page. Branches: meta refresh on
+    doc_id%4==1 (delay doc_id%7, RELATIVE target) and %4==3 (bare reload,
+    NO url -> not a redirect); a search form on doc_id%3!=0 (GET, q +
+    lang fields) and a POST login form on doc_id%5==0 (user/pass);
+    refresh decoy inside a script."""
+    parts = []
+    if doc_id % 4 == 1:
+        parts.append(
+            f'<meta http-equiv="refresh" content="{doc_id % 7}; url=/moved/{doc_id // 4}">'
+        )
+    elif doc_id % 4 == 3:
+        parts.append('<meta http-equiv="Refresh" content="5">')
+    body = []
+    if doc_id % 3 != 0:
+        body.append(
+            '<form action="/search" method="get">'
+            '<input name="q"><select name="lang"></select></form>'
+        )
+    if doc_id % 5 == 0:
+        body.append(
+            f'<form action="https://auth.example.org/login" method="POST">'
+            '<input name="user"><input name="pass" type="password">'
+            '<input type="submit"></form>'
+        )
+    decoy = "<script>var s='<meta http-equiv=\"refresh\" content=\"0;url=/NO\">';</script>"
+    html = (
+        f"<html><head><title>N{doc_id}</title>{''.join(parts)}{decoy}</head>"
+        f"<body>{''.join(body)}</body></html>"
+    )
+    return html.encode("utf-8"), f"https://{source}.example.com/n/{doc_id}"

@@ -8254,3 +8254,89 @@ SELECT e.src AS host, CAST(count(*) AS BIGINT) AS n_out,
 FROM edges e LEFT JOIN recip r ON r.host = e.src
 GROUP BY e.src
 """
+
+
+def q_extract_meta_refresh(sf_dir: str) -> rd.Dataset:
+    """HTML meta-refresh redirect extraction (the crawler-visible redirect
+    CC honors like a 3xx): one row per redirecting page with the delay
+    and the RESOLVED absolute target; bare reloads (no url=) and script
+    decoys must not emit. Pure per-batch map over nav fixture pages; the
+    oracle rebuilds delay/target from doc_id arithmetic."""
+    from ..functions.meta import parse_meta_refresh
+    from ..functions.synth import make_nav_page
+
+    out_schema = pa.schema([
+        ("doc_id", pa.int64()), ("delay_s", pa.int64()),
+        ("target", pa.string()),
+    ])
+
+    def f(t: pa.Table) -> pa.Table:
+        rows = []
+        for d, src in zip(t["doc_id"].to_pylist(), t["source"].to_pylist()):
+            html, base = make_nav_page(int(d), src)
+            r = parse_meta_refresh(html, base)
+            if r is not None:
+                rows.append({"doc_id": int(d), "delay_s": r[0], "target": r[1]})
+        if not rows:
+            return out_schema.empty_table()
+        return pa.Table.from_pylist(rows, schema=out_schema)
+
+    return _read(sf_dir, "documents", ["doc_id", "source"]).map_batches(
+        f, batch_format="pyarrow"
+    )
+
+
+SQL_EXTRACT_META_REFRESH = """
+SELECT doc_id,
+       CAST(doc_id % 7 AS BIGINT) AS delay_s,
+       'https://' || source || '.example.com/moved/' || (doc_id // 4) AS target
+FROM documents WHERE doc_id % 4 = 1
+"""
+
+
+def q_extract_forms(sf_dir: str) -> rd.Dataset:
+    """Form extraction (action/method/field names) — what a frontier uses
+    to recognize unbounded form spaces (search endpoints, logins) before
+    crawling into them. One row per form in document order with the
+    resolved action; field names joined '|'. The oracle rebuilds both
+    fixture forms from doc_id arithmetic."""
+    from ..functions.meta import extract_forms
+    from ..functions.synth import make_nav_page
+
+    out_schema = pa.schema([
+        ("doc_id", pa.int64()), ("form_idx", pa.int64()),
+        ("action", pa.string()), ("method", pa.string()),
+        ("fields", pa.string()),
+    ])
+
+    def f(t: pa.Table) -> pa.Table:
+        rows = []
+        for d, src in zip(t["doc_id"].to_pylist(), t["source"].to_pylist()):
+            html, base = make_nav_page(int(d), src)
+            for i, fm in enumerate(extract_forms(html, base)):
+                rows.append({
+                    "doc_id": int(d), "form_idx": i,
+                    "action": fm["action"], "method": fm["method"],
+                    "fields": "|".join(fm["fields"]),
+                })
+        if not rows:
+            return out_schema.empty_table()
+        return pa.Table.from_pylist(rows, schema=out_schema)
+
+    return _read(sf_dir, "documents", ["doc_id", "source"]).map_batches(
+        f, batch_format="pyarrow"
+    )
+
+
+SQL_EXTRACT_FORMS = """
+SELECT doc_id, CAST(0 AS BIGINT) AS form_idx,
+       'https://' || source || '.example.com/search' AS action,
+       'get' AS method, 'q|lang' AS fields
+FROM documents WHERE doc_id % 3 <> 0
+UNION ALL
+SELECT doc_id,
+       CAST(CASE WHEN doc_id % 3 <> 0 THEN 1 ELSE 0 END AS BIGINT) AS form_idx,
+       'https://auth.example.org/login' AS action,
+       'post' AS method, 'user|pass' AS fields
+FROM documents WHERE doc_id % 5 = 0
+"""

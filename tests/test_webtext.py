@@ -1532,3 +1532,35 @@ class TestSocialCard:
         html = (b'<meta property="og:type" content="article">'
                 b'<meta property="og:type" content="website">')
         assert extract_social_card(html, "https://e/")["og_type"] == "article"
+
+
+class TestMetaRefreshAndForms:
+    def test_refresh_variants(self):
+        from service1_text_extraction_ray.functions.meta import (
+            parse_meta_refresh,
+        )
+
+        assert parse_meta_refresh(
+            b'<meta http-equiv="REFRESH" content="0;URL=\'/x\'">',
+            "https://e.org/a/b",
+        ) == (0, "https://e.org/x")
+        # bare reload (no url=) is not a redirect
+        assert parse_meta_refresh(
+            b'<meta http-equiv="refresh" content="30">', "https://e.org/"
+        ) is None
+        # script decoy ignored
+        assert parse_meta_refresh(
+            b"<script>'<meta http-equiv=\"refresh\" content=\"0;url=/n\">'</script>",
+            "https://e.org/",
+        ) is None
+
+    def test_forms_fields_and_unclosed_form(self):
+        from service1_text_extraction_ray.functions.meta import extract_forms
+
+        html = (b'<form action="/s"><input name="q"><input type="submit">'
+                b'<textarea name="msg"></textarea>')  # never closed
+        forms = extract_forms(html, "https://e.org/p")
+        assert len(forms) == 1
+        assert forms[0]["action"] == "https://e.org/s"
+        assert forms[0]["method"] == "get"
+        assert forms[0]["fields"] == ["q", "msg"]
