@@ -6726,3 +6726,88 @@ ok AS (
 SELECT user_id, CAST(count(*) AS BIGINT) AS n_matches
 FROM ok GROUP BY user_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Categorical mutual information (quantize-then-sum exact)
+# ---------------------------------------------------------------------------
+
+MI_UNIT = 1_000_000_000  # per-cell terms in nano-nats
+
+
+def q_lineitem_mutual_info(sf_dir: str) -> rd.Dataset:
+    """Mutual information between returnflag and linestatus — the
+    dependence measure feature-selection and schema-profiling passes use
+    (MI 0 = independent columns; high MI = redundant). I(X;Y) =
+    sum_cells p(x,y) ln( p(x,y) / (p(x)p(y)) ); each cell's term
+    n_xy * ln(n_xy * N / (n_x * n_y)) quantizes to integer nano-nats
+    BEFORE the final sum (order-independent; the float ratio evaluates in
+    the oracle's association order). Topology: one tiny (flag, status)
+    groupby of per-block partial counts — marginals derive from the cell
+    table on the driver (|X| x |Y| cells, constant-sized). Output: one
+    row (n_rows, n_cells, mi_terms_nano) with MI = terms / (N * UNIT)."""
+    import math
+
+    cell_schema = pa.schema([
+        ("f", pa.string()), ("s", pa.string()), ("n", pa.int64()),
+    ])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate([([], "count_all")])
+        return pa.Table.from_arrays(
+            [g["l_returnflag"], g["l_linestatus"],
+             pc.cast(g["count_all"], pa.int64())],
+            schema=cell_schema,
+        )
+
+    cells = (
+        _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["f", "s"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        fs = t["f"].to_pylist()
+        ss = t["s"].to_pylist()
+        ns = [int(x) for x in t["n"].to_pylist()]
+        N = sum(ns)
+        nf: dict = {}
+        nst: dict = {}
+        for f_, s_, n_ in zip(fs, ss, ns):
+            nf[f_] = nf.get(f_, 0) + n_
+            nst[s_] = nst.get(s_, 0) + n_
+        terms = 0
+        for f_, s_, n_ in zip(fs, ss, ns):
+            # association order mirrors the SQL: (n_xy * N) / (n_x * n_y)
+            terms += int(round(
+                n_ * math.log(float(n_ * N) / float(nf[f_] * nst[s_])) * MI_UNIT
+            ))
+        return pa.table({
+            "n_rows": pa.array([N], pa.int64()),
+            "n_cells": pa.array([len(ns)], pa.int64()),
+            "mi_terms_nano": pa.array([terms], pa.int64()),
+        })
+
+    # the cell table is |X| x |Y| (a handful of rows): one-task finish
+    return cells.repartition(1).map_batches(finish, batch_format="pyarrow")
+
+
+SQL_LINEITEM_MUTUAL_INFO = f"""
+WITH cells AS (
+  SELECT l_returnflag AS f, l_linestatus AS s, CAST(count(*) AS BIGINT) AS n
+  FROM lineitem GROUP BY 1, 2
+),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS N FROM cells),
+mf AS (SELECT f, CAST(sum(n) AS BIGINT) AS nf FROM cells GROUP BY 1),
+ms AS (SELECT s, CAST(sum(n) AS BIGINT) AS ns FROM cells GROUP BY 1)
+SELECT tot.N AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_cells,
+       CAST(sum(CAST(round(c.n * ln(CAST(c.n * tot.N AS DOUBLE)
+                                    / CAST(mf.nf * ms.ns AS DOUBLE))
+                           * {MI_UNIT}) AS BIGINT)) AS BIGINT) AS mi_terms_nano
+FROM cells c
+JOIN mf USING (f) JOIN ms USING (s)
+CROSS JOIN tot
+GROUP BY tot.N
+"""

@@ -3225,3 +3225,44 @@ class TestHostReciprocity:
         assert out.loc["a", "n_out"] == 2 and out.loc["a", "n_reciprocal"] == 1
         assert out.loc["b", "n_out"] == 1 and out.loc["b", "n_reciprocal"] == 1
         assert out.loc["c", "n_out"] == 1 and out.loc["c", "n_reciprocal"] == 0
+
+
+class TestLineitemMutualInfo:
+    def test_independent_columns_score_zero(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from service1_text_extraction_ray.pipelines.relational import (
+            q_lineitem_mutual_info,
+        )
+
+        # perfectly independent 2x2 with equal counts -> MI exactly 0
+        d = tmp_path / "sf"
+        d.mkdir(exist_ok=True)
+        pq.write_table(pa.table({
+            "l_returnflag": pa.array(["A", "A", "B", "B"] * 5),
+            "l_linestatus": pa.array(["X", "Y", "X", "Y"] * 5),
+        }), str(d / "lineitem.parquet"))
+        out = q_lineitem_mutual_info(str(d)).to_pandas().iloc[0]
+        assert out["n_rows"] == 20 and out["n_cells"] == 4
+        assert out["mi_terms_nano"] == 0
+
+    def test_perfect_dependence_is_entropy(self, ray_session, tmp_path):
+        import math
+
+        import pyarrow.parquet as pq
+
+        from service1_text_extraction_ray.pipelines.relational import (
+            MI_UNIT,
+            q_lineitem_mutual_info,
+        )
+
+        # Y == X (2 equally likely values): MI = H(X) = ln 2
+        d = tmp_path / "sf"
+        d.mkdir(exist_ok=True)
+        pq.write_table(pa.table({
+            "l_returnflag": pa.array(["A", "B"] * 10),
+            "l_linestatus": pa.array(["A", "B"] * 10),
+        }), str(d / "lineitem.parquet"))
+        out = q_lineitem_mutual_info(str(d)).to_pandas().iloc[0]
+        mi = out["mi_terms_nano"] / (out["n_rows"] * MI_UNIT)
+        assert abs(mi - math.log(2)) < 1e-6
