@@ -1788,6 +1788,95 @@ class PdfDocument:
         walk(first_ref(outlines.dict_bytes, rb"/First"), 1)
         return out
 
+    def attachments(self) -> List[Tuple[str, bytes]]:
+        """Embedded file attachments (ISO 32000-1 §7.11.4 name tree:
+        catalog /Names -> /EmbeddedFiles -> tree of /Names [(key) ref ...]
+        pairs with optional /Kids nesting -> /Type /Filespec -> /EF /F
+        stream). Returns (tree key, decoded bytes) in tree order; the
+        stream passes through the normal filter chain (Flate etc.).
+        Depth/visited guards terminate malformed trees; encrypted
+        documents are out of subset (empty, the info()/links() boundary)."""
+        if self._encrypt is not None or self._root is None:
+            return []
+        root = self._objects.get(self._root)
+        if root is None:
+            return []
+
+        def dict_of(ref_or_inline: bytes, key: bytes) -> Optional[bytes]:
+            """Value of ``key`` in a dict: inline << >> or indirect ref."""
+            m = re.search(key + rb"\s+(\d+)\s+\d+\s+R", ref_or_inline)
+            if m:
+                o = self._objects.get(int(m.group(1)))
+                return o.dict_bytes if o is not None else None
+            m = re.search(key + rb"\s*<<", ref_or_inline)
+            if m:
+                d, _ = _scan_dict(ref_or_inline, m.end() - 2)
+                return d
+            return None
+
+        names_dict = dict_of(root.dict_bytes, rb"/Names")
+        if names_dict is None:
+            return []
+        ef_root = dict_of(names_dict, rb"/EmbeddedFiles")
+        if ef_root is None:
+            return []
+
+        out: List[Tuple[str, bytes]] = []
+        seen: set = set()
+
+        def walk(node: bytes, depth: int) -> None:
+            if depth > 8:
+                return
+            km = re.search(rb"/Kids\s*\[", node)
+            if km:
+                arr_start = km.end() - 1
+                arr_end = node.index(b"]", arr_start)
+                for rm in _REF_RE.finditer(node[arr_start:arr_end]):
+                    num = int(rm.group(1))
+                    if num in seen:
+                        continue
+                    seen.add(num)
+                    child = self._objects.get(num)
+                    if child is not None:
+                        walk(child.dict_bytes, depth + 1)
+                return
+            nm = re.search(rb"/Names\s*\[", node)
+            if nm is None:
+                return
+            i = nm.end()
+            while i < len(node):
+                i = _skip_ws(node, i)
+                if i >= len(node) or node[i : i + 1] == b"]":
+                    break
+                if node[i : i + 1] != b"(":
+                    break
+                key_raw, i = _read_literal_string(node, i)
+                i = _skip_ws(node, i)
+                rm = _REF_RE.match(node[i:])
+                if rm is None:
+                    break
+                i += rm.end()
+                spec = self._objects.get(int(rm.group(1)))
+                if spec is None:
+                    continue
+                em = re.search(rb"/EF\s*<<", spec.dict_bytes)
+                if em is None:
+                    continue
+                efd, _ = _scan_dict(spec.dict_bytes, em.end() - 2)
+                fm = re.search(rb"/F\s+(\d+)\s+\d+\s+R", efd)
+                if fm is None:
+                    continue
+                stream_obj = self._objects.get(int(fm.group(1)))
+                if stream_obj is None or stream_obj.stream is None:
+                    continue
+                try:
+                    data = _decode_stream(stream_obj)
+                except PdfParseError:
+                    continue
+                out.append((key_raw.decode("latin-1"), data))
+        walk(ef_root, 0)
+        return out
+
     def links(self) -> List[Tuple[int, str]]:
         """External URI link annotations, in page order: ``(page_number
         1-based, uri)`` per /Subtype /Link annotation whose action is

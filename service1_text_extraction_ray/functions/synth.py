@@ -1483,3 +1483,62 @@ def make_nav_page(doc_id: int, source: str) -> tuple[bytes, str]:
         f"<body>{''.join(body)}</body></html>"
     )
     return html.encode("utf-8"), f"https://{source}.example.com/n/{doc_id}"
+
+
+def make_pdf_attachment_doc(doc_id: int, source: str) -> tuple[bytes, str]:
+    """Deterministic PDF with embedded-file attachments — fixture for
+    PdfDocument.attachments(). 1 + doc_id%2 attachments named
+    ``att-{doc_id}-{k}.txt`` with content ``attachment {doc_id}-{k} from
+    {source}\\n`` x (2+k); attachment 0 is Flate-compressed (exercises the
+    filter chain), attachment 1 raw. doc_id%3==0 routes through a /Kids
+    intermediate node (exercises name-tree recursion)."""
+    import zlib as _z
+
+    url = f"https://{source}.example.com/att/{doc_id}"
+    content = f"BT /F1 12 Tf 72 720 Td (Att {doc_id}) Tj ET".encode()
+    n_att = 1 + doc_id % 2
+
+    objs = []
+    name_pairs = []
+    for k in range(n_att):
+        data = (f"attachment {doc_id}-{k} from {source}\n" * (2 + k)).encode()
+        snum, fnum = 20 + 2 * k, 21 + 2 * k
+        if k == 0:
+            enc = _z.compress(data)
+            objs.append(
+                f"{snum} 0 obj << /Type /EmbeddedFile /Filter /FlateDecode "
+                f"/Length {len(enc)} >>\n".encode()
+                + b"stream\n" + enc + b"\nendstream endobj\n"
+            )
+        else:
+            objs.append(
+                f"{snum} 0 obj << /Type /EmbeddedFile /Length {len(data)} >>\n".encode()
+                + b"stream\n" + data + b"\nendstream endobj\n"
+            )
+        objs.append(
+            f"{fnum} 0 obj << /Type /Filespec /F (att-{doc_id}-{k}.txt) "
+            f"/EF << /F {snum} 0 R >> >> endobj\n".encode()
+        )
+        name_pairs.append(f"(att-{doc_id}-{k}.txt) {fnum} 0 R")
+    names_arr = " ".join(name_pairs)
+    if doc_id % 3 == 0:
+        # /Kids level: 10 = tree root -> 11 = leaf with the /Names array
+        objs.append(b"10 0 obj << /Kids [11 0 R] >> endobj\n")
+        objs.append(f"11 0 obj << /Names [{names_arr}] >> endobj\n".encode())
+    else:
+        objs.append(f"10 0 obj << /Names [{names_arr}] >> endobj\n".encode())
+
+    pdf = (
+        b"%PDF-1.4\n"
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R "
+        b"/Names << /EmbeddedFiles 10 0 R >> >> endobj\n"
+        b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n"
+        b"3 0 obj << /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >> endobj\n"
+        b"4 0 obj << /Length " + str(len(content)).encode() + b" >>\n"
+        b"stream\n" + content + b"\nendstream endobj\n"
+        b"5 0 obj << /Type /Font /Subtype /Type1 /BaseFont /Helvetica >> endobj\n"
+        + b"".join(objs)
+        + b"trailer << /Root 1 0 R >>\n%%EOF\n"
+    )
+    return pdf, url

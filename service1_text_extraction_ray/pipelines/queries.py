@@ -8340,3 +8340,59 @@ SELECT doc_id,
        'post' AS method, 'user|pass' AS fields
 FROM documents WHERE doc_id % 5 = 0
 """
+
+
+def q_extract_pdf_attachments(sf_dir: str) -> rd.Dataset:
+    """PDF embedded-file extraction (ISO 32000-1 §7.11.4 /EmbeddedFiles
+    name tree -> Filespec -> /EF stream through the normal filter chain)
+    — attachments are a real corpus source (invoice XML, datasets inside
+    reports). One row per attachment in tree order with the decoded
+    bytes' length and md5; /Kids-nested trees and Flate-compressed
+    streams both exercised by the fixture mix. The oracle rebuilds
+    name/size/md5 arithmetically (content is a repeat() of a derivable
+    string)."""
+    from ..functions.pdf_extract import PdfDocument
+    from ..functions.synth import make_pdf_attachment_doc
+
+    out_schema = pa.schema([
+        ("doc_id", pa.int64()), ("att_idx", pa.int64()),
+        ("filename", pa.string()), ("n_bytes", pa.int64()),
+        ("md5", pa.string()),
+    ])
+
+    def f(t: pa.Table) -> pa.Table:
+        rows = []
+        for d, src in zip(t["doc_id"].to_pylist(), t["source"].to_pylist()):
+            pdf, _ = make_pdf_attachment_doc(int(d), src)
+            for i, (name, data) in enumerate(PdfDocument(pdf).attachments()):
+                rows.append({
+                    "doc_id": int(d), "att_idx": i, "filename": name,
+                    "n_bytes": len(data),
+                    "md5": hashlib.md5(data).hexdigest(),
+                })
+        if not rows:
+            return out_schema.empty_table()
+        return pa.Table.from_pylist(rows, schema=out_schema)
+
+    return _read(sf_dir, "documents", ["doc_id", "source"]).map_batches(
+        f, batch_format="pyarrow"
+    )
+
+
+SQL_EXTRACT_PDF_ATTACHMENTS = """
+WITH ks AS (
+  SELECT doc_id, source, unnest(range(0, 1 + doc_id % 2)) AS k
+  FROM documents
+),
+att AS (
+  SELECT doc_id, CAST(k AS BIGINT) AS att_idx,
+         'att-' || doc_id || '-' || k || '.txt' AS filename,
+         repeat('attachment ' || doc_id || '-' || k || ' from ' || source
+                || chr(10), CAST(2 + k AS INT)) AS content
+  FROM ks
+)
+SELECT doc_id, att_idx, filename,
+       CAST(length(content) AS BIGINT) AS n_bytes,
+       md5(content) AS md5
+FROM att
+"""

@@ -836,3 +836,45 @@ def test_predictor_bad_row_count_is_counted_failure():
     )
     pages = parse_pdf(bad)
     assert pages[0].text == ""
+
+
+class TestPdfAttachments:
+    def test_flate_and_raw_roundtrip(self):
+        from service1_text_extraction_ray.functions.pdf_extract import (
+            PdfDocument,
+        )
+        from service1_text_extraction_ray.functions.synth import (
+            make_pdf_attachment_doc,
+        )
+
+        pdf, _ = make_pdf_attachment_doc(1, "srcx")
+        atts = PdfDocument(pdf).attachments()
+        assert [n for n, _ in atts] == ["att-1-0.txt", "att-1-1.txt"]
+        assert atts[0][1] == b"attachment 1-0 from srcx\n" * 2  # flate
+        assert atts[1][1] == b"attachment 1-1 from srcx\n" * 3  # raw
+
+    def test_kids_nested_tree(self):
+        from service1_text_extraction_ray.functions.pdf_extract import (
+            PdfDocument,
+        )
+        from service1_text_extraction_ray.functions.synth import (
+            make_pdf_attachment_doc,
+        )
+
+        pdf, _ = make_pdf_attachment_doc(3, "s")  # %3==0 -> /Kids level
+        assert len(PdfDocument(pdf).attachments()) == 2
+
+    def test_no_attachments_and_text_unaffected(self):
+        from service1_text_extraction_ray.functions.pdf_extract import (
+            PdfDocument,
+            parse_pdf,
+        )
+        from service1_text_extraction_ray.functions.synth import (
+            make_pdf,
+            make_pdf_attachment_doc,
+        )
+
+        plain = make_pdf([["Hello."]], rng(), compress=False)
+        assert PdfDocument(plain).attachments() == []
+        pdf, _ = make_pdf_attachment_doc(2, "s")
+        assert parse_pdf(pdf)[0].text == "Att 2"
