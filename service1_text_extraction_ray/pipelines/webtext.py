@@ -3204,3 +3204,154 @@ SELECT doc_id,
        true AS restored
 FROM arrs
 """
+
+
+# ---------------------------------------------------------------------------
+# Host language divergence: JS components vs the corpus unigram model
+# ---------------------------------------------------------------------------
+
+JSD_UNIT = 1_000_000_000  # per-token terms in nano-nats
+
+
+def q_host_lang_divergence(sf_dir: str) -> rd.Dataset:
+    """Domain-anomaly scoring: how far each host's unigram distribution
+    sits from the corpus's (Jensen-Shannon framing) — hosts whose
+    language diverges hard are boilerplate farms, spam, or other-language
+    pockets. Emitted per host are the EXACT integer JS components:
+    A (host tokens), b_cov (corpus count mass of the host's tokens), and
+    the two KL numerators with every per-token term quantized to
+    nano-nats before summation — KL(P||M) = kl_p_num/(A*U);
+    KL(Q||M) = (kl_q_cov_num + (B - b_cov)*round(ln 2 * U))/(B*U), B from
+    corpus totals (absent-token terms fold to ln 2 exactly, so the
+    host x vocab matrix is never materialized). ln arguments are integer
+    ratios (2aB/(aB+bA)) evaluated in the oracle's association order.
+
+    Topology: host-token and corpus-token counts each finish in one keyed
+    exchange; b attaches to (host, token) rows via ONE co-partitioned
+    hash_join on the token (vocabulary is fact-sized — no driver
+    collect); per-host numerators fold in a host-grain groupby."""
+    import math
+
+    ht_schema = pa.schema([
+        ("host", pa.string()), ("token", pa.string()), ("a", pa.int64()),
+    ])
+    tok_schema = pa.schema([("token", pa.string()), ("b", pa.int64())])
+
+    from collections import Counter
+
+    def ht_partials(df: pd.DataFrame) -> pd.DataFrame:
+        c: Counter = Counter()
+        for src, text in zip(df["source"], df["text"]):
+            for t in _tokens(text or ""):
+                c[(src, t)] += 1
+        return pd.DataFrame({
+            "host": [h for h, _ in c.keys()],
+            "token": [t for _, t in c.keys()],
+            "a": pd.Series(list(c.values()), dtype="int64"),
+        })
+
+    def tok_partials(df: pd.DataFrame) -> pd.DataFrame:
+        c: Counter = Counter()
+        for text in df["text"]:
+            c.update(_tokens(text or ""))
+        return pd.DataFrame({
+            "token": list(c.keys()),
+            "b": pd.Series(list(c.values()), dtype="int64"),
+        })
+
+    def sum_by(cols, ncol):
+        def f(t: pa.Table) -> pa.Table:
+            g = t.group_by(cols).aggregate([(ncol, "sum")])
+            return pa.Table.from_arrays(
+                [g[c] for c in cols] + [pc.cast(g[f"{ncol}_sum"], pa.int64())],
+                names=cols + [ncol],
+            )
+
+        return f
+
+    docs = _read(sf_dir, "documents", ["source", "text"])
+    ht = hash_exchange(
+        docs.map_batches(ht_partials, batch_format="pandas"),
+        ["host", "token"], sum_by(["host", "token"], "a"), ht_schema,
+    )
+    tok = hash_exchange(
+        docs.map_batches(tok_partials, batch_format="pandas"),
+        ["token"], sum_by(["token"], "b"), tok_schema,
+    ).materialize()
+
+    B = int(tok.sum("b") or 0)
+
+    joined = hash_join(
+        ht, tok,
+        left_on="token", right_on="token", key_type=pa.string(),
+        left_fields=[pa.field("host", pa.string()), pa.field("a", pa.int64())],
+        right_fields=[pa.field("b", pa.int64())],
+    )
+
+    part_schema = pa.schema([
+        ("host", pa.string()), ("A", pa.int64()), ("b_cov", pa.int64()),
+        ("kl_p_num_nano", pa.int64()), ("kl_q_cov_num_nano", pa.int64()),
+    ])
+
+    def fold(t: pa.Table, _B=B) -> pa.Table:
+        # two passes per host inside the shard: A (the host's token total)
+        # enters every ln argument, so terms can only be computed once the
+        # host's rows are complete — which the host-keyed exchange
+        # guarantees. Ratio association order mirrors the SQL exactly.
+        rows = []
+        by_host: dict[str, list] = {}
+        for h, a, b in zip(t["host"].to_pylist(), t["a"].to_pylist(),
+                           t["b"].to_pylist()):
+            by_host.setdefault(h, []).append((int(a), int(b)))
+        for h, pairs in by_host.items():
+            A = sum(a for a, _ in pairs)
+            b_cov = sum(b for _, b in pairs)
+            klp = klq = 0
+            for a, b in pairs:
+                num = 2 * a * _B
+                den = a * _B + b * A
+                klp += int(round(a * math.log(num / den) * JSD_UNIT))
+                numq = 2 * b * A
+                klq += int(round(b * math.log(numq / den) * JSD_UNIT))
+            rows.append({"host": h, "A": A, "b_cov": b_cov,
+                         "kl_p_num_nano": klp, "kl_q_cov_num_nano": klq})
+        if not rows:
+            return part_schema.empty_table()
+        return pa.Table.from_pylist(rows, schema=part_schema)
+
+    # the fold needs ALL of a host's tokens in one task: re-key by host
+    return hash_exchange(
+        joined.map_batches(
+            lambda t: t.select(["host", "a", "b"]), batch_format="pyarrow"
+        ),
+        ["host"],
+        fold,
+        part_schema,
+    )
+
+
+SQL_HOST_LANG_DIVERGENCE = f"""
+WITH toks AS (
+  SELECT source AS host,
+         unnest(list_filter(regexp_split_to_array(coalesce(text, ''), '\\s+'),
+                            x -> x <> '')) AS token
+  FROM documents
+),
+ht AS (SELECT host, token, CAST(count(*) AS BIGINT) AS a FROM toks GROUP BY 1, 2),
+tok AS (SELECT token, CAST(count(*) AS BIGINT) AS b FROM toks GROUP BY 1),
+tot AS (SELECT CAST(sum(b) AS BIGINT) AS B FROM tok),
+hosts AS (SELECT host, CAST(sum(a) AS BIGINT) AS A FROM ht GROUP BY 1)
+SELECT h.host, hs.A,
+       CAST(sum(k.b) AS BIGINT) AS b_cov,
+       CAST(sum(CAST(round(h.a * ln(CAST(2 * h.a * tot.B AS DOUBLE)
+                                    / CAST(h.a * tot.B + k.b * hs.A AS DOUBLE))
+                           * {JSD_UNIT}) AS BIGINT)) AS BIGINT) AS kl_p_num_nano,
+       CAST(sum(CAST(round(k.b * ln(CAST(2 * k.b * hs.A AS DOUBLE)
+                                    / CAST(h.a * tot.B + k.b * hs.A AS DOUBLE))
+                           * {JSD_UNIT}) AS BIGINT)) AS BIGINT) AS kl_q_cov_num_nano
+FROM ht h
+JOIN tok k USING (token)
+JOIN hosts hs ON hs.host = h.host
+CROSS JOIN tot
+GROUP BY h.host, hs.A
+"""

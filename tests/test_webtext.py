@@ -1564,3 +1564,48 @@ class TestMetaRefreshAndForms:
         assert forms[0]["action"] == "https://e.org/s"
         assert forms[0]["method"] == "get"
         assert forms[0]["fields"] == ["q", "msg"]
+
+
+class TestHostLangDivergence:
+    def test_identical_host_has_zero_divergence(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from service1_text_extraction_ray.pipelines.webtext import (
+            q_host_lang_divergence,
+        )
+
+        # one host IS the corpus -> P == Q -> both KL numerators are 0
+        rows = [{"doc_id": i, "text": "alpha beta gamma", "lang": "en",
+                 "source": "only"} for i in range(4)]
+        d = tmp_path / "sf"
+        d.mkdir(exist_ok=True)
+        pq.write_table(pa.Table.from_pylist(rows), str(d / "documents.parquet"))
+        out = q_host_lang_divergence(str(d)).to_pandas().iloc[0]
+        assert out["kl_p_num_nano"] == 0 and out["kl_q_cov_num_nano"] == 0
+        assert out["A"] == 12 and out["b_cov"] == 12
+
+    def test_divergent_host_scores_positive(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from service1_text_extraction_ray.pipelines.webtext import (
+            JSD_UNIT,
+            q_host_lang_divergence,
+        )
+
+        rows = (
+            [{"doc_id": i, "text": "normal common words here", "lang": "en",
+              "source": "plain"} for i in range(8)]
+            + [{"doc_id": 100, "text": "zzz qqq xxx www", "lang": "en",
+                "source": "weird"}]
+        )
+        d = tmp_path / "sf"
+        d.mkdir(exist_ok=True)
+        pq.write_table(pa.Table.from_pylist(rows), str(d / "documents.parquet"))
+        out = q_host_lang_divergence(str(d)).to_pandas().set_index("host")
+        # KL(P||M) per token of the weird host: its tokens are exclusive,
+        # so p/m approaches 2 -> strongly positive numerator
+        assert out.loc["weird", "kl_p_num_nano"] > 0
+        # the big host barely moves: its numerator per token is small
+        jsd_weird = out.loc["weird", "kl_p_num_nano"] / (out.loc["weird", "A"] * JSD_UNIT)
+        jsd_plain = out.loc["plain", "kl_p_num_nano"] / (out.loc["plain", "A"] * JSD_UNIT)
+        assert jsd_weird > jsd_plain
