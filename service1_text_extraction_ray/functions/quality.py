@@ -391,3 +391,25 @@ def dehyphenate(text: str) -> str:
     shingles). Only letter-hyphen-newline-letter joins; a hyphen before a
     space or at a real compound ("well-known") is untouched."""
     return _HYPHEN_BREAK_RX.sub(r"\1\2", text)
+
+
+# ---------------------------------------------------------------------------
+# Scholarly identifier extraction (DOI / arXiv)
+# ---------------------------------------------------------------------------
+
+_DOI_RX = re.compile(r"\b10\.\d{4,9}/[-._;()/:a-z0-9]+", re.I)
+_ARXIV_RX = re.compile(r"\barxiv:\s*(\d{4}\.\d{4,5})(v\d+)?", re.I)
+
+
+def extract_identifiers(text: str) -> list:
+    """-> [(kind, identifier)] in document order: DOIs (the Crossref
+    display form, trailing punctuation trimmed) and arXiv IDs (new-style
+    YYMM.NNNNN, version suffix dropped) — the citation-graph primitive a
+    scientific-corpus pipeline runs at ingest."""
+    out = []
+    for m in _DOI_RX.finditer(text):
+        doi = m.group(0).rstrip(".,;)")
+        out.append(("doi", doi.lower()))
+    for m in _ARXIV_RX.finditer(text):
+        out.append(("arxiv", m.group(1)))
+    return out

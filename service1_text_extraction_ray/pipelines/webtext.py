@@ -3355,3 +3355,55 @@ JOIN hosts hs ON hs.host = h.host
 CROSS JOIN tot
 GROUP BY h.host, hs.A
 """
+
+
+# ---------------------------------------------------------------------------
+# Citation extraction: DOI / arXiv identifiers
+# ---------------------------------------------------------------------------
+
+
+def q_doc_citations(sf_dir: str) -> rd.Dataset:
+    """Scholarly-identifier extraction — the ingest step that turns a text
+    corpus into a citation graph: deterministic reference sentences are
+    appended to each doc (a DOI for doc_id%2==0 with trailing-punctuation
+    noise, an arXiv id with a version suffix for doc_id%3==0), the REAL
+    regex extractors run, and one row per identifier comes back. The
+    oracle rebuilds identifiers from doc_id arithmetic (punctuation
+    trimmed, version dropped, DOI lowercased)."""
+    from ..functions.quality import extract_identifiers
+
+    out_schema = pa.schema([
+        ("doc_id", pa.int64()), ("kind", pa.string()), ("ident", pa.string()),
+    ])
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for doc_id, text in zip(df["doc_id"], df["text"].fillna("")):
+            d = int(doc_id)
+            refs = []
+            if d % 2 == 0:
+                refs.append(f"See DOI:10.{1000 + d % 9000}/Jx.{d}.report.")
+            if d % 3 == 0:
+                refs.append(f"(arXiv:2{d % 4:02d}1.{d % 10000:05d}v{1 + d % 3})")
+            full = text + " " + " ".join(refs)
+            for kind, ident in extract_identifiers(full):
+                rows.append((d, kind, ident))
+        return pd.DataFrame(rows, columns=["doc_id", "kind", "ident"]).astype(
+            {"doc_id": "int64"}
+        )
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        f, batch_format="pandas"
+    )
+
+
+SQL_DOC_CITATIONS = """
+SELECT doc_id, 'doi' AS kind,
+       '10.' || (1000 + doc_id % 9000) || '/jx.' || doc_id || '.report' AS ident
+FROM documents WHERE doc_id % 2 = 0
+UNION ALL
+SELECT doc_id, 'arxiv' AS kind,
+       '2' || lpad(CAST(doc_id % 4 AS VARCHAR), 2, '0') || '1.'
+           || lpad(CAST(doc_id % 10000 AS VARCHAR), 5, '0') AS ident
+FROM documents WHERE doc_id % 3 = 0
+"""

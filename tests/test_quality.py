@@ -146,3 +146,23 @@ class TestDehyphenate:
         assert dehyphenate("end-\n") == "end-\n"      # no following letter
         assert dehyphenate("a -\nb stays") == "a -\nb stays"  # space before
         assert dehyphenate("multi-\nline hy-\nphen") == "multiline hyphen"
+
+
+class TestExtractIdentifiers:
+    def test_doi_trim_and_arxiv_version_drop(self):
+        from service1_text_extraction_ray.functions.quality import (
+            extract_identifiers,
+        )
+
+        out = extract_identifiers(
+            "as shown (DOI:10.1038/s41586-020-2649-2), and arXiv:2101.00027v3."
+        )
+        assert ("doi", "10.1038/s41586-020-2649-2") in out
+        assert ("arxiv", "2101.00027") in out
+
+    def test_no_false_positives_on_plain_text(self):
+        from service1_text_extraction_ray.functions.quality import (
+            extract_identifiers,
+        )
+
+        assert extract_identifiers("version 10.2 of the spec shipped") == []
