@@ -3407,3 +3407,124 @@ SELECT doc_id, 'arxiv' AS kind,
            || lpad(CAST(doc_id % 10000 AS VARCHAR), 5, '0') AS ident
 FROM documents WHERE doc_id % 3 = 0
 """
+
+
+# ---------------------------------------------------------------------------
+# Trending terms between crawl snapshots
+# ---------------------------------------------------------------------------
+
+TREND_TOPK = 20
+TREND_MIN_COUNT = 5
+TREND_UNIT = 1_000_000_000
+
+_TREND_SCHEMA = pa.schema([
+    ("token", pa.string()), ("n_a", pa.int64()), ("n_b", pa.int64()),
+    ("trend_nano", pa.int64()),
+])
+
+
+def q_trending_terms(sf_dir: str) -> pd.DataFrame:
+    """Rising vocabulary between two crawl snapshots (the recrawl_diff
+    framing: even doc_ids = crawl A, odd = crawl B): per token the
+    add-one-smoothed log-ratio of normalized frequencies,
+    ln( ((nB+1)(NA+1)) / ((nA+1)(NB+1)) ) in integer nano-nats (integer
+    ratio, pinned association order), support floor nB >= TREND_MIN_COUNT,
+    top-K by trend then token. The monitoring query a crawl operator runs
+    per wave to catch emerging topics/spam campaigns. One keyed exchange
+    of (token, nA, nB) partials; totals are two Dataset sums; per-block
+    partial top-K then a tiny driver merge."""
+    import math
+
+    from collections import Counter
+
+    pair_schema = pa.schema([
+        ("token", pa.string()), ("n_a", pa.int64()), ("n_b", pa.int64()),
+    ])
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        ca: Counter = Counter()
+        cb: Counter = Counter()
+        for doc_id, text in zip(df["doc_id"], df["text"]):
+            c = cb if int(doc_id) % 2 else ca
+            c.update(_tokens(text or ""))
+        toks = set(ca) | set(cb)
+        return pd.DataFrame({
+            "token": list(toks),
+            "n_a": pd.Series([ca.get(t, 0) for t in toks], dtype="int64"),
+            "n_b": pd.Series([cb.get(t, 0) for t in toks], dtype="int64"),
+        })
+
+    def shard_sum(t: pa.Table) -> pa.Table:
+        g = t.group_by("token").aggregate([("n_a", "sum"), ("n_b", "sum")])
+        return pa.Table.from_arrays(
+            [g["token"], pc.cast(g["n_a_sum"], pa.int64()),
+             pc.cast(g["n_b_sum"], pa.int64())],
+            schema=pair_schema,
+        )
+
+    counts = hash_exchange(
+        _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+            partials, batch_format="pandas"
+        ),
+        ["token"], shard_sum, pair_schema,
+    ).materialize()
+
+    NA = int(counts.sum("n_a") or 0)
+    NB = int(counts.sum("n_b") or 0)
+
+    def score_topk(t: pa.Table, _NA=NA, _NB=NB) -> pa.Table:
+        rows = []
+        for tok, na, nb in zip(t["token"].to_pylist(), t["n_a"].to_pylist(),
+                               t["n_b"].to_pylist()):
+            na, nb = int(na), int(nb)
+            if nb < TREND_MIN_COUNT:
+                continue
+            val = math.log(
+                float((nb + 1) * (_NA + 1)) / float((na + 1) * (_NB + 1))
+            )
+            rows.append({"token": tok, "n_a": na, "n_b": nb,
+                         "trend_nano": int(round(val * TREND_UNIT))})
+        if not rows:
+            return _TREND_SCHEMA.empty_table()
+        out = pa.Table.from_pylist(rows, schema=_TREND_SCHEMA)
+        order = pc.sort_indices(
+            out, sort_keys=[("trend_nano", "descending"), ("token", "ascending")]
+        )[:TREND_TOPK]
+        return out.take(order)
+
+    merged = counts.map_batches(score_topk, batch_format="pyarrow").to_pandas()
+    if merged.empty:
+        return _TREND_SCHEMA.empty_table().to_pandas()
+    return (
+        merged.sort_values(["trend_nano", "token"], ascending=[False, True])
+        .head(TREND_TOPK)
+        .reset_index(drop=True)
+    )
+
+
+SQL_TRENDING_TERMS = f"""
+WITH toks AS (
+  SELECT doc_id % 2 AS snap,
+         unnest(list_filter(regexp_split_to_array(coalesce(text, ''), '\\s+'),
+                            x -> x <> '')) AS token
+  FROM documents
+),
+cnt AS (
+  SELECT token,
+         CAST(sum(CASE WHEN snap = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(sum(CASE WHEN snap = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+  FROM toks GROUP BY token
+),
+tot AS (
+  SELECT CAST(sum(n_a) AS BIGINT) AS NA, CAST(sum(n_b) AS BIGINT) AS NB
+  FROM cnt
+)
+SELECT token, n_a, n_b,
+       CAST(round(ln(CAST((n_b + 1) * (tot.NA + 1) AS DOUBLE)
+                     / CAST((n_a + 1) * (tot.NB + 1) AS DOUBLE))
+                  * {TREND_UNIT}) AS BIGINT) AS trend_nano
+FROM cnt CROSS JOIN tot
+WHERE n_b >= {TREND_MIN_COUNT}
+ORDER BY trend_nano DESC, token ASC
+LIMIT {TREND_TOPK}
+"""

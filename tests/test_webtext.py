@@ -1609,3 +1609,23 @@ class TestHostLangDivergence:
         jsd_weird = out.loc["weird", "kl_p_num_nano"] / (out.loc["weird", "A"] * JSD_UNIT)
         jsd_plain = out.loc["plain", "kl_p_num_nano"] / (out.loc["plain", "A"] * JSD_UNIT)
         assert jsd_weird > jsd_plain
+
+
+class TestTrendingTerms:
+    def test_emerging_term_ranks_first(self, ray_session, tmp_path):
+        from service1_text_extraction_ray.pipelines.webtext import (
+            q_trending_terms,
+        )
+
+        # 'viral' appears only in crawl B (odd ids), >= support floor;
+        # 'stable' is everywhere; 'fading' only in A (filtered: n_b=0)
+        texts = []
+        for i in range(20):
+            if i % 2:
+                texts.append("stable words viral viral here")
+            else:
+                texts.append("stable words fading fading here")
+        out = q_trending_terms(_docs(tmp_path, texts))
+        assert out.iloc[0]["token"] == "viral"
+        assert out.iloc[0]["n_a"] == 0
+        assert "fading" not in set(out["token"])
