@@ -1877,6 +1877,113 @@ class PdfDocument:
         walk(ef_root, 0)
         return out
 
+    def page_labels(self) -> List[str]:
+        """Page labels (ISO 32000-1 §12.4.2): the /PageLabels number tree
+        maps page-index ranges to label styles — front matter "i, ii, iii"
+        then body "1, 2, ..." is the classic. Supported: /S /D (decimal),
+        /r /R (roman), /a /A (letters), optional /P prefix and /St start;
+        pages before the first range (malformed docs) fall back to their
+        1-based decimal index. Returns one label per page in page order."""
+        if self._encrypt is not None or self._root is None:
+            return []
+        root = self._objects.get(self._root)
+        if root is None:
+            return []
+        try:
+            n_pages = len(_page_order(self._objects, self._root))
+        except PdfParseError:
+            return []
+        m = re.search(rb"/PageLabels\s+(\d+)\s+\d+\s+R", root.dict_bytes)
+        if m:
+            node = self._objects.get(int(m.group(1)))
+            node_bytes = node.dict_bytes if node is not None else b""
+        else:
+            m = re.search(rb"/PageLabels\s*<<", root.dict_bytes)
+            if not m:
+                return []
+            node_bytes, _ = _scan_dict(root.dict_bytes, m.end() - 2)
+
+        nm = re.search(rb"/Nums\s*\[", node_bytes)
+        if nm is None:
+            return []
+        i = nm.end()
+        ranges: List[tuple] = []  # (start_index, style, prefix, start_num)
+        while i < len(node_bytes):
+            i = _skip_ws(node_bytes, i)
+            if i >= len(node_bytes) or node_bytes[i : i + 1] == b"]":
+                break
+            im = re.match(rb"(\d+)", node_bytes[i:])
+            if im is None:
+                break
+            idx = int(im.group(1))
+            i += im.end()
+            i = _skip_ws(node_bytes, i)
+            if node_bytes[i : i + 2] == b"<<":
+                d, i = _scan_dict(node_bytes, i)
+            else:
+                rm = _REF_RE.match(node_bytes[i:])
+                if rm is None:
+                    break
+                i += rm.end()
+                o = self._objects.get(int(rm.group(1)))
+                d = o.dict_bytes if o is not None else b""
+            sm = re.search(rb"/S\s*/(\w+)", d)
+            style = sm.group(1).decode("ascii") if sm else ""
+            pm = re.search(rb"/P\s*\(", d)
+            prefix = ""
+            if pm:
+                raw, _ = _read_literal_string(d, pm.end() - 1)
+                prefix = raw.decode("latin-1")
+            stm = re.search(rb"/St\s+(\d+)", d)
+            start = int(stm.group(1)) if stm else 1
+            ranges.append((idx, style, prefix, start))
+
+        ranges.sort()
+
+        def roman(n: int) -> str:
+            vals = [(1000, "m"), (900, "cm"), (500, "d"), (400, "cd"),
+                    (100, "c"), (90, "xc"), (50, "l"), (40, "xl"),
+                    (10, "x"), (9, "ix"), (5, "v"), (4, "iv"), (1, "i")]
+            out = []
+            for v, sym in vals:
+                while n >= v:
+                    out.append(sym)
+                    n -= v
+            return "".join(out)
+
+        def letters(n: int) -> str:
+            # a..z, aa..zz, ... (the spec's repetition style)
+            q, r = divmod(n - 1, 26)
+            return chr(ord("a") + r) * (q + 1)
+
+        labels: List[str] = []
+        for p in range(n_pages):
+            rng_ = None
+            for r in ranges:
+                if r[0] <= p:
+                    rng_ = r
+                else:
+                    break
+            if rng_ is None:
+                labels.append(str(p + 1))
+                continue
+            idx, style, prefix, start = rng_
+            n = start + (p - idx)
+            if style == "D":
+                body = str(n)
+            elif style == "r":
+                body = roman(n)
+            elif style == "R":
+                body = roman(n).upper()
+            elif style == "a":
+                body = letters(n)
+            elif style == "A":
+                body = letters(n).upper()
+            else:
+                body = ""
+            labels.append(prefix + body)
+        return labels
+
     def links(self) -> List[Tuple[int, str]]:
         """External URI link annotations, in page order: ``(page_number
         1-based, uri)`` per /Subtype /Link annotation whose action is

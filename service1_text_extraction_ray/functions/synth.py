@@ -1542,3 +1542,44 @@ def make_pdf_attachment_doc(doc_id: int, source: str) -> tuple[bytes, str]:
         + b"trailer << /Root 1 0 R >>\n%%EOF\n"
     )
     return pdf, url
+
+
+def make_pdf_labeled_doc(doc_id: int, source: str) -> tuple[bytes, str]:
+    """Deterministic PDF with /PageLabels — fixture for
+    PdfDocument.page_labels(). 2 + doc_id%3 pages: front matter in
+    lowercase roman (doc_id%2==0) or uppercase letters with prefix 'App-'
+    (odd), then decimal restarting at 1 + doc_id%5 from page index 1."""
+    n_pages = 2 + doc_id % 3
+    url = f"https://{source}.example.com/lbl/{doc_id}"
+    page_objs = []
+    kids = []
+    for k in range(n_pages):
+        cnum, pnum = 10 + 2 * k, 11 + 2 * k
+        content = f"BT /F1 12 Tf 72 720 Td (Pg {doc_id}-{k}) Tj ET".encode()
+        page_objs.append(
+            f"{cnum} 0 obj << /Length {len(content)} >>\n".encode()
+            + b"stream\n" + content + b"\nendstream endobj\n"
+        )
+        page_objs.append(
+            f"{pnum} 0 obj << /Type /Page /Parent 2 0 R "
+            f"/MediaBox [0 0 612 792] /Contents {cnum} 0 R "
+            f"/Resources << /Font << /F1 5 0 R >> >> >> endobj\n".encode()
+        )
+        kids.append(f"{pnum} 0 R")
+    if doc_id % 2 == 0:
+        first = "<< /S /r >>"
+    else:
+        first = "<< /S /A /P (App-) >>"
+    labels = (
+        f"/PageLabels << /Nums [0 {first} "
+        f"1 << /S /D /St {1 + doc_id % 5} >>] >>"
+    )
+    pdf = (
+        b"%PDF-1.4\n"
+        + f"1 0 obj << /Type /Catalog /Pages 2 0 R {labels} >> endobj\n".encode()
+        + f"2 0 obj << /Type /Pages /Kids [{' '.join(kids)}] /Count {n_pages} >> endobj\n".encode()
+        + b"5 0 obj << /Type /Font /Subtype /Type1 /BaseFont /Helvetica >> endobj\n"
+        + b"".join(page_objs)
+        + b"trailer << /Root 1 0 R >>\n%%EOF\n"
+    )
+    return pdf, url

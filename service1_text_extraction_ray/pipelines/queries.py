@@ -8396,3 +8396,47 @@ SELECT doc_id, att_idx, filename,
        md5(content) AS md5
 FROM att
 """
+
+
+def q_extract_pdf_page_labels(sf_dir: str) -> rd.Dataset:
+    """Page-label extraction (ISO 32000-1 §12.4.2 /PageLabels number
+    tree): roman/letter front matter with optional prefixes, then decimal
+    body restarting at /St — the mapping viewers use to show "iv" vs "4",
+    and what citation tooling needs to resolve printed page numbers. One
+    row per page with its label; oracle rebuilds labels from doc_id
+    arithmetic."""
+    from ..functions.pdf_extract import PdfDocument
+    from ..functions.synth import make_pdf_labeled_doc
+
+    out_schema = pa.schema([
+        ("doc_id", pa.int64()), ("page_idx", pa.int64()),
+        ("label", pa.string()),
+    ])
+
+    def f(t: pa.Table) -> pa.Table:
+        rows = []
+        for d, src in zip(t["doc_id"].to_pylist(), t["source"].to_pylist()):
+            pdf, _ = make_pdf_labeled_doc(int(d), src)
+            for i, lab in enumerate(PdfDocument(pdf).page_labels()):
+                rows.append({"doc_id": int(d), "page_idx": i, "label": lab})
+        if not rows:
+            return out_schema.empty_table()
+        return pa.Table.from_pylist(rows, schema=out_schema)
+
+    return _read(sf_dir, "documents", ["doc_id", "source"]).map_batches(
+        f, batch_format="pyarrow"
+    )
+
+
+SQL_EXTRACT_PDF_PAGE_LABELS = """
+WITH pages AS (
+  SELECT doc_id, unnest(range(0, 2 + doc_id % 3)) AS page_idx
+  FROM documents
+)
+SELECT doc_id, CAST(page_idx AS BIGINT) AS page_idx,
+       CASE WHEN page_idx = 0
+            THEN CASE WHEN doc_id % 2 = 0 THEN 'i' ELSE 'App-A' END
+            ELSE CAST(1 + doc_id % 5 + page_idx - 1 AS VARCHAR)
+       END AS label
+FROM pages
+"""

@@ -878,3 +878,52 @@ class TestPdfAttachments:
         assert PdfDocument(plain).attachments() == []
         pdf, _ = make_pdf_attachment_doc(2, "s")
         assert parse_pdf(pdf)[0].text == "Att 2"
+
+
+class TestPageLabels:
+    def test_roman_letters_prefix_and_restart(self):
+        from service1_text_extraction_ray.functions.pdf_extract import (
+            PdfDocument,
+        )
+        from service1_text_extraction_ray.functions.synth import (
+            make_pdf_labeled_doc,
+        )
+
+        pdf, _ = make_pdf_labeled_doc(2, "s")   # roman front, St=3
+        assert PdfDocument(pdf).page_labels() == ["i", "3", "4", "5"]
+        pdf, _ = make_pdf_labeled_doc(1, "s")   # 'App-A' prefix+letters
+        assert PdfDocument(pdf).page_labels() == ["App-A", "2", "3"]
+
+    def test_roman_and_letter_numerals(self):
+        from service1_text_extraction_ray.functions.pdf_extract import (
+            PdfDocument,
+        )
+
+        # inline /PageLabels on a 30-page shell exercises numbering depth
+        kids, objs = [], []
+        for k in range(30):
+            pnum = 11 + k
+            objs.append(
+                f"{pnum} 0 obj << /Type /Page /Parent 2 0 R "
+                f"/MediaBox [0 0 612 792] >> endobj\n".encode()
+            )
+            kids.append(f"{pnum} 0 R")
+        pdf = (
+            b"%PDF-1.4\n"
+            b"1 0 obj << /Type /Catalog /Pages 2 0 R "
+            b"/PageLabels << /Nums [0 << /S /r >>] >> >> endobj\n"
+            + f"2 0 obj << /Type /Pages /Kids [{' '.join(kids)}] /Count 30 >> endobj\n".encode()
+            + b"".join(objs)
+            + b"trailer << /Root 1 0 R >>\n%%EOF\n"
+        )
+        labels = PdfDocument(pdf).page_labels()
+        assert labels[0] == "i" and labels[3] == "iv"
+        assert labels[8] == "ix" and labels[29] == "xxx"
+
+    def test_no_pagelabels_returns_empty(self):
+        from service1_text_extraction_ray.functions.pdf_extract import (
+            PdfDocument,
+        )
+        from service1_text_extraction_ray.functions.synth import make_pdf
+
+        assert PdfDocument(make_pdf([["x"]], rng(), compress=False)).page_labels() == []
