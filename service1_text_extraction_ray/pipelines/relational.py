@@ -6811,3 +6811,141 @@ JOIN mf USING (f) JOIN ms USING (s)
 CROSS JOIN tot
 GROUP BY tot.N
 """
+
+
+# ---------------------------------------------------------------------------
+# Association rules: pair lift over order baskets (integer-exact)
+# ---------------------------------------------------------------------------
+
+RULES_TOPK = 20
+RULES_MIN_SUPPORT = 3
+LIFT_UNIT = 1_000_000
+
+
+def q_part_rules(sf_dir: str) -> pd.DataFrame:
+    """Association-rule mining over order baskets: top-K part pairs by
+    LIFT = N * n_AB / (n_A * n_B) (>1 = bought together more than chance
+    — the recommender/assortment signal), support floor RULES_MIN_SUPPORT.
+    Lift is a PURE INTEGER ratio in micro-units (floor division), so the
+    SQL replay is exact with no float anywhere. Topology: the
+    part_cooccurrence pair pipeline gives n_AB; per-part basket counts
+    finish in one keyed exchange; n_A and n_B attach via TWO
+    co-partitioned hash_joins on the part key (the PMI topology on
+    baskets); N is one Dataset count; per-block partial top-K then a tiny
+    driver merge."""
+    rules_schema = pa.schema([
+        ("part_a", pa.int64()), ("part_b", pa.int64()),
+        ("n_ab", pa.int64()), ("n_a", pa.int64()), ("n_b", pa.int64()),
+        ("lift_micro", pa.int64()),
+    ])
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    # distinct orders per part: per-block distinct pairs -> keyed exchange
+    pc_schema = pa.schema([("part", pa.int64()), ("n", pa.int64())])
+
+    def part_partials(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().drop_duplicates()
+        agg = df.groupby("l_partkey", sort=False).size().reset_index(name="n")
+        return pa.Table.from_arrays(
+            [pa.array(agg["l_partkey"].to_numpy(dtype="int64")),
+             pa.array(agg["n"].to_numpy(dtype="int64"))],
+            schema=pc_schema,
+        )
+
+    def shard_sum(t: pa.Table) -> pa.Table:
+        g = t.group_by("part").aggregate([("n", "sum")])
+        return pa.Table.from_arrays(
+            [g["part"], pc.cast(g["n_sum"], pa.int64())], schema=pc_schema
+        )
+
+    part_counts = hash_exchange(
+        li.map_batches(part_partials, batch_format="pyarrow"),
+        ["part"], shard_sum, pc_schema,
+    ).materialize()
+
+    n_orders = int(
+        _read(sf_dir, "orders", ["o_orderkey"]).count()
+    )
+
+    pairs = q_part_cooccurrence(sf_dir).map_batches(
+        lambda t: t.filter(
+            pc.greater_equal(t["n_orders"], pa.scalar(RULES_MIN_SUPPORT, pa.int64()))
+        ),
+        batch_format="pyarrow",
+    )
+
+    j1 = hash_join(
+        pairs, part_counts,
+        left_on="part_a", right_on="part", key_type=pa.int64(),
+        left_fields=[pa.field("part_b", pa.int64()), pa.field("n_orders", pa.int64())],
+        right_fields=[pa.field("n", pa.int64())],
+    ).map_batches(
+        lambda t: pa.Table.from_arrays(
+            [t["part_a"], t["part_b"], t["n_orders"], t["n"]],
+            names=["part_a", "part_b", "n_ab", "n_a"],
+        ),
+        batch_format="pyarrow",
+    )
+    j2 = hash_join(
+        j1, part_counts,
+        left_on="part_b", right_on="part", key_type=pa.int64(),
+        left_fields=[pa.field("part_a", pa.int64()), pa.field("n_ab", pa.int64()),
+                     pa.field("n_a", pa.int64())],
+        right_fields=[pa.field("n", pa.int64())],
+    )
+
+    def score_topk(t: pa.Table, _N=n_orders) -> pa.Table:
+        rows = []
+        for a, b, nab, na, nb in zip(
+            t["part_a"].to_pylist(), t["part_b"].to_pylist(),
+            t["n_ab"].to_pylist(), t["n_a"].to_pylist(), t["n"].to_pylist(),
+        ):
+            rows.append({
+                "part_a": int(a), "part_b": int(b), "n_ab": int(nab),
+                "n_a": int(na), "n_b": int(nb),
+                "lift_micro": int(nab) * _N * LIFT_UNIT // (int(na) * int(nb)),
+            })
+        if not rows:
+            return rules_schema.empty_table()
+        out = pa.Table.from_pylist(rows, schema=rules_schema)
+        order = pc.sort_indices(
+            out,
+            sort_keys=[("lift_micro", "descending"), ("part_a", "ascending"),
+                       ("part_b", "ascending")],
+        )[:RULES_TOPK]
+        return out.take(order)
+
+    merged = j2.map_batches(score_topk, batch_format="pyarrow").to_pandas()
+    if merged.empty:
+        return rules_schema.empty_table().to_pandas()
+    return (
+        merged.sort_values(["lift_micro", "part_a", "part_b"],
+                           ascending=[False, True, True])
+        .head(RULES_TOPK)
+        .reset_index(drop=True)
+    )
+
+
+def _sql_part_rules() -> str:
+    cooc = SQL_PART_COOCCURRENCE.strip()
+    return f"""
+WITH cooc AS ({cooc}),
+pcnt AS (
+  SELECT l_partkey AS part, CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n
+  FROM lineitem GROUP BY 1
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS N FROM orders)
+SELECT c.part_a, c.part_b, c.n_orders AS n_ab, a.n AS n_a, b.n AS n_b,
+       c.n_orders * tot.N * {LIFT_UNIT} // (a.n * b.n) AS lift_micro
+FROM cooc c
+JOIN pcnt a ON a.part = c.part_a
+JOIN pcnt b ON b.part = c.part_b
+CROSS JOIN tot
+WHERE c.n_orders >= {RULES_MIN_SUPPORT}
+ORDER BY lift_micro DESC, part_a ASC, part_b ASC
+LIMIT {RULES_TOPK}
+"""
+
+
+SQL_PART_RULES = _sql_part_rules()

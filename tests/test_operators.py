@@ -3266,3 +3266,32 @@ class TestLineitemMutualInfo:
         out = q_lineitem_mutual_info(str(d)).to_pandas().iloc[0]
         mi = out["mi_terms_nano"] / (out["n_rows"] * MI_UNIT)
         assert abs(mi - math.log(2)) < 1e-6
+
+
+class TestPartRules:
+    def test_lift_formula_exact(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        import service1_text_extraction_ray.pipelines.relational as R
+
+        # 10 orders: parts (1,2) together in 3; part 1 in 4 total, 2 in 3
+        rows = []
+        for o in range(3):
+            rows += [(o, 1), (o, 2)]
+        rows += [(3, 1)]
+        for o in range(4, 10):
+            rows += [(o, 9)]
+        d = tmp_path / "sf"
+        d.mkdir(exist_ok=True)
+        pq.write_table(pa.table({
+            "l_orderkey": pa.array([a for a, _ in rows], pa.int64()),
+            "l_partkey": pa.array([b for _, b in rows], pa.int64()),
+        }), str(d / "lineitem.parquet"))
+        pq.write_table(pa.table({
+            "o_orderkey": pa.array(list(range(10)), pa.int64()),
+        }), str(d / "orders.parquet"))
+        out = R.q_part_rules(str(d))
+        assert len(out) == 1
+        r = out.iloc[0]
+        assert (r["part_a"], r["part_b"], r["n_ab"]) == (1, 2, 3)
+        assert r["lift_micro"] == 3 * 10 * R.LIFT_UNIT // (4 * 3)
