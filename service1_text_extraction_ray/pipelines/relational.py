@@ -6949,3 +6949,108 @@ LIMIT {RULES_TOPK}
 
 
 SQL_PART_RULES = _sql_part_rules()
+
+
+# ---------------------------------------------------------------------------
+# Burst detection: hours whose event rate spikes over the trailing day
+# ---------------------------------------------------------------------------
+
+BURST_FACTOR = 3  # hour is a burst when count * 24 > FACTOR * trailing-24h sum
+
+
+def q_events_bursts(sf_dir: str) -> rd.Dataset:
+    """Temporal burst detection per event type (the monitoring twin of
+    trending_terms): an hour bucket bursts when its count, scaled to a
+    day, exceeds BURST_FACTOR x the trailing 24 FULL hours' total — an
+    integer cross-multiplied rule (count*24 > FACTOR*trail), no rates, no
+    floats. An hour is only ELIGIBLE once a full day has elapsed since
+    the type's first observed hour (hour >= first_hour + 24h) — partial
+    ramp-up baselines would over-flag every early hour otherwise — and
+    an empty trailing day never flags. Topology: per-block (type, hour)
+    partial counts ->
+    one tiny groupby (types x hours grain), then a per-type ordered scan
+    inside ONE keyed exchange computes the trailing sums over the DENSE
+    hour axis (missing hours count zero — a sparse rolling window over
+    only-observed hours would inflate baselines). Output: bursting
+    (event_type, hour_ts, n_events, trailing_total)."""
+    hour_schema = pa.schema([
+        ("event_type", pa.string()), ("hour_us", pa.int64()), ("n", pa.int64()),
+    ])
+
+    def partial(t: pa.Table) -> pa.Table:
+        hours = pc.cast(
+            pc.floor_temporal(t["ts"], unit="hour"), pa.int64()
+        )
+        rows = pa.Table.from_arrays(
+            [t["event_type"].combine_chunks()
+             if isinstance(t["event_type"], pa.ChunkedArray) else t["event_type"],
+             hours, pa.nulls(t.num_rows, pa.int64()).fill_null(1)],
+            schema=hour_schema,
+        )
+        g = rows.group_by(["event_type", "hour_us"]).aggregate([("n", "sum")])
+        return pa.Table.from_arrays(
+            [g["event_type"], g["hour_us"], pc.cast(g["n_sum"], pa.int64())],
+            schema=hour_schema,
+        )
+
+    merged = (
+        _read(sf_dir, "events", ["ts", "event_type"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "hour_us"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    out_schema = pa.schema([
+        ("event_type", pa.string()), ("hour_us", pa.int64()),
+        ("n_events", pa.int64()), ("trailing_total", pa.int64()),
+    ])
+
+    HOUR = 3_600_000_000
+
+    def scan(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values(["event_type", "hour_us"], kind="mergesort")
+        rows = []
+        for etype, g in df.groupby("event_type", sort=False):
+            counts = dict(zip(g["hour_us"], g["n"]))
+            first = min(counts)
+            for h, n in counts.items():
+                if h < first + 24 * HOUR:
+                    continue
+                trail = sum(
+                    counts.get(h - k * HOUR, 0) for k in range(1, 25)
+                )
+                if trail > 0 and n * 24 > BURST_FACTOR * trail:
+                    rows.append({"event_type": etype, "hour_us": int(h),
+                                 "n_events": int(n), "trailing_total": trail})
+        if not rows:
+            return out_schema.empty_table()
+        return pa.Table.from_pylist(rows, schema=out_schema)
+
+    return hash_exchange(merged, ["event_type"], scan, out_schema)
+
+
+SQL_EVENTS_BURSTS = f"""
+WITH hours AS (
+  SELECT event_type, epoch_us(date_trunc('hour', ts)) AS hour_us,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+firsts AS (
+  SELECT event_type, min(hour_us) AS first_us FROM hours GROUP BY 1
+),
+trail AS (
+  SELECT h.event_type, h.hour_us, h.n,
+         CAST(coalesce((
+           SELECT sum(p.n) FROM hours p
+           WHERE p.event_type = h.event_type
+             AND p.hour_us >= h.hour_us - 24 * 3600000000
+             AND p.hour_us < h.hour_us
+         ), 0) AS BIGINT) AS trailing_total
+  FROM hours h
+  JOIN firsts f ON f.event_type = h.event_type
+  WHERE h.hour_us >= f.first_us + 24 * 3600000000
+)
+SELECT event_type, hour_us, n AS n_events, trailing_total
+FROM trail
+WHERE trailing_total > 0 AND n * 24 > {BURST_FACTOR} * trailing_total
+"""

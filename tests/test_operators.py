@@ -3295,3 +3295,39 @@ class TestPartRules:
         r = out.iloc[0]
         assert (r["part_a"], r["part_b"], r["n_ab"]) == (1, 2, 3)
         assert r["lift_micro"] == 3 * 10 * R.LIFT_UNIT // (4 * 3)
+
+
+class TestEventsBursts:
+    def test_burst_rule_and_no_baseline(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from service1_text_extraction_ray.pipelines.relational import (
+            q_events_bursts,
+        )
+
+        rows = []
+        eid = 0
+        base = pd.Timestamp("2024-01-02 00:00:00")
+        # 24 quiet hours with 1 event each, then a 20-event spike hour
+        for h in range(24):
+            rows.append({"event_id": eid, "ts": base + pd.Timedelta(hours=h),
+                         "event_type": "click"})
+            eid += 1
+        spike = base + pd.Timedelta(hours=24)
+        for _ in range(20):
+            rows.append({"event_id": eid, "ts": spike, "event_type": "click"})
+            eid += 1
+        # an isolated first hour of another type: no baseline -> no flag
+        rows.append({"event_id": eid, "ts": base, "event_type": "view"})
+        d = tmp_path / "sf"
+        d.mkdir(exist_ok=True)
+        t = pa.Table.from_pylist(rows)
+        t = t.set_column(t.schema.get_field_index("ts"), "ts",
+                         t["ts"].cast(pa.timestamp("us")))
+        pq.write_table(t, str(d / "events.parquet"))
+        out = q_events_bursts(str(d)).to_pandas()
+        # spike hour: 20*24 = 480 > 3*24 = 72 -> flagged; nothing else
+        assert len(out) == 1
+        r = out.iloc[0]
+        assert r["event_type"] == "click" and r["n_events"] == 20
+        assert r["trailing_total"] == 24
