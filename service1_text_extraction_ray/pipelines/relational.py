@@ -7054,3 +7054,338 @@ SELECT event_type, hour_us, n AS n_events, trailing_total
 FROM trail
 WHERE trailing_total > 0 AND n * 24 > {BURST_FACTOR} * trailing_total
 """
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q13 shape: distribution of customers by order count ("custdist")
+# ---------------------------------------------------------------------------
+
+Q13_EXCLUDE_PRIORITY = "4-NOT SPECIFIED"
+
+
+def q_customer_order_distribution(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q13 shape (custdist): how many customers placed exactly N
+    qualifying orders, INCLUDING the zero-order customers only an outer join
+    can surface. Generalizes the reference's count/value_counts aggregates
+    (SURVEY §2.5 G1/G4) to the two-level shape: LEFT OUTER join -> per-key
+    count -> distribution of counts.
+
+    Plan (two exchanges): orders are filtered at the read (priority
+    predicate — Q13's comment NOT LIKE analog) and pre-reduced per custkey
+    per BLOCK; the left-outer ``hash_join`` fuses the final per-custkey
+    combine into its shard merge (combine_right_sum) and pads unmatched
+    customers with a typed null that a vectorized fill turns into 0. The
+    second (tiny) exchange groups by n_orders over per-block partials —
+    at web scale its input is at most #distinct-order-counts rows per
+    block, a few hundred total."""
+    import pyarrow.dataset as pds
+
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    orders = rd.read_parquet(
+        _pq(sf_dir, "orders"),
+        columns=["o_custkey"],
+        filter=pds.field("o_orderpriority") != Q13_EXCLUDE_PRIORITY,
+    )
+
+    def order_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("o_custkey").aggregate([([], "count_all")])
+        return pa.Table.from_arrays(
+            [pc.cast(g["o_custkey"], pa.int64()), pc.cast(g["count_all"], pa.int64())],
+            names=["o_custkey", "n_orders"],
+        )
+
+    joined = hash_join(
+        cust.map_batches(
+            lambda t: t.append_column("one", pa.nulls(t.num_rows, pa.int64()).fill_null(1)),
+            batch_format="pyarrow",
+        ),
+        orders.map_batches(order_partial, batch_format="pyarrow"),
+        left_on="c_custkey",
+        right_on="o_custkey",
+        key_type=pa.int64(),
+        left_fields=[pa.field("one", pa.int64())],
+        right_fields=[pa.field("n_orders", pa.int64())],
+        combine_right_sum=True,
+        how="left",
+    )
+
+    def dist_partial(t: pa.Table) -> pa.Table:
+        n = pc.fill_null(t["n_orders"], pa.scalar(0, pa.int64()))
+        g = pa.Table.from_arrays([n], names=["n_orders"]).group_by(
+            "n_orders"
+        ).aggregate([([], "count_all")])
+        return pa.Table.from_arrays(
+            [g["n_orders"], pc.cast(g["count_all"], pa.int64())],
+            names=["n_orders", "custdist"],
+        )
+
+    return (
+        joined.map_batches(dist_partial, batch_format="pyarrow")
+        .repartition(8)
+        .groupby("n_orders")
+        .aggregate(Sum("custdist", alias_name="custdist"))
+    )
+
+
+SQL_CUSTOMER_ORDER_DISTRIBUTION = f"""
+SELECT n_orders, CAST(count(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS n_orders
+  FROM customer c
+  LEFT JOIN orders o
+    ON c.c_custkey = o.o_custkey
+   AND o.o_orderpriority <> '{Q13_EXCLUDE_PRIORITY}'
+  GROUP BY c.c_custkey
+)
+GROUP BY n_orders
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q17 shape: revenue from small-quantity orders of one brand's parts
+# ---------------------------------------------------------------------------
+
+Q17_BRAND = "Brand#23"
+
+
+def q_part_small_qty_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q17 shape: total revenue of lineitems whose quantity is below
+    20% of the average quantity for their part, restricted to one brand —
+    the CORRELATED-aggregate join (every row compared against its own
+    group's mean) that a broadcast or a plain groupby can't express alone.
+
+    Exactness: quantities are integral units, so ``qty < 0.2 * avg(qty)``
+    is evaluated as ``5 * qty * cnt < sum_qty`` — pure int64 cross-
+    multiplication, no float division anywhere; revenue is integer cents.
+
+    Plan (two hash_join exchanges, no broadcast):
+      1. semi-join lineitem rows against the brand's parts on partkey
+         (part is fact-sized at TPC-H scale — co-partitioned, not
+         driver-collected).
+      2. per-block (partkey, sum_qty, cnt) partials of the SURVIVING rows
+         ride the second join's shard merge (combine_left_sum fuses the
+         per-part aggregate), joining back the same rows' (qty, price)
+         payload co-partitioned on partkey; the filter and the global cent
+         sum are per-shard vectorized, merged by a tiny driver sum.
+    """
+    import pyarrow.dataset as pds
+
+    part = rd.read_parquet(
+        _pq(sf_dir, "part"),
+        columns=["p_partkey", "p_brand"],
+        filter=pds.field("p_brand") == Q17_BRAND,
+    )
+
+    def li_prep(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [
+                pc.cast(t["l_partkey"], pa.int64()),
+                pc.cast(
+                    pc.round(t["l_quantity"], round_mode="half_towards_infinity"),
+                    pa.int64(),
+                ),
+                _cents(t["l_extendedprice"]),
+            ],
+            names=["l_partkey", "qty", "price_cents"],
+        )
+
+    li = _read(
+        sf_dir, "lineitem", ["l_partkey", "l_quantity", "l_extendedprice"]
+    ).map_batches(li_prep, batch_format="pyarrow")
+
+    brand_li = hash_join(
+        li,
+        part,
+        left_on="l_partkey",
+        right_on="p_partkey",
+        key_type=pa.int64(),
+        left_fields=[pa.field("qty", pa.int64()), pa.field("price_cents", pa.int64())],
+        right_fields=[pa.field("p_brand", pa.string())],
+        how="semi",
+    ).materialize()  # consumed twice below (partials + probe side)
+
+    def qty_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("l_partkey").aggregate([("qty", "sum"), ([], "count_all")])
+        return pa.Table.from_arrays(
+            [g["l_partkey"], pc.cast(g["qty_sum"], pa.int64()),
+             pc.cast(g["count_all"], pa.int64())],
+            names=["l_partkey", "sum_qty", "cnt"],
+        )
+
+    stats_join = hash_join(
+        brand_li.map_batches(qty_partial, batch_format="pyarrow"),
+        brand_li,
+        left_on="l_partkey",
+        right_on="l_partkey",
+        key_type=pa.int64(),
+        left_fields=[pa.field("sum_qty", pa.int64()), pa.field("cnt", pa.int64())],
+        right_fields=[pa.field("qty", pa.int64()), pa.field("price_cents", pa.int64())],
+        combine_left_sum=True,
+    )
+
+    def small_qty_cents(t: pa.Table) -> pa.Table:
+        keep = pc.less(
+            pc.multiply(pc.multiply(t["qty"], pa.scalar(5, pa.int64())), t["cnt"]),
+            t["sum_qty"],
+        )
+        kept = t.filter(keep)
+        total = pc.sum(kept["price_cents"]).as_py() or 0
+        return pa.Table.from_pylist(
+            [{"revenue_cents": int(total)}],
+            schema=pa.schema([("revenue_cents", pa.int64())]),
+        )
+
+    parts = stats_join.map_batches(small_qty_cents, batch_format="pyarrow").to_pandas()
+    return pd.DataFrame({"revenue_cents": [int(parts["revenue_cents"].sum())]})
+
+
+SQL_PART_SMALL_QTY_REVENUE = f"""
+SELECT CAST(coalesce(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)), 0) AS BIGINT)
+       AS revenue_cents
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN (
+  SELECT l_partkey,
+         CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM lineitem li
+  WHERE EXISTS (SELECT 1 FROM part p2
+                WHERE p2.p_partkey = li.l_partkey AND p2.p_brand = '{Q17_BRAND}')
+  GROUP BY l_partkey
+) s ON s.l_partkey = l.l_partkey
+WHERE p.p_brand = '{Q17_BRAND}'
+  AND 5 * CAST(round(l.l_quantity) AS BIGINT) * s.cnt < s.sum_qty
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q22 shape: positive-balance customers in target countries, no orders
+# ---------------------------------------------------------------------------
+
+Q22_COUNTRY_CODES = (3, 8, 13, 17, 21)  # c_nationkey % 25 buckets standing in
+                                         # for Q22's phone-prefix country codes
+
+
+def q_customers_untapped(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q22 shape ("global sales opportunity"): customers from a fixed
+    country set whose balance exceeds the GLOBAL average positive balance
+    and who placed no order since the dormancy cutoff — the query that
+    composes a global scalar subquery with a distributed anti-join and a
+    grouped rollup. (The anti side is recent orders rather than Q22's all
+    orders because the synthetic corpus gives every customer at least one
+    lifetime order — the all-orders anti-join is degenerate here.)
+
+    Exactness: the avg comparison never divides — ``acctbal > sum/cnt`` is
+    evaluated as ``acctbal_cents * cnt > sum_cents`` in int64 (cents ×
+    row-count stays far below 2^63 at any realistic scale).
+
+    Plan: ONE tiny driver scalar (two int64s from per-block partials over
+    the positive-balance subset — the only value collected), then the
+    country+balance filter vectorized per block, then a co-partitioned ANTI
+    hash_join against per-block-deduped order custkeys, then a per-block
+    partial groupby per country code."""
+    cust_cols = _read(sf_dir, "customer", ["c_custkey", "c_nationkey", "c_acctbal"])
+
+    def pos_partial(t: pa.Table) -> pa.Table:
+        cents = _cents(t["c_acctbal"])
+        pos = pc.greater(cents, pa.scalar(0, pa.int64()))
+        kept = cents.filter(pos) if isinstance(cents, pa.ChunkedArray) else pc.filter(cents, pos)
+        return pa.Table.from_pylist(
+            [{"sum_cents": int(pc.sum(kept).as_py() or 0), "cnt": len(kept)}],
+            schema=pa.schema([("sum_cents", pa.int64()), ("cnt", pa.int64())]),
+        )
+
+    stats = cust_cols.map_batches(pos_partial, batch_format="pyarrow").to_pandas()
+    sum_cents, cnt = int(stats["sum_cents"].sum()), int(stats["cnt"].sum())
+
+    codes = pa.array(list(Q22_COUNTRY_CODES), pa.int64())
+
+    def filt(t: pa.Table) -> pa.Table:
+        nk = pc.cast(t["c_nationkey"], pa.int64()).to_numpy(zero_copy_only=False)
+        code = pa.array(nk % 25, pa.int64())  # pyarrow 16 has no pc.mod
+        cents = _cents(t["c_acctbal"])
+        keep = pc.and_(
+            pc.is_in(code, value_set=codes),
+            pc.greater(
+                pc.multiply(cents, pa.scalar(cnt, pa.int64())),
+                pa.scalar(sum_cents, pa.int64()),
+            ),
+        )
+        kept_idx = np.flatnonzero(keep.to_numpy(zero_copy_only=False))
+        kept = t.take(kept_idx)
+        return pa.Table.from_arrays(
+            [
+                pc.cast(kept["c_custkey"], pa.int64()),
+                pa.array(nk[kept_idx] % 25, pa.int64()),
+                _cents(kept["c_acctbal"]),
+            ],
+            names=["c_custkey", "country_code", "acctbal_cents"],
+        )
+
+    def order_keys(t: pa.Table) -> pa.Table:
+        u = pc.unique(pc.cast(t["o_custkey"], pa.int64()))
+        return pa.Table.from_arrays([u], names=["o_custkey"])
+
+    import pyarrow.dataset as pads
+
+    no_orders = hash_join(
+        cust_cols.map_batches(filt, batch_format="pyarrow"),
+        rd.read_parquet(
+            _pq(sf_dir, "orders"),
+            columns=["o_custkey"],
+            filter=pads.field("o_orderdate") >= pd.Timestamp(DORMANT_CUTOFF),
+        ).map_batches(order_keys, batch_format="pyarrow"),
+        left_on="c_custkey",
+        right_on="o_custkey",
+        key_type=pa.int64(),
+        left_fields=[pa.field("country_code", pa.int64()),
+                     pa.field("acctbal_cents", pa.int64())],
+        right_fields=[],
+        how="anti",
+    )
+
+    def cc_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("country_code").aggregate(
+            [("acctbal_cents", "sum"), ([], "count_all")]
+        )
+        return pa.Table.from_arrays(
+            [g["country_code"], pc.cast(g["count_all"], pa.int64()),
+             g["acctbal_cents_sum"]],
+            names=["country_code", "numcust", "totacctbal_cents"],
+        )
+
+    out = (
+        no_orders.map_batches(cc_partial, batch_format="pyarrow")
+        .repartition(8)
+        .groupby("country_code")
+        .aggregate(
+            Sum("numcust", alias_name="numcust"),
+            Sum("totacctbal_cents", alias_name="totacctbal_cents"),
+        )
+    ).to_pandas()
+    # ≤ |country set| rows by construction; pin the schema so a legitimately
+    # empty result (no dormant high-balance customer at tiny sf) still
+    # carries its typed columns
+    cols = ["country_code", "numcust", "totacctbal_cents"]
+    if out.empty:
+        out = pd.DataFrame({c: pd.Series(dtype="int64") for c in cols})
+    return out[cols]
+
+
+SQL_CUSTOMERS_UNTAPPED = f"""
+WITH avg_bal AS (
+  SELECT CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM customer WHERE round(c_acctbal * 100) > 0
+)
+SELECT c.c_nationkey % 25 AS country_code,
+       CAST(count(*) AS BIGINT) AS numcust,
+       CAST(sum(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS BIGINT) AS totacctbal_cents
+FROM customer c, avg_bal a
+WHERE c.c_nationkey % 25 IN {Q22_COUNTRY_CODES}
+  AND CAST(round(c.c_acctbal * 100) AS BIGINT) * a.cnt > a.sum_cents
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= DATE '{DORMANT_CUTOFF}')
+GROUP BY 1
+"""

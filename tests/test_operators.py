@@ -3331,3 +3331,91 @@ class TestEventsBursts:
         r = out.iloc[0]
         assert r["event_type"] == "click" and r["n_events"] == 20
         assert r["trailing_total"] == 24
+
+
+class TestCustomerOrderDistribution:
+    def test_custdist_counts_zero_order_customers(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        import service1_text_extraction_ray.pipelines.relational as R
+
+        d = tmp_path / "sf"
+        d.mkdir(exist_ok=True)
+        # customers 0..4; cust 0 has 3 orders, 1 has 3, 2 has 1,
+        # 3 only an EXCLUDED-priority order, 4 none
+        pq.write_table(pa.table({
+            "c_custkey": pa.array(list(range(5)), pa.int64()),
+        }), str(d / "customer.parquet"))
+        okeys = [0, 0, 0, 1, 1, 1, 2, 3]
+        prio = ["1-URGENT"] * 7 + [R.Q13_EXCLUDE_PRIORITY]
+        pq.write_table(pa.table({
+            "o_orderkey": pa.array(list(range(len(okeys))), pa.int64()),
+            "o_custkey": pa.array(okeys, pa.int64()),
+            "o_orderpriority": pa.array(prio, pa.string()),
+        }), str(d / "orders.parquet"))
+        out = (
+            R.q_customer_order_distribution(str(d))
+            .to_pandas()
+            .set_index("n_orders")["custdist"]
+            .to_dict()
+        )
+        # 2 customers with 3 orders, 1 with 1, 2 with 0 (cust 3's only order
+        # is excluded by the priority predicate; cust 4 never ordered)
+        assert out == {3: 2, 1: 1, 0: 2}
+
+
+class TestPartSmallQtyRevenue:
+    def test_correlated_avg_gate_exact(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        import service1_text_extraction_ray.pipelines.relational as R
+
+        d = tmp_path / "sf"
+        d.mkdir(exist_ok=True)
+        pq.write_table(pa.table({
+            "p_partkey": pa.array([1, 2], pa.int64()),
+            "p_brand": pa.array([R.Q17_BRAND, "Brand#99"], pa.string()),
+        }), str(d / "part.parquet"))
+        # part 1 (in brand): quantities 1, 10, 10, 10 -> avg 7.75;
+        # 0.2*avg = 1.55 -> only the qty-1 row qualifies (5*1*4=20 < 31)
+        # part 2 (other brand): would qualify but must be excluded
+        pq.write_table(pa.table({
+            "l_partkey": pa.array([1, 1, 1, 1, 2, 2], pa.int64()),
+            "l_quantity": pa.array([1.0, 10.0, 10.0, 10.0, 1.0, 50.0], pa.float64()),
+            "l_extendedprice": pa.array([11.11, 1.0, 1.0, 1.0, 999.0, 1.0], pa.float64()),
+        }), str(d / "lineitem.parquet"))
+        out = R.q_part_small_qty_revenue(str(d))
+        assert out["revenue_cents"].tolist() == [1111]
+
+
+class TestCustomersUntapped:
+    def test_scalar_gate_and_anti_join(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        import service1_text_extraction_ray.pipelines.relational as R
+
+        d = tmp_path / "sf"
+        d.mkdir(exist_ok=True)
+        code = R.Q22_COUNTRY_CODES[0]
+        # positive balances: 10.00 and 30.00 -> global avg positive = 20.00
+        # cust 0: code-match, bal 30 > avg, dormant -> KEPT
+        # cust 1: code-match, bal 10 < avg -> dropped (scalar gate)
+        # cust 2: code-match, bal 30 but has a RECENT order -> dropped (anti)
+        # cust 3: wrong country code, bal 30, dormant -> dropped
+        pq.write_table(pa.table({
+            "c_custkey": pa.array([0, 1, 2, 3], pa.int64()),
+            "c_nationkey": pa.array([code, code, code, (code + 1) % 25], pa.int32()),
+            "c_acctbal": pa.array([30.0, 10.0, 30.0, 30.0], pa.float64()),
+        }), str(d / "customer.parquet"))
+        after = pd.Timestamp(R.DORMANT_CUTOFF) + pd.Timedelta(days=1)
+        before = pd.Timestamp(R.DORMANT_CUTOFF) - pd.Timedelta(days=1)
+        t = pa.table({
+            "o_orderkey": pa.array([0, 1], pa.int64()),
+            "o_custkey": pa.array([2, 0], pa.int64()),
+            "o_orderdate": pa.array([after, before], pa.timestamp("us")),
+        })
+        pq.write_table(t, str(d / "orders.parquet"))
+        out = R.q_customers_untapped(str(d))
+        assert len(out) == 1
+        r = out.iloc[0]
+        assert (r["country_code"], r["numcust"], r["totacctbal_cents"]) == (code, 1, 3000)
