@@ -8440,3 +8440,172 @@ SELECT doc_id, CAST(page_idx AS BIGINT) AS page_idx,
        END AS label
 FROM pages
 """
+
+
+# ---------------------------------------------------------------------------
+# Iterative graph algorithm #6: k-core decomposition of the host graph
+# ---------------------------------------------------------------------------
+
+KCORE_KMAX = 8     # coreness ceiling; the Ray path RAISES if any host
+                   # survives phase KMAX, so the unrolled oracle can't
+                   # silently diverge
+KCORE_ROUNDS = 6   # peel rounds per phase; the Ray path RAISES if a phase
+                   # still wants to drop nodes after round KCORE_ROUNDS
+
+
+def _simple_uedges(sf_dir: str) -> rd.Dataset:
+    """Undirected SIMPLE host graph (self-loops dropped, one row per
+    unordered pair expanded to both (a,b) directions, globally deduped) —
+    the substrate for degree-based algorithms (k-core, clustering). One
+    host-grain groupby dedups the two directed orientations of the same
+    pair, so downstream per-block degree partials are exact counts."""
+
+    def undirect(t: pa.Table) -> pa.Table:
+        a = pa.chunked_array([t["src"], t["dst"]])
+        b = pa.chunked_array([t["dst"], t["src"]])
+        tab = pa.Table.from_arrays([a, b], names=["a", "b"])
+        return tab.filter(pc.not_equal(tab["a"], tab["b"]))
+
+    return (
+        _host_edges(sf_dir)
+        .map_batches(undirect, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .map_groups(
+            lambda t: t.slice(0, 1), batch_format="pyarrow"
+        )
+        .materialize()
+    )
+
+
+def q_host_kcore(sf_dir: str) -> rd.Dataset:
+    """k-core decomposition of the undirected simple host graph: each
+    host's CORENESS (the largest k such that the host survives in the
+    subgraph where every node keeps >= k neighbors) — the standard graph
+    signal for separating link-farm cores from peripheral hosts in crawl
+    curation. Self-loops never count toward degree.
+
+    Algorithm (ascending-k peeling, Matula-Beck): for k = 1..KCORE_KMAX,
+    repeatedly drop alive hosts whose alive-degree < k (at most
+    KCORE_ROUNDS cascade rounds per phase — the Ray path RAISES if a phase
+    hasn't stabilized by then, and if anything survives phase KCORE_KMAX,
+    so the fixed-unroll SQL oracle is exactly equal by construction, never
+    silently truncated). A host dropped during phase k has coreness k-1.
+
+    Topology: edges stay distributed (host-grain, deduped once); each peel
+    round ships the alive set via ray.put into ONE map_batches computing
+    per-block degree partials, merged into the host-grain alive dict on the
+    driver — the PageRank/components broadcast regime. At web scale
+    (#hosts ~10^8) each round becomes the join regime: semi-join edges
+    against alive, groupby-count degrees, anti-join the drops; the update
+    rule is identical."""
+    uedges = _simple_uedges(sf_dir)
+
+    hosts: set = set()
+    for b in uedges.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        hosts.update(b["a"].to_pylist())
+    # hosts whose only edges were self-loops never enter uedges: coreness 0
+    for b in _host_edges(sf_dir).iter_batches(
+        batch_size=65536, batch_format="pyarrow"
+    ):
+        hosts.update(b["src"].to_pylist())
+        hosts.update(b["dst"].to_pylist())
+
+    deg_schema = pa.schema([("host", pa.string()), ("deg", pa.int64())])
+    coreness: dict = {h: 0 for h in hosts}
+    alive = set(hosts)
+
+    for k in range(1, KCORE_KMAX + 1):
+        for rnd in range(KCORE_ROUNDS + 1):
+            ref = ray.put(alive)
+
+            def deg_partial(t: pa.Table, _ref=ref) -> pa.Table:
+                al = ray.get(_ref)
+                acc: dict = {}
+                for a_, b_ in zip(t["a"].to_pylist(), t["b"].to_pylist()):
+                    if a_ in al and b_ in al:
+                        acc[a_] = acc.get(a_, 0) + 1
+                if not acc:
+                    return deg_schema.empty_table()
+                return pa.Table.from_pylist(
+                    [{"host": h, "deg": n} for h, n in acc.items()],
+                    schema=deg_schema,
+                )
+
+            deg: dict = {}
+            for b in uedges.map_batches(
+                deg_partial, batch_format="pyarrow"
+            ).iter_batches(batch_format="pyarrow"):
+                for h, n in zip(b["host"].to_pylist(), b["deg"].to_pylist()):
+                    deg[h] = deg.get(h, 0) + n
+            drops = {h for h in alive if deg.get(h, 0) < k}
+            if not drops:
+                break
+            if rnd == KCORE_ROUNDS:
+                raise RuntimeError(
+                    f"k-core phase {k} still peeling after {KCORE_ROUNDS} rounds"
+                )
+            for h in drops:
+                coreness[h] = k - 1
+            alive -= drops
+        if not alive:
+            break
+    if alive:
+        raise RuntimeError(f"hosts with coreness >= {KCORE_KMAX} exceed the unroll cap")
+
+    out = pa.Table.from_pylist(
+        [{"host": h, "coreness": c} for h, c in sorted(coreness.items())],
+        schema=pa.schema([("host", pa.string()), ("coreness", pa.int64())]),
+    )
+    return rd.from_arrow(out)
+
+
+def _sql_host_kcore() -> str:
+    """Fixed-unroll replay of the peeling loop: KCORE_KMAX phases x
+    KCORE_ROUNDS rounds, each round = alive-degree + filter; rounds after a
+    phase's fixpoint are no-ops, so the unroll equals the data-driven loop
+    (whose caps the Ray path enforces by raising)."""
+    head = """
+base AS (SELECT doc_id, source FROM documents WHERE doc_id % 7 <> 0),
+links AS (
+  SELECT source || '.example.com' AS src,
+         'src' || ((doc_id * 7 + 1) % 20) || '.example.net' AS dst FROM base
+  UNION ALL
+  SELECT source || '.example.com', 'cdn.example.org' FROM base
+  UNION ALL
+  SELECT source || '.example.com', CASE WHEN doc_id % 6 = 3 THEN 'base' || (doc_id % 4) || '.example.org' ELSE source || '.example.com' END FROM base
+),
+uedges AS MATERIALIZED (
+  SELECT src AS a, dst AS b FROM links WHERE src <> dst
+  UNION
+  SELECT dst, src FROM links WHERE src <> dst
+),
+hosts AS (SELECT src AS host FROM links UNION SELECT dst FROM links),
+a1_0 AS MATERIALIZED (SELECT host FROM hosts)"""
+    # every alive-set CTE is MATERIALIZED: DuckDB inlines plain CTEs, and a
+    # 48-round chain that references its predecessor twice per round would
+    # otherwise re-expand the parquet scan exponentially
+    parts = [head]
+    prev = "a1_0"
+    removed = []
+    for k in range(1, KCORE_KMAX + 1):
+        phase_start = prev
+        for r in range(1, KCORE_ROUNDS + 1):
+            cur = f"a{k}_{r}"
+            parts.append(f"""{cur} AS MATERIALIZED (
+  SELECT x.host FROM {prev} x
+  WHERE (SELECT count(*) FROM uedges e JOIN {prev} y ON e.b = y.host
+         WHERE e.a = x.host) >= {k})""")
+            prev = cur
+        removed.append(
+            f"SELECT host, {k - 1} AS coreness FROM {phase_start} "
+            f"EXCEPT SELECT host, {k - 1} FROM {prev}"
+        )
+    return (
+        "WITH " + ",".join(parts)
+        + "\nSELECT host, CAST(coreness AS BIGINT) AS coreness FROM ("
+        + " UNION ALL ".join(removed)
+        + ")"
+    )
+
+
+SQL_HOST_KCORE = _sql_host_kcore()

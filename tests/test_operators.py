@@ -3419,3 +3419,26 @@ class TestCustomersUntapped:
         assert len(out) == 1
         r = out.iloc[0]
         assert (r["country_code"], r["numcust"], r["totacctbal_cents"]) == (code, 1, 3000)
+
+
+class TestHostKcore:
+    def test_clique_chain_and_selfloop(self, ray_session, monkeypatch):
+        import ray.data as rd
+
+        import service1_text_extraction_ray.pipelines.queries as Q
+
+        # 4-clique a-b-c-d (coreness 3) + pendant chain d-e-f (coreness 1)
+        # + self-loop-only node g (coreness 0; self-loops never count)
+        edges = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+                 ("c", "d"), ("d", "e"), ("e", "f"), ("g", "g")]
+        t = pa.table({
+            "src": pa.array([s for s, _ in edges], pa.string()),
+            "dst": pa.array([d for _, d in edges], pa.string()),
+            "n_links": pa.array([1] * len(edges), pa.int64()),
+        })
+        monkeypatch.setattr(Q, "_host_edges", lambda sf: rd.from_arrow(t))
+        out = (
+            Q.q_host_kcore("ignored")
+            .to_pandas().set_index("host")["coreness"].to_dict()
+        )
+        assert out == {"a": 3, "b": 3, "c": 3, "d": 3, "e": 1, "f": 1, "g": 0}
