@@ -8609,3 +8609,155 @@ a1_0 AS MATERIALIZED (SELECT host FROM hosts)"""
 
 
 SQL_HOST_KCORE = _sql_host_kcore()
+
+
+# ---------------------------------------------------------------------------
+# Graph algorithm #7: local clustering coefficient per host
+# ---------------------------------------------------------------------------
+
+CLUST_UNIT = 1_000_000  # coefficient in integer micro-units
+
+
+def q_host_clustering(sf_dir: str) -> rd.Dataset:
+    """Local clustering coefficient per host over the undirected simple
+    host graph: coeff(v) = 2 * triangles(v) / (deg(v) * (deg(v) - 1)) in
+    integer micro-units (floor division — exact, order-independent). The
+    per-node companion of the global triangle count (part_triangles):
+    dense local neighborhoods at high coreness are the link-farm signature
+    crawl curation keys on.
+
+    Topology (two keyed exchanges + one small join):
+      1. WEDGES: one hash_exchange co-locates each center's neighbor list;
+         the shard task emits (pair_key, center) for every unordered
+         neighbor pair — the deg² fan-out is per-CENTER and host-grain;
+         at web scale the standard mitigation (degree-ordered wedges +
+         high-degree cap) applies and is documented here as the knob.
+      2. CLOSURE: semi hash_join of wedges against the canonical (a<b)
+         edge set on the composite pair key; per-block partial counts per
+         center then one tiny groupby -> triangles(v).
+      3. DEGREE: per-block partial counts over the (globally deduped)
+         undirected edges -> deg(v); left join with triangles, vectorized
+         coefficient. Hosts whose only edges are self-loops have no simple
+         edge and are excluded (documented)."""
+    from .relational import hash_exchange, hash_join
+
+    uedges = _simple_uedges(sf_dir)
+
+    wedge_schema = pa.schema([("pk", pa.string()), ("center", pa.string())])
+
+    def wedges(t: pa.Table) -> pa.Table:
+        adj: dict[str, list] = {}
+        for a_, b_ in zip(t["a"].to_pylist(), t["b"].to_pylist()):
+            adj.setdefault(a_, []).append(b_)
+        rows = []
+        for center, nbrs in adj.items():
+            nbrs.sort()
+            for i in range(len(nbrs)):
+                for j in range(i + 1, len(nbrs)):
+                    rows.append({"pk": nbrs[i] + "|" + nbrs[j], "center": center})
+        if not rows:
+            return wedge_schema.empty_table()
+        return pa.Table.from_pylist(rows, schema=wedge_schema)
+
+    wedge_ds = hash_exchange(uedges, ["a"], wedges, wedge_schema)
+
+    def canon(t: pa.Table) -> pa.Table:
+        keep = pc.less(t["a"], t["b"])
+        kept = t.filter(keep)
+        pk = pc.binary_join_element_wise(
+            pc.cast(kept["a"], pa.string()), pc.cast(kept["b"], pa.string()), "|"
+        )
+        return pa.Table.from_arrays([pk], names=["pk"])
+
+    closed = hash_join(
+        wedge_ds,
+        uedges.map_batches(canon, batch_format="pyarrow"),
+        left_on="pk",
+        right_on="pk",
+        key_type=pa.string(),
+        left_fields=[pa.field("center", pa.string())],
+        right_fields=[],
+        how="semi",
+    )
+
+    from ray.data.aggregate import Sum as RSum
+
+    def tri_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("center").aggregate([([], "count_all")])
+        return pa.Table.from_arrays(
+            [g["center"], pc.cast(g["count_all"], pa.int64())],
+            names=["host", "n_tri"],
+        )
+
+    tri = closed.map_batches(tri_partial, batch_format="pyarrow").groupby(
+        "host"
+    ).aggregate(RSum("n_tri", alias_name="n_tri"))
+
+    def deg_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("a").aggregate([([], "count_all")])
+        return pa.Table.from_arrays(
+            [g["a"], pc.cast(g["count_all"], pa.int64())],
+            names=["host", "deg"],
+        )
+
+    deg = uedges.map_batches(deg_partial, batch_format="pyarrow").groupby(
+        "host"
+    ).aggregate(RSum("deg", alias_name="deg"))
+
+    joined = hash_join(
+        deg,
+        tri,
+        left_on="host",
+        right_on="host",
+        key_type=pa.string(),
+        left_fields=[pa.field("deg", pa.int64())],
+        right_fields=[pa.field("n_tri", pa.int64())],
+        how="left",
+    )
+
+    def coeff(t: pa.Table) -> pa.Table:
+        d = t["deg"].to_numpy(zero_copy_only=False)
+        tr = pc.fill_null(t["n_tri"], pa.scalar(0, pa.int64())).to_numpy(
+            zero_copy_only=False
+        )
+        denom = d * (d - 1)
+        c = np.where(denom > 0, (2 * CLUST_UNIT * tr) // np.maximum(denom, 1), 0)
+        return pa.Table.from_arrays(
+            [t["host"], pa.array(d, pa.int64()), pa.array(tr, pa.int64()),
+             pa.array(c, pa.int64())],
+            names=["host", "deg", "n_tri", "coeff_micro"],
+        )
+
+    return joined.map_batches(coeff, batch_format="pyarrow")
+
+
+SQL_HOST_CLUSTERING = f"""
+WITH base AS (SELECT doc_id, source FROM documents WHERE doc_id % 7 <> 0),
+links AS (
+  SELECT source || '.example.com' AS src,
+         'src' || ((doc_id * 7 + 1) % 20) || '.example.net' AS dst FROM base
+  UNION ALL
+  SELECT source || '.example.com', 'cdn.example.org' FROM base
+  UNION ALL
+  SELECT source || '.example.com', CASE WHEN doc_id % 6 = 3 THEN 'base' || (doc_id % 4) || '.example.org' ELSE source || '.example.com' END FROM base
+),
+uedges AS MATERIALIZED (
+  SELECT src AS a, dst AS b FROM links WHERE src <> dst
+  UNION
+  SELECT dst, src FROM links WHERE src <> dst
+),
+deg AS (SELECT a AS host, CAST(count(*) AS BIGINT) AS deg FROM uedges GROUP BY 1),
+tri AS (
+  SELECT w1.a AS host, CAST(count(*) AS BIGINT) AS n_tri
+  FROM uedges w1
+  JOIN uedges w2 ON w1.a = w2.a AND w1.b < w2.b
+  JOIN uedges e ON e.a = w1.b AND e.b = w2.b
+  GROUP BY w1.a
+)
+SELECT d.host, d.deg,
+       CAST(coalesce(t.n_tri, 0) AS BIGINT) AS n_tri,
+       CAST(CASE WHEN d.deg >= 2
+                 THEN (2 * {CLUST_UNIT} * coalesce(t.n_tri, 0)) // (d.deg * (d.deg - 1))
+                 ELSE 0 END AS BIGINT) AS coeff_micro
+FROM deg d LEFT JOIN tri t USING (host)
+"""

@@ -3442,3 +3442,30 @@ class TestHostKcore:
             .to_pandas().set_index("host")["coreness"].to_dict()
         )
         assert out == {"a": 3, "b": 3, "c": 3, "d": 3, "e": 1, "f": 1, "g": 0}
+
+
+class TestHostClustering:
+    def test_triangle_plus_pendant(self, ray_session, monkeypatch):
+        import ray.data as rd
+
+        import service1_text_extraction_ray.pipelines.queries as Q
+
+        # triangle a-b-c plus pendant c-d: a,b fully clustered (coeff 1),
+        # c has 3 neighbors but only 1 closed pair -> 2*1/(3*2) = 1/3,
+        # d has deg 1 -> coeff 0 by convention
+        edges = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")]
+        t = pa.table({
+            "src": pa.array([s for s, _ in edges], pa.string()),
+            "dst": pa.array([d for _, d in edges], pa.string()),
+            "n_links": pa.array([1] * len(edges), pa.int64()),
+        })
+        monkeypatch.setattr(Q, "_host_edges", lambda sf: rd.from_arrow(t))
+        out = (
+            Q.q_host_clustering("ignored")
+            .to_pandas().set_index("host")
+        )
+        assert out.loc["a", "coeff_micro"] == Q.CLUST_UNIT
+        assert out.loc["b", "coeff_micro"] == Q.CLUST_UNIT
+        assert out.loc["c", "coeff_micro"] == 2 * Q.CLUST_UNIT * 1 // 6
+        assert out.loc["d", "coeff_micro"] == 0
+        assert out.loc["c", "deg"] == 3 and out.loc["c", "n_tri"] == 1
