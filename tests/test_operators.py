@@ -3469,3 +3469,34 @@ class TestHostClustering:
         assert out.loc["c", "coeff_micro"] == 2 * Q.CLUST_UNIT * 1 // 6
         assert out.loc["d", "coeff_micro"] == 0
         assert out.loc["c", "deg"] == 3 and out.loc["c", "n_tri"] == 1
+
+
+class TestHostComponentsStar:
+    def test_chain_and_island_match_propagation(self, ray_session, monkeypatch):
+        import ray.data as rd
+
+        import service1_text_extraction_ray.pipelines.queries as Q
+
+        # a 12-node chain (diameter stress: star contraction converges in
+        # O(log^2 n) rounds, propagation in diameter rounds) + a separate
+        # triangle + a self-loop-only isolate
+        chain = [(f"n{i:02d}", f"n{i + 1:02d}") for i in range(11)]
+        edges = chain + [("t1", "t2"), ("t2", "t3"), ("t3", "t1"), ("z", "z")]
+        t = pa.table({
+            "src": pa.array([s for s, _ in edges], pa.string()),
+            "dst": pa.array([d for _, d in edges], pa.string()),
+            "n_links": pa.array([1] * len(edges), pa.int64()),
+        })
+        monkeypatch.setattr(Q, "_host_edges", lambda sf: rd.from_arrow(t))
+        star = (
+            Q.q_host_components_star("ignored")
+            .to_pandas().set_index("host")["component"].to_dict()
+        )
+        prop = (
+            Q.q_host_components("ignored")
+            .to_pandas().set_index("host")["component"].to_dict()
+        )
+        assert star == prop
+        assert all(star[f"n{i:02d}"] == "n00" for i in range(12))
+        assert star["t1"] == star["t2"] == star["t3"] == "t1"
+        assert star["z"] == "z"
