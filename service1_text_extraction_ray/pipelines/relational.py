@@ -7389,3 +7389,66 @@ WHERE c.c_nationkey % 25 IN {Q22_COUNTRY_CODES}
                     AND o.o_orderdate >= DATE '{DORMANT_CUTOFF}')
 GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Rolling ORDER-STATISTIC window: trailing median per user
+# ---------------------------------------------------------------------------
+
+ROLLMED_FRAME = 10
+
+
+def q_user_value_rolling_median(sf_dir: str) -> rd.Dataset:
+    """Per user, the exact MEDIAN of event value (integer cents) over the
+    trailing ROLLMED_FRAME events in event_id order — the order-statistic
+    window frame that, unlike the sum/count frames (q_user_value_moving_sum),
+    cannot be maintained by a running accumulator and therefore exercises
+    per-frame re-ranking. Even frames average the two middle cents values;
+    a half-cent midpoint of two int64s is exactly representable in the
+    double output, so results stay bit-stable at any parallelism.
+
+    ONE hash_exchange on user_id; inside a shard the frame median is a
+    C-level pandas rolling(...).median() over the sorted rows. At web
+    scale the per-user history is the partitioning contract (one user's
+    rows fit one task), same as every other per-user window here."""
+    out_schema = pa.schema([
+        pa.field("event_id", pa.int64()), pa.field("user_id", pa.int64()),
+        pa.field("med_cents", pa.float64()),
+    ])
+
+    def shard_roll(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        df = pa.Table.from_arrays(
+            [t["event_id"], t["user_id"], _cents(t["value"])],
+            names=["event_id", "user_id", "cents"],
+        ).to_pandas()
+        df = df.sort_values(["user_id", "event_id"], kind="mergesort")
+        med = (
+            df.groupby("user_id", sort=False)["cents"]
+            .rolling(ROLLMED_FRAME, min_periods=1).median()
+            .reset_index(level=0, drop=True)
+        )
+        return pa.Table.from_arrays(
+            [pa.array(df["event_id"].to_numpy(dtype="int64")),
+             pa.array(df["user_id"].to_numpy(dtype="int64")),
+             pa.array(med.to_numpy(dtype="float64"))],
+            schema=out_schema,
+        )
+
+    return hash_exchange(
+        _read(sf_dir, "events", ["event_id", "user_id", "value"]),
+        ["user_id"],
+        shard_roll,
+        out_schema,
+    )
+
+
+SQL_USER_VALUE_ROLLING_MEDIAN = f"""
+SELECT event_id, user_id,
+       CAST(median(CAST(round(value * 100) AS BIGINT)) OVER (
+         PARTITION BY user_id ORDER BY event_id
+         ROWS BETWEEN {ROLLMED_FRAME - 1} PRECEDING AND CURRENT ROW
+       ) AS DOUBLE) AS med_cents
+FROM events
+"""

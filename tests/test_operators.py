@@ -3500,3 +3500,27 @@ class TestHostComponentsStar:
         assert all(star[f"n{i:02d}"] == "n00" for i in range(12))
         assert star["t1"] == star["t2"] == star["t3"] == "t1"
         assert star["z"] == "z"
+
+
+class TestUserValueRollingMedian:
+    def test_trailing_frame_and_even_window_midpoint(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        import service1_text_extraction_ray.pipelines.relational as R
+
+        d = tmp_path / "sf"
+        d.mkdir(exist_ok=True)
+        # one user, values 1,2,4,8 dollars -> cents 100,200,400,800
+        t = pa.table({
+            "event_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "user_id": pa.array([7, 7, 7, 7], pa.int64()),
+            "value": pa.array([1.0, 2.0, 4.0, 8.0], pa.float64()),
+        })
+        pq.write_table(t, str(d / "events.parquet"))
+        out = (
+            R.q_user_value_rolling_median(str(d))
+            .to_pandas().set_index("event_id")["med_cents"].to_dict()
+        )
+        # frames: [100] -> 100; [100,200] -> 150 (even midpoint);
+        # [100,200,400] -> 200; [100,200,400,800] -> 300
+        assert out == {0: 100.0, 1: 150.0, 2: 200.0, 3: 300.0}
