@@ -3528,3 +3528,172 @@ WHERE n_b >= {TREND_MIN_COUNT}
 ORDER BY trend_nano DESC, token ASC
 LIMIT {TREND_TOPK}
 """
+
+
+# ---------------------------------------------------------------------------
+# Multinomial Naive Bayes language classifier: distributed train + predict
+# ---------------------------------------------------------------------------
+
+NB_UNIT = 1_000_000_000  # log-probs quantized to integer nano-nats
+
+
+def q_lang_nb_classify(sf_dir: str) -> rd.Dataset:
+    """Train a multinomial Naive Bayes classifier (Laplace-smoothed token
+    likelihoods, document-frequency priors) on the corpus's ``lang`` labels
+    and re-classify every document — the supervised counterpart of the
+    heuristic ``language_id``, and the canonical "train distributed, score
+    distributed" ML pipeline shape.
+
+    Exactness (the MI/OLS quantize-then-sum discipline): every model weight
+    —  ln prior(lang) and ln P(token|lang) = ln((c+1)/(tot_lang+V)) — is
+    quantized ONCE to integer nano-nats with the float expression written
+    identically here and in the oracle (same libm ln, same association
+    order), so per-doc scores are pure int64 dot products: order-
+    independent, bit-stable at any parallelism. Argmax tiebreak: lang asc.
+
+    Topology: training = per-block (lang, token) partial counts + per-block
+    prior partials, ONE groupby each (the model is #langs x V rows — tiny
+    next to the corpus); the fitted weight table broadcasts via ray.put
+    into a single scoring map_batches (at 10^6-term vocabularies the
+    broadcast becomes a hash join of doc-token counts against the weight
+    table on token — same math, one more exchange)."""
+    import math
+
+    from ray.data.aggregate import Sum as RSum
+
+    ltc_schema = pa.schema([
+        ("lang", pa.string()), ("token", pa.string()), ("n", pa.int64()),
+    ])
+    prior_schema = pa.schema([("lang", pa.string()), ("n_docs", pa.int64())])
+
+    def ltc_partial(t: pa.Table) -> pa.Table:
+        acc: dict = {}
+        for lang, text in zip(t["lang"].to_pylist(), t["text"].to_pylist()):
+            for tok in _tokens(text or ""):
+                k = (lang, tok)
+                acc[k] = acc.get(k, 0) + 1
+        if not acc:
+            return ltc_schema.empty_table()
+        return pa.Table.from_pylist(
+            [{"lang": l, "token": tk, "n": n} for (l, tk), n in acc.items()],
+            schema=ltc_schema,
+        )
+
+    def prior_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("lang").aggregate([([], "count_all")])
+        return pa.Table.from_arrays(
+            [g["lang"], pc.cast(g["count_all"], pa.int64())],
+            schema=prior_schema,
+        )
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    ltc = (
+        docs.map_batches(ltc_partial, batch_format="pyarrow")
+        .groupby(["lang", "token"])
+        .aggregate(RSum("n", alias_name="n"))
+        .to_pandas()
+    )
+    priors = (
+        docs.map_batches(prior_partial, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(RSum("n_docs", alias_name="n_docs"))
+        .to_pandas()
+    )
+
+    vocab = sorted(ltc["token"].unique())
+    V = len(vocab)
+    tot = ltc.groupby("lang")["n"].sum().to_dict()
+    N = int(priors["n_docs"].sum())
+    langs = sorted(priors["lang"])
+    nd = priors.set_index("lang")["n_docs"].to_dict()
+
+    cond: dict = {}
+    counts = {(r.lang, r.token): int(r.n) for r in ltc.itertuples(index=False)}
+    for lang in langs:
+        denom = float(int(tot.get(lang, 0)) + V)
+        for tok in vocab:
+            c = counts.get((lang, tok), 0)
+            cond[(lang, tok)] = int(round(NB_UNIT * math.log((c + 1.0) / denom)))
+    prior_lp = {
+        lang: int(round(NB_UNIT * math.log(float(int(nd[lang])) / N)))
+        for lang in langs
+    }
+
+    model_ref = ray.put((langs, cond, prior_lp))
+
+    out_schema = pa.schema([
+        ("doc_id", pa.int64()), ("pred_lang", pa.string()),
+        ("is_correct", pa.int64()),
+    ])
+
+    def score(t: pa.Table, _ref=model_ref) -> pa.Table:
+        langs_, cond_, prior_ = ray.get(_ref)
+        rows = []
+        for d, text, true_lang in zip(
+            t["doc_id"].to_pylist(), t["text"].to_pylist(), t["lang"].to_pylist()
+        ):
+            cnt: dict = {}
+            for tok in _tokens(text or ""):
+                cnt[tok] = cnt.get(tok, 0) + 1
+            best, best_score = None, None
+            for lang in langs_:  # asc order -> '>' keeps the first max
+                s = prior_[lang]
+                for tok, ct in cnt.items():
+                    s += ct * cond_[(lang, tok)]
+                if best_score is None or s > best_score:
+                    best, best_score = lang, s
+            rows.append({
+                "doc_id": int(d), "pred_lang": best,
+                "is_correct": int(best == true_lang),
+            })
+        if not rows:
+            return out_schema.empty_table()
+        return pa.Table.from_pylist(rows, schema=out_schema)
+
+    return docs.map_batches(score, batch_format="pyarrow")
+
+
+SQL_LANG_NB_CLASSIFY = f"""
+WITH tok AS MATERIALIZED (
+  SELECT doc_id, lang,
+         unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS token
+  FROM documents
+),
+ltc AS (SELECT lang, token, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2),
+ltot AS (SELECT lang, CAST(sum(c) AS BIGINT) AS tot FROM ltc GROUP BY 1),
+vocab AS (SELECT DISTINCT token FROM tok),
+vn AS (SELECT count(*) AS v FROM vocab),
+prior AS (
+  SELECT lang, CAST(round({NB_UNIT} * ln(CAST(count(*) AS DOUBLE)
+                  / (SELECT count(*) FROM documents))) AS BIGINT) AS lp
+  FROM documents GROUP BY lang
+),
+model AS MATERIALIZED (
+  SELECT lt.lang, vo.token,
+         CAST(round({NB_UNIT} * ln((coalesce(c.c, 0) + 1.0) / (lt.tot + vn.v)))
+              AS BIGINT) AS lp
+  FROM ltot lt CROSS JOIN vocab vo CROSS JOIN vn
+  LEFT JOIN ltc c ON c.lang = lt.lang AND c.token = vo.token
+),
+dtc AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS ct FROM tok GROUP BY 1, 2),
+tscore AS (
+  SELECT d.doc_id, m.lang, CAST(sum(d.ct * m.lp) AS BIGINT) AS tsum
+  FROM dtc d JOIN model m USING (token)
+  GROUP BY 1, 2
+),
+scores AS (
+  SELECT doc.doc_id, doc.lang AS true_lang, p.lang,
+         p.lp + coalesce(t.tsum, 0) AS score
+  FROM documents doc
+  CROSS JOIN prior p
+  LEFT JOIN tscore t ON t.doc_id = doc.doc_id AND t.lang = p.lang
+),
+ranked AS (
+  SELECT doc_id, true_lang, lang,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang ASC) AS rn
+  FROM scores
+)
+SELECT doc_id, lang AS pred_lang,
+       CAST(CASE WHEN lang = true_lang THEN 1 ELSE 0 END AS BIGINT) AS is_correct
+FROM ranked WHERE rn = 1
+"""

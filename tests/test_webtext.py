@@ -1629,3 +1629,33 @@ class TestTrendingTerms:
         assert out.iloc[0]["token"] == "viral"
         assert out.iloc[0]["n_a"] == 0
         assert "fading" not in set(out["token"])
+
+
+class TestLangNbClassify:
+    def test_separable_corpus_and_smoothing(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        import service1_text_extraction_ray.pipelines.webtext as W
+
+        d = tmp_path / "sf"
+        d.mkdir(exist_ok=True)
+        rows = [
+            # two clearly separable vocabularies
+            {"doc_id": 0, "lang": "en", "text": "the cat sat"},
+            {"doc_id": 1, "lang": "en", "text": "the dog sat"},
+            {"doc_id": 2, "lang": "de", "text": "der hund sass"},
+            {"doc_id": 3, "lang": "de", "text": "der katze sass"},
+            # a doc whose tokens were never seen in training for 'de':
+            # Laplace smoothing must still score it finitely
+            {"doc_id": 4, "lang": "en", "text": "the the the"},
+        ]
+        pq.write_table(pa.Table.from_pylist(rows), str(d / "documents.parquet"))
+        out = (
+            W.q_lang_nb_classify(str(d))
+            .to_pandas().set_index("doc_id")
+        )
+        assert out.loc[0, "pred_lang"] == "en"
+        assert out.loc[2, "pred_lang"] == "de"
+        assert out.loc[4, "pred_lang"] == "en"
+        assert out["is_correct"].sum() == 5
