@@ -7452,3 +7452,74 @@ SELECT event_id, user_id,
        ) AS DOUBLE) AS med_cents
 FROM events
 """
+
+
+# ---------------------------------------------------------------------------
+# Growth accounting: first-seen users per day + cumulative distinct users
+# ---------------------------------------------------------------------------
+
+
+def q_events_new_users(sf_dir: str) -> pd.DataFrame:
+    """Daily NEW users (first-ever event lands that day) and the running
+    cumulative distinct-user count — the growth-accounting query behind
+    every DAU/"total users" dashboard, and the streaming-friendly way to
+    compute cumulative COUNT(DISTINCT): reduce to user-grain first-seen
+    (mergeable MIN — no global distinct needed), then day-grain counts.
+
+    Topology: per-block (user, min day) partials -> ONE user-grain
+    groupby-min -> per-block per-day counts -> ONE tiny day-grain groupby
+    -> cumulative sum over the (days-of-history)-sized series on the
+    driver. The cumulative is the only inherently sequential step and it
+    is day-grain, never row-grain."""
+    from ray.data.aggregate import Min as RMin, Sum as RSum
+
+    DAY_US = 86_400_000_000
+
+    def first_partial(t: pa.Table) -> pa.Table:
+        ts = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        day = (ts // DAY_US) * DAY_US
+        tab = pa.Table.from_arrays(
+            [t["user_id"], pa.array(day, pa.int64())], names=["user_id", "day_us"]
+        )
+        g = tab.group_by("user_id").aggregate([("day_us", "min")])
+        return pa.Table.from_arrays(
+            [g["user_id"], g["day_us_min"]], names=["user_id", "day_us"]
+        )
+
+    first_seen = (
+        _read(sf_dir, "events", ["user_id", "ts"])
+        .map_batches(first_partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(RMin("day_us", alias_name="day_us"))
+    )
+
+    def day_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("day_us").aggregate([([], "count_all")])
+        return pa.Table.from_arrays(
+            [g["day_us"], pc.cast(g["count_all"], pa.int64())],
+            names=["day_us", "n_new"],
+        )
+
+    daily = (
+        first_seen.map_batches(day_partial, batch_format="pyarrow")
+        .groupby("day_us")
+        .aggregate(RSum("n_new", alias_name="n_new"))
+    ).to_pandas()
+
+    daily = daily.sort_values("day_us").reset_index(drop=True)
+    daily["cum_users"] = daily["n_new"].cumsum().astype("int64")
+    return daily[["day_us", "n_new", "cum_users"]]
+
+
+SQL_EVENTS_NEW_USERS = """
+WITH first_seen AS (
+  SELECT user_id, min(epoch_us(date_trunc('day', ts))) AS day_us
+  FROM events GROUP BY user_id
+),
+daily AS (
+  SELECT day_us, CAST(count(*) AS BIGINT) AS n_new FROM first_seen GROUP BY day_us
+)
+SELECT day_us, n_new,
+       CAST(sum(n_new) OVER (ORDER BY day_us) AS BIGINT) AS cum_users
+FROM daily
+"""

@@ -3524,3 +3524,32 @@ class TestUserValueRollingMedian:
         # frames: [100] -> 100; [100,200] -> 150 (even midpoint);
         # [100,200,400] -> 200; [100,200,400,800] -> 300
         assert out == {0: 100.0, 1: 150.0, 2: 200.0, 3: 300.0}
+
+
+class TestEventsNewUsers:
+    def test_first_seen_and_cumulative(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        import service1_text_extraction_ray.pipelines.relational as R
+
+        d = tmp_path / "sf"
+        d.mkdir(exist_ok=True)
+        day = pd.Timestamp("2024-03-01")
+        rows = [
+            # day 0: users 1, 2 appear
+            {"event_id": 0, "user_id": 1, "ts": day},
+            {"event_id": 1, "user_id": 2, "ts": day + pd.Timedelta(hours=5)},
+            # day 1: user 1 returns (NOT new), user 3 appears
+            {"event_id": 2, "user_id": 1, "ts": day + pd.Timedelta(days=1)},
+            {"event_id": 3, "user_id": 3, "ts": day + pd.Timedelta(days=1)},
+            # day 3: nobody new (user 2 returns)
+            {"event_id": 4, "user_id": 2, "ts": day + pd.Timedelta(days=3)},
+        ]
+        t = pa.Table.from_pylist(rows)
+        t = t.set_column(t.schema.get_field_index("ts"), "ts",
+                         t["ts"].cast(pa.timestamp("us")))
+        pq.write_table(t, str(d / "events.parquet"))
+        out = R.q_events_new_users(str(d))
+        # day 3 has no new users -> no row (first-seen grain), cum skips it
+        assert out["n_new"].tolist() == [2, 1]
+        assert out["cum_users"].tolist() == [2, 3]
