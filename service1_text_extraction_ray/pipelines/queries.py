@@ -8906,3 +8906,91 @@ def q_host_components_star(sf_dir: str) -> rd.Dataset:
         .groupby("host")
         .aggregate(RMin("component", alias_name="component"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Quantized retrieval: int8 brute-force top-k with exact integer dots
+# ---------------------------------------------------------------------------
+
+
+def _int8_codes(mat: np.ndarray) -> np.ndarray:
+    """Per-vector symmetric int8 quantization (the embedding_quantize_int8
+    rule): scale = absmax/127, codes = round-half-away(v/scale); zero
+    vectors stay all-zero. Matches DuckDB's round() exactly."""
+    absmax = np.abs(mat).max(axis=1)
+    scale = absmax / 127.0
+    safe = np.where(scale == 0, 1.0, scale)
+    v = mat / safe[:, None]
+    q = np.where(v >= 0, np.floor(v + 0.5), np.ceil(v - 0.5))
+    q[scale == 0] = 0.0
+    return q
+
+
+def q_knn_int8(sf_dir: str) -> pd.DataFrame:
+    """Top-k retrieval over int8-QUANTIZED embeddings — the 4x-smaller
+    serving path (embedding_quantize_int8 is the compression pass; this is
+    the search that runs on its output). Similarity is the quantized
+    cosine: an exact INTEGER dot product of the int8 codes divided by the
+    exact integer norm product's square root — the only floats are one
+    division and one sqrt per candidate, both IEEE-correctly-rounded and
+    written identically in the oracle, so ranking is bit-stable.
+
+    Same topology as q_knn_cosine: broadcast quantized query, per-batch
+    numpy integer matmul + partial top-k, tiny driver merge. vec_id breaks
+    score ties at the k boundary on both sides."""
+    qv = _query_vector()
+    qq = _int8_codes(qv[None, :])[0]  # quantized query codes (float-valued ints)
+    qref = ray.put(qq)
+
+    def topk_batch(batch: pa.Table) -> pa.Table:
+        q = ray.get(qref)
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        mat = np.stack(batch["embedding"].to_pandas().to_numpy()).astype(np.float64)
+        codes = _int8_codes(mat)
+        dots = codes @ q                      # integer-valued, exact in double
+        nv = (codes * codes).sum(axis=1)      # integer-valued
+        nq = float((q * q).sum())
+        denom = np.sqrt(nv * nq)
+        sims = np.where(denom > 0, dots / np.where(denom == 0, 1.0, denom), 0.0)
+        k = min(KNN_K, len(ids))
+        idx = np.lexsort((ids, -sims))[:k]
+        return pa.table({"vec_id": pa.array(ids[idx], pa.int64()),
+                         "sim": pa.array(sims[idx], pa.float64())})
+
+    partials = (
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+        .map_batches(topk_batch, batch_format="pyarrow")
+        .to_pandas()
+    )
+    top = partials.sort_values(["sim", "vec_id"], ascending=[False, True]).head(KNN_K)
+    return pd.DataFrame({"vec_id": top["vec_id"].astype("int64").to_numpy()})
+
+
+def sql_knn_int8() -> str:
+    qq = _int8_codes(_query_vector()[None, :])[0]
+    lit = "[" + ", ".join(str(int(x)) for x in qq) + "]"
+    nq = int((qq * qq).sum())
+    return f"""
+WITH codes AS (
+  SELECT vec_id,
+         list_transform(
+           CAST(embedding AS DOUBLE[]),
+           x -> CASE WHEN s.mx = 0 THEN 0.0 ELSE round(x / (s.mx / 127.0)) END
+         ) AS q
+  FROM embeddings,
+       LATERAL (SELECT list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                               x -> abs(x))) AS mx) s
+),
+scored AS (
+  SELECT vec_id,
+         list_dot_product(q, CAST({lit} AS DOUBLE[])) AS dot,
+         list_dot_product(q, q) AS nv
+  FROM codes
+)
+SELECT vec_id FROM (
+  SELECT vec_id,
+         CASE WHEN sqrt(nv * {nq}.0) > 0
+              THEN dot / sqrt(nv * {nq}.0) ELSE 0.0 END AS sim
+  FROM scored
+) ORDER BY sim DESC, vec_id ASC LIMIT {KNN_K}
+"""

@@ -3553,3 +3553,35 @@ class TestEventsNewUsers:
         # day 3 has no new users -> no row (first-seen grain), cum skips it
         assert out["n_new"].tolist() == [2, 1]
         assert out["cum_users"].tolist() == [2, 3]
+
+
+class TestKnnInt8:
+    def test_quantized_ranking_and_recall(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        import service1_text_extraction_ray.pipelines.queries as Q
+
+        d = tmp_path / "sf"
+        d.mkdir(exist_ok=True)
+        qv = Q._query_vector()
+        rs = np.random.RandomState(5)
+        vecs = [qv * 3.0]                       # exact direction match -> rank 1
+        vecs += [rs.standard_normal(64) for _ in range(30)]
+        vecs += [np.zeros(64)]                  # zero vector -> sim 0, never top
+        t = pa.table({
+            "vec_id": pa.array(list(range(len(vecs))), pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in vecs],
+                                  pa.list_(pa.float32())),
+        })
+        pq.write_table(t, str(d / "embeddings.parquet"))
+        out = Q.q_knn_int8(str(d))
+        assert out["vec_id"].iloc[0] == 0       # the planted match wins
+        assert 31 not in set(out["vec_id"])     # zero vector excluded
+
+    def test_codes_match_quantize_rule(self):
+        import service1_text_extraction_ray.pipelines.queries as Q
+
+        m = np.array([[1.0, -0.5, 0.25, -127.0 / 127.0]])
+        codes = Q._int8_codes(m * 2.0)          # absmax 2.0 -> scale 2/127
+        assert codes[0].tolist() == [127.0, -64.0, 32.0, -127.0]
+        assert Q._int8_codes(np.zeros((1, 4)))[0].tolist() == [0.0] * 4
