@@ -8994,3 +8994,134 @@ SELECT vec_id FROM (
   FROM scored
 ) ORDER BY sim DESC, vec_id ASC LIMIT {KNN_K}
 """
+
+
+# ---------------------------------------------------------------------------
+# Graph statistic: degree assortativity of the host graph
+# ---------------------------------------------------------------------------
+
+
+def q_host_assortativity(sf_dir: str) -> pd.DataFrame:
+    """Degree assortativity (Newman 2002) of the undirected simple host
+    graph: the Pearson correlation of end-point degrees over directed edge
+    stubs — negative on web-like graphs (hubs link to leaves), positive on
+    social-like graphs; crawl curation uses it to fingerprint link-farm
+    topology. Both orientations of every edge contribute one (deg(a),
+    deg(b)) pair (the symmetrized standard definition).
+
+    Exactness: the lineitem_corr moment-sketch discipline — per-block
+    INTEGER partials (n, Σx, Σy, Σx², Σy², Σxy) merged by one tiny
+    groupby; the float formula runs once on the exact totals and is
+    written identically in the oracle. Topology: degree table via partial
+    counts (host-grain), two co-partitioned hash_joins to annotate the
+    edge ends, then the moment map — no row-grain collection."""
+    from ray.data.aggregate import Sum as RSum
+
+    from .relational import hash_join
+
+    uedges = _simple_uedges(sf_dir)
+
+    def deg_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("a").aggregate([([], "count_all")])
+        return pa.Table.from_arrays(
+            [g["a"], pc.cast(g["count_all"], pa.int64())],
+            names=["host", "deg"],
+        )
+
+    deg = (
+        uedges.map_batches(deg_partial, batch_format="pyarrow")
+        .groupby("host")
+        .aggregate(RSum("deg", alias_name="deg"))
+        .materialize()
+    )
+
+    xa = hash_join(
+        uedges,
+        deg,
+        left_on="a",
+        right_on="host",
+        key_type=pa.string(),
+        left_fields=[pa.field("b", pa.string())],
+        right_fields=[pa.field("deg", pa.int64())],
+    ).map_batches(
+        lambda t: pa.Table.from_arrays(
+            [t["b"], t["deg"]], names=["b", "deg_a"]
+        ),
+        batch_format="pyarrow",
+    )
+    both = hash_join(
+        xa,
+        deg,
+        left_on="b",
+        right_on="host",
+        key_type=pa.string(),
+        left_fields=[pa.field("deg_a", pa.int64())],
+        right_fields=[pa.field("deg", pa.int64())],
+    )
+
+    mom_schema = pa.schema([
+        (c, pa.int64()) for c in ("n", "sx", "sy", "sxx", "syy", "sxy")
+    ])
+
+    def moments(t: pa.Table) -> pa.Table:
+        x = t["deg_a"].to_numpy(zero_copy_only=False)
+        y = t["deg"].to_numpy(zero_copy_only=False)
+        return pa.Table.from_pylist(
+            [{
+                "n": len(x), "sx": int(x.sum()), "sy": int(y.sum()),
+                "sxx": int((x * x).sum()), "syy": int((y * y).sum()),
+                "sxy": int((x * y).sum()),
+            }],
+            schema=mom_schema,
+        )
+
+    sums = both.map_batches(moments, batch_format="pyarrow").to_pandas().sum()
+    n = float(sums["n"])
+    sx, sy = float(sums["sx"]), float(sums["sy"])
+    sxx, syy, sxy = float(sums["sxx"]), float(sums["syy"]), float(sums["sxy"])
+    denom = np.sqrt(n * sxx - sx * sx) * np.sqrt(n * syy - sy * sy)
+    r = (n * sxy - sx * sy) / denom if denom > 0 else 0.0
+    return pd.DataFrame({
+        "n_stubs": [int(sums["n"])],
+        "assortativity": [r],
+    })
+
+
+SQL_HOST_ASSORTATIVITY = """
+WITH base AS (SELECT doc_id, source FROM documents WHERE doc_id % 7 <> 0),
+links AS (
+  SELECT source || '.example.com' AS src,
+         'src' || ((doc_id * 7 + 1) % 20) || '.example.net' AS dst FROM base
+  UNION ALL
+  SELECT source || '.example.com', 'cdn.example.org' FROM base
+  UNION ALL
+  SELECT source || '.example.com', CASE WHEN doc_id % 6 = 3 THEN 'base' || (doc_id % 4) || '.example.org' ELSE source || '.example.com' END FROM base
+),
+uedges AS MATERIALIZED (
+  SELECT src AS a, dst AS b FROM links WHERE src <> dst
+  UNION
+  SELECT dst, src FROM links WHERE src <> dst
+),
+deg AS (SELECT a AS host, CAST(count(*) AS BIGINT) AS deg FROM uedges GROUP BY 1),
+pairs AS (
+  SELECT da.deg AS x, db.deg AS y
+  FROM uedges e
+  JOIN deg da ON da.host = e.a
+  JOIN deg db ON db.host = e.b
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy,
+         CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM pairs
+)
+SELECT n AS n_stubs,
+       CASE WHEN sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                 * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy) > 0
+            THEN (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                    * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+            ELSE 0.0 END AS assortativity
+FROM m
+"""

@@ -7523,3 +7523,114 @@ SELECT day_us, n_new,
        CAST(sum(n_new) OVER (ORDER BY day_us) AS BIGINT) AS cum_users
 FROM daily
 """
+
+
+# ---------------------------------------------------------------------------
+# Argmax-per-group join (TPC-H Q15 flavor): dominant supplier per part
+# ---------------------------------------------------------------------------
+
+
+def q_part_top_supplier(sf_dir: str) -> rd.Dataset:
+    """For every part, the supplier that shipped the LARGEST total quantity
+    of it (ties -> smallest suppkey), annotated with that supplier's
+    balance — the argmax-per-group JOIN (TPC-H Q15's max-revenue-supplier
+    flavor): a grouped aggregate whose winner row must then pull attributes
+    from a dimension.
+
+    Plan (two exchanges): per-block (partkey, suppkey, qty) partials, ONE
+    hash_exchange on partkey finishing the pair sums AND the per-part
+    argmax in the same shard task (every (part, supp) pair of a part is
+    whole in its shard, so the argmax there is exact — no second pass);
+    then ONE co-partitioned hash_join pulls s_acctbal for the winners.
+    Winner selection never ships losing pairs out of the shard."""
+    pair_schema = pa.schema([
+        ("l_partkey", pa.int64()), ("l_suppkey", pa.int64()), ("qty", pa.int64()),
+    ])
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        tab = pa.Table.from_arrays(
+            [
+                pc.cast(t["l_partkey"], pa.int64()),
+                pc.cast(t["l_suppkey"], pa.int64()),
+                pc.cast(
+                    pc.round(t["l_quantity"], round_mode="half_towards_infinity"),
+                    pa.int64(),
+                ),
+            ],
+            names=["l_partkey", "l_suppkey", "qty"],
+        )
+        g = tab.group_by(["l_partkey", "l_suppkey"]).aggregate([("qty", "sum")])
+        return pa.Table.from_arrays(
+            [g["l_partkey"], g["l_suppkey"], g["qty_sum"]], schema=pair_schema
+        )
+
+    win_schema = pa.schema([
+        ("l_partkey", pa.int64()), ("top_suppkey", pa.int64()),
+        ("total_qty", pa.int64()),
+    ])
+
+    def argmax_shard(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df = df.groupby(["l_partkey", "l_suppkey"], sort=False)["qty"].sum().reset_index()
+        # qty desc, suppkey asc -> first row per part is the winner
+        df = df.sort_values(["l_partkey", "qty", "l_suppkey"],
+                            ascending=[True, False, True], kind="mergesort")
+        win = df.drop_duplicates("l_partkey", keep="first")
+        return pa.Table.from_arrays(
+            [pa.array(win["l_partkey"].to_numpy(dtype="int64")),
+             pa.array(win["l_suppkey"].to_numpy(dtype="int64")),
+             pa.array(win["qty"].to_numpy(dtype="int64"))],
+            schema=win_schema,
+        )
+
+    winners = hash_exchange(
+        _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey", "l_quantity"])
+        .map_batches(pair_partial, batch_format="pyarrow"),
+        ["l_partkey"],
+        argmax_shard,
+        win_schema,
+    )
+
+    def supp_prep(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [pc.cast(t["s_suppkey"], pa.int64()), _cents(t["s_acctbal"])],
+            names=["s_suppkey", "s_acctbal_cents"],
+        )
+
+    return hash_join(
+        winners.map_batches(
+            lambda t: pa.Table.from_arrays(
+                [t["top_suppkey"], t["l_partkey"], t["total_qty"]],
+                names=["top_suppkey", "l_partkey", "total_qty"],
+            ),
+            batch_format="pyarrow",
+        ),
+        _read(sf_dir, "supplier", ["s_suppkey", "s_acctbal"]).map_batches(
+            supp_prep, batch_format="pyarrow"
+        ),
+        left_on="top_suppkey",
+        right_on="s_suppkey",
+        key_type=pa.int64(),
+        left_fields=[pa.field("l_partkey", pa.int64()),
+                     pa.field("total_qty", pa.int64())],
+        right_fields=[pa.field("s_acctbal_cents", pa.int64())],
+    )
+
+
+SQL_PART_TOP_SUPPLIER = """
+WITH pair AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS qty
+  FROM lineitem GROUP BY 1, 2
+),
+win AS (
+  SELECT l_partkey, l_suppkey AS top_suppkey, qty AS total_qty,
+         row_number() OVER (PARTITION BY l_partkey
+                            ORDER BY qty DESC, l_suppkey ASC) AS rn
+  FROM pair
+)
+SELECT w.top_suppkey, w.l_partkey, w.total_qty,
+       CAST(round(s.s_acctbal * 100) AS BIGINT) AS s_acctbal_cents
+FROM win w JOIN supplier s ON s.s_suppkey = w.top_suppkey
+WHERE w.rn = 1
+"""

@@ -3585,3 +3585,51 @@ class TestKnnInt8:
         codes = Q._int8_codes(m * 2.0)          # absmax 2.0 -> scale 2/127
         assert codes[0].tolist() == [127.0, -64.0, 32.0, -127.0]
         assert Q._int8_codes(np.zeros((1, 4)))[0].tolist() == [0.0] * 4
+
+
+class TestPartTopSupplier:
+    def test_argmax_and_tiebreak(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        import service1_text_extraction_ray.pipelines.relational as R
+
+        d = tmp_path / "sf"
+        d.mkdir(exist_ok=True)
+        # part 1: supp 5 ships 7, supp 3 ships 9 -> winner 3
+        # part 2: supp 5 and supp 3 both ship 4 -> tie -> smaller suppkey 3
+        pq.write_table(pa.table({
+            "l_partkey": pa.array([1, 1, 1, 2, 2], pa.int64()),
+            "l_suppkey": pa.array([5, 3, 3, 5, 3], pa.int64()),
+            "l_quantity": pa.array([7.0, 4.0, 5.0, 4.0, 4.0], pa.float64()),
+        }), str(d / "lineitem.parquet"))
+        pq.write_table(pa.table({
+            "s_suppkey": pa.array([3, 5], pa.int64()),
+            "s_acctbal": pa.array([12.5, 99.0], pa.float64()),
+        }), str(d / "supplier.parquet"))
+        out = (
+            R.q_part_top_supplier(str(d))
+            .to_pandas().set_index("l_partkey").sort_index()
+        )
+        assert out.loc[1, "top_suppkey"] == 3 and out.loc[1, "total_qty"] == 9
+        assert out.loc[2, "top_suppkey"] == 3 and out.loc[2, "total_qty"] == 4
+        assert (out["s_acctbal_cents"] == 1250).all()
+
+
+class TestHostAssortativity:
+    def test_star_graph_is_disassortative(self, ray_session, monkeypatch):
+        import ray.data as rd
+
+        import service1_text_extraction_ray.pipelines.queries as Q
+
+        # a star (hub h with 4 leaves): ends always pair deg 4 with deg 1 ->
+        # assortativity is exactly -1
+        edges = [("h", f"l{i}") for i in range(4)]
+        t = pa.table({
+            "src": pa.array([s for s, _ in edges], pa.string()),
+            "dst": pa.array([d for _, d in edges], pa.string()),
+            "n_links": pa.array([1] * len(edges), pa.int64()),
+        })
+        monkeypatch.setattr(Q, "_host_edges", lambda sf: rd.from_arrow(t))
+        out = Q.q_host_assortativity("ignored")
+        assert out["n_stubs"].iloc[0] == 8
+        assert abs(out["assortativity"].iloc[0] + 1.0) < 1e-12
