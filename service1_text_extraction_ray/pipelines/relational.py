@@ -7634,3 +7634,196 @@ SELECT w.top_suppkey, w.l_partkey, w.total_qty,
 FROM win w JOIN supplier s ON s.s_suppkey = w.top_suppkey
 WHERE w.rn = 1
 """
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q18 shape: large-volume orders (HAVING over a fact-fact join)
+# ---------------------------------------------------------------------------
+
+Q18_QTY = 300
+
+
+def q_orders_large_volume(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q18 shape (large-volume customers): orders whose TOTAL lineitem
+    quantity exceeds Q18_QTY, annotated with the order's customer and
+    price — the HAVING-over-join: an aggregate predicate decides which join
+    keys survive, so the filter can only run AFTER the per-order reduce.
+
+    Plan (two exchanges): per-block (orderkey, qty) partials; the first
+    hash_join fuses the final per-order combine into its shard merge
+    (combine_left_sum) while pulling (custkey, totalprice) from orders;
+    the HAVING filter is vectorized per block on the join output (the
+    surviving set is tiny), and a second co-partitioned join would attach
+    customer attributes at scale — custkey itself is the output here, so
+    none is needed. Quantities are integral units: the predicate is pure
+    int64."""
+
+    def qty_partial(t: pa.Table) -> pa.Table:
+        tab = pa.Table.from_arrays(
+            [
+                pc.cast(t["l_orderkey"], pa.int64()),
+                pc.cast(
+                    pc.round(t["l_quantity"], round_mode="half_towards_infinity"),
+                    pa.int64(),
+                ),
+            ],
+            names=["l_orderkey", "total_qty"],
+        )
+        g = tab.group_by("l_orderkey").aggregate([("total_qty", "sum")])
+        return pa.Table.from_arrays(
+            [g["l_orderkey"], g["total_qty_sum"]], names=["l_orderkey", "total_qty"]
+        )
+
+    def orders_prep(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [pc.cast(t["o_orderkey"], pa.int64()),
+             pc.cast(t["o_custkey"], pa.int64()),
+             _cents(t["o_totalprice"])],
+            names=["o_orderkey", "o_custkey", "totalprice_cents"],
+        )
+
+    joined = hash_join(
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"]).map_batches(
+            qty_partial, batch_format="pyarrow"
+        ),
+        _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"]).map_batches(
+            orders_prep, batch_format="pyarrow"
+        ),
+        left_on="l_orderkey",
+        right_on="o_orderkey",
+        key_type=pa.int64(),
+        left_fields=[pa.field("total_qty", pa.int64())],
+        right_fields=[pa.field("o_custkey", pa.int64()),
+                      pa.field("totalprice_cents", pa.int64())],
+        combine_left_sum=True,
+    )
+
+    def having(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater(t["total_qty"], pa.scalar(Q18_QTY, pa.int64())))
+
+    return joined.map_batches(having, batch_format="pyarrow")
+
+
+SQL_ORDERS_LARGE_VOLUME = f"""
+SELECT l.l_orderkey, CAST(sum(CAST(round(l.l_quantity) AS BIGINT)) AS BIGINT) AS total_qty,
+       o.o_custkey, CAST(round(o.o_totalprice * 100) AS BIGINT) AS totalprice_cents
+FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+GROUP BY l.l_orderkey, o.o_custkey, o.o_totalprice
+HAVING sum(CAST(round(l.l_quantity) AS BIGINT)) > {Q18_QTY}
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q21 shape: suppliers who alone held up multi-supplier orders
+# ---------------------------------------------------------------------------
+
+Q21_LATE_DAYS = 60
+
+
+def q_suppliers_late_sole(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q21 shape (suppliers who kept orders waiting), adapted to this
+    schema's dates: count, per supplier, the multi-supplier orders where
+    THAT supplier shipped late (any of its lines left more than
+    Q21_LATE_DAYS after the order date) and every other supplier shipped on
+    time — the exists + not-exists double correlation, the hardest join
+    shape in the TPC-H suite.
+
+    Plan (three exchanges, all key-hash):
+      1. per-block (orderkey, suppkey, max_shipdate) partials — "any line
+         late" folds to a mergeable MAX, so raw lineitems never ride the
+         join; ONE co-partitioned hash_join attaches o_orderdate.
+      2. ONE hash_exchange on orderkey: the shard task merges the pair
+         partials, flags late suppliers, and applies the per-order
+         predicate (>= 2 suppliers, exactly one late) — both correlated
+         subqueries collapse into plain per-group logic once the order's
+         rows are co-located.
+      3. a tiny suppkey groupby counts the waiting orders."""
+    pair_schema = pa.schema([
+        ("l_orderkey", pa.int64()), ("l_suppkey", pa.int64()),
+        ("max_ship_us", pa.int64()),
+    ])
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        tab = pa.Table.from_arrays(
+            [
+                pc.cast(t["l_orderkey"], pa.int64()),
+                pc.cast(t["l_suppkey"], pa.int64()),
+                pc.cast(t["l_shipdate"], pa.int64()),
+            ],
+            names=["l_orderkey", "l_suppkey", "max_ship_us"],
+        )
+        g = tab.group_by(["l_orderkey", "l_suppkey"]).aggregate(
+            [("max_ship_us", "max")]
+        )
+        return pa.Table.from_arrays(
+            [g["l_orderkey"], g["l_suppkey"], g["max_ship_us_max"]],
+            schema=pair_schema,
+        )
+
+    def orders_prep(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [pc.cast(t["o_orderkey"], pa.int64()),
+             pc.cast(t["o_orderdate"], pa.int64())],
+            names=["o_orderkey", "orderdate_us"],
+        )
+
+    joined = hash_join(
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_shipdate"])
+        .map_batches(pair_partial, batch_format="pyarrow"),
+        _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"]).map_batches(
+            orders_prep, batch_format="pyarrow"
+        ),
+        left_on="l_orderkey",
+        right_on="o_orderkey",
+        key_type=pa.int64(),
+        left_fields=[pa.field("l_suppkey", pa.int64()),
+                     pa.field("max_ship_us", pa.int64())],
+        right_fields=[pa.field("orderdate_us", pa.int64())],
+    )
+
+    late_us = Q21_LATE_DAYS * 86_400_000_000
+    sole_schema = pa.schema([("l_suppkey", pa.int64()), ("one", pa.int64())])
+
+    def per_order(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        # merge cross-block pair partials, then flag lateness per supplier
+        pair = df.groupby(["l_orderkey", "l_suppkey"], sort=False).agg(
+            max_ship_us=("max_ship_us", "max"),
+            orderdate_us=("orderdate_us", "first"),
+        ).reset_index()
+        pair["late"] = (pair["max_ship_us"] > pair["orderdate_us"] + late_us)
+        g = pair.groupby("l_orderkey", sort=False)["late"].agg(["size", "sum"])
+        ok = g[(g["size"] > 1) & (g["sum"] == 1)].index
+        win = pair[pair["late"] & pair["l_orderkey"].isin(ok)]
+        if win.empty:
+            return sole_schema.empty_table()
+        return pa.Table.from_arrays(
+            [pa.array(win["l_suppkey"].to_numpy(dtype="int64")),
+             pa.array(np.ones(len(win), dtype="int64"))],
+            schema=sole_schema,
+        )
+
+    return (
+        hash_exchange(joined, ["l_orderkey"], per_order, sole_schema)
+        .groupby("l_suppkey")
+        .aggregate(Sum("one", alias_name="n_wait"))
+    )
+
+
+SQL_SUPPLIERS_LATE_SOLE = f"""
+WITH lo AS (
+  SELECT l.l_orderkey, l.l_suppkey,
+         max(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL {Q21_LATE_DAYS} DAY
+                  THEN 1 ELSE 0 END) AS late
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  GROUP BY 1, 2
+),
+ord AS (
+  SELECT l_orderkey, count(*) AS n_supp, sum(late) AS n_late
+  FROM lo GROUP BY 1
+)
+SELECT lo.l_suppkey, CAST(count(*) AS BIGINT) AS n_wait
+FROM lo JOIN ord USING (l_orderkey)
+WHERE lo.late = 1 AND ord.n_supp > 1 AND ord.n_late = 1
+GROUP BY lo.l_suppkey
+"""

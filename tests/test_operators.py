@@ -3633,3 +3633,64 @@ class TestHostAssortativity:
         out = Q.q_host_assortativity("ignored")
         assert out["n_stubs"].iloc[0] == 8
         assert abs(out["assortativity"].iloc[0] + 1.0) < 1e-12
+
+
+class TestOrdersLargeVolume:
+    def test_having_gate(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        import service1_text_extraction_ray.pipelines.relational as R
+
+        d = tmp_path / "sf"
+        d.mkdir(exist_ok=True)
+        big, small = R.Q18_QTY + 5, 3
+        pq.write_table(pa.table({
+            "l_orderkey": pa.array([1, 1, 2], pa.int64()),
+            "l_quantity": pa.array([float(big - 1), 1.0, float(small)], pa.float64()),
+        }), str(d / "lineitem.parquet"))
+        pq.write_table(pa.table({
+            "o_orderkey": pa.array([1, 2], pa.int64()),
+            "o_custkey": pa.array([9, 9], pa.int64()),
+            "o_totalprice": pa.array([10.0, 20.0], pa.float64()),
+        }), str(d / "orders.parquet"))
+        out = R.q_orders_large_volume(str(d)).to_pandas()
+        assert out["l_orderkey"].tolist() == [1]
+        assert out["total_qty"].tolist() == [big]
+
+
+class TestSuppliersLateSole:
+    def test_sole_late_on_multi_supplier_orders(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        import service1_text_extraction_ray.pipelines.relational as R
+
+        d = tmp_path / "sf"
+        d.mkdir(exist_ok=True)
+        od = pd.Timestamp("1996-01-01")
+        late = od + pd.Timedelta(days=R.Q21_LATE_DAYS + 1)
+        ontime = od + pd.Timedelta(days=5)
+        rows = [
+            # order 1: supp 7 late, supp 8 on time -> supp 7 counted
+            (1, 7, late), (1, 8, ontime),
+            # order 2: both late -> nobody counted (n_late != 1)
+            (2, 7, late), (2, 8, late),
+            # order 3: single-supplier late -> not counted (n_supp == 1)
+            (3, 7, late),
+            # order 4: supp 8 has one on-time and one late line -> late wins
+            (4, 8, late), (4, 8, ontime), (4, 7, ontime),
+        ]
+        t = pa.table({
+            "l_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+            "l_suppkey": pa.array([r[1] for r in rows], pa.int64()),
+            "l_shipdate": pa.array([r[2] for r in rows], pa.timestamp("us")),
+        })
+        pq.write_table(t, str(d / "lineitem.parquet"))
+        pq.write_table(pa.table({
+            "o_orderkey": pa.array([1, 2, 3, 4], pa.int64()),
+            "o_orderdate": pa.array([od] * 4, pa.timestamp("us")),
+        }), str(d / "orders.parquet"))
+        out = (
+            R.q_suppliers_late_sole(str(d))
+            .to_pandas().set_index("l_suppkey")["n_wait"].to_dict()
+        )
+        assert out == {7: 1, 8: 1}
