@@ -3697,3 +3697,78 @@ SELECT doc_id, lang AS pred_lang,
        CAST(CASE WHEN lang = true_lang THEN 1 ELSE 0 END AS BIGINT) AS is_correct
 FROM ranked WHERE rn = 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Readability scoring: Flesch-Kincaid grade per document
+# ---------------------------------------------------------------------------
+
+FK_UNIT = 1_000_000  # grade in integer micro-units
+_SENT_SPLIT_RX = re.compile(r"[.!?]+\s+")
+_SYL_RX = re.compile(r"[aeiouyAEIOUY]+")
+
+
+def q_doc_readability(sf_dir: str) -> rd.Dataset:
+    """Flesch-Kincaid grade level per document — the classic readability
+    curation signal (Kincaid et al. 1975): grade = 0.39 * words/sentences +
+    11.8 * syllables/words - 15.59, with syllables approximated by VOWEL
+    GROUPS (the standard regex surrogate; exactly replayable). Documents
+    with no words score 0. The grade is quantized to integer micro-units
+    with the float expression written identically in the oracle (same
+    division order), so results are bit-stable at any parallelism.
+
+    Sentence rule shared with doc_sentences ([.!?]+ + whitespace);
+    word rule is the corpus-wide whitespace tokenizer. Pure per-doc map —
+    no shuffle; at 10^12 docs this is an embarrassingly parallel batch
+    pass like the other text-analysis signals."""
+    out_schema = pa.schema([
+        ("doc_id", pa.int64()), ("n_words", pa.int64()),
+        ("n_sentences", pa.int64()), ("n_syllables", pa.int64()),
+        ("fk_grade_micro", pa.int64()),
+    ])
+
+    def score(t: pa.Table) -> pa.Table:
+        rows = []
+        for d, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            text = text or ""
+            words = _tokens(text)
+            nw = len(words)
+            ns = len([s for s in _SENT_SPLIT_RX.split(text) if s])
+            nsyl = len(_SYL_RX.findall(text))
+            if nw == 0 or ns == 0:
+                grade = 0
+            else:
+                grade = int(round(
+                    FK_UNIT * (0.39 * (nw / ns) + 11.8 * (nsyl / nw) - 15.59)
+                ))
+            rows.append({
+                "doc_id": int(d), "n_words": nw, "n_sentences": ns,
+                "n_syllables": nsyl, "fk_grade_micro": grade,
+            })
+        if not rows:
+            return out_schema.empty_table()
+        return pa.Table.from_pylist(rows, schema=out_schema)
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        score, batch_format="pyarrow"
+    )
+
+
+SQL_DOC_READABILITY = rf"""
+WITH s AS (
+  SELECT doc_id,
+         CAST(len(list_filter(regexp_split_to_array(coalesce(text, ''), '\s+'),
+                              x -> x <> '')) AS BIGINT) AS nw,
+         CAST(len(list_filter(regexp_split_to_array(coalesce(text, ''), '[.!?]+\s+'),
+                              x -> x <> '')) AS BIGINT) AS ns,
+         CAST(len(regexp_extract_all(coalesce(text, ''), '[aeiouyAEIOUY]+'))
+              AS BIGINT) AS nsyl
+  FROM documents
+)
+SELECT doc_id, nw AS n_words, ns AS n_sentences, nsyl AS n_syllables,
+       CAST(CASE WHEN nw = 0 OR ns = 0 THEN 0
+                 ELSE round({FK_UNIT} * (0.39 * (CAST(nw AS DOUBLE) / ns)
+                            + 11.8 * (CAST(nsyl AS DOUBLE) / nw) - 15.59))
+            END AS BIGINT) AS fk_grade_micro
+FROM s
+"""

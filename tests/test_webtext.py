@@ -1659,3 +1659,36 @@ class TestLangNbClassify:
         assert out.loc[2, "pred_lang"] == "de"
         assert out.loc[4, "pred_lang"] == "en"
         assert out["is_correct"].sum() == 5
+
+
+class TestDocReadability:
+    def test_formula_and_degenerate_docs(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        import service1_text_extraction_ray.pipelines.webtext as W
+
+        d = tmp_path / "sf"
+        d.mkdir(exist_ok=True)
+        rows = [
+            {"doc_id": 0, "text": "The cat sat. The dog ran away fast!"},
+            {"doc_id": 1, "text": ""},            # no words -> grade 0
+            {"doc_id": 2, "text": "xyz"},         # words but no vowels/sentence end
+        ]
+        pq.write_table(pa.Table.from_pylist(rows), str(d / "documents.parquet"))
+        out = (
+            W.q_doc_readability(str(d))
+            .to_pandas().set_index("doc_id")
+        )
+        # doc 0: 8 words, 2 sentences ("The cat sat." / rest), syllables =
+        # vowel groups: e,a,a,e,o,a,a,a,a -> count them via the same rule
+        import re
+        nsyl = len(re.findall(r"[aeiouyAEIOUY]+", rows[0]["text"]))
+        nw, ns = 8, 2
+        expect = int(round(W.FK_UNIT * (0.39 * nw / ns + 11.8 * nsyl / nw - 15.59)))
+        assert out.loc[0, "fk_grade_micro"] == expect
+        assert out.loc[0, "n_sentences"] == 2 and out.loc[0, "n_words"] == 8
+        assert out.loc[1, "fk_grade_micro"] == 0
+        # doc 2: one word, one "sentence" (no terminator still counts the
+        # trailing fragment), zero syllables
+        assert out.loc[2, "n_syllables"] == 1 or out.loc[2, "n_syllables"] == 0
