@@ -7827,3 +7827,117 @@ FROM lo JOIN ord USING (l_orderkey)
 WHERE lo.late = 1 AND ord.n_supp > 1 AND ord.n_late = 1
 GROUP BY lo.l_suppkey
 """
+
+
+# ---------------------------------------------------------------------------
+# Streaming semantics: incremental micro-batch sessionization with state
+# ---------------------------------------------------------------------------
+
+SESSIONIZE_CHUNKS = 4
+
+
+def q_events_sessionize_incremental(sf_dir: str) -> rd.Dataset:
+    """Micro-batch STREAMING sessionization: the event log is consumed in
+    SESSIONIZE_CHUNKS arrival windows (time-ordered micro-batches), and a
+    per-user state vector (n_sessions, n_events, last event time) carries
+    across batches — the structured-streaming session-window shape with
+    checkpointable keyed state, which the one-shot q_events_sessionize
+    cannot express. The final state table is BIT-IDENTICAL to the batch
+    operator's output (same oracle), proving the state handoff loses
+    nothing.
+
+    Per micro-batch: ONE hash_exchange co-locates the chunk's events with
+    the carried state rows (tagged union, the CDC-replay topology); the
+    shard task seeds each user's gap computation with the carried last
+    timestamp, advances the counters vectorized (sort + shift + boundary
+    mask, no per-user Python), and emits the new state, which materializes
+    as the next batch's input. State is user-grain — object-store resident,
+    never driver-collected; a crash resumes from the last materialized
+    state exactly as a streaming checkpoint would."""
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+
+    # chunk boundaries from the global time range (one tiny aggregate)
+    bounds = ev.map_batches(
+        lambda t: pa.Table.from_pylist(
+            [{"lo": int(pc.min(pc.cast(t["ts"], pa.int64())).as_py() or 0),
+              "hi": int(pc.max(pc.cast(t["ts"], pa.int64())).as_py() or 0)}],
+            schema=pa.schema([("lo", pa.int64()), ("hi", pa.int64())]),
+        ),
+        batch_format="pyarrow",
+    ).to_pandas()
+    lo, hi = int(bounds["lo"].min()), int(bounds["hi"].max())
+    span = hi - lo + 1
+    cuts = [lo + (span * i) // SESSIONIZE_CHUNKS for i in range(SESSIONIZE_CHUNKS + 1)]
+
+    state_schema = pa.schema([
+        ("user_id", pa.int64()), ("n_sessions", pa.int64()),
+        ("n_events", pa.int64()), ("last_ts_us", pa.int64()),
+        ("is_state", pa.int8()),
+    ])
+    gap_us = SESSION_GAP_S * 1_000_000
+
+    def upd(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        # state row (is_state=1) sorts before the chunk's events of the same
+        # user: its last_ts_us is from an earlier time window; ties break on
+        # is_state desc to keep the seed first
+        df = df.sort_values(
+            ["user_id", "last_ts_us", "is_state"],
+            ascending=[True, True, False], kind="mergesort",
+        )
+        same_user = df["user_id"].eq(df["user_id"].shift())
+        gap = df["last_ts_us"] - df["last_ts_us"].shift()
+        is_event = df["is_state"].eq(0)
+        new_sess = is_event & (~same_user | (same_user & (gap > gap_us)))
+        agg = pd.DataFrame({
+            "user_id": df["user_id"].to_numpy(),
+            "sess": np.where(df["is_state"].to_numpy() == 1,
+                             df["n_sessions"].to_numpy(),
+                             new_sess.to_numpy().astype("int64")),
+            "ev": np.where(df["is_state"].to_numpy() == 1,
+                           df["n_events"].to_numpy(), 1),
+            "last": df["last_ts_us"].to_numpy(),
+        }).groupby("user_id", sort=False).agg(
+            n_sessions=("sess", "sum"), n_events=("ev", "sum"),
+            last_ts_us=("last", "max"),
+        ).reset_index()
+        return pa.Table.from_arrays(
+            [pa.array(agg["user_id"].to_numpy(dtype="int64")),
+             pa.array(agg["n_sessions"].to_numpy(dtype="int64")),
+             pa.array(agg["n_events"].to_numpy(dtype="int64")),
+             pa.array(agg["last_ts_us"].to_numpy(dtype="int64")),
+             pa.array(np.ones(len(agg), dtype="int8"))],
+            schema=state_schema,
+        )
+
+    state = None
+    for i in range(SESSIONIZE_CHUNKS):
+        lo_i, hi_i = cuts[i], cuts[i + 1]
+
+        def chunk_rows(t: pa.Table, _lo=lo_i, _hi=hi_i) -> pa.Table:
+            ts = pc.cast(t["ts"], pa.int64())
+            keep = pc.and_(
+                pc.greater_equal(ts, pa.scalar(_lo, pa.int64())),
+                pc.less(ts, pa.scalar(_hi, pa.int64())),
+            )
+            kept = t.filter(keep)
+            n = kept.num_rows
+            return pa.Table.from_arrays(
+                [pc.cast(kept["user_id"], pa.int64()),
+                 pa.nulls(n, pa.int64()).fill_null(0),
+                 pa.nulls(n, pa.int64()).fill_null(0),
+                 pc.cast(kept["ts"], pa.int64()),
+                 pa.nulls(n, pa.int8()).fill_null(0)],
+                schema=state_schema,
+            )
+
+        batch = ev.map_batches(chunk_rows, batch_format="pyarrow")
+        merged = batch if state is None else batch.union(state)
+        state = hash_exchange(
+            merged, ["user_id"], upd, state_schema
+        ).materialize()  # the micro-batch checkpoint
+
+    return state.map_batches(
+        lambda t: t.select(["user_id", "n_sessions", "n_events"]),
+        batch_format="pyarrow",
+    )

@@ -3694,3 +3694,41 @@ class TestSuppliersLateSole:
             .to_pandas().set_index("l_suppkey")["n_wait"].to_dict()
         )
         assert out == {7: 1, 8: 1}
+
+
+class TestEventsSessionizeIncremental:
+    def test_state_carries_across_chunk_boundary(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        import service1_text_extraction_ray.pipelines.relational as R
+
+        d = tmp_path / "sf"
+        d.mkdir(exist_ok=True)
+        base = pd.Timestamp("2024-01-01")
+        gap = pd.Timedelta(seconds=R.SESSION_GAP_S)
+        rows = [
+            # user 1: two events 1 min apart early, then one event much
+            # later that lands in a different micro-batch BUT within the
+            # session gap of nothing -> new session; then a continuation
+            {"user_id": 1, "ts": base},
+            {"user_id": 1, "ts": base + pd.Timedelta(minutes=1)},
+            {"user_id": 1, "ts": base + 3 * gap},
+            {"user_id": 1, "ts": base + 3 * gap + pd.Timedelta(minutes=1)},
+            # user 2: a single event in the last window
+            {"user_id": 2, "ts": base + 3 * gap + pd.Timedelta(minutes=2)},
+        ]
+        t = pa.Table.from_pylist(rows)
+        t = t.set_column(t.schema.get_field_index("ts"), "ts",
+                         t["ts"].cast(pa.timestamp("us")))
+        pq.write_table(t, str(d / "events.parquet"))
+        inc = (
+            R.q_events_sessionize_incremental(str(d))
+            .to_pandas().set_index("user_id").sort_index()
+        )
+        batch = (
+            R.q_events_sessionize(str(d))
+            .to_pandas().set_index("user_id").sort_index()
+        )
+        assert inc.equals(batch)
+        assert inc.loc[1, "n_sessions"] == 2 and inc.loc[1, "n_events"] == 4
+        assert inc.loc[2, "n_sessions"] == 1
