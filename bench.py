@@ -180,6 +180,11 @@ QUERY_NAMES = [
     "host_mirror_overlap", "sitemap_coverage", "search_phrase", "ann_pq",
     "doc_ppl_buckets", "doc_keywords_rake", "doc_char_entropy", "doc_license",
     "customer_rfm", "host_communities", "orders_zorder", "lineitem_ols2", "users_cdc_state", "extract_eval", "extract_social_card", "events_pattern_matches", "warc_cdx", "media_dedup_phash", "host_reciprocity", "doc_dehyphenate", "extract_meta_refresh", "extract_forms", "lineitem_mutual_info", "extract_pdf_attachments", "host_lang_divergence", "doc_citations", "trending_terms", "extract_pdf_page_labels", "part_rules",
+    "customer_order_distribution", "part_small_qty_revenue", "customers_untapped",
+    "host_kcore", "host_clustering", "host_components_star", "host_assortativity",
+    "user_value_rolling_median", "lang_nb_classify", "events_new_users",
+    "knn_int8", "part_top_supplier", "orders_large_volume", "suppliers_late_sole",
+    "doc_readability", "events_sessionize_incremental",
 ]
 
 
