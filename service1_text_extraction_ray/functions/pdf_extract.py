@@ -31,7 +31,10 @@ surface as per-page/per-doc ``parse_failure`` rows, never exceptions):
   ``/DecodeParms`` ``/Predictor`` post-filters on the Flate/LZW stages —
   TIFF horizontal differencing (2) and all five PNG row filters (10-15,
   RFC 2083) with Columns/Colors/BitsPerComponent row geometry; text
-  operators ``BT ET Tf Td TD Tm T* TL Tj TJ ' "``; literal ``(...)`` strings
+  operators ``BT ET Tf Td TD Tm T* TL Tj TJ ' "``; inline images
+  (``BI .. ID <binary> EI``, §8.9.7) are skipped at token granularity so
+  image bytes that spell text operators never inject junk spans; literal
+  ``(...)`` strings
   with standard escapes + octal, hex ``<...>`` strings; single-byte
   (StandardEncoding/WinAnsi ~ latin-1) text, with ``/Encoding
   /Differences`` glyph-name remapping honored per font (uniXXXX names and
@@ -1099,6 +1102,60 @@ def _content_bytes(
 _NUM_TOKEN_RE = re.compile(rb"[+-]?(?:\d+\.?\d*|\.\d+)")
 _OP_TOKEN_RE = re.compile(rb"[A-Za-z'\"*]{1,3}")
 
+_WS_BYTES = (b" ", b"\t", b"\r", b"\n", b"\f", b"\x00")
+# binary payload terminator: whitespace + EI + token boundary (§8.9.7)
+_INLINE_EI_RE = re.compile(rb"[\s\x00]EI(?![0-9A-Za-z])")
+
+
+def _skip_inline_image(data: bytes, i: int) -> int:
+    """Skip an inline image (ISO 32000-1 §8.9.7): ``BI <params> ID <binary>
+    EI``. Called with ``i`` just past the BI operator; returns the offset
+    past the closing EI. The parameter dict is consumed at TOKEN
+    granularity (names/numbers/strings/arrays via the same readers as the
+    main tokenizer), so an ``ID`` inside a string or name can't end the
+    scan early; the binary payload then runs to the first
+    whitespace-delimited EI. Without this, image bytes that happen to spell
+    text operators (``(..) Tj``, ``BT``) would inject junk spans — the
+    classic from-scratch-parser trap on scanned/overlay PDFs."""
+    n = len(data)
+    while i < n:
+        c = data[i : i + 1]
+        if c in _WS_BYTES:
+            i += 1
+            continue
+        if c == b"(":
+            _, i = _read_literal_string(data, i)
+            continue
+        if c == b"<":
+            if data[i : i + 2] == b"<<":
+                _, i = _scan_dict(data, i)
+            else:
+                _, i = _read_hex_string(data, i)
+            continue
+        if c == b"/":
+            m = re.match(rb"/[^\s()<>\[\]/%]*", data[i:])
+            i += m.end()
+            continue
+        if c in (b"[", b"]"):
+            i += 1
+            continue
+        m = _NUM_TOKEN_RE.match(data, i)
+        if m and m.end() > i:
+            i = m.end()
+            continue
+        m = _OP_TOKEN_RE.match(data, i)
+        if m:
+            if m.group(0) == b"ID":
+                i = m.end()
+                if i < n and data[i : i + 1] in _WS_BYTES:
+                    i += 1  # exactly one whitespace byte precedes the data
+                e = _INLINE_EI_RE.search(data, i)
+                return e.end() if e else n
+            i = m.end()
+            continue
+        i += 1  # unknown byte — skip (tolerant)
+    return n
+
 _ESCAPES = {
     0x6E: b"\n",  # n
     0x72: b"\r",  # r
@@ -1213,6 +1270,10 @@ def _tokenize(data: bytes):
                 continue
             m = _OP_TOKEN_RE.match(data, i)
             if m:
+                if m.group(0) == b"BI":
+                    # inline image: never yields tokens (no text content)
+                    i = _skip_inline_image(data, m.end())
+                    continue
                 yield ("op", m.group(0))
                 i = m.end()
             else:

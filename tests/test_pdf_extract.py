@@ -927,3 +927,34 @@ class TestPageLabels:
         from service1_text_extraction_ray.functions.synth import make_pdf
 
         assert PdfDocument(make_pdf([["x"]], rng(), compress=False)).page_labels() == []
+
+
+class TestInlineImages:
+    def test_operator_lookalikes_in_image_data_are_skipped(self):
+        content = (
+            b"BT /F1 12 Tf 72 700 Td (Before image.) Tj ET\n"
+            b"BI /W 4 /H 2 /BPC 8 /CS /G /F /AHx ID "
+            b"\x89(trap) Tj BT 99 0 Td (junk) Tj ET\xff\nEI\n"
+            b"BT /F1 12 Tf 72 680 Td (After image.) Tj ET"
+        )
+        spans = _interpret_text(content)
+        assert [s.text for s in spans] == ["Before image.", "After image."]
+
+    def test_id_inside_param_string_does_not_end_dict_scan(self):
+        # an (ID) literal inside the parameter dict must not be taken for
+        # the ID operator; the real ID follows after /BPC 8
+        content = (
+            b"BI /Name (ID) /BPC 8 ID \x00\x01 BT (x) Tj ET \nEI\n"
+            b"BT /F1 10 Tf 5 5 Td (Real text.) Tj ET"
+        )
+        spans = _interpret_text(content)
+        assert [s.text for s in spans] == ["Real text."]
+
+    def test_unterminated_inline_image_consumes_rest(self):
+        # missing EI: tolerant skip to end, no junk spans, no exception
+        content = (
+            b"BT /F1 10 Tf 5 5 Td (Kept.) Tj ET\n"
+            b"BI /W 1 /H 1 ID \x01\x02(lost) Tj"
+        )
+        spans = _interpret_text(content)
+        assert [s.text for s in spans] == ["Kept."]
