@@ -1692,3 +1692,20 @@ class TestDocReadability:
         # doc 2: one word, one "sentence" (no terminator still counts the
         # trailing fragment), zero syllables
         assert out.loc[2, "n_syllables"] == 1 or out.loc[2, "n_syllables"] == 0
+
+
+class TestBigramLogprobRegimes:
+    def test_join_regime_bit_equal_to_broadcast(self, ray_session, monkeypatch):
+        import service1_text_extraction_ray.pipelines.webtext as W
+
+        sf = "/root/testdata/sf0.001"
+        base = (
+            W.q_doc_bigram_logprob(sf).to_pandas()
+            .sort_values("doc_id").reset_index(drop=True)
+        )
+        monkeypatch.setattr(W, "LM_BROADCAST_BIGRAMS", -1)
+        joined = (
+            W.q_doc_bigram_logprob(sf).to_pandas()
+            .sort_values("doc_id").reset_index(drop=True)
+        )
+        assert joined.equals(base)
