@@ -2210,22 +2210,57 @@ def q_corpus_pmi(sf_dir: str) -> pd.DataFrame:
         ),
         batch_format="pyarrow",
     ).materialize()
+    # B is one global scalar: per-block partials + Dataset.sum — a keyed
+    # exchange here was pure overhead (a sort-shuffle to merge one key)
     B = int(
-        hash_exchange(
-            docs.map_batches(
-                lambda df: pd.DataFrame({
-                    "k": [0],
-                    "b": pd.Series(
-                        [sum(max(0, len(_tokens(x or "")) - 1) for x in df["text"])],
-                        dtype="int64",
-                    ),
-                }),
-                batch_format="pandas",
-            ),
-            ["k"], sum_by(["k"], "b"), pa.schema([("k", pa.int64()), ("b", pa.int64())]),
+        docs.map_batches(
+            lambda df: pd.DataFrame({
+                "b": pd.Series(
+                    [sum(max(0, len(_tokens(x or "")) - 1) for x in df["text"])],
+                    dtype="int64",
+                ),
+            }),
+            batch_format="pandas",
         ).sum("b")
         or 0
     )
+
+    # BROADCAST regime (size-gated, as q_doc_bigram_logprob): vocabulary
+    # fits memory -> ship the unigram table via ray.put and score the
+    # filtered pairs in one pass, skipping both joins. Same float
+    # expression in the same association order -> bit-equal to the join
+    # regime (pytest crosses them).
+    if uni.count() <= LM_BROADCAST_BIGRAMS:
+        n_map: dict = {}
+        for bt in uni.iter_batches(batch_format="pyarrow"):
+            for tk, nn in zip(bt["token"].to_pylist(), bt["n"].to_pylist()):
+                n_map[tk] = int(nn)
+        uref = ray.put(n_map)
+
+        def score_topk_bcast(t: pa.Table, _T=T, _B=B) -> pa.Table:
+            nm = ray.get(uref)
+            rows = []
+            for t1, t2, n_ab in zip(
+                t["t1"].to_pylist(), t["t2"].to_pylist(), t["n_ab"].to_pylist()
+            ):
+                n1, n2 = nm[t1], nm[t2]
+                # association order mirrors the SQL: ((n_ab*T)*T) / ((B*n1)*n2)
+                val = math.log(float(n_ab) * _T * _T / (float(_B) * n1 * n2))
+                rows.append({
+                    "bigram": f"{t1} {t2}", "n_ab": int(n_ab),
+                    "pmi_nano": int(round(val * PMI_UNIT)),
+                })
+            rows.sort(key=lambda r: (-r["pmi_nano"], r["bigram"]))
+            rows = rows[:PMI_TOPK]
+            if not rows:
+                return _PMI_SCHEMA.empty_table()
+            return pa.Table.from_pylist(rows, schema=_PMI_SCHEMA)
+
+        parts = big.map_batches(score_topk_bcast, batch_format="pyarrow").to_pandas()
+        out = parts.sort_values(
+            ["pmi_nano", "bigram"], ascending=[False, True]
+        ).head(PMI_TOPK)
+        return out.reset_index(drop=True)
 
     j1 = hash_join(
         big, uni,

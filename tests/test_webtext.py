@@ -1709,3 +1709,14 @@ class TestBigramLogprobRegimes:
             .sort_values("doc_id").reset_index(drop=True)
         )
         assert joined.equals(base)
+
+
+class TestCorpusPmiRegimes:
+    def test_join_regime_bit_equal_to_broadcast(self, ray_session, monkeypatch):
+        import service1_text_extraction_ray.pipelines.webtext as W
+
+        sf = "/root/testdata/sf0.001"
+        base = W.q_corpus_pmi(sf).reset_index(drop=True)
+        monkeypatch.setattr(W, "LM_BROADCAST_BIGRAMS", -1)
+        joined = W.q_corpus_pmi(sf).reset_index(drop=True)
+        assert joined.equals(base)
