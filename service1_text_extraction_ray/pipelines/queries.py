@@ -5135,6 +5135,107 @@ SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a
 """
 
 
+def q_dedup_select_best(sf_dir: str) -> rd.Dataset:
+    """Representative selection per near-dup cluster — the step production
+    dedup actually ships: given the connected components of the verified
+    near-dup pair graph (q_dedup_near_clusters), keep the member with the
+    MOST alphabetic characters (tie -> smaller doc_id) and drop the rest.
+    "Longest / cleanest member wins" is the curation policy CC-derived
+    corpora use so boilerplate-padded mirrors don't displace the canonical
+    article.
+
+    Topology: the cluster table is result-scale (orders of magnitude below
+    the corpus) so membership broadcasts via ray.put; one scoring
+    map_batches over the documents stream emits per-block partial argmax
+    rows — <= #clusters rows per block, never the text — and one tiny
+    keyed merge finishes. Output: one row per cluster
+    (cluster_id, keep_doc_id, keep_alpha_chars, n_members)."""
+    import re as _re
+
+    comp = q_dedup_near_clusters(sf_dir).to_pandas()  # result-scale
+    members_ref = ray.put({
+        int(d): int(c) for d, c in zip(comp["doc_id"], comp["cluster_id"])
+    })
+
+    part_schema = pa.schema([
+        ("cluster_id", pa.int64()), ("keep_doc_id", pa.int64()),
+        ("keep_alpha_chars", pa.int64()), ("n_members", pa.int64()),
+    ])
+    alpha_rx = _re.compile(r"[A-Za-z]")
+
+    def partial(t: pa.Table, _ref=members_ref) -> pa.Table:
+        m = ray.get(_ref)
+        best: dict[int, list[int]] = {}
+        for d, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            c = m.get(int(d))
+            if c is None:
+                continue
+            alpha = len(alpha_rx.findall(text or ""))
+            cur = best.get(c)
+            if cur is None:
+                best[c] = [int(d), alpha, 1]
+            else:
+                cur[2] += 1
+                if alpha > cur[1] or (alpha == cur[1] and int(d) < cur[0]):
+                    cur[0], cur[1] = int(d), alpha
+        if not best:
+            return part_schema.empty_table()
+        return pa.Table.from_pylist(
+            [{"cluster_id": c, "keep_doc_id": v[0], "keep_alpha_chars": v[1],
+              "n_members": v[2]} for c, v in best.items()],
+            schema=part_schema,
+        )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["keep_alpha_chars", "keep_doc_id"], ascending=[False, True]
+        )
+        out = g.iloc[:1].copy()
+        out["n_members"] = int(g["n_members"].sum())
+        return out[["cluster_id", "keep_doc_id", "keep_alpha_chars", "n_members"]]
+
+    return (
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("cluster_id")
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
+SQL_DEDUP_SELECT_BEST = f"""
+WITH RECURSIVE {_JACC_CTES},
+pairs AS (SELECT * FROM ({_JACC_SELECT}) u),
+uedges AS (
+  SELECT doc_id_a AS a, doc_id_b AS b FROM pairs
+  UNION
+  SELECT doc_id_b, doc_id_a FROM pairs
+),
+nodes AS (SELECT DISTINCT a AS d FROM uedges),
+reach(a, b) AS (
+  SELECT d, d FROM nodes
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN uedges e ON r.b = e.a
+),
+comp2 AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a),
+qsc AS (
+  SELECT c.cluster_id, c.doc_id,
+         CAST(length(regexp_replace(d.text, '[^A-Za-z]', '', 'g')) AS BIGINT)
+           AS alpha
+  FROM comp2 c JOIN documents d USING (doc_id)
+),
+rk AS (
+  SELECT cluster_id, doc_id, alpha,
+         row_number() OVER (PARTITION BY cluster_id
+                            ORDER BY alpha DESC, doc_id ASC) AS rn,
+         count(*) OVER (PARTITION BY cluster_id) AS n
+  FROM qsc
+)
+SELECT cluster_id, doc_id AS keep_doc_id, alpha AS keep_alpha_chars,
+       CAST(n AS BIGINT) AS n_members
+FROM rk WHERE rn = 1
+"""
+
+
 def q_extract_pdf_info(sf_dir: str) -> rd.Dataset:
     """PDF document-information metadata (ISO 32000-1 §14.3.3): open each
     synthesized PDF payload and read the /Info dictionary's Title/Author/

@@ -163,6 +163,15 @@ def _exchange_blocks() -> int:
         return 8
 
 
+def schema_anchor(ds: rd.Dataset, schema: pa.Schema) -> rd.Dataset:
+    """Pin ``schema`` onto a Dataset whose rows may ALL be filtered away: a
+    fully-empty post-exchange Dataset loses its column names inside Ray's
+    AllToAll internals (``to_pandas()`` then yields a column-less frame),
+    so queries that can legitimately return zero rows union one 0-row typed
+    Arrow block in front. Lazy, no shuffle, row content unchanged."""
+    return rd.from_arrow(schema.empty_table()).union(ds)
+
+
 def hash_exchange(
     ds: rd.Dataset,
     key_cols: List[str],
@@ -709,7 +718,7 @@ def q_customers_dormant(sf_dir: str) -> rd.Dataset:
         columns=["o_custkey"],
         filter=pads.field("o_orderdate") >= pd.Timestamp(DORMANT_CUTOFF),
     ).map_batches(recent_keys, batch_format="pyarrow")
-    return hash_join(
+    out = hash_join(
         _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]),
         recent,
         left_on="c_custkey",
@@ -719,6 +728,10 @@ def q_customers_dormant(sf_dir: str) -> rd.Dataset:
         right_fields=[pa.field("n_orders", pa.int64())],
         how="anti",
     )
+    # every customer can be active at small sf — keep the schema on 0 rows
+    return schema_anchor(out, pa.schema([
+        ("c_custkey", pa.int64()), ("c_mktsegment", pa.string()),
+    ]))
 
 
 SQL_CUSTOMERS_DORMANT = f"""
@@ -3545,14 +3558,14 @@ def q_parts_both_nations(sf_dir: str) -> rd.Dataset:
         )
         return pa.Table.from_arrays([g.filter(both)["partkey"]], names=["partkey"])
 
-    return hash_exchange(
+    return schema_anchor(hash_exchange(
         _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"]).map_batches(
             flags, batch_format="pyarrow"
         ),
         ["partkey"],
         intersect,
         out_schema,
-    )
+    ), out_schema)  # the intersection can be empty at small sf
 
 
 SQL_PARTS_BOTH_NATIONS = f"""
@@ -6841,27 +6854,33 @@ def q_part_rules(sf_dir: str) -> pd.DataFrame:
 
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
 
-    # distinct orders per part: per-block distinct pairs -> keyed exchange
+    # distinct orders per part: per-block distinct (part, order) PAIRS ride
+    # the exchange (counts must NOT — a pair spanning two input blocks
+    # would double-count; all rows of a part land in one shard, so the
+    # in-shard dedup is globally exact)
     pc_schema = pa.schema([("part", pa.int64()), ("n", pa.int64())])
+    pair_schema = pa.schema([("part", pa.int64()), ("okey", pa.int64())])
 
     def part_partials(t: pa.Table) -> pa.Table:
         df = t.to_pandas().drop_duplicates()
-        agg = df.groupby("l_partkey", sort=False).size().reset_index(name="n")
         return pa.Table.from_arrays(
-            [pa.array(agg["l_partkey"].to_numpy(dtype="int64")),
+            [pa.array(df["l_partkey"].to_numpy(dtype="int64")),
+             pa.array(df["l_orderkey"].to_numpy(dtype="int64"))],
+            schema=pair_schema,
+        )
+
+    def shard_count_distinct(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().drop_duplicates()
+        agg = df.groupby("part", sort=False).size().reset_index(name="n")
+        return pa.Table.from_arrays(
+            [pa.array(agg["part"].to_numpy(dtype="int64")),
              pa.array(agg["n"].to_numpy(dtype="int64"))],
             schema=pc_schema,
         )
 
-    def shard_sum(t: pa.Table) -> pa.Table:
-        g = t.group_by("part").aggregate([("n", "sum")])
-        return pa.Table.from_arrays(
-            [g["part"], pc.cast(g["n_sum"], pa.int64())], schema=pc_schema
-        )
-
     part_counts = hash_exchange(
         li.map_batches(part_partials, batch_format="pyarrow"),
-        ["part"], shard_sum, pc_schema,
+        ["part"], shard_count_distinct, pc_schema,
     ).materialize()
 
     n_orders = int(

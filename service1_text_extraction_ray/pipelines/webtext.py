@@ -3866,3 +3866,158 @@ SELECT doc_id, nw AS n_words, ns AS n_sentences, nsyl AS n_syllables,
             END AS BIGINT) AS fk_grade_micro
 FROM s
 """
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights (data selection via importance resampling)
+# ---------------------------------------------------------------------------
+
+DSIR_BUCKETS = 64  # hashed-bigram feature dimension (10k in the paper)
+DSIR_TARGET_LANG = "en"  # the "target domain" label the weights steer toward
+DSIR_UNIT = 1_000_000_000  # log-ratios quantize to integer nano-nats
+
+
+def q_corpus_dsir_weights(sf_dir: str) -> rd.Dataset:
+    """DSIR importance weights per document (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling"): fit two
+    hashed-bigram unigram models — target = the ``lang='en'`` slice, raw =
+    the whole corpus — and score every document with
+    ``log w(x) = sum_b c_x[b] * (ln p_tgt[b] - ln p_raw[b])`` over
+    DSIR_BUCKETS hashed word-bigram features. Production pipelines resample
+    the corpus proportional to these weights to steer the training mixture
+    toward a target domain; the weight computation is the distributed part
+    and is what this operator implements.
+
+    Exactness (the NB/MI quantize-then-sum discipline): each bucket's two
+    add-one-smoothed log-likelihoods quantize ONCE to integer nano-nats
+    with float expressions written identically here and in the oracle, so
+    per-doc scores are pure int64 dot products — order-independent and
+    bit-stable at any parallelism.
+
+    Topology: pass 1 collapses each block's bigrams to <= DSIR_BUCKETS
+    (bucket, n_raw, n_tgt) partial rows (counts never ride the exchange at
+    token grain), one tiny groupby sums buckets, the driver quantizes the
+    2 x 64 model and broadcasts it via ray.put; pass 2 is a single scoring
+    map_batches. Output: (doc_id, n_bigrams, dsir_logw_nano)."""
+    import math
+
+    part_schema = pa.schema([
+        ("b", pa.int64()), ("n_raw", pa.int64()), ("n_tgt", pa.int64()),
+    ])
+
+    def _doc_buckets(text: str) -> dict[int, int]:
+        ts = _tokens(text or "")
+        acc: dict[int, int] = {}
+        for i in range(len(ts) - 1):
+            b = _cms_token_u64(ts[i] + " " + ts[i + 1]) % DSIR_BUCKETS
+            acc[b] = acc.get(b, 0) + 1
+        return acc
+
+    def bucket_partials(df: pd.DataFrame) -> pa.Table:
+        raw = np.zeros(DSIR_BUCKETS, dtype=np.int64)
+        tgt = np.zeros(DSIR_BUCKETS, dtype=np.int64)
+        for text, lang in zip(df["text"], df["lang"]):
+            for b, k in _doc_buckets(text).items():
+                raw[b] += k
+                if lang == DSIR_TARGET_LANG:
+                    tgt[b] += k
+        nz = np.flatnonzero(raw)
+        if nz.size == 0:
+            return part_schema.empty_table()
+        return pa.Table.from_arrays(
+            [pa.array(nz, pa.int64()), pa.array(raw[nz]), pa.array(tgt[nz])],
+            schema=part_schema,
+        )
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    bk = (
+        docs.map_batches(bucket_partials, batch_format="pandas")
+        .groupby("b")
+        .aggregate(Sum("n_raw", alias_name="n_raw"),
+                   Sum("n_tgt", alias_name="n_tgt"))
+        .to_pandas()
+    )
+    t_raw = int(bk["n_raw"].sum())
+    t_tgt = int(bk["n_tgt"].sum())
+    qv = {
+        int(r.b): (
+            int(round(DSIR_UNIT * math.log((int(r.n_tgt) + 1.0)
+                                           / (t_tgt + DSIR_BUCKETS))))
+            - int(round(DSIR_UNIT * math.log((int(r.n_raw) + 1.0)
+                                             / (t_raw + DSIR_BUCKETS))))
+        )
+        for r in bk.itertuples(index=False)
+    }
+    model_ref = ray.put(qv)
+
+    out_schema = pa.schema([
+        ("doc_id", pa.int64()), ("n_bigrams", pa.int64()),
+        ("dsir_logw_nano", pa.int64()),
+    ])
+
+    def score(df: pd.DataFrame, _ref=model_ref) -> pa.Table:
+        qv_ = ray.get(_ref)
+        ids, nbs, ws = [], [], []
+        for d, text in zip(df["doc_id"], df["text"]):
+            cb = _doc_buckets(text)
+            ids.append(int(d))
+            nbs.append(sum(cb.values()))
+            ws.append(sum(k * qv_[b] for b, k in cb.items()))
+        return pa.Table.from_arrays(
+            [pa.array(ids, pa.int64()), pa.array(nbs, pa.int64()),
+             pa.array(ws, pa.int64())],
+            schema=out_schema,
+        )
+
+    return docs.map_batches(score, batch_format="pandas")
+
+
+def _sql_dsir() -> str:
+    from .queries import _sql_md5_u64le
+
+    return f"""
+WITH arrs AS (
+  SELECT doc_id, lang,
+         list_filter(regexp_split_to_array(coalesce(text, ''), '\\s+'),
+                     x -> x <> '') AS a
+  FROM documents
+),
+dbg AS (
+  SELECT doc_id, lang,
+         unnest(list_transform(range(1, len(a)), i -> a[i] || ' ' || a[i + 1]))
+           AS bigram
+  FROM arrs WHERE len(a) >= 2
+),
+hb AS (
+  SELECT doc_id, lang,
+         CAST(({_sql_md5_u64le("md5(bigram)")}) % {DSIR_BUCKETS} AS BIGINT) AS b
+  FROM dbg
+),
+bk AS (
+  SELECT b, CAST(count(*) AS BIGINT) AS n_raw,
+         CAST(sum(CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_tgt
+  FROM hb GROUP BY b
+),
+tot AS (SELECT sum(n_raw) AS t_raw, sum(n_tgt) AS t_tgt FROM bk),
+q AS (
+  SELECT b,
+         CAST(round({DSIR_UNIT} * ln((n_tgt + 1.0) / (t_tgt + {DSIR_BUCKETS})))
+              AS BIGINT)
+         - CAST(round({DSIR_UNIT} * ln((n_raw + 1.0) / (t_raw + {DSIR_BUCKETS})))
+                AS BIGINT) AS qv
+  FROM bk, tot
+),
+terms AS (SELECT doc_id, b, CAST(count(*) AS BIGINT) AS k FROM hb GROUP BY 1, 2),
+agg AS (
+  SELECT t.doc_id, CAST(sum(t.k) AS BIGINT) AS n_bigrams,
+         CAST(sum(t.k * q.qv) AS BIGINT) AS dsir_logw_nano
+  FROM terms t JOIN q USING (b) GROUP BY 1
+)
+SELECT d.doc_id, coalesce(a.n_bigrams, 0) AS n_bigrams,
+       coalesce(a.dsir_logw_nano, 0) AS dsir_logw_nano
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
+SQL_CORPUS_DSIR_WEIGHTS = _sql_dsir()

@@ -3732,3 +3732,93 @@ class TestEventsSessionizeIncremental:
         assert inc.equals(batch)
         assert inc.loc[1, "n_sessions"] == 2 and inc.loc[1, "n_events"] == 4
         assert inc.loc[2, "n_sessions"] == 1
+
+
+class TestPartRulesDistinct:
+    def test_cross_block_duplicate_pair_counts_once(self, ray_session, tmp_path):
+        """A (order, part) pair split across TWO input files (= two read
+        blocks) must count that order ONCE in n_a/n_b — the per-block
+        distinct-then-sum regression the sf0.001 sweep caught."""
+        import pyarrow.parquet as pq
+
+        import service1_text_extraction_ray.pipelines.relational as R
+
+        d = tmp_path / "sf"
+        (d / "lineitem.parquet").mkdir(parents=True)
+        pq.write_table(
+            pa.table({"o_orderkey": list(range(1, 11))}),
+            str(d / "orders.parquet"),
+        )
+        # orders 1-3 each hold parts 100 AND 200 (pair support 3)
+        f1 = pa.table({
+            "l_orderkey": [1, 1, 2, 2, 3, 3, 1],
+            "l_partkey": [100, 200, 100, 200, 100, 200, 100],  # in-file dup
+        })
+        # order 1 repeats part 100 in a SECOND file -> second read block
+        f2 = pa.table({"l_orderkey": [1, 1], "l_partkey": [100, 200]})
+        pq.write_table(f1, str(d / "lineitem.parquet" / "part1.parquet"))
+        pq.write_table(f2, str(d / "lineitem.parquet" / "part2.parquet"))
+
+        out = R.q_part_rules(str(d))
+        assert len(out) == 1
+        row = out.iloc[0]
+        assert (row["part_a"], row["part_b"]) == (100, 200)
+        assert row["n_ab"] == 3
+        assert row["n_a"] == 3, "cross-file duplicate pair double-counted"
+        assert row["n_b"] == 3
+        assert row["lift_micro"] == 3 * 10 * 1_000_000 // (3 * 3)
+
+
+class TestDedupSelectBest:
+    def test_winner_is_max_alpha_member(self, ray_session):
+        from service1_text_extraction_ray.pipelines.queries import (
+            q_dedup_near_clusters,
+            q_dedup_select_best,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        comp = q_dedup_near_clusters(sf).to_pandas()
+        best = q_dedup_select_best(sf).to_pandas()
+        assert set(best["cluster_id"]) == set(comp["cluster_id"])
+        sizes = comp.groupby("cluster_id").size()
+        for r in best.itertuples(index=False):
+            members = set(
+                comp[comp["cluster_id"] == r.cluster_id]["doc_id"]
+            )
+            assert r.keep_doc_id in members
+            assert r.n_members == sizes[r.cluster_id]
+            assert r.n_members >= 2  # clusters only exist for >=1 pair
+
+
+class TestCorpusDsirWeights:
+    def test_target_lang_docs_score_higher(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        import service1_text_extraction_ray.pipelines.webtext as W
+
+        d = tmp_path / "sf"
+        d.mkdir()
+        docs = pa.table({
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "lang": ["en", "en", "fr", "fr"],
+            "text": [
+                "alpha beta alpha beta alpha",
+                "alpha beta gamma",
+                "gamma delta gamma delta gamma",
+                "delta gamma delta",
+            ],
+        })
+        pq.write_table(docs, str(d / "documents.parquet"))
+        out = (
+            W.q_corpus_dsir_weights(str(d))
+            .to_pandas().set_index("doc_id").sort_index()
+        )
+        # en-dominated bigrams score positive, fr-dominated negative
+        assert out.loc[1, "dsir_logw_nano"] > 0 > out.loc[3, "dsir_logw_nano"]
+        assert out.loc[1, "n_bigrams"] == 4
+        # deterministic across runs
+        out2 = (
+            W.q_corpus_dsir_weights(str(d))
+            .to_pandas().set_index("doc_id").sort_index()
+        )
+        assert out.equals(out2)

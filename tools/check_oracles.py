@@ -27,7 +27,17 @@ def to_pandas(res):
     import ray.data as rd
 
     if isinstance(res, rd.Dataset):
-        return res.to_pandas()
+        df = res.to_pandas()
+        if df.shape[1] == 0:
+            # Ray's to_pandas drops column names at 0 rows; rebuild the
+            # typed empty frame from the Dataset schema (queries that can
+            # return no rows anchor a typed empty block, see schema_anchor)
+            sch = res.schema(fetch_if_missing=True)
+            if sch is not None and sch.names:
+                df = pa.schema(
+                    list(zip(sch.names, sch.types))
+                ).empty_table().to_pandas()
+        return df
     if isinstance(res, pa.Table):
         return res.to_pandas()
     return res
