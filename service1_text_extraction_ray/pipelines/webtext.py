@@ -4021,3 +4021,175 @@ FROM documents d LEFT JOIN agg a USING (doc_id)
 
 
 SQL_CORPUS_DSIR_WEIGHTS = _sql_dsir()
+
+
+# ---------------------------------------------------------------------------
+# BPE merge learning (tokenizer training over the corpus)
+# ---------------------------------------------------------------------------
+
+BPE_MERGES = 6  # rounds to learn; the oracle unrolls this many CTE chains
+
+
+def _bpe_apply(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    """Segment ``word`` under a learned merge list: start from characters +
+    the '</w>' end marker, apply each merge IN LEARNED ORDER with one
+    left-to-right non-overlapping pass (after a merge at i the scan resumes
+    at i+2 — the merged symbol cannot merge again within the same pass;
+    identical to SQL replace() semantics on the oracle's double-space
+    symbol encoding)."""
+    syms = list(word) + ["</w>"]
+    for a, b in merges:
+        i, out = 0, []
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def q_corpus_bpe_merges(sf_dir: str) -> pd.DataFrame:
+    """Byte-pair-encoding merge learning over the corpus (Sennrich et al.
+    2016, "Neural Machine Translation of Rare Words with Subword Units") —
+    the tokenizer-training step of a training-data pipeline: learn the
+    first BPE_MERGES merges from corpus word frequencies. Each round counts
+    adjacent symbol pairs over the WORD-TYPE table (weighted by word
+    frequency) and merges the most frequent pair everywhere; ties break on
+    the pair's space-joined string ascending (space sorts below every
+    printable ASCII char, so the string order equals the (a, b) tuple
+    order — the oracle sorts the same key).
+
+    Topology: word counts reduce the corpus to its vocabulary in ONE keyed
+    exchange (per-block Counter partials, groupby-sum); the K-round loop
+    then never touches the corpus again — each round is a map_batches of
+    <= distinct-pairs-per-block partial counts over the vocab-scale word
+    table, one tiny pair groupby, a per-block argmax, and a driver-side
+    final argmax over #blocks rows; the learned merge list (<= K entries)
+    broadcasts by closure. Counts are integers and every tie is total, so
+    the result is bit-identical at any parallelism. Output: one row per
+    round (rnd, sym_a, sym_b, pair_count)."""
+    cnt_schema = pa.schema([("token", pa.string()), ("n", pa.int64())])
+
+    def tok_partials(df: pd.DataFrame) -> pa.Table:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for text in df["text"]:
+            c.update(_tokens(text or ""))
+        if not c:
+            return cnt_schema.empty_table()
+        return pa.Table.from_pylist(
+            [{"token": t, "n": n} for t, n in c.items()], schema=cnt_schema
+        )
+
+    words = (
+        _read(sf_dir, "documents", ["text"])
+        .map_batches(tok_partials, batch_format="pandas")
+        .groupby("token")
+        .aggregate(Sum("n", alias_name="n"))
+        .materialize()
+    )
+
+    pair_schema = pa.schema([("pair", pa.string()), ("n", pa.int64())])
+    merges: list[tuple[str, str]] = []
+    out_rows = []
+    for rnd in range(1, BPE_MERGES + 1):
+        cur = list(merges)
+
+        def pair_partials(t: pa.Table, _m=cur) -> pa.Table:
+            acc: dict[str, int] = {}
+            for w, n in zip(t["token"].to_pylist(), t["n"].to_pylist()):
+                syms = _bpe_apply(w, _m)
+                for i in range(len(syms) - 1):
+                    k = syms[i] + " " + syms[i + 1]
+                    acc[k] = acc.get(k, 0) + int(n)
+            if not acc:
+                return pair_schema.empty_table()
+            return pa.Table.from_pylist(
+                [{"pair": p, "n": n} for p, n in acc.items()],
+                schema=pair_schema,
+            )
+
+        def block_argmax(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return pair_schema.empty_table()
+            df = t.to_pandas().sort_values(
+                ["n", "pair"], ascending=[False, True]
+            )
+            return pa.Table.from_pandas(
+                df.iloc[:1], schema=pair_schema, preserve_index=False
+            )
+
+        best = (
+            words.map_batches(pair_partials, batch_format="pyarrow")
+            .groupby("pair")
+            .aggregate(Sum("n", alias_name="n"))
+            .map_batches(block_argmax, batch_format="pyarrow")
+            .to_pandas()
+        )
+        if best.empty:
+            break
+        best = best.sort_values(["n", "pair"], ascending=[False, True]).iloc[0]
+        a, b = str(best["pair"]).split(" ", 1)
+        merges.append((a, b))
+        out_rows.append({
+            "rnd": rnd, "sym_a": a, "sym_b": b, "pair_count": int(best["n"]),
+        })
+    return pd.DataFrame(
+        out_rows, columns=["rnd", "sym_a", "sym_b", "pair_count"]
+    ).astype({"rnd": "int64", "pair_count": "int64"})
+
+
+def _sql_bpe_merges() -> str:
+    """Unrolled-K replay: word state is the symbol list joined with DOUBLE
+    spaces (outer single spaces), so ``replace(state, ' a  b ', ' ab ')``
+    is exactly one left-to-right non-overlapping merge pass — the
+    replacement's trailing space plus the separator's surviving space
+    restore the double-space invariant, and consecutive occurrences chain
+    because the scan resumes inside the next separator."""
+    parts = [
+        """tok0 AS (
+  SELECT unnest(list_filter(regexp_split_to_array(coalesce(text, ''), '\\s+'),
+                x -> x <> '')) AS token
+  FROM documents
+),
+wc AS (SELECT token, CAST(count(*) AS BIGINT) AS n FROM tok0 GROUP BY 1),
+w0 AS (
+  SELECT ' ' || array_to_string(
+           list_append(regexp_extract_all(token, '.'), '</w>'), '  ') || ' '
+           AS state,
+         n
+  FROM wc
+)"""
+    ]
+    for r in range(1, BPE_MERGES + 1):
+        parts.append(f"""p{r} AS (
+  SELECT s[i] || ' ' || s[i + 1] AS pair, CAST(sum(n) AS BIGINT) AS cnt
+  FROM (SELECT string_split(trim(state, ' '), '  ') AS s, n FROM w{r - 1}),
+       UNNEST(range(1, len(s))) AS u(i)
+  GROUP BY 1
+),
+m{r} AS (
+  SELECT split_part(pair, ' ', 1) AS a,
+         substr(pair, len(split_part(pair, ' ', 1)) + 2) AS b,
+         cnt
+  FROM p{r} ORDER BY cnt DESC, pair ASC LIMIT 1
+),
+w{r} AS (
+  SELECT replace(w.state, ' ' || m.a || '  ' || m.b || ' ',
+                 ' ' || m.a || m.b || ' ') AS state,
+         w.n
+  FROM w{r - 1} w CROSS JOIN m{r} m
+)""")
+    sel = "\nUNION ALL\n".join(
+        f"SELECT {r} AS rnd, a AS sym_a, b AS sym_b, cnt AS pair_count FROM m{r}"
+        for r in range(1, BPE_MERGES + 1)
+    )
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT * FROM (\n{sel}\n) ORDER BY rnd")
+
+
+SQL_CORPUS_BPE_MERGES = _sql_bpe_merges()

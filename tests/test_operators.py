@@ -3822,3 +3822,47 @@ class TestCorpusDsirWeights:
             .to_pandas().set_index("doc_id").sort_index()
         )
         assert out.equals(out2)
+
+
+class TestCorpusBpeMerges:
+    def test_apply_overlap_is_left_to_right_nonoverlapping(self):
+        from service1_text_extraction_ray.pipelines.webtext import _bpe_apply
+
+        assert _bpe_apply("aaa", [("a", "a")]) == ["aa", "a", "</w>"]
+        assert _bpe_apply("aaaa", [("a", "a")]) == ["aa", "aa", "</w>"]
+        assert _bpe_apply("aaaa", [("a", "a"), ("aa", "aa")]) == ["aaaa", "</w>"]
+
+    def test_learned_merges_match_scalar_reference(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        import service1_text_extraction_ray.pipelines.webtext as W
+
+        d = tmp_path / "sf"
+        d.mkdir()
+        corpus = "low low low lower lower newest newest newest newest widest"
+        pq.write_table(
+            pa.table({"doc_id": pa.array([1], pa.int64()),
+                      "lang": ["en"], "text": [corpus]}),
+            str(d / "documents.parquet"),
+        )
+        out = W.q_corpus_bpe_merges(str(d))
+
+        # independent scalar twin (Sennrich alg. 1 on word counts)
+        from collections import Counter
+
+        wc = Counter(corpus.split())
+        merges, expect = [], []
+        for rnd in range(1, W.BPE_MERGES + 1):
+            pc_: Counter = Counter()
+            for w, n in wc.items():
+                syms = W._bpe_apply(w, merges)
+                for i in range(len(syms) - 1):
+                    pc_[(syms[i], syms[i + 1])] += n
+            best = min(pc_.items(), key=lambda kv: (-kv[1], kv[0][0] + " " + kv[0][1]))
+            merges.append(best[0])
+            expect.append((rnd, best[0][0], best[0][1], best[1]))
+        got = list(out.itertuples(index=False, name=None))
+        assert got == expect
+        # the classic corpus learns 'est</w>' early
+        joined = {a + b for _, a, b, _ in expect}
+        assert any("est" in s for s in joined)
