@@ -6142,12 +6142,13 @@ def q_crawl_plan(sf_dir: str) -> rd.Dataset:
 
     Everything stays integer, so the oracle replays the WHOLE composition:
     unrolled PageRank CTEs x reconstructed links x the robots k-rule table
-    x Hamilton CTEs x a window rank. Topology: the link stream derives
-    twice (deterministic flat map — cheaper than materializing it: once for
-    the tiny per-host allowed counts that feed the apportionment, once for
-    ranking); PageRank and the budget table broadcast via ray.put (host-
-    cardinality maps); the only exchange is ONE hash_exchange on host for
-    the in-shard vectorized rank+filter."""
+    x Hamilton CTEs x a window rank. Topology: the allowed-link stream is
+    extracted once and MATERIALIZED (robots parse + link extraction per doc
+    dominates; the stream itself is small next to the corpus), feeding both
+    the tiny per-host counts for the apportionment and the ranking pass;
+    PageRank and the budget table broadcast via ray.put (host-cardinality
+    maps); the only exchange is ONE hash_exchange on host for the in-shard
+    vectorized rank+filter."""
     from ..functions.links import extract_outlinks
     from ..functions.robots import AGENT, is_allowed, make_robots_txt, parse_robots
     from ..functions.synth import make_link_page
@@ -6205,7 +6206,12 @@ def q_crawl_plan(sf_dir: str) -> rd.Dataset:
         )
 
     docs = _read(sf_dir, "documents", ["doc_id", "source", "lang"])
-    links = docs.map_batches(allowed_links, batch_format="pyarrow")
+    # materialize ONCE: the allowed-link stream is a small fraction of the
+    # page corpus in bytes, and deriving it means a robots parse + link
+    # extraction per doc — measured 13.1 s -> 10.5 s at sf0.1/32cpu vs the
+    # derive-twice variant this replaces (rest of the time is the PageRank
+    # sub-pipeline + the Hamilton barrier, both inherent to the composition)
+    links = docs.map_batches(allowed_links, batch_format="pyarrow").materialize()
 
     # pass 1: per-host allowed-link mass -> Hamilton apportionment (exact
     # int64, sum(budget) == CRAWL_BUDGET; host table is tiny by definition)
@@ -6262,15 +6268,10 @@ def q_crawl_plan(sf_dir: str) -> rd.Dataset:
             schema=out_schema,
         )
 
-    # pass 2: re-derive links (deterministic) and rank within host
+    # pass 2: rank the materialized link stream within host
     from .relational import hash_exchange
 
-    return hash_exchange(
-        docs.map_batches(allowed_links, batch_format="pyarrow"),
-        ["host"],
-        shard_rank,
-        out_schema,
-    )
+    return hash_exchange(links, ["host"], shard_rank, out_schema)
 
 
 def _sql_crawl_plan() -> str:

@@ -3053,7 +3053,13 @@ def q_nation_revenue(sf_dir: str) -> rd.Dataset:
     nation_names = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
     nation_keys = set(nation_names)
     supp = pd.read_parquet(_pq(sf_dir, "supplier"), columns=["s_suppkey", "s_nationkey"])
-    supp_map_ref = ray.put(dict(zip(supp["s_suppkey"].astype(int), supp["s_nationkey"].astype(int))))
+    # sorted key/value arrays, not a dict: the per-block lookup is then one
+    # np.searchsorted over the whole column instead of a Python hash per row
+    _sk = np.argsort(supp["s_suppkey"].to_numpy(dtype="int64"), kind="mergesort")
+    supp_map_ref = ray.put((
+        supp["s_suppkey"].to_numpy(dtype="int64")[_sk],
+        supp["s_nationkey"].to_numpy(dtype="int64")[_sk],
+    ))
     nk_ref = ray.put(nation_keys)
 
     # --- customers of the region's nations (broadcast filter at the read)
@@ -3086,8 +3092,9 @@ def q_nation_revenue(sf_dir: str) -> rd.Dataset:
     # lineitem: map suppkey -> supplier nation (broadcast), pre-reduce per
     # (l_orderkey, s_nationkey) per block
     def li_partial(t: pa.Table) -> pa.Table:
-        smap = ray.get(supp_map_ref)
-        s_nat = pd.Series(t["l_suppkey"].to_pandas().astype(int)).map(smap)
+        skeys, snats = ray.get(supp_map_ref)
+        sk = t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s_nat = snats[np.searchsorted(skeys, sk)]
         rev = _cents(
             pc.multiply(
                 t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
@@ -3095,7 +3102,7 @@ def q_nation_revenue(sf_dir: str) -> rd.Dataset:
         )
         rows = pa.Table.from_arrays(
             [pc.cast(t["l_orderkey"], pa.int64()),
-             pa.array(s_nat.to_numpy(dtype="int64")),
+             pa.array(s_nat),
              rev],
             names=["l_orderkey", "s_nationkey", "revenue_cents"],
         )
