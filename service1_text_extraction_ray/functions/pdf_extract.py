@@ -1938,6 +1938,106 @@ class PdfDocument:
         walk(ef_root, 0)
         return out
 
+    def form_fields(self) -> List[Tuple[str, str, str, int]]:
+        """Interactive form fields (AcroForm, ISO 32000-1 §12.7):
+        ``(fully-qualified name, field type, value, flags)`` per TERMINAL
+        field in /Fields-array DFS order. A node is terminal when none of
+        its /Kids carries its own /T (kids without /T are widget
+        annotations of the same field); non-terminal nodes contribute only
+        their name segment (dot-joined). /FT and /V are inheritable —
+        absent on a kid, the nearest ancestor's applies (§12.7.3.1).
+        Values: literal strings decode latin-1; name values (checkbox /Yes,
+        radio /opt1) drop the slash. Fields without /T are skipped (no
+        addressable name). Encrypted documents are out of subset (empty,
+        the info()/outline() boundary); visited/depth guards terminate
+        malformed trees."""
+        if self._encrypt is not None or self._root is None:
+            return []
+        root = self._objects.get(self._root)
+        if root is None:
+            return []
+
+        def sub_dict(d: bytes, key: bytes) -> Optional[bytes]:
+            m = re.search(key + rb"\s+(\d+)\s+\d+\s+R", d)
+            if m:
+                o = self._objects.get(int(m.group(1)))
+                return o.dict_bytes if o is not None else None
+            m = re.search(key + rb"\s*<<", d)
+            if m:
+                dd, _ = _scan_dict(d, m.end() - 2)
+                return dd
+            return None
+
+        acro = sub_dict(root.dict_bytes, rb"/AcroForm")
+        if acro is None:
+            return []
+        fm = re.search(rb"/Fields\s*\[", acro)
+        if fm is None:
+            return []
+        fend = acro.find(b"]", fm.end() - 1)
+        if fend < 0:  # unterminated array in a corrupt file
+            return []
+        arr = acro[fm.end() - 1 : fend + 1]
+
+        def lit(d: bytes, key: bytes) -> Optional[str]:
+            m = re.search(key + rb"\s*\(", d)
+            if m is None:
+                return None
+            raw, _ = _read_literal_string(d, m.end() - 1)
+            return raw.decode("latin-1")
+
+        def name_tok(d: bytes, key: bytes) -> Optional[str]:
+            m = re.search(key + rb"\s*/([^\s/<>\[\]()]+)", d)
+            return m.group(1).decode("latin-1") if m else None
+
+        out: List[Tuple[str, str, str, int]] = []
+        seen: set = set()
+
+        def kid_refs(d: bytes) -> List[int]:
+            m = re.search(rb"/Kids\s*\[", d)
+            if m is None:
+                return []
+            kend = d.find(b"]", m.end() - 1)
+            if kend < 0:
+                return []
+            seg = d[m.end() - 1 : kend + 1]
+            return [int(r.group(1)) for r in _REF_RE.finditer(seg)]
+
+        def walk(num: int, prefix: str, ftype: str, value: str,
+                 flags: int, depth: int) -> None:
+            if depth > 8 or num in seen:
+                return
+            seen.add(num)
+            obj = self._objects.get(num)
+            if obj is None:
+                return
+            d = obj.dict_bytes
+            t = lit(d, rb"/T")
+            ftype = name_tok(d, rb"/FT") or ftype
+            v = lit(d, rb"/V")
+            if v is None:
+                v = name_tok(d, rb"/V")
+            value = v if v is not None else value
+            fmatch = re.search(rb"/Ff\s+(\d+)", d)
+            if fmatch:  # /Ff is inheritable like /FT and /V
+                flags = int(fmatch.group(1))
+            kids = kid_refs(d)
+            named_kids = []
+            for k in kids:
+                ko = self._objects.get(k)
+                if ko is not None and lit(ko.dict_bytes, rb"/T") is not None:
+                    named_kids.append(k)
+            qual = (prefix + "." + t if prefix and t else (t or prefix))
+            if named_kids:
+                for k in kids:
+                    walk(k, qual, ftype, value, flags, depth + 1)
+            elif t is not None:
+                out.append((qual, ftype, value, flags))
+
+        for r in _REF_RE.finditer(arr):
+            walk(int(r.group(1)), "", "", "", 0, 0)
+        return out
+
     def page_labels(self) -> List[str]:
         """Page labels (ISO 32000-1 §12.4.2): the /PageLabels number tree
         maps page-index ranges to label styles — front matter "i, ii, iii"

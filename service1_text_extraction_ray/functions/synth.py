@@ -1583,3 +1583,43 @@ def make_pdf_labeled_doc(doc_id: int, source: str) -> tuple[bytes, str]:
         + b"trailer << /Root 1 0 R >>\n%%EOF\n"
     )
     return pdf, url
+
+
+def make_pdf_form_doc(doc_id: int, source: str) -> tuple[bytes, str]:
+    """Deterministic PDF with an AcroForm — fixture for
+    PdfDocument.form_fields(). Terminal fields in DFS order: a text field
+    (title), a checkbox (agree, /V name /Yes|/Off), a combo choice (color,
+    /Ff 131072), a radio GROUP whose only kid is a /T-less widget (grp —
+    the group itself is the terminal field, /Ff 32768), and a non-terminal
+    node (addr) whose kids inherit /FT /Tx from it (addr.city, addr.zip).
+    A /T-less decoy field sits in /Fields between agree and color and must
+    produce no row."""
+    url = f"https://{source}.example.com/form/{doc_id}"
+    content = f"BT /F1 12 Tf 72 720 Td (Form {doc_id}) Tj ET".encode()
+    agree = "Yes" if doc_id % 2 else "Off"
+    objs = [
+        f"10 0 obj << /T (title) /FT /Tx /V (Doc {doc_id}) >> endobj\n",
+        f"11 0 obj << /T (agree) /FT /Btn /V /{agree} >> endobj\n",
+        "18 0 obj << /FT /Tx /V (decoy) >> endobj\n",
+        f"12 0 obj << /T (color) /FT /Ch /V (c{doc_id % 4}) /Ff 131072 >> endobj\n",
+        f"13 0 obj << /T (grp) /FT /Btn /Ff 32768 /V /opt{doc_id % 3} "
+        "/Kids [14 0 R] >> endobj\n",
+        "14 0 obj << /Subtype /Widget /Parent 13 0 R >> endobj\n",
+        "15 0 obj << /T (addr) /FT /Tx /Kids [16 0 R 17 0 R] >> endobj\n",
+        f"16 0 obj << /T (city) /V (City {doc_id % 10}) >> endobj\n",
+        f"17 0 obj << /T (zip) /V ({10000 + doc_id}) >> endobj\n",
+    ]
+    pdf = (
+        b"%PDF-1.4\n"
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R /AcroForm << /Fields "
+        b"[10 0 R 11 0 R 18 0 R 12 0 R 13 0 R 15 0 R] >> >> endobj\n"
+        b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n"
+        b"3 0 obj << /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >> endobj\n"
+        b"4 0 obj << /Length " + str(len(content)).encode() + b" >>\n"
+        b"stream\n" + content + b"\nendstream endobj\n"
+        b"5 0 obj << /Type /Font /Subtype /Type1 /BaseFont /Helvetica >> endobj\n"
+        + "".join(objs).encode()
+        + b"trailer << /Root 1 0 R >>\n%%EOF\n"
+    )
+    return pdf, url

@@ -6847,6 +6847,69 @@ FROM base, (VALUES (0), (1)) subs(j)
 """
 
 
+def q_extract_pdf_forms(sf_dir: str) -> rd.Dataset:
+    """AcroForm field extraction (ISO 32000-1 §12.7 interactive forms):
+    (ord, fully-qualified name, type, value, flags) per terminal field —
+    filled government/financial forms are a data-extraction target the
+    reference's corpus (annual reports) is full of. Exercises /FT and /V
+    inheritance, dotted non-terminal names, radio groups whose kids are
+    /T-less widgets, and a /T-less decoy that must not emit. Deterministic
+    fixtures (synth.make_pdf_form_doc); pure per-batch map; the oracle
+    replays every field row."""
+    from ..functions.pdf_extract import PdfDocument, PdfParseError
+    from ..functions.synth import make_pdf_form_doc
+
+    out_schema = pa.schema([
+        ("url", pa.string()), ("ord", pa.int64()), ("name", pa.string()),
+        ("ftype", pa.string()), ("value", pa.string()), ("flags", pa.int64()),
+    ])
+
+    def f(t: pa.Table) -> pa.Table:
+        rows = []
+        for d, src in zip(t["doc_id"].to_pylist(), t["source"].to_pylist()):
+            pdf, url = make_pdf_form_doc(int(d), src)
+            try:
+                doc = PdfDocument(pdf)
+            except PdfParseError:
+                continue
+            for i, (name, ftype, value, flags) in enumerate(
+                doc.form_fields(), start=1
+            ):
+                rows.append({
+                    "url": url, "ord": i, "name": name, "ftype": ftype,
+                    "value": value, "flags": flags,
+                })
+        if not rows:
+            return out_schema.empty_table()
+        return pa.Table.from_pylist(rows, schema=out_schema)
+
+    return _read(sf_dir, "documents", ["doc_id", "source"]).map_batches(
+        f, batch_format="pyarrow"
+    )
+
+
+SQL_EXTRACT_PDF_FORMS = """
+WITH base AS (
+  SELECT doc_id,
+         'https://' || source || '.example.com/form/' || doc_id AS url
+  FROM documents
+)
+SELECT url, CAST(1 AS BIGINT) AS ord, 'title' AS name, 'Tx' AS ftype,
+       'Doc ' || doc_id AS value, CAST(0 AS BIGINT) AS flags FROM base
+UNION ALL
+SELECT url, 2, 'agree', 'Btn',
+       CASE WHEN doc_id % 2 = 1 THEN 'Yes' ELSE 'Off' END, 0 FROM base
+UNION ALL
+SELECT url, 3, 'color', 'Ch', 'c' || (doc_id % 4), 131072 FROM base
+UNION ALL
+SELECT url, 4, 'grp', 'Btn', 'opt' || (doc_id % 3), 32768 FROM base
+UNION ALL
+SELECT url, 5, 'addr.city', 'Tx', 'City ' || (doc_id % 10), 0 FROM base
+UNION ALL
+SELECT url, 6, 'addr.zip', 'Tx', CAST(10000 + doc_id AS VARCHAR), 0 FROM base
+"""
+
+
 def q_extract_microdata(sf_dir: str) -> rd.Dataset:
     """schema.org microdata extraction (itemscope/itemprop attributes —
     the other structured-data wire format next to JSON-LD): one row per

@@ -277,3 +277,39 @@ def test_detect_license_total(text):
     r = detect_license(text)
     assert r["license"] in {"cc-by", "cc-by-nc", "cc-by-nd", "mit", "unknown"}
     assert isinstance(r["allows_commercial"], bool)
+
+
+@settings(max_examples=60, deadline=None)
+@given(payload=st.binary(min_size=1, max_size=4096).map(lambda b: b"%PDF-1.4\n" + b))
+def test_form_fields_total_on_corrupt_pdfs(payload):
+    from service1_text_extraction_ray.functions.pdf_extract import (
+        PdfDocument,
+        PdfParseError,
+    )
+
+    try:
+        doc = PdfDocument(payload)
+    except PdfParseError:
+        return
+    fields = doc.form_fields()
+    assert isinstance(fields, list)
+    assert doc.form_fields() == fields  # deterministic
+
+
+@settings(max_examples=40, deadline=None)
+@given(pos=st.integers(min_value=0, max_value=400), val=st.integers(0, 255))
+def test_form_fields_total_on_mutated_form_doc(pos, val):
+    from service1_text_extraction_ray.functions.pdf_extract import (
+        PdfDocument,
+        PdfParseError,
+    )
+    from service1_text_extraction_ray.functions.synth import make_pdf_form_doc
+
+    pdf, _ = make_pdf_form_doc(3, "src1")
+    pos = min(pos, len(pdf) - 1)
+    mutated = pdf[:pos] + bytes([val]) + pdf[pos + 1:]
+    try:
+        doc = PdfDocument(mutated)
+    except PdfParseError:
+        return
+    assert isinstance(doc.form_fields(), list)

@@ -958,3 +958,36 @@ class TestInlineImages:
         )
         spans = _interpret_text(content)
         assert [s.text for s in spans] == ["Kept."]
+
+
+class TestFormFields:
+    def test_fixture_fields_exact(self):
+        from service1_text_extraction_ray.functions.pdf_extract import PdfDocument
+        from service1_text_extraction_ray.functions.synth import make_pdf_form_doc
+
+        pdf, _ = make_pdf_form_doc(7, "src2")
+        got = PdfDocument(pdf).form_fields()
+        assert got == [
+            ("title", "Tx", "Doc 7", 0),
+            ("agree", "Btn", "Yes", 0),        # name-token value, slash dropped
+            ("color", "Ch", "c3", 131072),     # combo flag
+            ("grp", "Btn", "opt1", 32768),     # radio group = terminal (widget kid)
+            ("addr.city", "Tx", "City 7", 0),  # /FT inherited from addr
+            ("addr.zip", "Tx", "10007", 0),
+        ]
+
+    def test_decoy_without_T_is_skipped(self):
+        from service1_text_extraction_ray.functions.pdf_extract import PdfDocument
+        from service1_text_extraction_ray.functions.synth import make_pdf_form_doc
+
+        pdf, _ = make_pdf_form_doc(0, "src1")
+        names = [n for n, *_ in PdfDocument(pdf).form_fields()]
+        assert "decoy" not in " ".join(names)
+        assert names == ["title", "agree", "color", "grp", "addr.city", "addr.zip"]
+
+    def test_no_acroform_is_empty(self):
+        from service1_text_extraction_ray.functions.pdf_extract import PdfDocument
+        from service1_text_extraction_ray.functions.synth import make_pdf_outline_doc
+
+        pdf, _ = make_pdf_outline_doc(1, "src1")
+        assert PdfDocument(pdf).form_fields() == []
