@@ -2038,6 +2038,47 @@ class PdfDocument:
             walk(int(r.group(1)), "", "", "", 0, 0)
         return out
 
+    def xmp(self) -> Dict[str, str]:
+        """XMP metadata (ISO 32000-1 §14.3.2: catalog /Metadata -> /Subtype
+        /XML stream with an RDF/XML packet). Returns the common provenance
+        properties a corpus pipeline keys on: ``dc_title`` (first rdf:Alt
+        item), ``dc_creator`` (first rdf:Seq item), ``create_date``
+        (xmp:CreateDate text). Extraction is regex over the decoded packet
+        — total on arbitrary bytes, no XML parser to error out — and
+        whitespace inside property text is preserved verbatim. Missing
+        packet/properties -> absent keys; encrypted documents are out of
+        subset (empty, the info()/outline() boundary)."""
+        if self._encrypt is not None or self._root is None:
+            return {}
+        root = self._objects.get(self._root)
+        if root is None:
+            return {}
+        m = re.search(rb"/Metadata\s+(\d+)\s+\d+\s+R", root.dict_bytes)
+        if m is None:
+            return {}
+        obj = self._objects.get(int(m.group(1)))
+        if obj is None or obj.stream is None:
+            return {}
+        try:
+            data = _decode_stream(obj)
+        except PdfParseError:
+            return {}
+        out: Dict[str, str] = {}
+        tm = re.search(
+            rb"<dc:title>.*?<rdf:li[^>]*>(.*?)</rdf:li>", data, re.DOTALL
+        )
+        if tm:
+            out["dc_title"] = tm.group(1).decode("utf-8", "replace")
+        cm = re.search(
+            rb"<dc:creator>.*?<rdf:li[^>]*>(.*?)</rdf:li>", data, re.DOTALL
+        )
+        if cm:
+            out["dc_creator"] = cm.group(1).decode("utf-8", "replace")
+        dm = re.search(rb"<xmp:CreateDate>(.*?)</xmp:CreateDate>", data, re.DOTALL)
+        if dm:
+            out["create_date"] = dm.group(1).decode("utf-8", "replace")
+        return out
+
     def page_labels(self) -> List[str]:
         """Page labels (ISO 32000-1 §12.4.2): the /PageLabels number tree
         maps page-index ranges to label styles — front matter "i, ii, iii"

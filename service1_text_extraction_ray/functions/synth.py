@@ -1623,3 +1623,44 @@ def make_pdf_form_doc(doc_id: int, source: str) -> tuple[bytes, str]:
         + b"trailer << /Root 1 0 R >>\n%%EOF\n"
     )
     return pdf, url
+
+
+def make_pdf_xmp_doc(doc_id: int, source: str) -> tuple[bytes, str]:
+    """Deterministic PDF with an XMP metadata packet (ISO 32000-1 §14.3.2:
+    catalog /Metadata -> /Subtype /XML stream holding RDF/XML) — fixture
+    for PdfDocument.xmp(). Carries dc:title, dc:creator (rdf:Seq), and
+    xmp:CreateDate; the packet is Flate-free plain XML as most producers
+    write it (the spec requires metadata streams be readable without
+    filters by plain-text scanners)."""
+    url = f"https://{source}.example.com/xmp/{doc_id}"
+    content = f"BT /F1 12 Tf 72 720 Td (Xmp {doc_id}) Tj ET".encode()
+    xmp = (
+        '<?xpacket begin="﻿" id="W5M0MpCehiHzreSzNTczkc9d"?>\n'
+        '<x:xmpmeta xmlns:x="adobe:ns:meta/">\n'
+        '<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#">\n'
+        '<rdf:Description xmlns:dc="http://purl.org/dc/elements/1.1/"\n'
+        '  xmlns:xmp="http://ns.adobe.com/xap/1.0/">\n'
+        f"<dc:title><rdf:Alt><rdf:li xml:lang=\"x-default\">Report {doc_id}"
+        "</rdf:li></rdf:Alt></dc:title>\n"
+        f"<dc:creator><rdf:Seq><rdf:li>author-{doc_id % 5}</rdf:li>"
+        "</rdf:Seq></dc:creator>\n"
+        f"<xmp:CreateDate>2024-{1 + doc_id % 12:02d}-"
+        f"{1 + doc_id % 28:02d}T00:00:00Z</xmp:CreateDate>\n"
+        "</rdf:Description>\n</rdf:RDF>\n</x:xmpmeta>\n"
+        '<?xpacket end="w"?>'
+    ).encode("utf-8")
+    pdf = (
+        b"%PDF-1.4\n"
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R /Metadata 10 0 R >> endobj\n"
+        b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n"
+        b"3 0 obj << /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >> endobj\n"
+        b"4 0 obj << /Length " + str(len(content)).encode() + b" >>\n"
+        b"stream\n" + content + b"\nendstream endobj\n"
+        b"5 0 obj << /Type /Font /Subtype /Type1 /BaseFont /Helvetica >> endobj\n"
+        b"10 0 obj << /Type /Metadata /Subtype /XML /Length "
+        + str(len(xmp)).encode() + b" >>\n"
+        b"stream\n" + xmp + b"\nendstream endobj\n"
+        b"trailer << /Root 1 0 R >>\n%%EOF\n"
+    )
+    return pdf, url

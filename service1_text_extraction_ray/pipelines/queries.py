@@ -6910,6 +6910,57 @@ SELECT url, 6, 'addr.zip', 'Tx', CAST(10000 + doc_id AS VARCHAR), 0 FROM base
 """
 
 
+def q_extract_pdf_xmp(sf_dir: str) -> rd.Dataset:
+    """XMP metadata extraction (ISO 32000-1 §14.3.2): dc:title, dc:creator
+    and xmp:CreateDate from the catalog's /Metadata RDF packet — the
+    provenance twin of q_extract_pdf_info (most modern producers write XMP
+    alongside or instead of the /Info dictionary). Deterministic fixtures
+    (synth.make_pdf_xmp_doc); pure per-batch map; the oracle replays every
+    property."""
+    from ..functions.pdf_extract import PdfDocument, PdfParseError
+    from ..functions.synth import make_pdf_xmp_doc
+
+    out_schema = pa.schema([
+        ("url", pa.string()), ("dc_title", pa.string()),
+        ("dc_creator", pa.string()), ("create_date", pa.string()),
+    ])
+
+    def f(t: pa.Table) -> pa.Table:
+        rows = []
+        for d, src in zip(t["doc_id"].to_pylist(), t["source"].to_pylist()):
+            pdf, url = make_pdf_xmp_doc(int(d), src)
+            try:
+                doc = PdfDocument(pdf)
+            except PdfParseError:
+                continue
+            x = doc.xmp()
+            if not x:
+                continue
+            rows.append({
+                "url": url, "dc_title": x.get("dc_title", ""),
+                "dc_creator": x.get("dc_creator", ""),
+                "create_date": x.get("create_date", ""),
+            })
+        if not rows:
+            return out_schema.empty_table()
+        return pa.Table.from_pylist(rows, schema=out_schema)
+
+    return _read(sf_dir, "documents", ["doc_id", "source"]).map_batches(
+        f, batch_format="pyarrow"
+    )
+
+
+SQL_EXTRACT_PDF_XMP = """
+SELECT 'https://' || source || '.example.com/xmp/' || doc_id AS url,
+       'Report ' || doc_id AS dc_title,
+       'author-' || (doc_id % 5) AS dc_creator,
+       '2024-' || lpad(CAST(1 + doc_id % 12 AS VARCHAR), 2, '0') || '-'
+                || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0')
+                || 'T00:00:00Z' AS create_date
+FROM documents
+"""
+
+
 def q_extract_microdata(sf_dir: str) -> rd.Dataset:
     """schema.org microdata extraction (itemscope/itemprop attributes —
     the other structured-data wire format next to JSON-LD): one row per

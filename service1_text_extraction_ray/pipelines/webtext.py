@@ -4193,3 +4193,51 @@ w{r} AS (
 
 
 SQL_CORPUS_BPE_MERGES = _sql_bpe_merges()
+
+
+# ---------------------------------------------------------------------------
+# Blocklist (bad-words) filter — the C4 curation gate
+# ---------------------------------------------------------------------------
+
+# C4 dropped any page containing a token from the "List of Dirty, Naughty,
+# Obscene..." blocklist; the mechanism (token-exact membership against a
+# fixed list, doc dropped on ANY hit) is what this operator implements,
+# with a corpus-appropriate stand-in list.
+BLOCKLIST = ("dup", "slow", "spark")
+
+
+def q_doc_blocklist_filter(sf_dir: str) -> rd.Dataset:
+    """C4-style blocklist gate per document: count whitespace tokens that
+    exactly match the BLOCKLIST and keep the doc iff the count is zero
+    (Raffel et al. 2020 §2.2 dropped the whole page on any hit). Pure
+    per-batch map, integer outputs. Output: (doc_id, n_blocked, kept)."""
+    bset = set(BLOCKLIST)
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        n_blocked = (
+            df["text"].fillna("")
+            .map(lambda t: sum(1 for w in t.split() if w in bset))
+            .astype("int64")
+        )
+        return pd.DataFrame({
+            "doc_id": df["doc_id"],
+            "n_blocked": n_blocked,
+            "kept": (n_blocked == 0).astype("int64"),
+        })
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        f, batch_format="pandas"
+    )
+
+
+SQL_DOC_BLOCKLIST_FILTER = f"""
+SELECT doc_id,
+       CAST(len(list_filter(regexp_split_to_array(coalesce(text, ''), '\\s+'),
+                x -> x IN ({", ".join("'" + w + "'" for w in BLOCKLIST)})))
+            AS BIGINT) AS n_blocked,
+       CAST(CASE WHEN len(list_filter(
+                regexp_split_to_array(coalesce(text, ''), '\\s+'),
+                x -> x IN ({", ".join("'" + w + "'" for w in BLOCKLIST)}))) = 0
+            THEN 1 ELSE 0 END AS BIGINT) AS kept
+FROM documents
+"""

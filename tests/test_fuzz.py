@@ -313,3 +313,22 @@ def test_form_fields_total_on_mutated_form_doc(pos, val):
     except PdfParseError:
         return
     assert isinstance(doc.form_fields(), list)
+
+
+@settings(max_examples=40, deadline=None)
+@given(pos=st.integers(min_value=0, max_value=700), val=st.integers(0, 255))
+def test_xmp_total_on_mutated_doc(pos, val):
+    from service1_text_extraction_ray.functions.pdf_extract import (
+        PdfDocument,
+        PdfParseError,
+    )
+    from service1_text_extraction_ray.functions.synth import make_pdf_xmp_doc
+
+    pdf, _ = make_pdf_xmp_doc(2, "src1")
+    pos = min(pos, len(pdf) - 1)
+    mutated = pdf[:pos] + bytes([val]) + pdf[pos + 1:]
+    try:
+        doc = PdfDocument(mutated)
+    except PdfParseError:
+        return
+    assert isinstance(doc.xmp(), dict)

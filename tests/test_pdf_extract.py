@@ -991,3 +991,23 @@ class TestFormFields:
 
         pdf, _ = make_pdf_outline_doc(1, "src1")
         assert PdfDocument(pdf).form_fields() == []
+
+
+class TestXmp:
+    def test_fixture_properties_exact(self):
+        from service1_text_extraction_ray.functions.pdf_extract import PdfDocument
+        from service1_text_extraction_ray.functions.synth import make_pdf_xmp_doc
+
+        pdf, _ = make_pdf_xmp_doc(14, "src3")
+        assert PdfDocument(pdf).xmp() == {
+            "dc_title": "Report 14",
+            "dc_creator": "author-4",
+            "create_date": "2024-03-15T00:00:00Z",
+        }
+
+    def test_no_metadata_is_empty(self):
+        from service1_text_extraction_ray.functions.pdf_extract import PdfDocument
+        from service1_text_extraction_ray.functions.synth import make_pdf_form_doc
+
+        pdf, _ = make_pdf_form_doc(1, "src1")
+        assert PdfDocument(pdf).xmp() == {}
