@@ -185,6 +185,9 @@ QUERY_NAMES = [
     "user_value_rolling_median", "lang_nb_classify", "events_new_users",
     "knn_int8", "part_top_supplier", "orders_large_volume", "suppliers_late_sole",
     "doc_readability", "events_sessionize_incremental",
+    "corpus_dsir_weights", "corpus_bpe_merges", "dedup_select_best",
+    "extract_pdf_forms", "extract_pdf_xmp", "doc_blocklist_filter",
+    "doc_sample_wor",
 ]
 
 

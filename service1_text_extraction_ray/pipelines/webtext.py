@@ -4241,3 +4241,88 @@ SELECT doc_id,
             THEN 1 ELSE 0 END AS BIGINT) AS kept
 FROM documents
 """
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling WITHOUT replacement (Efraimidis-Spirakis)
+# ---------------------------------------------------------------------------
+
+SAMPLE_WOR_K = 50
+_TWO64 = 18446744073709551616.0  # 2^64 as float, shared with the oracle
+SAMPLE_WOR_UNIT = 1e15  # key quantization (keys live in [-44, 0])
+
+
+def q_doc_sample_wor(sf_dir: str) -> rd.Dataset:
+    """Weighted sample of SAMPLE_WOR_K docs WITHOUT replacement
+    (Efraimidis & Spirakis 2006): each doc draws u = (h+1)/2^64 from its
+    md5 hash and the K largest keys ln(u)/w win, w = n_chars — one pass,
+    no coordination, and inclusion is exactly the sequential weighted
+    draw-without-replacement process. This is the missing sibling of the
+    Bernoulli samplers (q_doc_sample / q_doc_sample_weighted): those
+    cannot hit an exact K.
+
+    RNG-free and replayable: u comes from the same md5-u64 every sketch
+    here uses, and the key quantizes ONCE to integer femto-units with the
+    float expression written identically in the oracle, so the top-K set,
+    its order, and the hash all reproduce at any parallelism. Topology:
+    per-block vectorized partial top-K (numpy argpartition), driver merge
+    of <= K x #blocks candidate rows. Output: (rank, doc_id, n_chars,
+    key_femto) by rank."""
+    import math
+
+    part_schema = pa.schema([
+        ("doc_id", pa.int64()), ("n_chars", pa.int64()), ("key_femto", pa.int64()),
+    ])
+
+    def partial_topk(df: pd.DataFrame) -> pa.Table:
+        w = df["n_chars"].to_numpy(dtype="int64")
+        ok = w > 0  # ES keys are undefined at zero weight
+        ids = df["doc_id"].to_numpy(dtype="int64")[ok]
+        w = w[ok]
+        if ids.size == 0:
+            return part_schema.empty_table()
+        keys = np.array([
+            int(round(SAMPLE_WOR_UNIT
+                      * math.log((_cms_token_u64(str(d)) + 1.0) / _TWO64) / wi))
+            for d, wi in zip(ids, w)
+        ], dtype=np.int64)
+        k = min(SAMPLE_WOR_K, keys.size)
+        top = np.argpartition(-keys, k - 1)[:k]
+        return pa.Table.from_arrays(
+            [pa.array(ids[top]), pa.array(w[top]), pa.array(keys[top])],
+            schema=part_schema,
+        )
+
+    cands = (
+        _read(sf_dir, "documents", ["doc_id", "n_chars"])
+        .map_batches(partial_topk, batch_format="pandas")
+        .to_pandas()
+    )
+    cands = cands.sort_values(
+        ["key_femto", "doc_id"], ascending=[False, True]
+    ).head(SAMPLE_WOR_K).reset_index(drop=True)
+    cands.insert(0, "rank", (cands.index + 1).astype("int64"))
+    return cands
+
+
+def _sql_sample_wor() -> str:
+    from .queries import _sql_md5_u64le
+
+    h = _sql_md5_u64le("md5(CAST(doc_id AS VARCHAR))")
+    return f"""
+WITH keyed AS (
+  SELECT doc_id, n_chars,
+         CAST(round({SAMPLE_WOR_UNIT} * ln((({h}) + 1.0) / {_TWO64})
+                    / n_chars) AS BIGINT) AS key_femto
+  FROM documents WHERE n_chars > 0
+)
+SELECT CAST(row_number() OVER (ORDER BY key_femto DESC, doc_id ASC) AS BIGINT)
+         AS rank,
+       doc_id, n_chars, key_femto
+FROM keyed
+ORDER BY key_femto DESC, doc_id ASC
+LIMIT {SAMPLE_WOR_K}
+"""
+
+
+SQL_DOC_SAMPLE_WOR = _sql_sample_wor()

@@ -3866,3 +3866,28 @@ class TestCorpusBpeMerges:
         # the classic corpus learns 'est</w>' early
         joined = {a + b for _, a, b, _ in expect}
         assert any("est" in s for s in joined)
+
+
+class TestDocSampleWor:
+    def test_heavy_doc_always_included_and_deterministic(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        import service1_text_extraction_ray.pipelines.webtext as W
+
+        d = tmp_path / "sf"
+        d.mkdir()
+        n = 300
+        docs = pa.table({
+            "doc_id": pa.array(list(range(1, n + 1)), pa.int64()),
+            "n_chars": pa.array([10**9] + [1] * (n - 1), pa.int64()),
+        })
+        pq.write_table(docs, str(d / "documents.parquet"))
+        out = W.q_doc_sample_wor(str(d))
+        assert len(out) == W.SAMPLE_WOR_K
+        # the overwhelming weight wins rank 1 (key -> ~0 from below)
+        assert out.iloc[0]["doc_id"] == 1
+        assert list(out["rank"]) == list(range(1, W.SAMPLE_WOR_K + 1))
+        out2 = W.q_doc_sample_wor(str(d))
+        assert out.equals(out2)
+        # without replacement: all distinct
+        assert out["doc_id"].nunique() == W.SAMPLE_WOR_K
