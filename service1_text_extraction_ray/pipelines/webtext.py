@@ -4326,3 +4326,100 @@ LIMIT {SAMPLE_WOR_K}
 
 
 SQL_DOC_SAMPLE_WOR = _sql_sample_wor()
+
+
+# ---------------------------------------------------------------------------
+# Reproducible global corpus shuffle (the before-each-epoch step)
+# ---------------------------------------------------------------------------
+
+SHUFFLE_BUCKET_BITS = 12  # 4096 key-range buckets for the distributed rank
+
+
+def q_doc_shuffle_rank(sf_dir: str) -> rd.Dataset:
+    """Deterministic global shuffle of the corpus: every doc's position in
+    the shuffled order is its rank under the md5-u64 key of doc_id — the
+    "shuffle the training set before the epoch" step, made reproducible
+    (same permutation on every run, cluster size, or resume) by deriving
+    the permutation from a hash instead of RNG state.
+
+    Distributed rank WITHOUT a global Sort operator: the key's top 12 bits
+    give 4096 range buckets that are uniform by construction (md5), so
+    (1) per-block partial bucket counts -> one tiny groupby -> driver
+    cumsum gives each bucket's global starting offset (4096 ints, never
+    rows); (2) ONE keyed exchange on bucket id co-locates whole buckets,
+    each shard sorts its few buckets locally and adds the broadcast
+    offsets. rank = offset[bucket] + local position; ties are impossible
+    (doc_id breaks 64-bit collisions). Output: (shuffle_rank, doc_id) —
+    a writer streams it straight into numbered epoch shards."""
+    from .relational import hash_exchange
+
+    key_schema = pa.schema([
+        ("bucket", pa.int64()), ("k", pa.uint64()), ("doc_id", pa.int64()),
+    ])
+
+    def key_it(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        ks = np.array([_cms_token_u64(str(d)) for d in ids], dtype=np.uint64)
+        buckets = (ks >> np.uint64(64 - SHUFFLE_BUCKET_BITS)).astype(np.int64)
+        return pa.Table.from_arrays(
+            [pa.array(buckets), pa.array(ks), pa.array(ids, pa.int64())],
+            schema=key_schema,
+        )
+
+    keyed = (
+        _read(sf_dir, "documents", ["doc_id"])
+        .map_batches(key_it, batch_format="pyarrow")
+        .materialize()
+    )
+
+    cnt_schema = pa.schema([("bucket", pa.int64()), ("n", pa.int64())])
+
+    def bucket_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("bucket").aggregate([([], "count_all")])
+        return pa.Table.from_arrays(
+            [g["bucket"], pc.cast(g["count_all"], pa.int64())], schema=cnt_schema
+        )
+
+    bc = (
+        keyed.map_batches(bucket_partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values("bucket")
+    )
+    offsets = dict(zip(
+        bc["bucket"].astype(int),
+        np.concatenate([[0], np.cumsum(bc["n"].to_numpy())[:-1]]).astype(int),
+    ))
+    off_ref = ray.put(offsets)
+
+    out_schema = pa.schema([("shuffle_rank", pa.int64()), ("doc_id", pa.int64())])
+
+    def shard_rank(t: pa.Table) -> pa.Table:
+        offs = ray.get(off_ref)
+        df = t.to_pandas().sort_values(["bucket", "k", "doc_id"],
+                                       kind="mergesort")
+        local = df.groupby("bucket", sort=False).cumcount().to_numpy()
+        base = df["bucket"].map(offs).to_numpy(dtype="int64")
+        return pa.Table.from_arrays(
+            [pa.array(base + local + 1, pa.int64()),
+             pa.array(df["doc_id"].to_numpy(dtype="int64"))],
+            schema=out_schema,
+        )
+
+    return hash_exchange(keyed, ["bucket"], shard_rank, out_schema)
+
+
+def _sql_shuffle_rank() -> str:
+    from .queries import _sql_md5_u64le
+
+    h = _sql_md5_u64le("md5(CAST(doc_id AS VARCHAR))")
+    return f"""
+SELECT CAST(row_number() OVER (ORDER BY ({h}), doc_id) AS BIGINT)
+         AS shuffle_rank,
+       doc_id
+FROM documents
+"""
+
+
+SQL_DOC_SHUFFLE_RANK = _sql_shuffle_rank()

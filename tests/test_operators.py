@@ -3891,3 +3891,20 @@ class TestDocSampleWor:
         assert out.equals(out2)
         # without replacement: all distinct
         assert out["doc_id"].nunique() == W.SAMPLE_WOR_K
+
+
+class TestDocShuffleRank:
+    def test_permutation_is_complete_and_reproducible(self, ray_session):
+        import service1_text_extraction_ray.pipelines.webtext as W
+
+        sf = "/root/testdata/sf0.001"
+        out = W.q_doc_shuffle_rank(sf).to_pandas()
+        assert sorted(out["shuffle_rank"]) == list(range(1, len(out) + 1))
+        assert out["doc_id"].nunique() == len(out)
+        out2 = W.q_doc_shuffle_rank(sf).to_pandas()
+        a = out.sort_values("doc_id").reset_index(drop=True)
+        b = out2.sort_values("doc_id").reset_index(drop=True)
+        assert a.equals(b)
+        # it IS a shuffle: not the identity permutation
+        srt = out.sort_values("shuffle_rank")["doc_id"].to_numpy()
+        assert not (srt == np.sort(srt)).all()
