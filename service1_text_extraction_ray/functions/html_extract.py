@@ -85,6 +85,23 @@ class Block:
         return self.link_chars / self.text_chars if self.text_chars else 0.0
 
 
+_HIDDEN_STYLE_RE = re.compile(r"display\s*:\s*none|visibility\s*:\s*hidden", re.I)
+
+
+def _attrs_hide(attrs) -> bool:
+    """True when a start tag's attributes hide its subtree from rendering:
+    the boolean ``hidden`` attribute (WHATWG) or an inline style containing
+    ``display:none`` / ``visibility:hidden`` — the CSS-era boilerplate
+    carriers (cookie banners, off-screen nav, A/B leftovers) that a
+    text-density extractor must not count as content."""
+    for k, v in attrs:
+        if k == "hidden":
+            return True
+        if k == "style" and v and _HIDDEN_STYLE_RE.search(v):
+            return True
+    return False
+
+
 class _BlockParser(HTMLParser):
     """Streaming block segmenter (single pass, no DOM materialization)."""
 
@@ -97,6 +114,11 @@ class _BlockParser(HTMLParser):
         self._link_segments: List[str] = []  # subset of segments inside <a>
         self._current_tag = "body"
         self._heading_depth = 0
+        # open-element stack (tag, hides_subtree) — drives hidden-content
+        # drops only; DROP_TAGS keep their cheaper counter. Endtags pop to
+        # the nearest matching frame (standard recovery on malformed HTML).
+        self._open: List[tuple] = []
+        self._hidden_depth = 0
 
     # -- block lifecycle ---------------------------------------------------
     def _flush(self) -> None:
@@ -125,6 +147,13 @@ class _BlockParser(HTMLParser):
             return
         if self._drop_depth:
             return
+        if tag not in _VOID_TAGS:
+            hides = _attrs_hide(attrs)
+            self._open.append((tag, hides))
+            if hides:
+                if self._hidden_depth == 0:
+                    self._flush()
+                self._hidden_depth += 1
         if tag in BLOCK_TAGS:
             self._flush()
             self._current_tag = tag
@@ -140,6 +169,14 @@ class _BlockParser(HTMLParser):
             return
         if self._drop_depth:
             return
+        st = self._open
+        for j in range(len(st) - 1, -1, -1):
+            if st[j][0] == tag:
+                for _, h in st[j:]:
+                    if h:
+                        self._hidden_depth -= 1
+                del st[j:]
+                break
         if tag in BLOCK_TAGS:
             self._flush()
             if tag in HEADING_TAGS and self._heading_depth:
@@ -155,7 +192,7 @@ class _BlockParser(HTMLParser):
             self.handle_endtag(tag)
 
     def handle_data(self, data: str) -> None:
-        if self._drop_depth or not data:
+        if self._drop_depth or self._hidden_depth or not data:
             return
         self._segments.append(data)
         if self._link_depth:

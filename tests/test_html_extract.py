@@ -226,3 +226,50 @@ class TestCharsetDecoding:
         res3 = extract_document(r3["url"], r3["html"], ExtractConfig())
         assert "﻿" not in res3["doc_text"]
         assert len(res3["doc_text"]) > 250
+
+
+class TestHiddenContent:
+    """CSS-era boilerplate: hidden subtrees must not count as content."""
+
+    def _text(self, html: str) -> str:
+        from service1_text_extraction_ray.functions.html_extract import (
+            extract_html_text,
+        )
+
+        return extract_html_text(html.encode())[0]
+
+    def test_hidden_attribute_drops_subtree(self):
+        t = self._text(
+            "<html><body><p>" + "visible words here " * 20 + "</p>"
+            "<div hidden><p>" + "SECRET " * 30 + "</p></div></body></html>"
+        )
+        assert "SECRET" not in t and "visible" in t
+
+    def test_display_none_and_visibility_hidden(self):
+        t = self._text(
+            "<html><body><p>" + "real content text " * 20 + "</p>"
+            "<div style='display: none'><p>" + "BANNER " * 30 + "</p></div>"
+            '<p style="visibility:hidden">' + "OFF " * 30 + "</p></body></html>"
+        )
+        assert "BANNER" not in t and "OFF" not in t and "real" in t
+
+    def test_nested_same_tag_inside_hidden(self):
+        t = self._text(
+            "<html><body><div hidden><div><p>" + "INNER " * 30 + "</p></div>"
+            "</div><p>" + "after text words " * 20 + "</p></body></html>"
+        )
+        assert "INNER" not in t and "after" in t
+
+    def test_sibling_after_hidden_block_is_kept(self):
+        t = self._text(
+            "<html><body><p style='display:none'>" + "X " * 40 + "</p>"
+            "<p>" + "kept sibling paragraph " * 15 + "</p></body></html>"
+        )
+        assert "kept" in t and "X X" not in t
+
+    def test_visible_style_attr_is_not_dropped(self):
+        t = self._text(
+            "<html><body><p style='color: red; display:block'>"
+            + "styled but visible words " * 15 + "</p></body></html>"
+        )
+        assert "styled" in t
