@@ -138,7 +138,10 @@ class _LinkParser(HTMLParser):
                 self._cur = None
                 return
             rel = {t.strip().lower() for t in (d.get("rel") or "").split()}
-            self._cur = (resolved, "nofollow" in rel)
+            # ugc/sponsored are crawl-equivalent to nofollow (the 2019
+            # rel-attribute extension: paid or user-generated links carry
+            # no endorsement, so a frontier must not follow-score them)
+            self._cur = (resolved, bool(rel & {"nofollow", "ugc", "sponsored"}))
             self._anchor_parts = []
 
     def handle_endtag(self, tag):

@@ -273,3 +273,22 @@ class TestHiddenContent:
             + "styled but visible words " * 15 + "</p></body></html>"
         )
         assert "styled" in t
+
+
+class TestRelUgcSponsored:
+    def test_ugc_and_sponsored_count_as_nofollow(self):
+        from service1_text_extraction_ray.functions.links import extract_outlinks
+
+        html = (
+            '<html><body>'
+            '<a href="/a" rel="ugc">comment link</a>'
+            '<a href="/b" rel="sponsored">paid link</a>'
+            '<a href="/c" rel="nofollow ugc">both</a>'
+            '<a href="/d" rel="author">followable</a>'
+            '<a href="/e">plain</a>'
+            "</body></html>"
+        ).encode()
+        links, _, _ = extract_outlinks(html, "https://h.example.com/p")
+        by_path = {ln.href.rsplit("/", 1)[-1]: ln.nofollow for ln in links}
+        assert by_path == {"a": True, "b": True, "c": True,
+                           "d": False, "e": False}
