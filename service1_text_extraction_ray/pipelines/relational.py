@@ -5447,6 +5447,129 @@ FROM w GROUP BY event_type
 """
 
 
+def q_events_window_final(sf_dir: str) -> rd.Dataset:
+    """Finalized event-time tumbling windows with allowed lateness — the
+    core streaming-window contract (Beam/Flink semantics) made exact over
+    the ingest log: arrival order = event_id, watermark = exclusive
+    running max of event time, and an event lands in its 1-hour window's
+    FINAL count iff the watermark at its arrival had not yet passed
+    window_end + 1 h allowed lateness; otherwise it is a counted DROP
+    (the post-finalization discard every triggered window emits to a
+    side output). Third use of the distributed ordered prefix-scan
+    topology (pack_sequences = sum form, late_arrivals = max form): the
+    exclusive running max comes from per-bucket maxima + driver prefix +
+    one keyed exchange. Output: (event_type, window_ts, n_final,
+    n_dropped)."""
+    cnt_schema = pa.schema([
+        ("bucket", pa.int64()), ("event_id", pa.int64()),
+        ("ts_us", pa.int64()), ("event_type", pa.string()),
+    ])
+
+    def prep(t: pa.Table) -> pa.Table:
+        eid = pc.cast(t["event_id"], pa.int64())
+        return pa.Table.from_arrays(
+            [pc.divide(eid, pa.scalar(LATE_BUCKET, pa.int64())),
+             eid,
+             pc.cast(t["ts"], pa.int64()),
+             t["event_type"]],
+            schema=cnt_schema,
+        )
+
+    prepped = (
+        _read(sf_dir, "events", ["event_id", "ts", "event_type"])
+        .map_batches(prep, batch_format="pyarrow")
+        .materialize()
+    )
+
+    bm = (
+        prepped.groupby("bucket")
+        .aggregate(Max("ts_us", alias_name="mx"))
+        .to_pandas()
+        .sort_values("bucket")
+    )
+    mx = bm["mx"].to_numpy(dtype="int64")
+    excl = np.concatenate(([np.iinfo(np.int64).min], np.maximum.accumulate(mx)[:-1]))
+    base_ref = ray.put(dict(zip(bm["bucket"].tolist(), excl.tolist())))
+
+    HOUR_US = 3_600_000_000
+    part_schema = pa.schema([
+        ("event_type", pa.string()), ("win_us", pa.int64()),
+        ("n_final", pa.int64()), ("n_dropped", pa.int64()),
+    ])
+
+    def finalize(t: pa.Table, _ref=base_ref) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        df = t.to_pandas().sort_values("event_id")
+        b = ray.get(_ref)
+        INT_MIN = np.iinfo(np.int64).min
+        ts = df["ts_us"].to_numpy(dtype="int64")
+        bk = df["bucket"].to_numpy(dtype="int64")
+        bounds = np.flatnonzero(
+            np.concatenate(([True], bk[1:] != bk[:-1]))
+        ).tolist() + [len(bk)]
+        in_bucket_excl = np.empty(len(bk), dtype="int64")
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            in_bucket_excl[s:e] = np.concatenate(
+                ([INT_MIN], np.maximum.accumulate(ts[s:e])[:-1])
+            )
+        wm = np.maximum(
+            np.array([b[k] for k in bk], dtype="int64"), in_bucket_excl
+        )
+        win = (ts // HOUR_US) * HOUR_US
+        final = (wm == INT_MIN) | (wm < win + HOUR_US + LATENESS_US)
+        out = pd.DataFrame({
+            "event_type": df["event_type"].to_numpy(),
+            "win_us": win,
+            "n_final": final.astype("int64"),
+            "n_dropped": (~final).astype("int64"),
+        })
+        g = out.groupby(["event_type", "win_us"], sort=False, as_index=False).sum()
+        return pa.Table.from_pandas(g, schema=part_schema, preserve_index=False)
+
+    agg = (
+        hash_exchange(prepped, ["bucket"], finalize, part_schema)
+        .groupby(["event_type", "win_us"])
+        .aggregate(
+            Sum("n_final", alias_name="n_final"),
+            Sum("n_dropped", alias_name="n_dropped"),
+        )
+    )
+
+    out_schema = pa.schema([
+        ("event_type", pa.string()), ("window_ts", pa.timestamp("us")),
+        ("n_final", pa.int64()), ("n_dropped", pa.int64()),
+    ])
+
+    def to_ts(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [t["event_type"], pc.cast(t["win_us"], pa.timestamp("us")),
+             pc.cast(t["n_final"], pa.int64()),
+             pc.cast(t["n_dropped"], pa.int64())],
+            schema=out_schema,
+        )
+
+    return agg.map_batches(to_ts, batch_format="pyarrow")
+
+
+SQL_EVENTS_WINDOW_FINAL = """
+WITH w AS (
+  SELECT event_type, ts, date_trunc('hour', ts) AS win,
+         max(ts) OVER (ORDER BY event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm
+  FROM events
+)
+SELECT event_type, win AS window_ts,
+       CAST(sum(CASE WHEN wm IS NULL
+                      OR wm < win + INTERVAL 2 HOUR THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_final,
+       CAST(sum(CASE WHEN wm IS NOT NULL
+                     AND wm >= win + INTERVAL 2 HOUR THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_dropped
+FROM w GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # Interval-overlap self-join (sweep-line) — concurrent activity per user
 # ---------------------------------------------------------------------------

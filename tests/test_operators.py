@@ -3908,3 +3908,42 @@ class TestDocShuffleRank:
         # it IS a shuffle: not the identity permutation
         srt = out.sort_values("shuffle_rank")["doc_id"].to_numpy()
         assert not (srt == np.sort(srt)).all()
+
+
+class TestEventsWindowFinal:
+    def test_late_event_past_lateness_is_dropped(self, ray_session, tmp_path):
+        """The sf testdata is nearly in order (zero drops), so the drop
+        path needs a crafted log: an event arriving after the watermark
+        passed its window end + 1 h lateness must land in n_dropped."""
+        import pyarrow.parquet as pq
+
+        import service1_text_extraction_ray.pipelines.relational as R
+
+        d = tmp_path / "sf"
+        d.mkdir()
+        base = pd.Timestamp("2024-06-01 00:10:00")
+        rows = [
+            # window 00:00: two on-time events
+            {"event_id": 1, "ts": base, "event_type": "a"},
+            {"event_id": 2, "ts": base + pd.Timedelta(minutes=5), "event_type": "a"},
+            # watermark jumps to 03:00 (window 03:00)
+            {"event_id": 3, "ts": pd.Timestamp("2024-06-01 03:00:00"), "event_type": "a"},
+            # straggler for window 00:00 arrives when wm=03:00 >= 00:00+2h -> DROP
+            {"event_id": 4, "ts": base + pd.Timedelta(minutes=20), "event_type": "a"},
+            # straggler for window 02:00 arrives when wm=03:00 < 02:00+2h -> final
+            {"event_id": 5, "ts": pd.Timestamp("2024-06-01 02:30:00"), "event_type": "a"},
+        ]
+        t = pa.Table.from_pylist(rows)
+        t = t.set_column(t.schema.get_field_index("ts"), "ts",
+                         t["ts"].cast(pa.timestamp("us")))
+        pq.write_table(t, str(d / "events.parquet"))
+        out = (
+            R.q_events_window_final(str(d)).to_pandas()
+            .set_index("window_ts").sort_index()
+        )
+        w0 = out.loc[pd.Timestamp("2024-06-01 00:00:00")]
+        assert w0["n_final"] == 2 and w0["n_dropped"] == 1
+        w2 = out.loc[pd.Timestamp("2024-06-01 02:00:00")]
+        assert w2["n_final"] == 1 and w2["n_dropped"] == 0
+        w3 = out.loc[pd.Timestamp("2024-06-01 03:00:00")]
+        assert w3["n_final"] == 1 and w3["n_dropped"] == 0
