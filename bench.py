@@ -187,7 +187,7 @@ QUERY_NAMES = [
     "doc_readability", "events_sessionize_incremental",
     "corpus_dsir_weights", "corpus_bpe_merges", "dedup_select_best",
     "extract_pdf_forms", "extract_pdf_xmp", "doc_blocklist_filter",
-    "doc_sample_wor",
+    "doc_sample_wor", "doc_shuffle_rank", "events_window_final",
 ]
 
 
