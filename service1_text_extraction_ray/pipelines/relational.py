@@ -4070,6 +4070,88 @@ FROM m
 """
 
 
+# EWMA smoothing factor alpha = EWMA_NUM / EWMA_DEN (1/4): s_t =
+# (v_t + 3*s_{t-1}) // 4, integer cents throughout. Division truncates; all
+# revenue values are non-negative so floor and trunc agree on both sides.
+EWMA_NUM = 1
+EWMA_DEN = 4
+
+
+def q_orders_daily_ewma(sf_dir: str) -> pd.DataFrame:
+    """Exponentially-weighted moving average of daily revenue — the
+    smoothing pass behind trend dashboards and anomaly baselines, done
+    with the recurrence kept EXACT: daily sums are integer cents, and
+    each EWMA step is ``(v_t + (DEN-NUM)*s_prev) // DEN`` so every value
+    is bit-reproducible and the oracle replays the whole series with a
+    recursive CTE.
+
+    Topology mirrors q_orders_mom: per-block pyarrow partials (day,
+    cents) pre-combine before the groupby, so the exchange moves at most
+    #days rows per block; the aggregated series is calendar-scale
+    (thousands of rows over seven TPC-H years), so the inherently
+    sequential fold runs on the driver — folding a RESULT, not the data.
+    At 100 TB the day-grain aggregate is identical; only the corpus-side
+    partial pass grows."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        days = pc.strftime(t["o_orderdate"], format="%Y-%m-%d")
+        rows = pa.Table.from_arrays(
+            [days, _cents(t["o_totalprice"])], names=["day", "cents"]
+        )
+        g = rows.group_by("day").aggregate([("cents", "sum")])
+        return pa.Table.from_arrays(
+            [g["day"], pc.cast(g["cents_sum"], pa.int64())],
+            names=["day", "revenue_cents"],
+        )
+
+    agg = (
+        _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+        .map_batches(partial, batch_format="pyarrow")
+        .repartition(8)
+        .groupby("day")
+        .aggregate(Sum("revenue_cents", alias_name="revenue_cents"))
+        .to_pandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    ewma: list[int] = []
+    s = 0
+    for i, v in enumerate(agg["revenue_cents"].astype("int64")):
+        s = int(v) if i == 0 else (EWMA_NUM * int(v) + (EWMA_DEN - EWMA_NUM) * s) // EWMA_DEN
+        ewma.append(s)
+    return pd.DataFrame({
+        "day": agg["day"],
+        "revenue_cents": agg["revenue_cents"].astype("int64"),
+        "ewma_cents": pd.Series(ewma, dtype="int64"),
+    })
+
+
+SQL_ORDERS_DAILY_EWMA = f"""
+WITH RECURSIVE d AS (
+  SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS revenue_cents
+  FROM orders GROUP BY 1
+),
+r AS (
+  SELECT day, revenue_cents,
+         row_number() OVER (ORDER BY day) AS rn
+  FROM d
+),
+e AS (
+  SELECT day, revenue_cents, rn, revenue_cents AS ewma_cents
+  FROM r WHERE rn = 1
+  UNION ALL
+  SELECT r.day, r.revenue_cents, r.rn,
+         CAST(({EWMA_NUM} * r.revenue_cents
+               + {EWMA_DEN - EWMA_NUM} * e.ewma_cents) // {EWMA_DEN}
+              AS BIGINT)
+  FROM e JOIN r ON r.rn = e.rn + 1
+)
+SELECT day, revenue_cents, ewma_cents FROM e
+"""
+
+
 TOP_PATHS_K = 20
 PATH_PREFIX_LEN = 5  # full paths are ~unique; the first-N-event prefix is
                      # where behavioral patterns repeat

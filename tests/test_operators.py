@@ -3947,3 +3947,29 @@ class TestEventsWindowFinal:
         assert w2["n_final"] == 1 and w2["n_dropped"] == 0
         w3 = out.loc[pd.Timestamp("2024-06-01 03:00:00")]
         assert w3["n_final"] == 1 and w3["n_dropped"] == 0
+
+
+class TestOrdersDailyEwma:
+    def test_quarter_alpha_integer_fold(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        import service1_text_extraction_ray.pipelines.relational as R
+
+        d = tmp_path / "sf"
+        d.mkdir()
+        # three days: 100.00, 2.00 (two 1.00 orders), 10.00 dollars
+        rows = [
+            {"o_orderkey": 1, "o_orderdate": pd.Timestamp("2024-01-01"), "o_totalprice": 100.0},
+            {"o_orderkey": 2, "o_orderdate": pd.Timestamp("2024-01-02"), "o_totalprice": 1.0},
+            {"o_orderkey": 3, "o_orderdate": pd.Timestamp("2024-01-02"), "o_totalprice": 1.0},
+            {"o_orderkey": 4, "o_orderdate": pd.Timestamp("2024-01-03"), "o_totalprice": 10.0},
+        ]
+        t = pa.Table.from_pylist(rows)
+        t = t.set_column(t.schema.get_field_index("o_orderdate"), "o_orderdate",
+                         t["o_orderdate"].cast(pa.timestamp("us")))
+        pq.write_table(t, str(d / "orders.parquet"))
+        out = R.q_orders_daily_ewma(str(d))
+        assert out["day"].tolist() == ["2024-01-01", "2024-01-02", "2024-01-03"]
+        assert out["revenue_cents"].tolist() == [10000, 200, 1000]
+        # s1=10000; s2=(200+3*10000)//4=7550; s3=(1000+3*7550)//4=5912
+        assert out["ewma_cents"].tolist() == [10000, 7550, 5912]
