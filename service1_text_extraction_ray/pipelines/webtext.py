@@ -4071,6 +4071,16 @@ def q_corpus_bpe_merges(sf_dir: str) -> pd.DataFrame:
     broadcasts by closure. Counts are integers and every tie is total, so
     the result is bit-identical at any parallelism. Output: one row per
     round (rnd, sym_a, sym_b, pair_count)."""
+    _, _, out_rows = _bpe_learn(sf_dir)
+    return pd.DataFrame(
+        out_rows, columns=["rnd", "sym_a", "sym_b", "pair_count"]
+    ).astype({"rnd": "int64", "pair_count": "int64"})
+
+
+def _bpe_learn(sf_dir: str):
+    """Shared BPE trainer (see q_corpus_bpe_merges for the topology):
+    returns (vocab-scale word-count Dataset, learned merge list, per-round
+    rows). q_doc_bpe_encode reuses the merges to segment documents."""
     cnt_schema = pa.schema([("token", pa.string()), ("n", pa.int64())])
 
     def tok_partials(df: pd.DataFrame) -> pa.Table:
@@ -4138,9 +4148,116 @@ def q_corpus_bpe_merges(sf_dir: str) -> pd.DataFrame:
         out_rows.append({
             "rnd": rnd, "sym_a": a, "sym_b": b, "pair_count": int(best["n"]),
         })
-    return pd.DataFrame(
-        out_rows, columns=["rnd", "sym_a", "sym_b", "pair_count"]
-    ).astype({"rnd": "int64", "pair_count": "int64"})
+    return words, merges, out_rows
+
+
+def q_doc_bpe_encode(sf_dir: str) -> rd.Dataset:
+    """Apply the learned BPE tokenizer to every document — the encode pass
+    that follows q_corpus_bpe_merges' train pass in a real tokenizer
+    build: learn the BPE_MERGES merges from corpus word frequencies, then
+    segment each document's words under that merge list and report
+    per-doc whitespace-token and BPE-symbol counts (the compression the
+    tokenizer achieves).
+
+    The merge list (<= BPE_MERGES entries) broadcasts by closure; encoding
+    is a pure per-batch map with a per-batch word->symbol-count memo, so
+    each distinct word in a block is segmented once. The oracle replays
+    train AND encode: the same unrolled double-space replace() chain as
+    SQL_CORPUS_BPE_MERGES, carrying the token string through every round
+    so each word type's final segmentation joins back to the per-doc
+    token stream."""
+    _, merges, _ = _bpe_learn(sf_dir)
+
+    out_schema = pa.schema([
+        ("doc_id", pa.int64()), ("n_tokens", pa.int64()),
+        ("n_bpe_tokens", pa.int64()),
+    ])
+
+    def encode(t: pa.Table) -> pa.Table:
+        memo: dict[str, int] = {}
+        ids, n_tok, n_bpe = [], [], []
+        for doc_id, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            toks = _tokens(text or "")
+            total = 0
+            for w in toks:
+                k = memo.get(w)
+                if k is None:
+                    k = memo[w] = len(_bpe_apply(w, merges))
+                total += k
+            ids.append(doc_id)
+            n_tok.append(len(toks))
+            n_bpe.append(total)
+        return pa.Table.from_arrays(
+            [pa.array(ids, pa.int64()), pa.array(n_tok, pa.int64()),
+             pa.array(n_bpe, pa.int64())],
+            schema=out_schema,
+        )
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        encode, batch_format="pyarrow"
+    )
+
+
+def _sql_bpe_encode() -> str:
+    """Train replay (token-carrying variant of _sql_bpe_merges' chain) +
+    encode: the final round's state splits back into symbols, giving each
+    word type's segment count, joined to the per-doc token stream."""
+    parts = [
+        """dt AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(coalesce(text, ''), '\\s+'),
+                x -> x <> '')) AS token
+  FROM documents
+),
+wc AS (SELECT token, CAST(count(*) AS BIGINT) AS n FROM dt GROUP BY 1),
+w0 AS (
+  SELECT token,
+         ' ' || array_to_string(
+           list_append(regexp_extract_all(token, '.'), '</w>'), '  ') || ' '
+           AS state,
+         n
+  FROM wc
+)"""
+    ]
+    for r in range(1, BPE_MERGES + 1):
+        parts.append(f"""p{r} AS (
+  SELECT s[i] || ' ' || s[i + 1] AS pair, CAST(sum(n) AS BIGINT) AS cnt
+  FROM (SELECT string_split(trim(state, ' '), '  ') AS s, n FROM w{r - 1}),
+       UNNEST(range(1, len(s))) AS u(i)
+  GROUP BY 1
+),
+m{r} AS (
+  SELECT split_part(pair, ' ', 1) AS a,
+         substr(pair, len(split_part(pair, ' ', 1)) + 2) AS b,
+         cnt
+  FROM p{r} ORDER BY cnt DESC, pair ASC LIMIT 1
+),
+w{r} AS (
+  SELECT w.token,
+         replace(w.state, ' ' || m.a || '  ' || m.b || ' ',
+                 ' ' || m.a || m.b || ' ') AS state,
+         w.n
+  FROM w{r - 1} w CROSS JOIN m{r} m
+)""")
+    return ("WITH " + ",\n".join(parts) + f""",
+wlen AS (
+  SELECT token,
+         CAST(len(string_split(trim(state, ' '), '  ')) AS BIGINT) AS n_syms
+  FROM w{BPE_MERGES}
+),
+per_doc AS (
+  SELECT dt.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(wl.n_syms) AS BIGINT) AS n_bpe_tokens
+  FROM dt JOIN wlen wl USING (token)
+  GROUP BY dt.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(coalesce(p.n_bpe_tokens, 0) AS BIGINT) AS n_bpe_tokens
+FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id""")
+
+
+SQL_DOC_BPE_ENCODE = _sql_bpe_encode()
 
 
 def _sql_bpe_merges() -> str:

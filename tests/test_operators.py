@@ -3973,3 +3973,37 @@ class TestOrdersDailyEwma:
         assert out["revenue_cents"].tolist() == [10000, 200, 1000]
         # s1=10000; s2=(200+3*10000)//4=7550; s3=(1000+3*7550)//4=5912
         assert out["ewma_cents"].tolist() == [10000, 7550, 5912]
+
+
+class TestDocBpeEncode:
+    def test_counts_match_scalar_segmentation(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        import service1_text_extraction_ray.pipelines.webtext as W
+
+        d = tmp_path / "sf"
+        d.mkdir()
+        docs = [
+            "low low low lower lower newest newest newest newest widest",
+            "newest low",
+            "",  # empty doc -> (0, 0)
+        ]
+        pq.write_table(
+            pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                      "lang": ["en"] * 3, "text": docs}),
+            str(d / "documents.parquet"),
+        )
+        out = (
+            W.q_doc_bpe_encode(str(d))
+            .to_pandas().set_index("doc_id").sort_index()
+        )
+        _, merges, _ = W._bpe_learn(str(d))
+        for doc_id, text in zip([1, 2, 3], docs):
+            toks = text.split()
+            assert out.loc[doc_id, "n_tokens"] == len(toks)
+            assert out.loc[doc_id, "n_bpe_tokens"] == sum(
+                len(W._bpe_apply(t, merges)) for t in toks
+            )
+        # merges compress: fewer BPE symbols than raw chars + end markers
+        raw = sum(len(t) + 1 for t in docs[0].split())
+        assert out.loc[1, "n_bpe_tokens"] < raw
