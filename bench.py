@@ -188,7 +188,7 @@ QUERY_NAMES = [
     "corpus_dsir_weights", "corpus_bpe_merges", "dedup_select_best",
     "extract_pdf_forms", "extract_pdf_xmp", "doc_blocklist_filter",
     "doc_sample_wor", "doc_shuffle_rank", "events_window_final",
-    "orders_daily_ewma", "doc_bpe_encode",
+    "orders_daily_ewma", "doc_bpe_encode", "dedup_lines_global",
 ]
 
 

@@ -388,6 +388,153 @@ FROM g WHERE n_occurrences >= 2
 
 
 # ---------------------------------------------------------------------------
+# Corpus-global exact line dedup (the C4 / RefinedWeb curation pass)
+# ---------------------------------------------------------------------------
+
+_LINE_CAND_SCHEMA = pa.schema(
+    [("line_hash", pa.string()), ("doc_id", pa.int64()), ("idx", pa.int64())]
+)
+_LINE_DROP_SCHEMA = pa.schema([("doc_id", pa.int64()), ("idx", pa.int64())])
+_LINE_UNION_SCHEMA = pa.schema(
+    [("side", pa.int64()), ("doc_id", pa.int64()),
+     ("text", pa.string()), ("idx", pa.int64())]
+)
+_LINE_OUT_SCHEMA = pa.schema(
+    [("doc_id", pa.int64()), ("n_lines", pa.int64()),
+     ("n_dropped", pa.int64()), ("text_deduped", pa.string())]
+)
+
+
+def q_dedup_lines_global(sf_dir: str) -> rd.Dataset:
+    """Corpus-GLOBAL exact line deduplication with document reassembly —
+    the C4 "discard duplicated lines across the corpus" pass (Raffel et
+    al. 2020 §2.2 lineage; RefinedWeb runs the same line-grain rule):
+    every non-empty line instance is dropped iff an EARLIER instance of
+    the byte-identical line exists anywhere in the corpus (earlier =
+    smaller (doc_id, idx)); empty lines are structural and always kept.
+    Output per document: original line count, dropped count, and the
+    reassembled text.
+
+    Two keyed exchanges, text moving only once:
+    1. explode emits (md5(line), doc_id, idx) — 32-hex keys, never line
+       text; a hash_exchange on line_hash sorts each shard and keeps
+       everything after the first instance per hash as drop decisions.
+    2. drop decisions (doc_id, idx) tag-union with the documents stream
+       (the events_asof_orders co-partition topology) and one
+       hash_exchange on doc_id reassembles each text next to its drop
+       set. No driver-side materialization at any point."""
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        hashes, ids, idxs = [], [], []
+        for doc_id, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            for i, ln in enumerate((text or "").split("\n"), 1):
+                if ln != "":
+                    hashes.append(hashlib.md5(ln.encode()).hexdigest())
+                    ids.append(doc_id)
+                    idxs.append(i)
+        if not ids:
+            return _LINE_CAND_SCHEMA.empty_table()
+        return pa.Table.from_arrays(
+            [pa.array(hashes, pa.string()), pa.array(ids, pa.int64()),
+             pa.array(idxs, pa.int64())],
+            schema=_LINE_CAND_SCHEMA,
+        )
+
+    def find_drops(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values(["line_hash", "doc_id", "idx"])
+        dup = df.duplicated("line_hash", keep="first")
+        out = df.loc[dup, ["doc_id", "idx"]]
+        return pa.Table.from_pandas(out, schema=_LINE_DROP_SCHEMA,
+                                    preserve_index=False)
+
+    dropped = hash_exchange(
+        docs.map_batches(explode, batch_format="pyarrow"),
+        ["line_hash"], find_drops, _LINE_DROP_SCHEMA,
+    )
+
+    def tag_docs(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.Table.from_arrays(
+            [pa.array([0] * n, pa.int64()), pc.cast(t["doc_id"], pa.int64()),
+             pc.cast(pc.fill_null(t["text"], ""), pa.string()),
+             pa.nulls(n, pa.int64())],
+            schema=_LINE_UNION_SCHEMA,
+        )
+
+    def tag_drops(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.Table.from_arrays(
+            [pa.array([1] * n, pa.int64()), t["doc_id"],
+             pa.nulls(n, pa.string()), t["idx"]],
+            schema=_LINE_UNION_SCHEMA,
+        )
+
+    both = docs.map_batches(tag_docs, batch_format="pyarrow").union(
+        dropped.map_batches(tag_drops, batch_format="pyarrow")
+    )
+
+    def reassemble(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        rows = []
+        for doc_id, g in df.groupby("doc_id", sort=True):
+            texts = g.loc[g["side"] == 0, "text"]
+            if texts.empty:
+                continue  # drop rows for an unknown doc (impossible by construction)
+            lines = str(texts.iloc[0]).split("\n")
+            drop = set(int(i) for i in g.loc[g["side"] == 1, "idx"])
+            kept = [ln for i, ln in enumerate(lines, 1) if i not in drop]
+            rows.append({
+                "doc_id": int(doc_id), "n_lines": len(lines),
+                "n_dropped": len(drop), "text_deduped": "\n".join(kept),
+            })
+        if not rows:
+            return _LINE_OUT_SCHEMA.empty_table()
+        return pa.Table.from_pylist(rows, schema=_LINE_OUT_SCHEMA)
+
+    return hash_exchange(both, ["doc_id"], reassemble, _LINE_OUT_SCHEMA)
+
+
+SQL_DEDUP_LINES_GLOBAL = """
+WITH ls AS (
+  SELECT doc_id, string_split(coalesce(text, ''), chr(10)) AS arr
+  FROM documents
+),
+l AS (
+  SELECT doc_id, u.i AS idx, arr[u.i] AS ln
+  FROM ls, unnest(range(1, len(arr) + 1)) AS u(i)
+),
+drp AS (
+  SELECT doc_id, idx FROM (
+    SELECT doc_id, idx,
+           row_number() OVER (PARTITION BY ln ORDER BY doc_id, idx) AS rn
+    FROM l WHERE ln <> ''
+  ) WHERE rn > 1
+),
+ndrop AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dropped FROM drp GROUP BY 1
+),
+kept AS (
+  SELECT l.doc_id, l.idx, l.ln
+  FROM l LEFT JOIN drp d ON d.doc_id = l.doc_id AND d.idx = l.idx
+  WHERE d.doc_id IS NULL
+),
+agg AS (
+  SELECT doc_id, string_agg(ln, chr(10) ORDER BY idx) AS txt
+  FROM kept GROUP BY 1
+)
+SELECT ls.doc_id,
+       CAST(len(ls.arr) AS BIGINT) AS n_lines,
+       CAST(coalesce(nd.n_dropped, 0) AS BIGINT) AS n_dropped,
+       coalesce(a.txt, '') AS text_deduped
+FROM ls
+LEFT JOIN ndrop nd ON nd.doc_id = ls.doc_id
+LEFT JOIN agg a ON a.doc_id = ls.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Corpus vocabulary statistics
 # ---------------------------------------------------------------------------
 

@@ -4007,3 +4007,54 @@ class TestDocBpeEncode:
         # merges compress: fewer BPE symbols than raw chars + end markers
         raw = sum(len(t) + 1 for t in docs[0].split())
         assert out.loc[1, "n_bpe_tokens"] < raw
+
+
+class TestDedupLinesGlobal:
+    def test_cross_file_first_instance_wins(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        import service1_text_extraction_ray.pipelines.webtext as W
+
+        d = tmp_path / "sf"
+        d.mkdir()
+        # two parquet files so duplicate lines CROSS block boundaries
+        pq.write_table(
+            pa.table({
+                "doc_id": pa.array([1, 2], pa.int64()),
+                "text": ["keep me\nshared line\n\nkeep me",  # within-doc repeat
+                         "shared line\nunique two"],
+            }),
+            str(d / "documents.parquet"),
+        )
+        d2 = tmp_path / "sf" / "more"
+        pq.write_table(
+            pa.table({
+                "doc_id": pa.array([3, 4], pa.int64()),
+                "text": ["unique three\nshared line", ""],
+            }),
+            str(d / "documents2.parquet"),
+        )
+        # directory read: point _read at the dir by renaming layout
+        import os
+        os.mkdir(str(d / "documents_dir"))
+        os.rename(str(d / "documents.parquet"), str(d / "documents_dir" / "a.parquet"))
+        os.rename(str(d / "documents2.parquet"), str(d / "documents_dir" / "b.parquet"))
+        os.rename(str(d / "documents_dir"), str(d / "documents.parquet"))
+
+        out = (
+            W.q_dedup_lines_global(str(d))
+            .to_pandas().set_index("doc_id").sort_index()
+        )
+        # doc 1: "keep me"(1) kept, "shared line"(2) kept (global first),
+        # ""(3) kept (empty = structural), "keep me"(4) dropped (doc 1 idx 1 earlier)
+        assert out.loc[1, "n_lines"] == 4 and out.loc[1, "n_dropped"] == 1
+        assert out.loc[1, "text_deduped"] == "keep me\nshared line\n"
+        # doc 2 line 1 duplicates doc 1 idx 2 -> dropped
+        assert out.loc[2, "n_dropped"] == 1
+        assert out.loc[2, "text_deduped"] == "unique two"
+        # doc 3 line 2 duplicates -> dropped
+        assert out.loc[3, "n_dropped"] == 1
+        assert out.loc[3, "text_deduped"] == "unique three"
+        # empty doc: one empty line, kept
+        assert out.loc[4, "n_lines"] == 1 and out.loc[4, "n_dropped"] == 0
+        assert out.loc[4, "text_deduped"] == ""
