@@ -5658,6 +5658,119 @@ GROUP BY a.dim, b.dim
 
 
 # ---------------------------------------------------------------------------
+# PCA by power iteration (top principal direction + per-vector projection)
+# ---------------------------------------------------------------------------
+
+PCA_ITERS = 6
+PCA_UNIT = 1_000_000  # iterate state normalized to max-abs = 1e6 (integer)
+
+
+def _pca_trunc_div(y: int, m: int) -> int:
+    """sign(y) * (|y| // m) — truncation toward zero on arbitrary-precision
+    ints, mirroring the oracle's explicit sign-decomposed division (Python's
+    bare // floors toward -inf; they differ on negative numerators)."""
+    return -((-y) // m) if y < 0 else y // m
+
+
+def q_embedding_pca_power(sf_dir: str) -> rd.Dataset:
+    """Top principal direction of the embedding cloud by power iteration,
+    with per-vector PC1 projections — the fourth iterative algorithm
+    (after PageRank, connected components, k-means), and the first whose
+    state is a dense D-vector rather than per-key scalars.
+
+    The distributed work is exactly q_embedding_gram's one-matmul-per-
+    block Gram accumulation (reused by call); the D x D integer Gram
+    (D=64 -> 2080 upper-triangle rows) folds on the driver through
+    PCA_ITERS exact power steps in arbitrary-precision Python ints —
+    y = G x overflows int64 by design, which is why the fold is not
+    numpy — renormalizing each step to max|x| = PCA_UNIT with
+    truncate-toward-zero division. The final direction (64 ints)
+    broadcasts by closure into one projection map over the vectors
+    (per-term products < 2^47: int64-safe, vectorized numpy). The oracle
+    replays every iteration as unrolled CTEs in HUGEINT. Output:
+    (vec_id, pc1_score), bit-identical at any parallelism."""
+    g = q_embedding_gram(sf_dir).to_pandas()
+    d = int(g["dim_i"].max()) if len(g) else 0
+    G = [[0] * d for _ in range(d)]
+    for i, j, v in zip(g["dim_i"], g["dim_j"], g["sum_qq"]):
+        G[int(i) - 1][int(j) - 1] = int(v)
+        G[int(j) - 1][int(i) - 1] = int(v)
+
+    x = [PCA_UNIT] * d
+    for _ in range(PCA_ITERS):
+        y = [sum(G[i][j] * x[j] for j in range(d)) for i in range(d)]
+        m = max(abs(v) for v in y) if y else 0
+        x = [0] * d if m == 0 else [_pca_trunc_div(v * PCA_UNIT, m) for v in y]
+
+    direction = np.asarray(x, dtype=np.int64)
+    out_schema = pa.schema([("vec_id", pa.int64()), ("pc1_score", pa.int64())])
+
+    def project(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return out_schema.empty_table()
+        flat = pc.cast(
+            pc.round(
+                pc.multiply(
+                    pc.cast(pc.list_flatten(t["embedding"].combine_chunks()),
+                            pa.float64()),
+                    pa.scalar(float(CENTROID_UNIT)),
+                ),
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        ).to_numpy(zero_copy_only=False)
+        mat = flat.reshape(n, len(flat) // n)
+        return pa.Table.from_arrays(
+            [pc.cast(t["vec_id"], pa.int64()), pa.array(mat @ direction)],
+            schema=out_schema,
+        )
+
+    return _read(sf_dir, "embeddings", ["vec_id", "embedding"]).map_batches(
+        project, batch_format="pyarrow"
+    )
+
+
+def _sql_pca_power() -> str:
+    parts = [f"""q AS (
+  SELECT vec_id,
+         unnest(generate_series(1, len(embedding))) AS dim,
+         CAST(round(CAST(unnest(embedding) AS DOUBLE) * {CENTROID_UNIT})
+              AS BIGINT) AS qv
+  FROM embeddings
+),
+g AS (
+  SELECT a.dim AS i, b.dim AS j, CAST(sum(a.qv * b.qv) AS HUGEINT) AS v
+  FROM q a JOIN q b ON a.vec_id = b.vec_id
+  GROUP BY 1, 2
+),
+x0 AS (
+  SELECT DISTINCT dim, CAST({PCA_UNIT} AS HUGEINT) AS x FROM q
+)"""]
+    for r in range(1, PCA_ITERS + 1):
+        parts.append(f"""y{r} AS (
+  SELECT g.i AS dim, CAST(sum(g.v * x.x) AS HUGEINT) AS y
+  FROM g JOIN x{r - 1} x ON x.dim = g.j
+  GROUP BY 1
+),
+m{r} AS (SELECT max(abs(y)) AS m FROM y{r}),
+x{r} AS (
+  SELECT dim,
+         CAST(CASE WHEN m.m = 0 THEN 0
+                   WHEN y >= 0 THEN (y * {PCA_UNIT}) // m.m
+                   ELSE -((-y * {PCA_UNIT}) // m.m) END AS HUGEINT) AS x
+  FROM y{r}, m{r} m
+)""")
+    return ("WITH " + ",\n".join(parts) + f"""
+SELECT q.vec_id, CAST(sum(q.qv * x.x) AS BIGINT) AS pc1_score
+FROM q JOIN x{PCA_ITERS} x ON x.dim = q.dim
+GROUP BY q.vec_id""")
+
+
+SQL_EMBEDDING_PCA_POWER = _sql_pca_power()
+
+
+# ---------------------------------------------------------------------------
 # int8 embedding quantization — the storage/serving compression step every
 # 10^12-vector ANN deployment applies before indexing (FAISS SQ8 shape:
 # per-vector symmetric absmax scaling). The reference has no vector ops at

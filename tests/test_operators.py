@@ -4058,3 +4058,38 @@ class TestDedupLinesGlobal:
         # empty doc: one empty line, kept
         assert out.loc[4, "n_lines"] == 1 and out.loc[4, "n_dropped"] == 0
         assert out.loc[4, "text_deduped"] == ""
+
+
+class TestEmbeddingPcaPower:
+    def test_dominant_direction_recovered(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        import service1_text_extraction_ray.pipelines.queries as Q
+
+        d = tmp_path / "sf"
+        d.mkdir()
+        # dominant variance along dim 0: coefficients -3..3, tiny dim-1 noise
+        coef = [-3.0, -2.0, -1.0, 0.0, 1.0, 2.0, 3.0]
+        vecs = []
+        for k, c in enumerate(coef):
+            v = np.zeros(64)
+            v[0] = c
+            v[1] = 0.01 * (k % 2)
+            vecs.append(v.tolist())
+        pq.write_table(
+            pa.table({"vec_id": pa.array(range(7), pa.int64()),
+                      "embedding": pa.array(vecs, pa.list_(pa.float64()))}),
+            str(d / "embeddings.parquet"),
+        )
+        out = (
+            Q.q_embedding_pca_power(str(d))
+            .to_pandas().set_index("vec_id").sort_index()["pc1_score"]
+        )
+        # projections must be strictly monotone in the dim-0 coefficient
+        # (either orientation of the eigenvector)
+        s = out.tolist()
+        assert all(a < b for a, b in zip(s, s[1:])) or all(
+            a > b for a, b in zip(s, s[1:])
+        )
+        # zero vector projects to ~0 relative to the extremes
+        assert abs(s[3]) < abs(s[0]) / 100
