@@ -5452,6 +5452,29 @@ def q_kmeans_embeddings(sf_dir: str) -> rd.Dataset:
     training step behind q_ann_ivf's coarse quantizer. Initialization:
     the K lowest vec_ids (deterministic). Empty clusters keep their
     previous centroid. Output: the final (vec_id, cluster) assignment."""
+    emb, cent = _kmeans_fit(sf_dir)
+
+    final_ref = ray.put(cent)
+    out_schema = pa.schema([("vec_id", pa.int64()), ("cluster", pa.int64())])
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(final_ref)
+        mat = np.stack(batch["embedding"].to_pandas().to_numpy()).astype(np.float64)
+        vq = _km_quant(mat)
+        d = ((vq[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        return pa.Table.from_arrays(
+            [pc.cast(batch["vec_id"], pa.int64()),
+             pa.array(np.argmin(d, axis=1).astype(np.int64))],
+            schema=out_schema,
+        )
+
+    return emb.map_batches(assign, batch_format="pyarrow")
+
+
+def _kmeans_fit(sf_dir: str):
+    """Shared Lloyd trainer (topology in q_kmeans_embeddings' docstring):
+    returns the materialized embeddings Dataset and the final integer
+    centroids. q_dedup_semantic reuses the fit for its cluster routing."""
     emb = (
         _read(sf_dir, "embeddings", ["vec_id", "embedding"])
         .materialize()  # scanned ITERS+1 times; vector table is the input
@@ -5508,24 +5531,10 @@ def q_kmeans_embeddings(sf_dir: str) -> rd.Dataset:
                 new[k] = _km_trunc_div(acc[k], int(cnt[k]))
         cent = new
 
-    final_ref = ray.put(cent)
-    out_schema = pa.schema([("vec_id", pa.int64()), ("cluster", pa.int64())])
-
-    def assign(batch: pa.Table) -> pa.Table:
-        c = ray.get(final_ref)
-        mat = np.stack(batch["embedding"].to_pandas().to_numpy()).astype(np.float64)
-        vq = _km_quant(mat)
-        d = ((vq[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
-        return pa.Table.from_arrays(
-            [pc.cast(batch["vec_id"], pa.int64()),
-             pa.array(np.argmin(d, axis=1).astype(np.int64))],
-            schema=out_schema,
-        )
-
-    return emb.map_batches(assign, batch_format="pyarrow")
+    return emb, cent
 
 
-def _sql_kmeans() -> str:
+def _sql_kmeans_chain() -> str:
     dist = ("list_sum(list_transform(range(1, %d), i -> "
             "(v[i] - c[i]) * (v[i] - c[i])))" % (KM_DIM + 1))
     parts = [f"""
@@ -5565,19 +5574,161 @@ c{it} AS (
   ) u ON u.cluster = p.cluster
 )""")
         prev = f"c{it}"
-    parts.append(f"""
-SELECT vec_id, cluster FROM (
-  SELECT q.vec_id, t.cluster,
-         row_number() OVER (
-           PARTITION BY q.vec_id
-           ORDER BY {dist.replace('v[i]', 'q.v[i]').replace('c[i]', 't.c[i]')},
-                    t.cluster) AS rn
-  FROM vq q CROSS JOIN {prev} t
-) WHERE rn = 1""")
-    return "WITH " + "".join(parts).lstrip()
+    parts.append(f""",
+afinal AS (
+  SELECT vec_id, cluster FROM (
+    SELECT q.vec_id, t.cluster,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY {dist.replace('v[i]', 'q.v[i]').replace('c[i]', 't.c[i]')},
+                      t.cluster) AS rn
+    FROM vq q CROSS JOIN {prev} t
+  ) WHERE rn = 1
+)""")
+    return "".join(parts).lstrip()
+
+
+def _sql_kmeans() -> str:
+    return "WITH " + _sql_kmeans_chain() + "\nSELECT vec_id, cluster FROM afinal"
 
 
 SQL_KMEANS_EMBEDDINGS = _sql_kmeans()
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: semantic dedup inside k-means clusters (Abbas et al. 2023)
+# ---------------------------------------------------------------------------
+
+# int8-code cosine threshold tau = 0.4 (same empirical gap NEAR_DUP_SIM
+# sits in); tested as dot^2 * DEN >= NUM * |a|^2 * |b|^2 with dot > 0 —
+# all int64-safe because int8 codes bound every product.
+SEMDEDUP_NUM = 16   # tau^2 = 16/100
+SEMDEDUP_DEN = 100
+
+
+def q_dedup_semantic(sf_dir: str) -> rd.Dataset:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication"): route vectors to k-means
+    clusters, then mark as duplicate any vector whose cosine similarity
+    to a LOWER-vec_id member of the same cluster reaches tau — pairwise
+    search confined to clusters, never across the corpus.
+
+    Composition of two verified pieces: the shared _kmeans_fit trainer
+    (bit-reproducible integer Lloyd) routes; within-cluster similarity
+    uses symmetric int8 codes (the embedding_quantize_int8 scheme) so the
+    cosine test is EXACT integer arithmetic. One groupby co-locates each
+    cluster; the in-cluster verify is a TILED numpy matmul (the simhash
+    lesson: per-task memory bounded by tile x cluster, not cluster^2).
+    At web scale K grows ~sqrt(N) to bound cluster sizes — here K is the
+    oracle-replay constant. Output per vector: cluster, is_dup (0/1),
+    dup_of (min qualifying lower vec_id, -1 if none)."""
+    emb, cent = _kmeans_fit(sf_dir)
+    cent_ref = ray.put(cent)
+
+    mid_schema = pa.schema([
+        ("vec_id", pa.int64()), ("cluster", pa.int64()),
+        ("codes", pa.list_(pa.int8())),
+    ])
+    out_schema = pa.schema([
+        ("vec_id", pa.int64()), ("cluster", pa.int64()),
+        ("is_dup", pa.int64()), ("dup_of", pa.int64()),
+    ])
+
+    def _round_half_away(x: np.ndarray) -> np.ndarray:
+        return np.where(x >= 0, np.floor(x + 0.5), np.ceil(x - 0.5))
+
+    def route_and_code(batch: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        mat = np.stack(batch["embedding"].to_pandas().to_numpy()).astype(np.float64)
+        vq = _km_quant(mat)
+        d = ((vq[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        cl = np.argmin(d, axis=1).astype(np.int64)
+        am = np.abs(mat).max(axis=1)
+        scale = am / 127.0
+        safe = np.where(scale == 0.0, 1.0, scale)
+        q = _round_half_away(mat / safe[:, None])
+        q[scale == 0.0, :] = 0.0
+        return pa.Table.from_arrays(
+            [pc.cast(batch["vec_id"], pa.int64()), pa.array(cl),
+             pa.array(list(q.astype(np.int8)), pa.list_(pa.int8()))],
+            schema=mid_schema,
+        )
+
+    def in_cluster(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values("vec_id").reset_index(drop=True)
+        n = len(df)
+        ids = df["vec_id"].to_numpy(dtype=np.int64)
+        mat = np.stack(df["codes"].to_numpy()).astype(np.int64)
+        nn = (mat * mat).sum(axis=1)
+        is_dup = np.zeros(n, dtype=np.int64)
+        dup_of = np.full(n, -1, dtype=np.int64)
+        TILE = 1024
+        cols = np.arange(n)[None, :]
+        for s in range(0, n, TILE):
+            e = min(s + TILE, n)
+            sims = mat[s:e] @ mat.T
+            mask = (sims > 0) & (
+                SEMDEDUP_DEN * sims * sims >= SEMDEDUP_NUM * np.outer(nn[s:e], nn)
+            )
+            mask &= cols < np.arange(s, e)[:, None]  # only lower-sorted (lower id)
+            hit = mask.any(axis=1)
+            first = np.argmax(mask, axis=1)
+            is_dup[s:e][hit] = 1
+            dup_of[s:e][hit] = ids[first[hit]]
+        return pa.Table.from_arrays(
+            [pa.array(ids), df["cluster"].to_numpy(dtype=np.int64),
+             pa.array(is_dup), pa.array(dup_of)],
+            schema=out_schema,
+        )
+
+    return (
+        emb.map_batches(route_and_code, batch_format="pyarrow")
+        .groupby("cluster")
+        .map_groups(in_cluster, batch_format="pyarrow")
+    )
+
+
+def _sql_dedup_semantic() -> str:
+    return ("WITH " + _sql_kmeans_chain() + f""",
+q8 AS (
+  SELECT vec_id, list_transform(
+           emb, x -> CASE WHEN am = 0 THEN CAST(0 AS BIGINT)
+                          ELSE CAST(round(x / (am / 127.0)) AS BIGINT) END
+         ) AS cs
+  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+               list_aggregate(
+                 list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x)),
+                 'max') AS am
+        FROM embeddings)
+),
+n2 AS (
+  SELECT vec_id, cs,
+         list_sum(list_transform(cs, x -> x * x)) AS nn
+  FROM q8
+),
+dups AS (
+  SELECT x.vec_id, min(y.vec_id) AS dup_of
+  FROM afinal x JOIN afinal y
+       ON y.cluster = x.cluster AND y.vec_id < x.vec_id
+       JOIN n2 a ON a.vec_id = x.vec_id
+       JOIN n2 b ON b.vec_id = y.vec_id
+  WHERE list_sum(list_transform(range(1, {KM_DIM + 1}),
+                                i -> a.cs[i] * b.cs[i])) > 0
+    AND {SEMDEDUP_DEN}
+        * list_sum(list_transform(range(1, {KM_DIM + 1}),
+                                  i -> a.cs[i] * b.cs[i]))
+        * list_sum(list_transform(range(1, {KM_DIM + 1}),
+                                  i -> a.cs[i] * b.cs[i]))
+        >= {SEMDEDUP_NUM} * a.nn * b.nn
+  GROUP BY x.vec_id
+)
+SELECT f.vec_id, f.cluster,
+       CAST(CASE WHEN d.vec_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS is_dup,
+       CAST(coalesce(d.dup_of, -1) AS BIGINT) AS dup_of
+FROM afinal f LEFT JOIN dups d ON d.vec_id = f.vec_id""")
+
+
+SQL_DEDUP_SEMANTIC = _sql_dedup_semantic()
 
 
 # ---------------------------------------------------------------------------

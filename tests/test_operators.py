@@ -4093,3 +4093,42 @@ class TestEmbeddingPcaPower:
         )
         # zero vector projects to ~0 relative to the extremes
         assert abs(s[3]) < abs(s[0]) / 100
+
+
+class TestDedupSemantic:
+    def test_planted_near_dup_found_orthogonal_kept(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        import service1_text_extraction_ray.pipelines.queries as Q
+
+        d = tmp_path / "sf"
+        d.mkdir()
+        rs = np.random.RandomState(11)
+        base = rs.standard_normal(64)
+        vecs = {}
+        # spread of random vectors (ids 0..7 seed the centroids)
+        for i in range(12):
+            vecs[i] = rs.standard_normal(64)
+        vecs[20] = base
+        vecs[21] = base * 1.5 + rs.standard_normal(64) * 0.01  # near-dup of 20
+        ortho = np.zeros(64); ortho[0] = 1.0
+        vecs[22] = ortho  # nothing like it in the set
+        ids = sorted(vecs)
+        pq.write_table(
+            pa.table({"vec_id": pa.array(ids, pa.int64()),
+                      "embedding": pa.array([vecs[i].tolist() for i in ids],
+                                            pa.list_(pa.float64()))}),
+            str(d / "embeddings.parquet"),
+        )
+        out = (
+            Q.q_dedup_semantic(str(d))
+            .to_pandas().set_index("vec_id").sort_index()
+        )
+        assert len(out) == len(ids)
+        # the planted near-identical pair: higher id flagged against lower
+        assert out.loc[21, "is_dup"] == 1 and out.loc[21, "dup_of"] == 20
+        assert out.loc[20, "dup_of"] != 21  # lower id never points upward
+        # every flagged vector points at a strictly lower id in its cluster
+        flagged = out[out["is_dup"] == 1]
+        assert (flagged["dup_of"] < flagged.index).all()
+        assert (out.loc[out["is_dup"] == 0, "dup_of"] == -1).all()
