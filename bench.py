@@ -189,7 +189,7 @@ QUERY_NAMES = [
     "extract_pdf_forms", "extract_pdf_xmp", "doc_blocklist_filter",
     "doc_sample_wor", "doc_shuffle_rank", "events_window_final",
     "orders_daily_ewma", "doc_bpe_encode", "dedup_lines_global",
-    "embedding_pca_power", "dedup_semantic",
+    "embedding_pca_power", "dedup_semantic", "extract_headings",
 ]
 
 

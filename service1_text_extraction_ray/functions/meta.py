@@ -545,3 +545,86 @@ def extract_forms(html: bytes | str, base_url: str) -> list:
     except Exception:
         pass
     return p.forms
+
+
+# ---------------------------------------------------------------------------
+# Heading outline (h1-h6 hierarchy)
+# ---------------------------------------------------------------------------
+
+_HEADING_TAGS = {"h1", "h2", "h3", "h4", "h5", "h6"}
+_CHROME_TAGS = {"nav", "footer", "aside", "header"}
+_VOID_TAGS = {"br", "img", "meta", "link", "input", "hr", "source", "wbr"}
+
+
+def _heading_hidden(attrs) -> bool:
+    for k, v in attrs:
+        if k == "hidden":
+            return True
+        if k == "style" and v and "display:none" in v.replace(" ", "").lower():
+            return True
+    return False
+
+
+class _HeadingParser(HTMLParser):
+    """h1-h6 collection in document order, skipping page-chrome subtrees
+    (nav/footer/aside/header — the same boilerplate containers
+    html_extract drops) and hidden subtrees; heading text is the
+    concatenated character data of the whole element (nested inline tags
+    contribute), whitespace-normalized; empty headings are dropped."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.skip_depth = 0
+        self.cur_level: Optional[int] = None
+        self.buf: list = []
+        self.out: list = []  # (level, text)
+
+    def handle_starttag(self, tag, attrs):
+        if self.skip_depth:
+            if tag not in _VOID_TAGS:
+                self.skip_depth += 1
+            return
+        if tag in _CHROME_TAGS or _heading_hidden(attrs):
+            if tag not in _VOID_TAGS:
+                self.skip_depth = 1
+            return
+        if tag in _HEADING_TAGS:
+            self.cur_level = int(tag[1])
+            self.buf = []
+
+    def handle_endtag(self, tag):
+        if self.skip_depth:
+            if tag not in _VOID_TAGS:
+                self.skip_depth -= 1
+            return
+        if self.cur_level is not None and tag == f"h{self.cur_level}":
+            text = " ".join("".join(self.buf).split())
+            if text:
+                self.out.append((self.cur_level, text))
+            self.cur_level = None
+
+    def handle_data(self, data):
+        if self.cur_level is not None and not self.skip_depth:
+            self.buf.append(data)
+
+
+def extract_headings(html: bytes | str) -> list:
+    """-> [{pos, level, text, parent_pos}] in document order; pos is
+    1-based among EMITTED headings, parent_pos the pos of the nearest
+    preceding heading of strictly lower level (-1 at the top level)."""
+    text = html.decode("utf-8", errors="replace") if isinstance(html, bytes) else html
+    p = _HeadingParser()
+    try:
+        p.feed(text)
+        p.close()
+    except Exception:
+        pass
+    rows = []
+    for i, (level, txt) in enumerate(p.out, 1):
+        parent = -1
+        for j in range(i - 2, -1, -1):
+            if p.out[j][0] < level:
+                parent = j + 1
+                break
+        rows.append({"pos": i, "level": level, "text": txt, "parent_pos": parent})
+    return rows

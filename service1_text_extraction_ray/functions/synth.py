@@ -1664,3 +1664,40 @@ def make_pdf_xmp_doc(doc_id: int, source: str) -> tuple[bytes, str]:
         b"trailer << /Root 1 0 R >>\n%%EOF\n"
     )
     return pdf, url
+
+
+def make_headings_page(doc_id: int, source: str, lang: str) -> tuple[bytes, str]:
+    """Deterministic heading-outline page from the document's own columns —
+    fixture for functions/meta.extract_headings. Branch coverage:
+
+    - h1 ``Doc {doc_id}`` (odd docs wrap the id in <em> — nested inline
+      text must concatenate to the identical string).
+    - (doc_id%3)+1 sections: h2 ``Section {k} of doc {doc_id}`` (even k
+      uses a nested <em>of</em> variant), each with ((doc_id+k)%2)+1 h3
+      ``Part {k}.{j}`` children.
+    - Decoys contributing nothing: nav h2, footer h6, a display:none h3,
+      and a whitespace-only h4.
+    """
+    url = f"https://{source}.example.com/h/{doc_id}"
+    n_sections = (doc_id % 3) + 1
+    h1 = (
+        f"<h1>Doc <em>{doc_id}</em></h1>" if doc_id % 2
+        else f"<h1>Doc {doc_id}</h1>"
+    )
+    parts = [
+        f"<html><head><title>outline {doc_id}</title></head><body>",
+        "<nav><h2>Site menu</h2></nav>",
+        h1,
+    ]
+    for k in range(1, n_sections + 1):
+        if k % 2 == 0:
+            parts.append(f"<h2>Section {k} <em>of</em> doc {doc_id}</h2>")
+        else:
+            parts.append(f"<h2>Section {k} of doc {doc_id}</h2>")
+        if k == 1:
+            parts.append(f'<div style="display:none"><h3>Hidden {doc_id}</h3></div>')
+            parts.append("<h4>   </h4>")
+        for j in range(1, ((doc_id + k) % 2) + 2):
+            parts.append(f"<h3>Part {k}.{j}</h3><p>body text {lang}</p>")
+    parts.append("<footer><h6>Footer heading</h6></footer></body></html>")
+    return "".join(parts).encode("utf-8"), url

@@ -6882,6 +6882,76 @@ WHERE s.i < 2 + doc_id % 3
 """
 
 
+def q_extract_headings(sf_dir: str) -> rd.Dataset:
+    """Heading-outline extraction (h1-h6 hierarchy with parent links) —
+    the table-of-contents structure a document-understanding corpus keys
+    sections on. Deterministic outline pages (synth.make_headings_page:
+    nested-inline text assembly, nav/footer/hidden/empty decoys all
+    dropped); the oracle regenerates every (pos, level, text, parent_pos)
+    row from the documents columns, the parent via a self-join on the
+    section's h2. Pure per-batch map, no shuffle."""
+    from ..functions.meta import extract_headings
+    from ..functions.synth import make_headings_page
+
+    out_schema = pa.schema([
+        ("url", pa.string()), ("pos", pa.int64()), ("level", pa.int64()),
+        ("text", pa.string()), ("parent_pos", pa.int64()),
+    ])
+
+    def f(t: pa.Table) -> pa.Table:
+        rows = []
+        for d, src, lang in zip(
+            t["doc_id"].to_pylist(), t["source"].to_pylist(),
+            t["lang"].to_pylist(),
+        ):
+            html, url = make_headings_page(int(d), src, lang or "en")
+            for h in extract_headings(html):
+                rows.append({"url": url, **h})
+        if not rows:
+            return out_schema.empty_table()
+        return pa.Table.from_pylist(rows, schema=out_schema)
+
+    return _read(sf_dir, "documents", ["doc_id", "source", "lang"]).map_batches(
+        f, batch_format="pyarrow"
+    )
+
+
+SQL_EXTRACT_HEADINGS = """
+WITH base AS (
+  SELECT doc_id, source,
+         'https://' || source || '.example.com/h/' || doc_id AS url,
+         (doc_id % 3) + 1 AS ns
+  FROM documents
+),
+hrows AS (
+  SELECT doc_id, url, 0 AS k, 0 AS j, 1 AS level,
+         'Doc ' || doc_id AS text
+  FROM base
+  UNION ALL
+  SELECT doc_id, url, s.k, 0, 2,
+         'Section ' || s.k || ' of doc ' || doc_id
+  FROM base, unnest(range(1, ns + 1)) AS s(k)
+  UNION ALL
+  SELECT doc_id, url, s.k, t.j, 3, 'Part ' || s.k || '.' || t.j
+  FROM base, unnest(range(1, ns + 1)) AS s(k),
+       unnest(range(1, ((doc_id + s.k) % 2) + 2)) AS t(j)
+),
+p AS (
+  SELECT doc_id, url, k, j, level, text,
+         CAST(row_number() OVER (
+           PARTITION BY doc_id ORDER BY k, j, level) AS BIGINT) AS pos
+  FROM hrows
+)
+SELECT p.url, p.pos, CAST(p.level AS BIGINT) AS level, p.text,
+       CAST(CASE WHEN p.level = 1 THEN -1
+                 WHEN p.level = 2 THEN 1
+                 ELSE par.pos END AS BIGINT) AS parent_pos
+FROM p LEFT JOIN p par
+  ON par.doc_id = p.doc_id AND par.k = p.k AND par.j = 0
+     AND par.level = 2 AND p.level = 3
+"""
+
+
 def q_extract_image_alts(sf_dir: str) -> rd.Dataset:
     """Image-alt pair extraction — the (image URL, caption) pairing a
     CLIP-style multimodal corpus is built from. Deterministic gallery

@@ -292,3 +292,38 @@ class TestRelUgcSponsored:
         by_path = {ln.href.rsplit("/", 1)[-1]: ln.nofollow for ln in links}
         assert by_path == {"a": True, "b": True, "c": True,
                            "d": False, "e": False}
+
+
+class TestExtractHeadings:
+    def test_outline_decoys_and_parents(self):
+        from service1_text_extraction_ray.functions.meta import extract_headings
+
+        html = (
+            b"<html><body>"
+            b"<nav><h2>menu</h2></nav>"            # chrome: dropped
+            b"<h1>Doc <em>5</em></h1>"             # nested inline concatenates
+            b"<h2>Section 1 <em>of</em> doc 5</h2>"
+            b'<div style="display: none"><h3>hidden</h3></div>'
+            b"<h4>   </h4>"                        # empty: dropped
+            b"<h3>Part 1.1</h3>"
+            b"<h2>Section 2</h2><h3>Part 2.1</h3>"
+            b"<footer><h6>foot</h6></footer>"
+            b"</body></html>"
+        )
+        rows = extract_headings(html)
+        assert [(r["pos"], r["level"], r["text"], r["parent_pos"]) for r in rows] == [
+            (1, 1, "Doc 5", -1),
+            (2, 2, "Section 1 of doc 5", 1),
+            (3, 3, "Part 1.1", 2),
+            (4, 2, "Section 2", 1),
+            (5, 3, "Part 2.1", 4),
+        ]
+
+    def test_hidden_attr_and_truncation(self):
+        from service1_text_extraction_ray.functions.meta import extract_headings
+
+        assert extract_headings(b"<div hidden><h1>x</h1></div><h2>ok</h2>") == [
+            {"pos": 1, "level": 2, "text": "ok", "parent_pos": -1}
+        ]
+        # truncated mid-heading: no endtag -> heading never emitted, no crash
+        assert extract_headings(b"<h1>dangling") == []
