@@ -535,6 +535,171 @@ LEFT JOIN agg a ON a.doc_id = ls.doc_id
 
 
 # ---------------------------------------------------------------------------
+# Exact substring dedup (Lee et al. 2022, token-grain removal variant)
+# ---------------------------------------------------------------------------
+
+_SUB_CAND_SCHEMA = pa.schema(
+    [("win_hash", pa.string()), ("doc_id", pa.int64()), ("start", pa.int64())]
+)
+_SUB_DROP_SCHEMA = pa.schema([("doc_id", pa.int64()), ("start", pa.int64())])
+_SUB_UNION_SCHEMA = pa.schema(
+    [("side", pa.int64()), ("doc_id", pa.int64()),
+     ("text", pa.string()), ("start", pa.int64())]
+)
+_SUB_OUT_SCHEMA = pa.schema(
+    [("doc_id", pa.int64()), ("n_tokens", pa.int64()),
+     ("n_removed", pa.int64()), ("text_deduped", pa.string())]
+)
+
+
+def q_dedup_substrings(sf_dir: str) -> rd.Dataset:
+    """Exact substring deduplication with REMOVAL (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better" — the
+    fine-grained sibling of q_dedup_spans, which only REPORTS duplicated
+    non-overlapping windows): hash every OVERLAPPING SPAN_W-token window
+    (stride 1); a window instance whose byte-identical window occurred
+    earlier in the corpus (earlier = smaller (doc_id, start)) marks its
+    SPAN_W token positions for removal; surviving tokens reassemble
+    space-joined (token-grain output — original whitespace is spent, as
+    in the paper's suffix-array pipeline).
+
+    Same two-exchange shape as q_dedup_lines_global: (1) a hash_exchange
+    of (md5(window), doc_id, start) — 32-hex keys, never window text —
+    keeps everything after each window's global first instance as
+    removal marks; (2) marks tag-union with the documents stream and one
+    hash_exchange on doc_id reassembles. The paper's suffix array finds
+    maximal repeats; the fixed-W rolling window is the shuffle-friendly
+    equivalent (any duplicated run >= W tokens is fully covered by its
+    duplicated W-windows, so removal converges to the same repeated-run
+    erasure with one corpus pass)."""
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        hashes, ids, starts = [], [], []
+        for doc_id, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            toks = _tokens(text or "")
+            for s in range(len(toks) - SPAN_W + 1):
+                win = " ".join(toks[s : s + SPAN_W])
+                hashes.append(hashlib.md5(win.encode()).hexdigest())
+                ids.append(doc_id)
+                starts.append(s + 1)
+        if not ids:
+            return _SUB_CAND_SCHEMA.empty_table()
+        return pa.Table.from_arrays(
+            [pa.array(hashes, pa.string()), pa.array(ids, pa.int64()),
+             pa.array(starts, pa.int64())],
+            schema=_SUB_CAND_SCHEMA,
+        )
+
+    def find_marks(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values(["win_hash", "doc_id", "start"])
+        dup = df.duplicated("win_hash", keep="first")
+        return pa.Table.from_pandas(
+            df.loc[dup, ["doc_id", "start"]], schema=_SUB_DROP_SCHEMA,
+            preserve_index=False,
+        )
+
+    marks = hash_exchange(
+        docs.map_batches(explode, batch_format="pyarrow"),
+        ["win_hash"], find_marks, _SUB_DROP_SCHEMA,
+    )
+
+    def tag_docs(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.Table.from_arrays(
+            [pa.array([0] * n, pa.int64()), pc.cast(t["doc_id"], pa.int64()),
+             pc.cast(pc.fill_null(t["text"], ""), pa.string()),
+             pa.nulls(n, pa.int64())],
+            schema=_SUB_UNION_SCHEMA,
+        )
+
+    def tag_marks(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.Table.from_arrays(
+            [pa.array([1] * n, pa.int64()), t["doc_id"],
+             pa.nulls(n, pa.string()), t["start"]],
+            schema=_SUB_UNION_SCHEMA,
+        )
+
+    both = docs.map_batches(tag_docs, batch_format="pyarrow").union(
+        marks.map_batches(tag_marks, batch_format="pyarrow")
+    )
+
+    def reassemble(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        rows = []
+        for doc_id, g in df.groupby("doc_id", sort=True):
+            texts = g.loc[g["side"] == 0, "text"]
+            if texts.empty:
+                continue
+            toks = _tokens(str(texts.iloc[0]))
+            removed = np.zeros(len(toks), dtype=bool)
+            for s in g.loc[g["side"] == 1, "start"]:
+                removed[int(s) - 1 : int(s) - 1 + SPAN_W] = True
+            kept = [tk for tk, r in zip(toks, removed) if not r]
+            rows.append({
+                "doc_id": int(doc_id), "n_tokens": len(toks),
+                "n_removed": int(removed.sum()),
+                "text_deduped": " ".join(kept),
+            })
+        if not rows:
+            return _SUB_OUT_SCHEMA.empty_table()
+        return pa.Table.from_pylist(rows, schema=_SUB_OUT_SCHEMA)
+
+    return hash_exchange(both, ["doc_id"], reassemble, _SUB_OUT_SCHEMA)
+
+
+SQL_DEDUP_SUBSTRINGS = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(coalesce(text, ''), '\\s+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+w AS (
+  SELECT doc_id, u.s AS start,
+         array_to_string(toks[u.s:(u.s + {SPAN_W} - 1)], ' ') AS win
+  FROM t, unnest(range(1, len(toks) - {SPAN_W} + 2)) AS u(s)
+  WHERE len(toks) >= {SPAN_W}
+),
+d AS (
+  SELECT doc_id, start FROM (
+    SELECT doc_id, start,
+           row_number() OVER (PARTITION BY win ORDER BY doc_id, start) AS rn
+    FROM w
+  ) WHERE rn > 1
+),
+tok AS (
+  SELECT doc_id, u.i AS idx, toks[u.i] AS tk
+  FROM t, unnest(range(1, len(toks) + 1)) AS u(i)
+),
+rem AS (
+  SELECT DISTINCT tok.doc_id, tok.idx
+  FROM tok JOIN d ON d.doc_id = tok.doc_id
+       AND d.start BETWEEN tok.idx - {SPAN_W} + 1 AND tok.idx
+),
+nrem AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_removed FROM rem GROUP BY 1),
+kept AS (
+  SELECT tok.doc_id, tok.idx, tok.tk
+  FROM tok LEFT JOIN rem ON rem.doc_id = tok.doc_id AND rem.idx = tok.idx
+  WHERE rem.doc_id IS NULL
+),
+agg AS (
+  SELECT doc_id, string_agg(tk, ' ' ORDER BY idx) AS txt
+  FROM kept GROUP BY 1
+)
+SELECT t.doc_id,
+       CAST(len(t.toks) AS BIGINT) AS n_tokens,
+       CAST(coalesce(nr.n_removed, 0) AS BIGINT) AS n_removed,
+       coalesce(a.txt, '') AS text_deduped
+FROM t
+LEFT JOIN nrem nr ON nr.doc_id = t.doc_id
+LEFT JOIN agg a ON a.doc_id = t.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Corpus vocabulary statistics
 # ---------------------------------------------------------------------------
 

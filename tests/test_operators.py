@@ -4132,3 +4132,43 @@ class TestDedupSemantic:
         flagged = out[out["is_dup"] == 1]
         assert (flagged["dup_of"] < flagged.index).all()
         assert (out.loc[out["is_dup"] == 0, "dup_of"] == -1).all()
+
+
+class TestDedupSubstrings:
+    def test_cross_file_repeated_run_erased_once(self, ray_session, tmp_path):
+        import os
+
+        import pyarrow.parquet as pq
+
+        import service1_text_extraction_ray.pipelines.webtext as W
+
+        d = tmp_path / "sf"
+        d.mkdir()
+        run = " ".join(f"w{i}" for i in range(W.SPAN_W + 2))  # 12-token run
+        doc1 = "intro " + run + " outro"
+        doc2 = "prefix two " + run  # the same run, later doc, other file
+        short = "too short to window"
+        os.mkdir(str(d / "documents.parquet"))
+        pq.write_table(
+            pa.table({"doc_id": pa.array([1], pa.int64()), "text": [doc1]}),
+            str(d / "documents.parquet" / "a.parquet"),
+        )
+        pq.write_table(
+            pa.table({"doc_id": pa.array([2, 3], pa.int64()),
+                      "text": [doc2, short]}),
+            str(d / "documents.parquet" / "b.parquet"),
+        )
+        out = (
+            W.q_dedup_substrings(str(d))
+            .to_pandas().set_index("doc_id").sort_index()
+        )
+        # doc 1 holds every window's first instance: untouched
+        assert out.loc[1, "n_removed"] == 0
+        assert out.loc[1, "text_deduped"] == doc1
+        # doc 2: every window inside the run duplicates doc 1 -> whole run
+        # erased, the non-repeated prefix survives
+        assert out.loc[2, "n_removed"] == W.SPAN_W + 2
+        assert out.loc[2, "text_deduped"] == "prefix two"
+        # sub-window docs never explode a window
+        assert out.loc[3, "n_removed"] == 0
+        assert out.loc[3, "text_deduped"] == short
