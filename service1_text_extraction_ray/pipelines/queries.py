@@ -2006,6 +2006,199 @@ def sql_knn_batch() -> str:
     return "\nUNION ALL\n".join(parts)
 
 
+# ---------------------------------------------------------------------------
+# MMR diversified retrieval (Carbonell & Goldstein 1998) — exact integer
+# ---------------------------------------------------------------------------
+
+MMR_K = 5
+MMR_LAM_NUM = 7   # lambda = 0.7 in tenths: score = 7*sim_q - 3*max_sim_sel
+MMR_LAM_CMP = 3
+MMR_UNIT = 1_000_000
+MMR_DIM = 64  # embedding width (KM_DIM is defined later in this module)
+
+
+def _mmr_int8(mat: np.ndarray) -> np.ndarray:
+    """Symmetric int8 absmax codes (embedding_quantize_int8 scheme)."""
+    am = np.abs(mat).max(axis=1)
+    scale = am / 127.0
+    safe = np.where(scale == 0.0, 1.0, scale)
+    q = np.where(mat >= 0, np.floor(mat / safe[:, None] + 0.5),
+                 np.ceil(mat / safe[:, None] - 0.5))
+    q[scale == 0.0, :] = 0.0
+    return q.astype(np.int64)
+
+
+def _mmr_cos_units(dots: np.ndarray, nn: np.ndarray, other_nn: int) -> np.ndarray:
+    """Cosine in integer micro-units, bit-identical to the SQL replay:
+    denom = floor(sqrt(double(nn_a * nn_b))) — the product stays < 2^53 for
+    int8 codes so the double is EXACT and the IEEE sqrt deterministic —
+    then truncate-toward-zero division of dot * MMR_UNIT."""
+    prod = nn * np.int64(other_nn)
+    denom = np.floor(np.sqrt(prod.astype(np.float64))).astype(np.int64)
+    num = dots * np.int64(MMR_UNIT)
+    out = np.where(num >= 0, num // np.maximum(denom, 1),
+                   -((-num) // np.maximum(denom, 1)))
+    return np.where(denom == 0, 0, out).astype(np.int64)
+
+
+def q_retrieval_mmr(sf_dir: str) -> pd.DataFrame:
+    """Maximal Marginal Relevance retrieval (Carbonell & Goldstein 1998):
+    select MMR_K results greedily maximizing
+    ``7*sim(query, d) - 3*max_{s in selected} sim(d, s)`` (lambda = 0.7) —
+    the diversity-aware reranking a RAG serving stack runs after ANN.
+
+    Every similarity is an exact integer: vectors carry int8 absmax codes;
+    cosine = trunc(dot * 1e6 / floor(sqrt(nn_a * nn_b))) where the norm
+    product is < 2^53, so numpy and DuckDB compute the identical double
+    sqrt. Each greedy round is DISTRIBUTED: one map over the vector table
+    scores ``7*sim_q - 3*max_sim``, a per-block partial argmax + tiny
+    driver merge picks the winner (score desc, vec_id asc), and one more
+    map folds the winner's similarity into every row's running max_sim
+    (winner's codes broadcast by closure; winner row dropped). K rounds =
+    K scans of a materialized code table — the kmeans topology. The
+    oracle replays all K rounds as unrolled CTEs. Output: (rnk, vec_id,
+    score_units)."""
+    qv = _query_vector()
+    qcodes = _mmr_int8(qv[None, :])[0]
+    qnn = int((qcodes * qcodes).sum())
+
+    state_schema = pa.schema([
+        ("vec_id", pa.int64()), ("codes", pa.list_(pa.int8())),
+        ("nn", pa.int64()), ("simq", pa.int64()), ("ms", pa.int64()),
+    ])
+
+    def init(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return state_schema.empty_table()
+        mat = np.stack(batch["embedding"].to_pandas().to_numpy()).astype(np.float64)
+        codes = _mmr_int8(mat)
+        nn = (codes * codes).sum(axis=1)
+        simq = _mmr_cos_units(codes @ qcodes, nn, qnn)
+        return pa.Table.from_arrays(
+            [pc.cast(batch["vec_id"], pa.int64()),
+             pa.array(list(codes.astype(np.int8)), pa.list_(pa.int8())),
+             pa.array(nn), pa.array(simq),
+             pa.array(np.zeros(n, dtype=np.int64))],
+            schema=state_schema,
+        )
+
+    state = (
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+        .map_batches(init, batch_format="pyarrow")
+        .materialize()
+    )
+
+    best_schema = pa.schema([
+        ("vec_id", pa.int64()), ("codes", pa.list_(pa.int8())),
+        ("nn", pa.int64()), ("score", pa.int64()),
+    ])
+
+    def block_best(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return best_schema.empty_table()
+        df = t.to_pandas()
+        df["score"] = (MMR_LAM_NUM * df["simq"].to_numpy()
+                       - MMR_LAM_CMP * df["ms"].to_numpy())
+        df = df.sort_values(["score", "vec_id"], ascending=[False, True])
+        return pa.Table.from_pandas(
+            df.iloc[:1][["vec_id", "codes", "nn", "score"]],
+            schema=best_schema, preserve_index=False,
+        )
+
+    out_rows = []
+    for r in range(1, MMR_K + 1):
+        cand = state.map_batches(block_best, batch_format="pyarrow").to_pandas()
+        if cand.empty:
+            break
+        cand = cand.sort_values(["score", "vec_id"],
+                                ascending=[False, True]).iloc[0]
+        w_id = int(cand["vec_id"])
+        w_codes = np.asarray(cand["codes"], dtype=np.int64)
+        w_nn = int(cand["nn"])
+        out_rows.append({"rnk": r, "vec_id": w_id,
+                         "score_units": int(cand["score"])})
+
+        def fold(t: pa.Table, _wc=w_codes, _wn=w_nn, _wi=w_id) -> pa.Table:
+            if t.num_rows == 0:
+                return state_schema.empty_table()
+            df = t.to_pandas()
+            df = df[df["vec_id"] != _wi]
+            if df.empty:
+                return state_schema.empty_table()
+            codes = np.stack(df["codes"].to_numpy()).astype(np.int64)
+            nn = df["nn"].to_numpy(dtype=np.int64)
+            sims = _mmr_cos_units(codes @ _wc, nn, _wn)
+            df["ms"] = np.maximum(df["ms"].to_numpy(dtype=np.int64), sims)
+            return pa.Table.from_pandas(df, schema=state_schema,
+                                        preserve_index=False)
+
+        state = state.map_batches(fold, batch_format="pyarrow").materialize()
+
+    return pd.DataFrame(out_rows, columns=["rnk", "vec_id", "score_units"]).astype(
+        {"rnk": "int64", "vec_id": "int64", "score_units": "int64"}
+    )
+
+
+def _sql_retrieval_mmr_build() -> str:
+    qv = _query_vector()
+    qcodes = _mmr_int8(qv[None, :])[0]
+    qnn = int((qcodes * qcodes).sum())
+    qlit = "[" + ", ".join(str(int(c)) for c in qcodes) + "]"
+
+    def cosu(dot: str, nna: str, nnb: str) -> str:
+        den = f"CAST(floor(sqrt(CAST(({nna}) * ({nnb}) AS DOUBLE))) AS BIGINT)"
+        return (f"CASE WHEN {den} = 0 THEN 0 "
+                f"WHEN ({dot}) >= 0 THEN (({dot}) * {MMR_UNIT}) // {den} "
+                f"ELSE -(((-({dot})) * {MMR_UNIT}) // {den}) END")
+
+    rng = f"range(1, {MMR_DIM + 1})"
+    dotq = f"list_sum(list_transform({rng}, i -> n2.cs[i] * ({qlit})[i]))"
+    parts = [f"""q8 AS (
+  SELECT vec_id, list_transform(
+           emb, x -> CASE WHEN am = 0 THEN CAST(0 AS BIGINT)
+                          ELSE CAST(round(x / (am / 127.0)) AS BIGINT) END
+         ) AS cs
+  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+               list_aggregate(
+                 list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x)),
+                 'max') AS am
+        FROM embeddings)
+),
+n2 AS (
+  SELECT vec_id, cs, list_sum(list_transform(cs, x -> x * x)) AS nn FROM q8
+),
+s0 AS (
+  SELECT vec_id, cs, nn,
+         {cosu(dotq, 'n2.nn', str(qnn))} AS simq,
+         CAST(0 AS BIGINT) AS ms
+  FROM n2
+)"""]
+    dotw = f"list_sum(list_transform({rng}, i -> v.cs[i] * w.cs[i]))"
+    for r in range(1, MMR_K + 1):
+        parts.append(f"""sel{r} AS (
+  SELECT vec_id, cs, nn,
+         CAST({MMR_LAM_NUM} * simq - {MMR_LAM_CMP} * ms AS BIGINT) AS score
+  FROM s{r - 1}
+  ORDER BY score DESC, vec_id ASC LIMIT 1
+),
+s{r} AS (
+  SELECT v.vec_id, v.cs, v.nn, v.simq,
+         greatest(v.ms, {cosu(dotw, 'v.nn', 'w.nn')}) AS ms
+  FROM s{r - 1} v CROSS JOIN sel{r} w
+  WHERE v.vec_id <> w.vec_id
+)""")
+    sel = "\nUNION ALL\n".join(
+        f"SELECT {r} AS rnk, vec_id, score AS score_units FROM sel{r}"
+        for r in range(1, MMR_K + 1)
+    )
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT * FROM (\n{sel}\n) ORDER BY rnk")
+
+
+SQL_RETRIEVAL_MMR = _sql_retrieval_mmr_build()
+
+
 def q_ann_lsh(sf_dir: str) -> pd.DataFrame:
     """LSH-bucketed approximate NN (the scale path): 12 seeded random
     hyperplanes -> 12-bit signature buckets; search only the query's bucket

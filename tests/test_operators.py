@@ -4172,3 +4172,48 @@ class TestDedupSubstrings:
         # sub-window docs never explode a window
         assert out.loc[3, "n_removed"] == 0
         assert out.loc[3, "text_deduped"] == short
+
+
+class TestRetrievalMmr:
+    def test_diversity_beats_redundancy(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        import service1_text_extraction_ray.pipelines.queries as Q
+
+        d = tmp_path / "sf"
+        d.mkdir()
+        qv = Q._query_vector()
+        qn = qv / np.linalg.norm(qv)
+        # an orthogonal direction for the diverse candidate
+        rs = np.random.RandomState(3)
+        o = rs.standard_normal(64)
+        o -= (o @ qn) * qn
+        o /= np.linalg.norm(o)
+        vecs = {
+            0: qn + o * 0.3,                  # most relevant (slightly off-axis)
+            1: (qn + o * 0.3) * 1.01,         # scaled clone of 0 (same codes)
+            2: qn - o * 0.3,                  # equally relevant, opposite tilt
+        }
+        # filler far from everything
+        for i in range(3, 10):
+            f = rs.standard_normal(64)
+            f -= (f @ qn) * qn
+            vecs[i] = f * 0.1 - qn  # anti-aligned: never selected early
+        ids = sorted(vecs)
+        pq.write_table(
+            pa.table({"vec_id": pa.array(ids, pa.int64()),
+                      "embedding": pa.array([vecs[i].tolist() for i in ids],
+                                            pa.list_(pa.float64()))}),
+            str(d / "embeddings.parquet"),
+        )
+        out = Q.q_retrieval_mmr(str(d))
+        assert out["rnk"].tolist() == list(range(1, Q.MMR_K + 1))
+        sel = out["vec_id"].tolist()
+        # rank 1 is pure relevance -> the clone pair's lower id
+        assert sel[0] == 0
+        # rank 2 must prefer the DIVERSE vector over the near-clone
+        assert sel[1] == 2
+        assert 1 in sel  # the clone still makes it in later
+        # scores are non-increasing in rank? (not guaranteed by MMR in
+        # general, but selection is deterministic) — just check uniqueness
+        assert len(set(sel)) == len(sel)
