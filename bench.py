@@ -190,7 +190,7 @@ QUERY_NAMES = [
     "doc_sample_wor", "doc_shuffle_rank", "events_window_final",
     "orders_daily_ewma", "doc_bpe_encode", "dedup_lines_global",
     "embedding_pca_power", "dedup_semantic", "extract_headings",
-    "dedup_substrings", "retrieval_mmr",
+    "dedup_substrings", "retrieval_mmr", "events_rate_limit",
 ]
 
 

@@ -1576,6 +1576,96 @@ GROUP BY user_id
 """
 
 
+# Token-bucket rate limiter replay: capacity RL_CAP, one token per full
+# RL_REFILL_S seconds SINCE THE PREVIOUS EVENT (memoryless remainder — the
+# floor loses sub-minute carryover by definition, keeping every quantity
+# integer). Bucket starts full.
+RL_CAP = 3
+RL_REFILL_S = 60
+
+
+def q_events_rate_limit(sf_dir: str) -> rd.Dataset:
+    """Per-user token-bucket rate-limiter REPLAY over the event log — the
+    throttling audit a serving/ingest pipeline runs offline ("which of
+    these requests would the limiter have rejected?"). For each user's
+    events in (ts, event_id) order: tokens = min(CAP, prev_tokens +
+    elapsed // REFILL_S); allowed iff tokens >= 1; allowed events spend
+    one token. All integer (epoch-second diffs), so the replay is exact
+    and the oracle unrolls it as a recursive CTE stepping rank n -> n+1
+    for every user in parallel.
+
+    Shape: ONE hash_exchange on user_id; inside a shard one numpy pass
+    over the sorted rows carries the bucket state, resetting at user
+    boundaries — sequential per user by nature (the min() clamp kills
+    prefix-scan tricks), O(rows) per shard, state is two registers. This
+    is the micro-batch-carried-state family (events_sessionize_incremental)
+    run at event grain."""
+    out_schema = pa.schema([
+        ("event_id", pa.int64()), ("user_id", pa.int64()),
+        ("allowed", pa.int64()), ("tokens_after", pa.int64()),
+    ])
+
+    def shard_replay(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values(
+            ["user_id", "ts", "event_id"], kind="mergesort"
+        )
+        users = df["user_id"].to_numpy(dtype=np.int64)
+        secs = (df["ts"].astype("int64").to_numpy() // 1_000_000)
+        eids = df["event_id"].to_numpy(dtype=np.int64)
+        n = len(df)
+        allowed = np.zeros(n, dtype=np.int64)
+        tokens_after = np.zeros(n, dtype=np.int64)
+        tok = 0
+        for i in range(n):
+            if i == 0 or users[i] != users[i - 1]:
+                tok = RL_CAP
+            else:
+                tok = min(RL_CAP, tok + (secs[i] - secs[i - 1]) // RL_REFILL_S)
+            if tok >= 1:
+                allowed[i] = 1
+                tok -= 1
+            tokens_after[i] = tok
+        return pa.Table.from_arrays(
+            [pa.array(eids), pa.array(users), pa.array(allowed),
+             pa.array(tokens_after)],
+            schema=out_schema,
+        )
+
+    return hash_exchange(
+        _read(sf_dir, "events", ["event_id", "ts", "user_id"]),
+        ["user_id"], shard_replay, out_schema,
+    )
+
+
+SQL_EVENTS_RATE_LIMIT = f"""
+WITH RECURSIVE r AS (
+  SELECT event_id, user_id,
+         date_diff('second', TIMESTAMP '1970-01-01', ts) AS sec,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+),
+e AS (
+  SELECT event_id, user_id, sec, rn,
+         CAST(1 AS BIGINT) AS allowed,
+         CAST({RL_CAP} - 1 AS BIGINT) AS tokens_after
+  FROM r WHERE rn = 1
+  UNION ALL
+  SELECT r.event_id, r.user_id, r.sec, r.rn,
+         CAST(CASE WHEN least({RL_CAP}, e.tokens_after
+                        + (r.sec - e.sec) // {RL_REFILL_S}) >= 1
+                   THEN 1 ELSE 0 END AS BIGINT),
+         CAST(least({RL_CAP}, e.tokens_after
+                    + (r.sec - e.sec) // {RL_REFILL_S})
+              - CASE WHEN least({RL_CAP}, e.tokens_after
+                              + (r.sec - e.sec) // {RL_REFILL_S}) >= 1
+                     THEN 1 ELSE 0 END AS BIGINT)
+  FROM e JOIN r ON r.user_id = e.user_id AND r.rn = e.rn + 1
+)
+SELECT event_id, user_id, allowed, tokens_after FROM e
+"""
+
+
 def q_events_asof_orders(sf_dir: str) -> rd.Dataset:
     """As-of join: each event matched to the user's most recent order at or
     before the event time (a custom wide operator Ray Data lacks — SURVEY.md

@@ -4217,3 +4217,43 @@ class TestRetrievalMmr:
         # scores are non-increasing in rank? (not guaranteed by MMR in
         # general, but selection is deterministic) — just check uniqueness
         assert len(set(sel)) == len(sel)
+
+
+class TestEventsRateLimit:
+    def test_burst_denial_and_refill(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        import service1_text_extraction_ray.pipelines.relational as R
+
+        d = tmp_path / "sf"
+        d.mkdir()
+        t0 = pd.Timestamp("2024-05-01 12:00:00")
+        rows = [
+            # user 7 bursts: 5 events in 10 seconds (cap 3 -> 2 denied)
+            *({"event_id": i, "user_id": 7,
+               "ts": t0 + pd.Timedelta(seconds=2 * i)} for i in range(5)),
+            # then waits 2.5 minutes -> floor refill = 2 tokens, both spent
+            {"event_id": 5, "user_id": 7,
+             "ts": t0 + pd.Timedelta(seconds=8 + 150)},
+            {"event_id": 6, "user_id": 7,
+             "ts": t0 + pd.Timedelta(seconds=8 + 151)},
+            {"event_id": 7, "user_id": 7,
+             "ts": t0 + pd.Timedelta(seconds=8 + 152)},  # bucket dry again
+            # another user is independent state
+            {"event_id": 8, "user_id": 9, "ts": t0},
+        ]
+        t = pa.Table.from_pylist(list(rows))
+        t = t.set_column(t.schema.get_field_index("ts"), "ts",
+                         t["ts"].cast(pa.timestamp("us")))
+        pq.write_table(t, str(d / "events.parquet"))
+        out = (
+            R.q_events_rate_limit(str(d))
+            .to_pandas().set_index("event_id").sort_index()
+        )
+        assert out["allowed"].tolist() == [1, 1, 1, 0, 0, 1, 1, 0, 1]
+        assert out.loc[0, "tokens_after"] == 2
+        assert out.loc[4, "tokens_after"] == 0
+        # 150s elapsed -> floor 2 tokens refilled, spent one
+        assert out.loc[5, "tokens_after"] == 1
+        assert out.loc[7, "tokens_after"] == 0
+        assert out.loc[8, "tokens_after"] == R.RL_CAP - 1
