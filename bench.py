@@ -191,6 +191,7 @@ QUERY_NAMES = [
     "orders_daily_ewma", "doc_bpe_encode", "dedup_lines_global",
     "embedding_pca_power", "dedup_semantic", "extract_headings",
     "dedup_substrings", "retrieval_mmr", "events_rate_limit",
+    "extract_pdf_annots",
 ]
 
 

@@ -2229,6 +2229,45 @@ class PdfDocument:
                 out.append((idx, raw.decode("latin-1")))
         return out
 
+    def annotations(self) -> List[Tuple[int, str, str]]:
+        """Comment/markup annotations with their /Contents note text, in
+        page order: ``(page_number 1-based, subtype, contents)`` per
+        annotation whose /Subtype is a markup kind carrying a /Contents
+        literal string (ISO 32000-1 §12.5.6.4 /Text notes, §12.5.6.10
+        text-markup Highlight/Underline/StrikeOut/Squiggly, §12.5.6.6
+        /FreeText). Link/geometry annotations and markup annotations
+        WITHOUT /Contents contribute nothing. Encrypted documents: the
+        strings are encrypted — out of subset, empty list (the links()
+        boundary)."""
+        markup = {b"Text", b"Highlight", b"Underline", b"StrikeOut",
+                  b"Squiggly", b"FreeText"}
+        if self._encrypt is not None or self._root is None:
+            return []
+        out: List[Tuple[int, str, str]] = []
+        for idx, (pnum, _rot, _box, _res) in enumerate(
+            _page_order(self._objects, self._root), start=1
+        ):
+            page = self._objects.get(pnum)
+            if page is None:
+                continue
+            am = _ANNOTS_RE.search(page.dict_bytes)
+            if am is None:
+                continue
+            for rm in _REF_RE.finditer(am.group(1)):
+                annot = self._objects.get(int(rm.group(1)))
+                if annot is None:
+                    continue
+                st = re.search(rb"/Subtype\s*/(\w+)", annot.dict_bytes)
+                if st is None or st.group(1) not in markup:
+                    continue
+                cm = re.search(rb"/Contents\s*\(", annot.dict_bytes)
+                if cm is None:
+                    continue
+                raw, _ = _read_literal_string(annot.dict_bytes, cm.end() - 1)
+                out.append((idx, st.group(1).decode("ascii"),
+                            raw.decode("latin-1")))
+        return out
+
     def authenticate(self, password: Optional[str]) -> bool:
         """Try ``password`` as user then owner password; arm the key on
         success. Idempotent; returns whether the document is now open."""

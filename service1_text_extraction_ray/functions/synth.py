@@ -1701,3 +1701,80 @@ def make_headings_page(doc_id: int, source: str, lang: str) -> tuple[bytes, str]
             parts.append(f"<h3>Part {k}.{j}</h3><p>body text {lang}</p>")
     parts.append("<footer><h6>Footer heading</h6></footer></body></html>")
     return "".join(parts).encode("utf-8"), url
+
+
+def make_pdf_annot_doc(doc_id: int, source: str, lang: str) -> tuple[bytes, str]:
+    """Deterministic annotation-bearing PDF — fixture for
+    PdfDocument.annotations(). Branch coverage:
+
+    - (doc_id%2)+1 /Text notes ``Note {doc_id}-{i}``;
+    - a /Highlight ``HL {doc_id}`` on even docs;
+    - a /FreeText ``Free {lang} {doc_id}`` on every doc;
+    - decoys contributing nothing: a /Link URI annotation, a /Square,
+      and a /Text WITHOUT /Contents.
+    """
+    url = f"https://{source}.example.com/pdfa/{doc_id}"
+    content = f"BT /F1 12 Tf 72 720 Td (Annotated {doc_id}) Tj ET".encode()
+
+    objs = []
+    annot_refs = []
+    next_num = 10
+    for i in range(1, (doc_id % 2) + 2):
+        objs.append(
+            f"{next_num} 0 obj << /Type /Annot /Subtype /Text "
+            f"/Rect [72 {700 - 14 * i} 90 {712 - 14 * i}] "
+            f"/Contents (Note {doc_id}-{i}) >> endobj\n".encode()
+        )
+        annot_refs.append(next_num)
+        next_num += 1
+    if doc_id % 2 == 0:
+        objs.append(
+            f"{next_num} 0 obj << /Type /Annot /Subtype /Highlight "
+            f"/Rect [72 600 200 612] /Contents (HL {doc_id}) >> endobj\n".encode()
+        )
+        annot_refs.append(next_num)
+        next_num += 1
+    objs.append(
+        f"{next_num} 0 obj << /Type /Annot /Subtype /FreeText "
+        f"/Rect [72 560 200 572] /Contents (Free {lang} {doc_id}) "
+        f">> endobj\n".encode()
+    )
+    annot_refs.append(next_num)
+    next_num += 1
+    # decoys
+    objs.append(
+        f"{next_num} 0 obj << /Type /Annot /Subtype /Link "
+        f"/Rect [0 0 10 10] /A << /Type /Action /S /URI "
+        f"/URI (https://nope.example.org/{doc_id}) >> >> endobj\n".encode()
+    )
+    annot_refs.append(next_num)
+    next_num += 1
+    objs.append(
+        f"{next_num} 0 obj << /Type /Annot /Subtype /Square "
+        f"/Rect [0 0 10 10] >> endobj\n".encode()
+    )
+    annot_refs.append(next_num)
+    next_num += 1
+    objs.append(
+        f"{next_num} 0 obj << /Type /Annot /Subtype /Text "
+        f"/Rect [0 0 10 10] >> endobj\n".encode()  # no /Contents -> dropped
+    )
+    annot_refs.append(next_num)
+
+    annots = " ".join(f"{n} 0 R" for n in annot_refs)
+    pdf = (
+        b"%PDF-1.4\n"
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+        b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n"
+        + (
+            f"3 0 obj << /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            f"/Contents 4 0 R /Annots [ {annots} ] "
+            f"/Resources << /Font << /F1 5 0 R >> >> >> endobj\n"
+        ).encode()
+        + b"4 0 obj << /Length " + str(len(content)).encode() + b" >>\n"
+        b"stream\n" + content + b"\nendstream endobj\n"
+        b"5 0 obj << /Type /Font /Subtype /Type1 /BaseFont /Helvetica >> endobj\n"
+        + b"".join(objs)
+        + b"trailer << /Root 1 0 R >>\n%%EOF\n"
+    )
+    return pdf, url

@@ -7075,6 +7075,65 @@ WHERE s.i < 2 + doc_id % 3
 """
 
 
+def q_extract_pdf_annots(sf_dir: str) -> rd.Dataset:
+    """Comment/markup annotations from PDFs (ISO 32000-1 §12.5.6.4 /Text
+    notes, §12.5.6.10 text markup, §12.5.6.6 /FreeText) with their
+    /Contents note strings — reviewer commentary is sidecar text a
+    document corpus wants alongside the body. Deterministic annotated
+    PDFs from the documents columns (synth.make_pdf_annot_doc: Text/
+    Highlight/FreeText kinds; Link/Square/contents-less decoys dropped);
+    pure per-batch map, no shuffle; the oracle replays every note
+    string. Extends the /Annots walk extract_pdf_links proved."""
+    from ..functions.pdf_extract import PdfDocument, PdfParseError
+    from ..functions.synth import make_pdf_annot_doc
+
+    out_schema = pa.schema([
+        ("url", pa.string()), ("page", pa.int64()),
+        ("subtype", pa.string()), ("contents", pa.string()),
+    ])
+
+    def f(t: pa.Table) -> pa.Table:
+        rows = []
+        for d, src, lang in zip(
+            t["doc_id"].to_pylist(), t["source"].to_pylist(),
+            t["lang"].to_pylist(),
+        ):
+            pdf, url = make_pdf_annot_doc(int(d), src, lang or "en")
+            try:
+                doc = PdfDocument(pdf)
+            except PdfParseError:
+                continue
+            for page, subtype, contents in doc.annotations():
+                rows.append({"url": url, "page": page,
+                             "subtype": subtype, "contents": contents})
+        if not rows:
+            return out_schema.empty_table()
+        return pa.Table.from_pylist(rows, schema=out_schema)
+
+    return _read(sf_dir, "documents", ["doc_id", "source", "lang"]).map_batches(
+        f, batch_format="pyarrow"
+    )
+
+
+SQL_EXTRACT_PDF_ANNOTS = """
+WITH base AS (
+  SELECT doc_id, source,
+         CASE WHEN lang IS NULL OR lang = '' THEN 'en' ELSE lang END AS lng,
+         'https://' || source || '.example.com/pdfa/' || doc_id AS url
+  FROM documents
+)
+SELECT url, CAST(1 AS BIGINT) AS page, 'Text' AS subtype,
+       'Note ' || doc_id || '-' || t.i AS contents
+FROM base, unnest(range(1, (doc_id % 2) + 2)) AS t(i)
+UNION ALL
+SELECT url, CAST(1 AS BIGINT), 'Highlight', 'HL ' || doc_id
+FROM base WHERE doc_id % 2 = 0
+UNION ALL
+SELECT url, CAST(1 AS BIGINT), 'FreeText', 'Free ' || lng || ' ' || doc_id
+FROM base
+"""
+
+
 def q_extract_headings(sf_dir: str) -> rd.Dataset:
     """Heading-outline extraction (h1-h6 hierarchy with parent links) —
     the table-of-contents structure a document-understanding corpus keys

@@ -1011,3 +1011,37 @@ class TestXmp:
 
         pdf, _ = make_pdf_form_doc(1, "src1")
         assert PdfDocument(pdf).xmp() == {}
+
+
+class TestPdfAnnotations:
+    def test_markup_kinds_and_decoys(self):
+        from service1_text_extraction_ray.functions.pdf_extract import PdfDocument
+        from service1_text_extraction_ray.functions.synth import make_pdf_annot_doc
+
+        pdf, _ = make_pdf_annot_doc(4, "web", "de")
+        assert PdfDocument(pdf).annotations() == [
+            (1, "Text", "Note 4-1"),
+            (1, "Highlight", "HL 4"),
+            (1, "FreeText", "Free de 4"),
+        ]
+        # odd doc: two Text notes, no Highlight; Link/Square/contents-less
+        # decoys never surface
+        pdf, _ = make_pdf_annot_doc(7, "web", "en")
+        got = PdfDocument(pdf).annotations()
+        assert got == [
+            (1, "Text", "Note 7-1"),
+            (1, "Text", "Note 7-2"),
+            (1, "FreeText", "Free en 7"),
+        ]
+
+    def test_escaped_contents_string(self):
+        from service1_text_extraction_ray.functions.pdf_extract import PdfDocument
+        from service1_text_extraction_ray.functions.synth import make_pdf_annot_doc
+
+        pdf, _ = make_pdf_annot_doc(2, "web", "en")
+        # splice an annotation with escapes into the object stream
+        pdf = pdf.replace(
+            b"(Note 2-1)", rb"(Paren \( and \\ slash)"
+        )
+        got = PdfDocument(pdf).annotations()
+        assert got[0] == (1, "Text", "Paren ( and \\ slash")
