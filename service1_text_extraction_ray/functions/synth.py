@@ -1485,6 +1485,39 @@ def make_nav_page(doc_id: int, source: str) -> tuple[bytes, str]:
     return html.encode("utf-8"), f"https://{source}.example.com/n/{doc_id}"
 
 
+def make_redirect_hop_page(doc_id: int) -> tuple[bytes, str]:
+    """Deterministic redirect-CHAIN fixture page (all on one hub host so
+    targets are pure doc_id arithmetic). Groups of 8 consecutive doc_ids:
+    g = doc_id//8, p = doc_id%8.
+
+    - cycle groups (g%11==0): p in {0,1,2} form a 3-cycle
+      0 -> 1 -> 2 -> 0 (instant refresh); p >= 3 plain terminal pages.
+    - chain groups (g%11!=0): pages p <= g%6 redirect to doc_id+1
+      (chain of L = g%6 + 2 pages, so hops from the head = g%6 + 1 <= 6);
+      pages p > g%6 are terminals. The last group of a corpus can
+      truncate mid-chain, leaving a DANGLING target (a url with no page)
+      — resolution must treat it as the final destination.
+
+    A script decoy refresh exercises the skip parser."""
+    g, p = doc_id // 8, doc_id % 8
+    url = f"https://hub.example.com/r/{doc_id}"
+    nxt = None
+    if g % 11 == 0:
+        if p < 3:
+            nxt = doc_id - 2 if p == 2 else doc_id + 1
+    elif p <= g % 6:
+        nxt = doc_id + 1
+    head = ""
+    if nxt is not None:
+        head = f'<meta http-equiv="refresh" content="0; url=/r/{nxt}">'
+    decoy = "<script>var r='<meta http-equiv=\"refresh\" content=\"0;url=/r/0\">';</script>"
+    html = (
+        f"<html><head><title>R{doc_id}</title>{head}{decoy}</head>"
+        f"<body><p>hop page {doc_id} group {g} pos {p}</p></body></html>"
+    )
+    return html.encode("utf-8"), url
+
+
 def make_pdf_attachment_doc(doc_id: int, source: str) -> tuple[bytes, str]:
     """Deterministic PDF with embedded-file attachments — fixture for
     PdfDocument.attachments(). 1 + doc_id%2 attachments named

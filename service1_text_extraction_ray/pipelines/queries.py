@@ -9927,3 +9927,169 @@ SELECT n AS n_stubs,
             ELSE 0.0 END AS assortativity
 FROM m
 """
+
+
+# ---------------------------------------------------------------------------
+# Redirect-chain resolution by pointer doubling (list ranking)
+# ---------------------------------------------------------------------------
+
+_REDIR_STATE = pa.schema([
+    ("url", pa.string()), ("ptr", pa.string()),
+    ("dist", pa.int64()), ("done", pa.int64()),
+])
+_REDIR_CYCLE_CAP = 8  # legit chains in the fixture are <= 6 hops
+_REDIR_ROUNDS = 4     # 2^4 = 16 > cap -> every cycle is flagged by then
+
+
+def q_redirect_resolve(sf_dir: str) -> rd.Dataset:
+    """Resolve every page's meta-refresh redirect CHAIN to its final
+    destination — the list-ranking problem a crawl-graph canonicalizer
+    solves before dedup (CC treats meta refresh like a 3xx; chains of
+    them must collapse to one canonical target). Output one row per
+    fixture page: (url, final_url, n_hops, is_cycle); dangling targets
+    (a url with no crawled page) are final; cycles emit final_url='',
+    n_hops=-1, is_cycle=1.
+
+    Distributed shape — POINTER DOUBLING, the O(log L) topology for
+    following chains at scale (a naive walk is O(L) sequential
+    exchanges): state is one row per page (url, ptr, dist, done); each
+    round hash-joins the state against itself (ptr -> url) and composes
+    ptr <- ptr(ptr), dist <- dist + dist(ptr), so resolved distance
+    doubles per round. 4 rounds x one keyed exchange of (url, url,
+    int64, int64) rows — text never moves. Cycles never settle; any row
+    whose composed dist exceeds the cap (8 > the fixture's max legit 6
+    hops) is flagged. A dangling ptr finds no match in the LEFT join and
+    settles as final. Settled rows ride the remaining joins unchanged
+    (state is 4 small columns; at web scale, splitting settled rows out
+    of the exchange after each round halves traffic — same semantics).
+
+    Oracle: a recursive CTE walks the arithmetic-regenerated chain
+    single-step with a hop cap; the max-hops row per start still
+    redirecting <=> cycle."""
+    from ..functions.meta import parse_meta_refresh
+    from ..functions.synth import make_redirect_hop_page
+    from .relational import hash_join
+
+    def init_state(t: pa.Table) -> pa.Table:
+        rows = []
+        for d in t["doc_id"].to_pylist():
+            html, url = make_redirect_hop_page(int(d))
+            r = parse_meta_refresh(html, url)
+            if r is None:
+                rows.append({"url": url, "ptr": url, "dist": 0, "done": 1})
+            else:
+                rows.append({"url": url, "ptr": r[1], "dist": 1, "done": 0})
+        if not rows:
+            return _REDIR_STATE.empty_table()
+        return pa.Table.from_pylist(rows, schema=_REDIR_STATE)
+
+    def compose(t: pa.Table) -> pa.Table:
+        url = t["url"].to_pylist()
+        ptr = t["ptr"].to_pylist()
+        dist = t["dist"].to_pylist()
+        done = t["done"].to_pylist()
+        ptr2 = t["ptr2"].to_pylist()
+        dist2 = t["dist2"].to_pylist()
+        done2 = t["done2"].to_pylist()
+        rows = []
+        for u, p, dd, dn, p2, d2, dn2 in zip(
+            url, ptr, dist, done, ptr2, dist2, done2
+        ):
+            if dn == 1:
+                rows.append({"url": u, "ptr": p, "dist": dd, "done": 1})
+            elif p2 is None:
+                # dangling target: no page at ptr -> ptr IS the final url
+                rows.append({"url": u, "ptr": p, "dist": dd, "done": 1})
+            elif d2 == -1:
+                # ptr's row already settled as a cycle -> propagate
+                rows.append({"url": u, "ptr": "", "dist": -1, "done": 1})
+            else:
+                nd = dd + d2
+                if dn2 == 0 and nd > _REDIR_CYCLE_CAP:
+                    rows.append({"url": u, "ptr": "", "dist": -1, "done": 1})
+                else:
+                    rows.append({"url": u, "ptr": p2, "dist": nd,
+                                 "done": int(dn2)})
+        if not rows:
+            return _REDIR_STATE.empty_table()
+        return pa.Table.from_pylist(rows, schema=_REDIR_STATE)
+
+    # Materialize per round: state feeds the join as BOTH sides, and Ray
+    # Data lineage is lazy — without a checkpoint each round re-executes
+    # every prior round twice (2^R upstream blowup). State is 4 narrow
+    # columns x one row per page, far below corpus size.
+    state = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        init_state, batch_format="pyarrow"
+    ).materialize()
+    for _ in range(_REDIR_ROUNDS):
+        target = state.map_batches(
+            lambda t: pa.Table.from_arrays(
+                [t["url"], t["ptr"], t["dist"], t["done"]],
+                names=["node", "ptr2", "dist2", "done2"],
+            ),
+            batch_format="pyarrow",
+        )
+        joined = hash_join(
+            state, target, left_on="ptr", right_on="node",
+            key_type=pa.string(),
+            left_fields=[pa.field("url", pa.string()),
+                         pa.field("dist", pa.int64()),
+                         pa.field("done", pa.int64())],
+            right_fields=[pa.field("ptr2", pa.string()),
+                          pa.field("dist2", pa.int64()),
+                          pa.field("done2", pa.int64())],
+            how="left",
+        )
+        state = joined.map_batches(
+            compose, batch_format="pyarrow"
+        ).materialize()
+
+    def finish(t: pa.Table) -> pa.Table:
+        cyc = pc.if_else(
+            pc.equal(t["done"], 0), pa.scalar(1, pa.int64()),
+            pc.cast(pc.equal(t["dist"], -1), pa.int64()),
+        )
+        final = pc.if_else(pc.equal(cyc, 1), pa.scalar("", pa.string()),
+                           t["ptr"])
+        hops = pc.if_else(pc.equal(cyc, 1), pa.scalar(-1, pa.int64()),
+                          t["dist"])
+        return pa.Table.from_arrays(
+            [t["url"], final, hops, cyc],
+            names=["url", "final_url", "n_hops", "is_cycle"],
+        )
+
+    return state.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_REDIRECT_RESOLVE = """
+WITH RECURSIVE info AS (
+  SELECT doc_id,
+         CASE WHEN (doc_id // 8) % 11 = 0
+              THEN CASE WHEN doc_id % 8 < 3 THEN 1 ELSE 0 END
+              WHEN doc_id % 8 <= (doc_id // 8) % 6 THEN 1 ELSE 0 END
+           AS is_redir,
+         CASE WHEN (doc_id // 8) % 11 = 0 AND doc_id % 8 = 2
+              THEN doc_id - 2 ELSE doc_id + 1 END AS nxt
+  FROM documents
+),
+walk AS (
+  SELECT doc_id AS start_id, doc_id AS cur, 0 AS hops, is_redir AS redirecting
+  FROM info
+  UNION ALL
+  SELECT w.start_id, i.nxt, w.hops + 1, COALESCE(i2.is_redir, 0)
+  FROM walk w
+  JOIN info i ON i.doc_id = w.cur AND i.is_redir = 1
+  LEFT JOIN info i2 ON i2.doc_id = i.nxt
+  WHERE w.redirecting = 1 AND w.hops < 12
+),
+last AS (
+  SELECT start_id, max(hops) AS mh FROM walk GROUP BY start_id
+)
+SELECT 'https://hub.example.com/r/' || w.start_id AS url,
+       CASE WHEN w.redirecting = 1 THEN ''
+            ELSE 'https://hub.example.com/r/' || w.cur END AS final_url,
+       CAST(CASE WHEN w.redirecting = 1 THEN -1 ELSE w.hops END AS BIGINT)
+         AS n_hops,
+       CAST(w.redirecting AS BIGINT) AS is_cycle
+FROM walk w JOIN last l ON l.start_id = w.start_id AND w.hops = l.mh
+"""

@@ -4257,3 +4257,53 @@ class TestEventsRateLimit:
         assert out.loc[5, "tokens_after"] == 1
         assert out.loc[7, "tokens_after"] == 0
         assert out.loc[8, "tokens_after"] == R.RL_CAP - 1
+
+
+class TestRedirectResolve:
+    def test_chains_cycles_dangling(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        import service1_text_extraction_ray.pipelines.queries as Q
+
+        d = tmp_path / "sf"
+        d.mkdir()
+        # 57 docs: g=0 is a cycle group (0->1->2->0), g=1..6 chains of
+        # lengths 2..7, doc 56 (g=7, p=0, redirecting) points at the
+        # nonexistent doc 57 -> dangling final.
+        pq.write_table(
+            pa.table({"doc_id": pa.array(range(57), pa.int64())}),
+            str(d / "documents.parquet"),
+        )
+        out = (
+            Q.q_redirect_resolve(str(d))
+            .to_pandas().set_index("url").sort_index()
+        )
+        assert len(out) == 57
+        u = "https://hub.example.com/r/{}".format
+
+        # cycle members: final='', hops=-1, flagged
+        for i in (0, 1, 2):
+            assert out.loc[u(i), "is_cycle"] == 1
+            assert out.loc[u(i), "final_url"] == ""
+            assert out.loc[u(i), "n_hops"] == -1
+        # terminals in the cycle group resolve to themselves
+        assert out.loc[u(5), "final_url"] == u(5)
+        assert out.loc[u(5), "n_hops"] == 0
+
+        # g=1 chain: 8 -> 9 -> 10 (terminal)
+        assert out.loc[u(8), "final_url"] == u(10)
+        assert out.loc[u(8), "n_hops"] == 2
+        assert out.loc[u(9), "final_url"] == u(10)
+        assert out.loc[u(9), "n_hops"] == 1
+        assert out.loc[u(10), "n_hops"] == 0
+
+        # g=5 chain: 40 -> ... -> 46, the 6-hop maximum
+        assert out.loc[u(40), "final_url"] == u(46)
+        assert out.loc[u(40), "n_hops"] == 6
+
+        # doc 56 redirects to the never-crawled doc 57: dangling final
+        assert out.loc[u(56), "final_url"] == u(57)
+        assert out.loc[u(56), "n_hops"] == 1
+        assert out.loc[u(56), "is_cycle"] == 0
+
+        assert (out["is_cycle"] == 1).sum() == 3
