@@ -8262,3 +8262,200 @@ def q_events_sessionize_incremental(sf_dir: str) -> rd.Dataset:
         lambda t: t.select(["user_id", "n_sessions", "n_events"]),
         batch_format="pyarrow",
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact grouped median by distributed SELECTION (histogram refinement)
+# ---------------------------------------------------------------------------
+
+MEDSEL_BUCKETS = 512        # histogram resolution per refinement round
+MEDSEL_COLLECT_CAP = 8192   # final exact pass runs once range <= this
+
+
+def q_order_price_median_select(sf_dir: str) -> pd.DataFrame:
+    """Exact per-priority median order price WITHOUT materializing any
+    group's values — distributed SELECTION by iterative histogram
+    refinement, the scale path when one group no longer fits a task (the
+    documented limit of q_order_price_quantiles' per-group sort).
+
+    Topology per round: one map_batches pass computes per-block counts of
+    the (priority, bucket) histogram over each group's CURRENT candidate
+    range [lo, hi] (np.bincount — vectorized); partials tree-combine
+    (repartition -> per-block sum) and a tiny driver merge (G x 512 rows)
+    walks the cumulative counts to the bucket(s) holding the k-th and
+    (k+1)-th order statistics, narrowing the range by ~512x. Cents span
+    ~6e7 -> 2 rounds, then ONE exact pass value-counts the <=8192
+    remaining candidates per group and the driver reads off the two
+    middle values. Total: O(log_512 range) streaming scans, O(G x 512)
+    driver state, no shuffle of row-scale data at all (every exchange is
+    histogram partials). Output median_cents_x2 = lower + upper middle
+    (exact integer; DuckDB's interpolated median() x2).
+
+    The cents projection is materialized once so the R scans re-read a
+    2-column int table from the object store instead of re-decoding
+    parquet each round; at a 100-TB tier with a tight store you would
+    drop the materialize and let each round re-scan the pruned read —
+    both stream."""
+    part_schema = pa.schema([
+        ("priority", pa.string()), ("bucket", pa.int64()),
+        ("cnt", pa.int64()),
+    ])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [t["o_orderpriority"], _cents(t["o_totalprice"])],
+            names=["priority", "cents"],
+        )
+
+    ds = (
+        _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+        .map_batches(to_cents, batch_format="pyarrow")
+        .materialize()
+    )
+
+    def collect_partials(make_block):
+        """partials -> repartition -> per-block combine -> driver merge."""
+        parts = (
+            ds.map_batches(make_block, batch_format="pyarrow")
+            .repartition(8)
+            .map_batches(
+                lambda t: pa.Table.from_arrays(
+                    [
+                        t.group_by(["priority", "bucket"]).aggregate(
+                            [("cnt", "sum")]
+                        )[c]
+                        for c in ("priority", "bucket", "cnt_sum")
+                    ],
+                    schema=part_schema,
+                ),
+                batch_format="pyarrow",
+            )
+            .to_pandas()
+        )
+        return (
+            parts.groupby(["priority", "bucket"], as_index=False)["cnt"].sum()
+        )
+
+    # pass 0: per-group count / min / max (bucket column carries min or max)
+    def blk_stats(t: pa.Table) -> pa.Table:
+        g = t.group_by("priority").aggregate(
+            [("cents", "count"), ("cents", "min"), ("cents", "max")]
+        )
+        rows = []
+        for p, n, lo, hi in zip(
+            g["priority"].to_pylist(), g["cents_count"].to_pylist(),
+            g["cents_min"].to_pylist(), g["cents_max"].to_pylist(),
+        ):
+            rows.append({"priority": p, "bucket": 0, "cnt": n})
+            rows.append({"priority": p, "bucket": 1, "cnt": lo})
+            rows.append({"priority": p, "bucket": 2, "cnt": hi})
+        return pa.Table.from_pylist(rows, schema=part_schema)
+
+    raw = (
+        ds.map_batches(blk_stats, batch_format="pyarrow").to_pandas()
+    )
+    state: dict = {}
+    for p, sub in raw.groupby("priority"):
+        n = int(sub.loc[sub["bucket"] == 0, "cnt"].sum())
+        lo = int(sub.loc[sub["bucket"] == 1, "cnt"].min())
+        hi = int(sub.loc[sub["bucket"] == 2, "cnt"].max())
+        # 0-based ranks of the two middle order statistics
+        state[p] = {"n": n, "lo": lo, "hi": hi, "below": 0,
+                    "k1": (n - 1) // 2, "k2": n // 2}
+
+    B = MEDSEL_BUCKETS
+    for _ in range(8):
+        pending = {p: s for p, s in state.items()
+                   if s["hi"] - s["lo"] + 1 > MEDSEL_COLLECT_CAP}
+        if not pending:
+            break
+        ranges = {p: (s["lo"], s["hi"]) for p, s in pending.items()}
+
+        def blk_hist(t: pa.Table, _ranges=ranges) -> pa.Table:
+            pr = np.asarray(t["priority"].to_pylist(), dtype=object)
+            v = t["cents"].to_numpy(zero_copy_only=False)
+            rows = []
+            for p, (lo, hi) in _ranges.items():
+                w = hi - lo + 1
+                m = (pr == p) & (v >= lo) & (v <= hi)
+                if not m.any():
+                    continue
+                b = (v[m] - lo) * B // w
+                c = np.bincount(b, minlength=B)
+                nz = np.nonzero(c)[0]
+                rows.extend(
+                    {"priority": p, "bucket": int(i), "cnt": int(c[i])}
+                    for i in nz
+                )
+            if not rows:
+                return part_schema.empty_table()
+            return pa.Table.from_pylist(rows, schema=part_schema)
+
+        hist = collect_partials(blk_hist)
+        for p, s in pending.items():
+            sub = hist[hist["priority"] == p].sort_values("bucket")
+            lo, hi = s["lo"], s["hi"]
+            w = hi - lo + 1
+            cum = 0
+            b1 = b2 = None
+            for bkt, cnt in zip(sub["bucket"], sub["cnt"]):
+                t1, t2 = s["k1"] - s["below"], s["k2"] - s["below"]
+                if b1 is None and cum + cnt > t1:
+                    b1 = int(bkt)
+                    below_b1 = cum
+                if cum + cnt > t2:
+                    b2 = int(bkt)
+                    break
+                cum += cnt
+            # bucket i covers cents in [lo + ceil(i*w/B), lo + ceil((i+1)*w/B) - 1]
+            new_lo = lo + -((-b1 * w) // B)
+            new_hi = lo + -((-(b2 + 1) * w) // B) - 1
+            s["below"] += below_b1
+            s["lo"], s["hi"] = new_lo, min(new_hi, hi)
+
+    ranges = {p: (s["lo"], s["hi"]) for p, s in state.items()}
+
+    def blk_vals(t: pa.Table, _ranges=ranges) -> pa.Table:
+        pr = np.asarray(t["priority"].to_pylist(), dtype=object)
+        v = t["cents"].to_numpy(zero_copy_only=False)
+        rows = []
+        for p, (lo, hi) in _ranges.items():
+            m = (pr == p) & (v >= lo) & (v <= hi)
+            if not m.any():
+                continue
+            vals, cnts = np.unique(v[m], return_counts=True)
+            rows.extend(
+                {"priority": p, "bucket": int(a), "cnt": int(c)}
+                for a, c in zip(vals, cnts)
+            )
+        if not rows:
+            return part_schema.empty_table()
+        return pa.Table.from_pylist(rows, schema=part_schema)
+
+    vals = collect_partials(blk_vals)
+    out = []
+    for p, s in sorted(state.items()):
+        sub = vals[vals["priority"] == p].sort_values("bucket")
+        cum = s["below"]
+        v1 = v2 = None
+        for val, cnt in zip(sub["bucket"], sub["cnt"]):
+            if v1 is None and cum + cnt > s["k1"]:
+                v1 = int(val)
+            if cum + cnt > s["k2"]:
+                v2 = int(val)
+                break
+            cum += cnt
+        out.append({"priority": p, "n_orders": s["n"],
+                    "median_cents_x2": v1 + v2})
+    return pd.DataFrame(out).astype(
+        {"n_orders": "int64", "median_cents_x2": "int64"}
+    )
+
+
+SQL_ORDER_PRICE_MEDIAN_SELECT = """
+SELECT o_orderpriority AS priority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(round(2 * median(CAST(round(o_totalprice * 100) AS BIGINT)))
+            AS BIGINT) AS median_cents_x2
+FROM orders GROUP BY 1
+"""

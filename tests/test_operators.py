@@ -4307,3 +4307,46 @@ class TestRedirectResolve:
         assert out.loc[u(56), "is_cycle"] == 0
 
         assert (out["is_cycle"] == 1).sum() == 3
+
+
+class TestMedianSelect:
+    def test_even_odd_dupes_constant(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        import service1_text_extraction_ray.pipelines.relational as R
+
+        d = tmp_path / "sf"
+        d.mkdir()
+        rows = []
+        # odd count: median is the single middle value
+        for i, v in enumerate([5.00, 1.00, 9.00]):
+            rows.append({"o_orderpriority": "1-ODD", "o_totalprice": v})
+        # even count: interpolated -> x2 = sum of the two middles
+        for v in [1.00, 2.00, 3.00, 10.00]:
+            rows.append({"o_orderpriority": "2-EVEN", "o_totalprice": v})
+        # duplicates straddling the middle
+        for v in [4.00, 4.00, 4.00, 7.00, 9.00]:
+            rows.append({"o_orderpriority": "3-DUP", "o_totalprice": v})
+        # constant group (range width 1 -> no refinement rounds)
+        for _ in range(6):
+            rows.append({"o_orderpriority": "4-CONST", "o_totalprice": 2.50})
+        # wide range forces >= 2 histogram refinement rounds
+        import numpy as np
+        rng = np.random.RandomState(7)
+        wide = rng.randint(1, 60_000_000, size=401)  # cents
+        for c in wide:
+            rows.append({"o_orderpriority": "5-WIDE",
+                         "o_totalprice": c / 100.0})
+        pq.write_table(pa.Table.from_pylist(rows), str(d / "orders.parquet"))
+
+        out = (
+            R.q_order_price_median_select(str(d))
+            .set_index("priority")
+        )
+        assert out.loc["1-ODD", "median_cents_x2"] == 2 * 500
+        assert out.loc["2-EVEN", "median_cents_x2"] == 200 + 300
+        assert out.loc["3-DUP", "median_cents_x2"] == 2 * 400
+        assert out.loc["4-CONST", "median_cents_x2"] == 2 * 250
+        exp = int(np.sort(wide)[200]) * 2  # odd count -> middle element
+        assert out.loc["5-WIDE", "median_cents_x2"] == exp
+        assert out.loc["5-WIDE", "n_orders"] == 401
