@@ -4852,3 +4852,157 @@ FROM documents
 
 
 SQL_DOC_SHUFFLE_RANK = _sql_shuffle_rank()
+
+
+# ---------------------------------------------------------------------------
+# Kneser-Ney smoothed bigram LM scoring — exact integer nano-prob units
+# ---------------------------------------------------------------------------
+
+KN_UNIT = 1_000_000_000  # per-bigram KN probability quantized to nano-probs
+KN_D_NUM, KN_D_DEN = 3, 4  # absolute discount D = 3/4
+
+
+def q_corpus_kn_bigram(sf_dir: str) -> rd.Dataset:
+    """Per-document Kneser-Ney bigram score — the smoothing real LM-based
+    corpus filters (KenLM / CC-Net) actually use: interpolated KN with
+    absolute discount D=0.75, where the backoff mass goes to the
+    CONTINUATION probability (how many distinct left-contexts a word
+    follows), not the raw unigram. For bigram (a,b) with count c_ab:
+
+        P_KN(b|a) = (c_ab - D)/c_a + D * N1p(a)/c_a * N1m(b)/T
+
+    with c_a = sum_b c_ab (context count), N1p(a) = #distinct b after a,
+    N1m(b) = #distinct a before b, T = #distinct bigram types. Every
+    factor is an integer off the bigram-count table, so with D = 3/4 the
+    probability is the exact rational ((4*c_ab-3)*T + 3*N1p*N1m) /
+    (4*c_a*T); each occurrence quantizes to floor(num*1e9/den) nano-probs
+    (arbitrary-precision host ints; the oracle replays in HUGEINT) and
+    per-doc sums are order-independent. Scored on the fitting corpus, so
+    c_ab >= 1 > D and the max(.,0) clamp never binds.
+
+    Topology: ONE corpus exchange builds the distinct-bigram count table
+    (the q_corpus_bigrams shape); c_a / N1p / N1m / T all derive from
+    that table — the distinct-continuation counts are FREE off the count
+    rows (a count per distinct key IS the continuation count), no second
+    corpus pass. The fitted (bigram -> nano-prob) map rides ray.put into
+    one scoring pass (size-asserted broadcast regime); past the gate the
+    scale path is q_doc_bigram_logprob's join topology with one extra
+    hash_join to attach N1m(b). Output (doc_id, n_bigrams, kn_nano_sum)."""
+    from collections import Counter
+
+    big_schema = pa.schema([("bigram", pa.string()), ("n_ab", pa.int64())])
+
+    def big_partials(df: pd.DataFrame) -> pd.DataFrame:
+        c: Counter = Counter()
+        for text in df["text"]:
+            ts = _tokens(text or "")
+            c.update(zip(ts, ts[1:]))
+        return pd.DataFrame({
+            "bigram": [f"{a} {b}" for a, b in c.keys()],
+            "n_ab": pd.Series(list(c.values()), dtype="int64"),
+        })
+
+    def sum_big(t: pa.Table) -> pa.Table:
+        g = t.group_by("bigram").aggregate([("n_ab", "sum")])
+        return pa.Table.from_arrays(
+            [g["bigram"], pc.cast(g["n_ab_sum"], pa.int64())],
+            names=["bigram", "n_ab"],
+        )
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    big = hash_exchange(
+        docs.map_batches(big_partials, batch_format="pandas"),
+        ["bigram"], sum_big, big_schema,
+    )
+
+    # fit on the driver (gated broadcast regime; counts above are distributed)
+    pairs: list = []
+    for b in big.iter_batches(batch_format="pyarrow"):
+        pairs.extend(zip(b["bigram"].to_pylist(), b["n_ab"].to_pylist()))
+    assert len(pairs) <= LM_BROADCAST_BIGRAMS, (
+        "bigram table exceeds the broadcast gate — use the join topology "
+        "(q_doc_bigram_logprob) with an extra N1m(b) hash_join"
+    )
+    c_a: dict = {}
+    n1p: dict = {}
+    n1m: dict = {}
+    for bg, nab in pairs:
+        a, b2 = bg.split(" ", 1)
+        c_a[a] = c_a.get(a, 0) + int(nab)
+        n1p[a] = n1p.get(a, 0) + 1
+        n1m[b2] = n1m.get(b2, 0) + 1
+    T = len(pairs)
+    model = {}
+    for bg, nab in pairs:
+        a, b2 = bg.split(" ", 1)
+        num = (KN_D_DEN * int(nab) - KN_D_NUM) * T + KN_D_NUM * n1p[a] * n1m[b2]
+        den = KN_D_DEN * c_a[a] * T
+        model[bg] = num * KN_UNIT // den
+    ref = ray.put(model)
+
+    part_schema = pa.schema([
+        ("doc_id", pa.int64()), ("n_bigrams", pa.int64()),
+        ("kn_nano_sum", pa.int64()),
+    ])
+
+    def score(df: pd.DataFrame) -> pa.Table:
+        mod = ray.get(ref)
+        rows = []
+        for doc_id, text in zip(df["doc_id"], df["text"]):
+            ts = _tokens(text or "")
+            c = Counter(zip(ts, ts[1:]))
+            nb = s = 0
+            for (a, b2), k in c.items():
+                nb += k
+                s += mod[f"{a} {b2}"] * k
+            rows.append({"doc_id": int(doc_id), "n_bigrams": nb,
+                         "kn_nano_sum": s})
+        if not rows:
+            return part_schema.empty_table()
+        return pa.Table.from_pylist(rows, schema=part_schema)
+
+    return docs.map_batches(score, batch_format="pandas")
+
+
+SQL_CORPUS_KN_BIGRAM = f"""
+WITH arrs AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(coalesce(text, ''), '\\s+'), x -> x <> '') AS a
+  FROM documents
+),
+dbg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(a)), i -> a[i] || ' ' || a[i + 1])) AS bigram
+  FROM arrs WHERE len(a) >= 2
+),
+cnt AS (SELECT bigram, CAST(count(*) AS BIGINT) AS n_ab FROM dbg GROUP BY 1),
+ctx AS (
+  SELECT split_part(bigram, ' ', 1) AS tok_a,
+         CAST(sum(n_ab) AS BIGINT) AS c_a,
+         CAST(count(*) AS BIGINT) AS n1p
+  FROM cnt GROUP BY 1
+),
+cont AS (
+  SELECT split_part(bigram, ' ', 2) AS tok_b,
+         CAST(count(*) AS BIGINT) AS n1m
+  FROM cnt GROUP BY 1
+),
+tt AS (SELECT CAST(count(*) AS HUGEINT) AS t FROM cnt),
+w AS (
+  SELECT c.bigram,
+         CAST((( {KN_D_DEN} * CAST(c.n_ab AS HUGEINT) - {KN_D_NUM}) * tt.t
+               + {KN_D_NUM} * CAST(x.n1p AS HUGEINT) * m.n1m) * {KN_UNIT}
+              // ({KN_D_DEN} * CAST(x.c_a AS HUGEINT) * tt.t) AS BIGINT) AS qv
+  FROM cnt c
+  JOIN ctx x ON x.tok_a = split_part(c.bigram, ' ', 1)
+  JOIN cont m ON m.tok_b = split_part(c.bigram, ' ', 2), tt
+),
+terms AS (SELECT d.doc_id, w.qv FROM dbg d JOIN w USING (bigram)),
+agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         CAST(sum(qv) AS BIGINT) AS kn_nano_sum
+  FROM terms GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(a.n_bigrams, 0) AS n_bigrams,
+       coalesce(a.kn_nano_sum, 0) AS kn_nano_sum
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""

@@ -1720,3 +1720,36 @@ class TestCorpusPmiRegimes:
         monkeypatch.setattr(W, "LM_BROADCAST_BIGRAMS", -1)
         joined = W.q_corpus_pmi(sf).reset_index(drop=True)
         assert joined.equals(base)
+
+
+class TestCorpusKnBigram:
+    def test_hand_computed_kn(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        import service1_text_extraction_ray.pipelines.webtext as W
+
+        d = tmp_path / "sf"
+        d.mkdir()
+        pq.write_table(
+            pa.table({
+                "doc_id": pa.array([0, 1, 2], pa.int64()),
+                "text": pa.array(["a b a b c", "a b", "solo"], pa.string()),
+            }),
+            str(d / "documents.parquet"),
+        )
+        out = (
+            W.q_corpus_kn_bigram(str(d))
+            .to_pandas().set_index("doc_id").sort_index()
+        )
+        # counts: ab=3 ba=1 bc=1, T=3; c_a: a=3 b=2; N1p: a=1 b=2;
+        # N1m: a=1 b=1 c=1
+        # q(ab) = ((4*3-3)*3 + 3*1*1)*1e9 // (4*3*3) = 833_333_333
+        # q(ba) = q(bc) = ((4-3)*3 + 3*2*1)*1e9 // (4*2*3) = 375_000_000
+        assert out.loc[0, "n_bigrams"] == 4
+        assert out.loc[0, "kn_nano_sum"] == 2 * 833_333_333 + 2 * 375_000_000
+        assert out.loc[1, "n_bigrams"] == 1
+        assert out.loc[1, "kn_nano_sum"] == 833_333_333
+        # single-token doc scores zero but stays in the output
+        assert out.loc[2, "n_bigrams"] == 0
+        assert out.loc[2, "kn_nano_sum"] == 0
