@@ -5006,3 +5006,97 @@ SELECT d.doc_id, coalesce(a.n_bigrams, 0) AS n_bigrams,
        coalesce(a.kn_nano_sum, 0) AS kn_nano_sum
 FROM documents d LEFT JOIN agg a USING (doc_id)
 """
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: Reciprocal Rank Fusion of the lexical and dense rankers
+# ---------------------------------------------------------------------------
+
+RRF_K = 60          # standard RRF dampening constant (Cormack et al. 2009)
+RRF_TOPK = 10
+RRF_UNIT = 10**12   # 1/(K+rank) quantized as UNIT // (K+rank): exact integers
+
+
+def q_retrieval_rrf(sf_dir: str) -> pd.DataFrame:
+    """Hybrid search — Reciprocal Rank Fusion of the two rankers this
+    engine already runs: lexical BM25 (q_search_bm25, top-20 for the
+    fixed term query) and dense int8-quantized cosine (q_knn_int8,
+    top-10 for the fixed query vector; vec_id is the document's
+    embedding id). RRF is THE standard hybrid-retrieval combiner because
+    it needs no score calibration between rankers:
+    score(d) = sum_r 1/(K + rank_r(d)), K=60. Each reciprocal quantizes
+    to UNIT // (K + rank) — exact integers, so the fused ranking is
+    bit-stable and SQL-replayable.
+
+    Cost shape: both input rankings are already scatter-gather top-k
+    passes (per-block partial top-k, tiny driver merge, no global sort);
+    the fusion itself touches <= 30 driver rows. Output: top-10
+    (rnk, doc_id, rrf_units)."""
+    from .queries import q_knn_int8
+
+    bm = q_search_bm25(sf_dir)
+    kn = q_knn_int8(sf_dir)
+
+    scores: dict[int, int] = {}
+    for r, d in enumerate(bm["doc_id"].astype("int64"), 1):
+        scores[int(d)] = scores.get(int(d), 0) + RRF_UNIT // (RRF_K + r)
+    for r, v in enumerate(kn["vec_id"].astype("int64"), 1):
+        scores[int(v)] = scores.get(int(v), 0) + RRF_UNIT // (RRF_K + r)
+
+    fused = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:RRF_TOPK]
+    return pd.DataFrame({
+        "rnk": pd.Series(range(1, len(fused) + 1), dtype="int64"),
+        "doc_id": pd.Series([d for d, _ in fused], dtype="int64"),
+        "rrf_units": pd.Series([s for _, s in fused], dtype="int64"),
+    })
+
+
+def sql_retrieval_rrf() -> str:
+    from .queries import KNN_K, _int8_codes, _query_vector
+
+    qq = _int8_codes(_query_vector()[None, :])[0]
+    lit = "[" + ", ".join(str(int(x)) for x in qq) + "]"
+    nq = int((qq * qq).sum())
+    return f"""
+WITH bm_raw AS (SELECT * FROM ({sql_search_bm25()})),
+bm AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY score_nano DESC, doc_id) AS r
+  FROM bm_raw
+),
+codes AS (
+  SELECT vec_id,
+         list_transform(
+           CAST(embedding AS DOUBLE[]),
+           x -> CASE WHEN s.mx = 0 THEN 0.0 ELSE round(x / (s.mx / 127.0)) END
+         ) AS q
+  FROM embeddings,
+       LATERAL (SELECT list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                               x -> abs(x))) AS mx) s
+),
+kn_raw AS (
+  SELECT vec_id,
+         CASE WHEN sqrt(list_dot_product(q, q) * {nq}.0) > 0
+              THEN list_dot_product(q, CAST({lit} AS DOUBLE[]))
+                   / sqrt(list_dot_product(q, q) * {nq}.0)
+              ELSE 0.0 END AS sim
+  FROM codes
+  ORDER BY sim DESC, vec_id ASC LIMIT {KNN_K}
+),
+kn AS (
+  SELECT vec_id, row_number() OVER (ORDER BY sim DESC, vec_id) AS r
+  FROM kn_raw
+),
+u AS (
+  SELECT doc_id, {RRF_UNIT} // ({RRF_K} + r) AS pts FROM bm
+  UNION ALL
+  SELECT vec_id AS doc_id, {RRF_UNIT} // ({RRF_K} + r) AS pts FROM kn
+),
+f AS (
+  SELECT doc_id, CAST(sum(pts) AS BIGINT) AS rrf_units FROM u GROUP BY doc_id
+)
+SELECT CAST(row_number() OVER (ORDER BY rrf_units DESC, doc_id) AS BIGINT)
+         AS rnk,
+       doc_id, rrf_units
+FROM f ORDER BY rrf_units DESC, doc_id LIMIT {RRF_TOPK}
+"""

@@ -1753,3 +1753,56 @@ class TestCorpusKnBigram:
         # single-token doc scores zero but stays in the output
         assert out.loc[2, "n_bigrams"] == 0
         assert out.loc[2, "kn_nano_sum"] == 0
+
+
+class TestRetrievalRrf:
+    def test_fusion_boosts_doc_in_both_lists(self, ray_session, tmp_path):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        import service1_text_extraction_ray.pipelines.queries as Q
+        import service1_text_extraction_ray.pipelines.webtext as W
+
+        d = tmp_path / "sf"
+        d.mkdir()
+        # doc 0: weak lexical + strong dense; doc 1: strongest lexical,
+        # no embedding; doc 2: dense only; docs 3+: filler
+        texts = {
+            0: "hash join pad pad pad pad",
+            1: "hash join stream hash join stream",
+            2: "nothing relevant here",
+            3: "pad pad pad",
+            4: "stream once pad pad pad pad pad pad",
+        }
+        pq.write_table(
+            pa.table({
+                "doc_id": pa.array(sorted(texts), pa.int64()),
+                "text": pa.array([texts[i] for i in sorted(texts)],
+                                 pa.string()),
+            }),
+            str(d / "documents.parquet"),
+        )
+        qv = Q._query_vector()
+        qn = qv / np.linalg.norm(qv)
+        rs = np.random.RandomState(11)
+        vecs = {0: qn, 2: qn * 0.9, 3: rs.standard_normal(64) * 0.1,
+                4: -qn}
+        ids = sorted(vecs)
+        pq.write_table(
+            pa.table({"vec_id": pa.array(ids, pa.int64()),
+                      "embedding": pa.array(
+                          [vecs[i].tolist() for i in ids],
+                          pa.list_(pa.float64()))}),
+            str(d / "embeddings.parquet"),
+        )
+        out = W.q_retrieval_rrf(str(d)).set_index("doc_id")
+        # doc 0 appears high in BOTH rankers -> fused rank 1
+        assert out.loc[0, "rnk"] == 1
+        # exact unit check: bm25 rank2 + dense rank1
+        assert out.loc[0, "rrf_units"] == (
+            W.RRF_UNIT // (W.RRF_K + 2) + W.RRF_UNIT // (W.RRF_K + 1)
+        )
+        # single-list docs fuse below the double-list doc
+        assert out.loc[1, "rnk"] > 1
+        assert 2 in out.index  # dense-only doc still surfaces
