@@ -1938,6 +1938,65 @@ class PdfDocument:
         walk(ef_root, 0)
         return out
 
+    def fonts(self) -> List[Tuple[int, str, str, str, int]]:
+        """Font inventory (ISO 32000-1 §9.6-9.7): one ``(page_idx,
+        resource_name, base_font, subtype, embedded)`` per /Font resource
+        entry, pages in document order, entries in dict order. ``embedded``
+        is 1 iff the font's descriptor carries a font program
+        (/FontFile | /FontFile2 | /FontFile3); for /Type0 composite fonts
+        the descriptor lives on the FIRST descendant CIDFont (§9.7.4) and
+        the reported subtype stays Type0. Dangling font refs are skipped;
+        /Resources inheritance comes from the _page_order walk. Encrypted
+        documents work too (names/refs are not encrypted strings)."""
+        if self._root is None:
+            return []
+        try:
+            pages = _page_order(self._objects, self._root)
+        except PdfParseError:
+            return []
+        out: List[Tuple[int, str, str, str, int]] = []
+        for idx, (_, _, _, res) in enumerate(pages):
+            if not res:
+                continue
+            fm = _FONT_RES_RE.search(res)
+            if fm is None:
+                continue
+            font_dict = _resolve_dict(self._objects, res, fm)
+            if font_dict is None:
+                continue
+            for name, num in _FONT_ENTRY_RE.findall(font_dict):
+                fobj = self._objects.get(int(num))
+                if fobj is None:
+                    continue
+                st = re.search(rb"/Subtype\s*/(\w+)", fobj.dict_bytes)
+                bm = re.search(rb"/BaseFont\s*/([^\s/<>\[\]()]+)",
+                               fobj.dict_bytes)
+                desc_holder = fobj.dict_bytes
+                if st is not None and st.group(1) == b"Type0":
+                    dm = re.search(rb"/DescendantFonts\s*\[\s*(\d+)\s+\d+\s+R",
+                                   fobj.dict_bytes)
+                    if dm is not None:
+                        child = self._objects.get(int(dm.group(1)))
+                        if child is not None:
+                            desc_holder = child.dict_bytes
+                embedded = 0
+                rm = re.search(rb"/FontDescriptor\s+(\d+)\s+\d+\s+R",
+                               desc_holder)
+                if rm is not None:
+                    dobj = self._objects.get(int(rm.group(1)))
+                    if dobj is not None and re.search(
+                        rb"/FontFile[23]?\b", dobj.dict_bytes
+                    ):
+                        embedded = 1
+                out.append((
+                    idx,
+                    name.decode("latin-1"),
+                    bm.group(1).decode("latin-1") if bm else "",
+                    st.group(1).decode("latin-1") if st else "",
+                    embedded,
+                ))
+        return out
+
     def form_fields(self) -> List[Tuple[str, str, str, int]]:
         """Interactive form fields (AcroForm, ISO 32000-1 §12.7):
         ``(fully-qualified name, field type, value, flags)`` per TERMINAL

@@ -1577,6 +1577,70 @@ def make_pdf_attachment_doc(doc_id: int, source: str) -> tuple[bytes, str]:
     return pdf, url
 
 
+def make_pdf_font_doc(doc_id: int, source: str) -> tuple[bytes, str]:
+    """Deterministic PDF with a varied font inventory — fixture for
+    PdfDocument.fonts(). Always /F1 Type1 Helvetica (not embedded);
+    doc_id%2==0 adds /F2 TrueType ``Body{doc_id%5}`` with a descriptor
+    carrying /FontFile2 (embedded); doc_id%3==0 adds /F3 Type0
+    ``CJK{doc_id%4}`` whose descriptor lives on the descendant CIDFont
+    and has NO font program (not embedded); doc_id%4==1 adds a dangling
+    /F9 ref that must be skipped."""
+    url = f"https://{source}.example.com/fnt/{doc_id}"
+    content = f"BT /F1 12 Tf 72 720 Td (Fonts {doc_id}) Tj ET".encode()
+
+    entries = ["/F1 5 0 R"]
+    objs = []
+    if doc_id % 2 == 0:
+        entries.append("/F2 6 0 R")
+        objs.append(
+            f"6 0 obj << /Type /Font /Subtype /TrueType "
+            f"/BaseFont /Body{doc_id % 5} /FontDescriptor 7 0 R >> endobj\n"
+            .encode()
+        )
+        prog = b"\x00\x01FAKEGLYFPROGRAM!"
+        objs.append(
+            f"7 0 obj << /Type /FontDescriptor /FontName /Body{doc_id % 5} "
+            f"/Flags 4 /FontFile2 12 0 R >> endobj\n".encode()
+        )
+        objs.append(
+            f"12 0 obj << /Length {len(prog)} >>\n".encode()
+            + b"stream\n" + prog + b"\nendstream endobj\n"
+        )
+    if doc_id % 3 == 0:
+        entries.append("/F3 8 0 R")
+        objs.append(
+            f"8 0 obj << /Type /Font /Subtype /Type0 /BaseFont /CJK{doc_id % 4} "
+            f"/Encoding /Identity-H /DescendantFonts [9 0 R] >> endobj\n"
+            .encode()
+        )
+        objs.append(
+            f"9 0 obj << /Type /Font /Subtype /CIDFontType2 "
+            f"/BaseFont /CJK{doc_id % 4} /FontDescriptor 10 0 R >> endobj\n"
+            .encode()
+        )
+        objs.append(
+            f"10 0 obj << /Type /FontDescriptor /FontName /CJK{doc_id % 4} "
+            f"/Flags 4 >> endobj\n".encode()
+        )
+    if doc_id % 4 == 1:
+        entries.append("/F9 99 0 R")
+
+    pdf = (
+        b"%PDF-1.4\n"
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+        b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n"
+        b"3 0 obj << /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Contents 4 0 R /Resources << /Font << "
+        + " ".join(entries).encode() + b" >> >> >> endobj\n"
+        b"4 0 obj << /Length " + str(len(content)).encode() + b" >>\n"
+        b"stream\n" + content + b"\nendstream endobj\n"
+        b"5 0 obj << /Type /Font /Subtype /Type1 /BaseFont /Helvetica >> endobj\n"
+        + b"".join(objs)
+        + b"trailer << /Root 1 0 R >>\n%%EOF\n"
+    )
+    return pdf, url
+
+
 def make_pdf_labeled_doc(doc_id: int, source: str) -> tuple[bytes, str]:
     """Deterministic PDF with /PageLabels — fixture for
     PdfDocument.page_labels(). 2 + doc_id%3 pages: front matter in

@@ -10093,3 +10093,52 @@ SELECT 'https://hub.example.com/r/' || w.start_id AS url,
        CAST(w.redirecting AS BIGINT) AS is_cycle
 FROM walk w JOIN last l ON l.start_id = w.start_id AND w.hops = l.mh
 """
+
+
+def q_extract_pdf_fonts(sf_dir: str) -> rd.Dataset:
+    """PDF font-inventory extraction (ISO 32000-1 §9.6-9.7): one row per
+    page /Font resource entry with the BaseFont name, subtype and whether
+    a font program is embedded — what a corpus triage pass uses to route
+    documents (unembedded exotic fonts mean unreliable text extraction;
+    Type0-without-program pages are the OCR queue). Type1 / TrueType+
+    FontFile2 / Type0-with-descendant-descriptor and a dangling-ref decoy
+    all exercised by the fixture mix. Pure per-batch map; the oracle
+    rebuilds every row from doc_id arithmetic."""
+    from ..functions.pdf_extract import PdfDocument
+    from ..functions.synth import make_pdf_font_doc
+
+    out_schema = pa.schema([
+        ("doc_id", pa.int64()), ("res_name", pa.string()),
+        ("base_font", pa.string()), ("subtype", pa.string()),
+        ("embedded", pa.int64()),
+    ])
+
+    def f(t: pa.Table) -> pa.Table:
+        rows = []
+        for d, src in zip(t["doc_id"].to_pylist(), t["source"].to_pylist()):
+            pdf, _ = make_pdf_font_doc(int(d), src)
+            for _pg, name, base, sub, emb in PdfDocument(pdf).fonts():
+                rows.append({
+                    "doc_id": int(d), "res_name": name, "base_font": base,
+                    "subtype": sub, "embedded": emb,
+                })
+        if not rows:
+            return out_schema.empty_table()
+        return pa.Table.from_pylist(rows, schema=out_schema)
+
+    return _read(sf_dir, "documents", ["doc_id", "source"]).map_batches(
+        f, batch_format="pyarrow"
+    )
+
+
+SQL_EXTRACT_PDF_FONTS = """
+SELECT doc_id, 'F1' AS res_name, 'Helvetica' AS base_font,
+       'Type1' AS subtype, CAST(0 AS BIGINT) AS embedded
+FROM documents
+UNION ALL
+SELECT doc_id, 'F2', 'Body' || (doc_id % 5), 'TrueType', 1
+FROM documents WHERE doc_id % 2 = 0
+UNION ALL
+SELECT doc_id, 'F3', 'CJK' || (doc_id % 4), 'Type0', 0
+FROM documents WHERE doc_id % 3 = 0
+"""

@@ -1045,3 +1045,33 @@ class TestPdfAnnotations:
         )
         got = PdfDocument(pdf).annotations()
         assert got[0] == (1, "Text", "Paren ( and \\ slash")
+
+
+class TestFonts:
+    def test_inventory_variants(self):
+        from service1_text_extraction_ray.functions.pdf_extract import PdfDocument
+        from service1_text_extraction_ray.functions.synth import make_pdf_font_doc
+
+        # doc 6: F1 + F2 (even) + F3 (%3==0), no decoy
+        pdf, _ = make_pdf_font_doc(6, "s")
+        fonts = PdfDocument(pdf).fonts()
+        assert fonts == [
+            (0, "F1", "Helvetica", "Type1", 0),
+            (0, "F2", "Body1", "TrueType", 1),
+            (0, "F3", "CJK2", "Type0", 0),
+        ]
+        # doc 1: F1 only plus a dangling /F9 decoy that must be skipped
+        pdf, _ = make_pdf_font_doc(1, "s")
+        assert PdfDocument(pdf).fonts() == [(0, "F1", "Helvetica", "Type1", 0)]
+        # doc 3: Type0 with the descriptor on the DESCENDANT CIDFont
+        pdf, _ = make_pdf_font_doc(3, "s")
+        names = [f[1] for f in PdfDocument(pdf).fonts()]
+        assert names == ["F1", "F3"]
+
+    def test_fixture_still_extracts_text(self):
+        from service1_text_extraction_ray.functions.pdf_extract import parse_pdf
+        from service1_text_extraction_ray.functions.synth import make_pdf_font_doc
+
+        pdf, _ = make_pdf_font_doc(6, "s")
+        pages = parse_pdf(pdf)
+        assert "Fonts 6" in pages[0].text
