@@ -914,6 +914,65 @@ def _page_cid_fonts(
     return fonts
 
 
+def _doc_off_ocgs(
+    objects: Dict[int, _PdfObject], root_num: Optional[int]
+) -> set:
+    """Object numbers of optional-content groups switched OFF in the
+    default configuration (ISO 32000-1 §8.11.4.3: catalog /OCProperties
+    -> /D -> /OFF array). Empty set when the document has no optional
+    content."""
+    if root_num is None:
+        return set()
+    root = objects.get(root_num)
+    if root is None:
+        return set()
+    m = re.search(rb"/OCProperties\s*(<<|\d+\s+\d+\s+R)", root.dict_bytes)
+    if m is None:
+        return set()
+    ocp = _resolve_dict(objects, root.dict_bytes, m)
+    if ocp is None:
+        return set()
+    dm = re.search(rb"/D\s*(<<|\d+\s+\d+\s+R)", ocp)
+    if dm is None:
+        return set()
+    cfg = _resolve_dict(objects, ocp, dm)
+    if cfg is None:
+        return set()
+    fm = re.search(rb"/OFF\s*\[", cfg)
+    if fm is None:
+        return set()
+    end = cfg.find(b"]", fm.end() - 1)
+    if end < 0:
+        return set()
+    return {int(r.group(1)) for r in _REF_RE.finditer(cfg[fm.end() - 1 : end])}
+
+
+_PROPERTIES_RES_RE = re.compile(rb"/Properties\s*(<<|\d+\s+\d+\s+R)")
+
+
+def _page_hidden_ocs(
+    objects: Dict[int, _PdfObject],
+    resources: Optional[bytes],
+    off_ocgs: set,
+) -> set:
+    """Resource names in the page's /Properties dict that resolve to an
+    OFF optional-content group — the names a ``/OC /name BDC`` mark uses.
+    Empty when the page has no /Properties or nothing is switched off."""
+    if not resources or not off_ocgs:
+        return set()
+    pm = _PROPERTIES_RES_RE.search(resources)
+    if pm is None:
+        return set()
+    props = _resolve_dict(objects, resources, pm)
+    if props is None:
+        return set()
+    return {
+        name.decode("latin-1")
+        for name, num in _FONT_ENTRY_RE.findall(props)
+        if int(num) in off_ocgs
+    }
+
+
 def _page_form_xobjects(
     objects: Dict[int, _PdfObject],
     resources: Optional[bytes],
@@ -1300,6 +1359,7 @@ def _interpret_text(
     xobjects: Optional[Dict[str, bytes]] = None,
     _depth: int = 0,
     simple_encodings: Optional[Dict[str, Dict[int, str]]] = None,
+    hidden_ocs: Optional[set] = None,
 ) -> List[Span]:
     """Execute the text operators of a content stream, emitting spans.
 
@@ -1319,6 +1379,9 @@ def _interpret_text(
     spans: List[Span] = []
     stack: List[Any] = []
     in_array: Optional[List[Any]] = None
+    # marked-content nesting (§14.6): one bool per open BMC/BDC scope;
+    # any True (an OFF optional-content /OC mark) suppresses span output
+    mc_stack: List[bool] = []
 
     # Text state (only the translation components of the matrices matter for
     # the subset: no rotation/skew in fixtures; scale from Tm a/d applied to x/y).
@@ -1331,7 +1394,7 @@ def _interpret_text(
 
     def emit(raw: bytes) -> None:
         nonlocal cx
-        if not raw:
+        if not raw or any(mc_stack):
             return
         cmap = cid_fonts.get(font) if cid_fonts else None
         if cmap is not None:
@@ -1426,6 +1489,25 @@ def _interpret_text(
                             emit(el)
                         elif isinstance(el, float):
                             cx += -el / 1000.0 * size
+            elif op == b"BMC":
+                mc_stack.append(False)
+            elif op == b"BDC":
+                # /OC /name BDC hides the scope when the name resolves to
+                # an OFF optional-content group; any other tag (or an
+                # inline-dict property) stays visible
+                hid = False
+                if hidden_ocs and len(stack) >= 2:
+                    tag, props = stack[-2], stack[-1]
+                    if (
+                        isinstance(tag, bytes) and tag == b"/OC"
+                        and isinstance(props, bytes)
+                        and props.decode("latin-1").lstrip("/") in hidden_ocs
+                    ):
+                        hid = True
+                mc_stack.append(hid)
+            elif op == b"EMC":
+                if mc_stack:
+                    mc_stack.pop()
             elif op == b"Do":
                 # Form XObject invocation: interpret the form's content
                 # stream in place (page coordinates — subset contract of
@@ -1433,10 +1515,11 @@ def _interpret_text(
                 fname = stack[-1]
                 if xobjects and isinstance(fname, bytes) and _depth < _MAX_FORM_DEPTH:
                     form = xobjects.get(fname.decode("latin-1").lstrip("/"))
-                    if form is not None:
+                    if form is not None and not any(mc_stack):
                         spans.extend(
                             _interpret_text(form, cid_fonts, xobjects,
-                                            _depth + 1, simple_encodings)
+                                            _depth + 1, simple_encodings,
+                                            hidden_ocs)
                         )
         except (IndexError, ValueError, TypeError):
             # Malformed operand stack — tolerant skip (per-page failure
@@ -1997,6 +2080,44 @@ class PdfDocument:
                 ))
         return out
 
+    def layers(self) -> List[Tuple[str, int]]:
+        """Optional-content groups (ISO 32000-1 §8.11): ``(name, on)`` in
+        /OCProperties /OCGs array order; ``on`` is 0 iff the group sits in
+        the default configuration's /OFF list. Text inside a ``/OC`` mark
+        of an OFF group is suppressed by extract_pages (the watermark /
+        hidden-layer drop, the PDF twin of the hidden-HTML-subtree drop).
+        Empty for documents without optional content."""
+        if self._root is None:
+            return []
+        root = self._objects.get(self._root)
+        if root is None:
+            return []
+        m = re.search(rb"/OCProperties\s*(<<|\d+\s+\d+\s+R)", root.dict_bytes)
+        if m is None:
+            return []
+        ocp = _resolve_dict(self._objects, root.dict_bytes, m)
+        if ocp is None:
+            return []
+        gm = re.search(rb"/OCGs\s*\[", ocp)
+        if gm is None:
+            return []
+        end = ocp.find(b"]", gm.end() - 1)
+        if end < 0:
+            return []
+        off = _doc_off_ocgs(self._objects, self._root)
+        out: List[Tuple[str, int]] = []
+        for r in _REF_RE.finditer(ocp[gm.end() - 1 : end]):
+            obj = self._objects.get(int(r.group(1)))
+            if obj is None:
+                continue
+            nm = re.search(rb"/Name\s*\(", obj.dict_bytes)
+            if nm is None:
+                continue
+            raw, _ = _read_literal_string(obj.dict_bytes, nm.end() - 1)
+            out.append((raw.decode("latin-1"),
+                        0 if int(r.group(1)) in off else 1))
+        return out
+
     def form_fields(self) -> List[Tuple[str, str, str, int]]:
         """Interactive form fields (AcroForm, ISO 32000-1 §12.7):
         ``(fully-qualified name, field type, value, flags)`` per TERMINAL
@@ -2391,6 +2512,7 @@ class PdfDocument:
         pages: List[PdfPage] = []
         default_box = (0.0, 0.0, 612.0, 792.0)
         cfm = self._encrypt.cfm if self._encrypt is not None else "V2"
+        off_ocgs = _doc_off_ocgs(self._objects, self._root)
         for pnum, rotate, box, resources in page_nums[:total]:
             page_obj = self._objects[pnum]
             if box is None:
@@ -2408,9 +2530,11 @@ class PdfDocument:
                     self._objects, resources, self._file_key, cfm
                 )
                 simple_enc = _page_simple_encodings(self._objects, resources)
+                hidden = _page_hidden_ocs(self._objects, resources, off_ocgs)
                 spans = _interpret_text(
                     content, cid_fonts or None, xobjects or None,
                     simple_encodings=simple_enc or None,
+                    hidden_ocs=hidden or None,
                 )
                 pages.append(_assemble_page(spans, width, height, rotate))
             except PdfParseError:

@@ -1641,6 +1641,38 @@ def make_pdf_font_doc(doc_id: int, source: str) -> tuple[bytes, str]:
     return pdf, url
 
 
+def make_pdf_ocg_doc(doc_id: int, source: str) -> tuple[bytes, str]:
+    """Deterministic PDF with optional-content layers — fixture for
+    PdfDocument.layers() and the hidden-layer text drop. Two OCGs:
+    (Main) always ON, (Watermark) OFF on even doc_ids (its /OC-marked
+    text must vanish from extraction) and ON on odd. An /Artifact BMC
+    scope (no /OC) wraps decoration text that stays visible — exercises
+    marked-content nesting without optional content."""
+    url = f"https://{source}.example.com/ocg/{doc_id}"
+    content = (
+        f"/OC /MC0 BDC BT /F1 12 Tf 72 720 Td (Body {doc_id}) Tj ET EMC\n"
+        f"/Artifact BMC BT /F1 9 Tf 72 700 Td (Deco {doc_id}) Tj ET EMC\n"
+        f"/OC /MC1 BDC BT /F1 48 Tf 200 400 Td (WM {doc_id}) Tj ET EMC"
+    ).encode()
+    off = "/OFF [21 0 R]" if doc_id % 2 == 0 else ""
+    pdf = (
+        b"%PDF-1.5\n"
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R /OCProperties << "
+        b"/OCGs [20 0 R 21 0 R] /D << " + off.encode() + b" >> >> >> endobj\n"
+        b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n"
+        b"3 0 obj << /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> "
+        b"/Properties << /MC0 20 0 R /MC1 21 0 R >> >> >> endobj\n"
+        b"4 0 obj << /Length " + str(len(content)).encode() + b" >>\n"
+        b"stream\n" + content + b"\nendstream endobj\n"
+        b"5 0 obj << /Type /Font /Subtype /Type1 /BaseFont /Helvetica >> endobj\n"
+        b"20 0 obj << /Type /OCG /Name (Main) >> endobj\n"
+        b"21 0 obj << /Type /OCG /Name (Watermark) >> endobj\n"
+        b"trailer << /Root 1 0 R >>\n%%EOF\n"
+    )
+    return pdf, url
+
+
 def make_pdf_labeled_doc(doc_id: int, source: str) -> tuple[bytes, str]:
     """Deterministic PDF with /PageLabels — fixture for
     PdfDocument.page_labels(). 2 + doc_id%3 pages: front matter in

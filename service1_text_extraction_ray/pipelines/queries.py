@@ -10142,3 +10142,53 @@ UNION ALL
 SELECT doc_id, 'F3', 'CJK' || (doc_id % 4), 'Type0', 0
 FROM documents WHERE doc_id % 3 = 0
 """
+
+
+def q_extract_pdf_layers(sf_dir: str) -> rd.Dataset:
+    """PDF optional-content layers (ISO 32000-1 §8.11): one row per OCG
+    with its default-config visibility AND whether its marked content
+    survived into the extracted text — hidden watermark/stamp layers are
+    the PDF twin of hidden HTML subtrees and must NOT leak into a
+    training corpus. in_text is checked against the real extract_pages
+    output, so the oracle equality in_text == is_on pins the
+    suppression semantics end to end (the /Artifact BMC decoration in
+    the fixture stays visible, proving only /OC marks hide). Pure
+    per-batch map."""
+    from ..functions.pdf_extract import PdfDocument
+    from ..functions.synth import make_pdf_ocg_doc
+
+    out_schema = pa.schema([
+        ("doc_id", pa.int64()), ("layer", pa.string()),
+        ("is_on", pa.int64()), ("in_text", pa.int64()),
+    ])
+    marker = {"Main": "Body", "Watermark": "WM"}
+
+    def f(t: pa.Table) -> pa.Table:
+        rows = []
+        for d, src in zip(t["doc_id"].to_pylist(), t["source"].to_pylist()):
+            pdf, _ = make_pdf_ocg_doc(int(d), src)
+            doc = PdfDocument(pdf)
+            text = doc.extract_pages()[0].text
+            for name, on in doc.layers():
+                rows.append({
+                    "doc_id": int(d), "layer": name, "is_on": on,
+                    "in_text": int(f"{marker[name]} {d}" in text),
+                })
+        if not rows:
+            return out_schema.empty_table()
+        return pa.Table.from_pylist(rows, schema=out_schema)
+
+    return _read(sf_dir, "documents", ["doc_id", "source"]).map_batches(
+        f, batch_format="pyarrow"
+    )
+
+
+SQL_EXTRACT_PDF_LAYERS = """
+SELECT doc_id, 'Main' AS layer, CAST(1 AS BIGINT) AS is_on,
+       CAST(1 AS BIGINT) AS in_text
+FROM documents
+UNION ALL
+SELECT doc_id, 'Watermark', CAST(doc_id % 2 AS BIGINT),
+       CAST(doc_id % 2 AS BIGINT)
+FROM documents
+"""

@@ -1075,3 +1075,34 @@ class TestFonts:
         pdf, _ = make_pdf_font_doc(6, "s")
         pages = parse_pdf(pdf)
         assert "Fonts 6" in pages[0].text
+
+
+class TestLayers:
+    def test_inventory_and_off_flag(self):
+        from service1_text_extraction_ray.functions.pdf_extract import PdfDocument
+        from service1_text_extraction_ray.functions.synth import make_pdf_ocg_doc
+
+        pdf, _ = make_pdf_ocg_doc(2, "s")  # even: Watermark OFF
+        assert PdfDocument(pdf).layers() == [("Main", 1), ("Watermark", 0)]
+        pdf, _ = make_pdf_ocg_doc(3, "s")  # odd: both ON
+        assert PdfDocument(pdf).layers() == [("Main", 1), ("Watermark", 1)]
+
+    def test_off_layer_text_suppressed(self):
+        from service1_text_extraction_ray.functions.pdf_extract import parse_pdf
+        from service1_text_extraction_ray.functions.synth import make_pdf_ocg_doc
+
+        pdf, _ = make_pdf_ocg_doc(2, "s")
+        text = parse_pdf(pdf)[0].text
+        assert "Body 2" in text
+        assert "Deco 2" in text          # /Artifact BMC stays visible
+        assert "WM 2" not in text        # OFF /OC scope is dropped
+        pdf, _ = make_pdf_ocg_doc(3, "s")
+        text = parse_pdf(pdf)[0].text
+        assert "WM 3" in text            # ON layer survives
+
+    def test_no_optional_content_is_empty(self):
+        from service1_text_extraction_ray.functions.pdf_extract import PdfDocument
+        from service1_text_extraction_ray.functions.synth import make_pdf_font_doc
+
+        pdf, _ = make_pdf_font_doc(1, "s")
+        assert PdfDocument(pdf).layers() == []
