@@ -5100,3 +5100,205 @@ SELECT CAST(row_number() OVER (ORDER BY rrf_units DESC, doc_id) AS BIGINT)
        doc_id, rrf_units
 FROM f ORDER BY rrf_units DESC, doc_id LIMIT {RRF_TOPK}
 """
+
+
+# ---------------------------------------------------------------------------
+# Classifier evaluation: exact ROC-AUC by score-histogram reduction
+# ---------------------------------------------------------------------------
+
+def q_quality_auc(sf_dir: str) -> pd.DataFrame:
+    """Exact ROC-AUC of the alpha-ratio quality score predicting lang='en',
+    with the standard average-rank tie treatment — the quality-classifier
+    calibration gate a curation pipeline runs before trusting a score as a
+    filter (FastText-quality / DCLM-style: pick the threshold AFTER reading
+    the AUC).
+
+    The trick that makes the exact statistic distributed-cheap: AUC needs a
+    GLOBAL rank of every document's score, but the score here is integer
+    per-mille (0..1000), so ranking collapses to a HISTOGRAM — each block
+    emits (score, n_pos, n_neg) partials via one pyarrow group_by (<= 1001
+    rows per block), the driver sums histograms and walks the 1001 buckets
+    with arbitrary-precision ints:
+
+        num2 = sum_s pos(s) * (2 * neg_below(s) + neg(s))
+        AUC  = num2 / (2 * P * N)   -> floor micro-units
+
+    No sort, no shuffle, O(1001) driver state at ANY corpus size — the same
+    mergeable-sketch shape as search_bm25's stats pass. Quantized-score AUC
+    is exactly what production eval does anyway (sklearn on float scores is
+    this with distinct-value buckets). P*N overflows int64 near 10^10 docs;
+    the driver math is Python bigint and the oracle HUGEINT, so the
+    micro-unit output stays exact."""
+    hist_schema = pa.schema([
+        ("score", pa.int64()), ("pos", pa.int64()), ("neg", pa.int64()),
+    ])
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        text = t["text"]
+        ln = pc.cast(pc.utf8_length(text), pa.int64())
+        alpha = pc.cast(pc.utf8_length(
+            pc.replace_substring_regex(text, "[^A-Za-z]", "")
+        ), pa.int64())
+        ln_np = ln.to_numpy(zero_copy_only=False)
+        al_np = alpha.to_numpy(zero_copy_only=False)
+        score = np.where(ln_np > 0, (al_np * 1000) // np.maximum(ln_np, 1), 0)
+        y = (pc.equal(t["lang"], pa.scalar("en"))).to_numpy(zero_copy_only=False)
+        tmp = pa.table({
+            "score": pa.array(score, pa.int64()),
+            "pos": pa.array(y.astype(np.int64)),
+            "neg": pa.array((~y).astype(np.int64)),
+        })
+        g = tmp.group_by("score").aggregate([("pos", "sum"), ("neg", "sum")])
+        return pa.table({
+            "score": g["score"], "pos": g["pos_sum"], "neg": g["neg_sum"],
+        }).cast(hist_schema)
+
+    parts = (
+        _read(sf_dir, "documents", ["text", "lang"])
+        .map_batches(hist_partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    h = parts.groupby("score", as_index=False).sum().sort_values("score")
+    pos = [int(v) for v in h["pos"]]
+    neg = [int(v) for v in h["neg"]]
+    P, N = sum(pos), sum(neg)
+    num2, below = 0, 0
+    for p, n in zip(pos, neg):
+        num2 += p * (2 * below + n)
+        below += n
+    auc_micro = 0 if P * N == 0 else (num2 * 1_000_000) // (2 * P * N)
+    return pd.DataFrame({
+        "n_pos": pd.array([P], dtype="int64"),
+        "n_neg": pd.array([N], dtype="int64"),
+        "auc_micro": pd.array([auc_micro], dtype="int64"),
+    })
+
+
+SQL_QUALITY_AUC = """
+WITH scored AS (
+  SELECT CASE WHEN length(text) = 0 THEN 0
+              ELSE CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT)
+                   * 1000 // CAST(length(text) AS BIGINT) END AS score,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM documents
+),
+h AS (
+  SELECT score, CAST(sum(y) AS BIGINT) AS pos,
+         CAST(count(*) - sum(y) AS BIGINT) AS neg
+  FROM scored GROUP BY score
+),
+c AS (
+  SELECT pos, neg,
+         CAST(COALESCE(sum(neg) OVER (ORDER BY score
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS neg_below
+  FROM h
+),
+t AS (
+  SELECT CAST(sum(pos) AS HUGEINT) AS p, CAST(sum(neg) AS HUGEINT) AS n,
+         CAST(sum(CAST(pos AS HUGEINT) * (2 * neg_below + neg)) AS HUGEINT) AS num2
+  FROM c
+)
+SELECT CAST(p AS BIGINT) AS n_pos, CAST(n AS BIGINT) AS n_neg,
+       CAST(CASE WHEN p * n = 0 THEN 0
+                 ELSE num2 * 1000000 // (2 * p * n) END AS BIGINT) AS auc_micro
+FROM t
+"""
+
+
+# ---------------------------------------------------------------------------
+# Data-mixture planning: per-language sampling rates against target weights
+# ---------------------------------------------------------------------------
+
+# Target mixture (ppm of the token budget) — the Pile/DoReMi-style recipe a
+# training run fixes up front. Inlined in the SQL oracle via CASE.
+MIX_WEIGHTS_PPM = {"en": 500_000, "zh": 200_000, "de": 100_000,
+                   "es": 100_000, "fr": 100_000}
+MIX_TOKEN_BUDGET = 10_000_000  # tokens the training run will consume
+
+
+def q_corpus_mix_plan(sf_dir: str) -> pd.DataFrame:
+    """Data-mixture sampling plan per language: given the corpus's actual
+    token mass per stratum and a target mixture (MIX_WEIGHTS_PPM over a
+    MIX_TOKEN_BUDGET), emit each stratum's token allocation, the sampling
+    rate to hit it (ppm, capped at 1e6 — you can't sample more than once
+    without repeating), and the epoch count in milli-epochs when the
+    allocation EXCEEDS the stratum (the upsampling/repetition regime the
+    data-constrained-scaling literature prices separately). This is the
+    planning step between curation and training: its output feeds
+    doc_sample_weighted / doc_sample as per-stratum rates.
+
+    All integer floor arithmetic -> bit-stable at any parallelism. Shape:
+    per-block (lang, docs, tokens) partials from one pyarrow group_by, a
+    tiny groupby-sum over <= n_langs x n_blocks rows, driver walks
+    n_langs rows. Token counting is the whitespace split shared with
+    doc_token_counts, so the oracle replays it verbatim."""
+    part_schema = pa.schema([
+        ("lang", pa.string()), ("docs", pa.int64()), ("tokens", pa.int64()),
+    ])
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.cast(pc.list_value_length(
+            pc.split_pattern_regex(pc.utf8_trim_whitespace(t["text"]), r"\s+")
+        ), pa.int64())
+        # trim-then-split counts one empty token for empty docs; zero it
+        ln = pc.utf8_length(pc.utf8_trim_whitespace(t["text"]))
+        toks = pc.if_else(pc.equal(ln, 0), pa.scalar(0, pa.int64()), toks)
+        tmp = pa.table({"lang": t["lang"], "docs": pa.array(np.ones(t.num_rows, np.int64)),
+                        "tokens": toks})
+        g = tmp.group_by("lang").aggregate([("docs", "sum"), ("tokens", "sum")])
+        return pa.table({
+            "lang": g["lang"], "docs": g["docs_sum"], "tokens": g["tokens_sum"],
+        }).cast(part_schema)
+
+    parts = (
+        _read(sf_dir, "documents", ["lang", "text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    h = parts.groupby("lang", as_index=False).sum().sort_values("lang")
+    rows = []
+    for lang, docs, tokens in zip(h["lang"], h["docs"], h["tokens"]):
+        w = MIX_WEIGHTS_PPM.get(str(lang), 0)
+        alloc = (w * MIX_TOKEN_BUDGET) // 1_000_000
+        tokens = int(tokens)
+        rate = 0 if tokens == 0 else min(1_000_000, (alloc * 1_000_000) // tokens)
+        epochs = 0 if tokens == 0 else (alloc * 1000) // tokens
+        rows.append({"lang": str(lang), "n_docs": int(docs), "n_tokens": tokens,
+                     "alloc_tokens": int(alloc), "rate_ppm": int(rate),
+                     "epochs_milli": int(epochs)})
+    return pd.DataFrame(rows).astype({
+        "n_docs": "int64", "n_tokens": "int64", "alloc_tokens": "int64",
+        "rate_ppm": "int64", "epochs_milli": "int64",
+    })
+
+
+def sql_corpus_mix_plan() -> str:
+    w_case = " ".join(
+        f"WHEN '{k}' THEN {v}" for k, v in sorted(MIX_WEIGHTS_PPM.items())
+    )
+    return f"""
+WITH tok AS (
+  SELECT lang,
+         CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS BIGINT)
+           AS n_tokens
+  FROM documents
+),
+h AS (
+  SELECT lang, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+  FROM tok GROUP BY lang
+),
+p AS (
+  SELECT lang, n_docs, n_tokens,
+         CAST(CASE lang {w_case} ELSE 0 END AS BIGINT) * {MIX_TOKEN_BUDGET} // 1000000
+           AS alloc_tokens
+  FROM h
+)
+SELECT lang, n_docs, n_tokens, CAST(alloc_tokens AS BIGINT) AS alloc_tokens,
+       CAST(CASE WHEN n_tokens = 0 THEN 0
+                 ELSE least(1000000, alloc_tokens * 1000000 // n_tokens) END AS BIGINT)
+         AS rate_ppm,
+       CAST(CASE WHEN n_tokens = 0 THEN 0
+                 ELSE alloc_tokens * 1000 // n_tokens END AS BIGINT) AS epochs_milli
+FROM p
+"""

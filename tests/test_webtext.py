@@ -1806,3 +1806,84 @@ class TestRetrievalRrf:
         # single-list docs fuse below the double-list doc
         assert out.loc[1, "rnk"] > 1
         assert 2 in out.index  # dense-only doc still surfaces
+
+
+def _docs_lang(tmp_path, rows):
+    """rows: list of (text, lang)."""
+    import pyarrow.parquet as pq
+
+    t = pa.Table.from_pylist(
+        [{"doc_id": i, "text": s, "lang": lg} for i, (s, lg) in enumerate(rows)]
+    )
+    d = tmp_path / "sf"
+    d.mkdir(exist_ok=True)
+    pq.write_table(t, str(d / "documents.parquet"))
+    return str(d)
+
+
+class TestQualityAuc:
+    def test_perfect_separation(self, ray_session, tmp_path):
+        from service1_text_extraction_ray.pipelines.webtext import q_quality_auc
+
+        # en docs all-alpha (score 1000), others half digits (score < 1000)
+        rows = [("abcd", "en"), ("wxyz", "en"), ("ab12", "de"), ("cd34 56", "fr")]
+        out = q_quality_auc(_docs_lang(tmp_path, rows))
+        assert out["n_pos"].iloc[0] == 2 and out["n_neg"].iloc[0] == 2
+        assert out["auc_micro"].iloc[0] == 1_000_000
+
+    def test_all_tied_is_half(self, ray_session, tmp_path):
+        from service1_text_extraction_ray.pipelines.webtext import q_quality_auc
+
+        rows = [("abc", "en"), ("xyz", "de"), ("qrs", "en"), ("tuv", "fr")]
+        out = q_quality_auc(_docs_lang(tmp_path, rows))
+        assert out["auc_micro"].iloc[0] == 500_000
+
+    def test_inverted_is_zero(self, ray_session, tmp_path):
+        from service1_text_extraction_ray.pipelines.webtext import q_quality_auc
+
+        rows = [("1234", "en"), ("abcd", "de")]
+        out = q_quality_auc(_docs_lang(tmp_path, rows))
+        assert out["auc_micro"].iloc[0] == 0
+
+    def test_degenerate_single_class(self, ray_session, tmp_path):
+        from service1_text_extraction_ray.pipelines.webtext import q_quality_auc
+
+        rows = [("abcd", "en"), ("efgh", "en")]
+        out = q_quality_auc(_docs_lang(tmp_path, rows))
+        assert out["n_neg"].iloc[0] == 0 and out["auc_micro"].iloc[0] == 0
+
+
+class TestCorpusMixPlan:
+    def test_rates_and_epochs(self, ray_session, tmp_path):
+        from service1_text_extraction_ray.pipelines.webtext import (
+            MIX_TOKEN_BUDGET,
+            MIX_WEIGHTS_PPM,
+            q_corpus_mix_plan,
+        )
+
+        # en: 8 tokens, zh: 2 tokens, xx: unknown lang (weight 0)
+        rows = [("a b c d", "en"), ("e f g h", "en"), ("i j", "zh"), ("k", "xx")]
+        out = q_corpus_mix_plan(_docs_lang(tmp_path, rows)).set_index("lang")
+        en_alloc = MIX_WEIGHTS_PPM["en"] * MIX_TOKEN_BUDGET // 1_000_000
+        assert out.loc["en", "n_tokens"] == 8
+        assert out.loc["en", "alloc_tokens"] == en_alloc
+        # tiny corpus -> massive upsampling: rate capped, epochs huge
+        assert out.loc["en", "rate_ppm"] == 1_000_000
+        assert out.loc["en", "epochs_milli"] == en_alloc * 1000 // 8
+        assert out.loc["xx", "alloc_tokens"] == 0
+        assert out.loc["xx", "rate_ppm"] == 0
+
+    def test_downsampling_rate(self, ray_session, tmp_path):
+        from service1_text_extraction_ray.pipelines.webtext import q_corpus_mix_plan
+        import service1_text_extraction_ray.pipelines.webtext as W
+
+        rows = [("a " * 100, "en"), ("b " * 100, "en")]
+        orig_budget, orig_w = W.MIX_TOKEN_BUDGET, dict(W.MIX_WEIGHTS_PPM)
+        try:
+            W.MIX_TOKEN_BUDGET = 100  # alloc_en = 50 < 200 tokens on hand
+            out = q_corpus_mix_plan(_docs_lang(tmp_path, rows)).set_index("lang")
+            assert out.loc["en", "n_tokens"] == 200
+            assert out.loc["en", "rate_ppm"] == 50 * 1_000_000 // 200
+            assert out.loc["en", "epochs_milli"] == 250  # 0.25 epochs: downsampling
+        finally:
+            W.MIX_TOKEN_BUDGET, W.MIX_WEIGHTS_PPM = orig_budget, orig_w
