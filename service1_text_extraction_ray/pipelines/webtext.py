@@ -2059,6 +2059,9 @@ def q_search_bm25(sf_dir: str) -> pd.DataFrame:
         .map_batches(score_topk, batch_format="pandas")
         .to_pandas()
     )
+    if partials.shape[1] == 0:  # zero scoring docs anywhere: Ray's
+        # to_pandas drops column names at 0 rows; rebuild the typed empty
+        partials = out_schema.empty_table().to_pandas()
     top = partials.sort_values(
         ["score_nano", "doc_id"], ascending=[False, True]
     ).head(BM25_TOPK)
@@ -5301,4 +5304,125 @@ SELECT lang, n_docs, n_tokens, CAST(alloc_tokens AS BIGINT) AS alloc_tokens,
        CAST(CASE WHEN n_tokens = 0 THEN 0
                  ELSE alloc_tokens * 1000 // n_tokens END AS BIGINT) AS epochs_milli
 FROM p
+"""
+
+
+# ---------------------------------------------------------------------------
+# Ranking evaluation: exact NDCG@10 of the BM25 ranking
+# ---------------------------------------------------------------------------
+
+NDCG_K = 10
+# round(1e6 / log2(rank+1)) for rank 1..10 — the standard DCG discount,
+# pre-quantized to micro-units so engine and oracle sum identical integers
+# (the only float in NDCG is this table; freezing it makes the whole
+# statistic bit-stable at any parallelism).
+NDCG_DISC = (1000000, 630930, 500000, 430677, 386853,
+             356207, 333333, 315465, 301030, 289065)
+
+
+def q_search_ndcg(sf_dir: str) -> pd.DataFrame:
+    """NDCG@10 of the BM25 ranking for the fixed benchmark query, graded
+    against term-coverage relevance (rel(doc) = number of DISTINCT query
+    terms present, 0..3) — the retrieval-eval closer of the search family
+    (bm25 -> phrase -> rrf/mmr -> this). Exact in micro-units.
+
+    Two stages, both already scale-shaped: (1) the BM25 two-round
+    scatter-gather (q_search_bm25) yields the top-10 doc ids; (2) ONE more
+    corpus map computes each doc's relevance grade and pre-aggregates a
+    4-bucket rel histogram per block — the ideal DCG needs only "how many
+    rel-3/2/1 docs exist anywhere", never a global sort (equal grades
+    contribute equally in any order, so the histogram IS the ideal
+    ranking). The 10 ranked ids ride into the map as a closure constant;
+    the driver folds <= 4 x n_blocks + 10 tiny rows. NDCG = DCG * 1e6 //
+    IDCG, floor micro-units, 0 when no relevant doc exists."""
+    terms = list(BM25_TERMS)
+    top = q_search_bm25(sf_dir).head(NDCG_K)
+    top_ids = {int(d): r for r, d in enumerate(top["doc_id"])}  # rank 0-based
+
+    part_schema = pa.schema([
+        ("kind", pa.int64()), ("key", pa.int64()), ("cnt", pa.int64()),
+    ])
+
+    def rel_partial(df: pd.DataFrame) -> pa.Table:
+        toks = df["text"].fillna("").map(lambda t: set(_tokens(t)))
+        rel = toks.map(lambda s: sum(1 for w in terms if w in s)).astype("int64")
+        rows = []
+        vc = rel.value_counts()
+        for r, n in vc.items():  # histogram partial: kind 0, key = grade
+            rows.append({"kind": 0, "key": int(r), "cnt": int(n)})
+        ids = df["doc_id"].astype("int64")
+        for d, r in zip(ids, rel):  # ranked-doc grades: kind 1, key = doc_id
+            if int(d) in top_ids:
+                rows.append({"kind": 1, "key": int(d), "cnt": int(r)})
+        return pa.Table.from_pylist(rows, schema=part_schema)
+
+    parts = (
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(rel_partial, batch_format="pandas")
+        .to_pandas()
+    )
+    hist = (
+        parts[parts["kind"] == 0].groupby("key")["cnt"].sum().to_dict()
+    )
+    doc_rel = dict(
+        zip(parts.loc[parts["kind"] == 1, "key"],
+            parts.loc[parts["kind"] == 1, "cnt"])
+    )
+    dcg = sum(
+        int(doc_rel.get(d, 0)) * NDCG_DISC[r] for d, r in top_ids.items()
+    )
+    idcg, slot = 0, 0
+    for grade in (3, 2, 1):
+        n = int(hist.get(grade, 0))
+        while n > 0 and slot < NDCG_K:
+            idcg += grade * NDCG_DISC[slot]
+            slot += 1
+            n -= 1
+    ndcg = 0 if idcg == 0 else (dcg * 1_000_000) // idcg
+    return pd.DataFrame({
+        "dcg_micro": pd.array([dcg], dtype="int64"),
+        "idcg_micro": pd.array([idcg], dtype="int64"),
+        "ndcg_micro": pd.array([ndcg], dtype="int64"),
+    })
+
+
+def sql_search_ndcg() -> str:
+    terms = list(BM25_TERMS)
+    rel_expr = " + ".join(
+        f"CASE WHEN len(list_filter(regexp_split_to_array(text, '\\s+'),"
+        f" x -> x = '{t}')) > 0 THEN 1 ELSE 0 END"
+        for t in terms
+    )
+    disc_rows = ", ".join(
+        f"({r + 1}, {d})" for r, d in enumerate(NDCG_DISC)
+    )
+    return f"""
+WITH bm AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY score_nano DESC, doc_id) AS r
+  FROM ({sql_search_bm25()})
+),
+rel AS (
+  SELECT doc_id, CAST({rel_expr} AS BIGINT) AS rel FROM documents
+),
+discs(r, disc) AS (VALUES {disc_rows}),
+d AS (
+  SELECT COALESCE(CAST(sum(rel.rel * discs.disc) AS BIGINT), 0) AS dcg_micro
+  FROM bm JOIN rel USING (doc_id) JOIN discs ON bm.r = discs.r
+  WHERE bm.r <= {NDCG_K}
+),
+ideal AS (
+  SELECT rel, row_number() OVER (ORDER BY rel DESC) AS r
+  FROM rel WHERE rel > 0
+),
+i AS (
+  SELECT COALESCE(CAST(sum(ideal.rel * discs.disc) AS BIGINT), 0) AS idcg_micro
+  FROM ideal JOIN discs ON ideal.r = discs.r
+  WHERE ideal.r <= {NDCG_K}
+)
+SELECT d.dcg_micro, i.idcg_micro,
+       CAST(CASE WHEN i.idcg_micro = 0 THEN 0
+                 ELSE CAST(d.dcg_micro AS HUGEINT) * 1000000 // i.idcg_micro
+            END AS BIGINT) AS ndcg_micro
+FROM d, i
 """

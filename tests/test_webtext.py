@@ -1887,3 +1887,38 @@ class TestCorpusMixPlan:
             assert out.loc["en", "epochs_milli"] == 250  # 0.25 epochs: downsampling
         finally:
             W.MIX_TOKEN_BUDGET, W.MIX_WEIGHTS_PPM = orig_budget, orig_w
+
+
+class TestSearchNdcg:
+    def test_perfect_ranking_is_one(self, ray_session, tmp_path):
+        from service1_text_extraction_ray.pipelines.webtext import q_search_ndcg
+
+        # one doc covers all 3 query terms, rest are irrelevant -> the BM25
+        # top-1 IS the ideal ranking -> NDCG exactly 1.0
+        texts = ["hash join stream pipeline", "nothing here", "plain words"]
+        out = q_search_ndcg(_docs(tmp_path, texts))
+        assert out["ndcg_micro"].iloc[0] == 1_000_000
+        assert out["dcg_micro"].iloc[0] == out["idcg_micro"].iloc[0] == 3_000_000
+
+    def test_no_relevant_docs_is_zero(self, ray_session, tmp_path):
+        from service1_text_extraction_ray.pipelines.webtext import q_search_ndcg
+
+        out = q_search_ndcg(_docs(tmp_path, ["alpha beta", "gamma delta"]))
+        assert out["dcg_micro"].iloc[0] == 0
+        assert out["idcg_micro"].iloc[0] == 0
+        assert out["ndcg_micro"].iloc[0] == 0
+
+    def test_graded_gains_follow_term_coverage(self, ray_session, tmp_path):
+        from service1_text_extraction_ray.pipelines.webtext import (
+            NDCG_DISC,
+            q_search_ndcg,
+        )
+
+        # rel grades: doc0=3 terms, doc1=2, doc2=1; BM25 ranks them in that
+        # order (more matching terms -> higher score on equal-length docs)
+        texts = ["hash join stream", "hash join filler", "hash other filler"]
+        out = q_search_ndcg(_docs(tmp_path, texts))
+        want = 3 * NDCG_DISC[0] + 2 * NDCG_DISC[1] + 1 * NDCG_DISC[2]
+        assert out["dcg_micro"].iloc[0] == want
+        assert out["idcg_micro"].iloc[0] == want
+        assert out["ndcg_micro"].iloc[0] == 1_000_000
