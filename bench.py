@@ -192,6 +192,9 @@ QUERY_NAMES = [
     "embedding_pca_power", "dedup_semantic", "extract_headings",
     "dedup_substrings", "retrieval_mmr", "events_rate_limit",
     "extract_pdf_annots",
+    "redirect_resolve", "order_price_median_select", "corpus_kn_bigram",
+    "retrieval_rrf", "extract_pdf_fonts", "extract_pdf_layers",
+    "quality_auc", "corpus_mix_plan", "search_ndcg",
 ]
 
 

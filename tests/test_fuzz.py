@@ -332,3 +332,28 @@ def test_xmp_total_on_mutated_doc(pos, val):
     except PdfParseError:
         return
     assert isinstance(doc.xmp(), dict)
+
+
+@settings(max_examples=40, deadline=None)
+@given(pos=st.integers(min_value=0, max_value=800), val=st.integers(0, 255))
+def test_layers_total_on_mutated_ocg_doc(pos, val):
+    from service1_text_extraction_ray.functions.pdf_extract import (
+        PdfDocument,
+        PdfParseError,
+    )
+    from service1_text_extraction_ray.functions.synth import make_pdf_ocg_doc
+
+    pdf, _ = make_pdf_ocg_doc(2, "src1")
+    pos = min(pos, len(pdf) - 1)
+    mutated = pdf[:pos] + bytes([val]) + pdf[pos + 1:]
+    try:
+        doc = PdfDocument(mutated)
+    except PdfParseError:
+        return
+    layers = doc.layers()
+    assert isinstance(layers, list)
+    assert doc.layers() == layers  # deterministic
+    try:
+        doc.extract_pages()  # hidden-OC suppression must not crash outside
+    except PdfParseError:
+        pass  # ...the counted-failure contract (poison doc -> failure row)
