@@ -4317,6 +4317,233 @@ FROM hosts h
 """
 
 
+SSSP_DIST_CAP = 60  # >= weighted diameter (weights <= 3, hop cap 20); shared with the oracle
+
+
+def _sssp_weighted_uedges(edges: rd.Dataset) -> rd.Dataset:
+    """Undirected tie-strength-weighted host edges from the directed
+    followable stream: per-direction link multiplicity becomes a traversal
+    cost (heavily-linked pairs are cheap, one-off links expensive:
+    w = 1 if n_links >= 4, 2 if >= 2, else 3 — the inverse-trust weighting
+    a crawler uses to price discovery through weak ties), undirected by
+    keeping the MIN weight across the two orientations. Host-grain
+    (bounded by #hosts^2), materialized once for the fixpoint rounds."""
+    from ray.data.aggregate import Min as RMin
+
+    sch = pa.schema([("a", pa.string()), ("b", pa.string()), ("w", pa.int64())])
+
+    def weigh(t: pa.Table) -> pa.Table:
+        n = t["n_links"]
+        w = pc.if_else(
+            pc.greater_equal(n, pa.scalar(4, pa.int64())), pa.scalar(1, pa.int64()),
+            pc.if_else(pc.greater_equal(n, pa.scalar(2, pa.int64())),
+                       pa.scalar(2, pa.int64()), pa.scalar(3, pa.int64())),
+        )
+        a = pa.chunked_array([pc.cast(t["src"], pa.string()),
+                              pc.cast(t["dst"], pa.string())])
+        b = pa.chunked_array([pc.cast(t["dst"], pa.string()),
+                              pc.cast(t["src"], pa.string())])
+        ww = pa.chunked_array([pc.cast(w, pa.int64())] * 2)
+        return pa.Table.from_arrays([a, b, ww], schema=sch)
+
+    return (
+        edges.map_batches(weigh, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .aggregate(RMin("w", alias_name="w"))
+        .materialize()
+    )
+
+
+def q_host_sssp(sf_dir: str) -> rd.Dataset:
+    """Weighted single-source(-set) shortest path from the crawl seed set
+    over the tie-strength host graph — the MIN-PLUS semiring fixpoint
+    (Bellman-Ford by rounds), the weighted generalization of
+    q_host_seed_distance's hop BFS: dist' = min(dist, neighbor dist + w)
+    relaxed over every edge per round until no distance moves. Integer
+    weights, so the fixpoint is bit-stable at any parallelism; unreachable
+    hosts (or true distance > SSSP_DIST_CAP) report -1, matching the
+    oracle's recursion cap classification exactly.
+
+    Regimes, selected by the PageRank edge-count gate (same plan choice as
+    BFS/PageRank/HITS): BROADCAST — the distance vector rides ray.put into
+    one map over the materialized weighted edges per round, per-block
+    relaxation partials merge on the driver, zero per-round shuffles; JOIN
+    — per round ONE co-partitioned hash_join (uedges x dists) + groupby-min
+    + a changed-count scalar, the shape for a distance vector too large to
+    broadcast. Identical update; pytest crosses them bit-equal. RAISES
+    rather than returning a non-converged fixpoint (the part_reach
+    contract)."""
+    from ray.data.aggregate import Min as RMin
+
+    from .relational import hash_join
+
+    edges = _host_edges(sf_dir)
+    uedges = _sssp_weighted_uedges(edges)
+
+    if edges.count() <= PAGERANK_BROADCAST_HOSTS:
+        return _sssp_broadcast(uedges)
+
+    BIG = SSSP_DIST_CAP + 1
+
+    def init_dist(t: pa.Table) -> pa.Table:
+        hosts = pc.unique(t["a"].combine_chunks()
+                          if isinstance(t["a"], pa.ChunkedArray) else t["a"])
+        d = pc.if_else(
+            pc.ends_with(hosts, pattern=".example.org"),
+            pa.scalar(0, pa.int64()), pa.scalar(BIG, pa.int64()),
+        )
+        return pa.Table.from_arrays([hosts, d], names=["host", "dist"])
+
+    dists = (
+        uedges.map_batches(init_dist, batch_format="pyarrow")
+        .groupby("host")
+        .aggregate(RMin("dist", alias_name="dist"))
+        .materialize()
+    )
+
+    for _ in range(SSSP_DIST_CAP + 1):
+        cand = hash_join(
+            uedges,
+            dists,
+            left_on="a",
+            right_on="host",
+            key_type=pa.string(),
+            left_fields=[pa.field("b", pa.string()), pa.field("w", pa.int64())],
+            right_fields=[pa.field("dist", pa.int64())],
+        ).map_batches(
+            lambda t: pa.Table.from_arrays(
+                [t["b"], pc.add(t["dist"], t["w"])], names=["host", "dist"]
+            ),
+            batch_format="pyarrow",
+        )
+        merged = (
+            cand.union(dists.select_columns(["host", "dist"]))
+            .groupby("host")
+            .aggregate(RMin("dist", alias_name="dist"))
+            .materialize()
+        )
+        changed = (
+            hash_join(
+                merged,
+                dists.map_batches(
+                    lambda t: pa.Table.from_arrays(
+                        [t["host"], t["dist"]], names=["host", "dist_old"]
+                    ),
+                    batch_format="pyarrow",
+                ),
+                left_on="host",
+                right_on="host",
+                key_type=pa.string(),
+                left_fields=[pa.field("dist", pa.int64())],
+                right_fields=[pa.field("dist_old", pa.int64())],
+            )
+            .map_batches(
+                lambda t: pa.Table.from_arrays(
+                    [pc.cast(pc.not_equal(t["dist"], t["dist_old"]), pa.int64())],
+                    names=["chg"],
+                ),
+                batch_format="pyarrow",
+            )
+            .sum("chg")
+        )
+        dists = merged
+        if not changed:
+            break
+    else:
+        raise RuntimeError(f"sssp did not converge in {SSSP_DIST_CAP + 1} rounds")
+
+    def finish(t: pa.Table, _big=BIG) -> pa.Table:
+        d = pc.if_else(pc.greater_equal(t["dist"], pa.scalar(_big, pa.int64())),
+                       pa.scalar(-1, pa.int64()), t["dist"])
+        return pa.Table.from_arrays([t["host"], d], names=["host", "dist"])
+
+    return dists.map_batches(finish, batch_format="pyarrow")
+
+
+def _sssp_broadcast(uedges: rd.Dataset) -> rd.Dataset:
+    """Broadcast-regime min-plus relaxation (see q_host_sssp)."""
+    part_schema = pa.schema([("host", pa.string()), ("cand", pa.int64())])
+    BIG = SSSP_DIST_CAP + 1
+
+    dist: dict[str, int] = {}
+    for b in uedges.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        for h in b["a"].to_pylist():
+            if h not in dist:
+                dist[h] = 0 if h.endswith(".example.org") else BIG
+
+    for _ in range(SSSP_DIST_CAP + 1):
+        ref = ray.put(dist)
+
+        def prop(t: pa.Table, _ref=ref) -> pa.Table:
+            dd = ray.get(_ref)
+            acc: dict[str, int] = {}
+            for a, b, w in zip(t["a"].to_pylist(), t["b"].to_pylist(),
+                               t["w"].to_pylist()):
+                c = dd[a] + w
+                if c < dd[b] and c < acc.get(b, BIG + 4):
+                    acc[b] = c
+            if not acc:
+                return part_schema.empty_table()
+            return pa.Table.from_pylist(
+                [{"host": h, "cand": c} for h, c in acc.items()], schema=part_schema
+            )
+
+        changed = False
+        for b in uedges.map_batches(prop, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        ):
+            for h, c in zip(b["host"].to_pylist(), b["cand"].to_pylist()):
+                if c < dist[h]:
+                    dist[h] = int(c)
+                    changed = True
+        if not changed:
+            out = pa.Table.from_pylist(
+                [{"host": h, "dist": (d if d < BIG else -1)}
+                 for h, d in sorted(dist.items())],
+                schema=pa.schema([("host", pa.string()), ("dist", pa.int64())]),
+            )
+            return rd.from_arrow(out)
+    raise RuntimeError(f"sssp did not converge in {SSSP_DIST_CAP + 1} rounds")
+
+
+SQL_HOST_SSSP = f"""
+WITH RECURSIVE
+base AS (SELECT doc_id, source FROM documents WHERE doc_id % 7 <> 0),
+links AS (
+  SELECT source || '.example.com' AS src,
+         'src' || ((doc_id * 7 + 1) % 20) || '.example.net' AS dst FROM base
+  UNION ALL
+  SELECT source || '.example.com', 'cdn.example.org' FROM base
+  UNION ALL
+  SELECT source || '.example.com', CASE WHEN doc_id % 6 = 3 THEN 'base' || (doc_id % 4) || '.example.org' ELSE source || '.example.com' END FROM base
+  UNION ALL
+  SELECT source || '.example.com', CASE WHEN doc_id % 6 = 3 THEN 'base' || (doc_id % 4) || '.example.org' ELSE source || '.example.com' END FROM base
+),
+e AS (SELECT src, dst, count(*) AS n FROM links GROUP BY src, dst),
+wdir AS (
+  SELECT src AS a, dst AS b,
+         CASE WHEN n >= 4 THEN 1 WHEN n >= 2 THEN 2 ELSE 3 END AS w
+  FROM e
+),
+uedges AS (
+  SELECT a, b, CAST(min(w) AS BIGINT) AS w
+  FROM (SELECT a, b, w FROM wdir UNION ALL SELECT b, a, w FROM wdir)
+  GROUP BY a, b
+),
+hosts AS (SELECT DISTINCT a AS host FROM uedges),
+walk(host, d) AS (
+  SELECT host, CAST(0 AS BIGINT) FROM hosts WHERE host LIKE '%.example.org'
+  UNION
+  SELECT e.b, w.d + e.w FROM walk w JOIN uedges e ON e.a = w.host
+  WHERE w.d < {SSSP_DIST_CAP}
+)
+SELECT h.host,
+       CASE WHEN m.d IS NULL OR m.d > {SSSP_DIST_CAP} THEN -1 ELSE m.d END AS dist
+FROM hosts h
+LEFT JOIN (SELECT host, min(d) AS d FROM walk GROUP BY host) m USING (host)
+"""
+
+
 def q_dedup_incremental(sf_dir: str) -> rd.Dataset:
     """Incremental ingestion dedup: which NEW documents (odd doc_ids, the
     'incoming shard') are not already in the EXISTING corpus (even doc_ids)

@@ -4350,3 +4350,88 @@ class TestMedianSelect:
         exp = int(np.sort(wide)[200]) * 2  # odd count -> middle element
         assert out.loc["5-WIDE", "median_cents_x2"] == exp
         assert out.loc["5-WIDE", "n_orders"] == 401
+
+
+class TestHostSssp:
+    def _uedges(self, triples):
+        """triples: directed (src, dst, n_links) -> weighted undirected."""
+        import ray.data as rd
+
+        from service1_text_extraction_ray.pipelines.queries import (
+            _sssp_weighted_uedges,
+        )
+
+        return _sssp_weighted_uedges(rd.from_arrow(pa.table({
+            "src": pa.array([a for a, _, _ in triples]),
+            "dst": pa.array([b for _, b, _ in triples]),
+            "n_links": pa.array([n for _, _, n in triples], pa.int64()),
+        })))
+
+    def test_weighted_path_beats_direct_weak_tie(self, ray_session):
+        from service1_text_extraction_ray.pipelines.queries import _sssp_broadcast
+
+        # seed-a is a single link (w=3); seed-b heavy (w=1) and b-a heavy
+        # (w=1): the weighted shortest path to a is THROUGH b (2 < 3),
+        # where hop-BFS would say 1 — min-plus, not hop counting.
+        out = (
+            _sssp_broadcast(self._uedges([
+                ("s.example.org", "a", 1),
+                ("s.example.org", "b", 4),
+                ("b", "a", 4),
+            ]))
+            .to_pandas().set_index("host")["dist"]
+        )
+        assert out["s.example.org"] == 0
+        assert out["b"] == 1
+        assert out["a"] == 2
+
+    def test_orientation_min_and_weight_buckets(self, ray_session):
+        from service1_text_extraction_ray.pipelines.queries import _sssp_broadcast
+
+        # s->c has n=1 (w3) but c->s has n=2 (w2): undirected weight is the
+        # MIN (2). n=2 and n=3 both land in the middle bucket.
+        out = (
+            _sssp_broadcast(self._uedges([
+                ("s.example.org", "c", 1),
+                ("c", "s.example.org", 2),
+                ("c", "d", 3),
+            ]))
+            .to_pandas().set_index("host")["dist"]
+        )
+        assert out["c"] == 2
+        assert out["d"] == 4
+
+    def test_unreachable_and_over_cap(self, ray_session):
+        from service1_text_extraction_ray.pipelines.queries import (
+            SSSP_DIST_CAP,
+            _sssp_broadcast,
+        )
+
+        # island x-y never reaches a seed -> -1; a long chain of weak ties
+        # pushes past the cap -> also -1 (the oracle's classification)
+        chain = [("s.example.org", "h0", 1)] + [
+            (f"h{i}", f"h{i+1}", 1) for i in range(SSSP_DIST_CAP // 3 + 1)
+        ]
+        out = (
+            _sssp_broadcast(self._uedges(chain + [("x", "y", 4)]))
+            .to_pandas().set_index("host")["dist"]
+        )
+        assert out["x"] == -1 and out["y"] == -1
+        assert out["h0"] == 3
+        last = f"h{SSSP_DIST_CAP // 3 + 1}"
+        assert out[last] == -1  # true dist 3*(cap//3+2) > cap
+
+    def test_join_regime_bit_equal_to_broadcast(self, ray_session, monkeypatch):
+        import service1_text_extraction_ray.pipelines.queries as Q
+
+        sf = "/root/testdata/sf0.001"
+        base = (
+            Q.q_host_sssp(sf).to_pandas()
+            .sort_values("host").reset_index(drop=True)
+        )
+        monkeypatch.setattr(Q, "PAGERANK_BROADCAST_HOSTS", -1)
+        joined = (
+            Q.q_host_sssp(sf).to_pandas()
+            .sort_values("host").reset_index(drop=True)
+        )
+        assert joined.equals(base)
