@@ -8459,3 +8459,204 @@ SELECT o_orderpriority AS priority,
             AS BIGINT) AS median_cents_x2
 FROM orders GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q8 shape: national market share inside a region's order volume
+# ---------------------------------------------------------------------------
+
+MS_REGION = "AMERICA"
+MS_NATION = "NATION_3"   # the supplier nation whose share is measured
+MS_TYPE = "PROMO"
+MS_DATE_LO = "1995-01-01"
+MS_DATE_HI = "1997-01-01"  # exclusive
+
+
+def q_nation_market_share(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q8 shape: of the PROMO-part volume ordered by AMERICA-region
+    customers in 1995-1996, what share (per order year) was supplied by
+    MS_NATION — the deepest join composition in the suite (lineitem ⋈ part
+    ⋈ orders ⋈ customer ⋈ nation ⋈ region ⋈ supplier), mixing every join
+    regime the engine has:
+      - lineitem ⋈ part(filtered) and ⋈ orders are fact ⋈ fact -> two
+        co-partitioned hash_joins (semi for the part gate: only existence
+        matters, so the exchange carries no part payload);
+      - the AMERICA customer gate is a third co-partitioned SEMI join
+        (customer is fact-sized — never a driver-collected probe set);
+      - nation/region/supplier are dim-sized -> broadcast (supplier via
+        the sorted searchsorted pair, the Q5 idiom; at a scale where
+        supplier outgrows broadcast, swap for a fourth hash_join — same
+        code shape as the orders edge).
+    Volume stays in integer cents; the share is floor micro-units computed
+    in Python bigints on the <= 2-row final result, so the output is exact
+    at any parallelism. The year pre-aggregation runs per block BEFORE the
+    final groupby, so the last exchange moves a handful of partial rows."""
+    import pyarrow.dataset as pds
+
+    lo, hi = pd.Timestamp(MS_DATE_LO), pd.Timestamp(MS_DATE_HI)
+
+    # --- broadcast dims
+    nation = pd.read_parquet(_pq(sf_dir, "nation"))
+    region = pd.read_parquet(_pq(sf_dir, "region"))
+    rkey = int(region.loc[region["r_name"] == MS_REGION, "r_regionkey"].iloc[0])
+    region_nkeys = set(
+        nation.loc[nation["n_regionkey"] == rkey, "n_nationkey"].astype(int)
+    )
+    target_nkey = int(
+        nation.loc[nation["n_name"] == MS_NATION, "n_nationkey"].iloc[0]
+    )
+    supp = pd.read_parquet(_pq(sf_dir, "supplier"), columns=["s_suppkey", "s_nationkey"])
+    _sk = np.argsort(supp["s_suppkey"].to_numpy(dtype="int64"), kind="mergesort")
+    supp_ref = ray.put((
+        supp["s_suppkey"].to_numpy(dtype="int64")[_sk],
+        supp["s_nationkey"].to_numpy(dtype="int64")[_sk],
+    ))
+    nk_ref = ray.put(region_nkeys)
+
+    # --- lineitem volume rows, gated to PROMO parts (fact ⋈ fact, semi)
+    def li_prep(t: pa.Table) -> pa.Table:
+        vol = _cents(pc.multiply(
+            t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+        ))
+        return pa.Table.from_arrays(
+            [t["l_partkey"], t["l_suppkey"], t["l_orderkey"], vol],
+            names=["l_partkey", "l_suppkey", "l_orderkey", "vol_cents"],
+        )
+
+    li = _read(
+        sf_dir, "lineitem",
+        ["l_partkey", "l_suppkey", "l_orderkey", "l_extendedprice", "l_discount"],
+    ).map_batches(li_prep, batch_format="pyarrow")
+    promo = rd.read_parquet(
+        _pq(sf_dir, "part"), columns=["p_partkey"],
+        filter=pds.field("p_type") == MS_TYPE,
+    )
+    j1 = hash_join(
+        li, promo,
+        left_on="l_partkey", right_on="p_partkey", key_type=pa.int64(),
+        left_fields=[pa.field("l_suppkey", pa.int64()),
+                     pa.field("l_orderkey", pa.int64()),
+                     pa.field("vol_cents", pa.int64())],
+        right_fields=[],
+        how="semi",
+    )
+
+    # --- ⋈ orders in the window (fact ⋈ fact, inner), carrying year+custkey
+    def ord_prep(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [t["o_orderkey"], t["o_custkey"],
+             pc.cast(pc.year(t["o_orderdate"]), pa.int64())],
+            names=["o_orderkey", "o_custkey", "o_year"],
+        )
+
+    orders = rd.read_parquet(
+        _pq(sf_dir, "orders"), columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=(pds.field("o_orderdate") >= lo) & (pds.field("o_orderdate") < hi),
+    ).map_batches(ord_prep, batch_format="pyarrow")
+    j2 = hash_join(
+        j1.map_batches(
+            lambda t: t.select(["l_orderkey", "l_suppkey", "vol_cents"]),
+            batch_format="pyarrow",
+        ),
+        orders,
+        left_on="l_orderkey", right_on="o_orderkey", key_type=pa.int64(),
+        left_fields=[pa.field("l_suppkey", pa.int64()),
+                     pa.field("vol_cents", pa.int64())],
+        right_fields=[pa.field("o_custkey", pa.int64()),
+                      pa.field("o_year", pa.int64())],
+    )
+
+    # --- AMERICA customer gate (fact-sized -> co-partitioned SEMI join)
+    def cust_filter(t: pa.Table) -> pa.Table:
+        keys = ray.get(nk_ref)
+        mask = pc.is_in(
+            t["c_nationkey"], value_set=pa.array(sorted(keys), pa.int64())
+        )
+        return t.filter(mask).select(["c_custkey"])
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
+        cust_filter, batch_format="pyarrow"
+    )
+    j3 = hash_join(
+        j2.map_batches(
+            lambda t: t.select(["o_custkey", "l_suppkey", "vol_cents", "o_year"]),
+            batch_format="pyarrow",
+        ),
+        cust,
+        left_on="o_custkey", right_on="c_custkey", key_type=pa.int64(),
+        left_fields=[pa.field("l_suppkey", pa.int64()),
+                     pa.field("vol_cents", pa.int64()),
+                     pa.field("o_year", pa.int64())],
+        right_fields=[],
+        how="semi",
+    )
+
+    # --- supplier nation tag (broadcast) + per-block year partials
+    def year_partials(t: pa.Table) -> pa.Table:
+        sk, sn = ray.get(supp_ref)
+        s = t["l_suppkey"].to_numpy(zero_copy_only=False)
+        nk = sn[np.searchsorted(sk, s)]
+        tgt = (nk == target_nkey).astype(np.int64)
+        vol = t["vol_cents"].to_numpy(zero_copy_only=False)
+        tmp = pa.table({
+            "o_year": t["o_year"],
+            "nation_cents": pa.array(vol * tgt, pa.int64()),
+            "total_cents": pa.array(vol, pa.int64()),
+        })
+        g = tmp.group_by("o_year").aggregate(
+            [("nation_cents", "sum"), ("total_cents", "sum")]
+        )
+        return pa.table({
+            "o_year": g["o_year"], "nation_cents": g["nation_cents_sum"],
+            "total_cents": g["total_cents_sum"],
+        })
+
+    agg = (
+        j3.map_batches(year_partials, batch_format="pyarrow")
+        .groupby("o_year")
+        .aggregate(Sum("nation_cents", alias_name="nation_cents"),
+                   Sum("total_cents", alias_name="total_cents"))
+    )
+
+    def share(t: pa.Table) -> pa.Table:
+        rows = t.to_pylist()  # <= one row per order year: driver-tiny
+        for r in rows:
+            r["mkt_share_micro"] = (
+                0 if not r["total_cents"]
+                else (int(r["nation_cents"]) * 1_000_000) // int(r["total_cents"])
+            )
+        sch = pa.schema([
+            ("o_year", pa.int64()), ("nation_cents", pa.int64()),
+            ("total_cents", pa.int64()), ("mkt_share_micro", pa.int64()),
+        ])
+        if not rows:
+            return sch.empty_table()
+        return pa.Table.from_pylist(rows, schema=sch)
+
+    return agg.map_batches(share, batch_format="pyarrow")
+
+
+SQL_NATION_MARKET_SHARE = f"""
+WITH v AS (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS vol,
+         n2.n_name AS supp_nation
+  FROM lineitem
+  JOIN part ON p_partkey = l_partkey AND p_type = '{MS_TYPE}'
+  JOIN orders ON o_orderkey = l_orderkey
+   AND o_orderdate >= TIMESTAMP '{MS_DATE_LO} 00:00:00'
+   AND o_orderdate < TIMESTAMP '{MS_DATE_HI} 00:00:00'
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON n1.n_nationkey = c_nationkey
+  JOIN region ON r_regionkey = n1.n_regionkey AND r_name = '{MS_REGION}'
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation n2 ON n2.n_nationkey = s_nationkey
+)
+SELECT o_year,
+       CAST(sum(CASE WHEN supp_nation = '{MS_NATION}' THEN vol ELSE 0 END) AS BIGINT)
+         AS nation_cents,
+       CAST(sum(vol) AS BIGINT) AS total_cents,
+       CAST(CAST(sum(CASE WHEN supp_nation = '{MS_NATION}' THEN vol ELSE 0 END) AS HUGEINT)
+            * 1000000 // CAST(sum(vol) AS HUGEINT) AS BIGINT) AS mkt_share_micro
+FROM v GROUP BY o_year
+"""
