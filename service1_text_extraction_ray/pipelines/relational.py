@@ -8660,3 +8660,113 @@ SELECT o_year,
             * 1000000 // CAST(sum(vol) AS HUGEINT) AS BIGINT) AS mkt_share_micro
 FROM v GROUP BY o_year
 """
+
+
+# ---------------------------------------------------------------------------
+# CUSUM change-point detection per user stream
+# ---------------------------------------------------------------------------
+
+CUSUM_ALLOW_DIV = 20  # allowance k = mu/20 (5% of the user's own mean)
+CUSUM_H_DIV = 1       # alarm threshold h = mu/1 (one mean of accumulated excess)
+
+
+def q_events_cusum(sf_dir: str) -> rd.Dataset:
+    """One-sided CUSUM change detection per user value stream (Page 1954):
+    in (ts, event_id) order, S' = max(0, S + (v - mu - k)); when S' exceeds
+    h the detector ALARMS and resets to 0 — the upward-shift monitor
+    (fraud/abuse spend spikes, error-rate regressions) that EWMA smoothing
+    (orders_daily_ewma) cannot express because the statistic clamps at zero
+    and resets on alarm. mu is the user's OWN stream mean; k = mu/20,
+    h = mu — all in floor-integer micro-units, so the walk is bit-stable.
+
+    Like the debounce, this is a genuinely NON-ASSOCIATIVE scan (clamp +
+    reset destroy prefix decomposition), but it needs only ONE
+    hash_exchange on user_id: a user's rows are co-located in the shard,
+    so the baseline mean AND the sequential walk both run in-shard — no
+    separate aggregation round trip. Chains are per-user (bounded by a
+    user's event count), independent, and walked in numpy int64. The
+    oracle replays the exact recurrence with a per-user recursive CTE."""
+    out_schema = pa.schema([
+        pa.field("user_id", pa.int64()), pa.field("n_events", pa.int64()),
+        pa.field("mu_micro", pa.int64()), pa.field("n_alarms", pa.int64()),
+        pa.field("max_s_micro", pa.int64()),
+    ])
+
+    def shard_cusum(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        df = t.to_pandas().sort_values(
+            ["user_id", "ts", "event_id"], kind="mergesort"
+        )
+        v = df["value"].to_numpy(dtype="float64") * 1_000_000.0
+        vm = np.where(v >= 0, np.floor(v + 0.5), np.ceil(v - 0.5)).astype(np.int64)
+        rows = []
+        for u, idx in df.groupby("user_id", sort=False).indices.items():
+            a = vm[idx]
+            n = len(a)
+            mu = int(a.sum()) // n
+            k, h = mu // CUSUM_ALLOW_DIV, mu // CUSUM_H_DIV
+            s, alarms, max_s = 0, 0, 0
+            for x in a:
+                s = max(0, s + int(x) - mu - k)
+                if s > max_s:
+                    max_s = s
+                if s > h:
+                    alarms += 1
+                    s = 0
+            rows.append({"user_id": int(u), "n_events": n, "mu_micro": mu,
+                         "n_alarms": alarms, "max_s_micro": max_s})
+        return pa.Table.from_pylist(rows, schema=out_schema)
+
+    return hash_exchange(
+        _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"]),
+        ["user_id"],
+        shard_cusum,
+        out_schema,
+    )
+
+
+SQL_EVENTS_CUSUM = f"""
+WITH RECURSIVE s AS (
+  SELECT user_id,
+         CAST(round(value * 1000000) AS BIGINT) AS vm,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+),
+base AS (
+  SELECT user_id, count(*) AS n, CAST(sum(vm) AS BIGINT) // count(*) AS mu
+  FROM s GROUP BY user_id
+),
+walk(user_id, rn, cs, alarms, maxs) AS (
+  SELECT s.user_id, s.rn,
+         CASE WHEN greatest(0, s.vm - b.mu - b.mu // {CUSUM_ALLOW_DIV})
+                   > b.mu // {CUSUM_H_DIV}
+              THEN 0
+              ELSE greatest(0, s.vm - b.mu - b.mu // {CUSUM_ALLOW_DIV}) END,
+         CASE WHEN greatest(0, s.vm - b.mu - b.mu // {CUSUM_ALLOW_DIV})
+                   > b.mu // {CUSUM_H_DIV} THEN 1 ELSE 0 END,
+         greatest(0, s.vm - b.mu - b.mu // {CUSUM_ALLOW_DIV})
+  FROM s JOIN base b USING (user_id) WHERE s.rn = 1
+  UNION ALL
+  SELECT s.user_id, s.rn,
+         CASE WHEN greatest(0, w.cs + s.vm - b.mu - b.mu // {CUSUM_ALLOW_DIV})
+                   > b.mu // {CUSUM_H_DIV}
+              THEN 0
+              ELSE greatest(0, w.cs + s.vm - b.mu - b.mu // {CUSUM_ALLOW_DIV}) END,
+         w.alarms + CASE WHEN greatest(0, w.cs + s.vm - b.mu - b.mu // {CUSUM_ALLOW_DIV})
+                              > b.mu // {CUSUM_H_DIV} THEN 1 ELSE 0 END,
+         greatest(w.maxs, greatest(0, w.cs + s.vm - b.mu - b.mu // {CUSUM_ALLOW_DIV}))
+  FROM walk w
+  JOIN s ON s.user_id = w.user_id AND s.rn = w.rn + 1
+  JOIN base b ON b.user_id = s.user_id
+)
+SELECT b.user_id, CAST(b.n AS BIGINT) AS n_events,
+       CAST(b.mu AS BIGINT) AS mu_micro,
+       CAST(f.alarms AS BIGINT) AS n_alarms,
+       CAST(f.maxs AS BIGINT) AS max_s_micro
+FROM base b
+JOIN (SELECT user_id, alarms, maxs,
+             row_number() OVER (PARTITION BY user_id ORDER BY rn DESC) AS rr
+      FROM walk) f
+  ON f.user_id = b.user_id AND f.rr = 1
+"""

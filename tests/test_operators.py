@@ -4435,3 +4435,55 @@ class TestHostSssp:
             .sort_values("host").reset_index(drop=True)
         )
         assert joined.equals(base)
+
+
+class TestEventsCusum:
+    def _events(self, tmp_path, rows):
+        """rows: (event_id, user_id, ts_us, value)."""
+        import pyarrow.parquet as pq
+
+        t = pa.table({
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "event_type": pa.array(["x"] * len(rows)),
+            "value": pa.array([r[3] for r in rows], pa.float64()),
+        })
+        d = tmp_path / "sf"
+        d.mkdir(exist_ok=True)
+        pq.write_table(t, str(d / "events.parquet"))
+        return str(d)
+
+    def test_flat_stream_never_alarms(self, ray_session, tmp_path):
+        from service1_text_extraction_ray.pipelines.relational import q_events_cusum
+
+        sf = self._events(tmp_path, [(i, 1, i * 1000, 10.0) for i in range(8)])
+        out = q_events_cusum(sf).to_pandas().set_index("user_id")
+        # v == mu for every event -> dev = -k < 0 -> S clamps at 0
+        assert out.loc[1, "n_alarms"] == 0
+        assert out.loc[1, "max_s_micro"] == 0
+        assert out.loc[1, "mu_micro"] == 10_000_000
+
+    def test_shift_alarms_and_resets(self, ray_session, tmp_path):
+        from service1_text_extraction_ray.pipelines.relational import q_events_cusum
+
+        # 6 events at 10 then 2 at 100: mu = 32.5e6, k = mu//20, h = mu.
+        # The two 100s each add ~66e6 excess -> each one alone crosses h:
+        # alarm + reset twice.
+        rows = [(i, 1, i * 1000, 10.0) for i in range(6)] + [
+            (6, 1, 6000, 100.0), (7, 1, 7000, 100.0)]
+        out = q_events_cusum(self._events(tmp_path, rows)).to_pandas()
+        assert out["n_alarms"].iloc[0] == 2
+
+    def test_slow_drift_accumulates_to_one_alarm(self, ray_session, tmp_path):
+        from service1_text_extraction_ray.pipelines.relational import q_events_cusum
+
+        # values 10,10,10,14,14,14: mu = 12e6, k = 0.6e6, h = 12e6. The 14s
+        # each add 1.4e6; the 10s clamp back at 0 but the tail never
+        # reaches h -> drift below threshold stays silent (CUSUM's point:
+        # a SUSTAINED shift is needed, and 3 x 1.4 < 12)
+        rows = [(i, 1, i * 1000, v)
+                for i, v in enumerate([10.0, 10.0, 10.0, 14.0, 14.0, 14.0])]
+        out = q_events_cusum(self._events(tmp_path, rows)).to_pandas()
+        assert out["n_alarms"].iloc[0] == 0
+        assert out["max_s_micro"].iloc[0] == 3 * 1_400_000
