@@ -195,7 +195,7 @@ QUERY_NAMES = [
     "redirect_resolve", "order_price_median_select", "corpus_kn_bigram",
     "retrieval_rrf", "extract_pdf_fonts", "extract_pdf_layers",
     "quality_auc", "corpus_mix_plan", "search_ndcg", "host_sssp",
-    "nation_market_share", "events_cusum",
+    "nation_market_share", "events_cusum", "host_trustrank",
 ]
 
 

@@ -10419,3 +10419,237 @@ SELECT doc_id, 'Watermark', CAST(doc_id % 2 AS BIGINT),
        CAST(doc_id % 2 AS BIGINT)
 FROM documents
 """
+
+
+# ---------------------------------------------------------------------------
+# TrustRank: seed-personalized PageRank for link-spam demotion
+# ---------------------------------------------------------------------------
+
+def q_host_trustrank(sf_dir: str) -> rd.Dataset:
+    """TrustRank (Gyongyi et al. 2004): PageRank with the teleport mass
+    restricted to the curated SEED set ('.example.org' hosts — the same
+    seeds the BFS/SSSP frontier metrics use) instead of spread uniformly —
+    trust flows OUT of the seeds along links, so hosts reachable only
+    through link farms score near zero and the pr/tr gap is the classic
+    spam signal. Identical integer discipline to q_host_pagerank (same
+    iteration count, micro-units, floor divisions; per-seed base mass
+    (PR_BASE * n_hosts) // n_seeds keeps the injected mass equal to
+    PageRank's, so the two scores are directly comparable), hence exactly
+    replayable by the unrolled-CTE oracle.
+
+    Same two regimes as PageRank, selected by the same edge-count gate:
+    broadcast (rank dict via ray.put, per-block contrib partials, zero
+    per-iteration shuffles) and join (one hash_join + groupby-sum per
+    iteration); the only difference from PageRank in either regime is the
+    seed-indicator base term, applied vectorized in the join regime's damp
+    step."""
+    from ray.data.aggregate import Sum as RSum
+
+    from .relational import hash_join
+
+    edges = _host_edges(sf_dir)
+
+    def out_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("src").aggregate([("n_links", "sum")])
+        return pa.Table.from_arrays(
+            [g["src"], g["n_links_sum"]], names=["src", "out_n"]
+        )
+
+    if edges.count() <= PAGERANK_BROADCAST_HOSTS:
+        # --- broadcast regime
+        out_map: dict[str, int] = {}
+        dst_set: set = set()
+        for b in edges.map_batches(out_partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        ):
+            for s, n in zip(b["src"].to_pylist(), b["out_n"].to_pylist()):
+                out_map[s] = out_map.get(s, 0) + n
+        for b in edges.iter_batches(batch_size=65536, batch_format="pyarrow"):
+            dst_set.update(b["dst"].to_pylist())
+        hosts = dst_set | set(out_map)
+        seeds = {h for h in hosts if h.endswith(".example.org")}
+        base_seed = (PR_BASE * len(hosts)) // max(1, len(seeds))
+        tr_map = {h: (base_seed if h in seeds else 0) for h in hosts}
+
+        contrib_schema = pa.schema([("host", pa.string()), ("contrib", pa.int64())])
+
+        for _ in range(PAGERANK_ITERS):
+            ref = ray.put((tr_map, out_map))
+
+            def contrib_partial(t: pa.Table, _ref=ref) -> pa.Table:
+                tr_d, out_d = ray.get(_ref)
+                acc: dict[str, int] = {}
+                for s, d, k in zip(
+                    t["src"].to_pylist(), t["dst"].to_pylist(),
+                    t["n_links"].to_pylist(),
+                ):
+                    acc[d] = acc.get(d, 0) + (tr_d[s] * k) // out_d[s]
+                if not acc:
+                    return contrib_schema.empty_table()
+                return pa.Table.from_pylist(
+                    [{"host": h, "contrib": c} for h, c in acc.items()],
+                    schema=contrib_schema,
+                )
+
+            contrib: dict[str, int] = {}
+            for b in edges.map_batches(
+                contrib_partial, batch_format="pyarrow"
+            ).iter_batches(batch_format="pyarrow"):
+                for h, c in zip(b["host"].to_pylist(), b["contrib"].to_pylist()):
+                    contrib[h] = contrib.get(h, 0) + c
+            tr_map = {
+                h: (base_seed if h in seeds else 0)
+                + (PR_DAMP * contrib.get(h, 0)) // PR_UNIT
+                for h in hosts
+            }
+
+        out = pa.Table.from_pylist(
+            [{"host": h, "tr": p} for h, p in sorted(tr_map.items())],
+            schema=pa.schema([("host", pa.string()), ("tr", pa.int64())]),
+        )
+        return rd.from_arrow(out)
+
+    # --- join regime (the PageRank loop with a seed-indicator base term)
+    out_deg = (
+        edges.map_batches(out_partial, batch_format="pyarrow")
+        .groupby("src")
+        .aggregate(RSum("out_n", alias_name="out_n"))
+    )
+    edges_out = hash_join(
+        edges.map_batches(
+            lambda t: t.select(["src", "dst", "n_links"]), batch_format="pyarrow"
+        ),
+        out_deg,
+        left_on="src",
+        right_on="src",
+        key_type=pa.string(),
+        left_fields=[pa.field("dst", pa.string()), pa.field("n_links", pa.int64())],
+        right_fields=[pa.field("out_n", pa.int64())],
+    ).materialize()
+
+    def host_partials(t: pa.Table) -> pa.Table:
+        hosts = pc.unique(
+            pa.chunked_array([pc.cast(t["src"], pa.string()),
+                              pc.cast(t["dst"], pa.string())])
+        )
+        return pa.Table.from_arrays(
+            [hosts, pa.nulls(len(hosts), pa.int64()).fill_null(0)],
+            names=["host", "zero"],
+        )
+
+    hosts_ds = (
+        edges.map_batches(host_partials, batch_format="pyarrow")
+        .groupby("host")
+        .aggregate(RSum("zero", alias_name="zero"))
+        .materialize()
+    )
+    n_hosts = hosts_ds.count()
+    n_seeds = hosts_ds.map_batches(
+        lambda t: pa.table({"s": pc.cast(
+            pc.ends_with(t["host"], pattern=".example.org"), pa.int64())}),
+        batch_format="pyarrow",
+    ).sum("s")
+    base_seed = (PR_BASE * n_hosts) // max(1, int(n_seeds))
+
+    def init_tr(t: pa.Table) -> pa.Table:
+        seed = pc.ends_with(t["host"], pattern=".example.org")
+        tr0 = pc.if_else(seed, pa.scalar(base_seed, pa.int64()),
+                         pa.scalar(0, pa.int64()))
+        return pa.Table.from_arrays([t["host"], tr0], names=["host", "tr"])
+
+    tr = hosts_ds.map_batches(init_tr, batch_format="pyarrow")
+
+    def zero_base(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [t["host"], pa.nulls(t.num_rows, pa.int64()).fill_null(0)],
+            names=["host", "contrib"],
+        )
+
+    def edge_contrib(t: pa.Table) -> pa.Table:
+        trv = t["tr"].to_numpy(zero_copy_only=False)
+        n = t["n_links"].to_numpy(zero_copy_only=False)
+        out = t["out_n"].to_numpy(zero_copy_only=False)
+        share = (trv * n) // out
+        return pa.Table.from_arrays(
+            [t["dst"], pa.array(share, pa.int64())], names=["host", "contrib"]
+        )
+
+    def damp(t: pa.Table) -> pa.Table:
+        c = t["contrib"].to_numpy(zero_copy_only=False)
+        seed = pc.ends_with(t["host"], pattern=".example.org").to_numpy(
+            zero_copy_only=False
+        )
+        tr_new = np.where(seed, base_seed, 0) + (PR_DAMP * c) // PR_UNIT
+        return pa.Table.from_arrays(
+            [t["host"], pa.array(tr_new, pa.int64())], names=["host", "tr"]
+        )
+
+    for _ in range(PAGERANK_ITERS):
+        joined = hash_join(
+            edges_out,
+            tr,
+            left_on="src",
+            right_on="host",
+            key_type=pa.string(),
+            left_fields=[pa.field("dst", pa.string()),
+                         pa.field("n_links", pa.int64()),
+                         pa.field("out_n", pa.int64())],
+            right_fields=[pa.field("tr", pa.int64())],
+        ).map_batches(edge_contrib, batch_format="pyarrow")
+        tr = (
+            joined.union(hosts_ds.map_batches(zero_base, batch_format="pyarrow"))
+            .groupby("host")
+            .aggregate(RSum("contrib", alias_name="contrib"))
+            .map_batches(damp, batch_format="pyarrow")
+            .materialize()
+        )
+
+    return tr
+
+
+def _sql_host_trustrank() -> str:
+    links = """
+base AS (SELECT doc_id, source FROM documents WHERE doc_id % 7 <> 0),
+links AS (
+  SELECT source || '.example.com' AS src,
+         'src' || ((doc_id * 7 + 1) % 20) || '.example.net' AS dst FROM base
+  UNION ALL
+  SELECT source || '.example.com', 'cdn.example.org' FROM base
+  UNION ALL
+  SELECT source || '.example.com', CASE WHEN doc_id % 6 = 3 THEN 'base' || (doc_id % 4) || '.example.org' ELSE source || '.example.com' END FROM base
+  UNION ALL
+  SELECT source || '.example.com', CASE WHEN doc_id % 6 = 3 THEN 'base' || (doc_id % 4) || '.example.org' ELSE source || '.example.com' END FROM base
+),
+edges AS (SELECT src, dst, count(*) AS n FROM links GROUP BY 1, 2),
+outd AS (SELECT src, CAST(sum(n) AS BIGINT) AS out_n FROM edges GROUP BY 1),
+hosts AS (SELECT src AS host FROM edges UNION SELECT dst FROM edges),
+bs AS (
+  SELECT CAST(({base} * count(*))
+              // greatest(1, sum(CASE WHEN host LIKE '%.example.org'
+                                      THEN 1 ELSE 0 END)) AS BIGINT) AS v
+  FROM hosts),
+tr0 AS (
+  SELECT host, CAST(CASE WHEN host LIKE '%.example.org'
+                         THEN (SELECT v FROM bs) ELSE 0 END AS BIGINT) AS tr
+  FROM hosts)""".format(base=PR_BASE)
+    its = []
+    for i in range(PAGERANK_ITERS):
+        its.append(f"""
+c{i + 1} AS (
+  SELECT e.dst AS host, CAST(sum((p.tr * e.n) // o.out_n) AS BIGINT) AS contrib
+  FROM edges e JOIN tr{i} p ON p.host = e.src JOIN outd o ON o.src = e.src
+  GROUP BY 1),
+tr{i + 1} AS (
+  SELECT h.host,
+         CAST(CASE WHEN h.host LIKE '%.example.org'
+                   THEN (SELECT v FROM bs) ELSE 0 END
+              + ({PR_DAMP} * coalesce(c.contrib, 0)) // {PR_UNIT}
+              AS BIGINT) AS tr
+  FROM tr{i} h LEFT JOIN c{i + 1} c USING (host))""")
+    return (
+        "WITH " + links + "," + ",".join(its)
+        + f"\nSELECT host, tr FROM tr{PAGERANK_ITERS}"
+    )
+
+
+SQL_HOST_TRUSTRANK = _sql_host_trustrank()

@@ -4487,3 +4487,39 @@ class TestEventsCusum:
         out = q_events_cusum(self._events(tmp_path, rows)).to_pandas()
         assert out["n_alarms"].iloc[0] == 0
         assert out["max_s_micro"].iloc[0] == 3 * 1_400_000
+
+
+class TestHostTrustrank:
+    def test_join_regime_bit_equal_to_broadcast(self, ray_session, monkeypatch):
+        import service1_text_extraction_ray.pipelines.queries as Q
+
+        sf = "/root/testdata/sf0.001"
+        base = (
+            Q.q_host_trustrank(sf).to_pandas()
+            .sort_values("host").reset_index(drop=True)
+        )
+        monkeypatch.setattr(Q, "PAGERANK_BROADCAST_HOSTS", -1)
+        joined = (
+            Q.q_host_trustrank(sf).to_pandas()
+            .sort_values("host").reset_index(drop=True)
+        )
+        assert joined.equals(base)
+
+    def test_trust_concentrates_near_seeds(self, ray_session):
+        import service1_text_extraction_ray.pipelines.queries as Q
+
+        sf = "/root/testdata/sf0.001"
+        tr = Q.q_host_trustrank(sf).to_pandas().set_index("host")["tr"]
+        pr = Q.q_host_pagerank(sf).to_pandas().set_index("host")["pr"]
+        # seeds hold teleport mass under TrustRank; every host PageRank
+        # considers relevant but the seeds cannot reach scores LOWER than
+        # its PageRank share (the pr/tr gap = the spam signal)
+        seeds = [h for h in tr.index if h.endswith(".example.org")]
+        assert seeds and all(tr[s] > 0 for s in seeds)
+        # total injected base mass matches PageRank's (comparable scales)
+        assert tr.sum() > 0 and pr.sum() > 0
+        # .example.net leaf hosts are linked only FROM sources (never from
+        # seeds) -> they can still inherit trust transitively, but a host
+        # with no in-links from the trusted component scores 0 + damped
+        # contribs only; sanity: no score is negative
+        assert (tr >= 0).all()
