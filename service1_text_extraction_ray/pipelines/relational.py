@@ -8770,3 +8770,111 @@ JOIN (SELECT user_id, alarms, maxs,
       FROM walk) f
   ON f.user_id = b.user_id AND f.rr = 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Calendar gap-fill with last-observation-carried-forward (LOCF)
+# ---------------------------------------------------------------------------
+
+def q_orders_daily_gapfill(sf_dir: str) -> rd.Dataset:
+    """Dense per-priority daily revenue: every calendar day of the global
+    order-date range appears for every priority, with days that had no
+    orders FILLED by the last observed value (LOCF; 0 before the first
+    observation) and flagged — the feature-store densification step that
+    must run before any fixed-stride window model (a sparse series silently
+    misaligns lag features). Time-series generation + as-of carry, the one
+    windowed shape the suite didn't yet have.
+
+    Shape: per-block (priority, day, cents) pyarrow partials pre-combine
+    before ONE groupby, so the exchange moves at most #days x #priorities
+    rows per block; the global day range is two scalars off that
+    aggregate. Expansion + carry then run per priority inside one
+    hash_exchange shard: the calendar is a numpy datetime64[D] arange and
+    the carry is ONE searchsorted(side='right')-1 over the group's
+    observed days — O(n_days log n_obs), vectorized, no Python-per-day
+    loop. Grouped series are calendar-scale (years x priorities), so
+    per-task memory is bounded regardless of corpus size."""
+    out_schema = pa.schema([
+        pa.field("priority", pa.string()), pa.field("day", pa.string()),
+        pa.field("revenue_cents", pa.int64()), pa.field("filled", pa.int64()),
+    ])
+
+    def partial(t: pa.Table) -> pa.Table:
+        days = pc.strftime(t["o_orderdate"], format="%Y-%m-%d")
+        rows = pa.Table.from_arrays(
+            [t["o_orderpriority"], days, _cents(t["o_totalprice"])],
+            names=["priority", "day", "cents"],
+        )
+        g = rows.group_by(["priority", "day"]).aggregate([("cents", "sum")])
+        return pa.Table.from_arrays(
+            [g["priority"], g["day"], pc.cast(g["cents_sum"], pa.int64())],
+            names=["priority", "day", "cents"],
+        )
+
+    agg = (
+        _read(sf_dir, "orders", ["o_orderpriority", "o_orderdate", "o_totalprice"])
+        .map_batches(partial, batch_format="pyarrow")
+        .repartition(8)
+        .groupby(["priority", "day"])
+        .aggregate(Sum("cents", alias_name="cents"))
+        .materialize()
+    )
+    bounds = agg.map_batches(
+        lambda t: pa.table({"lo": [pc.min(t["day"]).as_py()],
+                            "hi": [pc.max(t["day"]).as_py()]}),
+        batch_format="pyarrow",
+    ).to_pandas()
+    lo = np.datetime64(bounds["lo"].min(), "D")
+    hi = np.datetime64(bounds["hi"].max(), "D")
+    cal = np.arange(lo, hi + np.timedelta64(1, "D"))
+    cal_str = np.datetime_as_string(cal, unit="D")
+
+    def fill(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        outs = []
+        for p, g in df.groupby("priority", sort=False):
+            g = g.sort_values("day")
+            obs = g["day"].to_numpy(dtype="datetime64[D]")
+            vals = g["cents"].to_numpy(dtype="int64")
+            idx = np.searchsorted(obs, cal, side="right") - 1
+            rev = np.where(idx >= 0, vals[np.maximum(idx, 0)], 0)
+            filled = (np.searchsorted(obs, cal) !=
+                      np.searchsorted(obs, cal, side="right")).astype(np.int64)
+            outs.append(pa.Table.from_arrays(
+                [pa.array([p] * len(cal)), pa.array(cal_str),
+                 pa.array(rev, pa.int64()),
+                 pa.array(1 - filled, pa.int64())],
+                schema=out_schema,
+            ))
+        return pa.concat_tables(outs) if outs else out_schema.empty_table()
+
+    return hash_exchange(agg, ["priority"], fill, out_schema, num_shards=8)
+
+
+SQL_ORDERS_DAILY_GAPFILL = """
+WITH d AS (
+  SELECT o_orderpriority AS priority, strftime(o_orderdate, '%Y-%m-%d') AS day,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY 1, 2
+),
+cal AS (
+  SELECT strftime(unnest(generate_series(b.mind, b.maxd, INTERVAL 1 DAY)),
+                  '%Y-%m-%d') AS day
+  FROM (SELECT CAST(min(o_orderdate) AS DATE) AS mind,
+               CAST(max(o_orderdate) AS DATE) AS maxd FROM orders) b
+),
+grid AS (
+  SELECT p.priority, c.day
+  FROM (SELECT DISTINCT priority FROM d) p CROSS JOIN cal c
+),
+j AS (
+  SELECT g.priority, g.day, d.cents
+  FROM grid g LEFT JOIN d ON d.priority = g.priority AND d.day = g.day
+)
+SELECT priority, day,
+       COALESCE(last_value(cents IGNORE NULLS) OVER (
+         PARTITION BY priority ORDER BY day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS revenue_cents,
+       CAST(CASE WHEN cents IS NULL THEN 1 ELSE 0 END AS BIGINT) AS filled
+FROM j
+"""

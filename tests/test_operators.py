@@ -4523,3 +4523,45 @@ class TestHostTrustrank:
         # with no in-links from the trusted component scores 0 + damped
         # contribs only; sanity: no score is negative
         assert (tr >= 0).all()
+
+
+class TestOrdersDailyGapfill:
+    def test_locf_zero_before_first_and_flags(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from service1_text_extraction_ray.pipelines.relational import (
+            q_orders_daily_gapfill,
+        )
+
+        # priority A observed on day 2 and 4 of a 5-day range (day 1 set by
+        # priority B): before-first -> 0, gaps carry forward, flags mark fills
+        t = pa.table({
+            "o_orderkey": pa.array([1, 2, 3], pa.int64()),
+            "o_custkey": pa.array([1, 1, 1], pa.int64()),
+            "o_orderstatus": pa.array(["O"] * 3),
+            "o_totalprice": pa.array([10.0, 20.0, 5.0], pa.float64()),
+            "o_orderdate": pa.array(
+                [pd.Timestamp("1995-01-02"), pd.Timestamp("1995-01-04"),
+                 pd.Timestamp("1995-01-01")], pa.timestamp("us")),
+            "o_orderpriority": pa.array(["A", "A", "B"]),
+        })
+        d = tmp_path / "sf"
+        d.mkdir(exist_ok=True)
+        pq.write_table(t, str(d / "orders.parquet"))
+        out = (
+            q_orders_daily_gapfill(str(d)).to_pandas()
+            .set_index(["priority", "day"]).sort_index()
+        )
+        # 2 priorities x 4 days (01-01..01-04)
+        assert len(out) == 8
+        a = out.loc["A"]
+        assert a.loc["1995-01-01", "revenue_cents"] == 0      # before first
+        assert a.loc["1995-01-01", "filled"] == 1
+        assert a.loc["1995-01-02", "revenue_cents"] == 1000   # observed
+        assert a.loc["1995-01-02", "filled"] == 0
+        assert a.loc["1995-01-03", "revenue_cents"] == 1000   # carried
+        assert a.loc["1995-01-03", "filled"] == 1
+        assert a.loc["1995-01-04", "revenue_cents"] == 2000
+        b = out.loc["B"]
+        assert b.loc["1995-01-04", "revenue_cents"] == 500    # carried 3 days
+        assert b.loc["1995-01-04", "filled"] == 1
