@@ -10653,3 +10653,100 @@ tr{i + 1} AS (
 
 
 SQL_HOST_TRUSTRANK = _sql_host_trustrank()
+
+
+# ---------------------------------------------------------------------------
+# Dedup-pipeline evaluation: recall/precision of the LSH scale path against
+# the exact all-pairs ground truth
+# ---------------------------------------------------------------------------
+
+def q_dedup_lsh_recall(sf_dir: str) -> pd.DataFrame:
+    """Measured recall/precision of q_dedup_embedding_lsh (the approximate
+    O(N)-shuffle scale path) against q_dedup_embedding (the exact all-pairs
+    ground truth) at the SAME threshold — the eval gate that prices the
+    banding trade before anyone trusts the fast path on a real corpus: a
+    single 16-plane signature match is a harsh filter, and this number (not
+    the docstring) says what it costs in missed near-dups. Precision is 1.0
+    by construction (the LSH path verifies exact cosine in-bucket); the
+    operator still counts FP so a future regression surfaces as a number,
+    not an assumption.
+
+    Shape: both pair streams tag themselves into a union, ONE hash_exchange
+    on the (a, b) pair key co-locates the two sides, per-shard TP/FP/FN
+    partial counts fold on the driver (3 ints per shard). No pair set is
+    ever driver-materialized. Oracle composes the two existing SQL replays
+    with INTERSECT/EXCEPT."""
+    from .relational import hash_exchange
+
+    exact = q_dedup_embedding(sf_dir)
+    lsh = q_dedup_embedding_lsh(sf_dir)
+
+    def tag(side: int):
+        def f(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "vec_id_a": pc.cast(t["vec_id_a"], pa.int64()),
+                "vec_id_b": pc.cast(t["vec_id_b"], pa.int64()),
+                "side": pa.array(np.full(t.num_rows, side, np.int64)),
+            })
+        return f
+
+    both = exact.map_batches(tag(0), batch_format="pyarrow").union(
+        lsh.map_batches(tag(1), batch_format="pyarrow")
+    )
+    part_schema = pa.schema([
+        ("tp", pa.int64()), ("fp", pa.int64()), ("fn", pa.int64()),
+    ])
+
+    def shard_counts(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        g = df.groupby(["vec_id_a", "vec_id_b"])["side"].agg(["count", "sum"])
+        tp = int(((g["count"] == 2)).sum())
+        fp = int(((g["count"] == 1) & (g["sum"] == 1)).sum())
+        fn = int(((g["count"] == 1) & (g["sum"] == 0)).sum())
+        return pa.Table.from_pylist([{"tp": tp, "fp": fp, "fn": fn}],
+                                    schema=part_schema)
+
+    parts = hash_exchange(
+        both, ["vec_id_a", "vec_id_b"], shard_counts, part_schema,
+        num_shards=16,
+    ).to_pandas()
+    tp, fp, fn = int(parts["tp"].sum()), int(parts["fp"].sum()), int(parts["fn"].sum())
+    prec = 0 if tp + fp == 0 else (tp * 1_000_000) // (tp + fp)
+    rec = 0 if tp + fn == 0 else (tp * 1_000_000) // (tp + fn)
+    return pd.DataFrame({
+        "n_exact": pd.array([tp + fn], dtype="int64"),
+        "n_lsh": pd.array([tp + fp], dtype="int64"),
+        "tp": pd.array([tp], dtype="int64"),
+        "fp": pd.array([fp], dtype="int64"),
+        "fn": pd.array([fn], dtype="int64"),
+        "precision_micro": pd.array([prec], dtype="int64"),
+        "recall_micro": pd.array([rec], dtype="int64"),
+    })
+
+
+def sql_dedup_lsh_recall() -> str:
+    return f"""
+WITH lsh AS ({sql_dedup_embedding_lsh()}),
+ex AS ({SQL_DEDUP_EMBEDDING}),
+tpq AS (SELECT count(*) AS c FROM
+        (SELECT vec_id_a, vec_id_b FROM lsh
+         INTERSECT SELECT vec_id_a, vec_id_b FROM ex)),
+fpq AS (SELECT count(*) AS c FROM
+        (SELECT vec_id_a, vec_id_b FROM lsh
+         EXCEPT SELECT vec_id_a, vec_id_b FROM ex)),
+fnq AS (SELECT count(*) AS c FROM
+        (SELECT vec_id_a, vec_id_b FROM ex
+         EXCEPT SELECT vec_id_a, vec_id_b FROM lsh))
+SELECT CAST(tpq.c + fnq.c AS BIGINT) AS n_exact,
+       CAST(tpq.c + fpq.c AS BIGINT) AS n_lsh,
+       CAST(tpq.c AS BIGINT) AS tp,
+       CAST(fpq.c AS BIGINT) AS fp,
+       CAST(fnq.c AS BIGINT) AS fn,
+       CAST(CASE WHEN tpq.c + fpq.c = 0 THEN 0
+                 ELSE tpq.c * 1000000 // (tpq.c + fpq.c) END AS BIGINT)
+         AS precision_micro,
+       CAST(CASE WHEN tpq.c + fnq.c = 0 THEN 0
+                 ELSE tpq.c * 1000000 // (tpq.c + fnq.c) END AS BIGINT)
+         AS recall_micro
+FROM tpq, fpq, fnq
+"""
