@@ -8878,3 +8878,119 @@ SELECT priority, day,
        CAST(CASE WHEN cents IS NULL THEN 1 ELSE 0 END AS BIGINT) AS filled
 FROM j
 """
+
+
+# ---------------------------------------------------------------------------
+# Holt double-exponential smoothing (level + trend) over daily revenue
+# ---------------------------------------------------------------------------
+
+def _trunc_div(x: int, den: int) -> int:
+    """Integer division truncating toward zero — DuckDB's // semantics on
+    negative numerators (Python // floors; the two differ exactly on the
+    negative trend steps this recurrence produces)."""
+    q = abs(x) // den
+    return q if x >= 0 else -q
+
+
+HOLT_A_NUM, HOLT_A_DEN = 1, 4   # level factor alpha = 1/4
+HOLT_B_NUM, HOLT_B_DEN = 1, 8   # trend factor beta = 1/8
+
+
+def q_orders_daily_holt(sf_dir: str) -> pd.DataFrame:
+    """Holt linear-trend smoothing of daily revenue — the two-state big
+    sibling of q_orders_daily_ewma (which carries level only and therefore
+    LAGS a trending series; Holt's trend state removes that lag and yields
+    a one-step forecast):
+
+        l_t = (A_NUM*v_t + (A_DEN-A_NUM)*(l + b)) // A_DEN
+        b_t = (B_NUM*(l_t - l)  + (B_DEN-B_NUM)*b) // B_DEN
+        forecast_{t+1} = l_t + b_t
+
+    Every step integer on cents, so the recurrence is bit-stable and the
+    oracle replays BOTH carried states with one recursive CTE. Division
+    semantics pinned the hard way: the trend term goes NEGATIVE on
+    down-trends, and DuckDB's // TRUNCATES toward zero there while
+    Python's floors toward -inf — so both updates use an explicit
+    truncating division (sign * (|x| // den)), verified by the oracle
+    hash at every sf. Same topology as the EWMA: per-block
+    (day, cents) partials, one groupby, then the inherently sequential
+    two-state fold runs on the driver over the calendar-scale RESULT."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        days = pc.strftime(t["o_orderdate"], format="%Y-%m-%d")
+        rows = pa.Table.from_arrays(
+            [days, _cents(t["o_totalprice"])], names=["day", "cents"]
+        )
+        g = rows.group_by("day").aggregate([("cents", "sum")])
+        return pa.Table.from_arrays(
+            [g["day"], pc.cast(g["cents_sum"], pa.int64())],
+            names=["day", "revenue_cents"],
+        )
+
+    agg = (
+        _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+        .map_batches(partial, batch_format="pyarrow")
+        .repartition(8)
+        .groupby("day")
+        .aggregate(Sum("revenue_cents", alias_name="revenue_cents"))
+        .to_pandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    levels, trends = [], []
+    l = b = 0
+    for i, v in enumerate(agg["revenue_cents"].astype("int64")):
+        v = int(v)
+        if i == 0:
+            l, b = v, 0
+        else:
+            ln_num = HOLT_A_NUM * v + (HOLT_A_DEN - HOLT_A_NUM) * (l + b)
+            l_new = _trunc_div(ln_num, HOLT_A_DEN)
+            b = _trunc_div(
+                HOLT_B_NUM * (l_new - l) + (HOLT_B_DEN - HOLT_B_NUM) * b,
+                HOLT_B_DEN,
+            )
+            l = l_new
+        levels.append(l)
+        trends.append(b)
+    return pd.DataFrame({
+        "day": agg["day"],
+        "revenue_cents": agg["revenue_cents"].astype("int64"),
+        "level_cents": pd.Series(levels, dtype="int64"),
+        "trend_cents": pd.Series(trends, dtype="int64"),
+        "forecast_cents": pd.Series(
+            [lv + tr for lv, tr in zip(levels, trends)], dtype="int64"
+        ),
+    })
+
+
+SQL_ORDERS_DAILY_HOLT = f"""
+WITH RECURSIVE d AS (
+  SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS revenue_cents
+  FROM orders GROUP BY 1
+),
+r AS (
+  SELECT day, revenue_cents, row_number() OVER (ORDER BY day) AS rn FROM d
+),
+h AS (
+  SELECT day, revenue_cents, rn,
+         revenue_cents AS l, CAST(0 AS BIGINT) AS b
+  FROM r WHERE rn = 1
+  UNION ALL
+  SELECT r.day, r.revenue_cents, r.rn,
+         CAST(({HOLT_A_NUM} * r.revenue_cents
+               + {HOLT_A_DEN - HOLT_A_NUM} * (h.l + h.b)) // {HOLT_A_DEN}
+              AS BIGINT),
+         CAST(({HOLT_B_NUM} * (({HOLT_A_NUM} * r.revenue_cents
+                                + {HOLT_A_DEN - HOLT_A_NUM} * (h.l + h.b))
+                               // {HOLT_A_DEN} - h.l)
+               + {HOLT_B_DEN - HOLT_B_NUM} * h.b) // {HOLT_B_DEN}
+              AS BIGINT)
+  FROM h JOIN r ON r.rn = h.rn + 1
+)
+SELECT day, revenue_cents, l AS level_cents, b AS trend_cents,
+       CAST(l + b AS BIGINT) AS forecast_cents
+FROM h
+"""

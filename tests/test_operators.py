@@ -4565,3 +4565,39 @@ class TestOrdersDailyGapfill:
         b = out.loc["B"]
         assert b.loc["1995-01-04", "revenue_cents"] == 500    # carried 3 days
         assert b.loc["1995-01-04", "filled"] == 1
+
+
+class TestOrdersDailyHolt:
+    def test_trend_state_tracks_a_ramp(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from service1_text_extraction_ray.pipelines.relational import (
+            q_orders_daily_holt,
+        )
+
+        # strictly increasing revenue: trend must go positive and the
+        # forecast must sit ABOVE the level (EWMA can't express this)
+        days = pd.date_range("1995-01-01", periods=10, freq="D")
+        t = pa.table({
+            "o_orderkey": pa.array(range(10), pa.int64()),
+            "o_custkey": pa.array([1] * 10, pa.int64()),
+            "o_orderstatus": pa.array(["O"] * 10),
+            "o_totalprice": pa.array([100.0 * (i + 1) for i in range(10)]),
+            "o_orderdate": pa.array(days, pa.timestamp("us")),
+            "o_orderpriority": pa.array(["A"] * 10),
+        })
+        d = tmp_path / "sf"
+        d.mkdir(exist_ok=True)
+        pq.write_table(t, str(d / "orders.parquet"))
+        out = q_orders_daily_holt(str(d))
+        assert (out["trend_cents"].iloc[3:] > 0).all()
+        assert (out["forecast_cents"].iloc[3:]
+                > out["level_cents"].iloc[3:]).all()
+
+    def test_truncating_division_on_downtrend(self, ray_session):
+        from service1_text_extraction_ray.pipelines.relational import _trunc_div
+
+        assert _trunc_div(-7, 2) == -3   # DuckDB //
+        assert (-7) // 2 == -4           # Python // — the divergence pinned
+        assert _trunc_div(7, 2) == 3
+        assert _trunc_div(0, 8) == 0
