@@ -10762,3 +10762,51 @@ SELECT CAST(tpq.c + fnq.c AS BIGINT) AS n_exact,
          AS recall_micro
 FROM tpq, fpq, fnq
 """
+
+
+# ---------------------------------------------------------------------------
+# ANN evaluation: measured top-K recall of the approximate indexes against
+# exact brute-force cosine
+# ---------------------------------------------------------------------------
+
+def q_ann_recall(sf_dir: str) -> pd.DataFrame:
+    """Recall@K of the two approximate-nearest-neighbor paths (IVF probe and
+    LSH bucket filter) against the exact brute-force top-K for the fixed
+    benchmark query — the companion gate to q_dedup_lsh_recall on the
+    retrieval side: the approximate index you deploy at 10^9 vectors is
+    chosen by THIS number per corpus, not by the structure's reputation.
+    All three rankings are existing verified pipelines; each result is
+    K = 10 ids (driver-scale by definition), so the overlap is a set
+    intersection of constant-size results — the corpus-side work stays
+    inside the three distributed queries. Oracle composes the three SQL
+    replays with INTERSECT."""
+    def _ids(res) -> set:
+        df = res.to_pandas() if hasattr(res, "to_pandas") else res
+        return set(df["vec_id"].astype(int))
+
+    exact = _ids(q_knn_cosine(sf_dir))
+    out = []
+    for method, q in (("ivf", q_ann_ivf), ("lsh", q_ann_lsh)):
+        got = _ids(q(sf_dir))
+        hits = len(got & exact)
+        out.append({"method": method, "hits": hits,
+                    "recall_micro": (hits * 1_000_000) // max(1, len(exact))})
+    return pd.DataFrame(out).astype({"hits": "int64", "recall_micro": "int64"})
+
+
+def sql_ann_recall() -> str:
+    return f"""
+WITH ex AS (SELECT vec_id FROM ({sql_knn_cosine()})),
+ivf AS (SELECT vec_id FROM ({sql_ann_ivf()})),
+lsh AS (SELECT vec_id FROM ({sql_ann_lsh()})),
+n AS (SELECT count(*) AS k FROM ex),
+hi AS (SELECT count(*) AS h FROM (SELECT vec_id FROM ivf INTERSECT SELECT vec_id FROM ex)),
+hl AS (SELECT count(*) AS h FROM (SELECT vec_id FROM lsh INTERSECT SELECT vec_id FROM ex))
+SELECT 'ivf' AS method, CAST(hi.h AS BIGINT) AS hits,
+       CAST(hi.h * 1000000 // greatest(1, n.k) AS BIGINT) AS recall_micro
+FROM hi, n
+UNION ALL
+SELECT 'lsh', CAST(hl.h AS BIGINT),
+       CAST(hl.h * 1000000 // greatest(1, n.k) AS BIGINT)
+FROM hl, n
+"""
