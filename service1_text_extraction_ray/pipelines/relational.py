@@ -8994,3 +8994,107 @@ SELECT day, revenue_cents, l AS level_cents, b AS trend_cents,
        CAST(l + b AS BIGINT) AS forecast_cents
 FROM h
 """
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit divergence: a data-quality screen over money columns
+# ---------------------------------------------------------------------------
+
+# round(1e6 * log10(1 + 1/d)) for d = 1..9 — sums to exactly 1,000,000, so
+# the L1 distance below is a clean ppm quantity on both sides.
+BENFORD_PPM = (301030, 176091, 124939, 96910, 79181, 66947, 57992, 51153, 45757)
+
+
+def q_lineitem_benford(sf_dir: str) -> rd.Dataset:
+    """First-significant-digit distribution of l_extendedprice per
+    returnflag vs Benford's law, reported as the exact L1 divergence in ppm
+    (sum over digits of |observed share - Benford share|) — the
+    forensic-accounting data-quality screen run over money columns before
+    trusting a feed (fabricated or truncated price data shifts this number
+    violently; genuinely scale-spanning prices approach 0). Synthetic TPC-H
+    prices are range-uniform, NOT Benford — the screen measures exactly
+    that, which is the point: it is a report, not an assertion.
+
+    The only float is the frozen BENFORD_PPM table (the NDCG-discount
+    trick); observed shares are floor-ppm of exact integer digit counts.
+    Distributed shape: digits come from the DECIMAL STRING of the cents
+    integer (no float log10 in the hot path), per-block (flag, digit)
+    pyarrow partials -> one tiny groupby -> a <= 9-row-per-group final map.
+    Oracle replays digit extraction with substr over the same cents cast."""
+    digits_schema = pa.schema([
+        ("l_returnflag", pa.string()), ("digit", pa.int64()), ("n", pa.int64()),
+    ])
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = _cents(t["l_extendedprice"])
+        first = pc.utf8_slice_codeunits(
+            pc.cast(cents, pa.string()), start=0, stop=1
+        )
+        tmp = pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "digit": pc.cast(first, pa.int64()),
+            "n": pa.array(np.ones(t.num_rows, np.int64)),
+        })
+        g = tmp.group_by(["l_returnflag", "digit"]).aggregate([("n", "sum")])
+        return pa.table({
+            "l_returnflag": g["l_returnflag"], "digit": g["digit"],
+            "n": g["n_sum"],
+        }).cast(digits_schema)
+
+    agg = (
+        _read(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
+        .map_batches(partial, batch_format="pyarrow")
+        .repartition(8)
+        .groupby(["l_returnflag", "digit"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    out_schema = pa.schema([
+        ("l_returnflag", pa.string()), ("n_rows", pa.int64()),
+        ("benford_l1_ppm", pa.int64()),
+    ])
+
+    def finish(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()  # <= 9 digits x 3 flags: result-scale
+        rows = []
+        for flag, g in df.groupby("l_returnflag", sort=False):
+            cnt = dict(zip(g["digit"].astype(int), g["n"].astype(int)))
+            n = sum(cnt.values())
+            dist = sum(
+                abs((cnt.get(d, 0) * 1_000_000) // n - BENFORD_PPM[d - 1])
+                for d in range(1, 10)
+            )
+            rows.append({"l_returnflag": str(flag), "n_rows": n,
+                         "benford_l1_ppm": dist})
+        if not rows:
+            return out_schema.empty_table()
+        return pa.Table.from_pylist(rows, schema=out_schema)
+
+    # the aggregate is <= 27 rows; one final task folds it (repartition(1)
+    # keeps the fold deterministic and single-tasked)
+    return agg.repartition(1).map_batches(finish, batch_format="pyarrow")
+
+
+def sql_lineitem_benford() -> str:
+    tbl = ", ".join(f"({d}, {p})" for d, p in enumerate(BENFORD_PPM, start=1))
+    return f"""
+WITH c AS (
+  SELECT l_returnflag,
+         CAST(substr(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+                          AS VARCHAR), 1, 1) AS BIGINT) AS digit
+  FROM lineitem
+),
+h AS (
+  SELECT l_returnflag, digit, CAST(count(*) AS BIGINT) AS n
+  FROM c GROUP BY 1, 2
+),
+tot AS (SELECT l_returnflag, CAST(sum(n) AS BIGINT) AS n_rows FROM h GROUP BY 1),
+bf(digit, ppm) AS (VALUES {tbl})
+SELECT t.l_returnflag, t.n_rows,
+       CAST(sum(abs(coalesce(h.n, 0) * 1000000 // t.n_rows - bf.ppm))
+            AS BIGINT) AS benford_l1_ppm
+FROM tot t
+CROSS JOIN bf
+LEFT JOIN h ON h.l_returnflag = t.l_returnflag AND h.digit = bf.digit
+GROUP BY 1, 2
+"""

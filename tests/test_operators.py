@@ -4601,3 +4601,37 @@ class TestOrdersDailyHolt:
         assert (-7) // 2 == -4           # Python // — the divergence pinned
         assert _trunc_div(7, 2) == 3
         assert _trunc_div(0, 8) == 0
+
+
+class TestLineitemBenford:
+    def test_benford_sample_scores_near_zero_uniform_far(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from service1_text_extraction_ray.pipelines.relational import (
+            BENFORD_PPM,
+            q_lineitem_benford,
+        )
+
+        # flag A: prices whose first digits FOLLOW Benford proportions out
+        # of 1000 rows; flag B: all the same leading digit (worst case)
+        prices, flags = [], []
+        for d in range(1, 10):
+            n = round(BENFORD_PPM[d - 1] / 1000)  # per-mille counts
+            prices += [float(d)] * n              # d.00 -> cents d00 -> digit d
+            flags += ["A"] * n
+        prices += [5.0] * 100
+        flags += ["B"] * 100
+        t = pa.table({
+            "l_returnflag": pa.array(flags),
+            "l_extendedprice": pa.array(prices, pa.float64()),
+        })
+        d_ = tmp_path / "sf"
+        d_.mkdir(exist_ok=True)
+        pq.write_table(t, str(d_ / "lineitem.parquet"))
+        out = (
+            q_lineitem_benford(str(d_)).to_pandas()
+            .set_index("l_returnflag")["benford_l1_ppm"]
+        )
+        assert out["A"] < 10_000            # ~Benford -> < 1% L1
+        # all-5s: |1e6 - 79181| + (1e6 - 79181) = everything misplaced
+        assert out["B"] > 1_500_000
