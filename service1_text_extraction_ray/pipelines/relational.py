@@ -9098,3 +9098,96 @@ CROSS JOIN bf
 LEFT JOIN h ON h.l_returnflag = t.l_returnflag AND h.digit = bf.digit
 GROUP BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q16 shape: distinct supplier reach per part brand/type, minus an
+# exclusion set
+# ---------------------------------------------------------------------------
+
+def q_part_supplier_reach(sf_dir: str) -> rd.Dataset:
+    """How many DISTINCT suppliers ship each (p_brand, p_type), excluding a
+    denylisted supplier set (negative-acctbal suppliers — the Q16
+    'complaints' stand-in): the assortment-breadth metric behind
+    procurement risk ('how replaceable is this part class?'). Grouped
+    COUNT DISTINCT over a fact ⋈ fact join with an anti-filter.
+
+    Shape: per-block DISTINCT (l_partkey, l_suppkey) pairs pre-shrink the
+    lineitem stream (repeats of a pair inside a block never leave it),
+    denylist is a genuinely small broadcast set (negative-balance suppliers
+    — a filtered sliver of an already dim-scale table; a fact-sized
+    denylist would swap in an anti hash_join, the
+    customers_without_big_orders shape), then ONE co-partitioned hash_join
+    on partkey attaches brand/type with dedup_left=True folding the
+    cross-block pair repeats INSIDE the join's exchange (no separate
+    distinct pass), and a final hash_exchange on (brand, type) counts
+    uniques in-shard."""
+    import pyarrow.dataset as pds
+
+    deny = pd.read_parquet(_pq(sf_dir, "supplier"), columns=["s_suppkey", "s_acctbal"])
+    deny_ids = np.sort(deny.loc[deny["s_acctbal"] < 0, "s_suppkey"].to_numpy(dtype="int64"))
+    deny_ref = ray.put(deny_ids)
+
+    def pair_distinct(t: pa.Table) -> pa.Table:
+        d = ray.get(deny_ref)
+        tmp = pa.table({
+            "l_partkey": t["l_partkey"], "l_suppkey": t["l_suppkey"],
+        })
+        g = tmp.group_by(["l_partkey", "l_suppkey"]).aggregate([])
+        keep = np.isin(
+            g["l_suppkey"].to_numpy(zero_copy_only=False), d,
+            invert=True, assume_unique=False,
+        )
+        return g.filter(pa.array(keep))
+
+    pairs = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"]).map_batches(
+        pair_distinct, batch_format="pyarrow"
+    )
+    part = rd.read_parquet(
+        _pq(sf_dir, "part"), columns=["p_partkey", "p_brand", "p_type"]
+    )
+    joined = hash_join(
+        pairs,
+        part,
+        left_on="l_partkey",
+        right_on="p_partkey",
+        key_type=pa.int64(),
+        left_fields=[pa.field("l_suppkey", pa.int64())],
+        right_fields=[pa.field("p_brand", pa.string()),
+                      pa.field("p_type", pa.string())],
+        dedup_left=True,
+    )
+
+    out_schema = pa.schema([
+        ("p_brand", pa.string()), ("p_type", pa.string()),
+        ("supplier_cnt", pa.int64()),
+    ])
+
+    def count_unique(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        g = (
+            df.groupby(["p_brand", "p_type"])["l_suppkey"]
+            .nunique().reset_index(name="supplier_cnt")
+        )
+        return pa.Table.from_pandas(g, schema=out_schema, preserve_index=False)
+
+    return hash_exchange(
+        joined.map_batches(
+            lambda t: t.select(["p_brand", "p_type", "l_suppkey"]),
+            batch_format="pyarrow",
+        ),
+        ["p_brand", "p_type"],
+        count_unique,
+        out_schema,
+        num_shards=16,
+    )
+
+
+SQL_PART_SUPPLIER_REACH = """
+SELECT p_brand, p_type,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2
+"""
