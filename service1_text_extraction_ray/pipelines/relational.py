@@ -9191,3 +9191,102 @@ JOIN part ON p_partkey = l_partkey
 WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
 GROUP BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# Stream-stream interval join: purchase attributed to preceding clicks
+# ---------------------------------------------------------------------------
+
+SS_JOIN_WINDOW_MIN = 30
+
+
+def q_events_stream_join(sf_dir: str) -> rd.Dataset:
+    """Stream-stream INTERVAL JOIN (the Flink two-stream shape): every
+    (click, purchase) pair of the SAME user where the purchase lands in
+    (click_ts, click_ts + 30 min] — the attribution join that credits
+    conversions to the clicks that preceded them. Both sides are unbounded
+    fact streams, so neither can broadcast; the distributed form is ONE
+    hash_exchange on user_id (both types ride the same exchange — no
+    second shuffle), then per user a vectorized two-pointer/searchsorted
+    sweep: for each purchase, the window [t-30min, t) of the user's sorted
+    click timestamps is one searchsorted pair, and pairs are emitted by
+    expanding the per-purchase count ranges (np.repeat + concatenated
+    aranges) — never a per-pair Python loop. Output: one row per matched
+    pair with the click->purchase latency in seconds; unmatched purchases
+    don't appear (inner semantics; the asof LEFT variant is
+    events_asof_orders). Per-task memory is one shard's events; a
+    pathological single user still lands whole in one task, which is the
+    documented co-location contract (salt the exchange if a user can
+    exceed a task's memory)."""
+    out_schema = pa.schema([
+        pa.field("user_id", pa.int64()),
+        pa.field("click_id", pa.int64()),
+        pa.field("purchase_id", pa.int64()),
+        pa.field("latency_sec", pa.int64()),
+    ])
+    win_us = SS_JOIN_WINDOW_MIN * 60 * 1_000_000
+
+    def shard_join(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        df = t.to_pandas().sort_values(["user_id", "ts", "event_id"],
+                                       kind="mergesort")
+        ts = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        eid = df["event_id"].to_numpy(dtype="int64")
+        et = df["event_type"].to_numpy()
+        uid = df["user_id"].to_numpy(dtype="int64")
+        out_u, out_c, out_p, out_l = [], [], [], []
+        for u, idx in df.groupby("user_id", sort=False).indices.items():
+            m_click = et[idx] == "click"
+            m_buy = et[idx] == "purchase"
+            c_ts, c_id = ts[idx][m_click], eid[idx][m_click]
+            b_ts, b_id = ts[idx][m_buy], eid[idx][m_buy]
+            if not len(c_ts) or not len(b_ts):
+                continue
+            lo = np.searchsorted(c_ts, b_ts - win_us, side="left")
+            hi = np.searchsorted(c_ts, b_ts, side="left")  # strictly before
+            n = hi - lo
+            keep = n > 0
+            if not keep.any():
+                continue
+            reps = n[keep]
+            b_rep = np.repeat(np.arange(len(b_ts))[keep], reps)
+            # concatenated aranges lo[j]..hi[j] for each kept purchase j
+            starts = lo[keep]
+            offs = np.arange(reps.sum()) - np.repeat(
+                np.cumsum(reps) - reps, reps
+            )
+            c_idx = np.repeat(starts, reps) + offs
+            out_u.append(np.full(len(c_idx), u, dtype=np.int64))
+            out_c.append(c_id[c_idx])
+            out_p.append(b_id[b_rep])
+            out_l.append((b_ts[b_rep] - c_ts[c_idx]) // 1_000_000)
+        if not out_u:
+            return out_schema.empty_table()
+        return pa.Table.from_arrays(
+            [pa.array(np.concatenate(out_u)), pa.array(np.concatenate(out_c)),
+             pa.array(np.concatenate(out_p)), pa.array(np.concatenate(out_l))],
+            schema=out_schema,
+        )
+
+    return hash_exchange(
+        _read(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"]),
+        ["user_id"],
+        shard_join,
+        out_schema,
+    )
+
+
+SQL_EVENTS_STREAM_JOIN = f"""
+SELECT c.user_id,
+       c.event_id AS click_id,
+       p.event_id AS purchase_id,
+       CAST(date_diff('microseconds', c.ts, p.ts) // 1000000 AS BIGINT)
+         AS latency_sec
+FROM events c
+JOIN events p
+  ON p.user_id = c.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.ts > c.ts
+ AND p.ts <= c.ts + INTERVAL {SS_JOIN_WINDOW_MIN} MINUTE
+"""

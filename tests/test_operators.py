@@ -4635,3 +4635,44 @@ class TestLineitemBenford:
         assert out["A"] < 10_000            # ~Benford -> < 1% L1
         # all-5s: |1e6 - 79181| + (1e6 - 79181) = everything misplaced
         assert out["B"] > 1_500_000
+
+
+class TestEventsStreamJoin:
+    def _events(self, tmp_path, rows):
+        """rows: (event_id, user_id, type, ts_us)."""
+        import pyarrow.parquet as pq
+
+        t = pa.table({
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[3] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "event_type": pa.array([r[2] for r in rows]),
+            "value": pa.array([1.0] * len(rows), pa.float64()),
+        })
+        d = tmp_path / "sf"
+        d.mkdir(exist_ok=True)
+        pq.write_table(t, str(d / "events.parquet"))
+        return str(d)
+
+    def test_window_boundaries_and_multi_match(self, ray_session, tmp_path):
+        from service1_text_extraction_ray.pipelines.relational import (
+            SS_JOIN_WINDOW_MIN,
+            q_events_stream_join,
+        )
+
+        w = SS_JOIN_WINDOW_MIN * 60 * 1_000_000
+        rows = [
+            (0, 1, "click", 0),            # exactly window-early: INCLUDED
+            (1, 1, "click", w // 2),       # inside: included
+            (2, 1, "click", w),            # same instant as purchase: EXCLUDED
+            (3, 1, "purchase", w),
+            (4, 1, "click", w + 1),        # after purchase: excluded
+            (5, 2, "click", 0),            # other user: never joins user 1
+            (6, 2, "purchase", 10 * w),    # out of window for its own click
+        ]
+        out = q_events_stream_join(self._events(tmp_path, rows)).to_pandas()
+        got = set(map(tuple, out[["click_id", "purchase_id"]].values))
+        assert got == {(0, 3), (1, 3)}
+        lat = out.set_index("click_id")["latency_sec"]
+        assert lat[0] == w // 1_000_000
+        assert lat[1] == (w - w // 2) // 1_000_000
