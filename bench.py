@@ -197,7 +197,7 @@ QUERY_NAMES = [
     "quality_auc", "corpus_mix_plan", "search_ndcg", "host_sssp",
     "nation_market_share", "events_cusum", "host_trustrank",
     "orders_daily_gapfill", "dedup_lsh_recall", "orders_daily_holt", "ann_recall", "lineitem_benford",
-    "part_supplier_reach", "events_stream_join",
+    "part_supplier_reach", "events_stream_join", "extract_pdf_structure",
 ]
 
 

@@ -1348,6 +1348,8 @@ class Span:
     y: float
     size: float
     font: str
+    mcid: Optional[int] = None  # innermost marked-content id (§14.6), for
+                                # the logical-structure walk; None untagged
 
 
 _MAX_FORM_DEPTH = 8  # Do-recursion bound (cyclic form refs must not hang)
@@ -1379,9 +1381,11 @@ def _interpret_text(
     spans: List[Span] = []
     stack: List[Any] = []
     in_array: Optional[List[Any]] = None
-    # marked-content nesting (§14.6): one bool per open BMC/BDC scope;
-    # any True (an OFF optional-content /OC mark) suppresses span output
-    mc_stack: List[bool] = []
+    # marked-content nesting (§14.6): one (hidden, mcid) per open BMC/BDC
+    # scope; any hidden=True (an OFF optional-content /OC mark) suppresses
+    # span output, and the innermost non-None mcid tags emitted spans for
+    # the logical-structure (tagged-PDF) walk
+    mc_stack: List[Tuple[bool, Optional[int]]] = []
 
     # Text state (only the translation components of the matrices matter for
     # the subset: no rotation/skew in fixtures; scale from Tm a/d applied to x/y).
@@ -1394,7 +1398,7 @@ def _interpret_text(
 
     def emit(raw: bytes) -> None:
         nonlocal cx
-        if not raw or any(mc_stack):
+        if not raw or any(h for h, _ in mc_stack):
             return
         cmap = cid_fonts.get(font) if cid_fonts else None
         if cmap is not None:
@@ -1412,7 +1416,11 @@ def _interpret_text(
                 text = raw.decode("latin-1")
         if not text:
             return
-        spans.append(Span(text=text, x=cx, y=cy, size=size, font=font))
+        mcid = next(
+            (m for _, m in reversed(mc_stack) if m is not None), None
+        )
+        spans.append(Span(text=text, x=cx, y=cy, size=size, font=font,
+                          mcid=mcid))
         cx += GLYPH_WIDTH_FACTOR * size * len(text)
 
     def newline() -> None:
@@ -1490,21 +1498,29 @@ def _interpret_text(
                         elif isinstance(el, float):
                             cx += -el / 1000.0 * size
             elif op == b"BMC":
-                mc_stack.append(False)
+                mc_stack.append((False, None))
             elif op == b"BDC":
                 # /OC /name BDC hides the scope when the name resolves to
-                # an OFF optional-content group; any other tag (or an
-                # inline-dict property) stays visible
+                # an OFF optional-content group; a <</MCID n>> property
+                # dict tags the scope for the structure tree; any other
+                # tag stays visible and untagged
                 hid = False
-                if hidden_ocs and len(stack) >= 2:
+                mcid: Optional[int] = None
+                if len(stack) >= 2:
                     tag, props = stack[-2], stack[-1]
                     if (
-                        isinstance(tag, bytes) and tag == b"/OC"
+                        hidden_ocs
+                        and isinstance(tag, bytes) and tag == b"/OC"
                         and isinstance(props, bytes)
+                        and not props.startswith(b"<<")
                         and props.decode("latin-1").lstrip("/") in hidden_ocs
                     ):
                         hid = True
-                mc_stack.append(hid)
+                    if isinstance(props, bytes) and props.startswith(b"<<"):
+                        mm = re.search(rb"/MCID\s+(\d+)", props)
+                        if mm is not None:
+                            mcid = int(mm.group(1))
+                mc_stack.append((hid, mcid))
             elif op == b"EMC":
                 if mc_stack:
                     mc_stack.pop()
@@ -1515,7 +1531,7 @@ def _interpret_text(
                 fname = stack[-1]
                 if xobjects and isinstance(fname, bytes) and _depth < _MAX_FORM_DEPTH:
                     form = xobjects.get(fname.decode("latin-1").lstrip("/"))
-                    if form is not None and not any(mc_stack):
+                    if form is not None and not any(h for h, _ in mc_stack):
                         spans.extend(
                             _interpret_text(form, cid_fonts, xobjects,
                                             _depth + 1, simple_encodings,
@@ -2493,6 +2509,125 @@ class PdfDocument:
         if getattr(self, "_root", None) is None:
             self._root = _find_root(self._payload, self._objects)
         return True
+
+    def structure(self) -> List[Tuple[int, str, str]]:
+        """Logical structure (tagged PDF, ISO 32000-1 §14.7-14.8):
+        ``(index, role, text)`` per structure element in depth-first
+        reading order. Roles pass through /RoleMap (one level — custom
+        role -> standard); element text is the concatenation of the spans
+        carrying the element's marked-content ids (/K integers), in /K
+        order. Content OUTSIDE any structure element (/Artifact page
+        chrome) never appears here even though plain extraction keeps it —
+        the reading-order/accessibility view of the document. Empty for
+        untagged PDFs. Subset: MCIDs resolve against the element's /Pg
+        page (fixtures: every page), leaf /K forms int | ref | array of
+        ints/refs."""
+        if self._root is None:
+            return []
+        root = self._objects.get(self._root)
+        if root is None:
+            return []
+        m = re.search(rb"/StructTreeRoot\s+(\d+)\s+\d+\s+R", root.dict_bytes)
+        if m is None:
+            return []
+        st = self._objects.get(int(m.group(1)))
+        if st is None:
+            return []
+        rolemap: Dict[bytes, bytes] = {}
+        rm = re.search(rb"/RoleMap\s*(<<|\d+\s+\d+\s+R)", st.dict_bytes)
+        if rm is not None:
+            rmd = _resolve_dict(self._objects, st.dict_bytes, rm)
+            if rmd is not None:
+                for a, b in re.findall(
+                    rb"/([^\s/<>\[\]()]+)\s*/([^\s/<>\[\]()]+)", rmd
+                ):
+                    rolemap[a] = b
+
+        # mcid -> text, per page index (subset: fixture pages are unique
+        # owners of their mcids; /Pg selects the page). A broken page tree
+        # means no MCID can resolve: empty structure, not an exception
+        # (the inventory-method totality contract).
+        try:
+            page_nums = _page_order(self._objects, self._root)
+        except PdfParseError:
+            return []
+        cfm = self._encrypt.cfm if self._encrypt is not None else "V2"
+        off_ocgs = _doc_off_ocgs(self._objects, self._root)
+        by_page: Dict[int, Dict[int, str]] = {}
+        for pnum, _rot, _box, resources in page_nums:
+            texts: Dict[int, str] = {}
+            try:
+                content = _content_bytes(
+                    self._objects, self._objects[pnum], self._file_key, cfm=cfm
+                )
+                spans = _interpret_text(
+                    content,
+                    _page_cid_fonts(self._objects, resources, self._file_key, cfm)
+                    or None,
+                    _page_form_xobjects(self._objects, resources, self._file_key, cfm)
+                    or None,
+                    simple_encodings=_page_simple_encodings(self._objects, resources)
+                    or None,
+                    hidden_ocs=_page_hidden_ocs(self._objects, resources, off_ocgs)
+                    or None,
+                )
+            except PdfParseError:
+                spans = []
+            for sp in spans:
+                if sp.mcid is not None:
+                    texts[sp.mcid] = texts.get(sp.mcid, "") + sp.text
+            by_page[pnum] = texts
+
+        def k_items(dict_bytes: bytes) -> List[Tuple[str, int]]:
+            """Parse /K: ('ref', obj) | ('mcid', n) items in order."""
+            km = re.search(
+                rb"/K\s*(\[[^\]]*\]|\d+\s+\d+\s+R|\d+)", dict_bytes
+            )
+            if km is None:
+                return []
+            body = km.group(1)
+            if body.startswith(b"["):
+                body = body[1:-1]
+            items: List[Tuple[str, int]] = []
+            for mm in re.finditer(rb"(\d+)\s+\d+\s+R|(\d+)", body):
+                if mm.group(1) is not None:
+                    items.append(("ref", int(mm.group(1))))
+                else:
+                    items.append(("mcid", int(mm.group(2))))
+            return items
+
+        out: List[Tuple[int, str, str]] = []
+        seen: set = set()
+
+        def walk(num: int) -> None:
+            if num in seen or len(seen) > 10_000:  # cyclic/huge tree guard
+                return
+            seen.add(num)
+            obj = self._objects.get(num)
+            if obj is None:
+                return
+            sm = re.search(rb"/S\s*/([^\s/<>\[\]()]+)", obj.dict_bytes)
+            role_raw = sm.group(1) if sm is not None else b""
+            role = rolemap.get(role_raw, role_raw).decode("latin-1")
+            pg = re.search(rb"/Pg\s+(\d+)\s+\d+\s+R", obj.dict_bytes)
+            pnum = int(pg.group(1)) if pg is not None else (
+                page_nums[0][0] if page_nums else -1
+            )
+            texts = by_page.get(pnum, {})
+            mcids = [n for kind, n in k_items(obj.dict_bytes) if kind == "mcid"]
+            if mcids:
+                out.append((
+                    len(out), role,
+                    "".join(texts.get(n, "") for n in mcids),
+                ))
+            for kind, n in k_items(obj.dict_bytes):
+                if kind == "ref":
+                    walk(n)
+
+        for kind, n in k_items(st.dict_bytes):
+            if kind == "ref":
+                walk(n)
+        return out
 
     def extract_pages(self, max_pages: Optional[int] = None) -> List[PdfPage]:
         """Pages in document order (text + layout tree).

@@ -1907,3 +1907,51 @@ def make_pdf_annot_doc(doc_id: int, source: str, lang: str) -> tuple[bytes, str]
         + b"trailer << /Root 1 0 R >>\n%%EOF\n"
     )
     return pdf, url
+
+
+def make_pdf_tagged_doc(doc_id: int, source: str) -> tuple[bytes, str]:
+    """Deterministic TAGGED PDF (logical structure, ISO 32000-1 §14.7) —
+    fixture for PdfDocument.structure(). 2 + doc_id%3 structure elements:
+    an H1 title then paragraphs whose roles alternate /Para (mapped to /P
+    via /RoleMap) and /P directly. An /Artifact BMC page-number span and a
+    completely unmarked span are present in the CONTENT (plain extraction
+    keeps them) but belong to no structure element, so the structure walk
+    must drop both."""
+    url = f"https://{source}.example.com/tagged/{doc_id}"
+    n_para = 1 + (2 + doc_id % 3) - 1  # elements beyond the H1
+    parts = [
+        f"/H1 <</MCID 0>> BDC BT /F1 16 Tf 72 720 Td (Title {doc_id}) Tj ET EMC"
+    ]
+    for i in range(1, n_para):
+        parts.append(
+            f"/P <</MCID {i}>> BDC BT /F1 12 Tf 72 {720 - 24 * i} Td "
+            f"(Para {doc_id}-{i}) Tj ET EMC"
+        )
+    parts.append("/Artifact BMC BT /F1 8 Tf 280 40 Td (Page 1) Tj ET EMC")
+    parts.append("BT /F1 8 Tf 400 40 Td (loose) Tj ET")
+    content = "\n".join(parts).encode()
+
+    elems = []
+    kid_refs = " ".join(f"{20 + i} 0 R" for i in range(n_para))
+    for i in range(n_para):
+        role = "/H1" if i == 0 else ("/Para" if i % 2 == 1 else "/P")
+        elems.append(
+            f"{20 + i} 0 obj << /S {role} /K {i} /Pg 3 0 R >> endobj\n".encode()
+        )
+    pdf = (
+        b"%PDF-1.7\n"
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R /MarkInfo << /Marked true >> "
+        b"/StructTreeRoot 10 0 R >> endobj\n"
+        b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n"
+        b"3 0 obj << /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >> endobj\n"
+        b"4 0 obj << /Length " + str(len(content)).encode() + b" >>\n"
+        b"stream\n" + content + b"\nendstream endobj\n"
+        b"5 0 obj << /Type /Font /Subtype /Type1 /BaseFont /Helvetica >> endobj\n"
+        b"10 0 obj << /Type /StructTreeRoot /K 11 0 R "
+        b"/RoleMap << /Para /P >> >> endobj\n"
+        b"11 0 obj << /S /Document /K [" + kid_refs.encode() + b"] >> endobj\n"
+        + b"".join(elems) +
+        b"trailer << /Root 1 0 R >>\n%%EOF\n"
+    )
+    return pdf, url

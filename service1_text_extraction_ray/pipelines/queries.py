@@ -10810,3 +10810,51 @@ SELECT 'lsh', CAST(hl.h AS BIGINT),
        CAST(hl.h * 1000000 // greatest(1, n.k) AS BIGINT)
 FROM hl, n
 """
+
+
+def q_extract_pdf_structure(sf_dir: str) -> rd.Dataset:
+    """Tagged-PDF logical structure (ISO 32000-1 §14.7): one row per
+    structure element in depth-first reading order with its mapped role
+    and marked-content text — the accessibility/reading-order view a
+    layout-aware corpus builder prefers over raw span order (and the
+    channel through which /Artifact page chrome is EXCLUDED by the
+    author's own markup rather than by heuristics). The fixture plants an
+    /Artifact page number and an unmarked span that plain extraction keeps;
+    the oracle pins that neither ever appears in a structure row, that
+    /RoleMap is applied (custom /Para maps to /P), and that the element
+    order replays exactly. Pure per-batch map."""
+    from ..functions.pdf_extract import PdfDocument
+    from ..functions.synth import make_pdf_tagged_doc
+
+    out_schema = pa.schema([
+        ("doc_id", pa.int64()), ("idx", pa.int64()),
+        ("role", pa.string()), ("text", pa.string()),
+    ])
+
+    def f(t: pa.Table) -> pa.Table:
+        rows = []
+        for d, src in zip(t["doc_id"].to_pylist(), t["source"].to_pylist()):
+            pdf, _ = make_pdf_tagged_doc(int(d), src)
+            for idx, role, text in PdfDocument(pdf).structure():
+                rows.append({"doc_id": int(d), "idx": idx,
+                             "role": role, "text": text})
+        if not rows:
+            return out_schema.empty_table()
+        return pa.Table.from_pylist(rows, schema=out_schema)
+
+    return _read(sf_dir, "documents", ["doc_id", "source"]).map_batches(
+        f, batch_format="pyarrow"
+    )
+
+
+SQL_EXTRACT_PDF_STRUCTURE = """
+WITH g AS (
+  SELECT doc_id, unnest(generate_series(0, 1 + doc_id % 3)) AS idx
+  FROM documents
+)
+SELECT doc_id, CAST(idx AS BIGINT) AS idx,
+       CASE WHEN idx = 0 THEN 'H1' ELSE 'P' END AS role,
+       CASE WHEN idx = 0 THEN 'Title ' || doc_id
+            ELSE 'Para ' || doc_id || '-' || idx END AS text
+FROM g
+"""

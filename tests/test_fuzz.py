@@ -357,3 +357,24 @@ def test_layers_total_on_mutated_ocg_doc(pos, val):
         doc.extract_pages()  # hidden-OC suppression must not crash outside
     except PdfParseError:
         pass  # ...the counted-failure contract (poison doc -> failure row)
+
+
+@settings(max_examples=40, deadline=None)
+@given(pos=st.integers(min_value=0, max_value=900), val=st.integers(0, 255))
+def test_structure_total_on_mutated_tagged_doc(pos, val):
+    from service1_text_extraction_ray.functions.pdf_extract import (
+        PdfDocument,
+        PdfParseError,
+    )
+    from service1_text_extraction_ray.functions.synth import make_pdf_tagged_doc
+
+    pdf, _ = make_pdf_tagged_doc(2, "src1")
+    pos = min(pos, len(pdf) - 1)
+    mutated = pdf[:pos] + bytes([val]) + pdf[pos + 1:]
+    try:
+        doc = PdfDocument(mutated)
+    except PdfParseError:
+        return
+    s = doc.structure()
+    assert isinstance(s, list)
+    assert doc.structure() == s  # deterministic

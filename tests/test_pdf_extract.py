@@ -1106,3 +1106,38 @@ class TestLayers:
 
         pdf, _ = make_pdf_font_doc(1, "s")
         assert PdfDocument(pdf).layers() == []
+
+
+class TestStructure:
+    def test_reading_order_roles_and_chrome_drop(self):
+        from service1_text_extraction_ray.functions.pdf_extract import (
+            PdfDocument,
+            parse_pdf,
+        )
+        from service1_text_extraction_ray.functions.synth import make_pdf_tagged_doc
+
+        pdf, _ = make_pdf_tagged_doc(1, "s")
+        st = PdfDocument(pdf).structure()
+        assert st == [
+            (0, "H1", "Title 1"), (1, "P", "Para 1-1"), (2, "P", "Para 1-2"),
+        ]  # /Para mapped to /P via /RoleMap; /Artifact + unmarked dropped
+        text = parse_pdf(pdf)[0].text
+        assert "Page 1" in text and "loose" in text  # plain extraction keeps both
+
+    def test_untagged_pdf_is_empty(self):
+        from service1_text_extraction_ray.functions.pdf_extract import PdfDocument
+        from service1_text_extraction_ray.functions.synth import make_pdf_ocg_doc
+
+        pdf, _ = make_pdf_ocg_doc(3, "s")
+        assert PdfDocument(pdf).structure() == []
+
+    def test_cyclic_struct_tree_terminates(self):
+        from service1_text_extraction_ray.functions.pdf_extract import PdfDocument
+        from service1_text_extraction_ray.functions.synth import make_pdf_tagged_doc
+
+        pdf, _ = make_pdf_tagged_doc(0, "s")
+        # point the Document element's kid list back at itself
+        pdf = pdf.replace(b"/S /Document /K [20 0 R 21 0 R]",
+                          b"/S /Document /K [11 0 R 20 0 R 21 0 R]")
+        st = PdfDocument(pdf).structure()
+        assert (0, "H1", "Title 0") in st  # still emits, never hangs
