@@ -5426,3 +5426,106 @@ SELECT d.dcg_micro, i.idcg_micro,
             END AS BIGINT) AS ndcg_micro
 FROM d, i
 """
+
+
+# ---------------------------------------------------------------------------
+# Lexical diversity: exact Simpson concentration of the vocabulary per lang
+# ---------------------------------------------------------------------------
+
+def q_corpus_simpson(sf_dir: str) -> pd.DataFrame:
+    """Exact Simpson concentration of each language's token distribution —
+    sum over vocabulary of c(c-1) / (N(N-1)), the collision probability of
+    two random tokens — plus its inverse view (effective vocabulary size).
+    The repetition/diversity health metric a corpus report pairs with
+    Zipf fit: rising Simpson = the corpus is collapsing onto few types
+    (template spam, boilerplate floods) even while raw token counts look
+    fine. Exact integers end to end: c(c-1) partials are int64, the final
+    ratio is bigint floor parts-per-billion.
+
+    Shape: per-block (lang, token, count) pyarrow partials, ONE
+    hash_exchange on (lang, token) — every token's global count assembles
+    in exactly one shard, which then emits ONE row per lang (N partial,
+    distinct partial, sum c(c-1) partial); the driver folds #shards x
+    #langs tiny rows. Vocabulary-scale data crosses the wire once; text
+    never does."""
+    from .relational import hash_exchange
+
+    tok_schema = pa.schema([
+        ("lang", pa.string()), ("token", pa.string()), ("n", pa.int64()),
+    ])
+
+    def tok_partial(df: pd.DataFrame) -> pa.Table:
+        rows: dict = {}
+        for lang, text in zip(df["lang"], df["text"].fillna("")):
+            for t in _tokens(text):
+                k = (lang, t)
+                rows[k] = rows.get(k, 0) + 1
+        if not rows:
+            return tok_schema.empty_table()
+        return pa.Table.from_pylist(
+            [{"lang": k[0], "token": k[1], "n": v} for k, v in rows.items()],
+            schema=tok_schema,
+        )
+
+    part_schema = pa.schema([
+        ("lang", pa.string()), ("n_tokens", pa.int64()),
+        ("n_distinct", pa.int64()), ("sum_c2", pa.int64()),
+    ])
+
+    def shard_fold(t: pa.Table) -> pa.Table:
+        g = t.group_by(["lang", "token"]).aggregate([("n", "sum")])
+        df = pa.table({
+            "lang": g["lang"],
+            "c": g["n_sum"],
+        }).to_pandas()
+        out = []
+        for lang, gg in df.groupby("lang", sort=False):
+            c = gg["c"].to_numpy(dtype="int64")
+            out.append({"lang": str(lang), "n_tokens": int(c.sum()),
+                        "n_distinct": len(c),
+                        "sum_c2": int((c * (c - 1)).sum())})
+        return pa.Table.from_pylist(out, schema=part_schema)
+
+    parts = hash_exchange(
+        _read(sf_dir, "documents", ["lang", "text"]).map_batches(
+            tok_partial, batch_format="pandas"
+        ),
+        ["lang", "token"],
+        shard_fold,
+        part_schema,
+        num_shards=16,
+    ).to_pandas()
+    h = parts.groupby("lang", as_index=False).sum().sort_values("lang")
+    rows = []
+    for lang, n, v, s2 in zip(h["lang"], h["n_tokens"], h["n_distinct"], h["sum_c2"]):
+        n, s2 = int(n), int(s2)
+        ppb = 0 if n < 2 else (s2 * 1_000_000_000) // (n * (n - 1))
+        rows.append({"lang": str(lang), "n_tokens": n, "n_distinct": int(v),
+                     "sum_c2": s2, "simpson_ppb": ppb})
+    return pd.DataFrame(rows).astype({
+        "n_tokens": "int64", "n_distinct": "int64",
+        "sum_c2": "int64", "simpson_ppb": "int64",
+    })
+
+
+SQL_CORPUS_SIMPSON = """
+WITH tok AS (
+  SELECT lang,
+         unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))
+           AS token
+  FROM documents
+),
+c AS (SELECT lang, token, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY 1, 2),
+a AS (
+  SELECT lang, CAST(sum(n) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS n_distinct,
+         CAST(sum(n * (n - 1)) AS BIGINT) AS sum_c2
+  FROM c GROUP BY 1
+)
+SELECT lang, n_tokens, n_distinct, sum_c2,
+       CAST(CASE WHEN n_tokens < 2 THEN 0
+                 ELSE CAST(sum_c2 AS HUGEINT) * 1000000000
+                      // (CAST(n_tokens AS HUGEINT) * (n_tokens - 1)) END
+            AS BIGINT) AS simpson_ppb
+FROM a
+"""

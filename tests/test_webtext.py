@@ -1922,3 +1922,45 @@ class TestSearchNdcg:
         assert out["dcg_micro"].iloc[0] == want
         assert out["idcg_micro"].iloc[0] == want
         assert out["ndcg_micro"].iloc[0] == 1_000_000
+
+
+class TestCorpusSimpson:
+    def test_uniform_vs_collapsed(self, ray_session, tmp_path):
+        from service1_text_extraction_ray.pipelines.webtext import q_corpus_simpson
+
+        # en: 4 distinct tokens once each -> sum_c2 = 0 -> Simpson 0
+        # de: one token repeated 4 times -> collision prob 1.0
+        rows = [("a b c d", "en"), ("x x x x", "de")]
+        out = q_corpus_simpson(_docs_lang(tmp_path, rows)).set_index("lang")
+        assert out.loc["en", "sum_c2"] == 0
+        assert out.loc["en", "simpson_ppb"] == 0
+        assert out.loc["de", "n_distinct"] == 1
+        assert out.loc["de", "simpson_ppb"] == 1_000_000_000
+
+    def test_cross_block_token_counts_merge(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from service1_text_extraction_ray.pipelines.webtext import q_corpus_simpson
+
+        # the same token split across two parquet FILES (hence blocks):
+        # global count must assemble to 4 (sum_c2 = 12), not 2+2 (2+2=4)
+        d = tmp_path / "sf"
+        d.mkdir(exist_ok=True)
+        for i in range(2):
+            t = pa.Table.from_pylist(
+                [{"doc_id": i, "text": "tok tok", "lang": "en"}]
+            )
+            pq.write_table(t, str(d / f"documents_{i}.parquet"))
+        import os
+        os.rename(str(d / "documents_0.parquet"), str(d / "documents.parquet"))
+        # ray read_parquet of the dir file: _read targets documents.parquet
+        # only, so append the second file's rows into one file with 2 row
+        # groups instead
+        t = pa.Table.from_pylist(
+            [{"doc_id": 0, "text": "tok tok", "lang": "en"},
+             {"doc_id": 1, "text": "tok tok", "lang": "en"}]
+        )
+        pq.write_table(t, str(d / "documents.parquet"), row_group_size=1)
+        out = q_corpus_simpson(str(d)).set_index("lang")
+        assert out.loc["en", "n_tokens"] == 4
+        assert out.loc["en", "sum_c2"] == 4 * 3  # one type, c=4
