@@ -198,7 +198,7 @@ QUERY_NAMES = [
     "nation_market_share", "events_cusum", "host_trustrank",
     "orders_daily_gapfill", "dedup_lsh_recall", "orders_daily_holt", "ann_recall", "lineitem_benford",
     "part_supplier_reach", "events_stream_join", "extract_pdf_structure",
-    "corpus_simpson",
+    "corpus_simpson", "orders_pareto",
 ]
 
 

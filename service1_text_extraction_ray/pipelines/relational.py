@@ -9290,3 +9290,139 @@ JOIN events p
  AND p.ts > c.ts
  AND p.ts <= c.ts + INTERVAL {SS_JOIN_WINDOW_MIN} MINUTE
 """
+
+
+# ---------------------------------------------------------------------------
+# Pareto revenue concentration: top-20%-of-customers share, selection by
+# histogram refinement (no global sort)
+# ---------------------------------------------------------------------------
+
+def q_orders_pareto(sf_dir: str) -> pd.DataFrame:
+    """The 80/20 report: what share of total order revenue comes from the
+    top 20% of customers — the concentration number behind account
+    prioritization and whale-risk dashboards. Needs the k-th LARGEST
+    per-customer revenue (k = n/5) as a threshold, which naively is a
+    global sort of the customer aggregate; here it is distributed
+    SELECTION by iterative histogram refinement (the
+    order_price_median_select machinery pointed at a rank instead of the
+    median): each round one map over the customer-grain aggregate emits
+    512-bucket count partials for the current candidate range, the driver
+    walks cumulative counts from the top, and the range narrows ~512x per
+    round until an exact value-count pass reads the threshold off <= 8192
+    candidates. Ties at the threshold are counted exactly (top_cents =
+    sum(rev > t) + (k - cnt(rev > t)) * t — the SQL row_number semantics).
+    Every exchange is histogram partials; per-customer rows never sort and
+    never gather."""
+    cust_schema = pa.schema([("cents", pa.int64())])
+
+    def cust_partial(t: pa.Table) -> pa.Table:
+        tmp = pa.table({
+            "o_custkey": t["o_custkey"], "cents": _cents(t["o_totalprice"]),
+        })
+        g = tmp.group_by("o_custkey").aggregate([("cents", "sum")])
+        return pa.table({"o_custkey": g["o_custkey"], "cents": g["cents_sum"]})
+
+    cust = (
+        _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+        .map_batches(cust_partial, batch_format="pyarrow")
+        .repartition(8)
+        .groupby("o_custkey")
+        .aggregate(Sum("cents", alias_name="cents"))
+        .map_batches(lambda t: pa.table({"cents": t["cents"]}).cast(cust_schema),
+                     batch_format="pyarrow")
+        .materialize()
+    )
+    n = cust.count()
+    total = int(cust.sum("cents"))
+    k = max(1, n // 5)
+    lo, hi = int(cust.min("cents")), int(cust.max("cents"))
+
+    def hist_counts(lo_: int, hi_: int, width: int) -> np.ndarray:
+        def f(t: pa.Table) -> pa.Table:
+            v = t["cents"].to_numpy(zero_copy_only=False)
+            v = v[(v >= lo_) & (v <= hi_)]
+            b = np.minimum((v - lo_) // width, 511)
+            return pa.table({"bucket": pa.array(np.arange(512, dtype=np.int64)),
+                             "cnt": pa.array(np.bincount(b, minlength=512)
+                                             .astype(np.int64))})
+        parts = cust.map_batches(f, batch_format="pyarrow").to_pandas()
+        return parts.groupby("bucket")["cnt"].sum().reindex(
+            range(512), fill_value=0).to_numpy()
+
+    kk = k  # rank among values in [lo, hi], counted from the TOP
+    while hi - lo > 8192:
+        width = (hi - lo) // 512 + 1
+        counts = hist_counts(lo, hi, width)
+        acc = 0
+        for b in range(511, -1, -1):
+            if acc + counts[b] >= kk:
+                kk -= acc
+                lo, hi = lo + b * width, min(hi, lo + (b + 1) * width - 1)
+                break
+            acc += counts[b]
+
+    def exact_counts(t: pa.Table) -> pa.Table:
+        v = t["cents"].to_numpy(zero_copy_only=False)
+        v = v[(v >= lo) & (v <= hi)]
+        u, c = np.unique(v, return_counts=True)
+        return pa.table({"v": pa.array(u.astype(np.int64)),
+                         "c": pa.array(c.astype(np.int64))})
+
+    vc = (
+        cust.map_batches(exact_counts, batch_format="pyarrow")
+        .to_pandas().groupby("v")["c"].sum().sort_index(ascending=False)
+    )
+    thr = None
+    acc = 0
+    for v, c in vc.items():
+        if acc + c >= kk:
+            thr = int(v)
+            break
+        acc += int(c)
+    assert thr is not None, "selection walk exhausted candidates"
+
+    def gt_partial(t: pa.Table) -> pa.Table:
+        v = t["cents"].to_numpy(zero_copy_only=False)
+        m = v > thr
+        return pa.table({"cnt": pa.array([int(m.sum())], pa.int64()),
+                         "s": pa.array([int(v[m].sum())], pa.int64())})
+
+    gp = cust.map_batches(gt_partial, batch_format="pyarrow").to_pandas()
+    cnt_gt, sum_gt = int(gp["cnt"].sum()), int(gp["s"].sum())
+    top = sum_gt + (k - cnt_gt) * thr
+    return pd.DataFrame({
+        "n_customers": pd.array([n], dtype="int64"),
+        "k": pd.array([k], dtype="int64"),
+        "threshold_cents": pd.array([thr], dtype="int64"),
+        "top_cents": pd.array([top], dtype="int64"),
+        "total_cents": pd.array([total], dtype="int64"),
+        "share_ppm": pd.array([(top * 1_000_000) // total], dtype="int64"),
+    })
+
+
+SQL_ORDERS_PARETO = """
+WITH cr AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY 1
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS BIGINT) AS total FROM cr),
+r AS (SELECT cents, row_number() OVER (ORDER BY cents DESC) AS rk FROM cr),
+t AS (SELECT r.cents AS thr FROM r, n WHERE r.rk = greatest(1, n.n // 5)),
+agg AS (
+  SELECT CAST(coalesce(sum(CASE WHEN cents > t.thr THEN cents END), 0) AS BIGINT)
+           AS sum_gt,
+         CAST(count(CASE WHEN cents > t.thr THEN 1 END) AS BIGINT) AS cnt_gt
+  FROM cr, t
+)
+SELECT n.n AS n_customers,
+       CAST(greatest(1, n.n // 5) AS BIGINT) AS k,
+       t.thr AS threshold_cents,
+       CAST(agg.sum_gt + (greatest(1, n.n // 5) - agg.cnt_gt) * t.thr AS BIGINT)
+         AS top_cents,
+       n.total AS total_cents,
+       CAST(CAST(agg.sum_gt + (greatest(1, n.n // 5) - agg.cnt_gt) * t.thr
+                 AS HUGEINT) * 1000000 // n.total AS BIGINT) AS share_ppm
+FROM n, t, agg
+"""

@@ -4676,3 +4676,44 @@ class TestEventsStreamJoin:
         lat = out.set_index("click_id")["latency_sec"]
         assert lat[0] == w // 1_000_000
         assert lat[1] == (w - w // 2) // 1_000_000
+
+
+class TestOrdersPareto:
+    def _orders(self, tmp_path, pairs):
+        """pairs: (custkey, totalprice) one order each."""
+        import pyarrow.parquet as pq
+
+        t = pa.table({
+            "o_orderkey": pa.array(range(len(pairs)), pa.int64()),
+            "o_custkey": pa.array([p[0] for p in pairs], pa.int64()),
+            "o_orderstatus": pa.array(["O"] * len(pairs)),
+            "o_totalprice": pa.array([p[1] for p in pairs], pa.float64()),
+            "o_orderdate": pa.array([pd.Timestamp("1995-01-01")] * len(pairs),
+                                    pa.timestamp("us")),
+            "o_orderpriority": pa.array(["A"] * len(pairs)),
+        })
+        d = tmp_path / "sf"
+        d.mkdir(exist_ok=True)
+        pq.write_table(t, str(d / "orders.parquet"))
+        return str(d)
+
+    def test_small_n_k_clamps_to_one(self, ray_session, tmp_path):
+        from service1_text_extraction_ray.pipelines.relational import q_orders_pareto
+
+        out = q_orders_pareto(self._orders(
+            tmp_path, [(1, 100.0), (2, 50.0), (3, 10.0)]
+        ))
+        assert out["k"].iloc[0] == 1
+        assert out["threshold_cents"].iloc[0] == 10000
+        assert out["top_cents"].iloc[0] == 10000
+        assert out["share_ppm"].iloc[0] == 10000 * 1_000_000 // 16000
+
+    def test_all_ties_take_exactly_k(self, ray_session, tmp_path):
+        from service1_text_extraction_ray.pipelines.relational import q_orders_pareto
+
+        pairs = [(i, 25.0) for i in range(10)]  # 10 equal customers, k=2
+        out = q_orders_pareto(self._orders(tmp_path, pairs))
+        assert out["k"].iloc[0] == 2
+        assert out["threshold_cents"].iloc[0] == 2500
+        assert out["top_cents"].iloc[0] == 2 * 2500  # exactly k, not all ties
+        assert out["share_ppm"].iloc[0] == 200_000
