@@ -570,6 +570,36 @@ def bench_headline_only() -> dict:
     }
 
 
+def _emit_default(full: dict) -> None:
+    """Print the full record first, then a COMPACT headline as the final
+    stdout line.
+
+    The round driver keeps only the last ~2 KB of stdout and parses the last
+    line; round 3's single giant line (223 per-query timings inline) overflowed
+    that window and the headline was lost (`BENCH_r03.json parsed: null`). The
+    per-query timings now travel on their own earlier line AND in
+    BENCH/last_full.json; the final line stays well under the tail capture.
+    """
+    print(json.dumps(full))
+    try:
+        with open(os.path.join(REPO, "BENCH", "last_full.json"), "w") as f:
+            json.dump(full, f, indent=1)
+    except OSError:
+        pass
+    qs = full.get("queries", {})
+    qtimes = sorted(qs.values(), reverse=True)
+    compact = {k: v for k, v in full.items() if k != "queries"}
+    compact["queries_n"] = len(qs)
+    compact["queries_total_sec"] = round(sum(qtimes), 3)
+    compact["queries_top5"] = {
+        k: v for k, v in sorted(qs.items(), key=lambda kv: -kv[1])[:5]
+    }
+    compact["queries_detail"] = "line 1 of stdout + BENCH/last_full.json"
+    line = json.dumps(compact)
+    assert len(line) < 1800, f"compact headline too long ({len(line)} B)"
+    print(line)
+
+
 if __name__ == "__main__":
     if "--scaling-iso" in sys.argv:
         print(json.dumps(bench_scaling_iso()))
@@ -580,4 +610,4 @@ if __name__ == "__main__":
     elif "--headline-only" in sys.argv:
         print(json.dumps(bench_headline_only()))
     else:
-        print(json.dumps(bench_once()))
+        _emit_default(bench_once())
