@@ -64,7 +64,11 @@ BLOCK_TAGS = frozenset(
 HEADING_TAGS = frozenset({"h1", "h2", "h3", "h4", "h5", "h6"})
 
 # Void elements: the parser may see them via handle_startendtag or handle_starttag.
-_VOID_TAGS = frozenset({"br", "hr", "img", "input", "meta", "link", "area", "base", "col", "wbr", "source", "track"})
+# Full WHATWG void-element set (embed/param included — a void tag missing here
+# that appears inside a dropped subtree would inflate _drop_depth forever).
+_VOID_TAGS = frozenset(
+    "area base br col embed hr img input link meta param source track wbr".split()
+)
 
 
 @dataclass

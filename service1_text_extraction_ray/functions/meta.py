@@ -553,7 +553,13 @@ def extract_forms(html: bytes | str, base_url: str) -> list:
 
 _HEADING_TAGS = {"h1", "h2", "h3", "h4", "h5", "h6"}
 _CHROME_TAGS = {"nav", "footer", "aside", "header"}
-_VOID_TAGS = {"br", "img", "meta", "link", "input", "hr", "source", "wbr"}
+# Full WHATWG void-element set: handle_starttag fires but handle_endtag never
+# does, so none of these may touch skip_depth — a missing entry inside a
+# skipped nav/footer/hidden subtree permanently inflates the depth and drops
+# every later heading.
+_VOID_TAGS = frozenset(
+    "area base br col embed hr img input link meta param source track wbr".split()
+)
 
 
 def _heading_hidden(attrs) -> bool:

@@ -7340,9 +7340,10 @@ def q_extract_pdf_annots(sf_dir: str) -> rd.Dataset:
             pdf, url = make_pdf_annot_doc(int(d), src, lang or "en")
             try:
                 doc = PdfDocument(pdf)
+                annots = doc.annotations()  # _page_order can raise too
             except PdfParseError:
                 continue
-            for page, subtype, contents in doc.annotations():
+            for page, subtype, contents in annots:
                 rows.append({"url": url, "page": page,
                              "subtype": subtype, "contents": contents})
         if not rows:

@@ -1610,7 +1610,10 @@ def q_events_rate_limit(sf_dir: str) -> rd.Dataset:
             ["user_id", "ts", "event_id"], kind="mergesort"
         )
         users = df["user_id"].to_numpy(dtype=np.int64)
-        secs = (df["ts"].astype("int64").to_numpy() // 1_000_000)
+        # Explicit unit: datetime64[s] is resolution-proof (astype("int64")
+        # would silently yield ms/ns if a pandas/pyarrow version changed the
+        # timestamp resolution, corrupting the refill arithmetic).
+        secs = df["ts"].to_numpy().astype("datetime64[s]").astype(np.int64)
         eids = df["event_id"].to_numpy(dtype=np.int64)
         n = len(df)
         allowed = np.zeros(n, dtype=np.int64)

@@ -5137,7 +5137,12 @@ def q_quality_auc(sf_dir: str) -> pd.DataFrame:
     ])
 
     def hist_partial(t: pa.Table) -> pa.Table:
-        text = t["text"]
+        # Null-guard both inputs (same discipline as search_ndcg /
+        # corpus_simpson): a NULL text would NaN the score array and fail
+        # the int64 cast; a NULL lang must count as negative like the
+        # oracle's CASE ... ELSE 0.
+        text = pc.fill_null(t["text"], "")
+        lang = pc.fill_null(t["lang"], "")
         ln = pc.cast(pc.utf8_length(text), pa.int64())
         alpha = pc.cast(pc.utf8_length(
             pc.replace_substring_regex(text, "[^A-Za-z]", "")
@@ -5145,7 +5150,7 @@ def q_quality_auc(sf_dir: str) -> pd.DataFrame:
         ln_np = ln.to_numpy(zero_copy_only=False)
         al_np = alpha.to_numpy(zero_copy_only=False)
         score = np.where(ln_np > 0, (al_np * 1000) // np.maximum(ln_np, 1), 0)
-        y = (pc.equal(t["lang"], pa.scalar("en"))).to_numpy(zero_copy_only=False)
+        y = (pc.equal(lang, pa.scalar("en"))).to_numpy(zero_copy_only=False)
         tmp = pa.table({
             "score": pa.array(score, pa.int64()),
             "pos": pa.array(y.astype(np.int64)),
@@ -5179,10 +5184,10 @@ def q_quality_auc(sf_dir: str) -> pd.DataFrame:
 
 SQL_QUALITY_AUC = """
 WITH scored AS (
-  SELECT CASE WHEN length(text) = 0 THEN 0
-              ELSE CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT)
-                   * 1000 // CAST(length(text) AS BIGINT) END AS score,
-         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  SELECT CASE WHEN length(coalesce(text, '')) = 0 THEN 0
+              ELSE CAST(length(regexp_replace(coalesce(text, ''), '[^A-Za-z]', '', 'g')) AS BIGINT)
+                   * 1000 // CAST(length(coalesce(text, '')) AS BIGINT) END AS score,
+         CASE WHEN coalesce(lang, '') = 'en' THEN 1 ELSE 0 END AS y
   FROM documents
 ),
 h AS (
