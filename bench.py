@@ -221,29 +221,11 @@ def run_queries() -> dict:
 
 
 def _mute_empty_block_schema_warnings() -> None:
-    """Drop Ray Data's 'different schema' warning ONLY for empty bundles.
+    """Shared with the package (installed at its import; see
+    service1_text_extraction_ray._mute_empty_bundle_schema_warnings)."""
+    from service1_text_extraction_ray import _mute_empty_bundle_schema_warnings
 
-    Every UDF in this repo returns typed empties (hash_join's
-    ``out_schema.empty_table()``, the typed-empty pandas frames in
-    queries.py), but Ray's sort/aggregate internals emit schema-LESS empty
-    bundles for empty shuffle partitions and the streaming executor warns
-    on them (streaming_executor_state.py). Those messages are noise here;
-    a real schema divergence (non-empty new schema) still surfaces.
-    """
-    import logging
-
-    class _F(logging.Filter):
-        def filter(self, record: logging.LogRecord) -> bool:
-            msg = record.getMessage()
-            if "different schema" not in msg:
-                return True
-            tail = msg.split("new schema:", 1)[-1]
-            empty = tail.strip().startswith(".") or "names=[], types=[]" in tail
-            return not empty
-
-    logging.getLogger(
-        "ray.data._internal.execution.streaming_executor_state"
-    ).addFilter(_F())
+    _mute_empty_bundle_schema_warnings()
 
 
 def bench_once() -> dict:
