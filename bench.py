@@ -196,7 +196,7 @@ QUERY_NAMES = [
     "retrieval_rrf", "extract_pdf_fonts", "extract_pdf_layers",
     "quality_auc", "corpus_mix_plan", "search_ndcg", "host_sssp",
     "nation_market_share", "events_cusum", "host_trustrank",
-    "orders_daily_gapfill", "dedup_lsh_recall", "orders_daily_holt", "ann_recall", "lineitem_benford",
+    "orders_daily_gapfill", "dedup_lsh_recall", "dedup_minhash_cap", "orders_daily_holt", "ann_recall", "lineitem_benford",
     "part_supplier_reach", "events_stream_join", "extract_pdf_structure",
     "corpus_simpson", "orders_pareto",
 ]

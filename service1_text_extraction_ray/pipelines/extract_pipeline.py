@@ -106,6 +106,22 @@ def _prepare_session() -> None:
     pkg.ensure_worker_importable()
 
 
+def _default_pool_size() -> tuple:
+    """Autoscaling actor-pool bounds sized to the cluster. Measured (round 2,
+    50k-doc extract-only probe at 32 CPUs): the autoscaler holds the pool at
+    its MINIMUM for the whole job (effective cores == min), so the min IS the
+    parallelism — (16,31) ran at 4.6k docs/s, (24,31) at 5.9k, (31,31)
+    collapsed to 3.7k (read/write starvation, same cliff round 1 found).
+    min = 3*ncpu/4 with max = ncpu-1 keeps ~a quarter of the cores for the
+    read + write task pools; the autoscaling headroom above min costs
+    nothing. Floor leaves >=2 CPUs for the task pools (at ncpu=4 a (3,3)
+    pool measurably starves them)."""
+    import ray
+
+    ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return (max(1, min(3 * ncpu // 4, ncpu - 2)), max(2, ncpu - 1))
+
+
 def extract_dataset(
     ds: rd.Dataset,
     cfg: Optional[ExtractConfig] = None,
@@ -122,20 +138,7 @@ def extract_dataset(
     ds = ds.map_batches(SniffStage(cfg), batch_format="pyarrow")
 
     if concurrency is None:
-        # Autoscaling actor pool sized to the cluster. Measured (round 2,
-        # 50k-doc extract-only probe at 32 CPUs): the autoscaler holds the
-        # pool at its MINIMUM for the whole job (effective cores == min), so
-        # the min IS the parallelism — (16,31) ran at 4.6k docs/s, (24,31)
-        # at 5.9k, (31,31) collapsed to 3.7k (read/write starvation, same
-        # cliff round 1 found). min = 3*ncpu/4 with max = ncpu-1 keeps ~a
-        # quarter of the cores for the read + write task pools; the
-        # autoscaling headroom above min costs nothing.
-        import ray
-
-        # Floor at 3*ncpu/4 but always leave >=2 CPUs for the read/write
-        # task pools (at ncpu=4 a (3,3) pool measurably starves them).
-        ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-        concurrency = (max(1, min(3 * ncpu // 4, ncpu - 2)), max(2, ncpu - 1))
+        concurrency = _default_pool_size()
     return ds.map_batches(
         ExtractDocuments,
         fn_constructor_kwargs={"cfg": cfg},
@@ -183,21 +186,35 @@ def extract_dataset_bucketed(
         )
         return batch.append_column("salt", salt)
 
-    extractor = ExtractDocuments(cfg)
-
-    def extract_group(group: pa.Table) -> pa.Table:
-        # Keep the giant-doc co-travel bound inside the group too.
-        parts = [
-            extractor(group.slice(start, PARSE_BATCH_SIZE))
-            for start in range(0, group.num_rows, PARSE_BATCH_SIZE)
-        ]
-        return pa.concat_tables(parts)
-
     return (
         sniffed.map_batches(add_salt, batch_format="pyarrow")
         .groupby(["size_bucket", "salt"])
-        .map_groups(extract_group, batch_format="pyarrow")
+        .map_groups(
+            _ExtractGroup,
+            fn_constructor_kwargs={"cfg": cfg},
+            batch_format="pyarrow",
+            num_cpus=1,
+            concurrency=_default_pool_size(),
+        )
     )
+
+
+class _ExtractGroup:
+    """Actor-pool group extractor: the parser stack is built ONCE per actor
+    in ``__init__`` (the A1 singleton idiom, same as the default path's
+    ``ExtractDocuments`` pool) — not constructed on the driver and shipped
+    inside every group task's closure."""
+
+    def __init__(self, cfg: ExtractConfig) -> None:
+        self._extractor = ExtractDocuments(cfg)
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        # Keep the giant-doc co-travel bound inside the group too.
+        parts = [
+            self._extractor(group.slice(start, PARSE_BATCH_SIZE))
+            for start in range(0, group.num_rows, PARSE_BATCH_SIZE)
+        ]
+        return pa.concat_tables(parts)
 
 
 def extract_pages_dataset(ds: rd.Dataset, cfg: Optional[ExtractConfig] = None, **kw) -> rd.Dataset:

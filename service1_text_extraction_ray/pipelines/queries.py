@@ -1424,18 +1424,11 @@ FROM sizes a JOIN sizes b ON a.doc_id < b.doc_id AND a.n = 0 AND b.n = 0"""
 SQL_DEDUP_JACCARD = f"WITH {_JACC_CTES}\n{_JACC_SELECT}"
 
 
-def sql_dedup_minhash_lsh() -> str:
-    """Exact oracle for the FULL MinHash+LSH pipeline — banding included.
-
-    The signature arithmetic (salted-md5 base/mix, Carter-Wegman affine
-    rehash mod 2^64) is replayed in HUGEINT modular arithmetic; banding
-    becomes a hash-joinable (band, 4-sig-slice) self-join (md5-compacting
-    the band is only an optimization — bucket equality IS sig-slice
-    equality); candidates are verified with the same distinct-3-gram Jaccard
-    (round_even = Python round). Models the UNCAPPED semantics; the
-    implementation's 128-id bucket cap only triggers on degenerate
-    mass-identical corpora (measured: max natural bucket at sf0.1 is 6).
-    """
+def _sql_minhash_bands_prefix() -> str:
+    """Shared CTE prefix replaying the MinHash banding in SQL
+    (tok -> shingles -> ms -> sigs -> bands) — used by the full-pipeline
+    oracle AND the cap-cost eval oracle, so both replay the identical
+    signature arithmetic."""
     M = 1 << 64
 
     def u64le(col: str, off: int) -> str:
@@ -1454,9 +1447,7 @@ def sql_dedup_minhash_lsh() -> str:
         f"SELECT doc_id, {b} AS band, [s{4 * b + 1}, s{4 * b + 2}, s{4 * b + 3}, s{4 * b + 4}] AS bl FROM sigs"
         for b in range(16)
     )
-    inter = "len(list_filter(sa.sh, x -> list_contains(sb.sh, x)))"
-    return f"""
-WITH tok AS (
+    return f"""tok AS (
   SELECT doc_id,
          list_filter(regexp_split_to_array(coalesce(text, ''), '\\s+'), x -> x <> '') AS w
   FROM documents
@@ -1475,7 +1466,25 @@ ms AS (
   FROM shingles
 ),
 sigs AS (SELECT doc_id, sh, {sig_exprs} FROM ms),
-bands AS ({band_selects}),
+bands AS ({band_selects})"""
+
+
+def sql_dedup_minhash_lsh() -> str:
+    """Exact oracle for the FULL MinHash+LSH pipeline — banding included.
+
+    The signature arithmetic (salted-md5 base/mix, Carter-Wegman affine
+    rehash mod 2^64) is replayed in HUGEINT modular arithmetic; banding
+    becomes a hash-joinable (band, 4-sig-slice) self-join (md5-compacting
+    the band is only an optimization — bucket equality IS sig-slice
+    equality); candidates are verified with the same distinct-3-gram Jaccard
+    (round_even = Python round). Models the UNCAPPED semantics; the
+    implementation's 128-id bucket cap only triggers on degenerate
+    mass-identical corpora (measured: max natural bucket at sf0.1 is 6;
+    sql_dedup_minhash_cap is the eval that prices the cap exactly).
+    """
+    inter = "len(list_filter(sa.sh, x -> list_contains(sb.sh, x)))"
+    return f"""
+WITH {_sql_minhash_bands_prefix()},
 cand AS (
   SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
   FROM bands a JOIN bands b
@@ -1491,6 +1500,98 @@ scored AS (
             JOIN sigs sb ON sb.doc_id = cand.db
 )
 SELECT da AS doc_id_a, db AS doc_id_b, jaccard_pct FROM scored WHERE jaccard_pct >= 80
+"""
+
+
+def q_dedup_minhash_cap(sf_dir: str) -> pd.DataFrame:
+    """Measured cost of MINHASH_BUCKET_CAP — the EVAL operator that turns the
+    cap's silently-logged recall bound into a number (round-3 VERDICT #5):
+    per band-bucket sizes are replayed exactly and the pairs the 128-id cap
+    would drop are counted per bucket (C(n,2) - C(min(n,cap),2); per-bucket
+    accounting, before cross-band dedup — the same grain the cap acts at).
+    On natural corpora this is 0 (max bucket at sf0.1 is 6 ids); on a
+    mass-identical degenerate corpus it's the exact number of candidate
+    pairs the fast path forfeits, which is what an operator reviewing a
+    dedup run needs to decide whether to raise the cap.
+
+    Shape: one banding pass (signatures only — ~24 B/doc/band, never text),
+    shard groupby (buckets never span shards), 4-int partials per shard,
+    driver sum. Oracle replays the identical banding arithmetic via the
+    shared CTE prefix."""
+    N_BANDS, ROWS_PER_BAND = 16, 4
+    MINHASH_SHARDS = 256
+
+    def sig_batch(df: pd.DataFrame) -> pd.DataFrame:
+        shards, bands, hashes, ids = [], [], [], []
+        for doc_id, text in zip(df["doc_id"], df["text"].fillna("")):
+            sig = _minhash_sig(_shingles(text))
+            for b in range(N_BANDS):
+                band = sig[b * ROWS_PER_BAND : (b + 1) * ROWS_PER_BAND]
+                h = hashlib.md5(band.tobytes() + bytes([b])).hexdigest()[:16]
+                shards.append(int(h[:4], 16) % MINHASH_SHARDS)
+                bands.append(b)
+                hashes.append(h)
+                ids.append(int(doc_id))
+        return pd.DataFrame({
+            "shard": pd.Series(shards, dtype="int64"),
+            "band": pd.Series(bands, dtype="int64"),
+            "band_hash": pd.Series(hashes, dtype="object"),
+            "doc_id": pd.Series(ids, dtype="int64"),
+        })
+
+    _STATS_COLS = ["n_buckets", "n_buckets_capped", "pairs_before_cap",
+                   "pairs_kept"]
+
+    def shard_stats(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["band", "band_hash", "doc_id"])
+        sizes = g.groupby(["band", "band_hash"], sort=False).size().to_numpy()
+        sizes = sizes[sizes >= 2]
+        kept = np.minimum(sizes, MINHASH_BUCKET_CAP)
+        return pd.DataFrame({
+            "n_buckets": pd.Series([int(len(sizes))], dtype="int64"),
+            "n_buckets_capped": pd.Series(
+                [int((sizes > MINHASH_BUCKET_CAP).sum())], dtype="int64"),
+            "pairs_before_cap": pd.Series(
+                [int((sizes * (sizes - 1) // 2).sum())], dtype="int64"),
+            "pairs_kept": pd.Series(
+                [int((kept * (kept - 1) // 2).sum())], dtype="int64"),
+        })
+
+    parts = (
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(sig_batch, batch_format="pandas")
+        .groupby("shard")
+        .map_groups(shard_stats, batch_format="pandas")
+        .to_pandas()
+    )
+    tot = {c: int(parts[c].sum()) if len(parts) else 0 for c in _STATS_COLS}
+    return pd.DataFrame({
+        "n_buckets": pd.array([tot["n_buckets"]], dtype="int64"),
+        "n_buckets_capped": pd.array([tot["n_buckets_capped"]], dtype="int64"),
+        "pairs_before_cap": pd.array([tot["pairs_before_cap"]], dtype="int64"),
+        "pairs_kept": pd.array([tot["pairs_kept"]], dtype="int64"),
+        "pairs_dropped_by_cap": pd.array(
+            [tot["pairs_before_cap"] - tot["pairs_kept"]], dtype="int64"),
+    })
+
+
+def sql_dedup_minhash_cap() -> str:
+    return f"""
+WITH {_sql_minhash_bands_prefix()},
+bsz AS (
+  SELECT band, bl, count(DISTINCT doc_id) AS n
+  FROM bands GROUP BY band, bl HAVING count(DISTINCT doc_id) >= 2
+)
+SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+       CAST(coalesce(sum(CASE WHEN n > {MINHASH_BUCKET_CAP} THEN 1 ELSE 0 END), 0) AS BIGINT)
+         AS n_buckets_capped,
+       CAST(coalesce(sum(n * (n - 1) // 2), 0) AS BIGINT) AS pairs_before_cap,
+       CAST(coalesce(sum(least(n, {MINHASH_BUCKET_CAP}) * (least(n, {MINHASH_BUCKET_CAP}) - 1) // 2), 0) AS BIGINT)
+         AS pairs_kept,
+       CAST(coalesce(sum(n * (n - 1) // 2), 0)
+            - coalesce(sum(least(n, {MINHASH_BUCKET_CAP}) * (least(n, {MINHASH_BUCKET_CAP}) - 1) // 2), 0) AS BIGINT)
+         AS pairs_dropped_by_cap
+FROM bsz
 """
 
 
@@ -10179,6 +10280,10 @@ _REDIR_STATE = pa.schema([
 ])
 _REDIR_CYCLE_CAP = 8  # legit chains in the fixture are <= 6 hops
 _REDIR_ROUNDS = 4     # 2^4 = 16 > cap -> every cycle is flagged by then
+# Settled-row split pays per-round filter passes to shrink the exchange;
+# below this state size the overhead exceeds the savings (measured 2.5x
+# slower at 5k rows). Tests force the split path by patching this down.
+_REDIR_SPLIT_MIN_ROWS = 200_000
 
 
 def q_redirect_resolve(sf_dir: str) -> rd.Dataset:
@@ -10199,9 +10304,17 @@ def q_redirect_resolve(sf_dir: str) -> rd.Dataset:
     int64, int64) rows — text never moves. Cycles never settle; any row
     whose composed dist exceeds the cap (8 > the fixture's max legit 6
     hops) is flagged. A dangling ptr finds no match in the LEFT join and
-    settles as final. Settled rows ride the remaining joins unchanged
-    (state is 4 small columns; at web scale, splitting settled rows out
-    of the exchange after each round halves traffic — same semantics).
+    settles as final. SETTLED rows are split OUT of the advancing side
+    after every round (and the already-done majority never enters round
+    1): only still-active rows ride the left side of each exchange,
+    while the target side stays the full state (an active chain may
+    point AT a settled row and must read its final ptr). State is 4
+    narrow columns; the left side is the traffic that matters — it
+    carries the per-round join output too. The split is regime-gated on
+    measured state size (_REDIR_SPLIT_MIN_ROWS): at test scale the
+    per-round filter passes cost more than they save, so small states
+    run the unsplit loop; a pytest patches the gate down and asserts
+    both regimes agree row-for-row.
 
     Oracle: a recursive CTE walks the arithmetic-regenerated chain
     single-step with a hop cap; the max-hops row per start still
@@ -10261,8 +10374,33 @@ def q_redirect_resolve(sf_dir: str) -> rd.Dataset:
     state = _read(sf_dir, "documents", ["doc_id"]).map_batches(
         init_state, batch_format="pyarrow"
     ).materialize()
+
+    def _split(ds: rd.Dataset, flag: int) -> rd.Dataset:
+        # Lazy filter over a MATERIALIZED base: re-executing it per round
+        # costs one cheap map pass, never a join replay.
+        return ds.map_batches(
+            lambda t, v=flag: t.filter(pc.equal(t["done"], v)),
+            batch_format="pyarrow",
+        )
+
+    # Settled-row split, regime-gated (same adaptive discipline as the LSH
+    # broadcast-vs-join gate): below the threshold the per-round filter
+    # passes cost more than they save (measured 2.5x slower at 5k rows,
+    # where scheduling overhead dominates 4-column data), so the unsplit
+    # loop runs. Above it, the non-redirect MAJORITY settles at init and
+    # never enters an exchange, and each round's newly-settled rows leave
+    # the advancing side too — the left exchange shrinks geometrically while
+    # the target side stays full (an active chain may point AT a settled
+    # row and must read its final ptr): ~half the per-round traffic at web
+    # scale, where exchange bytes dominate.
+    split = state.count() >= _REDIR_SPLIT_MIN_ROWS  # count: metadata, free
+    settled = [_split(state, 1)] if split else []
+    active = _split(state, 0).materialize() if split else state
     for _ in range(_REDIR_ROUNDS):
-        target = state.map_batches(
+        if split and active.count() == 0:
+            break  # every chain settled early — skip the remaining rounds
+        full = active.union(*settled) if settled else active
+        target = full.map_batches(
             lambda t: pa.Table.from_arrays(
                 [t["url"], t["ptr"], t["dist"], t["done"]],
                 names=["node", "ptr2", "dist2", "done2"],
@@ -10270,7 +10408,7 @@ def q_redirect_resolve(sf_dir: str) -> rd.Dataset:
             batch_format="pyarrow",
         )
         joined = hash_join(
-            state, target, left_on="ptr", right_on="node",
+            active, target, left_on="ptr", right_on="node",
             key_type=pa.string(),
             left_fields=[pa.field("url", pa.string()),
                          pa.field("dist", pa.int64()),
@@ -10280,9 +10418,15 @@ def q_redirect_resolve(sf_dir: str) -> rd.Dataset:
                           pa.field("done2", pa.int64())],
             how="left",
         )
-        state = joined.map_batches(
+        st = joined.map_batches(
             compose, batch_format="pyarrow"
         ).materialize()
+        if split:
+            settled.append(_split(st, 1))
+            active = st if st.count() == 0 else _split(st, 0).materialize()
+        else:
+            active = st
+    state = active.union(*settled) if settled else active
 
     def finish(t: pa.Table) -> pa.Table:
         cyc = pc.if_else(

@@ -780,6 +780,30 @@ class TestDedupSkew:
         assert pairs["doc_id_a"].max() < MINHASH_BUCKET_CAP
         assert (pairs["jaccard_pct"] == 100).all()
 
+    def test_minhash_cap_eval_prices_the_drop(self, ray_session, tmp_path):
+        """dedup_minhash_cap reports the exact pair count the cap forfeits
+        on a degenerate mass-identical corpus — and zero on a natural one."""
+        from service1_text_extraction_ray.pipelines.queries import (
+            MINHASH_BUCKET_CAP,
+            q_dedup_minhash_cap,
+        )
+
+        n_dups = 1000
+        d = self._identical_corpus(tmp_path, n_dups)
+        out = q_dedup_minhash_cap(d).iloc[0]
+        # all 16 bands hash the identical docs into one 1000-id bucket each
+        cap_pairs = MINHASH_BUCKET_CAP * (MINHASH_BUCKET_CAP - 1) // 2
+        full_pairs = n_dups * (n_dups - 1) // 2
+        assert out["n_buckets_capped"] == 16
+        assert out["pairs_before_cap"] == 16 * full_pairs
+        assert out["pairs_kept"] == 16 * cap_pairs
+        assert out["pairs_dropped_by_cap"] == 16 * (full_pairs - cap_pairs)
+
+        # natural corpus: nothing capped
+        nat = q_dedup_minhash_cap("/root/testdata/sf0.001").iloc[0]
+        assert nat["n_buckets_capped"] == 0
+        assert nat["pairs_dropped_by_cap"] == 0
+
     def test_simhash_full_pairs_within_cap(self, ray_session, tmp_path):
         """Below the cap, a mass-identical bucket yields the complete
         (correct) pair set via the tiled verify kernel — no silent drops."""
@@ -4307,6 +4331,33 @@ class TestRedirectResolve:
         assert out.loc[u(56), "is_cycle"] == 0
 
         assert (out["is_cycle"] == 1).sum() == 3
+
+    def test_settled_split_regime_matches_unsplit(
+        self, ray_session, tmp_path, monkeypatch
+    ):
+        """Force the settled-row-split scale path (gate patched to 0) and
+        assert it agrees row-for-row with the unsplit loop on a fixture
+        containing chains, a cycle and a dangling final."""
+        import pyarrow.parquet as pq
+
+        import service1_text_extraction_ray.pipelines.queries as Q
+
+        d = tmp_path / "sf"
+        d.mkdir()
+        pq.write_table(
+            pa.table({"doc_id": pa.array(range(57), pa.int64())}),
+            str(d / "documents.parquet"),
+        )
+        unsplit = (
+            Q.q_redirect_resolve(str(d))
+            .to_pandas().sort_values("url").reset_index(drop=True)
+        )
+        monkeypatch.setattr(Q, "_REDIR_SPLIT_MIN_ROWS", 0)
+        split = (
+            Q.q_redirect_resolve(str(d))
+            .to_pandas().sort_values("url").reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(split, unsplit)
 
 
 class TestMedianSelect:
