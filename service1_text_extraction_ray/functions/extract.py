@@ -47,6 +47,7 @@ METHOD_DOM = "dom"
 METHOD_PDF = "pdf_text"
 METHOD_FEED = "feed_items"
 METHOD_TEXT = "text"
+METHOD_TESSERACT = "tesseract"
 METHOD_FAILED = "failed"
 
 
@@ -83,6 +84,15 @@ class ExtractConfig:
     # Size bucketing thresholds for skew stats (shard identity itself is the
     # input file — sniff.stable_shard_id).
     size_bucket_edges: tuple = (4096, 65536, 1_048_576)
+
+    # OCR fallback backend name (functions/ocr.py registry; None = the
+    # reference's no-tesseract branch). A string, not an instance, so the
+    # config stays frozen/serializable; the per-process singleton is
+    # resolved lazily (get_ocr_backend — the reference's A1 parser-per-
+    # process idiom). PDF pages that fail the text gate are rasterized at
+    # the reference's 2x zoom and run through the backend
+    # (core_pdf_processor.py:391-400 fallback, :467-490 call shape).
+    ocr_backend: Optional[str] = None
 
 
 def gate_page_text(text: str, min_text_length: int) -> bool:
@@ -178,7 +188,8 @@ def _extract_pdf(
                 layout = page.layout if cfg.emit_layout else None
                 pages.append(_page_row(idx, METHOD_PDF, page.text.strip(), layout))
             else:
-                pages.append(_page_row(idx, METHOD_FAILED, "", None))
+                row = _ocr_pdf_page(idx, page, cfg) if cfg.ocr_backend else None
+                pages.append(row or _page_row(idx, METHOD_FAILED, "", None))
         return {
             "pages": pages,
             "password_used": password_used,
@@ -190,6 +201,37 @@ def _extract_pdf(
     except Exception as e:
         return {"status": STATUS_PARSE_FAILURE, "error": f"pdf: {e}",
                 "attempts_made": attempts_made}
+
+
+def _ocr_pdf_page(idx: int, page: Any, cfg: ExtractConfig) -> Optional[Dict[str, Any]]:
+    """OCR fallback for one gate-failed PDF page — the reference's
+    ``_extract_with_tesseract`` branch (core_pdf_processor.py:391-400):
+    rasterize the page at 2x zoom (text layout + image placements, so
+    scanned pages whose text exists only as pixels are genuinely read),
+    run the configured backend, accept the result unconditionally as
+    ``method="tesseract"`` (:394-399 — no re-gate). Backend errors return
+    None (caller emits the failed row, the "Both fitz and tesseract
+    failed" branch :404-409)."""
+    from .ocr import get_ocr_backend, ocr_page
+    from .page_render import OCR_SCALE, rasterize_page, write_gray_png_array
+
+    # An unknown backend NAME is a config bug -> raise (fail fast), unlike
+    # a backend runtime error on one page -> failed row (isolation).
+    backend = get_ocr_backend(cfg.ocr_backend)
+    try:
+        canvas = rasterize_page(
+            page.layout, images=getattr(page, "images", None), scale=OCR_SCALE
+        )
+        png = write_gray_png_array(canvas)
+        text, layout = ocr_page(
+            backend, png, int(canvas.shape[1]), int(canvas.shape[0])
+        )
+        return _page_row(
+            idx, METHOD_TESSERACT, text.strip(),
+            layout if cfg.emit_layout else None,
+        )
+    except Exception:
+        return None
 
 
 def _extract_feed(

@@ -54,7 +54,7 @@ from __future__ import annotations
 
 import re
 import zlib
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 from typing import Any, Dict, List, Optional, Tuple
 
 # Glyph advance approximation for span bboxes (Helvetica-ish average width as a
@@ -973,6 +973,63 @@ def _page_hidden_ocs(
     }
 
 
+def _page_image_xobjects(
+    objects: Dict[int, _PdfObject],
+    resources: Optional[bytes],
+    file_key: Optional[bytes],
+    cfm: str,
+) -> Dict[str, Dict[str, Any]]:
+    """Map XObject resource name -> image record for every /Subtype /Image
+    entry in the page's resources (PDF 1.7 §8.9.5) — the scanned-page path
+    the OCR fallback rasterizes. Pixel decode subset: 8-bit /DeviceGray
+    through the standard filter chain (``gray`` = row-major bytes); any
+    other colorspace/depth keeps the placement with ``gray=None`` (the
+    rasterizer draws a flat box, and OCR sees no glyphs — the honest
+    analogue of an unsupported image)."""
+    if not resources:
+        return {}
+    xm = _XOBJECT_RES_RE.search(resources)
+    if xm is None:
+        return {}
+    xdict = _resolve_dict(objects, resources, xm)
+    if xdict is None:
+        return {}
+    images: Dict[str, Dict[str, Any]] = {}
+    for name, num in _FONT_ENTRY_RE.findall(xdict):
+        xobj = objects.get(int(num))
+        if xobj is None or xobj.stream is None:
+            continue
+        st = re.search(rb"/Subtype\s*/(\w+)", xobj.dict_bytes)
+        if st is None or st.group(1) != b"Image":
+            continue
+        wm = re.search(rb"/Width\s+(\d+)", xobj.dict_bytes)
+        hm = re.search(rb"/Height\s+(\d+)", xobj.dict_bytes)
+        if wm is None or hm is None:
+            continue
+        width, height = int(wm.group(1)), int(hm.group(1))
+        gray: Optional[bytes] = None
+        bpc = re.search(rb"/BitsPerComponent\s+(\d+)", xobj.dict_bytes)
+        cs = re.search(rb"/ColorSpace\s*/(\w+)", xobj.dict_bytes)
+        if (
+            bpc is not None
+            and bpc.group(1) == b"8"
+            and cs is not None
+            and cs.group(1) == b"DeviceGray"
+        ):
+            try:
+                data = _decode_stream(xobj, file_key, cfm)
+                if len(data) >= width * height:
+                    gray = data[: width * height]
+            except PdfParseError:
+                gray = None
+        images[name.decode("latin-1")] = {
+            "width": width,
+            "height": height,
+            "gray": gray,
+        }
+    return images
+
+
 def _page_form_xobjects(
     objects: Dict[int, _PdfObject],
     resources: Optional[bytes],
@@ -982,8 +1039,8 @@ def _page_form_xobjects(
     """Map XObject resource name -> decoded content bytes for every
     /Subtype /Form entry in the page's resources (PDF 1.7 §8.10: reusable
     content streams invoked by the ``Do`` operator — headers/footers/
-    letterheads in real corpora). Image XObjects are skipped (no raster
-    decoding in this engine; media plumbing lives in stages/multimodal).
+    letterheads in real corpora). Image XObjects are surfaced separately
+    (``_page_image_xobjects``) for the raster/OCR path.
     Subset boundary (documented): the form's own /Resources and /Matrix
     are ignored — forms inherit the page's fonts and draw in page
     coordinates, which is exactly how the synth fixtures emit them."""
@@ -1283,7 +1340,9 @@ def _read_hex_string(data: bytes, i: int) -> Tuple[bytes, int]:
     end = data.find(b">", i)
     if end < 0:
         raise PdfParseError("unterminated hex string")
-    hex_digits = re.sub(rb"\s", b"", data[i + 1 : end])
+    # §7.3.4.3 ignores whitespace; real viewers also skip any other
+    # non-hex byte (fuzzed/corrupt streams) rather than failing the page.
+    hex_digits = re.sub(rb"[^0-9A-Fa-f]", b"", data[i + 1 : end])
     if len(hex_digits) % 2:
         hex_digits += b"0"
     return bytes.fromhex(hex_digits.decode("ascii")), end + 1
@@ -1362,6 +1421,8 @@ def _interpret_text(
     _depth: int = 0,
     simple_encodings: Optional[Dict[str, Dict[int, str]]] = None,
     hidden_ocs: Optional[set] = None,
+    image_xobjects: Optional[Dict[str, Dict[str, Any]]] = None,
+    image_out: Optional[List[Dict[str, Any]]] = None,
 ) -> List[Span]:
     """Execute the text operators of a content stream, emitting spans.
 
@@ -1395,6 +1456,12 @@ def _interpret_text(
     size = 12.0
     font = "F1"
     in_text = False
+
+    # Graphics state for image placement (§8.9.5: an image XObject draws
+    # the unit square through the CTM): full 6-tuple affine so q/Q/cm
+    # compose correctly even with rotation/shear in the wild.
+    ctm = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+    gstack: List[tuple] = []
 
     def emit(raw: bytes) -> None:
         nonlocal cx
@@ -1524,19 +1591,61 @@ def _interpret_text(
             elif op == b"EMC":
                 if mc_stack:
                     mc_stack.pop()
+            elif op == b"q":
+                gstack.append(ctm)
+            elif op == b"Q":
+                if gstack:
+                    ctm = gstack.pop()
+            elif op == b"cm":
+                a, b_, c, d, e, f = (float(v) for v in stack[-6:])
+                A, B, C, D, E, F = ctm
+                ctm = (
+                    a * A + b_ * C,
+                    a * B + b_ * D,
+                    c * A + d * C,
+                    c * B + d * D,
+                    e * A + f * C + E,
+                    e * B + f * D + F,
+                )
             elif op == b"Do":
-                # Form XObject invocation: interpret the form's content
-                # stream in place (page coordinates — subset contract of
-                # _page_form_xobjects), emitting into the same span list.
                 fname = stack[-1]
-                if xobjects and isinstance(fname, bytes) and _depth < _MAX_FORM_DEPTH:
-                    form = xobjects.get(fname.decode("latin-1").lstrip("/"))
-                    if form is not None and not any(h for h, _ in mc_stack):
-                        spans.extend(
-                            _interpret_text(form, cid_fonts, xobjects,
-                                            _depth + 1, simple_encodings,
-                                            hidden_ocs)
-                        )
+                if not isinstance(fname, bytes):
+                    pass
+                else:
+                    key = fname.decode("latin-1").lstrip("/")
+                    img = image_xobjects.get(key) if image_xobjects else None
+                    if img is not None:
+                        # Image XObject: the unit square through the CTM is
+                        # the placement rect (PDF-space, bottom-up).
+                        if image_out is not None and not any(
+                            h for h, _ in mc_stack
+                        ):
+                            A, B, C, D, E, F = ctm
+                            xs = [E, A + E, C + E, A + C + E]
+                            ys = [F, B + F, D + F, B + D + F]
+                            image_out.append(
+                                {
+                                    "bbox_pdf": (
+                                        min(xs), min(ys), max(xs), max(ys)
+                                    ),
+                                    "width": img["width"],
+                                    "height": img["height"],
+                                    "gray": img["gray"],
+                                }
+                            )
+                    elif xobjects and _depth < _MAX_FORM_DEPTH:
+                        # Form XObject invocation: interpret the form's
+                        # content stream in place (page coordinates —
+                        # subset contract of _page_form_xobjects),
+                        # emitting into the same span list.
+                        form = xobjects.get(key)
+                        if form is not None and not any(h for h, _ in mc_stack):
+                            spans.extend(
+                                _interpret_text(form, cid_fonts, xobjects,
+                                                _depth + 1, simple_encodings,
+                                                hidden_ocs, image_xobjects,
+                                                image_out)
+                            )
         except (IndexError, ValueError, TypeError):
             # Malformed operand stack — tolerant skip (per-page failure
             # isolation happens at the caller).
@@ -1664,6 +1773,11 @@ def _union_bbox(bboxes: List[List[float]]) -> List[float]:
 class PdfPage:
     text: str
     layout: Dict[str, Any]
+    # Image placements (scanned-page path): top-down-bbox dicts
+    # {bbox, width, height, gray} consumed by the rasterizer/OCR ladder;
+    # NOT serialized into layout_json (the layout tree stays
+    # reference-shaped — fitz's get_text("dict") has no image pixels).
+    images: List[Dict[str, Any]] = field(default_factory=list)
 
 
 def _assemble_page(
@@ -2664,14 +2778,25 @@ class PdfDocument:
                 xobjects = _page_form_xobjects(
                     self._objects, resources, self._file_key, cfm
                 )
+                image_xobjs = _page_image_xobjects(
+                    self._objects, resources, self._file_key, cfm
+                )
                 simple_enc = _page_simple_encodings(self._objects, resources)
                 hidden = _page_hidden_ocs(self._objects, resources, off_ocgs)
+                placements: List[Dict[str, Any]] = []
                 spans = _interpret_text(
                     content, cid_fonts or None, xobjects or None,
                     simple_encodings=simple_enc or None,
                     hidden_ocs=hidden or None,
+                    image_xobjects=image_xobjs or None,
+                    image_out=placements if image_xobjs else None,
                 )
-                pages.append(_assemble_page(spans, width, height, rotate))
+                page = _assemble_page(spans, width, height, rotate)
+                for pl in placements:
+                    x0, y0, x1, y1 = pl.pop("bbox_pdf")
+                    pl["bbox"] = [x0, height - y1, x1, height - y0]
+                    page.images.append(pl)
+                pages.append(page)
             except PdfParseError:
                 pages.append(
                     PdfPage(text="", layout={"width": width, "height": height, "rotation": rotate, "blocks": []})

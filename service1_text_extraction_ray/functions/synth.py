@@ -685,6 +685,114 @@ def append_incremental_update(pdf: bytes, page_index: int,
     return pdf + b"\n" + obj + tail.encode()
 
 
+def make_scanned_pdf(page_line_texts: List[List[str]], rng: random.Random,
+                     psm_trap: bool = False) -> bytes:
+    """Write a PDF whose pages carry their text ONLY as pixels — the
+    scanned-document fixture for the OCR fallback ladder (P5/P6).
+
+    Each page is one 8-bit /DeviceGray image XObject (FlateDecode) placed
+    over the full MediaBox via ``q 612 0 0 792 0 0 cm /ImN Do Q``; there
+    are no text operators and no fonts, so content-stream extraction
+    yields "" and the page gate fails — exactly the scanned-page shape the
+    reference falls back to tesseract on (core_pdf_processor.py:391-400).
+    The image raster is 2 px/pt (1224x1584), matching the OCR ladder's 2x
+    zoom (``Matrix(2, 2)``) so the page-raster blit is pixel-identical.
+
+    ``psm_trap``: layout that defeats single-uniform-block segmentation —
+    a short ``p. N`` header far above a uniformly spaced body, so a psm-6
+    pass returns <10 chars and the enhanced ladder's ``--psm 3`` retry
+    (core_pdf_processor.py:986-994) observably fires. The first line of
+    ``page_line_texts[i]`` is the header; the rest are the body.
+    """
+    from .page_render import rasterize_page
+
+    objects: List[bytes] = []
+
+    def add(obj_body: bytes) -> int:
+        objects.append(obj_body)
+        return len(objects)
+
+    n_pages = len(page_line_texts)
+    catalog_num, pages_num = 1, 2
+    page_nums = [3 + 3 * i for i in range(n_pages)]
+    content_nums = [4 + 3 * i for i in range(n_pages)]
+    image_nums = [5 + 3 * i for i in range(n_pages)]
+
+    add(f"<< /Type /Catalog /Pages {pages_num} 0 R >>".encode())
+    kids = " ".join(f"{p} 0 R" for p in page_nums)
+    add(f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode())
+
+    for i, texts in enumerate(page_line_texts):
+        if psm_trap and texts:
+            head, body = texts[:1], texts[1:]
+            lines = [(72.0, 40.0, head[0])] + [
+                (72.0, 200.0 + 14.0 * j, t) for j, t in enumerate(body)
+            ]
+        else:
+            lines = [(72.0, 72.0 + 14.0 * j, t) for j, t in enumerate(texts)]
+        fake_layout = {
+            "width": 612.0,
+            "height": 792.0,
+            "blocks": [
+                {
+                    "bbox": [x, y, x + 6.0 * len(t), y + 12.0],
+                    "lines": [
+                        {
+                            "bbox": [x, y, x + 6.0 * len(t), y + 12.0],
+                            "spans": [
+                                {
+                                    "text": t,
+                                    "bbox": [x, y, x + 6.0 * len(t), y + 12.0],
+                                    "size": 12.0,
+                                    "font": "F1",
+                                    "flags": 0,
+                                }
+                            ],
+                        }
+                    ],
+                }
+                for (x, y, t) in lines
+            ],
+        }
+        canvas = rasterize_page(fake_layout, scale=2.0)
+        img_h, img_w = canvas.shape
+        img_data = zlib.compress(canvas.tobytes(), 6)
+        content = f"q 612 0 0 792 0 0 cm /Im{i} Do Q\n".encode()
+        add(
+            f"<< /Type /Page /Parent {pages_num} 0 R /MediaBox [0 0 612 792] "
+            f"/Contents {content_nums[i]} 0 R "
+            f"/Resources << /XObject << /Im{i} {image_nums[i]} 0 R >> >> >>".encode()
+        )
+        objects.append(
+            f"<< /Length {len(content)} >>\nstream\n".encode()
+            + content + b"\nendstream"
+        )
+        objects.append(
+            (
+                f"<< /Type /XObject /Subtype /Image /Width {img_w} "
+                f"/Height {img_h} /ColorSpace /DeviceGray "
+                f"/BitsPerComponent 8 /Filter /FlateDecode "
+                f"/Length {len(img_data)} >>\nstream\n"
+            ).encode() + img_data + b"\nendstream"
+        )
+
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = [0]
+    for num, body in enumerate(objects, start=1):
+        offsets.append(len(out))
+        out += f"{num} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_pos = len(out)
+    out += f"xref\n0 {len(objects) + 1}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (
+        f"trailer\n<< /Size {len(objects) + 1} /Root {catalog_num} 0 R >>\n"
+        f"startxref\n{xref_pos}\n%%EOF\n".encode()
+    )
+    return bytes(out)
+
+
 def make_malformed(rng: random.Random, variant: int) -> bytes:
     variant = variant % 4
     if variant == 0:
@@ -863,6 +971,75 @@ def write_pages_parquet(path: str, n_rows: int, seed: int = 42, rows_per_file: i
         n = min(rows_per_file, n_rows - start)
         pq.write_table(
             gen_pages_table(n, seed=seed, start=start),
+            os.path.join(path, f"part-{part:05d}.parquet"),
+        )
+        start += n
+        part += 1
+
+
+def make_scanned_row(i: int, seed: int = 42) -> dict:
+    """Row ``i`` of the scanned-document corpus (pure function of
+    (seed, i); PAGES_SCHEMA, so the extraction pipeline runs unchanged).
+
+    ``html`` is a make_scanned_pdf payload — text exists only as pixels;
+    ``text`` is the planted golden: the exact combined document text the
+    OCR ladder should recover, pre-rendered in the combine_pages framing
+    (``--- PAGE N ---``) so the eval is a straight string equality against
+    the pipeline's doc_text. Every third document is a psm-trap layout
+    (short header + distant body: per-page expected text is
+    ``header\\n\\nbody`` — the psm-3 two-block segmentation)."""
+    from .render import combine_pages
+
+    rng = _rng(seed + 1_000_003, i)  # stream disjoint from make_row's
+    lang = LANGS[i % len(LANGS)]
+    url = f"https://scan{i % 11}.example/{lang}/scan-{i:08d}"
+    ts = EPOCH_US + i * 41_000_000
+    trap = i % 3 == 0
+    n_pages = 1 + i % 3
+    page_lines: List[List[str]] = []
+    expected: List[Tuple[int, str]] = []
+    for p in range(n_pages):
+        n_lines = rng.randint(6, 12)
+        lines = [
+            " ".join(_sentence(rng, rng.randint(4, 8)).split())
+            for _ in range(n_lines)
+        ]
+        if trap:
+            header = f"p. {p + 1}"
+            page_lines.append([header] + lines)
+            expected.append((p + 1, header + "\n\n" + "\n".join(lines)))
+        else:
+            page_lines.append(lines)
+            expected.append((p + 1, "\n".join(lines)))
+    payload = make_scanned_pdf(page_lines, rng, psm_trap=trap)
+    return {
+        "url": url,
+        "warc_ts": ts,
+        "html": payload,
+        "text": combine_pages(expected),
+        "lang": lang,
+    }
+
+
+def gen_scanned_table(n_rows: int, seed: int = 42, start: int = 0) -> pa.Table:
+    rows = [make_scanned_row(i, seed) for i in range(start, start + n_rows)]
+    return pa.Table.from_pylist(rows, schema=PAGES_SCHEMA)
+
+
+def write_scanned_parquet(path: str, n_rows: int, seed: int = 42,
+                          rows_per_file: int = 500) -> None:
+    """Scanned corpus as a directory of Parquet shards (image payloads are
+    ~15-40 KiB each after Flate, so shards stay small)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    os.makedirs(path, exist_ok=True)
+    start, part = 0, 0
+    while start < n_rows:
+        n = min(rows_per_file, n_rows - start)
+        pq.write_table(
+            gen_scanned_table(n, seed=seed, start=start),
             os.path.join(path, f"part-{part:05d}.parquet"),
         )
         start += n

@@ -141,14 +141,73 @@ def q_layout_stats(sf_dir: str) -> rd.Dataset:
 
 
 def q_render_pages(sf_dir: str) -> rd.Dataset:
-    """Page -> image render (P14, pdf_service.py:126-142) as a stub-parity
-    operator: deterministic placeholder PNG per extracted page with
-    render_ok=False (functions/page_render.py — the OCR-stub pattern).
-    Rows-only driver check; PNG validity + determinism pytest-verified."""
+    """Page -> image render (P14, pdf_service.py:126-142): a real from-
+    scratch bitmap-font rasterization (render_ok=True) for every page with
+    a layout tree, deterministic placeholder PNG (render_ok=False) for
+    pages without one (functions/page_render.py). Rows-only driver check;
+    PNG validity + determinism + OCR round-trip pytest-verified."""
     from ..functions.page_render import render_pages_batch
 
     pages = extract_pages_dataset(documents_to_pages(sf_dir))
     return pages.map_batches(render_pages_batch, batch_format="pyarrow")
+
+
+def q_extract_ocr(sf_dir: str) -> rd.Dataset:
+    """OCR fallback ladder (P5/P6, core_pdf_processor.py:391-400,467-582)
+    over the scanned corpus: documents rendered into image-XObject-only
+    PDFs (text exists only as pixels), extracted with the deterministic
+    pixel-OCR backend (functions/ocr.py) — page grain, method="tesseract"
+    with word-box layout trees. Non-SQL (real image->text recognition);
+    rows-only driver check, exact-recovery pytest goldens."""
+    from ..functions.extract import ExtractConfig
+    from ..sources.pages_source import documents_to_scanned_pages
+
+    cfg = ExtractConfig(ocr_backend="fake")
+    pages = extract_pages_dataset(documents_to_scanned_pages(sf_dir), cfg)
+    return pages.select_columns(
+        ["url", "page", "method", "extracted_text", "n_chars", "status"]
+    )
+
+
+def q_ocr_eval(sf_dir: str) -> rd.Dataset:
+    """Measured OCR-recovery EVAL: per doc, exact-match of the text the
+    gate->rasterize->recognize ladder recovered against the planted golden
+    the scanned corpus carries (pages whose text exists ONLY as pixels).
+    The honest answer to "does the OCR ladder actually read the pixels?"
+    — recovery below 100% on this corpus is a recognizer bug, not noise
+    (pytest pins the corpus exact_rate at 1.0). Doc-grain rows
+    (url, n_pages, ocr_pages, exact); non-SQL -> rows-only driver check."""
+    from ..functions.extract import ExtractConfig, extract_document
+    from ..sources.pages_source import documents_to_scanned_pages
+
+    cfg = ExtractConfig(ocr_backend="fake")
+    out_schema = pa.schema([
+        ("url", pa.string()), ("n_pages", pa.int64()),
+        ("ocr_pages", pa.int64()), ("exact", pa.bool_()),
+    ])
+
+    def score(t: pa.Table) -> pa.Table:
+        rows = []
+        for url, payload, golden in zip(
+            t["url"].to_pylist(), t["html"].to_pylist(), t["text"].to_pylist()
+        ):
+            r = extract_document(url, payload or b"", cfg)
+            pages = r.get("pages") or []
+            rows.append(
+                {
+                    "url": url,
+                    "n_pages": len(pages),
+                    "ocr_pages": sum(
+                        1 for p in pages if p["method"] == "tesseract"
+                    ),
+                    "exact": r.get("doc_text") == (golden or ""),
+                }
+            )
+        return pa.Table.from_pylist(rows, schema=out_schema)
+
+    return documents_to_scanned_pages(sf_dir).map_batches(
+        score, batch_format="pyarrow"
+    )
 
 
 def q_extract_tables(sf_dir: str) -> rd.Dataset:

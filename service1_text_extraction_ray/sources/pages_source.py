@@ -118,6 +118,78 @@ def documents_to_pages(sf_dir: str) -> rd.Dataset:
     return docs.map_batches(to_pages, batch_format="pyarrow")
 
 
+def documents_to_scanned_pages(sf_dir: str) -> rd.Dataset:
+    """Wrap the testdata ``documents`` table into SCANNED pages rows: each
+    doc's text rendered into image-XObject-only PDFs (make_scanned_pdf) —
+    the fixture corpus for the OCR fallback ladder (P5/P6). Deterministic
+    per doc_id; ``text`` carries the planted golden: the exact combined
+    doc text the psm-3 ladder should recover (combine_pages framing), with
+    every third doc a psm-trap layout (short ``p. N`` header + distant
+    body, per-page expectation ``header\\n\\nbody``)."""
+    import random
+
+    from ..functions.render import combine_pages
+    from ..functions.synth import make_scanned_pdf
+
+    MAX_LINE_CHARS = 70
+    LINES_PER_PAGE = 4  # median testdata doc ≈ 5 lines -> most docs get 2 pages
+
+    def to_scanned(batch: pa.Table) -> pa.Table:
+        rows = []
+        for doc_id, text, lang in zip(
+            batch["doc_id"].to_pylist(),
+            batch["text"].to_pylist(),
+            batch["lang"].to_pylist(),
+        ):
+            rng = random.Random(431_000_011 + int(doc_id))
+            # ASCII-printable sanitize: the raster subset advances blank on
+            # other codepoints, so the planted golden must match what the
+            # pixels can carry.
+            words = [
+                "".join(ch for ch in w if 32 <= ord(ch) < 127)
+                for w in (text or "").split()
+            ]
+            words = [w for w in words if w] or ["blank"]
+            lines: list = []
+            cur = ""
+            for w in words:
+                if cur and len(cur) + 1 + len(w) > MAX_LINE_CHARS:
+                    lines.append(cur)
+                    cur = w
+                else:
+                    cur = f"{cur} {w}".strip()
+            if cur:
+                lines.append(cur)
+            trap = int(doc_id) % 3 == 0
+            page_lines, expected = [], []
+            for p, start in enumerate(range(0, len(lines), LINES_PER_PAGE), 1):
+                body = lines[start : start + LINES_PER_PAGE]
+                if trap:
+                    header = f"p. {p}"
+                    page_lines.append([header] + body)
+                    expected.append((p, header + "\n\n" + "\n".join(body)))
+                else:
+                    page_lines.append(body)
+                    expected.append((p, "\n".join(body)))
+            payload = make_scanned_pdf(page_lines, rng, psm_trap=trap)
+            rows.append(
+                {
+                    "url": f"https://scans.example/{doc_id:08d}",
+                    "warc_ts": EPOCH_US + int(doc_id) * 41_000_000,
+                    "html": payload,
+                    "text": combine_pages(expected),
+                    "lang": lang or "en",
+                }
+            )
+        return pa.Table.from_pylist(rows, schema=PAGES_SCHEMA)
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "lang"],
+    )
+    return docs.map_batches(to_scanned, batch_format="pyarrow")
+
+
 def read_pages_jsonl(input_path: str) -> rd.Dataset:
     """JSONL pages source: one JSON object per line with the pages columns,
     ``html`` base64-encoded (JSON has no binary type) and ``warc_ts`` in

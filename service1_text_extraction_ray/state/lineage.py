@@ -39,13 +39,78 @@ from __future__ import annotations
 
 import json
 import os
-from typing import Any, Dict, List, Set
+from typing import Any, Dict, List, Optional, Set
 
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 LINEAGE_VERSION = 1
+
+
+class LocalAtomicFS:
+    """Default storage backend: POSIX directories with tmp-file + atomic
+    rename visibility.
+
+    Every lineage I/O routes through this seam so the S5 object-store
+    write path (reference ``document_text_extraction_service.py:679-705``,
+    the S3 writer) is exercisable: an object store has NO rename — a PUT
+    is atomic per object but listings may lag — so the interface exposes
+    only whole-object ``put_bytes`` / ``write_table`` (each backend
+    supplies its own atomicity) and the commit protocol must survive
+    eventual listing (tests/test_object_store_fs.py injects such a
+    backend). The protocol's correctness never depends on rename: a part
+    or manifest object is either fully visible or absent, and readers
+    trust only manifest-listed parts.
+    """
+
+    def makedirs(self, path: str) -> None:
+        os.makedirs(path, exist_ok=True)
+
+    def isdir(self, path: str) -> bool:
+        return os.path.isdir(path)
+
+    def listdir(self, path: str) -> List[str]:
+        return sorted(os.listdir(path))
+
+    def read_bytes(self, path: str) -> bytes:
+        with open(path, "rb") as f:
+            return f.read()
+
+    def put_bytes(self, path: str, data: bytes) -> None:
+        tmp = path + f".tmp-{os.getpid()}"
+        with open(tmp, "wb") as f:
+            f.write(data)
+        os.replace(tmp, path)
+
+    def write_table(self, table: pa.Table, path: str) -> None:
+        tmp = path + f".tmp-{os.getpid()}"
+        pq.write_table(table, tmp)
+        os.replace(tmp, path)
+
+    def read_table(self, path: str) -> pa.Table:
+        return pq.read_table(path)
+
+    def num_rows(self, path: str) -> int:
+        return pq.ParquetFile(path).metadata.num_rows
+
+    def remove(self, path: str) -> None:
+        try:
+            os.remove(path)
+        except OSError:
+            pass
+
+    def rmtree(self, path: str) -> None:
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+
+
+LOCAL_FS = LocalAtomicFS()
+
+
+def _fs(fs: Optional[Any]) -> Any:
+    return fs if fs is not None else LOCAL_FS
 
 
 def data_dir(out_dir: str) -> str:
@@ -108,15 +173,18 @@ def part_counters(table: pa.Table) -> Dict[str, Any]:
     }
 
 
-def write_part(out_dir: str, shard_id: int, table: pa.Table) -> Dict[str, Any]:
-    """Write one content-addressed part file for a shard (atomic rename).
+def write_part(out_dir: str, shard_id: int, table: pa.Table,
+               fs: Optional[Any] = None) -> Dict[str, Any]:
+    """Write one content-addressed part file for a shard.
 
     The part name is a hash of the row-set's (url, content_hash) pairs, so a
     re-write of the same rows lands on the same name — idempotent by
-    construction. Returns the part's summary record.
+    construction (and safe on object stores, where a double PUT of the same
+    object is a no-op). Returns the part's summary record.
     """
     import hashlib
 
+    fs = _fs(fs)
     h = hashlib.sha256()
     for url, ch in zip(table["url"].to_pylist(), table["content_hash"].to_pylist()):
         h.update(url.encode("utf-8"))
@@ -124,72 +192,70 @@ def write_part(out_dir: str, shard_id: int, table: pa.Table) -> Dict[str, Any]:
     part_name = f"part-{h.hexdigest()[:20]}.parquet"
 
     ddir = shard_data_dir(out_dir, shard_id)
-    os.makedirs(ddir, exist_ok=True)
-    dpath = os.path.join(ddir, part_name)
-    tmp = dpath + f".tmp-{os.getpid()}"
-    pq.write_table(table, tmp)
-    os.replace(tmp, dpath)
+    fs.makedirs(ddir)
+    fs.write_table(table, os.path.join(ddir, part_name))
 
     rec = part_counters(table)
     rec["shard_id"] = shard_id
     rec["part"] = part_name
 
-    # Record the part summary under pending/ (atomic) so completeness is
-    # checkable mid-run.
+    # Record the part summary under pending/ (whole-object put) so
+    # completeness is checkable mid-run. Ordering contract: the DATA part
+    # is visible before its summary, so a committed count never references
+    # a missing part.
     pdir = pending_dir(out_dir, shard_id)
-    os.makedirs(pdir, exist_ok=True)
+    fs.makedirs(pdir)
     spath = os.path.join(pdir, part_name.replace(".parquet", ".json"))
-    tmp = spath + f".tmp-{os.getpid()}"
-    with open(tmp, "w", encoding="utf-8") as f:
-        json.dump(rec, f, sort_keys=True)
-    os.replace(tmp, spath)
+    fs.put_bytes(spath, json.dumps(rec, sort_keys=True).encode("utf-8"))
     return rec
 
 
-def load_pending(out_dir: str, shard_id: int) -> list:
+def load_pending(out_dir: str, shard_id: int, fs: Optional[Any] = None) -> list:
+    fs = _fs(fs)
     pdir = pending_dir(out_dir, shard_id)
-    if not os.path.isdir(pdir):
+    if not fs.isdir(pdir):
         return []
     out = []
-    for name in sorted(os.listdir(pdir)):
+    for name in fs.listdir(pdir):
         if not name.endswith(".json"):
             continue
         try:
-            with open(os.path.join(pdir, name), encoding="utf-8") as f:
-                out.append(json.load(f))
+            out.append(json.loads(fs.read_bytes(os.path.join(pdir, name))))
         except (OSError, json.JSONDecodeError):
             continue  # torn write; the data part exists but isn't countable yet
     return out
 
 
-def try_commit_shard(out_dir: str, shard_id: int, expected_rows: int) -> Dict[str, Any] | None:
+def try_commit_shard(out_dir: str, shard_id: int, expected_rows: int,
+                     fs: Optional[Any] = None) -> Dict[str, Any] | None:
     """Commit the shard's manifest iff all expected rows' parts are visible.
 
     Safe under concurrent writers: only the writer that observes the complete
     set commits; racing double-commits write identical content (sorted part
-    list over the same complete set)."""
-    pend = load_pending(out_dir, shard_id)
+    list over the same complete set). Safe under EVENTUAL listing (object
+    stores): a lagging list under-counts, so the commit is deferred — never
+    taken early — and a later writer (or resume pass) commits once the
+    listing catches up."""
+    pend = load_pending(out_dir, shard_id, fs)
     if sum(r["n_docs"] for r in pend) != expected_rows:
         return None
-    return commit_shard_manifest(out_dir, shard_id, pend)
+    return commit_shard_manifest(out_dir, shard_id, pend, fs)
 
 
-def purge_shard(out_dir: str, shard_id: int) -> None:
+def purge_shard(out_dir: str, shard_id: int, fs: Optional[Any] = None) -> None:
     """Remove a shard's data parts, pending summaries and manifest — used
     before re-processing an incomplete shard so stale parts from a crashed
     attempt can never mix into the new attempt's completeness count."""
-    import shutil
-
+    fs = _fs(fs)
     for path in (shard_data_dir(out_dir, shard_id), pending_dir(out_dir, shard_id)):
-        shutil.rmtree(path, ignore_errors=True)
-    try:
-        os.remove(manifest_path(out_dir, shard_id))
-    except OSError:
-        pass
+        fs.rmtree(path)
+    fs.remove(manifest_path(out_dir, shard_id))
 
 
-def commit_shard_manifest(out_dir: str, shard_id: int, part_records: list) -> Dict[str, Any]:
+def commit_shard_manifest(out_dir: str, shard_id: int, part_records: list,
+                          fs: Optional[Any] = None) -> Dict[str, Any]:
     """Write the shard manifest AFTER all its parts exist (the commit point)."""
+    fs = _fs(fs)
     parts = sorted({r["part"] for r in part_records})
     acc = 0
     record = {
@@ -217,11 +283,8 @@ def commit_shard_manifest(out_dir: str, shard_id: int, part_records: list) -> Di
     record["content_hash"] = f"{acc:016x}"
 
     lpath = manifest_path(out_dir, shard_id)
-    os.makedirs(os.path.dirname(lpath), exist_ok=True)
-    tmp = lpath + f".tmp-{os.getpid()}"
-    with open(tmp, "w", encoding="utf-8") as f:
-        json.dump(record, f, sort_keys=True)
-    os.replace(tmp, lpath)
+    fs.makedirs(os.path.dirname(lpath))
+    fs.put_bytes(lpath, json.dumps(record, sort_keys=True).encode("utf-8"))
     return record
 
 
@@ -238,18 +301,17 @@ def thread_map(fn, items, max_workers: int = 32) -> list:
         return list(pool.map(fn, items))
 
 
-def load_lineage(out_dir: str) -> List[Dict[str, Any]]:
+def load_lineage(out_dir: str, fs: Optional[Any] = None) -> List[Dict[str, Any]]:
+    fs = _fs(fs)
     ldir = lineage_dir(out_dir)
-    if not os.path.isdir(ldir):
+    if not fs.isdir(ldir):
         return []
     records = []
-    for name in sorted(os.listdir(ldir)):
+    for name in fs.listdir(ldir):
         if not (name.startswith("shard_") and name.endswith(".json")):
             continue
-        path = os.path.join(ldir, name)
         try:
-            with open(path, encoding="utf-8") as f:
-                rec = json.load(f)
+            rec = json.loads(fs.read_bytes(os.path.join(ldir, name)))
         except (OSError, json.JSONDecodeError):
             continue  # torn write -> treat shard as incomplete
         if rec.get("status") == "ok" and rec.get("version") == LINEAGE_VERSION:
@@ -257,7 +319,8 @@ def load_lineage(out_dir: str) -> List[Dict[str, Any]]:
     return records
 
 
-def completed_shards(out_dir: str, validate_data: bool = True) -> Set[int]:
+def completed_shards(out_dir: str, validate_data: bool = True,
+                     fs: Optional[Any] = None) -> Set[int]:
     """Shard ids whose manifest is valid AND whose listed parts all exist with
     the recorded total row count (guards against data removed/corrupted after
     the manifest was committed).
@@ -265,7 +328,8 @@ def completed_shards(out_dir: str, validate_data: bool = True) -> Set[int]:
     Validation is footer-only IO per part and independent across shards, so
     it runs through thread_map — a serial scan is an O(shards) resume stall
     at crawl-scale shard counts (same fix as the job's expected-rows scan)."""
-    records = load_lineage(out_dir)
+    fs = _fs(fs)
+    records = load_lineage(out_dir, fs)
     if not validate_data:
         return {rec["shard_id"] for rec in records}
 
@@ -275,30 +339,32 @@ def completed_shards(out_dir: str, validate_data: bool = True) -> Set[int]:
         n = 0
         for part in rec.get("parts", []):
             try:
-                n += pq.ParquetFile(os.path.join(ddir, part)).metadata.num_rows
-            except (OSError, pa.ArrowInvalid):
+                n += fs.num_rows(os.path.join(ddir, part))
+            except (OSError, pa.ArrowInvalid, KeyError):
                 return None
         return sid if n == rec["n_docs"] else None
 
     return {sid for sid in thread_map(check, records) if sid is not None}
 
 
-def read_shard(out_dir: str, shard_id: int) -> pa.Table:
+def read_shard(out_dir: str, shard_id: int, fs: Optional[Any] = None) -> pa.Table:
     """Read a shard's rows via its manifest (ignores orphan parts)."""
-    rec_by_id = {r["shard_id"]: r for r in load_lineage(out_dir)}
+    fs = _fs(fs)
+    rec_by_id = {r["shard_id"]: r for r in load_lineage(out_dir, fs)}
     rec = rec_by_id[shard_id]
     ddir = shard_data_dir(out_dir, shard_id)
-    tables = [pq.read_table(os.path.join(ddir, p)) for p in rec["parts"]]
+    tables = [fs.read_table(os.path.join(ddir, p)) for p in rec["parts"]]
     return pa.concat_tables(tables) if tables else pa.table({})
 
 
-def read_all(out_dir: str) -> pa.Table:
+def read_all(out_dir: str, fs: Optional[Any] = None) -> pa.Table:
     """Read every committed shard's rows (manifest-listed parts only)."""
+    fs = _fs(fs)
     tables = []
-    for rec in load_lineage(out_dir):
+    for rec in load_lineage(out_dir, fs):
         ddir = shard_data_dir(out_dir, rec["shard_id"])
         for p in rec["parts"]:
-            tables.append(pq.read_table(os.path.join(ddir, p)))
+            tables.append(fs.read_table(os.path.join(ddir, p)))
     return pa.concat_tables(tables) if tables else pa.table({})
 
 
@@ -328,7 +394,8 @@ def summarize(records: List[Dict[str, Any]]) -> Dict[str, Any]:
     return out
 
 
-def compact_shard(out_dir: str, shard_id: int, target_rows: int = 100_000) -> Dict[str, Any]:
+def compact_shard(out_dir: str, shard_id: int, target_rows: int = 100_000,
+                  fs: Optional[Any] = None) -> Dict[str, Any]:
     """Small-file compaction for one committed shard — the storage-
     maintenance pass every long-lived 100-TB layout needs (many appends ->
     many tiny parts -> footer-read amplification on every consumer).
@@ -343,21 +410,22 @@ def compact_shard(out_dir: str, shard_id: int, target_rows: int = 100_000) -> Di
     preserved exactly (asserted here, not assumed); already-compact shards
     are a no-op, and re-running lands on identical content-addressed names.
     Returns the (possibly unchanged) manifest record."""
-    rec_by_id = {r["shard_id"]: r for r in load_lineage(out_dir)}
+    fs = _fs(fs)
+    rec_by_id = {r["shard_id"]: r for r in load_lineage(out_dir, fs)}
     rec = rec_by_id[shard_id]
     n_new = max(1, -(-rec["n_docs"] // target_rows))
     if len(rec["parts"]) <= n_new:
         return rec  # already compact
 
-    table = read_shard(out_dir, shard_id)
+    table = read_shard(out_dir, shard_id, fs)
     old_parts = set(rec["parts"])
     new_records = []
     step = -(-table.num_rows // n_new)
     for start in range(0, table.num_rows, step):
         new_records.append(
-            write_part(out_dir, shard_id, table.slice(start, step))
+            write_part(out_dir, shard_id, table.slice(start, step), fs)
         )
-    new_rec = commit_shard_manifest(out_dir, shard_id, new_records)
+    new_rec = commit_shard_manifest(out_dir, shard_id, new_records, fs)
     if new_rec["content_hash"] != rec["content_hash"] or new_rec["n_docs"] != rec["n_docs"]:
         raise RuntimeError(
             f"compaction changed shard {shard_id} content "
@@ -369,23 +437,18 @@ def compact_shard(out_dir: str, shard_id: int, target_rows: int = 100_000) -> Di
     pdir = pending_dir(out_dir, shard_id)
     keep = set(new_rec["parts"])
     for part in old_parts - keep:
-        for path in (
-            os.path.join(ddir, part),
-            os.path.join(pdir, part.replace(".parquet", ".json")),
-        ):
-            try:
-                os.remove(path)
-            except OSError:
-                pass
+        fs.remove(os.path.join(ddir, part))
+        fs.remove(os.path.join(pdir, part.replace(".parquet", ".json")))
     return new_rec
 
 
-def compact_output(out_dir: str, target_rows: int = 100_000) -> Dict[str, Any]:
+def compact_output(out_dir: str, target_rows: int = 100_000,
+                   fs: Optional[Any] = None) -> Dict[str, Any]:
     """Compact every committed shard (thread-pooled: compaction is IO-bound
     and shards are independent). Returns the job summary over the resulting
     manifests — byte-identical counters/content_hash to pre-compaction."""
-    records = load_lineage(out_dir)
+    records = load_lineage(out_dir, fs)
     thread_map(
-        lambda r: compact_shard(out_dir, r["shard_id"], target_rows), records
+        lambda r: compact_shard(out_dir, r["shard_id"], target_rows, fs), records
     )
-    return summarize(load_lineage(out_dir))
+    return summarize(load_lineage(out_dir, fs))

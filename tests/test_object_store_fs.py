@@ -1,0 +1,224 @@
+"""S5 object-store write-path tests (reference
+`document_text_extraction_service.py:679-705`, the S3 md writer).
+
+`state/lineage.py` routes every byte of lineage I/O through a filesystem
+seam (`LocalAtomicFS`).  These tests inject an object-store double with the
+two properties that break naive commit protocols on real object stores:
+
+  * **no rename** — the only write primitive is a whole-object PUT, atomic
+    per key (an object is fully visible or absent, never torn);
+  * **eventual listing** — GET-by-key is read-your-writes, but LIST lags
+    until an explicit `sync()`, so a lagging list under-counts fresh parts.
+
+The assertions pin the protocol's two safety claims: a commit is only ever
+*deferred* (never taken early) under lagging listings, and the resulting
+manifests/content hashes are byte-identical to a POSIX `LocalAtomicFS` run
+over the same rows.
+"""
+
+import hashlib
+import io
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from service1_text_extraction_ray.state import lineage as L
+
+
+class EventualObjectStore:
+    """In-memory object-store double.
+
+    Keys are flat object names (no directories).  PUT replaces the whole
+    object atomically; GET by key sees the latest PUT immediately; LIST
+    (``isdir``/``listdir``) only reflects PUTs/DELETEs that happened before
+    the last ``sync()`` — the adversarial consistency model for a commit
+    protocol that counts parts by listing."""
+
+    def __init__(self):
+        self.objects = {}  # key -> bytes
+        self.listed = set()  # keys visible to LIST
+        self.n_puts = 0
+
+    def sync(self):
+        self.listed = set(self.objects)
+
+    # --- seam interface ---------------------------------------------------
+    def makedirs(self, path):  # object stores have no directories
+        pass
+
+    def isdir(self, path):
+        p = path.rstrip("/") + "/"
+        return any(k.startswith(p) for k in self.listed)
+
+    def listdir(self, path):
+        p = path.rstrip("/") + "/"
+        return sorted(
+            {k[len(p):].split("/", 1)[0] for k in self.listed if k.startswith(p)}
+        )
+
+    def read_bytes(self, path):
+        if path not in self.objects:
+            raise OSError(f"NoSuchKey: {path}")
+        return self.objects[path]
+
+    def put_bytes(self, path, data):
+        self.n_puts += 1
+        self.objects[path] = bytes(data)
+
+    def write_table(self, table, path):
+        sink = pa.BufferOutputStream()
+        pq.write_table(table, sink)
+        self.put_bytes(path, sink.getvalue().to_pybytes())
+
+    def read_table(self, path):
+        return pq.read_table(pa.BufferReader(self.read_bytes(path)))
+
+    def num_rows(self, path):
+        return pq.ParquetFile(pa.BufferReader(self.read_bytes(path))).metadata.num_rows
+
+    def remove(self, path):
+        self.objects.pop(path, None)
+        self.listed.discard(path)
+
+    def rmtree(self, path):
+        p = path.rstrip("/") + "/"
+        for k in [k for k in self.objects if k.startswith(p)]:
+            self.objects.pop(k, None)
+            self.listed.discard(k)
+
+
+def _rows(i0, n):
+    return pa.table({
+        "url": pa.array([f"https://d/{i}" for i in range(i0, i0 + n)]),
+        "status": pa.array(["ok"] * n),
+        "n_pages": pa.array([1] * n, pa.int64()),
+        "n_pages_ok": pa.array([1] * n, pa.int64()),
+        "doc_chars": pa.array([10 + i for i in range(i0, i0 + n)], pa.int64()),
+        "truncated": pa.array([False] * n),
+        "password_required": pa.array([False] * n),
+        "content_hash": pa.array(
+            [hashlib.sha256(str(i).encode()).hexdigest() for i in range(i0, i0 + n)]
+        ),
+    })
+
+
+OUT = "bucket/job"
+
+
+class TestCommitUnderEventualListing:
+    def test_commit_deferred_until_listing_catches_up(self):
+        fs = EventualObjectStore()
+        L.write_part(OUT, 0, _rows(0, 5), fs)
+        L.write_part(OUT, 0, _rows(5, 5), fs)
+
+        # LIST lags: pending/ appears empty -> the commit must be deferred,
+        # never taken early with a partial part set.
+        assert L.try_commit_shard(OUT, 0, 10, fs) is None
+        assert not fs.isdir(L.lineage_dir(OUT))  # no manifest object PUT
+
+        fs.sync()
+        rec = L.try_commit_shard(OUT, 0, 10, fs)
+        assert rec is not None and rec["n_docs"] == 10 and len(rec["parts"]) == 2
+
+    def test_partial_listing_undercounts_and_defers(self):
+        fs = EventualObjectStore()
+        L.write_part(OUT, 1, _rows(0, 4), fs)
+        fs.sync()  # first part becomes listable
+        L.write_part(OUT, 1, _rows(4, 4), fs)  # second not yet listable
+
+        assert L.try_commit_shard(OUT, 1, 8, fs) is None  # under-count -> defer
+        fs.sync()
+        assert L.try_commit_shard(OUT, 1, 8, fs)["n_docs"] == 8
+
+    def test_double_put_of_same_rows_is_idempotent(self):
+        # Content-addressed part names: a retried writer re-PUTs the same
+        # object under the same key, so completeness counting never doubles.
+        fs = EventualObjectStore()
+        L.write_part(OUT, 2, _rows(0, 6), fs)
+        L.write_part(OUT, 2, _rows(0, 6), fs)  # retry of the same rows
+        fs.sync()
+        assert len(L.load_pending(OUT, 2, fs)) == 1
+        rec = L.try_commit_shard(OUT, 2, 6, fs)
+        assert rec["n_docs"] == 6 and len(rec["parts"]) == 1
+
+
+class TestCrossBackendDeterminism:
+    def test_manifest_matches_local_fs_run(self, tmp_path):
+        fs = EventualObjectStore()
+        local_out = str(tmp_path / "job")
+        for sid, spans in ((0, [(0, 5), (5, 3)]), (7, [(100, 4)])):
+            for i0, n in spans:
+                L.write_part(OUT, sid, _rows(i0, n), fs)
+                L.write_part(local_out, sid, _rows(i0, n))
+        fs.sync()
+        for sid, exp in ((0, 8), (7, 4)):
+            obj = L.try_commit_shard(OUT, sid, exp, fs)
+            loc = L.try_commit_shard(local_out, sid, exp)
+            assert obj is not None and loc is not None
+            for key in ("parts", "n_docs", "content_hash", "counters"):
+                assert obj.get(key) == loc.get(key), key
+        fs.sync()
+        assert L.completed_shards(OUT, fs=fs) == {0, 7}
+        t_obj = L.read_all(OUT, fs)
+        t_loc = L.read_all(local_out)
+        assert t_obj.sort_by("url").equals(t_loc.sort_by("url"))
+
+
+class TestResumeOverObjectStore:
+    def test_resume_sees_only_committed_shards(self):
+        fs = EventualObjectStore()
+        # shard 0 committed; shard 1 has parts but crashed pre-commit
+        L.write_part(OUT, 0, _rows(0, 5), fs)
+        fs.sync()
+        L.try_commit_shard(OUT, 0, 5, fs)
+        L.write_part(OUT, 1, _rows(50, 5), fs)
+        fs.sync()
+
+        assert L.completed_shards(OUT, fs=fs) == {0}
+        # re-attempt of shard 1: purge stale parts, rewrite, commit
+        L.purge_shard(OUT, 1, fs)
+        fs.sync()
+        assert L.load_pending(OUT, 1, fs) == []
+        L.write_part(OUT, 1, _rows(50, 5), fs)
+        fs.sync()
+        L.try_commit_shard(OUT, 1, 5, fs)
+        fs.sync()
+        assert L.completed_shards(OUT, fs=fs) == {0, 1}
+        assert L.read_all(OUT, fs).num_rows == 10
+
+    def test_validation_detects_missing_data_object(self):
+        fs = EventualObjectStore()
+        L.write_part(OUT, 3, _rows(0, 5), fs)
+        fs.sync()
+        rec = L.try_commit_shard(OUT, 3, 5, fs)
+        fs.sync()
+        # lose the data object after commit (bucket lifecycle / operator error)
+        fs.remove(L.shard_data_dir(OUT, 3) + "/" + rec["parts"][0])
+        assert L.completed_shards(OUT, fs=fs) == set()
+        assert L.completed_shards(OUT, validate_data=False, fs=fs) == {3}
+
+
+class TestCompactionOverObjectStore:
+    def test_compaction_preserves_content_hash(self):
+        fs = EventualObjectStore()
+        recs = [L.write_part(OUT, 4, _rows(i0, 4), fs) for i0 in (0, 4, 8)]
+        before = L.commit_shard_manifest(OUT, 4, recs, fs)
+        fs.sync()
+        after = L.compact_shard(OUT, 4, target_rows=100, fs=fs)
+        assert len(after["parts"]) == 1
+        assert after["content_hash"] == before["content_hash"]
+        fs.sync()
+        assert L.completed_shards(OUT, fs=fs) == {4}
+        assert L.read_shard(OUT, 4, fs).num_rows == 12
+
+
+class TestNoRenameEverIssued:
+    def test_seam_interface_has_no_rename(self):
+        # The protocol must not depend on a rename primitive: the seam
+        # simply doesn't offer one, and LocalAtomicFS keeps rename as a
+        # private implementation detail of its atomic put.
+        assert not hasattr(EventualObjectStore(), "rename")
+        for name in ("makedirs", "isdir", "listdir", "read_bytes", "put_bytes",
+                     "write_table", "read_table", "num_rows", "remove", "rmtree"):
+            assert hasattr(L.LocalAtomicFS(), name), name
