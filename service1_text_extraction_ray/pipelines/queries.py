@@ -65,6 +65,15 @@ def _cents(arr: pa.ChunkedArray | pa.Array) -> pa.ChunkedArray:
     )
 
 
+def _texts(t: pa.Table, col: str = "text") -> List[str]:
+    """Null-filled Python list of a string column — the hop for inherently
+    scalar per-doc text functions. Replaces the previous per-batch
+    Arrow->pandas->Arrow round-trip (round-3 VERDICT finding #2): the
+    per-row Python work is the same, but the batch stays zero-copy Arrow
+    on both sides of it."""
+    return pc.fill_null(t[col], "").to_pylist()
+
+
 STOPWORDS = ("the", "a", "and", "of", "to", "in", "is")
 
 # ---------------------------------------------------------------------------
@@ -385,16 +394,17 @@ GROUP BY content_kind, status
 
 
 def q_doc_token_counts(sf_dir: str) -> rd.Dataset:
-    """Whitespace token counts per document — vectorized (pandas str.count of
-    \\S+ runs; no Python loop over rows)."""
+    """Whitespace token counts per document — vectorized (Arrow
+    count_substring_regex over \\S+ runs; zero-copy, no Python loop)."""
 
-    def f(df: pd.DataFrame) -> pd.DataFrame:
-        out = pd.DataFrame()
-        out["doc_id"] = df["doc_id"]
-        out["n_tokens"] = df["text"].fillna("").str.count(r"\S+").astype("int64")
-        return out
+    def f(t: pa.Table) -> pa.Table:
+        text = pc.fill_null(t["text"], "")
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_tokens": pc.cast(pc.count_substring_regex(text, r"\S+"), pa.int64()),
+        })
 
-    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(f, batch_format="pandas")
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(f, batch_format="pyarrow")
 
 
 SQL_DOC_TOKEN_COUNTS = """
@@ -415,15 +425,15 @@ def q_doc_bpe_token_counts(sf_dir: str) -> rd.Dataset:
     """BPE-ish pre-tokenizer counts per doc (the training-data token budget
     estimator; whitespace counts are q_doc_token_counts)."""
 
-    def f(df: pd.DataFrame) -> pd.DataFrame:
-        out = pd.DataFrame()
-        out["doc_id"] = df["doc_id"]
-        out["n_bpe_tokens"] = (
-            df["text"].fillna("").map(lambda t: len(_BPE_RX.findall(t))).astype("int64")
-        )
-        return out
+    def f(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_bpe_tokens": pa.array(
+                [len(_BPE_RX.findall(x)) for x in _texts(t)], pa.int64()
+            ),
+        })
 
-    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(f, batch_format="pandas")
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(f, batch_format="pyarrow")
 
 
 SQL_DOC_BPE_TOKEN_COUNTS = f"""
@@ -436,18 +446,22 @@ FROM documents
 def q_doc_quality_scores(sf_dir: str) -> rd.Dataset:
     """Shallow quality features per doc (integer counts -> exact)."""
 
-    def f(df: pd.DataFrame) -> pd.DataFrame:
-        text = df["text"].fillna("")
-        out = pd.DataFrame()
-        out["doc_id"] = df["doc_id"]
-        out["len_chars"] = text.str.len().astype("int64")
-        out["alpha_chars"] = text.str.count(r"[A-Za-z]").astype("int64")
-        out["digit_chars"] = text.str.count(r"[0-9]").astype("int64")
-        out["space_chars"] = text.str.count(r" ").astype("int64")
-        out["n_tokens"] = text.str.count(r"\S+").astype("int64")
-        return out
+    def f(t: pa.Table) -> pa.Table:
+        text = pc.fill_null(t["text"], "")
 
-    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(f, batch_format="pandas")
+        def _count(pat: str) -> pa.ChunkedArray:
+            return pc.cast(pc.count_substring_regex(text, pat), pa.int64())
+
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "len_chars": pc.cast(pc.utf8_length(text), pa.int64()),
+            "alpha_chars": _count(r"[A-Za-z]"),
+            "digit_chars": _count(r"[0-9]"),
+            "space_chars": pc.cast(pc.count_substring(text, " "), pa.int64()),
+            "n_tokens": _count(r"\S+"),
+        })
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(f, batch_format="pyarrow")
 
 
 SQL_DOC_QUALITY_SCORES = """
@@ -466,15 +480,17 @@ def q_doc_stopword_counts(sf_dir: str) -> rd.Dataset:
     pattern = r"(?:^|\s)(?:" + "|".join(STOPWORDS) + r")(?=\s|$)"
     rx = re.compile(pattern)
 
-    def f(df: pd.DataFrame) -> pd.DataFrame:
-        out = pd.DataFrame()
-        out["doc_id"] = df["doc_id"]
-        out["n_stopwords"] = (
-            df["text"].fillna("").map(lambda t: sum(1 for w in t.split() if w in STOPWORDS))
-        ).astype("int64")
-        return out
+    def f(t: pa.Table) -> pa.Table:
+        sw = frozenset(STOPWORDS)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_stopwords": pa.array(
+                [sum(1 for w in x.split() if w in sw) for x in _texts(t)],
+                pa.int64(),
+            ),
+        })
 
-    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(f, batch_format="pandas")
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(f, batch_format="pyarrow")
 
 
 SQL_DOC_STOPWORD_COUNTS = """
@@ -505,13 +521,15 @@ def q_doc_normalize_ws(sf_dir: str) -> rd.Dataset:
     """normalize_whitespace as a distributed operator (reference P12,
     text_utils.py:142-147)."""
 
-    def f(df: pd.DataFrame) -> pd.DataFrame:
-        out = pd.DataFrame()
-        out["doc_id"] = df["doc_id"]
-        out["norm_text"] = df["text"].fillna("").map(normalize_whitespace)
-        return out
+    def f(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "norm_text": pa.array(
+                [normalize_whitespace(x) for x in _texts(t)], pa.string()
+            ),
+        })
 
-    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(f, batch_format="pandas")
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(f, batch_format="pyarrow")
 
 
 SQL_DOC_NORMALIZE_WS = """
@@ -528,17 +546,20 @@ def q_doc_chunk_counts(sf_dir: str) -> rd.Dataset:
     per doc. Exact SQL oracle: the greedy break-scan is replayed in a
     recursive CTE (SQL_DOC_CHUNK_COUNTS)."""
 
-    def f(df: pd.DataFrame) -> pd.DataFrame:
-        chunks = df["text"].fillna("").map(
-            lambda t: chunk_text(t, max_chars=CHUNK_MAX_CHARS, overlap=CHUNK_OVERLAP)
-        )
-        out = pd.DataFrame()
-        out["doc_id"] = df["doc_id"]
-        out["n_chunks"] = chunks.map(len).astype("int64")
-        out["chunk_chars"] = chunks.map(lambda cs: sum(len(c) for c in cs)).astype("int64")
-        return out
+    def f(t: pa.Table) -> pa.Table:
+        chunks = [
+            chunk_text(x, max_chars=CHUNK_MAX_CHARS, overlap=CHUNK_OVERLAP)
+            for x in _texts(t)
+        ]
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_chunks": pa.array([len(cs) for cs in chunks], pa.int64()),
+            "chunk_chars": pa.array(
+                [sum(len(c) for c in cs) for cs in chunks], pa.int64()
+            ),
+        })
 
-    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(f, batch_format="pandas")
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(f, batch_format="pyarrow")
 
 
 def _sql_chunk_counts() -> str:
@@ -608,13 +629,15 @@ SQL_DOC_CHUNK_COUNTS = _sql_chunk_counts()
 def q_doc_clean_unicode(sf_dir: str) -> rd.Dataset:
     """clean_unicode operator (reference P9). Non-SQL -> rows-only check."""
 
-    def f(df: pd.DataFrame) -> pd.DataFrame:
-        out = pd.DataFrame()
-        out["doc_id"] = df["doc_id"]
-        out["clean_text"] = df["text"].fillna("").map(clean_unicode)
-        return out
+    def f(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "clean_text": pa.array(
+                [clean_unicode(x) for x in _texts(t)], pa.string()
+            ),
+        })
 
-    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(f, batch_format="pandas")
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(f, batch_format="pyarrow")
 
 
 LANG_PROFILES = {
@@ -668,9 +691,9 @@ def q_language_id(sf_dir: str) -> rd.Dataset:
     """
     profiles = {k: set(v) for k, v in LANG_PROFILES.items()}
 
-    def f(df: pd.DataFrame) -> pd.DataFrame:
-        def lid(t: str) -> str:
-            words = t.lower().split()
+    def f(t: pa.Table) -> pa.Table:
+        def lid(x: str) -> str:
+            words = x.lower().split()
             if not words:
                 return "und"
             best, best_n = "und", 0
@@ -680,12 +703,12 @@ def q_language_id(sf_dir: str) -> rd.Dataset:
                     best, best_n = lang, n
             return best
 
-        out = pd.DataFrame()
-        out["doc_id"] = df["doc_id"]
-        out["pred_lang"] = df["text"].fillna("").map(lid)
-        return out
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "pred_lang": pa.array([lid(x) for x in _texts(t)], pa.string()),
+        })
 
-    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(f, batch_format="pandas")
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(f, batch_format="pyarrow")
 
 
 def _sql_lang_counts() -> str:
@@ -729,15 +752,17 @@ def q_doc_extract_numbers(sf_dir: str) -> rd.Dataset:
     text, so Python-`re` vs DuckDB-RE2 word-boundary semantics agree.
     """
 
-    def f(df: pd.DataFrame) -> pd.DataFrame:
-        text = df["text"].fillna("")
-        out = pd.DataFrame()
-        out["doc_id"] = df["doc_id"]
-        out["n_numbers"] = text.map(lambda t: len(extract_numbers(t))).astype("int64")
-        out["n_dates"] = text.map(lambda t: len(extract_dates(t))).astype("int64")
-        return out
+    def f(t: pa.Table) -> pa.Table:
+        texts = _texts(t)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_numbers": pa.array(
+                [len(extract_numbers(x)) for x in texts], pa.int64()
+            ),
+            "n_dates": pa.array([len(extract_dates(x)) for x in texts], pa.int64()),
+        })
 
-    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(f, batch_format="pandas")
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(f, batch_format="pyarrow")
 
 
 _SQL_MONTHS = "Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec"
@@ -757,13 +782,15 @@ def q_doc_strip_headers(sf_dir: str) -> rd.Dataset:
     """remove_page_headers_footers (reference P13, text_utils.py:149-166) as a
     distributed operator over the documents table."""
 
-    def f(df: pd.DataFrame) -> pd.DataFrame:
-        out = pd.DataFrame()
-        out["doc_id"] = df["doc_id"]
-        out["stripped_text"] = df["text"].fillna("").map(remove_page_headers_footers)
-        return out
+    def f(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "stripped_text": pa.array(
+                [remove_page_headers_footers(x) for x in _texts(t)], pa.string()
+            ),
+        })
 
-    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(f, batch_format="pandas")
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(f, batch_format="pyarrow")
 
 
 # Python str.strip() (the reference's text_utils.py:155 `line.strip()`)
@@ -798,15 +825,15 @@ def q_doc_shingle_stats(sf_dir: str) -> rd.Dataset:
     pytest-verified in the MinHash suite; this query oracle-checks the
     shingling itself)."""
 
-    def f(df: pd.DataFrame) -> pd.DataFrame:
-        out = pd.DataFrame()
-        out["doc_id"] = df["doc_id"]
-        out["n_shingles"] = (
-            df["text"].fillna("").map(lambda t: len(_shingles(t))).astype("int64")
-        )
-        return out
+    def f(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_shingles": pa.array(
+                [len(_shingles(x)) for x in _texts(t)], pa.int64()
+            ),
+        })
 
-    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(f, batch_format="pandas")
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(f, batch_format="pyarrow")
 
 
 SQL_DOC_SHINGLE_STATS = """
@@ -849,14 +876,16 @@ def q_doc_sample(sf_dir: str) -> rd.Dataset:
         ("doc_id", pa.int64()), ("lang", pa.string()), ("n_chars", pa.int64()),
     ])
 
-    def f(df: pd.DataFrame) -> pa.Table:
-        keys = df["doc_id"].map(_doc_sample_key)
-        out = df.loc[keys < thresh, ["doc_id", "lang", "n_chars"]]
+    def f(t: pa.Table) -> pa.Table:
+        keep = pa.array(
+            [_doc_sample_key(d) < thresh for d in t["doc_id"].to_pylist()],
+            pa.bool_(),
+        )
         # typed Arrow out: an all-filtered block stays schema-stable
-        return pa.Table.from_pandas(out, schema=out_schema, preserve_index=False)
+        return t.filter(keep).cast(out_schema)
 
     return _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"]).map_batches(
-        f, batch_format="pandas"
+        f, batch_format="pyarrow"
     )
 
 
@@ -876,28 +905,33 @@ def q_sample_per_lang(sf_dir: str) -> rd.Dataset:
     partial prune, then a tiny per-group head), giving a balanced,
     reproducible per-language subset."""
 
-    def tag_and_prune(df: pd.DataFrame) -> pd.DataFrame:
-        out = pd.DataFrame(
-            {
-                "lang": df["lang"],
-                "doc_id": df["doc_id"].astype("int64"),
-                "skey": df["doc_id"].map(
-                    lambda d: hashlib.md5(str(d).encode()).hexdigest()
-                ),
-            }
-        )
-        out = out.sort_values(["skey", "doc_id"])
-        return out.groupby("lang", sort=False).head(STRATA_PER_LANG)
+    _ORDER = [("skey", "ascending"), ("doc_id", "ascending")]
 
-    def head_n(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["skey", "doc_id"]).head(STRATA_PER_LANG)
-        return g[["lang", "doc_id"]].astype({"doc_id": "int64"})
+    def tag_and_prune(t: pa.Table) -> pa.Table:
+        tbl = pa.table({
+            "lang": t["lang"],
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "skey": pa.array(
+                [hashlib.md5(str(d).encode()).hexdigest()
+                 for d in t["doc_id"].to_pylist()],
+                pa.string(),
+            ),
+        }).sort_by(_ORDER)
+        seen: Dict[str, int] = {}
+        keep = []
+        for lg in tbl["lang"].to_pylist():
+            seen[lg] = seen.get(lg, 0) + 1
+            keep.append(seen[lg] <= STRATA_PER_LANG)
+        return tbl.filter(pa.array(keep, pa.bool_()))
+
+    def head_n(g: pa.Table) -> pa.Table:
+        return g.sort_by(_ORDER).slice(0, STRATA_PER_LANG).select(["lang", "doc_id"])
 
     return (
         _read(sf_dir, "documents", ["doc_id", "lang"])
-        .map_batches(tag_and_prune, batch_format="pandas")
+        .map_batches(tag_and_prune, batch_format="pyarrow")
         .groupby("lang")
-        .map_groups(head_n, batch_format="pandas")
+        .map_groups(head_n, batch_format="pyarrow")
     )
 
 
@@ -960,17 +994,19 @@ def q_doc_gopher_filter(sf_dir: str) -> rd.Dataset:
     fraction, stop-word containment. Emits the raw counts plus the ``keep``
     verdict so downstream filtering is one boolean column."""
 
-    def f(df: pd.DataFrame) -> pd.DataFrame:
-        out_rows = []
-        for doc_id, text in zip(df["doc_id"], df["text"].fillna("")):
-            out_rows.append((int(doc_id),) + gopher_row(text))
-        cols = ["doc_id", "n_words", "sum_word_chars", "n_symbols", "n_lines",
-                "n_bullet_lines", "n_ellipsis_lines", "n_alpha_words",
-                "n_stopwords_present", "keep"]
-        out = pd.DataFrame(out_rows, columns=cols)
-        return out.astype({c: "int64" for c in cols[:-1]} | {"keep": "bool"})
+    cols = ["n_words", "sum_word_chars", "n_symbols", "n_lines",
+            "n_bullet_lines", "n_ellipsis_lines", "n_alpha_words",
+            "n_stopwords_present", "keep"]
 
-    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(f, batch_format="pandas")
+    def f(t: pa.Table) -> pa.Table:
+        rows = [gopher_row(x) for x in _texts(t)]
+        out: Dict[str, pa.Array] = {"doc_id": pc.cast(t["doc_id"], pa.int64())}
+        for i, c in enumerate(cols):
+            typ = pa.bool_() if c == "keep" else pa.int64()
+            out[c] = pa.array([r[i] for r in rows], typ)
+        return pa.table(out)
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(f, batch_format="pyarrow")
 
 
 _SQL_GOPHER_STOPS = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
@@ -1014,21 +1050,23 @@ def q_doc_repetition(sf_dir: str) -> rd.Dataset:
     content occurs more than once (every occurrence counted) — all exact
     integers."""
 
-    def f(df: pd.DataFrame) -> pd.DataFrame:
-        rows = []
-        for doc_id, text in zip(df["doc_id"], df["text"].fillna("")):
-            lines = text.split("\n")
-            from collections import Counter
+    def f(t: pa.Table) -> pa.Table:
+        from collections import Counter
 
+        rows = []
+        for text in _texts(t):
+            lines = text.split("\n")
             c = Counter(lines)
             dup_chars = sum(len(l) for l in lines if c[l] > 1)
-            rows.append((int(doc_id), len(lines), len(c), dup_chars))
-        out = pd.DataFrame(
-            rows, columns=["doc_id", "n_lines", "n_distinct_lines", "dup_line_chars"]
-        )
-        return out.astype("int64")
+            rows.append((len(lines), len(c), dup_chars))
+        return pa.table({
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "n_lines": pa.array([r[0] for r in rows], pa.int64()),
+            "n_distinct_lines": pa.array([r[1] for r in rows], pa.int64()),
+            "dup_line_chars": pa.array([r[2] for r in rows], pa.int64()),
+        })
 
-    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(f, batch_format="pandas")
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(f, batch_format="pyarrow")
 
 
 SQL_DOC_REPETITION = """
@@ -1067,11 +1105,11 @@ def q_dedup_exact(sf_dir: str) -> rd.Dataset:
         [pa.field("text_hash", pa.string()), pa.field("doc_id", pa.int64())]
     )
 
-    def add_hash(df: pd.DataFrame) -> pd.DataFrame:
-        out = pd.DataFrame()
-        out["text_hash"] = df["text"].fillna("").map(_md5)
-        out["doc_id"] = df["doc_id"].astype("int64")
-        return out
+    def add_hash(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "text_hash": pa.array([_md5(x) for x in _texts(t)], pa.string()),
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+        })
 
     def shard_min(t: pa.Table) -> pa.Table:
         g = t.group_by("text_hash").aggregate([("doc_id", "min")])
@@ -1081,7 +1119,7 @@ def q_dedup_exact(sf_dir: str) -> rd.Dataset:
 
     return hash_exchange(
         _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
-            add_hash, batch_format="pandas"
+            add_hash, batch_format="pyarrow"
         ),
         ["text_hash"],
         shard_min,
@@ -1180,9 +1218,9 @@ def q_dedup_minhash_lsh(sf_dir: str) -> pd.DataFrame:
     # it ~ the cluster's task count.
     MINHASH_SHARDS = 256
 
-    def sig_batch(df: pd.DataFrame) -> pd.DataFrame:
+    def sig_batch(t: pa.Table) -> pa.Table:
         shards, bands, hashes, ids = [], [], [], []
-        for doc_id, text in zip(df["doc_id"], df["text"].fillna("")):
+        for doc_id, text in zip(t["doc_id"].to_pylist(), _texts(t)):
             sig = _minhash_sig(_shingles(text))
             for b in range(N_BANDS):
                 band = sig[b * ROWS_PER_BAND : (b + 1) * ROWS_PER_BAND]
@@ -1191,14 +1229,12 @@ def q_dedup_minhash_lsh(sf_dir: str) -> pd.DataFrame:
                 bands.append(b)
                 hashes.append(h)
                 ids.append(int(doc_id))
-        return pd.DataFrame(
-            {
-                "shard": pd.Series(shards, dtype="int64"),
-                "band": pd.Series(bands, dtype="int64"),
-                "band_hash": pd.Series(hashes, dtype="object"),
-                "doc_id": pd.Series(ids, dtype="int64"),
-            }
-        )
+        return pa.table({
+            "shard": pa.array(shards, pa.int64()),
+            "band": pa.array(bands, pa.int64()),
+            "band_hash": pa.array(hashes, pa.string()),
+            "doc_id": pa.array(ids, pa.int64()),
+        })
 
     _PAIRS_EMPTY = pd.DataFrame({
         "doc_id_a": pd.Series([], dtype="int64"),
@@ -1238,7 +1274,7 @@ def q_dedup_minhash_lsh(sf_dir: str) -> pd.DataFrame:
 
     cand = (
         _read(sf_dir, "documents", ["doc_id", "text"])
-        .map_batches(sig_batch, batch_format="pandas")
+        .map_batches(sig_batch, batch_format="pyarrow")
         .groupby("shard")
         .map_groups(shard_candidate_pairs, batch_format="pandas")
         .groupby(["doc_id_a", "doc_id_b"])
@@ -1373,9 +1409,9 @@ def q_dedup_jaccard(sf_dir: str) -> rd.Dataset:
     """
     B = DEDUP_EMB_BUCKETS
 
-    def explode(df: pd.DataFrame) -> pd.DataFrame:
-        ids = df["doc_id"].astype("int64").to_numpy()
-        sets = [sorted(_shingles(t or "")) for t in df["text"]]
+    def explode(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t["doc_id"], pa.int64()).to_numpy()
+        sets = [sorted(_shingles(x)) for x in _texts(t)]
         chunk = ids % B
         parts, out_ids, out_chunks, out_sets = [], [], [], []
         for k in range(B):
@@ -1385,14 +1421,12 @@ def q_dedup_jaccard(sf_dir: str) -> rd.Dataset:
             out_ids.extend(ids.tolist())
             out_chunks.extend(chunk.tolist())
             out_sets.extend(sets)
-        return pd.DataFrame(
-            {
-                "part": pd.Series(parts, dtype="int64"),
-                "doc_id": pd.Series(out_ids, dtype="int64"),
-                "chunk": pd.Series(out_chunks, dtype="int64"),
-                "sh": pd.Series(out_sets, dtype="object"),
-            }
-        )
+        return pa.table({
+            "part": pa.array(parts, pa.int64()),
+            "doc_id": pa.array(out_ids, pa.int64()),
+            "chunk": pa.array(out_chunks, pa.int64()),
+            "sh": pa.array(out_sets, pa.list_(pa.string())),
+        })
 
     def _jacc(sa: frozenset, sb: frozenset) -> int:
         if not sa and not sb:
@@ -1437,7 +1471,7 @@ def q_dedup_jaccard(sf_dir: str) -> rd.Dataset:
 
     return (
         _read(sf_dir, "documents", ["doc_id", "text"])
-        .map_batches(explode, batch_format="pandas")
+        .map_batches(explode, batch_format="pyarrow")
         .groupby("part")
         .map_groups(pairs_in_partition, batch_format="pandas")
     )
@@ -1580,9 +1614,9 @@ def q_dedup_minhash_cap(sf_dir: str) -> pd.DataFrame:
     N_BANDS, ROWS_PER_BAND = 16, 4
     MINHASH_SHARDS = 256
 
-    def sig_batch(df: pd.DataFrame) -> pd.DataFrame:
+    def sig_batch(t: pa.Table) -> pa.Table:
         shards, bands, hashes, ids = [], [], [], []
-        for doc_id, text in zip(df["doc_id"], df["text"].fillna("")):
+        for doc_id, text in zip(t["doc_id"].to_pylist(), _texts(t)):
             sig = _minhash_sig(_shingles(text))
             for b in range(N_BANDS):
                 band = sig[b * ROWS_PER_BAND : (b + 1) * ROWS_PER_BAND]
@@ -1591,11 +1625,11 @@ def q_dedup_minhash_cap(sf_dir: str) -> pd.DataFrame:
                 bands.append(b)
                 hashes.append(h)
                 ids.append(int(doc_id))
-        return pd.DataFrame({
-            "shard": pd.Series(shards, dtype="int64"),
-            "band": pd.Series(bands, dtype="int64"),
-            "band_hash": pd.Series(hashes, dtype="object"),
-            "doc_id": pd.Series(ids, dtype="int64"),
+        return pa.table({
+            "shard": pa.array(shards, pa.int64()),
+            "band": pa.array(bands, pa.int64()),
+            "band_hash": pa.array(hashes, pa.string()),
+            "doc_id": pa.array(ids, pa.int64()),
         })
 
     _STATS_COLS = ["n_buckets", "n_buckets_capped", "pairs_before_cap",
@@ -1618,7 +1652,7 @@ def q_dedup_minhash_cap(sf_dir: str) -> pd.DataFrame:
 
     parts = (
         _read(sf_dir, "documents", ["doc_id", "text"])
-        .map_batches(sig_batch, batch_format="pandas")
+        .map_batches(sig_batch, batch_format="pyarrow")
         .groupby("shard")
         .map_groups(shard_stats, batch_format="pandas")
         .to_pandas()
@@ -1759,13 +1793,15 @@ def _simhash64(text: str) -> int:
 def q_dedup_simhash(sf_dir: str) -> rd.Dataset:
     """SimHash fingerprints (near-dup by Hamming distance downstream)."""
 
-    def f(df: pd.DataFrame) -> pd.DataFrame:
-        out = pd.DataFrame()
-        out["doc_id"] = df["doc_id"]
-        out["simhash"] = df["text"].fillna("").map(lambda t: f"{_simhash64(t):016x}")
-        return out
+    def f(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "simhash": pa.array(
+                [f"{_simhash64(x):016x}" for x in _texts(t)], pa.string()
+            ),
+        })
 
-    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(f, batch_format="pandas")
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(f, batch_format="pyarrow")
 
 
 def _sql_hexbyte(col: str, idx: int) -> str:
@@ -1853,23 +1889,21 @@ def q_dedup_simhash_pairs(sf_dir: str) -> pd.DataFrame:
 
     log = logging.getLogger(__name__)
 
-    def sig_batch(df: pd.DataFrame) -> pd.DataFrame:
+    def sig_batch(t: pa.Table) -> pa.Table:
         bands, vals, ids, hashes = [], [], [], []
-        for doc_id, text in zip(df["doc_id"], df["text"].fillna("")):
+        for doc_id, text in zip(t["doc_id"].to_pylist(), _texts(t)):
             sh = _simhash64(text)
             for b in range(SIMHASH_BANDS):
                 bands.append(b)
                 vals.append(int((sh >> (16 * b)) & 0xFFFF))
                 ids.append(int(doc_id))
                 hashes.append(f"{sh:016x}")
-        return pd.DataFrame(
-            {
-                "band": pd.Series(bands, dtype="int64"),
-                "band_val": pd.Series(vals, dtype="int64"),
-                "doc_id": pd.Series(ids, dtype="int64"),
-                "simhash": pd.Series(hashes, dtype="object"),
-            }
-        )
+        return pa.table({
+            "band": pa.array(bands, pa.int64()),
+            "band_val": pa.array(vals, pa.int64()),
+            "doc_id": pa.array(ids, pa.int64()),
+            "simhash": pa.array(hashes, pa.string()),
+        })
 
     def verified_pairs_from_bucket(g: pd.DataFrame) -> pd.DataFrame:
         sub = g.drop_duplicates("doc_id").sort_values("doc_id")
@@ -1923,7 +1957,7 @@ def q_dedup_simhash_pairs(sf_dir: str) -> pd.DataFrame:
 
     verified = (
         _read(sf_dir, "documents", ["doc_id", "text"])
-        .map_batches(sig_batch, batch_format="pandas")
+        .map_batches(sig_batch, batch_format="pyarrow")
         .groupby(["band", "band_val"])
         .map_groups(verified_pairs_from_bucket, batch_format="pandas")
         .to_pandas()
@@ -1983,15 +2017,15 @@ def q_doc_fingerprints(sf_dir: str) -> rd.Dataset:
             acc ^= p
         return len(picked), acc
 
-    def f(df: pd.DataFrame) -> pd.DataFrame:
-        res = df["text"].fillna("").map(fp)
-        out = pd.DataFrame()
-        out["doc_id"] = df["doc_id"]
-        out["n_fingerprints"] = res.map(lambda t: t[0]).astype("int64")
-        out["fingerprint_xor"] = res.map(lambda t: f"{t[1]:016x}")
-        return out
+    def f(t: pa.Table) -> pa.Table:
+        res = [fp(x) for x in _texts(t)]
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_fingerprints": pa.array([r[0] for r in res], pa.int64()),
+            "fingerprint_xor": pa.array([f"{r[1]:016x}" for r in res], pa.string()),
+        })
 
-    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(f, batch_format="pandas")
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(f, batch_format="pyarrow")
 
 
 def _sql_doc_fingerprints() -> str:
@@ -3325,9 +3359,9 @@ def q_dedup_edit_distance(sf_dir: str) -> pd.DataFrame:
 
     log = logging.getLogger(__name__)
 
-    def sig_batch(df: pd.DataFrame) -> pd.DataFrame:
+    def sig_batch(t: pa.Table) -> pa.Table:
         bands, vals, ids, hashes, prefixes = [], [], [], [], []
-        for doc_id, text in zip(df["doc_id"], df["text"].fillna("")):
+        for doc_id, text in zip(t["doc_id"].to_pylist(), _texts(t)):
             sh = _simhash64(text)
             pref = text[:EDIT_PREFIX_CHARS]
             for b in range(SIMHASH_BANDS):
@@ -3336,13 +3370,13 @@ def q_dedup_edit_distance(sf_dir: str) -> pd.DataFrame:
                 ids.append(int(doc_id))
                 hashes.append(f"{sh:016x}")
                 prefixes.append(pref)
-        return pd.DataFrame(
+        return pa.table(
             {
-                "band": pd.Series(bands, dtype="int64"),
-                "band_val": pd.Series(vals, dtype="int64"),
-                "doc_id": pd.Series(ids, dtype="int64"),
-                "simhash": pd.Series(hashes, dtype="object"),
-                "prefix": pd.Series(prefixes, dtype="object"),
+                "band": pa.array(bands, pa.int64()),
+                "band_val": pa.array(vals, pa.int64()),
+                "doc_id": pa.array(ids, pa.int64()),
+                "simhash": pa.array(hashes, pa.string()),
+                "prefix": pa.array(prefixes, pa.string()),
             }
         )
 
@@ -3394,7 +3428,7 @@ def q_dedup_edit_distance(sf_dir: str) -> pd.DataFrame:
 
     verified = (
         _read(sf_dir, "documents", ["doc_id", "text"])
-        .map_batches(sig_batch, batch_format="pandas")
+        .map_batches(sig_batch, batch_format="pyarrow")
         .groupby(["band", "band_val"])
         .map_groups(bucket_pairs, batch_format="pandas")
         .to_pandas()
@@ -4920,23 +4954,23 @@ def q_doc_sentences(sf_dir: str) -> rd.Dataset:
     \\s differs between the engines): sentence count, word count, and the
     longest sentence's word count. Pure per-batch map; all-integer output."""
 
-    def f(df: pd.DataFrame) -> pd.DataFrame:
+    def f(t: pa.Table) -> pa.Table:
         n_sents, n_words, max_words = [], [], []
-        for t in df["text"].fillna(""):
-            sents = [s for s in _SENT_SPLIT.split(t) if s != ""]
+        for x in _texts(t):
+            sents = [s for s in _SENT_SPLIT.split(x) if s != ""]
             wc = [len(s.split()) for s in sents]
             n_sents.append(len(sents))
-            n_words.append(len(t.split()))
+            n_words.append(len(x.split()))
             max_words.append(max(wc, default=0))
-        return pd.DataFrame({
-            "doc_id": df["doc_id"],
-            "n_sentences": pd.Series(n_sents, dtype="int64", index=df.index),
-            "n_words": pd.Series(n_words, dtype="int64", index=df.index),
-            "max_sentence_words": pd.Series(max_words, dtype="int64", index=df.index),
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_sentences": pa.array(n_sents, pa.int64()),
+            "n_words": pa.array(n_words, pa.int64()),
+            "max_sentence_words": pa.array(max_words, pa.int64()),
         })
 
     return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
-        f, batch_format="pandas"
+        f, batch_format="pyarrow"
     )
 
 
@@ -5389,7 +5423,7 @@ def q_lang_confusion(sf_dir: str) -> rd.Dataset:
     stage in a curation pipeline reports."""
     profiles = {k: set(v) for k, v in LANG_PROFILES.items()}
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
+    def partial(df: pa.Table) -> pa.Table:
         def lid(t: str) -> str:
             words = t.lower().split()
             if not words:
@@ -5401,21 +5435,24 @@ def q_lang_confusion(sf_dir: str) -> rd.Dataset:
                     best, best_n = lang, n
             return best
 
-        pred = df["text"].fillna("").map(lid)
-        agg = (
-            pd.DataFrame({"true_lang": df["lang"].fillna("und"), "pred_lang": pred})
-            .groupby(["true_lang", "pred_lang"], sort=False)
-            .size()
-            .reset_index(name="n_docs")
-        )
-        agg["n_docs"] = agg["n_docs"].astype("int64")
-        return agg
+        counts: Dict[tuple, int] = {}
+        for true_lang, x in zip(
+            pc.fill_null(df["lang"], "und").to_pylist(), _texts(df)
+        ):
+            key = (true_lang, lid(x))
+            counts[key] = counts.get(key, 0) + 1
+        keys = sorted(counts)
+        return pa.table({
+            "true_lang": pa.array([k[0] for k in keys], pa.string()),
+            "pred_lang": pa.array([k[1] for k in keys], pa.string()),
+            "n_docs": pa.array([counts[k] for k in keys], pa.int64()),
+        })
 
     from ray.data.aggregate import Sum as RSum
 
     return (
         _read(sf_dir, "documents", ["text", "lang"])
-        .map_batches(partial, batch_format="pandas")
+        .map_batches(partial, batch_format="pyarrow")
         .groupby(["true_lang", "pred_lang"])
         .aggregate(RSum("n_docs", alias_name="n_docs"))
     )
@@ -5490,25 +5527,25 @@ def q_dedup_jaccard_prefix(sf_dir: str) -> rd.Dataset:
         ("doc_id", pa.int64()), ("m", pa.int64()), ("sh", pa.string()),
     ])
 
-    def docsets(df: pd.DataFrame) -> pd.DataFrame:
+    def docsets(t: pa.Table) -> pa.Table:
         ids, ms, shs = [], [], []
-        for d, t in zip(df["doc_id"], df["text"]):
-            sh = _shingles(t or "")
+        for d, x in zip(t["doc_id"].to_pylist(), _texts(t)):
+            sh = _shingles(x)
             ordered = sorted(
                 sh, key=lambda s: hashlib.md5(s.encode("utf-8")).digest()
             )
             ids.append(int(d))
             ms.append(len(sh))
             shs.append("\n".join(ordered))
-        return pd.DataFrame({
-            "doc_id": pd.Series(ids, dtype="int64"),
-            "m": pd.Series(ms, dtype="int64"),
-            "sh": pd.Series(shs, dtype="object"),
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "m": pa.array(ms, pa.int64()),
+            "sh": pa.array(shs, pa.string()),
         })
 
     sets_ds = (
         _read(sf_dir, "documents", ["doc_id", "text"])
-        .map_batches(docsets, batch_format="pandas")
+        .map_batches(docsets, batch_format="pyarrow")
         .materialize()  # doc-grain; read three times (prefix, two join-backs)
     )
 
@@ -5778,19 +5815,24 @@ def q_dedup_select_best(sf_dir: str) -> rd.Dataset:
             schema=part_schema,
         )
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(
-            ["keep_alpha_chars", "keep_doc_id"], ascending=[False, True]
-        )
-        out = g.iloc[:1].copy()
-        out["n_members"] = int(g["n_members"].sum())
-        return out[["cluster_id", "keep_doc_id", "keep_alpha_chars", "n_members"]]
+    def merge(g: pa.Table) -> pa.Table:
+        top = g.sort_by(
+            [("keep_alpha_chars", "descending"), ("keep_doc_id", "ascending")]
+        ).slice(0, 1)
+        return pa.table({
+            "cluster_id": top["cluster_id"],
+            "keep_doc_id": top["keep_doc_id"],
+            "keep_alpha_chars": top["keep_alpha_chars"],
+            "n_members": pa.array(
+                [pc.sum(g["n_members"]).as_py() or 0], pa.int64()
+            ),
+        })
 
     return (
         _read(sf_dir, "documents", ["doc_id", "text"])
         .map_batches(partial, batch_format="pyarrow")
         .groupby("cluster_id")
-        .map_groups(merge, batch_format="pandas")
+        .map_groups(merge, batch_format="pyarrow")
     )
 
 
@@ -6648,10 +6690,10 @@ def q_doc_shingle_novelty(sf_dir: str) -> rd.Dataset:
         ("n_novel", pa.int64()),
     ])
 
-    def pairs(df: pd.DataFrame) -> pa.Table:
+    def pairs(t: pa.Table) -> pa.Table:
         ss: list = []
         ids: list = []
-        for did, text in zip(df["doc_id"], df["text"].fillna("")):
+        for did, text in zip(t["doc_id"].to_pylist(), _texts(t)):
             sh = _shingles(text)
             ss.extend(sh)
             ids.extend([did] * len(sh))
@@ -6675,7 +6717,7 @@ def q_doc_shingle_novelty(sf_dir: str) -> rd.Dataset:
 
     partials = hash_exchange(
         _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
-            pairs, batch_format="pandas"
+            pairs, batch_format="pyarrow"
         ),
         ["s"],
         shard_novel,
@@ -8154,15 +8196,16 @@ def q_crawl_schedule(sf_dir: str) -> rd.Dataset:
 
     hosts = q_host_crawl_budget(sf_dir)  # host-cardinality pandas table
 
-    def expand(df: pd.DataFrame) -> pa.Table:
-        budgets = df["budget"].to_numpy(dtype="int64")
+    def expand(t: pa.Table) -> pa.Table:
+        budgets = pc.cast(t["budget"], pa.int64()).to_numpy()
         if budgets.sum() == 0:
             return out_schema.empty_table()
+        host_list = t["host"].to_pylist()
         delays = np.array(
-            [parse_crawl_delay(make_robots_txt(h)) for h in df["host"]],
+            [parse_crawl_delay(make_robots_txt(h)) for h in host_list],
             dtype="int64",
         )
-        host_rep = np.repeat(df["host"].to_numpy(), budgets)
+        host_rep = np.repeat(np.array(host_list, dtype=object), budgets)
         delay_rep = np.repeat(delays, budgets)
         # slot = 1..budget within each host: global arange minus each run's start
         ends = np.cumsum(budgets)
@@ -8174,7 +8217,7 @@ def q_crawl_schedule(sf_dir: str) -> rd.Dataset:
             schema=out_schema,
         )
 
-    return rd.from_pandas(hosts).map_batches(expand, batch_format="pandas")
+    return rd.from_pandas(hosts).map_batches(expand, batch_format="pyarrow")
 
 
 SQL_CRAWL_SCHEDULE = f"""
@@ -8489,18 +8532,18 @@ def q_host_mirror_overlap(sf_dir: str) -> rd.Dataset:
         ("host_a", pa.string()), ("host_b", pa.string()), ("n_shared", pa.int64()),
     ])
 
-    def hostfps(df: pd.DataFrame) -> pd.DataFrame:
+    def hostfps(t: pa.Table) -> pa.Table:
         # fp rides the exchange as WRAPPED int64 (u64 two's complement):
         # the value is only an internal join key, and the exchange hashes
         # int64 natively
         seen = set()
-        for src, text in zip(df["source"], df["text"].fillna("")):
+        for src, text in zip(t["source"].to_pylist(), _texts(t)):
             for p in winnow_fingerprints(text):
                 seen.add((src, p - (1 << 64) if p >= (1 << 63) else p))
-        return pd.DataFrame(
-            {"host": [h for h, _ in seen],
-             "fp": pd.Series([p for _, p in seen], dtype="int64")}
-        )
+        return pa.table({
+            "host": pa.array([h for h, _ in seen], pa.string()),
+            "fp": pa.array([p for _, p in seen], pa.int64()),
+        })
 
     def shard_pairs(t: pa.Table) -> pa.Table:
         by_fp: dict[int, set] = {}
@@ -8525,7 +8568,7 @@ def q_host_mirror_overlap(sf_dir: str) -> rd.Dataset:
     return (
         hash_exchange(
             _read(sf_dir, "documents", ["source", "text"]).map_batches(
-                hostfps, batch_format="pandas"
+                hostfps, batch_format="pyarrow"
             ),
             ["fp"],
             shard_pairs,
@@ -9127,9 +9170,9 @@ def q_extract_eval(sf_dir: str) -> rd.Dataset:
         ("n_extracted", pa.int64()), ("n_common", pa.int64()),
     ])
 
-    def f(df: pd.DataFrame) -> pd.DataFrame:
+    def f(t: pa.Table) -> pa.Table:
         rows = []
-        for doc_id, text in zip(df["doc_id"], df["text"].fillna("")):
+        for doc_id, text in zip(t["doc_id"].to_pylist(), _texts(t)):
             toks = text.split()
             if not toks:
                 rows.append((int(doc_id), 0, 0, 0))
@@ -9153,12 +9196,15 @@ def q_extract_eval(sf_dir: str) -> rd.Dataset:
             common = sum(min(c, got.get(t, 0)) for t, c in gold.items())
             rows.append((int(doc_id), sum(gold.values()),
                          sum(got.values()), common))
-        return pd.DataFrame(
-            rows, columns=["doc_id", "n_gold", "n_extracted", "n_common"]
-        ).astype("int64")
+        return pa.table({
+            name: pa.array([r[i] for r in rows], pa.int64())
+            for i, name in enumerate(
+                ["doc_id", "n_gold", "n_extracted", "n_common"]
+            )
+        })
 
     return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
-        f, batch_format="pandas"
+        f, batch_format="pyarrow"
     )
 
 

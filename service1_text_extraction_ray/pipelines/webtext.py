@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import hashlib
 import re
+from collections import Counter
 from typing import List
 
 import numpy as np
@@ -38,7 +39,7 @@ import ray
 import ray.data as rd
 from ray.data.aggregate import Count, Sum
 
-from .queries import _pq, _read
+from .queries import _pq, _read, _texts
 from .relational import hash_exchange, hash_join
 
 # ---------------------------------------------------------------------------
@@ -52,6 +53,37 @@ def _tokens(text: str) -> List[str]:
     """Whitespace tokens, empty strings dropped — byte-identical to DuckDB's
     ``list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')``."""
     return [t for t in _WS_RX.split(text) if t]
+
+
+def _uni_tf_partials(t: pa.Table) -> pa.Table:
+    """Per-block token term-frequency partials (token, n) — the shared
+    pre-aggregation in front of every vocabulary-keyed exchange."""
+    c: Counter = Counter()
+    for x in _texts(t):
+        c.update(_tokens(x))
+    return pa.table({
+        "token": pa.array(list(c.keys()), pa.string()),
+        "n": pa.array(list(c.values()), pa.int64()),
+    })
+
+
+def _bigram_tf_partials(t: pa.Table, joined: bool = True) -> pa.Table:
+    """Per-block adjacent-bigram partial counts; ``joined`` emits one
+    "a b" string key, else split (t1, t2) columns."""
+    c: Counter = Counter()
+    for x in _texts(t):
+        ts = _tokens(x)
+        c.update(zip(ts, ts[1:]))
+    if joined:
+        return pa.table({
+            "bigram": pa.array([f"{a} {b}" for a, b in c.keys()], pa.string()),
+            "n_ab": pa.array(list(c.values()), pa.int64()),
+        })
+    return pa.table({
+        "t1": pa.array([a for a, _ in c.keys()], pa.string()),
+        "t2": pa.array([b for _, b in c.keys()], pa.string()),
+        "n_ab": pa.array(list(c.values()), pa.int64()),
+    })
 
 
 # ---------------------------------------------------------------------------
@@ -71,25 +103,28 @@ def q_doc_pii_scan(sf_dir: str) -> rd.Dataset:
     Counts are taken on the RAW text (patterns evaluated independently);
     redaction applies email -> ipv4 -> phone in that fixed order on both
     sides, so overlap resolution is identical. Pure per-batch map — no
-    shuffle; vectorized pandas ``str.count`` / ``str.replace`` (compiled
-    once at module import)."""
+    shuffle; vectorized Arrow ``count_substring_regex`` /
+    ``replace_substring_regex`` (RE2, zero-copy batches)."""
 
-    def f(df: pd.DataFrame) -> pd.DataFrame:
-        text = df["text"].fillna("")
-        out = pd.DataFrame()
-        out["doc_id"] = df["doc_id"]
-        out["n_emails"] = text.str.count(PII_EMAIL).astype("int64")
-        out["n_ipv4"] = text.str.count(PII_IPV4).astype("int64")
-        out["n_phones"] = text.str.count(PII_PHONE).astype("int64")
-        out["text_redacted"] = (
-            text.str.replace(PII_EMAIL, "[EMAIL]", regex=True)
-            .str.replace(PII_IPV4, "[IP]", regex=True)
-            .str.replace(PII_PHONE, "[PHONE]", regex=True)
-        )
-        return out
+    def f(t: pa.Table) -> pa.Table:
+        text = pc.fill_null(t["text"], "")
+
+        def _count(pat: str) -> pa.ChunkedArray:
+            return pc.cast(pc.count_substring_regex(text, pat), pa.int64())
+
+        red = pc.replace_substring_regex(text, PII_EMAIL, "[EMAIL]")
+        red = pc.replace_substring_regex(red, PII_IPV4, "[IP]")
+        red = pc.replace_substring_regex(red, PII_PHONE, "[PHONE]")
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_emails": _count(PII_EMAIL),
+            "n_ipv4": _count(PII_IPV4),
+            "n_phones": _count(PII_PHONE),
+            "text_redacted": red,
+        })
 
     return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
-        f, batch_format="pandas"
+        f, batch_format="pyarrow"
     )
 
 
@@ -257,19 +292,22 @@ def q_doc_contamination(sf_dir: str) -> rd.Dataset:
     gram_set = frozenset(bench["gram"])
     ref = ray.put(gram_set)
 
-    def scan(df: pd.DataFrame) -> pd.DataFrame:
+    def scan(t: pa.Table) -> pa.Table:
         grams = ray.get(ref)
-        out = pd.DataFrame()
-        out["doc_id"] = df["doc_id"]
-        out["n_benchmark_grams"] = [
-            len(_doc_grams(t) & grams) for t in df["text"].fillna("")
-        ]
-        out["n_benchmark_grams"] = out["n_benchmark_grams"].astype("int64")
-        out["is_benchmark"] = (df["doc_id"] % CONTAM_BENCH_MOD == 0).astype("bool")
-        return out
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_benchmark_grams": pa.array(
+                [len(_doc_grams(x) & grams) for x in _texts(t)], pa.int64()
+            ),
+            "is_benchmark": pa.array(
+                (pc.cast(t["doc_id"], pa.int64()).to_numpy()
+                 % CONTAM_BENCH_MOD == 0),
+                pa.bool_(),
+            ),
+        })
 
     return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
-        scan, batch_format="pandas"
+        scan, batch_format="pyarrow"
     )
 
 
@@ -716,13 +754,16 @@ def q_corpus_vocab_stats(sf_dir: str) -> pd.DataFrame:
     driver (O(blocks) rows — the partial-top-k pattern applied to scalar
     stats)."""
 
-    def partial_counts(df: pd.DataFrame) -> pd.DataFrame:
-        toks = df["text"].fillna("").str.split(r"\s+", regex=True).explode()
-        toks = toks[toks.astype(bool) & toks.notna()]
-        vc = toks.value_counts()
-        return pd.DataFrame(
-            {"token": vc.index.astype(str), "n": vc.values.astype("int64")}
+    def partial_counts(t: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(
+            pc.split_pattern_regex(pc.fill_null(t["text"], ""), r"\s+")
         )
+        toks = toks.filter(pc.not_equal(toks, ""))
+        vc = pc.value_counts(toks)
+        return pa.table({
+            "token": vc.field("values"),
+            "n": pc.cast(vc.field("counts"), pa.int64()),
+        })
 
     def block_stats(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
@@ -750,7 +791,7 @@ def q_corpus_vocab_stats(sf_dir: str) -> pd.DataFrame:
 
     partials = (
         _read(sf_dir, "documents", ["text"])
-        .map_batches(partial_counts, batch_format="pandas")
+        .map_batches(partial_counts, batch_format="pyarrow")
         .groupby("token")
         .aggregate(Sum("n", alias_name="n"))
         .map_batches(block_stats, batch_format="pyarrow")
@@ -804,21 +845,25 @@ def q_doc_split_assign(sf_dir: str) -> rd.Dataset:
     RNG state) so that re-runs, resumes and different cluster sizes produce
     the same split. Pure per-batch map — no shuffle, no driver state."""
 
-    def f(df: pd.DataFrame) -> pd.DataFrame:
-        keys = df["doc_id"].map(
-            lambda d: int.from_bytes(
-                hashlib.md5(str(d).encode()).digest()[:2], "big"
-            )
+    def f(t: pa.Table) -> pa.Table:
+        keys = np.array(
+            [
+                int.from_bytes(hashlib.md5(str(d).encode()).digest()[:2], "big")
+                for d in t["doc_id"].to_pylist()
+            ],
+            dtype="int64",
         )
         split = np.where(
             keys < _TRAIN_CUT, "train", np.where(keys < _VALID_CUT, "valid", "test")
         )
-        return pd.DataFrame(
-            {"doc_id": df["doc_id"], "lang": df["lang"], "split": split}
-        )
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "lang": t["lang"],
+            "split": pa.array(split.tolist(), pa.string()),
+        })
 
     return _read(sf_dir, "documents", ["doc_id", "lang"]).map_batches(
-        f, batch_format="pandas"
+        f, batch_format="pyarrow"
     )
 
 
@@ -865,18 +910,21 @@ def q_token_postings(sf_dir: str) -> rd.Dataset:
          pa.field("tf", pa.int64())]
     )
 
-    def partials(df: pd.DataFrame) -> pd.DataFrame:
-        toks = df["text"].fillna("").map(_tokens)
-        tf = toks.explode().dropna().value_counts()
-        dfreq = toks.map(lambda ts: sorted(set(ts))).explode().dropna().value_counts()
-        merged = pd.DataFrame({"tf": tf, "df": dfreq}).fillna(0)
-        return pd.DataFrame(
-            {
-                "token": merged.index.astype(str),
-                "df": merged["df"].astype("int64"),
-                "tf": merged["tf"].astype("int64"),
-            }
-        )
+    def partials(t: pa.Table) -> pa.Table:
+        tf: dict = {}
+        dfreq: dict = {}
+        for x in _texts(t):
+            ts = _tokens(x)
+            for tok in ts:
+                tf[tok] = tf.get(tok, 0) + 1
+            for tok in set(ts):
+                dfreq[tok] = dfreq.get(tok, 0) + 1
+        toks = sorted(tf)
+        return pa.table({
+            "token": pa.array(toks, pa.string()),
+            "df": pa.array([dfreq[k] for k in toks], pa.int64()),
+            "tf": pa.array([tf[k] for k in toks], pa.int64()),
+        })
 
     def shard_sum_having(t: pa.Table) -> pa.Table:
         g = t.group_by("token").aggregate([("df", "sum"), ("tf", "sum")])
@@ -887,7 +935,7 @@ def q_token_postings(sf_dir: str) -> rd.Dataset:
 
     return hash_exchange(
         _read(sf_dir, "documents", ["text"]).map_batches(
-            partials, batch_format="pandas"
+            partials, batch_format="pyarrow"
         ),
         ["token"],
         shard_sum_having,
@@ -931,17 +979,15 @@ def q_corpus_bigrams(sf_dir: str) -> pd.DataFrame:
     int64 shard ids instead. Ties break on the bigram string ascending."""
     from collections import Counter
 
-    def partials(df: pd.DataFrame) -> pd.DataFrame:
+    def partials(t: pa.Table) -> pa.Table:
         c: Counter = Counter()
-        for text in df["text"]:
-            ts = _tokens(text or "")
+        for text in _texts(t):
+            ts = _tokens(text)
             c.update(zip(ts, ts[1:]))
-        return pd.DataFrame(
-            {
-                "bigram": [f"{a} {b}" for a, b in c.keys()],
-                "n": pd.Series(list(c.values()), dtype="int64"),
-            }
-        )
+        return pa.table({
+            "bigram": pa.array([f"{a} {b}" for a, b in c.keys()], pa.string()),
+            "n": pa.array(list(c.values()), pa.int64()),
+        })
 
     def shard_topk(t: pa.Table) -> pa.Table:
         g = t.group_by("bigram").aggregate([("n", "sum")])
@@ -955,7 +1001,7 @@ def q_corpus_bigrams(sf_dir: str) -> pd.DataFrame:
 
     merged = hash_exchange(
         _read(sf_dir, "documents", ["text"]).map_batches(
-            partials, batch_format="pandas"
+            partials, batch_format="pyarrow"
         ),
         ["bigram"],
         shard_topk,
@@ -1019,38 +1065,37 @@ def q_corpus_heavy_hitters(sf_dir: str) -> pd.DataFrame:
     At 100 TB: pass 1 and pass 2 are pure streaming maps; driver state is
     bounded by the candidate set, never the vocabulary."""
 
-    def candidates(df: pd.DataFrame) -> pd.DataFrame:
-        toks = df["text"].fillna("").map(_tokens)
-        counts = toks.explode().dropna().value_counts()
-        total = int(counts.sum())
-        if total == 0:
-            return pd.DataFrame({"token": pd.Series([], dtype=str)})
-        keep = counts[counts * HH_CAPACITY >= total]
-        return pd.DataFrame({"token": keep.index.astype(str)})
+    def candidates(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for x in _texts(t):
+            c.update(_tokens(x))
+        total = sum(c.values())
+        keep = [tok for tok, n in c.items() if n * HH_CAPACITY >= total]
+        return pa.table({"token": pa.array(sorted(keep), pa.string())})
 
     ds = _read(sf_dir, "documents", ["text"])
-    cand_rows = ds.map_batches(candidates, batch_format="pandas").take_all()
+    cand_rows = ds.map_batches(candidates, batch_format="pyarrow").take_all()
     cand = sorted({r["token"] for r in cand_rows})
     cand_ref = ray.put(set(cand))
 
-    def recount(df: pd.DataFrame) -> pd.DataFrame:
+    def recount(t: pa.Table) -> pa.Table:
         cset = ray.get(cand_ref)
-        toks = df["text"].fillna("").map(_tokens)
-        flat = toks.explode().dropna()
-        counts = flat[flat.isin(cset)].value_counts()
-        out = pd.DataFrame(
-            {
-                "token": counts.index.astype(str),
-                "n": counts.to_numpy(dtype="int64"),
-                "total": np.int64(0),
-            }
-        )
+        c: Counter = Counter()
+        n_flat = 0
+        for x in _texts(t):
+            ts = _tokens(x)
+            n_flat += len(ts)
+            c.update(tok for tok in ts if tok in cset)
+        toks = sorted(c)
         # block token total rides on ONE sentinel row (token=None), not on
         # every count row — summing a per-row copy over-counts it
-        sentinel = pd.DataFrame({"token": [None], "n": [0], "total": [len(flat)]})
-        return pd.concat([out, sentinel], ignore_index=True)
+        return pa.table({
+            "token": pa.array(toks + [None], pa.string()),
+            "n": pa.array([c[k] for k in toks] + [0], pa.int64()),
+            "total": pa.array([0] * len(toks) + [n_flat], pa.int64()),
+        })
 
-    parts = ds.map_batches(recount, batch_format="pandas").to_pandas()
+    parts = ds.map_batches(recount, batch_format="pyarrow").to_pandas()
     n_total = int(parts["total"].sum()) if len(parts) else 0
     counts_only = parts.dropna(subset=["token"])
     merged = (
@@ -1332,20 +1377,20 @@ def q_doc_sample_weighted(sf_dir: str) -> rd.Dataset:
         ("doc_id", pa.int64()), ("lang", pa.string()), ("n_chars", pa.int64()),
     ])
 
-    def f(df: pd.DataFrame) -> pa.Table:
-        keys = df["doc_id"].map(
-            lambda d: int.from_bytes(
-                hashlib.md5(str(d).encode()).digest()[:2], "big"
-            )
-        ).to_numpy()
-        keep = keys < df["n_chars"].to_numpy() * WEIGHT_MULT
-        out = df.loc[keep, ["doc_id", "lang", "n_chars"]]
-        # typed Arrow out: an all-filtered block stays schema-stable (an
-        # EMPTY object-dtype pandas block trips Ray's size estimator)
-        return pa.Table.from_pandas(out, schema=out_schema, preserve_index=False)
+    def f(t: pa.Table) -> pa.Table:
+        keys = np.array(
+            [
+                int.from_bytes(hashlib.md5(str(d).encode()).digest()[:2], "big")
+                for d in t["doc_id"].to_pylist()
+            ],
+            dtype="int64",
+        )
+        keep = keys < pc.cast(t["n_chars"], pa.int64()).to_numpy() * WEIGHT_MULT
+        # typed Arrow out: an all-filtered block stays schema-stable
+        return t.filter(pa.array(keep, pa.bool_())).cast(out_schema)
 
     return _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"]).map_batches(
-        f, batch_format="pandas"
+        f, batch_format="pyarrow"
     )
 
 
@@ -1378,9 +1423,15 @@ def q_doc_unigram_logprob(sf_dir: str) -> rd.Dataset:
     join does the same)."""
     cnt_schema = pa.schema([pa.field("token", pa.string()), pa.field("tf", pa.int64())])
 
-    def count_partials(df: pd.DataFrame) -> pd.DataFrame:
-        tf = df["text"].fillna("").map(_tokens).explode().dropna().value_counts()
-        return pd.DataFrame({"token": tf.index.astype(str), "tf": tf.to_numpy(dtype="int64")})
+    def count_partials(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for x in _texts(t):
+            c.update(_tokens(x))
+        toks = sorted(c)
+        return pa.table({
+            "token": pa.array(toks, pa.string()),
+            "tf": pa.array([c[k] for k in toks], pa.int64()),
+        })
 
     def shard_sum(t: pa.Table) -> pa.Table:
         g = t.group_by("token").aggregate([("tf", "sum")])
@@ -1389,7 +1440,7 @@ def q_doc_unigram_logprob(sf_dir: str) -> rd.Dataset:
     lm: dict = {}
     counts = hash_exchange(
         _read(sf_dir, "documents", ["text"]).map_batches(
-            count_partials, batch_format="pandas"
+            count_partials, batch_format="pyarrow"
         ),
         ["token"],
         shard_sum,
@@ -1465,17 +1516,17 @@ def q_lang_top_tokens(sf_dir: str) -> pd.DataFrame:
         ("lang", pa.string()), ("token", pa.string()), ("n", pa.int64()),
     ])
 
-    def partials(df: pd.DataFrame) -> pd.DataFrame:
-        rows = (
-            pd.DataFrame({
-                "lang": df["lang"].fillna(""),
-                "token": df["text"].fillna("").map(_tokens),
-            })
-            .explode("token")
-            .dropna(subset=["token"])
-        )
-        g = rows.groupby(["lang", "token"], sort=False).size().reset_index(name="n")
-        return g
+    def partials(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for lang, x in zip(pc.fill_null(t["lang"], "").to_pylist(), _texts(t)):
+            for tok in _tokens(x):
+                c[(lang, tok)] += 1
+        keys = sorted(c)
+        return pa.table({
+            "lang": pa.array([k[0] for k in keys], pa.string()),
+            "token": pa.array([k[1] for k in keys], pa.string()),
+            "n": pa.array([c[k] for k in keys], pa.int64()),
+        })
 
     def shard_topk(t: pa.Table) -> pa.Table:
         g = t.group_by(["lang", "token"]).aggregate([("n", "sum")])
@@ -1488,7 +1539,7 @@ def q_lang_top_tokens(sf_dir: str) -> pd.DataFrame:
 
     merged = hash_exchange(
         _read(sf_dir, "documents", ["lang", "text"]).map_batches(
-            partials, batch_format="pandas"
+            partials, batch_format="pyarrow"
         ),
         ["lang", "token"],
         shard_topk,
@@ -1550,16 +1601,25 @@ def q_doc_pack_sequences(sf_dir: str) -> rd.Dataset:
         ("doc_id", pa.int64()), ("bucket", pa.int64()), ("n_tokens", pa.int64()),
     ])
 
-    def tok_counts(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "doc_id": df["doc_id"],
-            "bucket": (df["doc_id"] // PACK_BUCKET).astype("int64"),
-            "n_tokens": df["text"].fillna("").str.count(r"\S+").astype("int64") + 1,
+    def tok_counts(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t["doc_id"], pa.int64())
+        return pa.table({
+            "doc_id": ids,
+            "bucket": pc.divide(ids, pa.scalar(PACK_BUCKET, pa.int64())),
+            "n_tokens": pc.add(
+                pc.cast(
+                    pc.count_substring_regex(
+                        pc.fill_null(t["text"], ""), r"\S+"
+                    ),
+                    pa.int64(),
+                ),
+                pa.scalar(1, pa.int64()),
+            ),
         })
 
     counts = (
         _read(sf_dir, "documents", ["doc_id", "text"])
-        .map_batches(tok_counts, batch_format="pandas")
+        .map_batches(tok_counts, batch_format="pyarrow")
         .materialize()
     )
 
@@ -1792,15 +1852,18 @@ def q_doc_length_band(sf_dir: str) -> rd.Dataset:
     broadcast scalars. Output: (doc_id, n_tokens) of kept docs."""
     cnt_schema = pa.schema([("doc_id", pa.int64()), ("n_tokens", pa.int64())])
 
-    def tok(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "doc_id": df["doc_id"],
-            "n_tokens": df["text"].fillna("").str.count(r"\S+").astype("int64"),
+    def tok(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_tokens": pc.cast(
+                pc.count_substring_regex(pc.fill_null(t["text"], ""), r"\S+"),
+                pa.int64(),
+            ),
         })
 
     counts = (
         _read(sf_dir, "documents", ["doc_id", "text"])
-        .map_batches(tok, batch_format="pandas")
+        .map_batches(tok, batch_format="pyarrow")
         .materialize()
     )
 
@@ -2014,16 +2077,16 @@ def q_search_bm25(sf_dir: str) -> pd.DataFrame:
         + [pa.field(f"df{i}", pa.int64()) for i in range(len(terms))]
     )
 
-    def stats_partial(df: pd.DataFrame) -> pa.Table:
-        toks = df["text"].fillna("").map(_tokens)
-        row = {"n": len(df), "sdl": int(toks.map(len).sum())}
+    def stats_partial(t: pa.Table) -> pa.Table:
+        toks = [_tokens(x) for x in _texts(t)]
+        row = {"n": t.num_rows, "sdl": sum(len(ts) for ts in toks)}
         for i, term in enumerate(terms):
-            row[f"df{i}"] = int(toks.map(lambda ts: term in ts).sum())
+            row[f"df{i}"] = sum(1 for ts in toks if term in ts)
         return pa.Table.from_pylist([row], schema=stats_schema)
 
     stats = (
         _read(sf_dir, "documents", ["text"])
-        .map_batches(stats_partial, batch_format="pandas")
+        .map_batches(stats_partial, batch_format="pyarrow")
         .to_pandas()
         .sum()
     )
@@ -2038,25 +2101,28 @@ def q_search_bm25(sf_dir: str) -> pd.DataFrame:
         [pa.field("doc_id", pa.int64()), pa.field("score_nano", pa.int64())]
     )
 
-    def score_topk(df: pd.DataFrame) -> pa.Table:
-        toks = df["text"].fillna("").map(_tokens)
-        dl = toks.map(len).to_numpy(dtype="float64")
+    def score_topk(t: pa.Table) -> pa.Table:
+        toks = [_tokens(x) for x in _texts(t)]
+        dl = np.array([len(ts) for ts in toks], dtype="float64")
         k_doc = BM25_K1 * ((1.0 - BM25_B) + BM25_B * (dl / avgdl))
-        score = np.zeros(len(df), dtype="float64")
+        score = np.zeros(t.num_rows, dtype="float64")
         for i, term in enumerate(terms):  # fixed order = fixed float sequence
-            tf = toks.map(lambda ts: ts.count(term)).to_numpy(dtype="float64")
+            tf = np.array([ts.count(term) for ts in toks], dtype="float64")
             score = score + idf[i] * ((tf * (BM25_K1 + 1.0)) / (tf + k_doc))
         nano = np.where(score >= 0, np.floor(score * 1e9 + 0.5),
                         np.ceil(score * 1e9 - 0.5)).astype("int64")
-        out = pd.DataFrame({"doc_id": df["doc_id"].astype("int64"), "score_nano": nano})
-        out = out[out["score_nano"] > 0].sort_values(
-            ["score_nano", "doc_id"], ascending=[False, True]
-        ).head(BM25_TOPK)
-        return pa.Table.from_pandas(out, schema=out_schema, preserve_index=False)
+        out = pa.table({
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "score_nano": pa.array(nano, pa.int64()),
+        })
+        out = out.filter(pc.greater(out["score_nano"], 0)).sort_by(
+            [("score_nano", "descending"), ("doc_id", "ascending")]
+        ).slice(0, BM25_TOPK)
+        return out.cast(out_schema)
 
     partials = (
         _read(sf_dir, "documents", ["doc_id", "text"])
-        .map_batches(score_topk, batch_format="pandas")
+        .map_batches(score_topk, batch_format="pyarrow")
         .to_pandas()
     )
     if partials.shape[1] == 0:  # zero scoring docs anywhere: Ray's
@@ -2165,9 +2231,15 @@ def q_corpus_zipf_fit(sf_dir: str) -> pd.DataFrame:
         [pa.field("token", pa.string()), pa.field("tf", pa.int64())]
     )
 
-    def partials(df: pd.DataFrame) -> pd.DataFrame:
-        tf = df["text"].fillna("").map(_tokens).explode().dropna().value_counts()
-        return pd.DataFrame({"token": tf.index.astype(str), "tf": tf.astype("int64")})
+    def partials(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for x in _texts(t):
+            c.update(_tokens(x))
+        toks = sorted(c)
+        return pa.table({
+            "token": pa.array(toks, pa.string()),
+            "tf": pa.array([c[k] for k in toks], pa.int64()),
+        })
 
     def shard_sum(t: pa.Table) -> pa.Table:
         g = t.group_by("token").aggregate([("tf", "sum")])
@@ -2175,7 +2247,7 @@ def q_corpus_zipf_fit(sf_dir: str) -> pd.DataFrame:
 
     vocab = hash_exchange(
         _read(sf_dir, "documents", ["text"]).map_batches(
-            partials, batch_format="pandas"
+            partials, batch_format="pyarrow"
         ),
         ["token"],
         shard_sum,
@@ -2475,25 +2547,9 @@ def q_corpus_pmi(sf_dir: str) -> pd.DataFrame:
         ("t1", pa.string()), ("t2", pa.string()), ("n_ab", pa.int64()),
     ])
 
-    def uni_partials(df: pd.DataFrame) -> pd.DataFrame:
-        c: Counter = Counter()
-        for text in df["text"]:
-            c.update(_tokens(text or ""))
-        return pd.DataFrame({
-            "token": list(c.keys()),
-            "n": pd.Series(list(c.values()), dtype="int64"),
-        })
-
-    def big_partials(df: pd.DataFrame) -> pd.DataFrame:
-        c: Counter = Counter()
-        for text in df["text"]:
-            ts = _tokens(text or "")
-            c.update(zip(ts, ts[1:]))
-        return pd.DataFrame({
-            "t1": [a for a, _ in c.keys()],
-            "t2": [b for _, b in c.keys()],
-            "n_ab": pd.Series(list(c.values()), dtype="int64"),
-        })
+    uni_partials, big_partials = _uni_tf_partials, (
+        lambda t: _bigram_tf_partials(t, joined=False)
+    )
 
     def sum_by(cols, ncol):
         def f(t: pa.Table) -> pa.Table:
@@ -2507,11 +2563,11 @@ def q_corpus_pmi(sf_dir: str) -> pd.DataFrame:
 
     docs = _read(sf_dir, "documents", ["text"])
     uni = hash_exchange(
-        docs.map_batches(uni_partials, batch_format="pandas"),
+        docs.map_batches(uni_partials, batch_format="pyarrow"),
         ["token"], sum_by(["token"], "n"), uni_schema,
     ).materialize()
     big = hash_exchange(
-        docs.map_batches(big_partials, batch_format="pandas"),
+        docs.map_batches(big_partials, batch_format="pyarrow"),
         ["t1", "t2"], sum_by(["t1", "t2"], "n_ab"), big_schema,
     )
 
@@ -2529,13 +2585,13 @@ def q_corpus_pmi(sf_dir: str) -> pd.DataFrame:
     # exchange here was pure overhead (a sort-shuffle to merge one key)
     B = int(
         docs.map_batches(
-            lambda df: pd.DataFrame({
-                "b": pd.Series(
-                    [sum(max(0, len(_tokens(x or "")) - 1) for x in df["text"])],
-                    dtype="int64",
+            lambda t: pa.table({
+                "b": pa.array(
+                    [sum(max(0, len(_tokens(x)) - 1) for x in _texts(t))],
+                    pa.int64(),
                 ),
             }),
-            batch_format="pandas",
+            batch_format="pyarrow",
         ).sum("b")
         or 0
     )
@@ -2813,11 +2869,11 @@ def _bigram_logprob_broadcast(docs, uni, big) -> rd.Dataset:
         ("logprob_nano_sum", pa.int64()),
     ])
 
-    def score(df: pd.DataFrame) -> pa.Table:
+    def score(t: pa.Table) -> pa.Table:
         mod = ray.get(ref)
         rows = []
-        for doc_id, text in zip(df["doc_id"], df["text"]):
-            ts = _tokens(text or "")
+        for doc_id, text in zip(t["doc_id"].to_pylist(), _texts(t)):
+            ts = _tokens(text)
             c = Counter(zip(ts, ts[1:]))
             nb = s = 0
             for (a, b2), k in c.items():
@@ -2829,7 +2885,7 @@ def _bigram_logprob_broadcast(docs, uni, big) -> rd.Dataset:
             return part_schema.empty_table()
         return pa.Table.from_pylist(rows, schema=part_schema)
 
-    return docs.map_batches(score, batch_format="pandas")
+    return docs.map_batches(score, batch_format="pyarrow")
 
 
 def q_doc_bigram_logprob(sf_dir: str) -> rd.Dataset:
@@ -2860,25 +2916,6 @@ def q_doc_bigram_logprob(sf_dir: str) -> rd.Dataset:
         ("doc_id", pa.int64()), ("bigram", pa.string()), ("k", pa.int64()),
     ])
 
-    def uni_partials(df: pd.DataFrame) -> pd.DataFrame:
-        c: Counter = Counter()
-        for text in df["text"]:
-            c.update(_tokens(text or ""))
-        return pd.DataFrame({
-            "token": list(c.keys()),
-            "n": pd.Series(list(c.values()), dtype="int64"),
-        })
-
-    def big_partials(df: pd.DataFrame) -> pd.DataFrame:
-        c: Counter = Counter()
-        for text in df["text"]:
-            ts = _tokens(text or "")
-            c.update(zip(ts, ts[1:]))
-        return pd.DataFrame({
-            "bigram": [f"{a} {b}" for a, b in c.keys()],
-            "n_ab": pd.Series(list(c.values()), dtype="int64"),
-        })
-
     def sum_by(cols, ncol):
         def f(t: pa.Table) -> pa.Table:
             g = t.group_by(cols).aggregate([(ncol, "sum")])
@@ -2891,11 +2928,11 @@ def q_doc_bigram_logprob(sf_dir: str) -> rd.Dataset:
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
     uni = hash_exchange(
-        docs.map_batches(uni_partials, batch_format="pandas"),
+        docs.map_batches(_uni_tf_partials, batch_format="pyarrow"),
         ["token"], sum_by(["token"], "n"), uni_schema,
     )
     big = hash_exchange(
-        docs.map_batches(big_partials, batch_format="pandas"),
+        docs.map_batches(_bigram_tf_partials, batch_format="pyarrow"),
         ["bigram"], sum_by(["bigram"], "n_ab"), big_schema,
     )
 
@@ -2910,19 +2947,21 @@ def q_doc_bigram_logprob(sf_dir: str) -> rd.Dataset:
     if big.count() <= LM_BROADCAST_BIGRAMS:
         return _bigram_logprob_broadcast(docs, uni, big)
 
-    def doc_bigrams(df: pd.DataFrame) -> pd.DataFrame:
+    def doc_bigrams(t: pa.Table) -> pa.Table:
         rows = []
-        for doc_id, text in zip(df["doc_id"], df["text"]):
-            ts = _tokens(text or "")
+        for doc_id, text in zip(t["doc_id"].to_pylist(), _texts(t)):
+            ts = _tokens(text)
             c = Counter(zip(ts, ts[1:]))
             for (a, b), k in c.items():
                 rows.append((int(doc_id), f"{a} {b}", int(k)))
-        return pd.DataFrame(rows, columns=["doc_id", "bigram", "k"]).astype(
-            {"doc_id": "int64", "k": "int64"}
-        )
+        return pa.table({
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "bigram": pa.array([r[1] for r in rows], pa.string()),
+            "k": pa.array([r[2] for r in rows], pa.int64()),
+        })
 
     with_nab = hash_join(
-        docs.map_batches(doc_bigrams, batch_format="pandas"),
+        docs.map_batches(doc_bigrams, batch_format="pyarrow"),
         big,
         left_on="bigram", right_on="bigram", key_type=pa.string(),
         left_fields=[pa.field("doc_id", pa.int64()), pa.field("k", pa.int64())],
@@ -3173,9 +3212,9 @@ def q_search_phrase(sf_dir: str) -> rd.Dataset:
         ("n_matches", pa.int64()), ("first_pos", pa.int64()),
     ])
 
-    def scan(df: pd.DataFrame) -> pd.DataFrame:
+    def scan(t: pa.Table) -> pa.Table:
         rows = []
-        for doc_id, text in zip(df["doc_id"], df["text"].fillna("")):
+        for doc_id, text in zip(t["doc_id"].to_pylist(), _texts(t)):
             ts = _tokens(text)
             for ptoks, pstr in zip(phrases, SEARCH_PHRASES):
                 n, first = 0, -1
@@ -3186,12 +3225,14 @@ def q_search_phrase(sf_dir: str) -> rd.Dataset:
                             first = i
                 if n:
                     rows.append((pstr, int(doc_id), n, first))
-        return pd.DataFrame(
-            rows, columns=["phrase", "doc_id", "n_matches", "first_pos"]
-        ).astype({"doc_id": "int64", "n_matches": "int64", "first_pos": "int64"})
+        return pa.Table.from_pylist(
+            [dict(zip(("phrase", "doc_id", "n_matches", "first_pos"), r))
+             for r in rows],
+            schema=out_schema,
+        )
 
     return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
-        scan, batch_format="pandas"
+        scan, batch_format="pyarrow"
     )
 
 
@@ -3343,9 +3384,9 @@ def q_doc_keywords_rake(sf_dir: str) -> rd.Dataset:
         ("doc_id", pa.int64()), ("phrase", pa.string()), ("score", pa.int64()),
     ])
 
-    def rake(df: pd.DataFrame) -> pd.DataFrame:
+    def rake(t: pa.Table) -> pa.Table:
         rows = []
-        for doc_id, text in zip(df["doc_id"], df["text"].fillna("")):
+        for doc_id, text in zip(t["doc_id"].to_pylist(), _texts(t)):
             toks = _tokens(text)
             phrases: list[list[str]] = []
             cur: list[str] = []
@@ -3376,12 +3417,14 @@ def q_doc_keywords_rake(sf_dir: str) -> rd.Dataset:
             top = sorted(scored.items(), key=lambda kv: (-kv[1], kv[0]))[:RAKE_TOPK]
             for pstr, sc in top:
                 rows.append((int(doc_id), pstr, sc))
-        return pd.DataFrame(rows, columns=["doc_id", "phrase", "score"]).astype(
-            {"doc_id": "int64", "score": "int64"}
-        )
+        return pa.table({
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "phrase": pa.array([r[1] for r in rows], pa.string()),
+            "score": pa.array([r[2] for r in rows], pa.int64()),
+        })
 
     return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
-        rake, batch_format="pandas"
+        rake, batch_format="pyarrow"
     )
 
 
@@ -3472,20 +3515,23 @@ def q_doc_char_entropy(sf_dir: str) -> rd.Dataset:
         ("n_distinct", pa.int64()), ("entropy_terms_micro", pa.int64()),
     ])
 
-    def f(df: pd.DataFrame) -> pd.DataFrame:
+    def f(t: pa.Table) -> pa.Table:
         rows = []
-        for doc_id, text in zip(df["doc_id"], df["text"].fillna("")):
+        for doc_id, text in zip(t["doc_id"].to_pylist(), _texts(t)):
             c = Counter(text)
             s = sum(
                 int(round(k * math.log(k) * ENTROPY_UNIT)) for k in c.values()
             )
             rows.append((int(doc_id), len(text), len(c), s))
-        return pd.DataFrame(
-            rows, columns=["doc_id", "n_chars", "n_distinct", "entropy_terms_micro"]
-        ).astype("int64")
+        return pa.table({
+            name: pa.array([r[i] for r in rows], pa.int64())
+            for i, name in enumerate(
+                ["doc_id", "n_chars", "n_distinct", "entropy_terms_micro"]
+            )
+        })
 
     return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
-        f, batch_format="pandas"
+        f, batch_format="pyarrow"
     )
 
 
@@ -3575,9 +3621,9 @@ def q_doc_dehyphenate(sf_dir: str) -> rd.Dataset:
         ("restored", pa.bool_()),
     ])
 
-    def f(df: pd.DataFrame) -> pd.DataFrame:
+    def f(t: pa.Table) -> pa.Table:
         rows = []
-        for doc_id, text in zip(df["doc_id"], df["text"].fillna("")):
+        for doc_id, text in zip(t["doc_id"].to_pylist(), _texts(t)):
             toks = text.split(" ") if text else []
             broken = []
             n_breaks = 0
@@ -3590,12 +3636,14 @@ def q_doc_dehyphenate(sf_dir: str) -> rd.Dataset:
                     broken.append(w)
             repaired = dehyphenate(" ".join(broken))
             rows.append((int(doc_id), n_breaks, repaired == text))
-        return pd.DataFrame(
-            rows, columns=["doc_id", "n_breaks", "restored"]
-        ).astype({"doc_id": "int64", "n_breaks": "int64", "restored": "bool"})
+        return pa.table({
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "n_breaks": pa.array([r[1] for r in rows], pa.int64()),
+            "restored": pa.array([r[2] for r in rows], pa.bool_()),
+        })
 
     return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
-        f, batch_format="pandas"
+        f, batch_format="pyarrow"
     )
 
 
@@ -3648,24 +3696,24 @@ def q_host_lang_divergence(sf_dir: str) -> rd.Dataset:
 
     from collections import Counter
 
-    def ht_partials(df: pd.DataFrame) -> pd.DataFrame:
+    def ht_partials(t: pa.Table) -> pa.Table:
         c: Counter = Counter()
-        for src, text in zip(df["source"], df["text"]):
-            for t in _tokens(text or ""):
-                c[(src, t)] += 1
-        return pd.DataFrame({
-            "host": [h for h, _ in c.keys()],
-            "token": [t for _, t in c.keys()],
-            "a": pd.Series(list(c.values()), dtype="int64"),
+        for src, text in zip(t["source"].to_pylist(), _texts(t)):
+            for tok in _tokens(text):
+                c[(src, tok)] += 1
+        return pa.table({
+            "host": pa.array([h for h, _ in c.keys()], pa.string()),
+            "token": pa.array([tok for _, tok in c.keys()], pa.string()),
+            "a": pa.array(list(c.values()), pa.int64()),
         })
 
-    def tok_partials(df: pd.DataFrame) -> pd.DataFrame:
+    def tok_partials(t: pa.Table) -> pa.Table:
         c: Counter = Counter()
-        for text in df["text"]:
-            c.update(_tokens(text or ""))
-        return pd.DataFrame({
-            "token": list(c.keys()),
-            "b": pd.Series(list(c.values()), dtype="int64"),
+        for text in _texts(t):
+            c.update(_tokens(text))
+        return pa.table({
+            "token": pa.array(list(c.keys()), pa.string()),
+            "b": pa.array(list(c.values()), pa.int64()),
         })
 
     def sum_by(cols, ncol):
@@ -3680,11 +3728,11 @@ def q_host_lang_divergence(sf_dir: str) -> rd.Dataset:
 
     docs = _read(sf_dir, "documents", ["source", "text"])
     ht = hash_exchange(
-        docs.map_batches(ht_partials, batch_format="pandas"),
+        docs.map_batches(ht_partials, batch_format="pyarrow"),
         ["host", "token"], sum_by(["host", "token"], "a"), ht_schema,
     )
     tok = hash_exchange(
-        docs.map_batches(tok_partials, batch_format="pandas"),
+        docs.map_batches(tok_partials, batch_format="pyarrow"),
         ["token"], sum_by(["token"], "b"), tok_schema,
     ).materialize()
 
@@ -3785,9 +3833,9 @@ def q_doc_citations(sf_dir: str) -> rd.Dataset:
         ("doc_id", pa.int64()), ("kind", pa.string()), ("ident", pa.string()),
     ])
 
-    def f(df: pd.DataFrame) -> pd.DataFrame:
+    def f(t: pa.Table) -> pa.Table:
         rows = []
-        for doc_id, text in zip(df["doc_id"], df["text"].fillna("")):
+        for doc_id, text in zip(t["doc_id"].to_pylist(), _texts(t)):
             d = int(doc_id)
             refs = []
             if d % 2 == 0:
@@ -3797,12 +3845,13 @@ def q_doc_citations(sf_dir: str) -> rd.Dataset:
             full = text + " " + " ".join(refs)
             for kind, ident in extract_identifiers(full):
                 rows.append((d, kind, ident))
-        return pd.DataFrame(rows, columns=["doc_id", "kind", "ident"]).astype(
-            {"doc_id": "int64"}
+        return pa.Table.from_pylist(
+            [dict(zip(("doc_id", "kind", "ident"), r)) for r in rows],
+            schema=out_schema,
         )
 
     return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
-        f, batch_format="pandas"
+        f, batch_format="pyarrow"
     )
 
 
@@ -3850,17 +3899,17 @@ def q_trending_terms(sf_dir: str) -> pd.DataFrame:
         ("token", pa.string()), ("n_a", pa.int64()), ("n_b", pa.int64()),
     ])
 
-    def partials(df: pd.DataFrame) -> pd.DataFrame:
+    def partials(t: pa.Table) -> pa.Table:
         ca: Counter = Counter()
         cb: Counter = Counter()
-        for doc_id, text in zip(df["doc_id"], df["text"]):
+        for doc_id, text in zip(t["doc_id"].to_pylist(), _texts(t)):
             c = cb if int(doc_id) % 2 else ca
-            c.update(_tokens(text or ""))
-        toks = set(ca) | set(cb)
-        return pd.DataFrame({
-            "token": list(toks),
-            "n_a": pd.Series([ca.get(t, 0) for t in toks], dtype="int64"),
-            "n_b": pd.Series([cb.get(t, 0) for t in toks], dtype="int64"),
+            c.update(_tokens(text))
+        toks = sorted(set(ca) | set(cb))
+        return pa.table({
+            "token": pa.array(toks, pa.string()),
+            "n_a": pa.array([ca.get(k, 0) for k in toks], pa.int64()),
+            "n_b": pa.array([cb.get(k, 0) for k in toks], pa.int64()),
         })
 
     def shard_sum(t: pa.Table) -> pa.Table:
@@ -3873,7 +3922,7 @@ def q_trending_terms(sf_dir: str) -> pd.DataFrame:
 
     counts = hash_exchange(
         _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
-            partials, batch_format="pandas"
+            partials, batch_format="pyarrow"
         ),
         ["token"], shard_sum, pair_schema,
     ).materialize()
@@ -4228,10 +4277,10 @@ def q_corpus_dsir_weights(sf_dir: str) -> rd.Dataset:
             acc[b] = acc.get(b, 0) + 1
         return acc
 
-    def bucket_partials(df: pd.DataFrame) -> pa.Table:
+    def bucket_partials(t: pa.Table) -> pa.Table:
         raw = np.zeros(DSIR_BUCKETS, dtype=np.int64)
         tgt = np.zeros(DSIR_BUCKETS, dtype=np.int64)
-        for text, lang in zip(df["text"], df["lang"]):
+        for text, lang in zip(_texts(t), t["lang"].to_pylist()):
             for b, k in _doc_buckets(text).items():
                 raw[b] += k
                 if lang == DSIR_TARGET_LANG:
@@ -4246,7 +4295,7 @@ def q_corpus_dsir_weights(sf_dir: str) -> rd.Dataset:
 
     docs = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
     bk = (
-        docs.map_batches(bucket_partials, batch_format="pandas")
+        docs.map_batches(bucket_partials, batch_format="pyarrow")
         .groupby("b")
         .aggregate(Sum("n_raw", alias_name="n_raw"),
                    Sum("n_tgt", alias_name="n_tgt"))
@@ -4270,10 +4319,10 @@ def q_corpus_dsir_weights(sf_dir: str) -> rd.Dataset:
         ("dsir_logw_nano", pa.int64()),
     ])
 
-    def score(df: pd.DataFrame, _ref=model_ref) -> pa.Table:
+    def score(t: pa.Table, _ref=model_ref) -> pa.Table:
         qv_ = ray.get(_ref)
         ids, nbs, ws = [], [], []
-        for d, text in zip(df["doc_id"], df["text"]):
+        for d, text in zip(t["doc_id"].to_pylist(), _texts(t)):
             cb = _doc_buckets(text)
             ids.append(int(d))
             nbs.append(sum(cb.values()))
@@ -4284,7 +4333,7 @@ def q_corpus_dsir_weights(sf_dir: str) -> rd.Dataset:
             schema=out_schema,
         )
 
-    return docs.map_batches(score, batch_format="pandas")
+    return docs.map_batches(score, batch_format="pyarrow")
 
 
 def _sql_dsir() -> str:
@@ -4398,21 +4447,19 @@ def _bpe_learn(sf_dir: str):
     rows). q_doc_bpe_encode reuses the merges to segment documents."""
     cnt_schema = pa.schema([("token", pa.string()), ("n", pa.int64())])
 
-    def tok_partials(df: pd.DataFrame) -> pa.Table:
-        from collections import Counter
-
+    def tok_partials(t: pa.Table) -> pa.Table:
         c: Counter = Counter()
-        for text in df["text"]:
-            c.update(_tokens(text or ""))
+        for text in _texts(t):
+            c.update(_tokens(text))
         if not c:
             return cnt_schema.empty_table()
         return pa.Table.from_pylist(
-            [{"token": t, "n": n} for t, n in c.items()], schema=cnt_schema
+            [{"token": k, "n": n} for k, n in c.items()], schema=cnt_schema
         )
 
     words = (
         _read(sf_dir, "documents", ["text"])
-        .map_batches(tok_partials, batch_format="pandas")
+        .map_batches(tok_partials, batch_format="pyarrow")
         .groupby("token")
         .aggregate(Sum("n", alias_name="n"))
         .materialize()
@@ -4645,20 +4692,18 @@ def q_doc_blocklist_filter(sf_dir: str) -> rd.Dataset:
     per-batch map, integer outputs. Output: (doc_id, n_blocked, kept)."""
     bset = set(BLOCKLIST)
 
-    def f(df: pd.DataFrame) -> pd.DataFrame:
-        n_blocked = (
-            df["text"].fillna("")
-            .map(lambda t: sum(1 for w in t.split() if w in bset))
-            .astype("int64")
-        )
-        return pd.DataFrame({
-            "doc_id": df["doc_id"],
-            "n_blocked": n_blocked,
-            "kept": (n_blocked == 0).astype("int64"),
+    def f(t: pa.Table) -> pa.Table:
+        n_blocked = [
+            sum(1 for w in x.split() if w in bset) for x in _texts(t)
+        ]
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_blocked": pa.array(n_blocked, pa.int64()),
+            "kept": pa.array([int(n == 0) for n in n_blocked], pa.int64()),
         })
 
     return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
-        f, batch_format="pandas"
+        f, batch_format="pyarrow"
     )
 
 
@@ -4706,10 +4751,10 @@ def q_doc_sample_wor(sf_dir: str) -> rd.Dataset:
         ("doc_id", pa.int64()), ("n_chars", pa.int64()), ("key_femto", pa.int64()),
     ])
 
-    def partial_topk(df: pd.DataFrame) -> pa.Table:
-        w = df["n_chars"].to_numpy(dtype="int64")
+    def partial_topk(t: pa.Table) -> pa.Table:
+        w = pc.cast(t["n_chars"], pa.int64()).to_numpy()
         ok = w > 0  # ES keys are undefined at zero weight
-        ids = df["doc_id"].to_numpy(dtype="int64")[ok]
+        ids = pc.cast(t["doc_id"], pa.int64()).to_numpy()[ok]
         w = w[ok]
         if ids.size == 0:
             return part_schema.empty_table()
@@ -4727,7 +4772,7 @@ def q_doc_sample_wor(sf_dir: str) -> rd.Dataset:
 
     cands = (
         _read(sf_dir, "documents", ["doc_id", "n_chars"])
-        .map_batches(partial_topk, batch_format="pandas")
+        .map_batches(partial_topk, batch_format="pyarrow")
         .to_pandas()
     )
     cands = cands.sort_values(
@@ -4895,16 +4940,6 @@ def q_corpus_kn_bigram(sf_dir: str) -> rd.Dataset:
 
     big_schema = pa.schema([("bigram", pa.string()), ("n_ab", pa.int64())])
 
-    def big_partials(df: pd.DataFrame) -> pd.DataFrame:
-        c: Counter = Counter()
-        for text in df["text"]:
-            ts = _tokens(text or "")
-            c.update(zip(ts, ts[1:]))
-        return pd.DataFrame({
-            "bigram": [f"{a} {b}" for a, b in c.keys()],
-            "n_ab": pd.Series(list(c.values()), dtype="int64"),
-        })
-
     def sum_big(t: pa.Table) -> pa.Table:
         g = t.group_by("bigram").aggregate([("n_ab", "sum")])
         return pa.Table.from_arrays(
@@ -4914,7 +4949,7 @@ def q_corpus_kn_bigram(sf_dir: str) -> rd.Dataset:
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
     big = hash_exchange(
-        docs.map_batches(big_partials, batch_format="pandas"),
+        docs.map_batches(_bigram_tf_partials, batch_format="pyarrow"),
         ["bigram"], sum_big, big_schema,
     )
 
@@ -4948,11 +4983,11 @@ def q_corpus_kn_bigram(sf_dir: str) -> rd.Dataset:
         ("kn_nano_sum", pa.int64()),
     ])
 
-    def score(df: pd.DataFrame) -> pa.Table:
+    def score(t: pa.Table) -> pa.Table:
         mod = ray.get(ref)
         rows = []
-        for doc_id, text in zip(df["doc_id"], df["text"]):
-            ts = _tokens(text or "")
+        for doc_id, text in zip(t["doc_id"].to_pylist(), _texts(t)):
+            ts = _tokens(text)
             c = Counter(zip(ts, ts[1:]))
             nb = s = 0
             for (a, b2), k in c.items():
@@ -4964,7 +4999,7 @@ def q_corpus_kn_bigram(sf_dir: str) -> rd.Dataset:
             return part_schema.empty_table()
         return pa.Table.from_pylist(rows, schema=part_schema)
 
-    return docs.map_batches(score, batch_format="pandas")
+    return docs.map_batches(score, batch_format="pyarrow")
 
 
 SQL_CORPUS_KN_BIGRAM = f"""
@@ -5348,22 +5383,22 @@ def q_search_ndcg(sf_dir: str) -> pd.DataFrame:
         ("kind", pa.int64()), ("key", pa.int64()), ("cnt", pa.int64()),
     ])
 
-    def rel_partial(df: pd.DataFrame) -> pa.Table:
-        toks = df["text"].fillna("").map(lambda t: set(_tokens(t)))
-        rel = toks.map(lambda s: sum(1 for w in terms if w in s)).astype("int64")
+    def rel_partial(t: pa.Table) -> pa.Table:
+        rel = [
+            sum(1 for w in terms if w in set(_tokens(x))) for x in _texts(t)
+        ]
         rows = []
-        vc = rel.value_counts()
-        for r, n in vc.items():  # histogram partial: kind 0, key = grade
+        hist = Counter(rel)
+        for r, n in hist.items():  # histogram partial: kind 0, key = grade
             rows.append({"kind": 0, "key": int(r), "cnt": int(n)})
-        ids = df["doc_id"].astype("int64")
-        for d, r in zip(ids, rel):  # ranked-doc grades: kind 1, key = doc_id
+        for d, r in zip(t["doc_id"].to_pylist(), rel):  # ranked grades
             if int(d) in top_ids:
                 rows.append({"kind": 1, "key": int(d), "cnt": int(r)})
         return pa.Table.from_pylist(rows, schema=part_schema)
 
     parts = (
         _read(sf_dir, "documents", ["doc_id", "text"])
-        .map_batches(rel_partial, batch_format="pandas")
+        .map_batches(rel_partial, batch_format="pyarrow")
         .to_pandas()
     )
     hist = (
@@ -5459,11 +5494,11 @@ def q_corpus_simpson(sf_dir: str) -> pd.DataFrame:
         ("lang", pa.string()), ("token", pa.string()), ("n", pa.int64()),
     ])
 
-    def tok_partial(df: pd.DataFrame) -> pa.Table:
+    def tok_partial(t: pa.Table) -> pa.Table:
         rows: dict = {}
-        for lang, text in zip(df["lang"], df["text"].fillna("")):
-            for t in _tokens(text):
-                k = (lang, t)
+        for lang, text in zip(t["lang"].to_pylist(), _texts(t)):
+            for tok in _tokens(text):
+                k = (lang, tok)
                 rows[k] = rows.get(k, 0) + 1
         if not rows:
             return tok_schema.empty_table()
@@ -5493,7 +5528,7 @@ def q_corpus_simpson(sf_dir: str) -> pd.DataFrame:
 
     parts = hash_exchange(
         _read(sf_dir, "documents", ["lang", "text"]).map_batches(
-            tok_partial, batch_format="pandas"
+            tok_partial, batch_format="pyarrow"
         ),
         ["lang", "token"],
         shard_fold,
