@@ -31,6 +31,11 @@ def main(argv=None) -> int:
     p.add_argument("--min-text-length", type=int, default=None)
     p.add_argument("--max-payload-bytes", type=int, default=None)
     p.add_argument("--no-layout", action="store_true", help="skip layout trees (smaller output)")
+    p.add_argument(
+        "--ocr-backend", default=None,
+        help="OCR fallback backend name (functions/ocr.py registry, e.g. "
+             "'fake'); default none = the reference's no-tesseract branch",
+    )
     args = p.parse_args(argv)
 
     import ray
@@ -57,6 +62,8 @@ def main(argv=None) -> int:
         cfg_kwargs["max_payload_bytes"] = args.max_payload_bytes
     if args.no_layout:
         cfg_kwargs["emit_layout"] = False
+    if args.ocr_backend:
+        cfg_kwargs["ocr_backend"] = args.ocr_backend
 
     summary = run_extraction_job(
         args.input, args.output, ExtractConfig(**cfg_kwargs), resume=args.resume

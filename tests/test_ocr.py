@@ -401,3 +401,65 @@ class TestOcrQueries:
         rows = Q.q_extract_ocr("/root/testdata/sf0.001").take(50)
         assert rows and all(r["method"] == "tesseract" for r in rows)
         assert all(r["n_chars"] > 0 for r in rows)
+
+
+class TestOcrJobIntegration:
+    def test_job_with_ocr_backend_over_scanned_parquet(self, ray_session, tmp_path):
+        """Job-level OCR wiring (the --ocr-backend CLI path): a scanned-only
+        parquet corpus (image-XObject PDFs, no text operators) runs through
+        run_extraction_job with ocr_backend="fake"; every page must come
+        back method="tesseract" with the planted text recovered, and the
+        same corpus WITHOUT a backend must take the reference's no-tesseract
+        failed branch — same rows, zero recovered text."""
+        import random
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from service1_text_extraction_ray.functions.extract import ExtractConfig
+        from service1_text_extraction_ray.functions.synth import (
+            EPOCH_US, PAGES_SCHEMA, make_scanned_pdf,
+        )
+        from service1_text_extraction_ray.pipelines.extract_pipeline import (
+            run_extraction_job,
+        )
+        from service1_text_extraction_ray.state import lineage as L
+
+        rows = []
+        for i in range(40):
+            rng = random.Random(900 + i)
+            payload = make_scanned_pdf(
+                [[f"scan doc {i} line one", "the quick brown fox"],
+                 [f"page two of doc {i}"]],
+                rng,
+            )
+            rows.append({
+                "url": f"https://scans.example/job/{i:04d}",
+                "warc_ts": EPOCH_US + i * 1_000_000,
+                "html": payload,
+                "text": "",
+                "lang": "en",
+            })
+        inp = str(tmp_path / "scans")
+        import os
+
+        os.makedirs(inp)
+        pq.write_table(
+            pa.Table.from_pylist(rows, schema=PAGES_SCHEMA),
+            os.path.join(inp, "part-0.parquet"),
+        )
+
+        out_ocr = str(tmp_path / "out_ocr")
+        s = run_extraction_job(inp, out_ocr, ExtractConfig(ocr_backend="fake"))
+        assert s["n_docs"] == 40
+        assert s["n_pages"] == 80
+        assert s["n_pages_ok"] == 80  # every page recovered via OCR
+        t = L.read_all(out_ocr)
+        texts = dict(zip(t["url"].to_pylist(), t["doc_text"].to_pylist()))
+        assert f"scan doc 7 line one" in texts["https://scans.example/job/0007"]
+        assert "page two of doc 7" in texts["https://scans.example/job/0007"]
+
+        out_plain = str(tmp_path / "out_plain")
+        s2 = run_extraction_job(inp, out_plain, ExtractConfig())
+        assert s2["n_docs"] == 40 and s2["n_pages"] == 80
+        assert s2["n_pages_ok"] == 0  # no backend -> failed-branch parity
