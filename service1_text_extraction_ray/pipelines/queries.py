@@ -3099,6 +3099,146 @@ def q_media_frames(sf_dir: str) -> rd.Dataset:
     return out.select_columns(["media_id", "frame_idx", "ts_ms", "decode_ok"])
 
 
+def _media_checker_dataset(sf_dir: str) -> rd.Dataset:
+    """REAL image rows: one deterministic 8-bit grayscale checkerboard PNG
+    per document, encoded through the engine's own from-scratch codec
+    (functions/page_render.write_gray_png_array — real zlib DEFLATE).
+    Width/height/period are pure integer functions of doc_id, so pixel
+    statistics after a genuine decode are replayable arithmetically in
+    SQL — the exact-oracle construction for a real encode→decode round
+    trip (the checkerboard's on-pixel count is closed-form)."""
+    from ..stages.multimodal import MEDIA_SCHEMA
+
+    def to_png(batch: pa.Table) -> pa.Table:
+        from ..functions.page_render import write_gray_png_array
+
+        ids = [int(i) for i in batch["doc_id"].to_pylist()]
+        payloads = []
+        for d in ids:
+            w, h, p = 24 + d % 41, 16 + d % 29, 1 + d % 5
+            y, x = np.mgrid[0:h, 0:w]
+            arr = (((x // p + y // p) % 2 == 0) * 255).astype(np.uint8)
+            payloads.append(write_gray_png_array(arr))
+        return pa.Table.from_arrays(
+            [
+                pa.array(ids, pa.int64()),
+                pa.array(["image"] * len(ids), pa.string()),
+                pa.array(payloads, pa.binary()),
+            ],
+            schema=MEDIA_SCHEMA,
+        )
+
+    return _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        to_png, batch_format="pyarrow"
+    )
+
+
+def q_media_decode(sf_dir: str) -> rd.Dataset:
+    """REAL image decode (stages/multimodal.PngDecoder): each checkerboard
+    PNG is decoded through the full zlib + scanline-filter path and exact
+    integer pixel statistics come out — width, height, on-pixel count
+    (>=128), pixel sum, floor mean in milli-units. The DuckDB oracle
+    replays the statistics in closed form from doc_id (the checkerboard's
+    even-cell count is ``ex*ey + (w-ex)*(h-ey)``), so a hash match proves
+    the real codec round-trips bit-exactly — the multimodal decode stage
+    is no longer a stub for the engine's native raster format. Actor-pool
+    stage (decoder built once per actor); per-row failures isolate into
+    decode_ok=False rows."""
+    from ..stages.multimodal import PngDecoder
+
+    out_schema = pa.schema([
+        ("media_id", pa.int64()), ("width", pa.int64()),
+        ("height", pa.int64()), ("n_on", pa.int64()),
+        ("px_sum", pa.int64()), ("mean_milli", pa.int64()),
+        ("decode_ok", pa.bool_()),
+    ])
+
+    class DecodeStage:
+        def __init__(self) -> None:
+            self.dec = PngDecoder()
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            rows = []
+            for mid, payload in zip(
+                t["media_id"].to_pylist(), t["media"].to_pylist()
+            ):
+                try:
+                    d = self.dec.decode(payload or b"", "image")
+                    rows.append({
+                        "media_id": int(mid), "width": d["width"],
+                        "height": d["height"], "n_on": d["n_on"],
+                        "px_sum": d["px_sum"], "mean_milli": d["mean_milli"],
+                        "decode_ok": True,
+                    })
+                except Exception:
+                    rows.append({
+                        "media_id": int(mid), "width": 0, "height": 0,
+                        "n_on": 0, "px_sum": 0, "mean_milli": 0,
+                        "decode_ok": False,
+                    })
+            return pa.Table.from_pylist(rows, schema=out_schema)
+
+    return _media_checker_dataset(sf_dir).map_batches(
+        DecodeStage, batch_format="pyarrow", batch_size=256, concurrency=(1, 4)
+    )
+
+
+SQL_MEDIA_DECODE = """
+WITH g AS (
+  SELECT doc_id AS media_id,
+         24 + doc_id % 41 AS w, 16 + doc_id % 29 AS h, 1 + doc_id % 5 AS p
+  FROM documents
+),
+c AS (
+  SELECT media_id, w, h,
+         (w // (2 * p)) * p + least(w % (2 * p), p) AS ex,
+         (h // (2 * p)) * p + least(h % (2 * p), p) AS ey
+  FROM g
+)
+SELECT CAST(media_id AS BIGINT) AS media_id,
+       CAST(w AS BIGINT) AS width,
+       CAST(h AS BIGINT) AS height,
+       CAST(ex * ey + (w - ex) * (h - ey) AS BIGINT) AS n_on,
+       CAST(255 * (ex * ey + (w - ex) * (h - ey)) AS BIGINT) AS px_sum,
+       CAST((1000 * 255 * (ex * ey + (w - ex) * (h - ey))) // (w * h)
+            AS BIGINT) AS mean_milli,
+       true AS decode_ok
+FROM c
+"""
+
+
+def q_media_resize_px(sf_dir: str) -> rd.Dataset:
+    """REAL pixel resize over the checkerboard corpus: MediaResize detects
+    the native raster format, nearest-neighbor-resamples the actual pixel
+    array into the aspect-fitted 64-box and re-encodes — resize_ok=True
+    end to end (contrast q_media_resize, whose opaque text payloads stay
+    on the declared stub path). Geometry is exact-oracled; resized PIXEL
+    content is pinned by pytest goldens (floor-index mapping is integer-
+    deterministic)."""
+    from ..stages.multimodal import MediaResize
+
+    out = _media_checker_dataset(sf_dir).map_batches(
+        MediaResize, batch_format="pyarrow", batch_size=128, concurrency=(1, 4)
+    )
+    return out.select_columns(
+        ["media_id", "target_w", "target_h", "resize_ok"]
+    )
+
+
+SQL_MEDIA_RESIZE_PX = """
+WITH g AS (
+  SELECT doc_id AS media_id,
+         24 + doc_id % 41 AS w, 16 + doc_id % 29 AS h
+  FROM documents
+)
+SELECT CAST(media_id AS BIGINT) AS media_id,
+       CAST(greatest(1, round(w * 64.0 / greatest(w, h))) AS INTEGER) AS target_w,
+       CAST(greatest(1, round(h * 64.0 / greatest(w, h))) AS INTEGER) AS target_h,
+       true AS resize_ok
+FROM g
+"""
+
+
 def _sql_sha_byte(idx: int) -> str:
     """SQL expression for byte ``idx`` of the sha256 hex string column
     ``sha256`` (hex-digit position lookup; DuckDB 1.0 has no hex->int cast)."""

@@ -83,6 +83,50 @@ class RealDecoderUnavailable:
         )
 
 
+class PngDecoder:
+    """REAL image decoder for the engine's native raster format: 8-bit
+    grayscale PNG via the from-scratch stdlib-zlib codec
+    (functions/page_render.read_gray_png — all five ISO scanline filters).
+
+    Returns true dimensions, exact integer pixel statistics, and a
+    pixel-histogram feature vector. Non-PNG / unsupported-color payloads
+    raise ValueError, which the calling stage isolates into
+    ``decode_ok=False`` rows — the same contract a PIL/ffmpeg decoder
+    would have. Audio/video formats stay behind RealDecoderUnavailable."""
+
+    def decode(self, payload: bytes, media_type: str) -> dict:
+        from ..functions.page_render import read_gray_png
+
+        arr = read_gray_png(bytes(payload))
+        h, w = int(arr.shape[0]), int(arr.shape[1])
+        n = max(1, arr.size)
+        n_on = int((arr >= 128).sum())
+        px_sum = int(arr.sum(dtype=np.int64))
+        hist4 = np.bincount(arr.reshape(-1) >> 6, minlength=4)
+        vec = np.array(
+            [w, h, n_on, arr.size - n_on,
+             hist4[0], hist4[1], hist4[2], hist4[3]],
+            dtype=np.float32,
+        )
+        return {
+            "decode_ok": True, "width": w, "height": h, "duration_ms": 0,
+            "features": vec, "pixels": arr,
+            "n_on": n_on, "px_sum": px_sum,
+            "mean_milli": 1000 * px_sum // n,
+        }
+
+
+def resize_gray_nearest(arr: np.ndarray, tw: int, th: int) -> np.ndarray:
+    """Deterministic nearest-neighbor resample (floor index mapping
+    ``src = i * src_dim // target_dim``) — integer-exact, so resized pixel
+    content is reproducible bit-for-bit at any parallelism and replayable
+    arithmetically by tests/oracles."""
+    h, w = arr.shape
+    ys = (np.arange(th, dtype=np.int64) * h) // th
+    xs = (np.arange(tw, dtype=np.int64) * w) // tw
+    return arr[np.ix_(ys, xs)]
+
+
 class MediaFeatureExtractor:
     """Actor-pool stage: MEDIA_SCHEMA batches in, FEATURE_SCHEMA batches out.
 
@@ -150,19 +194,24 @@ RESIZE_SCHEMA = pa.schema(
 
 
 class MediaResize:
-    """Actor-pool resize stage (stub-parity: no raster codec in this
-    sandbox, so the output is a REAL grayscale PNG of the target geometry —
-    stdlib-zlib writer from functions/page_render — shaded by the payload
-    hash, with ``resize_ok=False`` marking it a placeholder). Aspect ratio
-    comes from the stub decoder's pseudo-dims, fitted inside the target box
-    exactly as a real resampler would."""
+    """Actor-pool resize stage. Two regimes per row:
+
+    - payload decodes as the native raster format (8-bit grayscale PNG,
+      ``PngDecoder``) → **REAL resample**: aspect-fit target geometry,
+      nearest-neighbor pixel resize (``resize_gray_nearest``), re-encoded
+      through the real codec — ``resize_ok=True``.
+    - anything else (the stub decoder's opaque formats) → placeholder PNG
+      of the aspect-fitted pseudo-geometry, shaded by the payload hash,
+      ``resize_ok=False`` — the declared env-blocked boundary for formats
+      with no in-sandbox codec."""
 
     def __init__(self, target: int = 64, decoder: Optional[object] = None) -> None:
         self.target = target
         self.decoder = decoder or DecoderStub()
+        self._png = PngDecoder()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from ..functions.page_render import write_gray_png
+        from ..functions.page_render import write_gray_png, write_gray_png_array
 
         rows = []
         for media_id, kind, payload in zip(
@@ -171,16 +220,28 @@ class MediaResize:
             batch["media"].to_pylist(),
         ):
             payload = payload or b""
-            d = self.decoder.decode(payload, kind)
+            try:
+                d = self._png.decode(payload, kind)
+                real = True
+            except Exception:  # not a native-format raster -> stub regime
+                d = self.decoder.decode(payload, kind)
+                real = False
             w, h = int(d["width"]), int(d["height"])
             scale = self.target / max(w, h, 1)
             tw, th = max(1, round(w * scale)), max(1, round(h * scale))
-            shade = hashlib.sha256(payload).digest()[1]
+            if real:
+                png = write_gray_png_array(
+                    resize_gray_nearest(d["pixels"], tw, th)
+                )
+            else:
+                png = write_gray_png(
+                    tw, th, hashlib.sha256(payload).digest()[1]
+                )
             rows.append({
                 "media_id": int(media_id), "media_type": kind,
                 "target_w": tw, "target_h": th,
-                "resized_png": write_gray_png(tw, th, shade),
-                "resize_ok": False,
+                "resized_png": png,
+                "resize_ok": real,
             })
         return pa.Table.from_pylist(rows, schema=RESIZE_SCHEMA)
 

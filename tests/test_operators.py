@@ -4768,3 +4768,84 @@ class TestOrdersPareto:
         assert out["threshold_cents"].iloc[0] == 2500
         assert out["top_cents"].iloc[0] == 2 * 2500  # exactly k, not all ties
         assert out["share_ppm"].iloc[0] == 200_000
+
+
+class TestRealPngMedia:
+    """Round-4 upgrade: the multimodal decode/resize path is REAL for the
+    engine's native raster format (8-bit grayscale PNG via the from-scratch
+    codec) — pixel content, not just plumbing."""
+
+    @staticmethod
+    def _checker(w, h, p):
+        import numpy as np
+
+        y, x = np.mgrid[0:h, 0:w]
+        return (((x // p + y // p) % 2 == 0) * 255).astype("uint8")
+
+    def test_png_decoder_exact_stats_and_isolation(self):
+        import numpy as np
+
+        from service1_text_extraction_ray.functions.page_render import (
+            write_gray_png_array,
+        )
+        from service1_text_extraction_ray.stages.multimodal import PngDecoder
+
+        arr = self._checker(37, 22, 3)
+        d = PngDecoder().decode(write_gray_png_array(arr), "image")
+        assert (d["width"], d["height"]) == (37, 22)
+        assert d["n_on"] == int((arr >= 128).sum())
+        assert d["px_sum"] == int(arr.sum(dtype="int64"))
+        assert d["mean_milli"] == 1000 * d["px_sum"] // arr.size
+        assert np.array_equal(d["pixels"], arr)
+        import pytest
+
+        with pytest.raises(ValueError):
+            PngDecoder().decode(b"not a png", "image")
+
+    def test_resize_gray_nearest_exact_pixels(self):
+        import numpy as np
+
+        from service1_text_extraction_ray.stages.multimodal import (
+            resize_gray_nearest,
+        )
+
+        arr = self._checker(8, 4, 1)
+        out = resize_gray_nearest(arr, 4, 2)
+        # floor mapping: src = i*src_dim//target_dim -> every 2nd row/col
+        want = arr[np.ix_([0, 2], [0, 2, 4, 6])]
+        assert np.array_equal(out, want)
+        # upscale repeats pixels deterministically
+        up = resize_gray_nearest(arr, 16, 8)
+        assert up.shape == (8, 16)
+        assert np.array_equal(up[::2, ::2], arr)
+
+    def test_media_resize_real_regime_pixel_golden(self):
+        import numpy as np
+
+        from service1_text_extraction_ray.functions.page_render import (
+            read_gray_png, write_gray_png_array,
+        )
+        from service1_text_extraction_ray.stages.multimodal import (
+            MediaResize, resize_gray_nearest,
+        )
+
+        arr = self._checker(40, 20, 4)
+        batch = pa.Table.from_pylist(
+            [{"media_id": 9, "media_type": "image",
+              "media": write_gray_png_array(arr)}],
+            schema=pa.schema([
+                ("media_id", pa.int64()), ("media_type", pa.string()),
+                ("media", pa.binary()),
+            ]),
+        )
+        row = MediaResize(target=64)(batch).to_pylist()[0]
+        assert row["resize_ok"] is True
+        assert (row["target_w"], row["target_h"]) == (64, 32)
+        got = read_gray_png(row["resized_png"])
+        assert np.array_equal(got, resize_gray_nearest(arr, 64, 32))
+        # opaque payloads keep the declared stub regime
+        stub_batch = batch.set_column(
+            2, "media", pa.array([b"opaque bytes"], pa.binary())
+        )
+        srow = MediaResize(target=64)(stub_batch).to_pylist()[0]
+        assert srow["resize_ok"] is False
