@@ -3239,6 +3239,95 @@ FROM g
 """
 
 
+def q_media_audio_decode(sf_dir: str) -> rd.Dataset:
+    """REAL audio decode (stages/multimodal.WavDecoder): deterministic
+    square-wave RIFF/WAVE PCM-8 files — one per document, written by the
+    from-scratch WAV writer — parsed back through the chunk-walking
+    reader, yielding true duration and exact integer sample statistics.
+    Sample count and square-wave period are pure functions of doc_id, so
+    the high-sample count is closed-form (the 1-D checkerboard), making
+    the DuckDB oracle an arithmetic replay of a genuine binary
+    encode→decode round trip. Actor-pool stage; non-WAV rows isolate into
+    decode_ok=False."""
+    from ..stages.multimodal import WAV_RATE, WavDecoder, write_wav_pcm8
+
+    out_schema = pa.schema([
+        ("media_id", pa.int64()), ("n_samples", pa.int64()),
+        ("rate", pa.int64()), ("duration_ms", pa.int64()),
+        ("n_hi", pa.int64()), ("sample_sum", pa.int64()),
+        ("decode_ok", pa.bool_()),
+    ])
+
+    def to_wav(batch: pa.Table) -> pa.Table:
+        ids = [int(i) for i in batch["doc_id"].to_pylist()]
+        payloads = []
+        for d in ids:
+            n, p = 800 + d % 401, 2 + d % 9
+            i = np.arange(n, dtype=np.int64)
+            samples = np.where((i // p) % 2 == 0, 192, 64).astype(np.uint8)
+            payloads.append(write_wav_pcm8(samples))
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "media": pa.array(payloads, pa.binary()),
+        })
+
+    class AudioDecodeStage:
+        def __init__(self) -> None:
+            self.dec = WavDecoder()
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            rows = []
+            for mid, payload in zip(
+                t["media_id"].to_pylist(), t["media"].to_pylist()
+            ):
+                try:
+                    d = self.dec.decode(payload or b"", "audio")
+                    rows.append({
+                        "media_id": int(mid), "n_samples": d["n_samples"],
+                        "rate": d["rate"], "duration_ms": d["duration_ms"],
+                        "n_hi": d["n_hi"], "sample_sum": d["sample_sum"],
+                        "decode_ok": True,
+                    })
+                except Exception:
+                    rows.append({
+                        "media_id": int(mid), "n_samples": 0, "rate": 0,
+                        "duration_ms": 0, "n_hi": 0, "sample_sum": 0,
+                        "decode_ok": False,
+                    })
+            return pa.Table.from_pylist(rows, schema=out_schema)
+
+    return (
+        _read(sf_dir, "documents", ["doc_id"])
+        .map_batches(to_wav, batch_format="pyarrow")
+        .map_batches(
+            AudioDecodeStage, batch_format="pyarrow", batch_size=256,
+            concurrency=(1, 4),
+        )
+    )
+
+
+SQL_MEDIA_AUDIO_DECODE = """
+WITH g AS (
+  SELECT doc_id AS media_id,
+         800 + doc_id % 401 AS n, 2 + doc_id % 9 AS p
+  FROM documents
+),
+c AS (
+  SELECT media_id, n,
+         (n // (2 * p)) * p + least(n % (2 * p), p) AS hi
+  FROM g
+)
+SELECT CAST(media_id AS BIGINT) AS media_id,
+       CAST(n AS BIGINT) AS n_samples,
+       CAST(8000 AS BIGINT) AS rate,
+       CAST((1000 * n) // 8000 AS BIGINT) AS duration_ms,
+       CAST(hi AS BIGINT) AS n_hi,
+       CAST(192 * hi + 64 * (n - hi) AS BIGINT) AS sample_sum,
+       true AS decode_ok
+FROM c
+"""
+
+
 def _sql_sha_byte(idx: int) -> str:
     """SQL expression for byte ``idx`` of the sha256 hex string column
     ``sha256`` (hex-digit position lookup; DuckDB 1.0 has no hex->int cast)."""

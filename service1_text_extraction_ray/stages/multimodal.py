@@ -3,10 +3,19 @@
 Images/audio/video ride through the engine as ``binary`` columns with a
 ``media_type`` tag — the same dispatch pattern as the HTML/PDF payload column
 (functions/sniff.py). Decode / feature-extraction stages are actor-pool
-``map_batches`` classes; the *decoders themselves are stubs* in this sandbox
-(no PIL/ffmpeg/librosa — see ``DecoderStub``), but the Ray-side plumbing is
-real and tested: schema, batch sizing for large binary rows, actor signature,
-and output layout are exactly what a real decoder would slot into.
+``map_batches`` classes. Two decode regimes:
+
+- **Real** (round 4): ``PngDecoder`` decodes 8-bit grayscale PNG through the
+  from-scratch zlib codec (true dims + exact pixel stats; ``MediaResize``
+  does a genuine nearest-neighbor pixel resample for this format), and
+  ``WavDecoder`` parses RIFF/WAVE PCM-8 via the chunk-walking reader (true
+  duration + exact sample stats). Both are exact-oracled end to end
+  (``q_media_decode`` / ``q_media_audio_decode``).
+- **Stub** (declared env boundary): formats needing PIL/ffmpeg/librosa fall
+  back to ``DecoderStub`` (deterministic pseudo-metadata) or
+  ``RealDecoderUnavailable`` (loud NotImplementedError); the Ray-side
+  plumbing — schema, batch sizing for large binary rows, actor signature,
+  output layout — is identical in both regimes.
 
 Scale notes: binary rows are big — callers should use a small ``batch_size``
 and ``batch_format="pyarrow"`` (binary columns round-trip zero-copy through
@@ -294,3 +303,85 @@ class FrameSampler:
                     "decode_ok": False,
                 })
         return pa.Table.from_pylist(rows, schema=FRAME_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Real audio: from-scratch RIFF/WAVE PCM codec (stdlib struct only)
+# ---------------------------------------------------------------------------
+
+WAV_RATE = 8000  # fixed sample rate for the synthetic corpus
+
+
+def write_wav_pcm8(samples: np.ndarray, rate: int = WAV_RATE) -> bytes:
+    """Minimal canonical RIFF/WAVE writer: PCM (format 1), mono, 8-bit
+    unsigned samples. A real, universally-readable WAV file — the audio
+    analogue of the from-scratch PNG codec."""
+    import struct
+
+    data = np.asarray(samples, dtype=np.uint8).tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 1, 1, 8)
+    chunks = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def read_wav_pcm8(payload: bytes) -> tuple:
+    """Parse a RIFF/WAVE file; returns ``(samples: uint8 ndarray, rate)``.
+
+    Walks the chunk list (tolerating extra chunks a real encoder may
+    insert), validates PCM/mono/8-bit, raises ValueError on anything
+    else — the per-row failure-isolation contract."""
+    import struct
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    i, rate, bits, channels, data = 12, None, None, None, None
+    while i + 8 <= len(payload):
+        tag = payload[i : i + 4]
+        (size,) = struct.unpack("<I", payload[i + 4 : i + 8])
+        body = payload[i + 8 : i + 8 + size]
+        if tag == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("short fmt chunk")
+            audio_fmt, channels, rate, _br, _ba, bits = struct.unpack(
+                "<HHIIHH", body[:16]
+            )
+            if audio_fmt != 1:
+                raise ValueError("only PCM supported")
+        elif tag == b"data":
+            data = body
+        i += 8 + size + (size & 1)  # chunks are word-aligned
+    if rate is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    if channels != 1 or bits != 8:
+        raise ValueError("only 8-bit mono supported")
+    return np.frombuffer(data, dtype=np.uint8), int(rate)
+
+
+class WavDecoder:
+    """REAL audio decoder for RIFF/WAVE PCM-8 mono — returns true duration
+    and exact integer sample statistics. Non-WAV payloads raise
+    ValueError (decode_ok=False isolation); use beside PngDecoder for a
+    fully real image+audio decode surface."""
+
+    def decode(self, payload: bytes, media_type: str) -> dict:
+        samples, rate = read_wav_pcm8(bytes(payload))
+        n = max(1, samples.size)
+        n_hi = int((samples >= 128).sum())
+        s = int(samples.sum(dtype=np.int64))
+        vec = np.array(
+            [samples.size, rate, n_hi, samples.size - n_hi,
+             int(samples.min()) if samples.size else 0,
+             int(samples.max()) if samples.size else 0,
+             s % (1 << 31), 0],
+            dtype=np.float32,
+        )
+        return {
+            "decode_ok": True, "width": 0, "height": 0,
+            "duration_ms": 1000 * samples.size // rate,
+            "features": vec,
+            "n_samples": int(samples.size), "rate": rate,
+            "n_hi": n_hi, "sample_sum": s,
+        }

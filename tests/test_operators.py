@@ -4849,3 +4849,45 @@ class TestRealPngMedia:
         )
         srow = MediaResize(target=64)(stub_batch).to_pylist()[0]
         assert srow["resize_ok"] is False
+
+
+class TestRealWavAudio:
+    def test_wav_round_trip_and_chunk_walking(self):
+        import struct
+
+        import numpy as np
+        import pytest
+
+        from service1_text_extraction_ray.stages.multimodal import (
+            WavDecoder, read_wav_pcm8, write_wav_pcm8,
+        )
+
+        s = np.array([192 if (i // 3) % 2 == 0 else 64 for i in range(997)],
+                     dtype=np.uint8)
+        wav = write_wav_pcm8(s)
+        got, rate = read_wav_pcm8(wav)
+        assert rate == 8000 and np.array_equal(got, s)
+
+        # a LIST chunk inserted before fmt (real encoders do this) must be
+        # skipped by the chunk walk; odd-size chunks are word-aligned
+        extra = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"
+        patched = wav[:12] + extra + wav[12:]
+        got2, _ = read_wav_pcm8(patched)
+        assert np.array_equal(got2, s)
+
+        d = WavDecoder().decode(wav, "audio")
+        assert d["n_samples"] == 997
+        assert d["duration_ms"] == 1000 * 997 // 8000
+        assert d["n_hi"] == int((s >= 128).sum())
+        assert d["sample_sum"] == int(s.sum(dtype="int64"))
+
+        for bad in (b"", b"RIFFxxxxWAVE", b"not audio at all"):
+            with pytest.raises(ValueError):
+                read_wav_pcm8(bad)
+        # stereo/16-bit rejected, not silently mangled
+        fmt16 = struct.pack("<HHIIHH", 1, 2, 8000, 32000, 4, 16)
+        stereo = (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt16) + 8) + b"WAVE"
+                  + b"fmt " + struct.pack("<I", len(fmt16)) + fmt16
+                  + b"data" + struct.pack("<I", 0))
+        with pytest.raises(ValueError):
+            read_wav_pcm8(stereo)
