@@ -3328,6 +3328,117 @@ FROM c
 """
 
 
+def q_media_video_frames(sf_dir: str) -> rd.Dataset:
+    """REAL animation decode (stages/multimodal.GifDecoder + the
+    from-scratch GIF89a/LZW codec in functions/gif.py): one deterministic
+    checkerboard GIF animation per document — frame count, geometry,
+    pattern period and per-frame delay are pure integer functions of
+    doc_id, with each frame inverting the checkerboard phase — decoded
+    back through full LZW (variable code width, dictionary growth) into
+    per-frame rows with exact pixel statistics. The DuckDB oracle replays
+    every frame's on-pixel count in closed form (even-cell count, phase
+    alternating), so a hash match proves the binary animation
+    encode→decode round trip frame-exact. FrameSampler runs the same
+    decoder for its real regime (pytest-covered)."""
+    from ..functions.gif import write_gif
+    from ..stages.multimodal import GifDecoder
+
+    out_schema = pa.schema([
+        ("media_id", pa.int64()), ("frame_idx", pa.int64()),
+        ("ts_ms", pa.int64()), ("width", pa.int64()),
+        ("height", pa.int64()), ("n_on", pa.int64()),
+        ("decode_ok", pa.bool_()),
+    ])
+
+    def to_gif(batch: pa.Table) -> pa.Table:
+        ids = [int(i) for i in batch["doc_id"].to_pylist()]
+        payloads = []
+        for d in ids:
+            nf, w, h, p = 2 + d % 7, 16 + d % 17, 12 + d % 13, 1 + d % 4
+            y, x = np.mgrid[0:h, 0:w]
+            cell = (x // p + y // p) % 2
+            frames = [
+                (cell == (f % 2)).astype(np.uint8) for f in range(nf)
+            ]
+            payloads.append(write_gif(frames, delay_cs=5 + d % 10))
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "media": pa.array(payloads, pa.binary()),
+        })
+
+    class VideoDecodeStage:
+        def __init__(self) -> None:
+            self.dec = GifDecoder()
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            rows = []
+            for mid, payload in zip(
+                t["media_id"].to_pylist(), t["media"].to_pylist()
+            ):
+                try:
+                    d = self.dec.decode(payload or b"", "video")
+                    ts = 0
+                    for i, (frame, delay) in enumerate(
+                        zip(d["frames"], d["delays_cs"])
+                    ):
+                        rows.append({
+                            "media_id": int(mid), "frame_idx": i,
+                            "ts_ms": ts, "width": int(frame.shape[1]),
+                            "height": int(frame.shape[0]),
+                            "n_on": int((frame >= 128).sum()),
+                            "decode_ok": True,
+                        })
+                        ts += 10 * int(delay)
+                except Exception:
+                    rows.append({
+                        "media_id": int(mid), "frame_idx": -1, "ts_ms": 0,
+                        "width": 0, "height": 0, "n_on": 0,
+                        "decode_ok": False,
+                    })
+            return pa.Table.from_pylist(rows, schema=out_schema)
+
+    return (
+        _read(sf_dir, "documents", ["doc_id"])
+        .map_batches(to_gif, batch_format="pyarrow")
+        .map_batches(
+            VideoDecodeStage, batch_format="pyarrow", batch_size=128,
+            concurrency=(1, 4),
+        )
+    )
+
+
+SQL_MEDIA_VIDEO_FRAMES = """
+WITH g AS (
+  SELECT doc_id AS media_id,
+         2 + doc_id % 7 AS nf, 16 + doc_id % 17 AS w,
+         12 + doc_id % 13 AS h, 1 + doc_id % 4 AS p,
+         5 + doc_id % 10 AS delay_cs
+  FROM documents
+),
+c AS (
+  SELECT *,
+         (w // (2 * p)) * p + least(w % (2 * p), p) AS ex,
+         (h // (2 * p)) * p + least(h % (2 * p), p) AS ey
+  FROM g
+),
+f AS (
+  SELECT media_id, w, h, delay_cs, ex, ey, unnest(range(nf)) AS frame_idx
+  FROM c
+)
+SELECT CAST(media_id AS BIGINT) AS media_id,
+       CAST(frame_idx AS BIGINT) AS frame_idx,
+       CAST(10 * delay_cs * frame_idx AS BIGINT) AS ts_ms,
+       CAST(w AS BIGINT) AS width,
+       CAST(h AS BIGINT) AS height,
+       CAST(CASE WHEN frame_idx % 2 = 0
+                 THEN ex * ey + (w - ex) * (h - ey)
+                 ELSE w * h - (ex * ey + (w - ex) * (h - ey)) END
+            AS BIGINT) AS n_on,
+       true AS decode_ok
+FROM f
+"""
+
+
 def _sql_sha_byte(idx: int) -> str:
     """SQL expression for byte ``idx`` of the sha256 hex string column
     ``sha256`` (hex-digit position lookup; DuckDB 1.0 has no hex->int cast)."""

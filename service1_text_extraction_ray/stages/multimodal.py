@@ -270,17 +270,23 @@ MAX_FRAMES = 8
 
 
 class FrameSampler:
-    """Actor-pool frame-sampling stage for video rows: one input row
-    explodes into up to MAX_FRAMES per-frame rows at FRAME_INTERVAL_MS
-    spacing over the (stub) duration — the flat_map-shaped transform a real
-    ffmpeg sampler slots into (per-frame placeholder PNGs, decode_ok=False).
-    Non-video rows emit zero frames (dispatch by media_type)."""
+    """Actor-pool frame-sampling stage for video rows — one input row
+    explodes into per-frame rows (the flat_map shape). Two regimes:
+
+    - payload decodes as GIF (``GifDecoder``, the from-scratch LZW codec)
+      → **REAL frames**: each animation frame's actual pixels re-encoded
+      as grayscale PNG, timestamped by the cumulative per-frame delays,
+      capped at MAX_FRAMES — ``decode_ok=True``.
+    - anything else → the stub regime (placeholder PNGs at
+      FRAME_INTERVAL_MS spacing over the pseudo-duration,
+      ``decode_ok=False``) — the declared boundary for formats needing
+      ffmpeg. Non-video rows emit zero frames (dispatch by media_type)."""
 
     def __init__(self, decoder: Optional[object] = None) -> None:
         self.decoder = decoder or DecoderStub()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from ..functions.page_render import write_gray_png
+        from ..functions.page_render import write_gray_png, write_gray_png_array
 
         rows = []
         for media_id, kind, payload in zip(
@@ -291,6 +297,23 @@ class FrameSampler:
             if kind != "video":
                 continue
             payload = payload or b""
+            try:
+                d = GifDecoder().decode(payload, kind)
+                ts = 0
+                for i, (frame, delay) in enumerate(
+                    zip(d["frames"][:MAX_FRAMES], d["delays_cs"])
+                ):
+                    rows.append({
+                        "media_id": int(media_id),
+                        "frame_idx": i,
+                        "ts_ms": ts,
+                        "frame_png": write_gray_png_array(frame),
+                        "decode_ok": True,
+                    })
+                    ts += 10 * int(delay)
+                continue
+            except Exception:
+                pass  # not a GIF -> stub regime
             d = self.decoder.decode(payload, kind)
             n = min(MAX_FRAMES, max(1, int(d["duration_ms"]) // FRAME_INTERVAL_MS))
             digest = hashlib.sha256(payload).digest()
@@ -384,4 +407,30 @@ class WavDecoder:
             "features": vec,
             "n_samples": int(samples.size), "rate": rate,
             "n_hi": n_hi, "sample_sum": s,
+        }
+
+
+class GifDecoder:
+    """REAL animation decoder: GIF89a through the from-scratch LZW codec
+    (functions/gif.py). Returns frame count, true duration (sum of
+    per-frame delays), and the grayscale frame arrays; non-GIF payloads
+    raise ValueError (decode_ok=False isolation). Completes the real
+    decode trio: PNG (image), WAV (audio), GIF (video/animation)."""
+
+    def decode(self, payload: bytes, media_type: str) -> dict:
+        from ..functions.gif import read_gif
+
+        frames, delays = read_gif(bytes(payload))
+        h, w = frames[0].shape
+        duration_ms = 10 * sum(delays)
+        n_on0 = int((frames[0] >= 128).sum())
+        vec = np.array(
+            [w, h, len(frames), duration_ms, n_on0,
+             frames[0].size - n_on0, 0, 0],
+            dtype=np.float32,
+        )
+        return {
+            "decode_ok": True, "width": int(w), "height": int(h),
+            "duration_ms": duration_ms, "features": vec,
+            "frames": frames, "delays_cs": delays,
         }

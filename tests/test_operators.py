@@ -4891,3 +4891,64 @@ class TestRealWavAudio:
                   + b"data" + struct.pack("<I", 0))
         with pytest.raises(ValueError):
             read_wav_pcm8(stereo)
+
+
+class TestRealGifVideo:
+    def test_gif_codec_round_trip_and_lzw_growth(self):
+        import numpy as np
+        import pytest
+
+        from service1_text_extraction_ray.functions.gif import read_gif, write_gif
+
+        def checker(w, h, p, phase):
+            y, x = np.mgrid[0:h, 0:w]
+            return (((x // p + y // p) + phase) % 2 == 0).astype("uint8")
+
+        frames = [checker(33, 21, 3, f % 2) for f in range(5)]
+        out, delays = read_gif(write_gif(frames, delay_cs=12))
+        assert delays == [12] * 5
+        for a, b in zip(frames, out):
+            assert np.array_equal(a * 255, b)
+
+        # random frame large enough to grow the LZW table past a width bump
+        rng = np.random.RandomState(11)
+        big = (rng.rand(150, 220) > 0.5).astype("uint8")
+        out2, _ = read_gif(write_gif([big], 5))
+        assert np.array_equal(big * 255, out2[0])
+
+        for bad in (b"", b"GIF89a", b"JFIF not a gif"):
+            with pytest.raises(ValueError):
+                read_gif(bad)
+
+    def test_frame_sampler_real_gif_regime(self):
+        import numpy as np
+
+        from service1_text_extraction_ray.functions.gif import write_gif
+        from service1_text_extraction_ray.functions.page_render import (
+            read_gray_png,
+        )
+        from service1_text_extraction_ray.stages.multimodal import FrameSampler
+
+        frames = [
+            np.full((6, 8), f % 2, dtype="uint8") for f in range(3)
+        ]
+        batch = pa.Table.from_pylist(
+            [
+                {"media_id": 5, "media_type": "video",
+                 "media": write_gif(frames, delay_cs=25)},
+                {"media_id": 6, "media_type": "video",
+                 "media": b"opaque video bytes"},
+            ],
+            schema=pa.schema([
+                ("media_id", pa.int64()), ("media_type", pa.string()),
+                ("media", pa.binary()),
+            ]),
+        )
+        rows = FrameSampler()(batch).to_pylist()
+        real = [r for r in rows if r["media_id"] == 5]
+        stub = [r for r in rows if r["media_id"] == 6]
+        assert len(real) == 3 and all(r["decode_ok"] for r in real)
+        assert [r["ts_ms"] for r in real] == [0, 250, 500]
+        for f, r in zip(frames, real):
+            assert np.array_equal(read_gray_png(r["frame_png"]), f * 255)
+        assert stub and all(not r["decode_ok"] for r in stub)
