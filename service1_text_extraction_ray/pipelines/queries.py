@@ -9621,6 +9621,64 @@ def q_warc_cdx(sf_dir: str) -> rd.Dataset:
     )
 
 
+def _archive_roundtrip(sf_dir: str, fmt: str) -> rd.Dataset:
+    """Shared tar/zip round-trip: documents(doc_id, text) -> content-
+    addressed archive shards under /tmp (real stdlib tarfile/zipfile with
+    gzip/DEFLATE compression) -> distributed read-back (one task per
+    shard) -> (doc_id, n_bytes, text_md5). The oracle recomputes byte
+    length + md5 from the parquet column directly, so a hash match proves
+    the archive encode->compress->decode round trip byte-exact."""
+    import shutil
+    import tempfile
+    import zlib
+
+    from ..sources.pages_source import (
+        read_docs_archive, write_docs_tar, write_docs_zip,
+    )
+
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"graft_arch_{fmt}_{zlib.crc32(sf_dir.encode()):08x}",
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    writer = write_docs_tar if fmt == "tar" else write_docs_zip
+    writer(docs, out_dir)
+
+    def stats(t: pa.Table) -> pa.Table:
+        texts = _texts(t)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_bytes": pa.array(
+                [len(x.encode("utf-8")) for x in texts], pa.int64()
+            ),
+            "text_md5": pa.array([_md5(x) for x in texts], pa.string()),
+        })
+
+    return read_docs_archive(out_dir).map_batches(
+        stats, batch_format="pyarrow"
+    )
+
+
+def q_archive_tar_roundtrip(sf_dir: str) -> rd.Dataset:
+    """Tar.gz document-dump ingest (S9 at corpus scale): see
+    _archive_roundtrip."""
+    return _archive_roundtrip(sf_dir, "tar")
+
+
+def q_archive_zip_roundtrip(sf_dir: str) -> rd.Dataset:
+    """ZIP/DEFLATE document-dump ingest: see _archive_roundtrip."""
+    return _archive_roundtrip(sf_dir, "zip")
+
+
+SQL_ARCHIVE_ROUNDTRIP = """
+SELECT doc_id,
+       CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT) AS n_bytes,
+       md5(coalesce(text, '')) AS text_md5
+FROM documents
+"""
+
+
 # ---------------------------------------------------------------------------
 # Perceptual-hash media dedup (aHash over the byte plane, banded LSH)
 # ---------------------------------------------------------------------------

@@ -14,6 +14,7 @@
 from __future__ import annotations
 
 import os
+import re
 
 import pyarrow as pa
 import ray.data as rd
@@ -891,3 +892,140 @@ def read_warc_record(shard_path: str, offset: int, length: int):
 
         blob = gzip.decompress(blob)
     return next(_parse_warc_records(blob))
+
+
+# ---------------------------------------------------------------------------
+# Archive sources (tar.gz / zip — the document-dump ingest containers)
+# ---------------------------------------------------------------------------
+#
+# The reference ingests folders of files (S9, file_management_service.py's
+# folder scanner); at corpus scale those folders arrive as archive shards.
+# Both containers are handled with real stdlib codecs (tarfile/zipfile),
+# one member per document plus gzip/DEFLATE compression — no external
+# tools. Shard names are content-addressed (md5 of the member-id set) so a
+# re-run at any parallelism lands on the same file set.
+
+ARCHIVE_MEMBER_RE = re.compile(r"^docs/(\d+)\.txt$")
+
+
+def write_docs_tar(docs: rd.Dataset, out_dir: str) -> int:
+    """Archive (doc_id, text) rows into ``shard-<hash>.tar.gz`` files, one
+    gzip-compressed tar per input block, member ``docs/<doc_id>.txt`` =
+    the utf-8 text bytes. Returns the number of rows archived."""
+    import hashlib as _hashlib
+    import io
+    import tarfile
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_shard(t: pa.Table) -> pa.Table:
+        ids = [int(i) for i in t["doc_id"].to_pylist()]
+        texts = [(x or "") for x in t["text"].to_pylist()]
+        if not ids:
+            return pa.table({"n": pa.array([], pa.int64())})
+        name = _hashlib.md5(
+            ("\n".join(str(i) for i in sorted(ids))).encode()
+        ).hexdigest()[:16]
+        import gzip as _gzip
+
+        buf = io.BytesIO()
+        # member AND gzip-header mtimes pinned -> byte-deterministic archives
+        gz = _gzip.GzipFile(fileobj=buf, mode="wb", compresslevel=6, mtime=0)
+        with tarfile.open(fileobj=gz, mode="w",
+                          format=tarfile.USTAR_FORMAT) as tf:
+            for d, text in zip(ids, texts):
+                payload = text.encode("utf-8")
+                info = tarfile.TarInfo(name=f"docs/{d}.txt")
+                info.size = len(payload)
+                info.mtime = 0
+                tf.addfile(info, io.BytesIO(payload))
+        gz.close()
+        tmp = os.path.join(out_dir, f".tmp-{name}-{os.getpid()}")
+        with open(tmp, "wb") as f:
+            f.write(buf.getvalue())
+        os.replace(tmp, os.path.join(out_dir, f"shard-{name}.tar.gz"))
+        return pa.table({"n": pa.array([len(ids)], pa.int64())})
+
+    parts = docs.map_batches(write_shard, batch_format="pyarrow").take_all()
+    return int(sum(r["n"] for r in parts))
+
+
+def write_docs_zip(docs: rd.Dataset, out_dir: str) -> int:
+    """Same layout as write_docs_tar but ZIP/DEFLATE containers
+    (``shard-<hash>.zip``) — the other archive format document dumps
+    arrive in."""
+    import hashlib as _hashlib
+    import io
+    import zipfile
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_shard(t: pa.Table) -> pa.Table:
+        ids = [int(i) for i in t["doc_id"].to_pylist()]
+        texts = [(x or "") for x in t["text"].to_pylist()]
+        if not ids:
+            return pa.table({"n": pa.array([], pa.int64())})
+        name = _hashlib.md5(
+            ("\n".join(str(i) for i in sorted(ids))).encode()
+        ).hexdigest()[:16]
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+            for d, text in zip(ids, texts):
+                zi = zipfile.ZipInfo(f"docs/{d}.txt", date_time=(1980, 1, 1, 0, 0, 0))
+                zi.compress_type = zipfile.ZIP_DEFLATED
+                zf.writestr(zi, text.encode("utf-8"))
+        tmp = os.path.join(out_dir, f".tmp-{name}-{os.getpid()}")
+        with open(tmp, "wb") as f:
+            f.write(buf.getvalue())
+        os.replace(tmp, os.path.join(out_dir, f"shard-{name}.zip"))
+        return pa.table({"n": pa.array([len(ids)], pa.int64())})
+
+    parts = docs.map_batches(write_shard, batch_format="pyarrow").take_all()
+    return int(sum(r["n"] for r in parts))
+
+
+def read_docs_archive(input_dir: str) -> rd.Dataset:
+    """Distributed archive reader: one task per shard file
+    (``read_binary_files`` keeps whole shards together — tar/zip members
+    are not splittable), dispatching on magic bytes (gzip vs PK) so mixed
+    tar.gz/zip directories read uniformly. Yields (doc_id, text) rows."""
+    import glob as _glob
+
+    paths = sorted(
+        _glob.glob(os.path.join(input_dir, "shard-*.tar.gz"))
+        + _glob.glob(os.path.join(input_dir, "shard-*.zip"))
+    )
+
+    def parse(t: pa.Table) -> pa.Table:
+        import io
+        import tarfile
+        import zipfile
+
+        ids, texts = [], []
+        for blob in t["bytes"].to_pylist():
+            if blob[:2] == b"PK":
+                with zipfile.ZipFile(io.BytesIO(blob)) as zf:
+                    for member in zf.namelist():
+                        m = ARCHIVE_MEMBER_RE.match(member)
+                        if m is None:
+                            continue
+                        ids.append(int(m.group(1)))
+                        texts.append(zf.read(member).decode("utf-8"))
+            else:
+                with tarfile.open(fileobj=io.BytesIO(blob), mode="r:*") as tf:
+                    # mode r:* — Ray's read_binary_files transparently
+                    # gunzips .gz paths, so the blob may already be plain tar
+                    for info in tf:
+                        m = ARCHIVE_MEMBER_RE.match(info.name)
+                        if m is None or not info.isfile():
+                            continue
+                        ids.append(int(m.group(1)))
+                        texts.append(tf.extractfile(info).read().decode("utf-8"))
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        })
+
+    return rd.read_binary_files(paths).map_batches(
+        parse, batch_format="pyarrow"
+    )

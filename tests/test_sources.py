@@ -540,3 +540,66 @@ class TestWarcCdx:
             for off, ln in spans:
                 assert off == pos  # contiguous, no gaps or overlaps
                 pos = off + ln
+
+
+class TestArchiveSources:
+    def _docs(self, ray_session):
+        import ray.data as rd
+
+        return rd.from_items([
+            {"doc_id": i, "text": f"document {i} body with ünïcode £ {i * 7}"}
+            for i in range(37)
+        ])
+
+    def test_tar_and_zip_round_trip_byte_exact(self, ray_session, tmp_path):
+        from service1_text_extraction_ray.sources.pages_source import (
+            read_docs_archive, write_docs_tar, write_docs_zip,
+        )
+
+        for fmt, writer in (("tar", write_docs_tar), ("zip", write_docs_zip)):
+            out = str(tmp_path / fmt)
+            n = writer(self._docs(ray_session), out)
+            assert n == 37
+            back = {
+                r["doc_id"]: r["text"]
+                for r in read_docs_archive(out).take_all()
+            }
+            assert len(back) == 37
+            for i in range(37):
+                assert back[i] == f"document {i} body with ünïcode £ {i * 7}"
+
+    def test_mixed_directory_reads_uniformly(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        from service1_text_extraction_ray.sources.pages_source import (
+            read_docs_archive, write_docs_tar, write_docs_zip,
+        )
+
+        out = str(tmp_path / "mixed")
+        write_docs_tar(
+            rd.from_items([{"doc_id": 1, "text": "in the tar"}]), out
+        )
+        write_docs_zip(
+            rd.from_items([{"doc_id": 2, "text": "in the zip"}]), out
+        )
+        back = {r["doc_id"]: r["text"] for r in read_docs_archive(out).take_all()}
+        assert back == {1: "in the tar", 2: "in the zip"}
+
+    def test_shards_are_content_addressed_and_deterministic(
+        self, ray_session, tmp_path
+    ):
+        import os
+
+        from service1_text_extraction_ray.sources.pages_source import (
+            write_docs_tar,
+        )
+
+        a, b = str(tmp_path / "a"), str(tmp_path / "b")
+        write_docs_tar(self._docs(ray_session), a)
+        write_docs_tar(self._docs(ray_session), b)
+        la, lb = sorted(os.listdir(a)), sorted(os.listdir(b))
+        assert la and la == lb  # same names (content-addressed)
+        for name in la:  # same bytes (pinned mtimes)
+            with open(os.path.join(a, name), "rb") as fa, \
+                 open(os.path.join(b, name), "rb") as fb:
+                assert fa.read() == fb.read()
