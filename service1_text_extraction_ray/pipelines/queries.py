@@ -9621,6 +9621,137 @@ def q_warc_cdx(sf_dir: str) -> rd.Dataset:
     )
 
 
+PROFILE_COLUMNS = ("doc_id", "lang", "source", "n_chars", "text")
+
+
+def q_table_profile(sf_dir: str) -> pd.DataFrame:
+    """Table profiling — the ANALYZE/statistics pass every engine runs
+    before planning (per column: row count, null count, EXACT distinct
+    count, lexicographic/numeric min and max as strings).
+
+    Topology (both passes 100-TB-shaped):
+    1. scalar stats: ONE corpus read emits a 5-value partial per column
+       per block (n, n_null, min, max ride as constant-size rows), merged
+       on the driver — O(blocks x columns) rows, never values.
+    2. exact NDV: the same read emits per-block DISTINCT (column,
+       md5(value)) pairs — values never leave the block, 16-byte hashes
+       ride the exchange — then one hash_exchange on (col, h) co-locates
+       every occurrence of a value in one shard, where per-shard distinct
+       counts reduce to (col, n) partials; a tiny groupby-sum finishes.
+       Exact (md5 collisions aside), unlike the HLL sketch the events
+       family uses — profiling wants the exact number at vacuum time.
+    """
+    from ray.data.aggregate import Sum as RSum
+
+    from .relational import hash_exchange
+
+    cols = list(PROFILE_COLUMNS)
+
+    def scalar_partials(t: pa.Table) -> pa.Table:
+        # min/max ride TYPED (int columns in int fields) so the driver
+        # merge preserves numeric order; stringification happens once at
+        # the end ("9" > "10" lexicographically — the classic trap).
+        rows = []
+        for c in cols:
+            vals = [v for v in t[c].to_pylist() if v is not None]
+            is_int = pa.types.is_integer(t.schema.field(c).type)
+            rows.append({
+                "column": c,
+                "n_rows": t.num_rows,
+                "n_null": t.num_rows - len(vals),
+                "min_int": min(vals) if vals and is_int else None,
+                "max_int": max(vals) if vals and is_int else None,
+                "min_str": min(vals) if vals and not is_int else None,
+                "max_str": max(vals) if vals and not is_int else None,
+            })
+        return pa.Table.from_pylist(rows, schema=pa.schema([
+            ("column", pa.string()), ("n_rows", pa.int64()),
+            ("n_null", pa.int64()), ("min_int", pa.int64()),
+            ("max_int", pa.int64()), ("min_str", pa.string()),
+            ("max_str", pa.string()),
+        ]))
+
+    def distinct_pairs(t: pa.Table) -> pa.Table:
+        out_c, out_h = [], []
+        for c in cols:
+            seen = {
+                _md5(str(v)) for v in t[c].to_pylist() if v is not None
+            }
+            out_c.extend([c] * len(seen))
+            out_h.extend(sorted(seen))
+        return pa.table({
+            "col": pa.array(out_c, pa.string()),
+            "h": pa.array(out_h, pa.string()),
+        })
+
+    ndv_schema = pa.schema([("col", pa.string()), ("n", pa.int64())])
+
+    def shard_ndv(t: pa.Table) -> pa.Table:
+        g = (
+            t.group_by(["col", "h"]).aggregate([])
+            .group_by("col").aggregate([("h", "count")])
+        )
+        return pa.Table.from_arrays(
+            [g["col"], pc.cast(g["h_count"], pa.int64())], schema=ndv_schema
+        )
+
+    docs = _read(sf_dir, "documents", cols)
+    scal = docs.map_batches(scalar_partials, batch_format="pyarrow").to_pandas()
+    ndv = (
+        hash_exchange(
+            docs.map_batches(distinct_pairs, batch_format="pyarrow"),
+            ["col", "h"], shard_ndv, ndv_schema,
+        )
+        .groupby("col")
+        .aggregate(RSum("n", alias_name="n_distinct"))
+        .to_pandas()
+        .set_index("col")["n_distinct"]
+    )
+
+    rows = []
+    for c in cols:
+        sub = scal[scal["column"] == c]
+        if sub["min_int"].notna().any():
+            mn: object = sub["min_int"].dropna().min()
+            mx: object = sub["max_int"].dropna().max()
+            mn, mx = str(int(mn)), str(int(mx))
+        else:
+            mins = sub["min_str"].dropna()
+            maxs = sub["max_str"].dropna()
+            mn = min(mins) if len(mins) else None
+            mx = max(maxs) if len(maxs) else None
+        rows.append({
+            "column": c,
+            "n_rows": int(sub["n_rows"].sum()),
+            "n_null": int(sub["n_null"].sum()),
+            "n_distinct": int(ndv.get(c, 0)),
+            "min_val": mn,
+            "max_val": mx,
+        })
+    out = pd.DataFrame(rows)
+    out["n_rows"] = out["n_rows"].astype("int64")
+    out["n_null"] = out["n_null"].astype("int64")
+    out["n_distinct"] = out["n_distinct"].astype("int64")
+    return out
+
+
+def _sql_table_profile() -> str:
+    parts = []
+    for c in PROFILE_COLUMNS:
+        parts.append(f"""
+SELECT '{c}' AS "column",
+       count(*) AS n_rows,
+       count(*) - count({c}) AS n_null,
+       count(DISTINCT {c}) AS n_distinct,
+       CAST(min({c}) AS VARCHAR) AS min_val,
+       CAST(max({c}) AS VARCHAR) AS max_val
+FROM documents""")
+    return "\nUNION ALL\n".join(parts)
+
+
+SQL_TABLE_PROFILE = _sql_table_profile()
+
+
 def _archive_roundtrip(sf_dir: str, fmt: str) -> rd.Dataset:
     """Shared tar/zip round-trip: documents(doc_id, text) -> content-
     addressed archive shards under /tmp (real stdlib tarfile/zipfile with
