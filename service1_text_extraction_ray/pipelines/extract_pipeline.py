@@ -293,11 +293,15 @@ def run_extraction_job(
     cfg: Optional[ExtractConfig] = None,
     resume: bool = False,
     concurrency: Optional[int] = None,
+    snapshot: bool = False,
 ) -> dict:
     """End-to-end job: read (completed input files pruned on resume) -> sniff
     -> extract -> inline part writes -> summaries-only shuffle -> per-shard
     manifest commit. Returns the job summary (counters merged across shards,
-    including previously-completed ones on resume)."""
+    including previously-completed ones on resume). ``snapshot=True``
+    additionally pins the committed state as the next table snapshot
+    (lineage.commit_snapshot — Iceberg-style versioned reads) and reports
+    ``snapshot_version``."""
     import os
 
     from ..functions.sniff import stable_shard_id
@@ -331,6 +335,8 @@ def run_extraction_job(
         summary = lin.summarize(lin.load_lineage(out_dir))
         summary["resumed_shards_skipped"] = skipped
         summary["new_shards_written"] = 0
+        if snapshot:
+            summary["snapshot_version"] = lin.commit_snapshot(out_dir)["version"]
         return summary
 
     # Expected rows per shard (footer-only metadata reads) drive incremental
@@ -390,4 +396,6 @@ def run_extraction_job(
     summary = lin.summarize(all_records)
     summary["resumed_shards_skipped"] = skipped
     summary["new_shards_written"] = len(expected)
+    if snapshot:
+        summary["snapshot_version"] = lin.commit_snapshot(out_dir)["version"]
     return summary

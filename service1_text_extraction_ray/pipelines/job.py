@@ -32,6 +32,11 @@ def main(argv=None) -> int:
     p.add_argument("--max-payload-bytes", type=int, default=None)
     p.add_argument("--no-layout", action="store_true", help="skip layout trees (smaller output)")
     p.add_argument(
+        "--snapshot", action="store_true",
+        help="pin the committed output as the next table snapshot "
+             "(versioned reads / time travel; state/lineage.py)",
+    )
+    p.add_argument(
         "--ocr-backend", default=None,
         help="OCR fallback backend name (functions/ocr.py registry, e.g. "
              "'fake'); default none = the reference's no-tesseract branch",
@@ -66,7 +71,8 @@ def main(argv=None) -> int:
         cfg_kwargs["ocr_backend"] = args.ocr_backend
 
     summary = run_extraction_job(
-        args.input, args.output, ExtractConfig(**cfg_kwargs), resume=args.resume
+        args.input, args.output, ExtractConfig(**cfg_kwargs),
+        resume=args.resume, snapshot=args.snapshot,
     )
     print(json.dumps(summary))
 

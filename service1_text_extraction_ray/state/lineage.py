@@ -452,3 +452,130 @@ def compact_output(out_dir: str, target_rows: int = 100_000,
         lambda r: compact_shard(out_dir, r["shard_id"], target_rows, fs), records
     )
     return summarize(load_lineage(out_dir, fs))
+
+
+# ---------------------------------------------------------------------------
+# Snapshots: versioned table reads (Iceberg-style time travel)
+# ---------------------------------------------------------------------------
+#
+# A snapshot pins the CURRENT committed shard manifests (shard_id, parts,
+# n_docs, content_hash) into one atomically-PUT object
+# ``snapshots/v%06d.json``. Reading a snapshot sees exactly that row set
+# regardless of later appends — the versioned-read contract incremental
+# corpus builds need (diff v(N) vs v(N-1), reproduce a training run's
+# exact input). Compaction REWRITES parts and unlinks the old ones, which
+# EXPIRES any snapshot referencing them (Iceberg's vacuum semantics);
+# ``read_snapshot`` then raises ``SnapshotExpired`` instead of returning
+# partial data. Snapshot numbering is monotonic via the same
+# whole-object-PUT + list pattern as manifests (no rename, safe on the
+# object-store seam).
+
+
+class SnapshotExpired(RuntimeError):
+    """A snapshot references parts removed by a later compaction/vacuum."""
+
+
+def snapshots_dir(out_dir: str) -> str:
+    return os.path.join(out_dir, "snapshots")
+
+
+def list_snapshots(out_dir: str, fs: Optional[Any] = None) -> List[int]:
+    fs = _fs(fs)
+    sdir = snapshots_dir(out_dir)
+    if not fs.isdir(sdir):
+        return []
+    out = []
+    for name in fs.listdir(sdir):
+        if name.startswith("v") and name.endswith(".json"):
+            try:
+                out.append(int(name[1:-5]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+def commit_snapshot(out_dir: str, fs: Optional[Any] = None) -> Dict[str, Any]:
+    """Pin the current committed state as the next snapshot version.
+
+    Concurrent committers may race to the same version number; the PUT is
+    atomic per object and both writers pin a valid (possibly identical)
+    state — last-writer-wins on the version object, matching the
+    manifest-commit convention (racing doubles write equivalent content
+    when the underlying state is the same). Under an object store's
+    EVENTUAL listing the snapshot pins the manifests currently *visible
+    to LIST* — never partial shards (manifests are whole-object), but a
+    just-committed shard may need a listing round trip before it is
+    pinnable (tests/test_object_store_fs.py pins this semantics)."""
+    fs = _fs(fs)
+    records = load_lineage(out_dir, fs)
+    version = (list_snapshots(out_dir, fs) or [0])[-1] + 1
+    snap = {
+        "version": version,
+        "lineage_version": LINEAGE_VERSION,
+        "shards": sorted(
+            (
+                {
+                    "shard_id": r["shard_id"],
+                    "parts": r["parts"],
+                    "n_docs": r["n_docs"],
+                    "content_hash": r["content_hash"],
+                }
+                for r in records
+            ),
+            key=lambda s: s["shard_id"],
+        ),
+        "summary": summarize(records),
+    }
+    sdir = snapshots_dir(out_dir)
+    fs.makedirs(sdir)
+    fs.put_bytes(
+        os.path.join(sdir, f"v{version:06d}.json"),
+        json.dumps(snap, sort_keys=True).encode("utf-8"),
+    )
+    return snap
+
+
+def load_snapshot(out_dir: str, version: int,
+                  fs: Optional[Any] = None) -> Dict[str, Any]:
+    fs = _fs(fs)
+    path = os.path.join(snapshots_dir(out_dir), f"v{version:06d}.json")
+    try:
+        return json.loads(fs.read_bytes(path))
+    except (OSError, json.JSONDecodeError) as e:
+        raise KeyError(f"no snapshot v{version} in {out_dir}") from e
+
+
+def read_snapshot(out_dir: str, version: int,
+                  fs: Optional[Any] = None) -> pa.Table:
+    """Read exactly the rows pinned by snapshot ``version`` — unaffected by
+    shards committed later. Raises SnapshotExpired when a referenced part
+    was removed by compaction (partial data is never returned)."""
+    fs = _fs(fs)
+    snap = load_snapshot(out_dir, version, fs)
+    tables = []
+    for shard in snap["shards"]:
+        ddir = shard_data_dir(out_dir, shard["shard_id"])
+        for part in shard["parts"]:
+            try:
+                tables.append(fs.read_table(os.path.join(ddir, part)))
+            except (OSError, pa.ArrowInvalid, KeyError) as e:
+                raise SnapshotExpired(
+                    f"snapshot v{version} references part {part} of shard "
+                    f"{shard['shard_id']} removed by a later compaction/"
+                    f"vacuum — expired per Iceberg semantics"
+                ) from e
+    return pa.concat_tables(tables) if tables else pa.table({})
+
+
+def table_history(out_dir: str, fs: Optional[Any] = None) -> List[Dict[str, Any]]:
+    """(version, n_shards, n_docs) per snapshot — the table's commit log."""
+    fs = _fs(fs)
+    out = []
+    for v in list_snapshots(out_dir, fs):
+        snap = load_snapshot(out_dir, v, fs)
+        out.append({
+            "version": v,
+            "n_shards": len(snap["shards"]),
+            "n_docs": sum(s["n_docs"] for s in snap["shards"]),
+        })
+    return out
