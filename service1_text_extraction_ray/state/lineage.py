@@ -579,3 +579,48 @@ def table_history(out_dir: str, fs: Optional[Any] = None) -> List[Dict[str, Any]
             "n_docs": sum(s["n_docs"] for s in snap["shards"]),
         })
     return out
+
+
+def vacuum(out_dir: str, keep_snapshots: int = 2,
+           fs: Optional[Any] = None) -> Dict[str, Any]:
+    """Table maintenance: drop all but the newest ``keep_snapshots``
+    snapshot objects, then delete ORPHAN data parts — parts referenced by
+    neither a live manifest nor a retained snapshot (compaction leaves
+    none behind itself, but crashed attempts and expired snapshots can).
+
+    Safe ordering on the object-store seam: snapshots are pruned FIRST,
+    so a part is only deletable once nothing that will be read again can
+    reference it; the live manifests are never touched. Returns counts
+    ``{"snapshots_dropped": n, "parts_dropped": m}``."""
+    fs = _fs(fs)
+    versions = list_snapshots(out_dir, fs)
+    drop = versions[:-keep_snapshots] if keep_snapshots > 0 else versions
+    for v in drop:
+        fs.remove(os.path.join(snapshots_dir(out_dir), f"v{v:06d}.json"))
+
+    referenced: Dict[int, set] = {}
+    for rec in load_lineage(out_dir, fs):
+        referenced.setdefault(rec["shard_id"], set()).update(rec["parts"])
+    for v in list_snapshots(out_dir, fs):
+        snap = load_snapshot(out_dir, v, fs)
+        for shard in snap["shards"]:
+            referenced.setdefault(shard["shard_id"], set()).update(shard["parts"])
+
+    dropped_parts = 0
+    ddir_root = data_dir(out_dir)
+    if fs.isdir(ddir_root):
+        for shard_name in fs.listdir(ddir_root):
+            if not shard_name.startswith("shard="):
+                continue
+            sid = int(shard_name.split("=", 1)[1])
+            ddir = os.path.join(ddir_root, shard_name)
+            keep = referenced.get(sid, set())
+            for part in fs.listdir(ddir):
+                if part.endswith(".parquet") and part not in keep:
+                    fs.remove(os.path.join(ddir, part))
+                    fs.remove(os.path.join(
+                        pending_dir(out_dir, sid),
+                        part.replace(".parquet", ".json"),
+                    ))
+                    dropped_parts += 1
+    return {"snapshots_dropped": len(drop), "parts_dropped": dropped_parts}

@@ -302,3 +302,59 @@ class TestSnapshots:
         # a second run re-pins; versions are monotonic
         s2 = run_extraction_job(inp, out, ExtractConfig(), snapshot=True)
         assert s2["snapshot_version"] == 2
+
+
+class TestVacuum:
+    def test_vacuum_drops_old_snapshots_and_orphans(self, tmp_path):
+        import os
+
+        import pytest
+
+        out = str(tmp_path / "tbl3")
+        # three committed states -> three snapshots
+        recs = [L.write_part(out, 0, _rows(0, 4))]
+        L.commit_shard_manifest(out, 0, recs)
+        L.commit_snapshot(out)  # v1
+        recs.append(L.write_part(out, 0, _rows(4, 4)))
+        L.commit_shard_manifest(out, 0, recs)
+        L.commit_snapshot(out)  # v2
+        # compaction rewrites to one part -> v1/v2 now reference dead parts
+        L.compact_shard(out, 0, target_rows=100)
+        L.commit_snapshot(out)  # v3 (pins the compacted part)
+        # plant an orphan part from a "crashed attempt" in another shard
+        orphan_dir = L.shard_data_dir(out, 9)
+        os.makedirs(orphan_dir, exist_ok=True)
+        L.write_part(out, 9, _rows(50, 3))  # part without a manifest
+
+        res = L.vacuum(out, keep_snapshots=1)
+        assert res["snapshots_dropped"] == 2  # v1, v2
+        assert res["parts_dropped"] == 1      # the shard-9 orphan
+        assert L.list_snapshots(out) == [3]
+        # live state intact: manifest read + snapshot read both work
+        assert L.read_all(out).num_rows == 8
+        assert L.read_snapshot(out, 3).num_rows == 8
+        with pytest.raises(KeyError):
+            L.read_snapshot(out, 1)
+
+    def test_vacuum_never_touches_live_parts(self, tmp_path):
+        out = str(tmp_path / "tbl4")
+        recs = [L.write_part(out, 0, _rows(0, 5))]
+        L.commit_shard_manifest(out, 0, recs)
+        res = L.vacuum(out, keep_snapshots=0)  # no snapshots at all
+        assert res == {"snapshots_dropped": 0, "parts_dropped": 0}
+        assert L.read_all(out).num_rows == 5
+
+    def test_vacuum_over_object_store(self):
+        fs = EventualObjectStore()
+        L.write_part("b/v", 0, _rows(0, 4), fs)
+        fs.sync()
+        L.try_commit_shard("b/v", 0, 4, fs)
+        fs.sync()
+        L.commit_snapshot("b/v", fs)
+        L.write_part("b/v", 8, _rows(9, 2), fs)  # orphan, never committed
+        fs.sync()
+        res = L.vacuum("b/v", keep_snapshots=1, fs=fs)
+        assert res["parts_dropped"] == 1
+        fs.sync()
+        assert L.read_all("b/v", fs).num_rows == 4
+        assert L.read_snapshot("b/v", 1, fs).num_rows == 4
