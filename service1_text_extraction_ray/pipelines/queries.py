@@ -9621,6 +9621,51 @@ def q_warc_cdx(sf_dir: str) -> rd.Dataset:
     )
 
 
+def q_doc_nfc_normalize(sf_dir: str) -> rd.Dataset:
+    """Unicode NFC normalization per document (the canonical-composition
+    pass multilingual training corpora run before tokenization — decomposed
+    e+COMBINING ACUTE and precomposed é must tokenize identically). To
+    exercise real composition on the mostly-ASCII corpus, a deterministic
+    DECOMPOSED suffix (e + U+0301, n + U+0303) is appended on BOTH sides;
+    NFC composes it, so ``changed`` is verifiably true everywhere and the
+    length delta is pinned. Exact oracle via DuckDB's nfc_normalize (both
+    engines implement UAX #15; parity spot-verified incl. Hangul). Pure
+    per-batch map — no shuffle."""
+    import unicodedata
+
+    suffix = " e\u0301n\u0303"  # decomposed; NFC composes to " \xe9\xf1" (5 cps -> 3)
+
+    def f(t: pa.Table) -> pa.Table:
+        raw = [x + suffix for x in _texts(t)]
+        nfc = [unicodedata.normalize("NFC", x) for x in raw]
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "nfc_text": pa.array(nfc, pa.string()),
+            "nfc_chars": pa.array([len(x) for x in nfc], pa.int64()),
+            "changed": pa.array(
+                [a != b for a, b in zip(raw, nfc)], pa.bool_()
+            ),
+        })
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow"
+    )
+
+
+SQL_DOC_NFC_NORMALIZE = """
+WITH g AS (
+  SELECT doc_id,
+         coalesce(text, '') || ' e' || chr(769) || 'n' || chr(771) AS raw
+  FROM documents
+)
+SELECT doc_id,
+       nfc_normalize(raw) AS nfc_text,
+       CAST(length(nfc_normalize(raw)) AS BIGINT) AS nfc_chars,
+       nfc_normalize(raw) <> raw AS changed
+FROM g
+"""
+
+
 PROFILE_COLUMNS = ("doc_id", "lang", "source", "n_chars", "text")
 
 
