@@ -624,3 +624,27 @@ def vacuum(out_dir: str, keep_snapshots: int = 2,
                     ))
                     dropped_parts += 1
     return {"snapshots_dropped": len(drop), "parts_dropped": dropped_parts}
+
+
+def snapshot_diff(out_dir: str, v_old: int, v_new: int,
+                  fs: Optional[Any] = None) -> Dict[str, Any]:
+    """Shard-level diff between two snapshots — the incremental-build
+    primitive (recrawl N vs N-1: which shards changed, how many docs
+    appeared). Compares per-shard content hashes, so compaction (which
+    preserves content) reports NO change while real appends/rewrites do.
+    Returns ``{"added_shards": [...], "removed_shards": [...],
+    "changed_shards": [...], "docs_delta": int}``."""
+    fs = _fs(fs)
+    old = {s["shard_id"]: s for s in load_snapshot(out_dir, v_old, fs)["shards"]}
+    new = {s["shard_id"]: s for s in load_snapshot(out_dir, v_new, fs)["shards"]}
+    return {
+        "added_shards": sorted(set(new) - set(old)),
+        "removed_shards": sorted(set(old) - set(new)),
+        "changed_shards": sorted(
+            sid for sid in set(old) & set(new)
+            if old[sid]["content_hash"] != new[sid]["content_hash"]
+            or old[sid]["n_docs"] != new[sid]["n_docs"]
+        ),
+        "docs_delta": sum(s["n_docs"] for s in new.values())
+        - sum(s["n_docs"] for s in old.values()),
+    }

@@ -358,3 +358,25 @@ class TestVacuum:
         fs.sync()
         assert L.read_all("b/v", fs).num_rows == 4
         assert L.read_snapshot("b/v", 1, fs).num_rows == 4
+
+
+class TestSnapshotDiff:
+    def test_diff_reports_appends_not_compaction(self, tmp_path):
+        out = str(tmp_path / "tbl5")
+        recs = [L.write_part(out, 0, _rows(0, 4))]
+        L.commit_shard_manifest(out, 0, recs)
+        L.commit_snapshot(out)  # v1
+        # append to shard 0 AND add shard 1
+        recs.append(L.write_part(out, 0, _rows(4, 2)))
+        L.commit_shard_manifest(out, 0, recs)
+        L.commit_shard_manifest(out, 1, [L.write_part(out, 1, _rows(10, 3))])
+        L.commit_snapshot(out)  # v2
+        d = L.snapshot_diff(out, 1, 2)
+        assert d == {"added_shards": [1], "removed_shards": [],
+                     "changed_shards": [0], "docs_delta": 5}
+        # compaction preserves content -> diff v2 vs v3 reports nothing
+        L.compact_shard(out, 0, target_rows=100)
+        L.commit_snapshot(out)  # v3
+        d2 = L.snapshot_diff(out, 2, 3)
+        assert d2 == {"added_shards": [], "removed_shards": [],
+                      "changed_shards": [], "docs_delta": 0}
