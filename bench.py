@@ -199,6 +199,13 @@ QUERY_NAMES = [
     "orders_daily_gapfill", "dedup_lsh_recall", "dedup_minhash_cap", "orders_daily_holt", "ann_recall", "lineitem_benford",
     "part_supplier_reach", "events_stream_join", "extract_pdf_structure",
     "corpus_simpson", "orders_pareto",
+    # round-4 capability adds: the OCR ladder (full scanned-corpus
+    # rasterize+recognize — the one genuinely model-ish stage, so its cost
+    # belongs in the record), real-decode multimodal, archive ingest,
+    # profiling, NFC
+    "ocr_eval", "media_decode", "media_resize_px", "media_audio_decode",
+    "media_video_frames", "archive_tar_roundtrip", "archive_zip_roundtrip",
+    "table_profile", "doc_nfc_normalize",
 ]
 
 
