@@ -174,7 +174,20 @@ def read_gif(payload: bytes) -> Tuple[List[np.ndarray], List[int]]:
 
     Frames come back as 2-D uint8 GRAY arrays (palette applied: the mean
     of each entry's RGB). Raises ValueError outside the supported subset
-    (local color tables, interlace)."""
+    (local color tables, interlace) and on ANY truncated/corrupt block
+    structure — the per-row failure-isolation contract (callers catch
+    ValueError; a struct.error/IndexError leak would kill the task).
+    Fuzz-pinned: tests/test_fuzz.py feeds arbitrary bytes after the
+    magic."""
+    import struct as _struct
+
+    try:
+        return _read_gif_inner(payload)
+    except (_struct.error, IndexError) as e:
+        raise ValueError(f"truncated/corrupt GIF: {e}") from e
+
+
+def _read_gif_inner(payload: bytes) -> Tuple[List[np.ndarray], List[int]]:
     if payload[:6] not in (b"GIF87a", b"GIF89a") or len(payload) < 13:
         raise ValueError("not a GIF")
     w, h = struct.unpack("<HH", payload[6:10])

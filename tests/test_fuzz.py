@@ -378,3 +378,35 @@ def test_structure_total_on_mutated_tagged_doc(pos, val):
     s = doc.structure()
     assert isinstance(s, list)
     assert doc.structure() == s  # deterministic
+
+
+@settings(max_examples=300, deadline=None)
+@given(payload=st.binary(max_size=2048).map(lambda b: b"GIF89a" + b))
+def test_gif_reader_total_on_arbitrary_bytes(payload):
+    """read_gif must raise ONLY ValueError on corrupt/truncated input —
+    a struct.error/IndexError leak would kill the task instead of the
+    decode_ok=False isolation row (found by a 3000-example fuzz campaign:
+    truncated image-descriptor bytes escaped as struct.error)."""
+    from service1_text_extraction_ray.functions.gif import read_gif
+
+    try:
+        frames, delays = read_gif(payload)
+        assert frames and len(frames) == len(delays)
+    except ValueError:
+        pass
+
+
+@settings(max_examples=300, deadline=None)
+@given(payload=st.binary(max_size=2048))
+def test_wav_and_png_readers_total_on_arbitrary_bytes(payload):
+    from service1_text_extraction_ray.functions.page_render import read_gray_png
+    from service1_text_extraction_ray.stages.multimodal import read_wav_pcm8
+
+    try:
+        read_wav_pcm8(b"RIFF" + payload)
+    except ValueError:
+        pass
+    try:
+        read_gray_png(b"\x89PNG\r\n\x1a\n" + payload)
+    except ValueError:
+        pass
