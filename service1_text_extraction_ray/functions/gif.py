@@ -217,7 +217,12 @@ def _read_gif_inner(payload: bytes) -> Tuple[List[np.ndarray], List[int]]:
             i += 2
             if label == 0xF9:  # graphic control
                 size = payload[i]
-                pending_delay = struct.unpack("<H", payload[i + 2 : i + 4])[0]
+                # Delay lives at bytes 1-2 of the sub-block; only trust it
+                # when the declared size actually covers it (spec value 4) —
+                # a corrupt size<3 would otherwise read the NEXT block's
+                # bytes as the delay.
+                if size >= 4:
+                    pending_delay = struct.unpack("<H", payload[i + 2 : i + 4])[0]
                 i += 1 + size
             while payload[i] != 0:  # skip (remaining) sub-blocks
                 i += 1 + payload[i]

@@ -88,7 +88,17 @@ def read_gray_png(png: bytes) -> np.ndarray:
     Stdlib-only inverse of ``write_gray_png_array``; implements all five
     ISO/IEC 15948 scanline filters (None/Sub/Up/Average/Paeth) so any
     conforming encoder's output round-trips, not just our filter-0 rows.
+    Raises ValueError on ANY truncated/corrupt input (the per-row
+    failure-isolation contract, same wrapper as ``read_gif``): a truncated
+    IHDR would otherwise leak struct.error, corrupt IDAT zlib.error.
     """
+    try:
+        return _read_gray_png_inner(png)
+    except (struct.error, zlib.error, IndexError) as e:
+        raise ValueError(f"truncated/corrupt PNG: {e}") from e
+
+
+def _read_gray_png_inner(png: bytes) -> np.ndarray:
     if png[:8] != b"\x89PNG\r\n\x1a\n":
         raise ValueError("not a PNG")
     i, w, h, idat = 8, None, None, b""

@@ -22,6 +22,17 @@ Scale notes (the design constraints each operator is built around):
 - Document-frequency join-back in ``doc_tfidf_top_terms`` uses the general
   co-partitioned ``hash_join`` (relational.py) keyed on the token string —
   vocabulary is fact-sized at web scale, so no driver collect / broadcast.
+
+Regex-engine semantics (intentional, pinned): the Arrow compute kernels used
+for counts/splits here (``count_substring_regex``, ``split_pattern_regex``)
+are RE2, where ``\\s``/``\\S`` are ASCII classes — matching the DuckDB/RE2
+oracles exactly. Python ``re`` (and the pre-round-4 pandas ``str.count`` /
+``str.split`` paths) treats ``\\s`` as Unicode whitespace, which ALSO matches
+NBSP/\\v/\\u2028 etc. On a corpus containing such codepoints the two engines
+tokenize differently; this module standardizes on the ASCII/RE2 semantics
+(see the analogous re-vs-RE2 word-boundary note on ``q_doc_extract_numbers``).
+``tests/test_webtext.py::test_unicode_whitespace_semantics`` pins the behavior
+with an NBSP/\\u2028 fixture.
 """
 
 from __future__ import annotations

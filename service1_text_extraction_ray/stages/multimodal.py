@@ -298,12 +298,16 @@ class FrameSampler:
                 continue
             payload = payload or b""
             try:
+                # Decode AND re-encode every frame before touching `rows`:
+                # a mid-loop failure must not leave partial real frames that
+                # the stub regime below would then duplicate per frame_idx.
                 d = GifDecoder().decode(payload, kind)
+                frame_rows = []
                 ts = 0
                 for i, (frame, delay) in enumerate(
                     zip(d["frames"][:MAX_FRAMES], d["delays_cs"])
                 ):
-                    rows.append({
+                    frame_rows.append({
                         "media_id": int(media_id),
                         "frame_idx": i,
                         "ts_ms": ts,
@@ -311,9 +315,11 @@ class FrameSampler:
                         "decode_ok": True,
                     })
                     ts += 10 * int(delay)
-                continue
             except Exception:
                 pass  # not a GIF -> stub regime
+            else:
+                rows.extend(frame_rows)
+                continue
             d = self.decoder.decode(payload, kind)
             n = min(MAX_FRAMES, max(1, int(d["duration_ms"]) // FRAME_INTERVAL_MS))
             digest = hashlib.sha256(payload).digest()

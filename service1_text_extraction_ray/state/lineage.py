@@ -100,6 +100,12 @@ class LocalAtomicFS:
         except OSError:
             pass
 
+    def mtime(self, path: str) -> float:
+        """Last-modified epoch seconds (object stores expose this per
+        object as the PUT timestamp). Used only by vacuum's retention
+        window; raises OSError if the object vanished."""
+        return os.path.getmtime(path)
+
     def rmtree(self, path: str) -> None:
         import shutil
 
@@ -581,8 +587,18 @@ def table_history(out_dir: str, fs: Optional[Any] = None) -> List[Dict[str, Any]
     return out
 
 
+#: Default orphan-retention window (seconds). Parts younger than this are
+#: NEVER garbage-collected: an extraction job writes data parts BEFORE the
+#: manifest that references them, so a just-written part of an in-flight
+#: shard is indistinguishable from a crash orphan by reference-counting
+#: alone. Age is the discriminator (same design as Iceberg's
+#: remove-orphan-files, whose default is 3 days).
+VACUUM_RETENTION_S = 24 * 3600.0
+
+
 def vacuum(out_dir: str, keep_snapshots: int = 2,
-           fs: Optional[Any] = None) -> Dict[str, Any]:
+           fs: Optional[Any] = None,
+           min_age_s: float = VACUUM_RETENTION_S) -> Dict[str, Any]:
     """Table maintenance: drop all but the newest ``keep_snapshots``
     snapshot objects, then delete ORPHAN data parts — parts referenced by
     neither a live manifest nor a retained snapshot (compaction leaves
@@ -590,9 +606,18 @@ def vacuum(out_dir: str, keep_snapshots: int = 2,
 
     Safe ordering on the object-store seam: snapshots are pruned FIRST,
     so a part is only deletable once nothing that will be read again can
-    reference it; the live manifests are never touched. Returns counts
-    ``{"snapshots_dropped": n, "parts_dropped": m}``."""
+    reference it; the live manifests are never touched. Orphans younger
+    than ``min_age_s`` are retained (default 24 h): a part written by a
+    STILL-RUNNING job is an orphan until its shard's manifest commits, so
+    an age threshold — not reference-counting — is what makes vacuum safe
+    to run concurrently with extraction (Iceberg remove-orphan-files
+    semantics). Pass ``min_age_s=0`` only when no job is active on
+    ``out_dir``. Returns counts ``{"snapshots_dropped": n,
+    "parts_dropped": m}``."""
+    import time as _time
+
     fs = _fs(fs)
+    now = _time.time()
     versions = list_snapshots(out_dir, fs)
     drop = versions[:-keep_snapshots] if keep_snapshots > 0 else versions
     for v in drop:
@@ -617,7 +642,14 @@ def vacuum(out_dir: str, keep_snapshots: int = 2,
             keep = referenced.get(sid, set())
             for part in fs.listdir(ddir):
                 if part.endswith(".parquet") and part not in keep:
-                    fs.remove(os.path.join(ddir, part))
+                    ppath = os.path.join(ddir, part)
+                    if min_age_s > 0:
+                        try:
+                            if now - fs.mtime(ppath) < min_age_s:
+                                continue  # possibly an in-flight shard's part
+                        except OSError:
+                            continue  # vanished under us -> nothing to GC
+                    fs.remove(ppath)
                     fs.remove(os.path.join(
                         pending_dir(out_dir, sid),
                         part.replace(".parquet", ".json"),

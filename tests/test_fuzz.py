@@ -410,3 +410,50 @@ def test_wav_and_png_readers_total_on_arbitrary_bytes(payload):
         read_gray_png(b"\x89PNG\r\n\x1a\n" + payload)
     except ValueError:
         pass
+
+def test_png_reader_wraps_structural_errors_as_valueerror():
+    """ADVICE r4: random fuzz essentially never forms a literal IHDR chunk,
+    so pin the two structured corruptions directly — truncated IHDR payload
+    (would leak struct.error) and corrupt IDAT (would leak zlib.error)."""
+    import struct
+    import pytest
+    from service1_text_extraction_ray.functions.page_render import (
+        _png_chunk, read_gray_png, write_gray_png_array)
+    import numpy as np
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    # IHDR with a 4-byte payload: struct.unpack('>IIBB') needs 10
+    with pytest.raises(ValueError):
+        read_gray_png(sig + _png_chunk(b"IHDR", b"\x00\x00\x00\x01"))
+    # valid IHDR, garbage IDAT: zlib.decompress fails
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+    with pytest.raises(ValueError):
+        read_gray_png(
+            sig + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", b"notzlib") + _png_chunk(b"IEND", b""))
+    # sanity: the round trip still works after the wrapper
+    a = (np.arange(12, dtype=np.uint8).reshape(3, 4) * 17) & 0xFF
+    assert (read_gray_png(write_gray_png_array(a)) == a).all()
+
+
+def test_gif_gce_undersized_block_leaves_delay_zero():
+    """ADVICE r4: a Graphic Control Extension whose declared sub-block size
+    is < 4 must NOT have its delay read from the following block's bytes."""
+    from service1_text_extraction_ray.functions.gif import read_gif, write_gif
+    import numpy as np
+
+    frame = np.zeros((2, 2), dtype=np.uint8)
+    good = write_gif([frame], delay_cs=7)
+    frames, delays = read_gif(good)
+    assert delays == [7]
+
+    # Locate the GCE (0x21 0xF9 <size=4> flags delay_lo delay_hi trans 0x00)
+    i = good.index(b"\x21\xf9")
+    assert good[i + 2] == 4
+    # Rebuild the GCE as size=1 (flags only) + chain terminator, dropping
+    # delay/transparency bytes but keeping the stream block-aligned. The
+    # delay must now read as 0, not as bytes of the next block.
+    bad = good[: i + 2] + b"\x01" + good[i + 3 : i + 4] + b"\x00" + good[i + 8 :]
+    frames2, delays2 = read_gif(bad)
+    assert delays2 == [0]
+    assert (frames2[0] == frames[0]).all()

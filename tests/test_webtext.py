@@ -1964,3 +1964,37 @@ class TestCorpusSimpson:
         out = q_corpus_simpson(str(d)).set_index("lang")
         assert out.loc["en", "n_tokens"] == 4
         assert out.loc["en", "sum_c2"] == 4 * 3  # one type, c=4
+
+
+class TestRegexEngineSemantics:
+    """Pin the intentional RE2 (ASCII \\s) semantics of the Arrow kernels
+    used by webtext counts/splits on a corpus containing Unicode
+    whitespace — the behavior note in the module docstring (the
+    pandas-era Python-re path would have split on NBSP/\\u2028)."""
+
+    def test_unicode_whitespace_semantics(self):
+        import pyarrow.compute as pc
+        import re
+
+        s = "a b c d"  # NBSP between a,b; LINE SEP between c,d
+        arr = pa.array([s])
+        # RE2 \s is ASCII: only the plain space splits.
+        arrow_toks = pc.split_pattern_regex(arr, r"\s+").to_pylist()[0]
+        assert arrow_toks == ["a b", "c d"]
+        # \S+ run count under RE2: 2 runs (NBSP/LINE SEP are \S).
+        assert pc.count_substring_regex(arr, r"\S+").to_pylist() == [2]
+        # Contrast: Python re (Unicode \s) splits all three gaps — the
+        # behavior this module deliberately does NOT use for these ops.
+        assert re.split(r"\s+", s) == ["a", "b", "c", "d"]
+
+    def test_duckdb_oracle_agrees_with_arrow(self):
+        import duckdb
+        import pyarrow.compute as pc
+
+        s = "a b c d"
+        got = duckdb.sql(
+            "SELECT len(list_filter(regexp_split_to_array(?, '\\s+'),"
+            " x -> x <> ''))", params=[s]
+        ).fetchone()[0]
+        arrow_n = len(pc.split_pattern_regex(pa.array([s]), r"\s+").to_pylist()[0])
+        assert got == arrow_n == 2
