@@ -10440,48 +10440,155 @@ SQL_HOST_KCORE = _sql_host_kcore()
 CLUST_UNIT = 1_000_000  # coefficient in integer micro-units
 
 
-def q_host_clustering(sf_dir: str) -> rd.Dataset:
-    """Local clustering coefficient per host over the undirected simple
-    host graph: coeff(v) = 2 * triangles(v) / (deg(v) * (deg(v) - 1)) in
-    integer micro-units (floor division — exact, order-independent). The
-    per-node companion of the global triangle count (part_triangles):
-    dense local neighborhoods at high coreness are the link-farm signature
-    crawl curation keys on.
+def _degree_orient(uedges: rd.Dataset) -> rd.Dataset:
+    """Orient an undirected SYMMETRIC edge stream (both (a,b) and (b,a)
+    present) from its lower-(degree, id) endpoint to the higher: the
+    standard skew guard for wedge enumeration (Cohen 2009 MapReduce
+    triangle counting; also Suri-Vassilvitskii 2011). After orientation
+    every vertex's OUT-degree is bounded by O(sqrt(m)) on any graph
+    (arboricity bound), so a 10^6-degree hub — which would emit ~10^12
+    unordered neighbor pairs under naive wedge generation — emits none:
+    all its edges point INTO it.
 
-    Topology (two keyed exchanges + one small join):
-      1. WEDGES: one hash_exchange co-locates each center's neighbor list;
-         the shard task emits (pair_key, center) for every unordered
-         neighbor pair — the deg² fan-out is per-CENTER and host-grain;
-         at web scale the standard mitigation (degree-ordered wedges +
-         high-degree cap) applies and is documented here as the knob.
-      2. CLOSURE: semi hash_join of wedges against the canonical (a<b)
-         edge set on the composite pair key; per-block partial counts per
-         center then one tiny groupby -> triangles(v).
-      3. DEGREE: per-block partial counts over the (globally deduped)
-         undirected edges -> deg(v); left join with triangles, vectorized
-         coefficient. Hosts whose only edges are self-loops have no simple
-         edge and are excluded (documented)."""
-    from .relational import hash_exchange, hash_join
+    Two keyed exchanges, no joins and no degree broadcast:
+      1. group by ``a`` → tag every row with deg(a) (= group size, exact
+         because the symmetric stream holds one row per neighbor);
+      2. group by ``b`` → deg(b) is that group's size per key; keep the
+         row iff (deg_a, a) < (deg_b, b) — exactly one of the two
+         orientations of each undirected pair survives.
+    Shard work is pandas groupby/transform (C-level), never a Python
+    row loop. Output: (src, dst), each undirected edge once."""
+    from .relational import hash_exchange
 
-    uedges = _simple_uedges(sf_dir)
+    tagged_schema = pa.schema(
+        [("a", pa.string()), ("b", pa.string()), ("da", pa.int64())]
+    )
 
-    wedge_schema = pa.schema([("pk", pa.string()), ("center", pa.string())])
+    def tag_deg_a(t: pa.Table) -> pa.Table:
+        df = t.select(["a", "b"]).to_pandas()
+        df["da"] = df.groupby("a")["a"].transform("size").astype("int64")
+        return pa.Table.from_pandas(df, schema=tagged_schema, preserve_index=False)
 
-    def wedges(t: pa.Table) -> pa.Table:
-        adj: dict[str, list] = {}
-        for a_, b_ in zip(t["a"].to_pylist(), t["b"].to_pylist()):
-            adj.setdefault(a_, []).append(b_)
-        rows = []
-        for center, nbrs in adj.items():
-            nbrs.sort()
-            for i in range(len(nbrs)):
-                for j in range(i + 1, len(nbrs)):
-                    rows.append({"pk": nbrs[i] + "|" + nbrs[j], "center": center})
-        if not rows:
-            return wedge_schema.empty_table()
-        return pa.Table.from_pylist(rows, schema=wedge_schema)
+    tagged = hash_exchange(uedges, ["a"], tag_deg_a, tagged_schema)
 
-    wedge_ds = hash_exchange(uedges, ["a"], wedges, wedge_schema)
+    oriented_schema = pa.schema([("src", pa.string()), ("dst", pa.string())])
+
+    def orient(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        db = df.groupby("b")["b"].transform("size").astype("int64")
+        keep = (df["da"] < db) | ((df["da"] == db) & (df["a"] < df["b"]))
+        kept = df[keep]
+        return pa.Table.from_arrays(
+            [pa.array(kept["a"], pa.string()), pa.array(kept["b"], pa.string())],
+            schema=oriented_schema,
+        )
+
+    return hash_exchange(tagged, ["b"], orient, oriented_schema)
+
+
+def _capped_wedge_stream(oriented: rd.Dataset, cap: int) -> rd.Dataset:
+    """Wedges over the degree-oriented out-adjacency, with the high-degree
+    cap applied IN CODE and its cost accounted exactly.
+
+    One hash_exchange on the center: each center's full out-neighbor list
+    is co-located, ranked by dst (deterministic — the simple graph has
+    unique dsts per src), and wedges are emitted only among the first
+    ``cap`` neighbors: C(min(outdeg, cap), 2) pairs per center instead of
+    C(deg, 2). The number of wedges NOT emitted is the closed form
+    C(outdeg, 2) - C(min(outdeg, cap), 2), emitted as one accounting row
+    per affected center (pk NULL) so callers can surface
+    ``wedges_dropped_by_cap`` without a second pass over the edges —
+    the same priced-cap discipline as q_dedup_minhash_cap.
+
+    Output rows:
+      wedge rows      (pk = x|y with x<y, ctr, x, y, dropped = 0)
+      accounting rows (pk NULL, ctr, x/y NULL, dropped = count) —
+    filter on pk nullity downstream. The in-shard pair generation is a
+    pandas self-merge (vectorized), not a Python loop."""
+    from .relational import hash_exchange
+
+    schema = pa.schema([
+        ("pk", pa.string()), ("ctr", pa.string()),
+        ("x", pa.string()), ("y", pa.string()), ("dropped", pa.int64()),
+    ])
+
+    def shard(t: pa.Table) -> pa.Table:
+        df = t.select(["src", "dst"]).to_pandas().sort_values(["src", "dst"])
+        df["rn"] = df.groupby("src").cumcount()
+        outdeg = df.groupby("src")["src"].transform("size")
+        kept = df[df["rn"] < cap][["src", "dst"]]
+        m = kept.merge(kept, on="src")
+        m = m[m["dst_x"] < m["dst_y"]]
+        wedge = pa.Table.from_arrays(
+            [
+                pa.array(m["dst_x"] + "|" + m["dst_y"], pa.string()),
+                pa.array(m["src"], pa.string()),
+                pa.array(m["dst_x"], pa.string()),
+                pa.array(m["dst_y"], pa.string()),
+                pa.array(np.zeros(len(m), dtype=np.int64)),
+            ],
+            schema=schema,
+        )
+        od = df[["src"]].assign(n=outdeg).drop_duplicates("src")
+        n = od["n"].to_numpy(dtype=np.int64)
+        k = np.minimum(n, cap)
+        drop = n * (n - 1) // 2 - k * (k - 1) // 2
+        hit = drop > 0
+        if not hit.any():
+            return wedge
+        acct = pa.Table.from_arrays(
+            [
+                pa.array([None] * int(hit.sum()), pa.string()),
+                pa.array(od["src"].to_numpy()[hit], pa.string()),
+                pa.array([None] * int(hit.sum()), pa.string()),
+                pa.array([None] * int(hit.sum()), pa.string()),
+                pa.array(drop[hit]),
+            ],
+            schema=schema,
+        )
+        return pa.concat_tables([wedge, acct])
+
+    return hash_exchange(oriented, ["src"], shard, schema)
+
+
+#: Production high-degree cap on the ORIENTED out-adjacency per wedge
+#: center. Degree orientation already bounds out-degree by O(sqrt(m)); the
+#: cap is the backstop for residual dense-clique skew. 1024 keeps per-center
+#: fan-out <= ~524k wedge rows (bounded task memory) and never binds on the
+#: test graphs, so the exact SQL oracles replay it as a no-op; when it DOES
+#: bind, the loss is exact-counted per center (wedges_dropped_by_cap).
+WEDGE_OUT_CAP = 1024
+
+
+def _host_clustering_impl(uedges: rd.Dataset, cap: int) -> rd.Dataset:
+    """Core of q_host_clustering over any symmetric undirected edge
+    Dataset (a, b) — factored so the skewed-hub tests can drive it with a
+    planted power-law graph and a small cap (tests/test_operators.py)."""
+    from ray.data.aggregate import Sum as RSum
+
+    from .relational import hash_join
+
+    oriented = _degree_orient(uedges).materialize()
+    stream = _capped_wedge_stream(oriented, cap).materialize()
+
+    def wedge_rows(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_valid(t["pk"])).drop_columns(["dropped"])
+
+    wedge_ds = stream.map_batches(wedge_rows, batch_format="pyarrow")
+
+    combined_schema = pa.schema([
+        ("host", pa.string()), ("deg", pa.int64()),
+        ("n_tri", pa.int64()), ("wedges_dropped_by_cap", pa.int64()),
+    ])
+
+    def drop_rows(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_null(t["pk"]))
+        z = pa.array(np.zeros(t.num_rows, dtype=np.int64))
+        return pa.Table.from_arrays(
+            [t["ctr"], z, z, t["dropped"]], schema=combined_schema
+        )
+
+    drops = stream.map_batches(drop_rows, batch_format="pyarrow")
 
     def canon(t: pa.Table) -> pa.Table:
         keep = pc.less(t["a"], t["b"])
@@ -10497,62 +10604,101 @@ def q_host_clustering(sf_dir: str) -> rd.Dataset:
         left_on="pk",
         right_on="pk",
         key_type=pa.string(),
-        left_fields=[pa.field("center", pa.string())],
+        left_fields=[
+            pa.field("ctr", pa.string()),
+            pa.field("x", pa.string()),
+            pa.field("y", pa.string()),
+        ],
         right_fields=[],
         how="semi",
     )
 
-    from ray.data.aggregate import Sum as RSum
-
     def tri_partial(t: pa.Table) -> pa.Table:
-        g = t.group_by("center").aggregate([([], "count_all")])
+        # credit every closed wedge to ALL THREE corners: the oriented
+        # stream sees each triangle exactly once (at its lowest-degree
+        # vertex), so per-vertex counts need the explicit 3-way credit
+        hosts = pa.table({
+            "host": pa.concat_arrays(
+                [c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+                 for c in (t["ctr"], t["x"], t["y"])]
+            )
+        })
+        g = hosts.group_by("host").aggregate([([], "count_all")])
+        z = pa.array(np.zeros(g.num_rows, dtype=np.int64))
         return pa.Table.from_arrays(
-            [g["center"], pc.cast(g["count_all"], pa.int64())],
-            names=["host", "n_tri"],
+            [g["host"], z, pc.cast(g["count_all"], pa.int64()), z],
+            schema=combined_schema,
         )
 
-    tri = closed.map_batches(tri_partial, batch_format="pyarrow").groupby(
-        "host"
-    ).aggregate(RSum("n_tri", alias_name="n_tri"))
+    tri = closed.map_batches(tri_partial, batch_format="pyarrow")
 
     def deg_partial(t: pa.Table) -> pa.Table:
         g = t.group_by("a").aggregate([([], "count_all")])
+        z = pa.array(np.zeros(g.num_rows, dtype=np.int64))
         return pa.Table.from_arrays(
-            [g["a"], pc.cast(g["count_all"], pa.int64())],
-            names=["host", "deg"],
+            [g["a"], pc.cast(g["count_all"], pa.int64()), z, z],
+            schema=combined_schema,
         )
 
-    deg = uedges.map_batches(deg_partial, batch_format="pyarrow").groupby(
-        "host"
-    ).aggregate(RSum("deg", alias_name="deg"))
+    deg = uedges.map_batches(deg_partial, batch_format="pyarrow")
 
-    joined = hash_join(
-        deg,
-        tri,
-        left_on="host",
-        right_on="host",
-        key_type=pa.string(),
-        left_fields=[pa.field("deg", pa.int64())],
-        right_fields=[pa.field("n_tri", pa.int64())],
-        how="left",
+    # three host-grain partial streams -> ONE groupby(host) merge
+    merged = deg.union(tri).union(drops).groupby("host").aggregate(
+        RSum("deg", alias_name="deg"),
+        RSum("n_tri", alias_name="n_tri"),
+        RSum("wedges_dropped_by_cap", alias_name="wedges_dropped_by_cap"),
     )
 
     def coeff(t: pa.Table) -> pa.Table:
         d = t["deg"].to_numpy(zero_copy_only=False)
-        tr = pc.fill_null(t["n_tri"], pa.scalar(0, pa.int64())).to_numpy(
-            zero_copy_only=False
-        )
+        tr = t["n_tri"].to_numpy(zero_copy_only=False)
         denom = d * (d - 1)
         c = np.where(denom > 0, (2 * CLUST_UNIT * tr) // np.maximum(denom, 1), 0)
         return pa.Table.from_arrays(
             [t["host"], pa.array(d, pa.int64()), pa.array(tr, pa.int64()),
-             pa.array(c, pa.int64())],
-            names=["host", "deg", "n_tri", "coeff_micro"],
+             pa.array(c, pa.int64()),
+             pc.cast(t["wedges_dropped_by_cap"], pa.int64())],
+            names=["host", "deg", "n_tri", "coeff_micro",
+                   "wedges_dropped_by_cap"],
         )
 
-    return joined.map_batches(coeff, batch_format="pyarrow")
+    return merged.map_batches(coeff, batch_format="pyarrow")
 
 
+def q_host_clustering(sf_dir: str) -> rd.Dataset:
+    """Local clustering coefficient per host over the undirected simple
+    host graph: coeff(v) = 2 * triangles(v) / (deg(v) * (deg(v) - 1)) in
+    integer micro-units (floor division — exact, order-independent). The
+    per-node companion of the global triangle count (part_triangles):
+    dense local neighborhoods at high coreness are the link-farm signature
+    crawl curation keys on.
+
+    Topology (the skew-guarded wedge pipeline, round 5):
+      1. ORIENT: two keyed exchanges point every undirected edge from its
+         lower-(degree, id) endpoint (_degree_orient) — hub out-degree
+         collapses (20 -> 2 on the synthetic graph; O(sqrt(m)) bound in
+         general), so wedge fan-out is Sum outdeg^2, never Sum deg^2.
+      2. WEDGES: one exchange on the center emits pairs among the first
+         WEDGE_OUT_CAP ranked out-neighbors only, plus exact per-center
+         accounting rows for anything the cap suppressed
+         (_capped_wedge_stream).
+      3. CLOSURE: semi hash_join of wedges against the canonical (a<b)
+         edge set; each triangle closes exactly ONCE and is credited to
+         all three corners (3-way credit inside tri_partial).
+      4. MERGE: degree partials + triangle credits + cap accounting are
+         three host-grain partial streams folded by ONE groupby(host).
+    Output adds ``wedges_dropped_by_cap`` (0 unless the cap binds); the
+    SQL oracle replays the cap with a rank window, so a binding cap stays
+    exact-checked. Hosts whose only edges are self-loops have no simple
+    edge and are excluded (documented)."""
+    return _host_clustering_impl(_simple_uedges(sf_dir), WEDGE_OUT_CAP)
+
+
+# Replays the ENGINE's skew-guarded plan exactly: degree-(then id-)ordered
+# edge orientation, rank-windowed WEDGE_OUT_CAP, 3-way triangle credit, and
+# the per-center dropped-wedge accounting — so if the cap ever binds on a
+# future fixture, the oracle stays byte-exact (the q_dedup_minhash_cap
+# discipline applied to the triangle family).
 SQL_HOST_CLUSTERING = f"""
 WITH base AS (SELECT doc_id, source FROM documents WHERE doc_id % 7 <> 0),
 links AS (
@@ -10568,20 +10714,44 @@ uedges AS MATERIALIZED (
   UNION
   SELECT dst, src FROM links WHERE src <> dst
 ),
-deg AS (SELECT a AS host, CAST(count(*) AS BIGINT) AS deg FROM uedges GROUP BY 1),
+e AS MATERIALIZED (SELECT a, b FROM uedges WHERE a < b),
+deg AS MATERIALIZED (
+  SELECT a AS host, CAST(count(*) AS BIGINT) AS deg FROM uedges GROUP BY 1),
+o AS (
+  SELECT CASE WHEN (da.deg < db.deg) OR (da.deg = db.deg AND e.a < e.b)
+              THEN e.a ELSE e.b END AS src,
+         CASE WHEN (da.deg < db.deg) OR (da.deg = db.deg AND e.a < e.b)
+              THEN e.b ELSE e.a END AS dst
+  FROM e JOIN deg da ON da.host = e.a JOIN deg db ON db.host = e.b
+),
+r AS (SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY dst) AS rn
+      FROM o),
+w AS MATERIALIZED (
+  SELECT r1.src AS ctr, r1.dst AS x, r2.dst AS y,
+         (r1.rn <= {WEDGE_OUT_CAP} AND r2.rn <= {WEDGE_OUT_CAP}) AS kept
+  FROM r r1 JOIN r r2 ON r1.src = r2.src AND r1.dst < r2.dst
+),
+closed AS (SELECT w.ctr, w.x, w.y FROM w
+           JOIN e ON e.a = w.x AND e.b = w.y WHERE w.kept),
 tri AS (
-  SELECT w1.a AS host, CAST(count(*) AS BIGINT) AS n_tri
-  FROM uedges w1
-  JOIN uedges w2 ON w1.a = w2.a AND w1.b < w2.b
-  JOIN uedges e ON e.a = w1.b AND e.b = w2.b
-  GROUP BY w1.a
+  SELECT host, CAST(count(*) AS BIGINT) AS n_tri FROM (
+    SELECT ctr AS host FROM closed
+    UNION ALL SELECT x FROM closed
+    UNION ALL SELECT y FROM closed
+  ) GROUP BY 1
+),
+dropped AS (
+  SELECT ctr AS host,
+         CAST(count(*) FILTER (WHERE NOT kept) AS BIGINT) AS wd
+  FROM w GROUP BY 1
 )
 SELECT d.host, d.deg,
        CAST(coalesce(t.n_tri, 0) AS BIGINT) AS n_tri,
        CAST(CASE WHEN d.deg >= 2
                  THEN (2 * {CLUST_UNIT} * coalesce(t.n_tri, 0)) // (d.deg * (d.deg - 1))
-                 ELSE 0 END AS BIGINT) AS coeff_micro
-FROM deg d LEFT JOIN tri t USING (host)
+                 ELSE 0 END AS BIGINT) AS coeff_micro,
+       CAST(coalesce(dr.wd, 0) AS BIGINT) AS wedges_dropped_by_cap
+FROM deg d LEFT JOIN tri t USING (host) LEFT JOIN dropped dr USING (host)
 """
 
 

@@ -5209,44 +5209,130 @@ GROUP BY v.c_mktsegment
 # ---------------------------------------------------------------------------
 
 
+#: Production high-degree cap on the ORIENTED out-adjacency per wedge
+#: center (shared discipline with queries.WEDGE_OUT_CAP — see that
+#: docstring). Never binds on the test graphs (max oriented out-degree 20
+#:  at sf0.001), so the oracle replay is a no-op; when it binds the loss
+#: is exact-counted in ``wedges_dropped_by_cap``.
+WEDGE_OUT_CAP = 1024
+
+
 def q_part_triangles(sf_dir: str) -> pd.DataFrame:
     """Triangle census of the support-filtered co-occurrence graph — the
     clustering-coefficient numerator, and the third distinct graph
     topology in the engine (PageRank = iterate, components/BFS = fixpoint
-    propagate, triangles = WEDGE-JOIN): stage 1 co-locates each node's
-    edge list (ONE hash_exchange on the lower endpoint — edges are stored
-    a<b, so out[a] is the full forward adjacency) and emits its wedges
-    (b, c), b<c, via a vectorized in-shard self-merge; stage 2 joins the
-    wedge stream back against the edge set on the composite key (ONE
-    co-partitioned hash_join on b·2³² + c — part keys are < 2³¹) and
-    counts matches. Wedge volume is Σ deg(a)² — the support threshold
-    bounds hub degrees here; at web scale the standard fix is
-    orient-by-degree before wedge generation (documented, same code
-    shape). Returns (n_edges, n_wedges, n_triangles)."""
-    wedge_schema = pa.schema([("x", pa.int64()), ("y", pa.int64())])
+    propagate, triangles = WEDGE-JOIN), with the round-5 skew guard:
 
+      1. ORIENT by degree: expand the canonical a<b edges symmetrically,
+         then two keyed exchanges point each undirected edge from its
+         lower-(degree, id) endpoint (same plan as q_host_clustering's
+         _degree_orient, int keys). Wedge volume falls from Σ deg(a)²
+         (unbounded under power-law hubs: a 10⁶-degree hub alone emits
+         ~10¹² pairs) to Σ outdeg² ≤ O(m^1.5) on ANY graph — the
+         arboricity bound of Cohen 2009 / Suri-Vassilvitskii 2011.
+      2. WEDGES: one exchange on the center; pairs among the first
+         WEDGE_OUT_CAP dst-ranked out-neighbors only (vectorized in-shard
+         self-merge); per-center closed-form accounting of suppressed
+         pairs rides the same stream as NULL-key rows.
+      3. CLOSURE: each triangle now closes exactly ONCE (at its
+         lowest-degree vertex); ONE co-partitioned hash_join of wedge
+         keys x·2³² + y against the canonical edge set (part keys < 2³¹).
+
+    Returns one row: n_edges, n_wedges (degree-ordered total, kept +
+    dropped), n_wedges_kept, wedges_dropped_by_cap, n_triangles — the
+    cap priced exactly, q_dedup_minhash_cap-style; the SQL oracle replays
+    orientation, rank window and accounting byte-for-byte."""
     edges = q_part_cooccurrence(sf_dir).materialize()
+
+    sym_schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+
+    def sym(t: pa.Table) -> pa.Table:
+        a = pa.chunked_array([t["part_a"], t["part_b"]])
+        b = pa.chunked_array([t["part_b"], t["part_a"]])
+        return pa.Table.from_arrays([a, b], schema=sym_schema)
+
+    uedges = edges.map_batches(sym, batch_format="pyarrow")
+
+    tagged_schema = pa.schema(
+        [("a", pa.int64()), ("b", pa.int64()), ("da", pa.int64())]
+    )
+
+    def tag_deg_a(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df["da"] = df.groupby("a")["a"].transform("size").astype("int64")
+        return pa.Table.from_pandas(df, schema=tagged_schema, preserve_index=False)
+
+    tagged = hash_exchange(uedges, ["a"], tag_deg_a, tagged_schema)
+
+    oriented_schema = pa.schema([("src", pa.int64()), ("dst", pa.int64())])
+
+    def orient(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        db = df.groupby("b")["b"].transform("size").astype("int64")
+        keep = (df["da"] < db) | ((df["da"] == db) & (df["a"] < df["b"]))
+        kept = df[keep]
+        return pa.Table.from_arrays(
+            [pa.array(kept["a"].to_numpy(dtype="int64")),
+             pa.array(kept["b"].to_numpy(dtype="int64"))],
+            schema=oriented_schema,
+        )
+
+    oriented = hash_exchange(tagged, ["b"], orient, oriented_schema)
+
+    # wedge stream: kept wedge rows (k = x<<32 | y) + NULL-k accounting rows
+    wedge_schema = pa.schema([("k", pa.int64()), ("dropped", pa.int64())])
 
     def shard_wedges(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
             return wedge_schema.empty_table()
-        df = t.to_pandas()[["part_a", "part_b"]]
-        m = df.merge(df, on="part_a")
-        m = m[m["part_b_x"] < m["part_b_y"]]
-        return pa.Table.from_arrays(
-            [pa.array(m["part_b_x"].to_numpy(dtype="int64")),
-             pa.array(m["part_b_y"].to_numpy(dtype="int64"))],
+        df = t.to_pandas().sort_values(["src", "dst"])
+        df["rn"] = df.groupby("src").cumcount()
+        outdeg = df.groupby("src")["src"].transform("size")
+        kept = df[df["rn"] < WEDGE_OUT_CAP][["src", "dst"]]
+        m = kept.merge(kept, on="src")
+        m = m[m["dst_x"] < m["dst_y"]]
+        k = (
+            m["dst_x"].to_numpy(dtype="int64") * (1 << 32)
+            + m["dst_y"].to_numpy(dtype="int64")
+        )
+        wedge = pa.Table.from_arrays(
+            [pa.array(k), pa.array(np.zeros(len(k), dtype=np.int64))],
             schema=wedge_schema,
         )
-
-    wedges = hash_exchange(edges, ["part_a"], shard_wedges, wedge_schema)
-
-    def key_wedge(t: pa.Table) -> pa.Table:
-        k = (
-            t["x"].to_numpy(zero_copy_only=False) * (1 << 32)
-            + t["y"].to_numpy(zero_copy_only=False)
+        od = df[["src"]].assign(n=outdeg).drop_duplicates("src")
+        n = od["n"].to_numpy(dtype="int64")
+        capped = np.minimum(n, WEDGE_OUT_CAP)
+        drop = n * (n - 1) // 2 - capped * (capped - 1) // 2
+        hit = drop > 0
+        if not hit.any():
+            return wedge
+        acct = pa.Table.from_arrays(
+            [pa.array([None] * int(hit.sum()), pa.int64()), pa.array(drop[hit])],
+            schema=wedge_schema,
         )
-        return pa.Table.from_arrays([pa.array(k)], names=["k"])
+        return pa.concat_tables([wedge, acct])
+
+    stream = hash_exchange(
+        oriented, ["src"], shard_wedges, wedge_schema
+    ).materialize()
+
+    def kept_keys(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_valid(t["k"])).select(["k"])
+
+    wedges = stream.map_batches(kept_keys, batch_format="pyarrow")
+
+    def drop_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_null(t["k"]))
+        return pa.Table.from_arrays(
+            [pa.array([pc.sum(t["dropped"]).as_py() or 0], pa.int64())],
+            names=["d"],
+        )
+
+    n_dropped = sum(
+        r["d"] for r in stream.map_batches(
+            drop_partial, batch_format="pyarrow"
+        ).take_all()
+    )
 
     def key_edge(t: pa.Table) -> pa.Table:
         k = (
@@ -5259,7 +5345,7 @@ def q_part_triangles(sf_dir: str) -> pd.DataFrame:
         )
 
     matched = hash_join(
-        wedges.map_batches(key_wedge, batch_format="pyarrow"),
+        wedges,
         edges.map_batches(key_edge, batch_format="pyarrow"),
         left_on="k",
         right_on="k",
@@ -5268,28 +5354,52 @@ def q_part_triangles(sf_dir: str) -> pd.DataFrame:
         right_fields=[pa.field("one", pa.int64())],
     )
     n_tri = matched.count()
+    n_kept = int(wedges.count())
     return pd.DataFrame([{
         "n_edges": int(edges.count()),
-        "n_wedges": int(wedges.count()),
+        "n_wedges": n_kept + int(n_dropped),
+        "n_wedges_kept": n_kept,
+        "wedges_dropped_by_cap": int(n_dropped),
         "n_triangles": int(n_tri),
     }]).astype("int64")
 
 
+# Replays the engine's degree-ordered orientation + rank-windowed cap
+# exactly (see q_part_triangles docstring): n_wedges is the ORDERED wedge
+# total — each triangle is one wedge at its lowest-degree vertex — not the
+# old id-oriented Σ C(outdeg_id, 2).
 SQL_PART_TRIANGLES = f"""
 WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-e AS (
+e AS MATERIALIZED (
   SELECT a.l_partkey AS a, b.l_partkey AS b
   FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
   GROUP BY 1, 2
   HAVING count(*) >= {BASKET_MIN_COUNT}
 ),
-w AS (
-  SELECT e1.b AS x, e2.b AS y
-  FROM e e1 JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b
+deg AS MATERIALIZED (
+  SELECT v, count(*) AS c FROM (
+    SELECT a AS v FROM e UNION ALL SELECT b FROM e) GROUP BY 1
+),
+o AS (
+  SELECT CASE WHEN (da.c < db.c) OR (da.c = db.c AND e.a < e.b)
+              THEN e.a ELSE e.b END AS src,
+         CASE WHEN (da.c < db.c) OR (da.c = db.c AND e.a < e.b)
+              THEN e.b ELSE e.a END AS dst
+  FROM e JOIN deg da ON da.v = e.a JOIN deg db ON db.v = e.b
+),
+r AS (SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY dst) AS rn
+      FROM o),
+w AS MATERIALIZED (
+  SELECT r1.dst AS x, r2.dst AS y,
+         (r1.rn <= {WEDGE_OUT_CAP} AND r2.rn <= {WEDGE_OUT_CAP}) AS kept
+  FROM r r1 JOIN r r2 ON r1.src = r2.src AND r1.dst < r2.dst
 )
 SELECT (SELECT count(*) FROM e) AS n_edges,
        (SELECT count(*) FROM w) AS n_wedges,
-       (SELECT count(*) FROM w JOIN e ON e.a = w.x AND e.b = w.y) AS n_triangles
+       (SELECT count(*) FILTER (WHERE kept) FROM w) AS n_wedges_kept,
+       (SELECT count(*) FILTER (WHERE NOT kept) FROM w) AS wedges_dropped_by_cap,
+       (SELECT count(*) FROM w JOIN e ON e.a = w.x AND e.b = w.y
+        WHERE w.kept) AS n_triangles
 """
 
 

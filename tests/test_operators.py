@@ -4952,3 +4952,142 @@ class TestRealGifVideo:
         for f, r in zip(frames, real):
             assert np.array_equal(read_gray_png(r["frame_png"]), f * 255)
         assert stub and all(not r["decode_ok"] for r in stub)
+
+
+class TestWedgeSkewGuard:
+    """Round-5 skew guard for the triangle family (VERDICT r4 finding #1):
+    degree-ordered wedge emission + exact-priced high-degree cap, driven
+    with a planted power-law hub (deg ~ sqrt(corpus)) — the topology the
+    naive per-center wedge fan-out dies on."""
+
+    @staticmethod
+    def _uedges_ds(pairs):
+        import ray.data as rdm
+        sym = [(a, b) for a, b in pairs] + [(b, a) for a, b in pairs]
+        t = pa.table({
+            "a": pa.array([p[0] for p in sym], pa.string()),
+            "b": pa.array([p[1] for p in sym], pa.string()),
+        })
+        return rdm.from_arrow(t)
+
+    @staticmethod
+    def _brute(pairs):
+        """Exact per-node triangle counts + degrees (independent replay)."""
+        from collections import defaultdict
+        from itertools import combinations
+
+        adj = defaultdict(set)
+        for a, b in pairs:
+            adj[a].add(b)
+            adj[b].add(a)
+        tri = defaultdict(int)
+        eset = {tuple(sorted(p)) for p in pairs}
+        for v, nb in adj.items():
+            for x, y in combinations(sorted(nb), 2):
+                if (x, y) in eset:
+                    tri[v] += 1
+        return adj, dict(tri)
+
+    def _hub_graph(self):
+        # hub with degree 70 (~sqrt(4900)); leaves degree 1-3; a few
+        # genuine triangles both touching and avoiding the hub
+        pairs = [("hub.example", f"leaf{i:03d}.example") for i in range(70)]
+        pairs += [("leaf000.example", "leaf001.example")]      # tri w/ hub
+        pairs += [("leaf002.example", "leaf003.example"),
+                  ("leaf003.example", "leaf004.example"),
+                  ("leaf002.example", "leaf004.example")]      # tri + w/ hub
+        pairs += [("outs0.example", "outs1.example"),
+                  ("outs1.example", "outs2.example"),
+                  ("outs0.example", "outs2.example")]          # hub-free tri
+        return pairs
+
+    def test_hub_graph_exact_and_bounded(self, ray_session):
+        from service1_text_extraction_ray.pipelines.queries import (
+            CLUST_UNIT, _capped_wedge_stream, _degree_orient,
+            _host_clustering_impl)
+
+        pairs = self._hub_graph()
+        uedges = self._uedges_ds(pairs)
+        adj, tri = self._brute(pairs)
+
+        # correctness: per-host (deg, n_tri, coeff) match the brute force
+        out = {r["host"]: r for r in _host_clustering_impl(uedges, 1024).take_all()}
+        assert set(out) == set(adj)
+        for v in adj:
+            d, t = len(adj[v]), tri.get(v, 0)
+            assert out[v]["deg"] == d
+            assert out[v]["n_tri"] == t
+            want = (2 * CLUST_UNIT * t) // (d * (d - 1)) if d >= 2 else 0
+            assert out[v]["coeff_micro"] == want
+            assert out[v]["wedges_dropped_by_cap"] == 0
+
+        # scale guard: oriented wedge volume is Sum C(outdeg,2), NOT the
+        # hub's C(70,2)=2415 — orientation points leaf->hub, so the hub
+        # emits nothing and the stream stays tiny
+        oriented = _degree_orient(uedges).materialize()
+        from collections import Counter
+        outdeg = Counter(r["src"] for r in oriented.take_all())
+        assert oriented.count() == len(pairs)  # each edge exactly once
+        assert outdeg.get("hub.example", 0) <= 3  # hub demoted to sink
+        n_wedges = sum(
+            1 for r in _capped_wedge_stream(oriented, 1024).take_all()
+            if r["pk"] is not None
+        )
+        expect = sum(n * (n - 1) // 2 for n in outdeg.values())
+        assert n_wedges == expect
+        assert n_wedges < 40  # vs 2415+ under naive per-center emission
+
+    def test_small_cap_prices_drops_exactly(self, ray_session):
+        from service1_text_extraction_ray.pipelines.queries import (
+            _host_clustering_impl)
+
+        # K6 clique: degrees all 5; orientation by (deg, id) gives out-
+        # degrees 5,4,3,2,1,0 by id order; cap=2 suppresses wedges at the
+        # three centers with outdeg>2: C(n,2)-C(2,2) each
+        nodes = [f"k{i}.example" for i in range(6)]
+        pairs = [(a, b) for i, a in enumerate(nodes) for b in nodes[i + 1:]]
+        out = {r["host"]: r for r in
+               _host_clustering_impl(self._uedges_ds(pairs), 2).take_all()}
+
+        # replay: center k_i has out-neighbors k_{i+1}..k_5 ranked by id;
+        # kept wedges = pairs among first 2 -> 1 per center with outdeg>=2
+        drops = {n: 0 for n in nodes}
+        tri = {n: 0 for n in nodes}
+        for i, c in enumerate(nodes):
+            nbrs = nodes[i + 1:]
+            n = len(nbrs)
+            k = min(n, 2)
+            drops[c] = n * (n - 1) // 2 - k * (k - 1) // 2
+            for xi in range(k):
+                for yi in range(xi + 1, k):
+                    # every pair in a clique is an edge -> triangle
+                    for v in (c, nbrs[xi], nbrs[yi]):
+                        tri[v] += 1
+        for v in nodes:
+            assert out[v]["deg"] == 5
+            assert out[v]["wedges_dropped_by_cap"] == drops[v]
+            assert out[v]["n_tri"] == tri[v]  # capped count, exact-replayed
+
+    def test_sql_oracle_replays_binding_cap(self, ray_session):
+        # force the cap to BIND on the real sf graph in BOTH engines: the
+        # Ray path and a cap-substituted oracle must still agree exactly
+        import duckdb
+
+        from service1_text_extraction_ray.pipelines import queries as Q
+
+        sf = "/root/testdata/sf0.001"
+        ray_out = (
+            Q._host_clustering_impl(Q._simple_uedges(sf), 1)
+            .to_pandas().sort_values("host").reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{sf}/documents.parquet')"
+        )
+        sql = Q.SQL_HOST_CLUSTERING.replace(f"<= {Q.WEDGE_OUT_CAP}", "<= 1")
+        sql_out = con.execute(sql).fetchdf().sort_values("host").reset_index(drop=True)
+        assert int(sql_out["wedges_dropped_by_cap"].sum()) > 0  # cap bound
+        pd.testing.assert_frame_equal(
+            ray_out[sql_out.columns].astype("int64", errors="ignore"), sql_out
+        )
