@@ -119,6 +119,51 @@ def documents_to_pages(sf_dir: str) -> rd.Dataset:
     return docs.map_batches(to_pages, batch_format="pyarrow")
 
 
+_SCAN_MAX_LINE_CHARS = 70
+_SCAN_LINES_PER_PAGE = 4  # median testdata doc ≈ 5 lines -> most docs get 2 pages
+
+
+def scanned_doc_plan(doc_id: int, text: str) -> tuple:
+    """The deterministic page plan of one scanned-corpus document:
+    ``(page_lines, expected, trap)``. Factored out of
+    documents_to_scanned_pages so ocr_eval can compute the planted GOLDEN
+    (needs only ``expected``) without paying make_scanned_pdf's raster."""
+    # ASCII-printable sanitize: the raster subset advances blank on
+    # other codepoints, so the planted golden must match what the
+    # pixels can carry.
+    words = [
+        "".join(ch for ch in w if 32 <= ord(ch) < 127)
+        for w in (text or "").split()
+    ]
+    words = [w for w in words if w] or ["blank"]
+    lines: list = []
+    cur = ""
+    for w in words:
+        if cur and len(cur) + 1 + len(w) > _SCAN_MAX_LINE_CHARS:
+            lines.append(cur)
+            cur = w
+        else:
+            cur = f"{cur} {w}".strip()
+    if cur:
+        lines.append(cur)
+    trap = int(doc_id) % 3 == 0
+    page_lines, expected = [], []
+    for p, start in enumerate(range(0, len(lines), _SCAN_LINES_PER_PAGE), 1):
+        body = lines[start : start + _SCAN_LINES_PER_PAGE]
+        if trap:
+            header = f"p. {p}"
+            page_lines.append([header] + body)
+            expected.append((p, header + "\n\n" + "\n".join(body)))
+        else:
+            page_lines.append(body)
+            expected.append((p, "\n".join(body)))
+    return page_lines, expected, trap
+
+
+def scanned_url(doc_id: int) -> str:
+    return f"https://scans.example/{doc_id:08d}"
+
+
 def documents_to_scanned_pages(sf_dir: str) -> rd.Dataset:
     """Wrap the testdata ``documents`` table into SCANNED pages rows: each
     doc's text rendered into image-XObject-only PDFs (make_scanned_pdf) —
@@ -132,9 +177,6 @@ def documents_to_scanned_pages(sf_dir: str) -> rd.Dataset:
     from ..functions.render import combine_pages
     from ..functions.synth import make_scanned_pdf
 
-    MAX_LINE_CHARS = 70
-    LINES_PER_PAGE = 4  # median testdata doc ≈ 5 lines -> most docs get 2 pages
-
     def to_scanned(batch: pa.Table) -> pa.Table:
         rows = []
         for doc_id, text, lang in zip(
@@ -143,39 +185,11 @@ def documents_to_scanned_pages(sf_dir: str) -> rd.Dataset:
             batch["lang"].to_pylist(),
         ):
             rng = random.Random(431_000_011 + int(doc_id))
-            # ASCII-printable sanitize: the raster subset advances blank on
-            # other codepoints, so the planted golden must match what the
-            # pixels can carry.
-            words = [
-                "".join(ch for ch in w if 32 <= ord(ch) < 127)
-                for w in (text or "").split()
-            ]
-            words = [w for w in words if w] or ["blank"]
-            lines: list = []
-            cur = ""
-            for w in words:
-                if cur and len(cur) + 1 + len(w) > MAX_LINE_CHARS:
-                    lines.append(cur)
-                    cur = w
-                else:
-                    cur = f"{cur} {w}".strip()
-            if cur:
-                lines.append(cur)
-            trap = int(doc_id) % 3 == 0
-            page_lines, expected = [], []
-            for p, start in enumerate(range(0, len(lines), LINES_PER_PAGE), 1):
-                body = lines[start : start + LINES_PER_PAGE]
-                if trap:
-                    header = f"p. {p}"
-                    page_lines.append([header] + body)
-                    expected.append((p, header + "\n\n" + "\n".join(body)))
-                else:
-                    page_lines.append(body)
-                    expected.append((p, "\n".join(body)))
+            page_lines, expected, trap = scanned_doc_plan(int(doc_id), text)
             payload = make_scanned_pdf(page_lines, rng, psm_trap=trap)
             rows.append(
                 {
-                    "url": f"https://scans.example/{doc_id:08d}",
+                    "url": scanned_url(int(doc_id)),
                     "warc_ts": EPOCH_US + int(doc_id) * 41_000_000,
                     "html": payload,
                     "text": combine_pages(expected),
@@ -189,6 +203,32 @@ def documents_to_scanned_pages(sf_dir: str) -> rd.Dataset:
         columns=["doc_id", "text", "lang"],
     )
     return docs.map_batches(to_scanned, batch_format="pyarrow")
+
+
+def scanned_goldens(sf_dir: str) -> rd.Dataset:
+    """(url, golden) of the scanned corpus WITHOUT building any pixels —
+    the cheap side of ocr_eval's keyed join (same plan as
+    documents_to_scanned_pages, raster skipped)."""
+    from ..functions.render import combine_pages
+
+    schema = pa.schema([("url", pa.string()), ("golden", pa.string())])
+
+    def f(batch: pa.Table) -> pa.Table:
+        rows = []
+        for doc_id, text in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            _, expected, _ = scanned_doc_plan(int(doc_id), text)
+            rows.append({
+                "url": scanned_url(int(doc_id)),
+                "golden": combine_pages(expected),
+            })
+        return pa.Table.from_pylist(rows, schema=schema)
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return docs.map_batches(f, batch_format="pyarrow")
 
 
 def read_pages_jsonl(input_path: str) -> rd.Dataset:
@@ -284,6 +324,17 @@ def _sha1_b32(payload: bytes) -> bytes:
     return b"sha1:" + base64.b32encode(hashlib.sha1(payload).digest())
 
 
+def surt_urlkey(url: str) -> str:
+    """SURT-canonicalized CDX ``urlkey``: host labels reversed and
+    comma-joined, ``)/`` then the path — ``https://docs.example/x`` ->
+    ``example,docs)/x`` (the Common Crawl index sort key; scheme dropped,
+    host lower-cased)."""
+    rest = url.split("://", 1)[-1]
+    host, _, path = rest.partition("/")
+    host = host.lower().split(":", 1)[0]
+    return ",".join(reversed(host.split("."))) + ")/" + path
+
+
 def _warc_record(rec_type: bytes, uri: str, date_iso: str, payload: bytes,
                  extra: list) -> bytes:
     hdrs = [
@@ -364,8 +415,14 @@ def write_pages_warc(pages: rd.Dataset, out_dir: str,
                 # shard names across re-runs (the resume contract)
                 recs = [gzip.compress(r, mtime=0) for r in recs]
             buf.extend(recs)
-            index.append((row["url"], "response", _sha1_b32(body).decode("ascii")))
-            index.append((row["url"], "conversion", _sha1_b32(wet_body).decode("ascii")))
+            # CDX11 sort key + 14-digit timestamp (derived from the same
+            # WARC-Date the record carries)
+            urlkey = surt_urlkey(row["url"])
+            ts14 = "".join(ch for ch in date_iso if ch.isdigit())[:14]
+            index.append((row["url"], urlkey, ts14, "response",
+                          _sha1_b32(body).decode("ascii")))
+            index.append((row["url"], urlkey, ts14, "conversion",
+                          _sha1_b32(wet_body).decode("ascii")))
         blob = b"".join(buf)
         name = hashlib.md5(blob).hexdigest()[:16]
         ext = "warc.gz" if gzip_members else "warc"
@@ -382,9 +439,10 @@ def write_pages_warc(pages: rd.Dataset, out_dir: str,
                 offs.append((off, len(r)))
                 off += len(r)
             cdx = pa.Table.from_pylist([
-                {"url": u, "rec_type": rt, "shard": os.path.basename(path),
+                {"urlkey": uk, "timestamp": ts, "url": u, "rec_type": rt,
+                 "shard": os.path.basename(path),
                  "offset": o, "length": ln, "digest": dg}
-                for (u, rt, dg), (o, ln) in zip(index, offs)
+                for (u, uk, ts, rt, dg), (o, ln) in zip(index, offs)
             ])
             cdx_path = os.path.join(cdx_dir, f"pages-{name}.cdx.parquet")
             _pq.write_table(cdx, cdx_path + ".tmp")
