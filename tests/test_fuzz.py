@@ -457,3 +457,146 @@ def test_gif_gce_undersized_block_leaves_delay_zero():
     frames2, delays2 = read_gif(bad)
     assert delays2 == [0]
     assert (frames2[0] == frames[0]).all()
+
+
+# ---------------------------------------------------------------------------
+# Round-5 campaign: STRUCTURED tag-soup HTML (VERDICT r4 #6). Random bytes
+# almost never exercise the parser's tag/entity/comment state machine;
+# these strategies compose real-looking but malformed markup — misnested
+# and stray tags, unterminated comments/CDATA, bad numeric/named entities,
+# hidden-subtree attributes, truncation mid-tag — and assert totality,
+# determinism, block invariants, and batch-vs-sequential equality.
+# ---------------------------------------------------------------------------
+
+_SOUP_TAGS = ["div", "p", "span", "a", "li", "ul", "h2", "td", "table",
+              "article", "nav", "script", "style", "b", "em", "form",
+              "noscript", "pre", "br", "img", "input", "svg", "iframe"]
+
+_soup_words = st.lists(
+    st.one_of(
+        st.text(alphabet="abcdefghij KLMNOP.,;'!", min_size=1, max_size=12),
+        st.sampled_from([
+            "&amp;", "&amp", "&lt;", "&nosuchentity;", "&#65;", "&#x41;",
+            "&#xZZ;", "&#99999999;", "&#;", "caf\u00e9", "\u2028", "  ",
+        ]),
+    ),
+    min_size=0, max_size=6,
+).map(" ".join)
+
+_soup_attr = st.sampled_from([
+    "", " class=x", " hidden", ' style="display:none"',
+    ' style="color:red"', ' href="/a"', " broken=", ' x="unclosed',
+])
+
+
+@st.composite
+def _tag_soup(draw):
+    n = draw(st.integers(min_value=1, max_value=14))
+    frags = []
+    for _ in range(n):
+        kind = draw(st.integers(min_value=0, max_value=9))
+        tag = draw(st.sampled_from(_SOUP_TAGS))
+        if kind <= 2:
+            frags.append(f"<{tag}{draw(_soup_attr)}>")
+        elif kind == 3:
+            frags.append(f"</{tag}>")
+        elif kind == 4:
+            frags.append(draw(_soup_words))
+        elif kind == 5:
+            frags.append(f"<{tag}{draw(_soup_attr)}/>")
+        elif kind == 6:
+            frags.append(draw(st.sampled_from([
+                "<!-- ok -->", "<!-- unterminated", "<!--", "<!doctype html>",
+                "<![CDATA[x]]>", "<![CDATA[open", "<?php echo ?>", "<?",
+                "<! bogus >", "</>", "< notatag>",
+            ])))
+        elif kind == 7:
+            frags.append(f"<{tag}")  # truncated mid-tag
+        elif kind == 8:
+            frags.append(draw(_soup_words))
+        else:
+            frags.append(f"</{tag} >")
+    body = "".join(frags)
+    if draw(st.booleans()):
+        body = f"<html><body>{body}</body></html>"
+    return body
+
+
+@settings(max_examples=6000, deadline=None)
+@given(soup=_tag_soup())
+def test_tag_soup_extraction_total_and_deterministic(soup):
+    from service1_text_extraction_ray.functions.html_extract import (
+        _WS_RE, parse_blocks)
+
+    payload = soup.encode("utf-8", "surrogatepass")
+    res = extract_document("u://soup", payload, CFG)
+    _check_doc_result(res)
+    assert extract_document("u://soup", payload, CFG) == res
+    # block invariants: normalized whitespace, link chars bounded
+    for b in parse_blocks(soup):
+        assert b.text == _WS_RE.sub(" ", b.text).strip()
+        assert 0 <= b.link_chars <= b.text_chars
+    assert parse_blocks(soup) == parse_blocks(soup)
+
+
+@settings(max_examples=2500, deadline=None)
+@given(soup=_tag_soup())
+def test_tag_soup_batch_stage_equals_sequential(soup):
+    """Differential: the Arrow actor-batch path (SniffStage ->
+    ExtractDocuments) must produce byte-identical doc_text/content_hash to
+    a direct sequential extract_document call — the plumbing (truncation,
+    null handling, Arrow round-trip) adds nothing and loses nothing."""
+    import pyarrow as _pa
+
+    from service1_text_extraction_ray.functions.extract import doc_content_hash
+    from service1_text_extraction_ray.functions.synth import PAGES_SCHEMA
+    from service1_text_extraction_ray.stages.extract_stage import (
+        ExtractDocuments, SniffStage)
+
+    payload = soup.encode("utf-8", "surrogatepass")
+    batch = _pa.Table.from_pylist(
+        [{"url": "u://soup", "warc_ts": 0, "html": payload,
+          "text": "", "lang": "en"}],
+        schema=PAGES_SCHEMA,
+    )
+    out = ExtractDocuments(CFG)(SniffStage(CFG)(batch)).to_pylist()[0]
+    seq = extract_document("u://soup", payload, CFG)
+    assert out["doc_text"] == seq["doc_text"]
+    assert out["status"] == seq["status"]
+    assert out["n_pages"] == seq["n_pages"]
+    assert out["content_hash"] == doc_content_hash(seq["doc_text"])
+
+
+@settings(max_examples=1500, deadline=None)
+@given(soup=_tag_soup())
+def test_tag_soup_encoding_differential(soup):
+    """The same logical markup delivered as utf-8, BOM'd utf-8 and BOM'd
+    utf-16 must decode to the same text (WHATWG precedence in
+    decode_payload); a mis-declared charset must not crash."""
+    from service1_text_extraction_ray.functions.html_extract import (
+        decode_payload)
+
+    clean = soup.encode("utf-8", errors="ignore").decode("utf-8")
+    u8 = clean.encode("utf-8")
+    assert decode_payload(u8) == clean
+    assert decode_payload(b"\xef\xbb\xbf" + u8) == clean
+    assert decode_payload(b"\xff\xfe" + clean.encode("utf-16-le")) == clean
+    assert decode_payload(b"\xfe\xff" + clean.encode("utf-16-be")) == clean
+    # declared charset that lies about the bytes: falls through, never raises
+    lied = b'<meta charset="shift_jis">' + u8 + b"\xff\xfe\xfd"
+    assert isinstance(decode_payload(lied), str)
+
+
+def test_declared_charset_fixture():
+    """Pin the declared-charset branch with real non-UTF-8 bytes: a latin-1
+    page whose meta declares iso-8859-1 decodes through the declaration."""
+    from service1_text_extraction_ray.functions.html_extract import (
+        decode_payload)
+
+    body = "<html><meta charset=iso-8859-1><p>caf\u00e9 touch\u00e9</p>"
+    payload = body.encode("latin-1")
+    assert decode_payload(payload) == body
+    # same bytes without the declaration: invalid utf-8 -> latin-1 fallback,
+    # identical result by construction
+    no_meta = "<html><p>caf\u00e9</p>".encode("latin-1")
+    assert decode_payload(no_meta) == "<html><p>caf\u00e9</p>"
