@@ -174,13 +174,25 @@ _SCANNED_EXTRACTION_CACHE: Dict[str, rd.Dataset] = {}
 def _scanned_extraction(sf_dir: str) -> rd.Dataset:
     from ..functions.extract import ExtractConfig
     from ..sources.pages_source import documents_to_scanned_pages
+    from ..stages.extract_stage import ExtractDocuments, SniffStage
 
     ds = _SCANNED_EXTRACTION_CACHE.get(sf_dir)
     if ds is None:
         cfg = ExtractConfig(ocr_backend="fake")
-        ds = extract_dataset(
-            documents_to_scanned_pages(sf_dir), cfg
-        ).materialize()
+        _prepare_session()
+        # Elastic TASKS, not the flagship's actor pool: per-batch OCR cost
+        # dominates (full-page rasterize+recognize, ~30x a plain parse), so
+        # the pool's measured (3n/4, n-1) floor starves the stage on this
+        # medium corpus (measured 27s pool vs 19s tasks @32cpu/sf0.1),
+        # while the pool's reason to exist — amortizing parser init —
+        # buys nothing here (the pixel recognizer is stateless). Passing a
+        # callable INSTANCE keeps function mode.
+        ds = (
+            documents_to_scanned_pages(sf_dir)
+            .map_batches(SniffStage(cfg), batch_format="pyarrow")
+            .map_batches(ExtractDocuments(cfg), batch_format="pyarrow")
+            .materialize()
+        )
         _SCANNED_EXTRACTION_CACHE[sf_dir] = ds
     return ds
 
