@@ -10821,6 +10821,85 @@ def q_host_clustering(sf_dir: str) -> rd.Dataset:
     return _host_clustering_impl(_simple_uedges(sf_dir), WEDGE_OUT_CAP)
 
 
+def q_host_transitivity(sf_dir: str) -> pd.DataFrame:
+    """GLOBAL transitivity of the host graph: 3 * triangles / wedges
+    (Newman's clustering coefficient) in integer micro-units — one number
+    summarizing how link-farm-like the whole crawl's host neighborhood
+    structure is (random web graphs sit near 0; template/mirror farms
+    push it up). Composes the round-5 skew-guarded machinery end-to-end:
+
+      - triangles from the degree-oriented capped wedge stream
+        (_degree_orient + _capped_wedge_stream + closure semi-join) —
+        each triangle counted ONCE, hub-safe;
+      - wedges (the denominator, Sum C(deg,2) over CENTERED pairs — the
+        standard definition, NOT the oriented count) from the same
+        per-block degree partials as q_host_clustering, reduced by the
+        closed form without materializing any pair.
+
+    Output one row: n_hosts, n_edges, n_wedges, n_triangles,
+    transitivity_micro = (3 * 10^6 * n_triangles) // n_wedges (0 when
+    wedge-free). All-integer -> exact at any parallelism."""
+    from ray.data.aggregate import Sum as RSum
+
+    from .relational import hash_join
+
+    uedges = _simple_uedges(sf_dir)
+    oriented = _degree_orient(uedges).materialize()
+    stream = _capped_wedge_stream(oriented, WEDGE_OUT_CAP)
+
+    def wedge_rows(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_valid(t["pk"])).select(["pk"])
+
+    def canon(t: pa.Table) -> pa.Table:
+        kept = t.filter(pc.less(t["a"], t["b"]))
+        pk = pc.binary_join_element_wise(
+            pc.cast(kept["a"], pa.string()), pc.cast(kept["b"], pa.string()), "|"
+        )
+        return pa.Table.from_arrays([pk], names=["pk"])
+
+    n_tri = hash_join(
+        stream.map_batches(wedge_rows, batch_format="pyarrow"),
+        uedges.map_batches(canon, batch_format="pyarrow"),
+        left_on="pk",
+        right_on="pk",
+        key_type=pa.string(),
+        left_fields=[],
+        right_fields=[],
+        how="semi",
+    ).count()
+
+    def deg_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("a").aggregate([([], "count_all")])
+        return pa.Table.from_arrays(
+            [g["a"], pc.cast(g["count_all"], pa.int64())],
+            names=["host", "deg"],
+        )
+
+    deg = (
+        uedges.map_batches(deg_partial, batch_format="pyarrow")
+        .groupby("host")
+        .aggregate(RSum("deg", alias_name="deg"))
+    )
+
+    def reduce_counts(t: pa.Table) -> pa.Table:
+        d = t["deg"].to_numpy(zero_copy_only=False)
+        return pa.Table.from_pylist([{
+            "n_hosts": int(len(d)),
+            "n_edges2": int(d.sum()),             # both directions
+            "n_wedges": int((d * (d - 1) // 2).sum()),
+        }])
+
+    parts = deg.map_batches(reduce_counts, batch_format="pyarrow").to_pandas()
+    n_hosts = int(parts["n_hosts"].sum())
+    n_edges = int(parts["n_edges2"].sum()) // 2
+    n_wedges = int(parts["n_wedges"].sum())
+    tmic = (3 * CLUST_UNIT * int(n_tri)) // n_wedges if n_wedges else 0
+    return pd.DataFrame([{
+        "n_hosts": n_hosts, "n_edges": n_edges, "n_wedges": n_wedges,
+        "n_triangles": int(n_tri), "transitivity_micro": tmic,
+    }]).astype("int64")
+
+
 # Replays the ENGINE's skew-guarded plan exactly: degree-(then id-)ordered
 # edge orientation, rank-windowed WEDGE_OUT_CAP, 3-way triangle credit, and
 # the per-center dropped-wedge accounting — so if the cap ever binds on a
@@ -10885,6 +10964,47 @@ FROM deg d LEFT JOIN tri t USING (host) LEFT JOIN dropped dr USING (host)
 # ---------------------------------------------------------------------------
 # Graph algorithm #8: connected components via large-star / small-star
 # ---------------------------------------------------------------------------
+
+
+# Independent formulation (not a plan replay): triangles counted once via
+# the id-ordered 3-way self-join, wedges by the closed form over symmetric
+# degrees — a genuinely different computation agreeing with the engine's
+# degree-oriented stream is the strongest kind of oracle.
+SQL_HOST_TRANSITIVITY = f"""
+WITH base AS (SELECT doc_id, source FROM documents WHERE doc_id % 7 <> 0),
+links AS (
+  SELECT source || '.example.com' AS src,
+         'src' || ((doc_id * 7 + 1) % 20) || '.example.net' AS dst FROM base
+  UNION ALL
+  SELECT source || '.example.com', 'cdn.example.org' FROM base
+  UNION ALL
+  SELECT source || '.example.com', CASE WHEN doc_id % 6 = 3 THEN 'base' || (doc_id % 4) || '.example.org' ELSE source || '.example.com' END FROM base
+),
+uedges AS MATERIALIZED (
+  SELECT src AS a, dst AS b FROM links WHERE src <> dst
+  UNION
+  SELECT dst, src FROM links WHERE src <> dst
+),
+e AS MATERIALIZED (SELECT a, b FROM uedges WHERE a < b),
+deg AS (SELECT a AS host, count(*) AS d FROM uedges GROUP BY 1),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_hosts,
+         CAST(sum(d) // 2 AS BIGINT) AS n_edges,
+         CAST(sum(d * (d - 1) // 2) AS BIGINT) AS n_wedges
+  FROM deg
+),
+tri AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_triangles
+  FROM e e1
+  JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b
+  JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
+)
+SELECT a.n_hosts, a.n_edges, a.n_wedges, t.n_triangles,
+       CAST(CASE WHEN a.n_wedges > 0
+                 THEN (3 * {CLUST_UNIT} * t.n_triangles) // a.n_wedges
+                 ELSE 0 END AS BIGINT) AS transitivity_micro
+FROM agg a, tri t
+"""
 
 
 def q_host_components_star(sf_dir: str) -> rd.Dataset:
