@@ -9748,6 +9748,106 @@ FROM recs
 """
 
 
+def q_table_upsert(sf_dir: str) -> pd.DataFrame:
+    """MERGE (upsert) exercised end-to-end through the lineage layer
+    (state/lineage.py upsert_rows — the recrawl-refresh primitive): build
+    a 4-shard committed table from the even documents, then apply one
+    table-level upsert that REPLACES every doc_id%6==0 row with recrawled
+    content (+1000 chars, new hash) and APPENDS fresh odd doc_id%7==0
+    rows — and return the final table's rows read back through the
+    manifests. Every byte of the result is closed-form arithmetic over
+    the documents table, so the DuckDB oracle replays the merge exactly:
+    a wrong replacement, lost append, duplicate row or stale part fails
+    the value hash. Shard routing is the stored shard_id row column
+    (doc_id % 4), as in DOC_SCHEMA."""
+    import hashlib as _hl
+    import shutil
+    import tempfile
+    import zlib as _zl
+
+    from ..state import lineage as lin
+
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"graft_upsert_{_zl.crc32(sf_dir.encode()):08x}",
+    )
+    shutil.rmtree(out, ignore_errors=True)
+
+    docs = (
+        rd.read_parquet(_pq(sf_dir, "documents"),
+                        columns=["doc_id", "text", "n_chars"])
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+
+    def mk_rows(df, recrawl=False):
+        n = len(df)
+        bump = 1000 if recrawl else 0
+        tag = "v2-" if recrawl else ""
+        return pa.table({
+            "url": pa.array([f"https://t.example/{d:08d}" for d in df["doc_id"]]),
+            "status": pa.array(["ok"] * n),
+            "n_pages": pa.array(np.ones(n, dtype=np.int64)),
+            "n_pages_ok": pa.array(np.ones(n, dtype=np.int64)),
+            "doc_chars": pa.array(df["n_chars"].to_numpy(dtype="int64") + bump),
+            "truncated": pa.array([False] * n),
+            "password_required": pa.array([False] * n),
+            "content_hash": pa.array([
+                _hl.md5((tag + (t or "")).encode("utf-8")).hexdigest()
+                for t in df["text"]
+            ]),
+            "shard_id": pa.array(df["doc_id"].to_numpy(dtype="int64") % 4),
+        })
+
+    # even doc_ids land on shards 0 and 2 only; the appended odd rows later
+    # route to shards 1/3, exercising upsert's fresh-shard creation too
+    base = docs[docs["doc_id"] % 2 == 0]
+    for sid in sorted((base["doc_id"] % 4).unique()):
+        sub = base[base["doc_id"] % 4 == sid]
+        lin.commit_shard_manifest(
+            out, int(sid), [lin.write_part(out, int(sid), mk_rows(sub))]
+        )
+
+    replaced = docs[docs["doc_id"] % 6 == 0]
+    appended = docs[(docs["doc_id"] % 2 == 1) & (docs["doc_id"] % 7 == 0)]
+    upd = pa.concat_tables([mk_rows(replaced, recrawl=True), mk_rows(appended)])
+    lin.upsert_rows(out, upd)
+
+    final = lin.read_all(out)
+    return (
+        final.select(["url", "shard_id", "doc_chars", "content_hash"])
+        .to_pandas()
+        .astype({"shard_id": "int64", "doc_chars": "int64"})
+    )
+
+
+SQL_TABLE_UPSERT = """
+WITH base AS (
+  SELECT doc_id, text, n_chars FROM documents WHERE doc_id % 2 = 0
+),
+merged AS (
+  -- surviving originals: even docs NOT recrawled
+  SELECT doc_id, text, n_chars, false AS recrawled
+  FROM base WHERE doc_id % 6 <> 0
+  UNION ALL
+  -- replaced rows (doc_id%6=0 is even, so these REPLACE base rows)
+  SELECT doc_id, text, n_chars, true
+  FROM documents WHERE doc_id % 6 = 0
+  UNION ALL
+  -- appended rows: odd doc_id%7=0 never existed in the base table
+  SELECT doc_id, text, n_chars, false
+  FROM documents WHERE doc_id % 2 = 1 AND doc_id % 7 = 0
+)
+SELECT 'https://t.example/' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS url,
+       CAST(doc_id % 4 AS BIGINT) AS shard_id,
+       CAST(n_chars + CASE WHEN recrawled THEN 1000 ELSE 0 END AS BIGINT)
+         AS doc_chars,
+       md5(CASE WHEN recrawled THEN 'v2-' ELSE '' END || coalesce(text, ''))
+         AS content_hash
+FROM merged
+"""
+
+
 def q_doc_nfc_normalize(sf_dir: str) -> rd.Dataset:
     """Unicode NFC normalization per document (the canonical-composition
     pass multilingual training corpora run before tokenization — decomposed

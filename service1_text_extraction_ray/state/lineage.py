@@ -448,6 +448,93 @@ def compact_shard(out_dir: str, shard_id: int, target_rows: int = 100_000,
     return new_rec
 
 
+def upsert_shard(out_dir: str, shard_id: int, updates: pa.Table,
+                 key: str = "url", target_rows: int = 100_000,
+                 fs: Optional[Any] = None) -> Dict[str, Any]:
+    """MERGE (upsert) one shard: stored rows whose ``key`` matches an
+    update row are REPLACED by it; update rows with new keys are APPENDED
+    — the recrawl-refresh primitive (Iceberg MERGE INTO at shard
+    granularity). ``updates`` must carry the shard's full row schema and
+    be unique on ``key`` (asserted).
+
+    Crash-safe by the same discipline as compaction: the merged
+    content-addressed parts are written FIRST, then the manifest
+    atomically re-points, and only then are replaced parts unlinked — a
+    crash at any step leaves a manifest whose parts all exist. The merged
+    rows are sorted by ``key`` before the part split, so the same logical
+    upsert lands on identical part names at any parallelism. Counters and
+    content_hash are recomputed from the merged rows (content genuinely
+    changed — unlike compaction there is no preservation invariant).
+    Snapshots pinned before the upsert keep reading the OLD rows until a
+    replaced part is unlinked, after which they expire (SnapshotExpired)
+    exactly like compaction — pin-then-upsert plus vacuum retention is
+    the supported time-travel window. A shard with no committed manifest
+    is created fresh from the updates. Returns the new manifest record
+    plus ``n_replaced`` / ``n_appended``."""
+    fs = _fs(fs)
+    keys = updates[key].to_pylist()
+    if len(set(keys)) != len(keys):
+        raise ValueError(f"updates are not unique on {key!r}")
+
+    rec_by_id = {r["shard_id"]: r for r in load_lineage(out_dir, fs)}
+    rec = rec_by_id.get(shard_id)
+    if rec is None:
+        old = updates.schema.empty_table()
+        old_parts: set = set()
+    else:
+        old = read_shard(out_dir, shard_id, fs)
+        old_parts = set(rec["parts"])
+
+    match = pc.is_in(old[key], value_set=pa.array(sorted(set(keys))))
+    kept = old.filter(pc.invert(pc.fill_null(match, False)))
+    n_replaced = old.num_rows - kept.num_rows
+    n_appended = updates.num_rows - n_replaced
+    merged = pa.concat_tables(
+        [kept, updates.select(old.schema.names).cast(old.schema)]
+    ).sort_by(key)
+
+    new_records = []
+    step = max(1, -(-merged.num_rows // max(1, -(-merged.num_rows // target_rows))))
+    for start in range(0, merged.num_rows, step):
+        new_records.append(
+            write_part(out_dir, shard_id, merged.slice(start, step), fs)
+        )
+    new_rec = commit_shard_manifest(out_dir, shard_id, new_records, fs)
+
+    ddir = shard_data_dir(out_dir, shard_id)
+    pdir = pending_dir(out_dir, shard_id)
+    for part in old_parts - set(new_rec["parts"]):
+        fs.remove(os.path.join(ddir, part))
+        fs.remove(os.path.join(pdir, part.replace(".parquet", ".json")))
+    new_rec = dict(new_rec)
+    new_rec["n_replaced"] = n_replaced
+    new_rec["n_appended"] = n_appended
+    return new_rec
+
+
+def upsert_rows(out_dir: str, updates: pa.Table, key: str = "url",
+                shard_col: str = "shard_id", target_rows: int = 100_000,
+                fs: Optional[Any] = None) -> Dict[str, Any]:
+    """Table-level MERGE: split ``updates`` by its ``shard_col`` and upsert
+    each affected shard (thread-pooled — per-shard work is IO-bound part
+    rewriting; untouched shards are never read). The update stream must
+    already carry the table's shard assignment, which every row written by
+    this engine does (DOC_SCHEMA ``shard_id``). Returns totals."""
+    sids = sorted(set(updates[shard_col].to_pylist()))
+
+    def one(sid):
+        sub = updates.filter(pc.equal(updates[shard_col], sid))
+        return upsert_shard(out_dir, int(sid), sub, key=key,
+                            target_rows=target_rows, fs=fs)
+
+    recs = thread_map(one, sids)
+    return {
+        "shards_touched": len(recs),
+        "n_replaced": sum(r["n_replaced"] for r in recs),
+        "n_appended": sum(r["n_appended"] for r in recs),
+    }
+
+
 def compact_output(out_dir: str, target_rows: int = 100_000,
                    fs: Optional[Any] = None) -> Dict[str, Any]:
     """Compact every committed shard (thread-pooled: compaction is IO-bound

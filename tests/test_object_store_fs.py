@@ -499,3 +499,113 @@ class TestSnapshotDiff:
         d2 = L.snapshot_diff(out, 2, 3)
         assert d2 == {"added_shards": [], "removed_shards": [],
                       "changed_shards": [], "docs_delta": 0}
+
+
+class TestUpsert:
+    """MERGE (upsert) at shard granularity — the recrawl-refresh primitive
+    completing the table lifecycle (append/compact/snapshot/vacuum/diff)."""
+
+    @staticmethod
+    def _recrawl(i0, n):
+        # same urls as _rows(i0, n) but re-extracted content: different
+        # content_hash + doc_chars, the recrawl shape
+        t = _rows(i0, n)
+        return t.set_column(
+            t.schema.get_field_index("doc_chars"),
+            "doc_chars",
+            pa.array([1000 + i for i in range(i0, i0 + n)], pa.int64()),
+        ).set_column(
+            t.schema.get_field_index("content_hash"),
+            "content_hash",
+            pa.array([hashlib.sha256(f"v2-{i}".encode()).hexdigest()
+                      for i in range(i0, i0 + n)]),
+        )
+
+    def test_upsert_replaces_and_appends(self, tmp_path):
+        out = str(tmp_path / "up")
+        L.commit_shard_manifest(out, 0, [L.write_part(out, 0, _rows(0, 5))])
+        # urls 3,4 replaced with recrawled content; 5,6 are new
+        rec = L.upsert_shard(out, 0, self._recrawl(3, 4))
+        assert rec["n_replaced"] == 2 and rec["n_appended"] == 2
+        got = L.read_all(out)
+        assert got.num_rows == 7
+        by_url = {u: c for u, c in zip(got["url"].to_pylist(),
+                                       got["doc_chars"].to_pylist())}
+        assert by_url["https://d/2"] == 12      # untouched original
+        assert by_url["https://d/3"] == 1003    # replaced
+        assert by_url["https://d/6"] == 1006    # appended
+        # counters recomputed: manifest agrees with the merged rows
+        man = {r["shard_id"]: r for r in L.load_lineage(out)}[0]
+        assert man["n_docs"] == 7
+
+    def test_upsert_is_deterministic_and_idempotent(self, tmp_path):
+        out = str(tmp_path / "up2")
+        L.commit_shard_manifest(out, 0, [L.write_part(out, 0, _rows(0, 5))])
+        r1 = L.upsert_shard(out, 0, self._recrawl(2, 2))
+        parts1 = {r["shard_id"]: r for r in L.load_lineage(out)}[0]["parts"]
+        # re-applying the same upsert is a no-op on content (idempotent by
+        # content addressing): same part names, same hash
+        r2 = L.upsert_shard(out, 0, self._recrawl(2, 2))
+        parts2 = {r["shard_id"]: r for r in L.load_lineage(out)}[0]["parts"]
+        assert parts1 == parts2
+        assert r1["content_hash"] == r2["content_hash"]
+        assert r2["n_replaced"] == 2 and r2["n_appended"] == 0
+
+    def test_upsert_duplicate_keys_rejected(self, tmp_path):
+        import pytest
+
+        out = str(tmp_path / "up3")
+        L.commit_shard_manifest(out, 0, [L.write_part(out, 0, _rows(0, 3))])
+        dup = pa.concat_tables([_rows(1, 1), _rows(1, 1)])
+        with pytest.raises(ValueError):
+            L.upsert_shard(out, 0, dup)
+
+    def test_upsert_fresh_shard_and_table_level(self, tmp_path):
+        # stored rows carry shard_id as a ROW column (DOC_SCHEMA does), so
+        # table-level routing needs no side channel
+        def rows_with_sid(i0, n, sid, recrawl=False):
+            t = self._recrawl(i0, n) if recrawl else _rows(i0, n)
+            return t.append_column("shard_id", pa.array([sid] * n, pa.int64()))
+
+        out = str(tmp_path / "up4")
+        L.commit_shard_manifest(out, 0, [L.write_part(out, 0, rows_with_sid(0, 4, 0))])
+        # updates span the existing shard 0 (urls 2,3 replaced; url 4 new)
+        # and a brand-new shard 7
+        upd = pa.concat_tables([
+            rows_with_sid(2, 3, 0, recrawl=True),
+            rows_with_sid(100, 2, 7),
+        ])
+        res = L.upsert_rows(out, upd)
+        assert res["shards_touched"] == 2
+        assert res["n_replaced"] == 2   # urls 2,3 existed in shard 0
+        assert res["n_appended"] == 3   # url 4 + the two shard-7 rows
+        got = L.read_all(out)
+        assert got.num_rows == 4 + 1 + 2
+        by_url = {u: c for u, c in zip(got["url"].to_pylist(),
+                                       got["doc_chars"].to_pylist())}
+        assert by_url["https://d/3"] == 1003     # replaced in place
+        assert by_url["https://d/100"] == 110    # new shard created
+        assert {r["shard_id"] for r in L.load_lineage(out)} == {0, 7}
+
+    def test_upsert_over_object_store_with_snapshot_expiry(self):
+        import pytest
+
+        fs = EventualObjectStore()
+        out = "b/up"
+        L.write_part(out, 0, _rows(0, 4), fs)
+        fs.sync()
+        L.try_commit_shard(out, 0, 4, fs)
+        fs.sync()
+        L.commit_snapshot(out, fs)  # v1 pins pre-upsert state
+        fs.sync()
+        rec = L.upsert_shard(out, 0, self._recrawl(1, 2), fs=fs)
+        fs.sync()
+        assert rec["n_replaced"] == 2 and rec["n_appended"] == 0
+        assert L.read_all(out, fs).num_rows == 4
+        # the replaced part was unlinked -> v1 expires, never partial rows
+        with pytest.raises(L.SnapshotExpired):
+            L.read_snapshot(out, 1, fs)
+        # post-upsert snapshot reads the merged state
+        v2 = L.commit_snapshot(out, fs)["version"]
+        fs.sync()
+        assert L.read_snapshot(out, v2, fs).num_rows == 4
