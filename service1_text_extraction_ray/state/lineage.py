@@ -512,6 +512,44 @@ def upsert_shard(out_dir: str, shard_id: int, updates: pa.Table,
     return new_rec
 
 
+def delete_rows(out_dir: str, shard_id: int, keys: List[str],
+                key: str = "url", target_rows: int = 100_000,
+                fs: Optional[Any] = None) -> Dict[str, Any]:
+    """Hard-delete rows by key from one committed shard (GDPR/takedown
+    shape — no tombstones: the surviving rows are rewritten as fresh
+    content-addressed parts, the manifest re-points, replaced parts are
+    unlinked). Same crash-safety and snapshot-expiry semantics as
+    upsert_shard/compaction. Keys absent from the shard are ignored.
+    Returns the new manifest record plus ``n_deleted``; deleting the last
+    row leaves a valid empty shard (zero parts)."""
+    fs = _fs(fs)
+    rec = {r["shard_id"]: r for r in load_lineage(out_dir, fs)}[shard_id]
+    old = read_shard(out_dir, shard_id, fs)
+    match = pc.is_in(old[key], value_set=pa.array(sorted(set(keys))))
+    kept = old.filter(pc.invert(pc.fill_null(match, False))).sort_by(key)
+    n_deleted = old.num_rows - kept.num_rows
+
+    new_records = []
+    if kept.num_rows:
+        step = max(
+            1, -(-kept.num_rows // max(1, -(-kept.num_rows // target_rows)))
+        )
+        for start in range(0, kept.num_rows, step):
+            new_records.append(
+                write_part(out_dir, shard_id, kept.slice(start, step), fs)
+            )
+    new_rec = commit_shard_manifest(out_dir, shard_id, new_records, fs)
+
+    ddir = shard_data_dir(out_dir, shard_id)
+    pdir = pending_dir(out_dir, shard_id)
+    for part in set(rec["parts"]) - set(new_rec["parts"]):
+        fs.remove(os.path.join(ddir, part))
+        fs.remove(os.path.join(pdir, part.replace(".parquet", ".json")))
+    new_rec = dict(new_rec)
+    new_rec["n_deleted"] = n_deleted
+    return new_rec
+
+
 def upsert_rows(out_dir: str, updates: pa.Table, key: str = "url",
                 shard_col: str = "shard_id", target_rows: int = 100_000,
                 fs: Optional[Any] = None) -> Dict[str, Any]:

@@ -609,3 +609,37 @@ class TestUpsert:
         v2 = L.commit_snapshot(out, fs)["version"]
         fs.sync()
         assert L.read_snapshot(out, v2, fs).num_rows == 4
+
+
+class TestDelete:
+    def test_delete_rows_and_empty_shard(self, tmp_path):
+        out = str(tmp_path / "del")
+        L.commit_shard_manifest(out, 0, [L.write_part(out, 0, _rows(0, 5))])
+        rec = L.delete_rows(out, 0, ["https://d/1", "https://d/3",
+                                     "https://d/999"])  # 999 absent: ignored
+        assert rec["n_deleted"] == 2
+        got = L.read_all(out)
+        assert sorted(got["url"].to_pylist()) == [
+            "https://d/0", "https://d/2", "https://d/4"]
+        # deleting everything leaves a valid EMPTY shard, not a broken one
+        rec2 = L.delete_rows(out, 0, got["url"].to_pylist())
+        assert rec2["n_deleted"] == 3 and rec2["parts"] == []
+        assert L.read_all(out).num_rows == 0
+
+    def test_delete_over_object_store_expires_snapshot(self):
+        import pytest
+
+        fs = EventualObjectStore()
+        out = "b/del"
+        L.write_part(out, 0, _rows(0, 4), fs)
+        fs.sync()
+        L.try_commit_shard(out, 0, 4, fs)
+        fs.sync()
+        L.commit_snapshot(out, fs)
+        fs.sync()
+        rec = L.delete_rows(out, 0, ["https://d/2"], fs=fs)
+        fs.sync()
+        assert rec["n_deleted"] == 1
+        assert L.read_all(out, fs).num_rows == 3
+        with pytest.raises(L.SnapshotExpired):
+            L.read_snapshot(out, 1, fs)
