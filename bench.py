@@ -206,6 +206,8 @@ QUERY_NAMES = [
     "ocr_eval", "media_decode", "media_resize_px", "media_audio_decode",
     "media_video_frames", "archive_tar_roundtrip", "archive_zip_roundtrip",
     "table_profile", "doc_nfc_normalize",
+    # round-5 adds
+    "host_transitivity", "table_upsert",
 ]
 
 
