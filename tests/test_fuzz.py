@@ -600,3 +600,113 @@ def test_declared_charset_fixture():
     # identical result by construction
     no_meta = "<html><p>caf\u00e9</p>".encode("latin-1")
     assert decode_payload(no_meta) == "<html><p>caf\u00e9</p>"
+
+
+# ---------------------------------------------------------------------------
+# Round-5 campaign #2: STRUCTURED PDF soup. The existing PDF fuzz feeds
+# random bytes after the magic; these mutations target the parser's actual
+# state machine — lying /Length values, truncation inside streams, stale
+# xref offsets, dropped endobj/trailer, duplicated objects, corrupted
+# ObjStm — the corruption classes a real crawl's PDFs exhibit.
+# ---------------------------------------------------------------------------
+
+def _valid_pdf(seed: int) -> bytes:
+    import random
+
+    from service1_text_extraction_ray.functions.synth import make_pdf
+
+    rng = random.Random(seed)
+    # each page must clear the 250-char acceptance gate to exercise the
+    # REAL extraction path, not the short-page fallback ladder
+    lines = [
+        f"line {i} of seeded text payload {seed} with enough words to carry "
+        f"the page past the acceptance gate threshold comfortably"
+        for i in range(5)
+    ]
+    return make_pdf([lines, lines[:4]], rng, compress=seed % 2 == 0)
+
+
+@st.composite
+def _pdf_soup(draw):
+    import re as _re
+
+    base = bytearray(_valid_pdf(draw(st.integers(min_value=0, max_value=31))))
+    n_mut = draw(st.integers(min_value=1, max_value=3))
+    for _ in range(n_mut):
+        kind = draw(st.integers(min_value=0, max_value=7))
+        if kind == 0:  # lie about a stream /Length
+            m = _re.search(rb"/Length (\d+)", bytes(base))
+            if m:
+                lie = str(draw(st.integers(min_value=0, max_value=99999))).encode()
+                base[m.start(1):m.end(1)] = lie
+        elif kind == 1:  # truncate inside a stream body
+            i = bytes(base).find(b"stream")
+            if i >= 0:
+                cut = i + draw(st.integers(min_value=1, max_value=40))
+                del base[cut:]
+        elif kind == 2:  # corrupt the startxref offset
+            m = _re.search(rb"startxref\s*(\d+)", bytes(base))
+            if m:
+                base[m.start(1):m.end(1)] = b"99999999"
+        elif kind == 3:  # drop an endobj
+            i = bytes(base).find(b"endobj")
+            if i >= 0:
+                del base[i:i + 6]
+        elif kind == 4:  # duplicate an object (conflicting definitions)
+            m = _re.search(rb"\d+ 0 obj.*?endobj\n", bytes(base), _re.S)
+            if m:
+                base[m.end():m.end()] = m.group(0)
+        elif kind == 5:  # splice arbitrary bytes mid-file
+            pos = draw(st.integers(min_value=9, max_value=max(10, len(base) - 1)))
+            junk = draw(st.binary(min_size=1, max_size=32))
+            base[pos:pos] = junk
+        elif kind == 6:  # delete the trailer
+            i = bytes(base).find(b"trailer")
+            if i >= 0:
+                del base[i:]
+        else:  # flip bytes inside the stream payload
+            i = bytes(base).find(b"stream")
+            if i >= 0 and i + 20 < len(base):
+                off = i + 8 + draw(st.integers(min_value=0, max_value=10))
+                if off < len(base):
+                    base[off] = (base[off] + 0x41) % 256
+    return bytes(base)
+
+
+@settings(max_examples=4000, deadline=None)
+@given(payload=_pdf_soup())
+def test_pdf_soup_total_and_deterministic(payload):
+    res = extract_document("u://pdfsoup", payload, CFG)
+    _check_doc_result(res)
+    assert extract_document("u://pdfsoup", payload, CFG) == res
+
+
+@settings(max_examples=1000, deadline=None)
+@given(payload=_pdf_soup())
+def test_pdf_soup_batch_stage_equals_sequential(payload):
+    import pyarrow as _pa
+
+    from service1_text_extraction_ray.functions.extract import doc_content_hash
+    from service1_text_extraction_ray.functions.synth import PAGES_SCHEMA
+    from service1_text_extraction_ray.stages.extract_stage import (
+        ExtractDocuments, SniffStage)
+
+    batch = _pa.Table.from_pylist(
+        [{"url": "u://pdfsoup", "warc_ts": 0, "html": payload,
+          "text": "", "lang": "en"}],
+        schema=PAGES_SCHEMA,
+    )
+    out = ExtractDocuments(CFG)(SniffStage(CFG)(batch)).to_pylist()[0]
+    seq = extract_document("u://pdfsoup", payload, CFG)
+    assert out["doc_text"] == seq["doc_text"]
+    assert out["status"] == seq["status"]
+    assert out["content_hash"] == doc_content_hash(seq["doc_text"])
+
+
+def test_pdf_soup_untouched_base_extracts():
+    # sanity: the generator's base documents DO extract before mutation,
+    # so the campaign exercises the parse path, not the reject path
+    for seed in range(8):
+        res = extract_document("u://pdfok", _valid_pdf(seed), CFG)
+        assert res["status"] == "ok" and res["n_pages"] == 2
+        assert "line 0 of seeded text" in res["doc_text"]
