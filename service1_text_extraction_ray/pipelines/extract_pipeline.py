@@ -399,3 +399,74 @@ def run_extraction_job(
     if snapshot:
         summary["snapshot_version"] = lin.commit_snapshot(out_dir)["version"]
     return summary
+
+
+def run_incremental_recrawl(
+    input_path: str | list,
+    out_dir: str,
+    cfg: Optional[ExtractConfig] = None,
+    concurrency: Optional[int] = None,
+    snapshot: bool = False,
+) -> dict:
+    """Incremental recrawl refresh: extract ONLY the recrawled shard files
+    and MERGE the resulting doc rows into the already-committed table by
+    url — the round-5 lifecycle primitives (lineage.upsert_shard) wired
+    into the flagship pipeline. A recrawl wave at Common-Crawl scale
+    touches a small fraction of shards; re-running the full job to absorb
+    it re-parses everything, while this path re-parses exactly the
+    recrawled files and rewrites exactly the affected shards' parts.
+
+    Shard identity is the input file BASENAME (sniff.stable_shard_id), so
+    a recrawl file replaces the shard of the original file with the same
+    name; brand-new basenames create fresh shards (pure appends). The
+    merge is SHARD-PARALLEL with no driver materialization: the extracted
+    delta rides one groupby(shard_id) — each group task holds exactly its
+    shard's rows and applies upsert_shard worker-side through the shared
+    filesystem (the same assumption PartWriter's incremental commits
+    make; see lineage.pending_dir). Re-extracted-but-unchanged docs
+    replace in place with identical content (idempotent by content
+    addressing); the per-shard result is byte-equivalent to a full
+    re-extraction of the merged inputs (order-insensitive content_hash
+    equality, pinned by tests/test_pipeline_e2e.py::TestIncrementalRecrawl).
+
+    Returns ``{"shards_touched", "n_replaced", "n_appended",
+    "n_docs_delta"}`` (+ ``snapshot_version`` when requested)."""
+    cfg = cfg or ExtractConfig()
+    _prepare_session()
+
+    files = list_input_files(input_path)
+    if not files:
+        return {"shards_touched": 0, "n_replaced": 0, "n_appended": 0,
+                "n_docs_delta": 0}
+
+    delta = extract_dataset(read_pages(files), cfg, concurrency=concurrency)
+
+    result_schema = pa.schema([
+        ("shard_id", pa.int64()), ("n_replaced", pa.int64()),
+        ("n_appended", pa.int64()), ("n_docs", pa.int64()),
+    ])
+
+    def apply(group: pa.Table) -> pa.Table:
+        sid = group["shard_id"][0].as_py()
+        rec = lin.upsert_shard(out_dir, int(sid), group, key="url")
+        return pa.Table.from_pylist([{
+            "shard_id": int(sid),
+            "n_replaced": rec["n_replaced"],
+            "n_appended": rec["n_appended"],
+            "n_docs": rec["n_docs"],
+        }], schema=result_schema)
+
+    results = (
+        delta.groupby("shard_id")
+        .map_groups(apply, batch_format="pyarrow")
+        .take_all()
+    )
+    out = {
+        "shards_touched": len(results),
+        "n_replaced": sum(r["n_replaced"] for r in results),
+        "n_appended": sum(r["n_appended"] for r in results),
+        "n_docs_delta": sum(r["n_appended"] for r in results),
+    }
+    if snapshot:
+        out["snapshot_version"] = lin.commit_snapshot(out_dir)["version"]
+    return out

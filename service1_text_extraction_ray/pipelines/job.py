@@ -26,6 +26,12 @@ def main(argv=None) -> int:
     p.add_argument("--input", required=True, help="input pages parquet dir/file")
     p.add_argument("--output", required=True, help="output dir (data/ + lineage/)")
     p.add_argument("--resume", action="store_true", help="skip shards with valid manifests")
+    p.add_argument(
+        "--recrawl", action="store_true",
+        help="incremental refresh: extract ONLY the given (recrawled) shard "
+             "files and MERGE by url into the committed output "
+             "(run_incremental_recrawl; shard identity = file basename)",
+    )
     p.add_argument("--num-cpus", type=int, default=None, help="local-mode CPU count")
     p.add_argument("--max-pages", type=int, default=None)
     p.add_argument("--min-text-length", type=int, default=None)
@@ -70,10 +76,18 @@ def main(argv=None) -> int:
     if args.ocr_backend:
         cfg_kwargs["ocr_backend"] = args.ocr_backend
 
-    summary = run_extraction_job(
-        args.input, args.output, ExtractConfig(**cfg_kwargs),
-        resume=args.resume, snapshot=args.snapshot,
-    )
+    from .extract_pipeline import run_incremental_recrawl
+
+    if args.recrawl:
+        summary = run_incremental_recrawl(
+            args.input, args.output, ExtractConfig(**cfg_kwargs),
+            snapshot=args.snapshot,
+        )
+    else:
+        summary = run_extraction_job(
+            args.input, args.output, ExtractConfig(**cfg_kwargs),
+            resume=args.resume, snapshot=args.snapshot,
+        )
     print(json.dumps(summary))
 
     if owns_session:
