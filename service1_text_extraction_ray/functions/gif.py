@@ -218,10 +218,10 @@ def _read_gif_inner(payload: bytes) -> Tuple[List[np.ndarray], List[int]]:
             if label == 0xF9:  # graphic control
                 size = payload[i]
                 # Delay lives at bytes 1-2 of the sub-block; only trust it
-                # when the declared size actually covers it (spec value 4) —
-                # a corrupt size<3 would otherwise read the NEXT block's
-                # bytes as the delay.
-                if size >= 4:
+                # when the declared size actually covers it (>= 3; the spec
+                # value is 4) — a corrupt size < 3 would otherwise read the
+                # NEXT block's bytes as the delay.
+                if size >= 3:
                     pending_delay = struct.unpack("<H", payload[i + 2 : i + 4])[0]
                 i += 1 + size
             while payload[i] != 0:  # skip (remaining) sub-blocks

@@ -465,7 +465,8 @@ def run_incremental_recrawl(
         "shards_touched": len(results),
         "n_replaced": sum(r["n_replaced"] for r in results),
         "n_appended": sum(r["n_appended"] for r in results),
-        "n_docs_delta": sum(r["n_appended"] for r in results),
+        # docs now stored in the touched shards (post-merge totals)
+        "n_docs_touched_shards": sum(r["n_docs"] for r in results),
     }
     if snapshot:
         out["snapshot_version"] = lin.commit_snapshot(out_dir)["version"]

@@ -162,13 +162,13 @@ def q_render_pages(sf_dir: str) -> rd.Dataset:
 
 
 # One materialized doc-grain extraction of the scanned corpus per
-# (process, sf_dir): q_extract_ocr and q_ocr_eval both derive from it, so
-# the rasterize+recognize pass — the bench suite's single most expensive
+# (ray session, sf_dir): q_extract_ocr and q_ocr_eval both derive from it,
+# so the rasterize+recognize pass — the bench suite's single most expensive
 # stage — runs ONCE instead of once per query (VERDICT r4 finding #3).
 # Safe to memoize: the corpus is a pure deterministic function of the
-# static documents.parquet, and a materialized Dataset lives in the
-# object store of the CURRENT Ray session (a new process starts empty).
-_SCANNED_EXTRACTION_CACHE: Dict[str, rd.Dataset] = {}
+# static documents.parquet, and the session key invalidates entries whose
+# object-store blocks died with a shutdown/init cycle.
+_SCANNED_EXTRACTION_CACHE: Dict[tuple, rd.Dataset] = {}
 
 
 def _scanned_extraction(sf_dir: str) -> rd.Dataset:
@@ -176,7 +176,15 @@ def _scanned_extraction(sf_dir: str) -> rd.Dataset:
     from ..sources.pages_source import documents_to_scanned_pages
     from ..stages.extract_stage import ExtractDocuments, SniffStage
 
-    ds = _SCANNED_EXTRACTION_CACHE.get(sf_dir)
+    # Key on the Ray SESSION too: a materialized Dataset's block refs die
+    # with their session, so a shutdown/init cycle in one process (e.g. a
+    # bench harness sweeping configs) must recompute, not resurrect.
+    try:
+        session = ray.get_runtime_context().get_job_id()
+    except Exception:
+        session = "no-session"
+    key = (session, sf_dir)
+    ds = _SCANNED_EXTRACTION_CACHE.get(key)
     if ds is None:
         cfg = ExtractConfig(ocr_backend="fake")
         _prepare_session()
@@ -193,7 +201,8 @@ def _scanned_extraction(sf_dir: str) -> rd.Dataset:
             .map_batches(ExtractDocuments(cfg), batch_format="pyarrow")
             .materialize()
         )
-        _SCANNED_EXTRACTION_CACHE[sf_dir] = ds
+        _SCANNED_EXTRACTION_CACHE.clear()  # dead-session entries
+        _SCANNED_EXTRACTION_CACHE[key] = ds
     return ds
 
 
@@ -10937,15 +10946,34 @@ def q_host_transitivity(sf_dir: str) -> pd.DataFrame:
         closed form without materializing any pair.
 
     Output one row: n_hosts, n_edges, n_wedges, n_triangles,
-    transitivity_micro = (3 * 10^6 * n_triangles) // n_wedges (0 when
-    wedge-free). All-integer -> exact at any parallelism."""
+    wedges_dropped_by_cap, transitivity_micro =
+    (3 * 10^6 * n_triangles) // n_wedges (0 when wedge-free). All-integer
+    -> exact at any parallelism; a BINDING cap undercounts n_triangles by
+    exactly the suppressed wedges' closures and says so in
+    wedges_dropped_by_cap (priced, never silent) — the SQL oracle replays
+    the capped plan, and the cap-free independent 3-way-join formulation
+    is pinned equal in pytest where the cap cannot bind
+    (tests/test_operators.py)."""
     from ray.data.aggregate import Sum as RSum
 
     from .relational import hash_join
 
     uedges = _simple_uedges(sf_dir)
     oriented = _degree_orient(uedges).materialize()
-    stream = _capped_wedge_stream(oriented, WEDGE_OUT_CAP)
+    stream = _capped_wedge_stream(oriented, WEDGE_OUT_CAP).materialize()
+
+    def drop_partial(t: pa.Table) -> pa.Table:
+        d = t.filter(pc.is_null(t["pk"]))["dropped"]
+        return pa.Table.from_pylist(
+            [{"d": pc.sum(d).as_py() or 0}],
+            schema=pa.schema([("d", pa.int64())]),
+        )
+
+    n_dropped = sum(
+        r["d"] for r in stream.map_batches(
+            drop_partial, batch_format="pyarrow"
+        ).take_all()
+    )
 
     def wedge_rows(t: pa.Table) -> pa.Table:
         return t.filter(pc.is_valid(t["pk"])).select(["pk"])
@@ -10996,7 +11024,9 @@ def q_host_transitivity(sf_dir: str) -> pd.DataFrame:
     tmic = (3 * CLUST_UNIT * int(n_tri)) // n_wedges if n_wedges else 0
     return pd.DataFrame([{
         "n_hosts": n_hosts, "n_edges": n_edges, "n_wedges": n_wedges,
-        "n_triangles": int(n_tri), "transitivity_micro": tmic,
+        "n_triangles": int(n_tri),
+        "wedges_dropped_by_cap": int(n_dropped),
+        "transitivity_micro": tmic,
     }]).astype("int64")
 
 
@@ -11066,10 +11096,12 @@ FROM deg d LEFT JOIN tri t USING (host) LEFT JOIN dropped dr USING (host)
 # ---------------------------------------------------------------------------
 
 
-# Independent formulation (not a plan replay): triangles counted once via
-# the id-ordered 3-way self-join, wedges by the closed form over symmetric
-# degrees — a genuinely different computation agreeing with the engine's
-# degree-oriented stream is the strongest kind of oracle.
+# Replays the engine's capped plan exactly (degree orientation + rank
+# window for the triangle numerator and the dropped-wedge accounting;
+# wedge denominator by the closed form over symmetric degrees). The
+# cap-free INDEPENDENT formulation (id-ordered 3-way self-join) is pinned
+# equal in pytest on inputs where the cap cannot bind — the same split of
+# duties as host_clustering's oracle + its skewed-hub fixtures.
 SQL_HOST_TRANSITIVITY = f"""
 WITH base AS (SELECT doc_id, source FROM documents WHERE doc_id % 7 <> 0),
 links AS (
@@ -11086,24 +11118,40 @@ uedges AS MATERIALIZED (
   SELECT dst, src FROM links WHERE src <> dst
 ),
 e AS MATERIALIZED (SELECT a, b FROM uedges WHERE a < b),
-deg AS (SELECT a AS host, count(*) AS d FROM uedges GROUP BY 1),
+deg AS MATERIALIZED (SELECT a AS host, count(*) AS d FROM uedges GROUP BY 1),
 agg AS (
   SELECT CAST(count(*) AS BIGINT) AS n_hosts,
          CAST(sum(d) // 2 AS BIGINT) AS n_edges,
          CAST(sum(d * (d - 1) // 2) AS BIGINT) AS n_wedges
   FROM deg
 ),
+o AS (
+  SELECT CASE WHEN (da.d < db.d) OR (da.d = db.d AND e.a < e.b)
+              THEN e.a ELSE e.b END AS src,
+         CASE WHEN (da.d < db.d) OR (da.d = db.d AND e.a < e.b)
+              THEN e.b ELSE e.a END AS dst
+  FROM e JOIN deg da ON da.host = e.a JOIN deg db ON db.host = e.b
+),
+r AS (SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY dst) AS rn
+      FROM o),
+w AS MATERIALIZED (
+  SELECT r1.dst AS x, r2.dst AS y,
+         (r1.rn <= {WEDGE_OUT_CAP} AND r2.rn <= {WEDGE_OUT_CAP}) AS kept
+  FROM r r1 JOIN r r2 ON r1.src = r2.src AND r1.dst < r2.dst
+),
 tri AS (
   SELECT CAST(count(*) AS BIGINT) AS n_triangles
-  FROM e e1
-  JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b
-  JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
+  FROM w JOIN e ON e.a = w.x AND e.b = w.y WHERE w.kept
+),
+dropped AS (
+  SELECT CAST(count(*) FILTER (WHERE NOT kept) AS BIGINT) AS wd FROM w
 )
 SELECT a.n_hosts, a.n_edges, a.n_wedges, t.n_triangles,
+       d.wd AS wedges_dropped_by_cap,
        CAST(CASE WHEN a.n_wedges > 0
                  THEN (3 * {CLUST_UNIT} * t.n_triangles) // a.n_wedges
                  ELSE 0 END AS BIGINT) AS transitivity_micro
-FROM agg a, tri t
+FROM agg a, tri t, dropped d
 """
 
 

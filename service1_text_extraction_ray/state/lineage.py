@@ -485,10 +485,16 @@ def upsert_shard(out_dir: str, shard_id: int, updates: pa.Table,
         old = read_shard(out_dir, shard_id, fs)
         old_parts = set(rec["parts"])
 
-    match = pc.is_in(old[key], value_set=pa.array(sorted(set(keys))))
+    # Counters are in KEYS, not raw rows: a base shard may legitimately
+    # carry duplicate keys (nothing dedups urls at ingest); an upsert of
+    # such a key removes all its old rows and leaves the single update row
+    # (documented dedup side effect), counted as ONE replacement.
+    old_keys = set(old[key].to_pylist())
+    upd_keys = set(keys)
+    n_replaced = len(upd_keys & old_keys)
+    n_appended = len(upd_keys - old_keys)
+    match = pc.is_in(old[key], value_set=pa.array(sorted(upd_keys)))
     kept = old.filter(pc.invert(pc.fill_null(match, False)))
-    n_replaced = old.num_rows - kept.num_rows
-    n_appended = updates.num_rows - n_replaced
     merged = pa.concat_tables(
         [kept, updates.select(old.schema.names).cast(old.schema)]
     ).sort_by(key)
@@ -528,6 +534,13 @@ def delete_rows(out_dir: str, shard_id: int, keys: List[str],
     match = pc.is_in(old[key], value_set=pa.array(sorted(set(keys))))
     kept = old.filter(pc.invert(pc.fill_null(match, False))).sort_by(key)
     n_deleted = old.num_rows - kept.num_rows
+    if n_deleted == 0:
+        # No-op delete: keep the existing parts/manifest untouched — a
+        # rewrite would change part names (global re-sort), expire pinned
+        # snapshots and pay a full shard rewrite for nothing.
+        rec = dict(rec)
+        rec["n_deleted"] = 0
+        return rec
 
     new_records = []
     if kept.num_rows:

@@ -643,3 +643,33 @@ class TestDelete:
         assert L.read_all(out, fs).num_rows == 3
         with pytest.raises(L.SnapshotExpired):
             L.read_snapshot(out, 1, fs)
+
+
+class TestReviewPins:
+    """Round-5 self-review fixes pinned."""
+
+    def test_noop_delete_keeps_parts_and_snapshots(self, tmp_path):
+        out = str(tmp_path / "noop")
+        L.commit_shard_manifest(out, 0, [L.write_part(out, 0, _rows(0, 4))])
+        L.commit_snapshot(out)  # v1
+        parts_before = {r["shard_id"]: r for r in L.load_lineage(out)}[0]["parts"]
+        rec = L.delete_rows(out, 0, ["https://d/999"])  # matches nothing
+        assert rec["n_deleted"] == 0
+        parts_after = {r["shard_id"]: r for r in L.load_lineage(out)}[0]["parts"]
+        assert parts_after == parts_before          # no rewrite
+        assert L.read_snapshot(out, 1).num_rows == 4  # snapshot NOT expired
+
+    def test_upsert_counters_with_duplicate_base_keys(self, tmp_path):
+        out = str(tmp_path / "dupbase")
+        # base shard carries the same url TWICE (ingest never dedups)
+        dup = pa.concat_tables([_rows(0, 3), _rows(1, 1)])  # url 1 twice
+        L.commit_shard_manifest(out, 0, [L.write_part(out, 0, dup)])
+        assert L.read_all(out).num_rows == 4
+        upd = _rows(1, 2)  # urls 1 (dup in base) and 2 (single)
+        rec = L.upsert_shard(out, 0, upd)
+        # counters are in KEYS: 2 replaced, 0 appended — never negative
+        assert rec["n_replaced"] == 2 and rec["n_appended"] == 0
+        got = L.read_all(out)
+        assert got.num_rows == 3  # dup collapsed (documented side effect)
+        assert sorted(got["url"].to_pylist()) == [
+            "https://d/0", "https://d/1", "https://d/2"]

@@ -5091,3 +5091,61 @@ class TestWedgeSkewGuard:
         pd.testing.assert_frame_equal(
             ray_out[sql_out.columns].astype("int64", errors="ignore"), sql_out
         )
+
+
+class TestHostTransitivity:
+    def test_independent_formulation_agrees(self, ray_session):
+        """The cap-free independent oracle (id-ordered 3-way self-join in
+        DuckDB) must equal the engine's capped-plan output wherever the
+        cap cannot bind — the sf graph (max oriented out-degree 2)."""
+        import duckdb
+
+        from service1_text_extraction_ray.pipelines import queries as Q
+
+        sf = "/root/testdata/sf0.001"
+        got = Q.q_host_transitivity(sf).iloc[0]
+        assert got["wedges_dropped_by_cap"] == 0
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{sf}/documents.parquet')"
+        )
+        ind = con.execute(f"""
+WITH base AS (SELECT doc_id, source FROM documents WHERE doc_id % 7 <> 0),
+links AS (
+  SELECT source || '.example.com' AS src,
+         'src' || ((doc_id * 7 + 1) % 20) || '.example.net' AS dst FROM base
+  UNION ALL SELECT source || '.example.com', 'cdn.example.org' FROM base
+  UNION ALL SELECT source || '.example.com',
+    CASE WHEN doc_id % 6 = 3 THEN 'base' || (doc_id % 4) || '.example.org'
+         ELSE source || '.example.com' END FROM base),
+uedges AS (SELECT src AS a, dst AS b FROM links WHERE src <> dst
+           UNION SELECT dst, src FROM links WHERE src <> dst),
+e AS (SELECT a, b FROM uedges WHERE a < b)
+SELECT count(*) FROM e e1
+JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b
+JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b""").fetchone()[0]
+        assert int(got["n_triangles"]) == int(ind)
+
+    def test_planted_triangles_counted_once(self, ray_session):
+        # K6 clique via the internal machinery: transitivity must be exactly
+        # 1.0 (every wedge closes) and triangles C(6,3) = 20
+        from service1_text_extraction_ray.pipelines.queries import (
+            _capped_wedge_stream, _degree_orient)
+
+        nodes = [f"k{i}.x" for i in range(6)]
+        pairs = [(a, b) for i, a in enumerate(nodes) for b in nodes[i + 1:]]
+        sym = [(a, b) for a, b in pairs] + [(b, a) for a, b in pairs]
+        import ray.data as rdm
+        uedges = rdm.from_arrow(pa.table({
+            "a": pa.array([p[0] for p in sym]),
+            "b": pa.array([p[1] for p in sym]),
+        }))
+        oriented = _degree_orient(uedges).materialize()
+        wedges = [r for r in _capped_wedge_stream(oriented, 1024).take_all()
+                  if r["pk"] is not None]
+        # ordered wedges: sum C(outdeg,2) = C(5,2)+C(4,2)+...= 10+6+3+1 = 20
+        assert len(wedges) == 20
+        eset = {f"{min(a,b)}|{max(a,b)}" for a, b in pairs}
+        closed = sum(1 for w in wedges if w["pk"] in eset)
+        assert closed == 20  # every ordered wedge closes in a clique
