@@ -294,6 +294,7 @@ def run_extraction_job(
     resume: bool = False,
     concurrency: Optional[int] = None,
     snapshot: bool = False,
+    tolerant_warc: bool = False,
 ) -> dict:
     """End-to-end job: read (completed input files pruned on resume) -> sniff
     -> extract -> inline part writes -> summaries-only shuffle -> per-shard
@@ -347,14 +348,22 @@ def run_extraction_job(
     # thread-mapped) — the documented reason parquet stays the production
     # format and WARC ingestion is the interop path.
     if files[0].endswith(_WARC_EXTS):
+        # ``tolerant_warc=True`` is the crawl-archive salvage mode: damaged
+        # members/records cost their pages, not the shard — the tolerant
+        # count and reader share one pairing implementation, so the
+        # expected-rows accounting stays exact under damage.
         from ..sources.pages_source import count_warc_pages, read_pages_warc
 
         expected = dict(
             lin.thread_map(
-                lambda f: (stable_shard_id(f), count_warc_pages(f)), files
+                lambda f: (stable_shard_id(f),
+                           count_warc_pages(f, tolerant=tolerant_warc)),
+                files,
             )
         )
-        src = read_pages_warc(files, include_paths=True).map_batches(
+        src = read_pages_warc(
+            files, include_paths=True, tolerant=tolerant_warc
+        ).map_batches(
             lambda t: t.drop_columns(["text"]), batch_format="pyarrow"
         )
     else:

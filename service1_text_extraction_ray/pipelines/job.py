@@ -38,6 +38,12 @@ def main(argv=None) -> int:
     p.add_argument("--max-payload-bytes", type=int, default=None)
     p.add_argument("--no-layout", action="store_true", help="skip layout trees (smaller output)")
     p.add_argument(
+        "--tolerant-warc", action="store_true",
+        help="salvage-mode WARC ingestion: skip damaged gzip members / "
+             "records (resync) instead of failing the shard; damage "
+             "accounting via sources.pages_source.warc_salvage_report",
+    )
+    p.add_argument(
         "--snapshot", action="store_true",
         help="pin the committed output as the next table snapshot "
              "(versioned reads / time travel; state/lineage.py)",
@@ -87,6 +93,7 @@ def main(argv=None) -> int:
         summary = run_extraction_job(
             args.input, args.output, ExtractConfig(**cfg_kwargs),
             resume=args.resume, snapshot=args.snapshot,
+            tolerant_warc=args.tolerant_warc,
         )
     print(json.dumps(summary))
 

@@ -455,26 +455,49 @@ def write_pages_warc(pages: rd.Dataset, out_dir: str,
     )
 
 
-def _parse_warc_records(blob: bytes):
+def _parse_warc_records(blob: bytes, tolerant: bool = False,
+                        stats: dict | None = None):
     """Sequential WARC record parser: header block to the blank line, then
     exactly Content-Length payload bytes (payload content is never
-    scanned). Yields (headers dict lower-cased, payload bytes)."""
+    scanned). Yields (headers dict lower-cased, payload bytes).
+
+    ``tolerant=True`` is the crawl-archive SALVAGE mode: a malformed
+    header, bad Content-Length or torn payload does not raise — the
+    parser RESYNCS to the next ``WARC/1.`` version line and continues,
+    counting every skip in ``stats["parser_resyncs"]`` (real Common Crawl
+    shards contain damaged records; a poison shard must cost its broken
+    records, not the task). Strict mode (the default — and the right
+    mode for shards THIS engine wrote, where damage means a writer bug)
+    keeps the original raise-on-damage semantics byte-for-byte."""
     pos, n = 0, len(blob)
     while pos < n:
         if blob.startswith(b"\r\n", pos):  # inter-record separators
             pos += 2
             continue
-        end = blob.index(b"\r\n\r\n", pos)
-        head = blob[pos:end].decode("utf-8", errors="replace").split("\r\n")
-        if not head or not head[0].startswith("WARC/"):
-            raise ValueError(f"malformed WARC header at byte {pos}")
-        hdrs = {}
-        for line in head[1:]:
-            k, _, v = line.partition(":")
-            hdrs[k.strip().lower()] = v.strip()
-        length = int(hdrs["content-length"])
-        payload = blob[end + 4 : end + 4 + length]
-        pos = end + 4 + length
+        try:
+            end = blob.index(b"\r\n\r\n", pos)
+            head = blob[pos:end].decode("utf-8", errors="replace").split("\r\n")
+            if not head or not head[0].startswith("WARC/"):
+                raise ValueError(f"malformed WARC header at byte {pos}")
+            hdrs = {}
+            for line in head[1:]:
+                k, _, v = line.partition(":")
+                hdrs[k.strip().lower()] = v.strip()
+            length = int(hdrs["content-length"])
+            payload = blob[end + 4 : end + 4 + length]
+            if tolerant and len(payload) < length:
+                raise ValueError(f"torn record payload at byte {pos}")
+            pos = end + 4 + length
+        except (ValueError, KeyError):
+            if not tolerant:
+                raise ValueError(f"malformed WARC record at byte {pos}")
+            if stats is not None:
+                stats["parser_resyncs"] = stats.get("parser_resyncs", 0) + 1
+            nxt = blob.find(b"WARC/1.", pos + 1)
+            if nxt < 0:
+                return
+            pos = nxt
+            continue
         yield hdrs, payload
 
 
@@ -550,41 +573,143 @@ def parse_http_response(payload: bytes) -> tuple[int, dict, bytes]:
     return status, headers, body
 
 
-def _gunzip_members(blob: bytes) -> bytes:
+def _gunzip_members(blob: bytes, tolerant: bool = False,
+                    stats: dict | None = None) -> bytes:
     """Decompress a multi-member gzip stream (the .warc.gz layout: one
     member per record) into the concatenated plain-WARC bytes. zlib's
-    decompressobj stops at each member boundary; loop over unused_data."""
+    decompressobj stops at each member boundary; loop over unused_data.
+
+    ``tolerant=True``: a corrupt or truncated member is skipped by
+    RESYNCING to the next gzip magic (``1f 8b 08``) instead of raising,
+    counted in ``stats["torn_gzip_members"]`` — one flipped byte costs
+    one record, not the shard."""
     import zlib
 
     out = []
     rest = blob
     while rest:
         d = zlib.decompressobj(wbits=31)
-        out.append(d.decompress(rest))
-        out.append(d.flush())
-        if not d.eof:
-            raise ValueError("truncated gzip member in .warc.gz shard")
+        try:
+            chunk = d.decompress(rest) + d.flush()
+            ok = d.eof
+        except zlib.error:
+            chunk, ok = b"", False
+        if not ok:
+            if not tolerant:
+                raise ValueError("truncated gzip member in .warc.gz shard")
+            if stats is not None:
+                stats["torn_gzip_members"] = stats.get("torn_gzip_members", 0) + 1
+            nxt = rest.find(b"\x1f\x8b\x08", 3)
+            if nxt < 0:
+                break
+            rest = rest[nxt:]
+            continue
+        out.append(chunk)
         rest = d.unused_data
     return b"".join(out)
 
 
-def count_warc_pages(path: str) -> int:
-    """Exact page (response-record) count of one WARC shard — the
-    ``expected_rows`` source for the extraction job's incremental manifest
-    commits. Parquet gets this from footer metadata for free; WARC has no
-    footer, so this is a full record scan (decompress + header walk).
-    IO-bound and per-file independent — run it under lineage.thread_map."""
+def count_warc_pages(path: str, tolerant: bool = False) -> int:
+    """Exact page count of one WARC shard — the ``expected_rows`` source
+    for the extraction job's incremental manifest commits. Parquet gets
+    this from footer metadata for free; WARC has no footer, so this is a
+    full record scan (decompress + header walk). IO-bound and per-file
+    independent — run it under lineage.thread_map. ``tolerant`` must match
+    the reader's mode: both count/yield exactly the SALVAGEABLE pages
+    (complete response+conversion pairs) through the same parser, so the
+    expected-rows accounting stays consistent under damage."""
     with open(path, "rb") as f:
         blob = f.read()
     if blob[:2] == b"\x1f\x8b":
-        blob = _gunzip_members(blob)
-    return sum(
-        1 for hdrs, _ in _parse_warc_records(blob)
-        if hdrs["warc-type"] == "response"
-    )
+        blob = _gunzip_members(blob, tolerant=tolerant)
+    if not tolerant:
+        return sum(
+            1 for hdrs, _ in _parse_warc_records(blob)
+            if hdrs["warc-type"] == "response"
+        )
+    # salvage mode: count EXACTLY the pages the tolerant reader yields —
+    # one shared generator (_iter_warc_pages) is the single source of
+    # truth, or the job's expected-rows accounting would block a damaged
+    # shard's commit on any count/reader divergence
+    return sum(1 for _ in _iter_warc_pages(blob, tolerant=True))
 
 
-def read_pages_warc(input_path: str | list, include_paths: bool = False) -> rd.Dataset:
+def _iter_warc_pages(blob: bytes, tolerant: bool, stats: dict | None = None):
+    """Pair (response, conversion) records of one plain-WARC byte blob into
+    PAGES_SCHEMA row dicts — the SINGLE implementation behind
+    read_pages_warc, count_warc_pages(tolerant=True) and
+    warc_salvage_report, so the three can never disagree about which pages
+    a damaged shard still yields. Tolerant mode skips any page whose
+    records are damaged (missing headers, failed HTTP unwrap, bad date,
+    broken pairing) and counts the skip in ``stats["dropped_pages"]``;
+    strict mode raises on the first damage."""
+    import datetime as _dt
+
+    pending: dict = {}
+
+    def _dropped():
+        if stats is not None:
+            stats["dropped_pages"] = stats.get("dropped_pages", 0) + 1
+
+    for hdrs, payload in _parse_warc_records(blob, tolerant=tolerant,
+                                             stats=stats):
+        try:
+            uri = hdrs["warc-target-uri"]
+            rtype = hdrs["warc-type"]
+            if rtype == "response":
+                if payload[:5] == b"HTTP/":
+                    # full HTTP message (the CC layout; what our writer
+                    # emits) -> unwrap. Bare bodies (older shards, WET
+                    # mirrors) pass through: no real page starts with the
+                    # ASCII bytes "HTTP/".
+                    _, _, payload = parse_http_response(payload)
+                pending[uri] = (hdrs, payload)
+            elif rtype == "conversion":
+                rh, rp = pending.pop(uri)
+                date = rh["warc-date"].rstrip("Z")
+                yield {
+                    "url": uri,
+                    "warc_ts": _dt.datetime.fromisoformat(date),
+                    "html": rp,
+                    "text": payload.decode(
+                        "utf-8", errors="replace" if tolerant else "strict"
+                    ),
+                    "lang": hdrs.get("warc-identified-content-language", ""),
+                }
+        except (KeyError, ValueError, UnicodeDecodeError) as e:
+            if not tolerant:
+                raise ValueError(f"damaged WARC record: {e}") from e
+            _dropped()
+    if pending:
+        if not tolerant:
+            raise ValueError(
+                f"unpaired WARC response records: {sorted(pending)[:3]}"
+            )
+        for _ in pending:
+            _dropped()
+
+
+def warc_salvage_report(path: str) -> dict:
+    """Damage accounting for one WARC shard under salvage-mode parsing:
+    ``{n_pages_ok, torn_gzip_members, parser_resyncs, dropped_pages}`` —
+    the observability half of tolerant ingestion (what did the damage
+    cost?). Runs the same generator the tolerant reader uses."""
+    with open(path, "rb") as f:
+        blob = f.read()
+    stats: dict = {}
+    if blob[:2] == b"\x1f\x8b":
+        blob = _gunzip_members(blob, tolerant=True, stats=stats)
+    n = sum(1 for _ in _iter_warc_pages(blob, tolerant=True, stats=stats))
+    return {
+        "n_pages_ok": n,
+        "torn_gzip_members": stats.get("torn_gzip_members", 0),
+        "parser_resyncs": stats.get("parser_resyncs", 0),
+        "dropped_pages": stats.get("dropped_pages", 0),
+    }
+
+
+def read_pages_warc(input_path: str | list, include_paths: bool = False,
+                    tolerant: bool = False) -> rd.Dataset:
     """WARC pages source: read .warc / .warc.gz shard files as binary blobs
     (one task per file — shard files ARE the parallelism unit, exactly as
     Common Crawl segments are) and reassemble (response, conversion) record
@@ -593,54 +718,52 @@ def read_pages_warc(input_path: str | list, include_paths: bool = False) -> rd.D
     ``include_paths=True`` appends the source file as a ``path`` column —
     the shard identity the extraction job's resume contract keys on.
     Byte-identical downstream output vs the parquet path on the same
-    logical rows (pytest-asserted)."""
+    logical rows (pytest-asserted).
+
+    ``tolerant=True`` is the crawl-archive SALVAGE mode: torn gzip
+    members and malformed records are skipped with resync (see
+    _parse_warc_records), per-record field damage (bad utf-8, missing
+    headers, unpaired pairs) drops just that page — the intact pages of a
+    damaged shard still flow, exactly the pages
+    ``count_warc_pages(tolerant=True)`` counts; damage totals per shard
+    via ``warc_salvage_report``. Strict mode (default) raises, which is
+    correct for shards THIS engine wrote."""
     schema = PAGES_SCHEMA
     if include_paths:
         schema = pa.schema(list(PAGES_SCHEMA) + [pa.field("path", pa.string())])
 
     def parse(t: pa.Table) -> pa.Table:
         rows = []
-        for blob, src_path in zip(
-            t["bytes"].to_pylist(),
-            t["path"].to_pylist() if "path" in t.column_names
-            else [None] * t.num_rows,
-        ):
+        for src_path in t["path"].to_pylist():
+            with open(src_path, "rb") as f:
+                blob = f.read()
             if blob[:2] == b"\x1f\x8b":
-                blob = _gunzip_members(blob)
-            pending = {}
-            for hdrs, payload in _parse_warc_records(blob):
-                uri = hdrs["warc-target-uri"]
-                rtype = hdrs["warc-type"]
-                if rtype == "response":
-                    if payload[:5] == b"HTTP/":
-                        # full HTTP message (the CC layout; what our writer
-                        # emits) -> unwrap. Bare bodies (older shards, WET
-                        # mirrors) pass through: no real page starts with
-                        # the ASCII bytes "HTTP/".
-                        _, _, payload = parse_http_response(payload)
-                    pending[uri] = (hdrs, payload)
-                elif rtype == "conversion":
-                    rh, rp = pending.pop(uri)
-                    date = rh["warc-date"].rstrip("Z")
-                    row = {
-                        "url": uri,
-                        "warc_ts": __import__("datetime").datetime.fromisoformat(date),
-                        "html": rp,
-                        "text": payload.decode("utf-8"),
-                        "lang": hdrs.get("warc-identified-content-language", ""),
-                    }
-                    if include_paths:
-                        row["path"] = src_path
-                    rows.append(row)
-            if pending:
-                raise ValueError(
-                    f"unpaired WARC response records: {sorted(pending)[:3]}"
-                )
+                blob = _gunzip_members(blob, tolerant=tolerant)
+            for row in _iter_warc_pages(blob, tolerant=tolerant):
+                if include_paths:
+                    row["path"] = src_path
+                rows.append(row)
         return pa.Table.from_pylist(rows, schema=schema)
 
-    return rd.read_binary_files(
-        input_path, include_paths=include_paths
-    ).map_batches(parse, batch_format="pyarrow")
+    # Path-grain read (one task per file via from_items + the raw bytes
+    # opened INSIDE the task): rd.read_binary_files would auto-decompress
+    # *.gz by file extension as ONE Arrow stream and raise OSError on any
+    # truncation BEFORE the member-wise tolerant path ever saw the bytes —
+    # salvage mode needs the raw members. Shard files stay the parallelism
+    # unit; magic-sniffed decompression also covers misnamed files.
+    if isinstance(input_path, (list, tuple)):
+        files = sorted(str(p) for p in input_path)
+    elif os.path.isfile(input_path):
+        files = [input_path]
+    else:
+        files = sorted(
+            os.path.join(input_path, f)
+            for f in os.listdir(input_path)
+            if f.endswith((".warc", ".warc.gz"))
+        )
+    return rd.from_items(
+        [{"path": p} for p in files]
+    ).map_batches(parse, batch_format="pyarrow", batch_size=1)
 
 
 # ---------------------------------------------------------------------------

@@ -1,6 +1,7 @@
 """Source-format interop: the JSONL pages source must produce byte-identical
 extraction output to the parquet source on the same logical rows."""
 
+import pandas as pd
 import pyarrow as pa
 import pytest
 
@@ -603,3 +604,143 @@ class TestArchiveSources:
             with open(os.path.join(a, name), "rb") as fa, \
                  open(os.path.join(b, name), "rb") as fb:
                 assert fa.read() == fb.read()
+
+
+class TestWarcSalvage:
+    """Tolerant (salvage-mode) WARC ingestion: real crawl archives contain
+    damaged members/records; a poison shard must cost its broken pages,
+    not the task — and the tolerant count must equal the tolerant reader
+    exactly (the job's expected-rows contract)."""
+
+    def _shard(self, tmp_path, n=12, gz=True):
+        import os
+
+        from service1_text_extraction_ray.functions.synth import gen_pages_table
+        from service1_text_extraction_ray.sources.pages_source import (
+            write_pages_warc)
+        import ray.data as rdm
+
+        wdir = str(tmp_path / ("wgz" if gz else "wpl"))
+        pages = rdm.from_arrow(gen_pages_table(n, seed=42)).repartition(1)
+        write_pages_warc(pages, wdir, gzip_members=gz)
+        fn = sorted(os.listdir(wdir))[0]
+        return os.path.join(wdir, fn)
+
+    @staticmethod
+    def _read(path, tolerant):
+        from service1_text_extraction_ray.sources.pages_source import (
+            read_pages_warc)
+
+        return read_pages_warc(path, tolerant=tolerant).to_pandas()
+
+    def test_flipped_member_byte_drops_one_page(self, ray_session, tmp_path):
+        import pytest
+
+        from service1_text_extraction_ray.sources.pages_source import (
+            count_warc_pages, warc_salvage_report)
+
+        src = self._shard(tmp_path)
+        blob = bytearray(open(src, "rb").read())
+        # find the THIRD gzip member and flip a byte inside it
+        idx, pos = [], 0
+        while True:
+            pos = bytes(blob).find(b"\x1f\x8b\x08", pos)
+            if pos < 0:
+                break
+            idx.append(pos)
+            pos += 3
+        blob[idx[2] + 12] ^= 0xFF
+        bad = str(tmp_path / "bad.warc.gz")
+        open(bad, "wb").write(bytes(blob))
+
+        with pytest.raises(Exception):
+            self._read(bad, tolerant=False)
+        good = self._read(src, tolerant=False)
+        got = self._read(bad, tolerant=True)
+        # the intact pages survive; the damaged page's pair is dropped
+        assert 0 < len(got) < len(good)
+        assert set(got["url"]).issubset(set(good["url"]))
+        assert count_warc_pages(bad, tolerant=True) == len(got)
+        rep = warc_salvage_report(bad)
+        assert rep["n_pages_ok"] == len(got)
+        assert rep["torn_gzip_members"] + rep["parser_resyncs"] >= 1
+        assert rep["dropped_pages"] >= 1
+
+    def test_truncated_tail_and_spliced_garbage(self, ray_session, tmp_path):
+        from service1_text_extraction_ray.sources.pages_source import (
+            count_warc_pages)
+
+        src = self._shard(tmp_path)
+        blob = open(src, "rb").read()
+        for name, mutated in (
+            ("trunc.warc.gz", blob[: int(len(blob) * 0.8)]),
+            ("splice.warc.gz", blob[:100] + b"\x00garbage\x01" + blob[100:]),
+        ):
+            bad = str(tmp_path / name)
+            open(bad, "wb").write(mutated)
+            got = self._read(bad, tolerant=True)  # never raises
+            assert count_warc_pages(bad, tolerant=True) == len(got)
+
+    def test_plain_warc_header_corruption_resyncs(self, ray_session, tmp_path):
+        from service1_text_extraction_ray.sources.pages_source import (
+            count_warc_pages)
+
+        src = self._shard(tmp_path, gz=False)
+        blob = bytearray(open(src, "rb").read())
+        # corrupt the SECOND record's version line -> parser must resync
+        second = bytes(blob).find(b"WARC/1.", 1)
+        blob[second:second + 4] = b"JUNK"
+        bad = str(tmp_path / "badhdr.warc")
+        open(bad, "wb").write(bytes(blob))
+        got = self._read(bad, tolerant=True)
+        full = self._read(src, tolerant=False)
+        assert 0 < len(got) <= len(full)
+        assert count_warc_pages(bad, tolerant=True) == len(got)
+
+    def test_undamaged_shard_identical_in_both_modes(self, ray_session, tmp_path):
+        src = self._shard(tmp_path)
+        a = self._read(src, tolerant=False).sort_values("url").reset_index(drop=True)
+        b = self._read(src, tolerant=True).sort_values("url").reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
+
+
+class TestTolerantWarcJob:
+    def test_job_over_damaged_warc_shard(self, ray_session, tmp_path):
+        """End-to-end: an extraction job over a WARC input set containing a
+        damaged shard completes in salvage mode (losing only the damaged
+        pages, manifests exact) and fails loudly in strict mode."""
+        import os
+
+        import pytest
+
+        from service1_text_extraction_ray.functions.extract import ExtractConfig
+        from service1_text_extraction_ray.functions.synth import gen_pages_table
+        from service1_text_extraction_ray.pipelines.extract_pipeline import (
+            run_extraction_job)
+        from service1_text_extraction_ray.sources.pages_source import (
+            write_pages_warc)
+        from service1_text_extraction_ray.state import lineage as lin
+        import ray.data as rdm
+
+        wdir = str(tmp_path / "warc_in")
+        pages = rdm.from_arrow(gen_pages_table(40, seed=42)).repartition(2)
+        write_pages_warc(pages, wdir, gzip_members=True)
+        shards = sorted(os.listdir(wdir))
+        assert len(shards) == 2
+        # damage one member of the FIRST shard
+        p0 = os.path.join(wdir, shards[0])
+        blob = bytearray(open(p0, "rb").read())
+        second_member = bytes(blob).find(b"\x1f\x8b\x08", 3)
+        blob[second_member + 10] ^= 0xFF
+        open(p0, "wb").write(bytes(blob))
+
+        out_strict = str(tmp_path / "strict")
+        with pytest.raises(Exception):
+            run_extraction_job(wdir, out_strict, ExtractConfig())
+
+        out = str(tmp_path / "tolerant")
+        summary = run_extraction_job(
+            wdir, out, ExtractConfig(), tolerant_warc=True)
+        assert 0 < summary["n_docs"] < 40       # damaged pages lost, rest kept
+        assert len(lin.load_lineage(out)) == 2  # BOTH shards committed
+        assert lin.read_all(out).num_rows == summary["n_docs"]
