@@ -710,3 +710,70 @@ def test_pdf_soup_untouched_base_extracts():
         res = extract_document("u://pdfok", _valid_pdf(seed), CFG)
         assert res["status"] == "ok" and res["n_pages"] == 2
         assert "line 0 of seeded text" in res["doc_text"]
+
+
+# ---------------------------------------------------------------------------
+# Round-5 campaign #3: WARC salvage-mode totality. Arbitrary byte-level
+# damage to a valid multi-member .warc.gz blob must never raise in
+# tolerant mode, and the salvaged pages must be a subset of the original
+# (prefix-equality of survivors is checked by the unit tests; here the
+# property is totality + consistency of the shared pairing generator).
+# ---------------------------------------------------------------------------
+
+def _warc_gz_blob() -> tuple:
+    import gzip
+
+    from service1_text_extraction_ray.sources.pages_source import (
+        _http_envelope, _sha1_b32, _warc_record)
+
+    members = []
+    urls = []
+    for i in range(6):
+        url = f"https://w.example/{i:04d}"
+        urls.append(url)
+        body = (f"<html><body><p>{'text ' * 30}{i}</p></body></html>").encode()
+        wet = f"wet text {i} {'tok ' * 20}".encode()
+        date = "2025-01-01T00:00:00.000000Z"
+        env = _http_envelope(body, "text/html")
+        members.append(_warc_record(
+            b"response", url, date, env,
+            [b"Content-Type: application/http; msgtype=response\r\n",
+             b"WARC-Payload-Digest: " + _sha1_b32(body) + b"\r\n"]))
+        members.append(_warc_record(
+            b"conversion", url, date, wet,
+            [b"Content-Type: text/plain\r\n"]))
+    blob = b"".join(gzip.compress(m, mtime=0) for m in members)
+    return blob, set(urls)
+
+
+_WARC_BLOB, _WARC_URLS = _warc_gz_blob()
+
+
+@settings(max_examples=2000, deadline=None)
+@given(
+    pos=st.integers(min_value=0, max_value=len(_WARC_BLOB) - 1),
+    mode=st.integers(min_value=0, max_value=2),
+    junk=st.binary(min_size=1, max_size=24),
+)
+def test_warc_salvage_total_on_mutations(pos, mode, junk):
+    from service1_text_extraction_ray.sources.pages_source import (
+        _gunzip_members, _iter_warc_pages)
+
+    b = bytearray(_WARC_BLOB)
+    if mode == 0:
+        b[pos] ^= 0x5A               # flip
+    elif mode == 1:
+        del b[pos:pos + len(junk)]   # excise
+    else:
+        b[pos:pos] = junk            # splice
+    payload = bytes(b)
+
+    stats: dict = {}
+    plain = _gunzip_members(payload, tolerant=True, stats=stats)
+    rows = list(_iter_warc_pages(plain, tolerant=True, stats=stats))
+    # totality + salvaged pages are real pages
+    assert {r["url"] for r in rows}.issubset(_WARC_URLS)
+    # determinism
+    plain2 = _gunzip_members(payload, tolerant=True)
+    assert plain2 == plain
+    assert list(_iter_warc_pages(plain, tolerant=True)) == rows
