@@ -360,18 +360,28 @@ def read_shard(out_dir: str, shard_id: int, fs: Optional[Any] = None) -> pa.Tabl
     rec = rec_by_id[shard_id]
     ddir = shard_data_dir(out_dir, shard_id)
     tables = [fs.read_table(os.path.join(ddir, p)) for p in rec["parts"]]
-    return pa.concat_tables(tables) if tables else pa.table({})
+    return (
+        pa.concat_tables(tables, promote_options="default")
+        if tables else pa.table({})
+    )
 
 
 def read_all(out_dir: str, fs: Optional[Any] = None) -> pa.Table:
-    """Read every committed shard's rows (manifest-listed parts only)."""
+    """Read every committed shard's rows (manifest-listed parts only).
+
+    Schema EVOLUTION on read: parts written before a column was added
+    unify by name with typed nulls (Iceberg add-column semantics) — an
+    engine upgrade that widens DOC_SCHEMA must not strand old shards."""
     fs = _fs(fs)
     tables = []
     for rec in load_lineage(out_dir, fs):
         ddir = shard_data_dir(out_dir, rec["shard_id"])
         for p in rec["parts"]:
             tables.append(fs.read_table(os.path.join(ddir, p)))
-    return pa.concat_tables(tables) if tables else pa.table({})
+    return (
+        pa.concat_tables(tables, promote_options="default")
+        if tables else pa.table({})
+    )
 
 
 def summarize(records: List[Dict[str, Any]]) -> Dict[str, Any]:
@@ -495,9 +505,25 @@ def upsert_shard(out_dir: str, shard_id: int, updates: pa.Table,
     n_appended = len(upd_keys - old_keys)
     match = pc.is_in(old[key], value_set=pa.array(sorted(upd_keys)))
     kept = old.filter(pc.invert(pc.fill_null(match, False)))
-    merged = pa.concat_tables(
-        [kept, updates.select(old.schema.names).cast(old.schema)]
-    ).sort_by(key)
+    # Schema EVOLUTION at merge: updates may carry columns the stored
+    # shard predates (an engine upgrade widened the row schema) and vice
+    # versa — unify by name, absent columns fill with typed nulls. Stored
+    # column order is preserved, new columns append in update order, so
+    # the merged layout is deterministic.
+    schema = pa.unify_schemas([old.schema, updates.schema],
+                              promote_options="default")
+
+    def align(t: pa.Table) -> pa.Table:
+        cols = []
+        for f in schema:
+            if f.name in t.column_names:
+                c = t[f.name]
+                cols.append(c if c.type == f.type else pc.cast(c, f.type))
+            else:
+                cols.append(pa.nulls(t.num_rows, f.type))
+        return pa.Table.from_arrays(cols, schema=schema)
+
+    merged = pa.concat_tables([align(kept), align(updates)]).sort_by(key)
 
     new_records = []
     step = max(1, -(-merged.num_rows // max(1, -(-merged.num_rows // target_rows))))
@@ -708,7 +734,10 @@ def read_snapshot(out_dir: str, version: int,
                     f"{shard['shard_id']} removed by a later compaction/"
                     f"vacuum — expired per Iceberg semantics"
                 ) from e
-    return pa.concat_tables(tables) if tables else pa.table({})
+    return (
+        pa.concat_tables(tables, promote_options="default")
+        if tables else pa.table({})
+    )
 
 
 def table_history(out_dir: str, fs: Optional[Any] = None) -> List[Dict[str, Any]]:

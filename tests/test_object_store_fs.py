@@ -673,3 +673,37 @@ class TestReviewPins:
         assert got.num_rows == 3  # dup collapsed (documented side effect)
         assert sorted(got["url"].to_pylist()) == [
             "https://d/0", "https://d/1", "https://d/2"]
+
+
+class TestSchemaEvolution:
+    """Iceberg add-column semantics: parts written before a column existed
+    read together with newer parts (typed nulls), and upsert merges an
+    evolved update schema into an old shard."""
+
+    def test_read_across_schema_versions(self, tmp_path):
+        out = str(tmp_path / "evo")
+        L.commit_shard_manifest(out, 0, [L.write_part(out, 0, _rows(0, 3))])
+        wider = _rows(10, 2).append_column(
+            "quality_ppm", pa.array([750_000, 810_000], pa.int64()))
+        L.commit_shard_manifest(out, 1, [L.write_part(out, 1, wider)])
+        got = L.read_all(out)
+        assert got.num_rows == 5
+        assert "quality_ppm" in got.column_names
+        q = dict(zip(got["url"].to_pylist(), got["quality_ppm"].to_pylist()))
+        assert q["https://d/0"] is None          # old part -> typed null
+        assert q["https://d/10"] == 750_000      # new part -> real value
+
+    def test_upsert_evolves_old_shard(self, tmp_path):
+        out = str(tmp_path / "evo2")
+        L.commit_shard_manifest(out, 0, [L.write_part(out, 0, _rows(0, 4))])
+        upd = _rows(2, 2).append_column(
+            "quality_ppm", pa.array([111, 222], pa.int64()))
+        rec = L.upsert_shard(out, 0, upd)
+        assert rec["n_replaced"] == 2 and rec["n_appended"] == 0
+        got = L.read_shard(out, 0)
+        assert got.num_rows == 4
+        q = dict(zip(got["url"].to_pylist(), got["quality_ppm"].to_pylist()))
+        assert q["https://d/0"] is None and q["https://d/2"] == 111
+        # snapshot/read paths agree post-evolution
+        L.commit_snapshot(out)
+        assert "quality_ppm" in L.read_snapshot(out, 1).column_names
