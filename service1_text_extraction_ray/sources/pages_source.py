@@ -1165,11 +1165,118 @@ def write_docs_zip(docs: rd.Dataset, out_dir: str) -> int:
     return int(sum(r["n"] for r in parts))
 
 
-def read_docs_archive(input_dir: str) -> rd.Dataset:
-    """Distributed archive reader: one task per shard file
-    (``read_binary_files`` keeps whole shards together — tar/zip members
-    are not splittable), dispatching on magic bytes (gzip vs PK) so mixed
-    tar.gz/zip directories read uniformly. Yields (doc_id, text) rows."""
+def _gunzip_prefix(blob: bytes) -> bytes:
+    """Decompress as much of a (possibly truncated/corrupt) single-member
+    gzip stream as survives: feed in chunks and keep everything produced
+    before the first error — the tar.gz salvage primitive (a torn download
+    still yields its leading members)."""
+    import zlib
+
+    d = zlib.decompressobj(wbits=31)
+    out = []
+    for i in range(0, len(blob), 1 << 16):
+        try:
+            out.append(d.decompress(blob[i : i + (1 << 16)]))
+        except zlib.error:
+            break
+    else:
+        try:
+            out.append(d.flush())
+        except zlib.error:
+            pass
+    return b"".join(out)
+
+
+def _salvage_tar_members(tar: bytes):
+    """Tolerant POSIX-tar walk over raw (already-decompressed) bytes:
+    512-byte header blocks validated by their checksum field; an invalid
+    header RESYNCS forward block-by-block, a torn trailing payload stops.
+    Yields (name, payload) for every intact regular member."""
+    o, n = 0, len(tar)
+    while o + 512 <= n:
+        block = tar[o : o + 512]
+        if block == b"\0" * 512:
+            break  # end-of-archive marker
+        try:
+            stored = int(block[148:156].split(b"\0")[0].strip() or b"0", 8)
+            summed = sum(block[:148]) + 8 * 32 + sum(block[156:])
+            if stored != summed:
+                raise ValueError("bad tar header checksum")
+            name = block[:100].split(b"\0")[0].decode("utf-8", "replace")
+            size = int(block[124:136].split(b"\0")[0].strip() or b"0", 8)
+            typeflag = block[156:157]
+        except (ValueError, UnicodeDecodeError):
+            o += 512  # resync: scan forward for the next valid header
+            continue
+        payload = tar[o + 512 : o + 512 + size]
+        if len(payload) < size:
+            break  # torn tail member
+        if typeflag in (b"0", b"\0"):
+            yield name, payload
+        o += 512 + ((size + 511) // 512) * 512
+
+
+def _salvage_zip_members(blob: bytes):
+    """Tolerant ZIP walk by LOCAL file headers (``PK\\x03\\x04``): a
+    truncated/corrupt archive loses its end-of-file central directory, so
+    ZipFile sees nothing — but every intact member is still fully
+    described by its local header. Members whose sizes live only in a
+    data descriptor (streaming writers) or whose payload fails to inflate
+    are skipped. Yields (name, payload)."""
+    import struct as _struct
+    import zlib
+
+    pos = 0
+    while True:
+        pos = blob.find(b"PK\x03\x04", pos)
+        if pos < 0:
+            return
+        try:
+            (method, csize, usize, nlen, elen) = (
+                _struct.unpack("<H", blob[pos + 8 : pos + 10])[0],
+                _struct.unpack("<I", blob[pos + 18 : pos + 22])[0],
+                _struct.unpack("<I", blob[pos + 22 : pos + 26])[0],
+                _struct.unpack("<H", blob[pos + 26 : pos + 28])[0],
+                _struct.unpack("<H", blob[pos + 28 : pos + 30])[0],
+            )
+            name = blob[pos + 30 : pos + 30 + nlen].decode("utf-8", "replace")
+            start = pos + 30 + nlen + elen
+            data = blob[start : start + csize]
+            if csize == 0 and usize == 0:
+                raise ValueError("data-descriptor member (size unknown)")
+            if len(data) < csize:
+                raise ValueError("torn member payload")
+            if method == 8:
+                payload = zlib.decompressobj(-15).decompress(data)
+            elif method == 0:
+                payload = data
+            else:
+                raise ValueError(f"unsupported zip method {method}")
+            if len(payload) != usize:
+                raise ValueError("inflated size mismatch")
+        except (ValueError, _struct.error, zlib.error):
+            pos += 4  # resync to the next local-header magic
+            continue
+        yield name, payload
+        pos = start + csize
+
+
+def read_docs_archive(input_dir: str, tolerant: bool = False) -> rd.Dataset:
+    """Distributed archive reader: one task per shard file (whole shards
+    stay together — tar/zip members are not splittable), dispatching on
+    magic bytes (gzip vs PK) so mixed tar.gz/zip directories read
+    uniformly. Yields (doc_id, text) rows.
+
+    ``tolerant=True`` is the damaged-dump SALVAGE mode (same discipline as
+    the WARC reader): truncated/corrupt archives yield every member that
+    survives — tar via a checksum-validated block walk with resync
+    (_salvage_tar_members) over the decompressable gzip prefix
+    (_gunzip_prefix), zip via a local-file-header scan that needs no
+    central directory (_salvage_zip_members). Strict mode (default) keeps
+    stdlib tarfile/zipfile raise-on-damage semantics — right for shards
+    THIS engine wrote. Reads are path-grain with raw bytes opened in-task
+    (no extension-triggered whole-stream gunzip that would fail before
+    salvage could run)."""
     import glob as _glob
 
     paths = sorted(
@@ -1183,30 +1290,40 @@ def read_docs_archive(input_dir: str) -> rd.Dataset:
         import zipfile
 
         ids, texts = [], []
-        for blob in t["bytes"].to_pylist():
-            if blob[:2] == b"PK":
+
+        def add(name: str, payload: bytes) -> None:
+            m = ARCHIVE_MEMBER_RE.match(name)
+            if m is None:
+                return
+            ids.append(int(m.group(1)))
+            texts.append(payload.decode(
+                "utf-8", errors="replace" if tolerant else "strict"))
+
+        for src_path in t["path"].to_pylist():
+            with open(src_path, "rb") as f:
+                blob = f.read()
+            if tolerant:
+                if blob[:2] == b"PK":
+                    for name, payload in _salvage_zip_members(blob):
+                        add(name, payload)
+                else:
+                    tar = _gunzip_prefix(blob) if blob[:2] == b"\x1f\x8b" else blob
+                    for name, payload in _salvage_tar_members(tar):
+                        add(name, payload)
+            elif blob[:2] == b"PK":
                 with zipfile.ZipFile(io.BytesIO(blob)) as zf:
                     for member in zf.namelist():
-                        m = ARCHIVE_MEMBER_RE.match(member)
-                        if m is None:
-                            continue
-                        ids.append(int(m.group(1)))
-                        texts.append(zf.read(member).decode("utf-8"))
+                        add(member, zf.read(member))
             else:
                 with tarfile.open(fileobj=io.BytesIO(blob), mode="r:*") as tf:
-                    # mode r:* — Ray's read_binary_files transparently
-                    # gunzips .gz paths, so the blob may already be plain tar
                     for info in tf:
-                        m = ARCHIVE_MEMBER_RE.match(info.name)
-                        if m is None or not info.isfile():
-                            continue
-                        ids.append(int(m.group(1)))
-                        texts.append(tf.extractfile(info).read().decode("utf-8"))
+                        if info.isfile():
+                            add(info.name, tf.extractfile(info).read())
         return pa.table({
             "doc_id": pa.array(ids, pa.int64()),
             "text": pa.array(texts, pa.string()),
         })
 
-    return rd.read_binary_files(paths).map_batches(
-        parse, batch_format="pyarrow"
-    )
+    return rd.from_items(
+        [{"path": p} for p in paths]
+    ).map_batches(parse, batch_format="pyarrow", batch_size=1)

@@ -744,3 +744,71 @@ class TestTolerantWarcJob:
         assert 0 < summary["n_docs"] < 40       # damaged pages lost, rest kept
         assert len(lin.load_lineage(out)) == 2  # BOTH shards committed
         assert lin.read_all(out).num_rows == summary["n_docs"]
+
+
+class TestArchiveSalvage:
+    """Damaged document-dump archives yield their intact members in
+    tolerant mode (tar block-walk with checksum resync over the gzip
+    prefix; zip local-header scan needing no central directory)."""
+
+    def _dirs(self, ray_session, tmp_path, kind):
+        import os
+
+        from service1_text_extraction_ray.functions.synth import gen_pages_table
+        from service1_text_extraction_ray.sources.pages_source import (
+            write_docs_tar, write_docs_zip)
+        import ray.data as rdm
+
+        adir = str(tmp_path / kind)
+        docs = rdm.from_items(
+            [{"doc_id": i, "text": f"document body {i} " + "tok " * 40}
+             for i in range(20)]
+        ).repartition(1)
+        n = (write_docs_tar if kind == "tar" else write_docs_zip)(docs, adir)
+        assert n == 20
+        fn = sorted(os.listdir(adir))[0]
+        return adir, os.path.join(adir, fn)
+
+    def test_truncated_targz_salvages_prefix(self, ray_session, tmp_path):
+        import pytest
+
+        from service1_text_extraction_ray.sources.pages_source import (
+            read_docs_archive)
+
+        adir, path = self._dirs(ray_session, tmp_path, "tar")
+        blob = open(path, "rb").read()
+        open(path, "wb").write(blob[: int(len(blob) * 0.6)])  # torn download
+        with pytest.raises(Exception):
+            read_docs_archive(adir).to_pandas()
+        got = read_docs_archive(adir, tolerant=True).to_pandas()
+        assert 0 < len(got) < 20
+        assert all(t.startswith("document body") for t in got["text"])
+
+    def test_zip_missing_central_directory(self, ray_session, tmp_path):
+        import pytest
+
+        from service1_text_extraction_ray.sources.pages_source import (
+            read_docs_archive)
+
+        adir, path = self._dirs(ray_session, tmp_path, "zip")
+        blob = open(path, "rb").read()
+        # cut at the central directory: every member's local record intact
+        cd = blob.rfind(b"PK\x01\x02")
+        open(path, "wb").write(blob[:cd])
+        with pytest.raises(Exception):
+            read_docs_archive(adir).to_pandas()
+        got = read_docs_archive(adir, tolerant=True).to_pandas()
+        assert len(got) == 20  # ALL members salvageable without the CD
+        assert sorted(got["doc_id"]) == list(range(20))
+
+    def test_intact_archives_identical_in_both_modes(self, ray_session, tmp_path):
+        from service1_text_extraction_ray.sources.pages_source import (
+            read_docs_archive)
+
+        for kind in ("tar", "zip"):
+            adir, _ = self._dirs(ray_session, tmp_path, kind)
+            a = read_docs_archive(adir).to_pandas().sort_values(
+                "doc_id").reset_index(drop=True)
+            b = read_docs_archive(adir, tolerant=True).to_pandas().sort_values(
+                "doc_id").reset_index(drop=True)
+            pd.testing.assert_frame_equal(a, b)
