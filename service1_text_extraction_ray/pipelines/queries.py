@@ -9857,6 +9857,89 @@ FROM merged
 """
 
 
+def q_warc_salvage(sf_dir: str) -> rd.Dataset:
+    """Salvage-mode WARC ingestion proven end-to-end with an EXACT oracle:
+    write a deterministic single-shard .warc.gz of the first 1000 pages,
+    then DAMAGE the response member of every doc_id % 50 == 0 page (one
+    flipped byte — gzip's member CRC makes the drop deterministic) and
+    read the shard back tolerantly. Exactly the damaged pages disappear
+    (their conversion records become unpaired and are dropped too); every
+    surviving page's wet text round-trips byte-exactly. The DuckDB oracle
+    replays the survivor set and text lengths from the documents table —
+    a salvage that drops too much, too little, or corrupts a survivor
+    fails the value hash. Plumbing: sources.pages_source salvage walkers
+    (same code path the --tolerant-warc job flag uses)."""
+    import shutil
+    import tempfile
+    import zlib as _zl
+
+    from ..sources.pages_source import (
+        _gunzip_members,
+        _iter_warc_pages,
+        _parse_warc_records,
+        documents_to_pages,
+        write_pages_warc,
+    )
+
+    out_root = os.path.join(
+        tempfile.gettempdir(),
+        f"graft_salvage_{_zl.crc32(sf_dir.encode()):08x}",
+    )
+    shutil.rmtree(out_root, ignore_errors=True)
+
+    cutoff = "https://docs.example/00001000"
+    pages = documents_to_pages(sf_dir).map_batches(
+        lambda t: t.filter(pc.less(t["url"], cutoff)),
+        batch_format="pyarrow",
+    ).repartition(1)
+    write_pages_warc(pages, out_root, gzip_members=True)
+    shard = os.path.join(out_root, sorted(os.listdir(out_root))[0])
+
+    # Deterministic damage, independent of member order: split the shard
+    # into its gzip members, parse each to find its record's url/type, and
+    # flip one byte inside the response members of the target pages.
+    with open(shard, "rb") as f:
+        blob = f.read()
+    members, rest = [], blob
+    while rest:
+        d = _zl.decompressobj(wbits=31)
+        plain = d.decompress(rest) + d.flush()
+        members.append((rest[: len(rest) - len(d.unused_data)], plain))
+        rest = d.unused_data
+    damaged = []
+    for raw, plain in members:
+        hdrs, _ = next(_parse_warc_records(plain))
+        url = hdrs.get("warc-target-uri", "")
+        doc_id = int(url.rsplit("/", 1)[-1]) if url else -1
+        if hdrs.get("warc-type") == "response" and doc_id % 50 == 0:
+            b = bytearray(raw)
+            b[len(b) // 2] ^= 0x5A
+            raw = bytes(b)
+        damaged.append(raw)
+    with open(shard, "wb") as f:
+        f.write(b"".join(damaged))
+
+    # tolerant read-back (driver-side single shard — the fixture is tiny;
+    # the distributed path over the same walkers is read_pages_warc)
+    plain = _gunzip_members(open(shard, "rb").read(), tolerant=True)
+    rows = [
+        {"url": r["url"], "wet_chars": len(r["text"])}
+        for r in _iter_warc_pages(plain, tolerant=True)
+    ]
+    return rd.from_arrow(pa.Table.from_pylist(
+        rows,
+        schema=pa.schema([("url", pa.string()), ("wet_chars", pa.int64())]),
+    ))
+
+
+SQL_WARC_SALVAGE = """
+SELECT 'https://docs.example/' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS url,
+       CAST(length(coalesce(text, '')) AS BIGINT) AS wet_chars
+FROM documents
+WHERE doc_id < 1000 AND doc_id % 50 <> 0
+"""
+
+
 def q_doc_nfc_normalize(sf_dir: str) -> rd.Dataset:
     """Unicode NFC normalization per document (the canonical-composition
     pass multilingual training corpora run before tokenization — decomposed
