@@ -207,7 +207,7 @@ QUERY_NAMES = [
     "media_video_frames", "archive_tar_roundtrip", "archive_zip_roundtrip",
     "table_profile", "doc_nfc_normalize",
     # round-5 adds
-    "host_transitivity", "table_upsert", "warc_salvage",
+    "host_transitivity", "table_upsert", "warc_salvage", "archive_salvage",
 ]
 
 

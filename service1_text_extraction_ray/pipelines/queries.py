@@ -9940,6 +9940,76 @@ WHERE doc_id < 1000 AND doc_id % 50 <> 0
 """
 
 
+def q_archive_salvage(sf_dir: str) -> rd.Dataset:
+    """Salvage-mode ZIP ingestion proven end-to-end with an EXACT oracle
+    (the archive analog of q_warc_salvage): write a deterministic
+    single-shard zip of the first 1000 documents, corrupt the compressed
+    payload of every doc_id % 50 == 0 member (one flipped byte — DEFLATE
+    inflation fails or the inflated size mismatches, so the member drops
+    deterministically in the local-header walk), then read tolerantly.
+    Exactly the damaged members disappear; survivors round-trip
+    byte-exactly. Oracle replays the survivor set + text lengths from the
+    documents table."""
+    import shutil
+    import struct as _st
+    import tempfile
+    import zlib as _zl
+
+    from ..sources.pages_source import read_docs_archive, write_docs_zip
+
+    out_root = os.path.join(
+        tempfile.gettempdir(),
+        f"graft_asalvage_{_zl.crc32(sf_dir.encode()):08x}",
+    )
+    shutil.rmtree(out_root, ignore_errors=True)
+
+    docs = (
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(
+            lambda t: t.filter(pc.less(t["doc_id"], 1000)),
+            batch_format="pyarrow",
+        )
+        .repartition(1)
+    )
+    write_docs_zip(docs, out_root)
+    shard = os.path.join(out_root, sorted(os.listdir(out_root))[0])
+
+    blob = bytearray(open(shard, "rb").read())
+    raw = bytes(blob)
+    pos = 0
+    while True:
+        pos = raw.find(b"PK\x03\x04", pos)
+        if pos < 0:
+            break
+        csize = _st.unpack("<I", raw[pos + 18 : pos + 22])[0]
+        nlen = _st.unpack("<H", raw[pos + 26 : pos + 28])[0]
+        elen = _st.unpack("<H", raw[pos + 28 : pos + 30])[0]
+        name = raw[pos + 30 : pos + 30 + nlen].decode("utf-8", "replace")
+        start = pos + 30 + nlen + elen
+        m = re.match(r"^docs/(\d+)\.txt$", name)
+        if m and int(m.group(1)) % 50 == 0 and csize > 0:
+            blob[start + csize // 2] ^= 0x5A
+        pos = start + csize
+    open(shard, "wb").write(bytes(blob))
+
+    ds = read_docs_archive(out_root, tolerant=True)
+    return ds.map_batches(
+        lambda t: pa.Table.from_arrays(
+            [t["doc_id"],
+             pc.cast(pc.utf8_length(t["text"]), pa.int64())],
+            names=["doc_id", "text_chars"],
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_ARCHIVE_SALVAGE = """
+SELECT doc_id, CAST(length(coalesce(text, '')) AS BIGINT) AS text_chars
+FROM documents
+WHERE doc_id < 1000 AND doc_id % 50 <> 0
+"""
+
+
 def q_doc_nfc_normalize(sf_dir: str) -> rd.Dataset:
     """Unicode NFC normalization per document (the canonical-composition
     pass multilingual training corpora run before tokenization — decomposed

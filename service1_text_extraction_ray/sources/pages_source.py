@@ -1232,8 +1232,9 @@ def _salvage_zip_members(blob: bytes):
         if pos < 0:
             return
         try:
-            (method, csize, usize, nlen, elen) = (
+            (method, crc, csize, usize, nlen, elen) = (
                 _struct.unpack("<H", blob[pos + 8 : pos + 10])[0],
+                _struct.unpack("<I", blob[pos + 14 : pos + 18])[0],
                 _struct.unpack("<I", blob[pos + 18 : pos + 22])[0],
                 _struct.unpack("<I", blob[pos + 22 : pos + 26])[0],
                 _struct.unpack("<H", blob[pos + 26 : pos + 28])[0],
@@ -1254,6 +1255,10 @@ def _salvage_zip_members(blob: bytes):
                 raise ValueError(f"unsupported zip method {method}")
             if len(payload) != usize:
                 raise ValueError("inflated size mismatch")
+            # local-header CRC: corrupted-but-inflatable payloads (possible
+            # with raw DEFLATE, which carries no checksum) must not pass
+            if zlib.crc32(payload) & 0xFFFFFFFF != crc:
+                raise ValueError("member CRC mismatch")
         except (ValueError, _struct.error, zlib.error):
             pos += 4  # resync to the next local-header magic
             continue
