@@ -599,7 +599,10 @@ def _gunzip_members(blob: bytes, tolerant: bool = False,
                 raise ValueError("truncated gzip member in .warc.gz shard")
             if stats is not None:
                 stats["torn_gzip_members"] = stats.get("torn_gzip_members", 0) + 1
-            nxt = rest.find(b"\x1f\x8b\x08", 3)
+            # resync from offset 1: the failing region's own magic (if any)
+            # sits at 0, and an intact member preceded by 1-2 junk bytes
+            # must not be skipped (its magic can sit as early as offset 1)
+            nxt = rest.find(b"\x1f\x8b\x08", 1)
             if nxt < 0:
                 break
             rest = rest[nxt:]
@@ -630,22 +633,32 @@ def count_warc_pages(path: str, tolerant: bool = False) -> int:
     # salvage mode: count EXACTLY the pages the tolerant reader yields —
     # one shared generator (_iter_warc_pages) is the single source of
     # truth, or the job's expected-rows accounting would block a damaged
-    # shard's commit on any count/reader divergence
-    return sum(1 for _ in _iter_warc_pages(blob, tolerant=True))
+    # shard's commit on any count/reader divergence. count_only skips the
+    # text decode / row build but keeps identical control flow.
+    return sum(1 for _ in _iter_warc_pages(blob, tolerant=True,
+                                           count_only=True))
 
 
-def _iter_warc_pages(blob: bytes, tolerant: bool, stats: dict | None = None):
+def _iter_warc_pages(blob: bytes, tolerant: bool, stats: dict | None = None,
+                     count_only: bool = False):
     """Pair (response, conversion) records of one plain-WARC byte blob into
     PAGES_SCHEMA row dicts — the SINGLE implementation behind
     read_pages_warc, count_warc_pages(tolerant=True) and
     warc_salvage_report, so the three can never disagree about which pages
     a damaged shard still yields. Tolerant mode skips any page whose
     records are damaged (missing headers, failed HTTP unwrap, bad date,
-    broken pairing) and counts the skip in ``stats["dropped_pages"]``;
-    strict mode raises on the first damage."""
+    broken pairing) and counts the skip ONCE per page in
+    ``stats["dropped_pages"]`` (a response failure pre-drops its
+    conversion); strict mode raises on the first damage. ``count_only``
+    (tolerant only) keeps the identical control flow but skips the text
+    decode and row construction, yielding True per page — decode uses
+    errors='replace' in tolerant mode so skipping it cannot change which
+    pages survive."""
     import datetime as _dt
 
+    assert not count_only or tolerant, "count_only requires tolerant mode"
     pending: dict = {}
+    dropped_uris: set = set()
 
     def _dropped():
         if stats is not None:
@@ -653,9 +666,11 @@ def _iter_warc_pages(blob: bytes, tolerant: bool, stats: dict | None = None):
 
     for hdrs, payload in _parse_warc_records(blob, tolerant=tolerant,
                                              stats=stats):
+        uri = hdrs.get("warc-target-uri")
+        rtype = hdrs.get("warc-type")
         try:
-            uri = hdrs["warc-target-uri"]
-            rtype = hdrs["warc-type"]
+            if uri is None or rtype is None:
+                raise KeyError("missing warc-target-uri/warc-type")
             if rtype == "response":
                 if payload[:5] == b"HTTP/":
                     # full HTTP message (the CC layout; what our writer
@@ -665,11 +680,17 @@ def _iter_warc_pages(blob: bytes, tolerant: bool, stats: dict | None = None):
                     _, _, payload = parse_http_response(payload)
                 pending[uri] = (hdrs, payload)
             elif rtype == "conversion":
+                if tolerant and uri in dropped_uris:
+                    continue  # page already counted at its response failure
                 rh, rp = pending.pop(uri)
                 date = rh["warc-date"].rstrip("Z")
+                ts = _dt.datetime.fromisoformat(date)
+                if count_only:
+                    yield True
+                    continue
                 yield {
                     "url": uri,
-                    "warc_ts": _dt.datetime.fromisoformat(date),
+                    "warc_ts": ts,
                     "html": rp,
                     "text": payload.decode(
                         "utf-8", errors="replace" if tolerant else "strict"
@@ -679,6 +700,8 @@ def _iter_warc_pages(blob: bytes, tolerant: bool, stats: dict | None = None):
         except (KeyError, ValueError, UnicodeDecodeError) as e:
             if not tolerant:
                 raise ValueError(f"damaged WARC record: {e}") from e
+            if uri is not None and rtype == "response":
+                dropped_uris.add(uri)
             _dropped()
     if pending:
         if not tolerant:
@@ -699,7 +722,8 @@ def warc_salvage_report(path: str) -> dict:
     stats: dict = {}
     if blob[:2] == b"\x1f\x8b":
         blob = _gunzip_members(blob, tolerant=True, stats=stats)
-    n = sum(1 for _ in _iter_warc_pages(blob, tolerant=True, stats=stats))
+    n = sum(1 for _ in _iter_warc_pages(blob, tolerant=True, stats=stats,
+                                        count_only=True))
     return {
         "n_pages_ok": n,
         "torn_gzip_members": stats.get("torn_gzip_members", 0),
@@ -1167,19 +1191,43 @@ def write_docs_zip(docs: rd.Dataset, out_dir: str) -> int:
 
 def _gunzip_prefix(blob: bytes) -> bytes:
     """Decompress as much of a (possibly truncated/corrupt) single-member
-    gzip stream as survives: feed in chunks and keep everything produced
-    before the first error — the tar.gz salvage primitive (a torn download
-    still yields its leading members)."""
+    gzip stream as survives — to the exact byte: zlib discards ALL output
+    of a decompress() call that raises, so a failing chunk is bisected
+    against decompressobj.copy() snapshots until the salvageable prefix
+    of the chunk itself is recovered (O(log chunk) extra calls). The
+    tar.gz salvage primitive: a torn or mid-stream-corrupted download
+    still yields every leading member before the damage point. NB DEFLATE
+    carries no mid-stream integrity check, so output BETWEEN the corrupt
+    byte and the first invalid code can be garbage — the downstream tar
+    walk's per-header checksums reject those blocks."""
     import zlib
 
     d = zlib.decompressobj(wbits=31)
     out = []
-    for i in range(0, len(blob), 1 << 16):
+
+    def feed(data: bytes) -> bool:
+        nonlocal d
+        if not data:
+            return True
+        snap = d.copy()
         try:
-            out.append(d.decompress(blob[i : i + (1 << 16)]))
+            out.append(d.decompress(data))
+            return True
         except zlib.error:
+            d = snap
+            if len(data) == 1:
+                return False
+            mid = len(data) // 2
+            if not feed(data[:mid]):
+                return False
+            return feed(data[mid:])
+
+    clean = True
+    for i in range(0, len(blob), 1 << 16):
+        if not feed(blob[i : i + (1 << 16)]):
+            clean = False
             break
-    else:
+    if clean:
         try:
             out.append(d.flush())
         except zlib.error:
@@ -1232,7 +1280,8 @@ def _salvage_zip_members(blob: bytes):
         if pos < 0:
             return
         try:
-            (method, crc, csize, usize, nlen, elen) = (
+            (flags, method, crc, csize, usize, nlen, elen) = (
+                _struct.unpack("<H", blob[pos + 6 : pos + 8])[0],
                 _struct.unpack("<H", blob[pos + 8 : pos + 10])[0],
                 _struct.unpack("<I", blob[pos + 14 : pos + 18])[0],
                 _struct.unpack("<I", blob[pos + 18 : pos + 22])[0],
@@ -1243,12 +1292,17 @@ def _salvage_zip_members(blob: bytes):
             name = blob[pos + 30 : pos + 30 + nlen].decode("utf-8", "replace")
             start = pos + 30 + nlen + elen
             data = blob[start : start + csize]
-            if csize == 0 and usize == 0:
+            if flags & 0x08:
+                # sizes live in a trailing data descriptor (streaming
+                # writer) — the local header can't frame the member
                 raise ValueError("data-descriptor member (size unknown)")
             if len(data) < csize:
                 raise ValueError("torn member payload")
             if method == 8:
-                payload = zlib.decompressobj(-15).decompress(data)
+                # bound the inflation: salvage consumes UNTRUSTED archives,
+                # and raw DEFLATE would happily expand a bomb to GBs before
+                # the size check ran
+                payload = zlib.decompressobj(-15).decompress(data, usize + 1)
             elif method == 0:
                 payload = data
             else:

@@ -510,8 +510,11 @@ def upsert_shard(out_dir: str, shard_id: int, updates: pa.Table,
     # versa — unify by name, absent columns fill with typed nulls. Stored
     # column order is preserved, new columns append in update order, so
     # the merged layout is deterministic.
+    # "permissive" also promotes castable type differences (an update
+    # stream inferring int32 where the table stores int64 must merge, not
+    # raise) — align() below casts each side to the unified type.
     schema = pa.unify_schemas([old.schema, updates.schema],
-                              promote_options="default")
+                              promote_options="permissive")
 
     def align(t: pa.Table) -> pa.Table:
         cols = []

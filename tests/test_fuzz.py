@@ -837,13 +837,17 @@ def test_archive_salvage_total_on_mutations(pos, mode, junk, which):
         members = list(_salvage_zip_members(blob))
         again = list(_salvage_zip_members(blob))
     assert members == again  # deterministic
+    lengths = {len(t.encode()) for t in _MEMBER_TEXTS}
     for name, payload in members:
-        # any member that checksummed/inflated clean must be genuine
         if name.startswith("docs/") and name.endswith(".txt"):
             text = payload.decode("utf-8", "replace")
-            if text in _MEMBER_TEXTS:
-                continue
-            # a flipped byte INSIDE a stored payload can survive tar's
-            # header checksum (it only covers the header) — tolerate
-            # payloads of the right shape
-            assert text.startswith("member text") or len(text) > 0
+            if which:
+                # tar: the header checksum covers only the header, so a
+                # mutation INSIDE a payload can survive — but the size
+                # field is checksummed, so any salvaged payload must have
+                # a genuine member's exact length (and most are exact)
+                assert text in _MEMBER_TEXTS or len(payload) in lengths
+            else:
+                # zip: the walker verifies each member's CRC, so salvage
+                # can ONLY ever yield byte-exact original members
+                assert text in _MEMBER_TEXTS
